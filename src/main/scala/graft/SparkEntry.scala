@@ -1,13 +1,35 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Analytics, Relational, StarPipeline, Topics}
+import graft.sources.Sources
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps one entry per implemented operator (SURVEY.md §2 ids in
+  * the names); `oracleSql` carries the DuckDB-equivalent SQL for the
+  * driver's correctness compare. Column aliases match between the two by
+  * construction (the driver sorts columns by name before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the star-schema build (SURVEY §7.1 step 4) — dims via
+    * distinct + deterministic surrogate keys, fact via broadcast left
+    * joins. Driver smoke-checks rows > 0 on sf0.001.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    StarPipeline.fact(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Sources.queries ++ Relational.queries ++ StarPipeline.queries ++
+      Topics.queries ++ Analytics.queries
+
+  /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
+    * the same parquet tables. Omitted only for non-SQL-expressible ops
+    * (driver then records a weaker rows-only check).
+    */
+  def oracleSql: Map[String, String] =
+    Sources.oracles ++ Relational.oracles ++ StarPipeline.oracles ++
+      Topics.oracles ++ Analytics.oracles
 }

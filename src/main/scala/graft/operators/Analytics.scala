@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import Relational.{sumDec, sumDecSql}
+
+/** EDA / dashboard analytics (SURVEY.md §2.4 A6–A9): descriptive stats,
+  * missing-value audit, correlation matrix, dashboard sums/counts.
+  *
+  * Correlation is computed from exact DECIMAL moment sums cast to double at
+  * the end, so the result is bit-identical regardless of partial-aggregation
+  * order — plain `corr()` over doubles is non-deterministic in the last bits
+  * across partitionings and would flake the oracle hash.
+  */
+object Analytics {
+
+  /** Pearson correlation from exact decimal moments; both engines evaluate
+    * the same IEEE double expression over identical exact inputs.
+    */
+  def exactCorr(df: DataFrame, x: String, y: String): DataFrame = {
+    val xd = col(x).cast(DecimalType(18, 2))
+    val yd = col(y).cast(DecimalType(18, 2))
+    df.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(xd).cast("double").as("sx"),
+        sum(yd).cast("double").as("sy"),
+        sum(xd * xd).cast("double").as("sxx"),
+        sum(yd * yd).cast("double").as("syy"),
+        sum(xd * yd).cast("double").as("sxy"))
+      .select(((col("n") * col("sxy") - col("sx") * col("sy")) /
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+             (col("n") * col("syy") - col("sy") * col("sy")))).as("corr"))
+  }
+
+  private def exactCorrSql(x: String, y: String, table: String): String =
+    s"""WITH m AS (
+       | SELECT CAST(count(*) AS DOUBLE) AS n,
+       |  CAST(sum(CAST($x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+       |  CAST(sum(CAST($y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+       |  CAST(sum(CAST($x AS DECIMAL(18,2)) * CAST($x AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+       |  CAST(sum(CAST($y AS DECIMAL(18,2)) * CAST($y AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+       |  CAST(sum(CAST($x AS DECIMAL(18,2)) * CAST($y AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+       | FROM $table)
+       |SELECT (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) AS "corr"
+       |FROM m""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A8 — correlation (exact-moment Pearson).
+    "q_a8_corr" -> { (s, d) =>
+      exactCorr(Tables.lineitem(s, d), "l_quantity", "l_extendedprice")
+    },
+    // A9 — dashboard: totals by year ("Injury and Fatality Trends by Year").
+    "q_a9_by_year" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("y"))
+        .agg(sumDec(col("o_totalprice")).as("total"), count(lit(1)).as("cnt"))
+        .orderBy("y")
+    },
+    // A9 — dashboard: weekday × status matrix ("Accidents by day of week /
+    // severity by road type" shape).
+    "q_a9_weekday_matrix" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(date_format(col("o_orderdate"), "EEEE").as("dayname"),
+          col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("dayname", "o_orderstatus")
+    },
+    // A9 — dashboard: month × priority injury sums ("Evolution of Injuries
+    // by Year" / monthly breakdown shape).
+    "q_a9_month_breakdown" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(month(col("o_orderdate")).as("m"),
+          col("o_orderpriority"))
+        .agg(sumDec(col("o_totalprice")).as("total"))
+        .orderBy("m", "o_orderpriority")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_a8_corr" -> exactCorrSql("l_quantity", "l_extendedprice", "lineitem"),
+    "q_a9_by_year" ->
+      s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS y, ${sumDecSql("o_totalprice")} AS total,
+         | count(*) AS cnt
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_a9_weekday_matrix" ->
+      """SELECT dayname(o_orderdate) AS dayname, o_orderstatus, count(*) AS cnt
+        |FROM orders GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q_a9_month_breakdown" ->
+      s"""SELECT CAST(month(o_orderdate) AS INTEGER) AS m, o_orderpriority,
+         | ${sumDecSql("o_totalprice")} AS total
+         |FROM orders GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+  )
+}

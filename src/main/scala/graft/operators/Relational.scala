@@ -1,0 +1,405 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Scalars._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational core (SURVEY.md §2.1–§2.6): scans, projections/filters,
+  * joins, aggregations, set ops, sorts/limits — each shipped as an
+  * oracle-tested `queries` entry.
+  *
+  * Conventions for driver-oracle parity (the driver hashes values after
+  * sorting columns by name):
+  *  - every aggregate/computed column is aliased identically here and in
+  *    the DuckDB SQL;
+  *  - double sums go through an exact DECIMAL(18,2) intermediate and are
+  *    cast back to double, so Spark's partial-aggregation order can never
+  *    drift from DuckDB's single-threaded sum;
+  *  - every result ends with a deterministic ORDER BY on a unique key.
+  */
+object Relational {
+
+  /** Exact-then-double sum: immune to float summation order. */
+  def sumDec(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+  /** DuckDB rendering of [[sumDec]]. */
+  def sumDecSql(c: String): String = s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+
+  val priorityLevels: Seq[String] =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S3 + P1 + P2 + P5 — projected, filtered, cast parquet scan. The filter
+    // and the 4-column projection both reach the scan (PushedFilters /
+    // ReadSchema) — at 100 TB this reads 4 of 11 columns and skips row
+    // groups via min/max stats.
+    "q_s3_scan_pushdown" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice").cast(DecimalType(12, 2)).as("price_dec"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // P1 — projection + cast (DECIMAL(10,2) money, rounded int), the shape
+    // of the reference's `::DECIMAL(10,6)` / `::INTEGER` source projection
+    // (dags/etl_crash_traffic.py:266-290).
+    "q_p1_project_cast" -> { (s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          col("c_acctbal").cast(DecimalType(10, 2)).as("bal_dec"),
+          round(col("c_acctbal")).cast("long").as("bal_int"))
+        .orderBy("c_custkey")
+    },
+
+    // P4 — membership filter + A1 group-count.
+    "q_p4_filter_isin" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_returnflag").isin("A", "R"))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")
+    },
+
+    // P7 — null policy: '' → null → 'unknown' fallback.
+    "q_p7_null_policy" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          coalesce(emptyToNull(col("event_type")), lit("unknown")).as("et"))
+        .orderBy("event_id")
+    },
+
+    // P8 — floor-division geo binning incl. negative values (c_acctbal < 0
+    // exercises the round-toward−∞ branch).
+    "q_p8_geo_bin" -> { (s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          geoBin(col("c_acctbal") / 100.0).as("bin"),
+          geoBin(col("c_acctbal") / 100.0, 0.25).as("bin_q"))
+        .orderBy("c_custkey")
+    },
+
+    // P9 — bbox label synthesis + parse round-trip.
+    "q_p9_bbox_label" -> { (s, d) =>
+      val binned = Tables.customer(s, d)
+        .select(col("c_custkey"),
+          geoBin(col("c_acctbal") / 100.0).as("lat_bin"),
+          geoBin(col("c_acctbal") / -50.0).as("lng_bin"))
+      binned
+        .select(col("c_custkey"),
+          bboxLabel(col("lat_bin"), col("lng_bin")).as("label"))
+        .withColumn("lat_rt", bboxLat(col("label")))
+        .withColumn("lng_rt", bboxLng(col("label")))
+        .orderBy("c_custkey")
+    },
+
+    // P10 — date-part extraction (year/month/day/hour/weekday-name/time-of-
+    // day), the reference's dim_fecha key derivations.
+    "q_p10_date_parts" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          year(col("ts")).as("y"), month(col("ts")).as("m"),
+          dayofmonth(col("ts")).as("dom"), hour(col("ts")).as("h"),
+          date_format(col("ts"), "EEEE").as("dayname"),
+          date_format(col("ts"), "HH:mm:ss").as("tod"))
+        .orderBy("event_id")
+    },
+
+    // P11 + P15 — categorical normalizers over a column that exercises every
+    // branch: whitelist hit (after trim+lower), ';' → combinations, miss →
+    // unknown. Cases mirror reference test/test_bbox.py:6-12.
+    "q_p11_normalizers" -> { (s, d) =>
+      val src = Tables.events(s, d).select(col("event_id"),
+        when(col("event_type") === "click", lit(" SIGNAL "))
+          .when(col("event_type") === "view", lit("marked;unmarked"))
+          .when(col("event_type") === "purchase", lit("Zebra"))
+          .otherwise(col("event_type")).as("raw"))
+      src.select(col("event_id"),
+          mapTrafficSignal(col("raw")).as("signal_norm"),
+          mapCrossing(col("raw")).as("crossing_norm"))
+        .orderBy("event_id")
+    },
+
+    // P12 + P16 — map parse (JSON / python-dict string) + getItem projection
+    // + address-style coalesce fallback.
+    "q_p12_map_parse" -> { (s, d) =>
+      val m = parsePyDict(col("props"))
+      Tables.events(s, d)
+        .select(col("event_id"),
+          m.getItem("k").cast("int").as("k"),
+          coalesce(m.getItem("city"), m.getItem("town"), lit("unknown")).as("city"))
+        .orderBy("event_id")
+    },
+
+    // P13 + P14 — Y/N-style indicator + ordered-categorical severity rank
+    // over the 5-level o_orderpriority (the most_severe_injury shape).
+    "q_p13_p14_indicator_rank" -> { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          when(col("o_orderstatus") === "F", 1).otherwise(0).as("finished_ind"),
+          ordinalRank(col("o_orderpriority"), priorityLevels).as("prio_rank"))
+        .orderBy("o_orderkey")
+    },
+
+    // J1 — inner broadcast hash equi-join (fact × small dim), grouped. The
+    // 209k-accidents × 36-bbox join shape: build side broadcast, zero
+    // fact-side shuffle before the aggregation.
+    "q_j1_broadcast_join" -> { (s, d) =>
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"), "inner")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"), sumDec(col("o_totalprice")).as("total"))
+        .orderBy("c_mktsegment")
+    },
+
+    // J2 — successive broadcast left joins up a dimension chain
+    // (lineitem → supplier → nation → region), the 8×-dim lookup shape.
+    "q_j2_dim_chain" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"), "left")
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"), "left")
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"), "left")
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("cnt"), sumDec(col("l_quantity")).as("qty"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // J3 — left-anti join (idempotent insert: drop rows whose id already
+    // exists).
+    "q_j3_anti_join" -> { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val existing = orders.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+      Star.idempotentAppend(orders, existing, Seq("o_orderkey"))
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    },
+
+    // J4 — decimal-keyed join: keys cast to DECIMAL(12,2) end-to-end so
+    // equality is exact (never raw-double join keys).
+    "q_j4_decimal_join" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .withColumn("qk", col("l_quantity").cast(DecimalType(12, 2)))
+      val dim = li.select("qk").distinct().filter(col("qk") > 40)
+      li.join(broadcast(dim), Seq("qk"), "inner")
+        .groupBy("qk").agg(count(lit(1)).as("cnt"))
+        .orderBy("qk")
+    },
+
+    // A2 — pivot with a fixed value list + fill 0 (static schema, no extra
+    // distinct-collection job; SURVEY §2.4 A2).
+    "q_a2_pivot" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O"))
+        .orderBy("l_returnflag")
+    },
+
+    // A3 — scalar COUNT(*).
+    "q_a3_count_star" -> { (s, d) =>
+      Tables.lineitem(s, d).agg(count(lit(1)).as("cnt"))
+    },
+
+    // A4 — distinct natural-key extraction (dimension content).
+    "q_a4_distinct" -> { (s, d) =>
+      Tables.customer(s, d)
+        .select("c_nationkey", "c_mktsegment").distinct()
+        .orderBy("c_nationkey", "c_mktsegment")
+    },
+
+    // A5 + W1 — frequency table ordered by count desc (value_counts).
+    "q_a5_value_counts" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("o_orderpriority"))
+    },
+
+    // A6 — descriptive stats (count/min/max/mean) with an order-insensitive
+    // exact mean (decimal sum / count); approx quartiles deliberately
+    // excluded from the oracle (SURVEY §7.5).
+    "q_a6_describe" -> { (s, d) =>
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("cnt"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        sumDec(col("l_quantity")).as("sum_qty"),
+        (sumDec(col("l_quantity")) / count(lit(1))).as("mean_qty"))
+    },
+
+    // A7 — missing-value audit: per-column null-or-sentinel counts.
+    "q_a7_null_audit" -> { (s, d) =>
+      val doc = Tables.documents(s, d)
+      doc.agg(
+        count(when(col("text").isNull || col("text") === "", 1)).as("text_missing"),
+        count(when(col("lang").isNull || col("lang") === "UNKNOWN", 1)).as("lang_missing"),
+        count(when(col("source").isNull, 1)).as("source_missing"))
+    },
+
+    // W2 — deterministic LIMIT (top-5 by key).
+    "q_w2_limit" -> { (s, d) =>
+      Tables.orders(s, d)
+        .orderBy("o_orderkey")
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+        .limit(5)
+    },
+
+    // W3 + A4 — surrogate-key generation: distinct + row_number over the
+    // natural key (deterministic; SURVEY §7.4).
+    "q_w3_surrogate_keys" -> { (s, d) =>
+      Star.buildDim(Tables.customer(s, d), Seq("c_mktsegment"), "seg_id")
+        .orderBy("seg_id")
+    },
+
+    // U1 — schema-aligned union-all then re-aggregate (the per-bbox
+    // group-counts union shape, dags/etl_crash_traffic.py:458-463).
+    "q_u1_union" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val a = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), lit("finished").as("src"))
+      val b = o.filter(col("o_orderstatus") === "O")
+        .select(col("o_orderkey"), lit("open").as("src"))
+      a.unionByName(b).groupBy("src").agg(count(lit(1)).as("cnt")).orderBy("src")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_s3_scan_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        | CAST(l_extendedprice AS DECIMAL(12,2)) AS price_dec
+        |FROM lineitem WHERE l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_p1_project_cast" ->
+      """SELECT c_custkey, CAST(c_acctbal AS DECIMAL(10,2)) AS bal_dec,
+        | CAST(round(c_acctbal) AS BIGINT) AS bal_int
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_p4_filter_isin" ->
+      """SELECT l_returnflag, count(*) AS cnt FROM lineitem
+        |WHERE l_returnflag IN ('A','R') GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_p7_null_policy" ->
+      """SELECT event_id,
+        | COALESCE(CASE WHEN trim(event_type)='' THEN NULL ELSE event_type END,
+        |          'unknown') AS et
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_p8_geo_bin" ->
+      """SELECT c_custkey,
+        | floor((c_acctbal/100.0)/0.5)*0.5 AS bin,
+        | floor((c_acctbal/100.0)/0.25)*0.25 AS bin_q
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_p9_bbox_label" ->
+      """WITH b AS (
+        | SELECT c_custkey,
+        |  floor((c_acctbal/100.0)/0.5)*0.5 AS lat_bin,
+        |  floor((c_acctbal/-50.0)/0.5)*0.5 AS lng_bin
+        | FROM customer),
+        |l AS (
+        | SELECT c_custkey,
+        |  'bbox_' || printf('%.1f', lat_bin) || '_' || printf('%.1f', lng_bin) AS label
+        | FROM b)
+        |SELECT c_custkey, label,
+        | CAST(regexp_extract(label, '^bbox_(-?\d+\.\d+)_(-?\d+\.\d+)$', 1) AS DOUBLE) AS lat_rt,
+        | CAST(regexp_extract(label, '^bbox_(-?\d+\.\d+)_(-?\d+\.\d+)$', 2) AS DOUBLE) AS lng_rt
+        |FROM l ORDER BY c_custkey""".stripMargin,
+    "q_p10_date_parts" ->
+      """SELECT event_id, CAST(year(ts) AS INTEGER) AS y,
+        | CAST(month(ts) AS INTEGER) AS m, CAST(day(ts) AS INTEGER) AS dom,
+        | CAST(hour(ts) AS INTEGER) AS h, dayname(ts) AS dayname,
+        | strftime(ts, '%H:%M:%S') AS tod
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_p11_normalizers" ->
+      """WITH src AS (
+        | SELECT event_id,
+        |  CASE WHEN event_type='click' THEN ' SIGNAL '
+        |       WHEN event_type='view' THEN 'marked;unmarked'
+        |       WHEN event_type='purchase' THEN 'Zebra'
+        |       ELSE event_type END AS raw
+        | FROM events)
+        |SELECT event_id,
+        | CASE WHEN lower(trim(raw)) IN
+        |   ('traffic_lights','signal','pedestrian_crossing','ramp_meter',
+        |    'level_crossing','emergency','bridge')
+        |  THEN lower(trim(raw)) ELSE 'unknown' END AS signal_norm,
+        | CASE WHEN contains(lower(trim(raw)), ';') THEN 'combinations'
+        |      WHEN lower(trim(raw)) IN
+        |   ('uncontrolled','marked','unmarked','zebra','pelican','puffin','toucan')
+        |  THEN lower(trim(raw)) ELSE 'unknown' END AS crossing_norm
+        |FROM src ORDER BY event_id""".stripMargin,
+    "q_p12_map_parse" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        | COALESCE(json_extract_string(props, '$.city'),
+        |          json_extract_string(props, '$.town'), 'unknown') AS city
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_p13_p14_indicator_rank" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END AS finished_ind,
+        | CASE trim(o_orderpriority)
+        |  WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2 WHEN '3-MEDIUM' THEN 3
+        |  WHEN '4-NOT SPECIFIED' THEN 4 WHEN '5-LOW' THEN 5 ELSE 0 END AS prio_rank
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_j1_broadcast_join" ->
+      s"""SELECT c_mktsegment, count(*) AS cnt,
+         | ${sumDecSql("o_totalprice")} AS total
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_j2_dim_chain" ->
+      s"""SELECT r_name, n_name, count(*) AS cnt, ${sumDecSql("l_quantity")} AS qty
+         |FROM lineitem
+         |LEFT JOIN supplier ON l_suppkey = s_suppkey
+         |LEFT JOIN nation ON s_nationkey = n_nationkey
+         |LEFT JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q_j3_anti_join" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE o_orderkey NOT IN
+        | (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_j4_decimal_join" ->
+      """SELECT CAST(l_quantity AS DECIMAL(12,2)) AS qk, count(*) AS cnt
+        |FROM lineitem
+        |WHERE CAST(l_quantity AS DECIMAL(12,2)) > 40
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_a2_pivot" ->
+      """SELECT l_returnflag,
+        | COUNT(*) FILTER (WHERE l_linestatus='F') AS "F",
+        | COUNT(*) FILTER (WHERE l_linestatus='O') AS "O"
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_a3_count_star" -> "SELECT count(*) AS cnt FROM lineitem",
+    "q_a4_distinct" ->
+      """SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+        |ORDER BY 1, 2""".stripMargin,
+    "q_a5_value_counts" ->
+      """SELECT o_orderpriority, count(*) AS cnt FROM orders
+        |GROUP BY 1 ORDER BY cnt DESC, o_orderpriority""".stripMargin,
+    "q_a6_describe" ->
+      s"""SELECT count(*) AS cnt, min(l_quantity) AS min_qty,
+         | max(l_quantity) AS max_qty,
+         | ${sumDecSql("l_quantity")} AS sum_qty,
+         | ${sumDecSql("l_quantity")} / count(*) AS mean_qty
+         |FROM lineitem""".stripMargin,
+    "q_a7_null_audit" ->
+      """SELECT
+        | COUNT(*) FILTER (WHERE text IS NULL OR text='') AS text_missing,
+        | COUNT(*) FILTER (WHERE lang IS NULL OR lang='UNKNOWN') AS lang_missing,
+        | COUNT(*) FILTER (WHERE source IS NULL) AS source_missing
+        |FROM documents""".stripMargin,
+    "q_w2_limit" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderkey LIMIT 5""".stripMargin,
+    "q_w3_surrogate_keys" ->
+      """SELECT c_mktsegment,
+        | CAST(row_number() OVER (ORDER BY c_mktsegment) AS BIGINT) AS seg_id
+        |FROM (SELECT DISTINCT c_mktsegment FROM customer)
+        |ORDER BY seg_id""".stripMargin,
+    "q_u1_union" ->
+      """WITH u AS (
+        | SELECT o_orderkey, 'finished' AS src FROM orders WHERE o_orderstatus='F'
+        | UNION ALL
+        | SELECT o_orderkey, 'open' AS src FROM orders WHERE o_orderstatus='O')
+        |SELECT src, count(*) AS cnt FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

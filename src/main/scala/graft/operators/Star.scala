@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Star-schema building blocks (SURVEY.md §2.3/§2.4/§2.5: A4, W3, J2, J3).
+  *
+  * Scale posture: dimensions are by definition low-cardinality (the
+  * reference's largest dim is dim_fecha, one row per distinct timestamp), so
+  * every surrogate-key resolution is a broadcast hash left join — at 100 TB
+  * the fact side never shuffles for the star build. The only exchanges are
+  * the per-dim `distinct` (map-side partial aggregation first, so the
+  * shuffle carries one row per distinct key per task, not the fact table).
+  */
+object Star {
+
+  /** Dimension content = SELECT DISTINCT natural-key FROM fact (A4), with a
+    * deterministic surrogate id (W3): `row_number()` over the natural-key
+    * order — run-stable for oracle comparison, unlike the reference's
+    * insert-order SERIAL (SURVEY §7.4) or `monotonically_increasing_id`
+    * (partition-order dependent). The unpartitioned window funnels through
+    * one task, which is fine *for dimensions*: the distinct has already
+    * reduced the data to dimension cardinality.
+    * Ref: dags/etl_crash_traffic.py:693-787 (dim inserts with ON CONFLICT
+    * DO NOTHING ≡ distinct), :52-101 (SERIAL keys).
+    */
+  def buildDim(src: DataFrame, natKey: Seq[String], idCol: String): DataFrame = {
+    val w = Window.orderBy(natKey.map(col): _*)
+    src.select(natKey.map(col): _*).na.drop("all").distinct()
+      .withColumn(idCol, row_number().over(w).cast("long"))
+  }
+
+  /** J2 — resolve surrogate keys: successive broadcast hash LEFT joins
+    * (missing natural key → null FK, as the reference's dict `.get`).
+    * Ref: dags/etl_crash_traffic.py:244-263 (dict build), :297-310 (probe).
+    */
+  def resolveDims(fact: DataFrame,
+                  dims: Seq[(DataFrame, Seq[String])]): DataFrame =
+    dims.foldLeft(fact) { case (f, (dim, natKey)) =>
+      f.join(broadcast(dim), natKey, "left")
+    }
+
+  /** J3 — idempotent append: keep only incoming rows whose key is absent
+    * from `existing` (left-anti), the set-based equivalent of the
+    * reference's `INSERT ... ON CONFLICT (id) DO NOTHING` + id-set filter.
+    * At scale: existing-keys side is projected to the key columns only, so
+    * the anti join shuffles keys, not rows; with AQE it broadcasts when the
+    * existing key set is small.
+    * Ref: dags/etl_crash_traffic.py:619-624, :641-654.
+    */
+  def idempotentAppend(incoming: DataFrame, existing: DataFrame,
+                       keys: Seq[String]): DataFrame =
+    incoming.join(existing.select(keys.map(col): _*).distinct(), keys, "left_anti")
+
+  /** S4 — the full idempotent-load action: anti-join against what is already
+    * at `path`, then append. (Parquet replaces the reference's Postgres
+    * table; SURVEY §2.1 S4.)
+    */
+  def idempotentWrite(incoming: DataFrame, path: String, keys: Seq[String]): Unit = {
+    val spark = incoming.sparkSession
+    val fresh =
+      try idempotentAppend(incoming, spark.read.parquet(path), keys)
+      catch { case _: org.apache.spark.sql.AnalysisException => incoming } // first load
+    fresh.write.mode(SaveMode.Append).parquet(path)
+  }
+}
