@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Relational, StarPipeline, Topics}
+import graft.operators.{Analytics, Dedup, Multimodal, Relational, Similarity, StarPipeline, TextAnalysis, Topics}
 import graft.sources.Sources
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -23,7 +23,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Sources.queries ++ Relational.queries ++ StarPipeline.queries ++
-      Topics.queries ++ Analytics.queries
+      Topics.queries ++ Analytics.queries ++ TextAnalysis.queries ++
+      Dedup.queries ++ Similarity.queries ++ Multimodal.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for non-SQL-expressible ops
@@ -31,5 +32,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Sources.oracles ++ Relational.oracles ++ StarPipeline.oracles ++
-      Topics.oracles ++ Analytics.oracles
+      Topics.oracles ++ Analytics.oracles ++ TextAnalysis.oracles ++
+      Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles
 }

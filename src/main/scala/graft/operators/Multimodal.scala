@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (builder brief): media as opaque `binary`
+  * payloads with typed metadata, plus a partition-wise feature-extraction
+  * stage with the batch shape a real decoder needs.
+  *
+  * The actual image/audio decode is STUBBED (no media libs in this
+  * container) behind [[FakeDecoder]] — a clearly-marked deterministic
+  * fake. Everything Spark-side is real and tested: the binary encoding,
+  * the metadata struct schema, the `mapPartitions` batch iteration (the
+  * Scala-native equivalent of `mapInPandas`: one decoder init per
+  * partition, streamed batches, typed Encoders), and the partitioning.
+  *
+  * Scale: payloads stay opaque bytes end-to-end — no driver collect, no
+  * per-row decoder setup. Feature extraction is embarrassingly parallel;
+  * partition sizing is governed by `spark.sql.files.maxPartitionBytes`
+  * so each task's media batch fits executor memory.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata (the schema contract a
+    * real pipeline would carry for images/audio/video).
+    */
+  case class MediaRow(media_id: Long, payload: Array[Byte], mime: String,
+                      n_bytes: Long, checksum: String)
+
+  /** Extracted features per media item. */
+  case class MediaFeatures(media_id: Long, n_bytes: Long,
+                           first_byte: Int, last_byte: Int)
+
+  /** Build the media table from documents: text bytes stand in for the
+    * opaque payload (same plumbing; a real source would read image/audio
+    * files into the same shape).
+    */
+  def mediaTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      lit("text/plain").as("mime"),
+      octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+      md5(encode(col("text"), "UTF-8")).as("checksum"))
+
+  /** ===== STUB: deterministic fake decoder =====
+    * A real implementation would decode image/audio bytes (JPEG, WAV, …)
+    * and emit fixed-size feature vectors. This fake derives features from
+    * the raw bytes only, so the full pipeline is testable and
+    * deterministic. Marked per builder brief.
+    */
+  object FakeDecoder {
+    def decode(payload: Array[Byte]): (Int, Int) =
+      if (payload.isEmpty) (-1, -1)
+      else (payload.head & 0xFF, payload.last & 0xFF)
+  }
+
+  /** Partition-wise feature extraction: the `mapInPandas` shape in Scala —
+    * decoder initialized once per partition, rows streamed through it.
+    */
+  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload", "n_bytes").as[(Long, Array[Byte], Long)]
+      .mapPartitions { rows =>
+        // real pipeline: decoder/session init here, once per partition
+        val decoder = FakeDecoder
+        rows.map { case (id, payload, nBytes) =>
+          val (first, last) = decoder.decode(payload)
+          MediaFeatures(id, nBytes, first, last)
+        }
+      }
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Metadata layer: binary payload + typed metadata, all verifiable.
+    "q_mm_metadata" -> { (s, d) =>
+      mediaTable(s, d).select("media_id", "mime", "n_bytes", "checksum")
+        .orderBy("media_id")
+    },
+    // Feature extraction through the typed mapPartitions path.
+    "q_mm_features" -> { (s, d) =>
+      extractFeatures(mediaTable(s, d)).toDF().orderBy("media_id")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_mm_metadata" ->
+      """SELECT doc_id AS media_id, 'text/plain' AS mime,
+        | octet_length(encode(text)) AS n_bytes, md5(text) AS checksum
+        |FROM documents ORDER BY media_id""".stripMargin,
+    // the fake decoder's byte features are plain SQL over the same bytes
+    "q_mm_features" ->
+      """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+        | CASE WHEN length(text)=0 THEN -1 ELSE ascii(substr(text,1,1)) END AS first_byte,
+        | CASE WHEN length(text)=0 THEN -1 ELSE ascii(substr(text,length(text),1)) END AS last_byte
+        |FROM documents ORDER BY media_id""".stripMargin
+  )
+}

@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (builder brief): brute-force
+  * cosine top-k as the exact baseline, and a sign-LSH bucketed variant as
+  * the scale path.
+  *
+  * Scale posture: the query set is broadcast (queries ≪ corpus), so
+  * brute-force is one map-side pass over the corpus — no shuffle until the
+  * per-query top-k aggregation, which carries k rows per partition per
+  * query. The LSH variant prunes the scan itself: corpus and queries are
+  * bucketed by sign-bit keys and joined per bucket, an IVF-style inverted
+  * index. Dot products run through `zip_with`+`aggregate` (sequential fold
+  * → deterministic, codegen'd, no UDF).
+  */
+object Similarity {
+
+  /** Cosine similarity of two float vectors, computed in double with a
+    * fixed (sequential) summation order.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val denom = sqrt(dot(a, a)) * sqrt(dot(b, b))
+    when(denom === 0, 0.0).otherwise(dot(a, b) / denom)
+  }
+
+  /** Exact top-k by cosine per query: broadcast queries × corpus scan,
+    * window-ranked. Ties broken by corpus id for determinism.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("corpus_id"), col("embedding").as("c_emb"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("corpus_id"),
+        round(cosine(col("q_emb"), col("c_emb")), 6).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Sign-LSH bucket key: the sign bits of `nBits` fixed coordinates —
+    * deterministic axis-aligned hyperplanes (no RNG, run-stable). At scale
+    * this is the IVF coarse quantizer: corpus partitioned by bucket,
+    * queries probe only their own bucket.
+    */
+  def signBucket(emb: Column, nBits: Int = 8): Column =
+    (0 until nBits).map { i =>
+      when(element_at(emb, i + 1) >= 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** ANN top-k: exact cosine, but only within the query's sign bucket. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nBits: Int = 8): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), signBucket(col("embedding"), nBits).as("bucket"))
+    val c = corpus.select(col("vec_id").as("corpus_id"),
+      col("embedding").as("c_emb"), signBucket(col("embedding"), nBits).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .select(col("query_id"), col("corpus_id"),
+        round(cosine(col("q_emb"), col("c_emb")), 6).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact baseline: 5 query vectors vs full corpus, top-5 each.
+    "q_sim_topk_brute" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      bruteForceTopK(emb.filter(col("vec_id") < 5), emb, 5)
+        .orderBy("query_id", "rank")
+    },
+    // Scale path: same queries, bucket-pruned search.
+    "q_sim_topk_lsh" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      lshTopK(emb.filter(col("vec_id") < 5), emb, 5)
+        .orderBy("query_id", "rank")
+    },
+    // Embedding-cosine near-dup: pairs above threshold within buckets.
+    "q_sim_near_dup" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val b = emb.select(col("vec_id"), col("embedding"),
+        signBucket(col("embedding")).as("bucket"))
+      val l = b.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("e_a"))
+      val r = b.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("e_b"))
+      l.join(r, Seq("bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(cosine(col("e_a"), col("e_b")), 6).as("sim"))
+        .filter(col("sim") >= 0.95)
+        .orderBy("id_a", "id_b")
+    }
+  )
+
+  /** DuckDB oracles replicate the double-precision cosine explicitly
+    * (list_transform to DOUBLE + list_sum), matching Spark's fold.
+    */
+  private def cosSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(list_zip($x, $y), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    s"""CASE WHEN sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}) = 0 THEN 0.0
+       | ELSE ${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})) END""".stripMargin
+  }
+
+  private def bucketSql(e: String, nBits: Int = 8): String =
+    (0 until nBits).map { i =>
+      s"CASE WHEN $e[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  def oracles: Map[String, String] = Map(
+    "q_sim_topk_brute" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS corpus_id, embedding AS c_emb FROM embeddings),
+         |scored AS (
+         | SELECT query_id, corpus_id, round(${cosSql("q_emb", "c_emb")}, 6) AS sim
+         | FROM c CROSS JOIN q),
+         |ranked AS (
+         | SELECT query_id, corpus_id, sim,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS INTEGER) AS rank
+         | FROM scored)
+         |SELECT * FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_sim_topk_lsh" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb,
+         |  ${bucketSql("embedding")} AS bucket FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS corpus_id, embedding AS c_emb,
+         |  ${bucketSql("embedding")} AS bucket FROM embeddings),
+         |scored AS (
+         | SELECT query_id, corpus_id, round(${cosSql("q_emb", "c_emb")}, 6) AS sim
+         | FROM c JOIN q USING (bucket)),
+         |ranked AS (
+         | SELECT query_id, corpus_id, sim,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS INTEGER) AS rank
+         | FROM scored)
+         |SELECT * FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_sim_near_dup" ->
+      s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings)
+         |SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+         | round(${cosSql("a.embedding", "bb.embedding")}, 6) AS sim
+         |FROM b a JOIN b bb USING (bucket)
+         |WHERE a.vec_id < bb.vec_id
+         |  AND round(${cosSql("a.embedding", "bb.embedding")}, 6) >= 0.95
+         |ORDER BY id_a, id_b""".stripMargin
+  )
+}

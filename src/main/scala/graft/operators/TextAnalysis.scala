@@ -1,0 +1,183 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline (builder brief):
+  * token counting, quality scoring, language-ID heuristic, document
+  * fingerprinting. All pure Catalyst expressions (codegen'd, no UDFs) —
+  * at 100 TB these run map-side with zero shuffles; only the final
+  * aggregations (if any) exchange data.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of trimmed text; empty text → empty array (Spark's
+    * split("") yields [""], so guard).
+    */
+  def tokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count: letter runs, single digits, single punctuation
+    * marks — the usual pre-tokenizer shape. Pattern kept to syntax shared
+    * by Java regex (Spark) and RE2 (DuckDB oracle).
+    */
+  val bpeTokenPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(bpeTokenPattern), lit(0)))
+
+  /** English stopword set for quality/lang scoring (public knowledge). */
+  val enStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "from", "that", "this", "be")
+
+  /** Count of tokens in `words`, via a higher-order filter (no explode, no
+    * shuffle).
+    */
+  def tokenHits(c: Column, words: Seq[String]): Column = {
+    val wordArr = array(words.map(lit): _*)
+    size(filter(tokens(c), t => array_contains(wordArr, t)))
+  }
+
+  /** Stopword ratio: stopword tokens / tokens (0 for empty docs). */
+  def stopwordRatio(c: Column): Column = {
+    val n = tokenCount(c)
+    when(n === 0, 0.0)
+      .otherwise(tokenHits(c, enStopwords).cast("double") / n.cast("double"))
+  }
+
+  /** Punctuation ratio over a fixed class (same char class both dialects). */
+  val punctClass = "[.,!?;:]"
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, 0.0).otherwise(
+      (length(c) - length(regexp_replace(c, punctClass, ""))).cast("double") /
+        length(c).cast("double"))
+
+  /** Mean token length (a words-vs-garbage signal). */
+  def meanTokenLen(c: Column): Column = {
+    val n = tokenCount(c)
+    when(n === 0, 0.0).otherwise(
+      aggregate(tokens(c), lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        n.cast("double"))
+  }
+
+  /** Quality score in [0,1]: length in a sane band, some stopwords, not
+    * punctuation soup, word-like mean token length. The exact weights are
+    * this engine's contract (the reference has no equivalent; this extends
+    * its EDA quality audits, notebooks/002_EDA_csv.ipynb cell 20).
+    */
+  def qualityScore(c: Column): Column = {
+    val lenOk = when(length(c).between(20, 20000), 1.0).otherwise(0.0)
+    val stopOk = when(stopwordRatio(c) > 0.01, 1.0).otherwise(0.0)
+    val punctOk = when(punctRatio(c) < 0.2, 1.0).otherwise(0.0)
+    val wordOk = when(meanTokenLen(c).between(2.0, 12.0), 1.0).otherwise(0.0)
+    (lenOk * 0.3 + stopOk * 0.3 + punctOk * 0.2 + wordOk * 0.2)
+  }
+
+  /** Language-ID heuristic: per-language stopword-hit counts, argmax with
+    * a fixed precedence order on ties. Stopword lists are the standard
+    * high-frequency function words of each language (public knowledge).
+    */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "para"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "que"),
+    "de" -> Seq("der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "nicht"))
+
+  /** Predicted language: the first (in declared order) language whose score
+    * equals the max; "und" (undetermined) when no stopword hits at all.
+    */
+  def langId(c: Column): Column = {
+    val scores = langStopwords.map { case (lang, words) => lang -> tokenHits(c, words) }
+    val maxScore = greatest(scores.map(_._2): _*)
+    val chain = scores.tail.foldLeft(when(scores.head._2 === maxScore, scores.head._1)) {
+      case (acc, (lang, sc)) => acc.when(sc === maxScore, lang)
+    }
+    when(maxScore === 0, "und").otherwise(chain)
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text —
+    * the exact-dedup key. (Content-defined rolling-hash chunking is in
+    * Dedup.shingleFingerprints.)
+    */
+  def fingerprint(c: Column): Column =
+    md5(lower(regexp_replace(trim(c), "\\s+", " ")))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats" -> { (s, d) =>
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          tokenCount(col("text")).as("n_tokens"),
+          round(stopwordRatio(col("text")), 6).as("stop_ratio"),
+          round(punctRatio(col("text")), 6).as("punct_ratio"),
+          round(meanTokenLen(col("text")), 6).as("mean_tok_len"))
+        .orderBy("doc_id")
+    },
+    "q_text_quality" -> { (s, d) =>
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          round(qualityScore(col("text")), 2).as("quality"))
+        .orderBy("doc_id")
+    },
+    "q_text_langid" -> { (s, d) =>
+      Tables.documents(s, d).select(
+          col("doc_id"), col("lang"),
+          langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    },
+    "q_text_fingerprint" -> { (s, d) =>
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }
+  )
+
+  private def tokensSql(c: String) =
+    s"CASE WHEN length(trim($c))=0 THEN [] ELSE string_split_regex(trim($c), '\\s+') END"
+  private def hitsSql(c: String, words: Seq[String]) = {
+    val lst = words.map(w => s"'$w'").mkString("[", ",", "]")
+    s"len(list_filter(${tokensSql(c)}, t -> list_contains($lst, t)))"
+  }
+
+  def oracles: Map[String, String] = {
+    val nTok = s"len(${tokensSql("text")})"
+    val stopRatio =
+      s"CASE WHEN $nTok=0 THEN 0.0 ELSE CAST(${hitsSql("text", enStopwords)} AS DOUBLE)/CAST($nTok AS DOUBLE) END"
+    val punctRatio =
+      s"CASE WHEN length(text)=0 THEN 0.0 ELSE CAST(length(text)-length(regexp_replace(text,'$punctClass','','g')) AS DOUBLE)/CAST(length(text) AS DOUBLE) END"
+    val meanTok =
+      s"CASE WHEN $nTok=0 THEN 0.0 ELSE CAST(list_sum(list_transform(${tokensSql("text")}, t -> length(t))) AS DOUBLE)/CAST($nTok AS DOUBLE) END"
+    val quality =
+      s"""(CASE WHEN length(text) BETWEEN 20 AND 20000 THEN 1.0 ELSE 0.0 END * 0.3
+         | + CASE WHEN $stopRatio > 0.01 THEN 1.0 ELSE 0.0 END * 0.3
+         | + CASE WHEN $punctRatio < 0.2 THEN 1.0 ELSE 0.0 END * 0.2
+         | + CASE WHEN $meanTok BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END * 0.2)""".stripMargin
+    val langScores = langStopwords.map { case (l, ws) => l -> hitsSql("text", ws) }
+    val maxScore = langScores.map(_._2).mkString("greatest(", ", ", ")")
+    val langCase = langScores
+      .map { case (l, sc) => s"WHEN $sc = $maxScore THEN '$l'" }
+      .mkString(" ")
+    Map(
+      "q_text_stats" ->
+        s"""SELECT doc_id, CAST($nTok AS INTEGER) AS n_tokens,
+           | round($stopRatio, 6) AS stop_ratio,
+           | round($punctRatio, 6) AS punct_ratio,
+           | round($meanTok, 6) AS mean_tok_len
+           |FROM documents ORDER BY doc_id""".stripMargin,
+      "q_text_quality" ->
+        s"SELECT doc_id, round($quality, 2) AS quality FROM documents ORDER BY doc_id",
+      "q_text_langid" ->
+        s"""SELECT doc_id, lang,
+           | CASE WHEN $maxScore = 0 THEN 'und' $langCase END AS lang_pred
+           |FROM documents ORDER BY doc_id""".stripMargin,
+      "q_text_fingerprint" ->
+        """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+          |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  }
+}
