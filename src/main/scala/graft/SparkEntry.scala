@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Analytics, Dedup, Multimodal, Relational, Similarity, StarPipeline, TextAnalysis, Topics}
 import graft.sources.Sources
+import graft.streaming.StreamOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,7 +25,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Sources.queries ++ Relational.queries ++ StarPipeline.queries ++
       Topics.queries ++ Analytics.queries ++ TextAnalysis.queries ++
-      Dedup.queries ++ Similarity.queries ++ Multimodal.queries
+      Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
+      StreamOps.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for non-SQL-expressible ops
@@ -33,5 +35,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Sources.oracles ++ Relational.oracles ++ StarPipeline.oracles ++
       Topics.oracles ++ Analytics.oracles ++ TextAnalysis.oracles ++
-      Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles
+      Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
+      StreamOps.oracles
 }

@@ -1,0 +1,167 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Streaming layer (SURVEY.md §2.9): the reference's Kafka topics carry
+  * complete batch aggregates (no watermarks/windows exist there), so the
+  * parity surface is `readStream → aggregate → complete-mode sink`; the
+  * engine's north-star extensions add event-time windows + watermarks and
+  * session assignment.
+  *
+  * Kafka itself isn't in the container; the sources here are file streams
+  * and (in tests) MemoryStream — the Kafka-shaped part is the JSON
+  * envelope: S8 = `from_json` decode of a topic payload, S9 = `to_json`
+  * encode of the aggregate, exactly the consumer's contract
+  * (kafka/consumer.py:17-43).
+  *
+  * Scale: complete-mode aggregates keep only (key → agg) state — bounded
+  * by group cardinality, not stream length. The windowed variants bound
+  * state by watermark horizon. File-stream reads use AvailableNow so a
+  * backlog is processed in rate-limited batches rather than one giant
+  * micro-batch.
+  */
+object StreamOps {
+
+  /** Streaming schema for events.parquet (ts = raw nanos; file streams
+    * need an explicit schema).
+    */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** S8 — file-stream source over the events table with the nanos→micros
+    * conversion (mirrors Tables.events).
+    */
+  def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream.schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet") // file source needs a dir
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  /** Run a streaming aggregate to a memory sink with AvailableNow and
+    * return the final complete-mode snapshot as a DataFrame.
+    */
+  def runToSnapshot(agg: DataFrame, name: String): DataFrame = {
+    val s = agg.sparkSession
+    val q = agg.writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation", s"/root/repo/target/scratch/ckpt_$name")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  private def cleanCheckpoint(name: String): Unit = {
+    val dir = new java.io.File(s"/root/repo/target/scratch/ckpt_$name")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    if (dir.exists()) rm(dir)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // K4 as a stream: hourly counts, complete mode — must equal the batch
+    // aggregate (same oracle as q_k4_accidents_by_time).
+    "q_stream_hourly" -> { (s, d) =>
+      cleanCheckpoint("stream_hourly")
+      val agg = eventsStream(s, d)
+        .groupBy(hour(col("ts")).as("h"))
+        .agg(count(lit(1)).as("cnt"))
+      runToSnapshot(agg, "stream_hourly").orderBy("h")
+    },
+
+    // North-star: event-time tumbling window + watermark. AvailableNow
+    // processes the full file backlog; complete mode emits every window.
+    "q_stream_windowed" -> { (s, d) =>
+      cleanCheckpoint("stream_windowed")
+      val agg = eventsStream(s, d)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "6 hours").as("w"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total"))
+      runToSnapshot(agg, "stream_windowed")
+        .select(col("w.start").as("w_start"), col("cnt"), col("total"))
+        .orderBy("w_start")
+    },
+
+    // S8+S9 — the Kafka JSON envelope round-trip: encode each event as a
+    // topic message (to_json of the full struct), decode with from_json
+    // (the consumer's json.loads, kafka/consumer.py:23), re-aggregate.
+    "q_stream_json_envelope" -> { (s, d) =>
+      val msgSchema = StructType(Seq(
+        StructField("event_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      Tables.events(s, d)
+        .select(to_json(struct(col("event_id"), col("event_type"), col("value"))).as("payload"))
+        .select(from_json(col("payload"), msgSchema).as("m"))
+        .groupBy(col("m.event_type").as("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("m.value").cast(DecimalType(18, 2))).cast("double").as("total"))
+        .orderBy("event_type")
+    },
+
+    // North-star: sessionization — 30-min-gap sessions per user. Batch
+    // path is the idiomatic lag+cumsum (one shuffle by user_id); the
+    // streaming equivalent (session_window) is asserted equal in the
+    // ScalaTest suite.
+    "q_sessionize" -> { (s, d) =>
+      val byUser = Window.partitionBy("user_id").orderBy("ts")
+      // second-truncated timestamps: keeps the gap arithmetic and the
+      // session bounds integral on both engines (events.ts carries nanos)
+      val evs = Tables.events(s, d)
+        .withColumn("ts", date_trunc("second", col("ts")))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 1800, 1)
+            .otherwise(0))
+        .withColumn("sess_no", sum(col("new_sess")).over(byUser))
+      evs.groupBy("user_id", "sess_no")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("sess_start"), max(col("ts")).as("sess_end"))
+        .withColumn("sess_no", col("sess_no").cast("long"))
+        .orderBy("user_id", "sess_no")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_stream_hourly" ->
+      "SELECT CAST(hour(ts) AS INTEGER) AS h, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
+    "q_stream_windowed" ->
+      """SELECT make_timestamp(CAST(floor(epoch(ts)/21600)*21600*1000000 AS BIGINT)) AS w_start,
+        | count(*) AS cnt,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_stream_json_envelope" ->
+      """SELECT event_type, count(*) AS cnt,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, date_trunc('second', ts) AS ts FROM events),
+        |g AS (
+        | SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |        OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+        |       THEN 1 ELSE 0 END AS new_sess
+        | FROM e),
+        |s AS (
+        | SELECT user_id, ts,
+        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+        | FROM g)
+        |SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no, count(*) AS n_events,
+        | min(ts) AS sess_start, max(ts) AS sess_end
+        |FROM s GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+  )
+}

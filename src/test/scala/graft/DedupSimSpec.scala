@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Dedup + similarity semantics: known-value checks and planted-pair
+  * recall (the near-dup pipelines have no SQL oracle — this is their
+  * correctness gate).
+  */
+class DedupSimSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("jaccard known values") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+      .select(Dedup.jaccard(col("x"), col("y")).as("j"))
+    assert(math.abs(df.collect()(0).getDouble(0) - 0.5) < 1e-12)
+  }
+
+  test("shingles of short and normal docs") {
+    val out = Seq("one two three four", "hi").toDF("text")
+      .select(Dedup.shingles(col("text")).as("sh"))
+      .collect().map(_.getSeq[String](0).toSet)
+    assert(out(0) == Set("one two three", "two three four"))
+    assert(out(1) == Set("hi"))
+  }
+
+  test("minhash LSH recovers planted near-dups with zero cross join") {
+    val corpus = Dedup.plantedCorpus(Tables.documents(spark, sfDir), nPlanted = 10)
+    val pairs = Dedup.minhashNearDups(corpus, "doc_id", "text")
+    // physical plan must not contain a cartesian/broadcast nested loop join
+    val physical = pairs.queryExecution.executedPlan.toString
+    assert(!physical.contains("Cartesian"), "all-pairs join in near-dup plan")
+    val planted = pairs.filter(col("id_b") - col("id_a") === 10000000L).count()
+    assert(planted == 10L)
+  }
+
+  test("identical docs have identical simhash; mutation stays close") {
+    val df = Seq("spark line data table", "spark line data table",
+      "spark line data boat").toDF("text")
+      .select(Dedup.simhash(col("text")).as("s"))
+    val sims = df.collect().map(_.getLong(0))
+    assert(sims(0) == sims(1))
+    val dfH = Seq((sims(0), sims(2))).toDF("a", "b")
+      .select(Dedup.hamming(col("a"), col("b")).as("h"))
+    assert(dfH.collect()(0).getInt(0) <= 16) // one token of four changed
+  }
+
+  test("cosine known values and zero-vector guard") {
+    val df = Seq(
+        (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
+        (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
+        (Seq(0.0f, 0.0f), Seq(1.0f, 1.0f)))
+      .toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+    val out = df.collect().map(_.getDouble(0))
+    assert(math.abs(out(0) - 1.0) < 1e-12)
+    assert(math.abs(out(1)) < 1e-12)
+    assert(out(2) == 0.0)
+  }
+
+  test("brute-force top-1 is self for every query vector") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val top1 = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 3), emb, 1)
+    top1.collect().foreach { r =>
+      assert(r.getAs[Long]("query_id") == r.getAs[Long]("corpus_id"))
+      assert(math.abs(r.getAs[Double]("sim") - 1.0) < 1e-6)
+    }
+  }
+
+  test("LSH top-k results all share the query's bucket (subset of brute)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") < 3)
+    val lsh = Similarity.lshTopK(q, emb, 3).select("query_id", "corpus_id").collect()
+    val buckets = emb.select(col("vec_id"),
+        Similarity.signBucket(col("embedding")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    lsh.foreach { r =>
+      assert(buckets(r.getAs[Long]("query_id")) == buckets(r.getAs[Long]("corpus_id")))
+    }
+  }
+}

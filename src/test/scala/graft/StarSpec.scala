@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.Star
+import org.apache.spark.sql.functions._
+
+/** Star-schema semantics: surrogate determinism, dim resolution (mirrors
+  * reference test/test_transform.py:11-29), anti-join idempotence.
+  */
+class StarSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("surrogate keys deterministic across partitionings") {
+    val base = Tables.customer(spark, sfDir)
+    val a = Star.buildDim(base, Seq("c_mktsegment"), "id").collect().toSet
+    val b = Star.buildDim(base.repartition(7), Seq("c_mktsegment"), "id").collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("dim resolution on a one-row fact (reference transform fixture)") {
+    // mirrors test/test_transform.py: seeded dims, single fact row, assert
+    // the surrogate ids resolve through the broadcast left join
+    val dimClima = Seq((10L, "Sunny"), (11L, "Rain")).toDF("clima_id", "weather")
+    val dimLuz = Seq((20L, "Daylight")).toDF("luz_id", "lighting")
+    val fact = Seq(("Sunny", "Daylight", 3), ("Hail", "Daylight", 4))
+      .toDF("weather", "lighting", "injuries")
+    val resolved = Star.resolveDims(fact,
+      Seq((dimClima, Seq("weather")), (dimLuz, Seq("lighting"))))
+      .orderBy("injuries").collect()
+    assert(resolved(0).getAs[Long]("clima_id") == 10L)
+    assert(resolved(0).getAs[Long]("luz_id") == 20L)
+    // missing natural key -> null FK (the reference dict .get(None) path)
+    assert(resolved(1).isNullAt(resolved(1).fieldIndex("clima_id")))
+  }
+
+  test("idempotent append adds zero rows when re-applied") {
+    val orders = Tables.orders(spark, sfDir)
+    val firstLoad = orders.limit(100)
+    val second = Star.idempotentAppend(orders, firstLoad, Seq("o_orderkey"))
+    assert(second.count() == orders.count() - 100)
+    val third = Star.idempotentAppend(second, second, Seq("o_orderkey"))
+    assert(third.count() == 0)
+  }
+
+  test("dims resolve every fact row in the flagship pipeline") {
+    val fact = graft.operators.StarPipeline.fact(spark, sfDir)
+    val n = fact.count()
+    assert(n > 0)
+    val unresolved = fact.filter(
+      col("dim_date_id").isNull || col("dim_status_id").isNull ||
+      col("dim_priority_id").isNull || col("dim_flags_id").isNull).count()
+    assert(unresolved == 0)
+  }
+}

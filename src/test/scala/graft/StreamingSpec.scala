@@ -1,0 +1,74 @@
+package graft
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.sql.Timestamp
+
+/** Streaming semantics (SURVEY §5 item 4): MemoryStream-fed complete-mode
+  * aggregates equal the batch result on the same data; the session_window
+  * streaming extension matches the batch lag+cumsum sessionization.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("MemoryStream complete-mode aggregate equals batch aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, ts("2024-01-01 08:10:00"), "click"),
+      (2L, ts("2024-01-01 08:40:00"), "view"),
+      (3L, ts("2024-01-01 09:05:00"), "click"),
+      (4L, ts("2024-01-01 09:59:59"), "click"))
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    stream.addData(rows: _*)
+    val df = stream.toDF().toDF("event_id", "ts", "event_type")
+    val agg = df.groupBy(hour(col("ts")).as("h")).agg(count(lit(1)).as("cnt"))
+    val q = agg.writeStream.format("memory").queryName("mem_hourly")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("mem_hourly").orderBy("h")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val batch = rows.toDF("event_id", "ts", "event_type")
+      .groupBy(hour(col("ts")).as("h")).agg(count(lit(1)).as("cnt"))
+      .orderBy("h").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(streamed == batch && batch == Seq((8, 2L), (9, 2L)))
+  }
+
+  test("file-stream hourly snapshot equals batch hourly aggregate") {
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(hour(col("ts")).as("h")).agg(count(lit(1)).as("cnt"))
+      .orderBy("h").collect().toSeq
+    val streamed = StreamOps.queries("q_stream_hourly")(spark, sfDir)
+      .collect().toSeq
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("session_window streaming state op matches batch lag+cumsum sessions") {
+    // batch reference: the q_sessionize pipeline
+    val batchSessions = StreamOps.queries("q_sessionize")(spark, sfDir)
+      .select("user_id", "sess_start", "sess_end", "n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3))).toSet
+
+    // streaming: session_window over the same (second-truncated) events
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), date_trunc("second", col("ts")).as("ts"))
+      .as[(Long, Timestamp)].collect().toSeq
+    val stream = MemoryStream[(Long, Timestamp)]
+    stream.addData(evs: _*)
+    val agg = stream.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = agg.writeStream.format("memory").queryName("mem_sessions")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("mem_sessions")
+      .select(col("user_id"), col("w.start").as("s"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(streamed == batchSessions && streamed.nonEmpty)
+  }
+}
