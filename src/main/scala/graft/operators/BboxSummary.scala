@@ -1,0 +1,220 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Scalars._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's `api_transform` + geocode-enrichment pipeline
+  * (dags/etl_crash_traffic.py:363-495), re-expressed Spark-first: raw
+  * tagged nodes → category filter → per-category normalization → three
+  * group-counts → union-all → fixed-value pivot → broadcast geocode join →
+  * the 21-column per-bbox summary contract (:477-487).
+  *
+  * Mapped onto test data: events plays the raw OSM node table (bbox from
+  * binned coordinates, category from event_type, tag values derived
+  * deterministically from props.k); the Nominatim geocode service (S7) is
+  * modeled as a static broadcast lookup built from nation/region, exactly
+  * as SURVEY §2.1 commits.
+  *
+  * Scale: one shuffle for the union-of-groupBys, one for the pivot
+  * (fixed value list → static schema, no distinct-collection job); the
+  * geocode join is broadcast. The 36-bbox output is dimension-sized at any
+  * input scale.
+  */
+object BboxSummary {
+
+  /** category ← event_type (the reference's 4-category whitelist filter,
+    * P4; dags/etl_crash_traffic.py:431).
+    */
+  private val categoryMap: Column = {
+    val et = col("event_type")
+    when(et === "signup", "school")
+      .when(et === "purchase", "hospital")
+      .when(et === "click", "traffic_signals")
+      .when(et === "view", "crossing")
+      .otherwise("other")
+  }
+
+  /** Deterministic raw tag value from props.k — exercises every normalizer
+    * branch (whitelist hit, semicolon, garbage → unknown).
+    */
+  private def rawTag(values: Seq[String]): Column = {
+    val k = parsePyDict(col("props")).getItem("k").cast("int")
+    val branches = values.zipWithIndex.map { case (v, i) => (i, v) }
+    branches.tail.foldLeft(when(pmod(k, lit(10)) === branches.head._1, branches.head._2)) {
+      case (acc, (i, v)) => acc.when(pmod(k, lit(10)) === i, v)
+    }.otherwise("garbage")
+  }
+
+  private val signalRawValues =
+    Seq("signal", " TRAFFIC_lights ", "bridge", "emergency", "level_crossing",
+      "pedestrian_crossing", "ramp_meter")
+  private val crossingRawValues =
+    Seq("marked;unmarked", "Zebra", "marked", "unmarked", "uncontrolled",
+      "pelican", "puffin")
+
+  /** The pivot's fixed 16 count columns (the reference's declared contract,
+    * dags/etl_crash_traffic.py:477-487 — static schema, missing → 0).
+    */
+  val countColumns: Seq[String] =
+    Seq("category_hospital", "category_school") ++
+      Seq("combinations", "marked", "uncontrolled", "unknown", "unmarked", "zebra")
+        .map("crossing_" + _) ++
+      Seq("bridge", "emergency", "level_crossing", "pedestrian_crossing",
+        "ramp_meter", "signal", "traffic_lights", "unknown")
+        .map("traffic_signals_" + _)
+
+  /** Raw "OSM node" table derived from events (S6: the REST source modeled
+    * as a static table).
+    */
+  def rawNodes(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      bboxLabel(geoBin(col("value") / 100.0), geoBin(col("user_id").cast("double") / 10.0))
+        .as("bbox_label"),
+      geoBin(col("value") / 100.0).as("lat_bin"),
+      categoryMap.as("category"),
+      rawTag(signalRawValues).as("signal_raw"),
+      rawTag(crossingRawValues).as("crossing_raw"))
+
+  /** S7 — the geocode lookup: one row per bbox, city/county/state from a
+    * broadcast nation/region join on a key derived from the bbox latitude
+    * (stands in for the Nominatim reverse-geocode table; unknown fallback
+    * per P7/P16).
+    */
+  def geocodeLookup(s: SparkSession, d: String, bboxes: DataFrame): DataFrame = {
+    val nations = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+    bboxes
+      .withColumn("nkey", pmod(abs(col("lat_bin") * 2).cast("int"), lit(25)))
+      .join(broadcast(nations), col("nkey") === col("n_nationkey"), "left")
+      .select(col("bbox_label"),
+        coalesce(col("n_name"), lit("unknown")).as("city"),
+        coalesce(concat(col("n_name"), lit("_county")), lit("unknown")).as("county"),
+        coalesce(col("r_name"), lit("unknown")).as("state"),
+        lit("00000").as("postcode"))
+  }
+
+  /** The full 21-column per-bbox summary (flagship composition of
+    * P4+P11+P12+A1+U1+A2+P2+P3+S7).
+    */
+  def summary(s: SparkSession, d: String): DataFrame = {
+    val nodes = rawNodes(s, d)
+      .filter(col("category").isin("school", "hospital", "traffic_signals", "crossing"))
+
+    // three group-counts, labels flattened to group_value (P3 rename shape)
+    val sh = nodes.filter(col("category").isin("school", "hospital"))
+      .groupBy(col("bbox_label"), concat(lit("category_"), col("category")).as("gv"))
+      .agg(count(lit(1)).as("cnt"))
+    val ts = nodes.filter(col("category") === "traffic_signals")
+      .groupBy(col("bbox_label"),
+        concat(lit("traffic_signals_"), mapTrafficSignal(col("signal_raw"))).as("gv"))
+      .agg(count(lit(1)).as("cnt"))
+    val cr = nodes.filter(col("category") === "crossing")
+      .groupBy(col("bbox_label"),
+        concat(lit("crossing_"), mapCrossing(col("crossing_raw"))).as("gv"))
+      .agg(count(lit(1)).as("cnt"))
+
+    // U1 union-all → A2 fixed-value pivot (static schema, fill 0)
+    val pivoted = sh.unionByName(ts).unionByName(cr)
+      .groupBy("bbox_label")
+      .pivot("gv", countColumns)
+      .agg(sum(col("cnt")))
+      .na.fill(0L, countColumns)
+
+    // S7 geocode enrichment via broadcast join, then the declared column
+    // order (P2 reorder, dags/etl_crash_traffic.py:488-490)
+    val bboxes = rawNodes(s, d).select("bbox_label", "lat_bin").distinct()
+    val geo = geocodeLookup(s, d, bboxes)
+    pivoted.join(broadcast(geo), Seq("bbox_label"), "left")
+      .select(("bbox_label" +: countColumns :+ "city" :+ "county" :+ "state" :+ "postcode")
+        .map(col): _*)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_s6_bbox_summary" -> { (s, d) => summary(s, d).orderBy("bbox_label") },
+    "q_s7_geocode_join" -> { (s, d) =>
+      val bboxes = rawNodes(s, d).select("bbox_label", "lat_bin").distinct()
+      geocodeLookup(s, d, bboxes).orderBy("bbox_label")
+    }
+  )
+
+  // ---- DuckDB oracle ----
+
+  private def rawNodesSql: String = {
+    def tagCase(values: Seq[String]): String =
+      values.zipWithIndex.map { case (v, i) =>
+        s"WHEN CAST(json_extract_string(props,'$$.k') AS INTEGER) % 10 = $i THEN '${v.replace("'", "''")}'"
+      }.mkString("CASE ", " ", " ELSE 'garbage' END")
+    s"""SELECT
+       | 'bbox_' || printf('%.1f', floor((value/100.0)/0.5)*0.5) || '_' ||
+       | printf('%.1f', floor((CAST(user_id AS DOUBLE)/10.0)/0.5)*0.5) AS bbox_label,
+       | floor((value/100.0)/0.5)*0.5 AS lat_bin,
+       | CASE event_type WHEN 'signup' THEN 'school' WHEN 'purchase' THEN 'hospital'
+       |  WHEN 'click' THEN 'traffic_signals' WHEN 'view' THEN 'crossing'
+       |  ELSE 'other' END AS category,
+       | ${tagCase(signalRawValues)} AS signal_raw,
+       | ${tagCase(crossingRawValues)} AS crossing_raw
+       |FROM events""".stripMargin
+  }
+
+  private val signalNormSql =
+    """CASE WHEN lower(trim(signal_raw)) IN
+      |  ('traffic_lights','signal','pedestrian_crossing','ramp_meter',
+      |   'level_crossing','emergency','bridge')
+      | THEN lower(trim(signal_raw)) ELSE 'unknown' END""".stripMargin
+  private val crossingNormSql =
+    """CASE WHEN contains(lower(trim(crossing_raw)), ';') THEN 'combinations'
+      | WHEN lower(trim(crossing_raw)) IN
+      |  ('uncontrolled','marked','unmarked','zebra','pelican','puffin','toucan')
+      | THEN lower(trim(crossing_raw)) ELSE 'unknown' END""".stripMargin
+
+  private def geocodeSql: String =
+    s"""SELECT bbox_label,
+       | COALESCE(n_name, 'unknown') AS city,
+       | COALESCE(n_name || '_county', 'unknown') AS county,
+       | COALESCE(r_name, 'unknown') AS state,
+       | '00000' AS postcode
+       |FROM (SELECT bbox_label, CAST(abs(lat_bin*2) AS INTEGER) % 25 AS nkey
+       |      FROM (SELECT DISTINCT bbox_label, lat_bin FROM raw_nodes))
+       |LEFT JOIN (SELECT n_nationkey, n_name, r_name FROM nation
+       |           JOIN region ON n_regionkey = r_regionkey) ON nkey = n_nationkey""".stripMargin
+
+  def oracles: Map[String, String] = {
+    val pivotCols = countColumns.map { c =>
+      val expr =
+        if (c.startsWith("category_"))
+          s"COALESCE(CAST(sum(cnt) FILTER (WHERE gv = '$c') AS BIGINT), 0)"
+        else
+          s"COALESCE(CAST(sum(cnt) FILTER (WHERE gv = '$c') AS BIGINT), 0)"
+      s"""$expr AS "$c""""
+    }.mkString(",\n ")
+    Map(
+      "q_s6_bbox_summary" ->
+        s"""WITH raw_nodes AS ($rawNodesSql),
+           |nodes AS (SELECT * FROM raw_nodes
+           |          WHERE category IN ('school','hospital','traffic_signals','crossing')),
+           |u AS (
+           | SELECT bbox_label, 'category_' || category AS gv, count(*) AS cnt
+           | FROM nodes WHERE category IN ('school','hospital') GROUP BY 1,2
+           | UNION ALL
+           | SELECT bbox_label, 'traffic_signals_' || $signalNormSql AS gv, count(*) AS cnt
+           | FROM nodes WHERE category = 'traffic_signals' GROUP BY 1,2
+           | UNION ALL
+           | SELECT bbox_label, 'crossing_' || $crossingNormSql AS gv, count(*) AS cnt
+           | FROM nodes WHERE category = 'crossing' GROUP BY 1,2),
+           |p AS (
+           | SELECT bbox_label,
+           | $pivotCols
+           | FROM u GROUP BY bbox_label),
+           |geo AS ($geocodeSql)
+           |SELECT p.*, geo.city, geo.county, geo.state, geo.postcode
+           |FROM p LEFT JOIN geo USING (bbox_label)
+           |ORDER BY bbox_label""".stripMargin,
+      "q_s7_geocode_join" ->
+        s"""WITH raw_nodes AS ($rawNodesSql)
+           |$geocodeSql
+           |ORDER BY bbox_label""".stripMargin
+    )
+  }
+}

@@ -41,13 +41,37 @@ object Sources {
       .orderBy("o_orderkey")
   }
 
+  /** S4 — the idempotent-append sink driven end-to-end: partial first
+    * load, two idempotent loads of the full table (second is a no-op),
+    * then read back — the table must hold each key exactly once (the
+    * reference's `ON CONFLICT (id) DO NOTHING` contract,
+    * dags/etl_crash_traffic.py:641-654).
+    */
+  def idempotentWriteRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = "/root/repo/target/scratch/idempotent_orders"
+    val dir = new java.io.File(path)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    if (dir.exists()) rm(dir)
+    val orders = Tables.orders(s, d).select("o_orderkey", "o_orderstatus")
+    orders.filter(col("o_orderkey") % 2 === 0).write.parquet(path)
+    graft.operators.Star.idempotentWrite(orders, path, Seq("o_orderkey"))
+    graft.operators.Star.idempotentWrite(orders, path, Seq("o_orderkey")) // no-op
+    s.read.parquet(path).orderBy("o_orderkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_s1_csv_roundtrip" -> csvRoundtrip _
+    "q_s1_csv_roundtrip" -> csvRoundtrip _,
+    "q_s4_idempotent_write" -> idempotentWriteRoundtrip _
   )
 
   def oracles: Map[String, String] = Map(
     "q_s1_csv_roundtrip" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
-        |FROM orders ORDER BY o_orderkey""".stripMargin
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_s4_idempotent_write" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders ORDER BY o_orderkey""".stripMargin
   )
 }
