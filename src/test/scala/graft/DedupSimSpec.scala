@@ -18,7 +18,8 @@ class DedupSimSpec extends SparkSpec {
 
   test("shingles of short and normal docs") {
     val out = Seq("one two three four", "hi").toDF("text")
-      .select(Dedup.shingles(col("text")).as("sh"))
+      .select(graft.operators.TextAnalysis.tokens(col("text")).as("toks"))
+      .select(Dedup.shingles(col("toks")).as("sh"))
       .collect().map(_.getSeq[String](0).toSet)
     assert(out(0) == Set("one two three", "two three four"))
     assert(out(1) == Set("hi"))
