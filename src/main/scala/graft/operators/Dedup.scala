@@ -128,11 +128,13 @@ object Dedup {
   def simhash(textCol: Column, bits: Int = 32): Column =
     simhashFromHashes(transform(TextAnalysis.tokens(textCol), t => xxhash64(t)), bits)
 
-  /** id + simhash with materialized intermediates (pipeline path). */
+  /** id + simhash via the native single-pass expression (pipeline path;
+    * bit-identical to the HOF formulation — asserted in tests).
+    */
   def withSimhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("toks"))
-      .select(col("id"), transform(col("toks"), t => xxhash64(t)).as("hashes"))
-      .select(col("id"), simhashFromHashes(col("hashes")).as("sim"))
+      .select(col("id"),
+        graft.functions.NativeExpressions.simhashNative(docs.sparkSession, col("toks")).as("sim"))
 
   /** Hamming distance between two simhashes via bit_count(xor). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

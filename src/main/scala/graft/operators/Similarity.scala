@@ -33,12 +33,13 @@ object Similarity {
   /** Exact top-k by cosine per query: broadcast queries × corpus scan,
     * window-ranked. Ties broken by corpus id for determinism.
     */
-  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     cosineFn: (Column, Column) => Column = cosine): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val c = corpus.select(col("vec_id").as("corpus_id"), col("embedding").as("c_emb"))
     val scored = c.crossJoin(broadcast(q))
       .select(col("query_id"), col("corpus_id"),
-        round(cosine(col("q_emb"), col("c_emb")), 6).as("sim"))
+        round(cosineFn(col("q_emb"), col("c_emb")), 6).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("corpus_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -55,14 +56,15 @@ object Similarity {
 
   /** ANN top-k: exact cosine, but only within the query's sign bucket. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nBits: Int = 8): DataFrame = {
+              nBits: Int = 8,
+              cosineFn: (Column, Column) => Column = cosine): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"), signBucket(col("embedding"), nBits).as("bucket"))
     val c = corpus.select(col("vec_id").as("corpus_id"),
       col("embedding").as("c_emb"), signBucket(col("embedding"), nBits).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .select(col("query_id"), col("corpus_id"),
-        round(cosine(col("q_emb"), col("c_emb")), 6).as("sim"))
+        round(cosineFn(col("q_emb"), col("c_emb")), 6).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("corpus_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -71,13 +73,15 @@ object Similarity {
     // Exact baseline: 5 query vectors vs full corpus, top-5 each.
     "q_sim_topk_brute" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      bruteForceTopK(emb.filter(col("vec_id") < 5), emb, 5)
+      bruteForceTopK(emb.filter(col("vec_id") < 5), emb, 5,
+          graft.functions.NativeExpressions.cosineSim(s, _, _))
         .orderBy("query_id", "rank")
     },
     // Scale path: same queries, bucket-pruned search.
     "q_sim_topk_lsh" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      lshTopK(emb.filter(col("vec_id") < 5), emb, 5)
+      lshTopK(emb.filter(col("vec_id") < 5), emb, 5,
+          cosineFn = graft.functions.NativeExpressions.cosineSim(s, _, _))
         .orderBy("query_id", "rank")
     },
     // Embedding-cosine near-dup: pairs above threshold within buckets.
@@ -90,7 +94,7 @@ object Similarity {
       l.join(r, Seq("bucket"))
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
-          round(cosine(col("e_a"), col("e_b")), 6).as("sim"))
+          round(graft.functions.NativeExpressions.cosineSim(s, col("e_a"), col("e_b")), 6).as("sim"))
         .filter(col("sim") >= 0.95)
         .orderBy("id_a", "id_b")
     }

@@ -46,6 +46,28 @@ class DedupSimSpec extends SparkSpec {
     assert(dfH.collect()(0).getInt(0) <= 16) // one token of four changed
   }
 
+  test("native cosine_sim is bit-identical to the HOF cosine") {
+    val emb = Tables.embeddings(spark, sfDir).limit(50)
+    val pairs = emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
+      .crossJoin(emb.select(col("vec_id").as("id_b"), col("embedding").as("e_b")).limit(5))
+    val cmp = pairs.select(
+      Similarity.cosine(col("e_a"), col("e_b")).as("hof"),
+      graft.functions.NativeExpressions.cosineSim(spark, col("e_a"), col("e_b")).as("native"))
+    val diff = cmp.filter(col("hof") =!= col("native")).count()
+    assert(diff == 0)
+  }
+
+  test("native simhash is bit-identical to the HOF simhash") {
+    val docs = Tables.documents(spark, sfDir).limit(100)
+    val toks = docs.select(col("doc_id"),
+      graft.operators.TextAnalysis.tokens(col("text")).as("toks"))
+    val cmp = toks.select(
+      Dedup.simhashFromHashes(
+        org.apache.spark.sql.functions.transform(col("toks"), t => xxhash64(t))).as("hof"),
+      graft.functions.NativeExpressions.simhashNative(spark, col("toks")).as("native"))
+    assert(cmp.filter(col("hof") =!= col("native")).count() == 0)
+  }
+
   test("cosine known values and zero-vector guard") {
     val df = Seq(
         (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
