@@ -69,7 +69,52 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF coarse index: per-cluster centroids as position-wise exact means
+    * (DECIMAL sums cast to double — partial-agg order can't drift the
+    * oracle). The `label` column plays the cluster assignment a k-means
+    * pass would produce; at scale the corpus is stored partitioned by
+    * cluster id and a query probes only its nearest centroid's partition.
+    */
+  def centroids(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg((sum(col("v").cast(DecimalType(18, 9))).cast("double") /
+        count(lit(1))).as("c"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("label"), transform(col("pc"), p => p.getField("c")).as("centroid"))
+  }
+
+  /** IVF top-k: assign each query to its nearest centroid (argmax cosine,
+    * label-ordered tie-break), then exact cosine only within that
+    * cluster's inverted list.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val cents = centroids(corpus)
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val assigned = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("q_emb"), col("label"),
+        round(cosine(col("q_emb"), col("centroid")), 6).as("csim"))
+    val wAssign = Window.partitionBy("query_id").orderBy(desc("csim"), col("label"))
+    val probe = assigned.withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1).select("query_id", "q_emb", "label")
+    val c = corpus.select(col("vec_id").as("corpus_id"),
+      col("embedding").as("c_emb"), col("label"))
+    val scored = c.join(broadcast(probe), Seq("label"))
+      .select(col("query_id"), col("corpus_id"),
+        round(cosine(col("q_emb"), col("c_emb")), 6).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // IVF scale path: centroid assignment + inverted-list probe.
+    "q_sim_topk_ivf" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      ivfTopK(emb.filter(col("vec_id") < 5), emb, 5)
+        .orderBy("query_id", "rank")
+    },
     // Exact baseline: 5 query vectors vs full corpus, top-5 each.
     "q_sim_topk_brute" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
@@ -116,6 +161,31 @@ object Similarity {
     }.mkString("(", " + ", ")")
 
   def oracles: Map[String, String] = Map(
+    "q_sim_topk_ivf" ->
+      s"""WITH cents AS (
+         | SELECT label, list(c ORDER BY i) AS centroid FROM (
+         |  SELECT label, i,
+         |   CAST(sum(CAST(embedding[i] AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS c
+         |  FROM embeddings CROSS JOIN unnest(range(1, len(embedding)+1)) AS t(i)
+         |  GROUP BY label, i)
+         | GROUP BY label),
+         |q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+         |assigned AS (
+         | SELECT query_id, q_emb, label, round(${cosSql("q_emb", "centroid")}, 6) AS csim
+         | FROM q CROSS JOIN cents),
+         |probe AS (
+         | SELECT query_id, q_emb, label FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, label) AS rn
+         |  FROM assigned) WHERE rn = 1),
+         |scored AS (
+         | SELECT query_id, corpus_id, round(${cosSql("q_emb", "c_emb")}, 6) AS sim
+         | FROM (SELECT vec_id AS corpus_id, embedding AS c_emb, label FROM embeddings) c
+         | JOIN probe USING (label)),
+         |ranked AS (
+         | SELECT query_id, corpus_id, sim,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS INTEGER) AS rank
+         | FROM scored)
+         |SELECT * FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_sim_topk_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
          |c AS (SELECT vec_id AS corpus_id, embedding AS c_emb FROM embeddings),

@@ -112,6 +112,7 @@ object TextAnalysis {
       Tables.documents(s, d).select(
           col("doc_id"),
           tokenCount(col("text")).as("n_tokens"),
+          bpeTokenCount(col("text")).as("n_bpe_tokens"),
           round(stopwordRatio(col("text")), 6).as("stop_ratio"),
           round(punctRatio(col("text")), 6).as("punct_ratio"),
           round(meanTokenLen(col("text")), 6).as("mean_tok_len"))
@@ -165,6 +166,7 @@ object TextAnalysis {
     Map(
       "q_text_stats" ->
         s"""SELECT doc_id, CAST($nTok AS INTEGER) AS n_tokens,
+           | CAST(len(regexp_extract_all(text, '$bpeTokenPattern')) AS INTEGER) AS n_bpe_tokens,
            | round($stopRatio, 6) AS stop_ratio,
            | round($punctRatio, 6) AS punct_ratio,
            | round($meanTok, 6) AS mean_tok_len
