@@ -231,6 +231,36 @@ object Relational {
         (sumDec(col("l_quantity")) / count(lit(1))).as("mean_qty"))
     },
 
+    // A6 — exact quartiles via the exact `percentile` aggregate (SURVEY
+    // §7.5 excluded approx `summary()` quartiles from oracles; the exact
+    // aggregate is oracle-safe). Exact percentile sorts per group — fine
+    // for global stats; for per-key quantiles at 100 TB use
+    // approx_percentile and skip the oracle.
+    "q_a6_quartiles" -> { (s, d) =>
+      Tables.lineitem(s, d).agg(
+        expr("percentile(l_quantity, 0.25)").as("q1"),
+        expr("percentile(l_quantity, 0.5)").as("q2"),
+        expr("percentile(l_quantity, 0.75)").as("q3"))
+    },
+
+    // Scale pattern: two-phase SALTED aggregation — phase 1 aggregates on
+    // (key, salt) spreading a hot key over nSalts reducers, phase 2 rolls
+    // up to the key. Result must equal the plain aggregation (the oracle
+    // is the unsalted SQL) — this is the skew-mitigation idiom from
+    // SCALE.md, proven semantics-preserving.
+    "q_skew_salted_agg" -> { (s, d) =>
+      val nSalts = 8
+      val salted = Tables.lineitem(s, d)
+        .withColumn("salt", pmod(col("l_orderkey") * 31 + col("l_linenumber"), lit(nSalts)))
+        .groupBy("l_returnflag", "salt")
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("partial_qty"),
+          count(lit(1)).as("partial_cnt"))
+      salted.groupBy("l_returnflag")
+        .agg(sum(col("partial_qty")).cast("double").as("qty"),
+          sum(col("partial_cnt")).as("cnt"))
+        .orderBy("l_returnflag")
+    },
+
     // A7 — missing-value audit: per-column null-or-sentinel counts.
     "q_a7_null_audit" -> { (s, d) =>
       val doc = Tables.documents(s, d)
@@ -381,6 +411,14 @@ object Relational {
          | ${sumDecSql("l_quantity")} AS sum_qty,
          | ${sumDecSql("l_quantity")} / count(*) AS mean_qty
          |FROM lineitem""".stripMargin,
+    "q_a6_quartiles" ->
+      """SELECT quantile_cont(l_quantity, 0.25) AS q1,
+        | quantile_cont(l_quantity, 0.5) AS q2,
+        | quantile_cont(l_quantity, 0.75) AS q3
+        |FROM lineitem""".stripMargin,
+    "q_skew_salted_agg" ->
+      s"""SELECT l_returnflag, ${sumDecSql("l_quantity")} AS qty, count(*) AS cnt
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_a7_null_audit" ->
       """SELECT
         | COUNT(*) FILTER (WHERE text IS NULL OR text='') AS text_missing,

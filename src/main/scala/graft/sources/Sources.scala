@@ -62,9 +62,41 @@ object Sources {
     s.read.parquet(path).orderBy("o_orderkey")
   }
 
+  /** Scale pattern: BUCKETED co-located join — both fact tables written
+    * `bucketBy(8, orderkey).sortBy(orderkey)`, so the join needs neither
+    * exchange nor sort (the SCALE.md claim for the 100 TB star build; the
+    * shuffle-free plan is asserted in ScaleSpec). Bucketed copies live in
+    * spark-warehouse/ (gitignored).
+    */
+  def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    s.sql("DROP TABLE IF EXISTS li_bucketed")
+    s.sql("DROP TABLE IF EXISTS o_bucketed")
+    // the in-memory catalog forgets tables between sessions but their
+    // warehouse directories persist — remove them or saveAsTable refuses
+    Seq("li_bucketed", "o_bucketed").foreach { t =>
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      if (dir.exists()) rm(dir)
+    }
+    Tables.lineitem(s, d).write.mode("overwrite").format("parquet")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_bucketed")
+    Tables.orders(s, d).write.mode("overwrite").format("parquet")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("o_bucketed")
+    s.table("li_bucketed")
+      .join(s.table("o_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+        graft.operators.Relational.sumDec(col("l_extendedprice")).as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_s1_csv_roundtrip" -> csvRoundtrip _,
-    "q_s4_idempotent_write" -> idempotentWriteRoundtrip _
+    "q_s4_idempotent_write" -> idempotentWriteRoundtrip _,
+    "q_bucketed_join" -> bucketedJoin _
   )
 
   def oracles: Map[String, String] = Map(
@@ -72,6 +104,11 @@ object Sources {
       """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_s4_idempotent_write" ->
-      """SELECT o_orderkey, o_orderstatus FROM orders ORDER BY o_orderkey""".stripMargin
+      """SELECT o_orderkey, o_orderstatus FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
