@@ -111,6 +111,60 @@ object StreamOps {
         .orderBy("event_type")
     },
 
+    // K7 as a stream: the crossings topic in complete mode — equals the
+    // batch aggregate (same oracle as q_k7_crossings_vs_lesions).
+    "q_stream_crossings" -> { (s, d) =>
+      cleanCheckpoint("stream_crossings")
+      val agg = eventsStream(s, d)
+        .groupBy(col("event_type").as("crossing_type"))
+        .agg(count(lit(1)).as("crossings"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("lesions_total"))
+      runToSnapshot(agg, "stream_crossings").orderBy("crossing_type")
+    },
+
+    // Stream-static broadcast join: the stream enriched against a static
+    // dimension (the geocode-lookup shape) before aggregating — at scale
+    // the static side broadcasts once per micro-batch, no stream shuffle.
+    "q_stream_enriched" -> { (s, d) =>
+      cleanCheckpoint("stream_enriched")
+      val nations = broadcast(Tables.nation(s, d).select("n_nationkey", "n_name"))
+      val agg = eventsStream(s, d)
+        .withColumn("nkey", pmod(col("user_id"), lit(25)).cast("int"))
+        .join(nations, col("nkey") === col("n_nationkey"), "left")
+        .groupBy(coalesce(col("n_name"), lit("unknown")).as("region"))
+        .agg(count(lit(1)).as("cnt"))
+      runToSnapshot(agg, "stream_enriched").orderBy("region")
+    },
+
+    // S9 — the producer path via foreachBatch: each complete-mode snapshot
+    // is JSON-encoded (the topic message payload, kafka/consumer.py:23
+    // consumer contract) and overwritten to the "topic" sink; the query
+    // then plays the consumer: read back, from_json-decode, return. The
+    // final snapshot must equal the batch aggregate.
+    "q_stream_topic_sink" -> { (s, d) =>
+      cleanCheckpoint("stream_topic_sink")
+      val sinkPath = "/root/repo/target/scratch/topic_accidents_by_time"
+      val agg = eventsStream(s, d)
+        .groupBy(hour(col("ts")).as("h"))
+        .agg(count(lit(1)).as("cnt"))
+      val q = agg.writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", "/root/repo/target/scratch/ckpt_stream_topic_sink")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.select(to_json(struct(col("h"), col("cnt"))).as("payload"))
+            .write.mode("overwrite").parquet(sinkPath)
+        }
+        .start()
+      q.awaitTermination()
+      val msgSchema = StructType(Seq(
+        StructField("h", IntegerType), StructField("cnt", LongType)))
+      s.read.parquet(sinkPath)
+        .select(from_json(col("payload"), msgSchema).as("m"))
+        .select(col("m.h").as("h"), col("m.cnt").as("cnt"))
+        .orderBy("h")
+    },
+
     // North-star: sessionization — 30-min-gap sessions per user. Batch
     // path is the idiomatic lag+cumsum (one shuffle by user_id); the
     // streaming equivalent (session_window) is asserted equal in the
@@ -147,6 +201,16 @@ object StreamOps {
       """SELECT event_type, count(*) AS cnt,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_stream_crossings" ->
+      """SELECT event_type AS crossing_type, count(*) AS crossings,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS lesions_total
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_stream_enriched" ->
+      """SELECT COALESCE(n_name, 'unknown') AS region, count(*) AS cnt
+        |FROM events LEFT JOIN nation ON CAST(user_id % 25 AS INTEGER) = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_stream_topic_sink" ->
+      "SELECT CAST(hour(ts) AS INTEGER) AS h, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, date_trunc('second', ts) AS ts FROM events),
         |g AS (
