@@ -51,6 +51,18 @@ object Analytics {
     "q_a8_corr" -> { (s, d) =>
       exactCorr(Tables.lineitem(s, d), "l_quantity", "l_extendedprice")
     },
+    // A8 — the full correlation matrix over the numeric measures (the
+    // reference's notebooks/002_EDA_csv.ipynb cell 37 corr() heatmap),
+    // unpivoted to (x, y, corr) rows.
+    "q_a8_corr_matrix" -> { (s, d) =>
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for (x <- cols; y <- cols if x < y) yield (x, y)
+      val li = Tables.lineitem(s, d)
+      pairs.map { case (x, y) =>
+        exactCorr(li, x, y)
+          .select(lit(x).as("x"), lit(y).as("y"), col("corr"))
+      }.reduce(_ unionByName _).orderBy("x", "y")
+    },
     // A9 — dashboard: totals by year ("Injury and Fatality Trends by Year").
     "q_a9_by_year" -> { (s, d) =>
       Tables.orders(s, d)
@@ -80,6 +92,13 @@ object Analytics {
 
   def oracles: Map[String, String] = Map(
     "q_a8_corr" -> exactCorrSql("l_quantity", "l_extendedprice", "lineitem"),
+    "q_a8_corr_matrix" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for (x <- cols; y <- cols if x < y) yield (x, y)
+      pairs.map { case (x, y) =>
+        s"SELECT '$x' AS x, '$y' AS y, \"corr\" FROM (${exactCorrSql(x, y, "lineitem")})"
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY x, y")
+    },
     "q_a9_by_year" ->
       s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS y, ${sumDecSql("o_totalprice")} AS total,
          | count(*) AS cnt
