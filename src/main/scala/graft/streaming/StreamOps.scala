@@ -189,6 +189,33 @@ object StreamOps {
     }
   )
 
+  /** Custom stateful streaming (brief: `KeyValueGroupedDataset.
+    * flatMapGroupsWithState`): per-user cumulative event count + decimal
+    * value total, state updated per micro-batch, update-mode emission.
+    * State is one small record per user — bounded by user cardinality.
+    * Equality with the batch aggregate is asserted in StreamingSpec.
+    */
+  case class UserAgg(user_id: Long, n_events: Long, total_cents: Long)
+
+  def runningUserTotals(events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row])
+      : org.apache.spark.sql.Dataset[UserAgg] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.select(col("user_id"), round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserAgg, UserAgg](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Long)], state: GroupState[UserAgg]) =>
+          val prev = state.getOption.getOrElse(UserAgg(uid, 0L, 0L))
+          var n = prev.n_events; var cents = prev.total_cents
+          rows.foreach { case (_, c) => n += 1; cents += c }
+          val next = UserAgg(uid, n, cents)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+
   def oracles: Map[String, String] = Map(
     "q_stream_hourly" ->
       "SELECT CAST(hour(ts) AS INTEGER) AS h, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",

@@ -46,6 +46,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("flatMapGroupsWithState running totals match batch aggregate after two batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Double)]
+    val df = stream.toDF().toDF("user_id", "value")
+    val q = StreamOps.runningUserTotals(df).toDF()
+      .writeStream.format("memory").queryName("mem_user_totals")
+      .outputMode("update").start()
+    try {
+      stream.addData((1L, 1.50), (1L, 2.25), (2L, 10.00))
+      q.processAllAvailable()
+      stream.addData((1L, 0.25), (3L, 5.00))
+      q.processAllAvailable()
+      // update mode re-emits a user's row each batch it changes: the LAST
+      // emission per user is the running total
+      val last = spark.table("mem_user_totals")
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("total_cents"))).as("s"))
+        .select(col("user_id"), col("s.n_events"), col("s.total_cents"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(last == Set((1L, 3L, 400L), (2L, 1L, 1000L), (3L, 1L, 500L)))
+    } finally q.stop()
+  }
+
   test("session_window streaming state op matches batch lag+cumsum sessions") {
     // batch reference: the q_sessionize pipeline
     val batchSessions = StreamOps.queries("q_sessionize")(spark, sfDir)
