@@ -243,6 +243,19 @@ object Relational {
         expr("percentile(l_quantity, 0.75)").as("q3"))
     },
 
+    // A6 — categorical describe (count / unique / top / freq — the
+    // `describe(include='all')` string-column stats, 002_EDA_csv cell 18).
+    // Top tie-break: highest count, then lexicographically last value.
+    "q_a6_categorical" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val freq = o.groupBy(col("o_orderpriority").as("top"))
+        .agg(count(lit(1)).as("top_freq"))
+        .orderBy(desc("top_freq"), desc("top")).limit(1)
+      o.agg(count(lit(1)).as("cnt"),
+          countDistinct(col("o_orderpriority")).as("n_unique"))
+        .crossJoin(freq)
+    },
+
     // Scale pattern: two-phase SALTED aggregation — phase 1 aggregates on
     // (key, salt) spreading a hot key over nSalts reducers, phase 2 rolls
     // up to the key. Result must equal the plain aggregation (the oracle
@@ -419,6 +432,13 @@ object Relational {
     "q_skew_salted_agg" ->
       s"""SELECT l_returnflag, ${sumDecSql("l_quantity")} AS qty, count(*) AS cnt
          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_a6_categorical" ->
+      """WITH f AS (SELECT o_orderpriority AS top, count(*) AS top_freq
+        |           FROM orders GROUP BY 1)
+        |SELECT (SELECT count(*) FROM orders) AS cnt,
+        | (SELECT count(DISTINCT o_orderpriority) FROM orders) AS n_unique,
+        | (SELECT top FROM f ORDER BY top_freq DESC, top DESC LIMIT 1) AS top,
+        | (SELECT max(top_freq) FROM f) AS top_freq""".stripMargin,
     "q_a7_null_audit" ->
       """SELECT
         | COUNT(*) FILTER (WHERE text IS NULL OR text='') AS text_missing,

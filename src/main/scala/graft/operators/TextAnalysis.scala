@@ -135,6 +135,29 @@ object TextAnalysis {
           col("doc_id"),
           fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
+    },
+    // Corpus vocabulary: explode tokens → count → top 20 (the wordcount
+    // pattern: Generate → map-side partial agg → one shuffle of partial
+    // (token, count) pairs, never raw token rows).
+    "q_vocab_topk" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .orderBy(desc("freq"), col("token"))
+        .limit(20)
+    },
+    // Deterministic train/val/test split: md5 of the id buckets every doc
+    // stably (the split survives reruns, repartitions, and engines — the
+    // property a training pipeline needs; xxhash64 would be faster but has
+    // no cross-engine oracle).
+    "q_sample_split" -> { (s, d) =>
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+      val split = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+      Tables.documents(s, d)
+        .select(split.as("split"))
+        .groupBy("split").agg(count(lit(1)).as("cnt"))
+        .orderBy("split")
     }
   )
 
@@ -179,7 +202,17 @@ object TextAnalysis {
            |FROM documents ORDER BY doc_id""".stripMargin,
       "q_text_fingerprint" ->
         """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
-          |FROM documents ORDER BY doc_id""".stripMargin
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "q_vocab_topk" ->
+        s"""SELECT token, count(*) AS freq
+           |FROM (SELECT unnest(${tokensSql("text")}) AS token FROM documents)
+           |GROUP BY 1 ORDER BY freq DESC, token LIMIT 20""".stripMargin,
+      "q_sample_split" ->
+        """SELECT CASE
+          |  WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 80 THEN 'train'
+          |  WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 90 THEN 'val'
+          |  ELSE 'test' END AS split, count(*) AS cnt
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
     )
   }
 }
