@@ -128,6 +128,68 @@ object NativeExpressions {
     }
   }
 
+  /** Word-n-gram shingle hashes in one pass: for each window of `n`
+    * tokens, hash the space-joined shingle exactly as
+    * `xxhash64(concat_ws(" ", slice(toks, i, n)))` would (UTF8String
+    * concatWs + XXH64 seed 42 — asserted bit-equal to the HOF path in
+    * tests), deduped keeping first occurrence (array_distinct semantics).
+    * Avoids materializing shingle strings as a column: the downstream
+    * minhash/Jaccard pipeline runs on longs.
+    */
+  case class ShingleHashes(child: Expression, n: Int = 3)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case t =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"shingle_hashes expects array<string>, got $t")
+      }
+
+    override def nullSafeEval(input: Any): Any =
+      ShingleUtil.shingleHashes(input.asInstanceOf[ArrayData], n)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val util = ShingleUtil.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $util.shingleHashes($a, $n);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+      copy(child = newChild)
+  }
+
+  object ShingleUtil {
+    private val sep = UTF8String.fromString(" ")
+    def shingleHashes(toks: ArrayData, n: Int): ArrayData = {
+      val num = toks.numElements()
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      if (num < n) {
+        // short doc: one shingle of all tokens (matches the HOF guard)
+        val parts = new Array[UTF8String](num)
+        var i = 0
+        while (i < num) { parts(i) = toks.getUTF8String(i); i += 1 }
+        val sh = UTF8String.concatWs(sep, parts: _*)
+        seen.add(XxHash64Function.hash(sh, StringType, 42L))
+      } else {
+        var i = 0
+        val parts = new Array[UTF8String](n)
+        while (i <= num - n) {
+          var j = 0
+          while (j < n) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+          val sh = UTF8String.concatWs(sep, parts: _*)
+          seen.add(XxHash64Function.hash(sh, StringType, 42L))
+          i += 1
+        }
+      }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator(); var k = 0
+      while (it.hasNext) { out(k) = it.next(); k += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
   /** Register the native functions on a session (idempotent). The library
     * deployment path is [[GraftExtensions]] via spark.sql.extensions; this
     * direct registration serves sessions the engine did not construct.
@@ -140,6 +202,9 @@ object NativeExpressions {
     reg.createOrReplaceTempFunction("simhash",
       (children: Seq[Expression]) => SimHash64(children.head),
       "built-in")
+    reg.createOrReplaceTempFunction("shingle_hashes",
+      (children: Seq[Expression]) => ShingleHashes(children.head),
+      "built-in")
   }
 
   /** Column-API entry points. */
@@ -148,6 +213,9 @@ object NativeExpressions {
   }
   def simhashNative(spark: SparkSession, toks: Column): Column = {
     register(spark); call_function("simhash", toks)
+  }
+  def shingleHashes(spark: SparkSession, toks: Column): Column = {
+    register(spark); call_function("shingle_hashes", toks)
   }
 }
 

@@ -41,12 +41,15 @@ object Dedup {
         .otherwise(transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
   }
 
-  /** id + shingle-hash array (one xxhash64 per shingle string). */
+  /** id + shingle-hash array via the native single-pass expression
+    * (bit-equal to `transform(shingles(toks), xxhash64)` — asserted in
+    * tests — without materializing shingle strings).
+    */
   private def withShingleHashes(docs: DataFrame, idCol: String,
                                 textCol: String): DataFrame =
     docs.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("toks"))
-      .select(col("id"), shingles(col("toks")).as("sh"))
-      .select(col("id"), col("sh"), transform(col("sh"), s => xxhash64(s)).as("hs"))
+      .select(col("id"),
+        graft.functions.NativeExpressions.shingleHashes(docs.sparkSession, col("toks")).as("hs"))
 
   /** One MinHash signature per seed over the materialized long-hash array:
     * min over xxhash64(seed, h) — a 64-bit universal-hash family without
@@ -90,7 +93,7 @@ object Dedup {
                       threshold: Double = 0.5): DataFrame = {
     val base = withShingleHashes(docs, idCol, textCol)
     val sig = base
-      .select((col("id") +: col("sh") +: minhashSignatures(col("hs"), numHashes)): _*)
+      .select((col("id") +: minhashSignatures(col("hs"), numHashes)): _*)
     val bands = numHashes / rowsPerBand
     val banded = sig
       .select(col("id"),
@@ -104,11 +107,13 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    val shA = base.select(col("id").as("id_a"), col("sh").as("sh_a"))
-    val shB = base.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    // exact-Jaccard verify over the HASH arrays (64-bit collisions are
+    // negligible and longs shuffle/intersect far cheaper than strings)
+    val shA = base.select(col("id").as("id_a"), col("hs").as("hs_a"))
+    val shB = base.select(col("id").as("id_b"), col("hs").as("hs_b"))
     candidates.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+        round(jaccard(col("hs_a"), col("hs_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

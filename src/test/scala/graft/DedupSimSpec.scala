@@ -57,6 +57,15 @@ class DedupSimSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("native shingle_hashes is bit-identical to the HOF shingle+hash path") {
+    val toks = Tables.documents(spark, sfDir).limit(100)
+      .select(col("doc_id"), graft.operators.TextAnalysis.tokens(col("text")).as("toks"))
+    val cmp = toks.select(
+      transform(Dedup.shingles(col("toks")), s => xxhash64(s)).as("hof"),
+      graft.functions.NativeExpressions.shingleHashes(spark, col("toks")).as("native"))
+    assert(cmp.filter(col("hof") =!= col("native")).count() == 0)
+  }
+
   test("native simhash is bit-identical to the HOF simhash") {
     val docs = Tables.documents(spark, sfDir).limit(100)
     val toks = docs.select(col("doc_id"),
