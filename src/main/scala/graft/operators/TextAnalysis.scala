@@ -146,6 +146,23 @@ object TextAnalysis {
         .orderBy(desc("freq"), col("token"))
         .limit(20)
     },
+    // Document chunking: overlapping token windows (size 50, stride 40) —
+    // the training/RAG preprocessing shape. Map-side: materialized tokens,
+    // one generator (posexplode) per doc, no shuffle until a consumer
+    // aggregates. Chunk ids are (doc_id, chunk_idx), deterministic.
+    "q_text_chunk" -> { (s, d) =>
+      val C = 50; val stride = 40
+      Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          sequence(lit(1), greatest(size(col("toks")) - (C - stride), lit(1)),
+            lit(stride)).as("starts"))
+        .select(col("doc_id"),
+          posexplode(transform(col("starts"),
+            st => concat_ws(" ", slice(col("toks"), st, lit(C))))).as(Seq("chunk_idx", "chunk")))
+        .withColumn("n_chunk_tokens", tokenCount(col("chunk")))
+        .orderBy("doc_id", "chunk_idx")
+    },
     // Deterministic train/val/test split: md5 of the id buckets every doc
     // stably (the split survives reruns, repartitions, and engines — the
     // property a training pipeline needs; xxhash64 would be faster but has
@@ -203,6 +220,17 @@ object TextAnalysis {
       "q_text_fingerprint" ->
         """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
           |FROM documents ORDER BY doc_id""".stripMargin,
+      "q_text_chunk" ->
+        s"""WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+           |st AS (SELECT doc_id, toks,
+           |        range(1, greatest(len(toks) - 10, 1) + 1, 40) AS starts FROM t),
+           |c AS (SELECT doc_id, s.i AS start_pos, toks FROM st
+           |      CROSS JOIN unnest(starts) AS s(i))
+           |SELECT doc_id,
+           | CAST((start_pos - 1) / 40 AS INTEGER) AS chunk_idx,
+           | array_to_string(list_slice(toks, start_pos, start_pos + 49), ' ') AS chunk,
+           | CAST(len(list_slice(toks, start_pos, start_pos + 49)) AS INTEGER) AS n_chunk_tokens
+           |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
       "q_vocab_topk" ->
         s"""SELECT token, count(*) AS freq
            |FROM (SELECT unnest(${tokensSql("text")}) AS token FROM documents)

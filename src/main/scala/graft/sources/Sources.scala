@@ -93,10 +93,67 @@ object Sources {
       .orderBy("o_orderstatus")
   }
 
+  private def rmDir(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    val dir = new java.io.File(path)
+    if (dir.exists()) rm(dir)
+  }
+
+  /** Robustness: PERMISSIVE corrupt-record capture. Orders re-written as
+    * CSV with two malformed lines appended; the schema-ed read must keep
+    * every good row and quarantine exactly the bad ones in
+    * `_corrupt_record` (never silently drop — the 100 TB posture is
+    * quarantine + count, not fail or drop).
+    */
+  def corruptRecordScan(s: SparkSession, d: String): DataFrame = {
+    val path = "/root/repo/target/scratch/csv_corrupt"
+    rmDir(path)
+    Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      .coalesce(1).write.option("header", true).csv(path)
+    // malformed rows land in their own file (appending to Spark's part
+    // file breaks its .crc checksum sidecar); header line present because
+    // header=true skips each file's first line
+    val w = new java.io.FileWriter(new java.io.File(path, "bad.csv"))
+    w.write("o_orderkey,o_totalprice\nnot_a_number,broken\nalso,bad\n"); w.close()
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_totalprice", DoubleType),
+      StructField("_corrupt_record", StringType)))
+    s.read.schema(schema)
+      .option("header", true).option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+      // must reference a data column alongside _corrupt_record (Spark
+      // disallows corrupt-column-only scans)
+      .agg(count(col("o_orderkey")).as("good_rows"),
+        count(col("_corrupt_record")).as("corrupt_rows"))
+  }
+
+  /** Robustness: schema evolution via mergeSchema — an old fileset without
+    * a column and a new fileset with it read as one table, missing values
+    * null (the additive-evolution contract of a long-lived lake table).
+    */
+  def schemaMergeScan(s: SparkSession, d: String): DataFrame = {
+    val base = "/root/repo/target/scratch/schema_merge"
+    rmDir(base)
+    val o = Tables.orders(s, d)
+    o.filter(col("o_orderkey") % 2 === 0).select("o_orderkey")
+      .write.parquet(s"$base/v1")
+    o.filter(col("o_orderkey") % 2 === 1).select("o_orderkey", "o_orderstatus")
+      .write.parquet(s"$base/v2")
+    s.read.option("mergeSchema", true).parquet(s"$base/v1", s"$base/v2")
+      .orderBy("o_orderkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_s1_csv_roundtrip" -> csvRoundtrip _,
     "q_s4_idempotent_write" -> idempotentWriteRoundtrip _,
-    "q_bucketed_join" -> bucketedJoin _
+    "q_bucketed_join" -> bucketedJoin _,
+    "q_corrupt_records" -> corruptRecordScan _,
+    "q_schema_merge" -> schemaMergeScan _
   )
 
   def oracles: Map[String, String] = Map(
@@ -109,6 +166,13 @@ object Sources {
       """SELECT o_orderstatus, count(*) AS cnt,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_corrupt_records" ->
+      """SELECT count(*) AS good_rows, CAST(2 AS BIGINT) AS corrupt_rows
+        |FROM orders""".stripMargin,
+    "q_schema_merge" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus
+        |FROM orders ORDER BY o_orderkey""".stripMargin
   )
 }
