@@ -95,6 +95,34 @@ object StreamOps {
         .orderBy("w_start")
     },
 
+    // North-star: SLIDING window (6h length, 3h slide) — every event lands
+    // in exactly two windows; complete mode emits all of them.
+    "q_stream_sliding" -> { (s, d) =>
+      cleanCheckpoint("stream_sliding")
+      val agg = eventsStream(s, d)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "6 hours", "3 hours").as("w"))
+        .agg(count(lit(1)).as("cnt"))
+      runToSnapshot(agg, "stream_sliding")
+        .select(col("w.start").as("w_start"), col("cnt"))
+        .orderBy("w_start")
+    },
+
+    // North-star: session_window aggregation as a streaming query entry
+    // (30-min gap), complete mode — session starts/sizes must equal the
+    // batch lag+cumsum sessionization (q_sessionize's oracle family).
+    "q_stream_session" -> { (s, d) =>
+      cleanCheckpoint("stream_session")
+      val agg = eventsStream(s, d)
+        .withColumn("ts", date_trunc("second", col("ts")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+      runToSnapshot(agg, "stream_session")
+        .select(col("user_id"), col("w.start").as("sess_start"), col("n_events"))
+        .orderBy("user_id", "sess_start")
+    },
+
     // S8+S9 — the Kafka JSON envelope round-trip: encode each event as a
     // topic message (to_json of the full struct), decode with from_json
     // (the consumer's json.loads, kafka/consumer.py:23), re-aggregate.
@@ -224,6 +252,29 @@ object StreamOps {
         | count(*) AS cnt,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_stream_sliding" ->
+      """WITH w AS (
+        | SELECT unnest([
+        |   CAST(floor(epoch(ts)/10800)*10800 AS BIGINT),
+        |   CAST(floor(epoch(ts)/10800)*10800 - 10800 AS BIGINT)]) AS start_s
+        | FROM events)
+        |SELECT make_timestamp(start_s*1000000) AS w_start, count(*) AS cnt
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_stream_session" ->
+      """WITH e AS (SELECT user_id, date_trunc('second', ts) AS ts FROM events),
+        |g AS (
+        | SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |        OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+        |       THEN 1 ELSE 0 END AS new_sess
+        | FROM e),
+        |s AS (
+        | SELECT user_id, ts,
+        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+        | FROM g)
+        |SELECT user_id, min(ts) AS sess_start, count(*) AS n_events
+        |FROM s GROUP BY user_id, sess_no ORDER BY user_id, sess_start""".stripMargin,
     "q_stream_json_envelope" ->
       """SELECT event_type, count(*) AS cnt,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
