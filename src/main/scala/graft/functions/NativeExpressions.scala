@@ -190,6 +190,54 @@ object NativeExpressions {
     }
   }
 
+  /** Character n-gram hashes in one pass over the string: hash of every
+    * n-char window (code-point based, matching `substr`'s semantics, so
+    * bit-equal to `transform(grams, xxhash64)` over the HOF gram path —
+    * asserted in tests), deduped keeping first occurrence. Short strings
+    * (< n chars) yield the single whole-string gram.
+    */
+  case class CharGramHashes(child: Expression, n: Int = 4)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case t =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"char_gram_hashes expects string, got $t")
+      }
+
+    override def nullSafeEval(input: Any): Any =
+      CharGramUtil.gramHashes(input.asInstanceOf[UTF8String], n)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val util = CharGramUtil.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $util.gramHashes($a, $n);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): CharGramHashes =
+      copy(child = newChild)
+  }
+
+  object CharGramUtil {
+    def gramHashes(s: UTF8String, n: Int): ArrayData = {
+      val total = s.numChars()
+      val count = math.max(total - n + 1, 1)
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      var i = 1
+      while (i <= count) {
+        val gram = s.substringSQL(i, n)
+        seen.add(XxHash64Function.hash(gram, StringType, 42L))
+        i += 1
+      }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator(); var k = 0
+      while (it.hasNext) { out(k) = it.next(); k += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
   /** Register the native functions on a session (idempotent). The library
     * deployment path is [[GraftExtensions]] via spark.sql.extensions; this
     * direct registration serves sessions the engine did not construct.
@@ -205,6 +253,9 @@ object NativeExpressions {
     reg.createOrReplaceTempFunction("shingle_hashes",
       (children: Seq[Expression]) => ShingleHashes(children.head),
       "built-in")
+    reg.createOrReplaceTempFunction("char_gram_hashes",
+      (children: Seq[Expression]) => CharGramHashes(children.head),
+      "built-in")
   }
 
   /** Column-API entry points. */
@@ -216,6 +267,9 @@ object NativeExpressions {
   }
   def shingleHashes(spark: SparkSession, toks: Column): Column = {
     register(spark); call_function("shingle_hashes", toks)
+  }
+  def charGramHashes(spark: SparkSession, text: Column): Column = {
+    register(spark); call_function("char_gram_hashes", text)
   }
 }
 

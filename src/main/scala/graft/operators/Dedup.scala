@@ -174,13 +174,13 @@ object Dedup {
   def ngramJaccardNearDups(docs: DataFrame, idCol: String, textCol: String,
                            n: Int = 4, threshold: Double = 0.7): DataFrame = {
     // normalized text materialized FIRST (a lambda-inlined regexp_replace
-    // would re-run per gram); grams then substr an attribute
+    // would re-run per gram); gram hashing runs in the native single-pass
+    // expression (bit-equal to xxhash64 over the substr HOF grams —
+    // asserted in tests), so longs flow through the verify
     val normed = docs.select(col(idCol).as("id"),
       lower(regexp_replace(col(textCol), "\\s+", " ")).as("norm"))
     val withGrams = normed.select(col("id"), substring(col("norm"), 1, 16).as("bucket"),
-      array_distinct(transform(
-        sequence(lit(1), greatest(length(col("norm")) - (n - 1), lit(1))),
-        i => col("norm").substr(i, lit(n)))).as("grams"))
+      graft.functions.NativeExpressions.charGramHashes(docs.sparkSession, col("norm")).as("grams"))
     val keyed = withGrams.select("id", "bucket")
     val l = keyed.select(col("bucket"), col("id").as("id_a"))
     val r = keyed.select(col("bucket"), col("id").as("id_b"))

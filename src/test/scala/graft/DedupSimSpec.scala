@@ -66,6 +66,17 @@ class DedupSimSpec extends SparkSpec {
     assert(cmp.filter(col("hof") =!= col("native")).count() == 0)
   }
 
+  test("native char_gram_hashes is bit-identical to the HOF substr+hash path") {
+    val normed = Tables.documents(spark, sfDir).limit(100)
+      .select(lower(regexp_replace(col("text"), "\\s+", " ")).as("norm"))
+    val cmp = normed.select(
+      array_distinct(transform(
+        sequence(lit(1), greatest(length(col("norm")) - 3, lit(1))),
+        i => xxhash64(col("norm").substr(i, lit(4))))).as("hof"),
+      graft.functions.NativeExpressions.charGramHashes(spark, col("norm")).as("native"))
+    assert(cmp.filter(col("hof") =!= col("native")).count() == 0)
+  }
+
   test("native simhash is bit-identical to the HOF simhash") {
     val docs = Tables.documents(spark, sfDir).limit(100)
     val toks = docs.select(col("doc_id"),
