@@ -274,6 +274,44 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // S3/API surface — the spark.sql() entry path over registered views
+    // (the reference's SQL-text surface): same Catalyst plan as the
+    // DataFrame API, proven by the shared oracle.
+    "q_sql_api" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      Tables.customer(s, d).createOrReplaceTempView("v_customer")
+      s.sql(
+        """SELECT c_mktsegment, count(*) AS cnt,
+          | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    },
+
+    // A9 headline — the pricing-summary report (TPC-H Q1 shape): the
+    // canonical wide aggregate with exact-decimal money math; one shuffle,
+    // map-side combined, 4-6 groups.
+    "q_pricing_summary" -> { (s, d) =>
+      // narrow casts keep the chained products inside exact decimal range
+      // on BOTH engines (wide×wide×wide would overflow 38 digits and
+      // trigger engine-specific rounding)
+      val qty = col("l_quantity").cast(DecimalType(12, 2))
+      val price = col("l_extendedprice").cast(DecimalType(12, 2))
+      val disc = col("l_discount").cast(DecimalType(4, 2))
+      val tax = col("l_tax").cast(DecimalType(4, 2))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(qty).cast("double").as("sum_qty"),
+          sum(price).cast("double").as("sum_base_price"),
+          sum(price * (lit(1) - disc)).cast("double").as("sum_disc_price"),
+          sum(price * (lit(1) - disc) * (lit(1) + tax)).cast("double").as("sum_charge"),
+          (sum(qty).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(price).cast("double") / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
     // A7 — missing-value audit: per-column null-or-sentinel counts.
     "q_a7_null_audit" -> { (s, d) =>
       val doc = Tables.documents(s, d)
@@ -432,6 +470,22 @@ object Relational {
     "q_skew_salted_agg" ->
       s"""SELECT l_returnflag, ${sumDecSql("l_quantity")} AS qty, count(*) AS cnt
          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sql_api" ->
+      """SELECT c_mktsegment, count(*) AS cnt,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q_a6_categorical" ->
       """WITH f AS (SELECT o_orderpriority AS top, count(*) AS top_freq
         |           FROM orders GROUP BY 1)
