@@ -312,6 +312,21 @@ object Relational {
         .orderBy("l_returnflag", "l_linestatus")
     },
 
+    // Typed Aggregator — bounded per-group top-k (k values per group per
+    // task through the shuffle, no full window sort). Exploded to rows so
+    // the window-based oracle can replicate it.
+    "q_topk_aggregator" -> { (s, d) =>
+      import org.apache.spark.sql.functions.udaf
+      val top3 = udaf(new graft.functions.TopKAggregator(3))
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(top3(col("l_extendedprice")).as("tops"))
+        .select(col("l_returnflag"),
+          posexplode(col("tops")).as(Seq("rank", "price")))
+        .withColumn("rank", col("rank") + 1)
+        .orderBy("l_returnflag", "rank")
+    },
+
     // A7 — missing-value audit: per-column null-or-sentinel counts.
     "q_a7_null_audit" -> { (s, d) =>
       val doc = Tables.documents(s, d)
@@ -486,6 +501,13 @@ object Relational {
         | count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q_topk_aggregator" ->
+      """SELECT l_returnflag, CAST(rn AS INTEGER) AS rank, price FROM (
+        | SELECT l_returnflag, l_extendedprice AS price,
+        |  row_number() OVER (PARTITION BY l_returnflag
+        |                     ORDER BY l_extendedprice DESC) AS rn
+        | FROM lineitem)
+        |WHERE rn <= 3 ORDER BY l_returnflag, rank""".stripMargin,
     "q_a6_categorical" ->
       """WITH f AS (SELECT o_orderpriority AS top, count(*) AS top_freq
         |           FROM orders GROUP BY 1)

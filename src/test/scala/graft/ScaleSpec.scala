@@ -33,6 +33,20 @@ class ScaleSpec extends SparkSpec {
     assert(salted == plain && plain.nonEmpty)
   }
 
+  test("topk aggregator is partitioning-invariant (merge path)") {
+    import org.apache.spark.sql.functions.udaf
+    val top3 = udaf(new graft.functions.TopKAggregator(3))
+    def run(parts: Int) = Tables.lineitem(spark, sfDir)
+      .repartition(parts)
+      .groupBy("l_returnflag").agg(top3(col("l_extendedprice")).as("tops"))
+      .collect().map(r => (r.getString(0), r.getSeq[Double](1))).toMap
+    val a = run(1); val b = run(13)
+    assert(a == b && a.nonEmpty)
+    a.values.foreach { tops =>
+      assert(tops.size == 3 && tops == tops.sorted.reverse)
+    }
+  }
+
   test("star fact plan keeps every dimension join broadcast") {
     val plan = graft.operators.StarPipeline.fact(spark, sfDir)
       .queryExecution.executedPlan.toString
