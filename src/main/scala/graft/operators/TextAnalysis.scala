@@ -163,6 +163,23 @@ object TextAnalysis {
         .withColumn("n_chunk_tokens", tokenCount(col("chunk")))
         .orderBy("doc_id", "chunk_idx")
     },
+    // Repetition ratio: most-frequent-token share of the document (a
+    // boilerplate/spam signal for quality filtering). One explode +
+    // two bounded aggregations.
+    "q_text_repetition" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tokenFreq = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id").agg(max(col("cnt")).as("top_cnt"))
+      docs.select(col("doc_id"), tokenCount(col("text")).as("n"))
+        .join(tokenFreq, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("n") === 0, 0.0)
+            .otherwise(col("top_cnt").cast("double") / col("n").cast("double"))
+            .as("rep_ratio"))
+        .orderBy("doc_id")
+    },
     // Deterministic train/val/test split: md5 of the id buckets every doc
     // stably (the split survives reruns, repartitions, and engines — the
     // property a training pipeline needs; xxhash64 would be faster but has
@@ -231,6 +248,18 @@ object TextAnalysis {
            | array_to_string(list_slice(toks, start_pos, start_pos + 49), ' ') AS chunk,
            | CAST(len(list_slice(toks, start_pos, start_pos + 49)) AS INTEGER) AS n_chunk_tokens
            |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+      "q_text_repetition" ->
+        s"""WITH tf AS (
+           | SELECT doc_id, max(cnt) AS top_cnt FROM (
+           |  SELECT doc_id, token, count(*) AS cnt
+           |  FROM (SELECT doc_id, unnest(${tokensSql("text")}) AS token FROM documents)
+           |  GROUP BY doc_id, token)
+           | GROUP BY doc_id)
+           |SELECT d.doc_id,
+           | CASE WHEN len(${tokensSql("text")}) = 0 THEN 0.0
+           |  ELSE CAST(top_cnt AS DOUBLE) / CAST(len(${tokensSql("text")}) AS DOUBLE) END AS rep_ratio
+           |FROM documents d LEFT JOIN tf ON d.doc_id = tf.doc_id
+           |ORDER BY d.doc_id""".stripMargin,
       "q_vocab_topk" ->
         s"""SELECT token, count(*) AS freq
            |FROM (SELECT unnest(${tokensSql("text")}) AS token FROM documents)

@@ -193,6 +193,22 @@ object StreamOps {
         .orderBy("h")
     },
 
+    // Streaming dedup: the stream unioned with itself (every event arrives
+    // twice) then dropDuplicatesWithinWatermark on the event id — the
+    // aggregate must equal the single-copy batch counts. State holds one
+    // key per event inside the watermark horizon only (the streaming
+    // exact-dedup a training-data ingest needs).
+    "q_stream_dedup" -> { (s, d) =>
+      cleanCheckpoint("stream_dedup")
+      val doubled = eventsStream(s, d).unionByName(eventsStream(s, d))
+      val agg = doubled
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      runToSnapshot(agg, "stream_dedup").orderBy("event_type")
+    },
+
     // North-star: sessionization — 30-min-gap sessions per user. Batch
     // path is the idiomatic lag+cumsum (one shuffle by user_id); the
     // streaming equivalent (session_window) is asserted equal in the
@@ -275,6 +291,8 @@ object StreamOps {
         | FROM g)
         |SELECT user_id, min(ts) AS sess_start, count(*) AS n_events
         |FROM s GROUP BY user_id, sess_no ORDER BY user_id, sess_start""".stripMargin,
+    "q_stream_dedup" ->
+      "SELECT event_type, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
     "q_stream_json_envelope" ->
       """SELECT event_type, count(*) AS cnt,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
