@@ -180,6 +180,29 @@ object TextAnalysis {
             .as("rep_ratio"))
         .orderBy("doc_id")
     },
+    // Stratified deterministic sampling: ~40% of docs per language stratum
+    // via the md5 bucket (reproducible across engines/partitionings,
+    // unlike df.sample whose output depends on partition layout).
+    "q_stratified_sample" -> { (s, d) =>
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+      Tables.documents(s, d)
+        .filter(bucket < 40)
+        .groupBy("lang").agg(count(lit(1)).as("sampled"))
+        .orderBy("lang")
+    },
+    // Percentile-threshold quality filtering: drop the bottom decile by
+    // mean-token-length (the quality-gate shape: exact percentile scalar,
+    // broadcast back as a filter).
+    "q_quality_filter" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), round(meanTokenLen(col("text")), 6).as("mtl"))
+      val p10 = docs.agg(expr("percentile(mtl, 0.1)").as("thr"))
+      docs.crossJoin(broadcast(p10))
+        .filter(col("mtl") >= col("thr"))
+        .agg(count(lit(1)).as("kept"),
+          round(min(col("mtl")), 6).as("min_kept_mtl"))
+    },
     // Deterministic train/val/test split: md5 of the id buckets every doc
     // stably (the split survives reruns, repartitions, and engines — the
     // property a training pipeline needs; xxhash64 would be faster but has
@@ -264,6 +287,15 @@ object TextAnalysis {
         s"""SELECT token, count(*) AS freq
            |FROM (SELECT unnest(${tokensSql("text")}) AS token FROM documents)
            |GROUP BY 1 ORDER BY freq DESC, token LIMIT 20""".stripMargin,
+      "q_stratified_sample" ->
+        """SELECT lang, count(*) AS sampled FROM documents
+          |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 40
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q_quality_filter" ->
+        s"""WITH m AS (SELECT doc_id, round($meanTok, 6) AS mtl FROM documents),
+           |t AS (SELECT quantile_cont(mtl, 0.1) AS thr FROM m)
+           |SELECT count(*) AS kept, round(min(mtl), 6) AS min_kept_mtl
+           |FROM m, t WHERE mtl >= thr""".stripMargin,
       "q_sample_split" ->
         """SELECT CASE
           |  WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 80 THEN 'train'
