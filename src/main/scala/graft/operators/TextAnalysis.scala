@@ -12,12 +12,13 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens of trimmed text; empty text → empty array (Spark's
-    * split("") yields [""], so guard).
+  /** Whitespace tokens: split on runs of whitespace, drop empty artifacts.
+    * (A trim-then-split guard mishandles tab/newline-only text — Spark's
+    * `trim` strips only spaces, leaving phantom tokens; filtering empties
+    * covers every degenerate case uniformly on both engines.)
     */
   def tokens(c: Column): Column =
-    when(length(trim(c)) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(c), "\\s+"))
+    filter(split(c, "\\s+"), t => t =!= "")
 
   /** Whitespace token count. */
   def tokenCount(c: Column): Column = size(tokens(c))
@@ -219,7 +220,7 @@ object TextAnalysis {
   )
 
   private def tokensSql(c: String) =
-    s"CASE WHEN length(trim($c))=0 THEN [] ELSE string_split_regex(trim($c), '\\s+') END"
+    s"list_filter(string_split_regex($c, '\\s+'), t -> t <> '')"
   private def hitsSql(c: String, words: Seq[String]) = {
     val lst = words.map(w => s"'$w'").mkString("[", ",", "]")
     s"len(list_filter(${tokensSql(c)}, t -> list_contains($lst, t)))"

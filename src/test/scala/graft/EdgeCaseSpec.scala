@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input robustness: empty/whitespace/unicode/single-token text
+  * through every text and dedup function — no exceptions, outputs in their
+  * documented ranges. (The 100 TB posture: a handful of pathological rows
+  * must never kill a stage.)
+  */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val weird = Seq(
+    "", "   ", "\t\n ", "a", "one two",
+    "über café 北京 emoji mix", "repeat repeat repeat repeat",
+    "x" * 5000)
+
+  test("text functions survive degenerate inputs with sane ranges") {
+    val df = weird.toDF("text").select(
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.bpeTokenCount(col("text")).as("nb"),
+      TextAnalysis.stopwordRatio(col("text")).as("sr"),
+      TextAnalysis.punctRatio(col("text")).as("pr"),
+      TextAnalysis.meanTokenLen(col("text")).as("mtl"),
+      TextAnalysis.qualityScore(col("text")).as("q"),
+      TextAnalysis.langId(col("text")).as("lang"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+    df.collect().foreach { r =>
+      assert(r.getInt(0) >= 0 && r.getInt(1) >= 0)
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(4) >= 0.0)
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+      assert(r.getString(6).nonEmpty && r.getString(7).length == 32)
+    }
+    // empty and whitespace-only docs tokenize to zero
+    val counts = weird.toDF("text")
+      .select(TextAnalysis.tokenCount(col("text"))).collect().map(_.getInt(0))
+    assert(counts(0) == 0 && counts(1) == 0 && counts(2) == 0)
+  }
+
+  test("dedup primitives survive degenerate inputs") {
+    val toks = weird.toDF("text")
+      .select(TextAnalysis.tokens(col("text")).as("toks"))
+    val sh = toks.select(
+      Dedup.shingles(col("toks")).as("sh"),
+      graft.functions.NativeExpressions.shingleHashes(spark, col("toks")).as("hs"),
+      graft.functions.NativeExpressions.simhashNative(spark, col("toks")).as("sim"))
+    sh.collect().foreach { r =>
+      assert(r.getSeq[String](0).nonEmpty) // short-doc guard yields 1 shingle
+      assert(r.getSeq[Long](1).nonEmpty)
+      // empty token array -> simhash 0 (no votes)
+    }
+    val grams = weird.toDF("text").select(
+      graft.functions.NativeExpressions.charGramHashes(
+        spark, lower(regexp_replace(col("text"), "\\s+", " "))).as("g"))
+    grams.collect().foreach(r => assert(r.getSeq[Long](0).nonEmpty))
+  }
+
+  test("fake decoder handles empty payload") {
+    assert(Multimodal.FakeDecoder.decode(Array.emptyByteArray) == (-1, -1))
+    assert(Multimodal.FakeDecoder.decode(Array[Byte](65)) == (65, 65))
+  }
+}
