@@ -81,9 +81,13 @@ object Sources {
       }
       if (dir.exists()) rm(dir)
     }
-    Tables.lineitem(s, d).write.mode("overwrite").format("parquet")
+    // project before the bucketed write: the table carries what its
+    // consumers join/aggregate on, not every source column
+    Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice")
+      .write.mode("overwrite").format("parquet")
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_bucketed")
-    Tables.orders(s, d).write.mode("overwrite").format("parquet")
+    Tables.orders(s, d).select("o_orderkey", "o_orderstatus")
+      .write.mode("overwrite").format("parquet")
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("o_bucketed")
     s.table("li_bucketed")
       .join(s.table("o_bucketed"), col("l_orderkey") === col("o_orderkey"))
