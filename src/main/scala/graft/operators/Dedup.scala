@@ -11,7 +11,12 @@ import org.apache.spark.sql.functions._
   * only generated within buckets, and the expensive exact-Jaccard verify
   * runs on that tiny candidate set (VERDICT.md round-1 design requirement).
   *
-  * All hashes are Spark-builtin xxhash64/md5 expressions — no UDFs.
+  * Hashing is pluggable ([[HashFamily]]): the default is Spark's codegen'd
+  * xxhash64 (fast path, asserted bit-equal to the native single-pass
+  * expressions in tests); the md5-derived family produces IDENTICAL values
+  * in DuckDB, so the gated near-dup queries run end-to-end against a
+  * cross-engine oracle instead of a rows-only check (VERDICT r02 #2).
+  * No UDFs anywhere — both families are builtin expression trees.
   *
   * Performance note (measured, not guessed): expression trees referenced
   * inside higher-order-function lambdas are re-evaluated PER ARRAY ELEMENT
@@ -23,6 +28,29 @@ import org.apache.spark.sql.functions._
   * hashing the long (cheap) rather than re-hashing the string k times.
   */
 object Dedup {
+
+  /** A 64-bit hash family over one or more columns. */
+  sealed trait HashFamily {
+    def apply(cols: Column*): Column
+  }
+
+  /** Fast path: Spark's codegen'd XXH64 (no DuckDB equivalent). */
+  case object XxHash extends HashFamily {
+    def apply(cols: Column*): Column = xxhash64(cols: _*)
+  }
+
+  /** Oracle path: 60 bits derived from md5 — DuckDB computes the identical
+    * value via `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`. Multi-column
+    * inputs are rendered through `concat_ws(':')`, which DuckDB mirrors
+    * exactly for string and integer inputs. Slower than xxhash64 (md5 + a
+    * base-16 string conversion per value) — used by the oracle-gated
+    * queries; production callers keep the default.
+    */
+  case object Md5Hash extends HashFamily {
+    def apply(cols: Column*): Column =
+      conv(substring(md5(concat_ws(":", cols.map(_.cast("string")): _*)), 1, 15), 16, 10)
+        .cast("long")
+  }
 
   /** Exact dedup: canonical survivor (min id) per normalized-text
     * fingerprint. One hash-shuffle on the fingerprint; with the map-side
@@ -41,35 +69,72 @@ object Dedup {
         .otherwise(transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
   }
 
-  /** id + shingle-hash array via the native single-pass expression
-    * (bit-equal to `transform(shingles(toks), xxhash64)` — asserted in
-    * tests — without materializing shingle strings).
+  /** id + shingle-hash array. XxHash routes through the native single-pass
+    * expression (bit-equal to `transform(shingles(toks), xxhash64)` —
+    * asserted in tests — without materializing shingle strings); Md5Hash
+    * materializes the shingle strings and hashes each via md5 (the
+    * cross-engine formulation).
     */
   private def withShingleHashes(docs: DataFrame, idCol: String,
-                                textCol: String): DataFrame =
-    docs.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("toks"))
-      .select(col("id"),
-        graft.functions.NativeExpressions.shingleHashes(docs.sparkSession, col("toks")).as("hs"))
+                                textCol: String,
+                                hasher: HashFamily = XxHash): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("toks"))
+    hasher match {
+      case XxHash =>
+        toks.select(col("id"),
+          graft.functions.NativeExpressions.shingleHashes(docs.sparkSession, col("toks")).as("hs"))
+      case h =>
+        toks.select(col("id"), shingles(col("toks")).as("shs"))
+          .select(col("id"), transform(col("shs"), sh => h(sh)).as("hs"))
+    }
+  }
 
   /** One MinHash signature per seed over the materialized long-hash array:
-    * min over xxhash64(seed, h) — a 64-bit universal-hash family without
+    * min over hash64(seed, h) — a 64-bit universal-hash family without
     * per-seed string hashing.
     */
-  def minhashSignatures(hashArr: Column, numHashes: Int): Seq[Column] =
+  def minhashSignatures(hashArr: Column, numHashes: Int,
+                        hasher: HashFamily = XxHash): Seq[Column] =
     (0 until numHashes).map { seed =>
-      array_min(transform(hashArr, h => xxhash64(lit(seed), h))).as(s"mh_$seed")
+      array_min(transform(hashArr, h => hasher(lit(seed), h))).as(s"mh_$seed")
     }
 
   /** LSH band keys: the `numHashes` signatures grouped into bands of
     * `rowsPerBand`, each band hashed to one bucket key. Docs sharing any
     * band key become candidates.
     */
-  def bandKeys(numHashes: Int, rowsPerBand: Int): Seq[Column] = {
+  def bandKeys(numHashes: Int, rowsPerBand: Int,
+               hasher: HashFamily = XxHash): Seq[Column] = {
     val bands = numHashes / rowsPerBand
     (0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i"))
-      xxhash64((lit(b.toString) +: cols): _*).as(s"band_$b")
+      hasher((lit(b.toString) +: cols): _*).as(s"band_$b")
     }
+  }
+
+  /** Candidate pairs from a signature frame (`id`, `mh_0..mh_{n-1}`):
+    * explode band keys, self equi-join on (band, key) with id<id (never a
+    * cross join), distinct id pairs. Ids ONLY flow through the band
+    * shuffle — attaching payload arrays here would multiply exchange
+    * volume by the band count.
+    */
+  def bandedCandidates(sig: DataFrame, numHashes: Int, rowsPerBand: Int,
+                       hasher: HashFamily = XxHash): DataFrame = {
+    val bands = numHashes / rowsPerBand
+    val keys = bandKeys(numHashes, rowsPerBand, hasher)
+    val banded = sig
+      .select(col("id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"), keys(b).as("key"))
+        }: _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.key"))
+    val l = banded.select(col("band"), col("key"), col("id").as("id_a"))
+    val r = banded.select(col("band"), col("key"), col("id").as("id_b"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Exact Jaccard of two shingle arrays (the verify step on candidates). */
@@ -90,23 +155,12 @@ object Dedup {
     */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 16, rowsPerBand: Int = 2,
-                      threshold: Double = 0.5): DataFrame = {
-    val base = withShingleHashes(docs, idCol, textCol)
+                      threshold: Double = 0.5,
+                      hasher: HashFamily = XxHash): DataFrame = {
+    val base = withShingleHashes(docs, idCol, textCol, hasher)
     val sig = base
-      .select((col("id") +: minhashSignatures(col("hs"), numHashes)): _*)
-    val bands = numHashes / rowsPerBand
-    val banded = sig
-      .select(col("id"),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"), bandKeys(numHashes, rowsPerBand)(b).as("key"))
-        }: _*)).as("bk"))
-      .select(col("id"), col("bk.band"), col("bk.key"))
-    val l = banded.select(col("band"), col("key"), col("id").as("id_a"))
-    val r = banded.select(col("band"), col("key"), col("id").as("id_b"))
-    val candidates = l.join(r, Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
+      .select((col("id") +: minhashSignatures(col("hs"), numHashes, hasher)): _*)
+    val candidates = bandedCandidates(sig, numHashes, rowsPerBand, hasher)
     // exact-Jaccard verify over the HASH arrays (64-bit collisions are
     // negligible and longs shuffle/intersect far cheaper than strings)
     val shA = base.select(col("id").as("id_a"), col("hs").as("hs_a"))
@@ -133,30 +187,64 @@ object Dedup {
   def simhash(textCol: Column, bits: Int = 32): Column =
     simhashFromHashes(transform(TextAnalysis.tokens(textCol), t => xxhash64(t)), bits)
 
-  /** id + simhash via the native single-pass expression (pipeline path;
-    * bit-identical to the HOF formulation — asserted in tests).
+  /** id + simhash. XxHash routes through the native single-pass expression
+    * (bit-identical to the HOF formulation — asserted in tests); Md5Hash
+    * uses the HOF majority vote over md5-derived token hashes (the
+    * cross-engine formulation; token multiplicity preserved — votes count
+    * repeats).
     */
-  def withSimhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("toks"))
-      .select(col("id"),
-        graft.functions.NativeExpressions.simhashNative(docs.sparkSession, col("toks")).as("sim"))
+  def withSimhash(docs: DataFrame, idCol: String, textCol: String,
+                  hasher: HashFamily = XxHash, bits: Int = 32): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("toks"))
+    hasher match {
+      case XxHash =>
+        toks.select(col("id"),
+          graft.functions.NativeExpressions.simhashNative(docs.sparkSession, col("toks")).as("sim"))
+      case h =>
+        toks.select(col("id"), transform(col("toks"), t => h(t)).as("ths"))
+          .select(col("id"), simhashFromHashes(col("ths"), bits).as("sim"))
+    }
+  }
 
   /** Hamming distance between two simhashes via bit_count(xor). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup candidates, bucketed by the two 16-bit halves
-    * (pigeonhole: any pair within Hamming distance d collides on at least
-    * one of d+1 disjoint chunks; 2 halves cover d≤1 exactly and act as the
-    * LSH recall/precision trade for larger d).
+  /** Pigeonhole LSH chunks for Hamming-radius search: the `bits`-bit
+    * simhash split into `maxHamming + 1` contiguous chunks — any pair
+    * within Hamming ≤ maxHamming differs in at most maxHamming chunks, so
+    * it agrees EXACTLY on at least one chunk (guaranteed recall at the
+    * claimed radius, unlike the r02 two-half banding which only covered
+    * d ≤ 1). Chunk widths differ by at most one bit.
+    *
+    * Scale trade (documented, inherent to Hamming LSH): more chunks ⇒
+    * narrower keys ⇒ bigger buckets. At 32 bits / d=6 each key is 4-5 bits;
+    * a 100 TB deployment should raise `bits` (64-bit simhash) so each of
+    * the d+1 chunks keeps ≥ 8 key bits, or lower the radius per table and
+    * union multiple hash tables.
     */
-  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3): DataFrame = {
-    val sh = withSimhash(docs, idCol, textCol)
+  def simhashBandCols(sim: Column, bits: Int, maxHamming: Int): Seq[Column] = {
+    val chunks = maxHamming + 1
+    val base = bits / chunks
+    val extra = bits % chunks
+    val sizes = Seq.tabulate(chunks)(i => base + (if (i < extra) 1 else 0))
+    val offsets = sizes.scanLeft(0)(_ + _)
+    (0 until chunks).map { i =>
+      shiftrightunsigned(sim, offsets(i)).bitwiseAND(lit((1L << sizes(i)) - 1))
+        .as(s"chunk_$i")
+    }
+  }
+
+  /** Candidate pairs (with exact Hamming) from a (id, sim) frame via the
+    * pigeonhole chunks — split out so adversarial tests can feed literal
+    * simhash values directly.
+    */
+  def simhashCandidates(sh: DataFrame, bits: Int, maxHamming: Int): DataFrame = {
+    val chunkCols = simhashBandCols(col("sim"), bits, maxHamming)
     val banded = sh.select(col("id"), col("sim"),
-      explode(array(
-        struct(lit(0).as("band"), (col("sim").bitwiseAND(0xFFFFL)).as("key")),
-        struct(lit(1).as("band"), shiftright(col("sim"), 16).bitwiseAND(0xFFFFL).as("key"))
-      )).as("bk"))
+      explode(array(chunkCols.zipWithIndex.map { case (c, i) =>
+        struct(lit(i).as("band"), c.as("key"))
+      }: _*)).as("bk"))
       .select(col("id"), col("sim"), col("bk.band"), col("bk.key"))
     val l = banded.select(col("band"), col("key"), col("id").as("id_a"), col("sim").as("sim_a"))
     val r = banded.select(col("band"), col("key"), col("id").as("id_b"), col("sim").as("sim_b"))
@@ -167,26 +255,55 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Character n-gram Jaccard near-dup, candidates bucketed by a cheap
-    * prefix key (first 16 normalized chars) — the "same opening" heuristic
-    * keeps candidate sets tiny without all-pairs.
+  /** SimHash near-dup pairs within Hamming ≤ maxHamming (recall guaranteed
+    * by the pigeonhole banding).
     */
-  def ngramJaccardNearDups(docs: DataFrame, idCol: String, textCol: String,
-                           n: Int = 4, threshold: Double = 0.7): DataFrame = {
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3, bits: Int = 32,
+                      hasher: HashFamily = XxHash): DataFrame =
+    simhashCandidates(withSimhash(docs, idCol, textCol, hasher, bits),
+      bits, maxHamming)
+
+  /** Character n-grams (distinct) over a materialized normalized column. */
+  def charGrams(normed: Column, n: Int = 4): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(normed) - (n - 1), lit(1))),
+      i => normed.substr(i, lit(n))))
+
+  /** id + char-gram-hash array. XxHash routes through the native
+    * single-pass expression; Md5Hash hashes the materialized gram strings
+    * (cross-engine formulation).
+    */
+  private def withGramHashes(docs: DataFrame, idCol: String, textCol: String,
+                             n: Int, hasher: HashFamily): DataFrame = {
     // normalized text materialized FIRST (a lambda-inlined regexp_replace
-    // would re-run per gram); gram hashing runs in the native single-pass
-    // expression (bit-equal to xxhash64 over the substr HOF grams —
-    // asserted in tests), so longs flow through the verify
+    // would re-run per gram)
     val normed = docs.select(col(idCol).as("id"),
       lower(regexp_replace(col(textCol), "\\s+", " ")).as("norm"))
-    val withGrams = normed.select(col("id"), substring(col("norm"), 1, 16).as("bucket"),
-      graft.functions.NativeExpressions.charGramHashes(docs.sparkSession, col("norm")).as("grams"))
-    val keyed = withGrams.select("id", "bucket")
-    val l = keyed.select(col("bucket"), col("id").as("id_a"))
-    val r = keyed.select(col("bucket"), col("id").as("id_b"))
-    val candidates = l.join(r, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    hasher match {
+      case XxHash =>
+        normed.select(col("id"),
+          graft.functions.NativeExpressions.charGramHashes(docs.sparkSession, col("norm")).as("grams"))
+      case h =>
+        normed.select(col("id"), charGrams(col("norm"), n).as("gs"))
+          .select(col("id"), transform(col("gs"), g => h(g)).as("grams"))
+    }
+  }
+
+  /** Character n-gram Jaccard near-dup. Candidates come from MinHash band
+    * keys over the gram hashes — NOT a text-prefix bucket: boilerplate-
+    * heavy corpora (shared "<!DOCTYPE html…" openings, the common case in
+    * web/LLM data) collapse a prefix bucket into one giant quadratic
+    * bucket, while band keys depend on the whole gram set (VERDICT r02 #3).
+    */
+  def ngramJaccardNearDups(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int = 4, threshold: Double = 0.7,
+                           hasher: HashFamily = XxHash,
+                           numHashes: Int = 12, rowsPerBand: Int = 2): DataFrame = {
+    val withGrams = withGramHashes(docs, idCol, textCol, n, hasher)
+    val sig = withGrams
+      .select((col("id") +: minhashSignatures(col("grams"), numHashes, hasher)): _*)
+    val candidates = bandedCandidates(sig, numHashes, rowsPerBand, hasher)
     candidates
       .join(withGrams.select(col("id").as("id_a"), col("grams").as("g_a")), Seq("id_a"))
       .join(withGrams.select(col("id").as("id_b"), col("grams").as("g_b")), Seq("id_b"))
@@ -217,25 +334,76 @@ object Dedup {
       exactDedup(corpus).orderBy("keep_id")
     },
     // MinHash+LSH near-dups on the planted corpus: must recover all 20
-    // planted pairs (high-Jaccard mutations) — rows-only driver check plus
-    // the ScalaTest recall assertion.
+    // planted pairs (high-Jaccard mutations). The gated queries run the
+    // md5 hash family so DuckDB replicates shingle→minhash→band→Jaccard
+    // END-TO-END (full rows+schema+hash oracle); the xxhash64 fast path is
+    // covered by the bit-equality + recall ScalaTests.
     "q_dedup_minhash" -> { (s, d) =>
-      minhashNearDups(plantedCorpus(Tables.documents(s, d)), "doc_id", "text")
+      minhashNearDups(plantedCorpus(Tables.documents(s, d)), "doc_id", "text",
+          hasher = Md5Hash)
         .orderBy("id_a", "id_b")
     },
     "q_dedup_simhash" -> { (s, d) =>
-      simhashNearDups(plantedCorpus(Tables.documents(s, d)), "doc_id", "text", maxHamming = 6)
+      simhashNearDups(plantedCorpus(Tables.documents(s, d)), "doc_id", "text",
+          maxHamming = 6, hasher = Md5Hash)
         .orderBy("id_a", "id_b")
     },
     "q_dedup_ngram" -> { (s, d) =>
-      ngramJaccardNearDups(plantedCorpus(Tables.documents(s, d)), "doc_id", "text")
+      ngramJaccardNearDups(plantedCorpus(Tables.documents(s, d)), "doc_id", "text",
+          hasher = Md5Hash)
         .orderBy("id_a", "id_b")
     }
   )
 
-  /** Only exact dedup is DuckDB-expressible 1:1; the near-dup pipelines
-    * hinge on Spark's xxhash64 (no DuckDB equivalent) → rows-only checks.
-    */
+  // ===== DuckDB oracle SQL (generated — mirrors the md5 hash family) =====
+
+  /** DuckDB rendering of [[Md5Hash]] over a single string expression. */
+  private def h64(x: String): String =
+    s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
+
+  /** DuckDB rendering of Md5Hash(lit(seed), longCol). */
+  private def h64Seeded(seed: Int, h: String): String =
+    h64(s"concat_ws(':', '$seed', CAST($h AS VARCHAR))")
+
+  /** Planted corpus + tokens, shared by the three near-dup oracles. */
+  private val corpusToksSql =
+    """corpus AS (
+      | SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 10000000 AS doc_id, text || ' appended' AS text
+      | FROM documents WHERE doc_id < 20),
+      |toks AS (
+      | SELECT doc_id AS id,
+      |  list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+      | FROM corpus)""".stripMargin
+
+  /** Banded self-join candidates: sig must expose id, mh_0..mh_{n-1}. */
+  private def candidatesSql(numHashes: Int, rowsPerBand: Int): String = {
+    val bands = numHashes / rowsPerBand
+    val bandSelects = (0 until bands).map { b =>
+      val mhs = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => s"CAST(mh_$i AS VARCHAR)").mkString(", ")
+      s"SELECT id, $b AS band, ${h64(s"concat_ws(':', '$b', $mhs)")} AS key FROM sig"
+    }.mkString("\n UNION ALL\n ")
+    s"""banded AS (
+       | $bandSelects),
+       |candidates AS (
+       | SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       | FROM banded a JOIN banded b USING (band, key)
+       | WHERE a.id < b.id)""".stripMargin
+  }
+
+  private def minhashSigSql(numHashes: Int): String = {
+    val sigs = (0 until numHashes).map { seed =>
+      s"list_min(list_transform(hs, h -> ${h64Seeded(seed, "h")})) AS mh_$seed"
+    }.mkString(",\n  ")
+    s"sig AS (\n SELECT id,\n  $sigs\n FROM hs)"
+  }
+
+  private val jaccardSql =
+    """round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+      | CAST(len(list_distinct(list_concat(a.hs, b.hs))) AS DOUBLE), 6)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       """WITH corpus AS (
@@ -244,6 +412,81 @@ object Dedup {
         | SELECT doc_id + 10000000, text FROM documents WHERE doc_id < 20)
         |SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
         | min(doc_id) AS keep_id, count(*) AS n_copies
-        |FROM corpus GROUP BY 1 ORDER BY keep_id""".stripMargin
+        |FROM corpus GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    // tokens → 3-gram shingles → md5-hash64 → 16 minhash sigs → 8 bands of
+    // 2 → candidate pairs → exact Jaccard ≥ 0.5 over the hash sets.
+    "q_dedup_minhash" -> {
+      s"""WITH $corpusToksSql,
+         |shs AS (
+         | SELECT id, list_distinct(
+         |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |       ELSE list_transform(range(1, len(toks) - 1),
+         |              i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END) AS shs
+         | FROM toks),
+         |hs AS (SELECT id, list_transform(shs, sh -> ${h64("sh")}) AS hs FROM shs),
+         |${minhashSigSql(16)},
+         |${candidatesSql(16, 2)}
+         |SELECT c.id_a, c.id_b, $jaccardSql AS jaccard
+         |FROM candidates c
+         |JOIN hs a ON c.id_a = a.id
+         |JOIN hs b ON c.id_b = b.id
+         |WHERE $jaccardSql >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // tokens → md5-hash64 per token (multiplicity kept) → 32-bit majority
+    // vote → 7 pigeonhole chunks → candidates → Hamming ≤ 6.
+    "q_dedup_simhash" -> {
+      val bits = 32
+      val simExpr = (0 until bits).map { b =>
+        s"CASE WHEN list_sum(list_transform(ths, h -> ((h >> $b) & 1) * 2 - 1)) > 0 THEN ${1L << b} ELSE 0 END"
+      }.mkString("(", "\n  + ", ")")
+      // chunk layout must mirror simhashBandCols(bits=32, maxHamming=6):
+      // sizes [5,5,5,5,4,4,4], offsets 0,5,10,15,20,24,28
+      val chunks = Seq((0, 5), (5, 5), (10, 5), (15, 5), (20, 4), (24, 4), (28, 4))
+      val bandSelects = chunks.zipWithIndex.map { case ((off, sz), i) =>
+        s"SELECT id, sim, $i AS band, (sim >> $off) & ${(1L << sz) - 1} AS key FROM sh"
+      }.mkString("\n UNION ALL\n ")
+      s"""WITH $corpusToksSql,
+         |ths AS (SELECT id, list_transform(toks, t -> ${h64("t")}) AS ths FROM toks),
+         |sh AS (SELECT id, CAST($simExpr AS BIGINT) AS sim FROM ths),
+         |banded AS (
+         | $bandSelects),
+         |pairs AS (
+         | SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |  CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+         | FROM banded a JOIN banded b USING (band, key)
+         | WHERE a.id < b.id)
+         |SELECT id_a, id_b, hamming FROM pairs
+         |WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // normalize → distinct char 4-grams → md5-hash64 → 12 minhash sigs →
+    // 6 bands of 2 → candidates → exact Jaccard ≥ 0.7 over the gram sets.
+    "q_dedup_ngram" -> {
+      s"""WITH corpus AS (
+         | SELECT doc_id, text FROM documents
+         | UNION ALL
+         | SELECT doc_id + 10000000 AS doc_id, text || ' appended' AS text
+         | FROM documents WHERE doc_id < 20),
+         |normed AS (
+         | SELECT doc_id AS id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+         | FROM corpus),
+         |gs AS (
+         | SELECT id, list_distinct(list_transform(
+         |  range(1, greatest(length(norm) - 3, 1) + 1),
+         |  i -> substr(norm, CAST(i AS INTEGER), 4))) AS gs
+         | FROM normed),
+         |hs AS (SELECT id, list_transform(gs, g -> ${h64("g")}) AS hs FROM gs),
+         |${minhashSigSql(12)},
+         |${candidatesSql(12, 2)}
+         |SELECT c.id_a, c.id_b, $jaccardSql AS jaccard
+         |FROM candidates c
+         |JOIN hs a ON c.id_a = a.id
+         |JOIN hs b ON c.id_b = b.id
+         |WHERE $jaccardSql >= 0.7
+         |ORDER BY id_a, id_b""".stripMargin
+    }
   )
 }

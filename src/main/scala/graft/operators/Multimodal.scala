@@ -90,11 +90,18 @@ object Multimodal {
       """SELECT doc_id AS media_id, 'text/plain' AS mime,
         | octet_length(encode(text)) AS n_bytes, md5(text) AS checksum
         |FROM documents ORDER BY media_id""".stripMargin,
-    // the fake decoder's byte features are plain SQL over the same bytes
+    // the fake decoder's byte features are plain SQL over the same bytes;
+    // first/last byte extracted OCTET-level via hex(encode(..)) so the
+    // oracle agrees with the decoder on non-ASCII text too ('ü' → 195,
+    // the first UTF-8 byte, not the 252 code point ascii() would give)
     "q_mm_features" ->
-      """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
-        | CASE WHEN length(text)=0 THEN -1 ELSE ascii(substr(text,1,1)) END AS first_byte,
-        | CASE WHEN length(text)=0 THEN -1 ELSE ascii(substr(text,length(text),1)) END AS last_byte
-        |FROM documents ORDER BY media_id""".stripMargin
+      """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |            hex(encode(text)) AS hx FROM documents)
+        |SELECT doc_id AS media_id, n_bytes,
+        | CASE WHEN length(hx)=0 THEN -1
+        |      ELSE CAST('0x' || substr(hx, 1, 2) AS INTEGER) END AS first_byte,
+        | CASE WHEN length(hx)=0 THEN -1
+        |      ELSE CAST('0x' || substr(hx, length(hx)-1, 2) AS INTEGER) END AS last_byte
+        |FROM b ORDER BY media_id""".stripMargin
   )
 }

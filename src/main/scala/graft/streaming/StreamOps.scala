@@ -220,9 +220,13 @@ object StreamOps {
       val evs = Tables.events(s, d)
         .withColumn("ts", date_trunc("second", col("ts")))
         .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        // >= gap matches session_window's half-open [start, start+gap)
+        // windows: an event exactly `gap` after the previous one opens a
+        // new session in BOTH formulations (batch/stream equality must
+        // hold on exact-boundary gaps too).
         .withColumn("new_sess",
           when(col("prev_ts").isNull ||
-            (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 1800, 1)
+            (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) >= 1800, 1)
             .otherwise(0))
         .withColumn("sess_no", sum(col("new_sess")).over(byUser))
       evs.groupBy("user_id", "sess_no")
@@ -281,7 +285,7 @@ object StreamOps {
         |g AS (
         | SELECT user_id, ts,
         |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |        OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+        |        OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800
         |       THEN 1 ELSE 0 END AS new_sess
         | FROM e),
         |s AS (
@@ -312,7 +316,7 @@ object StreamOps {
         |g AS (
         | SELECT user_id, ts,
         |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |        OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+        |        OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800
         |       THEN 1 ELSE 0 END AS new_sess
         | FROM e),
         |s AS (
