@@ -1,8 +1,8 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import graft.functions.{ScoredId, TopKPairAggregator}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (builder brief): brute-force
@@ -11,13 +11,29 @@ import org.apache.spark.sql.functions._
   *
   * Scale posture: the query set is broadcast (queries ≪ corpus), so
   * brute-force is one map-side pass over the corpus — no shuffle until the
-  * per-query top-k aggregation, which carries k rows per partition per
-  * query. The LSH variant prunes the scan itself: corpus and queries are
-  * bucketed by sign-bit keys and joined per bucket, an IVF-style inverted
-  * index. Dot products run through `zip_with`+`aggregate` (sequential fold
-  * → deterministic, codegen'd, no UDF).
+  * per-query top-k aggregation, which is the k-bounded TopKPairAggregator
+  * (at most k (sim, id) pairs per query per task through the shuffle;
+  * nothing fully sorted — the r02 row_number window shuffled every scored
+  * candidate into #queries partitions, skew-by-construction). The LSH
+  * variant prunes the scan itself: corpus and queries are bucketed by
+  * sign-bit keys and joined per bucket, an IVF-style inverted index. Dot
+  * products run through `zip_with`+`aggregate` (sequential fold →
+  * deterministic, codegen'd, no UDF).
   */
 object Similarity {
+
+  /** Rank the scored set (query_id, corpus_id, sim) down to k rows per
+    * query via the bounded aggregator; ties broken by corpus id. Output
+    * matches the window formulation row-for-row (rank = 1..k, sim desc).
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new TopKPairAggregator(k), Encoders.product[ScoredId])
+    scored.groupBy("query_id")
+      .agg(topk(col("sim"), col("corpus_id").cast("long")).as("tops"))
+      .select(col("query_id"), posexplode(col("tops")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.id").as("corpus_id"), col("t.sim").as("sim"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
 
   /** Cosine similarity of two float vectors, computed in double with a
     * fixed (sequential) summation order.
@@ -31,7 +47,8 @@ object Similarity {
   }
 
   /** Exact top-k by cosine per query: broadcast queries × corpus scan,
-    * window-ranked. Ties broken by corpus id for determinism.
+    * ranked by the k-bounded aggregator. Ties broken by corpus id for
+    * determinism.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      cosineFn: (Column, Column) => Column = cosine): DataFrame = {
@@ -40,8 +57,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .select(col("query_id"), col("corpus_id"),
         round(cosineFn(col("q_emb"), col("c_emb")), 6).as("sim"))
-    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKPerQuery(scored, k)
   }
 
   /** Sign-LSH bucket key: the sign bits of `nBits` fixed coordinates —
@@ -65,8 +81,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .select(col("query_id"), col("corpus_id"),
         round(cosineFn(col("q_emb"), col("c_emb")), 6).as("sim"))
-    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKPerQuery(scored, k)
   }
 
   /** IVF coarse index: per-cluster centroids as position-wise exact means
@@ -86,26 +101,35 @@ object Similarity {
       .select(col("label"), transform(col("pc"), p => p.getField("c")).as("centroid"))
   }
 
-  /** IVF top-k: assign each query to its nearest centroid (argmax cosine,
-    * label-ordered tie-break), then exact cosine only within that
-    * cluster's inverted list.
+  /** IVF top-k: assign each query to its `nprobe` nearest centroids
+    * (cosine desc, label-ordered tie-break), then exact cosine only within
+    * those clusters' inverted lists. `nprobe` is the standard IVF recall
+    * knob: 1 = fastest/coarsest; raising it widens the probed fraction of
+    * the corpus toward brute-force recall (ScaleSpec asserts ≥ 0.95 recall
+    * vs brute force at nprobe = 2 on the clustered test corpus).
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nprobe: Int = 1): DataFrame = {
     val cents = centroids(corpus)
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val assigned = q.crossJoin(broadcast(cents))
-      .select(col("query_id"), col("q_emb"), col("label"),
+      .select(col("query_id"), col("label"),
         round(cosine(col("q_emb"), col("centroid")), 6).as("csim"))
-    val wAssign = Window.partitionBy("query_id").orderBy(desc("csim"), col("label"))
-    val probe = assigned.withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1).select("query_id", "q_emb", "label")
+    // nprobe nearest centroids per query via the same bounded aggregator
+    // (centroid count is small, but the pattern stays k-bounded at any
+    // query cardinality — no per-query window sort)
+    val topc = udaf(new TopKPairAggregator(nprobe), Encoders.product[ScoredId])
+    val probe = assigned.groupBy("query_id")
+      .agg(topc(col("csim"), col("label").cast("long")).as("tops"))
+      .select(col("query_id"), explode(col("tops")).as("t"))
+      .select(col("query_id"), col("t.id").cast("int").as("label"))
+      .join(broadcast(q), Seq("query_id"))
     val c = corpus.select(col("vec_id").as("corpus_id"),
       col("embedding").as("c_emb"), col("label"))
     val scored = c.join(broadcast(probe), Seq("label"))
       .select(col("query_id"), col("corpus_id"),
         round(cosine(col("q_emb"), col("c_emb")), 6).as("sim"))
-    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKPerQuery(scored, k)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

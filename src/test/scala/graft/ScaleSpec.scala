@@ -47,6 +47,71 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("similarity top-k plans contain no window over the scored set") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") < 5)
+    for (df <- Seq(
+        graft.operators.Similarity.bruteForceTopK(q, emb, 5),
+        graft.operators.Similarity.lshTopK(q, emb, 5),
+        graft.operators.Similarity.ivfTopK(q, emb, 5))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"scored-set ranking must be the k-bounded aggregator, not a window:\n$plan")
+    }
+  }
+
+  test("topk pair aggregator is partitioning-invariant and tie-deterministic") {
+    import org.apache.spark.sql.functions.udaf
+    import org.apache.spark.sql.Encoders
+    val top3 = udaf(new graft.functions.TopKPairAggregator(3),
+      Encoders.product[graft.functions.ScoredId])
+    // planted ties: every value duplicated across two ids — the aggregator
+    // must pick the lower id first, at any partitioning
+    val rows = Seq.tabulate(40)(i => (i % 2, (i / 2 % 5).toDouble, i.toLong))
+    def run(parts: Int) = {
+      import spark.implicits._
+      rows.toDF("g", "sim", "id").repartition(parts)
+        .groupBy("g").agg(top3(col("sim"), col("id")).as("tops"))
+        .collect().map(r => (r.getInt(0), r.getSeq[org.apache.spark.sql.Row](1)
+          .map(t => (t.getDouble(0), t.getLong(1))))).toMap
+    }
+    val a = run(1); val b = run(7)
+    assert(a == b && a.nonEmpty)
+    a.values.foreach { tops =>
+      assert(tops.size == 3)
+      // sim descending, id ascending within equal sim
+      assert(tops == tops.sortBy { case (s, id) => (-s, id) })
+    }
+  }
+
+  test("IVF multi-probe reaches >= 0.95 recall vs brute force at nprobe=2") {
+    // The testdata embeddings are uniform-random (within-label cosine ==
+    // across-label == ~0), so NO coarse index can beat the probed-fraction
+    // recall floor there — IVF's contract assumes the label column is a
+    // real cluster assignment. Plant one: 10 well-separated clusters, 60
+    // points each, queries perturbed from corpus points.
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val dim = 16
+    val centers = Array.fill(10)(Array.fill(dim)(rng.nextGaussian().toFloat))
+    val corpus = (0 until 600).map { i =>
+      val lab = i % 10
+      val e = centers(lab).map(v => v + 0.15f * rng.nextGaussian().toFloat)
+      (i.toLong, e.toSeq, lab)
+    }.toDF("vec_id", "embedding", "label")
+    val queries = corpus.filter(col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(graft.operators.Similarity.bruteForceTopK(queries, corpus, 5))
+    val ivf1 = pairs(graft.operators.Similarity.ivfTopK(queries, corpus, 5))
+    val ivf2 = pairs(graft.operators.Similarity.ivfTopK(queries, corpus, 5, nprobe = 2))
+    val r1 = (brute intersect ivf1).size.toDouble / brute.size
+    val r2 = (brute intersect ivf2).size.toDouble / brute.size
+    assert(r2 >= 0.95, s"IVF nprobe=2 recall $r2")
+    assert(r2 >= r1, s"widening the probe must not lose recall ($r1 -> $r2)")
+  }
+
   test("star fact plan keeps every dimension join broadcast") {
     val plan = graft.operators.StarPipeline.fact(spark, sfDir)
       .queryExecution.executedPlan.toString
