@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import Relational.{sumDec, sumDecSql}
@@ -45,6 +46,49 @@ object Analytics {
        | FROM $table)
        |SELECT (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) AS "corr"
        |FROM m""".stripMargin
+
+  /** Exact percentiles WITHOUT buffering values (the quality-gate /
+    * quartile scale path): Spark's exact `percentile` aggregate holds
+    * every value of the group in one buffer — an executor OOM at 100 TB.
+    * Same result in bounded steps: (1) groupBy value — the shuffle
+    * carries (value, count) pairs after the map-side combine, bounded by
+    * value cardinality, not row count; (2) cumulative + total counts over
+    * the sorted DISTINCT values (one unpartitioned window, value-
+    * cardinality-sized — same argument as Star.buildDim's dimension
+    * window); (3) the `percentile` aggregate's own interpolation,
+    * (higher−pos)·lower + (pos−lower)·higher at pos = p·(n−1), evaluated
+    * from the two boundary order statistics. Output: one row, one double
+    * column per requested (name, p).
+    */
+  def exactPercentiles(df: DataFrame, valueCol: String,
+                       ps: Seq[(String, Double)]): DataFrame = {
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = counts
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+    def pos(p: Double) = lit(p) * (col("n").cast("double") - 1)
+    val aggCols = ps.flatMap { case (name, p) =>
+      Seq(
+        min(when(col("cum") >= floor(pos(p)) + 1, col("v"))).as(s"__lo_$name"),
+        min(when(col("cum") >= ceil(pos(p)) + 1, col("v"))).as(s"__hi_$name"))
+    } :+ max(col("n")).as("__n")
+    val outCols = ps.map { case (name, p) =>
+      val rn = lit(p) * (col("__n").cast("double") - 1)
+      val lower = floor(rn)
+      val higher = ceil(rn)
+      when(lower === higher, col(s"__lo_$name"))
+        .otherwise((higher - rn) * col(s"__lo_$name") +
+          (rn - lower) * col(s"__hi_$name"))
+        .as(name)
+    }
+    cum.agg(aggCols.head, aggCols.tail: _*).select(outCols: _*)
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A8 — correlation (exact-moment Pearson).

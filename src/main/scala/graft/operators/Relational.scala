@@ -239,16 +239,14 @@ object Relational {
         (sumDec(col("l_quantity")) / count(lit(1))).as("mean_qty"))
     },
 
-    // A6 — exact quartiles via the exact `percentile` aggregate (SURVEY
-    // §7.5 excluded approx `summary()` quartiles from oracles; the exact
-    // aggregate is oracle-safe). Exact percentile sorts per group — fine
-    // for global stats; for per-key quantiles at 100 TB use
-    // approx_percentile and skip the oracle.
+    // A6 — exact quartiles via the distributed percentile (value-count
+    // shuffle + interpolation, Analytics.exactPercentiles) — matches the
+    // builtin exact `percentile` aggregate value-for-value WITHOUT its
+    // all-values-in-one-buffer memory profile (the builtin buffers every
+    // group value — an executor OOM at 100 TB).
     "q_a6_quartiles" -> { (s, d) =>
-      Tables.lineitem(s, d).agg(
-        expr("percentile(l_quantity, 0.25)").as("q1"),
-        expr("percentile(l_quantity, 0.5)").as("q2"),
-        expr("percentile(l_quantity, 0.75)").as("q3"))
+      Analytics.exactPercentiles(Tables.lineitem(s, d), "l_quantity",
+        Seq("q1" -> 0.25, "q2" -> 0.5, "q3" -> 0.75))
     },
 
     // A6 — categorical describe (count / unique / top / freq — the

@@ -193,12 +193,14 @@ object TextAnalysis {
         .orderBy("lang")
     },
     // Percentile-threshold quality filtering: drop the bottom decile by
-    // mean-token-length (the quality-gate shape: exact percentile scalar,
-    // broadcast back as a filter).
+    // mean-token-length. The threshold comes from the DISTRIBUTED exact
+    // percentile (value-count shuffle + interpolation — nothing buffers
+    // all values; Analytics.exactPercentiles) and is broadcast back as a
+    // scalar filter.
     "q_quality_filter" -> { (s, d) =>
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), round(meanTokenLen(col("text")), 6).as("mtl"))
-      val p10 = docs.agg(expr("percentile(mtl, 0.1)").as("thr"))
+      val p10 = Analytics.exactPercentiles(docs, "mtl", Seq("thr" -> 0.1))
       docs.crossJoin(broadcast(p10))
         .filter(col("mtl") >= col("thr"))
         .agg(count(lit(1)).as("kept"),

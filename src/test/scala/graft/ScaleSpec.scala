@@ -112,6 +112,25 @@ class ScaleSpec extends SparkSpec {
     assert(r2 >= r1, s"widening the probe must not lose recall ($r1 -> $r2)")
   }
 
+  test("distributed exact percentile is bit-identical to the builtin aggregate") {
+    // l_extendedprice is high-cardinality → positions interpolate between
+    // two DIFFERENT order statistics (the formula-sensitive case)
+    val li = Tables.lineitem(spark, sfDir)
+    val mine = graft.operators.Analytics.exactPercentiles(li, "l_extendedprice",
+      Seq("p10" -> 0.1, "p50" -> 0.5, "p90" -> 0.9)).collect()(0)
+    val ref = li.agg(
+      expr("percentile(l_extendedprice, 0.1)"),
+      expr("percentile(l_extendedprice, 0.5)"),
+      expr("percentile(l_extendedprice, 0.9)")).collect()(0)
+    for (i <- 0 until 3)
+      assert(mine.getDouble(i) == ref.getDouble(i),
+        s"p($i): ${mine.getDouble(i)} vs builtin ${ref.getDouble(i)}")
+    // and the plan must NOT contain the all-values-in-memory aggregate
+    val plan = graft.operators.Analytics.exactPercentiles(li, "l_extendedprice",
+      Seq("p50" -> 0.5)).queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("percentile"), s"builtin percentile in plan:\n$plan")
+  }
+
   test("star fact plan keeps every dimension join broadcast") {
     val plan = graft.operators.StarPipeline.fact(spark, sfDir)
       .queryExecution.executedPlan.toString
