@@ -128,15 +128,87 @@ object NativeExpressions {
     }
   }
 
+  /** The two 64-bit base-hash flavors shared by the single-pass text
+    * hashing expressions: Spark's XXH64 (seed 42, the fast default) and
+    * the md5-derived 60-bit value of [[graft.operators.Dedup.Md5Hash]]
+    * (first 15 hex chars of md5 → BIGINT, identical in DuckDB). The md5
+    * flavor exists because the interpreted `conv(substr(md5(...)))`
+    * expression tree costs ~10 µs per element inside a HOF lambda —
+    * measured 40+ s over the sf0.1 gram pipeline vs ~2 s in this loop.
+    */
+  object Hash64Util {
+    private val tlMd5 = new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+    def xx(s: UTF8String): Long = XxHash64Function.hash(s, StringType, 42L)
+    /** First 15 hex chars of md5 == top 60 bits of the big-endian first 8
+      * digest bytes.
+      */
+    def md5_60(s: UTF8String): Long = {
+      val md = tlMd5.get(); md.reset()
+      val d = md.digest(s.getBytes)
+      val be =
+        ((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) |
+        ((d(2) & 0xFFL) << 40) | ((d(3) & 0xFFL) << 32) |
+        ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
+        ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)
+      be >>> 4
+    }
+    def hash(s: UTF8String, md5: Boolean): Long = if (md5) md5_60(s) else xx(s)
+  }
+
+  /** Per-element 64-bit hashes of a string array (multiplicity and order
+    * preserved — the SimHash vote needs repeats): one pass, no interpreted
+    * per-element lambda.
+    */
+  case class StringArrayHashes(child: Expression, md5: Boolean)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case t =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"token_hashes expects array<string>, got $t")
+      }
+
+    override def nullSafeEval(input: Any): Any =
+      StringArrayHashesUtil.hashes(input.asInstanceOf[ArrayData], md5)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val util = StringArrayHashesUtil.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $util.hashes($a, $md5);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): StringArrayHashes =
+      copy(child = newChild)
+  }
+
+  object StringArrayHashesUtil {
+    def hashes(arr: ArrayData, md5: Boolean): ArrayData = {
+      val n = arr.numElements()
+      val out = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        out(i) = Hash64Util.hash(arr.getUTF8String(i), md5)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
   /** Word-n-gram shingle hashes in one pass: for each window of `n`
     * tokens, hash the space-joined shingle exactly as
     * `xxhash64(concat_ws(" ", slice(toks, i, n)))` would (UTF8String
     * concatWs + XXH64 seed 42 — asserted bit-equal to the HOF path in
     * tests), deduped keeping first occurrence (array_distinct semantics).
-    * Avoids materializing shingle strings as a column: the downstream
-    * minhash/Jaccard pipeline runs on longs.
+    * `md5 = true` switches the element hash to the cross-engine md5-60
+    * flavor. Avoids materializing shingle strings as a column: the
+    * downstream minhash/Jaccard pipeline runs on longs.
     */
-  case class ShingleHashes(child: Expression, n: Int = 3)
+  case class ShingleHashes(child: Expression, n: Int = 3, md5: Boolean = false)
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -149,11 +221,11 @@ object NativeExpressions {
       }
 
     override def nullSafeEval(input: Any): Any =
-      ShingleUtil.shingleHashes(input.asInstanceOf[ArrayData], n)
+      ShingleUtil.shingleHashes(input.asInstanceOf[ArrayData], n, md5)
 
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val util = ShingleUtil.getClass.getName.stripSuffix("$") + "$.MODULE$"
-      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $util.shingleHashes($a, $n);")
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $util.shingleHashes($a, $n, $md5);")
     }
 
     override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
@@ -162,7 +234,7 @@ object NativeExpressions {
 
   object ShingleUtil {
     private val sep = UTF8String.fromString(" ")
-    def shingleHashes(toks: ArrayData, n: Int): ArrayData = {
+    def shingleHashes(toks: ArrayData, n: Int, md5: Boolean): ArrayData = {
       val num = toks.numElements()
       val seen = new java.util.LinkedHashSet[java.lang.Long]()
       if (num < n) {
@@ -171,7 +243,7 @@ object NativeExpressions {
         var i = 0
         while (i < num) { parts(i) = toks.getUTF8String(i); i += 1 }
         val sh = UTF8String.concatWs(sep, parts: _*)
-        seen.add(XxHash64Function.hash(sh, StringType, 42L))
+        seen.add(Hash64Util.hash(sh, md5))
       } else {
         var i = 0
         val parts = new Array[UTF8String](n)
@@ -179,7 +251,7 @@ object NativeExpressions {
           var j = 0
           while (j < n) { parts(j) = toks.getUTF8String(i + j); j += 1 }
           val sh = UTF8String.concatWs(sep, parts: _*)
-          seen.add(XxHash64Function.hash(sh, StringType, 42L))
+          seen.add(Hash64Util.hash(sh, md5))
           i += 1
         }
       }
@@ -196,7 +268,7 @@ object NativeExpressions {
     * asserted in tests), deduped keeping first occurrence. Short strings
     * (< n chars) yield the single whole-string gram.
     */
-  case class CharGramHashes(child: Expression, n: Int = 4)
+  case class CharGramHashes(child: Expression, n: Int = 4, md5: Boolean = false)
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -209,11 +281,11 @@ object NativeExpressions {
       }
 
     override def nullSafeEval(input: Any): Any =
-      CharGramUtil.gramHashes(input.asInstanceOf[UTF8String], n)
+      CharGramUtil.gramHashes(input.asInstanceOf[UTF8String], n, md5)
 
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val util = CharGramUtil.getClass.getName.stripSuffix("$") + "$.MODULE$"
-      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $util.gramHashes($a, $n);")
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $util.gramHashes($a, $n, $md5);")
     }
 
     override protected def withNewChildInternal(newChild: Expression): CharGramHashes =
@@ -221,20 +293,152 @@ object NativeExpressions {
   }
 
   object CharGramUtil {
-    def gramHashes(s: UTF8String, n: Int): ArrayData = {
+    def gramHashes(s: UTF8String, n: Int, md5: Boolean): ArrayData = {
       val total = s.numChars()
       val count = math.max(total - n + 1, 1)
       val seen = new java.util.LinkedHashSet[java.lang.Long]()
       var i = 1
       while (i <= count) {
         val gram = s.substringSQL(i, n)
-        seen.add(XxHash64Function.hash(gram, StringType, 42L))
+        seen.add(Hash64Util.hash(gram, md5))
         i += 1
       }
       val out = new Array[Long](seen.size)
       val it = seen.iterator(); var k = 0
       while (it.hasNext) { out(k) = it.next(); k += 1 }
       new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
+  /** Seed constant for [[MinHashSigs]]' xor-shift mixer: golden-ratio
+    * multiples masked to 59 bits. Computed HOST-side (Scala), so the
+    * engines only ever evaluate overflow-free xor/shift — DuckDB BIGINT
+    * arithmetic errors on overflow instead of wrapping, which rules out
+    * multiplicative hashing inside the query.
+    */
+  def mixKey(seed: Int): Long =
+    (0x9E3779B97F4A7C15L * (seed + 1)) & 0x07FFFFFFFFFFFFFFL
+
+  /** Seed-mix used to derive per-seed minhashes from a base 64-bit hash:
+    *
+    *   x  = h ^ K(seed);  x ^= x >>> 29
+    *   y  = ((x & 0xFFFFFFFF) << 28) | ((x >>> 32) & 0x0FFFFFFF)
+    *
+    * The final HALF-SWAP is load-bearing: with xor/shift alone the top
+    * bits of the mixed value equal the top bits of `h` for EVERY seed (K
+    * is 59-bit; xor can't reach above it, >>> only moves bits down), so
+    * the per-seed minima all concentrate on the same elements — measured
+    * 8-14/16 seed agreement on 0.95-Jaccard pairs where ~15.2/16 is
+    * expected, silently killing banding recall. After the swap the
+    * comparison-dominant bits are x's low word, which mixes h's bits 0..60
+    * with seed bits everywhere. Only xor / logical shifts / bounded `<<`
+    * — every operand stays in 60 bits, so DuckDB BIGINT (errors on
+    * overflow, no wraparound multiply) computes the identical value.
+    */
+  object MinHashUtil {
+    def mix(h: Long, k: Long): Long = {
+      var x = h ^ k
+      x ^= (x >>> 29)
+      ((x & 0xFFFFFFFFL) << 28) | ((x >>> 32) & 0x0FFFFFFFL)
+    }
+    def sigs(arr: ArrayData, numHashes: Int): ArrayData = {
+      val out = new Array[Long](numHashes)
+      java.util.Arrays.fill(out, Long.MaxValue)
+      val n = arr.numElements()
+      var i = 0
+      while (i < n) {
+        val h = arr.getLong(i)
+        var s = 0
+        while (s < numHashes) {
+          val x = mix(h, mixKey(s))
+          if (x < out(s)) out(s) = x
+          s += 1
+        }
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
+  /** All `numHashes` MinHash signatures in ONE pass over the base-hash
+    * array (the per-seed HOF formulation re-walks the array per seed with
+    * an interpreted lambda — k× the traversals at ~100× the per-element
+    * cost; measured 80+ s on the sf0.1 ngram pipeline vs seconds here).
+    * Bit-equal to `array_min(transform(hs, mix(_, seed)))` per seed —
+    * asserted in tests.
+    */
+  case class MinHashSigs(child: Expression, numHashes: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(LongType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case t =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"minhash_sigs expects array<bigint>, got $t")
+      }
+
+    override def nullSafeEval(input: Any): Any =
+      MinHashUtil.sigs(input.asInstanceOf[ArrayData], numHashes)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val util = MinHashUtil.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $util.sigs($a, $numHashes);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
+      copy(child = newChild)
+  }
+
+  /** SimHash bit-majority vote over a PRE-HASHED long array in one pass
+    * (the HOF formulation is one interpreted aggregate traversal PER BIT —
+    * 32 walks; measured ~16 s on the sf0.1 md5-family pipeline). Bit-equal
+    * to [[graft.operators.Dedup.simhashFromHashes]] — asserted in tests
+    * ((h >>> b) & 1 == (h >> b) & 1 for every h, b < 63, so the vote is
+    * shift-flavor-independent).
+    */
+  case class SimHashFromHashes(child: Expression, bits: Int = 32)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(LongType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case t =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"simhash_from_hashes expects array<bigint>, got $t")
+      }
+
+    override def nullSafeEval(input: Any): Any =
+      SimHashFromHashesUtil.simhash(input.asInstanceOf[ArrayData], bits)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val util = SimHashFromHashesUtil.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $util.simhash($a, $bits);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): SimHashFromHashes =
+      copy(child = newChild)
+  }
+
+  object SimHashFromHashesUtil {
+    def simhash(arr: ArrayData, bits: Int): Long = {
+      val votes = new Array[Int](bits)
+      val n = arr.numElements()
+      var i = 0
+      while (i < n) {
+        val h = arr.getLong(i)
+        var b = 0
+        while (b < bits) {
+          votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+        i += 1
+      }
+      var out = 0L; var b = 0
+      while (b < bits) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+      out
     }
   }
 
@@ -248,7 +452,10 @@ object NativeExpressions {
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)),
       "built-in")
     reg.createOrReplaceTempFunction("simhash",
-      (children: Seq[Expression]) => SimHash64(children.head),
+      (children: Seq[Expression]) =>
+        if (children.length > 1)
+          SimHash64(children.head, children(1).eval().asInstanceOf[Int])
+        else SimHash64(children.head),
       "built-in")
     reg.createOrReplaceTempFunction("shingle_hashes",
       (children: Seq[Expression]) => ShingleHashes(children.head),
@@ -256,20 +463,57 @@ object NativeExpressions {
     reg.createOrReplaceTempFunction("char_gram_hashes",
       (children: Seq[Expression]) => CharGramHashes(children.head),
       "built-in")
+    reg.createOrReplaceTempFunction("minhash_sigs",
+      (children: Seq[Expression]) => MinHashSigs(children(0),
+        children(1).eval().asInstanceOf[Int]),
+      "built-in")
+    reg.createOrReplaceTempFunction("simhash_from_hashes",
+      (children: Seq[Expression]) =>
+        if (children.length > 1)
+          SimHashFromHashes(children.head, children(1).eval().asInstanceOf[Int])
+        else SimHashFromHashes(children.head),
+      "built-in")
+    reg.createOrReplaceTempFunction("shingle_hashes_md5",
+      (children: Seq[Expression]) => ShingleHashes(children.head, md5 = true),
+      "built-in")
+    reg.createOrReplaceTempFunction("char_gram_hashes_md5",
+      (children: Seq[Expression]) => CharGramHashes(children.head, md5 = true),
+      "built-in")
+    reg.createOrReplaceTempFunction("token_hashes_md5",
+      (children: Seq[Expression]) => StringArrayHashes(children.head, md5 = true),
+      "built-in")
   }
 
   /** Column-API entry points. */
   def cosineSim(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark); call_function("cosine_sim", a, b)
   }
-  def simhashNative(spark: SparkSession, toks: Column): Column = {
-    register(spark); call_function("simhash", toks)
+  def simhashNative(spark: SparkSession, toks: Column, bits: Int = 32): Column = {
+    register(spark)
+    call_function("simhash", toks, org.apache.spark.sql.functions.lit(bits))
   }
   def shingleHashes(spark: SparkSession, toks: Column): Column = {
     register(spark); call_function("shingle_hashes", toks)
   }
   def charGramHashes(spark: SparkSession, text: Column): Column = {
     register(spark); call_function("char_gram_hashes", text)
+  }
+  def minHashSigs(spark: SparkSession, hashes: Column, numHashes: Int): Column = {
+    register(spark)
+    call_function("minhash_sigs", hashes, org.apache.spark.sql.functions.lit(numHashes))
+  }
+  def simhashFromHashes(spark: SparkSession, hashes: Column, bits: Int = 32): Column = {
+    register(spark)
+    call_function("simhash_from_hashes", hashes, org.apache.spark.sql.functions.lit(bits))
+  }
+  def shingleHashesMd5(spark: SparkSession, toks: Column): Column = {
+    register(spark); call_function("shingle_hashes_md5", toks)
+  }
+  def charGramHashesMd5(spark: SparkSession, text: Column): Column = {
+    register(spark); call_function("char_gram_hashes_md5", text)
+  }
+  def tokenHashesMd5(spark: SparkSession, toks: Column): Column = {
+    register(spark); call_function("token_hashes_md5", toks)
   }
 }
 

@@ -69,36 +69,60 @@ object Dedup {
         .otherwise(transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
   }
 
-  /** id + shingle-hash array. XxHash routes through the native single-pass
-    * expression (bit-equal to `transform(shingles(toks), xxhash64)` —
-    * asserted in tests — without materializing shingle strings); Md5Hash
-    * materializes the shingle strings and hashes each via md5 (the
-    * cross-engine formulation).
+  /** id + shingle-hash array via the native single-pass expression —
+    * element hash xxhash64 (fast default) or md5-60 (cross-engine family),
+    * both asserted bit-equal to their HOF formulations in tests.
     */
   private def withShingleHashes(docs: DataFrame, idCol: String,
                                 textCol: String,
                                 hasher: HashFamily = XxHash): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
       TextAnalysis.tokens(col(textCol)).as("toks"))
-    hasher match {
+    val hs = hasher match {
       case XxHash =>
-        toks.select(col("id"),
-          graft.functions.NativeExpressions.shingleHashes(docs.sparkSession, col("toks")).as("hs"))
-      case h =>
-        toks.select(col("id"), shingles(col("toks")).as("shs"))
-          .select(col("id"), transform(col("shs"), sh => h(sh)).as("hs"))
+        graft.functions.NativeExpressions.shingleHashes(docs.sparkSession, col("toks"))
+      case Md5Hash =>
+        graft.functions.NativeExpressions.shingleHashesMd5(docs.sparkSession, col("toks"))
     }
+    toks.select(col("id"), hs.as("hs"))
+  }
+
+  /** Per-seed mix of a base hash (HOF formulation of
+    * [[graft.functions.NativeExpressions.MinHashUtil.mix]] — see its doc
+    * for why the final half-swap is load-bearing): overflow-free (DuckDB
+    * BIGINT errors on overflow, ruling out multiplicative hashing
+    * in-engine) and identical across Spark / generated Java / DuckDB.
+    * Deriving seeds by RE-HASHING (xxhash64(seed, h) or md5) costs
+    * numHashes× the base-hash work — measured 80+ s on the sf0.1 ngram
+    * pipeline vs seconds with the mix.
+    */
+  def mixHash(h: Column, seed: Int): Column = {
+    val k = graft.functions.NativeExpressions.mixKey(seed)
+    val x0 = h.bitwiseXOR(lit(k))
+    val x1 = x0.bitwiseXOR(shiftrightunsigned(x0, 29))
+    shiftleft(x1.bitwiseAND(lit(0xFFFFFFFFL)), 28)
+      .bitwiseOR(shiftrightunsigned(x1, 32).bitwiseAND(lit(0x0FFFFFFFL)))
   }
 
   /** One MinHash signature per seed over the materialized long-hash array:
-    * min over hash64(seed, h) — a 64-bit universal-hash family without
-    * per-seed string hashing.
+    * min over mix(h, seed). HOF reference formulation — the pipelines use
+    * the single-pass native [[graft.functions.NativeExpressions.MinHashSigs]]
+    * (asserted bit-equal in tests).
     */
-  def minhashSignatures(hashArr: Column, numHashes: Int,
-                        hasher: HashFamily = XxHash): Seq[Column] =
+  def minhashSignatures(hashArr: Column, numHashes: Int): Seq[Column] =
     (0 until numHashes).map { seed =>
-      array_min(transform(hashArr, h => hasher(lit(seed), h))).as(s"mh_$seed")
+      array_min(transform(hashArr, h => mixHash(h, seed))).as(s"mh_$seed")
     }
+
+  /** Signature frame (id, mh_0..mh_{n-1}) via the native one-pass
+    * expression over a (id, `hashCol`) frame.
+    */
+  private def sigFrame(base: DataFrame, hashCol: String, numHashes: Int): DataFrame =
+    base.select(col("id"),
+        graft.functions.NativeExpressions
+          .minHashSigs(base.sparkSession, col(hashCol), numHashes).as("sigs"))
+      .select((col("id") +: (0 until numHashes).map(i =>
+        element_at(col("sigs"), i + 1).as(s"mh_$i"))): _*)
 
   /** LSH band keys: the `numHashes` signatures grouped into bands of
     * `rowsPerBand`, each band hashed to one bucket key. Docs sharing any
@@ -123,18 +147,46 @@ object Dedup {
                        hasher: HashFamily = XxHash): DataFrame = {
     val bands = numHashes / rowsPerBand
     val keys = bandKeys(numHashes, rowsPerBand, hasher)
+    // persisted: the self-join reads `banded` twice, and each read would
+    // otherwise recompute the whole signature build upstream; rows are
+    // (id, band, key) — docs × bands, trivially small relative to input
     val banded = sig
       .select(col("id"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"), keys(b).as("key"))
         }: _*)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = banded.select(col("band"), col("key"), col("id").as("id_a"))
     val r = banded.select(col("band"), col("key"), col("id").as("id_b"))
     l.join(r, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Signature-agreement prefilter: keep candidate pairs whose minhash
+    * agreement count (an unbiased Jaccard estimate ×numHashes) clears
+    * `minAgree`. The exact verify then joins the heavy gram/shingle arrays
+    * only for surviving pairs — the arrays are ~100× the signature width,
+    * so this cuts the verify-join shuffle by that factor (measured: the
+    * array join over all 408k banded sf0.1 candidates dominated the ngram
+    * pipeline at ~18 s; the signature join passes ~2% of them through).
+    * A true pair at Jaccard j survives with P[Binom(numHashes, j) ≥
+    * minAgree] — ≥ 99.3% at the threshold with the default 0.2 slack.
+    */
+  private def agreementFilter(candidates: DataFrame, sig: DataFrame,
+                              numHashes: Int, minAgree: Int): DataFrame = {
+    val sa = sig.select((col("id").as("id_a") +:
+      (0 until numHashes).map(i => col(s"mh_$i").as(s"a_$i"))): _*)
+    val sb = sig.select((col("id").as("id_b") +:
+      (0 until numHashes).map(i => col(s"mh_$i").as(s"b_$i"))): _*)
+    val agree = (0 until numHashes)
+      .map(i => when(col(s"a_$i") === col(s"b_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    candidates.join(sa, "id_a").join(sb, "id_b")
+      .filter(agree >= minAgree)
+      .select("id_a", "id_b")
   }
 
   /** Exact Jaccard of two shingle arrays (the verify step on candidates). */
@@ -157,9 +209,13 @@ object Dedup {
                       numHashes: Int = 16, rowsPerBand: Int = 2,
                       threshold: Double = 0.5,
                       hasher: HashFamily = XxHash): DataFrame = {
+    // persisted: the hash frame feeds the signature build AND both verify
+    // joins — without it Spark re-tokenizes and re-hashes the corpus three
+    // times (measured ~3× the pipeline's hash cost at sf0.1). Disk-backed
+    // so a 100 TB corpus spills instead of thrashing executors.
     val base = withShingleHashes(docs, idCol, textCol, hasher)
-    val sig = base
-      .select((col("id") +: minhashSignatures(col("hs"), numHashes, hasher)): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = sigFrame(base, "hs", numHashes)
     val candidates = bandedCandidates(sig, numHashes, rowsPerBand, hasher)
     // exact-Jaccard verify over the HASH arrays (64-bit collisions are
     // negligible and longs shuffle/intersect far cheaper than strings)
@@ -199,11 +255,16 @@ object Dedup {
       TextAnalysis.tokens(col(textCol)).as("toks"))
     hasher match {
       case XxHash =>
-        toks.select(col("id"),
-          graft.functions.NativeExpressions.simhashNative(docs.sparkSession, col("toks")).as("sim"))
-      case h =>
-        toks.select(col("id"), transform(col("toks"), t => h(t)).as("ths"))
-          .select(col("id"), simhashFromHashes(col("ths"), bits).as("sim"))
+        toks.select(col("id"), graft.functions.NativeExpressions
+          .simhashNative(docs.sparkSession, col("toks"), bits).as("sim"))
+      case Md5Hash =>
+        // base token hashes from the cross-engine family (multiplicity
+        // kept), bit-vote through the one-pass natives — both interpreted
+        // per-element alternatives measured 10×+ slower at sf0.1
+        toks.select(col("id"), graft.functions.NativeExpressions
+            .tokenHashesMd5(docs.sparkSession, col("toks")).as("ths"))
+          .select(col("id"), graft.functions.NativeExpressions
+            .simhashFromHashes(docs.sparkSession, col("ths"), bits).as("sim"))
     }
   }
 
@@ -223,15 +284,21 @@ object Dedup {
     * the d+1 chunks keeps ≥ 8 key bits, or lower the radius per table and
     * union multiple hash tables.
     */
-  def simhashBandCols(sim: Column, bits: Int, maxHamming: Int): Seq[Column] = {
+  /** Chunk layout shared by [[simhashBandCols]] and the DuckDB oracle
+    * generator: (bit offset, width) of the `maxHamming + 1` chunks.
+    */
+  def simhashChunkLayout(bits: Int, maxHamming: Int): Seq[(Int, Int)] = {
     val chunks = maxHamming + 1
     val base = bits / chunks
     val extra = bits % chunks
     val sizes = Seq.tabulate(chunks)(i => base + (if (i < extra) 1 else 0))
     val offsets = sizes.scanLeft(0)(_ + _)
-    (0 until chunks).map { i =>
-      shiftrightunsigned(sim, offsets(i)).bitwiseAND(lit((1L << sizes(i)) - 1))
-        .as(s"chunk_$i")
+    offsets.zip(sizes)
+  }
+
+  def simhashBandCols(sim: Column, bits: Int, maxHamming: Int): Seq[Column] = {
+    simhashChunkLayout(bits, maxHamming).zipWithIndex.map { case ((off, sz), i) =>
+      shiftrightunsigned(sim, off).bitwiseAND(lit((1L << sz) - 1)).as(s"chunk_$i")
     }
   }
 
@@ -246,6 +313,8 @@ object Dedup {
         struct(lit(i).as("band"), c.as("key"))
       }: _*)).as("bk"))
       .select(col("id"), col("sim"), col("bk.band"), col("bk.key"))
+      // persisted: read twice by the self-join (see bandedCandidates)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = banded.select(col("band"), col("key"), col("id").as("id_a"), col("sim").as("sim_a"))
     val r = banded.select(col("band"), col("key"), col("id").as("id_b"), col("sim").as("sim_b"))
     l.join(r, Seq("band", "key"))
@@ -280,14 +349,13 @@ object Dedup {
     // would re-run per gram)
     val normed = docs.select(col(idCol).as("id"),
       lower(regexp_replace(col(textCol), "\\s+", " ")).as("norm"))
-    hasher match {
+    val grams = hasher match {
       case XxHash =>
-        normed.select(col("id"),
-          graft.functions.NativeExpressions.charGramHashes(docs.sparkSession, col("norm")).as("grams"))
-      case h =>
-        normed.select(col("id"), charGrams(col("norm"), n).as("gs"))
-          .select(col("id"), transform(col("gs"), g => h(g)).as("grams"))
+        graft.functions.NativeExpressions.charGramHashes(docs.sparkSession, col("norm"))
+      case Md5Hash =>
+        graft.functions.NativeExpressions.charGramHashesMd5(docs.sparkSession, col("norm"))
     }
+    normed.select(col("id"), grams.as("grams"))
   }
 
   /** Character n-gram Jaccard near-dup. Candidates come from MinHash band
@@ -299,12 +367,22 @@ object Dedup {
   def ngramJaccardNearDups(docs: DataFrame, idCol: String, textCol: String,
                            n: Int = 4, threshold: Double = 0.7,
                            hasher: HashFamily = XxHash,
-                           numHashes: Int = 12, rowsPerBand: Int = 2): DataFrame = {
+                           numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    // r=4, b=4 puts the LSH S-curve's steep point at (1/b)^(1/r) ≈ 0.707 —
+    // aligned with the 0.7 threshold. The r=2 banding caught 41% of ALL
+    // pairs as candidates on this corpus (measured: background char-4-gram
+    // Jaccard between unrelated docs averages 0.29 — shared vocabulary),
+    // which made the verify stage quadratic-ish; r=4 drops background
+    // collision to ~3%.
+    // persisted for the same three-way reuse as minhashNearDups' base
     val withGrams = withGramHashes(docs, idCol, textCol, n, hasher)
-    val sig = withGrams
-      .select((col("id") +: minhashSignatures(col("grams"), numHashes, hasher)): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = sigFrame(withGrams, "grams", numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = bandedCandidates(sig, numHashes, rowsPerBand, hasher)
-    candidates
+    val minAgree = math.ceil(numHashes * (threshold - 0.2)).toInt
+    val surviving = agreementFilter(candidates, sig, numHashes, minAgree)
+    surviving
       .join(withGrams.select(col("id").as("id_a"), col("grams").as("g_a")), Seq("id_a"))
       .join(withGrams.select(col("id").as("id_b"), col("grams").as("g_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -343,9 +421,14 @@ object Dedup {
           hasher = Md5Hash)
         .orderBy("id_a", "id_b")
     },
+    // 60-bit fingerprint: 32 bits saturate on a shared-vocabulary corpus
+    // (measured 13% of ALL sf0.1 pairs within d≤6 of 32 bits — not a
+    // near-dup criterion); d≤6 of 60 bits is discriminative, and 60 keeps
+    // every value non-negative so DuckDB's arithmetic >> matches the
+    // engine's logical shift.
     "q_dedup_simhash" -> { (s, d) =>
       simhashNearDups(plantedCorpus(Tables.documents(s, d)), "doc_id", "text",
-          maxHamming = 6, hasher = Md5Hash)
+          maxHamming = 6, bits = 60, hasher = Md5Hash)
         .orderBy("id_a", "id_b")
     },
     "q_dedup_ngram" -> { (s, d) =>
@@ -361,9 +444,17 @@ object Dedup {
   private def h64(x: String): String =
     s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
 
-  /** DuckDB rendering of Md5Hash(lit(seed), longCol). */
-  private def h64Seeded(seed: Int, h: String): String =
-    h64(s"concat_ws(':', '$seed', CAST($h AS VARCHAR))")
+  /** DuckDB rendering of [[mixHash]] — staged list_transform rounds (no
+    * lets inside DuckDB lambdas; inputs stay non-negative so >> == >>>,
+    * and the pre-masked << 28 stays under 2^60, below BIGINT overflow).
+    */
+  private def mixedMinSql(hs: String, seed: Int): String = {
+    val k = graft.functions.NativeExpressions.mixKey(seed)
+    s"""list_min(list_transform(list_transform(list_transform(
+       |   $hs, h -> xor(h, $k)),
+       |   x -> xor(x, x >> 29)),
+       |   x -> ((x & 4294967295) << 28) | ((x >> 32) & 268435455)))""".stripMargin
+  }
 
   /** Planted corpus + tokens, shared by the three near-dup oracles. */
   private val corpusToksSql =
@@ -395,7 +486,7 @@ object Dedup {
 
   private def minhashSigSql(numHashes: Int): String = {
     val sigs = (0 until numHashes).map { seed =>
-      s"list_min(list_transform(hs, h -> ${h64Seeded(seed, "h")})) AS mh_$seed"
+      s"${mixedMinSql("hs", seed)} AS mh_$seed"
     }.mkString(",\n  ")
     s"sig AS (\n SELECT id,\n  $sigs\n FROM hs)"
   }
@@ -435,18 +526,16 @@ object Dedup {
          |ORDER BY id_a, id_b""".stripMargin
     },
 
-    // tokens → md5-hash64 per token (multiplicity kept) → 32-bit majority
+    // tokens → md5-hash64 per token (multiplicity kept) → 60-bit majority
     // vote → 7 pigeonhole chunks → candidates → Hamming ≤ 6.
     "q_dedup_simhash" -> {
-      val bits = 32
+      val bits = 60
       val simExpr = (0 until bits).map { b =>
         s"CASE WHEN list_sum(list_transform(ths, h -> ((h >> $b) & 1) * 2 - 1)) > 0 THEN ${1L << b} ELSE 0 END"
       }.mkString("(", "\n  + ", ")")
-      // chunk layout must mirror simhashBandCols(bits=32, maxHamming=6):
-      // sizes [5,5,5,5,4,4,4], offsets 0,5,10,15,20,24,28
-      val chunks = Seq((0, 5), (5, 5), (10, 5), (15, 5), (20, 4), (24, 4), (28, 4))
-      val bandSelects = chunks.zipWithIndex.map { case ((off, sz), i) =>
-        s"SELECT id, sim, $i AS band, (sim >> $off) & ${(1L << sz) - 1} AS key FROM sh"
+      val bandSelects = simhashChunkLayout(bits, 6).zipWithIndex.map {
+        case ((off, sz), i) =>
+          s"SELECT id, sim, $i AS band, (sim >> $off) & ${(1L << sz) - 1} AS key FROM sh"
       }.mkString("\n UNION ALL\n ")
       s"""WITH $corpusToksSql,
          |ths AS (SELECT id, list_transform(toks, t -> ${h64("t")}) AS ths FROM toks),
@@ -462,9 +551,15 @@ object Dedup {
          |WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin
     },
 
-    // normalize → distinct char 4-grams → md5-hash64 → 12 minhash sigs →
-    // 6 bands of 2 → candidates → exact Jaccard ≥ 0.7 over the gram sets.
+    // normalize → distinct char 4-grams → md5-hash64 → 16 minhash sigs →
+    // 4 bands of 4 → candidates → sig-agreement prefilter (≥ 8/16) →
+    // exact Jaccard ≥ 0.7 over the gram sets.
     "q_dedup_ngram" -> {
+      val numHashes = 16
+      val minAgree = math.ceil(numHashes * (0.7 - 0.2)).toInt
+      val agreeSql = (0 until numHashes)
+        .map(i => s"CASE WHEN sa.mh_$i = sb.mh_$i THEN 1 ELSE 0 END")
+        .mkString("(", " + ", ")")
       s"""WITH corpus AS (
          | SELECT doc_id, text FROM documents
          | UNION ALL
@@ -479,10 +574,15 @@ object Dedup {
          |  i -> substr(norm, CAST(i AS INTEGER), 4))) AS gs
          | FROM normed),
          |hs AS (SELECT id, list_transform(gs, g -> ${h64("g")}) AS hs FROM gs),
-         |${minhashSigSql(12)},
-         |${candidatesSql(12, 2)}
+         |${minhashSigSql(numHashes)},
+         |${candidatesSql(numHashes, 4)},
+         |surviving AS (
+         | SELECT c.id_a, c.id_b FROM candidates c
+         | JOIN sig sa ON c.id_a = sa.id
+         | JOIN sig sb ON c.id_b = sb.id
+         | WHERE $agreeSql >= $minAgree)
          |SELECT c.id_a, c.id_b, $jaccardSql AS jaccard
-         |FROM candidates c
+         |FROM surviving c
          |JOIN hs a ON c.id_a = a.id
          |JOIN hs b ON c.id_b = b.id
          |WHERE $jaccardSql >= 0.7

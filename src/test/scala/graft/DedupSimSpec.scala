@@ -88,6 +88,53 @@ class DedupSimSpec extends SparkSpec {
     assert(cmp.filter(col("hof") =!= col("native")).count() == 0)
   }
 
+  test("native minhash_sigs is bit-identical to the per-seed HOF mix path") {
+    val k = 12
+    val base = Tables.documents(spark, sfDir).limit(100)
+      .select(col("doc_id").as("id"),
+        lower(regexp_replace(col("text"), "\\s+", " ")).as("norm"))
+      .select(col("id"),
+        graft.functions.NativeExpressions.charGramHashes(spark, col("norm")).as("hs"))
+    val cmp = base.select(
+      (graft.functions.NativeExpressions.minHashSigs(spark, col("hs"), k).as("native")
+        +: Dedup.minhashSignatures(col("hs"), k)): _*)
+    val bad = cmp.filter(
+      (0 until k).map(i => element_at(col("native"), i + 1) =!= col(s"mh_$i"))
+        .reduce(_ || _)).count()
+    assert(bad == 0)
+  }
+
+  test("native simhash_from_hashes is bit-identical to the HOF vote (incl. negative hashes)") {
+    val ths = Tables.documents(spark, sfDir).limit(100)
+      .select(graft.operators.TextAnalysis.tokens(col("text")).as("toks"))
+      .select(transform(col("toks"), t => xxhash64(t)).as("ths")) // negatives included
+    val cmp = ths.select(
+      Dedup.simhashFromHashes(col("ths")).as("hof"),
+      graft.functions.NativeExpressions.simhashFromHashes(spark, col("ths")).as("native"))
+    assert(cmp.filter(col("hof") =!= col("native")).count() == 0)
+  }
+
+  test("native md5-family hashes are bit-identical to the Md5Hash expression formulations") {
+    val docs = Tables.documents(spark, sfDir).limit(100)
+    val toks = docs.select(col("doc_id"),
+      graft.operators.TextAnalysis.tokens(col("text")).as("toks"))
+    val cmp1 = toks.select(
+      transform(Dedup.shingles(col("toks")), s => Dedup.Md5Hash(s)).as("hof"),
+      graft.functions.NativeExpressions.shingleHashesMd5(spark, col("toks")).as("native"))
+    assert(cmp1.filter(col("hof") =!= col("native")).count() == 0)
+    val normed = docs.select(lower(regexp_replace(col("text"), "\\s+", " ")).as("norm"))
+    val cmp2 = normed.select(
+      array_distinct(transform(
+        sequence(lit(1), greatest(length(col("norm")) - 3, lit(1))),
+        i => Dedup.Md5Hash(col("norm").substr(i, lit(4))))).as("hof"),
+      graft.functions.NativeExpressions.charGramHashesMd5(spark, col("norm")).as("native"))
+    assert(cmp2.filter(col("hof") =!= col("native")).count() == 0)
+    val cmp3 = toks.select(
+      transform(col("toks"), t => Dedup.Md5Hash(t)).as("hof"),
+      graft.functions.NativeExpressions.tokenHashesMd5(spark, col("toks")).as("native"))
+    assert(cmp3.filter(col("hof") =!= col("native")).count() == 0)
+  }
+
   test("Md5Hash matches DuckDB's md5-derived 64-bit value") {
     // DuckDB: SELECT CAST('0x' || substr(md5('hello'),1,15) AS BIGINT)
     //         → 419982666956583591 (probed; the cross-engine contract)
@@ -127,8 +174,8 @@ class DedupSimSpec extends SparkSpec {
     val withGrams = normed.select(col("id"),
       graft.functions.NativeExpressions.charGramHashes(spark, col("norm")).as("grams"))
     val sig = withGrams.select(
-      (col("id") +: Dedup.minhashSignatures(col("grams"), 12)): _*)
-    val nCand = Dedup.bandedCandidates(sig, 12, 2).count()
+      (col("id") +: Dedup.minhashSignatures(col("grams"), 16)): _*)
+    val nCand = Dedup.bandedCandidates(sig, 16, 4).count()
     assert(nCand < 1000, s"prefix boilerplate blew up the candidate set: $nCand of 4950")
     // and the verified output is empty — the docs are NOT near-dups
     assert(Dedup.ngramJaccardNearDups(docs, "doc_id", "text").count() == 0)
@@ -150,10 +197,11 @@ class DedupSimSpec extends SparkSpec {
   test("simhash md5 family agrees with the banding layout end-to-end") {
     val corpus = Dedup.plantedCorpus(Tables.documents(spark, sfDir), nPlanted = 5)
     val xx = Dedup.simhashNearDups(corpus, "doc_id", "text", maxHamming = 6)
+    // the md5 variant mirrors the gated query: 60-bit fingerprint
     val md = Dedup.simhashNearDups(corpus, "doc_id", "text", maxHamming = 6,
-      hasher = Dedup.Md5Hash)
-    // different hash families → different pair sets are expected; both
-    // must recover the planted pairs (near-identical token multisets)
+      bits = 60, hasher = Dedup.Md5Hash)
+    // different hash families/widths → different pair sets are expected;
+    // both must recover the planted pairs (near-identical token multisets)
     for (pairs <- Seq(xx, md)) {
       val planted = pairs.filter(col("id_b") - col("id_a") === 10000000L).count()
       assert(planted == 5L)
