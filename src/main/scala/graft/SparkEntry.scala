@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, BboxSummary, Dedup, Multimodal, Relational, Similarity, StarPipeline, TemporalJoins, TextAnalysis, Topics}
+import graft.operators.{Analytics, BboxSummary, Dedup, Multimodal, Pipeline, Relational, Similarity, StarPipeline, TemporalJoins, TextAnalysis, Topics}
 import graft.sources.Sources
 import graft.streaming.StreamOps
 
@@ -26,7 +26,8 @@ object SparkEntry {
     Sources.queries ++ Relational.queries ++ StarPipeline.queries ++
       Topics.queries ++ Analytics.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
-      StreamOps.queries ++ BboxSummary.queries ++ TemporalJoins.queries
+      StreamOps.queries ++ BboxSummary.queries ++ TemporalJoins.queries ++
+      Pipeline.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for non-SQL-expressible ops
@@ -36,5 +37,6 @@ object SparkEntry {
     Sources.oracles ++ Relational.oracles ++ StarPipeline.oracles ++
       Topics.oracles ++ Analytics.oracles ++ TextAnalysis.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
-      StreamOps.oracles ++ BboxSummary.oracles ++ TemporalJoins.oracles
+      StreamOps.oracles ++ BboxSummary.oracles ++ TemporalJoins.oracles ++
+      Pipeline.oracles
 }

@@ -90,7 +90,58 @@ object Analytics {
     cum.agg(aggCols.head, aggCols.tail: _*).select(outCols: _*)
   }
 
+  /** One-call `describe(include='all')` (the reference's full-frame EDA
+    * summary, notebooks/002_EDA_csv.ipynb cells 18/31/33): one output row
+    * per column — numeric columns get count/mean/std/min/max, categorical
+    * columns get count/unique/top/freq (top ties broken by highest count
+    * then lexicographically last value). Std is the sample standard
+    * deviation (pandas ddof=1) computed from exact DECIMAL moments cast to
+    * double — partial-aggregation order can't drift the oracle, unlike
+    * stddev() over raw doubles. One aggregation pass per column, each a
+    * map-side-combined scalar — no value buffering anywhere.
+    */
+  def describeAll(df: DataFrame, numeric: Seq[String],
+                  categorical: Seq[String]): DataFrame = {
+    val numRows = numeric.map { c =>
+      val xd = col(c).cast(DecimalType(18, 2))
+      df.agg(
+          count(col(c)).as("cnt"),
+          sum(xd).cast("double").as("sx"),
+          sum(xd * xd).cast("double").as("sxx"),
+          min(col(c)).cast("double").as("min_v"),
+          max(col(c)).cast("double").as("max_v"))
+        .select(lit(c).as("col_name"), col("cnt"),
+          (col("sx") / col("cnt")).as("mean"),
+          sqrt((col("cnt") * col("sxx") - col("sx") * col("sx")) /
+            (col("cnt") * (col("cnt") - 1))).as("std"),
+          col("min_v"), col("max_v"),
+          lit(null).cast("long").as("n_unique"),
+          lit(null).cast("string").as("top"),
+          lit(null).cast("long").as("top_freq"))
+    }
+    val catRows = categorical.map { c =>
+      val freq = df.groupBy(col(c).as("top")).agg(count(lit(1)).as("top_freq"))
+        .orderBy(desc("top_freq"), desc("top")).limit(1)
+      df.agg(count(col(c)).as("cnt"),
+          countDistinct(col(c)).as("n_unique"))
+        .crossJoin(freq)
+        .select(lit(c).as("col_name"), col("cnt"),
+          lit(null).cast("double").as("mean"),
+          lit(null).cast("double").as("std"),
+          lit(null).cast("double").as("min_v"),
+          lit(null).cast("double").as("max_v"),
+          col("n_unique"), col("top"), col("top_freq"))
+    }
+    (numRows ++ catRows).reduce(_ unionByName _).orderBy("col_name")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A6 — the one-call wide describe over lineitem's measures + flags.
+    "q_a6_describe_all" -> { (s, d) =>
+      describeAll(Tables.lineitem(s, d),
+        numeric = Seq("l_quantity", "l_extendedprice", "l_discount"),
+        categorical = Seq("l_returnflag", "l_linestatus"))
+    },
     // A8 — correlation (exact-moment Pearson).
     "q_a8_corr" -> { (s, d) =>
       exactCorr(Tables.lineitem(s, d), "l_quantity", "l_extendedprice")
@@ -134,7 +185,37 @@ object Analytics {
     }
   )
 
+  private def describeAllSql(table: String, numeric: Seq[String],
+                             categorical: Seq[String]): String = {
+    val numSelects = numeric.map { c =>
+      s"""SELECT '$c' AS col_name, cnt, sx / cnt AS mean,
+         | sqrt((cnt * sxx - sx * sx) / (cnt * (cnt - 1))) AS std,
+         | min_v, max_v,
+         | CAST(NULL AS BIGINT) AS n_unique, CAST(NULL AS VARCHAR) AS top,
+         | CAST(NULL AS BIGINT) AS top_freq
+         |FROM (SELECT count($c) AS cnt,
+         |  CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         |  CAST(sum(CAST($c AS DECIMAL(18,2)) * CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+         |  CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v
+         | FROM $table)""".stripMargin
+    }
+    val catSelects = categorical.map { c =>
+      s"""SELECT '$c' AS col_name,
+         | (SELECT count($c) FROM $table) AS cnt,
+         | CAST(NULL AS DOUBLE) AS mean, CAST(NULL AS DOUBLE) AS std,
+         | CAST(NULL AS DOUBLE) AS min_v, CAST(NULL AS DOUBLE) AS max_v,
+         | (SELECT count(DISTINCT $c) FROM $table) AS n_unique,
+         | f.top, f.top_freq
+         |FROM (SELECT $c AS top, count(*) AS top_freq FROM $table GROUP BY 1
+         |      ORDER BY top_freq DESC, top DESC LIMIT 1) f""".stripMargin
+    }
+    (numSelects ++ catSelects).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_a6_describe_all" -> describeAllSql("lineitem",
+      Seq("l_quantity", "l_extendedprice", "l_discount"),
+      Seq("l_returnflag", "l_linestatus")),
     "q_a8_corr" -> exactCorrSql("l_quantity", "l_extendedprice", "lineitem"),
     "q_a8_corr_matrix" -> {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")

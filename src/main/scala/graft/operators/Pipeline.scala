@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference DAG re-expressed as ONE end-to-end driver (SURVEY §2.10;
+  * dags/etl_crash_traffic.py:951-1005): transform/merge → idempotent fact
+  * load → skip-guarded dimension builds → FK-resolved star fact → the 7
+  * topic snapshots. Every step is rerun-safe the way the reference's is:
+  * loads are left-anti appends (`INSERT ... ON CONFLICT DO NOTHING`,
+  * :619-654), dimension builds check existence first (the skip-guards at
+  * :170-173 and :678-690), topic publishes are complete-snapshot
+  * overwrites. `q_pipeline_idempotence` runs the WHOLE chain twice and
+  * returns the warehouse row counts — stable counts prove run-to-run
+  * idempotence of the chain, not merely of the append step.
+  *
+  * Scale: the chain adds nothing beyond its parts — the one fact-side
+  * shuffle is flatFact's lineitem⋈orders, dims are distinct+broadcast,
+  * topics are bounded-cardinality aggregates. Parquet directories play the
+  * reference's Postgres tables (SURVEY S4).
+  */
+object Pipeline {
+
+  private def exists(s: SparkSession, path: String): Boolean =
+    try { s.read.parquet(path).schema; true }
+    catch { case _: org.apache.spark.sql.AnalysisException => false }
+
+  /** Delete a scratch warehouse (fresh-run setup; the reference's DDL
+    * CREATE-IF-NOT-EXISTS plays this role).
+    */
+  def reset(warehouse: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    val dir = new java.io.File(warehouse)
+    if (dir.exists()) rm(dir)
+  }
+
+  val factKeys: Seq[String] = Seq("l_orderkey", "l_linenumber")
+
+  val topicBuilders: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "topic_signals_by_state"   -> (Topics.transitSignalsByState _),
+    "topic_signals_vs_lesions" -> (Topics.signalsVsLesions _),
+    "topic_weather_light"      -> (Topics.weatherLightSurface _),
+    "topic_accidents_by_time"  -> (Topics.accidentsByTime _),
+    "topic_lesions_by_county"  -> (Topics.lesionsByCounty _),
+    "topic_infra_vs_lesions"   -> (Topics.hospitalsSchoolsVsLesions _),
+    "topic_crossings"          -> (Topics.crossingsVsLesions _))
+
+  /** One DAG run: merge → load → dims → fact → topics. Safe to re-run. */
+  def runOnce(s: SparkSession, d: String, warehouse: String): Unit = {
+    // transform + merge (the reference's accidentes_final build)
+    val flat = StarPipeline.flatFact(s, d)
+    // idempotent load: only rows whose key is absent get appended
+    Star.idempotentWrite(flat, s"$warehouse/flat_fact", factKeys)
+    val loadedFlat = s.read.parquet(s"$warehouse/flat_fact")
+    // dimension builds, skip-guarded: an existing dim is NOT rebuilt (the
+    // reference checks row counts before inserting; surrogate ids must
+    // stay stable across runs for the fact FKs to remain valid)
+    StarPipeline.dimSpecs.foreach { case (name, keys) =>
+      val path = s"$warehouse/$name"
+      if (!exists(s, path))
+        Star.buildDim(loadedFlat, keys, name + "_id")
+          .write.parquet(path)
+    }
+    // star fact: resolve FKs against the LOADED dims, idempotent load
+    val dims = StarPipeline.dimSpecs.map { case (name, keys) =>
+      (s.read.parquet(s"$warehouse/$name"), keys)
+    }
+    val fact = Star.resolveDims(loadedFlat, dims).select(
+      (factKeys.map(col) ++
+        StarPipeline.dimSpecs.map { case (n, _) => col(n + "_id") } ++
+        Seq(col("l_quantity"), col("l_extendedprice"), col("l_discount"))): _*)
+    Star.idempotentWrite(fact, s"$warehouse/star_fact", factKeys)
+    // topic snapshots: complete-mode overwrites (rerun-safe by definition)
+    topicBuilders.foreach { case (name, build) =>
+      build(s, d).write.mode("overwrite").parquet(s"$warehouse/$name")
+    }
+  }
+
+  /** Row counts of every warehouse table, one row per table. */
+  def warehouseCounts(s: SparkSession, warehouse: String): DataFrame = {
+    import s.implicits._
+    val tables = Seq("flat_fact", "star_fact") ++
+      StarPipeline.dimSpecs.map(_._1) ++ topicBuilders.map(_._1)
+    tables.map(t => (t, s.read.parquet(s"$warehouse/$t").count()))
+      .toDF("table_name", "cnt")
+      .orderBy("table_name")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The full DAG run TWICE into a fresh warehouse; the returned counts
+    // are oracle-checked against the source tables, so any second-run
+    // duplication (a broken guard or non-idempotent load) shows up as a
+    // count mismatch.
+    "q_pipeline_idempotence" -> { (s, d) =>
+      val wh = "/root/repo/target/scratch/pipeline_wh"
+      reset(wh)
+      runOnce(s, d, wh)
+      runOnce(s, d, wh)
+      warehouseCounts(s, wh)
+    }
+  )
+
+  def oracles: Map[String, String] = {
+    val flat = StarPipeline.flatFactSql
+    val dimCounts = StarPipeline.dimSpecs.map { case (name, keys) =>
+      s"""SELECT '$name' AS table_name,
+         | (SELECT count(*) FROM (SELECT DISTINCT ${keys.mkString(", ")} FROM f)) AS cnt""".stripMargin
+    }
+    val topicCounts = Seq(
+      "topic_signals_by_state" ->
+        """(SELECT count(DISTINCT n_name) FROM lineitem
+          |  JOIN supplier ON l_suppkey = s_suppkey
+          |  JOIN nation ON s_nationkey = n_nationkey)""".stripMargin,
+      "topic_signals_vs_lesions" ->
+        "(SELECT count(DISTINCT floor((value/10.0)/0.5)*0.5) FROM events)",
+      "topic_weather_light" ->
+        """(SELECT count(*) FROM
+          |  (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders))""".stripMargin,
+      "topic_accidents_by_time" ->
+        "(SELECT count(DISTINCT hour(ts)) FROM events)",
+      "topic_lesions_by_county" ->
+        """(SELECT count(DISTINCT n_name) FROM orders
+          |  JOIN customer ON o_custkey = c_custkey
+          |  JOIN nation ON c_nationkey = n_nationkey)""".stripMargin,
+      "topic_infra_vs_lesions" ->
+        """(SELECT count(DISTINCT 'bbox_' || printf('%.1f', floor((value/100.0)/0.5)*0.5) ||
+          |   '_' || printf('%.1f', floor((CAST(user_id AS DOUBLE)/10.0)/0.5)*0.5))
+          |  FROM events)""".stripMargin,
+      "topic_crossings" ->
+        "(SELECT count(DISTINCT event_type) FROM events)"
+    ).map { case (name, sub) =>
+      s"SELECT '$name' AS table_name, $sub AS cnt"
+    }
+    val factCounts = Seq(
+      "SELECT 'flat_fact' AS table_name, (SELECT count(*) FROM f) AS cnt",
+      "SELECT 'star_fact' AS table_name, (SELECT count(*) FROM f) AS cnt")
+    Map(
+      "q_pipeline_idempotence" ->
+        s"""WITH f AS ($flat)
+           |${(factCounts ++ dimCounts ++ topicCounts).mkString("", "\nUNION ALL\n", "")}
+           |ORDER BY table_name""".stripMargin
+    )
+  }
+}

@@ -105,9 +105,10 @@ object StarPipeline {
   )
 
   /** Shared oracle CTEs: the flat fact and each dim as
-    * distinct + row_number.
+    * distinct + row_number. (package-visible: Pipeline's idempotence
+    * oracle recounts the same shapes.)
     */
-  private val flatFactSql =
+  private[operators] val flatFactSql =
     """SELECT l.*, o.o_orderdate, o.o_orderstatus, o.o_orderpriority,
       |  p.p_brand, p.p_type, n.n_name,
       |  CAST(year(o_orderdate) AS INTEGER) AS y,

@@ -139,6 +139,31 @@ object StreamOps {
         .orderBy("event_type")
     },
 
+    // S8 — the reference consumer's ACTUAL message contract: each message
+    // is a JSON LIST of records ("Se espera que cada mensaje ya sea una
+    // lista de dicts", kafka/consumer.py:23,33; SURVEY S8). Producer side
+    // batches each hour's records into ONE message via
+    // to_json(collect_list(struct(...))); consumer side decodes with
+    // from_json(ArrayType(StructType)) and explodes back to records. The
+    // batch key bounds message size (a real producer batches per poll
+    // window); collect_list order varies with partitioning but the decoded
+    // MULTISET is partition-invariant, so the re-aggregation is exact.
+    "q_stream_list_envelope" -> { (s, d) =>
+      val recSchema = ArrayType(StructType(Seq(
+        StructField("event_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType))))
+      val msgs = Tables.events(s, d)
+        .groupBy(hour(col("ts")).as("h"))
+        .agg(to_json(collect_list(
+          struct(col("event_id"), col("event_type"), col("value")))).as("payload"))
+        .select("payload")
+      msgs.select(explode(from_json(col("payload"), recSchema)).as("m"))
+        .groupBy(col("m.event_type").as("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("m.value").cast(DecimalType(18, 2))).cast("double").as("total"))
+        .orderBy("event_type")
+    },
+
     // K7 as a stream: the crossings topic in complete mode — equals the
     // batch aggregate (same oracle as q_k7_crossings_vs_lesions).
     "q_stream_crossings" -> { (s, d) =>
@@ -298,6 +323,12 @@ object StreamOps {
     "q_stream_dedup" ->
       "SELECT event_type, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
     "q_stream_json_envelope" ->
+      """SELECT event_type, count(*) AS cnt,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the list envelope is a lossless re-batching: decode(encode(rows))
+    // must re-aggregate to the plain per-type totals
+    "q_stream_list_envelope" ->
       """SELECT event_type, count(*) AS cnt,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -50,4 +50,25 @@ class StarSpec extends SparkSpec {
       col("dim_priority_id").isNull || col("dim_flags_id").isNull).count()
     assert(unresolved == 0)
   }
+
+  test("full DAG chain is idempotent: second run changes no warehouse count") {
+    import graft.operators.Pipeline
+    val wh = "/root/repo/target/scratch/pipeline_wh_test"
+    Pipeline.reset(wh)
+    Pipeline.runOnce(spark, sfDir, wh)
+    val c1 = Pipeline.warehouseCounts(spark, wh).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Pipeline.runOnce(spark, sfDir, wh)
+    val c2 = Pipeline.warehouseCounts(spark, wh).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(c1 == c2, s"second DAG run changed counts:\n$c1\nvs\n$c2")
+    assert(c1("flat_fact") == c1("star_fact") && c1("flat_fact") > 0)
+    // and the fact FKs resolved against the LOADED dims are all present
+    val fact = spark.read.parquet(s"$wh/star_fact")
+    val unresolved = fact.filter(
+      graft.operators.StarPipeline.dimSpecs.map { case (n, _) =>
+        col(n + "_id").isNull
+      }.reduce(_ || _)).count()
+    assert(unresolved == 0)
+  }
 }
