@@ -97,42 +97,65 @@ object Analytics {
     * then lexicographically last value). Std is the sample standard
     * deviation (pandas ddof=1) computed from exact DECIMAL moments cast to
     * double — partial-aggregation order can't drift the oracle, unlike
-    * stddev() over raw doubles. One aggregation pass per column, each a
-    * map-side-combined scalar — no value buffering anywhere.
+    * stddev() over raw doubles. ONE scan for all numeric columns (a wide
+    * scalar aggregate exploded to rows) + ONE melt for all categorical
+    * columns — passes over the table don't grow with column count, and
+    * no value buffering anywhere.
     */
   def describeAll(df: DataFrame, numeric: Seq[String],
                   categorical: Seq[String]): DataFrame = {
-    val numRows = numeric.map { c =>
+    // ALL numeric columns in ONE aggregation pass — a scan per column
+    // would read the table N times at 100 TB. The single wide scalar row
+    // (5 aggregates × N columns) is then exploded to one row per column.
+    val numAggs = numeric.flatMap { c =>
       val xd = col(c).cast(DecimalType(18, 2))
-      df.agg(
-          count(col(c)).as("cnt"),
-          sum(xd).cast("double").as("sx"),
-          sum(xd * xd).cast("double").as("sxx"),
-          min(col(c)).cast("double").as("min_v"),
-          max(col(c)).cast("double").as("max_v"))
-        .select(lit(c).as("col_name"), col("cnt"),
-          (col("sx") / col("cnt")).as("mean"),
-          sqrt((col("cnt") * col("sxx") - col("sx") * col("sx")) /
-            (col("cnt") * (col("cnt") - 1))).as("std"),
-          col("min_v"), col("max_v"),
+      Seq(count(col(c)).as(s"cnt_$c"),
+        sum(xd).cast("double").as(s"sx_$c"),
+        sum(xd * xd).cast("double").as(s"sxx_$c"),
+        min(col(c)).cast("double").as(s"min_$c"),
+        max(col(c)).cast("double").as(s"max_$c"))
+    }
+    val numRows = df.agg(numAggs.head, numAggs.tail: _*)
+      .select(explode(array(numeric.map { c =>
+        val n = col(s"cnt_$c")
+        val sx = col(s"sx_$c")
+        val sxx = col(s"sxx_$c")
+        struct(lit(c).as("col_name"), n.as("cnt"),
+          (sx / n).as("mean"),
+          sqrt((n * sxx - sx * sx) / (n * (n - 1))).as("std"),
+          col(s"min_$c").as("min_v"), col(s"max_$c").as("max_v"),
           lit(null).cast("long").as("n_unique"),
           lit(null).cast("string").as("top"),
           lit(null).cast("long").as("top_freq"))
-    }
-    val catRows = categorical.map { c =>
-      val freq = df.groupBy(col(c).as("top")).agg(count(lit(1)).as("top_freq"))
-        .orderBy(desc("top_freq"), desc("top")).limit(1)
-      df.agg(count(col(c)).as("cnt"),
-          countDistinct(col(c)).as("n_unique"))
-        .crossJoin(freq)
-        .select(lit(c).as("col_name"), col("cnt"),
+      }: _*)).as("r"))
+      .select("r.*")
+    // ALL categorical columns through ONE melt → (col, value) count →
+    // per-column rollup. Two shuffles total regardless of column count;
+    // the second input is already value-frequency-sized. max_by on
+    // struct(cnt, value) = highest count, ties to lexicographically
+    // last value — pinned so both engines agree.
+    val catRows = if (categorical.isEmpty) Seq.empty[DataFrame] else {
+      val melted = df.select(explode(array(categorical.map { c =>
+          struct(lit(c).as("col_name"), col(c).cast("string").as("v"))
+        }: _*)).as("kv"))
+        .select("kv.*")
+      Seq(melted.groupBy("col_name", "v").agg(count(lit(1)).as("c"))
+        .groupBy("col_name")
+        .agg(
+          sum(when(col("v").isNotNull, col("c")).otherwise(lit(0L))).as("cnt"),
+          count(col("v")).as("n_unique"),
+          max_by(col("v"), when(col("v").isNotNull, struct(col("c"), col("v"))))
+            .as("top"),
+          max(when(col("v").isNotNull, struct(col("c"), col("v"))))
+            .getField("c").as("top_freq"))
+        .select(col("col_name"), col("cnt"),
           lit(null).cast("double").as("mean"),
           lit(null).cast("double").as("std"),
           lit(null).cast("double").as("min_v"),
           lit(null).cast("double").as("max_v"),
-          col("n_unique"), col("top"), col("top_freq"))
+          col("n_unique"), col("top"), col("top_freq")))
     }
-    (numRows ++ catRows).reduce(_ unionByName _).orderBy("col_name")
+    (Seq(numRows) ++ catRows).reduce(_ unionByName _).orderBy("col_name")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -206,7 +229,8 @@ object Analytics {
          | CAST(NULL AS DOUBLE) AS min_v, CAST(NULL AS DOUBLE) AS max_v,
          | (SELECT count(DISTINCT $c) FROM $table) AS n_unique,
          | f.top, f.top_freq
-         |FROM (SELECT $c AS top, count(*) AS top_freq FROM $table GROUP BY 1
+         |FROM (SELECT $c AS top, count(*) AS top_freq FROM $table
+         |      WHERE $c IS NOT NULL GROUP BY 1
          |      ORDER BY top_freq DESC, top DESC LIMIT 1) f""".stripMargin
     }
     (numSelects ++ catSelects).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")

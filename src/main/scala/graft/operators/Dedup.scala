@@ -398,7 +398,14 @@ object Dedup {
     val planted = docs.filter(col("doc_id") < nPlanted)
       .select((col("doc_id") + 10000000L).as("doc_id"),
         concat(col("text"), lit(" appended")).as("text"))
+    // The local documents table is ONE parquet row-group, so without this
+    // every downstream hash stage (md5 per gram/token — CPU-bound) runs in
+    // a single task. Spread by id before the expensive map stages; at
+    // cluster scale the scan is already many-partition and this shuffle of
+    // raw text is noise next to the hashing it parallelizes.
+    val spread = docs.sparkSession.sparkContext.defaultParallelism
     docs.select("doc_id", "text").unionByName(planted)
+      .repartition(spread, col("doc_id"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

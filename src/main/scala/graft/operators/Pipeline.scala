@@ -54,7 +54,11 @@ object Pipeline {
     val flat = StarPipeline.flatFact(s, d)
     // idempotent load: only rows whose key is absent get appended
     Star.idempotentWrite(flat, s"$warehouse/flat_fact", factKeys)
-    val loadedFlat = s.read.parquet(s"$warehouse/flat_fact")
+    // the loaded fact feeds up to 8 dim builds + the FK resolve — persist
+    // so those are in-memory scans of one materialization, not 9 parquet
+    // re-reads (at 100 TB this is the standard cache-the-hot-stage move;
+    // columnar MEMORY_AND_DISK spills gracefully if it doesn't fit)
+    val loadedFlat = s.read.parquet(s"$warehouse/flat_fact").persist()
     // dimension builds, skip-guarded: an existing dim is NOT rebuilt (the
     // reference checks row counts before inserting; surrogate ids must
     // stay stable across runs for the fact FKs to remain valid)
@@ -73,6 +77,7 @@ object Pipeline {
         StarPipeline.dimSpecs.map { case (n, _) => col(n + "_id") } ++
         Seq(col("l_quantity"), col("l_extendedprice"), col("l_discount"))): _*)
     Star.idempotentWrite(fact, s"$warehouse/star_fact", factKeys)
+    loadedFlat.unpersist()
     // topic snapshots: complete-mode overwrites (rerun-safe by definition)
     topicBuilders.foreach { case (name, build) =>
       build(s, d).write.mode("overwrite").parquet(s"$warehouse/$name")

@@ -19,26 +19,40 @@ object Star {
     * deterministic surrogate id (W3): `row_number()` over the natural-key
     * order — run-stable for oracle comparison, unlike the reference's
     * insert-order SERIAL (SURVEY §7.4) or `monotonically_increasing_id`
-    * (partition-order dependent). The unpartitioned window funnels through
+    * (partition-order dependent). Null natural keys are KEPT (plain
+    * `SELECT DISTINCT` semantics — the reference's dim insert takes
+    * whatever distinct combos exist, None included) and sorted NULLS LAST
+    * explicitly, because Spark's ASC default is nulls-first while
+    * DuckDB's is nulls-last. The unpartitioned window funnels through
     * one task, which is fine *for dimensions*: the distinct has already
     * reduced the data to dimension cardinality.
     * Ref: dags/etl_crash_traffic.py:693-787 (dim inserts with ON CONFLICT
     * DO NOTHING ≡ distinct), :52-101 (SERIAL keys).
     */
   def buildDim(src: DataFrame, natKey: Seq[String], idCol: String): DataFrame = {
-    val w = Window.orderBy(natKey.map(col): _*)
-    src.select(natKey.map(col): _*).na.drop("all").distinct()
+    val w = Window.orderBy(natKey.map(k => col(k).asc_nulls_last): _*)
+    src.select(natKey.map(col): _*).distinct()
       .withColumn(idCol, row_number().over(w).cast("long"))
   }
 
-  /** J2 — resolve surrogate keys: successive broadcast hash LEFT joins
-    * (missing natural key → null FK, as the reference's dict `.get`).
+  /** J2 — resolve surrogate keys: successive broadcast hash LEFT joins.
+    * NULL-SAFE equality (`<=>`): the reference resolves FKs by probing a
+    * dict built from the same table the dims came from, so a None-keyed
+    * fact row finds the None-keyed dim row — `<=>` reproduces that, where
+    * a plain USING join would null-reject and leave an orphan FK.
+    * `EqualNullSafe` is still an equi-join key to the planner, so the
+    * joins stay BroadcastHashJoin. Dim key columns are renamed before the
+    * join (no ambiguous-self-join resolution when the dim derives from
+    * the fact) and dropped after.
     * Ref: dags/etl_crash_traffic.py:244-263 (dict build), :297-310 (probe).
     */
   def resolveDims(fact: DataFrame,
                   dims: Seq[(DataFrame, Seq[String])]): DataFrame =
     dims.foldLeft(fact) { case (f, (dim, natKey)) =>
-      f.join(broadcast(dim), natKey, "left")
+      val renamed = natKey.foldLeft(dim)((d, k) => d.withColumnRenamed(k, "__dk_" + k))
+      val cond = natKey.map(k => col(k) <=> col("__dk_" + k)).reduce(_ && _)
+      f.join(broadcast(renamed), cond, "left")
+        .drop(natKey.map("__dk_" + _): _*)
     }
 
   /** J3 — idempotent append: keep only incoming rows whose key is absent

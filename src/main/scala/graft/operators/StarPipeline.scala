@@ -125,8 +125,11 @@ object StarPipeline {
 
   private def dimSql(name: String, keys: Seq[String]): String = {
     val k = keys.mkString(", ")
+    // NULLS LAST pinned on both engines: Spark ASC defaults nulls-first,
+    // DuckDB nulls-last (Star.buildDim uses asc_nulls_last to match).
+    val ord = keys.map(_ + " NULLS LAST").mkString(", ")
     s"""$name AS (
-       | SELECT $k, CAST(row_number() OVER (ORDER BY $k) AS BIGINT) AS ${name}_id
+       | SELECT $k, CAST(row_number() OVER (ORDER BY $ord) AS BIGINT) AS ${name}_id
        | FROM (SELECT DISTINCT $k FROM f))""".stripMargin
   }
 
@@ -143,11 +146,10 @@ object StarPipeline {
   def oracles: Map[String, String] = {
     val dimCtes = dimSqlSpecs.map { case (n, k) => dimSql(n, k) }.mkString(",\n")
     val joins = dimSqlSpecs.map { case (n, k) =>
-      // NULL-safe join for dims whose natural key can be null (left-join
-      // attrs): Spark's join(usingColumns) is null-rejecting, matching
-      // plain USING, and test data has no null keys — plain USING is
-      // exact parity.
-      s"LEFT JOIN $n USING (${k.mkString(", ")})"
+      // NULL-safe equality mirrors Star.resolveDims' `<=>` (the
+      // reference's dict probe matches None keys too).
+      val cond = k.map(c => s"f.$c IS NOT DISTINCT FROM $n.$c").mkString(" AND ")
+      s"LEFT JOIN $n ON $cond"
     }.mkString("\n")
     Map(
       "q_star_fact" ->

@@ -55,7 +55,8 @@ object Profile {
     val sh = toks.select(col("id"),
         NativeExpressions.tokenHashesMd5(spark, col("toks")).as("ths"))
       .select(col("id"), NativeExpressions.simhashFromHashes(spark, col("ths"), 60).as("sim"))
-    time("simhash values (native md5)")(sh.agg(sum(col("sim"))).collect())
+    // bit_xor as the forcing aggregate: sum() of 60-bit values overflows
+    time("simhash values (native md5)")(sh.agg(bit_xor(col("sim"))).collect())
     val shCand = Dedup.simhashCandidates(sh, 60, 6)
     val nShPairs = time("simhash chunk candidates")(shCand.count())
     println(s"[profile] simhash pairs (hamming<=6): $nShPairs")

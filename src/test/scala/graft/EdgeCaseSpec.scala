@@ -62,4 +62,23 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Multimodal.FakeDecoder.decode(Array.emptyByteArray) == (-1, -1))
     assert(Multimodal.FakeDecoder.decode(Array[Byte](65)) == (65, 65))
   }
+
+  test("describeAll: pandas describe(include=all) semantics on nulls") {
+    val df = Seq(
+      (Option(1.0), Option("a")),
+      (Option(3.0), Option("b")),
+      (None: Option[Double], Option("b")),
+      (Option(5.0), None: Option[String])
+    ).toDF("x", "cat")
+    val rows = graft.operators.Analytics.describeAll(df, Seq("x"), Seq("cat"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val x = rows("x")
+    assert(x.getLong(1) == 3)                       // cnt excludes null
+    assert(math.abs(x.getDouble(2) - 3.0) < 1e-12)  // mean
+    assert(math.abs(x.getDouble(3) - 2.0) < 1e-12)  // sample std of 1,3,5
+    val c = rows("cat")
+    assert(c.getLong(1) == 3)                       // non-null count
+    assert(c.getLong(6) == 2)                       // n_unique excludes null
+    assert(c.getString(7) == "b" && c.getLong(8) == 2) // top/freq exclude null
+  }
 }

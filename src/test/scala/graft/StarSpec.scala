@@ -32,6 +32,30 @@ class StarSpec extends SparkSpec {
     assert(resolved(1).isNullAt(resolved(1).fieldIndex("clima_id")))
   }
 
+  test("null natural keys: dim keeps them, null-safe resolve matches them") {
+    // the reference builds dims from the SAME table it then probes, so a
+    // None-keyed row always resolves; buildDim keeps the null combos and
+    // resolveDims' <=> matches them (a USING join would orphan the FK)
+    val src = Seq(
+      (1, Option("BRAND#1"), Option("small")),
+      (2, None, Option("small")),
+      (3, Option("BRAND#1"), None),
+      (4, None, None),
+      (5, None, None)
+    ).toDF("id", "brand", "ptype")
+    val dim = Star.buildDim(src, Seq("brand", "ptype"), "dim_id")
+    assert(dim.count() == 4) // all-null combo kept, once
+    // nulls-last surrogate order: the all-null combo gets the LAST id
+    val allNullId = dim.filter(col("brand").isNull && col("ptype").isNull)
+      .select("dim_id").as[Long].head()
+    assert(allNullId == 4L)
+    val resolved = Star.resolveDims(src, Seq((dim, Seq("brand", "ptype"))))
+    assert(resolved.filter(col("dim_id").isNull).count() == 0)
+    // rows 4 and 5 share the all-null combo's id
+    val ids = resolved.filter(col("id") >= 4).select("dim_id").as[Long].collect()
+    assert(ids.toSet == Set(allNullId))
+  }
+
   test("idempotent append adds zero rows when re-applied") {
     val orders = Tables.orders(spark, sfDir)
     val firstLoad = orders.limit(100)
