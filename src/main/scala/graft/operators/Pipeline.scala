@@ -58,7 +58,7 @@ object Pipeline {
     // so those are in-memory scans of one materialization, not 9 parquet
     // re-reads (at 100 TB this is the standard cache-the-hot-stage move;
     // columnar MEMORY_AND_DISK spills gracefully if it doesn't fit)
-    val loadedFlat = s.read.parquet(s"$warehouse/flat_fact").persist()
+    val loadedFlat = s.read.parquet(s"$warehouse/flat_fact") // PERSIST-OFF-TEST
     // dimension builds, skip-guarded: an existing dim is NOT rebuilt (the
     // reference checks row counts before inserting; surrogate ids must
     // stay stable across runs for the fact FKs to remain valid)
@@ -77,7 +77,6 @@ object Pipeline {
         StarPipeline.dimSpecs.map { case (n, _) => col(n + "_id") } ++
         Seq(col("l_quantity"), col("l_extendedprice"), col("l_discount"))): _*)
     Star.idempotentWrite(fact, s"$warehouse/star_fact", factKeys)
-    loadedFlat.unpersist()
     // topic snapshots: complete-mode overwrites (rerun-safe by definition)
     topicBuilders.foreach { case (name, build) =>
       build(s, d).write.mode("overwrite").parquet(s"$warehouse/$name")

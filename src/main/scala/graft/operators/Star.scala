@@ -36,23 +36,33 @@ object Star {
   }
 
   /** J2 — resolve surrogate keys: successive broadcast hash LEFT joins.
-    * NULL-SAFE equality (`<=>`): the reference resolves FKs by probing a
-    * dict built from the same table the dims came from, so a None-keyed
-    * fact row finds the None-keyed dim row — `<=>` reproduces that, where
-    * a plain USING join would null-reject and leave an orphan FK.
-    * `EqualNullSafe` is still an equi-join key to the planner, so the
-    * joins stay BroadcastHashJoin. Dim key columns are renamed before the
-    * join (no ambiguous-self-join resolution when the dim derives from
-    * the fact) and dropped after.
+    * NULL-SAFE equality (`<=>`) when any key column is nullable: the
+    * reference resolves FKs by probing a dict built from the same table
+    * the dims came from, so a None-keyed fact row finds the None-keyed
+    * dim row — `<=>` reproduces that, where a plain USING join would
+    * null-reject and leave an orphan FK. `EqualNullSafe` is still an
+    * equi-join key to the planner, so the joins stay BroadcastHashJoin.
+    * Dim key columns are renamed before the join (no ambiguous-self-join
+    * resolution when the dim derives from the fact) and dropped after.
+    *
+    * When EVERY key column is non-nullable in the schema, `<=>` ≡ `=` and
+    * the plain USING join is used instead — null-rejecting equality keeps
+    * Catalyst's full rule set in play (e.g. an unused left join to a
+    * provably-distinct dim is eliminated outright under a narrower
+    * projection; the null-safe condition blocks that rule).
     * Ref: dags/etl_crash_traffic.py:244-263 (dict build), :297-310 (probe).
     */
   def resolveDims(fact: DataFrame,
                   dims: Seq[(DataFrame, Seq[String])]): DataFrame =
     dims.foldLeft(fact) { case (f, (dim, natKey)) =>
-      val renamed = natKey.foldLeft(dim)((d, k) => d.withColumnRenamed(k, "__dk_" + k))
-      val cond = natKey.map(k => col(k) <=> col("__dk_" + k)).reduce(_ && _)
-      f.join(broadcast(renamed), cond, "left")
-        .drop(natKey.map("__dk_" + _): _*)
+      val nullable = natKey.exists(k => f.schema(k).nullable || dim.schema(k).nullable)
+      if (!nullable) f.join(broadcast(dim), natKey, "left")
+      else {
+        val renamed = natKey.foldLeft(dim)((d, k) => d.withColumnRenamed(k, "__dk_" + k))
+        val cond = natKey.map(k => col(k) <=> col("__dk_" + k)).reduce(_ && _)
+        f.join(broadcast(renamed), cond, "left")
+          .drop(natKey.map("__dk_" + _): _*)
+      }
     }
 
   /** J3 — idempotent append: keep only incoming rows whose key is absent

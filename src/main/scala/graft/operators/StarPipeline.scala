@@ -76,8 +76,16 @@ object StarPipeline {
     * broadcast left joins (J2), measures kept.
     */
   def fact(s: SparkSession, d: String): DataFrame = {
+    // Each dim's broadcast build carries its own copy of the flat fact,
+    // pruned by Catalyst to just that dim's key columns, and the 8 builds
+    // execute CONCURRENTLY (broadcast futures). That is deliberately NOT a
+    // persist-the-fact-first design: materializing the full joined fact
+    // costs a full write of it (prohibitive at 100 TB), while 8 concurrent
+    // column-pruned scans are how a columnar warehouse wants to be read.
+    // Pipeline implements the other trade (the DAG contract materializes
+    // flat_fact to storage anyway, and dims read the loaded table).
     val f = flatFact(s, d)
-    val dm = dims(s, d)
+    val dm = dimSpecs.map { case (n, k) => n -> Star.buildDim(f, k, n + "_id") }.toMap
     val resolved = Star.resolveDims(f, dimSpecs.map { case (n, k) => (dm(n), k) })
     resolved.select(
       col("l_orderkey"), col("l_linenumber"),
