@@ -1,0 +1,203 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data assembly operators (builder brief: "the operations a
+  * large-scale training-data pipeline would need"): sequence packing of
+  * documents into fixed-token-budget training rows, and int8 scalar
+  * quantization of embeddings with integer-exact quantized retrieval.
+  *
+  * Scale posture:
+  *  - Packing is concat-and-chunk (the standard LLM-pretraining shape:
+  *    concatenate documents in a deterministic order, cut at the token
+  *    budget; a document is assigned to the chunk its first token falls
+  *    in). The running sum is a window cumsum PARTITIONED BY SHARD —
+  *    real pipelines pack per output shard, so no global single-partition
+  *    window exists; each shard's window is independent and parallel.
+  *  - Quantization is a pure map (one `transform` HOF per vector, no
+  *    shuffle); quantized retrieval scores with an INTEGER dot product —
+  *    exact across engines (no float summation-order concerns) and 4×
+  *    less memory traffic than float32 at scan time, which is the point
+  *    of int8 retrieval at 100 TB.
+  */
+object Training {
+
+  // ===== sequence packing =====
+
+  /** Exclusive running token total per shard, in doc_id order. */
+  private def packWindow = Window.partitionBy("shard").orderBy("doc_id")
+
+  /** Assign each document to a training pack: shard by doc_id, then
+    * concat-and-chunk within the shard — pack index = floor(tokens
+    * before this doc / budget). Output one row per document with its
+    * pack assignment (`packSummary` rolls these up).
+    */
+  def packAssignments(docs: DataFrame, budget: Int, nShards: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      (col("doc_id") % nShards).as("shard"))
+    val cumBefore = coalesce(
+      sum(col("n_tokens")).over(packWindow.rowsBetween(
+        Window.unboundedPreceding, -1)), lit(0L))
+    toks.withColumn("pack_id",
+      (col("shard") * lit(1000000L)) + floor(cumBefore / budget))
+  }
+
+  /** One row per pack: how many docs landed in it, their token total, and
+    * the id span — the contract a downstream batch assembler consumes.
+    */
+  def packSummary(docs: DataFrame, budget: Int = 512, nShards: Int = 8): DataFrame =
+    packAssignments(docs, budget, nShards)
+      .groupBy("pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+
+  // ===== int8 embedding quantization =====
+
+  /** Per-vector symmetric int8 scale: max |v| (double). */
+  def quantScale(emb: Column): Column =
+    aggregate(emb, lit(0.0), (acc, v) => greatest(acc, abs(v.cast("double"))))
+
+  /** Quantize a float vector to int8 codes: round(v / scale * 127).
+    * A zero vector quantizes to zeros (scale 0 guarded).
+    */
+  def quantize(emb: Column, scale: Column): Column =
+    transform(emb, v =>
+      when(scale === 0, 0L)
+        .otherwise(round(v.cast("double") / scale * 127, 0).cast("long")))
+
+  /** Integer dot product of two code vectors — exact on any engine. */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** id, scale, codes for a (vec_id, embedding) frame. */
+  def quantizeEmbeddings(emb: DataFrame): DataFrame = {
+    val sc = quantScale(col("embedding"))
+    emb.select(col("vec_id"), round(sc, 6).as("scale"),
+      quantize(col("embedding"), sc).as("codes"))
+  }
+
+  /** Top-k retrieval over the QUANTIZED corpus. Score = cosine of the
+    * CODE vectors: qdot / (√(q·q) · √(c·c)) — the max-abs scales cancel,
+    * so this equals the cosine of the dequantized vectors and needs only
+    * codes (the floats can be discarded, which is the point of int8
+    * retrieval: 4× less scan traffic). The three dot products are exact
+    * integers (64 dims × 127² ≪ 2^53), the one division is a fixed IEEE
+    * double expression — reproducible across engines. Ranked by the
+    * k-bounded aggregator, ties by corpus id.
+    */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    def withNorm(df: DataFrame) = quantizeEmbeddings(df)
+      .select(col("vec_id"), col("codes"),
+        intDot(col("codes"), col("codes")).as("n2"))
+    val q = withNorm(queries).select(col("vec_id").as("query_id"),
+      col("codes").as("q_codes"), col("n2").as("q_n2"))
+    val scored = withNorm(corpus)
+      .select(col("vec_id").as("corpus_id"), col("codes").as("c_codes"), col("n2").as("c_n2"))
+      .crossJoin(broadcast(q))
+      .select(col("query_id"), col("corpus_id"),
+        round(when(col("q_n2") === 0 || col("c_n2") === 0, 0.0)
+          .otherwise(intDot(col("q_codes"), col("c_codes")) /
+            (sqrt(col("q_n2")) * sqrt(col("c_n2")))), 6).as("qsim"))
+    val topk = udaf(new graft.functions.TopKPairAggregator(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.ScoredId])
+    scored.groupBy("query_id")
+      .agg(topk(col("qsim"), col("corpus_id").cast("long")).as("tops"))
+      .select(col("query_id"), posexplode(col("tops")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.id").as("corpus_id"),
+        col("t.sim").as("qsim"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Concat-and-chunk packing of the documents table: 512-token budget,
+    // 8 shards. Returns the per-pack contract rows.
+    "q_pack_sequences" -> { (s, d) =>
+      packSummary(Tables.documents(s, d)).orderBy("pack_id")
+    },
+    // Per-vector int8 quantization artifacts: scale + integer code sums
+    // (codes themselves are list-typed; the sums are the cross-engine
+    // checkable projection of them).
+    "q_embed_quant" -> { (s, d) =>
+      quantizeEmbeddings(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("scale"),
+          aggregate(col("codes"), lit(0L), (a, v) => a + v).as("code_sum"),
+          intDot(col("codes"), col("codes")).as("code_norm2"))
+        .orderBy("vec_id")
+    },
+    // Quantized retrieval: the same 5 queries as the float top-k suite,
+    // ranked by exact integer dot product.
+    "q_sim_topk_quant" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      quantizedTopK(emb.filter(col("vec_id") < 5), emb, 5)
+        .orderBy("query_id", "rank")
+    }
+  )
+
+  // ===== DuckDB oracles =====
+
+  private val tokensSql =
+    """len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))"""
+
+  private def scaleSql(e: String) =
+    s"coalesce(list_max(list_transform($e, v -> abs(CAST(v AS DOUBLE)))), 0.0)"
+
+  private def codesSql(e: String, scale: String) =
+    s"list_transform($e, v -> CASE WHEN $scale = 0 THEN 0 " +
+      s"ELSE CAST(round(CAST(v AS DOUBLE) / $scale * 127, 0) AS BIGINT) END)"
+
+  private def intDotSql(a: String, b: String) =
+    s"list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2]))"
+
+  def oracles: Map[String, String] = Map(
+    "q_pack_sequences" ->
+      s"""WITH toks AS (
+         | SELECT doc_id, $tokensSql AS n_tokens, doc_id % 8 AS shard
+         | FROM documents),
+         |assigned AS (
+         | SELECT doc_id, n_tokens,
+         |  shard * 1000000 + CAST(floor(coalesce(sum(n_tokens) OVER (
+         |    PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0)
+         |   AS BIGINT) AS pack_id
+         | FROM toks)
+         |SELECT pack_id, count(*) AS n_docs,
+         | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM assigned GROUP BY pack_id ORDER BY pack_id""".stripMargin,
+    "q_embed_quant" ->
+      s"""WITH q AS (
+         | SELECT vec_id, ${scaleSql("embedding")} AS sc,
+         |  ${codesSql("embedding", scaleSql("embedding"))} AS codes
+         | FROM embeddings)
+         |SELECT vec_id, round(sc, 6) AS scale,
+         | CAST(coalesce(list_sum(codes), 0) AS BIGINT) AS code_sum,
+         | CAST(coalesce(${intDotSql("codes", "codes")}, 0) AS BIGINT) AS code_norm2
+         |FROM q ORDER BY vec_id""".stripMargin,
+    "q_sim_topk_quant" ->
+      s"""WITH z AS (
+         | SELECT vec_id, codes,
+         |  CAST(coalesce(${intDotSql("codes", "codes")}, 0) AS BIGINT) AS n2
+         | FROM (SELECT vec_id,
+         |   ${codesSql("embedding", scaleSql("embedding"))} AS codes
+         |  FROM embeddings)),
+         |q AS (SELECT vec_id AS query_id, codes AS q_codes, n2 AS q_n2
+         |      FROM z WHERE vec_id < 5),
+         |scored AS (
+         | SELECT query_id, c.vec_id AS corpus_id,
+         |  round(CASE WHEN q_n2 = 0 OR c.n2 = 0 THEN 0.0
+         |   ELSE CAST(${intDotSql("q_codes", "c.codes")} AS BIGINT) /
+         |    (sqrt(q_n2) * sqrt(c.n2)) END, 6) AS qsim
+         | FROM z c CROSS JOIN q),
+         |ranked AS (
+         | SELECT query_id, corpus_id, qsim,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY qsim DESC, corpus_id) AS INTEGER) AS rank
+         | FROM scored)
+         |SELECT * FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  )
+}
