@@ -1,0 +1,199 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus curation operators (builder brief: large-scale training-data
+  * pipeline): eval-set decontamination, PII redaction, and source-mix
+  * reporting with resampling rates.
+  *
+  * Scale posture:
+  *  - Decontamination: the eval side's distinct shingle hashes are SMALL
+  *    (eval sets are thousands of docs) → broadcast semi-join against the
+  *    corpus shingle stream. The corpus is never shuffled; the only
+  *    aggregation is per-contaminated-doc counting, map-side combined.
+  *  - PII redaction: pure map (chained regexp_replace + counts), zero
+  *    shuffles; patterns restricted to syntax shared by Java regex and
+  *    RE2 so the DuckDB oracle runs them verbatim.
+  *  - Source mix: one groupBy(source) at domain cardinality; the share
+  *    normalization is a single-row total broadcast, not a global window.
+  */
+object Curation {
+
+  // ===== eval-set decontamination =====
+
+  /** (id, shingle-hash) stream: tokens → word n-gram shingles → 64-bit
+    * hash per shingle, exploded. `Dedup.shingles` distincts per doc.
+    */
+  private def shingleHashStream(docs: DataFrame, idCol: String, textCol: String,
+                                n: Int, hasher: Dedup.HashFamily): DataFrame =
+    docs.select(col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col("id"), Dedup.shingles(col("toks"), n).as("shs"))
+      .select(col("id"), explode(col("shs")).as("sh"))
+      .select(col("id"), hasher(col("sh")).as("h"))
+
+  /** Contamination report: corpus documents sharing at least one word
+    * n-gram with the eval set, with the count of shared shingles — the
+    * standard pre-training decontamination check (n-gram collision
+    * against benchmark/eval data).
+    */
+  def contaminationReport(corpus: DataFrame, evalSet: DataFrame,
+                          idCol: String = "doc_id", textCol: String = "text",
+                          n: Int = 5,
+                          hasher: Dedup.HashFamily = Dedup.XxHash): DataFrame = {
+    val evalHashes = shingleHashStream(evalSet, idCol, textCol, n, hasher)
+      .select("h").distinct()
+    shingleHashStream(corpus, idCol, textCol, n, hasher)
+      .join(broadcast(evalHashes), Seq("h"), "left_semi")
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_shared")) // shingles are per-doc distinct
+  }
+
+  // ===== PII redaction =====
+
+  /** (label, pattern, replacement) — patterns valid in BOTH Java regex
+    * (Spark) and RE2 (DuckDB): no lookaround, no backreferences.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", "[0-9]{3}-[0-9]{3}-[0-9]{4}", "[PHONE]"),
+    ("ipv4", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "[IP]"))
+
+  /** Redacted text: patterns applied in declaration order. */
+  def redact(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (_, pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
+  /** Per-document redaction audit: match counts per PII class plus the
+    * redacted text's fingerprint (order of application matters for
+    * overlapping classes — declaration order is the contract).
+    */
+  def piiAudit(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val counts = piiPatterns.map { case (label, pat, _) =>
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0))).as("n_" + label)
+    }
+    docs.select((col(idCol) +: counts :+
+      md5(redact(col(textCol))).as("redacted_fp")): _*)
+  }
+
+  // ===== source-mix report =====
+
+  /** Per-source corpus composition: doc/token counts, token share, and
+    * the downsampling rate that would flatten the mix to a uniform
+    * target (`rate = min(1, (1/nSources) / share)`), the usual
+    * first-order mix-rebalancing knob.
+    */
+  def sourceMix(docs: DataFrame, sourceCol: String = "source",
+                textCol: String = "text"): DataFrame = {
+    val perSource = docs
+      .groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+    val totals = perSource.agg(
+      sum(col("n_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    perSource.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") / col("total_tokens"), 6).as("token_share"),
+        round(least(lit(1.0),
+          (lit(1.0) / col("n_sources")) /
+            (col("n_tokens") / col("total_tokens"))), 6).as("sample_rate"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Decontamination: eval set = first 20 docs verbatim; report every
+    // corpus doc sharing a 5-gram with them (the 20 themselves plus any
+    // natural 5-gram collisions in the synthetic vocabulary).
+    "q_decontaminate" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      contaminationReport(docs, docs.filter(col("doc_id") < 20),
+          hasher = Dedup.Md5Hash)
+        .orderBy("doc_id")
+    },
+    // PII audit over a corpus with planted PII (the synthetic text has
+    // none): first 20 docs get an email + phone + ip appended.
+    "q_pii_audit" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val planted = docs.select(col("doc_id"),
+        when(col("doc_id") < 20,
+          concat(col("text"),
+            concat(lit(" contact user"), col("doc_id"),
+              lit("@example.com or 555-123-4567 at 192.168.0.1"))))
+          .otherwise(col("text")).as("text"))
+      piiAudit(planted)
+        .filter(col("n_email") + col("n_phone") + col("n_ipv4") > 0)
+        .orderBy("doc_id")
+    },
+    // Source-mix report with uniform-target resampling rates.
+    "q_source_mix" -> { (s, d) =>
+      sourceMix(Tables.documents(s, d)).orderBy("source")
+    }
+  )
+
+  // ===== DuckDB oracles =====
+
+  private val toksSql =
+    """list_filter(string_split_regex(text, '\s+'), t -> t <> '')"""
+
+  private def h64(x: String): String =
+    s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
+
+  /** 5-gram shingles of a toks list (mirrors Dedup.shingles). */
+  private def shinglesSql(toks: String, n: Int): String =
+    s"""list_distinct(
+       | CASE WHEN len($toks) < $n THEN [array_to_string($toks, ' ')]
+       |      ELSE list_transform(range(1, len($toks) - ${n - 2}),
+       |             i -> array_to_string(list_slice($toks, i, i + ${n - 1}), ' ')) END)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q_decontaminate" ->
+      s"""WITH shs AS (
+         | SELECT doc_id, ${shinglesSql(toksSql, 5)} AS shs FROM documents),
+         |hs AS (
+         | SELECT doc_id, unnest(list_transform(shs, sh -> ${h64("sh")})) AS h
+         | FROM shs),
+         |ev AS (SELECT DISTINCT h FROM hs WHERE doc_id < 20)
+         |SELECT doc_id, count(*) AS n_shared
+         |FROM hs WHERE h IN (SELECT h FROM ev)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_pii_audit" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+      val ipv4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+      s"""WITH planted AS (
+         | SELECT doc_id,
+         |  CASE WHEN doc_id < 20 THEN text || ' contact user' || doc_id ||
+         |   '@example.com or 555-123-4567 at 192.168.0.1' ELSE text END AS text
+         | FROM documents),
+         |audited AS (
+         | SELECT doc_id,
+         |  len(regexp_extract_all(text, '$email')) AS n_email,
+         |  len(regexp_extract_all(text, '$phone')) AS n_phone,
+         |  len(regexp_extract_all(text, '$ipv4')) AS n_ipv4,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$email', '[EMAIL]', 'g'),
+         |    '$phone', '[PHONE]', 'g'),
+         |    '$ipv4', '[IP]', 'g')) AS redacted_fp
+         | FROM planted)
+         |SELECT * FROM audited
+         |WHERE n_email + n_phone + n_ipv4 > 0 ORDER BY doc_id""".stripMargin
+    },
+    "q_source_mix" ->
+      s"""WITH per_source AS (
+         | SELECT source, count(*) AS n_docs,
+         |  CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+         | FROM documents GROUP BY source),
+         |totals AS (
+         | SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  count(*) AS n_sources FROM per_source)
+         |SELECT source, n_docs, n_tokens,
+         | round(CAST(n_tokens AS DOUBLE) / total_tokens, 6) AS token_share,
+         | round(least(1.0, (1.0 / n_sources) /
+         |   (CAST(n_tokens AS DOUBLE) / total_tokens)), 6) AS sample_rate
+         |FROM per_source CROSS JOIN totals ORDER BY source""".stripMargin
+  )
+}
