@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Bench main (driver contract): times every SparkEntry query on
   * SPARK_GRAFT_SF_DIR and prints one JSON line.
@@ -8,12 +8,19 @@ import org.apache.spark.sql.SparkSession
   * A single untimed warmup query runs first so JVM/codegen/classloading
   * cost lands outside the per-query timings (queries are then timed in
   * sorted-name order, steady state). The timed work is each query's full
-  * plan → execution → count, nothing cached between queries.
+  * plan executed to a `noop` sink — every output row of every column is
+  * produced, so final sorts and provably-unused joins stay IN the timed
+  * plan. (The previous `count()` method let Catalyst eliminate top-level
+  * sorts and unused left joins under the count aggregate — it understated
+  * ORDER BY-heavy queries; that artifact made r02's q_star_fact look 2.4×
+  * faster than the real build.) Set SPARK_GRAFT_BENCH_MODE=count for a
+  * side-by-side run with the old method (continuity with r01–r03 numbers).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "noop")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,14 +29,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // untimed warmup: exercises parquet reader, codegen, broadcast machinery
+    // Execute the user-visible plan: noop sink consumes every row/column.
+    def run(df: DataFrame): Unit =
+      if (mode == "count") { df.count(): Unit }
+      else df.write.format("noop").mode("overwrite").save()
+
+    // untimed warmup: exercises parquet reader, codegen, broadcast, noop sink
     try SparkEntry.queries.get("q_j1_broadcast_join")
-      .foreach(_(spark, sfDir).count())
+      .foreach(fn => run(fn(spark, sfDir)))
     catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run(fn(spark, sfDir)) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

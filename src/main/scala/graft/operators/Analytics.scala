@@ -35,6 +35,39 @@ object Analytics {
              (col("n") * col("syy") - col("sy") * col("sy")))).as("corr"))
   }
 
+  /** Full correlation matrix in ONE pass: every per-column and pairwise
+    * moment lands in a single wide aggregate (k·2 + k(k−1)/2 + 1 sums),
+    * then the scalar row is exploded to (x, y, corr) rows. The per-pair
+    * formulation (one `exactCorr` per pair) scans the table k(k−1)/2
+    * times — at 100 TB that is k²/2 full reads; this is exactly one.
+    * The double arithmetic per pair is the same expression as
+    * [[exactCorr]] over the same exact decimal sums, so results are
+    * bit-identical and the per-pair DuckDB oracle is unchanged.
+    */
+  def exactCorrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val pairs = for (x <- cols; y <- cols if x < y) yield (x, y)
+    def dec(c: String) = col(c).cast(DecimalType(18, 2))
+    val aggs = Seq(count(lit(1)).cast("double").as("n")) ++
+      cols.flatMap { c =>
+        Seq(sum(dec(c)).cast("double").as(s"s_$c"),
+          sum(dec(c) * dec(c)).cast("double").as(s"ss_$c"))
+      } ++
+      pairs.map { case (x, y) =>
+        sum(dec(x) * dec(y)).cast("double").as(s"sp_${x}_$y")
+      }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(pairs.map { case (x, y) =>
+        val (sx, sy) = (col(s"s_$x"), col(s"s_$y"))
+        val (sxx, syy, sxy) = (col(s"ss_$x"), col(s"ss_$y"), col(s"sp_${x}_$y"))
+        struct(lit(x).as("x"), lit(y).as("y"),
+          ((col("n") * sxy - sx * sy) /
+            sqrt((col("n") * sxx - sx * sx) *
+                 (col("n") * syy - sy * sy))).as("corr"))
+      }: _*)).as("r"))
+      .select("r.*")
+      .orderBy("x", "y")
+  }
+
   private def exactCorrSql(x: String, y: String, table: String): String =
     s"""WITH m AS (
        | SELECT CAST(count(*) AS DOUBLE) AS n,
@@ -47,31 +80,64 @@ object Analytics {
        |SELECT (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) AS "corr"
        |FROM m""".stripMargin
 
-  /** Exact percentiles WITHOUT buffering values (the quality-gate /
-    * quartile scale path): Spark's exact `percentile` aggregate holds
-    * every value of the group in one buffer — an executor OOM at 100 TB.
-    * Same result in bounded steps: (1) groupBy value — the shuffle
-    * carries (value, count) pairs after the map-side combine, bounded by
-    * value cardinality, not row count; (2) cumulative + total counts over
-    * the sorted DISTINCT values (one unpartitioned window, value-
-    * cardinality-sized — same argument as Star.buildDim's dimension
-    * window); (3) the `percentile` aggregate's own interpolation,
-    * (higher−pos)·lower + (pos−lower)·higher at pos = p·(n−1), evaluated
-    * from the two boundary order statistics. Output: one row, one double
-    * column per requested (name, p).
+  /** Cumulative value-count frame behind the exact percentiles: one row
+    * per (group, distinct value) with its count `c`, inclusive running
+    * count `cum`, and group total `n` — with NO single-task window
+    * anywhere. The r03 formulation cumulated through one unpartitioned
+    * `Window.orderBy(v)`: fine for low-cardinality columns, but on a
+    * continuous column (distinct ≈ rows — l_extendedprice, a 100 TB
+    * quality score) it funnels the whole dataset through ONE task.
+    * Here instead:
+    *   1. value counts — map-side-combined shuffle, carries (value,
+    *      count) pairs bounded by distinct cardinality, not row count;
+    *   2. range-repartition by (group, v): each task owns a contiguous
+    *      value range, ranges ascending with partition id;
+    *   3. per-(group, range) subtotals → exclusive prefix offsets + group
+    *      totals via windows over the RANGE IDS — ≤ shuffle-partition-
+    *      count rows per group, driver-config-bounded, never data-bounded;
+    *   4. per-range inner cumulative sums, all ranges in parallel;
+    *      global cum = range offset + inner cum.
+    * `cum`/`n` are sums of the same longs in a different grouping order —
+    * exactly equal to the single-window formulation, so interpolation
+    * downstream stays bit-identical (ScaleSpec asserts equality with the
+    * builtin `percentile`). Group columns must be non-null (ours are
+    * literals); the (group, pid) join back is an equi-join of a
+    * range-count-sized frame — broadcast under AQE.
     */
-  def exactPercentiles(df: DataFrame, valueCol: String,
-                       ps: Seq[(String, Double)]): DataFrame = {
+  private def cumulativeValueCounts(df: DataFrame, groupCols: Seq[String],
+                                    valueCol: String): DataFrame = {
+    val g = groupCols.map(col)
     val counts = df.filter(col(valueCol).isNotNull)
-      .groupBy(col(valueCol).cast("double").as("v"))
+      .groupBy(g :+ col(valueCol).cast("double").as("v"): _*)
       .agg(count(lit(1)).as("c"))
-    val wCum = Window.orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.orderBy("v")
+    val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = counts
+      .repartitionByRange(nPart, g :+ col("v"): _*)
+      .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wOff = Window.partitionBy(g: _*).orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(g: _*)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val cum = counts
-      .withColumn("cum", sum(col("c")).over(wCum))
-      .withColumn("n", sum(col("c")).over(wAll))
+    val offsets = ranged.groupBy(g :+ col("pid"): _*)
+      .agg(sum(col("c")).as("rc"))
+      .withColumn("off", coalesce(sum(col("rc")).over(wOff), lit(0L)))
+      .withColumn("n", sum(col("rc")).over(wTot))
+      .drop("rc")
+    val wIn = Window.partitionBy(g :+ col("pid"): _*).orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(offsets, groupCols :+ "pid")
+      .withColumn("cum", col("off") + sum(col("c")).over(wIn))
+      .drop("pid", "off")
+  }
+
+  /** The `percentile` aggregate's own interpolation — (higher−pos)·lower
+    * + (pos−lower)·higher at pos = p·(n−1), DuckDB quantile_cont's exact
+    * formula too (verified bitwise) — evaluated per group from the two
+    * boundary order statistics of the cumulative frame.
+    */
+  private def percentileAgg(cum: DataFrame, groupCols: Seq[String],
+                            ps: Seq[(String, Double)]): DataFrame = {
     def pos(p: Double) = lit(p) * (col("n").cast("double") - 1)
     val aggCols = ps.flatMap { case (name, p) =>
       Seq(
@@ -87,12 +153,39 @@ object Analytics {
           (rn - lower) * col(s"__hi_$name"))
         .as(name)
     }
-    cum.agg(aggCols.head, aggCols.tail: _*).select(outCols: _*)
+    if (groupCols.isEmpty)
+      cum.agg(aggCols.head, aggCols.tail: _*).select(outCols: _*)
+    else
+      cum.groupBy(groupCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+        .select(groupCols.map(col) ++ outCols: _*)
   }
+
+  /** Exact percentiles WITHOUT buffering values (the quality-gate /
+    * quartile scale path): Spark's exact `percentile` aggregate holds
+    * every value of the group in one buffer — an executor OOM at 100 TB.
+    * Output: one row, one double column per requested (name, p). Matches
+    * the builtin aggregate bit-for-bit at any column cardinality with no
+    * single-task stage (see [[cumulativeValueCounts]]).
+    */
+  def exactPercentiles(df: DataFrame, valueCol: String,
+                       ps: Seq[(String, Double)]): DataFrame =
+    percentileAgg(cumulativeValueCounts(df, Nil, valueCol), Nil, ps)
+
+  /** Per-group exact percentiles — same machinery, one output row per
+    * group (used by [[describeAll]] for per-column quartiles: the melt
+    * turns "k columns" into "k groups", so every column's cumulative
+    * ranges run in parallel in one job).
+    */
+  def groupedExactPercentiles(df: DataFrame, groupCol: String,
+                              valueCol: String,
+                              ps: Seq[(String, Double)]): DataFrame =
+    percentileAgg(cumulativeValueCounts(df, Seq(groupCol), valueCol),
+      Seq(groupCol), ps)
 
   /** One-call `describe(include='all')` (the reference's full-frame EDA
     * summary, notebooks/002_EDA_csv.ipynb cells 18/31/33): one output row
-    * per column — numeric columns get count/mean/std/min/max, categorical
+    * per column — numeric columns get count/mean/std/min/max plus exact
+    * 25/50/75% quartiles (full pandas `describe` parity), categorical
     * columns get count/unique/top/freq (top ties broken by highest count
     * then lexicographically last value). Std is the sample standard
     * deviation (pandas ddof=1) computed from exact DECIMAL moments cast to
@@ -115,7 +208,7 @@ object Analytics {
         min(col(c)).cast("double").as(s"min_$c"),
         max(col(c)).cast("double").as(s"max_$c"))
     }
-    val numRows = df.agg(numAggs.head, numAggs.tail: _*)
+    val moments = df.agg(numAggs.head, numAggs.tail: _*)
       .select(explode(array(numeric.map { c =>
         val n = col(s"cnt_$c")
         val sx = col(s"sx_$c")
@@ -129,6 +222,16 @@ object Analytics {
           lit(null).cast("long").as("top_freq"))
       }: _*)).as("r"))
       .select("r.*")
+    // 25/50/75% per numeric column (pandas describe emits them; the r03
+    // gap). ONE extra melted scan: k columns become k GROUPS of the
+    // grouped exact percentile, so every column's cumulative ranges run
+    // in parallel in one job — passes still don't grow with column count.
+    val quartiles = groupedExactPercentiles(
+      df.select(explode(array(numeric.map { c =>
+        struct(lit(c).as("col_name"), col(c).cast("double").as("nv"))
+      }: _*)).as("kv")).select("kv.*"),
+      "col_name", "nv", Seq("q1" -> 0.25, "q2" -> 0.5, "q3" -> 0.75))
+    val numRows = moments.join(quartiles, Seq("col_name"), "left")
     // ALL categorical columns through ONE melt → (col, value) count →
     // per-column rollup. Two shuffles total regardless of column count;
     // the second input is already value-frequency-sized. max_by on
@@ -153,7 +256,10 @@ object Analytics {
           lit(null).cast("double").as("std"),
           lit(null).cast("double").as("min_v"),
           lit(null).cast("double").as("max_v"),
-          col("n_unique"), col("top"), col("top_freq")))
+          col("n_unique"), col("top"), col("top_freq"),
+          lit(null).cast("double").as("q1"),
+          lit(null).cast("double").as("q2"),
+          lit(null).cast("double").as("q3")))
     }
     (Seq(numRows) ++ catRows).reduce(_ unionByName _).orderBy("col_name")
   }
@@ -171,15 +277,10 @@ object Analytics {
     },
     // A8 — the full correlation matrix over the numeric measures (the
     // reference's notebooks/002_EDA_csv.ipynb cell 37 corr() heatmap),
-    // unpivoted to (x, y, corr) rows.
+    // unpivoted to (x, y, corr) rows. ONE scan for all 6 pairs.
     "q_a8_corr_matrix" -> { (s, d) =>
-      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      val pairs = for (x <- cols; y <- cols if x < y) yield (x, y)
-      val li = Tables.lineitem(s, d)
-      pairs.map { case (x, y) =>
-        exactCorr(li, x, y)
-          .select(lit(x).as("x"), lit(y).as("y"), col("corr"))
-      }.reduce(_ unionByName _).orderBy("x", "y")
+      exactCorrMatrix(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
     },
     // A9 — dashboard: totals by year ("Injury and Fatality Trends by Year").
     "q_a9_by_year" -> { (s, d) =>
@@ -215,11 +316,14 @@ object Analytics {
          | sqrt((cnt * sxx - sx * sx) / (cnt * (cnt - 1))) AS std,
          | min_v, max_v,
          | CAST(NULL AS BIGINT) AS n_unique, CAST(NULL AS VARCHAR) AS top,
-         | CAST(NULL AS BIGINT) AS top_freq
+         | CAST(NULL AS BIGINT) AS top_freq, q1, q2, q3
          |FROM (SELECT count($c) AS cnt,
          |  CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS sx,
          |  CAST(sum(CAST($c AS DECIMAL(18,2)) * CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-         |  CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v
+         |  CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v,
+         |  quantile_cont(CAST($c AS DOUBLE), 0.25) AS q1,
+         |  quantile_cont(CAST($c AS DOUBLE), 0.5) AS q2,
+         |  quantile_cont(CAST($c AS DOUBLE), 0.75) AS q3
          | FROM $table)""".stripMargin
     }
     val catSelects = categorical.map { c =>
@@ -228,7 +332,9 @@ object Analytics {
          | CAST(NULL AS DOUBLE) AS mean, CAST(NULL AS DOUBLE) AS std,
          | CAST(NULL AS DOUBLE) AS min_v, CAST(NULL AS DOUBLE) AS max_v,
          | (SELECT count(DISTINCT $c) FROM $table) AS n_unique,
-         | f.top, f.top_freq
+         | f.top, f.top_freq,
+         | CAST(NULL AS DOUBLE) AS q1, CAST(NULL AS DOUBLE) AS q2,
+         | CAST(NULL AS DOUBLE) AS q3
          |FROM (SELECT $c AS top, count(*) AS top_freq FROM $table
          |      WHERE $c IS NOT NULL GROUP BY 1
          |      ORDER BY top_freq DESC, top DESC LIMIT 1) f""".stripMargin

@@ -83,14 +83,19 @@ object Pipeline {
     }
   }
 
-  /** Row counts of every warehouse table, one row per table. */
+  /** Row counts of every warehouse table, one row per table — ONE lazy
+    * union so consuming it is ONE Spark job (17 scans scheduled together,
+    * map-side counted) instead of 17 sequential driver-blocking count
+    * jobs; per-job scheduling latency doesn't stack.
+    */
   def warehouseCounts(s: SparkSession, warehouse: String): DataFrame = {
-    import s.implicits._
     val tables = Seq("flat_fact", "star_fact") ++
       StarPipeline.dimSpecs.map(_._1) ++ topicBuilders.map(_._1)
-    tables.map(t => (t, s.read.parquet(s"$warehouse/$t").count()))
-      .toDF("table_name", "cnt")
-      .orderBy("table_name")
+    tables.map { t =>
+      s.read.parquet(s"$warehouse/$t")
+        .agg(count(lit(1)).as("cnt"))
+        .select(lit(t).as("table_name"), col("cnt"))
+    }.reduce(_ unionByName _).orderBy("table_name")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -131,6 +131,28 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("percentile"), s"builtin percentile in plan:\n$plan")
   }
 
+  test("exact percentile has no single-task window over the values") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val li = Tables.lineitem(spark, sfDir)
+    for (df <- Seq(
+        graft.operators.Analytics.exactPercentiles(li, "l_extendedprice",
+          Seq("p50" -> 0.5)),
+        graft.operators.Analytics.groupedExactPercentiles(
+          li.selectExpr("l_returnflag AS g", "l_extendedprice AS x"),
+          "g", "x", Seq("p50" -> 0.5)))) {
+      val wins = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+      assert(wins.nonEmpty)
+      wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+        // the only unpartitioned windows are the prefix-offset windows over
+        // per-range subtotals (≤ spark.sql.shuffle.partitions rows) — the
+        // value-cardinality-sized cumulative window must be partitioned
+        val ordered = w.orderSpec.flatMap(_.references.toSeq.map(_.name))
+        assert(!ordered.contains("v"),
+          s"unpartitioned window over the value column:\n$w")
+      }
+    }
+  }
+
   test("star fact plan keeps every dimension join broadcast") {
     val plan = graft.operators.StarPipeline.fact(spark, sfDir)
       .queryExecution.executedPlan.toString
