@@ -75,11 +75,13 @@ object NativeExpressions {
       copy(left = newLeft, right = newRight)
   }
 
-  /** Single-pass 32-bit SimHash over a token array: per-token xxhash64
+  /** Single-pass SimHash over a token array: per-token xxhash64
     * (seed 42, identical to the `xxhash64` builtin), per-bit majority
     * votes, one traversal (the HOF formulation needs one pass per bit).
+    * Default width is 64 — the scale posture: d≤6 pigeonhole chunks keep
+    * ≥ 9 key bits each, vs 4-5 at 32 bits (see Dedup.simhashChunkLayout).
     */
-  case class SimHash64(child: Expression, bits: Int = 32)
+  case class SimHash64(child: Expression, bits: Int = 64)
       extends UnaryExpression {
     override def dataType: DataType = LongType
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -398,7 +400,7 @@ object NativeExpressions {
     * ((h >>> b) & 1 == (h >> b) & 1 for every h, b < 63, so the vote is
     * shift-flavor-independent).
     */
-  case class SimHashFromHashes(child: Expression, bits: Int = 32)
+  case class SimHashFromHashes(child: Expression, bits: Int = 64)
       extends UnaryExpression {
     override def dataType: DataType = LongType
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -488,7 +490,7 @@ object NativeExpressions {
   def cosineSim(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark); call_function("cosine_sim", a, b)
   }
-  def simhashNative(spark: SparkSession, toks: Column, bits: Int = 32): Column = {
+  def simhashNative(spark: SparkSession, toks: Column, bits: Int = 64): Column = {
     register(spark)
     call_function("simhash", toks, org.apache.spark.sql.functions.lit(bits))
   }
@@ -502,7 +504,7 @@ object NativeExpressions {
     register(spark)
     call_function("minhash_sigs", hashes, org.apache.spark.sql.functions.lit(numHashes))
   }
-  def simhashFromHashes(spark: SparkSession, hashes: Column, bits: Int = 32): Column = {
+  def simhashFromHashes(spark: SparkSession, hashes: Column, bits: Int = 64): Column = {
     register(spark)
     call_function("simhash_from_hashes", hashes, org.apache.spark.sql.functions.lit(bits))
   }

@@ -230,7 +230,7 @@ object Dedup {
   /** SimHash bits from a MATERIALIZED token-hash array: per-bit majority
     * vote, one aggregate per bit over attribute reads only.
     */
-  def simhashFromHashes(hashes: Column, bits: Int = 32): Column = {
+  def simhashFromHashes(hashes: Column, bits: Int = 64): Column = {
     val bitCols = (0 until bits).map { b =>
       val vote = aggregate(hashes, lit(0L),
         (acc, h) => acc + (shiftright(h, b).bitwiseAND(1L)) * 2 - 1)
@@ -240,7 +240,7 @@ object Dedup {
   }
 
   /** Convenience single-expression simhash (tests / small inputs). */
-  def simhash(textCol: Column, bits: Int = 32): Column =
+  def simhash(textCol: Column, bits: Int = 64): Column =
     simhashFromHashes(transform(TextAnalysis.tokens(textCol), t => xxhash64(t)), bits)
 
   /** id + simhash. XxHash routes through the native single-pass expression
@@ -250,7 +250,7 @@ object Dedup {
     * repeats).
     */
   def withSimhash(docs: DataFrame, idCol: String, textCol: String,
-                  hasher: HashFamily = XxHash, bits: Int = 32): DataFrame = {
+                  hasher: HashFamily = XxHash, bits: Int = 64): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
       TextAnalysis.tokens(col(textCol)).as("toks"))
     hasher match {
@@ -279,10 +279,11 @@ object Dedup {
     * d ≤ 1). Chunk widths differ by at most one bit.
     *
     * Scale trade (documented, inherent to Hamming LSH): more chunks ⇒
-    * narrower keys ⇒ bigger buckets. At 32 bits / d=6 each key is 4-5 bits;
-    * a 100 TB deployment should raise `bits` (64-bit simhash) so each of
-    * the d+1 chunks keeps ≥ 8 key bits, or lower the radius per table and
-    * union multiple hash tables.
+    * narrower keys ⇒ bigger buckets. At 32 bits / d=6 each key is 4-5
+    * bits; the API therefore DEFAULTS to 64-bit simhash so each of the
+    * d+1 chunks keeps ≥ 9 key bits (the 100 TB posture; recall at d≤6
+    * gated in DedupSimSpec). The md5-60 oracle query pins bits=60
+    * explicitly — cross-engine arithmetic needs non-negative values.
     */
   /** Chunk layout shared by [[simhashBandCols]] and the DuckDB oracle
     * generator: (bit offset, width) of the `maxHamming + 1` chunks.
@@ -328,7 +329,7 @@ object Dedup {
     * by the pigeonhole banding).
     */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3, bits: Int = 32,
+                      maxHamming: Int = 3, bits: Int = 64,
                       hasher: HashFamily = XxHash): DataFrame =
     simhashCandidates(withSimhash(docs, idCol, textCol, hasher, bits),
       bits, maxHamming)

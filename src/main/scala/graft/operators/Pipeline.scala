@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The reference DAG re-expressed as ONE end-to-end driver (SURVEY §2.10;
@@ -83,6 +83,44 @@ object Pipeline {
     }
   }
 
+  /** One INCREMENTAL DAG run: like [[runOnce]], but dimensions GROW —
+    * natural keys not yet in a dim are appended with surrogate ids
+    * continuing from max(id) (Star.newDimRows), and existing ids never
+    * move, so fact rows loaded by earlier runs keep valid FKs while new
+    * rows resolve against the extended dims. The reference's skip-guard
+    * (dags/etl_crash_traffic.py:678-690) would leave keys that first
+    * appear in a later load resolving to NULL FKs — this is the missing
+    * capability a daily-cadence warehouse needs. `factFilter` scopes a
+    * run to a slice of the source (plays the role of a daily partition).
+    * Topic snapshots are runOnce's concern, not repeated here.
+    */
+  def runIncremental(s: SparkSession, d: String, warehouse: String,
+                     factFilter: Option[Column] = None): Unit = {
+    val flatAll = StarPipeline.flatFact(s, d)
+    val flat = factFilter.map(flatAll.filter).getOrElse(flatAll)
+    Star.idempotentWrite(flat, s"$warehouse/flat_fact", factKeys)
+    val loadedFlat = s.read.parquet(s"$warehouse/flat_fact")
+    StarPipeline.dimSpecs.foreach { case (name, keys) =>
+      val path = s"$warehouse/$name"
+      if (!exists(s, path))
+        Star.buildDim(loadedFlat, keys, name + "_id").write.parquet(path)
+      else
+        // append-only: the new-key rows commit AFTER the plan's scan of
+        // the existing files finishes (job commit semantics), so reading
+        // and appending to the same directory is safe
+        Star.newDimRows(s.read.parquet(path), loadedFlat, keys, name + "_id")
+          .write.mode(SaveMode.Append).parquet(path)
+    }
+    val dims = StarPipeline.dimSpecs.map { case (name, keys) =>
+      (s.read.parquet(s"$warehouse/$name"), keys)
+    }
+    val fact = Star.resolveDims(loadedFlat, dims).select(
+      (factKeys.map(col) ++
+        StarPipeline.dimSpecs.map { case (n, _) => col(n + "_id") } ++
+        Seq(col("l_quantity"), col("l_extendedprice"), col("l_discount"))): _*)
+    Star.idempotentWrite(fact, s"$warehouse/star_fact", factKeys)
+  }
+
   /** Row counts of every warehouse table, one row per table — ONE lazy
     * union so consuming it is ONE Spark job (17 scans scheduled together,
     * map-side counted) instead of 17 sequential driver-blocking count
@@ -109,6 +147,39 @@ object Pipeline {
       runOnce(s, d, wh)
       runOnce(s, d, wh)
       warehouseCounts(s, wh)
+    },
+    // Incremental growth gate: run the DAG on HALF the source (even
+    // orderkeys), then on the full source. The audit row per dim checks
+    // (a) final dim cardinality covers the full key set, (b) every
+    // subset-run surrogate id is UNCHANGED after the extension (stable_
+    // old_ids = a fresh subset-only rebuild joined on key AND id), and
+    // (c) zero NULL FKs in the star fact — the exact failure the frozen
+    // skip-guard would produce on augmented data.
+    "q_pipeline_incremental" -> { (s, d) =>
+      val wh = "/root/repo/target/scratch/pipeline_inc_wh"
+      reset(wh)
+      val subset = col("l_orderkey") % 2 === 0
+      runIncremental(s, d, wh, Some(subset))
+      runIncremental(s, d, wh)
+      val subFlat = StarPipeline.flatFact(s, d).filter(subset)
+      val fact = s.read.parquet(s"$wh/star_fact")
+      val nullFkRows = StarPipeline.dimSpecs.map { case (n, _) =>
+        fact.agg(sum(when(col(n + "_id").isNull, 1).otherwise(0))
+            .cast("long").as("null_fks"))
+          .select(lit(n).as("table_name"), col("null_fks"))
+      }.reduce(_ unionByName _)
+      val dimRows = StarPipeline.dimSpecs.map { case (n, keys) =>
+        val dim = s.read.parquet(s"$wh/$n")
+        val freshSub = Star.buildDim(subFlat, keys, "__rid")
+        val cond = keys.map(k => dim(k) <=> freshSub(k)).reduce(_ && _) &&
+          dim(n + "_id") === freshSub("__rid")
+        val stable = dim.join(freshSub, cond)
+          .agg(count(lit(1)).as("stable_old_ids"))
+        dim.agg(count(lit(1)).as("cnt"))
+          .crossJoin(stable)
+          .select(lit(n).as("table_name"), col("cnt"), col("stable_old_ids"))
+      }.reduce(_ unionByName _)
+      dimRows.join(nullFkRows, "table_name").orderBy("table_name")
     }
   )
 
@@ -146,10 +217,24 @@ object Pipeline {
     val factCounts = Seq(
       "SELECT 'flat_fact' AS table_name, (SELECT count(*) FROM f) AS cnt",
       "SELECT 'star_fact' AS table_name, (SELECT count(*) FROM f) AS cnt")
+    val incrementalRows = StarPipeline.dimSpecs.map { case (name, keys) =>
+      val k = keys.mkString(", ")
+      s"""SELECT '$name' AS table_name,
+         | (SELECT count(*) FROM (SELECT DISTINCT $k FROM f)) AS cnt,
+         | (SELECT count(*) FROM (SELECT DISTINCT $k FROM sub)) AS stable_old_ids,
+         | CAST(0 AS BIGINT) AS null_fks""".stripMargin
+    }
     Map(
       "q_pipeline_idempotence" ->
         s"""WITH f AS ($flat)
            |${(factCounts ++ dimCounts ++ topicCounts).mkString("", "\nUNION ALL\n", "")}
+           |ORDER BY table_name""".stripMargin,
+      // expected: every dim holds the FULL key set, every subset-run id
+      // survived the extension, and the fact has no null FKs
+      "q_pipeline_incremental" ->
+        s"""WITH f AS ($flat),
+           |sub AS (SELECT * FROM f WHERE l_orderkey % 2 = 0)
+           |${incrementalRows.mkString("", "\nUNION ALL\n", "")}
            |ORDER BY table_name""".stripMargin
     )
   }

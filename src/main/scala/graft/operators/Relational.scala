@@ -280,6 +280,34 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // Scale pattern: SALTED JOIN (replicate-small-side) — the join twin of
+    // q_skew_salted_agg. lineitem joined on l_returnflag alone has 3
+    // distinct keys: a plain shuffle join lands the entire table on 3
+    // reducers (one per key — the canonical hot-key skew). Salting: the
+    // big side gets salt = hash(row) mod nSalts, the small side is
+    // replicated once per salt value, and the join key becomes
+    // (key, salt) — the hot key now spreads over nSalts reducers. The
+    // oracle is the UNSALTED join SQL, proving the rewrite is
+    // semantics-preserving. (At this dim size broadcast is the right
+    // plan — the salt idiom is for when the skewed-key side is too big
+    // to broadcast; the shuffle_hash hint pins the shuffle-join path so
+    // the pattern is actually exercised and spec-asserted.)
+    "q_skew_salted_join" -> { (s, d) =>
+      import s.implicits._
+      val nSalts = 8
+      val dim = Seq(("A", "async_return"), ("N", "no_return"), ("R", "returned"))
+        .toDF("l_returnflag", "flag_label")
+      val replicated = dim.withColumn("salt",
+        explode(sequence(lit(0), lit(nSalts - 1))))
+      val salted = Tables.lineitem(s, d)
+        .withColumn("salt",
+          pmod(col("l_orderkey") * 31 + col("l_linenumber"), lit(nSalts)).cast("int"))
+      salted.join(replicated.hint("shuffle_hash"), Seq("l_returnflag", "salt"))
+        .groupBy("l_returnflag", "flag_label")
+        .agg(count(lit(1)).as("cnt"), sumDec(col("l_quantity")).as("qty"))
+        .orderBy("l_returnflag")
+    },
+
     // S3/API surface — the spark.sql() entry path over registered views
     // (the reference's SQL-text surface): same Catalyst plan as the
     // DataFrame API, proven by the shared oracle.
@@ -491,6 +519,15 @@ object Relational {
     "q_skew_salted_agg" ->
       s"""SELECT l_returnflag, ${sumDecSql("l_quantity")} AS qty, count(*) AS cnt
          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the UNSALTED join: salting must not change the result
+    "q_skew_salted_join" ->
+      s"""SELECT l_returnflag, flag_label, count(*) AS cnt,
+         | ${sumDecSql("l_quantity")} AS qty
+         |FROM lineitem
+         |JOIN (VALUES ('A', 'async_return'), ('N', 'no_return'),
+         |      ('R', 'returned')) AS dimv(l_returnflag, flag_label)
+         | USING (l_returnflag)
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "q_sql_api" ->
       """SELECT c_mktsegment, count(*) AS cnt,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

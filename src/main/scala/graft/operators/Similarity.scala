@@ -60,15 +60,69 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
-  /** Sign-LSH bucket key: the sign bits of `nBits` fixed coordinates —
-    * deterministic axis-aligned hyperplanes (no RNG, run-stable). At scale
-    * this is the IVF coarse quantizer: corpus partitioned by bucket,
-    * queries probe only their own bucket.
+  /** Sign-LSH bucket key: the sign bits of `nBits` fixed coordinates
+    * starting at `offset` — deterministic axis-aligned hyperplanes (no
+    * RNG, run-stable). At scale this is the IVF coarse quantizer: corpus
+    * partitioned by bucket, queries probe only their own bucket. The
+    * `offset` selects a disjoint coordinate slice per hash table for
+    * OR-banding (see [[embeddingNearDups]]).
     */
-  def signBucket(emb: Column, nBits: Int = 8): Column =
+  def signBucket(emb: Column, nBits: Int = 8, offset: Int = 0): Column =
     (0 until nBits).map { i =>
-      when(element_at(emb, i + 1) >= 0, lit(1L << i)).otherwise(0L)
+      when(element_at(emb, offset + i + 1) >= 0, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
+
+  /** Bucket width that tracks corpus size: ~`corpusRows / targetBucket`
+    * buckets, i.e. bits = ⌈log₂(rows / targetBucket)⌉ clamped to
+    * [8, dim]. The r03 fixed 8-bit key (256 buckets) made bucket
+    * population — and therefore the within-bucket self-join — grow
+    * LINEARLY with corpus size, degrading toward quadratic; with this,
+    * expected occupancy stays ~targetBucket at any scale (1e9 rows →
+    * 25 bits → ~32/bucket). The recall trade (same as the simhash chunk
+    * width, Dedup.simhashChunkLayout doc): each added bit halves bucket
+    * size but adds a coordinate on which a true near-dup pair may
+    * disagree — compensate by OR-banding over `nTables` disjoint
+    * coordinate slices, which multiplies candidate tables but turns
+    * miss probability from p into pⁿ.
+    */
+  def adaptiveSignBits(corpusRows: Long, dim: Int, targetBucket: Long = 32L): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1.0, corpusRows.toDouble / targetBucket)) /
+        math.log(2.0)).toInt
+    math.min(math.max(needed, 8), dim)
+  }
+
+  /** Embedding-cosine near-dup pairs (sim ≥ threshold) via sign-bucket
+    * LSH: candidates are generated WITHIN buckets only, id-only through
+    * the band shuffles (the Dedup candidate pattern — embedding arrays
+    * join back only for the deduped candidate pairs, a measured-in-Dedup
+    * ~50× shuffle-volume cut vs carrying both arrays through the
+    * self-join). `nTables` > 1 ORs candidates from disjoint coordinate
+    * slices (requires nTables·nBits ≤ dim): recall against sign-flips
+    * rises as 1−pⁿ while cost stays linear in tables.
+    */
+  def embeddingNearDups(emb: DataFrame, threshold: Double = 0.95,
+                        nBits: Int = 8, nTables: Int = 1,
+                        cosineFn: (Column, Column) => Column = cosine): DataFrame = {
+    val keyed = emb.select(col("vec_id"),
+      explode(array((0 until nTables).map { t =>
+        struct(lit(t).as("band"),
+          signBucket(col("embedding"), nBits, t * nBits).as("key"))
+      }: _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band"), col("bk.key"))
+    val l = keyed.select(col("band"), col("key"), col("vec_id").as("id_a"))
+    val r = keyed.select(col("band"), col("key"), col("vec_id").as("id_b"))
+    val cands = l.join(r, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val ea = emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
+    val eb = emb.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
+    cands.join(ea, Seq("id_a")).join(eb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosineFn(col("e_a"), col("e_b")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
 
   /** ANN top-k: exact cosine, but only within the query's sign bucket. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
@@ -154,17 +208,15 @@ object Similarity {
         .orderBy("query_id", "rank")
     },
     // Embedding-cosine near-dup: pairs above threshold within buckets.
+    // Bucket width derives from corpus size (adaptiveSignBits) — one
+    // cheap count job; at both test scales (500 / 2000 rows) it resolves
+    // to the 8-bit floor the static oracle encodes.
     "q_sim_near_dup" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      val b = emb.select(col("vec_id"), col("embedding"),
-        signBucket(col("embedding")).as("bucket"))
-      val l = b.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("e_a"))
-      val r = b.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("e_b"))
-      l.join(r, Seq("bucket"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          round(graft.functions.NativeExpressions.cosineSim(s, col("e_a"), col("e_b")), 6).as("sim"))
-        .filter(col("sim") >= 0.95)
+      val head = emb.agg(count(lit(1)), max(size(col("embedding")))).head()
+      val bits = adaptiveSignBits(head.getLong(0), head.getInt(1))
+      embeddingNearDups(emb, 0.95, bits,
+          cosineFn = graft.functions.NativeExpressions.cosineSim(s, _, _))
         .orderBy("id_a", "id_b")
     }
   )

@@ -65,6 +65,37 @@ object Star {
       }
     }
 
+  /** Incremental dimension growth. The reference's skip-guard freezes a
+    * dim after its first build (dags/etl_crash_traffic.py:678-690) — a
+    * later run over augmented data would leave new natural keys resolving
+    * to NULL FKs. This computes ONLY the not-yet-present natural keys and
+    * assigns surrogates continuing from max(existing id) in natural-key
+    * order; existing ids never move, so fact rows loaded by earlier runs
+    * stay valid. The anti join is NULL-SAFE (a null natural key already
+    * in the dim must not be re-inserted — plain USING would null-reject
+    * and duplicate it). Callers append the result to dim storage: no
+    * rewrite of existing rows, hence no overwrite-while-reading hazard
+    * and no id churn. The unpartitioned ranking window is new-key-
+    * cardinality-sized (same argument as [[buildDim]]); the max(id)
+    * scalar attaches via a broadcast cross join, keeping the whole plan
+    * lazy and distributed.
+    */
+  def newDimRows(existing: DataFrame, src: DataFrame,
+                 natKey: Seq[String], idCol: String): DataFrame = {
+    val renamed = natKey.foldLeft(existing.select(natKey.map(col): _*))(
+      (d, k) => d.withColumnRenamed(k, "__dk_" + k))
+    val cond = natKey.map(k => col(k) <=> col("__dk_" + k)).reduce(_ && _)
+    val fresh = src.select(natKey.map(col): _*).distinct()
+      .join(renamed, cond, "left_anti")
+    val w = Window.orderBy(natKey.map(k => col(k).asc_nulls_last): _*)
+    val maxId = existing.agg(
+      coalesce(max(col(idCol)), lit(0L)).cast("long").as("__mx"))
+    fresh.withColumn("__rn", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(maxId))
+      .withColumn(idCol, col("__rn") + col("__mx"))
+      .drop("__rn", "__mx")
+  }
+
   /** J3 — idempotent append: keep only incoming rows whose key is absent
     * from `existing` (left-anti), the set-based equivalent of the
     * reference's `INSERT ... ON CONFLICT (id) DO NOTHING` + id-set filter.

@@ -35,6 +35,52 @@ class DedupSimSpec extends SparkSpec {
     assert(planted == 10L)
   }
 
+  test("embedding near-dup OR-banding recovers sign-flip pairs a single table misses") {
+    // 20 planted near-dup pairs (cosine ≈ 0.99999): 10 flip the sign of
+    // one NEAR-ZERO coordinate inside table 0's slice (coords 0..15) —
+    // their table-0 buckets MUST differ, so a single 16-bit table cannot
+    // find them; their table-1 slice (coords 16..31) is untouched, so
+    // OR-banding over 2 tables must recover all 20.
+    val rng = new scala.util.Random(11)
+    val dim = 64
+    def base(): Array[Float] =
+      Array.fill(dim)(if (rng.nextBoolean()) 1f else -1f)
+    val rows = (0 until 20).flatMap { i =>
+      val a = base()
+      a(40) = 1f // keep a stable coord so vectors aren't degenerate
+      val b = a.clone()
+      if (i < 10) { a(i) = 0.01f; b(i) = -0.01f } // flip inside slice 0
+      Seq((i.toLong, a.toSeq), (i + 1000L, b.toSeq))
+    } ++ (0 until 100).map(i => (i + 5000L, base().toSeq)) // background
+    import spark.implicits._
+    val emb = rows.toDF("vec_id", "embedding")
+    def planted(nTables: Int): Long =
+      Similarity.embeddingNearDups(emb, 0.95, nBits = 16, nTables = nTables)
+        .filter(col("id_b") - col("id_a") === 1000L).count()
+    assert(planted(1) == 10L, "single table should miss exactly the slice-0 flips")
+    assert(planted(2) == 20L, "2-table OR-banding must recover every planted pair")
+    // and the candidate path must stay bucketed — no all-pairs join
+    val physical = Similarity.embeddingNearDups(emb, 0.95, 16, 2)
+      .queryExecution.executedPlan.toString
+    assert(!physical.contains("Cartesian"), "all-pairs join in near-dup plan")
+  }
+
+  test("64-bit pigeonhole banding recovers every planted pair within hamming 6") {
+    // literal 64-bit fingerprints: each base paired with a mutation of
+    // 1..6 random bit flips — the pigeonhole guarantee says the d+1=7
+    // chunk tables must recover ALL of them (deterministic, not
+    // probabilistic: a pair differing in ≤6 chunks agrees exactly on ≥1)
+    val rng = new scala.util.Random(5)
+    val rows = Seq.fill(20)(rng.nextLong()).zipWithIndex.flatMap { case (v, i) =>
+      val flips = rng.shuffle((0 until 64).toList).take(1 + rng.nextInt(6))
+      Seq((i.toLong, v), (i + 1000L, flips.foldLeft(v)((a, b) => a ^ (1L << b))))
+    }
+    val found = Dedup.simhashCandidates(rows.toDF("id", "sim"),
+        bits = 64, maxHamming = 6)
+      .filter(col("id_b") - col("id_a") === 1000L).count()
+    assert(found == 20L)
+  }
+
   test("identical docs have identical simhash; mutation stays close") {
     val df = Seq("spark line data table", "spark line data table",
       "spark line data boat").toDF("text")

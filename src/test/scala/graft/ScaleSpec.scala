@@ -33,6 +33,33 @@ class ScaleSpec extends SparkSpec {
     assert(salted == plain && plain.nonEmpty)
   }
 
+  test("salted join spreads the hot key and keeps the shuffle-join path") {
+    import spark.implicits._
+    val nSalts = 8
+    // the salted big side: every hot key must fan out over all nSalts
+    // sub-keys, and no (key, salt) cell may hold more than ~2/nSalts of
+    // its key's rows (the whole point — no reducer sees the full hot key)
+    val cells = Tables.lineitem(spark, sfDir)
+      .withColumn("salt",
+        pmod(col("l_orderkey") * 31 + col("l_linenumber"), lit(nSalts)).cast("int"))
+      .groupBy("l_returnflag", "salt").agg(count(lit(1)).as("c"))
+      .collect().map(r => ((r.getString(0), r.getInt(1)), r.getLong(2))).toMap
+    val keys = cells.keys.map(_._1).toSet
+    keys.foreach { k =>
+      val perSalt = cells.filter(_._1._1 == k).values.toSeq
+      assert(perSalt.size == nSalts, s"key $k only hit ${perSalt.size} salts")
+      val total = perSalt.sum.toDouble
+      assert(perSalt.max / total <= 2.0 / nSalts,
+        s"key $k still skewed: max cell ${perSalt.max} of $total")
+    }
+    // and the executed query plans a shuffle join (not broadcast): the
+    // salt idiom targets the case where broadcast is off the table
+    val plan = graft.operators.Relational
+      .queries("q_skew_salted_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), s"expected shuffled join:\n$plan")
+  }
+
   test("topk aggregator is partitioning-invariant (merge path)") {
     import org.apache.spark.sql.functions.udaf
     val top3 = udaf(new graft.functions.TopKAggregator(3))

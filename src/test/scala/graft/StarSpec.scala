@@ -16,6 +16,21 @@ class StarSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("newDimRows appends only new keys, ids continue from max, nulls not re-inserted") {
+    val run1 = Seq((1, Option("A")), (2, Option("C")), (3, None)).toDF("id", "k")
+    val dim1 = Star.buildDim(run1, Seq("k"), "k_id")
+    // run 2 adds B (new), repeats A and the null key (must NOT re-insert)
+    val run2 = Seq((4, Option("B")), (5, Option("A")), (6, None)).toDF("id", "k")
+    val fresh = Star.newDimRows(dim1, run2, Seq("k"), "k_id")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    assert(fresh == Set((Option("B"), 4L))) // only the new key, id = max(3)+1
+    // extended dim = old rows untouched + appended rows; re-extending with
+    // nothing new appends nothing (idempotent)
+    val dim2 = dim1.unionByName(Star.newDimRows(dim1, run2, Seq("k"), "k_id"))
+    assert(Star.newDimRows(dim2, run2, Seq("k"), "k_id").count() == 0)
+    assert(dim2.count() == 4)
+  }
+
   test("dim resolution on a one-row fact (reference transform fixture)") {
     // mirrors test/test_transform.py: seeded dims, single fact row, assert
     // the surrogate ids resolve through the broadcast left join
