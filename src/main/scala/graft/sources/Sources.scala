@@ -97,6 +97,36 @@ object Sources {
       .orderBy("o_orderstatus")
   }
 
+  /** S3/S4 over JDBC — the reference's actual Postgres surface
+    * (dags/etl_crash_traffic.py:266-290 scan, :641-654 sink), exercised
+    * through Spark's REAL `write.jdbc` / `read.jdbc` code path against
+    * embedded Derby (ships with the Spark distribution; no external DB in
+    * this container — at deployment the url simply points at Postgres).
+    * The read back is PARTITIONED on the key column (lower/upper bound,
+    * 4 partitions): Spark issues one range-predicated query per
+    * partition, which is the parallel-ingest posture a 100 TB migration
+    * needs — a single-connection read would serialize the whole table
+    * through one task. Derby is driver-embedded so this specific backend
+    * is local-mode-only; the Spark-side plumbing (dialect type mapping,
+    * predicate ranges, partitioned pulls) is identical against any RDBMS.
+    */
+  def jdbcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    // keep derby.log out of the repo root (read at engine boot; this is
+    // the only Derby user in the JVM)
+    System.setProperty("derby.system.home", "/root/repo/target/scratch")
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    Tables.nation(s, d).write.mode("overwrite")
+      .jdbc(url, "nation_jdbc", props)
+    val back = s.read.jdbc(url, "nation_jdbc",
+      columnName = "n_nationkey", lowerBound = 0L, upperBound = 25L,
+      numPartitions = 4, connectionProperties = props)
+    back.groupBy("n_regionkey")
+      .agg(count(lit(1)).as("cnt"), max(col("n_name")).as("max_name"))
+      .orderBy("n_regionkey")
+  }
+
   private def rmDir(path: String): Unit = {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
@@ -155,6 +185,7 @@ object Sources {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_s1_csv_roundtrip" -> csvRoundtrip _,
     "q_s4_idempotent_write" -> idempotentWriteRoundtrip _,
+    "q_jdbc_roundtrip" -> jdbcRoundtrip _,
     "q_bucketed_join" -> bucketedJoin _,
     "q_corrupt_records" -> corruptRecordScan _,
     "q_schema_merge" -> schemaMergeScan _
@@ -166,6 +197,11 @@ object Sources {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_s4_idempotent_write" ->
       """SELECT o_orderkey, o_orderstatus FROM orders ORDER BY o_orderkey""".stripMargin,
+    // the JDBC round-trip must preserve values exactly: oracle = the same
+    // aggregate straight off the parquet source
+    "q_jdbc_roundtrip" ->
+      """SELECT n_regionkey, count(*) AS cnt, max(n_name) AS max_name
+        |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_bucketed_join" ->
       """SELECT o_orderstatus, count(*) AS cnt,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
