@@ -161,13 +161,22 @@ object Pipeline {
       val subset = col("l_orderkey") % 2 === 0
       runIncremental(s, d, wh, Some(subset))
       runIncremental(s, d, wh)
+      // audit inputs: the subset flat feeds 8 dim rebuilds — persist ONE
+      // materialization instead of re-running the lineitem⋈orders join 8×
       val subFlat = StarPipeline.flatFact(s, d).filter(subset)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val fact = s.read.parquet(s"$wh/star_fact")
-      val nullFkRows = StarPipeline.dimSpecs.map { case (n, _) =>
-        fact.agg(sum(when(col(n + "_id").isNull, 1).otherwise(0))
-            .cast("long").as("null_fks"))
-          .select(lit(n).as("table_name"), col("null_fks"))
-      }.reduce(_ unionByName _)
+      // all 8 null-FK counts in ONE pass over the fact, melted to rows
+      // (the describeAll move — passes don't grow with dim count)
+      val nullFkAggs = StarPipeline.dimSpecs.map { case (n, _) =>
+        sum(when(col(n + "_id").isNull, 1).otherwise(0))
+          .cast("long").as(s"nf_$n")
+      }
+      val nullFkRows = fact.agg(nullFkAggs.head, nullFkAggs.tail: _*)
+        .select(explode(array(StarPipeline.dimSpecs.map { case (n, _) =>
+          struct(lit(n).as("table_name"), col(s"nf_$n").as("null_fks"))
+        }: _*)).as("r"))
+        .select("r.*")
       val dimRows = StarPipeline.dimSpecs.map { case (n, keys) =>
         val dim = s.read.parquet(s"$wh/$n")
         val freshSub = Star.buildDim(subFlat, keys, "__rid")
