@@ -77,10 +77,20 @@ object Pipeline {
         StarPipeline.dimSpecs.map { case (n, _) => col(n + "_id") } ++
         Seq(col("l_quantity"), col("l_extendedprice"), col("l_discount"))): _*)
     Star.idempotentWrite(fact, s"$warehouse/star_fact", factKeys)
-    // topic snapshots: complete-mode overwrites (rerun-safe by definition)
-    topicBuilders.foreach { case (name, build) =>
-      build(s, d).write.mode("overwrite").parquet(s"$warehouse/$name")
+    // topic snapshots: complete-mode overwrites (rerun-safe by definition),
+    // submitted CONCURRENTLY — the 7 aggregates are independent DAG
+    // branches (the reference's Airflow graph runs independent tasks in
+    // parallel, dags/etl_crash_traffic.py:1002-1005), and on a big cluster
+    // one small job at a time leaves most executors idle; Spark's
+    // scheduler interleaves the stages (FIFO within one app is fine for
+    // equal-sized jobs)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val publishes = topicBuilders.map { case (name, build) =>
+      Future(build(s, d).write.mode("overwrite").parquet(s"$warehouse/$name"))
     }
+    publishes.foreach(Await.result(_, Duration.Inf))
   }
 
   /** One INCREMENTAL DAG run: like [[runOnce]], but dimensions GROW —

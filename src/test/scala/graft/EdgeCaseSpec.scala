@@ -16,6 +16,28 @@ class EdgeCaseSpec extends SparkSpec {
     "über café 北京 emoji mix", "repeat repeat repeat repeat",
     "x" * 5000)
 
+  test("exact percentiles survive degenerate inputs") {
+    import graft.operators.Analytics
+    // single value: every percentile IS that value
+    val one = Seq(7.5).toDF("v")
+    val r1 = Analytics.exactPercentiles(one, "v",
+      Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75)).collect()(0)
+    assert((0 until 3).forall(i => r1.getDouble(i) == 7.5))
+    // all-null column: no crash, null percentiles (pandas describe shape)
+    val nulls = Seq[Option[Double]](None, None).toDF("v")
+    val r2 = Analytics.exactPercentiles(nulls, "v", Seq("p50" -> 0.5)).collect()(0)
+    assert(r2.isNullAt(0))
+    // two values: interpolation between distinct order statistics
+    val two = Seq(1.0, 3.0).toDF("v")
+    val r3 = Analytics.exactPercentiles(two, "v", Seq("p50" -> 0.5)).collect()(0)
+    assert(r3.getDouble(0) == 2.0)
+    // grouped: a group with one value and a group with two, one pass
+    val g = Seq(("a", 5.0), ("b", 1.0), ("b", 3.0)).toDF("g", "v")
+    val rg = Analytics.groupedExactPercentiles(g, "g", "v", Seq("p50" -> 0.5))
+      .orderBy("g").collect()
+    assert(rg(0).getDouble(1) == 5.0 && rg(1).getDouble(1) == 2.0)
+  }
+
   test("text functions survive degenerate inputs with sane ranges") {
     val df = weird.toDF("text").select(
       TextAnalysis.tokenCount(col("text")).as("n"),
