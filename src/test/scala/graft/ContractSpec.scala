@@ -12,6 +12,29 @@ import java.sql.Timestamp
 class ContractSpec extends SparkSpec {
   import spark.implicits._
 
+  test("driver contract: oracles and queries align, no cross-module name collisions") {
+    // a typo'd oracle key silently downgrades its query to a rows-only
+    // check at the driver; a duplicate query name across modules silently
+    // drops one of the two in the ++-merged map — both must be loud here
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((o -- q).isEmpty, s"oracles without a query: ${(o -- q).mkString(", ")}")
+    assert((q -- o).isEmpty, s"queries without an oracle: ${(q -- o).mkString(", ")}")
+    val parts = Seq(
+      graft.sources.Sources.queries, graft.operators.Relational.queries,
+      graft.operators.StarPipeline.queries, graft.operators.Topics.queries,
+      graft.operators.Analytics.queries, graft.operators.TextAnalysis.queries,
+      graft.operators.Dedup.queries, graft.operators.Similarity.queries,
+      graft.operators.Multimodal.queries, graft.streaming.StreamOps.queries,
+      graft.operators.BboxSummary.queries, graft.operators.TemporalJoins.queries,
+      graft.operators.Pipeline.queries, graft.operators.Training.queries,
+      graft.operators.Curation.queries)
+    val names = parts.flatMap(_.keys)
+    val dupes = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dupes.isEmpty, s"duplicate query names across modules: ${dupes.mkString(", ")}")
+    assert(names.size == q.size)
+  }
+
   test("bbox summary honors the reference's 21-column contract") {
     val df = BboxSummary.summary(spark, sfDir)
     val expected = Seq("bbox_label") ++ BboxSummary.countColumns ++
