@@ -18,7 +18,13 @@ import Relational.{sumDec, sumDecSql}
 object Analytics {
 
   /** Pearson correlation from exact decimal moments; both engines evaluate
-    * the same IEEE double expression over identical exact inputs.
+    * the same IEEE double expression over identical exact inputs. The
+    * result is rounded to 12 decimals: the decimal sums themselves are
+    * exact, but casting a decimal whose UNSCALED value exceeds 2^53 to
+    * double is not guaranteed bit-equal across engines (found at sf0.1:
+    * the (18,2)² moment sums drift by 1 ulp → corr drifts in its 16th
+    * significant digit). 12 decimals keep 9+ significant digits of any
+    * correlation while sitting ~4 orders above the drift.
     */
   def exactCorr(df: DataFrame, x: String, y: String): DataFrame = {
     val xd = col(x).cast(DecimalType(18, 2))
@@ -30,9 +36,9 @@ object Analytics {
         sum(xd * xd).cast("double").as("sxx"),
         sum(yd * yd).cast("double").as("syy"),
         sum(xd * yd).cast("double").as("sxy"))
-      .select(((col("n") * col("sxy") - col("sx") * col("sy")) /
+      .select(round((col("n") * col("sxy") - col("sx") * col("sy")) /
         sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
-             (col("n") * col("syy") - col("sy") * col("sy")))).as("corr"))
+             (col("n") * col("syy") - col("sy") * col("sy"))), 12).as("corr"))
   }
 
   /** Full correlation matrix in ONE pass: every per-column and pairwise
@@ -60,9 +66,9 @@ object Analytics {
         val (sx, sy) = (col(s"s_$x"), col(s"s_$y"))
         val (sxx, syy, sxy) = (col(s"ss_$x"), col(s"ss_$y"), col(s"sp_${x}_$y"))
         struct(lit(x).as("x"), lit(y).as("y"),
-          ((col("n") * sxy - sx * sy) /
+          round((col("n") * sxy - sx * sy) /
             sqrt((col("n") * sxx - sx * sx) *
-                 (col("n") * syy - sy * sy))).as("corr"))
+                 (col("n") * syy - sy * sy)), 12).as("corr"))
       }: _*)).as("r"))
       .select("r.*")
       .orderBy("x", "y")
@@ -77,7 +83,7 @@ object Analytics {
        |  CAST(sum(CAST($y AS DECIMAL(18,2)) * CAST($y AS DECIMAL(18,2))) AS DOUBLE) AS syy,
        |  CAST(sum(CAST($x AS DECIMAL(18,2)) * CAST($y AS DECIMAL(18,2))) AS DOUBLE) AS sxy
        | FROM $table)
-       |SELECT (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) AS "corr"
+       |SELECT round((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 12) AS "corr"
        |FROM m""".stripMargin
 
   /** Cumulative value-count frame behind the exact percentiles: one row
@@ -213,9 +219,14 @@ object Analytics {
         val n = col(s"cnt_$c")
         val sx = col(s"sx_$c")
         val sxx = col(s"sxx_$c")
+        // mean/std rounded to 6 decimals: the (18,2)² moment sums exceed
+        // 2^53 unscaled at a few hundred thousand rows, and decimal→double
+        // casts of such values are not bit-equal across engines (1-ulp
+        // drift found at sf0.1); 6 decimals is pandas-describe display
+        // precision and ~5 orders above the drift
         struct(lit(c).as("col_name"), n.as("cnt"),
-          (sx / n).as("mean"),
-          sqrt((n * sxx - sx * sx) / (n * (n - 1))).as("std"),
+          round(sx / n, 6).as("mean"),
+          round(sqrt((n * sxx - sx * sx) / (n * (n - 1))), 6).as("std"),
           col(s"min_$c").as("min_v"), col(s"max_$c").as("max_v"),
           lit(null).cast("long").as("n_unique"),
           lit(null).cast("string").as("top"),
@@ -312,8 +323,8 @@ object Analytics {
   private def describeAllSql(table: String, numeric: Seq[String],
                              categorical: Seq[String]): String = {
     val numSelects = numeric.map { c =>
-      s"""SELECT '$c' AS col_name, cnt, sx / cnt AS mean,
-         | sqrt((cnt * sxx - sx * sx) / (cnt * (cnt - 1))) AS std,
+      s"""SELECT '$c' AS col_name, cnt, round(sx / cnt, 6) AS mean,
+         | round(sqrt((cnt * sxx - sx * sx) / (cnt * (cnt - 1))), 6) AS std,
          | min_v, max_v,
          | CAST(NULL AS BIGINT) AS n_unique, CAST(NULL AS VARCHAR) AS top,
          | CAST(NULL AS BIGINT) AS top_freq, q1, q2, q3

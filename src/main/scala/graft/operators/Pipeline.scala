@@ -115,11 +115,7 @@ object Pipeline {
       if (!exists(s, path))
         Star.buildDim(loadedFlat, keys, name + "_id").write.parquet(path)
       else
-        // append-only: the new-key rows commit AFTER the plan's scan of
-        // the existing files finishes (job commit semantics), so reading
-        // and appending to the same directory is safe
-        Star.newDimRows(s.read.parquet(path), loadedFlat, keys, name + "_id")
-          .write.mode(SaveMode.Append).parquet(path)
+        Star.extendDim(s, path, loadedFlat, keys, name + "_id")
     }
     val dims = StarPipeline.dimSpecs.map { case (name, keys) =>
       (s.read.parquet(s"$warehouse/$name"), keys)

@@ -96,6 +96,16 @@ object Star {
       .drop("__rn", "__mx")
   }
 
+  /** The storage-facing incremental-growth action: append [[newDimRows]]
+    * to the dim directory. Safe against its own read — the appended files
+    * commit only after the plan's scan of the existing files finishes
+    * (job-commit semantics), and existing rows/ids are never touched.
+    */
+  def extendDim(spark: org.apache.spark.sql.SparkSession, path: String,
+                src: DataFrame, natKey: Seq[String], idCol: String): Unit =
+    newDimRows(spark.read.parquet(path), src, natKey, idCol)
+      .write.mode(SaveMode.Append).parquet(path)
+
   /** J3 — idempotent append: keep only incoming rows whose key is absent
     * from `existing` (left-anti), the set-based equivalent of the
     * reference's `INSERT ... ON CONFLICT (id) DO NOTHING` + id-set filter.

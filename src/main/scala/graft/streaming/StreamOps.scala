@@ -245,13 +245,17 @@ object StreamOps {
       val evs = Tables.events(s, d)
         .withColumn("ts", date_trunc("second", col("ts")))
         .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
-        // >= gap matches session_window's half-open [start, start+gap)
-        // windows: an event exactly `gap` after the previous one opens a
-        // new session in BOTH formulations (batch/stream equality must
-        // hold on exact-boundary gaps too).
+        // STRICT > gap: Spark's session_window merges ADJACENT windows —
+        // an event exactly `gap` after the previous one lands at
+        // prev.end == next.start and is absorbed into the SAME session
+        // (verified empirically: sf0.1 user 511 has events 1800 s apart
+        // and session_window(30 min) returns ONE 2-event session). The
+        // r02/r03 `>=` reading ("half-open window ⇒ boundary starts a new
+        // session") described the window extent, not the merge rule, and
+        // only survived because sf0.01 has no exact-boundary gap.
         .withColumn("new_sess",
           when(col("prev_ts").isNull ||
-            (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) >= 1800, 1)
+            (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 1800, 1)
             .otherwise(0))
         .withColumn("sess_no", sum(col("new_sess")).over(byUser))
       evs.groupBy("user_id", "sess_no")
@@ -310,7 +314,7 @@ object StreamOps {
         |g AS (
         | SELECT user_id, ts,
         |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |        OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800
+        |        OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
         |       THEN 1 ELSE 0 END AS new_sess
         | FROM e),
         |s AS (
@@ -347,7 +351,7 @@ object StreamOps {
         |g AS (
         | SELECT user_id, ts,
         |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |        OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800
+        |        OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
         |       THEN 1 ELSE 0 END AS new_sess
         | FROM e),
         |s AS (

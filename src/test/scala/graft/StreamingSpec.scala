@@ -15,6 +15,44 @@ class StreamingSpec extends SparkSpec {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
+  test("exact-gap-boundary events merge into one session (stream and batch agree)") {
+    // Spark's session_window merges ADJACENT windows: an event exactly
+    // `gap` after the previous one (prev.end == next.start) joins the
+    // SAME session; only gap > 30 min splits. Found the hard way at
+    // sf0.1 (user 511, events 1800 s apart) — this fixture pins the
+    // boundary so the batch lag+cumsum formulation can never drift to
+    // `>=` again.
+    implicit val sqlCtx = spark.sqlContext
+    val fixture = Seq(
+      (ts("2024-01-01 10:00:00"), 1L),
+      (ts("2024-01-01 10:30:00"), 1L), // exactly 1800 s later -> SAME session
+      (ts("2024-01-01 11:00:01"), 1L)) // 1801 s later -> NEW session
+    val stream = MemoryStream[(Timestamp, Long)]
+    val agg = stream.toDF().toDF("ts", "user_id")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("sess_boundary")
+      .outputMode("complete").start()
+    val streamed = try {
+      stream.addData(fixture: _*)
+      q.processAllAvailable()
+      spark.table("sess_boundary").select("n").as[Long].collect().sorted.toSeq
+    } finally q.stop()
+    assert(streamed == Seq(1L, 2L), s"session_window sizes: $streamed")
+    // the batch formulation (strict > gap) must agree on the same fixture
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts")
+    val batch = fixture.toDF("ts", "user_id")
+      .withColumn("prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess", when(col("prev").isNull ||
+        (unix_timestamp(col("ts")) - unix_timestamp(col("prev"))) > 1800, 1)
+        .otherwise(0))
+      .withColumn("sno", sum(col("new_sess")).over(byUser))
+      .groupBy("user_id", "sno").agg(count(lit(1)).as("n"))
+      .select("n").as[Long].collect().sorted.toSeq
+    assert(batch == Seq(1L, 2L), s"batch sessionization sizes: $batch")
+  }
+
   test("MemoryStream complete-mode aggregate equals batch aggregate") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq(
