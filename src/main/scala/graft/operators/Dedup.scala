@@ -334,6 +334,53 @@ object Dedup {
     simhashCandidates(withSimhash(docs, idCol, textCol, hasher, bits),
       bits, maxHamming)
 
+  /** Duplicate CLUSTERS from near-dup pairs: connected components via
+    * iterative min-label propagation — each round every node takes the
+    * minimum label among itself and its neighbors; fixpoint = components
+    * labeled by their smallest member, which IS the canonical survivor id
+    * (min-id keep rule, same as exact dedup's min(doc_id)). This turns
+    * the pair-emitting near-dup pipelines into the actual dedup
+    * deliverable: one row per duplicate cluster.
+    *
+    * Scale posture: each iteration is ONE equi-join (edges ⋈ labels, both
+    * partitioned by the join key) + a map-side-combined min-aggregate; the
+    * loop runs O(component diameter) rounds — near-dup graphs are
+    * overwhelmingly tiny stars/chains, so single digits in practice, and
+    * the iteration cap bounds the worst case. Labels persist each round
+    * (lineage truncation; at production scale swap persist for
+    * localCheckpoint every few rounds). The convergence check is a
+    * label-cardinality count job, not a collect. This simple
+    * min-propagation is the honest baseline of the large-star/small-star
+    * family; it never materializes anything bigger than (node, label).
+    */
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(lvl)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(lvl)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val next = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("cand")), Seq("dst"))
+        .select(col("src").as("id"), col("cand"))
+        .union(labels.select(col("id"), col("label").as("cand")))
+        .groupBy("id").agg(min(col("cand")).as("label"))
+        .persist(lvl)
+      changed = next
+        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("size"), max(col("id")).as("max_id"))
+  }
+
   /** Character n-grams (distinct) over a materialized normalized column. */
   def charGrams(normed: Column, n: Int = 4): Column =
     array_distinct(transform(
@@ -443,6 +490,15 @@ object Dedup {
       ngramJaccardNearDups(plantedCorpus(Tables.documents(s, d)), "doc_id", "text",
           hasher = Md5Hash)
         .orderBy("id_a", "id_b")
+    },
+    // Near-dup PAIRS → duplicate CLUSTERS (connected components, min-id
+    // canonical): the end-to-end dedup deliverable over the minhash
+    // pipeline's candidate graph.
+    "q_dedup_clusters" -> { (s, d) =>
+      dedupClusters(
+          minhashNearDups(plantedCorpus(Tables.documents(s, d)), "doc_id", "text",
+            hasher = Md5Hash))
+        .orderBy("cluster_id")
     }
   )
 
@@ -515,6 +571,39 @@ object Dedup {
 
     // tokens → 3-gram shingles → md5-hash64 → 16 minhash sigs → 8 bands of
     // 2 → candidate pairs → exact Jaccard ≥ 0.5 over the hash sets.
+    // the minhash pair chain + recursive transitive closure: every node's
+    // cluster = min id it can reach (DuckDB WITH RECURSIVE replays the
+    // engine's min-label fixpoint exactly)
+    "q_dedup_clusters" -> {
+      s"""WITH RECURSIVE $corpusToksSql,
+         |shs AS (
+         | SELECT id, list_distinct(
+         |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |       ELSE list_transform(range(1, len(toks) - 1),
+         |              i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END) AS shs
+         | FROM toks),
+         |hs AS (SELECT id, list_transform(shs, sh -> ${h64("sh")}) AS hs FROM shs),
+         |${minhashSigSql(16)},
+         |${candidatesSql(16, 2)},
+         |pairs AS (
+         | SELECT c.id_a, c.id_b
+         | FROM candidates c
+         | JOIN hs a ON c.id_a = a.id
+         | JOIN hs b ON c.id_b = b.id
+         | WHERE $jaccardSql >= 0.5),
+         |edges AS (
+         | SELECT id_a AS src, id_b AS dst FROM pairs
+         | UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         | SELECT src AS id, dst AS r FROM edges
+         | UNION
+         | SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+         |labels AS (
+         | SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id)
+         |SELECT cluster_id, count(*) AS size, max(id) AS max_id
+         |FROM labels GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+    },
+
     "q_dedup_minhash" -> {
       s"""WITH $corpusToksSql,
          |shs AS (

@@ -65,6 +65,19 @@ class DedupSimSpec extends SparkSpec {
     assert(!physical.contains("Cartesian"), "all-pairs join in near-dup plan")
   }
 
+  test("dedup clusters: chains and stars collapse to min-id components") {
+    // component shapes that need real transitivity: a 4-chain (diameter 3,
+    // multiple propagation rounds), a star, and an isolated pair
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),      // chain 1-2-3-4
+      (10L, 11L), (10L, 12L), (10L, 13L), // star centered at 10
+      (20L, 21L))                         // pair
+      .toDF("id_a", "id_b")
+    val got = Dedup.dedupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 4L, 4L), (10L, 4L, 13L), (20L, 2L, 21L)))
+  }
+
   test("64-bit pigeonhole banding recovers every planted pair within hamming 6") {
     // literal 64-bit fingerprints: each base paired with a mutation of
     // 1..6 random bit flips — the pigeonhole guarantee says the d+1=7
