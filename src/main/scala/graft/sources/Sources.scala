@@ -97,6 +97,31 @@ object Sources {
       .orderBy("o_orderstatus")
   }
 
+  /** S1/S2 for the training-data world: JSONL (one JSON object per line)
+    * is how text corpora actually ship. Round-trip the documents table
+    * through a JSONL sink and a schema-ed JSONL scan (explicit schema —
+    * at 100 TB schema inference would be a full extra pass over the
+    * data), then prove value fidelity with a checksum-grade aggregate
+    * (per-language counts + exact length sums + id xor-fold would over-
+    * fit the driver hash; counts + decimal sums suffice and match SQL).
+    */
+  def jsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = "/root/repo/target/scratch/jsonl_docs"
+    rmDir(path)
+    Tables.documents(s, d)
+      .select("doc_id", "lang", "source", "text")
+      .write.json(path)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("source", StringType), StructField("text", StringType)))
+    s.read.schema(schema).json(path)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("cnt"),
+        sum(length(col("text")).cast("long")).as("total_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("lang")
+  }
+
   /** S3/S4 over JDBC — the reference's actual Postgres surface
     * (dags/etl_crash_traffic.py:266-290 scan, :641-654 sink), exercised
     * through Spark's REAL `write.jdbc` / `read.jdbc` code path against
@@ -186,6 +211,7 @@ object Sources {
     "q_s1_csv_roundtrip" -> csvRoundtrip _,
     "q_s4_idempotent_write" -> idempotentWriteRoundtrip _,
     "q_jdbc_roundtrip" -> jdbcRoundtrip _,
+    "q_jsonl_roundtrip" -> jsonlRoundtrip _,
     "q_bucketed_join" -> bucketedJoin _,
     "q_corrupt_records" -> corruptRecordScan _,
     "q_schema_merge" -> schemaMergeScan _
@@ -202,6 +228,11 @@ object Sources {
     "q_jdbc_roundtrip" ->
       """SELECT n_regionkey, count(*) AS cnt, max(n_name) AS max_name
         |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_jsonl_roundtrip" ->
+      """SELECT lang, count(*) AS cnt,
+        | CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        | min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_bucketed_join" ->
       """SELECT o_orderstatus, count(*) AS cnt,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
