@@ -93,4 +93,11 @@ class ScalarsSpec extends SparkSpec {
     assert(out(0).getString(1) == "x")
     assert(out(1).isNullAt(1) && out(2).isNullAt(1))
   }
+  test("GraftExtensions deployment entry point applies cleanly") {
+    // spark.sql.extensions instantiates this class reflectively in every
+    // session of a deployment; signature rot in the inject calls must
+    // fail here, not at cluster boot
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext)
+  }
 }
