@@ -353,7 +353,10 @@ object Dedup {
     * min-propagation is the honest baseline of the large-star/small-star
     * family; it never materializes anything bigger than (node, label).
     */
-  def dedupClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  /** (id, label) component assignment — label = smallest id reachable.
+    * The iterative core behind [[dedupClusters]] and [[dedupSurvivors]].
+    */
+  def componentLabels(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -377,8 +380,32 @@ object Dedup {
       labels = next
       iter += 1
     }
-    labels.groupBy(col("label").as("cluster_id"))
+    labels
+  }
+
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame =
+    componentLabels(pairs, maxIter)
+      .groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("size"), max(col("id")).as("max_id"))
+
+  /** Survivor selection — the LAST step of corpus dedup: per duplicate
+    * cluster keep the best document under a quality policy (here: longest
+    * text, ties to the LOWER id) and count the drops. The policy is one
+    * `max_by` over a struct key, so swapping in any other quality score
+    * (a model score, recency, source priority) is a one-column change.
+    * Join shape: cluster labels (id-only) ⋈ the docs' scalar quality —
+    * document text itself never shuffles.
+    */
+  def dedupSurvivors(docs: DataFrame, idCol: String, textCol: String,
+                     pairs: DataFrame): DataFrame = {
+    val quality = docs.select(col(idCol).as("id"),
+      length(col(textCol)).cast("long").as("len"))
+    componentLabels(pairs)
+      .join(quality, Seq("id"))
+      .groupBy(col("label").as("cluster_id"))
+      .agg(
+        max_by(col("id"), struct(col("len"), -col("id"))).as("keep_id"),
+        (count(lit(1)) - 1).as("n_dropped"))
   }
 
   /** Character n-grams (distinct) over a materialized normalized column. */
@@ -499,6 +526,15 @@ object Dedup {
           minhashNearDups(plantedCorpus(Tables.documents(s, d)), "doc_id", "text",
             hasher = Md5Hash))
         .orderBy("cluster_id")
+    },
+    // Survivor selection: longest-text-wins (ties to lower id) per
+    // cluster — on the planted corpus the appended copies are longer, so
+    // the policy demonstrably picks a different survivor than min-id.
+    "q_dedup_survivors" -> { (s, d) =>
+      val corpus = plantedCorpus(Tables.documents(s, d))
+      dedupSurvivors(corpus, "doc_id", "text",
+          minhashNearDups(corpus, "doc_id", "text", hasher = Md5Hash))
+        .orderBy("cluster_id")
     }
   )
 
@@ -559,6 +595,37 @@ object Dedup {
     """round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
       | CAST(len(list_distinct(list_concat(a.hs, b.hs))) AS DOUBLE), 6)""".stripMargin
 
+  /** Shared by the clusters/survivors oracles: the md5 minhash pair chain
+    * plus the recursive transitive closure down to a `labels`(id,
+    * cluster_id) CTE. (Also exposes `corpus` for quality lookups.)
+    */
+  private lazy val clusterLabelsCteSql =
+    s"""WITH RECURSIVE $corpusToksSql,
+       |shs AS (
+       | SELECT id, list_distinct(
+       |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |       ELSE list_transform(range(1, len(toks) - 1),
+       |              i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END) AS shs
+       | FROM toks),
+       |hs AS (SELECT id, list_transform(shs, sh -> ${h64("sh")}) AS hs FROM shs),
+       |${minhashSigSql(16)},
+       |${candidatesSql(16, 2)},
+       |pairs AS (
+       | SELECT c.id_a, c.id_b
+       | FROM candidates c
+       | JOIN hs a ON c.id_a = a.id
+       | JOIN hs b ON c.id_b = b.id
+       | WHERE $jaccardSql >= 0.5),
+       |edges AS (
+       | SELECT id_a AS src, id_b AS dst FROM pairs
+       | UNION SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       | SELECT src AS id, dst AS r FROM edges
+       | UNION
+       | SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+       |labels AS (
+       | SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       """WITH corpus AS (
@@ -574,35 +641,22 @@ object Dedup {
     // the minhash pair chain + recursive transitive closure: every node's
     // cluster = min id it can reach (DuckDB WITH RECURSIVE replays the
     // engine's min-label fixpoint exactly)
-    "q_dedup_clusters" -> {
-      s"""WITH RECURSIVE $corpusToksSql,
-         |shs AS (
-         | SELECT id, list_distinct(
-         |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-         |       ELSE list_transform(range(1, len(toks) - 1),
-         |              i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END) AS shs
-         | FROM toks),
-         |hs AS (SELECT id, list_transform(shs, sh -> ${h64("sh")}) AS hs FROM shs),
-         |${minhashSigSql(16)},
-         |${candidatesSql(16, 2)},
-         |pairs AS (
-         | SELECT c.id_a, c.id_b
-         | FROM candidates c
-         | JOIN hs a ON c.id_a = a.id
-         | JOIN hs b ON c.id_b = b.id
-         | WHERE $jaccardSql >= 0.5),
-         |edges AS (
-         | SELECT id_a AS src, id_b AS dst FROM pairs
-         | UNION SELECT id_b, id_a FROM pairs),
-         |reach AS (
-         | SELECT src AS id, dst AS r FROM edges
-         | UNION
-         | SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
-         |labels AS (
-         | SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id)
+    "q_dedup_clusters" ->
+      s"""$clusterLabelsCteSql
          |SELECT cluster_id, count(*) AS size, max(id) AS max_id
-         |FROM labels GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
-    },
+         |FROM labels GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+
+    // survivor policy: longest text wins, ties to the lower id
+    "q_dedup_survivors" ->
+      s"""$clusterLabelsCteSql,
+         |quality AS (SELECT doc_id AS id, CAST(length(text) AS BIGINT) AS len FROM corpus),
+         |ranked AS (
+         | SELECT l.cluster_id, l.id, q.len,
+         |  row_number() OVER (PARTITION BY l.cluster_id ORDER BY q.len DESC, l.id) AS rn,
+         |  count(*) OVER (PARTITION BY l.cluster_id) AS sz
+         | FROM labels l JOIN quality q USING (id))
+         |SELECT cluster_id, id AS keep_id, sz - 1 AS n_dropped
+         |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
 
     "q_dedup_minhash" -> {
       s"""WITH $corpusToksSql,

@@ -78,6 +78,16 @@ class DedupSimSpec extends SparkSpec {
     assert(got == Set((1L, 4L, 4L), (10L, 4L, 13L), (20L, 2L, 21L)))
   }
 
+  test("survivor policy keeps the longest doc, ties to the lower id") {
+    val docs = Seq((1L, "short"), (2L, "a much longer text"),
+      (3L, "same"), (4L, "samX")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val got = Dedup.dedupSurvivors(docs, "doc_id", "text", pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // cluster 1: doc 2 is longer; cluster 3: equal lengths -> lower id 3
+    assert(got == Set((1L, 2L, 1L), (3L, 3L, 1L)))
+  }
+
   test("64-bit pigeonhole banding recovers every planted pair within hamming 6") {
     // literal 64-bit fingerprints: each base paired with a mutation of
     // 1..6 random bit flips — the pigeonhole guarantee says the d+1=7
