@@ -25,6 +25,21 @@ object Scalars {
     concat(lit("bbox_"), format_string("%.1f", latBin),
            lit("_"),     format_string("%.1f", lngBin))
 
+  /** Z-order (Morton) code: interleave the low 16 bits of two
+    * NON-NEGATIVE int columns (x → even bits, y → odd bits). The
+    * data-layout key for the reference's two-dimensional geo bins at
+    * scale: one sort by z before the write co-locates rows that are close
+    * in BOTH dimensions, so parquet row-group min/max stats prune
+    * lat-range AND lng-range predicates — a plain (lat, lng) sort only
+    * prunes the leading column. Pure bit arithmetic (codegen'd, exactly
+    * reproducible in SQL).
+    */
+  def zorder(x: Column, y: Column): Column =
+    (0 until 16).map { i =>
+      shiftright(x, i).bitwiseAND(1).cast("long") * lit(1L << (2 * i)) +
+        shiftright(y, i).bitwiseAND(1).cast("long") * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+
   /** P9 inverse — parse `bbox_<lat>_<lng>` back to (lat, lng) doubles.
     * Ref: dags/etl_crash_traffic.py:401-403.
     */

@@ -308,6 +308,23 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // Scale pattern: Z-ORDER layout key over the two geo-bin dimensions —
+    // writing the table sorted by this key co-locates rows close in BOTH
+    // bins, so row-group min/max stats prune either dimension's range
+    // predicate (a plain compound sort only prunes its leading column).
+    // The query materializes the key and the deterministic layout order
+    // the writer would use.
+    "q_zorder_layout" -> { (s, d) =>
+      import graft.functions.Scalars
+      Tables.events(s, d)
+        .select(col("event_id"),
+          hour(col("ts")).as("xb"),
+          pmod(col("user_id"), lit(64)).cast("int").as("yb"))
+        .withColumn("z", Scalars.zorder(col("xb"), col("yb")))
+        .orderBy("z", "event_id")
+        .limit(100)
+    },
+
     // S3/API surface — the spark.sql() entry path over registered views
     // (the reference's SQL-text surface): same Catalyst plan as the
     // DataFrame API, proven by the shared oracle.
@@ -519,6 +536,16 @@ object Relational {
     "q_skew_salted_agg" ->
       s"""SELECT l_returnflag, ${sumDecSql("l_quantity")} AS qty, count(*) AS cnt
          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_zorder_layout" -> {
+      val zExpr = (0 until 16).map { i =>
+        s"((CAST(xb AS BIGINT) >> $i) & 1) * ${1L << (2 * i)} + ((CAST(yb AS BIGINT) >> $i) & 1) * ${1L << (2 * i + 1)}"
+      }.mkString("(", "\n  + ", ")")
+      s"""SELECT event_id, xb, yb, $zExpr AS z
+         |FROM (SELECT event_id, CAST(hour(ts) AS INTEGER) AS xb,
+         |       CAST(user_id % 64 AS INTEGER) AS yb FROM events)
+         |ORDER BY z, event_id LIMIT 100""".stripMargin
+    },
+
     // the UNSALTED join: salting must not change the result
     "q_skew_salted_join" ->
       s"""SELECT l_returnflag, flag_label, count(*) AS cnt,

@@ -93,6 +93,16 @@ class ScalarsSpec extends SparkSpec {
     assert(out(0).getString(1) == "x")
     assert(out(1).isNullAt(1) && out(2).isNullAt(1))
   }
+  test("zorder interleaves bits (known values)") {
+    import spark.implicits._
+    val got = Seq((0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535))
+      .toDF("x", "y")
+      .select(graft.functions.Scalars.zorder(col("x"), col("y")).as("z"))
+      .as[Long].collect().toSeq
+    // (3,5): x bits 0,1 -> positions 0,2 = 5; y bits 0,2 -> positions 1,5 = 34
+    assert(got == Seq(0L, 1L, 2L, 39L, (1L << 32) - 1))
+  }
+
   test("GraftExtensions deployment entry point applies cleanly") {
     // spark.sql.extensions instantiates this class reflectively in every
     // session of a deployment; signature rot in the inject calls must
