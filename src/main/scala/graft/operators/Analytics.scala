@@ -293,6 +293,25 @@ object Analytics {
       exactCorrMatrix(Tables.lineitem(s, d),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
     },
+    // A9 — rolling 7-day revenue (trailing-window dashboard metric). The
+    // window runs over the PER-DAY pre-aggregate — calendar-bounded
+    // cardinality (same argument as dimension windows), never the fact
+    // table; the frame sums DECIMALs (exact in any addition order —
+    // DuckDB's segment-tree window vs Spark's running scan would drift
+    // doubles) and casts once at the end.
+    "q_rolling_revenue" -> { (s, d) =>
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("dt"))
+      val w = Window.orderBy("day_num").rangeBetween(-6, 0)
+      daily
+        .withColumn("day_num", datediff(col("day"), lit("1970-01-01").cast("date")))
+        .withColumn("rolling_7d", sum(col("dt")).over(w).cast("double"))
+        .select(col("day"), col("dt").cast("double").as("daily_total"),
+          col("rolling_7d"))
+        .orderBy("day")
+    },
+
     // A9 — dashboard: totals by year ("Injury and Fatality Trends by Year").
     "q_a9_by_year" -> { (s, d) =>
       Tables.orders(s, d)
@@ -365,6 +384,16 @@ object Analytics {
         s"SELECT '$x' AS x, '$y' AS y, \"corr\" FROM (${exactCorrSql(x, y, "lineitem")})"
       }.mkString("", "\nUNION ALL\n", "\nORDER BY x, y")
     },
+    "q_rolling_revenue" ->
+      """WITH daily AS (
+        | SELECT CAST(o_orderdate AS DATE) AS day,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS dt
+        | FROM orders GROUP BY 1)
+        |SELECT day, CAST(dt AS DOUBLE) AS daily_total,
+        | CAST(sum(dt) OVER (ORDER BY day
+        |   RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |  AS rolling_7d
+        |FROM daily ORDER BY day""".stripMargin,
     "q_a9_by_year" ->
       s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS y, ${sumDecSql("o_totalprice")} AS total,
          | count(*) AS cnt

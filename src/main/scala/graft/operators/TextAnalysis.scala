@@ -206,6 +206,25 @@ object TextAnalysis {
         .agg(count(lit(1)).as("kept"),
           round(min(col("mtl")), 6).as("min_kept_mtl"))
     },
+    // SORT-FREE decile report: bucket every doc by quality score WITHOUT
+    // a global ntile sort — the 9 exact decile thresholds come from the
+    // distributed percentile and broadcast back; assignment is a pure
+    // map-side when-chain. ntile(10) over all docs is a single-task
+    // total sort at 100 TB; this is two bounded passes + a map.
+    "q_decile_report" -> { (s, d) =>
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), length(col("text")).cast("double").as("score"))
+      val thr = Analytics.exactPercentiles(scored, "score",
+        (1 to 9).map(i => s"t$i" -> i / 10.0))
+      scored.crossJoin(broadcast(thr))
+        .withColumn("decile", lit(1) +
+          (1 to 9).map(i => when(col("score") > col(s"t$i"), 1).otherwise(0))
+            .reduce(_ + _))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("cnt"),
+          min(col("score")).as("min_score"), max(col("score")).as("max_score"))
+        .orderBy("decile")
+    },
     // Deterministic train/val/test split: md5 of the id buckets every doc
     // stably (the split survives reruns, repartitions, and engines — the
     // property a training pipeline needs; xxhash64 would be faster but has
@@ -299,6 +318,17 @@ object TextAnalysis {
            |t AS (SELECT quantile_cont(mtl, 0.1) AS thr FROM m)
            |SELECT count(*) AS kept, round(min(mtl), 6) AS min_kept_mtl
            |FROM m, t WHERE mtl >= thr""".stripMargin,
+      "q_decile_report" -> {
+        val thrCols = (1 to 9).map(i => s"quantile_cont(score, 0.${i}) AS t$i").mkString(", ")
+        val caseSum = (1 to 9)
+          .map(i => s"CASE WHEN score > t$i THEN 1 ELSE 0 END")
+          .mkString("(", " + ", ")")
+        s"""WITH s AS (SELECT CAST(length(text) AS DOUBLE) AS score FROM documents),
+           |t AS (SELECT $thrCols FROM s)
+           |SELECT 1 + $caseSum AS decile, count(*) AS cnt,
+           | min(score) AS min_score, max(score) AS max_score
+           |FROM s, t GROUP BY 1 ORDER BY 1""".stripMargin
+      },
       "q_sample_split" ->
         """SELECT CASE
           |  WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 80 THEN 'train'
