@@ -189,6 +189,39 @@ object StreamOps {
       runToSnapshot(agg, "stream_enriched").orderBy("region")
     },
 
+    // North-star: STREAM-STREAM interval join — each event joined to the
+    // same user's events in the following 10 minutes. Both sides carry
+    // watermarks and the join condition bounds event time on both, so the
+    // join state is horizon-bounded (the stream-stream requirement);
+    // inner-join matches emit as they form (append mode). The memory-sink
+    // pair table is then batch-aggregated per hour, and the oracle is the
+    // plain batch self-join — stream ≡ batch on a bounded source.
+    "q_stream_interval_join" -> { (s, d) =>
+      cleanCheckpoint("stream_interval_join")
+      val l = eventsStream(s, d)
+        .select(col("event_id").as("l_id"), col("ts").as("l_ts"),
+          col("user_id").as("l_user"))
+        .withWatermark("l_ts", "1 hour")
+      val r = eventsStream(s, d)
+        .select(col("event_id").as("r_id"), col("ts").as("r_ts"),
+          col("user_id").as("r_user"))
+        .withWatermark("r_ts", "1 hour")
+      val pairs = l.join(r, expr(
+        """l_user = r_user AND
+          |r_ts > l_ts AND r_ts <= l_ts + interval 10 minutes""".stripMargin))
+      val q = pairs.writeStream.format("memory").queryName("stream_interval_join")
+        .outputMode("append")
+        .option("checkpointLocation",
+          "/root/repo/target/scratch/ckpt_stream_interval_join")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("stream_interval_join")
+        .groupBy(hour(col("l_ts")).as("h"))
+        .agg(count(lit(1)).as("pairs"))
+        .orderBy("h")
+    },
+
     // S9 — the producer path via foreachBatch: each complete-mode snapshot
     // is JSON-encoded (the topic message payload, kafka/consumer.py:23
     // consumer contract) and overwritten to the "topic" sink; the query
@@ -346,6 +379,12 @@ object StreamOps {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_stream_topic_sink" ->
       "SELECT CAST(hour(ts) AS INTEGER) AS h, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
+    "q_stream_interval_join" ->
+      """SELECT CAST(hour(l.ts) AS INTEGER) AS h, count(*) AS pairs
+        |FROM events l JOIN events r
+        | ON l.user_id = r.user_id
+        | AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, date_trunc('second', ts) AS ts FROM events),
         |g AS (
