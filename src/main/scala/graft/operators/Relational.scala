@@ -249,6 +249,18 @@ object Relational {
         Seq("q1" -> 0.25, "q2" -> 0.5, "q3" -> 0.75))
     },
 
+    // A6 — PER-GROUP exact quartiles: the grouped two-pass percentile
+    // (every group's value ranges cumulate in parallel — no per-group
+    // value buffering, no single-task window at any cardinality).
+    "q_grouped_quartiles" -> { (s, d) =>
+      Analytics.groupedExactPercentiles(
+          Tables.lineitem(s, d)
+            .select(col("l_returnflag"), col("l_extendedprice")),
+          "l_returnflag", "l_extendedprice",
+          Seq("q1" -> 0.25, "q2" -> 0.5, "q3" -> 0.75))
+        .orderBy("l_returnflag")
+    },
+
     // A6 — categorical describe (count / unique / top / freq — the
     // `describe(include='all')` string-column stats, 002_EDA_csv cell 18).
     // Top tie-break: highest count, then lexicographically last value.
@@ -533,6 +545,11 @@ object Relational {
         | quantile_cont(l_quantity, 0.5) AS q2,
         | quantile_cont(l_quantity, 0.75) AS q3
         |FROM lineitem""".stripMargin,
+    "q_grouped_quartiles" ->
+      """SELECT l_returnflag, quantile_cont(l_extendedprice, 0.25) AS q1,
+        | quantile_cont(l_extendedprice, 0.5) AS q2,
+        | quantile_cont(l_extendedprice, 0.75) AS q3
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_skew_salted_agg" ->
       s"""SELECT l_returnflag, ${sumDecSql("l_quantity")} AS qty, count(*) AS cnt
          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
