@@ -197,6 +197,52 @@ object Relational {
         .orderBy("qk")
     },
 
+    // Scale pattern: BLOOM-FILTER SEMI-JOIN REDUCTION. The probe side is
+    // pre-filtered by a compact bloom sketch built from the (already
+    // filtered) build side's keys, so at 100 TB the fact-side shuffle
+    // carries only rows that can possibly join (plus the fpp). The exact
+    // join afterwards removes false positives — the result is provably
+    // identical to the plain join, which is exactly what the oracle
+    // checks. This is the manual, always-on form of Spark's own runtime
+    // bloom pruning (spark.sql.optimizer.runtime.bloomFilter.*), for the
+    // regime where the build side is too big to broadcast as a hash
+    // relation but its key bloom (a few MB at fpp 1%) is not. The
+    // membership probe is a scala UDF on purpose: the sketch ships to
+    // executors ONCE as a broadcast variable — embedding it as a plan
+    // literal (the custom-Expression route) would serialize the whole
+    // bloom into every task description.
+    "q_bloom_join" -> { (s, d) =>
+      val cust = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+      val bf = cust.stat.bloomFilter("c_custkey", 200000L, 0.01)
+      val bfB = s.sparkContext.broadcast(bf)
+      val mightContain =
+        udf((k: java.lang.Long) => k != null && bfB.value.mightContain(k.longValue))
+      Tables.orders(s, d)
+        .filter(mightContain(col("o_custkey")))
+        .join(cust.select("c_custkey"), col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sumDec(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
+    },
+
+    // U — FULL-OUTER reconciliation: the source-vs-warehouse row-level
+    // audit (which keys are only upstream, only loaded, or in both). At
+    // scale both sides project to (key, presence) before the join, so the
+    // exchange carries keys, not rows; the rollup is a scalar aggregate.
+    "q_full_outer_audit" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val src = o.filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey").as("k"), lit(1).as("in_src"))
+      val wh = o.filter(col("o_orderkey") % 2 =!= 0)
+        .select(col("o_orderkey").as("k"), lit(1).as("in_wh"))
+      src.join(wh, Seq("k"), "full_outer")
+        .agg(
+          count(when(col("in_src").isNotNull && col("in_wh").isNotNull, 1)).as("in_both"),
+          count(when(col("in_wh").isNull, 1)).as("only_src"),
+          count(when(col("in_src").isNull, 1)).as("only_wh"))
+    },
+
     // A2 — pivot with a fixed value list + fill 0 (static schema, no extra
     // distinct-collection job; SURVEY §2.4 A2).
     "q_a2_pivot" -> { (s, d) =>
@@ -522,6 +568,21 @@ object Relational {
         |FROM lineitem
         |WHERE CAST(l_quantity AS DECIMAL(12,2)) > 40
         |GROUP BY CAST(l_quantity AS DECIMAL(12,2)) ORDER BY 1""".stripMargin,
+    // bloom pruning is result-invisible: oracle = the plain join
+    "q_bloom_join" ->
+      s"""SELECT o_orderstatus, count(*) AS cnt,
+         | ${sumDecSql("o_totalprice")} AS total
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_full_outer_audit" ->
+      """SELECT
+        | count(CASE WHEN s.k IS NOT NULL AND w.k IS NOT NULL THEN 1 END) AS in_both,
+        | count(CASE WHEN w.k IS NULL THEN 1 END) AS only_src,
+        | count(CASE WHEN s.k IS NULL THEN 1 END) AS only_wh
+        |FROM (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 3 <> 0) s
+        |FULL OUTER JOIN (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 2 <> 0) w
+        | ON s.k = w.k""".stripMargin,
     "q_a2_pivot" ->
       """SELECT l_returnflag,
         | COUNT(*) FILTER (WHERE l_linestatus='F') AS "F",

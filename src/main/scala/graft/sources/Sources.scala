@@ -152,6 +152,36 @@ object Sources {
       .orderBy("n_regionkey")
   }
 
+  /** Scale pattern: HIVE-PARTITIONED layout + partition pruning. Orders
+    * re-written `partitionBy(o_year)` — one directory per year — then the
+    * year-filtered read back touches exactly ONE of them: the scan's
+    * PartitionFilters prune the other years' files without opening them
+    * (asserted on the plan in ScaleSpec). This is the first-order 100 TB
+    * lever: a date-partitioned fact turns a full-table read into a
+    * partition-sized one. Complements q_bucketed_join (bucketing removes
+    * the join shuffle; partitioning removes the scan itself) and
+    * q_zorder_layout (file-internal clustering below the partition grain).
+    */
+  def partitionedPrunedScan(s: SparkSession, d: String): DataFrame = {
+    val path = "/root/repo/target/scratch/orders_by_year"
+    rmDir(path)
+    Tables.orders(s, d)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.partitionBy("o_year").parquet(path)
+    partitionedYearSlice(s, path)
+  }
+
+  /** The pruned read-back, separate so ScaleSpec asserts pruning on the
+    * exact plan the query runs.
+    */
+  def partitionedYearSlice(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+      .filter(col("o_year") === 1995)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+        graft.operators.Relational.sumDec(col("o_totalprice")).as("total"))
+      .orderBy("o_orderstatus")
+
   private def rmDir(path: String): Unit = {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
@@ -213,6 +243,7 @@ object Sources {
     "q_jdbc_roundtrip" -> jdbcRoundtrip _,
     "q_jsonl_roundtrip" -> jsonlRoundtrip _,
     "q_bucketed_join" -> bucketedJoin _,
+    "q_partition_pruning" -> partitionedPrunedScan _,
     "q_corrupt_records" -> corruptRecordScan _,
     "q_schema_merge" -> schemaMergeScan _
   )
@@ -237,6 +268,13 @@ object Sources {
       """SELECT o_orderstatus, count(*) AS cnt,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // partition pruning must not change results: oracle = the same year
+    // slice straight off the unpartitioned source
+    "q_partition_pruning" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE year(o_orderdate) = 1995
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_corrupt_records" ->
       """SELECT count(*) AS good_rows, CAST(2 AS BIGINT) AS corrupt_rows
