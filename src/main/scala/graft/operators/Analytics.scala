@@ -275,6 +275,64 @@ object Analytics {
     (Seq(numRows) ++ catRows).reduce(_ unionByName _).orderBy("col_name")
   }
 
+  /** Equi-width histogram with data-driven bounds — the EDA distribution
+    * plot (the reference's notebook hist() calls) as a two-pass aggregate:
+    * pass 1 computes min/max/count (a scalar, broadcast back via cross
+    * join), pass 2 bins with pure arithmetic and map-side-combines. All
+    * binning runs on integer CENTS (exact decimal → long), so bin edges
+    * are cross-engine exact — deriving edges from double min/max invites
+    * 1-ulp boundary flips between engines. The float division inside
+    * `floor` is identical IEEE arithmetic on identical integer inputs on
+    * both sides. nBins is fixed up front: output cardinality is bounded
+    * and never data-dependent.
+    */
+  def equiWidthHistogram(df: DataFrame, valueCol: String,
+                         nBins: Int): DataFrame = {
+    val cents = (col(valueCol).cast(DecimalType(18, 2)) * 100).cast("long")
+    val bounds = df.agg(min(cents).as("mn"), max(cents).as("mx"),
+      count(cents).as("n"))
+    df.select(cents.as("c"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("w", greatest(lit(1L),
+        floor((col("mx") - col("mn") + lit(nBins)) / lit(nBins)).cast("long")))
+      .withColumn("bin",
+        least(floor((col("c") - col("mn")) / col("w")).cast("long"), lit(nBins - 1L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("cnt"),
+        round((min(col("mn")) + col("bin") * max(col("w"))).cast("double") / 100, 2).as("lo"),
+        round((min(col("mn")) + (col("bin") + 1) * max(col("w"))).cast("double") / 100, 2).as("hi"),
+        round(count(lit(1)).cast("double") / max(col("n")), 6).as("share"))
+      .orderBy("bin")
+  }
+
+  /** Per-group z-score outlier audit: group moments (exact decimal sums →
+    * mean/std rounded to 6 dp, the cross-engine contract of
+    * [[describeAll]]) broadcast back onto the rows; a row is an outlier
+    * when |z| > `zThresh`. Two scans of the fact, zero fact-sized
+    * shuffles: the stats join is group-cardinality-sized and broadcast,
+    * the final rollup map-side-combines. z arithmetic is the same IEEE
+    * expression over identical rounded inputs on both engines, so the
+    * boundary comparison can never flip across engines.
+    */
+  def zscoreOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                     zThresh: Double): DataFrame = {
+    val xd = col(valueCol).cast(DecimalType(18, 2))
+    val stats = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(xd).cast("double").as("sx"),
+        sum(xd * xd).cast("double").as("sxx"))
+      .select(col(groupCol), col("n"),
+        round(col("sx") / col("n"), 6).as("mean"),
+        round(sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+          (col("n") * (col("n") - 1))), 6).as("std"))
+    val z = abs((col(valueCol).cast("double") - col("mean")) / col("std"))
+    df.join(broadcast(stats), groupCol)
+      .groupBy(col(groupCol), col("n"))
+      .agg(count(when(z > zThresh, 1)).as("n_outliers"),
+        round(max(z), 6).as("max_abs_z"))
+      .orderBy(groupCol)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A6 — the one-call wide describe over lineitem's measures + flags.
     "q_a6_describe_all" -> { (s, d) =>
@@ -310,6 +368,16 @@ object Analytics {
         .select(col("day"), col("dt").cast("double").as("daily_total"),
           col("rolling_7d"))
         .orderBy("day")
+    },
+
+    // A6/EDA — the distribution plot as data: 20 equi-width bins over
+    // order totals (two-pass, integer-cents edges).
+    "q_histogram" -> { (s, d) =>
+      equiWidthHistogram(Tables.orders(s, d), "o_totalprice", 20)
+    },
+    // A6/EDA — per-priority outlier audit at |z| > 2.
+    "q_zscore_outliers" -> { (s, d) =>
+      zscoreOutliers(Tables.orders(s, d), "o_orderpriority", "o_totalprice", 2.0)
     },
 
     // A9 — dashboard: totals by year ("Injury and Fatality Trends by Year").
@@ -394,6 +462,35 @@ object Analytics {
         |   RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS DOUBLE)
         |  AS rolling_7d
         |FROM daily ORDER BY day""".stripMargin,
+    "q_histogram" ->
+      """WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |           FROM orders),
+        |b AS (SELECT min(c) AS mn, max(c) AS mx, count(c) AS n FROM c),
+        |w AS (SELECT mn, mx, n,
+        |       greatest(1, CAST(floor((mx - mn + 20) / 20.0) AS BIGINT)) AS w
+        |      FROM b),
+        |binned AS (SELECT least(CAST(floor((c - mn) / CAST(w AS DOUBLE)) AS BIGINT), 19) AS bin,
+        |                  mn, w, n
+        |           FROM c, w)
+        |SELECT bin, count(*) AS cnt,
+        | round(CAST(mn + bin * w AS DOUBLE) / 100, 2) AS lo,
+        | round(CAST(mn + (bin + 1) * w AS DOUBLE) / 100, 2) AS hi,
+        | round(CAST(count(*) AS DOUBLE) / n, 6) AS share
+        |FROM binned GROUP BY bin, mn, w, n ORDER BY bin""".stripMargin,
+    "q_zscore_outliers" ->
+      """WITH m AS (
+        | SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+        | FROM orders GROUP BY 1),
+        |s AS (SELECT o_orderpriority, n, round(sx / n, 6) AS mean,
+        |       round(sqrt((n * sxx - sx * sx) / (n * (n - 1))), 6) AS std
+        |      FROM m)
+        |SELECT o.o_orderpriority, s.n,
+        | count(CASE WHEN abs((o.o_totalprice - s.mean) / s.std) > 2 THEN 1 END) AS n_outliers,
+        | round(max(abs((o.o_totalprice - s.mean) / s.std)), 6) AS max_abs_z
+        |FROM orders o JOIN s USING (o_orderpriority)
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "q_a9_by_year" ->
       s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS y, ${sumDecSql("o_totalprice")} AS total,
          | count(*) AS cnt

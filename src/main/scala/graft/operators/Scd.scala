@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Slowly-Changing-Dimension Type 2 — versioned dimension history.
+  *
+  * The reference freezes each dimension at first build (skip-guarded
+  * inserts, dags/etl_crash_traffic.py:678-690) and Star.extendDim adds
+  * Type-1-style growth (new keys only). This completes the warehouse
+  * story with the Type-2 contract a long-lived 100 TB dimension needs:
+  * attribute changes CLOSE the old row (`valid_to`, `is_current=false`)
+  * and open a successor version, so facts loaded under the old attributes
+  * keep joining to the history row that was true when they were loaded.
+  *
+  * Batch stamps are integers (load numbers), not wall-clock timestamps —
+  * deterministic for the oracle and exactly how reprocessable pipelines
+  * should version anyway (a re-run of batch N must produce batch N again).
+  *
+  * Scale posture: everything is dimension-sized. One full-outer equi-join
+  * of current rows vs the incoming snapshot per merge — no windows, no
+  * ranking (versions derive from `old.version + 1`, not row_number), so
+  * nothing funnels through a single task no matter how large the
+  * dimension grows. Closed history rows pass through untouched.
+  */
+object Scd {
+
+  /** First load: every snapshot row opens version 1 at `batch`. */
+  def scd2Init(snapshot: DataFrame, batch: Int): DataFrame =
+    snapshot
+      .withColumn("version", lit(1))
+      .withColumn("valid_from", lit(batch))
+      .withColumn("valid_to", lit(null).cast("int"))
+      .withColumn("is_current", lit(true))
+
+  /** Merge an incoming snapshot into the dim at `batch`:
+    *  - matched, tracked attrs unchanged (null-safe)  → row passes through;
+    *  - matched, any attr changed → old row closes (`valid_to = batch`),
+    *    successor opens with `version + 1`;
+    *  - key only in snapshot → brand-new version-1 row;
+    *  - key only in dim → stays open (absence from a snapshot is not a
+    *    delete; soft-delete would be one more `when` branch).
+    * `dim` must carry key ++ attrs ++ version/valid_from/valid_to/
+    * is_current, as produced by [[scd2Init]] / earlier merges.
+    */
+  def scd2Merge(dim: DataFrame, snapshot: DataFrame, key: Seq[String],
+                attrs: Seq[String], batch: Int): DataFrame = {
+    val closedHistory = dim.filter(!col("is_current"))
+    val current = dim.filter(col("is_current"))
+    // presence markers, not attr-null inference: a tracked attribute that
+    // is legitimately NULL in the snapshot must not read as "absent"
+    val snap = attrs.foldLeft(snapshot)((d, a) => d.withColumnRenamed(a, s"__new_$a"))
+      .withColumn("__in_snap", lit(true))
+    val j = current.withColumn("__in_dim", lit(true)).join(snap, key, "full_outer")
+    val changed = attrs.map(a => !(col(a) <=> col(s"__new_$a"))).reduce(_ || _)
+    val inSnap = col("__in_snap").isNotNull
+    val inDim = col("__in_dim").isNotNull
+    val cols = key ++ attrs ++ Seq("version", "valid_from", "valid_to", "is_current")
+    // surviving current rows: unchanged, or not in this snapshot — or the
+    // closing stamp when the attrs changed
+    val fromCurrent = j.filter(inDim)
+      .select((key.map(col) ++ attrs.map(col) ++ Seq(
+        col("version"), col("valid_from"),
+        when(inSnap && changed, lit(batch)).otherwise(col("valid_to")).as("valid_to"),
+        (!(inSnap && changed)).as("is_current"))): _*)
+    // opened rows: successor versions for changes, version 1 for new keys
+    val opened = j.filter(inSnap && (!inDim || changed))
+      .select((key.map(col) ++ attrs.map(a => col(s"__new_$a").as(a)) ++ Seq(
+        (coalesce(col("version"), lit(0)) + 1).as("version"),
+        lit(batch).as("valid_from"),
+        lit(null).cast("int").as("valid_to"),
+        lit(true).as("is_current"))): _*)
+    closedHistory.select(cols.map(col): _*)
+      .unionByName(fromCurrent).unionByName(opened)
+  }
+
+  /** The gated end-to-end scenario: initial load of the even-keyed
+    * customers' segment at batch 0, then a batch-1 snapshot of ALL
+    * customers where negative-balance accounts have moved to 'LAPSED' —
+    * exercising every path: unchanged rows, closed+reopened changes, and
+    * brand-new keys (the odd custkeys).
+    */
+  def scd2CustomerDim(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val v1 = cust.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+    val v2 = cust.select(col("c_custkey"),
+      when(col("c_acctbal") < 0, lit("LAPSED"))
+        .otherwise(col("c_mktsegment")).as("seg"))
+    scd2Merge(scd2Init(v1, 0), v2, Seq("c_custkey"), Seq("seg"), 1)
+      .orderBy("c_custkey", "version")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2_dim" -> scd2CustomerDim _
+  )
+
+  def oracles: Map[String, String] = Map(
+    // the three SCD2 outcomes spelled out relationally
+    "q_scd2_dim" ->
+      """WITH v1 AS (SELECT c_custkey, c_mktsegment AS seg FROM customer
+        |            WHERE c_custkey % 2 = 0),
+        |v2 AS (SELECT c_custkey,
+        |        CASE WHEN c_acctbal < 0 THEN 'LAPSED' ELSE c_mktsegment END AS seg
+        |       FROM customer)
+        |SELECT v1.c_custkey, v1.seg, 1 AS version, 0 AS valid_from,
+        |       CAST(NULL AS INTEGER) AS valid_to, true AS is_current
+        |FROM v1 JOIN v2 USING (c_custkey) WHERE v1.seg = v2.seg
+        |UNION ALL
+        |SELECT v1.c_custkey, v1.seg, 1, 0, 1, false
+        |FROM v1 JOIN v2 USING (c_custkey) WHERE v1.seg <> v2.seg
+        |UNION ALL
+        |SELECT v2.c_custkey, v2.seg,
+        |       CASE WHEN v1.c_custkey IS NULL THEN 1 ELSE 2 END, 1,
+        |       CAST(NULL AS INTEGER), true
+        |FROM v2 LEFT JOIN v1 USING (c_custkey)
+        |WHERE v1.c_custkey IS NULL OR v1.seg <> v2.seg
+        |ORDER BY c_custkey, version""".stripMargin
+  )
+}

@@ -90,6 +90,37 @@ class StarSpec extends SparkSpec {
     assert(unresolved == 0)
   }
 
+  test("scd2 merge: unchanged pass-through, change closes+reopens, re-merge idempotent") {
+    import spark.implicits._
+    import graft.operators.Scd
+    val v1 = Seq((1L, "A"), (2L, "B"), (3L, null.asInstanceOf[String]))
+      .toDF("k", "attr")
+    val dim0 = Scd.scd2Init(v1, 0)
+    // batch 1: key 1 changes, key 2 unchanged, key 3 keeps its NULL attr
+    // (null-safe compare: no spurious new version), key 4 is new, and
+    // key 2 is ABSENT from the snapshot on batch 2 (stays open)
+    val v2 = Seq((1L, "A2"), (2L, "B"), (3L, null.asInstanceOf[String]),
+      (4L, "D")).toDF("k", "attr")
+    val dim1 = Scd.scd2Merge(dim0, v2, Seq("k"), Seq("attr"), 1)
+    val rows = dim1.orderBy("k", "version")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getInt(2), r.getInt(3), Option(r.get(4)), r.getBoolean(5))).toSeq
+    assert(rows == Seq(
+      (1L, Some("A"), 1, 0, Some(1), false),
+      (1L, Some("A2"), 2, 1, None, true),
+      (2L, Some("B"), 1, 0, None, true),
+      (3L, None, 1, 0, None, true),
+      (4L, Some("D"), 1, 1, None, true)), rows.toString)
+    // re-merging the identical snapshot at batch 2 changes nothing
+    val dim2 = Scd.scd2Merge(dim1, v2, Seq("k"), Seq("attr"), 2)
+    assert(dim2.orderBy("k", "version").collect().toSeq ==
+      dim1.orderBy("k", "version").collect().toSeq)
+    // a snapshot missing key 2 leaves its row open (absence ≠ delete)
+    val dim3 = Scd.scd2Merge(dim1, v2.filter($"k" =!= 2L), Seq("k"), Seq("attr"), 2)
+    val k2 = dim3.filter($"k" === 2L).collect()
+    assert(k2.length == 1 && k2(0).getBoolean(5))
+  }
+
   test("full DAG chain is idempotent: second run changes no warehouse count") {
     import graft.operators.Pipeline
     val wh = "/root/repo/target/scratch/pipeline_wh_test"
