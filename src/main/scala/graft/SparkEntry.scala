@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, BboxSummary, Curation, Dedup, Multimodal, Pipeline, Relational, Scd, Similarity, StarPipeline, TemporalJoins, TextAnalysis, Topics, Training}
+import graft.operators.{Analytics, BboxSummary, Curation, Dedup, Multimodal, Pipeline, Relational, Scd, Similarity, Sketches, StarPipeline, TemporalJoins, TextAnalysis, Topics, Training}
 import graft.sources.Sources
 import graft.streaming.StreamOps
 
@@ -27,7 +27,8 @@ object SparkEntry {
       Topics.queries ++ Analytics.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
       StreamOps.queries ++ BboxSummary.queries ++ TemporalJoins.queries ++
-      Pipeline.queries ++ Training.queries ++ Curation.queries ++ Scd.queries
+      Pipeline.queries ++ Training.queries ++ Curation.queries ++ Scd.queries ++
+      Sketches.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for non-SQL-expressible ops
@@ -38,5 +39,6 @@ object SparkEntry {
       Topics.oracles ++ Analytics.oracles ++ TextAnalysis.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
       StreamOps.oracles ++ BboxSummary.oracles ++ TemporalJoins.oracles ++
-      Pipeline.oracles ++ Training.oracles ++ Curation.oracles ++ Scd.oracles
+      Pipeline.oracles ++ Training.oracles ++ Curation.oracles ++ Scd.oracles ++
+      Sketches.oracles
 }

@@ -147,6 +147,30 @@ object TextAnalysis {
         .orderBy(desc("freq"), col("token"))
         .limit(20)
     },
+    // TF-IDF term relevance over the corpus: summed tf-idf per term
+    // collapses to total_tf(term) × idf(term), so after the per-doc tf
+    // aggregate everything is term-cardinality-sized — two map-side-
+    // combined shuffles regardless of corpus size, and the doc count
+    // joins in as a broadcast scalar. Smooth idf = ln((N+1)/(df+1)) + 1
+    // (the standard sklearn-style smoothing, public knowledge); score
+    // rounded to 6 dp so the cross-engine ln() agrees bit-for-bit, and
+    // ranked (score desc, term asc) for a deterministic top-20.
+    "q_tfidf_topk" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val tf = docs
+        .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      tf.groupBy("term")
+        .agg(count(lit(1)).as("df"), sum("tf").as("total_tf"))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("idf",
+          log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1)
+        .select(col("term"), col("df"),
+          round(col("total_tf") * col("idf"), 6).as("score"))
+        .orderBy(desc("score"), col("term"))
+        .limit(20)
+    },
     // Document chunking: overlapping token windows (size 50, stride 40) —
     // the training/RAG preprocessing shape. Map-side: materialized tokens,
     // one generator (posexplode) per doc, no shuffle until a consumer
@@ -309,6 +333,16 @@ object TextAnalysis {
         s"""SELECT token, count(*) AS freq
            |FROM (SELECT unnest(${tokensSql("text")}) AS token FROM documents)
            |GROUP BY 1 ORDER BY freq DESC, token LIMIT 20""".stripMargin,
+      "q_tfidf_topk" ->
+        s"""WITH tok AS (SELECT doc_id, unnest(${tokensSql("lower(text)")}) AS term
+           |             FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+           |d AS (SELECT term, count(*) AS df, sum(tf) AS total_tf FROM tf GROUP BY 1),
+           |n AS (SELECT count(*) AS n_docs FROM documents)
+           |SELECT term, df,
+           | round(total_tf * (ln((n_docs + 1.0) / (df + 1)) + 1), 6) AS score
+           |FROM d, n
+           |ORDER BY score DESC, term LIMIT 20""".stripMargin,
       "q_stratified_sample" ->
         """SELECT lang, count(*) AS sampled FROM documents
           |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 40
