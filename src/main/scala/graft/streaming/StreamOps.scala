@@ -61,6 +61,43 @@ object StreamOps {
     s.table(name)
   }
 
+  /** One row per user_id: the row with the greatest (ts, event_id) —
+    * event_id breaks timestamp ties, so "latest" is total and
+    * deterministic. `max_by` over the packed struct is a plain aggregate:
+    * map-side partial collapse, one key-sized shuffle, no window sort.
+    */
+  def latestPerKey(df: DataFrame): DataFrame =
+    df.groupBy("user_id")
+      .agg(max_by(
+        struct(col("event_type"), col("value"), col("ts"), col("event_id")),
+        struct(col("ts"), col("event_id"))).as("r"))
+      .select(col("user_id"), col("r.event_type"), col("r.value"),
+        col("r.ts"), col("r.event_id"))
+
+  /** The foreachBatch merge body: collapse the incoming batch, union the
+    * existing store, keep the per-key latest, swap via a staging dir.
+    */
+  def upsertLatest(batch: DataFrame, store: String): Unit = {
+    val s = batch.sparkSession
+    val incoming = latestPerKey(batch)
+    val merged =
+      try latestPerKey(s.read.parquet(store).unionByName(incoming))
+      catch { case _: org.apache.spark.sql.AnalysisException => incoming }
+    merged.write.mode("overwrite").parquet(store + ".tmp")
+    rmPath(store)
+    if (!new java.io.File(store + ".tmp").renameTo(new java.io.File(store)))
+      sys.error(s"upsert swap failed for $store")
+  }
+
+  private def rmPath(path: String): Unit = {
+    val dir = new java.io.File(path)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    if (dir.exists()) rm(dir)
+  }
+
   private def cleanCheckpoint(name: String): Unit = {
     val dir = new java.io.File(s"/root/repo/target/scratch/ckpt_$name")
     def rm(f: java.io.File): Unit = {
@@ -251,6 +288,39 @@ object StreamOps {
         .orderBy("h")
     },
 
+    // Streaming UPSERT sink: foreachBatch merges each micro-batch into a
+    // keyed store keeping the most-recent row per user — the CDC /
+    // materialized-view sink (Kafka compacted-topic semantics) the
+    // reference's consumer approximates by overwriting whole snapshots.
+    // Recency is decided by (ts, event_id), never arrival order, so
+    // out-of-order and replayed batches converge to the same table (the
+    // cross-batch case is pinned in StreamingSpec with an out-of-order
+    // MemoryStream). Each merge collapses the batch map-side, unions the
+    // existing store, and re-collapses — state lives in the store, not
+    // the stream. Parquet stands in for an ACID table: the merge writes
+    // to a staging dir and swaps, because overwriting a path while the
+    // plan reads it is undefined; on a real deployment this foreachBatch
+    // body is a MERGE INTO an Iceberg/Delta table.
+    "q_stream_upsert" -> { (s, d) =>
+      cleanCheckpoint("stream_upsert")
+      val store = "/root/repo/target/scratch/upsert_store"
+      rmPath(store); rmPath(store + ".tmp")
+      val q = eventsStream(s, d)
+        .select("user_id", "event_type", "value", "ts", "event_id")
+        .writeStream
+        .option("checkpointLocation", "/root/repo/target/scratch/ckpt_stream_upsert")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          upsertLatest(batch, store)
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(store)
+        .select(col("user_id"), col("event_type").as("last_type"),
+          col("value").as("last_value"))
+        .orderBy("user_id")
+    },
+
     // Streaming dedup: the stream unioned with itself (every event arrives
     // twice) then dropDuplicatesWithinWatermark on the event id — the
     // aggregate must equal the single-copy batch counts. State holds one
@@ -357,6 +427,14 @@ object StreamOps {
         | FROM g)
         |SELECT user_id, min(ts) AS sess_start, count(*) AS n_events
         |FROM s GROUP BY user_id, sess_no ORDER BY user_id, sess_start""".stripMargin,
+    // upsert store ≡ last event per user over the whole table
+    "q_stream_upsert" ->
+      """SELECT user_id, event_type AS last_type, value AS last_value
+        |FROM (SELECT user_id, event_type, value,
+        |       row_number() OVER (PARTITION BY user_id
+        |                          ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q_stream_dedup" ->
       "SELECT event_type, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
     "q_stream_json_envelope" ->

@@ -107,6 +107,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch upsert keeps per-key latest across out-of-order batches") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val store = "/root/repo/target/scratch/upsert_store_test"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(store))
+    val stream = MemoryStream[(Long, String, Double, Timestamp, Long)]
+    val df = stream.toDF().toDF("user_id", "event_type", "value", "ts", "event_id")
+    val q = df.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) => StreamOps.upsertLatest(b.toDF(), store) }
+      .start()
+    try {
+      stream.addData(
+        (1L, "a", 1.0, ts("2024-01-01 10:00:00"), 100L),
+        (2L, "b", 2.0, ts("2024-01-01 11:00:00"), 101L))
+      q.processAllAvailable()
+      // batch 2 arrives later but carries an OLDER event for user 2 (must
+      // not clobber) and a newer one for user 1 (must replace)
+      stream.addData(
+        (1L, "c", 9.0, ts("2024-01-01 12:00:00"), 102L),
+        (2L, "d", 0.0, ts("2024-01-01 09:00:00"), 99L))
+      q.processAllAvailable()
+      val got = spark.read.parquet(store)
+        .select("user_id", "event_type", "value")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(got == Set((1L, "c", 9.0), (2L, "b", 2.0)), got.toString)
+    } finally q.stop()
+  }
+
   test("session_window streaming state op matches batch lag+cumsum sessions") {
     // batch reference: the q_sessionize pipeline
     val batchSessions = StreamOps.queries("q_sessionize")(spark, sfDir)
