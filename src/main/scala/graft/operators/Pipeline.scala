@@ -62,12 +62,17 @@ object Pipeline {
     // dimension builds, skip-guarded: an existing dim is NOT rebuilt (the
     // reference checks row counts before inserting; surrogate ids must
     // stay stable across runs for the fact FKs to remain valid)
-    StarPipeline.dimSpecs.foreach { case (name, keys) =>
-      val path = s"$warehouse/$name"
-      if (!exists(s, path))
-        Star.buildDim(loadedFlat, keys, name + "_id")
-          .write.parquet(path)
-    }
+    // the 8 builds are independent DAG branches writing disjoint
+    // directories — submit them concurrently (same argument as the topic
+    // publishes below: small jobs in sequence leave the cluster idle)
+    runConcurrently(StarPipeline.dimSpecs.map { case (name, keys) =>
+      () => {
+        val path = s"$warehouse/$name"
+        if (!exists(s, path))
+          Star.buildDim(loadedFlat, keys, name + "_id")
+            .write.parquet(path)
+      }
+    })
     // star fact: resolve FKs against the LOADED dims, idempotent load
     val dims = StarPipeline.dimSpecs.map { case (name, keys) =>
       (s.read.parquet(s"$warehouse/$name"), keys)
@@ -84,13 +89,20 @@ object Pipeline {
     // one small job at a time leaves most executors idle; Spark's
     // scheduler interleaves the stages (FIFO within one app is fine for
     // equal-sized jobs)
+    runConcurrently(topicBuilders.map { case (name, build) =>
+      () => build(s, d).write.mode("overwrite").parquet(s"$warehouse/$name")
+    })
+  }
+
+  /** Submit independent actions concurrently and wait for all (Spark's
+    * scheduler interleaves the job stages; FIFO is fine for equal-sized
+    * jobs). Any failure propagates.
+    */
+  private def runConcurrently(actions: Seq[() => Unit]): Unit = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    val publishes = topicBuilders.map { case (name, build) =>
-      Future(build(s, d).write.mode("overwrite").parquet(s"$warehouse/$name"))
-    }
-    publishes.foreach(Await.result(_, Duration.Inf))
+    actions.map(a => Future(a())).foreach(Await.result(_, Duration.Inf))
   }
 
   /** One INCREMENTAL DAG run: like [[runOnce]], but dimensions GROW —
@@ -109,14 +121,20 @@ object Pipeline {
     val flatAll = StarPipeline.flatFact(s, d)
     val flat = factFilter.map(flatAll.filter).getOrElse(flatAll)
     Star.idempotentWrite(flat, s"$warehouse/flat_fact", factKeys)
+    // plain re-reads, NOT persist: the 8 concurrent dim extensions each
+    // scan only their own key columns off the parquet (column pruning);
+    // a persist would serialize them behind one all-column cache build
+    // (measured 12.1 s → 15.8 s at sf0.1)
     val loadedFlat = s.read.parquet(s"$warehouse/flat_fact")
-    StarPipeline.dimSpecs.foreach { case (name, keys) =>
-      val path = s"$warehouse/$name"
-      if (!exists(s, path))
-        Star.buildDim(loadedFlat, keys, name + "_id").write.parquet(path)
-      else
-        Star.extendDim(s, path, loadedFlat, keys, name + "_id")
-    }
+    runConcurrently(StarPipeline.dimSpecs.map { case (name, keys) =>
+      () => {
+        val path = s"$warehouse/$name"
+        if (!exists(s, path))
+          Star.buildDim(loadedFlat, keys, name + "_id").write.parquet(path)
+        else
+          Star.extendDim(s, path, loadedFlat, keys, name + "_id")
+      }
+    })
     val dims = StarPipeline.dimSpecs.map { case (name, keys) =>
       (s.read.parquet(s"$warehouse/$name"), keys)
     }
@@ -181,8 +199,12 @@ object Pipeline {
       runIncremental(s, d, wh, Some(subset))
       runIncremental(s, d, wh)
       // audit inputs: the subset flat feeds 8 dim rebuilds — persist ONE
-      // materialization instead of re-running the lineitem⋈orders join 8×
+      // materialization instead of re-running the lineitem⋈orders join 8×,
+      // PROJECTED to the union of dim key columns (the only thing the
+      // rebuilds read; caching the full fact row width costs ~2× here)
+      val dimKeyCols = StarPipeline.dimSpecs.flatMap(_._2).distinct
       val subFlat = StarPipeline.flatFact(s, d).filter(subset)
+        .select(dimKeyCols.map(col): _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val fact = s.read.parquet(s"$wh/star_fact")
       // all 8 null-FK counts in ONE pass over the fact, melted to rows

@@ -98,6 +98,24 @@ object StreamOps {
     if (dir.exists()) rm(dir)
   }
 
+  /** Run `body` with a reduced shuffle-partition count. Stateful streaming
+    * operators allocate one state store per shuffle partition PER state
+    * op and micro-batch — at local[32] the default 32 partitions mean 32
+    * store dirs + snapshot files per batch for state that is a few
+    * thousand keys. Dropping to 8 for the state-heavy queries cuts that
+    * fixed cost 4× without touching semantics (the partition count is a
+    * physical knob; every result here is an aggregate with a total ORDER
+    * BY). On a real cluster this is the same tuning call, sized to
+    * executor count instead. The conf is restored afterwards; the
+    * partition count is pinned into each new checkpoint, and these
+    * queries recreate their checkpoint per run.
+    */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   private def cleanCheckpoint(name: String): Unit = {
     val dir = new java.io.File(s"/root/repo/target/scratch/ckpt_$name")
     def rm(f: java.io.File): Unit = {
@@ -148,7 +166,7 @@ object StreamOps {
     // North-star: session_window aggregation as a streaming query entry
     // (30-min gap), complete mode — session starts/sizes must equal the
     // batch lag+cumsum sessionization (q_sessionize's oracle family).
-    "q_stream_session" -> { (s, d) =>
+    "q_stream_session" -> { (s, d) => withStatePartitions(s, 8) {
       cleanCheckpoint("stream_session")
       val agg = eventsStream(s, d)
         .withColumn("ts", date_trunc("second", col("ts")))
@@ -158,7 +176,7 @@ object StreamOps {
       runToSnapshot(agg, "stream_session")
         .select(col("user_id"), col("w.start").as("sess_start"), col("n_events"))
         .orderBy("user_id", "sess_start")
-    },
+    }},
 
     // S8+S9 — the Kafka JSON envelope round-trip: encode each event as a
     // topic message (to_json of the full struct), decode with from_json
@@ -233,7 +251,7 @@ object StreamOps {
     // inner-join matches emit as they form (append mode). The memory-sink
     // pair table is then batch-aggregated per hour, and the oracle is the
     // plain batch self-join — stream ≡ batch on a bounded source.
-    "q_stream_interval_join" -> { (s, d) =>
+    "q_stream_interval_join" -> { (s, d) => withStatePartitions(s, 8) {
       cleanCheckpoint("stream_interval_join")
       val l = eventsStream(s, d)
         .select(col("event_id").as("l_id"), col("ts").as("l_ts"),
@@ -257,7 +275,7 @@ object StreamOps {
         .groupBy(hour(col("l_ts")).as("h"))
         .agg(count(lit(1)).as("pairs"))
         .orderBy("h")
-    },
+    }},
 
     // S9 — the producer path via foreachBatch: each complete-mode snapshot
     // is JSON-encoded (the topic message payload, kafka/consumer.py:23
@@ -326,7 +344,7 @@ object StreamOps {
     // aggregate must equal the single-copy batch counts. State holds one
     // key per event inside the watermark horizon only (the streaming
     // exact-dedup a training-data ingest needs).
-    "q_stream_dedup" -> { (s, d) =>
+    "q_stream_dedup" -> { (s, d) => withStatePartitions(s, 8) {
       cleanCheckpoint("stream_dedup")
       val doubled = eventsStream(s, d).unionByName(eventsStream(s, d))
       val agg = doubled
@@ -335,7 +353,7 @@ object StreamOps {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("cnt"))
       runToSnapshot(agg, "stream_dedup").orderBy("event_type")
-    },
+    }},
 
     // North-star: sessionization — 30-min-gap sessions per user. Batch
     // path is the idiomatic lag+cumsum (one shuffle by user_id); the
