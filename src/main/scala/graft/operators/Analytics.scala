@@ -380,6 +380,23 @@ object Analytics {
       zscoreOutliers(Tables.orders(s, d), "o_orderpriority", "o_totalprice", 2.0)
     },
 
+    // A9 — the dashboard hierarchy in ONE pass: ROLLUP(year, priority)
+    // computes detail + per-year subtotal + grand total in a single
+    // aggregate (one scan, one shuffle) instead of the three separate
+    // dashboard queries a naive port would run; grouping_id
+    // disambiguates the levels (bit semantics verified identical to
+    // DuckDB's GROUPING). Null placement pinned NULLS LAST on both
+    // engines — rollup's subtotal rows are null-keyed by construction.
+    "q_rollup_dashboard" -> { (s, d) =>
+      Tables.orders(s, d)
+        .rollup(year(col("o_orderdate")).as("y"),
+          col("o_orderpriority").as("prio"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"),
+          sumDec(col("o_totalprice")).as("total"))
+        .select(col("gid"), col("y"), col("prio"), col("cnt"), col("total"))
+        .orderBy(col("gid"), col("y").asc_nulls_last, col("prio").asc_nulls_last)
+    },
+
     // A9 — dashboard: totals by year ("Injury and Fatality Trends by Year").
     "q_a9_by_year" -> { (s, d) =>
       Tables.orders(s, d)
@@ -491,6 +508,13 @@ object Analytics {
         | round(max(abs((o.o_totalprice - s.mean) / s.std)), 6) AS max_abs_z
         |FROM orders o JOIN s USING (o_orderpriority)
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q_rollup_dashboard" ->
+      s"""SELECT GROUPING(y, prio) AS gid, y, prio, count(*) AS cnt,
+         | ${sumDecSql("o_totalprice")} AS total
+         |FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+         |       o_orderpriority AS prio, o_totalprice FROM orders)
+         |GROUP BY ROLLUP(y, prio)
+         |ORDER BY gid, y NULLS LAST, prio NULLS LAST""".stripMargin,
     "q_a9_by_year" ->
       s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS y, ${sumDecSql("o_totalprice")} AS total,
          | count(*) AS cnt

@@ -182,6 +182,38 @@ object Sources {
         graft.operators.Relational.sumDec(col("o_totalprice")).as("total"))
       .orderBy("o_orderstatus")
 
+  /** Operational scale pattern: SMALL-FILE COMPACTION. A long-lived lake
+    * table accretes tiny files (streaming micro-batches, incremental
+    * appends — our own idempotentWrite/extendDim do exactly this); at
+    * 100 TB the scan-planning and open() overhead of millions of small
+    * files dominates. The compactor sizes its target file count from the
+    * actual byte size (128 MB target files, the parquet sweet spot) and
+    * rewrites with `coalesce` — a repartition-free narrow dependency, so
+    * compaction reads and writes each byte exactly once with no shuffle.
+    * The gated query proves content fidelity (checksum-grade aggregate)
+    * plus the compaction effect itself (fewer files, oracle-pinned TRUE).
+    */
+  def compactionRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val src = "/root/repo/target/scratch/compact_src"
+    val dst = "/root/repo/target/scratch/compact_dst"
+    rmDir(src); rmDir(dst)
+    Tables.documents(s, d).select("doc_id", "lang", "text")
+      .repartition(32).write.parquet(src) // the accreted small files
+    def parquetFiles(p: String): Seq[java.io.File] =
+      Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.endsWith(".parquet")).toSeq
+    val bytes = parquetFiles(src).map(_.length()).sum
+    val target = math.max(1L, math.ceil(bytes / (128.0 * 1024 * 1024)).toLong)
+    s.read.parquet(src).coalesce(target.toInt).write.parquet(dst)
+    val before = parquetFiles(src).size
+    val after = parquetFiles(dst).size
+    s.read.parquet(dst)
+      .agg(count(lit(1)).as("cnt"),
+        sum(length(col("text")).cast("long")).as("total_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .withColumn("compacted", lit(after < before))
+  }
+
   private def rmDir(path: String): Unit = {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
@@ -244,6 +276,7 @@ object Sources {
     "q_jsonl_roundtrip" -> jsonlRoundtrip _,
     "q_bucketed_join" -> bucketedJoin _,
     "q_partition_pruning" -> partitionedPrunedScan _,
+    "q_compaction" -> compactionRoundtrip _,
     "q_corrupt_records" -> corruptRecordScan _,
     "q_schema_merge" -> schemaMergeScan _
   )
@@ -269,6 +302,14 @@ object Sources {
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // compaction must not change content: oracle = the same checksum
+    // aggregate off the source, with the fewer-files effect pinned TRUE
+    "q_compaction" ->
+      """SELECT count(*) AS cnt,
+        | CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        | min(doc_id) AS min_id, max(doc_id) AS max_id,
+        | TRUE AS compacted
+        |FROM documents""".stripMargin,
     // partition pruning must not change results: oracle = the same year
     // slice straight off the unpartitioned source
     "q_partition_pruning" ->
