@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -333,6 +333,55 @@ object Analytics {
       .orderBy(groupCol)
   }
 
+  /** Population-drift report (PSI) between two slices of a corpus — the
+    * train-vs-incoming distribution monitor a 100 TB ingestion pipeline
+    * runs per batch. Three bounded passes, no data-sized shuffle:
+    *   1. global integer bounds + per-slice totals (scalar, broadcast);
+    *   2. equi-width binning (pure arithmetic, map-side-combined counts —
+    *      at most `nBins` rows leave the exchange);
+    *   3. a generated bin spine (so bins empty in BOTH slices still
+    *      appear — their smoothed shares still contribute) left-joined
+    *      with the counts, PSI per bin from Laplace-smoothed shares
+    *      (cnt+1)/(n+nBins) — the standard guard that keeps ln() finite
+    *      when one slice misses a bin entirely.
+    * All binning runs on exact integer values (same rationale as
+    * [[equiWidthHistogram]]); the ln/division arithmetic is the same IEEE
+    * expression over identical integer inputs on both engines, rounded to
+    * 6 dp for the cross-engine hash.
+    */
+  def driftPsi(df: DataFrame, valueCol: Column, inSliceA: Column,
+               nBins: Int): DataFrame = {
+    val spark = df.sparkSession
+    val v = valueCol.cast("long")
+    val bounds = df.agg(min(v).as("mn"), max(v).as("mx"),
+      sum(when(inSliceA, 1L).otherwise(0L)).as("na"),
+      sum(when(inSliceA, 0L).otherwise(1L)).as("nb"))
+    val cnts = df.select(v.as("c"), inSliceA.as("ga"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("w", greatest(lit(1L),
+        floor((col("mx") - col("mn") + lit(nBins)) / lit(nBins)).cast("long")))
+      .withColumn("bin",
+        least(floor((col("c") - col("mn")) / col("w")).cast("long"), lit(nBins - 1L)))
+      .groupBy("bin")
+      .agg(count(when(col("ga"), 1)).as("ca"),
+        count(when(!col("ga"), 1)).as("cb"))
+    val spine = spark.range(nBins).select(col("id").as("bin"))
+    val pa = (col("ca") + 1).cast("double") / (col("na") + lit(nBins)).cast("double")
+    val pb = (col("cb") + 1).cast("double") / (col("nb") + lit(nBins)).cast("double")
+    spine.crossJoin(broadcast(bounds))
+      .withColumn("w", greatest(lit(1L),
+        floor((col("mx") - col("mn") + lit(nBins)) / lit(nBins)).cast("long")))
+      .join(cnts, Seq("bin"), "left")
+      .na.fill(0L, Seq("ca", "cb"))
+      .select(col("bin"),
+        (col("mn") + col("bin") * col("w")).cast("double").as("lo"),
+        (col("mn") + (col("bin") + 1) * col("w")).cast("double").as("hi"),
+        col("ca"), col("cb"),
+        round(pa, 6).as("share_a"), round(pb, 6).as("share_b"),
+        round((pa - pb) * log(pa / pb), 6).as("psi_contrib"))
+      .orderBy("bin")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A6 — the one-call wide describe over lineitem's measures + flags.
     "q_a6_describe_all" -> { (s, d) =>
@@ -378,6 +427,30 @@ object Analytics {
     // A6/EDA — per-priority outlier audit at |z| > 2.
     "q_zscore_outliers" -> { (s, d) =>
       zscoreOutliers(Tables.orders(s, d), "o_orderpriority", "o_totalprice", 2.0)
+    },
+
+    // Drift monitor: PSI of the document-length distribution, English
+    // slice vs everything else (the per-ingest-batch distribution check
+    // a training pipeline runs before accepting a new shard).
+    "q_drift_psi" -> { (s, d) =>
+      driftPsi(Tables.documents(s, d), length(col("text")),
+        col("lang") === "en", 10)
+    },
+
+    // A9 — the full dashboard lattice in ONE pass: CUBE(year, status)
+    // computes detail + BOTH one-dimension subtotals + grand total in a
+    // single aggregate — four dashboard queries, one scan, one shuffle
+    // (Expand multiplies rows before the exchange, but the map-side
+    // combine collapses them to group cardinality). Complements
+    // q_rollup_dashboard's strict hierarchy; grouping_id bit semantics
+    // pinned against DuckDB's GROUPING.
+    "q_cube_dashboard" -> { (s, d) =>
+      Tables.orders(s, d)
+        .cube(year(col("o_orderdate")).as("y"), col("o_orderstatus").as("st"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"),
+          sumDec(col("o_totalprice")).as("total"))
+        .select(col("gid"), col("y"), col("st"), col("cnt"), col("total"))
+        .orderBy(col("gid"), col("y").asc_nulls_last, col("st").asc_nulls_last)
     },
 
     // A9 — the dashboard hierarchy in ONE pass: ROLLUP(year, priority)
@@ -508,6 +581,41 @@ object Analytics {
         | round(max(abs((o.o_totalprice - s.mean) / s.std)), 6) AS max_abs_z
         |FROM orders o JOIN s USING (o_orderpriority)
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q_drift_psi" ->
+      """WITH v AS (SELECT CAST(length(text) AS BIGINT) AS c,
+        |            (lang = 'en') AS ga FROM documents),
+        |b AS (SELECT min(c) AS mn, max(c) AS mx,
+        |       sum(CASE WHEN ga THEN 1 ELSE 0 END) AS na,
+        |       sum(CASE WHEN ga THEN 0 ELSE 1 END) AS nb FROM v),
+        |w AS (SELECT mn, mx, na, nb,
+        |       greatest(1, CAST(floor((mx - mn + 10) / 10.0) AS BIGINT)) AS w
+        |      FROM b),
+        |cnts AS (SELECT least(CAST(floor((c - mn) / CAST(w AS DOUBLE)) AS BIGINT), 9) AS bin,
+        |          count(CASE WHEN ga THEN 1 END) AS ca,
+        |          count(CASE WHEN NOT ga THEN 1 END) AS cb
+        |         FROM v, w GROUP BY 1),
+        |spine AS (SELECT unnest(range(0, 10)) AS bin),
+        |f AS (SELECT s.bin, w.mn, w.mx, w.na, w.nb, w.w,
+        |       coalesce(cnts.ca, 0) AS ca, coalesce(cnts.cb, 0) AS cb
+        |      FROM spine s CROSS JOIN w LEFT JOIN cnts ON s.bin = cnts.bin)
+        |SELECT bin,
+        | CAST(mn + bin * w AS DOUBLE) AS lo,
+        | CAST(mn + (bin + 1) * w AS DOUBLE) AS hi,
+        | ca, cb,
+        | round(CAST(ca + 1 AS DOUBLE) / CAST(na + 10 AS DOUBLE), 6) AS share_a,
+        | round(CAST(cb + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE), 6) AS share_b,
+        | round((CAST(ca + 1 AS DOUBLE) / CAST(na + 10 AS DOUBLE)
+        |        - CAST(cb + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE))
+        |   * ln((CAST(ca + 1 AS DOUBLE) / CAST(na + 10 AS DOUBLE))
+        |        / (CAST(cb + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE))), 6) AS psi_contrib
+        |FROM f ORDER BY bin""".stripMargin,
+    "q_cube_dashboard" ->
+      s"""SELECT GROUPING(y, st) AS gid, y, st, count(*) AS cnt,
+         | ${sumDecSql("o_totalprice")} AS total
+         |FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+         |       o_orderstatus AS st, o_totalprice FROM orders)
+         |GROUP BY CUBE(y, st)
+         |ORDER BY gid, y NULLS LAST, st NULLS LAST""".stripMargin,
     "q_rollup_dashboard" ->
       s"""SELECT GROUPING(y, prio) AS gid, y, prio, count(*) AS cnt,
          | ${sumDecSql("o_totalprice")} AS total

@@ -483,7 +483,50 @@ object Dedup {
       .repartition(spread, col("doc_id"))
   }
 
+  /** Duplicated-SPAN inventory — substring-level dedup (the "Deduplicating
+    * Training Data Makes Language Models Better" shape, Lee et al. 2021,
+    * arXiv:2107.06499): instead of whole-document near-dup detection, find
+    * fixed-width character windows (width `w`, sampled every `stride`
+    * chars) whose content recurs across ≥ 2 distinct documents — boilerplate,
+    * licenses, templated headers that document-level dedup never sees.
+    * Output: per-doc span counts + how many of its spans are cross-doc
+    * duplicated (the doc's "duplicated coverage").
+    *
+    * Scale posture: the suffix-array approach of the paper is a single-node
+    * construct; the distributed re-expression is hash-inventory — spans
+    * flow as (doc_id, md5) pairs only (never text) through one map-side-
+    * combined groupBy; the dup-fp set is duplicated-fingerprint-cardinality
+    * (tiny vs corpus) and joins back as a broadcast under AQE. Stride
+    * trades recall for span volume exactly like the paper's sampled
+    * suffixes; w=64/stride=32 guarantees any duplicated run ≥ 2w-1 chars
+    * shares at least one sampled window on aligned offsets.
+    */
+  def spanInventory(docs: DataFrame, idCol: String, textCol: String,
+                    w: Int, stride: Int): DataFrame = {
+    val spans = docs
+      .filter(length(col(textCol)) >= w)
+      .select(col(idCol),
+        explode(transform(
+          sequence(lit(1), length(col(textCol)) - lit(w - 1), lit(stride)),
+          st => md5(col(textCol).substr(st, lit(w))))).as("fp"))
+    val dup = spans.groupBy("fp")
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("fp"), lit(1).as("isdup"))
+    spans.join(dup, Seq("fp"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_spans"), count(col("isdup")).as("n_dup_spans"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Substring-level duplicated-span inventory on the planted corpus —
+    // the planted mutated copies share long verbatim runs with their
+    // originals, so their spans show up as duplicated.
+    "q_span_dedup" -> { (s, d) =>
+      spanInventory(plantedCorpus(Tables.documents(s, d)), "doc_id", "text",
+          w = 64, stride = 32)
+        .orderBy("doc_id")
+    },
     // Exact dedup over a corpus with planted exact copies (documents ∪
     // first-20 verbatim) — groups of 2 for planted ids, 1 otherwise.
     "q_dedup_exact" -> { (s, d) =>
@@ -627,6 +670,20 @@ object Dedup {
        | SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q_span_dedup" ->
+      """WITH corpus AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 10000000 AS doc_id, text || ' appended' AS text
+        | FROM documents WHERE doc_id < 20),
+        |s AS (
+        | SELECT doc_id, md5(substr(text, CAST(t.i AS INTEGER), 64)) AS fp
+        | FROM corpus, unnest(range(1, length(text) - 62, 32)) AS t(i)
+        | WHERE length(text) >= 64),
+        |dup AS (SELECT fp FROM s GROUP BY fp HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT s.doc_id, count(*) AS n_spans, count(dup.fp) AS n_dup_spans
+        |FROM s LEFT JOIN dup ON s.fp = dup.fp
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_dedup_exact" ->
       """WITH corpus AS (
         | SELECT doc_id, text FROM documents

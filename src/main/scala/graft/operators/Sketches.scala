@@ -49,9 +49,45 @@ object Sketches {
           abs(col("exact_p50")) * tol).as("within_tol"))
   }
 
+  /** Two-pass EXACT heavy hitters: a Misra-Gries candidate sweep (bounded
+    * state — see [[graft.functions.MisraGriesAggregator]]) followed by an
+    * exact recount restricted to the candidates. Output = exactly the
+    * items with freq ≥ n/k, with exact counts — but unlike the naive
+    * groupBy-everything, no stage ever shuffles distinct-cardinality
+    * state: pass 1 merges fixed-size summaries to one row, pass 2
+    * semi-joins the broadcast candidate list (≤ capacity entries) before
+    * counting, so only candidate rows reach the exchange. capacity = 4k
+    * keeps the MG retention bound n/(4k+1) strictly below the n/k output
+    * threshold for any data.
+    */
+  def heavyHitters(items: DataFrame, itemCol: String, k: Int): DataFrame = {
+    val mg = udaf(new graft.functions.MisraGriesAggregator(4 * k),
+      org.apache.spark.sql.Encoders.STRING)
+    // candidates carry n_total along (exploded from the same single-row
+    // aggregate) so pass 1 is consumed exactly once — two scans total.
+    val candidates = items
+      .agg(mg(col(itemCol)).as("cand"), count(lit(1)).as("n_total"))
+      .select(explode(col("cand")).as(itemCol), col("n_total"))
+    items.join(broadcast(candidates), Seq(itemCol)) // keys unique: no fan-out
+      .groupBy(col(itemCol), col("n_total"))
+      .agg(count(lit(1)).as("freq"))
+      .filter(col("freq") * k >= col("n_total"))
+      .select(col(itemCol), col("freq"))
+      .orderBy(desc("freq"), col(itemCol))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_approx_distinct" -> { (s, d) =>
       approxDistinct(Tables.orders(s, d), "o_custkey", 0.02)
+    },
+    // Exact ≥1%-frequency tokens over the corpus (k=100): the tokenizer /
+    // vocabulary-pruning primitive, shaped for columns whose distinct
+    // count dwarfs executor memory.
+    "q_heavy_hitters" -> { (s, d) =>
+      heavyHitters(
+        Tables.documents(s, d)
+          .select(explode(TextAnalysis.tokens(lower(col("text")))).as("token")),
+        "token", k = 100)
     },
     "q_approx_median" -> { (s, d) =>
       approxMedian(Tables.lineitem(s, d), "l_extendedprice", 0.01)
@@ -59,6 +95,15 @@ object Sketches {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_heavy_hitters" ->
+      """WITH tok AS (
+        | SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |               t -> t <> '')) AS token
+        | FROM documents),
+        |n AS (SELECT count(*) AS n_total FROM tok)
+        |SELECT token, count(*) AS freq
+        |FROM tok, n GROUP BY token, n_total HAVING count(*) * 100 >= n_total
+        |ORDER BY freq DESC, token""".stripMargin,
     "q_approx_distinct" ->
       """SELECT count(DISTINCT o_custkey) AS exact_distinct,
         | TRUE AS within_tol

@@ -171,6 +171,26 @@ object TextAnalysis {
         .orderBy(desc("score"), col("term"))
         .limit(20)
     },
+    // BPE-style adjacent-pair statistics — the inner loop of tokenizer
+    // training (Sennrich et al. 2016 "Neural Machine Translation of Rare
+    // Words with Subword Units"): the most frequent adjacent token pair is
+    // the next merge candidate. Pair construction is a pure map-side
+    // generator over materialized token arrays (no self-join — a join of
+    // token rows on (doc_id, pos+1) shuffles the whole exploded corpus
+    // twice; `transform` over indices shuffles only the partial
+    // (pair, count) aggregates). Deterministic top-20 via (freq desc,
+    // pair asc).
+    "q_bpe_pairs" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(tokens(lower(col("text"))).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat(element_at(col("toks"), i), lit(" "),
+            element_at(col("toks"), i + 1)))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("freq"))
+        .orderBy(desc("freq"), col("pair"))
+        .limit(20)
+    },
     // Document chunking: overlapping token windows (size 50, stride 40) —
     // the training/RAG preprocessing shape. Map-side: materialized tokens,
     // one generator (posexplode) per doc, no shuffle until a consumer
@@ -306,6 +326,14 @@ object TextAnalysis {
       "q_text_fingerprint" ->
         """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
           |FROM documents ORDER BY doc_id""".stripMargin,
+      "q_bpe_pairs" ->
+        s"""WITH t AS (SELECT ${tokensSql("lower(text)")} AS toks FROM documents),
+           |p AS (SELECT toks[CAST(r.i AS INTEGER)] || ' ' ||
+           |        toks[CAST(r.i AS INTEGER) + 1] AS pair
+           |      FROM t, unnest(range(1, len(toks))) AS r(i)
+           |      WHERE len(toks) >= 2)
+           |SELECT pair, count(*) AS freq
+           |FROM p GROUP BY 1 ORDER BY freq DESC, pair LIMIT 20""".stripMargin,
       "q_text_chunk" ->
         s"""WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
            |st AS (SELECT doc_id, toks,
