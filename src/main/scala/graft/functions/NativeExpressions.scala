@@ -444,6 +444,24 @@ object NativeExpressions {
     }
   }
 
+  /** Identity wrapper marking a value for per-expression optimizer
+    * rewrites ([[graft.plans.ApproxDistinctRewrite]] matches
+    * `count(DISTINCT approx_hint(x))`). Pure passthrough in eval AND
+    * codegen, so on a session where the rule is not installed the hinted
+    * query still runs with exact semantics — the hint degrades gracefully
+    * instead of failing.
+    */
+  case class ApproxHint(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = child.dataType
+    override def nullable: Boolean = child.nullable
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+      child.eval(input)
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => c)
+    override protected def withNewChildInternal(newChild: Expression): ApproxHint =
+      copy(child = newChild)
+  }
+
   /** Register the native functions on a session (idempotent). The library
     * deployment path is [[GraftExtensions]] via spark.sql.extensions; this
     * direct registration serves sessions the engine did not construct.
@@ -484,11 +502,17 @@ object NativeExpressions {
     reg.createOrReplaceTempFunction("token_hashes_md5",
       (children: Seq[Expression]) => StringArrayHashes(children.head, md5 = true),
       "built-in")
+    reg.createOrReplaceTempFunction("approx_hint",
+      (children: Seq[Expression]) => ApproxHint(children.head),
+      "built-in")
   }
 
   /** Column-API entry points. */
   def cosineSim(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark); call_function("cosine_sim", a, b)
+  }
+  def approxHint(spark: SparkSession, c: Column): Column = {
+    register(spark); call_function("approx_hint", c)
   }
   def simhashNative(spark: SparkSession, toks: Column, bits: Int = 64): Column = {
     register(spark)
@@ -533,5 +557,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash"),
       new ExpressionInfo(NativeExpressions.SimHash64.getClass.getName, "simhash"),
       (children: Seq[Expression]) => NativeExpressions.SimHash64(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("approx_hint"),
+      new ExpressionInfo(NativeExpressions.ApproxHint.getClass.getName, "approx_hint"),
+      (children: Seq[Expression]) => NativeExpressions.ApproxHint(children.head)))
+    // lands in the operator-optimization batches — before Catalyst's own
+    // RewriteDistinctAggregates, so count(DISTINCT) is still intact when
+    // the rule pattern-matches (see ApproxDistinctRewrite's scaladoc).
+    ext.injectOptimizerRule(graft.plans.ApproxDistinctRewrite)
   }
 }

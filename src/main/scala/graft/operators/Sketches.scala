@@ -91,6 +91,29 @@ object Sketches {
     },
     "q_approx_median" -> { (s, d) =>
       approxMedian(Tables.lineitem(s, d), "l_extendedprice", 0.01)
+    },
+    // The OPTIMIZER-REWRITE path to the same sketch: install
+    // ApproxDistinctRewrite (here via experimental.extraOptimizations —
+    // the spark.sql.extensions deployment injects it at session boot),
+    // mark one count(DISTINCT) with approx_hint, and verify the rewritten
+    // aggregate honors the 2% HLL++ contract against the un-hinted exact
+    // twin. Two separate Aggregate nodes on purpose: a single node with
+    // two distinct groups is expanded by Catalyst's
+    // RewriteDistinctAggregates before the end-placed user batch runs
+    // (the injected-extension path has no such constraint).
+    "q_approx_rewrite" -> { (s, d) =>
+      if (!s.experimental.extraOptimizations
+            .exists(_.isInstanceOf[graft.plans.ApproxDistinctRewrite]))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.plans.ApproxDistinctRewrite(s)
+      val o = Tables.orders(s, d)
+      val exact = o.agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+      val approx = o.agg(countDistinct(graft.functions.NativeExpressions
+        .approxHint(s, col("o_custkey"))).as("__approx"))
+      exact.crossJoin(broadcast(approx))
+        .select(col("exact_distinct"),
+          (abs(col("__approx") - col("exact_distinct")) <=
+            col("exact_distinct").cast("double") * 0.02).as("within_tol"))
     }
   )
 
@@ -111,6 +134,10 @@ object Sketches {
     "q_approx_median" ->
       """SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS exact_p50,
         | TRUE AS within_tol
-        |FROM lineitem""".stripMargin
+        |FROM lineitem""".stripMargin,
+    "q_approx_rewrite" ->
+      """SELECT count(DISTINCT o_custkey) AS exact_distinct,
+        | TRUE AS within_tol
+        |FROM orders""".stripMargin
   )
 }
