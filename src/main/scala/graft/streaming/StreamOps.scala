@@ -277,6 +277,66 @@ object StreamOps {
         .orderBy("h")
     }},
 
+    // North-star: stream-stream LEFT OUTER interval join. Unlike the inner
+    // variant, null-extended rows for unmatched lefts can only emit once
+    // the watermark proves no match can still arrive — which never happens
+    // for the tail of a bounded backlog unless something advances the
+    // watermark past it. The flush idiom: stage the source as TWO files
+    // (the real events + one far-future sentinel row) and rate-limit to
+    // one file per micro-batch, so the sentinel batch advances the global
+    // watermark beyond every join window and the engine's no-data batch
+    // evicts+emits the remaining unmatched lefts before AvailableNow
+    // terminates. The sentinel user (-1) matches nothing and is filtered
+    // from the result; the oracle is the plain batch LEFT JOIN.
+    "q_stream_left_join" -> { (s, d) => withStatePartitions(s, 8) {
+      cleanCheckpoint("stream_left_join")
+      val scratch = "/root/repo/target/scratch/left_join_src"
+      rmPath(scratch); new java.io.File(scratch).mkdirs()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        java.nio.file.Paths.get(s"$scratch/00_events.parquet"))
+      // sentinel: 2100-01-01 UTC in raw nanos, schema-identical to events
+      val sentinelNs = 4102444800000000000L
+      val tmp = scratch + "_tmp"
+      s.createDataFrame(
+          java.util.Arrays.asList(org.apache.spark.sql.Row(
+            -1L, sentinelNs, -1L, "flush", 0.0, "{}")),
+          eventsRawSchema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$scratch/01_flush.parquet"))
+      rmPath(tmp)
+
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      def side(idAs: String, tsAs: String, userAs: String) =
+        s.readStream.schema(eventsRawSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(scratch)
+          .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+          .select(col("event_id").as(idAs), col("ts").as(tsAs),
+            col("user_id").as(userAs))
+          .withWatermark(tsAs, "1 hour")
+      val pairs = side("l_id", "l_ts", "l_user")
+        .join(side("r_id", "r_ts", "r_user"), expr(
+          """l_user = r_user AND
+            |r_ts > l_ts AND r_ts <= l_ts + interval 10 minutes""".stripMargin),
+          "left_outer")
+      val q = pairs.writeStream.format("memory").queryName("stream_left_join")
+        .outputMode("append")
+        .option("checkpointLocation",
+          "/root/repo/target/scratch/ckpt_stream_left_join")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("stream_left_join")
+        .filter(col("l_user") =!= -1L)
+        .groupBy(hour(col("l_ts")).as("h"))
+        .agg(count(lit(1)).as("total"), count(col("r_id")).as("matched"))
+        .orderBy("h")
+    }},
+
     // S9 — the producer path via foreachBatch: each complete-mode snapshot
     // is JSON-encoded (the topic message payload, kafka/consumer.py:23
     // consumer contract) and overwritten to the "topic" sink; the query
@@ -478,6 +538,13 @@ object StreamOps {
     "q_stream_interval_join" ->
       """SELECT CAST(hour(l.ts) AS INTEGER) AS h, count(*) AS pairs
         |FROM events l JOIN events r
+        | ON l.user_id = r.user_id
+        | AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_stream_left_join" ->
+      """SELECT CAST(hour(l.ts) AS INTEGER) AS h, count(*) AS total,
+        | count(r.event_id) AS matched
+        |FROM events l LEFT JOIN events r
         | ON l.user_id = r.user_id
         | AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
         |GROUP BY 1 ORDER BY 1""".stripMargin,
