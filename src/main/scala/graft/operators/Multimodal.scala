@@ -82,6 +82,32 @@ object Multimodal {
     // Feature extraction through the typed mapPartitions path.
     "q_mm_features" -> { (s, d) =>
       extractFeatures(mediaTable(s, d)).toDF().orderBy("media_id")
+    },
+    // Frame sampling — the video-preprocessing shape: treat the payload as
+    // fixed-size frames (STUB framing: 256-byte strides standing in for a
+    // real container's frame index), keep every 4th frame, emit a
+    // per-frame checksum. The Spark plumbing is the real thing: pure
+    // codegen'd expressions (hex once, slice per sampled frame, no UDF),
+    // one generator per media row, zero shuffles until a consumer
+    // aggregates — at 100 TB this runs scan-speed map-side. Frame bytes
+    // are checksummed via their hex rendering so the oracle slices the
+    // same VARCHAR on both engines (DuckDB has no blob substring/md5).
+    "q_mm_frame_sample" -> { (s, d) =>
+      val frameBytes = 256; val every = 4
+      val hexChars = frameBytes * 2
+      mediaTable(s, d)
+        .filter(col("n_bytes") >= 1) // empty payload = no frames
+        .select(col("media_id"), hex(col("payload")).as("hx"),
+          ceil(col("n_bytes") / lit(frameBytes.toDouble)).cast("long").as("n_frames"))
+        .select(col("media_id"), col("n_frames"),
+          explode(transform(
+            sequence(lit(0L), col("n_frames") - 1, lit(every.toLong)),
+            fi => struct(fi.as("frame_idx"),
+              md5(col("hx").substr(fi.cast("int") * hexChars + 1,
+                lit(hexChars))).as("frame_md5")))).as("f"))
+        .select(col("media_id"), col("n_frames"),
+          col("f.frame_idx"), col("f.frame_md5"))
+        .orderBy("media_id", "frame_idx")
     }
   )
 
@@ -102,6 +128,16 @@ object Multimodal {
         |      ELSE CAST('0x' || substr(hx, 1, 2) AS INTEGER) END AS first_byte,
         | CASE WHEN length(hx)=0 THEN -1
         |      ELSE CAST('0x' || substr(hx, length(hx)-1, 2) AS INTEGER) END AS last_byte
-        |FROM b ORDER BY media_id""".stripMargin
+        |FROM b ORDER BY media_id""".stripMargin,
+    "q_mm_frame_sample" ->
+      """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |            octet_length(encode(text)) AS nb FROM documents),
+        |f AS (SELECT media_id, hx, CAST(ceil(nb / 256.0) AS BIGINT) AS n_frames
+        |      FROM m WHERE nb >= 1),
+        |s AS (SELECT media_id, n_frames, unnest(range(0, n_frames, 4)) AS fi, hx
+        |      FROM f)
+        |SELECT media_id, n_frames, fi AS frame_idx,
+        | md5(substr(hx, CAST(fi * 512 + 1 AS BIGINT), 512)) AS frame_md5
+        |FROM s ORDER BY media_id, frame_idx""".stripMargin
   )
 }

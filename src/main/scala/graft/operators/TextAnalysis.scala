@@ -269,6 +269,24 @@ object TextAnalysis {
           min(col("score")).as("min_score"), max(col("score")).as("max_score"))
         .orderBy("decile")
     },
+    // WEIGHTED deterministic sampling: each doc kept with probability
+    // proportional to its token count (capped at 1) — the token-budget
+    // resampling move behind source-mix rebalancing (q_source_mix emits
+    // the rates; this applies one). Inclusion is a pure map-side integer
+    // compare: u = first 32 md5 bits of the id vs p·2^32 — reproducible
+    // across engines, partitionings and reruns, unlike rand()-based
+    // df.sample. No shuffle until the audit aggregate.
+    "q_weighted_sample" -> { (s, d) =>
+      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+      val p = least(lit(1.0), tokenCount(col("text")).cast("double") / 400.0)
+      Tables.documents(s, d)
+        .withColumn("n_tok", tokenCount(col("text")))
+        .filter(u.cast("double") < p * 4294967296.0)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("kept"), sum(col("n_tok")).cast("long").as("kept_tokens"))
+        .orderBy("lang")
+    },
     // Deterministic train/val/test split: md5 of the id buckets every doc
     // stably (the split survives reruns, repartitions, and engines — the
     // property a training pipeline needs; xxhash64 would be faster but has
@@ -391,6 +409,14 @@ object TextAnalysis {
            | min(score) AS min_score, max(score) AS max_score
            |FROM s, t GROUP BY 1 ORDER BY 1""".stripMargin
       },
+      "q_weighted_sample" ->
+        s"""WITH t AS (SELECT lang, $nTok AS n_tok,
+           |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS u
+           | FROM documents)
+           |SELECT lang, count(*) AS kept, CAST(sum(n_tok) AS BIGINT) AS kept_tokens
+           |FROM t
+           |WHERE CAST(u AS DOUBLE) < least(1.0, CAST(n_tok AS DOUBLE) / 400.0) * 4294967296.0
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
       "q_sample_split" ->
         """SELECT CASE
           |  WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 80 THEN 'train'

@@ -337,6 +337,30 @@ object StreamOps {
         .orderBy("h")
     }},
 
+    // Custom arbitrary state (flatMapGroupsWithState): per-user running
+    // totals in update mode — the state op the built-in aggregates can't
+    // express (the full API surface: state get/update per group, typed
+    // output). Update-mode re-emits a user's row each batch it changes;
+    // the final emission per user (max struct — n_events is monotone) is
+    // the end-of-stream state, which must equal the plain batch aggregate.
+    "q_stream_state_totals" -> { (s, d) => withStatePartitions(s, 8) {
+      cleanCheckpoint("stream_state_totals")
+      val q = runningUserTotals(eventsStream(s, d)).toDF()
+        .writeStream.format("memory").queryName("stream_state_totals")
+        .outputMode("update")
+        .option("checkpointLocation",
+          "/root/repo/target/scratch/ckpt_stream_state_totals")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("stream_state_totals")
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("total_cents"))).as("st"))
+        .select(col("user_id"), col("st.n_events").as("n_events"),
+          col("st.total_cents").as("total_cents"))
+        .orderBy("user_id")
+    }},
+
     // S9 — the producer path via foreachBatch: each complete-mode snapshot
     // is JSON-encoded (the topic message payload, kafka/consumer.py:23
     // consumer contract) and overwritten to the "topic" sink; the query
@@ -459,7 +483,10 @@ object StreamOps {
       : org.apache.spark.sql.Dataset[UserAgg] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    events.select(col("user_id"), round(col("value") * 100).cast("long").as("cents"))
+    // exact decimal→cents (not round(double*100)): bit-stable across
+    // engines, so the oracle can re-derive the same integers
+    events.select(col("user_id"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
       .as[(Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[UserAgg, UserAgg](
@@ -541,6 +568,10 @@ object StreamOps {
         | ON l.user_id = r.user_id
         | AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_stream_state_totals" ->
+      """SELECT user_id, count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS total_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_stream_left_join" ->
       """SELECT CAST(hour(l.ts) AS INTEGER) AS h, count(*) AS total,
         | count(r.event_id) AS matched
