@@ -1,0 +1,219 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-5 SQL-surface widening: ranking/frame window analytics, set
+  * operators (INTERSECT/EXCEPT), GROUPING SETS, correlated subqueries,
+  * positional explode (LATERAL), ordered array collection, and calendar
+  * gap-filling. The reference's pandas layer reaches each of these shapes
+  * (rank/shift columns, set-membership screens, multi-level dashboard
+  * rollups, per-row lookups, list-column manipulation, dense date spines
+  * for its daily cadence) — here each is the idiomatic Catalyst form with
+  * a DuckDB oracle.
+  *
+  * Scale posture notes live on each query; the common theme: window
+  * functions partition by a real key (never an unpartitioned ORDER BY over
+  * fact data), set ops and subqueries stay as joins/aggregates Catalyst
+  * can reorder, and the date spine is dimension-sized by construction.
+  */
+object SqlSurface {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Ranking + frame window pack: row_number / ntile / percent_rank /
+    // cume_dist / first / last / lag over a per-customer order timeline.
+    // One shuffle (hash by o_custkey); within-partition sort only — no
+    // global sort, no single-task window (the r03 percentile lesson).
+    // Ties are broken by o_orderkey so the rank family is deterministic
+    // and percent_rank/cume_dist see no peer groups on either engine.
+    "q_window_analytics" -> { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("day_no"), col("o_orderkey"))
+      val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        // integer day number (epoch days) — timestamp-vs-date datediff
+        // semantics differ across engines, integer subtraction doesn't
+        .withColumn("day_no",
+          datediff(col("o_orderdate").cast("date"), to_date(lit("1970-01-01"))).cast("long"))
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).cast("long").as("seq"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cdist"),
+          first(col("o_orderkey")).over(w).as("first_ok"),
+          last(col("o_orderkey")).over(wAll).as("last_ok"),
+          (col("day_no") - lag(col("day_no"), 1).over(w)).as("days_since_prev"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // Set operators: INTERSECT / EXCEPT over per-status customer sets.
+    // Both compile to aggregate + join (Catalyst rewrites INTERSECT to a
+    // left-semi over distincts, EXCEPT to left-anti) — shuffle on the set
+    // key only, dimension-sized exchanges at any fact scale.
+    "q_set_ops" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      def custs(status: String) =
+        o.filter(col("o_orderstatus") === status).select("o_custkey").distinct()
+      val f = custs("F"); val open = custs("O")
+      f.intersect(open).withColumn("op", lit("both"))
+        .unionByName(f.except(open).withColumn("op", lit("f_only")))
+        .orderBy("op", "o_custkey")
+    },
+
+    // GROUPING SETS with grouping_id: the dashboard lattice shapes CUBE/
+    // ROLLUP can't express (two independent single-column slices + grand
+    // total, nothing else). One pass — Spark expands the sets inside a
+    // single Expand+Aggregate, so the fact is scanned once regardless of
+    // how many sets are requested.
+    "q_grouping_sets" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      s.sql(
+        """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+          |  coalesce(o_orderpriority, 'ALL') AS priority,
+          |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+          |  count(*) AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          |FROM v_orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY gid, status, priority""".stripMargin)
+    },
+
+    // Correlated subqueries: EXISTS (decorrelated by Catalyst to a
+    // left-semi join), a correlated scalar COUNT (left outer + aggregate),
+    // and an uncorrelated scalar threshold. The money comparison runs in
+    // exact DECIMAL on both engines (price·N > Σprice) — a float average
+    // would let boundary rows flip on summation order.
+    "q_subqueries" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      s.sql(
+        """SELECT o_orderkey, o_totalprice,
+          |  (SELECT count(*) FROM v_lineitem l
+          |    WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 25) AS n_heavy
+          |FROM v_orders o
+          |WHERE EXISTS (SELECT 1 FROM v_lineitem l
+          |        WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49.5)
+          |  AND CAST(o_totalprice AS DECIMAL(18,2)) * (SELECT count(*) FROM v_orders)
+          |      > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM v_orders)
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // LATERAL-style positional explode: token + position per document.
+    // posexplode is a generator, not a join — map-side, zero shuffle; the
+    // downstream ORDER BY is the driver-gate determinism requirement, not
+    // part of the operator.
+    "q_lateral_explode" -> { (s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "token")))
+        .withColumn("pos", col("pos").cast("long"))
+        .orderBy("doc_id", "pos")
+    },
+
+    // Ordered array collection: sort_array(collect_list) for a stable
+    // cross-engine rendering (collect_list order is partition-dependent;
+    // the sort makes it canonical), emitted as a joined string so the
+    // hash compare is representation-independent. One shuffle on the
+    // group key; arrays are bounded by per-order line count (≤7).
+    "q_collect_ops" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(
+          array_join(sort_array(collect_list(col("l_linenumber"))), ",").as("lines"),
+          array_join(array_sort(collect_set(col("l_returnflag"))), ",").as("flags"))
+        .orderBy("l_orderkey")
+    },
+
+    // Calendar gap-fill: dense date spine (min..max order day) left-joined
+    // to daily counts, absent days as 0 — the daily-cadence dashboard
+    // shape (the reference's Airflow runs daily; gaps mean missed runs).
+    // The spine derives from a 1-row aggregate and explodes to ~2.5k rows
+    // — broadcast side of the join; the daily aggregate is the only
+    // fact-sized work (one shuffle, map-side combined, date-bounded keys).
+    "q_gap_fill" -> { (s, d) =>
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val spine = daily.agg(min("day").as("lo"), max("day").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      spine.join(daily, Seq("day"), "left")
+        .na.fill(0, Seq("n"))
+        .orderBy("day")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_window_analytics" ->
+      """WITH o AS (SELECT *, CAST(datediff('day', DATE '1970-01-01',
+        |                     CAST(o_orderdate AS DATE)) AS BIGINT) AS day_no
+        |           FROM orders)
+        |SELECT o_custkey, o_orderkey,
+        |  row_number() OVER w AS seq,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cdist,
+        |  first_value(o_orderkey) OVER w AS first_ok,
+        |  last_value(o_orderkey) OVER (PARTITION BY o_custkey
+        |    ORDER BY day_no, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ok,
+        |  day_no - lag(day_no) OVER w AS days_since_prev
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day_no, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_set_ops" ->
+      """WITH fc AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        |oc AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |SELECT o_custkey, 'both' AS op
+        |  FROM (SELECT * FROM fc INTERSECT SELECT * FROM oc)
+        |UNION ALL
+        |SELECT o_custkey, 'f_only' AS op
+        |  FROM (SELECT * FROM fc EXCEPT SELECT * FROM oc)
+        |ORDER BY op, o_custkey""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, status, priority""".stripMargin,
+    "q_subqueries" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  (SELECT count(*) FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 25) AS n_heavy
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |        WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49.5)
+        |  AND CAST(o_totalprice AS DECIMAL(18,2)) * (SELECT count(*) FROM orders)
+        |      > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+    // DuckDB zips same-SELECT unnests, reproducing posexplode
+    "q_lateral_explode" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id % 97 = 0)
+        |SELECT doc_id,
+        |  CAST(unnest(range(0, len(toks))) AS BIGINT) AS pos,
+        |  unnest(toks) AS token
+        |FROM t
+        |ORDER BY doc_id, pos""".stripMargin,
+    "q_collect_ops" ->
+      """SELECT l_orderkey,
+        |  array_to_string(list_sort(list(l_linenumber)), ',') AS lines,
+        |  array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS flags
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "q_gap_fill" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n
+        |               FROM orders GROUP BY 1),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+        |spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM b)
+        |SELECT s.day, coalesce(n, 0) AS n
+        |FROM spine s LEFT JOIN daily USING (day)
+        |ORDER BY day""".stripMargin
+  )
+}
