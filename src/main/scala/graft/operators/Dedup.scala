@@ -578,6 +578,35 @@ object Dedup {
       dedupSurvivors(corpus, "doc_id", "text",
           minhashNearDups(corpus, "doc_id", "text", hasher = Md5Hash))
         .orderBy("cluster_id")
+    },
+
+    // Edit-distance fuzzy matching over the DISTINCT name vocabulary with
+    // two-key blocking (3-char prefix + 3-char suffix, union'd): pairs are
+    // generated only within blocks — two bounded equi-joins, never a
+    // cartesian — and the exact levenshtein verify runs on candidates
+    // only. Same candidate-generation posture as the minhash pipeline:
+    // at 100 TB the distinct-name table is vocabulary-sized (dedup first,
+    // then match), the block key is the shuffle key, and a hot prefix
+    // block is an AQE-splittable skew, not a plan change. The two-key
+    // union recovers pairs a single prefix block misses (edits in the
+    // first 3 chars); recall is a blocking contract, not exhaustive —
+    // documented, and mirrored exactly in the oracle.
+    "q_fuzzy_match" -> { (s, d) =>
+      val names = Tables.part(s, d)
+        .select(lower(col("p_name")).as("name")).distinct()
+      def blocked(key: org.apache.spark.sql.Column) = {
+        val b = names.withColumn("blk", key)
+        b.select(col("blk"), col("name").as("name_a"))
+          .join(b.select(col("blk"), col("name").as("name_b")), Seq("blk"))
+          .filter(col("name_a") < col("name_b"))
+          .select("name_a", "name_b")
+      }
+      blocked(substring(col("name"), 1, 3))
+        .unionByName(blocked(substring(col("name"), -3, 3)))
+        .distinct()
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+        .filter(col("dist") <= 2)
+        .orderBy("name_a", "name_b")
     }
   )
 
@@ -795,6 +824,22 @@ object Dedup {
          |JOIN hs b ON c.id_b = b.id
          |WHERE $jaccardSql >= 0.7
          |ORDER BY id_a, id_b""".stripMargin
-    }
+    },
+    "q_fuzzy_match" ->
+      """WITH names AS (SELECT DISTINCT lower(p_name) AS name FROM part),
+        |pre AS (SELECT a.name AS name_a, b.name AS name_b
+        |        FROM names a JOIN names b
+        |          ON substr(a.name, 1, 3) = substr(b.name, 1, 3)
+        |         AND a.name < b.name),
+        |suf AS (SELECT a.name AS name_a, b.name AS name_b
+        |        FROM names a JOIN names b
+        |          ON substr(a.name, length(a.name) - 2, 3) =
+        |             substr(b.name, length(b.name) - 2, 3)
+        |         AND a.name < b.name),
+        |cand AS (SELECT * FROM pre UNION SELECT * FROM suf)
+        |SELECT name_a, name_b, levenshtein(name_a, name_b) AS dist
+        |FROM cand
+        |WHERE levenshtein(name_a, name_b) <= 2
+        |ORDER BY name_a, name_b""".stripMargin
   )
 }

@@ -114,6 +114,30 @@ object Sketches {
         .select(col("exact_distinct"),
           (abs(col("__approx") - col("exact_distinct")) <=
             col("exact_distinct").cast("double") * 0.02).as("within_tol"))
+    },
+    // Count-min sketch frequencies vs exact, gating the classic bound:
+    // never under, over by ≤ e/width·N. The sketch pass is the scale
+    // path (fixed 4×2048 Long grid per partial, elementwise-add merge);
+    // the exact groupBy twin is the cross-check, and the estimate UDF
+    // runs only on the post-aggregation rows (one per distinct key) —
+    // off the fact-sized hot path, so non-codegen cost is irrelevant.
+    "q_cms_freq" -> { (s, d) =>
+      val depth = 4; val width = 2048
+      val cms = udaf(new graft.functions.CountMinAggregator(depth, width),
+        org.apache.spark.sql.Encoders.STRING)
+      val sk = Tables.events(s, d)
+        .agg(cms(col("event_type")).as("sk"), count(lit(1)).as("n_total"))
+      val est = udf((sketch: Seq[Long], k: String) =>
+        graft.functions.CountMin.estimate(sketch, depth, width, k))
+      Tables.events(s, d).groupBy("event_type")
+        .agg(count(lit(1)).as("exact_n"))
+        .crossJoin(broadcast(sk))
+        .withColumn("__est", est(col("sk"), col("event_type")))
+        .select(col("event_type"), col("exact_n"),
+          (col("__est") >= col("exact_n")).as("never_under"),
+          ((col("__est") - col("exact_n")).cast("double") <=
+            col("n_total").cast("double") * (math.E / width)).as("within_eps"))
+        .orderBy("event_type")
     }
   )
 
@@ -138,6 +162,10 @@ object Sketches {
     "q_approx_rewrite" ->
       """SELECT count(DISTINCT o_custkey) AS exact_distinct,
         | TRUE AS within_tol
-        |FROM orders""".stripMargin
+        |FROM orders""".stripMargin,
+    "q_cms_freq" ->
+      """SELECT event_type, count(*) AS exact_n,
+        | TRUE AS never_under, TRUE AS within_eps
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -299,6 +299,37 @@ object TextAnalysis {
         .select(split.as("split"))
         .groupBy("split").agg(count(lit(1)).as("cnt"))
         .orderBy("split")
+    },
+    // Rare-bigram rate — a character-LM quality signal with integer
+    // determinism: corpus-wide character-bigram counts (vocabulary
+    // bounded by alphabet², broadcast back), then per-doc counts of
+    // bigrams rarer than 0.01% of the corpus mass. Garbage text (mojibake,
+    // binary spill, keyboard mash) concentrates in rare bigrams; clean
+    // prose doesn't. Integer counts only — a per-doc Σlog p score would
+    // hash-drift on float summation order across engines.
+    // Scale: bigram extraction is map-side (codegen'd transform, one
+    // explode); the counts aggregate shuffles alphabet²-bounded keys;
+    // the re-join is a broadcast. Two passes over the exploded bigrams,
+    // both pruned to (doc_id, bg).
+    "q_rare_bigrams" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val bg = docs
+        .filter(length(col("text")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
+          .as("bg"))
+      val counts = bg.groupBy("bg").agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum(col("cnt")).as("total"))
+      val perDoc = bg
+        .join(broadcast(counts), Seq("bg"))
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("cnt") * 10000 < col("total"), 1L).otherwise(0L))
+            .as("n_rare"))
+      docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+        .na.fill(0, Seq("n_bigrams", "n_rare"))
+        .orderBy("doc_id")
     }
   )
 
@@ -422,7 +453,24 @@ object TextAnalysis {
           |  WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 80 THEN 'train'
           |  WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 90 THEN 'val'
           |  ELSE 'test' END AS split, count(*) AS cnt
-          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q_rare_bigrams" ->
+        """WITH bg AS (
+          | SELECT doc_id,
+          |  unnest(list_transform(range(1, length(text)),
+          |    i -> substr(text, CAST(i AS INTEGER), 2))) AS bg
+          | FROM documents),
+          |counts AS (SELECT bg, count(*) AS cnt FROM bg GROUP BY bg),
+          |t AS (SELECT sum(cnt) AS total FROM counts),
+          |per_doc AS (
+          | SELECT doc_id, count(*) AS n_bigrams,
+          |  sum(CASE WHEN cnt * 10000 < total THEN 1 ELSE 0 END) AS n_rare
+          | FROM bg JOIN counts USING (bg), t
+          | GROUP BY doc_id)
+          |SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+          | CAST(coalesce(n_rare, 0) AS BIGINT) AS n_rare
+          |FROM documents d LEFT JOIN per_doc USING (doc_id)
+          |ORDER BY doc_id""".stripMargin
     )
   }
 }

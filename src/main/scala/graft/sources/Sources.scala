@@ -269,8 +269,29 @@ object Sources {
       .orderBy("o_orderkey")
   }
 
+  /** ORC source/sink round-trip: Spark ships a native vectorized ORC
+    * reader/writer (the other columnar lake format; same predicate-pushdown
+    * and column-pruning machinery as parquet). A filtered lineitem slice is
+    * written to ORC, read back, and checksum-aggregated — the oracle runs
+    * the identical aggregate off the parquet source, so any value drift in
+    * the ORC round-trip (type mapping, timestamp encoding) breaks the hash.
+    */
+  def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = "/root/repo/target/scratch/orc_lineitem"
+    rmDir(path)
+    Tables.lineitem(s, d).filter(col("l_quantity") > 40)
+      .write.orc(path)
+    s.read.orc(path)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"),
+        graft.operators.Relational.sumDec(col("l_extendedprice")).as("revenue"),
+        min(col("l_shipdate")).as("first_ship"))
+      .orderBy("l_returnflag")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_s1_csv_roundtrip" -> csvRoundtrip _,
+    "q_orc_roundtrip" -> orcRoundtrip _,
     "q_s4_idempotent_write" -> idempotentWriteRoundtrip _,
     "q_jdbc_roundtrip" -> jdbcRoundtrip _,
     "q_jsonl_roundtrip" -> jsonlRoundtrip _,
@@ -282,6 +303,12 @@ object Sources {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        | min(l_shipdate) AS first_ship
+        |FROM lineitem WHERE l_quantity > 40
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_s1_csv_roundtrip" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
         |FROM orders ORDER BY o_orderkey""".stripMargin,
