@@ -565,5 +565,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // RewriteDistinctAggregates, so count(DISTINCT) is still intact when
     // the rule pattern-matches (see ApproxDistinctRewrite's scaladoc).
     ext.injectOptimizerRule(graft.plans.ApproxDistinctRewrite)
+    // whole-operator plan: TopKPerKeyPlan → TopKPerKeyExec (heap-based
+    // per-key top-k, no sort — see graft.plans.TopKPerKey)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

@@ -469,10 +469,33 @@ object Relational {
       val b = o.filter(col("o_orderstatus") === "O")
         .select(col("o_orderkey"), lit("open").as("src"))
       a.unionByName(b).groupBy("src").agg(count(lit(1)).as("cnt")).orderBy("src")
+    },
+
+    // W1 flagship — top-k per key through the CUSTOM PHYSICAL OPERATOR
+    // (graft.plans.TopKPerKey: logical node + Strategy + heap-based exec).
+    // Same single hash exchange as the row_number window plan, but no
+    // partition sort — O(n log k) with O(keys·k) state instead of a full
+    // sort of every customer's rows. The oracle is the window SQL; the
+    // final orderBy presents the (already tiny) result deterministically.
+    "q_topk_native" -> { (s, d) =>
+      graft.plans.TopKPerKey.topKPerKey(
+          Tables.orders(s, d).select("o_custkey", "o_orderkey", "o_totalprice"),
+          keys = Seq("o_custkey"),
+          order = Seq(("o_totalprice", false), ("o_orderkey", true)),
+          k = 2)
+        .orderBy(col("o_custkey"), desc("o_totalprice"), col("o_orderkey"))
     }
   )
 
   def oracles: Map[String, String] = Map(
+    "q_topk_native" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders)
+        |WHERE rn <= 2
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
     "q_s3_scan_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
         | CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec

@@ -68,4 +68,46 @@ class PlansSpec extends SparkSpec {
       assert(!plan.contains("approx_count_distinct"), plan)
     } finally spark.conf.set("spark.graft.approxDistinct", "false")
   }
+
+  test("TopKPerKey plans the custom exec over one exchange with NO sort") {
+    val df = graft.plans.TopKPerKey.topKPerKey(
+      Tables.orders(spark, sfDir).select("o_custkey", "o_orderkey", "o_totalprice"),
+      keys = Seq("o_custkey"),
+      order = Seq(("o_totalprice", false), ("o_orderkey", true)), k = 3)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("TopKPerKey "), physical) // exec renders without the Exec suffix
+    assert(physical.contains("hashpartitioning(o_custkey"), physical)
+    assert(!physical.toLowerCase.contains("sortexec"), physical)
+    assert(!physical.contains("Window"), physical)
+  }
+
+  test("TopKPerKey ≡ row_number window on skewed, duplicated, and small keys") {
+    import spark.implicits._
+    // one hot key (700 rows), ties in the order value, and a group
+    // smaller than k — every boundary the heap path must match the
+    // window path on
+    val rows = (1 to 700).map(i => ("hot", i.toLong, (i % 7).toDouble)) ++
+      Seq(("tiny", 9001L, 1.0)) ++
+      (1 to 40).map(i => ("mid", (2000 + i).toLong, (i % 3).toDouble))
+    val df = rows.toDF("key", "id", "v")
+    val got = graft.plans.TopKPerKey
+      .topKPerKey(df, Seq("key"), Seq(("v", false), ("id", true)), k = 5)
+      .orderBy("key", "id").collect().toSeq
+    val want = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("key").orderBy(desc("v"), col("id"))
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .drop("rn").orderBy("key", "id").collect().toSeq
+    }
+    assert(got == want)
+  }
+
+  test("GraftExtensions installs the strategy at session boot (deployment path)") {
+    val s2 = SparkSpec.session.newSession()
+    new graft.functions.GraftExtensions().apply(
+      new org.apache.spark.sql.SparkSessionExtensions) // constructs cleanly
+    // the experimental-install path used by ad-hoc sessions
+    graft.plans.TopKPerKey.install(s2)
+    assert(s2.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
+  }
 }
