@@ -218,6 +218,22 @@ object Similarity {
       embeddingNearDups(emb, 0.95, bits,
           cosineFn = graft.functions.NativeExpressions.cosineSim(s, _, _))
         .orderBy("id_a", "id_b")
+    },
+    // IVF centroid-build primitive: per-label, per-dimension accumulation
+    // in FIXED-POINT (floor(x·2^20) — a power-of-two scale is exact in
+    // binary floating point, so the floor is tie-free and the Long sums
+    // are order-independent: the cross-engine-deterministic way to reduce
+    // float vectors; a raw double Σ would drift with partial-agg order).
+    // posexplode is map-side; one shuffle on (label, dim) — k·d groups.
+    "q_embed_centroids" -> { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .filter(col("dim") < 8)
+        .select(col("label"), col("dim").cast("long").as("dim"),
+          floor(col("x").cast("double") * 1048576).cast("long").as("q"))
+        .groupBy("label", "dim")
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"))
+        .orderBy("label", "dim")
     }
   )
 
@@ -237,6 +253,13 @@ object Similarity {
     }.mkString("(", " + ", ")")
 
   def oracles: Map[String, String] = Map(
+    // DuckDB lists are 1-based; Spark posexplode is 0-based — i-1 aligns
+    "q_embed_centroids" ->
+      """SELECT label, CAST(i - 1 AS BIGINT) AS dim, count(*) AS n,
+        | CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT)) AS BIGINT) AS sum_q
+        |FROM embeddings CROSS JOIN unnest(range(1, len(embedding)+1)) AS t(i)
+        |WHERE i <= 8
+        |GROUP BY label, i ORDER BY label, dim""".stripMargin,
     "q_sim_topk_ivf" ->
       s"""WITH cents AS (
          | SELECT label, list(c ORDER BY i) AS centroid FROM (

@@ -128,6 +128,24 @@ object SqlSurface {
         .orderBy("l_orderkey")
     },
 
+    // Semi-structured column handling: from_json with an explicit schema
+    // (the lake-table JSON-props shape — the reference's Kafka envelope
+    // decode applied to a batch column). The parse is a codegen'd
+    // expression, map-side; only the bounded per-type aggregate shuffles.
+    // The oracle extracts the same field with regexp (engine-neutral).
+    "q_json_extract" -> { (s, d) =>
+      import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+      Tables.events(s, d)
+        .withColumn("k",
+          from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+            .getField("k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          countDistinct(col("k")).as("dk"))
+        .orderBy("event_type")
+    },
+
     // Calendar gap-fill: dense date spine (min..max order day) left-joined
     // to daily counts, absent days as 0 — the daily-cadence dashboard
     // shape (the reference's Airflow runs daily; gaps mean missed runs).
@@ -192,6 +210,13 @@ object SqlSurface {
         |  AND CAST(o_totalprice AS DECIMAL(18,2)) * (SELECT count(*) FROM orders)
         |      > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
+    "q_json_extract" ->
+      """WITH p AS (SELECT event_type,
+        |  CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+        | FROM events)
+        |SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+        | min(k) AS min_k, max(k) AS max_k, count(DISTINCT k) AS dk
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     // DuckDB zips same-SELECT unnests, reproducing posexplode
     "q_lateral_explode" ->
       """WITH t AS (SELECT doc_id,
