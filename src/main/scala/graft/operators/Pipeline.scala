@@ -73,15 +73,27 @@ object Pipeline {
             .write.parquet(path)
       }
     })
-    // star fact: resolve FKs against the LOADED dims, idempotent load
+    // star fact: resolve FKs against the LOADED dims, idempotent load.
+    // DELTA-FIRST (same argument as runIncremental): anti-join the narrow
+    // key projection BEFORE the 8 dim joins, so a re-run resolves zero
+    // rows instead of resolving everything and discarding it in a wide
+    // anti join. Resolution is row-local (key-unique broadcast left
+    // joins), so delta-then-resolve ≡ the reference's resolve-then-
+    // ON-CONFLICT order. (r05: cut the idempotence gate's second run.)
     val dims = StarPipeline.dimSpecs.map { case (name, keys) =>
       (s.read.parquet(s"$warehouse/$name"), keys)
     }
-    val fact = Star.resolveDims(loadedFlat, dims).select(
+    val factPath = s"$warehouse/star_fact"
+    val pendingFlat =
+      if (!exists(s, factPath)) loadedFlat
+      else loadedFlat.join(
+        s.read.parquet(factPath).select(factKeys.map(col): _*).distinct(),
+        factKeys, "left_anti")
+    val fact = Star.resolveDims(pendingFlat, dims).select(
       (factKeys.map(col) ++
         StarPipeline.dimSpecs.map { case (n, _) => col(n + "_id") } ++
         Seq(col("l_quantity"), col("l_extendedprice"), col("l_discount"))): _*)
-    Star.idempotentWrite(fact, s"$warehouse/star_fact", factKeys)
+    fact.write.mode(SaveMode.Append).parquet(factPath)
     // topic snapshots: complete-mode overwrites (rerun-safe by definition),
     // submitted CONCURRENTLY — the 7 aggregates are independent DAG
     // branches (the reference's Airflow graph runs independent tasks in
