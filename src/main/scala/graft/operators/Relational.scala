@@ -295,6 +295,30 @@ object Relational {
         Seq("q1" -> 0.25, "q2" -> 0.5, "q3" -> 0.75))
     },
 
+    // A6/P-family — WINSORIZATION: clip a value column at exact P01/P99
+    // (the outlier-cleaning step before stats/training). Thresholds come
+    // from the distributed exact percentile (no value buffering at any
+    // cardinality) and broadcast back as a 1-row dimension; the clip is
+    // map-side. DECIMAL(24,8) for the winsorized sum: original values are
+    // 2dp-exact and interpolated thresholds are arbitrary doubles, so an
+    // 8dp cast can't hit a cross-engine rounding tie (a tie needs a
+    // dyadic with ≤8 decimal digits — interpolated midpoints aren't).
+    "q_winsorize" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val thr = Analytics.exactPercentiles(li, "l_extendedprice",
+        Seq("p01" -> 0.01, "p99" -> 0.99))
+      val v = col("l_extendedprice")
+      li.crossJoin(broadcast(thr))
+        .groupBy("p01", "p99")
+        .agg(
+          sum(when(v < col("p01"), 1L).otherwise(0L)).as("n_lo_clipped"),
+          sum(when(v > col("p99"), 1L).otherwise(0L)).as("n_hi_clipped"),
+          sum(when(v < col("p01"), col("p01"))
+            .when(v > col("p99"), col("p99"))
+            .otherwise(v).cast(DecimalType(24, 8))).cast("double")
+            .as("sum_winsorized"))
+    },
+
     // A6 — PER-GROUP exact quartiles: the grouped two-pass percentile
     // (every group's value ranges cumulate in parallel — no per-group
     // value buffering, no single-task window at any cardinality).
@@ -629,6 +653,16 @@ object Relational {
         | quantile_cont(l_quantity, 0.5) AS q2,
         | quantile_cont(l_quantity, 0.75) AS q3
         |FROM lineitem""".stripMargin,
+    "q_winsorize" ->
+      """WITH t AS (SELECT quantile_cont(l_extendedprice, 0.01) AS p01,
+        |  quantile_cont(l_extendedprice, 0.99) AS p99 FROM lineitem)
+        |SELECT p01, p99,
+        | CAST(sum(CASE WHEN l_extendedprice < p01 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo_clipped,
+        | CAST(sum(CASE WHEN l_extendedprice > p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi_clipped,
+        | CAST(sum(CAST(CASE WHEN l_extendedprice < p01 THEN p01
+        |   WHEN l_extendedprice > p99 THEN p99
+        |   ELSE l_extendedprice END AS DECIMAL(24,8))) AS DOUBLE) AS sum_winsorized
+        |FROM lineitem, t GROUP BY p01, p99""".stripMargin,
     "q_grouped_quartiles" ->
       """SELECT l_returnflag, quantile_cont(l_extendedprice, 0.25) AS q1,
         | quantile_cont(l_extendedprice, 0.5) AS q2,

@@ -108,7 +108,75 @@ object TextAnalysis {
   def fingerprint(c: Column): Column =
     md5(lower(regexp_replace(trim(c), "\\s+", " ")))
 
+  /** BPE MERGE TRAINING, distributed: k iterations of (argmax adjacent
+    * pair) → (merge that pair corpus-wide) → recount. This is the actual
+    * tokenizer-training loop (Sennrich et al. 2016), here at word level
+    * (merges build phrases; the character-level variant is the same code
+    * over `split(text, '')`).
+    *
+    * Shape per iteration: pair extraction is a map-side zip_with+explode;
+    * the count is ONE shuffle with map-side combine (pair-vocabulary-
+    * bounded keys); the argmax collects exactly ONE row to the driver —
+    * the trainer's merge table IS driver state by definition (k rows
+    * total), never the corpus. Re-tokenization is a codegen'd per-row
+    * `aggregate` fold (greedy left-to-right, non-overlapping — the
+    * standard scan). At 100 TB each iteration is a bounded-output
+    * aggregate over a map-side pipeline: the classic
+    * scan → combine → tiny-driver-decision loop.
+    *
+    * Determinism: exact integer counts, total argmax order
+    * (freq DESC, pair_a, pair_b), and a pure fold — the DuckDB oracle
+    * replays the identical algorithm with list_reduce.
+    * Tokens are [a-z]+ runs, so '|' (fold separator) and '_' (merge
+    * joiner) cannot occur in input tokens; suffix checks are exact
+    * string compares (ends_with), never LIKE patterns — a merged token's
+    * '_' would wildcard-match under LIKE.
+    */
+  def bpeTrain(s: SparkSession, docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    var cur = docs.select(
+      filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "").as("toks"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var step = 1
+    var exhausted = false
+    while (step <= k && !exhausted) {
+      val tail = slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0)))
+      val top = cur
+        .select(explode(zip_with(col("toks"), tail,
+          (a, b) => struct(a.as("a"), b.as("b")))).as("pr"))
+        .filter(col("pr.b").isNotNull)
+        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += Row(step.toLong, a, b, c)
+        val folded = aggregate(tail, element_at(col("toks"), 1),
+          (acc, x) =>
+            when((acc === lit(a) || acc.endsWith(lit("|" + a))) && x === lit(b),
+              concat(acc, lit("_"), x))
+              .otherwise(concat(acc, lit("|"), x)))
+        cur = cur.withColumn("toks",
+          when(size(col("toks")) <= 1, col("toks"))
+            .otherwise(split(folded, "[|]")))
+        step += 1
+      }
+    }
+    s.createDataFrame(java.util.Arrays.asList(merges.toArray: _*),
+      StructType(Seq(StructField("step", LongType), StructField("pair_a", StringType),
+        StructField("pair_b", StringType), StructField("freq", LongType))))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tokenizer training: 3 BPE merge iterations over the corpus; the
+    // returned merge table is the trained artifact, replayed exactly by
+    // the DuckDB oracle (same argmax order, same greedy fold).
+    "q_bpe_train" -> { (s, d) =>
+      bpeTrain(s, Tables.documents(s, d), 3).orderBy("step")
+    },
     "q_text_stats" -> { (s, d) =>
       Tables.documents(s, d).select(
           col("doc_id"),
@@ -343,6 +411,38 @@ object TextAnalysis {
 
   private def tokensSql(c: String) =
     s"list_filter(string_split_regex($c, '\\s+'), t -> t <> '')"
+
+  /** DuckDB replay of [[bpeTrain]]: k unrolled stages of argmax-pair +
+    * list_reduce greedy fold — the same algorithm, same tie-break, same
+    * exact-suffix merge test.
+    */
+  private def bpeTrainSql(k: Int): String = {
+    val docs1 =
+      """docs1 AS (
+        | SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS toks
+        | FROM documents)""".stripMargin
+    def pairs(i: Int) =
+      s"""pairs$i AS (
+         | SELECT pr[1] AS a, pr[2] AS b, count(*) AS c
+         | FROM (SELECT unnest(list_zip(toks, toks[2:])) AS pr FROM docs$i)
+         | WHERE pr[2] IS NOT NULL GROUP BY 1, 2)""".stripMargin
+    def m(i: Int) =
+      s"m$i AS (SELECT a AS ma, b AS mb, c AS mc FROM pairs$i ORDER BY c DESC, a, b LIMIT 1)"
+    def docsNext(i: Int) =
+      s"""docs${i + 1} AS (
+         | SELECT CASE WHEN len(toks) <= 1 THEN toks
+         |  ELSE string_split(list_reduce(toks, (acc, x) ->
+         |   CASE WHEN (acc = ma OR ends_with(acc, '|' || ma)) AND x = mb
+         |    THEN acc || '_' || x ELSE acc || '|' || x END), '|') END AS toks
+         | FROM docs$i CROSS JOIN m$i)""".stripMargin
+    val ctes = docs1 +: (1 to k).flatMap { i =>
+      Seq(pairs(i), m(i)) ++ (if (i < k) Seq(docsNext(i)) else Nil)
+    }
+    val selects = (1 to k).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS step, ma AS pair_a, mb AS pair_b, mc AS freq FROM m$i"
+    }
+    s"WITH ${ctes.mkString(",\n")}\n${selects.mkString("\nUNION ALL\n")}\nORDER BY step"
+  }
   private def hitsSql(c: String, words: Seq[String]) = {
     val lst = words.map(w => s"'$w'").mkString("[", ",", "]")
     s"len(list_filter(${tokensSql(c)}, t -> list_contains($lst, t)))"
@@ -367,6 +467,7 @@ object TextAnalysis {
       .map { case (l, sc) => s"WHEN $sc = $maxScore THEN '$l'" }
       .mkString(" ")
     Map(
+      "q_bpe_train" -> bpeTrainSql(3),
       "q_text_stats" ->
         s"""SELECT doc_id, CAST($nTok AS INTEGER) AS n_tokens,
            | CAST(len(regexp_extract_all(text, '$bpeTokenPattern')) AS INTEGER) AS n_bpe_tokens,

@@ -54,6 +54,21 @@ class Round5Spec extends SparkSpec {
     assert(got == Map(1L -> 13L, 2L -> 0L, 3L -> 0L, 4L -> 3L))
   }
 
+  test("BPE training: argmax order, greedy non-overlap, merged tokens keep merging") {
+    val docs = Seq((1L, "the cat sat on the cat mat"), (2L, "the cat is the cat"),
+      (3L, "go go go"), (4L, "x")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(spark, docs, 3)
+      .as[(Long, String, String, Long)].collect().toSeq
+    // step 1: (the,cat) ×4 wins. step 2: (go,go) ×2 pre-merge; greedy
+    // left-to-right turns "go go go" into [go_go, go] (non-overlap).
+    // step 3: every remaining pair has count 1 → lexicographic tie-break
+    // on (a,b) picks (go_go, go) — "go_go" sorts before "is"/"on"/"sat"/
+    // "the_cat" — proving a MERGED token participates in later merges.
+    assert(got(0) == ((1L, "the", "cat", 4L)))
+    assert(got(1) == ((2L, "go", "go", 2L)))
+    assert(got(2) == ((3L, "go_go", "go", 1L)))
+  }
+
   test("window analytics: rank family is deterministic and frame-correct") {
     val df = SqlSurface.queries("q_window_analytics")(spark, sfDir)
     val one = df.filter(col("o_custkey") === df.select("o_custkey").head.getLong(0))
