@@ -361,6 +361,29 @@ object StreamOps {
         .orderBy("user_id")
     }},
 
+    // Streaming heavy hitters (custom state): per-type top-3 users,
+    // update-mode; the final emission per (type, rank) — selected by the
+    // monotone n_seen, not sink order — must equal the batch
+    // count+row_number oracle. See streamingTopUsers for the
+    // bounded-state (Misra-Gries) posture at scale.
+    "q_stream_top_users" -> { (s, d) => withStatePartitions(s, 8) {
+      cleanCheckpoint("stream_top_users")
+      val q = streamingTopUsers(eventsStream(s, d), 3).toDF()
+        .writeStream.format("memory").queryName("stream_top_users")
+        .outputMode("update")
+        .option("checkpointLocation",
+          "/root/repo/target/scratch/ckpt_stream_top_users")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("stream_top_users")
+        .groupBy("event_type", "rank")
+        .agg(max(struct(col("n_seen"), col("cnt"), col("user_id"))).as("st"))
+        .select(col("event_type"), col("rank"),
+          col("st.user_id").as("user_id"), col("st.cnt").as("cnt"))
+        .orderBy("event_type", "rank")
+    }},
+
     // S9 — the producer path via foreachBatch: each complete-mode snapshot
     // is JSON-encoded (the topic message payload, kafka/consumer.py:23
     // consumer contract) and overwritten to the "topic" sink; the query
@@ -479,6 +502,46 @@ object StreamOps {
     */
   case class UserAgg(user_id: Long, n_events: Long, total_cents: Long)
 
+  /** Streaming heavy hitters: per event_type, per-user counts held in
+    * arbitrary state; each update emits that type's current top-3 (count
+    * DESC, user ASC). The streaming twin of the batch custom top-k
+    * operator ([[graft.plans.TopKPerKey]]) and of the two-pass exact
+    * heavy hitters ([[graft.operators.Sketches.heavyHitters]]).
+    *
+    * State per group = one (user → count) map + a monotone processed
+    * counter, bounded by per-type user cardinality; on an unbounded key
+    * space the same state slot holds the Misra-Gries summary
+    * (MisraGriesAggregator.reduce IS the update function) at fixed size —
+    * documented as the 100 TB path, exact variant gated here.
+    * `n_seen` makes the final emission per (type, rank) selectable by a
+    * max-struct — no reliance on sink arrival order.
+    */
+  case class TypeTopState(counts: Map[Long, Long], n_seen: Long)
+  case class TopUser(event_type: String, rank: Long, user_id: Long,
+                     cnt: Long, n_seen: Long)
+
+  def streamingTopUsers(events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                        k: Int): org.apache.spark.sql.Dataset[TopUser] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.select(col("event_type"), col("user_id")).as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TypeTopState, TopUser](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (etype: String, rows: Iterator[(String, Long)], state: GroupState[TypeTopState]) =>
+          val prev = state.getOption.getOrElse(TypeTopState(Map.empty, 0L))
+          var m = prev.counts; var n = prev.n_seen
+          rows.foreach { case (_, u) =>
+            m = m.updated(u, m.getOrElse(u, 0L) + 1L); n += 1
+          }
+          state.update(TypeTopState(m, n))
+          m.toSeq.sortBy { case (u, c) => (-c, u) }.take(k)
+            .zipWithIndex.map { case ((u, c), i) =>
+              TopUser(etype, i + 1L, u, c, n)
+            }.iterator
+      }
+  }
+
   def runningUserTotals(events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row])
       : org.apache.spark.sql.Dataset[UserAgg] = {
     import events.sparkSession.implicits._
@@ -572,6 +635,14 @@ object StreamOps {
       """SELECT user_id, count(*) AS n_events,
         | CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS total_cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_stream_top_users" ->
+      """SELECT event_type, CAST(rn AS BIGINT) AS rank, user_id, c AS cnt
+        |FROM (
+        | SELECT event_type, user_id, count(*) AS c,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY count(*) DESC, user_id) AS rn
+        | FROM events GROUP BY event_type, user_id)
+        |WHERE rn <= 3 ORDER BY event_type, rank""".stripMargin,
     "q_stream_left_join" ->
       """SELECT CAST(hour(l.ts) AS INTEGER) AS h, count(*) AS total,
         | count(r.event_id) AS matched

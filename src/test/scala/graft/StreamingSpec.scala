@@ -165,4 +165,27 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
     assert(streamed == batchSessions && streamed.nonEmpty)
   }
+
+  test("streaming top users accumulates state ACROSS micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, Long)]
+    val q = StreamOps.streamingTopUsers(
+        stream.toDF().toDF("event_type", "user_id"), 2).toDF()
+      .writeStream.format("memory").queryName("mem_top_users")
+      .outputMode("update").start()
+    try {
+      // batch 1: u1×2, u2×1 — top = (u1,2),(u2,1)
+      stream.addData(("click", 1L), ("click", 1L), ("click", 2L))
+      q.processAllAvailable()
+      // batch 2: u2×2 more — cross-batch totals u2=3, u1=2; a per-batch
+      // (state-less) computation would report u2=2 and rank u1 first
+      stream.addData(("click", 2L), ("click", 2L))
+      q.processAllAvailable()
+      val fin = spark.table("mem_top_users")
+        .groupBy("rank").agg(max(struct(col("n_seen"), col("cnt"), col("user_id"))).as("st"))
+        .select(col("rank"), col("st.user_id"), col("st.cnt"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(fin == Set((1L, 2L, 3L), (2L, 1L, 2L)), fin.toString)
+    } finally q.stop()
+  }
 }
