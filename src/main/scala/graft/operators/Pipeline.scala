@@ -87,7 +87,9 @@ object Pipeline {
     val pendingFlat =
       if (!exists(s, factPath)) loadedFlat
       else loadedFlat.join(
-        s.read.parquet(factPath).select(factKeys.map(col): _*).distinct(),
+        // keys are unique in star_fact by construction — no distinct
+        // (a distinct here would add a full key shuffle before the anti)
+        s.read.parquet(factPath).select(factKeys.map(col): _*),
         factKeys, "left_anti")
     val fact = Star.resolveDims(pendingFlat, dims).select(
       (factKeys.map(col) ++
