@@ -128,6 +128,35 @@ object SqlSurface {
         .orderBy("l_orderkey")
     },
 
+    // DYNAMIC pivot — no fixed value list: Spark runs the distinct-
+    // collection job first (the discovery cost q_a2_pivot's fixed list
+    // avoids; both belong in the API). At scale the discovery is one
+    // bounded-output aggregate; keep fixed lists when the schema is
+    // contractual (the reference's 21-column bbox contract) and dynamic
+    // when it's exploratory.
+    "q_pivot_dynamic" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("priority"))
+        .pivot("o_orderstatus")
+        .agg(count(lit(1)))
+        .na.fill(0)
+        .orderBy("priority")
+    },
+
+    // UNPIVOT / melt — wide measures to long (id, measure, val) rows:
+    // the inverse surface (Spark's Expand node, map-side ×3, no shuffle;
+    // describeAll uses the same melt trick internally).
+    "q_unpivot" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_discount")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "val")
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    },
+
     // Semi-structured column handling: from_json with an explicit schema
     // (the lake-table JSON-props shape — the reference's Kafka envelope
     // decode applied to a batch column). The parse is a codegen'd
@@ -210,6 +239,20 @@ object SqlSurface {
         |  AND CAST(o_totalprice AS DECIMAL(18,2)) * (SELECT count(*) FROM orders)
         |      > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
+    "q_pivot_dynamic" ->
+      """SELECT o_orderpriority AS priority,
+        | CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+        | CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+        | CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, m AS measure,
+        | CASE m WHEN 'l_quantity' THEN l_quantity
+        |        WHEN 'l_extendedprice' THEN l_extendedprice
+        |        ELSE l_discount END AS val
+        |FROM lineitem
+        |CROSS JOIN (SELECT unnest(['l_quantity', 'l_extendedprice', 'l_discount']) AS m)
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
     "q_json_extract" ->
       """WITH p AS (SELECT event_type,
         |  CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
