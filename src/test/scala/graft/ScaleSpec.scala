@@ -227,4 +227,46 @@ class ScaleSpec extends SparkSpec {
     val smjCount = "SortMergeJoin".r.findAllIn(plan).size
     assert(smjCount <= 1, s"unexpected sort-merge joins ($smjCount):\n$plan")
   }
+
+  test("window analytics pack: every Window node is key-partitioned") {
+    val plan = graft.operators.SqlSurface
+      .queries("q_window_analytics")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // an unpartitioned window renders as "Window [...], [sort]" with no
+    // partition spec — the r03 percentile bug's shape; assert every window
+    // here carries the o_custkey partition
+    val windows = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.contains("o_custkey"), w))
+  }
+
+  test("fuzzy match plans blocked equi-joins, never a cartesian") {
+    val plan = graft.operators.Dedup.queries("q_fuzzy_match")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("gap-fill joins the spine broadcast — the daily aggregate is the only fact-sized stage") {
+    val plan = graft.operators.SqlSurface.queries("q_gap_fill")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("BPE pair-count stage is one map-side-combined aggregate, no join") {
+    // one training iteration's count stage: explode+groupBy only
+    val docs = Tables.documents(spark, sfDir)
+    val toks = filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "")
+    val tail = slice(toks, lit(2), greatest(size(toks) - 1, lit(0)))
+    val stage = docs
+      .select(explode(zip_with(toks, tail, (a, b) => struct(a.as("a"), b.as("b")))).as("pr"))
+      .filter(col("pr.b").isNotNull)
+      .groupBy(col("pr.a"), col("pr.b")).agg(count(lit(1)))
+    val plan = stage.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    // partial + final HashAggregate pair around one exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+  }
 }
