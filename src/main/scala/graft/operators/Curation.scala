@@ -131,6 +131,31 @@ object Curation {
     // Source-mix report with uniform-target resampling rates.
     "q_source_mix" -> { (s, d) =>
       sourceMix(Tables.documents(s, d)).orderBy("source")
+    },
+
+    // Boilerplate stripping — URL and markup removal, the standard web-
+    // corpus cleaning step (synthetic text has neither, so the first 20
+    // docs get both planted, like the PII audit). Pure codegen'd regexp
+    // map work, zero shuffles; patterns stay in the Java-regex ∩ RE2
+    // subset so the oracle replays them (DuckDB needs the 'g' flag —
+    // its regexp_replace is first-match by default, Spark's is global).
+    "q_boilerplate" -> { (s, d) =>
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") < 20,
+          concat(lit("<div class=x> "), col("text"),
+            lit(" see https://example.com/a?b=1 and http://foo.bar/z </div>")))
+          .otherwise(col("text")).as("text"))
+      val url = "https?://[^ ]+"
+      val tag = "<[^>]*>"
+      val clean = trim(regexp_replace(regexp_replace(regexp_replace(
+        col("text"), url, " "), tag, " "), "[ \\t]+", " "))
+      planted.select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(url), lit(0))).cast("long").as("n_urls"),
+          size(regexp_extract_all(col("text"), lit(tag), lit(0))).cast("long").as("n_tags"),
+          length(col("text")).cast("long").as("orig_chars"),
+          length(clean).cast("long").as("clean_chars"))
+        .filter(col("n_urls") + col("n_tags") > 0)
+        .orderBy("doc_id")
     }
   )
 
@@ -182,6 +207,23 @@ object Curation {
          |SELECT * FROM audited
          |WHERE n_email + n_phone + n_ipv4 > 0 ORDER BY doc_id""".stripMargin
     },
+    "q_boilerplate" ->
+      """WITH planted AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id < 20 THEN '<div class=x> ' || text ||
+        |   ' see https://example.com/a?b=1 and http://foo.bar/z </div>'
+        |  ELSE text END AS text
+        | FROM documents),
+        |r AS (
+        | SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
+        |  CAST(len(regexp_extract_all(text, '<[^>]*>')) AS BIGINT) AS n_tags,
+        |  CAST(length(text) AS BIGINT) AS orig_chars,
+        |  CAST(length(trim(regexp_replace(regexp_replace(regexp_replace(
+        |    text, 'https?://[^ ]+', ' ', 'g'), '<[^>]*>', ' ', 'g'),
+        |    '[ \t]+', ' ', 'g'))) AS BIGINT) AS clean_chars
+        | FROM planted)
+        |SELECT * FROM r WHERE n_urls + n_tags > 0 ORDER BY doc_id""".stripMargin,
     "q_source_mix" ->
       s"""WITH per_source AS (
          | SELECT source, count(*) AS n_docs,
