@@ -108,6 +108,31 @@ object Multimodal {
         .select(col("media_id"), col("n_frames"),
           col("f.frame_idx"), col("f.frame_md5"))
         .orderBy("media_id", "frame_idx")
+    },
+
+    // Resize — the image-downsampling shape (STUB resample: keep every
+    // 4th byte, standing in for a real decoder's pixel resample; the
+    // brief's decode step has no media libs here). The Spark plumbing is
+    // the deliverable: binary in → binary out with recomputed size +
+    // checksum, pure codegen'd hex/array expressions, zero shuffles,
+    // payloads never leave the executor. A real implementation swaps the
+    // stride lambda for FakeDecoder→real decoder inside the same
+    // partition-wise stage as extractFeatures.
+    "q_mm_resize" -> { (s, d) =>
+      val stride = 4
+      mediaTable(s, d)
+        .filter(col("n_bytes") >= 1)
+        .select(col("media_id"), hex(col("payload")).as("hx"),
+          col("n_bytes").as("orig_bytes"))
+        .select(col("media_id"), col("orig_bytes"),
+          array_join(transform(
+            sequence(lit(0L), col("orig_bytes") - 1, lit(stride.toLong)),
+            i => col("hx").substr((i.cast("int") * 2) + 1, lit(2))), "")
+            .as("resized_hx"))
+        .select(col("media_id"), col("orig_bytes"),
+          (length(col("resized_hx")) / 2).cast("long").as("resized_bytes"),
+          md5(col("resized_hx")).as("resized_md5"))
+        .orderBy("media_id")
     }
   )
 
@@ -129,6 +154,17 @@ object Multimodal {
         | CASE WHEN length(hx)=0 THEN -1
         |      ELSE CAST('0x' || substr(hx, length(hx)-1, 2) AS INTEGER) END AS last_byte
         |FROM b ORDER BY media_id""".stripMargin,
+    "q_mm_resize" ->
+      """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |            octet_length(encode(text)) AS nb FROM documents),
+        |r AS (SELECT media_id, nb AS orig_bytes,
+        |       array_to_string(list_transform(range(0, nb, 4),
+        |         i -> substr(hx, CAST(i * 2 + 1 AS BIGINT), 2)), '') AS rhx
+        |      FROM m WHERE nb >= 1)
+        |SELECT media_id, orig_bytes,
+        | CAST(length(rhx) / 2 AS BIGINT) AS resized_bytes,
+        | md5(rhx) AS resized_md5
+        |FROM r ORDER BY media_id""".stripMargin,
     "q_mm_frame_sample" ->
       """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
         |            octet_length(encode(text)) AS nb FROM documents),
