@@ -103,4 +103,50 @@ class EdgeCaseSpec extends SparkSpec {
     assert(c.getLong(6) == 2)                       // n_unique excludes null
     assert(c.getString(7) == "b" && c.getLong(8) == 2) // top/freq exclude null
   }
+
+  test("BPE training survives degenerate corpora") {
+    // empty corpus / no pairs anywhere: empty merge table, no crash
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.bpeTrain(spark, empty, 3).count() == 0)
+    val singles = Seq((1L, "one"), (2L, ""), (3L, "  \t "), (4L, "日本語"))
+      .toDF("doc_id", "text")
+    assert(TextAnalysis.bpeTrain(spark, singles, 3).count() == 0)
+    // exactly one pair: one merge, then exhaustion stops the loop early
+    val onePair = Seq((1L, "a b")).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeTrain(spark, onePair, 5)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(m == Seq((1L, "a", "b", 1L)))
+  }
+
+  test("fuzzy match handles short names and empty blocks") {
+    val rows = Seq((1L, "ab"), (2L, "ab"), (3L, "xy")).toDF("p_partkey", "p_name")
+    val dir = java.nio.file.Files.createTempDirectory("fuzzy_edge").toString
+    rows.write.mode("overwrite").parquet(s"$dir/part.parquet")
+    // distinct-name level: "ab" dedupes to one name; no pair survives
+    assert(Dedup.queries("q_fuzzy_match")(spark, dir).count() == 0)
+  }
+
+  test("media resize on degenerate payloads: empty filtered, 1-byte kept whole") {
+    val docs = Seq((1L, ""), (2L, "x"), (3L, "abcdefgh")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("resize_edge").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Multimodal.queries("q_mm_resize")(spark, dir)
+      .select("media_id", "orig_bytes", "resized_bytes")
+      .as[(Long, Long, Long)].collect().toSet
+    // stride 4: 1 byte → 1, 8 bytes → bytes 0 and 4 → 2; empty dropped
+    assert(got == Set((2L, 1L, 1L), (3L, 8L, 2L)))
+  }
+
+  test("gap fill emits a dense spine over single-day and sparse inputs") {
+    import java.sql.Timestamp
+    val orders = Seq(
+      (1L, Timestamp.valueOf("2020-01-01 10:00:00")),
+      (2L, Timestamp.valueOf("2020-01-04 09:00:00")))
+      .toDF("o_orderkey", "o_orderdate")
+    val dir = java.nio.file.Files.createTempDirectory("gap_edge").toString
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = graft.operators.SqlSurface.queries("q_gap_fill")(spark, dir)
+      .as[(java.sql.Date, Long)].collect().toSeq
+    assert(got.map(_._2) == Seq(1L, 0L, 0L, 1L)) // 4 dense days, gaps zeroed
+  }
 }
