@@ -175,6 +175,36 @@ object SqlSurface {
         .orderBy("event_type")
     },
 
+    // Typed cogroup — KeyValueGroupedDataset.cogroup over case-class-
+    // encoded rows: the per-key escape hatch when relational operators
+    // can't express group logic (here a header-vs-lines reconciliation in
+    // exact integer cents; real uses: order matching, session stitching,
+    // custom merge rules). ONE co-partitioned shuffle on the key, per-key
+    // iterator streams, state bounded by lines-per-order — never a
+    // collect, never a cartesian. Money flows through DECIMAL→cents
+    // Longs so the Scala-side sum is exact and engine-neutral.
+    "q_cogroup_audit" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+          (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")
+            .as("order_cents")).as[(Long, Long)]
+      val l = Tables.lineitem(s, d).select(col("l_orderkey"),
+          (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long")
+            .as("cents")).as[(Long, Long)]
+      o.groupByKey(_._1).cogroup(l.groupByKey(_._1)) { (k, os, ls) =>
+          val header = os.toSeq
+          if (header.isEmpty) Iterator.empty // orphan lines: none by FK
+          else {
+            var n = 0L; var sum = 0L
+            ls.foreach { case (_, c) => n += 1; sum += c }
+            Iterator((k, header.head._2, n, sum))
+          }
+        }
+        .toDF("o_orderkey", "order_cents", "n_lines", "line_cents")
+        .orderBy("o_orderkey")
+    },
+
     // Calendar gap-fill: dense date spine (min..max order day) left-joined
     // to daily counts, absent days as 0 — the daily-cadence dashboard
     // shape (the reference's Airflow runs daily; gaps mean missed runs).
@@ -239,6 +269,13 @@ object SqlSurface {
         |  AND CAST(o_totalprice AS DECIMAL(18,2)) * (SELECT count(*) FROM orders)
         |      > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
+    "q_cogroup_audit" ->
+      """SELECT o_orderkey,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS order_cents,
+        | count(l_orderkey) AS n_lines,
+        | CAST(coalesce(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)), 0) AS BIGINT) AS line_cents
+        |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "q_pivot_dynamic" ->
       """SELECT o_orderpriority AS priority,
         | CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
