@@ -137,6 +137,24 @@ class EdgeCaseSpec extends SparkSpec {
     assert(got == Set((2L, 1L, 1L), (3L, 8L, 2L)))
   }
 
+  test("FAILFAST scan throws on the rows PERMISSIVE quarantines") {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    val dir = java.nio.file.Files.createTempDirectory("failfast").toFile
+    val w = new java.io.FileWriter(new java.io.File(dir, "data.csv"))
+    w.write("k,v\n1,1.5\nnot_a_number,broken\n"); w.close()
+    val schema = StructType(Seq(StructField("k", LongType), StructField("v", DoubleType)))
+    val strict = spark.read.schema(schema).option("header", true)
+      .option("mode", "FAILFAST").csv(dir.toString)
+    intercept[org.apache.spark.SparkException](strict.collect())
+    // same file, PERMISSIVE + corrupt column: good row kept, bad quarantined
+    val lax = spark.read
+      .schema(schema.add(StructField("_corrupt_record", StringType)))
+      .option("header", true).option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record").csv(dir.toString)
+    val n = lax.agg(count(col("k")), count(col("_corrupt_record"))).head()
+    assert(n.getLong(0) == 1 && n.getLong(1) == 1)
+  }
+
   test("gap fill emits a dense spine over single-day and sparse inputs") {
     import java.sql.Timestamp
     val orders = Seq(

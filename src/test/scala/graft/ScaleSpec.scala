@@ -254,6 +254,49 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
+    // SCALE.md's standing claim: AQE skew-split is the first line of
+    // defense, salting the fallback. Evidence: a 90%-hot-key join,
+    // thresholds scaled to test data, executed plan carries the skew
+    // marker on the sort-merge join.
+    val keep = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      val big = spark.range(200000).select(
+        when(col("id") % 10 < 9, 1L).otherwise(col("id")).as("k"),
+        concat(lit("x" * 64), col("id").cast("string")).as("pay"))
+      val dim = spark.range(2000).select(col("id").as("k"), (col("id") * 2).as("v"))
+      val j = big.join(dim, "k")
+      // execute THIS dataset (count() would plan a separate query and
+      // leave this one's adaptive plan unfinalized)
+      assert(j.collect().length > 0)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan.take(4000))
+    } finally keep.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
+  test("ORC scan pushes filters and prunes columns like parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("orc_push").toString
+    Tables.lineitem(spark, sfDir).write.mode("overwrite").orc(dir)
+    val q = spark.read.orc(dir)
+      .filter(col("l_quantity") > 45)
+      .select("l_orderkey", "l_quantity")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(l_quantity"),
+      plan.take(2000))
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      plan.take(2000))
+  }
+
   test("BPE pair-count stage is one map-side-combined aggregate, no join") {
     // one training iteration's count stage: explode+groupBy only
     val docs = Tables.documents(spark, sfDir)
