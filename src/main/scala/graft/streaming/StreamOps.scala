@@ -116,6 +116,18 @@ object StreamOps {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Run `body` with the RocksDB state store provider (required by
+    * transformWithState; also the production store for state beyond heap),
+    * restoring the session default after.
+    */
+  private def withRocksDbState[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
+  }
+
   private def cleanCheckpoint(name: String): Unit = {
     val dir = new java.io.File(s"/root/repo/target/scratch/ckpt_$name")
     def rm(f: java.io.File): Unit = {
@@ -361,6 +373,29 @@ object StreamOps {
         .orderBy("user_id")
     }},
 
+    // The transformWithState twin of q_stream_state_totals: same
+    // semantics through the NEW typed-state API over RocksDB — both
+    // state APIs gate against the identical batch oracle.
+    "q_stream_tws_totals" -> { (s, d) => withStatePartitions(s, 8) {
+      withRocksDbState(s) {
+        cleanCheckpoint("stream_tws_totals")
+        val q = runningUserTotalsTws(eventsStream(s, d)).toDF()
+          .writeStream.format("memory").queryName("stream_tws_totals")
+          .outputMode("update")
+          .option("checkpointLocation",
+            "/root/repo/target/scratch/ckpt_stream_tws_totals")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("stream_tws_totals")
+          .groupBy("user_id")
+          .agg(max(struct(col("n_events"), col("total_cents"))).as("st"))
+          .select(col("user_id"), col("st.n_events").as("n_events"),
+            col("st.total_cents").as("total_cents"))
+          .orderBy("user_id")
+      }
+    }},
+
     // Streaming heavy hitters (custom state): per-type top-3 users,
     // update-mode; the final emission per (type, rank) — selected by the
     // monotone n_seen, not sink order — must equal the batch
@@ -502,6 +537,48 @@ object StreamOps {
     */
   case class UserAgg(user_id: Long, n_events: Long, total_cents: Long)
 
+  /** The MODERN arbitrary-state API — `transformWithState` (Spark 4's
+    * successor to flatMapGroupsWithState): typed `ValueState` handles
+    * acquired in `init`, per-batch `handleInputRows`, RocksDB-backed
+    * state store (the production-scale store — changelog checkpointing,
+    * state larger than executor heap). Same per-user running-totals
+    * semantics as [[runningUserTotals]] so the two APIs gate against the
+    * SAME batch oracle: old and new state APIs proven equivalent.
+    */
+  class UserTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), UserAgg] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var totals: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Long)]("totals",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[(Long, Long)],
+                                 timerValues: TimerValues): Iterator[UserAgg] = {
+      var (n, cents) = if (totals.exists()) totals.get() else (0L, 0L)
+      rows.foreach { case (_, c) => n += 1; cents += c }
+      totals.update((n, cents))
+      Iterator(UserAgg(uid, n, cents))
+    }
+  }
+
+  def runningUserTotalsTws(events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row])
+      : org.apache.spark.sql.Dataset[UserAgg] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.select(col("user_id"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new UserTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Streaming heavy hitters: per event_type, per-user counts held in
     * arbitrary state; each update emits that type's current top-3 (count
     * DESC, user ASC). The streaming twin of the batch custom top-k
@@ -632,6 +709,10 @@ object StreamOps {
         | AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_stream_state_totals" ->
+      """SELECT user_id, count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS total_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_stream_tws_totals" ->
       """SELECT user_id, count(*) AS n_events,
         | CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS total_cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
