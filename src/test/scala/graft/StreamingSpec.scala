@@ -166,6 +166,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batchSessions && streamed.nonEmpty)
   }
 
+  test("checkpointed restart processes only NEW files — exactly-once across runs") {
+    val base = java.nio.file.Files.createTempDirectory("eo").toString
+    val (src, sink, ckpt) = (s"$base/src", s"$base/sink", s"$base/ckpt")
+    new java.io.File(src).mkdirs()
+    val ev = Tables.events(spark, sfDir).select("event_id", "user_id")
+    def drop(slice: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$base/tmp_$name"
+      slice.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema(ev.schema).parquet(src)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drop(ev.filter(col("event_id") % 2 === 0), "00_even")
+    runOnce()
+    val n1 = spark.read.parquet(sink).count()
+    drop(ev.filter(col("event_id") % 2 === 1), "01_odd")
+    runOnce() // restart from the checkpoint: must NOT reprocess 00_even
+    val out = spark.read.parquet(sink)
+    assert(out.count() == ev.count())
+    // every event exactly once — no dup from the restart, none missing
+    assert(out.groupBy("event_id").count().filter(col("count") > 1).count() == 0)
+    assert(n1 > 0 && n1 < ev.count())
+  }
+
   test("streaming top users accumulates state ACROSS micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(String, Long)]
