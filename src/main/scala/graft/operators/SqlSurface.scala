@@ -175,6 +175,27 @@ object SqlSurface {
         .orderBy("event_type")
     },
 
+    // Functional-dependency profiling — does a → b hold? The key-
+    // discovery / dimension-design audit (the reference hand-picked its
+    // 8 natural keys; this op is how you find them on new data). One
+    // pass per dependency: groupBy(a) + countDistinct(b), violations =
+    // groups where b isn't unique. Shuffle keys = distinct a values,
+    // map-side combined; output is one audit row per dependency.
+    "q_fd_profile" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      def audit(df: DataFrame, a: String, b: String, dep: String) =
+        df.groupBy(col(a)).agg(countDistinct(col(b)).as("nb"))
+          .agg(lit(dep).as("dependency"),
+            count(lit(1)).as("n_lhs_values"),
+            sum(when(col("nb") > 1, 1L).otherwise(0L)).as("n_violations"))
+      audit(li.join(o, col("l_orderkey") === col("o_orderkey")),
+          "l_orderkey", "o_custkey", "l_orderkey->o_custkey")
+        .unionByName(audit(li, "l_partkey", "l_suppkey", "l_partkey->l_suppkey"))
+        .unionByName(audit(o, "o_orderkey", "o_orderstatus", "o_orderkey->o_orderstatus"))
+        .orderBy("dependency")
+    },
+
     // Typed cogroup — KeyValueGroupedDataset.cogroup over case-class-
     // encoded rows: the per-key escape hatch when relational operators
     // can't express group logic (here a header-vs-lines reconciliation in
@@ -269,6 +290,26 @@ object SqlSurface {
         |  AND CAST(o_totalprice AS DECIMAL(18,2)) * (SELECT count(*) FROM orders)
         |      > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
+    "q_fd_profile" ->
+      """WITH d1 AS (
+        | SELECT 'l_orderkey->o_custkey' AS dependency,
+        |  count(*) AS n_lhs_values,
+        |  CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        | FROM (SELECT l_orderkey, count(DISTINCT o_custkey) AS nb
+        |       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |       GROUP BY l_orderkey)),
+        |d2 AS (
+        | SELECT 'l_partkey->l_suppkey', count(*),
+        |  CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        | FROM (SELECT l_partkey, count(DISTINCT l_suppkey) AS nb
+        |       FROM lineitem GROUP BY l_partkey)),
+        |d3 AS (
+        | SELECT 'o_orderkey->o_orderstatus', count(*),
+        |  CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        | FROM (SELECT o_orderkey, count(DISTINCT o_orderstatus) AS nb
+        |       FROM orders GROUP BY o_orderkey))
+        |SELECT * FROM d1 UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3
+        |ORDER BY dependency""".stripMargin,
     "q_cogroup_audit" ->
       """SELECT o_orderkey,
         | CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS order_cents,
