@@ -396,6 +396,29 @@ object StreamOps {
       }
     }},
 
+    // MapState heavy hitters: q_stream_top_users' semantics through
+    // transformWithState MapState over RocksDB — point-wise entry
+    // updates instead of whole-map rewrites (see TypeTopUsersProcessor).
+    "q_stream_top_users_tws" -> { (s, d) => withStatePartitions(s, 8) {
+      withRocksDbState(s) {
+        cleanCheckpoint("stream_top_users_tws")
+        val q = streamingTopUsersTws(eventsStream(s, d), 3).toDF()
+          .writeStream.format("memory").queryName("stream_top_users_tws")
+          .outputMode("update")
+          .option("checkpointLocation",
+            "/root/repo/target/scratch/ckpt_stream_top_users_tws")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("stream_top_users_tws")
+          .groupBy("event_type", "rank")
+          .agg(max(struct(col("n_seen"), col("cnt"), col("user_id"))).as("st"))
+          .select(col("event_type"), col("rank"),
+            col("st.user_id").as("user_id"), col("st.cnt").as("cnt"))
+          .orderBy("event_type", "rank")
+      }
+    }},
+
     // Streaming heavy hitters (custom state): per-type top-3 users,
     // update-mode; the final emission per (type, rank) — selected by the
     // monotone n_seen, not sink order — must equal the batch
@@ -567,6 +590,55 @@ object StreamOps {
     }
   }
 
+  /** MapState under transformWithState: per-type (user → count) as a
+    * keyed MAP the store can update point-wise — RocksDB persists each
+    * map entry as its own key, so an update touches one entry, not a
+    * serialized blob (the scale win over the fMGWS whole-Map-value state
+    * in [[streamingTopUsers]]). Same top-3 semantics and the same batch
+    * oracle, so the three state APIs (fMGWS, ValueState, MapState) are
+    * all proven equivalent.
+    */
+  class TypeTopUsersProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long), TopUser] {
+    import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var counts: MapState[Long, Long] = _
+    @transient private var seen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counts = getHandle.getMapState[Long, Long]("counts",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      seen = getHandle.getValueState[Long]("seen",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(etype: String, rows: Iterator[(String, Long)],
+                                 timerValues: TimerValues): Iterator[TopUser] = {
+      var n = if (seen.exists()) seen.get() else 0L
+      rows.foreach { case (_, u) =>
+        counts.updateValue(u,
+          (if (counts.containsKey(u)) counts.getValue(u) else 0L) + 1L)
+        n += 1
+      }
+      seen.update(n)
+      counts.iterator().toSeq.sortBy { case (u, c) => (-c, u) }.take(k)
+        .zipWithIndex.map { case ((u, c), i) =>
+          TopUser(etype, i + 1L, u, c, n)
+        }.iterator
+    }
+  }
+
+  def streamingTopUsersTws(events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                           k: Int): org.apache.spark.sql.Dataset[TopUser] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.select(col("event_type"), col("user_id")).as[(String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new TypeTopUsersProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   def runningUserTotalsTws(events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row])
       : org.apache.spark.sql.Dataset[UserAgg] = {
     import events.sparkSession.implicits._
@@ -716,6 +788,14 @@ object StreamOps {
       """SELECT user_id, count(*) AS n_events,
         | CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS total_cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_stream_top_users_tws" ->
+      """SELECT event_type, CAST(rn AS BIGINT) AS rank, user_id, c AS cnt
+        |FROM (
+        | SELECT event_type, user_id, count(*) AS c,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY count(*) DESC, user_id) AS rn
+        | FROM events GROUP BY event_type, user_id)
+        |WHERE rn <= 3 ORDER BY event_type, rank""".stripMargin,
     "q_stream_top_users" ->
       """SELECT event_type, CAST(rn AS BIGINT) AS rank, user_id, c AS cnt
         |FROM (
