@@ -2,7 +2,9 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Text-analysis operators for a training-data pipeline (builder brief):
   * token counting, quality scoring, language-ID heuristic, document
@@ -379,6 +381,33 @@ object TextAnalysis {
     // explode); the counts aggregate shuffles alphabet²-bounded keys;
     // the re-join is a broadcast. Two passes over the exploded bigrams,
     // both pruned to (doc_id, bg).
+    // Character-entropy quality signal: H = Σ -p·log2(p) over the doc's
+    // char distribution — low entropy flags repeated-char junk, high
+    // flags random noise; the classic cheap screen beside the rare-bigram
+    // rate. Determinism: each term is rounded to 6dp and summed as
+    // DECIMAL, so the total is order-independent (a raw double Σ would
+    // drift with partial-agg order); the per-term libm-ulp rounding risk
+    // is the same class the tfidf oracle already accepts (round-6 of ln).
+    "q_text_entropy" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val byDoc = Window.partitionBy("doc_id")
+      val counts = docs.filter(length(col("text")) > 0)
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .filter(col("ch") =!= "")
+        .groupBy("doc_id", "ch").agg(count(lit(1)).as("cnt"))
+        .withColumn("n", sum(col("cnt")).over(byDoc))
+      val term = round((col("cnt").cast("double") / col("n")) *
+        log2(col("n").cast("double") / col("cnt")), 6)
+      val ent = counts
+        .withColumn("t", term.cast(DecimalType(18, 6)))
+        .groupBy("doc_id")
+        .agg(max(col("n")).cast("long").as("n_chars"),
+          sum(col("t")).cast("double").as("entropy_bits"))
+      docs.select("doc_id").join(ent, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_chars")).na.fill(0.0, Seq("entropy_bits"))
+        .orderBy("doc_id")
+    },
+
     "q_rare_bigrams" -> { (s, d) =>
       val docs = Tables.documents(s, d)
       // Two passes over the exploded bigrams ON PURPOSE: each pass's
@@ -563,6 +592,22 @@ object TextAnalysis {
           |  WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 90 THEN 'val'
           |  ELSE 'test' END AS split, count(*) AS cnt
           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q_text_entropy" ->
+        """WITH ch AS (
+          | SELECT doc_id, unnest(string_split(text, '')) AS ch
+          | FROM documents WHERE length(text) > 0),
+          |c AS (SELECT doc_id, ch, count(*) AS cnt FROM ch GROUP BY 1, 2),
+          |t AS (SELECT doc_id, cnt,
+          |       sum(cnt) OVER (PARTITION BY doc_id) AS n FROM c),
+          |e AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars,
+          | CAST(sum(CAST(round((cnt / CAST(n AS DOUBLE)) *
+          |   log2(CAST(n AS DOUBLE) / cnt), 6) AS DECIMAL(18,6))) AS DOUBLE)
+          |   AS entropy_bits
+          | FROM t GROUP BY doc_id)
+          |SELECT d.doc_id, coalesce(e.n_chars, 0) AS n_chars,
+          | coalesce(e.entropy_bits, 0.0) AS entropy_bits
+          |FROM documents d LEFT JOIN e USING (doc_id)
+          |ORDER BY doc_id""".stripMargin,
       "q_rare_bigrams" ->
         """WITH bg AS (
           | SELECT doc_id,
