@@ -47,7 +47,25 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+
+    // The result JSON must be unlosable: r5's driver capture lost the stdout
+    // line to a StateStore-maintenance stack trace emitted during streaming
+    // teardown. Three defenses: (1) persist the JSON to target/bench.json
+    // before any teardown runs; (2) quiesce streaming state (stop any
+    // still-active queries, then halt the state-store maintenance thread) so
+    // shutdown is silent; (3) print the JSON line LAST, after spark.stop(),
+    // so no later log write can push it out of a tail-capture window.
+    try {
+      val out = java.nio.file.Paths.get("target", "bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    try {
+      spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    } catch { case _: Throwable => () }
+    try spark.stop() catch { case _: Throwable => () }
+    println(json)
   }
 }

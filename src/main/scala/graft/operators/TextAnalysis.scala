@@ -134,7 +134,16 @@ object TextAnalysis {
     * string compares (ends_with), never LIKE patterns — a merged token's
     * '_' would wildcard-match under LIKE.
     */
-  def bpeTrain(s: SparkSession, docs: DataFrame, k: Int): DataFrame = {
+  def bpeTrain(s: SparkSession, docs: DataFrame, k: Int): DataFrame =
+    bpeTrainWithCorpus(s, docs, k)._1
+
+  /** As [[bpeTrain]], but also returns the final re-tokenized corpus so
+    * callers (and tests) can observe that per-iteration lineage truncation
+    * holds: after any number of merge iterations the corpus plan is a
+    * constant-depth scan over the latest checkpoint, never a k-deep fold
+    * stack.
+    */
+  def bpeTrainWithCorpus(s: SparkSession, docs: DataFrame, k: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     var cur = docs.select(
@@ -161,23 +170,34 @@ object TextAnalysis {
             when((acc === lit(a) || acc.endsWith(lit("|" + a))) && x === lit(b),
               concat(acc, lit("_"), x))
               .otherwise(concat(acc, lit("|"), x)))
+        val prev = cur
         cur = cur.withColumn("toks",
-          when(size(col("toks")) <= 1, col("toks"))
-            .otherwise(split(folded, "[|]")))
+            when(size(col("toks")) <= 1, col("toks"))
+              .otherwise(split(folded, "[|]")))
+          // Truncate lineage every iteration: without this, iteration i's
+          // plan replays all i-1 prior folds over the whole corpus (O(k²)
+          // corpus passes, ever-deeper plans — unusable at tokenizer-real
+          // merge counts). Eager localCheckpoint materializes this round's
+          // re-tokenization once, so every pass is exactly one fold deep.
+          .localCheckpoint(eager = true)
+        prev.unpersist(blocking = false)
         step += 1
       }
     }
-    s.createDataFrame(java.util.Arrays.asList(merges.toArray: _*),
+    val mergeTable = s.createDataFrame(java.util.Arrays.asList(merges.toArray: _*),
       StructType(Seq(StructField("step", LongType), StructField("pair_a", StringType),
         StructField("pair_b", StringType), StructField("freq", LongType))))
+    (mergeTable, cur)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Tokenizer training: 3 BPE merge iterations over the corpus; the
+    // Tokenizer training: 10 BPE merge iterations over the corpus; the
     // returned merge table is the trained artifact, replayed exactly by
-    // the DuckDB oracle (same argmax order, same greedy fold).
+    // the DuckDB oracle (same argmax order, same greedy fold). k=10 (up
+    // from r5's 3) exercises the per-iteration localCheckpoint: plan
+    // depth and per-pass cost stay constant across iterations.
     "q_bpe_train" -> { (s, d) =>
-      bpeTrain(s, Tables.documents(s, d), 3).orderBy("step")
+      bpeTrain(s, Tables.documents(s, d), 10).orderBy("step")
     },
     "q_text_stats" -> { (s, d) =>
       Tables.documents(s, d).select(
@@ -496,7 +516,7 @@ object TextAnalysis {
       .map { case (l, sc) => s"WHEN $sc = $maxScore THEN '$l'" }
       .mkString(" ")
     Map(
-      "q_bpe_train" -> bpeTrainSql(3),
+      "q_bpe_train" -> bpeTrainSql(10),
       "q_text_stats" ->
         s"""SELECT doc_id, CAST($nTok AS INTEGER) AS n_tokens,
            | CAST(len(regexp_extract_all(text, '$bpeTokenPattern')) AS INTEGER) AS n_bpe_tokens,
