@@ -419,6 +419,32 @@ object StreamOps {
       }
     }},
 
+    // Bounded-state heavy hitters: q_stream_top_users' semantics through
+    // a Misra-Gries summary in transformWithState value state — state ≤
+    // 512 entries/type at ANY user cardinality. Provably exact here:
+    // sf0.01 has 150 users/type < 512, so the summary never evicts and
+    // the batch top-k oracle applies verbatim (the q_heavy_hitters gate
+    // trick). state_size is emitted for the bound test, not projected.
+    "q_stream_top_users_mg" -> { (s, d) => withStatePartitions(s, 8) {
+      withRocksDbState(s) {
+        cleanCheckpoint("stream_top_users_mg")
+        val q = streamingTopUsersMg(eventsStream(s, d), 3, 512).toDF()
+          .writeStream.format("memory").queryName("stream_top_users_mg")
+          .outputMode("update")
+          .option("checkpointLocation",
+            "/root/repo/target/scratch/ckpt_stream_top_users_mg")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("stream_top_users_mg")
+          .groupBy("event_type", "rank")
+          .agg(max(struct(col("n_seen"), col("cnt"), col("user_id"))).as("st"))
+          .select(col("event_type"), col("rank"),
+            col("st.user_id").as("user_id"), col("st.cnt").as("cnt"))
+          .orderBy("event_type", "rank")
+      }
+    }},
+
     // Streaming heavy hitters (custom state): per-type top-3 users,
     // update-mode; the final emission per (type, rank) — selected by the
     // monotone n_seen, not sink order — must equal the batch
@@ -629,6 +655,75 @@ object StreamOps {
     }
   }
 
+  /** Output of the Misra-Gries streaming heavy hitter: as [[TopUser]] plus
+    * the summary size, so callers (and the state-bound test) can observe
+    * that state never exceeds `capacity` entries per type regardless of
+    * user cardinality. The gated query projects the oracle columns only.
+    */
+  case class TopUserMg(event_type: String, rank: Long, user_id: Long,
+                       cnt: Long, n_seen: Long, state_size: Long)
+
+  /** The 100 TB streaming heavy-hitter path: per-type state is a
+    * Misra-Gries summary at fixed `capacity`, NOT the full user→count map
+    * ([[TypeTopUsersProcessor]]) — bounded state and a bounded per-batch
+    * sort no matter how many distinct users a type sees.
+    * [[graft.functions.MisraGries.reduce]] IS the per-row update function,
+    * the same kernel the batch two-pass exact heavy hitters
+    * ([[graft.operators.Sketches.heavyHitters]]) use for their candidate
+    * pass.
+    *
+    * Retained counts are lower bounds; they are EXACT whenever the
+    * summary never evicted (distinct users per type ≤ capacity) — the
+    * gated query runs at capacity 512 over sf0.01's 150 users/type, so
+    * its emissions provably equal the exact top-k and the batch oracle
+    * applies. At bench sf0.1 (1500 users/type) the eviction path runs for
+    * real with state capped at 512 entries.
+    */
+  /** MG summary in state-encodable form: the state store's value encoder
+    * supports arrays but not MapType, so the (user → count) summary rides
+    * as parallel arrays (≤ capacity entries) and is rebuilt as a Map at
+    * batch boundaries — an O(capacity) conversion per type per batch.
+    */
+  case class MgSummaryState(users: Seq[Long], counts: Seq[Long], n_seen: Long)
+
+  class MgTopUsersProcessor(k: Int, capacity: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long), TopUserMg] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var summary: ValueState[MgSummaryState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      summary = getHandle.getValueState[MgSummaryState]("mg",
+        org.apache.spark.sql.Encoders.product[MgSummaryState], TTLConfig.NONE)
+
+    override def handleInputRows(etype: String, rows: Iterator[(String, Long)],
+                                 timerValues: TimerValues): Iterator[TopUserMg] = {
+      val prev = if (summary.exists()) summary.get() else MgSummaryState(Nil, Nil, 0L)
+      var buf = prev.users.iterator.zip(prev.counts.iterator).toMap
+      var n = prev.n_seen
+      rows.foreach { case (_, u) =>
+        buf = graft.functions.MisraGries.reduce(buf, u, capacity)
+        n += 1
+      }
+      val entries = buf.toSeq
+      summary.update(MgSummaryState(entries.map(_._1), entries.map(_._2), n))
+      entries.sortBy { case (u, c) => (-c, u) }.take(k)
+        .zipWithIndex.map { case ((u, c), i) =>
+          TopUserMg(etype, i + 1L, u, c, n, buf.size.toLong)
+        }.iterator
+    }
+  }
+
+  def streamingTopUsersMg(events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                          k: Int, capacity: Int): org.apache.spark.sql.Dataset[TopUserMg] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.select(col("event_type"), col("user_id")).as[(String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new MgTopUsersProcessor(k, capacity),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   def streamingTopUsersTws(events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                            k: Int): org.apache.spark.sql.Dataset[TopUser] = {
     import events.sparkSession.implicits._
@@ -797,6 +892,16 @@ object StreamOps {
         | FROM events GROUP BY event_type, user_id)
         |WHERE rn <= 3 ORDER BY event_type, rank""".stripMargin,
     "q_stream_top_users" ->
+      """SELECT event_type, CAST(rn AS BIGINT) AS rank, user_id, c AS cnt
+        |FROM (
+        | SELECT event_type, user_id, count(*) AS c,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY count(*) DESC, user_id) AS rn
+        | FROM events GROUP BY event_type, user_id)
+        |WHERE rn <= 3 ORDER BY event_type, rank""".stripMargin,
+    // exact-by-the-bound at gate scale (no eviction at capacity 512), so
+    // the same batch top-k oracle applies
+    "q_stream_top_users_mg" ->
       """SELECT event_type, CAST(rn AS BIGINT) AS rank, user_id, c AS cnt
         |FROM (
         | SELECT event_type, user_id, count(*) AS c,

@@ -28,6 +28,52 @@ class Round6Spec extends SparkSpec {
     assert(d2 <= 2, s"checkpointed corpus plan should be a bare scan, got $d2 nodes")
   }
 
+  test("MG streaming heavy hitters: state stays capacity-bounded at 30x-capacity cardinality") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val cap = 64
+    // per type: one heavy user (300 hits) + 2000 singletons. n = 2300,
+    // MG error bound n/(cap+1) ≈ 35 << 300, so the heavy user provably
+    // survives eviction and tops the summary; its retained count is a
+    // lower bound within the error bound of truth.
+    val rows = Seq("click", "view").flatMap { t =>
+      Seq.fill(300)((t, 1L)) ++ (1000L until 3000L).map(u => (t, u))
+    }
+    val stream = MemoryStream[(String, Long)]
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = StreamOps.streamingTopUsersMg(stream.toDF().toDF("event_type", "user_id"), 3, cap)
+        .toDF()
+        .writeStream.format("memory").queryName("mg_top_users_test")
+        .outputMode("update").start()
+      try {
+        stream.addData(rows: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val out = spark.table("mg_top_users_test").collect()
+      assert(out.nonEmpty)
+      // the bound: summary entries never exceed capacity, though each type
+      // saw 2001 distinct users
+      assert(out.forall(_.getAs[Long]("state_size") <= cap.toLong))
+      val rank1 = out.filter(r => r.getAs[Long]("rank") == 1L &&
+        r.getAs[Long]("n_seen") == 2300L)
+      assert(rank1.map(_.getAs[String]("event_type")).toSet == Set("click", "view"))
+      rank1.foreach { r =>
+        assert(r.getAs[Long]("user_id") == 1L)
+        val c = r.getAs[Long]("cnt")
+        assert(c <= 300L && c >= 300L - 2300L / (cap + 1))
+      }
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("BPE training: k=10 merge table matches the k=3 prefix (checkpoint preserves semantics)") {
     val docs = Seq((1L, "the cat sat on the cat mat"), (2L, "the cat is the cat"),
       (3L, "go go go"), (4L, "the cat sat down")).toDF("doc_id", "text")
