@@ -346,12 +346,15 @@ object Dedup {
     * partitioned by the join key) + a map-side-combined min-aggregate; the
     * loop runs O(component diameter) rounds — near-dup graphs are
     * overwhelmingly tiny stars/chains, so single digits in practice, and
-    * the iteration cap bounds the worst case. Labels persist each round
-    * (lineage truncation; at production scale swap persist for
-    * localCheckpoint every few rounds). The convergence check is a
-    * label-cardinality count job, not a collect. This simple
-    * min-propagation is the honest baseline of the large-star/small-star
-    * family; it never materializes anything bigger than (node, label).
+    * the iteration cap bounds the worst case. Labels persist each round,
+    * and every third round the persist is an eager localCheckpoint: persist
+    * caches blocks but keeps the full lineage, so on deep components the
+    * logical plan (and any block-loss recompute) still grows linearly with
+    * rounds — the periodic checkpoint truncates it to a bounded depth. The
+    * convergence check is a label-cardinality count job, not a collect.
+    * This simple min-propagation is the honest baseline of the
+    * large-star/small-star family; it never materializes anything bigger
+    * than (node, label).
     */
   /** (id, label) component assignment — label = smallest id reachable.
     * The iterative core behind [[dedupClusters]] and [[dedupSurvivors]].
@@ -366,17 +369,33 @@ object Dedup {
       .persist(lvl)
     var changed = 1L
     var iter = 0
+    // The most recent eager localCheckpoint. A checkpointed frame cannot be
+    // recomputed from lineage once its blocks are dropped, so it must stay
+    // alive until the NEXT checkpoint is fully materialized — persisted
+    // rounds in between may be evicted and recompute through it.
+    var liveCkpt: DataFrame = null
     while (changed > 0 && iter < maxIter) {
-      val next = edges
+      val propagated = edges
         .join(labels.select(col("id").as("dst"), col("label").as("cand")), Seq("dst"))
         .select(col("src").as("id"), col("cand"))
         .union(labels.select(col("id"), col("label").as("cand")))
         .groupBy("id").agg(min(col("cand")).as("label"))
-        .persist(lvl)
+      // lineage truncation every 3rd round (see Scaladoc): plan depth and
+      // recompute chains stay bounded on deep components
+      val ckptRound = iter % 3 == 2
+      val next =
+        if (ckptRound) propagated.localCheckpoint(eager = true)
+        else propagated.persist(lvl)
       changed = next
         .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
         .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
+      if (ckptRound) {
+        // next is self-contained: everything older can go, including the
+        // previous checkpoint
+        if ((liveCkpt ne null) && (liveCkpt ne labels)) liveCkpt.unpersist(blocking = false)
+        labels.unpersist()
+        liveCkpt = next
+      } else if (labels ne liveCkpt) labels.unpersist()
       labels = next
       iter += 1
     }

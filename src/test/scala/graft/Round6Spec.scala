@@ -74,6 +74,24 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("connected components: a diameter-11 chain converges across checkpoint rounds") {
+    import graft.operators.Dedup
+    // 12-node chain labeled worst-case (min id at one END, descending ids
+    // along the chain) so min-label propagation needs ~diameter rounds —
+    // with checkpoints every 3rd round, at least 3 lineage truncations run
+    // before the fixpoint, exercising checkpoint->persist->checkpoint
+    // handoff, not just the first truncation.
+    val pairs = (0 until 11).map(i => (100L - i, 100L - i - 1)).toDF("id_a", "id_b")
+    val labels = Dedup.componentLabels(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels.size == 12)
+    assert(labels.values.toSet == Set(89L), s"all nodes must take the min id, got $labels")
+    // and the cluster rollup sees one component of 12
+    val clusters = Dedup.dedupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(clusters.toSeq == Seq((89L, 12L, 100L)))
+  }
+
   test("BPE training: k=10 merge table matches the k=3 prefix (checkpoint preserves semantics)") {
     val docs = Seq((1L, "the cat sat on the cat mat"), (2L, "the cat is the cat"),
       (3L, "go go go"), (4L, "the cat sat down")).toDF("doc_id", "text")
