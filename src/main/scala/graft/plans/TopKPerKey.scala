@@ -44,15 +44,89 @@ case class TopKPerKeyPlan(
     copy(child = newChild)
 }
 
-/** Planner strategy: one custom logical node → one custom physical node;
-  * everything below `planLater`s back into Catalyst's normal planning.
+/** Planner strategy: one custom logical node → a partial/final exec pair,
+  * the aggregate pattern applied to top-k. The PARTIAL heaps within each
+  * mapper's partition as the data lies (no required distribution), so the
+  * exchange EnsureRequirements inserts above it for the FINAL's clustered
+  * distribution carries at most k rows per key per mapper — O(k·keys·
+  * mappers) shuffle volume instead of every input row (the window plan,
+  * and the r5 single-exec form, shuffled all of them). Top-k is mergeable
+  * (top-k of a union = top-k of per-part top-k's), so the final pass over
+  * the partials is exact. Everything below `planLater`s back into
+  * Catalyst's normal planning.
   */
 object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyPlan(grouping, order, k, child) =>
-      TopKPerKeyExec(grouping, order, k, planLater(child)) :: Nil
+      TopKPerKeyExec(grouping, order, k,
+        TopKPerKeyPartialExec(grouping, order, k, planLater(child))) :: Nil
     case _ => Nil
   }
+}
+
+/** The shared heap pass: one bounded max-heap per key, O(n log k)
+  * comparisons, O(|keys in partition| · k) retained rows.
+  *
+  * Memory bound (NOT spillable): state is an on-heap HashMap of
+  * k-element heaps of copied rows — fine up to ~10⁶–10⁷ (keys·k) rows
+  * per partition (the partial pass only ever sees a mapper's split; the
+  * final pass sees one hash partition's key range). A key space so large
+  * AND so uniformly hot that a single partition's keys·k rows exceed heap
+  * is the regime where the sort-based window plan (which spills) is the
+  * right tool — callers there should raise shuffle partitions or fall
+  * back; the heap exec's win is every other regime, where it removes the
+  * full-partition sort+spill entirely.
+  */
+private[plans] object TopKHeapPass {
+  def run(childOutput: Seq[Attribute], grouping: Seq[Expression],
+          order: Seq[SortOrder], k: Int)(
+          iter: Iterator[InternalRow]): Iterator[InternalRow] = {
+    val keyProj = UnsafeProjection.create(grouping, childOutput)
+    val ord = GenerateOrdering.generate(order, childOutput)
+    // max-heap under `ord`: head = worst retained row, evicted first
+    val heaps = scala.collection.mutable.HashMap
+      .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
+    while (iter.hasNext) {
+      val row = iter.next()
+      val key = keyProj(row)
+      heaps.get(key) match {
+        case Some(heap) =>
+          if (heap.size < k) heap += row.copy()
+          else if (ord.compare(row, heap.head) < 0) {
+            heap.dequeue(); heap += row.copy(): Unit
+          }
+        case None =>
+          val heap = new scala.collection.mutable.PriorityQueue[InternalRow]()(ord)
+          heap += row.copy()
+          heaps.put(key.copy(), heap): Unit
+      }
+    }
+    // emit each key's survivors in ordering position 1..k (dequeueAll
+    // yields worst-first; reverse) — k·|keys| rows, the only state left
+    heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
+  }
+}
+
+/** Map-side partial: top-k per key within each incoming partition, no
+  * distribution requirement — runs before the exchange and shrinks what
+  * the shuffle carries to ≤ k rows per key per mapper.
+  */
+case class TopKPerKeyPartialExec(
+    grouping: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (childOutput, groupingExprs, orderExprs, kk) = (child.output, grouping, order, k)
+    child.execute().mapPartitions(TopKHeapPass.run(childOutput, groupingExprs, orderExprs, kk))
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyPartialExec =
+    copy(child = newChild)
 }
 
 case class TopKPerKeyExec(
@@ -71,35 +145,8 @@ case class TopKPerKeyExec(
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val childOutput = child.output
-    val groupingExprs = grouping
-    val orderExprs = order
-    val kk = k
-    child.execute().mapPartitions { iter =>
-      val keyProj = UnsafeProjection.create(groupingExprs, childOutput)
-      val ord = GenerateOrdering.generate(orderExprs, childOutput)
-      // max-heap under `ord`: head = worst retained row, evicted first
-      val heaps = scala.collection.mutable.HashMap
-        .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row)
-        heaps.get(key) match {
-          case Some(heap) =>
-            if (heap.size < kk) heap += row.copy()
-            else if (ord.compare(row, heap.head) < 0) {
-              heap.dequeue(); heap += row.copy(): Unit
-            }
-          case None =>
-            val heap = new scala.collection.mutable.PriorityQueue[InternalRow]()(ord)
-            heap += row.copy()
-            heaps.put(key.copy(), heap): Unit
-        }
-      }
-      // emit each key's survivors in ordering position 1..k (dequeueAll
-      // yields worst-first; reverse) — k·|keys| rows, the only state left
-      heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
-    }
+    val (childOutput, groupingExprs, orderExprs, kk) = (child.output, grouping, order, k)
+    child.execute().mapPartitions(TopKHeapPass.run(childOutput, groupingExprs, orderExprs, kk))
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =

@@ -76,7 +76,13 @@ class PlansSpec extends SparkSpec {
       order = Seq(("o_totalprice", false), ("o_orderkey", true)), k = 3)
     val physical = df.queryExecution.executedPlan.toString
     assert(physical.contains("TopKPerKey "), physical) // exec renders without the Exec suffix
+    // map-side partial BELOW the exchange: the shuffle carries at most
+    // k rows per key per mapper, not every input row
+    assert(physical.contains("TopKPerKeyPartial"), physical)
+    assert(physical.indexOf("TopKPerKeyPartial") > physical.indexOf("hashpartitioning"),
+      s"partial must sit under the exchange:\n$physical")
     assert(physical.contains("hashpartitioning(o_custkey"), physical)
+    assert("Exchange".r.findAllIn(physical).size == 1, physical)
     assert(!physical.toLowerCase.contains("sortexec"), physical)
     assert(!physical.contains("Window"), physical)
   }
