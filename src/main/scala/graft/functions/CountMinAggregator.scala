@@ -31,6 +31,9 @@ class CountMinAggregator(depth: Int, width: Int)
   override def zero: Array[Long] = new Array[Long](depth * width)
 
   override def reduce(buf: Array[Long], v: String): Array[Long] = {
+    // SQL-aggregate null convention: nulls are skipped, not counted (and
+    // never reach the hash — a null key used to NPE inside the task)
+    if (v == null) return buf
     var r = 0
     while (r < depth) {
       buf(r * width + CountMin.slot(v, r, width)) += 1L
@@ -58,8 +61,12 @@ object CountMin {
   def slot(s: String, row: Int, width: Int): Int =
     math.floorMod(MurmurHash3.stringHash(s, 0x9747b28c + row), width)
 
-  /** Point estimate = min over rows (the CM upper-bound estimator). */
+  /** Point estimate = min over rows (the CM upper-bound estimator).
+    * Null keys were never counted ([[CountMinAggregator.reduce]] skips
+    * them), so their estimate is 0 by definition.
+    */
   def estimate(sketch: Seq[Long], depth: Int, width: Int, s: String): Long = {
+    if (s == null) return 0L
     var best = Long.MaxValue
     var r = 0
     while (r < depth) {

@@ -135,6 +135,12 @@ object Sketches {
         .withColumn("__est", est(col("sk"), col("event_type")))
         .select(col("event_type"), col("exact_n"),
           (col("__est") >= col("exact_n")).as("never_under"),
+          // within_eps gates the classic e/width·N bound, which holds per
+          // key with probability ~1-e^-depth (~98% at depth 4), not
+          // certainty — deterministic for THESE seeds/data (the gate
+          // requirement), but changing depth/width, the seed constant, or
+          // the generator can legitimately flip it; that's a parameter
+          // change surfacing the probabilistic bound, not a sketch bug.
           ((col("__est") - col("exact_n")).cast("double") <=
             col("n_total").cast("double") * (math.E / width)).as("within_eps"))
         .orderBy("event_type")

@@ -74,6 +74,28 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("count-min: null keys are skipped, not NPEs, and estimate(null) is 0") {
+    import graft.functions.{CountMin, CountMinAggregator}
+    val agg = new CountMinAggregator(4, 64)
+    val withNulls = Seq("a", null, "b", null, "a")
+    val sketch = withNulls.foldLeft(agg.zero)(agg.reduce)
+    val cleanSketch = Seq("a", "b", "a").foldLeft(agg.zero)(agg.reduce)
+    assert(sketch.toSeq == cleanSketch.toSeq, "nulls must not contribute any mass")
+    assert(CountMin.estimate(sketch.toSeq, 4, 64, null) == 0L)
+    assert(CountMin.estimate(sketch.toSeq, 4, 64, "a") >= 2L)
+  }
+
+  test("q_pivot_dynamic's oracle column set matches the data's status values") {
+    // The Spark side discovers pivot columns from the data; the DuckDB
+    // oracle hardcodes F/O/P. If a generator change ever adds or drops a
+    // status, this pins the REAL cause instead of a confusing hash
+    // mismatch at the gate.
+    val statuses = Tables.orders(spark, sfDir)
+      .select("o_orderstatus").distinct().as[String].collect().toSet
+    assert(statuses == Set("F", "O", "P"),
+      s"o_orderstatus values changed to $statuses — update q_pivot_dynamic's oracle column list")
+  }
+
   test("connected components: a diameter-11 chain converges across checkpoint rounds") {
     import graft.operators.Dedup
     // 12-node chain labeled worst-case (min id at one END, descending ids

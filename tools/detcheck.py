@@ -11,9 +11,18 @@ import duckdb
 
 def main(a, b):
     con = duckdb.connect()
-    names = sorted(json.load(open(f"{a}/oracle_sql.json")))
+    # union of both runs' query sets: a name present in only one run is a
+    # coverage asymmetry and must FAIL, not silently skip
+    names_a = set(json.load(open(f"{a}/oracle_sql.json")))
+    names_b = set(json.load(open(f"{b}/oracle_sql.json")))
+    names = sorted(names_a | names_b)
     n_ok = n_bad = 0
     for name in names:
+        if name not in names_a or name not in names_b:
+            missing = "A" if name not in names_a else "B"
+            print(f"FAIL {name}: only present in one run (missing from {missing})")
+            n_bad += 1
+            continue
         ga, gb = f"{a}/{name}/*.parquet", f"{b}/{name}/*.parquet"
         if not glob.glob(ga) or not glob.glob(gb):
             print(f"FAIL {name}: missing result dir"); n_bad += 1; continue
