@@ -389,6 +389,16 @@ object Analytics {
         numeric = Seq("l_quantity", "l_extendedprice", "l_discount"),
         categorical = Seq("l_returnflag", "l_linestatus"))
     },
+    // A6 — describe(include='all') at FULL width: every column of the
+    // table in one call — all numerics in one aggregate pass, ALL string
+    // columns (including the per-row-unique c_name — the high-cardinality
+    // regime where a per-column loop would be ruinous) through the single
+    // melt. Passes over the table stay at two regardless of column count.
+    "q_a6_describe_all_strings" -> { (s, d) =>
+      describeAll(Tables.customer(s, d),
+        numeric = Seq("c_acctbal", "c_custkey", "c_nationkey"),
+        categorical = Seq("c_mktsegment", "c_name"))
+    },
     // A8 — correlation (exact-moment Pearson).
     "q_a8_corr" -> { (s, d) =>
       exactCorr(Tables.lineitem(s, d), "l_quantity", "l_extendedprice")
@@ -534,6 +544,9 @@ object Analytics {
     "q_a6_describe_all" -> describeAllSql("lineitem",
       Seq("l_quantity", "l_extendedprice", "l_discount"),
       Seq("l_returnflag", "l_linestatus")),
+    "q_a6_describe_all_strings" -> describeAllSql("customer",
+      Seq("c_acctbal", "c_custkey", "c_nationkey"),
+      Seq("c_mktsegment", "c_name")),
     "q_a8_corr" -> exactCorrSql("l_quantity", "l_extendedprice", "lineitem"),
     "q_a8_corr_matrix" -> {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
