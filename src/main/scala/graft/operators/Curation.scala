@@ -133,6 +133,21 @@ object Curation {
       sourceMix(Tables.documents(s, d)).orderBy("source")
     },
 
+    // PER-SOURCE DOCUMENT CAP — the pretraining-mix move that keeps any
+    // one crawl domain from dominating the corpus: at most k docs per
+    // source, best-first (longest doc wins, ties to the lower id). Runs
+    // on the custom TopKPerKey operator, so the plan is the partial-heap
+    // → single exchange → final-heap shape with NO per-source sort and a
+    // shuffle that carries ≤ k docs per source per mapper — at 100 TB
+    // the cap decides survivors while moving candidate rows only.
+    "q_source_cap" -> { (s, d) =>
+      graft.plans.TopKPerKey.topKPerKey(
+          Tables.documents(s, d).select("doc_id", "source", "n_chars"),
+          keys = Seq("source"),
+          order = Seq(("n_chars", false), ("doc_id", true)), k = 10)
+        .orderBy("source", "doc_id")
+    },
+
     // Boilerplate stripping — URL and markup removal, the standard web-
     // corpus cleaning step (synthetic text has neither, so the first 20
     // docs get both planted, like the PII audit). Pure codegen'd regexp
@@ -175,6 +190,13 @@ object Curation {
        |             i -> array_to_string(list_slice($toks, i, i + ${n - 1}), ' ')) END)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q_source_cap" ->
+      """SELECT doc_id, source, n_chars FROM (
+        | SELECT doc_id, source, n_chars,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY n_chars DESC, doc_id) AS rn
+        | FROM documents)
+        |WHERE rn <= 10 ORDER BY source, doc_id""".stripMargin,
     "q_decontaminate" ->
       s"""WITH shs AS (
          | SELECT doc_id, ${shinglesSql(toksSql, 5)} AS shs FROM documents),

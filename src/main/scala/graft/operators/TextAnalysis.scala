@@ -190,7 +190,52 @@ object TextAnalysis {
     (mergeTable, cur)
   }
 
+  /** BPE ENCODE — the deploy half of the tokenizer: apply an already-
+    * trained merge table to a corpus and report per-doc raw vs encoded
+    * token counts. Unlike training ([[bpeTrain]]), encoding has NO
+    * driver decision between merges — the merge list is given — so the
+    * k merge applications chain as k narrow projections in ONE corpus
+    * pass: no shuffle, no checkpoint, no per-iteration materialization.
+    * (Catalyst keeps the chain as stacked projects rather than inlining:
+    * each level's fold is referenced several times by the next, which
+    * CollapseProject treats as non-cheap.) At a tokenizer-real merge
+    * count the same shape holds — plan depth k, corpus passes 1.
+    *
+    * The production split is train-on-sample / encode-everything; the
+    * gated query trains and encodes on the same corpus so the DuckDB
+    * oracle can re-derive the identical merge table and replay the
+    * folds.
+    */
+  def bpeEncode(s: SparkSession, docs: DataFrame,
+                merges: Seq[(String, String)]): DataFrame = {
+    var cur = docs.select(col("doc_id"),
+        filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "").as("toks"))
+      .withColumn("n_raw", size(col("toks")).cast("long"))
+    for ((a, b) <- merges) {
+      val tail = slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0)))
+      val folded = aggregate(tail, element_at(col("toks"), 1),
+        (acc, x) =>
+          when((acc === lit(a) || acc.endsWith(lit("|" + a))) && x === lit(b),
+            concat(acc, lit("_"), x))
+            .otherwise(concat(acc, lit("|"), x)))
+      cur = cur.withColumn("toks",
+        when(size(col("toks")) <= 1, col("toks"))
+          .otherwise(split(folded, "[|]")))
+    }
+    cur.select(col("doc_id"), col("n_raw"),
+      size(col("toks")).cast("long").as("n_bpe"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tokenizer deploy path: train 6 merges, then encode the corpus with
+    // them in one pass; per-doc compression (n_raw vs n_bpe) is the
+    // standard tokenizer-fertility report.
+    "q_bpe_encode" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val merges = bpeTrain(s, docs, 6).orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      bpeEncode(s, docs, merges).orderBy("doc_id")
+    },
     // Tokenizer training: 10 BPE merge iterations over the corpus; the
     // returned merge table is the trained artifact, replayed exactly by
     // the DuckDB oracle (same argmax order, same greedy fold). k=10 (up
@@ -465,6 +510,39 @@ object TextAnalysis {
     * list_reduce greedy fold — the same algorithm, same tie-break, same
     * exact-suffix merge test.
     */
+  /** Oracle for [[bpeEncode]]: re-derive the k-merge table with the same
+    * CTE chain as [[bpeTrainSql]], but carry doc_id through the fold
+    * chain and emit per-doc raw/encoded token counts after the final
+    * merge application.
+    */
+  private def bpeEncodeSql(k: Int): String = {
+    val docs1 =
+      """docs1 AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS toks
+        | FROM documents)""".stripMargin
+    def pairs(i: Int) =
+      s"""pairs$i AS (
+         | SELECT pr[1] AS a, pr[2] AS b, count(*) AS c
+         | FROM (SELECT unnest(list_zip(toks, toks[2:])) AS pr FROM docs$i)
+         | WHERE pr[2] IS NOT NULL GROUP BY 1, 2)""".stripMargin
+    def m(i: Int) =
+      s"m$i AS (SELECT a AS ma, b AS mb FROM pairs$i ORDER BY c DESC, a, b LIMIT 1)"
+    def docsNext(i: Int) =
+      s"""docs${i + 1} AS (
+         | SELECT doc_id, CASE WHEN len(toks) <= 1 THEN toks
+         |  ELSE string_split(list_reduce(toks, (acc, x) ->
+         |   CASE WHEN (acc = ma OR ends_with(acc, '|' || ma)) AND x = mb
+         |    THEN acc || '_' || x ELSE acc || '|' || x END), '|') END AS toks
+         | FROM docs$i CROSS JOIN m$i)""".stripMargin
+    val ctes = docs1 +: (1 to k).flatMap(i => Seq(pairs(i), m(i), docsNext(i)))
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT d0.doc_id, CAST(len(d0.toks) AS BIGINT) AS n_raw,
+       | CAST(len(df.toks) AS BIGINT) AS n_bpe
+       |FROM docs1 d0 JOIN docs${k + 1} df USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private def bpeTrainSql(k: Int): String = {
     val docs1 =
       """docs1 AS (
@@ -517,6 +595,7 @@ object TextAnalysis {
       .mkString(" ")
     Map(
       "q_bpe_train" -> bpeTrainSql(10),
+      "q_bpe_encode" -> bpeEncodeSql(6),
       "q_text_stats" ->
         s"""SELECT doc_id, CAST($nTok AS INTEGER) AS n_tokens,
            | CAST(len(regexp_extract_all(text, '$bpeTokenPattern')) AS INTEGER) AS n_bpe_tokens,

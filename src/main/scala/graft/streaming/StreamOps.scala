@@ -445,6 +445,36 @@ object StreamOps {
       }
     }},
 
+    // STATE INTROSPECTION — the state-source reader ("statestore"
+    // format) over a transformWithState checkpoint: operational surface
+    // for debugging/auditing live state without touching the query. Runs
+    // the MG heavy-hitter stream to completion, then reads its ValueState
+    // back as a DataFrame and checks it against the batch ground truth —
+    // at capacity 512 with sf0.01's 150 users/type the summary holds
+    // exactly the distinct-user set, so entry count = count(DISTINCT
+    // user_id) and n_seen = count(*), per type.
+    "q_stream_state_reader" -> { (s, d) => withStatePartitions(s, 8) {
+      withRocksDbState(s) {
+        cleanCheckpoint("stream_state_reader")
+        val ckpt = "/root/repo/target/scratch/ckpt_stream_state_reader"
+        val q = streamingTopUsersMg(eventsStream(s, d), 3, 512).toDF()
+          .writeStream.format("memory").queryName("stream_state_reader")
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.format("statestore")
+          .option("path", ckpt)
+          .option("stateVarName", "mg")
+          .load()
+          .select(col("key.value").as("event_type"),
+            size(col("value.users")).cast("long").as("n_users"),
+            col("value.n_seen").as("n_seen"))
+          .orderBy("event_type")
+      }
+    }},
+
     // Streaming heavy hitters (custom state): per-type top-3 users,
     // update-mode; the final emission per (type, rank) — selected by the
     // monotone n_seen, not sink order — must equal the batch
@@ -899,6 +929,10 @@ object StreamOps {
         |    ORDER BY count(*) DESC, user_id) AS rn
         | FROM events GROUP BY event_type, user_id)
         |WHERE rn <= 3 ORDER BY event_type, rank""".stripMargin,
+    "q_stream_state_reader" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        | count(*) AS n_seen
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // exact-by-the-bound at gate scale (no eviction at capacity 512), so
     // the same batch top-k oracle applies
     "q_stream_top_users_mg" ->
