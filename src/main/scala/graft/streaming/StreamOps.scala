@@ -162,6 +162,32 @@ object StreamOps {
         .orderBy("w_start")
     },
 
+    // SKETCHES IN STREAMING STATE: per-window approximate distinct users
+    // via HLL++ inside the windowed aggregate — the state per window is
+    // the fixed-size HLL registers, not a user set, so window state stays
+    // bounded at ANY user cardinality (the streaming twin of
+    // q_approx_distinct's scale argument). Gated with the boolean-contract
+    // pattern: the snapshot's estimate must sit within 2% of the batch
+    // exact distinct per window, which is deterministic for fixed data.
+    "q_stream_hll_users" -> { (s, d) =>
+      cleanCheckpoint("stream_hll_users")
+      val agg = eventsStream(s, d)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "6 hours").as("w"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("__est"))
+      val streamed = runToSnapshot(agg, "stream_hll_users")
+        .select(col("w.start").as("w_start"), col("__est"))
+      val exact = Tables.events(s, d)
+        .groupBy(window(col("ts"), "6 hours").as("w"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+        .select(col("w.start").as("w_start"), col("exact_users"))
+      exact.join(streamed, Seq("w_start"))
+        .select(col("w_start"), col("exact_users"),
+          (abs(col("__est") - col("exact_users")) <=
+            col("exact_users").cast("double") * 0.02).as("within_tol"))
+        .orderBy("w_start")
+    },
+
     // North-star: SLIDING window (6h length, 3h slide) — every event lands
     // in exactly two windows; complete mode emits all of them.
     "q_stream_sliding" -> { (s, d) =>
@@ -845,6 +871,10 @@ object StreamOps {
       """SELECT make_timestamp(CAST(floor(epoch(ts)/21600)*21600*1000000 AS BIGINT)) AS w_start,
         | count(*) AS cnt,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_stream_hll_users" ->
+      """SELECT make_timestamp(CAST(floor(epoch(ts)/21600)*21600*1000000 AS BIGINT)) AS w_start,
+        | count(DISTINCT user_id) AS exact_users, TRUE AS within_tol
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_stream_sliding" ->
       """WITH w AS (

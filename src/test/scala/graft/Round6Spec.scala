@@ -74,6 +74,31 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("partial top-k: the exchange carries k-bounded rows, not the input") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    // 9000 rows, 3 keys, spread over 8 mappers: without the partial pass
+    // the hash exchange writes all 9000 rows; with it, at most
+    // mappers * keys * k = 8 * 3 * 5 = 120
+    val df = (1 to 9000).map(i => (s"k${i % 3}", i.toLong, (i % 97).toDouble))
+      .toDF("key", "id", "v").repartition(8)
+    val capped = graft.plans.TopKPerKey
+      .topKPerKey(df, Seq("key"), Seq(("v", false), ("id", true)), k = 5)
+    assert(capped.count() == 15)
+    val finalPlan = capped.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val written = finalPlan.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning.isInstanceOf[HashPartitioning] =>
+        e.metrics("shuffleRecordsWritten").value
+    }
+    assert(written.nonEmpty, s"no hash exchange found in:\n$finalPlan")
+    assert(written.sum <= 120L,
+      s"shuffle carried ${written.sum} rows — partial heap pass not effective")
+  }
+
   test("count-min: null keys are skipped, not NPEs, and estimate(null) is 0") {
     import graft.functions.{CountMin, CountMinAggregator}
     val agg = new CountMinAggregator(4, 64)
