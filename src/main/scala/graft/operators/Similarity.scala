@@ -200,6 +200,33 @@ object Similarity {
           graft.functions.NativeExpressions.cosineSim(s, _, _))
         .orderBy("query_id", "rank")
     },
+    // MATRYOSHKA (MRL) TRUNCATION RECALL — the modern embedding-cost
+    // lever: retrieve with only the first 16 of 64 dims (4× less memory
+    // and dot-product work; at 100 TB the truncated pass is the cheap
+    // first stage, full-dim rescoring runs on its shortlist only) and
+    // report recall@5 per query against the full-dim exact top-k. The
+    // overlap count is an integer and both rankings tie-break on
+    // corpus_id, so the gate is deterministic.
+    "q_sim_topk_mrl" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val dims = 16
+      val cosN = graft.functions.NativeExpressions.cosineSim(s, _: Column, _: Column)
+      val full = bruteForceTopK(emb.filter(col("vec_id") < 5), emb, 5, cosN)
+      val trunc = bruteForceTopK(
+        emb.filter(col("vec_id") < 5)
+          .withColumn("embedding", slice(col("embedding"), 1, dims)),
+        emb.withColumn("embedding", slice(col("embedding"), 1, dims)), 5, cosN)
+      val hits = full.select("query_id", "corpus_id")
+        .intersect(trunc.select("query_id", "corpus_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      full.select("query_id").distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)) / 5.0, 2).as("recall"))
+        .orderBy("query_id")
+    },
+
     // Scale path: same queries, bucket-pruned search.
     "q_sim_topk_lsh" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
@@ -296,6 +323,29 @@ object Similarity {
          |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS INTEGER) AS rank
          | FROM scored)
          |SELECT * FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_sim_topk_mrl" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS corpus_id, embedding AS c_emb FROM embeddings),
+         |full_ranked AS (
+         | SELECT query_id, corpus_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY round(${cosSql("q_emb", "c_emb")}, 6) DESC, corpus_id) AS INTEGER) AS rank
+         | FROM c CROSS JOIN q),
+         |trunc_ranked AS (
+         | SELECT query_id, corpus_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY round(${cosSql("q_emb[1:16]", "c_emb[1:16]")}, 6) DESC, corpus_id) AS INTEGER) AS rank
+         | FROM c CROSS JOIN q),
+         |hits AS (
+         | SELECT f.query_id, count(*) AS n_hit
+         | FROM (SELECT query_id, corpus_id FROM full_ranked WHERE rank <= 5) f
+         | JOIN (SELECT query_id, corpus_id FROM trunc_ranked WHERE rank <= 5) t
+         |  USING (query_id, corpus_id)
+         | GROUP BY 1)
+         |SELECT q.query_id, coalesce(n_hit, 0) AS n_hit,
+         | round(coalesce(n_hit, 0) / 5.0, 2) AS recall
+         |FROM (SELECT DISTINCT query_id FROM q) q LEFT JOIN hits USING (query_id)
+         |ORDER BY query_id""".stripMargin,
     "q_sim_topk_lsh" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb,
          |  ${bucketSql("embedding")} AS bucket FROM embeddings WHERE vec_id < 5),
