@@ -227,6 +227,40 @@ object Similarity {
         .orderBy("query_id")
     },
 
+    // The full two-stage pattern q_sim_topk_mrl motivates: a 25-wide
+    // truncated-dim shortlist, then FULL-dim rescoring of shortlist pairs
+    // only (25 per query, not the corpus), top-5 of the rescore. The
+    // expensive full-dim scoring touches 5% of the corpus per query here
+    // — at 100 TB that ratio is the whole point — while recall@5 recovers
+    // most of what raw truncation loses (0.2–0.4 → see gate data).
+    "q_sim_topk_mrl_rescore" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val dims = 16
+      val cosN = graft.functions.NativeExpressions.cosineSim(s, _: Column, _: Column)
+      val exact = bruteForceTopK(emb.filter(col("vec_id") < 5), emb, 5, cosN)
+      val shortlist = bruteForceTopK(
+        emb.filter(col("vec_id") < 5)
+          .withColumn("embedding", slice(col("embedding"), 1, dims)),
+        emb.withColumn("embedding", slice(col("embedding"), 1, dims)), 25, cosN)
+      val qv = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val cv = emb.select(col("vec_id").as("corpus_id"), col("embedding").as("c_emb"))
+      val rescored = shortlist.select("query_id", "corpus_id")
+        .join(broadcast(qv), Seq("query_id"))
+        .join(cv, Seq("corpus_id"))
+        .select(col("query_id"), col("corpus_id"),
+          round(cosN(col("q_emb"), col("c_emb")), 6).as("sim"))
+      val hits = exact.select("query_id", "corpus_id")
+        .intersect(topKPerQuery(rescored, 5).select("query_id", "corpus_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      exact.select("query_id").distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)) / 5.0, 2).as("recall"))
+        .orderBy("query_id")
+    },
+
     // Scale path: same queries, bucket-pruned search.
     "q_sim_topk_lsh" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
@@ -340,6 +374,35 @@ object Similarity {
          | SELECT f.query_id, count(*) AS n_hit
          | FROM (SELECT query_id, corpus_id FROM full_ranked WHERE rank <= 5) f
          | JOIN (SELECT query_id, corpus_id FROM trunc_ranked WHERE rank <= 5) t
+         |  USING (query_id, corpus_id)
+         | GROUP BY 1)
+         |SELECT q.query_id, coalesce(n_hit, 0) AS n_hit,
+         | round(coalesce(n_hit, 0) / 5.0, 2) AS recall
+         |FROM (SELECT DISTINCT query_id FROM q) q LEFT JOIN hits USING (query_id)
+         |ORDER BY query_id""".stripMargin,
+    "q_sim_topk_mrl_rescore" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS corpus_id, embedding AS c_emb FROM embeddings),
+         |full_ranked AS (
+         | SELECT query_id, corpus_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY round(${cosSql("q_emb", "c_emb")}, 6) DESC, corpus_id) AS INTEGER) AS rank
+         | FROM c CROSS JOIN q),
+         |short_ranked AS (
+         | SELECT query_id, corpus_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY round(${cosSql("q_emb[1:16]", "c_emb[1:16]")}, 6) DESC, corpus_id) AS INTEGER) AS rank
+         | FROM c CROSS JOIN q),
+         |rescored AS (
+         | SELECT s.query_id, s.corpus_id,
+         |  CAST(row_number() OVER (PARTITION BY s.query_id
+         |    ORDER BY round(${cosSql("q.q_emb", "c.c_emb")}, 6) DESC, s.corpus_id) AS INTEGER) AS rank
+         | FROM (SELECT query_id, corpus_id FROM short_ranked WHERE rank <= 25) s
+         | JOIN q USING (query_id) JOIN c USING (corpus_id)),
+         |hits AS (
+         | SELECT f.query_id, count(*) AS n_hit
+         | FROM (SELECT query_id, corpus_id FROM full_ranked WHERE rank <= 5) f
+         | JOIN (SELECT query_id, corpus_id FROM rescored WHERE rank <= 5) t
          |  USING (query_id, corpus_id)
          | GROUP BY 1)
          |SELECT q.query_id, coalesce(n_hit, 0) AS n_hit,
