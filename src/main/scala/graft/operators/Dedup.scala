@@ -227,6 +227,51 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** MinHash near-dups with DOC-FREQUENCY SHINGLE PRUNING: shingles
+    * present in more than `maxDfFrac` of documents are stop-shingles
+    * (boilerplate, templates, navigation chrome) and are dropped BEFORE
+    * signatures, banding, and verify. On web corpora this is the standard
+    * defense against boilerplate-driven candidate storms: a shared footer
+    * otherwise minhash-collides unrelated pages into giant buckets, and
+    * the verify Jaccard gets inflated by mass that says nothing about the
+    * actual content.
+    *
+    * Scale posture: the doc-frequency pass is one map-side-combined count
+    * over exploded hashes (shingle-vocabulary-bounded keys); the stop SET
+    * is broadcast — its size is bounded by avg-shingles-per-doc /
+    * maxDfFrac regardless of corpus size (at most 1/maxDfFrac shingles
+    * can each appear in > maxDfFrac of docs per doc-slot), so the
+    * broadcast never grows with the corpus. Docs whose every shingle is
+    * boilerplate drop out entirely (nothing content-bearing to match on).
+    */
+  def minhashNearDupsPruned(docs: DataFrame, idCol: String, textCol: String,
+                            numHashes: Int = 16, rowsPerBand: Int = 2,
+                            threshold: Double = 0.5, maxDfFrac: Double = 0.2,
+                            hasher: HashFamily = XxHash): DataFrame = {
+    val raw = withShingleHashes(docs, idCol, textCol, hasher)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = raw.agg(count(lit(1)).as("n"))
+    // per-doc shingle arrays are distinct, so the exploded count IS the
+    // doc frequency
+    val stop = raw.select(explode(col("hs")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") > col("n") * maxDfFrac)
+      .agg(collect_list("h").as("stop"))
+    val base = raw.crossJoin(broadcast(stop))
+      .select(col("id"), array_except(col("hs"), col("stop")).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = sigFrame(base, "hs", numHashes)
+    val candidates = bandedCandidates(sig, numHashes, rowsPerBand, hasher)
+    val shA = base.select(col("id").as("id_a"), col("hs").as("hs_a"))
+    val shB = base.select(col("id").as("id_b"), col("hs").as("hs_b"))
+    candidates.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("hs_a"), col("hs_b")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** SimHash bits from a MATERIALIZED token-hash array: per-bit majority
     * vote, one aggregate per bit over attribute reads only.
     */
@@ -565,6 +610,25 @@ object Dedup {
           hasher = Md5Hash)
         .orderBy("id_a", "id_b")
     },
+    // The df-pruned variant, with boilerplate PLANTED on every third doc
+    // (the synthetic corpus has no natural >20%-df shingles — measured
+    // max 1.5%): the footer's interior shingles hit ~33% doc frequency
+    // and land in the stop set, so the gate exercises the real prune
+    // path, including pairs where only ONE side carries the footer (the
+    // prune cleans their Jaccard instead of diluting it). The oracle
+    // replays the identical plant + prune.
+    "q_dedup_minhash_pruned" -> { (s, d) =>
+      val withFooter = plantedCorpus(Tables.documents(s, d))
+        .withColumn("text",
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"),
+              lit(" subscribe to our newsletter terms privacy contact")))
+            .otherwise(col("text")))
+      minhashNearDupsPruned(withFooter, "doc_id", "text",
+          maxDfFrac = 0.2, hasher = Md5Hash)
+        .orderBy("id_a", "id_b")
+    },
+
     // 60-bit fingerprint: 32 bits saturate on a shared-vocabulary corpus
     // (measured 13% of ALL sf0.1 pairs within d≤6 of 32 bits — not a
     // near-dup criterion); d≤6 of 60 bits is discriminative, and 60 keeps
@@ -772,6 +836,48 @@ object Dedup {
          |              i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END) AS shs
          | FROM toks),
          |hs AS (SELECT id, list_transform(shs, sh -> ${h64("sh")}) AS hs FROM shs),
+         |${minhashSigSql(16)},
+         |${candidatesSql(16, 2)}
+         |SELECT c.id_a, c.id_b, $jaccardSql AS jaccard
+         |FROM candidates c
+         |JOIN hs a ON c.id_a = a.id
+         |JOIN hs b ON c.id_b = b.id
+         |WHERE $jaccardSql >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q_dedup_minhash_pruned" -> {
+      s"""WITH corpus0 AS (
+         | SELECT doc_id, text FROM documents
+         | UNION ALL
+         | SELECT doc_id + 10000000 AS doc_id, text || ' appended' AS text
+         | FROM documents WHERE doc_id < 20),
+         |corpus AS (
+         | SELECT doc_id, CASE WHEN doc_id % 3 = 0
+         |  THEN text || ' subscribe to our newsletter terms privacy contact'
+         |  ELSE text END AS text
+         | FROM corpus0),
+         |toks AS (
+         | SELECT doc_id AS id,
+         |  list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+         | FROM corpus),
+         |shs AS (
+         | SELECT id, list_distinct(
+         |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |       ELSE list_transform(range(1, len(toks) - 1),
+         |              i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END) AS shs
+         | FROM toks),
+         |hs0 AS (SELECT id, list_transform(shs, sh -> ${h64("sh")}) AS hs FROM shs),
+         |ndocs AS (SELECT count(*) AS n FROM hs0),
+         |stopset AS (
+         | SELECT h FROM (SELECT id, unnest(hs) AS h FROM hs0)
+         | GROUP BY h HAVING count(*) > (SELECT n FROM ndocs) * 0.2),
+         |stoplist AS (SELECT coalesce(list(h), CAST([] AS BIGINT[])) AS sl FROM stopset),
+         |hs AS (
+         | SELECT id, hs FROM (
+         |  SELECT id, list_filter(hs, x -> NOT list_contains(sl, x)) AS hs
+         |  FROM hs0 CROSS JOIN stoplist)
+         | WHERE len(hs) > 0),
          |${minhashSigSql(16)},
          |${candidatesSql(16, 2)}
          |SELECT c.id_a, c.id_b, $jaccardSql AS jaccard

@@ -99,6 +99,29 @@ class Round6Spec extends SparkSpec {
       s"shuffle carried ${written.sum} rows — partial heap pass not effective")
   }
 
+  test("df-pruned minhash: boilerplate footers stop matching, true near-dups still do") {
+    import graft.operators.Dedup
+    val footer = "subscribe to our newsletter for updates and terms of service information today"
+    // 12 unrelated docs that share only the footer (pairwise Jaccard ≈
+    // 0.65 — false near-dups), plus one true near-dup pair without it
+    val docs = ((1 to 12).map(i =>
+        (i.toLong, s"unique$i content$i topic$i $footer")) ++ Seq(
+        (20L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (21L, "alpha beta gamma delta epsilon zeta eta theta iota")))
+      .toDF("doc_id", "text")
+    val unpruned = Dedup.minhashNearDups(docs, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val pruned = Dedup.minhashNearDupsPruned(docs, "doc_id", "text", maxDfFrac = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // without pruning the footer manufactures near-dups out of unrelated docs
+    assert(unpruned.exists { case (a, b) => a <= 12 && b <= 12 },
+      s"expected footer-driven false pairs, got $unpruned")
+    assert(unpruned.contains((20L, 21L)))
+    // with pruning: footer shingles (df 12/14 > 0.5) are stopped — the
+    // false pairs vanish, the true pair survives
+    assert(pruned == Set((20L, 21L)), s"pruned result: $pruned")
+  }
+
   test("count-min: null keys are skipped, not NPEs, and estimate(null) is 0") {
     import graft.functions.{CountMin, CountMinAggregator}
     val agg = new CountMinAggregator(4, 64)
@@ -137,6 +160,21 @@ class Round6Spec extends SparkSpec {
     val clusters = Dedup.dedupClusters(pairs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(clusters.toSeq == Seq((89L, 12L, 100L)))
+  }
+
+  test("BPE encode: empty merges, short docs, and chained merges") {
+    val docs = Seq((1L, "a b c"), (2L, "x"), (3L, ""), (4L, "a b a b"))
+      .toDF("doc_id", "text")
+    def counts(merges: Seq[(String, String)]): Map[Long, (Long, Long)] =
+      TextAnalysis.bpeEncode(spark, docs, merges)
+        .as[(Long, Long, Long)].collect().map { case (id, r, b) => id -> (r, b) }.toMap
+    // no merges: encoded == raw
+    assert(counts(Nil) == Map(1L -> ((3L, 3L)), 2L -> ((1L, 1L)),
+      3L -> ((0L, 0L)), 4L -> ((4L, 4L))))
+    // chained merges: (a,b) then (a_b,c) — a merged token merges again;
+    // greedy non-overlap on doc 4 gives two a_b pairs
+    assert(counts(Seq(("a", "b"), ("a_b", "c"))) ==
+      Map(1L -> ((3L, 1L)), 2L -> ((1L, 1L)), 3L -> ((0L, 0L)), 4L -> ((4L, 2L))))
   }
 
   test("BPE training: k=10 merge table matches the k=3 prefix (checkpoint preserves semantics)") {
