@@ -99,6 +99,69 @@ class Round6Spec extends SparkSpec {
       s"shuffle carried ${written.sum} rows — partial heap pass not effective")
   }
 
+  test("MG heavy-hitter state survives a checkpointed restart") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("mgrestart").toString
+    val (src, ckpt) = (s"$base/src", s"$base/ckpt")
+    new java.io.File(src).mkdirs()
+    val cap = 64
+    def drop(rows: Seq[(String, Long)], name: String): Unit = {
+      val tmp = s"$base/tmp_$name"
+      rows.toDF("event_type", "user_id").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType)))
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = s"$base/out"
+      def runOnce(): Unit = {
+        // memory sink can't recover from a checkpoint — foreachBatch can
+        val q = StreamOps.streamingTopUsersMg(
+            spark.readStream.schema(schema).parquet(src), 3, cap).toDF()
+          .writeStream
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.write.mode("append").parquet(out)
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      // run 1: heavy user + 100 singletons; run 2 (restart): 50 more heavy
+      // hits + 100 NEW singletons. The summary must carry run 1's counts.
+      drop(Seq.fill(50)(("click", 1L)) ++ (100L until 200L).map(u => ("click", u)), "00_a")
+      runOnce()
+      drop(Seq.fill(50)(("click", 1L)) ++ (200L until 300L).map(u => ("click", u)), "01_b")
+      runOnce()
+      val fin = spark.read.parquet(out).collect()
+        .filter(r => r.getAs[Long]("n_seen") == 300L && r.getAs[Long]("rank") == 1L)
+      assert(fin.nonEmpty, "restart run emitted no final top row")
+      val r1 = fin.head
+      // n_seen counts BOTH runs — state restored, nothing reprocessed
+      assert(r1.getAs[Long]("user_id") == 1L)
+      val c = r1.getAs[Long]("cnt")
+      // 100 true hits; MG undercount bounded by n/(cap+1) = 300/65
+      assert(c <= 100L && c >= 100L - 300L / (cap + 1), s"cnt $c out of bound")
+      assert(r1.getAs[Long]("state_size") <= cap.toLong)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("df-pruned minhash: boilerplate footers stop matching, true near-dups still do") {
     import graft.operators.Dedup
     val footer = "subscribe to our newsletter for updates and terms of service information today"
