@@ -297,6 +297,36 @@ class ScaleSpec extends SparkSpec {
       plan.take(2000))
   }
 
+  test("df-pruned minhash plans no cartesian; the stop set rides a broadcast") {
+    val plan = graft.operators.Dedup
+      .queries("q_dedup_minhash_pruned")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the only nested-loop shapes allowed are the two scalar/stop-set
+    // broadcasts (1-row frames by construction); candidate generation
+    // itself must stay equi-join
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).size <=
+      "band|key".r.findAllIn(plan).size, plan)
+  }
+
+  test("source-cap plans the partial/final top-k pair, no sort, no window") {
+    val plan = graft.operators.Curation.queries("q_source_cap")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKeyPartial"), plan)
+    assert(!plan.contains("Window"), plan)
+    // the final orderBy on the k-bounded RESULT is the only sort
+    assert("Sort ".r.findAllIn(plan).size <= 1, plan)
+  }
+
+  test("MRL rescore joins only shortlist pairs — queries ride a broadcast") {
+    val plan = graft.operators.Similarity
+      .queries("q_sim_topk_mrl_rescore")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+
   test("BPE pair-count stage is one map-side-combined aggregate, no join") {
     // one training iteration's count stage: explode+groupBy only
     val docs = Tables.documents(spark, sfDir)
