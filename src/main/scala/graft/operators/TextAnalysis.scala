@@ -226,6 +226,54 @@ object TextAnalysis {
       size(col("toks")).cast("long").as("n_bpe"))
   }
 
+  /** The PRODUCTION encode for tokenizer-real merge counts: the
+    * projection-chain form ([[bpeEncode]]) is k plan nodes — fine at
+    * gated k, but a real tokenizer has tens of thousands of merges and
+    * the analyzer cost of a 30k-project chain is its own bottleneck.
+    * Here the merge table rides ONE broadcast and each partition applies
+    * all merges per document imperatively (greedy left-to-right,
+    * non-overlapping — byte-for-byte the same pass the fold expresses):
+    * plan size is constant in k, the corpus is still read once, and the
+    * work is the same O(k·len) per doc. mapPartitions is the honest tool
+    * here (brief tier (d)): the per-row loop over a broadcast array is
+    * genuine imperative logic no expression tree should encode at that
+    * size. Proven row-identical to [[bpeEncode]] in Round6Spec.
+    */
+  def bpeEncodeMapSide(docs: DataFrame,
+                       merges: Seq[(String, String)]): DataFrame = {
+    val s = docs.sparkSession
+    val bc = s.sparkContext.broadcast(merges.toArray)
+    import s.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val ms = bc.value
+        it.map { case (id, text) =>
+          var toks = text.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+          val nRaw = toks.length.toLong
+          var m = 0
+          while (m < ms.length) {
+            val (a, b) = ms(m)
+            if (toks.length > 1) {
+              val out = scala.collection.mutable.ArrayBuffer.empty[String]
+              var i = 0
+              while (i < toks.length) {
+                if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+                  out += a + "_" + b
+                  i += 2
+                } else {
+                  out += toks(i)
+                  i += 1
+                }
+              }
+              toks = out.toArray
+            }
+            m += 1
+          }
+          (id, nRaw, toks.length.toLong)
+        }
+      }.toDF("doc_id", "n_raw", "n_bpe")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tokenizer deploy path: train 6 merges, then encode the corpus with
     // them in one pass; per-doc compression (n_raw vs n_bpe) is the

@@ -240,6 +240,21 @@ class Round6Spec extends SparkSpec {
       Map(1L -> ((3L, 1L)), 2L -> ((1L, 1L)), 3L -> ((0L, 0L)), 4L -> ((4L, 2L))))
   }
 
+  test("BPE map-side encode is row-identical to the projection-chain encode") {
+    // real corpus + real trained merges: the imperative per-doc pass must
+    // reproduce the declarative fold exactly, including chained merges
+    val docs = Tables.documents(spark, sfDir)
+    val merges = TextAnalysis.bpeTrain(spark, docs, 4).orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.size == 4)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().map { case (id, r, b) => id -> (r, b) }.toMap
+    val declarative = asMap(TextAnalysis.bpeEncode(spark, docs, merges))
+    val mapSide = asMap(TextAnalysis.bpeEncodeMapSide(docs, merges))
+    assert(declarative == mapSide)
+    assert(declarative.nonEmpty && declarative.exists { case (_, (r, b)) => b < r })
+  }
+
   test("BPE training: k=10 merge table matches the k=3 prefix (checkpoint preserves semantics)") {
     val docs = Seq((1L, "the cat sat on the cat mat"), (2L, "the cat is the cat"),
       (3L, "go go go"), (4L, "the cat sat down")).toDF("doc_id", "text")
