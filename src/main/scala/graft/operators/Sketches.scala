@@ -80,6 +80,32 @@ object Sketches {
     "q_approx_distinct" -> { (s, d) =>
       approxDistinct(Tables.orders(s, d), "o_custkey", 0.02)
     },
+    // SKETCH RE-AGGREGATION (the pre-aggregated-sketch-table pattern):
+    // materialize one DataSketches HLL per year, then roll the TOTAL
+    // distinct-user estimate up from the sketches alone — no second scan
+    // of the fact. At 100 TB this is how distinct-count dashboards work:
+    // per-partition sketch rows (a few KB each) are the only thing ever
+    // re-read, and any grouping subset unions in sketch space. Gated with
+    // the boolean contract at both levels (per-year and rolled-up, 5%).
+    "q_hll_rollup" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(year(col("ts")).as("yr"), col("user_id"))
+      val perYear = ev.groupBy("yr")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"),
+          count_distinct(col("user_id")).as("exact_users"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val years = perYear.select(col("yr"), col("exact_users"),
+        (abs(hll_sketch_estimate(col("sk")) - col("exact_users")) <=
+          col("exact_users").cast("double") * 0.05).as("within_tol"))
+      val exactTotal = ev.agg(count_distinct(col("user_id")).as("exact_users"))
+      val rolled = perYear
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        .crossJoin(broadcast(exactTotal))
+        .select(lit(-1).as("yr"), col("exact_users"),
+          (abs(col("est") - col("exact_users")) <=
+            col("exact_users").cast("double") * 0.05).as("within_tol"))
+      years.unionByName(rolled).orderBy("yr")
+    },
     // Exact ≥1%-frequency tokens over the corpus (k=100): the tokenizer /
     // vocabulary-pruning primitive, shaped for columns whose distinct
     // count dwarfs executor memory.
@@ -161,6 +187,15 @@ object Sketches {
       """SELECT count(DISTINCT o_custkey) AS exact_distinct,
         | TRUE AS within_tol
         |FROM orders""".stripMargin,
+    "q_hll_rollup" ->
+      """SELECT CAST(year(ts) AS INTEGER) AS yr,
+        | count(DISTINCT user_id) AS exact_users, TRUE AS within_tol
+        |FROM events GROUP BY 1
+        |UNION ALL
+        |SELECT -1 AS yr, count(DISTINCT user_id) AS exact_users,
+        | TRUE AS within_tol
+        |FROM events
+        |ORDER BY yr""".stripMargin,
     "q_approx_median" ->
       """SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS exact_p50,
         | TRUE AS within_tol
