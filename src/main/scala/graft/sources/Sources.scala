@@ -122,6 +122,41 @@ object Sources {
       .orderBy("lang")
   }
 
+  /** Raw-media ingest via the `binaryFile` source — how image/audio/video
+    * bytes actually enter a lake (one opaque blob per file, path + length
+    * + modification metadata attached by the reader). The fixture writes
+    * one .bin per document (UTF-8 text bytes — content-representative,
+    * deterministic), then the REAL `format("binaryFile")` read is the
+    * thing under test: a distributed scan that never parses the payload;
+    * per-file identity (byte length + md5 digest) must round-trip exactly
+    * against the source table. At 100 TB the same plan shape holds — the
+    * scan parallelizes over files, payloads stay opaque binary columns
+    * ([[graft.operators.Multimodal]] takes over from there), and the
+    * digest/length audit is the standard ingest fixity check.
+    */
+  def binaryIngest(s: SparkSession, d: String): DataFrame = {
+    val dir = "/root/repo/target/scratch/blobs"
+    rmDir(dir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    // fixture: 20 small files on the driver (fixture setup, not the
+    // operator — the read below is the distributed path)
+    Tables.documents(s, d).filter(col("doc_id") < 20)
+      .select("doc_id", "text").collect().foreach { r =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, f"doc_${r.getLong(0)}%05d.bin"),
+          r.getString(1).getBytes("UTF-8"))
+      }
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin")
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+          .cast("long").as("doc_id"),
+        col("length").as("n_bytes"),
+        md5(col("content")).as("digest"))
+      .orderBy("doc_id")
+  }
+
   /** S3/S4 over JDBC — the reference's actual Postgres surface
     * (dags/etl_crash_traffic.py:266-290 scan, :641-654 sink), exercised
     * through Spark's REAL `write.jdbc` / `read.jdbc` code path against
@@ -295,6 +330,7 @@ object Sources {
     "q_s4_idempotent_write" -> idempotentWriteRoundtrip _,
     "q_jdbc_roundtrip" -> jdbcRoundtrip _,
     "q_jsonl_roundtrip" -> jsonlRoundtrip _,
+    "q_binary_ingest" -> binaryIngest _,
     "q_bucketed_join" -> bucketedJoin _,
     "q_partition_pruning" -> partitionedPrunedScan _,
     "q_compaction" -> compactionRoundtrip _,
@@ -319,6 +355,12 @@ object Sources {
     "q_jdbc_roundtrip" ->
       """SELECT n_regionkey, count(*) AS cnt, max(n_name) AS max_name
         |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
+    // per-file byte-identity vs the source rows: md5 over UTF-8 bytes is
+    // the same value both engines compute over this ASCII corpus
+    "q_binary_ingest" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+        | md5(text) AS digest
+        |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin,
     "q_jsonl_roundtrip" ->
       """SELECT lang, count(*) AS cnt,
         | CAST(sum(length(text)) AS BIGINT) AS total_chars,
