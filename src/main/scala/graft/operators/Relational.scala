@@ -469,6 +469,31 @@ object Relational {
         count(when(col("source").isNull, 1)).as("source_missing"))
     },
 
+    // OBSERVED METRICS — `Dataset.observe`: data-quality counters
+    // computed DURING a pass the job runs anyway (here: a noop-sink
+    // execution standing in for the real write), not by a second scan.
+    // At 100 TB this is the only affordable way to emit per-load audit
+    // numbers — the aggregates ride the existing tasks as accumulators.
+    // Restricted to commutative-associative aggregates by the API; the
+    // money sum uses the exact-decimal cents idiom so the observed value
+    // is order-independent and oracle-stable.
+    "q_observe_metrics" -> { (s, d) =>
+      val obs = org.apache.spark.sql.Observation("load_audit")
+      Tables.lineitem(s, d)
+        .observe(obs,
+          count(lit(1)).as("n_rows"),
+          count(when(col("l_discount") > 0.05, 1)).as("n_hi_discount"),
+          sum((col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+            .cast("long")).as("price_cents"))
+        .write.format("noop").mode("overwrite").save()
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_rows").asInstanceOf[Long],
+          m("n_hi_discount").asInstanceOf[Long],
+          m("price_cents").asInstanceOf[Long]))
+        .toDF("n_rows", "n_hi_discount", "price_cents")
+    },
+
     // W2 — deterministic LIMIT (top-5 by key).
     "q_w2_limit" -> { (s, d) =>
       Tables.orders(s, d)
@@ -695,6 +720,11 @@ object Relational {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_observe_metrics" ->
+      """SELECT count(*) AS n_rows,
+        | count(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_hi_discount,
+        | CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM lineitem""".stripMargin,
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
