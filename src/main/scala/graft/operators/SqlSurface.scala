@@ -175,6 +175,24 @@ object SqlSurface {
         .orderBy("event_type")
     },
 
+    // VARIANT (Spark 4's semi-structured type): parse_json once into a
+    // binary variant column, then variant_get per access — schema-on-read
+    // without declaring a struct up front, and the decoded binary form is
+    // cheaper to re-access than re-parsing JSON text per field (the
+    // shredded-variant storage path at scale). Same aggregate contract as
+    // q_json_extract, so the two extraction surfaces gate against the
+    // same ground truth.
+    "q_variant_extract" -> { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("v", parse_json(col("props")))
+        .withColumn("k", try_variant_get(col("v"), "$.k", "long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          countDistinct(col("k")).as("dk"))
+        .orderBy("event_type")
+    },
+
     // Functional-dependency profiling — does a → b hold? The key-
     // discovery / dimension-design audit (the reference hand-picked its
     // 8 natural keys; this op is how you find them on new data). One
@@ -332,6 +350,13 @@ object SqlSurface {
         |CROSS JOIN (SELECT unnest(['l_quantity', 'l_extendedprice', 'l_discount']) AS m)
         |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
     "q_json_extract" ->
+      """WITH p AS (SELECT event_type,
+        |  CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+        | FROM events)
+        |SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+        | min(k) AS min_k, max(k) AS max_k, count(DISTINCT k) AS dk
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_variant_extract" ->
       """WITH p AS (SELECT event_type,
         |  CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
         | FROM events)
