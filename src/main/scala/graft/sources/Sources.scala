@@ -41,6 +41,43 @@ object Sources {
       .orderBy("o_orderkey")
   }
 
+  /** CSV QUOTING FIDELITY — the part of the CSV contract the clean
+    * round-trip above never touches: fields containing the delimiter,
+    * the quote character itself (doubled on write per RFC 4180), and
+    * embedded newlines. The synthetic corpus is [a-z ]-only, so the
+    * hard cases are PLANTED (the pii/boilerplate fixture idiom), written
+    * through the real CSV sink, and read back with `multiLine` (a
+    * newline inside quotes otherwise splits the record). Fidelity is
+    * gated value-for-value: per-doc byte length and md5 must survive the
+    * trip; the oracle recomputes both from the source rows, planting the
+    * same text.
+    *
+    * Scale note: `multiLine` CSV cannot split files on newlines (a
+    * newline may be quoted), so each file parses as one task — the
+    * 100 TB posture is many modest files, which is what the writer
+    * produces anyway. Schema is declared, never inferred.
+    */
+  def csvQuotedRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmp = "/root/repo/target/scratch/csv_quoted"
+    val planted = Tables.documents(s, d)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("a,b \"quoted\" c\nnext line,"), col("text")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("trailing,comma,and \"quote\""), col("text")))
+          .otherwise(col("text")).as("text"))
+    planted.write.mode("overwrite").option("header", true).csv(tmp)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    s.read.schema(schema)
+      .option("header", true).option("multiLine", true)
+      .csv(tmp)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        md5(col("text")).as("digest"))
+      .orderBy("doc_id")
+  }
+
   /** S4 — the idempotent-append sink driven end-to-end: partial first
     * load, two idempotent loads of the full table (second is a no-op),
     * then read back — the table must hold each key exactly once (the
@@ -326,6 +363,7 @@ object Sources {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_s1_csv_roundtrip" -> csvRoundtrip _,
+    "q_csv_quoted" -> csvQuotedRoundtrip _,
     "q_orc_roundtrip" -> orcRoundtrip _,
     "q_s4_idempotent_write" -> idempotentWriteRoundtrip _,
     "q_jdbc_roundtrip" -> jdbcRoundtrip _,
@@ -355,6 +393,16 @@ object Sources {
     "q_jdbc_roundtrip" ->
       """SELECT n_regionkey, count(*) AS cnt, max(n_name) AS max_name
         |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_csv_quoted" ->
+      """WITH p AS (
+        | SELECT doc_id, CASE
+        |   WHEN doc_id % 3 = 0 THEN 'a,b "quoted" c' || chr(10) || 'next line,' || text
+        |   WHEN doc_id % 3 = 1 THEN 'trailing,comma,and "quote"' || text
+        |   ELSE text END AS text
+        | FROM documents WHERE doc_id < 50)
+        |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        | md5(text) AS digest
+        |FROM p ORDER BY doc_id""".stripMargin,
     // per-file byte-identity vs the source rows: md5 over UTF-8 bytes is
     // the same value both engines compute over this ASCII corpus
     "q_binary_ingest" ->
