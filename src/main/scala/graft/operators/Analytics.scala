@@ -481,6 +481,26 @@ object Analytics {
     },
 
     // A9 — dashboard: totals by year ("Injury and Fatality Trends by Year").
+    // TIME-SERIES RESAMPLING to hourly bars with ORDERED first/last —
+    // open = first value in the bar, close = last (the OHLC/dashboard
+    // downsample). min_by/max_by over a (ts, event_id) struct gives the
+    // ordered endpoints as a plain hash aggregate: one shuffle on the
+    // bar key with map-side partials, NO per-bar sort and no window —
+    // the endpoints ride the aggregation buffer. The id in the struct
+    // makes the order total (equal-ts events tie-break deterministically).
+    // Raw values pass through untouched (no accumulation), so doubles
+    // compare exactly across engines.
+    "q_resample_bars" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("bar_ts"))
+        .agg(
+          min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+          max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+          min(col("value")).as("lo"), max(col("value")).as("hi"),
+          count(lit(1)).as("n"))
+        .orderBy("bar_ts")
+    },
+
     "q_a9_by_year" -> { (s, d) =>
       Tables.orders(s, d)
         .groupBy(year(col("o_orderdate")).as("y"))
@@ -636,6 +656,19 @@ object Analytics {
          |       o_orderpriority AS prio, o_totalprice FROM orders)
          |GROUP BY ROLLUP(y, prio)
          |ORDER BY gid, y NULLS LAST, prio NULLS LAST""".stripMargin,
+    "q_resample_bars" ->
+      """WITH r AS (
+        | SELECT date_trunc('hour', ts) AS bar_ts, value,
+        |  row_number() OVER (PARTITION BY date_trunc('hour', ts)
+        |    ORDER BY ts, event_id) AS rn_a,
+        |  row_number() OVER (PARTITION BY date_trunc('hour', ts)
+        |    ORDER BY ts DESC, event_id DESC) AS rn_d
+        | FROM events)
+        |SELECT bar_ts,
+        | max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        | max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        | min(value) AS lo, max(value) AS hi, count(*) AS n
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_a9_by_year" ->
       s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS y, ${sumDecSql("o_totalprice")} AS total,
          | count(*) AS cnt
