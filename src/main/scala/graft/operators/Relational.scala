@@ -487,10 +487,14 @@ object Relational {
             .cast("long")).as("price_cents"))
         .write.format("noop").mode("overwrite").save()
       val m = obs.get
+      // sum() observes NULL on empty input — surface 0, never an unboxing NPE
+      def asLong(v: Any): Long = v match {
+        case null => 0L
+        case x => x.asInstanceOf[Long]
+      }
       import s.implicits._
-      Seq((m("n_rows").asInstanceOf[Long],
-          m("n_hi_discount").asInstanceOf[Long],
-          m("price_cents").asInstanceOf[Long]))
+      Seq((asLong(m("n_rows")), asLong(m("n_hi_discount")),
+          asLong(m("price_cents"))))
         .toDF("n_rows", "n_hi_discount", "price_cents")
     },
 

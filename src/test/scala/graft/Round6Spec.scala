@@ -185,6 +185,24 @@ class Round6Spec extends SparkSpec {
     assert(pruned == Set((20L, 21L)), s"pruned result: $pruned")
   }
 
+  test("resample bars: equal-timestamp endpoints tie-break on event id") {
+    import java.sql.Timestamp
+    val t = Timestamp.valueOf("2024-01-01 10:00:01")
+    val rows = Seq(
+      (5L, t, 50.0), (2L, t, 20.0), // same ts: open must take id 2
+      (9L, Timestamp.valueOf("2024-01-01 10:59:59"), 99.0),
+      (8L, Timestamp.valueOf("2024-01-01 10:59:59"), 88.0)) // close: id 9
+      .toDF("event_id", "ts", "value")
+    val bar = rows
+      .groupBy(date_trunc("hour", col("ts")).as("bar_ts"))
+      .agg(min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"))
+      .collect()
+    assert(bar.length == 1)
+    assert(bar.head.getAs[Double]("open") == 20.0)
+    assert(bar.head.getAs[Double]("close") == 99.0)
+  }
+
   test("count-min: null keys are skipped, not NPEs, and estimate(null) is 0") {
     import graft.functions.{CountMin, CountMinAggregator}
     val agg = new CountMinAggregator(4, 64)
