@@ -481,6 +481,46 @@ object Analytics {
     },
 
     // A9 — dashboard: totals by year ("Injury and Fatality Trends by Year").
+    // CONVERSION FUNNEL — ordered step completion (signup → view →
+    // purchase by FIRST occurrence per user): one user-keyed aggregate
+    // computes all step timestamps in a single pass (conditional mins,
+    // map-side combined), then a scalar rollup counts stage survivors.
+    // No self-joins, no per-user windows — the classic funnel at 100 TB
+    // is two aggregates, the first keyed by user (bounded by user
+    // cardinality), the second scalar.
+    "q_funnel" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+        .agg(
+          count(col("t_signup")).as("n_signup"),
+          count(when(col("t_view") > col("t_signup"), 1)).as("n_signup_then_view"),
+          count(when(col("t_view") > col("t_signup") &&
+            col("t_purchase") > col("t_view"), 1)).as("n_full_funnel"))
+    },
+
+    // COHORT RETENTION — users grouped by first-active week, activity
+    // counted per subsequent week (the retention matrix). The first-seen
+    // frame is user-cardinality-sized and broadcasts back onto events;
+    // the matrix aggregate shuffles on (cohort, week) — bounded by
+    // weeks², not events. Week anchors are Mondays in both engines, so
+    // the day-difference is an exact multiple of 7.
+    "q_cohort_retention" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      val firstSeen = ev.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+      ev.join(broadcast(firstSeen), Seq("user_id"))
+        .groupBy("cohort_wk", "wk")
+        .agg(count_distinct(col("user_id")).as("n_active"))
+        .select(col("cohort_wk").cast("date").as("cohort_wk"),
+          (datediff(col("wk"), col("cohort_wk")) / lit(7)).cast("int").as("week_no"),
+          col("n_active"))
+        .orderBy("cohort_wk", "week_no")
+    },
+
     // TIME-SERIES RESAMPLING to hourly bars with ORDERED first/last —
     // open = first value in the bar, close = last (the OHLC/dashboard
     // downsample). min_by/max_by over a (ts, event_id) struct gives the
@@ -656,6 +696,27 @@ object Analytics {
          |       o_orderpriority AS prio, o_totalprice FROM orders)
          |GROUP BY ROLLUP(y, prio)
          |ORDER BY gid, y NULLS LAST, prio NULLS LAST""".stripMargin,
+    "q_funnel" ->
+      """WITH f AS (
+        | SELECT user_id,
+        |  min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+        |  min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |  min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        | FROM events GROUP BY 1)
+        |SELECT count(t_signup) AS n_signup,
+        | count(CASE WHEN t_view > t_signup THEN 1 END) AS n_signup_then_view,
+        | count(CASE WHEN t_view > t_signup AND t_purchase > t_view THEN 1 END) AS n_full_funnel
+        |FROM f""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH e AS (
+        | SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+        |first_seen AS (
+        | SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1)
+        |SELECT CAST(cohort_wk AS DATE) AS cohort_wk,
+        | CAST(date_diff('day', cohort_wk, wk) / 7 AS INTEGER) AS week_no,
+        | count(DISTINCT user_id) AS n_active
+        |FROM e JOIN first_seen USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_resample_bars" ->
       """WITH r AS (
         | SELECT date_trunc('hour', ts) AS bar_ts, value,
