@@ -481,6 +481,35 @@ object Analytics {
     },
 
     // A9 — dashboard: totals by year ("Injury and Fatality Trends by Year").
+    // SESSION PATH ANALYSIS — the most common event-type sequences per
+    // session (the "user journey" report): sessionize with the same
+    // strict->gap rule as q_sessionize, render each session's ordered
+    // type sequence as a path string, count sessions per path. Ordering
+    // inside a session is total — (ts, event_id) — so equal-timestamp
+    // events render identically in both engines. The per-session
+    // collect_list is session-length-bounded; the path rollup shuffles
+    // path-cardinality keys; the final top-20 sorts a path-count frame.
+    "q_session_paths" -> { (s, d) =>
+      val byUser = Window.partitionBy("user_id").orderBy("ts")
+      val evs = Tables.events(s, d)
+        .withColumn("ts", date_trunc("second", col("ts")))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 1800, 1)
+            .otherwise(0))
+        .withColumn("sess_no", sum(col("new_sess")).over(byUser))
+      evs.groupBy("user_id", "sess_no")
+        .agg(concat_ws("->",
+          transform(
+            sort_array(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type")))),
+            e => e.getField("event_type"))).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        .orderBy(desc("n_sessions"), col("path"))
+        .limit(20)
+    },
+
     // CONVERSION FUNNEL — ordered step completion (signup → view →
     // purchase by FIRST occurrence per user): one user-keyed aggregate
     // computes all step timestamps in a single pass (conditional mins,
@@ -696,6 +725,24 @@ object Analytics {
          |       o_orderpriority AS prio, o_totalprice FROM orders)
          |GROUP BY ROLLUP(y, prio)
          |ORDER BY gid, y NULLS LAST, prio NULLS LAST""".stripMargin,
+    "q_session_paths" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, event_type,
+        |  date_trunc('second', ts) AS ts FROM events),
+        |g AS (
+        | SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        | SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+        | FROM g),
+        |p AS (
+        | SELECT user_id, sess_no,
+        |  string_agg(event_type, '->' ORDER BY ts, event_id) AS path
+        | FROM s GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions
+        |FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
     "q_funnel" ->
       """WITH f AS (
         | SELECT user_id,
