@@ -510,6 +510,34 @@ object Analytics {
         .limit(20)
     },
 
+    // SESSION TRANSITION MATRIX — first-order Markov counts over event
+    // types within sessions (the "what do users do next" report, and the
+    // input to any journey-graph / next-action model). Same sessionize
+    // block as q_session_paths / q_sessionize; the in-session lag runs
+    // over the TOTAL order (ts, event_id) so tied timestamps resolve
+    // identically in both engines. Scale shape: two user-partitioned
+    // windows (user-bounded partitions), then a groupBy on (src, dst) —
+    // type-cardinality² keys, map-side combined, so the only full-data
+    // shuffle is the sessionize window itself.
+    "q_session_transitions" -> { (s, d) =>
+      val byUser = Window.partitionBy("user_id").orderBy("ts")
+      val bySess = Window.partitionBy("user_id", "sess_no")
+        .orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("ts", date_trunc("second", col("ts")))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 1800, 1)
+            .otherwise(0))
+        .withColumn("sess_no", sum(col("new_sess")).over(byUser))
+        .withColumn("src", lag(col("event_type"), 1).over(bySess))
+        .filter(col("src").isNotNull)
+        .groupBy(col("src"), col("event_type").as("dst"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("src", "dst")
+    },
+
     // CONVERSION FUNNEL — ordered step completion (signup → view →
     // purchase by FIRST occurrence per user): one user-keyed aggregate
     // computes all step timestamps in a single pass (conditional mins,
@@ -743,6 +771,24 @@ object Analytics {
         | FROM s GROUP BY 1, 2)
         |SELECT path, count(*) AS n_sessions
         |FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+    "q_session_transitions" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, event_type,
+        |  date_trunc('second', ts) AS ts FROM events),
+        |g AS (
+        | SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        | SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+        | FROM g),
+        |t AS (
+        | SELECT event_type AS dst, lag(event_type) OVER (
+        |   PARTITION BY user_id, sess_no ORDER BY ts, event_id) AS src
+        | FROM s)
+        |SELECT src, dst, count(*) AS n FROM t
+        |WHERE src IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_funnel" ->
       """WITH f AS (
         | SELECT user_id,
