@@ -538,6 +538,36 @@ object Analytics {
         .orderBy("src", "dst")
     },
 
+    // THINK-TIME DISTRIBUTION — P50/P90/P99 of the seconds between
+    // consecutive events inside a session (the engagement/latency
+    // report, and the empirical basis for choosing the session gap
+    // threshold itself). Gaps are integer seconds from the same total
+    // (ts, event_id) in-session order as q_session_transitions, so tied
+    // timestamps contribute exact-0 gaps in both engines; percentiles
+    // run through the distributed exact engine (value-count shuffle +
+    // interpolation — no value buffering at any cardinality, unlike the
+    // builtin `percentile` aggregate).
+    "q_think_time" -> { (s, d) =>
+      val byUser = Window.partitionBy("user_id").orderBy("ts")
+      val bySess = Window.partitionBy("user_id", "sess_no")
+        .orderBy("ts", "event_id")
+      val gaps = Tables.events(s, d)
+        .withColumn("ts", date_trunc("second", col("ts")))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 1800, 1)
+            .otherwise(0))
+        .withColumn("sess_no", sum(col("new_sess")).over(byUser))
+        .withColumn("gap", unix_timestamp(col("ts")) -
+          unix_timestamp(lag(col("ts"), 1).over(bySess)))
+        .filter(col("gap").isNotNull)
+        .select("gap")
+      gaps.agg(count(col("gap")).as("n_gaps"))
+        .crossJoin(broadcast(exactPercentiles(gaps, "gap",
+          Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))))
+    },
+
     // CONVERSION FUNNEL — ordered step completion (signup → view →
     // purchase by FIRST occurrence per user): one user-keyed aggregate
     // computes all step timestamps in a single pass (conditional mins,
@@ -789,6 +819,26 @@ object Analytics {
         | FROM s)
         |SELECT src, dst, count(*) AS n FROM t
         |WHERE src IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_think_time" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, date_trunc('second', ts) AS ts FROM events),
+        |g AS (
+        | SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        | SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+        | FROM g),
+        |gp AS (
+        | SELECT CAST(epoch(ts) - epoch(lag(ts) OVER (
+        |   PARTITION BY user_id, sess_no ORDER BY ts, event_id)) AS BIGINT) AS gap
+        | FROM s)
+        |SELECT count(gap) AS n_gaps,
+        | quantile_cont(gap, 0.5) AS p50,
+        | quantile_cont(gap, 0.9) AS p90,
+        | quantile_cont(gap, 0.99) AS p99
+        |FROM gp WHERE gap IS NOT NULL""".stripMargin,
     "q_funnel" ->
       """WITH f AS (
         | SELECT user_id,
