@@ -568,6 +568,48 @@ object Analytics {
           Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))))
     },
 
+    // A/B EXPERIMENT READOUT — two-proportion z-test on purchase
+    // conversion under a deterministic md5 user split (the same
+    // hash-bucket assignment family as q_sample_split, so variant
+    // membership is reproducible across engines and runs). One
+    // user-keyed aggregate (bounded by user cardinality), then a scalar
+    // conditional rollup — no joins, no windows. The z-score is a fixed
+    // IEEE-double expression tree evaluated identically in both engines
+    // and rounded to 6dp (the q_drift_psi float-parity convention).
+    "q_ab_test" -> { (s, d) =>
+      val variant = when(
+        conv(substring(md5(col("user_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 2 === 0, "control").otherwise("treatment")
+      val perUser = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("converted"))
+        .withColumn("variant", variant)
+      val a = perUser.agg(
+        count(when(col("variant") === "control", 1)).as("n_c"),
+        sum(when(col("variant") === "control", col("converted"))
+          .otherwise(0)).as("x_c"),
+        count(when(col("variant") === "treatment", 1)).as("n_t"),
+        sum(when(col("variant") === "treatment", col("converted"))
+          .otherwise(0)).as("x_t"))
+      val rateC = col("x_c") / col("n_c").cast("double")
+      val rateT = col("x_t") / col("n_t").cast("double")
+      val pool = (col("x_c") + col("x_t")) /
+        (col("n_c") + col("n_t")).cast("double")
+      val se = sqrt(pool * (lit(1).cast("double") - pool) *
+        (lit(1).cast("double") / col("n_c").cast("double") +
+          lit(1).cast("double") / col("n_t").cast("double")))
+      // se = 0 when conversion is degenerate (all or none convert — the
+      // sf0.001 regime): the z-score is undefined, so emit NULL rather
+      // than divide by zero (ANSI mode throws; CASE evaluates lazily).
+      a.select(col("n_c"), col("x_c"), col("n_t"), col("x_t"),
+          rateC.as("rc"), rateT.as("rt"), se.as("se"))
+        .select(col("n_c"), col("x_c"), col("n_t"), col("x_t"),
+          round(col("rc"), 6).as("rate_c"), round(col("rt"), 6).as("rate_t"),
+          when(col("se") > 0,
+            round((col("rt") - col("rc")) / col("se"), 6)).as("z"))
+    },
+
     // CONVERSION FUNNEL — ordered step completion (signup → view →
     // purchase by FIRST occurrence per user): one user-keyed aggregate
     // computes all step timestamps in a single pass (conditional mins,
@@ -839,6 +881,33 @@ object Analytics {
         | quantile_cont(gap, 0.9) AS p90,
         | quantile_cont(gap, 0.99) AS p99
         |FROM gp WHERE gap IS NOT NULL""".stripMargin,
+    "q_ab_test" ->
+      """WITH u AS (
+        | SELECT user_id,
+        |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+        | FROM events GROUP BY 1),
+        |v AS (
+        | SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4)) AS BIGINT) % 2 = 0
+        |   THEN 'control' ELSE 'treatment' END AS variant, converted FROM u),
+        |a AS (
+        | SELECT count(CASE WHEN variant = 'control' THEN 1 END) AS n_c,
+        |  CAST(sum(CASE WHEN variant = 'control' THEN converted ELSE 0 END) AS BIGINT) AS x_c,
+        |  count(CASE WHEN variant = 'treatment' THEN 1 END) AS n_t,
+        |  CAST(sum(CASE WHEN variant = 'treatment' THEN converted ELSE 0 END) AS BIGINT) AS x_t
+        | FROM v),
+        |b AS (
+        | SELECT n_c, x_c, n_t, x_t,
+        |  x_c / CAST(n_c AS DOUBLE) AS rc,
+        |  x_t / CAST(n_t AS DOUBLE) AS rt,
+        |  sqrt(((x_c + x_t) / CAST(n_c + n_t AS DOUBLE))
+        |    * (CAST(1 AS DOUBLE) - (x_c + x_t) / CAST(n_c + n_t AS DOUBLE))
+        |    * (CAST(1 AS DOUBLE) / CAST(n_c AS DOUBLE)
+        |       + CAST(1 AS DOUBLE) / CAST(n_t AS DOUBLE))) AS se
+        | FROM a)
+        |SELECT n_c, x_c, n_t, x_t,
+        | round(rc, 6) AS rate_c, round(rt, 6) AS rate_t,
+        | CASE WHEN se > 0 THEN round((rt - rc) / se, 6) END AS z
+        |FROM b""".stripMargin,
     "q_funnel" ->
       """WITH f AS (
         | SELECT user_id,
