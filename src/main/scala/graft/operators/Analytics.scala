@@ -439,6 +439,29 @@ object Analytics {
       zscoreOutliers(Tables.orders(s, d), "o_orderpriority", "o_totalprice", 2.0)
     },
 
+    // ROBUST OUTLIERS — median-absolute-deviation audit (the
+    // heavy-tail-safe twin of q_zscore_outliers: mean/std are themselves
+    // dragged by the outliers they're meant to find; median/MAD aren't).
+    // Both medians run through the distributed exact-percentile engine
+    // (no value buffering), each threshold broadcasts back as a 1-row
+    // dimension, and the flag pass is map-side — three bounded passes
+    // over the column at any corpus size. 4.4478 = 3σ × the 1.4826
+    // normal-consistency constant, pinned as ONE double literal so both
+    // engines parse the identical constant (no cross-engine
+    // constant-folding drift).
+    "q_mad_outliers" -> { (s, d) =>
+      val o = Tables.orders(s, d).select(col("o_totalprice"))
+      val med = exactPercentiles(o, "o_totalprice", Seq("med" -> 0.5))
+      val dev = o.crossJoin(broadcast(med))
+        .select(col("med"), abs(col("o_totalprice") - col("med")).as("adev"))
+      val mad = exactPercentiles(dev, "adev", Seq("mad" -> 0.5))
+      dev.crossJoin(broadcast(mad))
+        .groupBy("med", "mad")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("adev") > lit(4.4478) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+    },
+
     // Drift monitor: PSI of the document-length distribution, English
     // slice vs everything else (the per-ingest-batch distribution check
     // a training pipeline runs before accepting a new shard).
@@ -908,6 +931,13 @@ object Analytics {
         | round(rc, 6) AS rate_c, round(rt, 6) AS rate_t,
         | CASE WHEN se > 0 THEN round((rt - rc) / se, 6) END AS z
         |FROM b""".stripMargin,
+    "q_mad_outliers" ->
+      """WITH m AS (SELECT quantile_cont(o_totalprice, 0.5) AS med FROM orders),
+        |d AS (SELECT med, abs(o_totalprice - med) AS adev FROM orders, m),
+        |md AS (SELECT quantile_cont(adev, 0.5) AS mad FROM d)
+        |SELECT med, mad, count(*) AS n_total,
+        | CAST(sum(CASE WHEN adev > CAST(4.4478 AS DOUBLE) * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM d, md GROUP BY med, mad""".stripMargin,
     "q_funnel" ->
       """WITH f AS (
         | SELECT user_id,
