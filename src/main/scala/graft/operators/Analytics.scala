@@ -462,6 +462,24 @@ object Analytics {
             .as("n_outliers"))
     },
 
+    // TRIMMED MEAN — the mean of the inner 5%–95% of the distribution
+    // (q_winsorize's sibling: drop the tails instead of clipping them).
+    // Thresholds come from the distributed exact percentile and
+    // broadcast back; the trimmed sum is exact-DECIMAL (addition-order
+    // immune) cast to double once — same parity recipe as q_a6_describe.
+    "q_trimmed_mean" -> { (s, d) =>
+      val o = Tables.orders(s, d).select(col("o_totalprice"))
+      val thr = exactPercentiles(o, "o_totalprice",
+        Seq("p05" -> 0.05, "p95" -> 0.95))
+      val in = col("o_totalprice") >= col("p05") &&
+        col("o_totalprice") <= col("p95")
+      o.crossJoin(broadcast(thr))
+        .groupBy("p05", "p95")
+        .agg(count(when(in, 1)).as("n_kept"), count(lit(1)).as("n_total"),
+          (sum(when(in, col("o_totalprice")).cast(DecimalType(18, 2)))
+            .cast("double") / count(when(in, 1))).as("mean_trimmed"))
+    },
+
     // Drift monitor: PSI of the document-length distribution, English
     // slice vs everything else (the per-ingest-batch distribution check
     // a training pipeline runs before accepting a new shard).
@@ -938,6 +956,16 @@ object Analytics {
         |SELECT med, mad, count(*) AS n_total,
         | CAST(sum(CASE WHEN adev > CAST(4.4478 AS DOUBLE) * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM d, md GROUP BY med, mad""".stripMargin,
+    "q_trimmed_mean" ->
+      """WITH t AS (SELECT quantile_cont(o_totalprice, 0.05) AS p05,
+        |  quantile_cont(o_totalprice, 0.95) AS p95 FROM orders)
+        |SELECT p05, p95,
+        | count(CASE WHEN o_totalprice >= p05 AND o_totalprice <= p95 THEN 1 END) AS n_kept,
+        | count(*) AS n_total,
+        | CAST(sum(CAST(CASE WHEN o_totalprice >= p05 AND o_totalprice <= p95
+        |   THEN o_totalprice END AS DECIMAL(18,2))) AS DOUBLE)
+        |  / count(CASE WHEN o_totalprice >= p05 AND o_totalprice <= p95 THEN 1 END) AS mean_trimmed
+        |FROM orders, t GROUP BY p05, p95""".stripMargin,
     "q_funnel" ->
       """WITH f AS (
         | SELECT user_id,
