@@ -480,6 +480,31 @@ object Analytics {
             .cast("double") / count(when(in, 1))).as("mean_trimmed"))
     },
 
+    // GINI COEFFICIENT — the concentration/imbalance report (how skewed
+    // is spend across orders; the same statistic audits token-count
+    // concentration across sources before training). Computed from the
+    // scale-safe cumulative value-count frame: value v occupies ranks
+    // (cum−c+1)..cum, whose sum is c·(2·cum−c+1)/2 — so Σ rank·x needs
+    // no per-row ranking, just one pass over DISTINCT values. All sums
+    // are exact DECIMAL (rank terms are integers, values 2dp) cast to
+    // double once at the end — no float accumulation anywhere, no
+    // single-task sort at any cardinality. G = Σc(2cum−c+1)v/(n·Σx) −
+    // (n+1)/n, the standard sorted-rank identity with the /2 folded out.
+    "q_gini" -> { (s, d) =>
+      val cum = cumulativeValueCounts(
+        Tables.orders(s, d).select(col("o_totalprice")), Nil, "o_totalprice")
+      val rankTerm = col("c").cast(DecimalType(38, 0)) *
+        (lit(2L) * col("cum") - col("c") + lit(1L)).cast(DecimalType(38, 0))
+      val a = cum.agg(
+        max(col("n")).as("n_rows"),
+        sum(col("v").cast(DecimalType(18, 2)) * col("c")).as("sxd"),
+        sum(col("v").cast(DecimalType(18, 2)) * rankTerm).as("s2d"))
+      val nD = col("n_rows").cast("double")
+      a.select(col("n_rows"),
+        round(col("s2d").cast("double") / (nD * col("sxd").cast("double"))
+          - (nD + 1) / nD, 6).as("gini"))
+    },
+
     // Drift monitor: PSI of the document-length distribution, English
     // slice vs everything else (the per-ingest-batch distribution check
     // a training pipeline runs before accepting a new shard).
@@ -966,6 +991,23 @@ object Analytics {
         |   THEN o_totalprice END AS DECIMAL(18,2))) AS DOUBLE)
         |  / count(CASE WHEN o_totalprice >= p05 AND o_totalprice <= p95 THEN 1 END) AS mean_trimmed
         |FROM orders, t GROUP BY p05, p95""".stripMargin,
+    "q_gini" ->
+      """WITH c AS (
+        | SELECT o_totalprice AS v, count(*) AS c FROM orders
+        | WHERE o_totalprice IS NOT NULL GROUP BY 1),
+        |r AS (
+        | SELECT v, c, sum(c) OVER (ORDER BY v
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM c),
+        |a AS (
+        | SELECT CAST(max(cum) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(v AS DECIMAL(18,2)) * c) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(v AS DECIMAL(18,2))
+        |    * CAST(c * (2 * cum - c + 1) AS DECIMAL(38,0))) AS DOUBLE) AS s2
+        | FROM r)
+        |SELECT n_rows,
+        | round(s2 / (CAST(n_rows AS DOUBLE) * sx)
+        |   - (CAST(n_rows AS DOUBLE) + 1) / CAST(n_rows AS DOUBLE), 6) AS gini
+        |FROM a""".stripMargin,
     "q_funnel" ->
       """WITH f AS (
         | SELECT user_id,
