@@ -382,6 +382,140 @@ object Analytics {
       .orderBy("bin")
   }
 
+  /** Events with a per-user session number — the strict ">gap" rule
+    * shared by q_sessionize / q_session_paths (boundary re-derived in r5
+    * against `session_window`'s adjacent-merge semantics).
+    */
+  private def withSessionNo(events: DataFrame, gapSec: Int = 1800): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    events
+      .withColumn("ts", date_trunc("second", col("ts")))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > gapSec, 1)
+          .otherwise(0))
+      .withColumn("sess_no", sum(col("new_sess")).over(byUser))
+  }
+
+  /** First-order Markov (src, dst, n) transition counts within sessions;
+    * the in-session lag runs over the TOTAL order (ts, event_id).
+    */
+  def sessionTransitions(events: DataFrame): DataFrame = {
+    val bySess = Window.partitionBy("user_id", "sess_no")
+      .orderBy("ts", "event_id")
+    withSessionNo(events)
+      .withColumn("src", lag(col("event_type"), 1).over(bySess))
+      .filter(col("src").isNotNull)
+      .groupBy(col("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("src", "dst")
+  }
+
+  /** In-session inter-event gap distribution (seconds): count + exact
+    * P50/P90/P99 through the distributed percentile engine. Gaps across
+    * session boundaries are excluded by construction (the lag restarts
+    * per (user, session)).
+    */
+  def thinkTime(events: DataFrame): DataFrame = {
+    val bySess = Window.partitionBy("user_id", "sess_no")
+      .orderBy("ts", "event_id")
+    val gaps = withSessionNo(events)
+      .withColumn("gap", unix_timestamp(col("ts")) -
+        unix_timestamp(lag(col("ts"), 1).over(bySess)))
+      .filter(col("gap").isNotNull)
+      .select("gap")
+    gaps.agg(count(col("gap")).as("n_gaps"))
+      .crossJoin(broadcast(exactPercentiles(gaps, "gap",
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))))
+  }
+
+  /** Two-proportion z-test on purchase conversion under a deterministic
+    * md5 user split; z is NULL when conversion is degenerate (se = 0).
+    */
+  def abTest(events: DataFrame): DataFrame = {
+    val variant = when(
+      conv(substring(md5(col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 2 === 0, "control").otherwise("treatment")
+    val perUser = events
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+        .as("converted"))
+      .withColumn("variant", variant)
+    val a = perUser.agg(
+      count(when(col("variant") === "control", 1)).as("n_c"),
+      sum(when(col("variant") === "control", col("converted"))
+        .otherwise(0)).as("x_c"),
+      count(when(col("variant") === "treatment", 1)).as("n_t"),
+      sum(when(col("variant") === "treatment", col("converted"))
+        .otherwise(0)).as("x_t"))
+    val rateC = col("x_c") / col("n_c").cast("double")
+    val rateT = col("x_t") / col("n_t").cast("double")
+    val pool = (col("x_c") + col("x_t")) /
+      (col("n_c") + col("n_t")).cast("double")
+    val se = sqrt(pool * (lit(1).cast("double") - pool) *
+      (lit(1).cast("double") / col("n_c").cast("double") +
+        lit(1).cast("double") / col("n_t").cast("double")))
+    a.select(col("n_c"), col("x_c"), col("n_t"), col("x_t"),
+        rateC.as("rc"), rateT.as("rt"), se.as("se"))
+      .select(col("n_c"), col("x_c"), col("n_t"), col("x_t"),
+        round(col("rc"), 6).as("rate_c"), round(col("rt"), 6).as("rate_t"),
+        when(col("se") > 0,
+          round((col("rt") - col("rc")) / col("se"), 6)).as("z"))
+  }
+
+  /** Median-absolute-deviation outlier audit: (med, mad, n_total,
+    * n_outliers) at the 3σ-consistent 4.4478·MAD threshold. Both medians
+    * run through the exact-percentile engine and broadcast back.
+    */
+  def madOutliers(df: DataFrame, valueCol: String): DataFrame = {
+    val o = df.select(col(valueCol))
+    val med = exactPercentiles(o, valueCol, Seq("med" -> 0.5))
+    val dev = o.crossJoin(broadcast(med))
+      .select(col("med"), abs(col(valueCol) - col("med")).as("adev"))
+    val mad = exactPercentiles(dev, "adev", Seq("mad" -> 0.5))
+    dev.crossJoin(broadcast(mad))
+      .groupBy("med", "mad")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("adev") > lit(4.4478) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
+  /** Mean of the inner 5%–95%: exact-percentile thresholds broadcast
+    * back, exact-DECIMAL inner sum cast to double once.
+    */
+  def trimmedMean(df: DataFrame, valueCol: String): DataFrame = {
+    val o = df.select(col(valueCol))
+    val thr = exactPercentiles(o, valueCol,
+      Seq("p05" -> 0.05, "p95" -> 0.95))
+    val in = col(valueCol) >= col("p05") && col(valueCol) <= col("p95")
+    o.crossJoin(broadcast(thr))
+      .groupBy("p05", "p95")
+      .agg(count(when(in, 1)).as("n_kept"), count(lit(1)).as("n_total"),
+        (sum(when(in, col(valueCol)).cast(DecimalType(18, 2)))
+          .cast("double") / count(when(in, 1))).as("mean_trimmed"))
+  }
+
+  /** Gini coefficient via the rank identity on the cumulative
+    * value-count frame: value v occupies ranks (cum−c+1)..cum, so
+    * Σ rank·x = Σ v·c·(2·cum−c+1)/2 over DISTINCT values only; the /2 is
+    * folded into G = S2/(n·Σx) − (n+1)/n. Exact-DECIMAL accumulation,
+    * rounded to 6dp once.
+    */
+  def gini(df: DataFrame, valueCol: String): DataFrame = {
+    val cum = cumulativeValueCounts(df.select(col(valueCol)), Nil, valueCol)
+    val rankTerm = col("c").cast(DecimalType(38, 0)) *
+      (lit(2L) * col("cum") - col("c") + lit(1L)).cast(DecimalType(38, 0))
+    val a = cum.agg(
+      max(col("n")).as("n_rows"),
+      sum(col("v").cast(DecimalType(18, 2)) * col("c")).as("sxd"),
+      sum(col("v").cast(DecimalType(18, 2)) * rankTerm).as("s2d"))
+    val nD = col("n_rows").cast("double")
+    a.select(col("n_rows"),
+      round(col("s2d").cast("double") / (nD * col("sxd").cast("double"))
+        - (nD + 1) / nD, 6).as("gini"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A6 — the one-call wide describe over lineitem's measures + flags.
     "q_a6_describe_all" -> { (s, d) =>
@@ -450,16 +584,7 @@ object Analytics {
     // engines parse the identical constant (no cross-engine
     // constant-folding drift).
     "q_mad_outliers" -> { (s, d) =>
-      val o = Tables.orders(s, d).select(col("o_totalprice"))
-      val med = exactPercentiles(o, "o_totalprice", Seq("med" -> 0.5))
-      val dev = o.crossJoin(broadcast(med))
-        .select(col("med"), abs(col("o_totalprice") - col("med")).as("adev"))
-      val mad = exactPercentiles(dev, "adev", Seq("mad" -> 0.5))
-      dev.crossJoin(broadcast(mad))
-        .groupBy("med", "mad")
-        .agg(count(lit(1)).as("n_total"),
-          sum(when(col("adev") > lit(4.4478) * col("mad"), 1L).otherwise(0L))
-            .as("n_outliers"))
+      madOutliers(Tables.orders(s, d), "o_totalprice")
     },
 
     // TRIMMED MEAN — the mean of the inner 5%–95% of the distribution
@@ -468,16 +593,7 @@ object Analytics {
     // broadcast back; the trimmed sum is exact-DECIMAL (addition-order
     // immune) cast to double once — same parity recipe as q_a6_describe.
     "q_trimmed_mean" -> { (s, d) =>
-      val o = Tables.orders(s, d).select(col("o_totalprice"))
-      val thr = exactPercentiles(o, "o_totalprice",
-        Seq("p05" -> 0.05, "p95" -> 0.95))
-      val in = col("o_totalprice") >= col("p05") &&
-        col("o_totalprice") <= col("p95")
-      o.crossJoin(broadcast(thr))
-        .groupBy("p05", "p95")
-        .agg(count(when(in, 1)).as("n_kept"), count(lit(1)).as("n_total"),
-          (sum(when(in, col("o_totalprice")).cast(DecimalType(18, 2)))
-            .cast("double") / count(when(in, 1))).as("mean_trimmed"))
+      trimmedMean(Tables.orders(s, d), "o_totalprice")
     },
 
     // GINI COEFFICIENT — the concentration/imbalance report (how skewed
@@ -491,18 +607,7 @@ object Analytics {
     // single-task sort at any cardinality. G = Σc(2cum−c+1)v/(n·Σx) −
     // (n+1)/n, the standard sorted-rank identity with the /2 folded out.
     "q_gini" -> { (s, d) =>
-      val cum = cumulativeValueCounts(
-        Tables.orders(s, d).select(col("o_totalprice")), Nil, "o_totalprice")
-      val rankTerm = col("c").cast(DecimalType(38, 0)) *
-        (lit(2L) * col("cum") - col("c") + lit(1L)).cast(DecimalType(38, 0))
-      val a = cum.agg(
-        max(col("n")).as("n_rows"),
-        sum(col("v").cast(DecimalType(18, 2)) * col("c")).as("sxd"),
-        sum(col("v").cast(DecimalType(18, 2)) * rankTerm).as("s2d"))
-      val nD = col("n_rows").cast("double")
-      a.select(col("n_rows"),
-        round(col("s2d").cast("double") / (nD * col("sxd").cast("double"))
-          - (nD + 1) / nD, 6).as("gini"))
+      gini(Tables.orders(s, d), "o_totalprice")
     },
 
     // Drift monitor: PSI of the document-length distribution, English
@@ -586,22 +691,7 @@ object Analytics {
     // type-cardinality² keys, map-side combined, so the only full-data
     // shuffle is the sessionize window itself.
     "q_session_transitions" -> { (s, d) =>
-      val byUser = Window.partitionBy("user_id").orderBy("ts")
-      val bySess = Window.partitionBy("user_id", "sess_no")
-        .orderBy("ts", "event_id")
-      Tables.events(s, d)
-        .withColumn("ts", date_trunc("second", col("ts")))
-        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
-        .withColumn("new_sess",
-          when(col("prev_ts").isNull ||
-            (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 1800, 1)
-            .otherwise(0))
-        .withColumn("sess_no", sum(col("new_sess")).over(byUser))
-        .withColumn("src", lag(col("event_type"), 1).over(bySess))
-        .filter(col("src").isNotNull)
-        .groupBy(col("src"), col("event_type").as("dst"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy("src", "dst")
+      sessionTransitions(Tables.events(s, d))
     },
 
     // THINK-TIME DISTRIBUTION — P50/P90/P99 of the seconds between
@@ -614,24 +704,7 @@ object Analytics {
     // interpolation — no value buffering at any cardinality, unlike the
     // builtin `percentile` aggregate).
     "q_think_time" -> { (s, d) =>
-      val byUser = Window.partitionBy("user_id").orderBy("ts")
-      val bySess = Window.partitionBy("user_id", "sess_no")
-        .orderBy("ts", "event_id")
-      val gaps = Tables.events(s, d)
-        .withColumn("ts", date_trunc("second", col("ts")))
-        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
-        .withColumn("new_sess",
-          when(col("prev_ts").isNull ||
-            (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 1800, 1)
-            .otherwise(0))
-        .withColumn("sess_no", sum(col("new_sess")).over(byUser))
-        .withColumn("gap", unix_timestamp(col("ts")) -
-          unix_timestamp(lag(col("ts"), 1).over(bySess)))
-        .filter(col("gap").isNotNull)
-        .select("gap")
-      gaps.agg(count(col("gap")).as("n_gaps"))
-        .crossJoin(broadcast(exactPercentiles(gaps, "gap",
-          Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))))
+      thinkTime(Tables.events(s, d))
     },
 
     // A/B EXPERIMENT READOUT — two-proportion z-test on purchase
@@ -643,37 +716,7 @@ object Analytics {
     // IEEE-double expression tree evaluated identically in both engines
     // and rounded to 6dp (the q_drift_psi float-parity convention).
     "q_ab_test" -> { (s, d) =>
-      val variant = when(
-        conv(substring(md5(col("user_id").cast("string")), 1, 4), 16, 10)
-          .cast("long") % 2 === 0, "control").otherwise("treatment")
-      val perUser = Tables.events(s, d)
-        .groupBy("user_id")
-        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
-          .as("converted"))
-        .withColumn("variant", variant)
-      val a = perUser.agg(
-        count(when(col("variant") === "control", 1)).as("n_c"),
-        sum(when(col("variant") === "control", col("converted"))
-          .otherwise(0)).as("x_c"),
-        count(when(col("variant") === "treatment", 1)).as("n_t"),
-        sum(when(col("variant") === "treatment", col("converted"))
-          .otherwise(0)).as("x_t"))
-      val rateC = col("x_c") / col("n_c").cast("double")
-      val rateT = col("x_t") / col("n_t").cast("double")
-      val pool = (col("x_c") + col("x_t")) /
-        (col("n_c") + col("n_t")).cast("double")
-      val se = sqrt(pool * (lit(1).cast("double") - pool) *
-        (lit(1).cast("double") / col("n_c").cast("double") +
-          lit(1).cast("double") / col("n_t").cast("double")))
-      // se = 0 when conversion is degenerate (all or none convert — the
-      // sf0.001 regime): the z-score is undefined, so emit NULL rather
-      // than divide by zero (ANSI mode throws; CASE evaluates lazily).
-      a.select(col("n_c"), col("x_c"), col("n_t"), col("x_t"),
-          rateC.as("rc"), rateT.as("rt"), se.as("se"))
-        .select(col("n_c"), col("x_c"), col("n_t"), col("x_t"),
-          round(col("rc"), 6).as("rate_c"), round(col("rt"), 6).as("rate_t"),
-          when(col("se") > 0,
-            round((col("rt") - col("rc")) / col("se"), 6)).as("z"))
+      abTest(Tables.events(s, d))
     },
 
     // CONVERSION FUNNEL — ordered step completion (signup → view →

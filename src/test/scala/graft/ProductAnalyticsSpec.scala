@@ -1,0 +1,108 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.Analytics
+import org.apache.spark.sql.DataFrame
+
+/** Closed-form known-answer tests for the product-analytics / robust-stats
+  * pack (session transitions, think time, A/B z-test, MAD, trimmed mean,
+  * Gini). The oracle gates these end-to-end on real tables; these tests pin
+  * the math on inputs small enough to verify by hand.
+  */
+class ProductAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def events(rows: (Long, Long, String, String)*): DataFrame =
+    rows.toSeq.toDF("user_id", "event_id", "ts_s", "event_type")
+      .selectExpr("user_id", "event_id",
+        "CAST(ts_s AS TIMESTAMP) AS ts", "event_type")
+
+  test("sessionTransitions: counts restart at session boundaries") {
+    // user 1: view→click within a session; purchase opens a NEW session
+    // (gap 2000s > 1800s) so click→purchase must NOT be counted.
+    val e = events(
+      (1L, 1L, "2024-01-01 00:00:00", "view"),
+      (1L, 2L, "2024-01-01 00:00:10", "click"),
+      (1L, 3L, "2024-01-01 00:33:30", "purchase"),
+      (2L, 4L, "2024-01-01 00:00:00", "view"),
+      (2L, 5L, "2024-01-01 00:00:05", "click"))
+    val out = Analytics.sessionTransitions(e)
+      .as[(String, String, Long)].collect().toSet
+    assert(out === Set(("view", "click", 2L)))
+  }
+
+  test("sessionTransitions: equal timestamps resolve by event_id") {
+    val e = events(
+      (1L, 2L, "2024-01-01 00:00:00", "b"),
+      (1L, 1L, "2024-01-01 00:00:00", "a"),
+      (1L, 3L, "2024-01-01 00:00:00", "c"))
+    val out = Analytics.sessionTransitions(e)
+      .as[(String, String, Long)].collect().toSet
+    assert(out === Set(("a", "b", 1L), ("b", "c", 1L)))
+  }
+
+  test("thinkTime: boundary gaps are excluded, percentiles exact") {
+    // user 1 session 1: gaps 10 and 20; session 2 (2000s later): gap 30.
+    // The 2000s boundary gap must not appear. Sorted gaps (10, 20, 30):
+    // p50 = 20 exactly.
+    val e = events(
+      (1L, 1L, "2024-01-01 00:00:00", "view"),
+      (1L, 2L, "2024-01-01 00:00:10", "click"),
+      (1L, 3L, "2024-01-01 00:00:30", "click"),
+      (1L, 4L, "2024-01-01 01:00:00", "view"),
+      (1L, 5L, "2024-01-01 01:00:30", "click"))
+    val r = Analytics.thinkTime(e).collect().head
+    assert(r.getAs[Long]("n_gaps") === 3L)
+    assert(r.getAs[Double]("p50") === 20.0)
+  }
+
+  test("abTest: degenerate conversion yields NULL z, arms partition users") {
+    val e = events(
+      (1L, 1L, "2024-01-01 00:00:00", "purchase"),
+      (2L, 2L, "2024-01-01 00:00:00", "purchase"),
+      (3L, 3L, "2024-01-01 00:00:00", "purchase"),
+      (4L, 4L, "2024-01-01 00:00:00", "purchase"))
+    val r = Analytics.abTest(e).collect().head
+    assert(r.getAs[Long]("n_c") + r.getAs[Long]("n_t") === 4L)
+    assert(r.getAs[Long]("x_c") === r.getAs[Long]("n_c"))
+    assert(r.getAs[Long]("x_t") === r.getAs[Long]("n_t"))
+    assert(r.isNullAt(r.fieldIndex("z")), "z must be NULL when se = 0")
+  }
+
+  test("madOutliers: known answer on a 5-point set") {
+    // values (1,2,3,4,100): med 3, |dev| (2,1,0,1,97), mad 1 →
+    // threshold 4.4478 flags only 97.
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 100.0).toDF("v")
+    val r = Analytics.madOutliers(df, "v").collect().head
+    assert(r.getAs[Double]("med") === 3.0)
+    assert(r.getAs[Double]("mad") === 1.0)
+    assert(r.getAs[Long]("n_total") === 5L)
+    assert(r.getAs[Long]("n_outliers") === 1L)
+  }
+
+  test("trimmedMean: symmetric 1..100 keeps 6..95 and means 50.5") {
+    // p05 at pos 0.05·99 = 4.95 → 5.95; p95 at 94.05 → 95.05; the kept
+    // range is the 90 integers 6..95 whose mean is 50.5.
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val r = Analytics.trimmedMean(df, "v").collect().head
+    assert(r.getAs[Long]("n_kept") === 90L)
+    assert(r.getAs[Long]("n_total") === 100L)
+    assert(r.getAs[Double]("mean_trimmed") === 50.5)
+  }
+
+  test("gini: closed-form answers") {
+    // (1,2,3,4): Σ rank·x = 30 → G = 2·30/(4·10) − 5/4 = 0.25.
+    val g1 = Analytics.gini(Seq(1.0, 2.0, 3.0, 4.0).toDF("v"), "v")
+      .collect().head
+    assert(g1.getAs[Long]("n_rows") === 4L)
+    assert(g1.getAs[Double]("gini") === 0.25)
+    // perfectly equal distribution → 0 (duplicates exercise the
+    // rank-range closed form: one frame row covers all four ranks).
+    val g2 = Analytics.gini(Seq(5.0, 5.0, 5.0, 5.0).toDF("v"), "v")
+      .collect().head
+    assert(g2.getAs[Double]("gini") === 0.0)
+  }
+}
