@@ -504,16 +504,42 @@ object Analytics {
     */
   def gini(df: DataFrame, valueCol: String): DataFrame = {
     val cum = cumulativeValueCounts(df.select(col(valueCol)), Nil, valueCol)
-    val rankTerm = col("c").cast(DecimalType(38, 0)) *
-      (lit(2L) * col("cum") - col("c") + lit(1L)).cast(DecimalType(38, 0))
     val a = cum.agg(
       max(col("n")).as("n_rows"),
       sum(col("v").cast(DecimalType(18, 2)) * col("c")).as("sxd"),
-      sum(col("v").cast(DecimalType(18, 2)) * rankTerm).as("s2d"))
+      sum(col("v").cast(DecimalType(18, 2)) * giniRankTerm).as("s2d"))
+    a.select(col("n_rows"), giniFromMoments.as("gini"))
+  }
+
+  /** Per-group Gini — same rank identity, every group's cumulative
+    * ranges computed in parallel by the grouped value-count frame (the
+    * per-source token/length concentration report a data-mix audit runs
+    * before training).
+    */
+  def groupedGini(df: DataFrame, groupCol: String,
+                  valueCol: String): DataFrame = {
+    val cum = cumulativeValueCounts(
+      df.select(col(groupCol), col(valueCol))
+        .filter(col(groupCol).isNotNull),
+      Seq(groupCol), valueCol)
+    val a = cum.groupBy(col(groupCol)).agg(
+      max(col("n")).as("n_rows"),
+      sum(col("v").cast(DecimalType(18, 2)) * col("c")).as("sxd"),
+      sum(col("v").cast(DecimalType(18, 2)) * giniRankTerm).as("s2d"))
+    a.select(col(groupCol), col("n_rows"), giniFromMoments.as("gini"))
+      .orderBy(groupCol)
+  }
+
+  /** Σ of ranks occupied by a distinct value, doubled: c·(2·cum−c+1). */
+  private def giniRankTerm: Column =
+    col("c").cast(DecimalType(38, 0)) *
+      (lit(2L) * col("cum") - col("c") + lit(1L)).cast(DecimalType(38, 0))
+
+  /** G = S2/(n·Σx) − (n+1)/n from the exact decimal moments, 6dp. */
+  private def giniFromMoments: Column = {
     val nD = col("n_rows").cast("double")
-    a.select(col("n_rows"),
-      round(col("s2d").cast("double") / (nD * col("sxd").cast("double"))
-        - (nD + 1) / nD, 6).as("gini"))
+    round(col("s2d").cast("double") / (nD * col("sxd").cast("double"))
+      - (nD + 1) / nD, 6)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -608,6 +634,13 @@ object Analytics {
     // (n+1)/n, the standard sorted-rank identity with the /2 folded out.
     "q_gini" -> { (s, d) =>
       gini(Tables.orders(s, d), "o_totalprice")
+    },
+
+    // Per-source document-length concentration — the data-mix balance
+    // audit over the training corpus (a source whose length Gini spikes
+    // is dominated by a few giant documents).
+    "q_gini_by_source" -> { (s, d) =>
+      groupedGini(Tables.documents(s, d), "source", "n_chars")
     },
 
     // Drift monitor: PSI of the document-length distribution, English
@@ -1051,6 +1084,23 @@ object Analytics {
         | round(s2 / (CAST(n_rows AS DOUBLE) * sx)
         |   - (CAST(n_rows AS DOUBLE) + 1) / CAST(n_rows AS DOUBLE), 6) AS gini
         |FROM a""".stripMargin,
+    "q_gini_by_source" ->
+      """WITH c AS (
+        | SELECT source, n_chars AS v, count(*) AS c FROM documents
+        | WHERE n_chars IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+        |r AS (
+        | SELECT source, v, c, sum(c) OVER (PARTITION BY source ORDER BY v
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM c),
+        |a AS (
+        | SELECT source, CAST(max(cum) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(v AS DECIMAL(18,2)) * c) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(v AS DECIMAL(18,2))
+        |    * CAST(c * (2 * cum - c + 1) AS DECIMAL(38,0))) AS DOUBLE) AS s2
+        | FROM r GROUP BY 1)
+        |SELECT source, n_rows,
+        | round(s2 / (CAST(n_rows AS DOUBLE) * sx)
+        |   - (CAST(n_rows AS DOUBLE) + 1) / CAST(n_rows AS DOUBLE), 6) AS gini
+        |FROM a ORDER BY source""".stripMargin,
     "q_funnel" ->
       """WITH f AS (
         | SELECT user_id,

@@ -105,4 +105,12 @@ class ProductAnalyticsSpec extends SparkSpec {
       .collect().head
     assert(g2.getAs[Double]("gini") === 0.0)
   }
+
+  test("groupedGini: each group gets its own closed-form answer") {
+    val df = (Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0)) ++
+      Seq.fill(4)(("b", 5.0))).toDF("g", "v")
+    val out = Analytics.groupedGini(df, "g", "v")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out === Seq(("a", 4L, 0.25), ("b", 4L, 0.0)))
+  }
 }
