@@ -530,6 +530,27 @@ object Analytics {
       .orderBy(groupCol)
   }
 
+  /** Shannon diversity of a categorical mix: entropy in bits over the
+    * group shares plus the effective category count 2^H (the "how many
+    * sources is this corpus really drawing from" report). Each term is
+    * rounded to 6dp and summed as exact DECIMAL — the q_text_entropy
+    * float-parity recipe, immune to accumulation order; the share and
+    * term expression trees are evaluated identically in both engines.
+    */
+  def mixEntropy(df: DataFrame, catCol: String): DataFrame = {
+    val cnts = df.filter(col(catCol).isNotNull)
+      .groupBy(col(catCol)).agg(count(lit(1)).as("c"))
+    val tot = cnts.agg(sum(col("c")).as("n"))
+    cnts.crossJoin(broadcast(tot))
+      .select((col("c").cast("double") / col("n").cast("double")).as("p"))
+      .agg(count(lit(1)).as("n_cats"),
+        sum(round(-(col("p") * log2(col("p"))), 6)
+          .cast(DecimalType(18, 6))).as("hd"))
+      .select(col("n_cats"), col("hd").cast("double").as("entropy_bits"),
+        round(pow(lit(2.0), col("hd").cast("double")), 6)
+          .as("effective_cats"))
+  }
+
   /** Σ of ranks occupied by a distinct value, doubled: c·(2·cum−c+1). */
   private def giniRankTerm: Column =
     col("c").cast(DecimalType(38, 0)) *
@@ -641,6 +662,13 @@ object Analytics {
     // is dominated by a few giant documents).
     "q_gini_by_source" -> { (s, d) =>
       groupedGini(Tables.documents(s, d), "source", "n_chars")
+    },
+
+    // Source-mix diversity — entropy + effective source count over the
+    // corpus source distribution (the one-number summary of "is this mix
+    // dominated by a single source"; complements q_source_mix's shares).
+    "q_mix_entropy" -> { (s, d) =>
+      mixEntropy(Tables.documents(s, d), "source")
     },
 
     // Drift monitor: PSI of the document-length distribution, English
@@ -1101,6 +1129,19 @@ object Analytics {
         | round(s2 / (CAST(n_rows AS DOUBLE) * sx)
         |   - (CAST(n_rows AS DOUBLE) + 1) / CAST(n_rows AS DOUBLE), 6) AS gini
         |FROM a ORDER BY source""".stripMargin,
+    "q_mix_entropy" ->
+      """WITH c AS (
+        | SELECT source, count(*) AS c FROM documents
+        | WHERE source IS NOT NULL GROUP BY 1),
+        |t AS (SELECT sum(c) AS n FROM c),
+        |p AS (
+        | SELECT CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE) AS p FROM c, t),
+        |a AS (
+        | SELECT count(*) AS n_cats,
+        |  sum(CAST(round(-(p * log2(p)), 6) AS DECIMAL(18,6))) AS hd FROM p)
+        |SELECT n_cats, CAST(hd AS DOUBLE) AS entropy_bits,
+        | round(pow(2.0, CAST(hd AS DOUBLE)), 6) AS effective_cats
+        |FROM a""".stripMargin,
     "q_funnel" ->
       """WITH f AS (
         | SELECT user_id,

@@ -113,4 +113,16 @@ class ProductAnalyticsSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().toSeq
     assert(out === Seq(("a", 4L, 0.25), ("b", 4L, 0.0)))
   }
+
+  test("mixEntropy: uniform 4-way mix is exactly 2 bits / 4 effective") {
+    // p=0.25 each → every term is −0.25·log2(0.25) = 0.5 exactly, so the
+    // 6dp-round + decimal-sum path is tie-free: H = 2, 2^H = 4. Nulls
+    // must not count as a category.
+    val df = (Seq("a", "a", "b", "b", "c", "c", "d", "d")
+      .map(Option(_)) :+ Option.empty[String]).toDF("src")
+    val r = Analytics.mixEntropy(df, "src").collect().head
+    assert(r.getAs[Long]("n_cats") === 4L)
+    assert(r.getAs[Double]("entropy_bits") === 2.0)
+    assert(r.getAs[Double]("effective_cats") === 4.0)
+  }
 }
