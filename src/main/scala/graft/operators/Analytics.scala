@@ -551,6 +551,56 @@ object Analytics {
           .as("effective_cats"))
   }
 
+  /** Per-category Jensen-Shannon divergence (bits) of a numeric
+    * distribution vs the whole corpus: nBins equi-width bins over the
+    * global range (the [[driftPsi]] binning — shared width, clamp to the
+    * last bin), then JS(P‖Q) = ½·KL(P‖M) + ½·KL(Q‖M) with M = (P+Q)/2,
+    * summed per category over the full bin spine so zero-count bins on
+    * either side still contribute their ½·q (resp. ½·p) mass. Bounded in
+    * [0,1] bit — comparable across sources, unlike PSI. No smoothing:
+    * the zero guards make every term well-defined.
+    *
+    * Determinism: each per-bin term is rounded to 6dp and summed as
+    * DECIMAL (order-independent); the share/term expression trees are
+    * evaluated identically in both engines. Scale shape: two bounded
+    * shuffles to (cat, bin) cardinality, then spine-sized frames only.
+    */
+  def jsDivergence(df: DataFrame, valueCol: Column, catCol: String,
+                   nBins: Int): DataFrame = {
+    val spark = df.sparkSession
+    val v = valueCol.cast("long")
+    val slice = df.filter(col(catCol).isNotNull)
+    val bounds = slice.agg(min(v).as("mn"), max(v).as("mx"),
+      count(lit(1)).as("ng"))
+    val bySrcBin = slice.select(col(catCol).as("src"), v.as("c"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("w", greatest(lit(1L),
+        floor((col("mx") - col("mn") + lit(nBins)) / lit(nBins)).cast("long")))
+      .withColumn("bin",
+        least(floor((col("c") - col("mn")) / col("w")).cast("long"), lit(nBins - 1L)))
+      .groupBy("src", "bin").agg(count(lit(1)).as("cs"))
+    val bySrc = bySrcBin.groupBy("src").agg(sum(col("cs")).as("ns"))
+    val byBin = bySrcBin.groupBy("bin").agg(sum(col("cs")).as("cg"))
+    val spine = bySrc
+      .crossJoin(spark.range(nBins).select(col("id").as("bin")))
+    val f = spine.join(bySrcBin, Seq("src", "bin"), "left")
+      .na.fill(0L, Seq("cs"))
+      .join(broadcast(byBin), Seq("bin"), "left")
+      .na.fill(0L, Seq("cg"))
+      .crossJoin(broadcast(bounds.select(col("ng"))))
+    val p = col("cs").cast("double") / col("ns").cast("double")
+    val q = col("cg").cast("double") / col("ng").cast("double")
+    val m = (p + q) / lit(2.0)
+    val term = when(col("cs") > 0, p * log2(p / m)).otherwise(lit(0.0)) +
+      when(col("cg") > 0, q * log2(q / m)).otherwise(lit(0.0))
+    f.withColumn("t", round(term / lit(2.0), 6).cast(DecimalType(18, 6)))
+      .groupBy("src")
+      .agg(max(col("ns")).as("n_docs"),
+        sum(col("t")).cast("double").as("js_bits"))
+      .select(col("src").as("source"), col("n_docs"), col("js_bits"))
+      .orderBy("source")
+  }
+
   /** Σ of ranks occupied by a distinct value, doubled: c·(2·cum−c+1). */
   private def giniRankTerm: Column =
     col("c").cast(DecimalType(38, 0)) *
@@ -677,6 +727,14 @@ object Analytics {
     "q_drift_psi" -> { (s, d) =>
       driftPsi(Tables.documents(s, d), length(col("text")),
         col("lang") === "en", 10)
+    },
+
+    // Drift monitor, per-source: JS divergence of each source's length
+    // distribution vs the whole corpus — the "which shard drifted"
+    // follow-up to q_drift_psi's single A/B number, bounded in [0,1] bit
+    // so sources are directly comparable.
+    "q_js_divergence" -> { (s, d) =>
+      jsDivergence(Tables.documents(s, d), length(col("text")), "source", 10)
     },
 
     // A9 — the full dashboard lattice in ONE pass: CUBE(year, status)
@@ -981,6 +1039,49 @@ object Analytics {
         |   * ln((CAST(ca + 1 AS DOUBLE) / CAST(na + 10 AS DOUBLE))
         |        / (CAST(cb + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE))), 6) AS psi_contrib
         |FROM f ORDER BY bin""".stripMargin,
+    "q_js_divergence" ->
+      """WITH v AS (
+        | SELECT source AS src, CAST(length(text) AS BIGINT) AS c
+        | FROM documents WHERE source IS NOT NULL),
+        |b AS (SELECT min(c) AS mn, max(c) AS mx,
+        |       CAST(count(*) AS BIGINT) AS ng FROM v),
+        |w AS (SELECT mn, mx, ng,
+        |       greatest(1, CAST(floor((mx - mn + 10) / 10.0) AS BIGINT)) AS w
+        |      FROM b),
+        |sb AS (
+        | SELECT src,
+        |  least(CAST(floor((c - mn) / CAST(w AS DOUBLE)) AS BIGINT), 9) AS bin,
+        |  CAST(count(*) AS BIGINT) AS cs
+        | FROM v, w GROUP BY 1, 2),
+        |ns AS (SELECT src, CAST(sum(cs) AS BIGINT) AS ns FROM sb GROUP BY 1),
+        |gb AS (SELECT bin, CAST(sum(cs) AS BIGINT) AS cg FROM sb GROUP BY 1),
+        |spine AS (
+        | SELECT src, ns, unnest(range(0, 10)) AS bin FROM ns),
+        |f AS (
+        | SELECT s.src, s.ns, s.bin,
+        |  coalesce(sb.cs, 0) AS cs, coalesce(gb.cg, 0) AS cg, w.ng
+        | FROM spine s
+        | LEFT JOIN sb ON s.src = sb.src AND s.bin = sb.bin
+        | LEFT JOIN gb ON s.bin = gb.bin
+        | CROSS JOIN w),
+        |t AS (
+        | SELECT src, ns, CAST(round((
+        |   CASE WHEN cs > 0 THEN
+        |    (CAST(cs AS DOUBLE) / CAST(ns AS DOUBLE))
+        |     * log2((CAST(cs AS DOUBLE) / CAST(ns AS DOUBLE))
+        |       / (((CAST(cs AS DOUBLE) / CAST(ns AS DOUBLE))
+        |           + (CAST(cg AS DOUBLE) / CAST(ng AS DOUBLE))) / 2.0))
+        |   ELSE 0.0 END
+        |   + CASE WHEN cg > 0 THEN
+        |    (CAST(cg AS DOUBLE) / CAST(ng AS DOUBLE))
+        |     * log2((CAST(cg AS DOUBLE) / CAST(ng AS DOUBLE))
+        |       / (((CAST(cs AS DOUBLE) / CAST(ns AS DOUBLE))
+        |           + (CAST(cg AS DOUBLE) / CAST(ng AS DOUBLE))) / 2.0))
+        |   ELSE 0.0 END) / 2.0, 6) AS DECIMAL(18,6)) AS t
+        | FROM f)
+        |SELECT src AS source, max(ns) AS n_docs,
+        | CAST(sum(t) AS DOUBLE) AS js_bits
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_cube_dashboard" ->
       s"""SELECT GROUPING(y, st) AS gid, y, st, count(*) AS cnt,
          | ${sumDecSql("o_totalprice")} AS total

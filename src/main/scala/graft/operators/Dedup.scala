@@ -61,6 +61,33 @@ object Dedup {
     docs.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Cross-source duplicate leakage matrix: for every unordered pair of
+    * sources that share at least one exact-duplicate fingerprint, how
+    * many distinct contents leak across the pair — the train/test-split
+    * contamination audit run before any corpus split is trusted.
+    *
+    * Scale shape: text collapses to (fp, source) pairs map-side and is
+    * distinct-ed in one bounded shuffle; the self-join key is the
+    * fingerprint, whose fanout is capped at #sources per fp, so the pair
+    * stream stays linear in the distinct-content count and the output is
+    * sources² at most. No row ever carries text past the first select.
+    */
+  def crossSourceLeakage(docs: DataFrame, textCol: String = "text",
+                         srcCol: String = "source"): DataFrame = {
+    val fps = docs.filter(col(srcCol).isNotNull)
+      .select(TextAnalysis.fingerprint(col(textCol)).as("fp"),
+        col(srcCol).as("src"))
+      .distinct()
+    // (fp, src) rows are distinct, so each (fp, source_a, source_b)
+    // triple appears exactly once: a plain count IS the distinct-fp count.
+    fps.select(col("fp"), col("src").as("source_a"))
+      .join(fps.select(col("fp"), col("src").as("source_b")), Seq("fp"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Word n-gram shingles over a MATERIALIZED tokens column (distinct). */
   def shingles(toks: Column, n: Int = 3): Column = {
     val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
@@ -600,6 +627,15 @@ object Dedup {
       val corpus = docs.select("doc_id", "text").unionByName(copies)
       exactDedup(corpus).orderBy("keep_id")
     },
+    // Leakage matrix on a corpus with the first 30 docs mirrored into a
+    // synthetic 'mirror' source — every source holding a doc_id<30 doc
+    // must show up as a (mirror, src) pair with its leaked-content count.
+    "q_cross_source_dup" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val mirror = docs.filter(col("doc_id") < 30)
+        .select(col("text"), lit("mirror").as("source"))
+      crossSourceLeakage(docs.select("text", "source").unionByName(mirror))
+    },
     // MinHash+LSH near-dups on the planted corpus: must recover all 20
     // planted pairs (high-Jaccard mutations). The gated queries run the
     // md5 hash family so DuckDB replicates shingle→minhash→band→Jaccard
@@ -804,6 +840,20 @@ object Dedup {
         |SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
         | min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM corpus GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "q_cross_source_dup" ->
+      """WITH corpus AS (
+        | SELECT text, source FROM documents
+        | UNION ALL
+        | SELECT text, 'mirror' AS source FROM documents WHERE doc_id < 30),
+        |s AS (
+        | SELECT DISTINCT
+        |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+        |  source
+        | FROM corpus WHERE source IS NOT NULL)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        | count(*) AS n_shared
+        |FROM s a JOIN s b ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // tokens → 3-gram shingles → md5-hash64 → 16 minhash sigs → 8 bands of
     // 2 → candidate pairs → exact Jaccard ≥ 0.5 over the hash sets.

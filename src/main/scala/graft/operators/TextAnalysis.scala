@@ -354,6 +354,44 @@ object TextAnalysis {
         .orderBy(desc("score"), col("term"))
         .limit(20)
     },
+    // PMI-ranked collocations — "which word pairs stick together beyond
+    // chance" (Church & Hanks 1990): PMI(w1,w2) = log2(p(w1,w2) /
+    // (p(w1)·p(w2))), bigram p from adjacent-pair counts, unigram p from
+    // the full token stream. Pair construction is the q_bpe_pairs
+    // map-side generator; both count frames collapse map-side to
+    // vocabulary size before any join, so the unigram attach is a
+    // vocabulary-sized broadcast and the totals ride in as scalar
+    // broadcasts no matter the corpus size. Min support 3 kills the
+    // noise floor (PMI is max for hapax pairs); (pmi desc, w1, w2) is a
+    // total order so the top-20 is deterministic.
+    "q_pmi_topk" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(tokens(lower(col("text"))).as("toks"))
+      val uni = toks.select(explode(col("toks")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cu"))
+      val nu = uni.agg(sum(col("cu")).as("nu"))
+      val bc = toks.filter(size(col("toks")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat(element_at(col("toks"), i), lit(" "),
+            element_at(col("toks"), i + 1)))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cb"))
+      val nb = bc.agg(sum(col("cb")).as("nb"))
+      // tokens contain no whitespace by construction, so the pair key
+      // splits back unambiguously — and only vocabulary-sized frames
+      // ever carry the split columns.
+      val pmi = log2((col("cb").cast("double") / col("nb").cast("double")) /
+        ((col("c1").cast("double") / col("nu").cast("double")) *
+          (col("c2").cast("double") / col("nu").cast("double"))))
+      bc.filter(col("cb") >= 3)
+        .withColumn("w1", split(col("pair"), " ").getItem(0))
+        .withColumn("w2", split(col("pair"), " ").getItem(1))
+        .join(broadcast(uni.select(col("w").as("w1"), col("cu").as("c1"))), Seq("w1"))
+        .join(broadcast(uni.select(col("w").as("w2"), col("cu").as("c2"))), Seq("w2"))
+        .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+        .select(col("w1"), col("w2"), col("cb"), round(pmi, 6).as("pmi"))
+        .orderBy(desc("pmi"), col("w1"), col("w2"))
+        .limit(20)
+    },
     // BPE-style adjacent-pair statistics — the inner loop of tokenizer
     // training (Sennrich et al. 2016 "Neural Machine Translation of Rare
     // Words with Subword Units"): the most frequent adjacent token pair is
@@ -705,6 +743,23 @@ object TextAnalysis {
            | round(total_tf * (ln((n_docs + 1.0) / (df + 1)) + 1), 6) AS score
            |FROM d, n
            |ORDER BY score DESC, term LIMIT 20""".stripMargin,
+      "q_pmi_topk" ->
+        s"""WITH toks AS (SELECT ${tokensSql("lower(text)")} AS t FROM documents),
+           |u AS (SELECT w, count(*) AS cu
+           |      FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+           |nu AS (SELECT CAST(sum(cu) AS BIGINT) AS nu FROM u),
+           |bc AS (SELECT w1, w2, count(*) AS cb FROM (
+           |        SELECT unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+           |               unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
+           |        FROM toks WHERE len(t) >= 2) GROUP BY 1, 2),
+           |nb AS (SELECT CAST(sum(cb) AS BIGINT) AS nb FROM bc)
+           |SELECT w1, w2, cb,
+           | round(log2((CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+           |   / ((CAST(u1.cu AS DOUBLE) / CAST(nu AS DOUBLE))
+           |      * (CAST(u2.cu AS DOUBLE) / CAST(nu AS DOUBLE)))), 6) AS pmi
+           |FROM bc JOIN u u1 ON bc.w1 = u1.w JOIN u u2 ON bc.w2 = u2.w, nu, nb
+           |WHERE cb >= 3
+           |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
       "q_stratified_sample" ->
         """SELECT lang, count(*) AS sampled FROM documents
           |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 40

@@ -283,4 +283,37 @@ class Round6Spec extends SparkSpec {
     assert(m6.take(m3.length) == m3)
     assert(m3.head == ((1L, "the", "cat", 5L)))
   }
+
+  test("crossSourceLeakage: only sources sharing a fingerprint pair up") {
+    val docs = Seq(
+      ("same one", "a"), ("same one", "b"), ("  Same   ONE ", "b"),
+      ("other", "a"), ("other", "c"), ("only here", "b"))
+      .toDF("text", "source")
+    val out = operators.Dedup.crossSourceLeakage(docs)
+      .as[(String, String, Long)].collect().toSeq
+    // "same one" leaks a↔b (whitespace/case-normalized), "other" leaks
+    // a↔c; nothing pairs b with c.
+    assert(out === Seq(("a", "b", 1L), ("a", "c", 1L)))
+  }
+
+  test("jsDivergence: a source distributed like the corpus scores 0 bits") {
+    val docs = (Seq.fill(4)(("a", 0L)) ++ Seq.fill(4)(("a", 100L)) ++
+      Seq.fill(2)(("b", 0L)) ++ Seq.fill(2)(("b", 100L))).toDF("src", "v")
+    val out = operators.Analytics.jsDivergence(docs, col("v"), "src", 10)
+      .as[(String, Long, Double)].collect().toSeq
+    // Both sources are 50/50 over the same two bins = exactly the global
+    // mix, so every per-bin term has p = q = m and JS collapses to 0.
+    assert(out === Seq(("a", 8L, 0.0), ("b", 4L, 0.0)))
+  }
+
+  test("pmi: a bigram of exclusive partners scores log2(4) at p1=p2=1/2") {
+    // Corpus of three identical two-token docs: p(x y)=1, p(x)=p(y)=1/2
+    // → PMI = log2(1 / (1/2 · 1/2)) = 2 exactly.
+    val docs = Seq((0L, "x y"), (1L, "x y"), (2L, "x y")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("pmi").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.queries("q_pmi_topk")(spark, dir)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(r === Seq(("x", "y", 3L, 2.0)))
+  }
 }
