@@ -601,6 +601,99 @@ object Analytics {
       .orderBy("source")
   }
 
+  /** One-way ANOVA of a numeric column across categories: F = (SSB/(k−1))
+    * / (SSW/(n−k)) from the per-group exact integer moments (n, Σv, Σv²
+    * all fit in long for bounded ints), so the only float work is the
+    * per-group S²/n term — rounded to 6dp and summed as DECIMAL, the
+    * order-independent float recipe. One map-side-combined shuffle to
+    * category cardinality, then a scalar. Degenerate inputs (one group,
+    * zero within-variance) yield a null F instead of a divide error.
+    */
+  def anova(df: DataFrame, valueCol: Column, catCol: String): DataFrame = {
+    val v = valueCol.cast("long")
+    val g = df.filter(col(catCol).isNotNull && v.isNotNull)
+      .groupBy(col(catCol))
+      .agg(count(lit(1)).as("ng"), sum(v).as("sg"), sum(v * v).as("qg"))
+    val terms = g.select(col("ng"), col("sg"), col("qg"),
+      round(col("sg").cast("double") * col("sg").cast("double")
+        / col("ng").cast("double"), 6).cast(DecimalType(28, 6)).as("tg"))
+    val a = terms.agg(count(lit(1)).as("k_groups"), sum(col("ng")).as("n_rows"),
+      sum(col("sg")).as("s"), sum(col("qg")).as("q"), sum(col("tg")).as("t"))
+    val ssb = col("t").cast("double") -
+      col("s").cast("double") * col("s").cast("double") / col("n_rows").cast("double")
+    val ssw = col("q").cast("double") - col("t").cast("double")
+    a.select(col("k_groups"), col("n_rows"),
+      round(ssb, 6).as("ss_between"), round(ssw, 6).as("ss_within"),
+      when(col("k_groups") > 1 && col("n_rows") > col("k_groups") && ssw > 0,
+        round((ssb / (col("k_groups") - 1).cast("double")) /
+          (ssw / (col("n_rows") - col("k_groups")).cast("double")), 6))
+        .as("f_stat"))
+  }
+
+  /** χ² test of independence + mutual information (bits) over a two-way
+    * contingency table. Cells aggregate map-side to category² rows; the
+    * full row×col spine (cross of two category-sized frames, broadcast)
+    * restores the o=0 cells χ² needs. Both statistics use the 6dp-round +
+    * DECIMAL-sum order-independent float recipe.
+    */
+  def contingencyStats(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val cells = df.filter(col(rowCol).isNotNull && col(colCol).isNotNull)
+      .select(col(rowCol).as("r"), col(colCol).as("c"))
+      .groupBy("r", "c").agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy("r").agg(sum(col("o")).as("nr"))
+    val cols = cells.groupBy("c").agg(sum(col("o")).as("nc"))
+    val n = cells.agg(sum(col("o")).as("n"))
+    val spine = rows.crossJoin(broadcast(cols))
+      .join(cells, Seq("r", "c"), "left").na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(n))
+    val e = col("nr").cast("double") * col("nc").cast("double") / col("n").cast("double")
+    val chiT = round((col("o").cast("double") - e) * (col("o").cast("double") - e) / e, 6)
+    val miT = when(col("o") > 0,
+      round((col("o").cast("double") / col("n").cast("double")) *
+        log2(col("o").cast("double") * col("n").cast("double") /
+          (col("nr").cast("double") * col("nc").cast("double"))), 6))
+      .otherwise(lit(0.0))
+    spine.select(col("r"), col("c"),
+        chiT.cast(DecimalType(18, 6)).as("x2"),
+        miT.cast(DecimalType(18, 6)).as("mi"))
+      .agg(countDistinct(col("r")).as("n_row_cats"),
+        countDistinct(col("c")).as("n_col_cats"),
+        sum(col("x2")).cast("double").as("chi2d"),
+        sum(col("mi")).cast("double").as("mid"))
+      .select(col("n_row_cats"), col("n_col_cats"),
+        ((col("n_row_cats") - 1) * (col("n_col_cats") - 1)).as("dof"),
+        col("chi2d").as("chi2"), col("mid").as("mi_bits"))
+  }
+
+  /** Two-sample Kolmogorov-Smirnov: D = max over the pooled distinct
+    * values of |F_a − F_b|, plus the scaled statistic D·√(n_a·n_b/(n_a+
+    * n_b)). The cumulative frame is one row per DISTINCT value — bounded
+    * by the value domain (document lengths here), not corpus size, the
+    * same data-bounded-spine class as the calendar day spine — so the
+    * unpartitioned cumsum window is over a provably small frame.
+    */
+  def ksTest(df: DataFrame, valueCol: Column, inSliceA: Column): DataFrame = {
+    val v = valueCol.cast("long")
+    val cnts = df.select(v.as("v"), inSliceA.as("ga"))
+      .groupBy("v")
+      .agg(sum(when(col("ga"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("ga"), 0L).otherwise(1L)).as("cb"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val gap = round(abs(
+      sum(col("ca")).over(w).cast("double") / sum(col("ca")).over(tot).cast("double") -
+        sum(col("cb")).over(w).cast("double") / sum(col("cb")).over(tot).cast("double")), 6)
+    cnts
+      .select(col("v"), gap.as("dgap"),
+        sum(col("ca")).over(tot).as("na"), sum(col("cb")).over(tot).as("nb"))
+      .groupBy("na", "nb")
+      .agg(max(col("dgap")).as("ks_d"))
+      .select(col("na"), col("nb"), col("ks_d"),
+        round(col("ks_d") * sqrt(col("na").cast("double") * col("nb").cast("double")
+          / (col("na") + col("nb")).cast("double")), 6).as("ks_stat"))
+  }
+
   /** Σ of ranks occupied by a distinct value, doubled: c·(2·cum−c+1). */
   private def giniRankTerm: Column =
     col("c").cast(DecimalType(38, 0)) *
@@ -735,6 +828,23 @@ object Analytics {
     // so sources are directly comparable.
     "q_js_divergence" -> { (s, d) =>
       jsDivergence(Tables.documents(s, d), length(col("text")), "source", 10)
+    },
+
+    // Classical hypothesis tests over corpus slices — the "is this
+    // difference real" layer on top of the drift monitors.
+    // Does document length vary by language beyond chance? (one-way ANOVA)
+    "q_anova_lang" -> { (s, d) =>
+      anova(Tables.documents(s, d), length(col("text")), "lang")
+    },
+    // Are language and source independent? (χ² + mutual information —
+    // MI near 0 bits means the source mix is language-balanced.)
+    "q_chi2_contingency" -> { (s, d) =>
+      contingencyStats(Tables.documents(s, d), "lang", "source")
+    },
+    // Distribution-free two-sample test: English vs non-English length
+    // distributions (the KS complement to q_drift_psi's binned view).
+    "q_ks_test" -> { (s, d) =>
+      ksTest(Tables.documents(s, d), length(col("text")), col("lang") === "en")
     },
 
     // A9 — the full dashboard lattice in ONE pass: CUBE(year, status)
@@ -1082,6 +1192,95 @@ object Analytics {
         |SELECT src AS source, max(ns) AS n_docs,
         | CAST(sum(t) AS DOUBLE) AS js_bits
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_anova_lang" ->
+      """WITH g AS (
+        | SELECT lang, CAST(count(*) AS BIGINT) AS ng,
+        |  CAST(sum(v) AS BIGINT) AS sg, CAST(sum(v * v) AS BIGINT) AS qg
+        | FROM (SELECT lang, CAST(length(text) AS BIGINT) AS v FROM documents
+        |       WHERE lang IS NOT NULL AND text IS NOT NULL)
+        | GROUP BY 1),
+        |t AS (
+        | SELECT ng, sg, qg,
+        |  CAST(round(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+        |    / CAST(ng AS DOUBLE), 6) AS DECIMAL(28,6)) AS tg
+        | FROM g),
+        |a AS (
+        | SELECT CAST(count(*) AS BIGINT) AS k_groups,
+        |  CAST(sum(ng) AS BIGINT) AS n_rows, CAST(sum(sg) AS BIGINT) AS s,
+        |  CAST(sum(qg) AS BIGINT) AS q, sum(tg) AS t
+        | FROM t)
+        |SELECT k_groups, n_rows,
+        | round(CAST(t AS DOUBLE)
+        |   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+        |  AS ss_between,
+        | round(CAST(q AS DOUBLE) - CAST(t AS DOUBLE), 6) AS ss_within,
+        | CASE WHEN k_groups > 1 AND n_rows > k_groups
+        |       AND CAST(q AS DOUBLE) - CAST(t AS DOUBLE) > 0 THEN
+        |  round(((CAST(t AS DOUBLE)
+        |     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_rows AS DOUBLE))
+        |    / CAST(k_groups - 1 AS DOUBLE))
+        |   / ((CAST(q AS DOUBLE) - CAST(t AS DOUBLE))
+        |    / CAST(n_rows - k_groups AS DOUBLE)), 6)
+        | END AS f_stat
+        |FROM a""".stripMargin,
+    "q_chi2_contingency" ->
+      """WITH cells AS (
+        | SELECT lang AS r, source AS c, CAST(count(*) AS BIGINT) AS o
+        | FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+        | GROUP BY 1, 2),
+        |rs AS (SELECT r, CAST(sum(o) AS BIGINT) AS nr FROM cells GROUP BY 1),
+        |cs AS (SELECT c, CAST(sum(o) AS BIGINT) AS nc FROM cells GROUP BY 1),
+        |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        |spine AS (
+        | SELECT rs.r, cs.c, nr, nc, coalesce(o, 0) AS o, n
+        | FROM rs CROSS JOIN cs
+        | LEFT JOIN cells ON rs.r = cells.r AND cs.c = cells.c
+        | CROSS JOIN nn),
+        |t AS (
+        | SELECT r, c,
+        |  CAST(round((CAST(o AS DOUBLE)
+        |     - CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * (CAST(o AS DOUBLE)
+        |     - CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / (CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        |   AS DECIMAL(18,6)) AS x2,
+        |  CASE WHEN o > 0 THEN
+        |   CAST(round((CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+        |     * log2(CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+        |       / (CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE))), 6) AS DECIMAL(18,6))
+        |  ELSE CAST(0 AS DECIMAL(18,6)) END AS mi
+        | FROM spine)
+        |SELECT CAST(count(DISTINCT r) AS BIGINT) AS n_row_cats,
+        | CAST(count(DISTINCT c) AS BIGINT) AS n_col_cats,
+        | CAST((count(DISTINCT r) - 1) * (count(DISTINCT c) - 1) AS BIGINT) AS dof,
+        | CAST(sum(x2) AS DOUBLE) AS chi2, CAST(sum(mi) AS DOUBLE) AS mi_bits
+        |FROM t""".stripMargin,
+    "q_ks_test" ->
+      """WITH v AS (
+        | SELECT CAST(length(text) AS BIGINT) AS v, (lang = 'en') AS ga
+        | FROM documents),
+        |c AS (
+        | SELECT v, sum(CASE WHEN ga THEN 1 ELSE 0 END) AS ca,
+        |  sum(CASE WHEN ga THEN 0 ELSE 1 END) AS cb
+        | FROM v GROUP BY 1),
+        |cum AS (
+        | SELECT v,
+        |  sum(ca) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+        |  sum(cb) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+        |  CAST(sum(ca) OVER () AS BIGINT) AS na,
+        |  CAST(sum(cb) OVER () AS BIGINT) AS nb
+        | FROM c),
+        |d AS (
+        | SELECT na, nb,
+        |  max(round(abs(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
+        |    - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE)), 6)) AS ks_d
+        | FROM cum GROUP BY 1, 2)
+        |SELECT na, nb, ks_d,
+        | round(ks_d * sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+        |   / CAST(na + nb AS DOUBLE)), 6) AS ks_stat
+        |FROM d""".stripMargin,
     "q_cube_dashboard" ->
       s"""SELECT GROUPING(y, st) AS gid, y, st, count(*) AS cnt,
          | ${sumDecSql("o_totalprice")} AS total

@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import graft.operators.Analytics
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 /** Closed-form known-answer tests for the product-analytics / robust-stats
   * pack (session transitions, think time, A/B z-test, MAD, trimmed mean,
@@ -112,6 +113,42 @@ class ProductAnalyticsSpec extends SparkSpec {
     val out = Analytics.groupedGini(df, "g", "v")
       .as[(String, Long, Double)].collect().toSeq
     assert(out === Seq(("a", 4L, 0.25), ("b", 4L, 0.0)))
+  }
+
+  test("anova: textbook two-group F from exact moments") {
+    // a=[1,2,3], b=[4,5,6]: SSB = 3·(2−3.5)² + 3·(5−3.5)² = 13.5,
+    // SSW = 2+2 = 4, F = (13.5/1)/(4/4) = 13.5.
+    val df = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 4), ("b", 5), ("b", 6))
+      .toDF("g", "v")
+    val r = Analytics.anova(df, col("v"), "g").collect().head
+    assert(r.getAs[Long]("k_groups") === 2L)
+    assert(r.getAs[Long]("n_rows") === 6L)
+    assert(r.getAs[Double]("ss_between") === 13.5)
+    assert(r.getAs[Double]("ss_within") === 4.0)
+    assert(r.getAs[Double]("f_stat") === 13.5)
+  }
+
+  test("anova: single group yields null F, not a divide error") {
+    val r = Analytics.anova(Seq(("a", 1), ("a", 2)).toDF("g", "v"),
+      col("v"), "g").collect().head
+    assert(r.isNullAt(r.fieldIndex("f_stat")))
+  }
+
+  test("contingencyStats: an independent 2x2 table scores 0 chi2 / 0 MI") {
+    val df = (Seq.fill(10)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+      Seq.fill(10)(("b", "x")) ++ Seq.fill(10)(("b", "y"))).toDF("r", "c")
+    val r = Analytics.contingencyStats(df, "r", "c").collect().head
+    assert(r.getAs[Long]("dof") === 1L)
+    assert(r.getAs[Double]("chi2") === 0.0)
+    assert(r.getAs[Double]("mi_bits") === 0.0)
+  }
+
+  test("ksTest: disjoint supports give D = 1") {
+    val df = Seq((1, true), (2, true), (3, false), (4, false)).toDF("v", "ga")
+    val r = Analytics.ksTest(df, col("v"), col("ga")).collect().head
+    assert(r.getAs[Long]("na") === 2L && r.getAs[Long]("nb") === 2L)
+    assert(r.getAs[Double]("ks_d") === 1.0)
+    assert(r.getAs[Double]("ks_stat") === 1.0)
   }
 
   test("mixEntropy: uniform 4-way mix is exactly 2 bits / 4 effective") {
