@@ -752,6 +752,35 @@ object Analytics {
           col("rolling_7d"))
         .orderBy("day")
     },
+    // A9 — EWMA-smoothed daily revenue (α = 0.5), the recursive smoother
+    // a rolling mean can't express: ewma_t = (x_t + ewma_{t−1})/2. The
+    // per-day pre-aggregate is calendar-bounded (the q_rolling_revenue
+    // argument), so ONE ordered array + one sequential fold is O(days).
+    // The recursion runs in exact integer CENTS with floor division —
+    // zero float in the state, so there is no per-step rounding to
+    // disagree across engines (a round(x,6) recurrence measurably
+    // diverged on half-ties); last(acc) carries the state.
+    "q_ewma_daily" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("dt"))
+        .select(col("day"), col("dt").cast("double").as("rev"),
+          (col("dt") * 100).cast("long").as("rc"))
+        .agg(array_sort(collect_list(struct(col("day"), col("rev"),
+          col("rc")))).as("a"))
+        .selectExpr(
+          """inline(aggregate(
+            |  a,
+            |  cast(array() as array<struct<day:date,rev:double,ewma_u:bigint>>),
+            |  (acc, e) -> array_append(acc, named_struct(
+            |    'day', e.day, 'rev', e.rev,
+            |    'ewma_u', case when size(acc) = 0 then e.rc
+            |              else (e.rc + element_at(acc, -1).ewma_u) div 2
+            |              end))))""".stripMargin)
+        .select(col("day"), col("rev"),
+          (col("ewma_u").cast("double") / 100.0).as("ewma"))
+        .orderBy("day")
+    },
 
     // A6/EDA — the distribution plot as data: 20 equi-width bins over
     // order totals (two-pass, integer-cents edges).
@@ -1255,6 +1284,22 @@ object Analytics {
         | CAST((count(DISTINCT r) - 1) * (count(DISTINCT c) - 1) AS BIGINT) AS dof,
         | CAST(sum(x2) AS DOUBLE) AS chi2, CAST(sum(mi) AS DOUBLE) AS mi_bits
         |FROM t""".stripMargin,
+    "q_ewma_daily" ->
+      """WITH RECURSIVE d AS (
+        | SELECT o_orderdate AS day,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS dt
+        | FROM orders GROUP BY 1),
+        |i AS (
+        | SELECT day, CAST(dt AS DOUBLE) AS rev,
+        |  CAST(dt * 100 AS BIGINT) AS rc,
+        |  row_number() OVER (ORDER BY day) AS rn FROM d),
+        |e AS (
+        | SELECT rn, day, rev, rc AS ewma_u FROM i WHERE rn = 1
+        | UNION ALL
+        | SELECT i.rn, i.day, i.rev, (i.rc + e.ewma_u) // 2
+        | FROM e JOIN i ON i.rn = e.rn + 1)
+        |SELECT day, rev, CAST(ewma_u AS DOUBLE) / 100.0 AS ewma
+        |FROM e ORDER BY day""".stripMargin,
     "q_ks_test" ->
       """WITH v AS (
         | SELECT CAST(length(text) AS BIGINT) AS v, (lang = 'en') AS ga

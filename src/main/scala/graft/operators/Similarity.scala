@@ -4,6 +4,7 @@ import graft.Tables
 import graft.functions.{ScoredId, TopKPairAggregator}
 import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Similarity search over an embedding column (builder brief): brute-force
   * cosine top-k as the exact baseline, and a sign-LSH bucketed variant as
@@ -295,6 +296,30 @@ object Similarity {
         .groupBy("label", "dim")
         .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"))
         .orderBy("label", "dim")
+    },
+    // Inter-cluster similarity matrix: cosine between every pair of
+    // per-label centroids — the "are these two clusters really distinct"
+    // report after any clustering/labeling pass. The corpus collapses
+    // map-side to label×dim exact-decimal sums (the q_sim_topk_ivf
+    // centroid recipe); everything after is label²-sized, with the
+    // ordered centroid arrays making the cosine fold order identical on
+    // both engines.
+    "q_centroid_sim" -> { (s, d) =>
+      val cent = Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("label", "dim")
+        .agg((sum(col("x").cast(DecimalType(18, 9))).cast("double") /
+          count(lit(1))).as("c"))
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          e => e.getField("c")).as("centroid"))
+      cent.select(col("label").as("label_a"), col("centroid").as("ea"))
+        .crossJoin(broadcast(
+          cent.select(col("label").as("label_b"), col("centroid").as("eb"))))
+        .filter(col("label_a") < col("label_b"))
+        .select(col("label_a"), col("label_b"),
+          round(cosine(col("ea"), col("eb")), 6).as("csim"))
+        .orderBy("label_a", "label_b")
     }
   )
 
@@ -321,6 +346,18 @@ object Similarity {
         |FROM embeddings CROSS JOIN unnest(range(1, len(embedding)+1)) AS t(i)
         |WHERE i <= 8
         |GROUP BY label, i ORDER BY label, dim""".stripMargin,
+    "q_centroid_sim" ->
+      s"""WITH cents AS (
+         | SELECT label, list(c ORDER BY i) AS centroid FROM (
+         |  SELECT label, i,
+         |   CAST(sum(CAST(embedding[i] AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS c
+         |  FROM embeddings CROSS JOIN unnest(range(1, len(embedding)+1)) AS t(i)
+         |  GROUP BY label, i)
+         | GROUP BY label)
+         |SELECT a.label AS label_a, b.label AS label_b,
+         | round(${cosSql("a.centroid", "b.centroid")}, 6) AS csim
+         |FROM cents a JOIN cents b ON a.label < b.label
+         |ORDER BY 1, 2""".stripMargin,
     "q_sim_topk_ivf" ->
       s"""WITH cents AS (
          | SELECT label, list(c ORDER BY i) AS centroid FROM (
