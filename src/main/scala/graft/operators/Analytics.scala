@@ -694,6 +694,191 @@ object Analytics {
           / (col("na") + col("nb")).cast("double")), 6).as("ks_stat"))
   }
 
+  /** Per-group simple OLS of a monthly series on its month index —
+    * slope/intercept/R² in closed form from the exact integer moments
+    * (x = calendar month number, y = revenue CENTS, so n·Σxy, Σx·Σy,
+    * … are all exact DECIMAL sums; the only float work is the final
+    * shared-subexpression tree, evaluated identically in both engines).
+    * Scale shape: one shuffle to group×month cardinality with map-side
+    * combine, then group-sized frames — no window, no sort, no per-row
+    * float accumulation. Degenerate groups (a single month, zero x- or
+    * y-variance) yield null coefficients instead of a divide error.
+    */
+  def olsTrend(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val m = orders
+      .join(customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("x"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+        .cast(DecimalType(18, 0)).as("yc"))
+    val a = m.groupBy("segment").agg(
+      count(lit(1)).as("n_months"),
+      min(col("x")).as("mn"),
+      sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("yc")).as("sy"),
+      sum(col("x").cast(DecimalType(18, 0)) * col("yc")).as("sxy"),
+      sum(col("yc") * col("yc")).as("syy"))
+    // Shift x to the group's first month ALGEBRAICALLY, in exact integer
+    // math, before any double: with x' = x − mn the shifted moments are
+    // Σx' = Σx − n·mn, Σx'² = Σxx − 2·mn·Σx + n·mn², Σx'y = Σxy − mn·Σy.
+    // Slope and R² are shift-invariant; the intercept becomes the fitted
+    // level at the first month — per-month magnitude instead of an
+    // extrapolation to month 0, so round(…, 6) sits ~100× inside double
+    // precision instead of at its edge (a 1-ulp engine divergence at
+    // sf0.1 motivated this). The shifted doubles are small exact
+    // integers, so every product below stays exactly representable.
+    val dn = col("n_months").cast("double")
+    val dsx = (col("sx") - col("n_months") * col("mn")).cast("double")
+    val dsxx = (col("sxx") - lit(2L) * col("mn") * col("sx") +
+      col("n_months") * col("mn") * col("mn")).cast("double")
+    val dsy = col("sy").cast("double")
+    val dsxy = (col("sxy") -
+      col("mn").cast(DecimalType(18, 0)) * col("sy")).cast("double")
+    val dsyy = col("syy").cast("double")
+    val covn = dn * dsxy - dsx * dsy
+    val varx = dn * dsxx - dsx * dsx
+    val vary = dn * dsyy - dsy * dsy
+    a.select(col("segment"), col("n_months"),
+      when(varx > 0, round(covn / varx / lit(100.0), 6)).as("slope"),
+      when(varx > 0, round((dsy - covn / varx * dsx) / dn / lit(100.0), 6))
+        .as("intercept"),
+      when(varx > 0 && vary > 0, round((covn * covn) / (varx * vary), 6))
+        .as("r2"))
+      .orderBy("segment")
+  }
+
+  /** Autocorrelation function of the daily revenue series at lags 1..k:
+    * Pearson correlation of (y_t, y_{t−k}) pairs, each lag's moments
+    * summed exactly in integer cents (DECIMAL) so the only float is the
+    * final correlation tree. The day frame is calendar-bounded (the
+    * q_rolling_revenue argument), so the one unpartitioned lag window
+    * runs over a provably small spine; pair moments then aggregate
+    * map-side to k rows.
+    */
+  def acfDaily(orders: DataFrame, maxLag: Int): DataFrame = {
+    val daily = orders
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+        .cast(DecimalType(18, 0)).as("yc"))
+    val w = Window.orderBy("day")
+    val lagged = daily.select(col("yc") +:
+      (1 to maxLag).map(k => lag(col("yc"), k).over(w).as(s"l$k")): _*)
+    val pairs = lagged
+      .select(col("yc").as("y"),
+        posexplode(array((1 to maxLag).map(k => col(s"l$k")): _*))
+          .as(Seq("k0", "x")))
+      .filter(col("x").isNotNull)
+      .select((col("k0") + 1).cast("long").as("lag"), col("x"), col("y"))
+    val a = pairs.groupBy("lag").agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("y")).as("sy"), sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val dm = col("n_pairs").cast("double")
+    val dsx = col("sx").cast("double"); val dsxx = col("sxx").cast("double")
+    val dsy = col("sy").cast("double"); val dsyy = col("syy").cast("double")
+    val dsxy = col("sxy").cast("double")
+    val varx = dm * dsxx - dsx * dsx
+    val vary = dm * dsyy - dsy * dsy
+    a.select(col("lag"), col("n_pairs"),
+      when(varx > 0 && vary > 0,
+        round((dm * dsxy - dsx * dsy) / sqrt(varx * vary), 6)).as("acf"))
+      .orderBy("lag")
+  }
+
+  /** AUC of a numeric score predicting a boolean label, ties handled by
+    * average ranks — the Mann-Whitney rank-sum identity on the distinct-
+    * value count frame: a value v spanning ranks (cum−c+1)..cum has
+    * 2·avgrank = 2·cum−c+1, so 2·R_pos = Σ p_v·(2·cum−c+1) and
+    * AUC = (2·R_pos − n_pos·(n_pos+1)) / (2·n_pos·n_neg) — all exact
+    * DECIMAL until one final double division. No per-row ranking: the
+    * cumsum window is over DISTINCT scores, bounded by the value domain
+    * (the ksTest spine argument), not corpus size.
+    */
+  def aucRank(df: DataFrame, scoreCol: Column, positive: Column): DataFrame = {
+    val c = df.filter(scoreCol.isNotNull && positive.isNotNull)
+      .select(scoreCol.cast("long").as("v"),
+        when(positive, 1L).otherwise(0L).as("pos"))
+      .groupBy("v")
+      .agg(count(lit(1)).as("c"), sum(col("pos")).as("p"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val a = c.withColumn("cum", sum(col("c")).over(w))
+      .agg(sum(col("c")).as("n"), sum(col("p")).as("np"),
+        sum(col("p").cast(DecimalType(18, 0)) *
+          (lit(2L) * col("cum") - col("c") + lit(1L))
+            .cast(DecimalType(18, 0))).as("rp2"))
+    val dnp = col("np").cast("double")
+    val dnn = (col("n") - col("np")).cast("double")
+    a.select(col("np").as("n_pos"), (col("n") - col("np")).as("n_neg"),
+      when(col("np") > 0 && col("n") > col("np"),
+        round((col("rp2").cast("double") - dnp * (dnp + 1)) /
+          (lit(2.0) * dnp * dnn), 6)).as("auc"))
+  }
+
+  /** Benford's-law audit of a positive decimal measure: observed
+    * leading-digit shares vs log10(1+1/d), with the per-digit χ² term.
+    * The leading digit comes from the decimal's string form (exact —
+    * no float log in the binning); the 1..9 spine restores zero-count
+    * digits. One map-side-combined shuffle to ≤9 rows.
+    */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val obs = df.filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .select(substring(col(valueCol).cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("c"))
+    val spine = spark.range(1, 10).select(col("id").cast("int").as("digit"))
+    val f = spine.join(obs, Seq("digit"), "left").na.fill(0L, Seq("c"))
+      .crossJoin(broadcast(obs.agg(sum(col("c")).as("n"))))
+    val p = log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+    val dn = col("n").cast("double"); val dc = col("c").cast("double")
+    f.select(col("digit"), col("c").as("n_obs"),
+      round(dc / dn, 6).as("obs_share"),
+      round(p, 6).as("exp_share"),
+      round((dc - dn * p) * (dc - dn * p) / (dn * p), 6).as("chi2_term"))
+      .orderBy("digit")
+  }
+
+  /** Market-basket association rules over order baskets: for every pair
+    * of part brands co-occurring in an order, support, directional
+    * confidence, and lift from exact counts (one double division each).
+    * The basket set collapses to DISTINCT (order, brand) first, so the
+    * self-join shuffles both sides co-partitioned on the order key and
+    * pair counts combine map-side to brand² rows; brand marginals are
+    * brand-sized and broadcast back onto the pairs.
+    */
+  def assocRules(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val items = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("ok"), col("p_brand").as("brand"))
+      .distinct()
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.ok") === col("b.ok") && col("a.brand") < col("b.brand"))
+      .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val marg = items.groupBy("brand").agg(count(lit(1)).as("nb"))
+    val tot = items.agg(countDistinct(col("ok")).as("n_orders"))
+    val f = pairs
+      .join(broadcast(marg.select(col("brand").as("brand_a"),
+        col("nb").as("na"))), Seq("brand_a"))
+      .join(broadcast(marg.select(col("brand").as("brand_b"),
+        col("nb").as("nb"))), Seq("brand_b"))
+      .crossJoin(broadcast(tot))
+    val dab = col("n_ab").cast("double"); val dn = col("n_orders").cast("double")
+    val dna = col("na").cast("double"); val dnb = col("nb").cast("double")
+    f.select(col("brand_a"), col("brand_b"), col("n_ab"),
+      round(dab / dn, 6).as("support"),
+      round(dab / dna, 6).as("conf_ab"),
+      round((dab * dn) / (dna * dnb), 6).as("lift"))
+      .orderBy("brand_a", "brand_b")
+  }
+
   /** Σ of ranks occupied by a distinct value, doubled: c·(2·cum−c+1). */
   private def giniRankTerm: Column =
     col("c").cast(DecimalType(38, 0)) *
@@ -874,6 +1059,33 @@ object Analytics {
     // distributions (the KS complement to q_drift_psi's binned view).
     "q_ks_test" -> { (s, d) =>
       ksTest(Tables.documents(s, d), length(col("text")), col("lang") === "en")
+    },
+
+    // Closed-form modeling layer on top of the test pack.
+    // Is revenue trending, per market segment? (exact-moment OLS)
+    "q_ols_trend" -> { (s, d) =>
+      olsTrend(Tables.orders(s, d), Tables.customer(s, d))
+    },
+    // How much weekly structure does daily revenue have? (ACF lags 1..7)
+    "q_acf_daily" -> { (s, d) =>
+      acfDaily(Tables.orders(s, d), 7)
+    },
+    // How well does raw length separate English from the rest? (rank AUC
+    // — the effect-size companion to q_ks_test's significance.)
+    "q_auc_length" -> { (s, d) =>
+      aucRank(Tables.documents(s, d), length(col("text")),
+        col("lang") === "en")
+    },
+    // Does the money column look organic? (Benford leading-digit audit —
+    // a synthetic uniform price generator fails it loudly, which is
+    // itself the interesting report on this corpus.)
+    "q_benford" -> { (s, d) =>
+      benford(Tables.orders(s, d), "o_totalprice")
+    },
+    // Which brands sell together? (support / confidence / lift over
+    // order baskets.)
+    "q_assoc_rules" -> { (s, d) =>
+      assocRules(Tables.lineitem(s, d), Tables.part(s, d))
     },
 
     // A9 — the full dashboard lattice in ONE pass: CUBE(year, status)
@@ -1326,6 +1538,130 @@ object Analytics {
         | round(ks_d * sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
         |   / CAST(na + nb AS DOUBLE)), 6) AS ks_stat
         |FROM d""".stripMargin,
+    "q_ols_trend" ->
+      """WITH m AS (
+        | SELECT c_mktsegment AS segment,
+        |  CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS x,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS yc
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        | GROUP BY 1, 2),
+        |g AS (
+        | SELECT segment, CAST(count(*) AS BIGINT) AS n_months,
+        |  min(x) AS mn, sum(x) AS rsx, sum(x * x) AS rsxx, sum(yc) AS rsy,
+        |  sum(CAST(x AS HUGEINT) * CAST(yc AS HUGEINT)) AS rsxy,
+        |  sum(CAST(yc AS HUGEINT) * CAST(yc AS HUGEINT)) AS rsyy
+        | FROM m GROUP BY 1),
+        |a AS (
+        | SELECT segment, n_months,
+        |  CAST(rsx - n_months * mn AS DOUBLE) AS sx,
+        |  CAST(rsxx - 2 * mn * rsx + n_months * mn * mn AS DOUBLE) AS sxx,
+        |  CAST(rsy AS DOUBLE) AS sy,
+        |  CAST(rsxy - CAST(mn AS HUGEINT) * CAST(rsy AS HUGEINT)
+        |    AS DOUBLE) AS sxy,
+        |  CAST(rsyy AS DOUBLE) AS syy,
+        |  CAST(n_months AS DOUBLE) AS dn
+        | FROM g)
+        |SELECT segment, n_months,
+        | CASE WHEN dn * sxx - sx * sx > 0 THEN
+        |  round((dn * sxy - sx * sy) / (dn * sxx - sx * sx) / 100.0, 6)
+        | END AS slope,
+        | CASE WHEN dn * sxx - sx * sx > 0 THEN
+        |  round((sy - (dn * sxy - sx * sy) / (dn * sxx - sx * sx) * sx)
+        |    / dn / 100.0, 6)
+        | END AS intercept,
+        | CASE WHEN dn * sxx - sx * sx > 0 AND dn * syy - sy * sy > 0 THEN
+        |  round(((dn * sxy - sx * sy) * (dn * sxy - sx * sy))
+        |    / ((dn * sxx - sx * sx) * (dn * syy - sy * sy)), 6)
+        | END AS r2
+        |FROM a ORDER BY segment""".stripMargin,
+    "q_acf_daily" ->
+      """WITH d AS (
+        | SELECT o_orderdate AS day,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS yc
+        | FROM orders GROUP BY 1),
+        |i AS (SELECT yc, row_number() OVER (ORDER BY day) AS rn FROM d),
+        |p AS (
+        | SELECT k.k AS lag, a.yc AS x, b.yc AS y
+        | FROM i a, i b, (SELECT unnest(range(1, 8)) AS k) k
+        | WHERE b.rn = a.rn + k.k),
+        |a AS (
+        | SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(count(*) AS DOUBLE) AS dm,
+        |  CAST(sum(x) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+        |    AS DOUBLE) AS sxx,
+        |  CAST(sum(y) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT))
+        |    AS DOUBLE) AS syy,
+        |  CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT))
+        |    AS DOUBLE) AS sxy
+        | FROM p GROUP BY 1)
+        |SELECT lag, n_pairs,
+        | CASE WHEN dm * sxx - sx * sx > 0 AND dm * syy - sy * sy > 0 THEN
+        |  round((dm * sxy - sx * sy)
+        |    / sqrt((dm * sxx - sx * sx) * (dm * syy - sy * sy)), 6)
+        | END AS acf
+        |FROM a ORDER BY lag""".stripMargin,
+    "q_auc_length" ->
+      """WITH v AS (
+        | SELECT CAST(length(text) AS BIGINT) AS v,
+        |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        | FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+        |c AS (SELECT v, count(*) AS c, sum(pos) AS p FROM v GROUP BY 1),
+        |r AS (
+        | SELECT c, p, sum(c) OVER (ORDER BY v
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM c),
+        |a AS (
+        | SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(p) AS BIGINT) AS np,
+        |  CAST(sum(CAST(p AS DECIMAL(18,0))
+        |    * CAST(2 * cum - c + 1 AS DECIMAL(18,0))) AS DOUBLE) AS rp2
+        | FROM r)
+        |SELECT np AS n_pos, n - np AS n_neg,
+        | CASE WHEN np > 0 AND n > np THEN
+        |  round((rp2 - CAST(np AS DOUBLE) * (CAST(np AS DOUBLE) + 1))
+        |    / (2.0 * CAST(np AS DOUBLE) * CAST(n - np AS DOUBLE)), 6)
+        | END AS auc
+        |FROM a""".stripMargin,
+    "q_benford" ->
+      """WITH o AS (
+        | SELECT CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS INTEGER)
+        |   AS digit, count(*) AS c
+        | FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+        | GROUP BY 1),
+        |s AS (
+        | SELECT CAST(d.digit AS INTEGER) AS digit, coalesce(o.c, 0) AS c,
+        |  (SELECT sum(c) FROM o) AS n
+        | FROM (SELECT unnest(range(1, 10)) AS digit) d LEFT JOIN o USING (digit))
+        |SELECT digit, CAST(c AS BIGINT) AS n_obs,
+        | round(CAST(c AS DOUBLE) / CAST(n AS DOUBLE), 6) AS obs_share,
+        | round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS exp_share,
+        | round((CAST(c AS DOUBLE)
+        |    - CAST(n AS DOUBLE) * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+        |  * (CAST(c AS DOUBLE)
+        |    - CAST(n AS DOUBLE) * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+        |  / (CAST(n AS DOUBLE) * log10(1.0 + 1.0 / CAST(digit AS DOUBLE))), 6)
+        |  AS chi2_term
+        |FROM s ORDER BY digit""".stripMargin,
+    "q_assoc_rules" ->
+      """WITH items AS (
+        | SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+        | FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |t AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM items),
+        |bc AS (SELECT brand, CAST(count(*) AS BIGINT) AS nb FROM items GROUP BY 1),
+        |p AS (
+        | SELECT a.brand AS brand_a, b.brand AS brand_b,
+        |  CAST(count(*) AS BIGINT) AS n_ab
+        | FROM items a JOIN items b ON a.ok = b.ok AND a.brand < b.brand
+        | GROUP BY 1, 2)
+        |SELECT brand_a, brand_b, n_ab,
+        | round(CAST(n_ab AS DOUBLE) / CAST(n_orders AS DOUBLE), 6) AS support,
+        | round(CAST(n_ab AS DOUBLE) / CAST(ca.nb AS DOUBLE), 6) AS conf_ab,
+        | round((CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE))
+        |   / (CAST(ca.nb AS DOUBLE) * CAST(cb.nb AS DOUBLE)), 6) AS lift
+        |FROM p CROSS JOIN t
+        | JOIN bc ca ON p.brand_a = ca.brand
+        | JOIN bc cb ON p.brand_b = cb.brand
+        |ORDER BY brand_a, brand_b""".stripMargin,
     "q_cube_dashboard" ->
       s"""SELECT GROUPING(y, st) AS gid, y, st, count(*) AS cnt,
          | ${sumDecSql("o_totalprice")} AS total
