@@ -151,6 +151,78 @@ class ProductAnalyticsSpec extends SparkSpec {
     assert(r.getAs[Double]("ks_stat") === 1.0)
   }
 
+  test("aucRank: tie-aware Mann-Whitney known answer") {
+    // pos {2,3} vs neg {1,2}: pairwise wins 3 + one tie (0.5) of 4 pairs
+    // → AUC = 0.875; the tied score 2 exercises the average-rank term.
+    val df = Seq((1, false), (2, false), (2, true), (3, true)).toDF("v", "p")
+    val r = Analytics.aucRank(df, col("v"), col("p")).collect().head
+    assert(r.getAs[Long]("n_pos") === 2L && r.getAs[Long]("n_neg") === 2L)
+    assert(r.getAs[Double]("auc") === 0.875)
+    // all-positive input → null AUC, not a divide error
+    val deg = Analytics.aucRank(Seq((1, true), (2, true)).toDF("v", "p"),
+      col("v"), col("p")).collect().head
+    assert(deg.isNullAt(deg.fieldIndex("auc")))
+  }
+
+  test("benford: digit binning is string-exact and the spine fills zeros") {
+    val df = Seq(1.0, 1.5, 2.3, 9.9).toDF("m")
+    val out = Analytics.benford(df, "m").collect()
+    assert(out.length === 9)
+    val byDigit = out.map(r => r.getAs[Int]("digit") ->
+      (r.getAs[Long]("n_obs"), r.getAs[Double]("obs_share"))).toMap
+    assert(byDigit(1) === ((2L, 0.5)))
+    assert(byDigit(2) === ((1L, 0.25)))
+    assert(byDigit(9) === ((1L, 0.25)))
+    assert(byDigit(3) === ((0L, 0.0)))
+    // log10(2) ≈ 0.30103 — the canonical Benford first-digit share
+    assert(out.find(_.getAs[Int]("digit") == 1).get
+      .getAs[Double]("exp_share") === 0.30103)
+  }
+
+  test("assocRules: support/confidence/lift on three hand baskets") {
+    // baskets {A,B}, {A,B}, {A,C}; the duplicate (1,1) line must collapse
+    // in the DISTINCT item set. lift is 1.0 for both pairs by design.
+    val part = Seq((1L, "A"), (2L, "B"), (3L, "C")).toDF("p_partkey", "p_brand")
+    val li = Seq((1L, 1L), (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 3L)).toDF("l_orderkey", "l_partkey")
+    val out = Analytics.assocRules(li, part)
+      .as[(String, String, Long, Double, Double, Double)].collect().toSeq
+    assert(out === Seq(
+      ("A", "B", 2L, 0.666667, 0.666667, 1.0),
+      ("A", "C", 1L, 0.333333, 0.333333, 1.0)))
+  }
+
+  test("acfDaily: a perfectly linear series has ACF 1 at every usable lag") {
+    val df = Seq(("2024-01-01", 0.01), ("2024-01-02", 0.02),
+      ("2024-01-03", 0.03), ("2024-01-04", 0.04))
+      .toDF("d", "o_totalprice")
+      .selectExpr("CAST(d AS DATE) AS o_orderdate", "o_totalprice")
+    val out = Analytics.acfDaily(df, 3).collect()
+    assert(out.map(_.getAs[Long]("lag")).toSeq === Seq(1L, 2L, 3L))
+    assert(out.map(_.getAs[Long]("n_pairs")).toSeq === Seq(3L, 2L, 1L))
+    assert(out(0).getAs[Double]("acf") === 1.0)
+    assert(out(1).getAs[Double]("acf") === 1.0)
+    // a single pair has zero variance → null, not a divide error
+    assert(out(2).isNullAt(out(2).fieldIndex("acf")))
+  }
+
+  test("olsTrend: exact line recovered; intercept is the first-month level") {
+    // one segment, monthly revenue 2, 4, 6 → slope 2/month, intercept 2
+    // (the level at the group's FIRST month after the exact shift), R²=1.
+    val cust = Seq((1L, "SEG")).toDF("c_custkey", "c_mktsegment")
+    val orders = Seq(("1995-01-15", 2.0), ("1995-02-15", 4.0),
+      ("1995-03-15", 6.0))
+      .toDF("d", "o_totalprice")
+      .selectExpr("1 AS o_custkey", "CAST(d AS DATE) AS o_orderdate",
+        "o_totalprice")
+    val r = Analytics.olsTrend(orders, cust).collect().head
+    assert(r.getAs[String]("segment") === "SEG")
+    assert(r.getAs[Long]("n_months") === 3L)
+    assert(r.getAs[Double]("slope") === 2.0)
+    assert(r.getAs[Double]("intercept") === 2.0)
+    assert(r.getAs[Double]("r2") === 1.0)
+  }
+
   test("mixEntropy: uniform 4-way mix is exactly 2 bits / 4 effective") {
     // p=0.25 each → every term is −0.25·log2(0.25) = 0.5 exactly, so the
     // 6dp-round + decimal-sum path is tie-free: H = 2, 2^H = 4. Nulls
