@@ -852,18 +852,28 @@ object Analytics {
     * brand-sized and broadcast back onto the pairs.
     */
   def assocRules(lineitem: DataFrame, part: DataFrame): DataFrame = {
-    val items = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey"))
+    // ONE shuffle builds the basket set (order → distinct brand array,
+    // set-union partials map-side); pairs, marginals, and the order count
+    // all derive from the cached baskets, so lineitem is scanned once —
+    // the self-join form scanned it four times and shuffled pair-exploded
+    // rows. Baskets are bounded (≤ distinct brands), so the per-row pair
+    // expansion is a small constant, not a skew risk.
+    val baskets = lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey"))
       .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
         col("l_partkey") === col("p_partkey"))
-      .select(col("ok"), col("p_brand").as("brand"))
-      .distinct()
-    val pairs = items.as("a")
-      .join(items.as("b"),
-        col("a.ok") === col("b.ok") && col("a.brand") < col("b.brand"))
-      .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+      .groupBy(col("ok"))
+      .agg(collect_set(col("p_brand")).as("bs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = baskets
+      .select(explode(expr(
+        "filter(flatten(transform(bs, a -> transform(bs, b -> struct(a, b)))),"
+          + " p -> p.a < p.b)")).as("p"))
+      .groupBy(col("p.a").as("brand_a"), col("p.b").as("brand_b"))
       .agg(count(lit(1)).as("n_ab"))
-    val marg = items.groupBy("brand").agg(count(lit(1)).as("nb"))
-    val tot = items.agg(countDistinct(col("ok")).as("n_orders"))
+    val marg = baskets.select(explode(col("bs")).as("brand"))
+      .groupBy("brand").agg(count(lit(1)).as("nb"))
+    val tot = baskets.agg(count(lit(1)).as("n_orders"))
     val f = pairs
       .join(broadcast(marg.select(col("brand").as("brand_a"),
         col("nb").as("na"))), Seq("brand_a"))
