@@ -889,6 +889,140 @@ object Analytics {
       .orderBy("brand_a", "brand_b")
   }
 
+  /** Multiplicative day-of-week seasonality of revenue: each ISO weekday's
+    * mean daily revenue over the overall mean daily revenue, from exact
+    * integer-cents sums (index = s_dow·N / (n_dow·S), one double tree).
+    * Two map-side-combined aggregations: day cardinality, then ≤7 rows.
+    */
+  def dowSeasonality(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+        .cast(DecimalType(18, 0)).as("yc"))
+    val byDow = daily
+      .groupBy((weekday(col("day")) + 1).as("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("yc")).as("s"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("yc")).as("st"))
+    val f = byDow.crossJoin(broadcast(tot))
+    val ds = col("s").cast("double"); val dn = col("n_days").cast("double")
+    val dst = col("st").cast("double"); val dnt = col("n").cast("double")
+    f.select(col("dow"), col("n_days"),
+      round(ds / dn / lit(100.0), 6).as("avg_rev"),
+      round((ds * dnt) / (dn * dst), 6).as("index"))
+      .orderBy("dow")
+  }
+
+  /** CUSUM changepoint on the daily revenue series: the day t maximizing
+    * |Σ_{i≤t}(y_i − μ)|, computed exactly as D_t = N·prefix_t − t·S in
+    * integer cents (same argmax as the float CUSUM, zero float until the
+    * reported magnitude) — ties break to the earliest day. The cumsum
+    * window runs over the calendar-bounded day spine; everything after
+    * is one ORDER BY abs LIMIT 1 on that spine.
+    */
+  def cusumChangepoint(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+        .cast(DecimalType(18, 0)).as("yc"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily
+      .withColumn("pre", sum(col("yc")).over(w))
+      .withColumn("t", row_number().over(Window.orderBy("day")).cast("long"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("yc")).as("s"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("dt", (col("n").cast(DecimalType(38, 0)) * col("pre") -
+        col("t").cast(DecimalType(38, 0)) * col("s")).cast(DecimalType(38, 0)))
+      .orderBy(abs(col("dt")).desc, col("day").asc)
+      .limit(1)
+      .select(col("day"), col("n").as("n_days"),
+        round(col("dt").cast("double") / col("n").cast("double") / lit(100.0), 6)
+          .as("cusum"))
+  }
+
+  /** PageRank over the in-session event-type transition graph (damping
+    * 0.85, 10 iterations), in EXACT integer parts-per-million: ranks and
+    * per-edge contributions use only integer multiply and floor division,
+    * so the fixed point is bit-identical across engines and partitionings
+    * — no float accumulation to drift. Dangling nodes (no out-edges) leak
+    * their damped mass by design; the teleport term keeps them ranked.
+    * The graph is event-type-sized, so each iteration is a tiny shuffle;
+    * the corpus-sized work is the one sessionized lag pass.
+    */
+  def pagerankTransitions(events: DataFrame, iters: Int = 10): DataFrame = {
+    val edges = sessionTransitions(events).select("src", "dst", "n")
+    val wout = edges.groupBy("src").agg(sum(col("n")).as("wout"))
+    val e = edges.join(wout, "src")
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val base = nodes.crossJoin(broadcast(nodes.agg(count(lit(1)).as("nn"))))
+    var ranks = base.select(col("node"), expr("1000000 div nn").as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(ranks, col("src") === col("node"))
+        .select(col("dst"),
+          expr("(850 * rank * n) div (1000 * wout)").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("c"))
+      ranks = base.join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (expr("150000 div nn") + coalesce(col("c"), lit(0L))).as("rank"))
+    }
+    ranks
+      .select(col("node"), col("rank").cast("long").as("rank_ppm"),
+        round(col("rank").cast("double") / lit(1000000.0), 6).as("share"))
+      .orderBy("node")
+  }
+
+  /** The sessionize/lag/count transition CTE chain shared by the
+    * q_session_transitions oracle and [[pagerankSql]]. Yields (src, dst, n).
+    */
+  private val transitionEdgesSql: String =
+    """tr_e AS (
+      | SELECT user_id, event_id, event_type,
+      |  date_trunc('second', ts) AS ts FROM events),
+      |tr_g AS (
+      | SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+      |   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
+      | FROM tr_e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |tr_s AS (
+      | SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+      | FROM tr_g),
+      |tr_t AS (
+      | SELECT event_type AS dst, lag(event_type) OVER (
+      |   PARTITION BY user_id, sess_no ORDER BY ts, event_id) AS src
+      | FROM tr_s),
+      |edges AS (
+      | SELECT src, dst, count(*) AS n FROM tr_t
+      | WHERE src IS NOT NULL GROUP BY 1, 2)""".stripMargin
+
+  /** The DuckDB twin of [[pagerankTransitions]]: the bounded iteration
+    * count unrolls into one CTE per step (recursive CTEs disallow the
+    * per-step GROUP BY), each repeating the identical integer floor-div
+    * update — exact, so no float-parity concern at any depth.
+    */
+  private def pagerankSql(iters: Int): String = {
+    val iterCtes = (1 to iters).map { k =>
+      s""",
+         |r$k AS (
+         | SELECT nodes.node, 150000 // nn.nn + coalesce(c.c, 0) AS rank
+         | FROM nodes CROSS JOIN nn LEFT JOIN (
+         |   SELECT e.dst, sum((850 * r${k - 1}.rank * e.n) // (1000 * w.wout)) AS c
+         |   FROM edges e JOIN r${k - 1} ON e.src = r${k - 1}.node
+         |    JOIN w ON w.src = e.src
+         |   GROUP BY 1) c ON c.dst = nodes.node)""".stripMargin
+    }.mkString
+    s"""WITH $transitionEdgesSql,
+       |w AS (SELECT src, sum(n) AS wout FROM edges GROUP BY 1),
+       |nodes AS (
+       | SELECT DISTINCT node FROM (
+       |  SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM nodes),
+       |r0 AS (SELECT node, 1000000 // nn AS rank FROM nodes CROSS JOIN nn)$iterCtes
+       |SELECT node, CAST(rank AS BIGINT) AS rank_ppm,
+       | round(CAST(rank AS DOUBLE) / 1000000.0, 6) AS share
+       |FROM r$iters ORDER BY node""".stripMargin
+  }
+
   /** Σ of ranks occupied by a distinct value, doubled: c·(2·cum−c+1). */
   private def giniRankTerm: Column =
     col("c").cast(DecimalType(38, 0)) *
@@ -1096,6 +1230,19 @@ object Analytics {
     // order baskets.)
     "q_assoc_rules" -> { (s, d) =>
       assocRules(Tables.lineitem(s, d), Tables.part(s, d))
+    },
+    // Which weekdays carry the revenue? (multiplicative seasonality index)
+    "q_dow_seasonality" -> { (s, d) =>
+      dowSeasonality(Tables.orders(s, d))
+    },
+    // Where does the revenue level shift? (exact-integer CUSUM argmax)
+    "q_changepoint" -> { (s, d) =>
+      cusumChangepoint(Tables.orders(s, d))
+    },
+    // Which event types anchor user journeys? (integer fixed-point
+    // PageRank over the session transition graph.)
+    "q_pagerank" -> { (s, d) =>
+      pagerankTransitions(Tables.events(s, d))
     },
 
     // A9 — the full dashboard lattice in ONE pass: CUBE(year, status)
@@ -1652,6 +1799,42 @@ object Analytics {
         |  / (CAST(n AS DOUBLE) * log10(1.0 + 1.0 / CAST(digit AS DOUBLE))), 6)
         |  AS chi2_term
         |FROM s ORDER BY digit""".stripMargin,
+    "q_dow_seasonality" ->
+      """WITH d AS (
+        | SELECT o_orderdate AS day,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS yc
+        | FROM orders GROUP BY 1),
+        |b AS (
+        | SELECT CAST(isodow(day) AS INTEGER) AS dow,
+        |  CAST(count(*) AS BIGINT) AS n_days, sum(yc) AS s
+        | FROM d GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(yc) AS st FROM d)
+        |SELECT dow, n_days,
+        | round(CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE) / 100.0, 6) AS avg_rev,
+        | round((CAST(s AS DOUBLE) * CAST(n AS DOUBLE))
+        |   / (CAST(n_days AS DOUBLE) * CAST(st AS DOUBLE)), 6) AS index
+        |FROM b CROSS JOIN t ORDER BY dow""".stripMargin,
+    "q_changepoint" ->
+      """WITH d AS (
+        | SELECT o_orderdate AS day,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS yc
+        | FROM orders GROUP BY 1),
+        |c AS (
+        | SELECT day,
+        |  sum(yc) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre,
+        |  CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+        | FROM d),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(yc) AS s FROM d),
+        |x AS (
+        | SELECT day, n,
+        |  CAST(n AS HUGEINT) * CAST(pre AS HUGEINT)
+        |    - CAST(t AS HUGEINT) * CAST(s AS HUGEINT) AS dt
+        | FROM c CROSS JOIN tot)
+        |SELECT day, n AS n_days,
+        | round(CAST(dt AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6) AS cusum
+        |FROM x ORDER BY abs(dt) DESC, day LIMIT 1""".stripMargin,
+    "q_pagerank" -> pagerankSql(10),
     "q_assoc_rules" ->
       """WITH items AS (
         | SELECT DISTINCT l_orderkey AS ok, p_brand AS brand

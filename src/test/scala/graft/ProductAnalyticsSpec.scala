@@ -223,6 +223,43 @@ class ProductAnalyticsSpec extends SparkSpec {
     assert(r.getAs[Double]("r2") === 1.0)
   }
 
+  test("dowSeasonality: a flat series indexes 1.0 on every weekday") {
+    // Mondays average 3 and the lone Tuesday is 3 → both indexes exactly 1.
+    val orders = Seq(("2024-01-01", 2.0), ("2024-01-08", 4.0),
+      ("2024-01-02", 3.0)).toDF("d", "o_totalprice")
+      .selectExpr("CAST(d AS DATE) AS o_orderdate", "o_totalprice")
+    val out = Analytics.dowSeasonality(orders)
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    assert(out === Seq((1, 2L, 3.0, 1.0), (2, 1L, 3.0, 1.0)))
+  }
+
+  test("cusumChangepoint: exact argmax day and magnitude") {
+    // daily cents (1,1,1,5), mean 2: D_t = 4·pre − t·8 = (−4,−8,−12,0) →
+    // argmax |D| is day 3, CUSUM = −12/4 cents = −0.03 currency.
+    val orders = Seq(("2024-01-01", 0.01), ("2024-01-02", 0.01),
+      ("2024-01-03", 0.01), ("2024-01-04", 0.05))
+      .toDF("d", "o_totalprice")
+      .selectExpr("CAST(d AS DATE) AS o_orderdate", "o_totalprice")
+    val r = Analytics.cusumChangepoint(orders).collect().head
+    assert(r.getAs[java.sql.Date]("day").toString === "2024-01-03")
+    assert(r.getAs[Long]("n_days") === 4L)
+    assert(r.getAs[Double]("cusum") === -0.03)
+  }
+
+  test("pagerankTransitions: a symmetric 2-cycle fixes at exactly 500000 ppm") {
+    // u1 contributes A→B, u2 contributes B→A; the integer update
+    // 150000/2 + (850·500000·1) div (1000·1) = 500000 is a fixed point,
+    // so all 10 iterations leave it bit-identical.
+    val e = events(
+      (1L, 1L, "2024-01-01 00:00:00", "A"),
+      (1L, 2L, "2024-01-01 00:00:10", "B"),
+      (2L, 3L, "2024-01-01 00:00:00", "B"),
+      (2L, 4L, "2024-01-01 00:00:10", "A"))
+    val out = Analytics.pagerankTransitions(e)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out === Seq(("A", 500000L, 0.5), ("B", 500000L, 0.5)))
+  }
+
   test("mixEntropy: uniform 4-way mix is exactly 2 bits / 4 effective") {
     // p=0.25 each → every term is −0.25·log2(0.25) = 0.5 exactly, so the
     // 6dp-round + decimal-sum path is tie-free: H = 2, 2^H = 4. Nulls
