@@ -104,6 +104,35 @@ object Curation {
             (col("n_tokens") / col("total_tokens"))), 6).as("sample_rate"))
   }
 
+  /** Temperature-flattened sampling weights over the source mix (the
+    * multilingual/multi-source rebalancing rule p_s ∝ share_s^α at
+    * α = 0.5): sqrt is IEEE-correctly-rounded in both engines, the
+    * per-source weights are 6dp-rounded and summed as exact DECIMAL
+    * (order-independent), and the final probabilities are one double
+    * division each. `boost` is the up/down-sampling factor vs natural
+    * frequency. Char mass stands in for token mass. One shuffle to
+    * source cardinality; the two totals are single-row broadcasts.
+    */
+  def temperatureMix(docs: DataFrame): DataFrame = {
+    val bySrc = docs.filter(col("source").isNotNull)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("tok"))
+    val tot = bySrc.agg(sum(col("tok")).as("tt"))
+    val share = col("tok").cast("double") / col("tt").cast("double")
+    val f = bySrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), share.as("share_raw"),
+        round(sqrt(share), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("w"))
+    val sw = f.agg(sum(col("w")).as("sw"))
+    val p = col("w").cast("double") / col("sw").cast("double")
+    f.crossJoin(broadcast(sw))
+      .select(col("source"), col("n_docs"),
+        round(col("share_raw"), 6).as("share"),
+        round(p, 6).as("p_temp"),
+        round(p / col("share_raw"), 6).as("boost"))
+      .orderBy("source")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Decontamination: eval set = first 20 docs verbatim; report every
     // corpus doc sharing a 5-gram with them (the 20 themselves plus any
@@ -131,6 +160,11 @@ object Curation {
     // Source-mix report with uniform-target resampling rates.
     "q_source_mix" -> { (s, d) =>
       sourceMix(Tables.documents(s, d)).orderBy("source")
+    },
+    // Temperature-flattened sampling weights (α = 0.5) — the mix the
+    // sampler actually draws from, vs q_source_mix's uniform target.
+    "q_mix_temperature" -> { (s, d) =>
+      temperatureMix(Tables.documents(s, d))
     },
 
     // PER-SOURCE DOCUMENT CAP — the pretraining-mix move that keeps any
@@ -190,6 +224,23 @@ object Curation {
        |             i -> array_to_string(list_slice($toks, i, i + ${n - 1}), ' ')) END)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q_mix_temperature" ->
+      """WITH b AS (
+        | SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  sum(n_chars) AS tok
+        | FROM documents WHERE source IS NOT NULL GROUP BY 1),
+        |t AS (SELECT sum(tok) AS tt FROM b),
+        |f AS (
+        | SELECT source, n_docs,
+        |  CAST(tok AS DOUBLE) / CAST(tt AS DOUBLE) AS share_raw,
+        |  CAST(round(sqrt(CAST(tok AS DOUBLE) / CAST(tt AS DOUBLE)), 6)
+        |    AS DECIMAL(18,6)) AS w
+        | FROM b CROSS JOIN t),
+        |s AS (SELECT sum(w) AS sw FROM f)
+        |SELECT source, n_docs, round(share_raw, 6) AS share,
+        | round(CAST(w AS DOUBLE) / CAST(sw AS DOUBLE), 6) AS p_temp,
+        | round(CAST(w AS DOUBLE) / CAST(sw AS DOUBLE) / share_raw, 6) AS boost
+        |FROM f CROSS JOIN s ORDER BY source""".stripMargin,
     "q_source_cap" ->
       """SELECT doc_id, source, n_chars FROM (
         | SELECT doc_id, source, n_chars,
