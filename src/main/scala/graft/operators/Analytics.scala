@@ -950,7 +950,12 @@ object Analytics {
     * the corpus-sized work is the one sessionized lag pass.
     */
   def pagerankTransitions(events: DataFrame, iters: Int = 10): DataFrame = {
+    // Persist the graph: every iteration's lineage references the edge
+    // frame, and without the cache each of the 10 plans would re-run the
+    // corpus-sized sessionize+lag pass — the cache makes "one corpus
+    // pass" true by construction. Edges are event-type²-sized.
     val edges = sessionTransitions(events).select("src", "dst", "n")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wout = edges.groupBy("src").agg(sum(col("n")).as("wout"))
     val e = edges.join(wout, "src")
     val nodes = edges.select(col("src").as("node"))

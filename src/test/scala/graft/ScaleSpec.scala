@@ -342,4 +342,47 @@ class ScaleSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
     assert("Exchange".r.findAllIn(plan).size == 1, plan)
   }
+
+  test("pagerank iterations read the cached edge graph, not the corpus") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val df = graft.operators.Analytics.queries("q_pagerank")(spark, sfDir)
+    try {
+      // every iteration's edge/node reference must hit the cache — the
+      // sessionize+lag pass over events lives only inside the cached
+      // relation's build plan, not 10× in the iteration lineage (the
+      // cached plan is not a child, so a direct collect sees only
+      // UNCACHED corpus scans)
+      val p = df.queryExecution.sparkPlan
+      assert(p.collect { case i: InMemoryTableScanExec => i }.size >= 10, p)
+      assert(p.collect { case f: FileSourceScanExec => f }.isEmpty, p)
+    } finally spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("assoc rules: one basket build feeds pairs, marginals, and totals") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val df = graft.operators.Analytics.queries("q_assoc_rules")(spark, sfDir)
+    try {
+      // pairs + marginals + order total all read the cached baskets; the
+      // lineitem scan runs once, inside the cached relation's build plan
+      val p = df.queryExecution.sparkPlan
+      assert(p.collect { case i: InMemoryTableScanExec => i }.size >= 3, p)
+      assert(p.collect { case f: FileSourceScanExec => f }.isEmpty, p)
+    } finally spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("modeling-pack windows run over pre-aggregated spines only") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    for (name <- Seq("q_acf_daily", "q_changepoint", "q_auc_length")) {
+      val df = graft.operators.Analytics.queries(name)(spark, sfDir)
+      val wins = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+      assert(wins.nonEmpty, s"$name expected a window")
+      wins.foreach { w =>
+        assert(w.child.collect { case a: BaseAggregateExec => a }.nonEmpty,
+          s"$name: window input must be an aggregated spine, not raw rows:\n$w")
+      }
+    }
+  }
 }
