@@ -704,8 +704,13 @@ object Analytics {
     * float accumulation. Degenerate groups (a single month, zero x- or
     * y-variance) yield null coefficients instead of a divide error.
     */
-  def olsTrend(orders: DataFrame, customer: DataFrame): DataFrame = {
-    val m = orders
+  /** (segment, x = calendar month number, yc = exact revenue cents) —
+    * the shared spine of the trend estimators. One shuffle join on the
+    * customer key, then a map-side-combined group to segment×month.
+    */
+  private def monthlyRevenue(orders: DataFrame,
+                             customer: DataFrame): DataFrame =
+    orders
       .join(customer.select(col("c_custkey"), col("c_mktsegment")),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment").as("segment"),
@@ -713,6 +718,9 @@ object Analytics {
           .cast("long").as("x"))
       .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
         .cast(DecimalType(18, 0)).as("yc"))
+
+  def olsTrend(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val m = monthlyRevenue(orders, customer)
     val a = m.groupBy("segment").agg(
       count(lit(1)).as("n_months"),
       min(col("x")).as("mn"),
@@ -747,6 +755,51 @@ object Analytics {
         .as("intercept"),
       when(varx > 0 && vary > 0, round((covn * covn) / (varx * vary), 6))
         .as("r2"))
+      .orderBy("segment")
+  }
+
+  /** Robust trend per segment: the Theil–Sen estimator (median of all
+    * pairwise month-slopes) plus the Mann–Kendall test (S = Σ sign over
+    * ordered pairs, tie-corrected variance, continuity-corrected z).
+    * The pair set is calendar-bounded — months² per segment, not corpus-
+    * sized — so the self-join is a small broadcast-scale frame built on
+    * top of ONE corpus aggregation ([[monthlyRevenue]]). S and the
+    * variance are exact integers; the median slope runs through the
+    * distributed exact-percentile engine (quantile_cont-parity), so the
+    * only float work is the slope division and the final z.
+    */
+  def robustTrend(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val m = monthlyRevenue(orders, customer)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = m.select(col("segment"), col("x").as("xa"), col("yc").as("ya"))
+      .join(m.select(col("segment"), col("x").as("xb"), col("yc").as("yb")),
+        Seq("segment"))
+      .filter(col("xa") < col("xb"))
+      .select(col("segment"),
+        ((col("yb") - col("ya")).cast("double") /
+          (col("xb") - col("xa")).cast("double") / lit(100.0)).as("slope"),
+        signum((col("yb") - col("ya")).cast("double")).cast("long").as("sgn"))
+    val s = pairs.groupBy("segment")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("sgn")).as("s_stat"))
+    val med = groupedExactPercentiles(
+      pairs.select(col("segment"), col("slope")), "segment", "slope",
+      Seq("ts_slope" -> 0.5))
+    val ties = m.groupBy(col("segment"), col("yc"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_months"),
+        sum(col("c") * (col("c") - 1) * (lit(2L) * col("c") + 5)).as("tsum"))
+    val nm = col("n_months")
+    val dvar = (nm * (nm - 1) * (lit(2L) * nm + 5) - col("tsum"))
+      .cast("double") / lit(18.0)
+    val ds = col("s_stat").cast("double")
+    s.join(ties, Seq("segment")).join(med, Seq("segment"))
+      .select(col("segment"), col("n_months"), col("n_pairs"),
+        round(col("ts_slope"), 6).as("ts_slope"), col("s_stat"),
+        when(dvar > 0,
+          round(when(col("s_stat") > 0, (ds - 1) / sqrt(dvar))
+            .when(col("s_stat") < 0, (ds + 1) / sqrt(dvar))
+            .otherwise(lit(0.0)), 6)).as("mk_z"))
       .orderBy("segment")
   }
 
@@ -1214,6 +1267,11 @@ object Analytics {
     // Is revenue trending, per market segment? (exact-moment OLS)
     "q_ols_trend" -> { (s, d) =>
       olsTrend(Tables.orders(s, d), Tables.customer(s, d))
+    },
+    // Is the trend robust to outlier months? (Theil–Sen + Mann–Kendall —
+    // the distribution-free complement to q_ols_trend.)
+    "q_trend_robust" -> { (s, d) =>
+      robustTrend(Tables.orders(s, d), Tables.customer(s, d))
     },
     // How much weekly structure does daily revenue have? (ACF lags 1..7)
     "q_acf_daily" -> { (s, d) =>
@@ -1736,6 +1794,45 @@ object Analytics {
         |    / ((dn * sxx - sx * sx) * (dn * syy - sy * sy)), 6)
         | END AS r2
         |FROM a ORDER BY segment""".stripMargin,
+    "q_trend_robust" ->
+      """WITH m AS (
+        | SELECT c_mktsegment AS segment,
+        |  CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS x,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS yc
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        | GROUP BY 1, 2),
+        |p AS (
+        | SELECT a.segment,
+        |  CAST(b.yc - a.yc AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) / 100.0
+        |    AS slope,
+        |  CASE WHEN b.yc > a.yc THEN 1 WHEN b.yc < a.yc THEN -1 ELSE 0 END
+        |    AS sgn
+        | FROM m a JOIN m b ON a.segment = b.segment AND a.x < b.x),
+        |s AS (
+        | SELECT segment, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(sgn) AS BIGINT) AS s_stat,
+        |  quantile_cont(slope, 0.5) AS ts_slope
+        | FROM p GROUP BY 1),
+        |t AS (
+        | SELECT segment, CAST(count(*) AS BIGINT) AS n_months,
+        |  sum(c * (c - 1) * (2 * c + 5)) AS tsum
+        | FROM (SELECT segment, yc, count(*) AS c FROM m GROUP BY 1, 2)
+        | GROUP BY 1),
+        |v AS (
+        | SELECT segment, n_months,
+        |  CAST(n_months * (n_months - 1) * (2 * n_months + 5) - tsum
+        |    AS DOUBLE) / 18.0 AS mkvar
+        | FROM t)
+        |SELECT s.segment, n_months, n_pairs, round(ts_slope, 6) AS ts_slope,
+        | s_stat,
+        | CASE WHEN mkvar > 0 THEN
+        |  round(CASE WHEN s_stat > 0
+        |    THEN (CAST(s_stat AS DOUBLE) - 1) / sqrt(mkvar)
+        |   WHEN s_stat < 0
+        |    THEN (CAST(s_stat AS DOUBLE) + 1) / sqrt(mkvar)
+        |   ELSE 0.0 END, 6)
+        | END AS mk_z
+        |FROM s JOIN v ON s.segment = v.segment ORDER BY 1""".stripMargin,
     "q_acf_daily" ->
       """WITH d AS (
         | SELECT o_orderdate AS day,

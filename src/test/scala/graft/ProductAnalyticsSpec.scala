@@ -260,6 +260,24 @@ class ProductAnalyticsSpec extends SparkSpec {
     assert(out === Seq(("A", 500000L, 0.5), ("B", 500000L, 0.5)))
   }
 
+  test("robustTrend: Theil–Sen ignores the outlier month the OLS can't") {
+    // monthly cents (1,2,3,10): the 6 pairwise slopes in currency are
+    // (.01,.01,.03,.01,.04,.07) → median .02; Mann–Kendall S = 6 of 6
+    // concordant pairs, var = 4·3·13/18, z = 5/sqrt(var) → 1.698416 (6dp).
+    val cust = Seq((1L, "SEG")).toDF("c_custkey", "c_mktsegment")
+    val orders = Seq(("1995-01-15", 0.01), ("1995-02-15", 0.02),
+      ("1995-03-15", 0.03), ("1995-04-15", 0.10))
+      .toDF("d", "o_totalprice")
+      .selectExpr("1 AS o_custkey", "CAST(d AS DATE) AS o_orderdate",
+        "o_totalprice")
+    val r = Analytics.robustTrend(orders, cust).collect().head
+    assert(r.getAs[Long]("n_months") === 4L)
+    assert(r.getAs[Long]("n_pairs") === 6L)
+    assert(r.getAs[Double]("ts_slope") === 0.02)
+    assert(r.getAs[Long]("s_stat") === 6L)
+    assert(r.getAs[Double]("mk_z") === 1.698416)
+  }
+
   test("mixEntropy: uniform 4-way mix is exactly 2 bits / 4 effective") {
     // p=0.25 each → every term is −0.25·log2(0.25) = 0.5 exactly, so the
     // 6dp-round + decimal-sum path is tie-free: H = 2, 2^H = 4. Nulls
