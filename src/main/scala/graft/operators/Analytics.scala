@@ -1169,6 +1169,44 @@ object Analytics {
         .orderBy("day")
     },
 
+    // A9 — Holt double-exponential forecast (α = β = ½): level+trend
+    // recursion over the daily series, then a 7-day linear forecast.
+    // Same exactness contract as q_ewma_daily — the state is integer
+    // CENTS, halved with TRUNCATING integer division on both engines
+    // (Spark `div` and DuckDB `//` both round toward zero; the trend can
+    // go NEGATIVE, where mixing truncation with a floor-semantics shift
+    // or `FLOOR(x/2)` would diverge — empirically caught at sf0.01). Init:
+    // l₁ = y₁, b₁ = 0. The fold runs once over the calendar-bounded
+    // ordered array; output is the 7 forecast rows.
+    "q_holt_forecast" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(((sum(col("o_totalprice").cast(DecimalType(18, 2)))) * 100)
+          .cast("long").as("rc"))
+        .agg(array_sort(collect_list(struct(col("day"), col("rc")))).as("a"))
+        .selectExpr(
+          """aggregate(
+            |  a,
+            |  named_struct('d', cast(null as date),
+            |               'l', cast(0 as bigint), 'b', cast(0 as bigint),
+            |               'init', false),
+            |  (acc, e) -> if(NOT acc.init,
+            |    named_struct('d', e.day, 'l', e.rc, 'b', cast(0 as bigint),
+            |                 'init', true),
+            |    named_struct('d', e.day,
+            |      'l', (e.rc + acc.l + acc.b) div 2,
+            |      'b', ((e.rc + acc.l + acc.b) div 2
+            |             - acc.l + acc.b) div 2,
+            |      'init', true))) AS st""".stripMargin)
+        .selectExpr("st.d AS last_day", "st.l AS l", "st.b AS b",
+          "explode(sequence(1, 7)) AS h")
+        .select(col("h").cast("long").as("h"),
+          date_add(col("last_day"), col("h").cast("int")).as("day"),
+          ((col("l") + col("h") * col("b")).cast("double") / 100.0)
+            .as("forecast"))
+        .orderBy("h")
+    },
+
     // A6/EDA — the distribution plot as data: 20 equi-width bins over
     // order totals (two-pass, integer-cents edges).
     "q_histogram" -> { (s, d) =>
@@ -1732,6 +1770,25 @@ object Analytics {
         | FROM e JOIN i ON i.rn = e.rn + 1)
         |SELECT day, rev, CAST(ewma_u AS DOUBLE) / 100.0 AS ewma
         |FROM e ORDER BY day""".stripMargin,
+    "q_holt_forecast" ->
+      """WITH RECURSIVE d AS (
+        | SELECT o_orderdate AS day,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rc
+        | FROM orders GROUP BY 1),
+        |i AS (SELECT day, rc, row_number() OVER (ORDER BY day) AS rn FROM d),
+        |e AS (
+        | SELECT rn, day, rc AS l, CAST(0 AS BIGINT) AS b FROM i WHERE rn = 1
+        | UNION ALL
+        | SELECT i.rn, i.day,
+        |  (i.rc + e.l + e.b) // 2,
+        |  ((i.rc + e.l + e.b) // 2 - e.l + e.b) // 2
+        | FROM e JOIN i ON i.rn = e.rn + 1),
+        |f AS (SELECT day AS last_day, l, b FROM e ORDER BY rn DESC LIMIT 1)
+        |SELECT CAST(h.h AS BIGINT) AS h,
+        | CAST(last_day AS DATE) + CAST(h.h AS INTEGER) AS day,
+        | CAST(l + h.h * b AS DOUBLE) / 100.0 AS forecast
+        |FROM f CROSS JOIN (SELECT unnest(range(1, 8)) AS h) h
+        |ORDER BY h""".stripMargin,
     "q_ks_test" ->
       """WITH v AS (
         | SELECT CAST(length(text) AS BIGINT) AS v, (lang = 'en') AS ga
