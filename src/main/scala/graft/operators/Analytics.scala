@@ -904,20 +904,25 @@ object Analytics {
     * pair counts combine map-side to brand² rows; brand marginals are
     * brand-sized and broadcast back onto the pairs.
     */
-  def assocRules(lineitem: DataFrame, part: DataFrame): DataFrame = {
-    // ONE shuffle builds the basket set (order → distinct brand array,
-    // set-union partials map-side); pairs, marginals, and the order count
-    // all derive from the cached baskets, so lineitem is scanned once —
-    // the self-join form scanned it four times and shuffled pair-exploded
-    // rows. Baskets are bounded (≤ distinct brands), so the per-row pair
-    // expansion is a small constant, not a skew risk.
-    val baskets = lineitem
+  /** order → distinct brand set, ONE shuffle (set-union partials map-
+    * side), persisted so pairs/marginals/totals derive without re-scans.
+    * Baskets are bounded (≤ distinct brands) — the downstream pair
+    * expansion is a small constant, not a skew risk.
+    */
+  private def brandBaskets(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
       .select(col("l_orderkey").as("ok"), col("l_partkey"))
       .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("ok"))
       .agg(collect_set(col("p_brand")).as("bs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  def assocRules(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    // The basket build is the only corpus-sized stage; everything below
+    // reads the cached frame — the self-join form this replaced scanned
+    // lineitem four times and shuffled pair-exploded rows.
+    val baskets = brandBaskets(lineitem, part)
     val pairs = baskets
       .select(explode(expr(
         "filter(flatten(transform(bs, a -> transform(bs, b -> struct(a, b)))),"
@@ -940,6 +945,53 @@ object Analytics {
       round(dab / dna, 6).as("conf_ab"),
       round((dab * dn) / (dna * dnb), 6).as("lift"))
       .orderBy("brand_a", "brand_b")
+  }
+
+  /** Triangle census of the positively-associated co-purchase graph:
+    * edges are brand pairs with lift > 1, decided by EXACT integer
+    * cross-multiplication (n_ab·n_orders > n_a·n_b in DECIMAL — no float
+    * threshold to flip at the boundary), triangles by the ordered
+    * two-hop join (a<b<c), and the global clustering coefficient
+    * 3T / Σ deg·(deg−1)/2 as one final double division. The basket
+    * build is the only corpus-sized stage; the graph itself is
+    * brand-bounded, so the triangle joins run on broadcast-scale frames.
+    */
+  def coPurchaseTriangles(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val baskets = brandBaskets(lineitem, part)
+    val pairs = baskets
+      .select(explode(expr(
+        "filter(flatten(transform(bs, a -> transform(bs, b -> struct(a, b)))),"
+          + " p -> p.a < p.b)")).as("p"))
+      .groupBy(col("p.a").as("u"), col("p.b").as("v"))
+      .agg(count(lit(1)).as("n_ab"))
+    val marg = baskets.select(explode(col("bs")).as("brand"))
+      .groupBy("brand").agg(count(lit(1)).as("nb"))
+    val tot = baskets.agg(count(lit(1)).as("n_orders"))
+    val edges = pairs
+      .join(broadcast(marg.select(col("brand").as("u"), col("nb").as("na"))),
+        Seq("u"))
+      .join(broadcast(marg.select(col("brand").as("v"), col("nb").as("nb"))),
+        Seq("v"))
+      .crossJoin(broadcast(tot))
+      .filter(col("n_ab").cast(DecimalType(38, 0)) * col("n_orders") >
+        col("na").cast(DecimalType(38, 0)) * col("nb"))
+      .select(col("u"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tri = edges.select(col("u").as("a"), col("v").as("b"))
+      .join(edges.select(col("u").as("b"), col("v").as("c")), Seq("b"))
+      .join(edges.select(col("u").as("a"), col("v").as("c")), Seq("a", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val deg = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val stats = deg.agg(count(lit(1)).as("n_nodes"),
+      (sum(col("d")) / 2).cast("long").as("n_edges"),
+      sum(col("d") * (col("d") - 1) / 2).cast("long").as("n_triples"))
+    stats.crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        when(col("n_triples") > 0,
+          round(lit(3.0) * col("n_triangles").cast("double") /
+            col("n_triples").cast("double"), 6)).as("clustering_coeff"))
   }
 
   /** Multiplicative day-of-week seasonality of revenue: each ISO weekday's
@@ -1331,6 +1383,11 @@ object Analytics {
     // order baskets.)
     "q_assoc_rules" -> { (s, d) =>
       assocRules(Tables.lineitem(s, d), Tables.part(s, d))
+    },
+    // How cliquish is the co-purchase graph? (triangle census over the
+    // lift>1 brand graph — the graph-analytics complement to the rules.)
+    "q_triangle_census" -> { (s, d) =>
+      coPurchaseTriangles(Tables.lineitem(s, d), Tables.part(s, d))
     },
     // Which weekdays carry the revenue? (multiplicative seasonality index)
     "q_dow_seasonality" -> { (s, d) =>
@@ -1958,6 +2015,41 @@ object Analytics {
         |  / (CAST(n AS DOUBLE) * log10(1.0 + 1.0 / CAST(digit AS DOUBLE))), 6)
         |  AS chi2_term
         |FROM s ORDER BY digit""".stripMargin,
+    "q_triangle_census" ->
+      """WITH items AS (
+        | SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+        | FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |t AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM items),
+        |bc AS (SELECT brand, CAST(count(*) AS BIGINT) AS nb FROM items GROUP BY 1),
+        |p AS (
+        | SELECT a.brand AS u, b.brand AS v, CAST(count(*) AS BIGINT) AS n_ab
+        | FROM items a JOIN items b ON a.ok = b.ok AND a.brand < b.brand
+        | GROUP BY 1, 2),
+        |e AS (
+        | SELECT u, v
+        | FROM p CROSS JOIN t
+        |  JOIN bc ca ON p.u = ca.brand JOIN bc cb ON p.v = cb.brand
+        | WHERE CAST(n_ab AS HUGEINT) * CAST(n_orders AS HUGEINT)
+        |   > CAST(ca.nb AS HUGEINT) * CAST(cb.nb AS HUGEINT)),
+        |tri AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        | FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |deg AS (
+        | SELECT node, CAST(count(*) AS BIGINT) AS d
+        | FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        | GROUP BY 1),
+        |st AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(sum(d) / 2 AS BIGINT) AS n_edges,
+        |  CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_triples
+        | FROM deg)
+        |SELECT n_nodes, n_edges, n_triangles,
+        | CASE WHEN n_triples > 0 THEN
+        |  round(3.0 * CAST(n_triangles AS DOUBLE)
+        |    / CAST(n_triples AS DOUBLE), 6)
+        | END AS clustering_coeff
+        |FROM st CROSS JOIN tri""".stripMargin,
     "q_dow_seasonality" ->
       """WITH d AS (
         | SELECT o_orderdate AS day,
