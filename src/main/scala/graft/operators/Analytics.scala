@@ -994,6 +994,50 @@ object Analytics {
             col("n_triples").cast("double"), 6)).as("clustering_coeff"))
   }
 
+  /** Spearman rank correlation with ties: each row gets its column's
+    * tie-averaged rank DOUBLED (2·avgrank = 2·cum−c+1, an integer — the
+    * [[aucRank]] identity), so the whole computation is Pearson over
+    * integer doubled-ranks: exact DECIMAL moments, one final double
+    * tree. No per-row sort AND no single-task stage: ranks come from the
+    * DISTINCT-value frames through the range-partitioned
+    * [[cumulativeValueCounts]] engine (the high-cardinality-safe path —
+    * l_extendedprice has too many distinct values for a global window),
+    * shuffle-joined back onto the rows; the doubling cancels in the
+    * correlation, so the result equals textbook tie-corrected Spearman ρ.
+    */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    def rankMap(c: String) =
+      cumulativeValueCounts(
+        df.filter(col(xCol).isNotNull && col(yCol).isNotNull).select(col(c)),
+        Nil, c)
+        .select(col("v"), (lit(2L) * col("cum") - col("c") + 1).as("r2"))
+    val rows = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("double").as("xv"),
+        col(yCol).cast("double").as("yv"))
+      .join(rankMap(xCol).select(col("v").as("xv"), col("r2").as("rx")),
+        Seq("xv"))
+      .join(rankMap(yCol).select(col("v").as("yv"), col("r2").as("ry")),
+        Seq("yv"))
+    val a = rows.agg(count(lit(1)).as("n"),
+      sum(col("rx")).as("sx"),
+      sum(col("rx").cast(DecimalType(18, 0)) *
+        col("rx").cast(DecimalType(18, 0))).as("sxx"),
+      sum(col("ry")).as("sy"),
+      sum(col("ry").cast(DecimalType(18, 0)) *
+        col("ry").cast(DecimalType(18, 0))).as("syy"),
+      sum(col("rx").cast(DecimalType(18, 0)) *
+        col("ry").cast(DecimalType(18, 0))).as("sxy"))
+    val dn = col("n").cast("double")
+    val dsx = col("sx").cast("double"); val dsxx = col("sxx").cast("double")
+    val dsy = col("sy").cast("double"); val dsyy = col("syy").cast("double")
+    val dsxy = col("sxy").cast("double")
+    val varx = dn * dsxx - dsx * dsx
+    val vary = dn * dsyy - dsy * dsy
+    a.select(col("n").as("n_rows"),
+      when(varx > 0 && vary > 0,
+        round((dn * dsxy - dsx * dsy) / sqrt(varx * vary), 6)).as("rho"))
+  }
+
   /** Multiplicative day-of-week seasonality of revenue: each ISO weekday's
     * mean daily revenue over the overall mean daily revenue, from exact
     * integer-cents sums (index = s_dow·N / (n_dow·S), one double tree).
@@ -1383,6 +1427,11 @@ object Analytics {
     // order baskets.)
     "q_assoc_rules" -> { (s, d) =>
       assocRules(Tables.lineitem(s, d), Tables.part(s, d))
+    },
+    // Does quantity drive line value monotonically? (tie-corrected
+    // Spearman ρ — the rank-based complement to q_a8_corr's Pearson.)
+    "q_spearman" -> { (s, d) =>
+      spearman(Tables.lineitem(s, d), "l_quantity", "l_extendedprice")
     },
     // How cliquish is the co-purchase graph? (triangle census over the
     // lift>1 brand graph — the graph-analytics complement to the rules.)
@@ -2015,6 +2064,44 @@ object Analytics {
         |  / (CAST(n AS DOUBLE) * log10(1.0 + 1.0 / CAST(digit AS DOUBLE))), 6)
         |  AS chi2_term
         |FROM s ORDER BY digit""".stripMargin,
+    "q_spearman" ->
+      """WITH r AS (
+        | SELECT CAST(l_quantity AS DOUBLE) AS xv,
+        |  CAST(l_extendedprice AS DOUBLE) AS yv
+        | FROM lineitem
+        | WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |rx AS (
+        | SELECT v, 2 * cum - c + 1 AS r2 FROM (
+        |  SELECT v, c, sum(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM (SELECT xv AS v, count(*) AS c FROM r GROUP BY 1))),
+        |ry AS (
+        | SELECT v, 2 * cum - c + 1 AS r2 FROM (
+        |  SELECT v, c, sum(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM (SELECT yv AS v, count(*) AS c FROM r GROUP BY 1))),
+        |j AS (
+        | SELECT rx.r2 AS rxv, ry.r2 AS ryv
+        | FROM r JOIN rx ON r.xv = rx.v JOIN ry ON r.yv = ry.v),
+        |a AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(rxv) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(rxv AS HUGEINT) * CAST(rxv AS HUGEINT))
+        |    AS DOUBLE) AS sxx,
+        |  CAST(sum(ryv) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(ryv AS HUGEINT) * CAST(ryv AS HUGEINT))
+        |    AS DOUBLE) AS syy,
+        |  CAST(sum(CAST(rxv AS HUGEINT) * CAST(ryv AS HUGEINT))
+        |    AS DOUBLE) AS sxy
+        | FROM j)
+        |SELECT n AS n_rows,
+        | CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+        |   AND CAST(n AS DOUBLE) * syy - sy * sy > 0 THEN
+        |  round((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |    / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+        |        * (CAST(n AS DOUBLE) * syy - sy * sy)), 6)
+        | END AS rho
+        |FROM a""".stripMargin,
     "q_triangle_census" ->
       """WITH items AS (
         | SELECT DISTINCT l_orderkey AS ok, p_brand AS brand

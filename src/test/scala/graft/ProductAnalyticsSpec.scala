@@ -278,6 +278,18 @@ class ProductAnalyticsSpec extends SparkSpec {
     assert(r.getAs[Double]("mk_z") === 1.698416)
   }
 
+  test("spearman: reversal gives −1; ties take average ranks") {
+    val rev = Analytics.spearman(
+      Seq((1, 3), (2, 2), (3, 1)).toDF("x", "y"), "x", "y").collect().head
+    assert(rev.getAs[Long]("n_rows") === 3L)
+    assert(rev.getAs[Double]("rho") === -1.0)
+    // x = (1,1,2) ties at rank 1.5: doubled ranks (3,3,6) vs (2,4,6)
+    // → ρ = 18/√(18·24) = 0.866025 (6dp), the textbook tie-corrected value.
+    val tie = Analytics.spearman(
+      Seq((1, 1), (1, 2), (2, 3)).toDF("x", "y"), "x", "y").collect().head
+    assert(tie.getAs[Double]("rho") === 0.866025)
+  }
+
   test("mixEntropy: uniform 4-way mix is exactly 2 bits / 4 effective") {
     // p=0.25 each → every term is −0.25·log2(0.25) = 0.5 exactly, so the
     // 6dp-round + decimal-sum path is tie-free: H = 2, 2^H = 4. Nulls
