@@ -111,11 +111,20 @@ object Analytics {
     * range-count-sized frame — broadcast under AQE.
     */
   private def cumulativeValueCounts(df: DataFrame, groupCols: Seq[String],
-                                    valueCol: String): DataFrame = {
+                                    valueCol: String): DataFrame =
+    cumulativeValueWeights(df, groupCols, valueCol, lit(1L))
+
+  /** The weighted generalization: `c` becomes the Σweight of each distinct
+    * value (weight 1 ≡ the row-count frame). Same range-partitioned shape —
+    * no single-task stage at any value cardinality.
+    */
+  private def cumulativeValueWeights(df: DataFrame, groupCols: Seq[String],
+                                     valueCol: String,
+                                     weight: Column): DataFrame = {
     val g = groupCols.map(col)
     val counts = df.filter(col(valueCol).isNotNull)
       .groupBy(g :+ col(valueCol).cast("double").as("v"): _*)
-      .agg(count(lit(1)).as("c"))
+      .agg(sum(weight).as("c"))
     val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val ranged = counts
       .repartitionByRange(nPart, g :+ col("v"): _*)
@@ -994,6 +1003,29 @@ object Analytics {
             col("n_triples").cast("double"), 6)).as("clustering_coeff"))
   }
 
+  /** Weighted quartiles (type-1, no interpolation): the smallest value
+    * whose cumulative WEIGHT crosses p·W, decided by exact integer
+    * cross-multiplication (4·cumw ≥ W etc.) — zero float anywhere, fully
+    * deterministic under ties. Runs on the weighted cumulative engine,
+    * so no single-task stage at any value cardinality. The everyday use:
+    * "the median selling price weighted by units moved", which a
+    * row-median gets wrong whenever big orders cluster at one price.
+    */
+  def weightedPercentiles(df: DataFrame, valueCol: String,
+                          weightCol: String): DataFrame = {
+    val cum = cumulativeValueWeights(
+      df.filter(col(weightCol).isNotNull)
+        .select(col(valueCol), col(weightCol)),
+      Nil, valueCol, col(weightCol).cast("long"))
+    cum.agg(max(col("n")).as("tw"),
+      min(when(lit(4L) * col("cum") >= col("n"), col("v"))).as("wp25"),
+      min(when(lit(2L) * col("cum") >= col("n"), col("v"))).as("wp50"),
+      min(when(lit(4L) * col("cum") >= lit(3L) * col("n"), col("v")))
+        .as("wp75"))
+      .select(col("tw").cast("long").as("total_weight"),
+        col("wp25"), col("wp50"), col("wp75"))
+  }
+
   /** Spearman rank correlation with ties: each row gets its column's
     * tie-averaged rank DOUBLED (2·avgrank = 2·cum−c+1, an integer — the
     * [[aucRank]] identity), so the whole computation is Pearson over
@@ -1427,6 +1459,12 @@ object Analytics {
     // order baskets.)
     "q_assoc_rules" -> { (s, d) =>
       assocRules(Tables.lineitem(s, d), Tables.part(s, d))
+    },
+    // What price point moves the units? (quantity-weighted price
+    // quartiles — exact, interpolation-free, tie-deterministic.)
+    "q_weighted_median" -> { (s, d) =>
+      weightedPercentiles(Tables.lineitem(s, d),
+        "l_extendedprice", "l_quantity")
     },
     // Does quantity drive line value monotonically? (tie-corrected
     // Spearman ρ — the rank-based complement to q_a8_corr's Pearson.)
@@ -2064,6 +2102,22 @@ object Analytics {
         |  / (CAST(n AS DOUBLE) * log10(1.0 + 1.0 / CAST(digit AS DOUBLE))), 6)
         |  AS chi2_term
         |FROM s ORDER BY digit""".stripMargin,
+    "q_weighted_median" ->
+      """WITH c AS (
+        | SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+        |  sum(CAST(l_quantity AS BIGINT)) AS c
+        | FROM lineitem
+        | WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        | GROUP BY 1),
+        |r AS (
+        | SELECT v, c, sum(c) OVER (ORDER BY v
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM c),
+        |t AS (SELECT sum(c) AS n FROM c)
+        |SELECT CAST(t.n AS BIGINT) AS total_weight,
+        | min(CASE WHEN 4 * cum >= n THEN v END) AS wp25,
+        | min(CASE WHEN 2 * cum >= n THEN v END) AS wp50,
+        | min(CASE WHEN 4 * cum >= 3 * n THEN v END) AS wp75
+        |FROM r CROSS JOIN t GROUP BY t.n""".stripMargin,
     "q_spearman" ->
       """WITH r AS (
         | SELECT CAST(l_quantity AS DOUBLE) AS xv,

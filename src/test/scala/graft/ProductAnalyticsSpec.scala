@@ -290,6 +290,17 @@ class ProductAnalyticsSpec extends SparkSpec {
     assert(tie.getAs[Double]("rho") === 0.866025)
   }
 
+  test("weightedPercentiles: crossing rule on a hand-weighted set") {
+    // v (10,20,30) with weights (1,1,6), W=8: 4·cumw≥8 first at v=20,
+    // 2·cumw≥8 and 4·cumw≥24 first at v=30.
+    val df = Seq((10, 1), (20, 1), (30, 6)).toDF("v", "w")
+    val r = Analytics.weightedPercentiles(df, "v", "w").collect().head
+    assert(r.getAs[Long]("total_weight") === 8L)
+    assert(r.getAs[Double]("wp25") === 20.0)
+    assert(r.getAs[Double]("wp50") === 30.0)
+    assert(r.getAs[Double]("wp75") === 30.0)
+  }
+
   test("mixEntropy: uniform 4-way mix is exactly 2 bits / 4 effective") {
     // p=0.25 each → every term is −0.25·log2(0.25) = 0.5 exactly, so the
     // 6dp-round + decimal-sum path is tie-free: H = 2, 2^H = 4. Nulls
