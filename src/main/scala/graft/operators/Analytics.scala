@@ -1070,6 +1070,40 @@ object Analytics {
         round((dn * dsxy - dsx * dsy) / sqrt(varx * vary), 6)).as("rho"))
   }
 
+  /** Wald–Wolfowitz runs test on the daily revenue DIRECTION (up/down
+    * day-over-day, zero changes dropped): n₊, n₋, the run count R from
+    * one lag pass, and z = (R − μ)/σ with μ = 2n₊n₋/n + 1 — everything
+    * exact integers until the final double tree. Both lag windows run
+    * over the calendar-bounded day spine.
+    */
+  def runsTest(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+        .cast(DecimalType(18, 0)).as("yc"))
+    val w = Window.orderBy("day")
+    val signs = daily
+      .withColumn("s", signum((col("yc") - lag(col("yc"), 1).over(w))
+        .cast("double")).cast("long"))
+      .filter(col("s") =!= 0)
+    val runs = signs
+      .withColumn("chg",
+        when(lag(col("s"), 1).over(w).isNull ||
+          col("s") =!= lag(col("s"), 1).over(w), 1L).otherwise(0L))
+    val a = runs.agg(
+      sum(when(col("s") > 0, 1L).otherwise(0L)).as("n_pos"),
+      sum(when(col("s") < 0, 1L).otherwise(0L)).as("n_neg"),
+      sum(col("chg")).as("n_runs"))
+    val dp = col("n_pos").cast("double"); val dm = col("n_neg").cast("double")
+    val dn = dp + dm
+    val a2 = lit(2.0) * dp * dm
+    val mu = a2 / dn + 1.0
+    val dv = (a2 * (a2 - dn)) / (dn * dn * (dn - 1))
+    a.select(col("n_pos"), col("n_neg"), col("n_runs"),
+      when(col("n_pos") > 0 && col("n_neg") > 0 && dv > 0,
+        round((col("n_runs").cast("double") - mu) / sqrt(dv), 6)).as("z"))
+  }
+
   /** Multiplicative day-of-week seasonality of revenue: each ISO weekday's
     * mean daily revenue over the overall mean daily revenue, from exact
     * integer-cents sums (index = s_dow·N / (n_dow·S), one double tree).
@@ -1459,6 +1493,10 @@ object Analytics {
     // order baskets.)
     "q_assoc_rules" -> { (s, d) =>
       assocRules(Tables.lineitem(s, d), Tables.part(s, d))
+    },
+    // Is the daily up/down pattern random? (Wald–Wolfowitz runs test)
+    "q_runs_test" -> { (s, d) =>
+      runsTest(Tables.orders(s, d))
     },
     // What price point moves the units? (quantity-weighted price
     // quartiles — exact, interpolation-free, tie-deterministic.)
@@ -2102,6 +2140,43 @@ object Analytics {
         |  / (CAST(n AS DOUBLE) * log10(1.0 + 1.0 / CAST(digit AS DOUBLE))), 6)
         |  AS chi2_term
         |FROM s ORDER BY digit""".stripMargin,
+    "q_runs_test" ->
+      """WITH d AS (
+        | SELECT o_orderdate AS day,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS yc
+        | FROM orders GROUP BY 1),
+        |s0 AS (
+        | SELECT day, sign(yc - lag(yc) OVER (ORDER BY day)) AS s FROM d),
+        |s AS (SELECT day, CAST(s AS BIGINT) AS s FROM s0
+        |      WHERE s IS NOT NULL AND s <> 0),
+        |r AS (
+        | SELECT s, CASE WHEN lag(s) OVER (ORDER BY day) IS NULL
+        |   OR s <> lag(s) OVER (ORDER BY day) THEN 1 ELSE 0 END AS chg
+        | FROM s),
+        |a AS (
+        | SELECT CAST(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+        |  CAST(sum(chg) AS BIGINT) AS n_runs
+        | FROM r)
+        |SELECT n_pos, n_neg, n_runs,
+        | CASE WHEN n_pos > 0 AND n_neg > 0 AND
+        |   ((2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+        |     * ((2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+        |        - (CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE))))
+        |    / ((CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE))
+        |       * (CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE))
+        |       * ((CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE)) - 1)) > 0
+        |  THEN round((CAST(n_runs AS DOUBLE)
+        |    - ((2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+        |       / (CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE)) + 1.0))
+        |   / sqrt(((2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+        |     * ((2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+        |        - (CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE))))
+        |    / ((CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE))
+        |       * (CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE))
+        |       * ((CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE)) - 1))), 6)
+        | END AS z
+        |FROM a""".stripMargin,
     "q_weighted_median" ->
       """WITH c AS (
         | SELECT CAST(l_extendedprice AS DOUBLE) AS v,

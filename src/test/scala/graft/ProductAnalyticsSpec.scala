@@ -301,6 +301,19 @@ class ProductAnalyticsSpec extends SparkSpec {
     assert(r.getAs[Double]("wp75") === 30.0)
   }
 
+  test("runsTest: alternating series counts every change as a run") {
+    // daily cents 1,2,1,2,1 → signs (+,−,+,−): 4 runs, n₊=n₋=2,
+    // μ = 2·2·2/4+1 = 3, σ² = 8·4/(16·3) = 2/3, z = (4−3)/√(2/3).
+    val orders = Seq(("2024-01-01", 0.01), ("2024-01-02", 0.02),
+      ("2024-01-03", 0.01), ("2024-01-04", 0.02), ("2024-01-05", 0.01))
+      .toDF("d", "o_totalprice")
+      .selectExpr("CAST(d AS DATE) AS o_orderdate", "o_totalprice")
+    val r = Analytics.runsTest(orders).collect().head
+    assert(r.getAs[Long]("n_pos") === 2L && r.getAs[Long]("n_neg") === 2L)
+    assert(r.getAs[Long]("n_runs") === 4L)
+    assert(r.getAs[Double]("z") === 1.224745)
+  }
+
   test("mixEntropy: uniform 4-way mix is exactly 2 bits / 4 effective") {
     // p=0.25 each → every term is −0.25·log2(0.25) = 0.5 exactly, so the
     // 6dp-round + decimal-sum path is tie-free: H = 2, 2^H = 4. Nulls
