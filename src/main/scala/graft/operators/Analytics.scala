@@ -1177,9 +1177,13 @@ object Analytics {
       .union(edges.select(col("dst").as("node"))).distinct()
     val base = nodes.crossJoin(broadcast(nodes.agg(count(lit(1)).as("nn"))))
     var ranks = base.select(col("node"), expr("1000000 div nn").as("rank"))
-    // ranks/contrib frames are node-sized — broadcast them so each
-    // iteration is a map over the cached edges plus one tiny aggregate,
-    // with no per-iteration shuffle join (8 s → sub-second at sf0.1).
+    // ranks/contrib frames are node-sized — broadcast them so an
+    // iteration is a map over the cached edges plus one tiny aggregate
+    // (no shuffle join), and localCheckpoint each new ranks frame so
+    // iteration k's broadcast materializes ONE step, not the whole
+    // lineage again (without the truncation the 10 eager broadcasts
+    // re-execute a quadratic number of steps — the q_dedup_clusters
+    // lesson applied to a fixed-point loop).
     for (_ <- 1 to iters) {
       val contrib = e.join(broadcast(ranks), col("src") === col("node"))
         .select(col("dst"),
@@ -1188,6 +1192,7 @@ object Analytics {
       ranks = base.join(broadcast(contrib), col("node") === col("dst"), "left")
         .select(col("node"),
           (expr("150000 div nn") + coalesce(col("c"), lit(0L))).as("rank"))
+        .localCheckpoint()
     }
     ranks
       .select(col("node"), col("rank").cast("long").as("rank_ppm"),

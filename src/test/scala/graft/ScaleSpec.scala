@@ -343,19 +343,18 @@ class ScaleSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).size == 1, plan)
   }
 
-  test("pagerank iterations read the cached edge graph, not the corpus") {
+  test("pagerank result reads the truncated fixed point, not the corpus") {
     import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     val df = graft.operators.Analytics.queries("q_pagerank")(spark, sfDir)
     try {
-      // every iteration's edge/node reference must hit the cache — the
-      // sessionize+lag pass over events lives only inside the cached
-      // relation's build plan, not 10× in the iteration lineage (the
-      // cached plan is not a child, so a direct collect sees only
-      // UNCACHED corpus scans)
+      // iterations run eagerly once each over the CACHED edge graph and
+      // localCheckpoint truncates the lineage per step, so the returned
+      // frame's plan is node-sized RDD reads — the sessionize+lag pass
+      // over events must not appear anywhere in it (a file scan here
+      // would mean the corpus re-enters the iteration lineage)
       val p = df.queryExecution.sparkPlan
-      assert(p.collect { case i: InMemoryTableScanExec => i }.size >= 10, p)
       assert(p.collect { case f: FileSourceScanExec => f }.isEmpty, p)
+      assert(p.toString.contains("ExistingRDD"), p)
     } finally spark.sharedState.cacheManager.clearCache()
   }
 
