@@ -662,16 +662,87 @@ object Analytics {
         log2(col("o").cast("double") * col("n").cast("double") /
           (col("nr").cast("double") * col("nc").cast("double"))), 6))
       .otherwise(lit(0.0))
-    spine.select(col("r"), col("c"),
+    spine.select(col("r"), col("c"), col("n"),
         chiT.cast(DecimalType(18, 6)).as("x2"),
         miT.cast(DecimalType(18, 6)).as("mi"))
       .agg(countDistinct(col("r")).as("n_row_cats"),
         countDistinct(col("c")).as("n_col_cats"),
+        max(col("n")).as("n_rows"),
         sum(col("x2")).cast("double").as("chi2d"),
         sum(col("mi")).cast("double").as("mid"))
-      .select(col("n_row_cats"), col("n_col_cats"),
+      .select(col("n_row_cats"), col("n_col_cats"), col("n_rows"),
         ((col("n_row_cats") - 1) * (col("n_col_cats") - 1)).as("dof"),
-        col("chi2d").as("chi2"), col("mid").as("mi_bits"))
+        col("chi2d").as("chi2"), col("mid").as("mi_bits"),
+        // Cramér's V — the [0,1] effect size the raw χ² isn't: V =
+        // √(χ²/(n·min(r−1,c−1))), guarded for 1×k tables
+        when(least(col("n_row_cats") - 1, col("n_col_cats") - 1) >= 1,
+          round(sqrt(col("chi2d") / (col("n_rows").cast("double") *
+            least(col("n_row_cats") - 1, col("n_col_cats") - 1)
+              .cast("double"))), 6)).as("cramers_v"))
+  }
+
+  /** Cohen's d between two slices of a numeric column: pooled-variance
+    * standardized mean difference from exact integer moments (n, Σv, Σv²
+    * per slice — the [[anova]] accumulation), float only in the final
+    * tree. One map-side-combined shuffle to two rows, then a scalar.
+    */
+  def cohensD(df: DataFrame, valueCol: Column, inSliceA: Column): DataFrame = {
+    val v = valueCol.cast("long")
+    val a = df.filter(v.isNotNull && inSliceA.isNotNull)
+      .select(v.as("v"), inSliceA.as("ga"))
+      .agg(
+        sum(when(col("ga"), 1L).otherwise(0L)).as("na"),
+        sum(when(col("ga"), col("v")).otherwise(0L)).as("sa"),
+        sum(when(col("ga"), col("v") * col("v")).otherwise(0L)).as("qa"),
+        sum(when(col("ga"), 0L).otherwise(1L)).as("nb"),
+        sum(when(col("ga"), 0L).otherwise(col("v"))).as("sb"),
+        sum(when(col("ga"), 0L).otherwise(col("v") * col("v"))).as("qb"))
+    val dna = col("na").cast("double"); val dsa = col("sa").cast("double")
+    val dqa = col("qa").cast("double")
+    val dnb = col("nb").cast("double"); val dsb = col("sb").cast("double")
+    val dqb = col("qb").cast("double")
+    val pooled = ((dqa - dsa * dsa / dna) + (dqb - dsb * dsb / dnb)) /
+      (dna + dnb - 2)
+    a.select(col("na").as("n_a"), col("nb").as("n_b"),
+      round(dsa / dna, 6).as("mean_a"),
+      round(dsb / dnb, 6).as("mean_b"),
+      when(col("na") > 1 && col("nb") > 1 && pooled > 0,
+        round((dsa / dna - dsb / dnb) / sqrt(pooled), 6)).as("cohens_d"))
+  }
+
+  /** First-order partial correlation r(x,y | z): the three pairwise
+    * Pearson correlations from ONE pass of exact decimal moments, then
+    * the textbook combination — answers "does x still track y once z is
+    * controlled for" with no second scan and no float accumulation.
+    */
+  def partialCorr(df: DataFrame, xCol: String, yCol: String,
+                  zCol: String): DataFrame = {
+    def dec(c: String) = col(c).cast(DecimalType(18, 2))
+    val a = df.filter(col(xCol).isNotNull && col(yCol).isNotNull &&
+        col(zCol).isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(dec(xCol)).as("sx"), sum(dec(yCol)).as("sy"),
+        sum(dec(zCol)).as("sz"),
+        sum(dec(xCol) * dec(xCol)).as("sxx"),
+        sum(dec(yCol) * dec(yCol)).as("syy"),
+        sum(dec(zCol) * dec(zCol)).as("szz"),
+        sum(dec(xCol) * dec(yCol)).as("sxy"),
+        sum(dec(xCol) * dec(zCol)).as("sxz"),
+        sum(dec(yCol) * dec(zCol)).as("syz"))
+    val dn = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    def r(sab: String, a1: String, b1: String, saa: String, sbb: String) =
+      (dn * d(sab) - d(a1) * d(b1)) /
+        sqrt((dn * d(saa) - d(a1) * d(a1)) * (dn * d(sbb) - d(b1) * d(b1)))
+    val rxy = r("sxy", "sx", "sy", "sxx", "syy")
+    val rxz = r("sxz", "sx", "sz", "sxx", "szz")
+    val ryz = r("syz", "sy", "sz", "syy", "szz")
+    val denom = (lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)
+    a.select(col("n").as("n_rows"),
+      round(rxy, 6).as("r_xy"), round(rxz, 6).as("r_xz"),
+      round(ryz, 6).as("r_yz"),
+      when(denom > 0, round((rxy - rxz * ryz) / sqrt(denom), 6))
+        .as("r_xy_given_z"))
   }
 
   /** Two-sample Kolmogorov-Smirnov: D = max over the pooled distinct
@@ -1502,6 +1573,18 @@ object Analytics {
     "q_assoc_rules" -> { (s, d) =>
       assocRules(Tables.lineitem(s, d), Tables.part(s, d))
     },
+    // How big is the en/non-en length difference, in pooled SDs?
+    // (Cohen's d — the effect size next to q_ks_test's significance.)
+    "q_effect_size" -> { (s, d) =>
+      cohensD(Tables.documents(s, d), length(col("text")),
+        col("lang") === "en")
+    },
+    // Does quantity still track line value once discount is controlled
+    // for? (first-order partial correlation, one moment pass)
+    "q_partial_corr" -> { (s, d) =>
+      partialCorr(Tables.lineitem(s, d),
+        "l_quantity", "l_extendedprice", "l_discount")
+    },
     // Is the daily up/down pattern random? (Wald–Wolfowitz runs test)
     "q_runs_test" -> { (s, d) =>
       runsTest(Tables.orders(s, d))
@@ -1937,12 +2020,18 @@ object Analytics {
         |   CAST(round((CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
         |     * log2(CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
         |       / (CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE))), 6) AS DECIMAL(18,6))
-        |  ELSE CAST(0 AS DECIMAL(18,6)) END AS mi
+        |  ELSE CAST(0 AS DECIMAL(18,6)) END AS mi, n
         | FROM spine)
         |SELECT CAST(count(DISTINCT r) AS BIGINT) AS n_row_cats,
         | CAST(count(DISTINCT c) AS BIGINT) AS n_col_cats,
+        | CAST(max(n) AS BIGINT) AS n_rows,
         | CAST((count(DISTINCT r) - 1) * (count(DISTINCT c) - 1) AS BIGINT) AS dof,
-        | CAST(sum(x2) AS DOUBLE) AS chi2, CAST(sum(mi) AS DOUBLE) AS mi_bits
+        | CAST(sum(x2) AS DOUBLE) AS chi2, CAST(sum(mi) AS DOUBLE) AS mi_bits,
+        | CASE WHEN least(count(DISTINCT r) - 1, count(DISTINCT c) - 1) >= 1
+        |  THEN round(sqrt(CAST(sum(x2) AS DOUBLE) / (CAST(max(n) AS DOUBLE)
+        |    * CAST(least(count(DISTINCT r) - 1, count(DISTINCT c) - 1)
+        |        AS DOUBLE))), 6)
+        | END AS cramers_v
         |FROM t""".stripMargin,
     "q_ewma_daily" ->
       """WITH RECURSIVE d AS (
@@ -2148,6 +2237,72 @@ object Analytics {
         |  / (CAST(n AS DOUBLE) * log10(1.0 + 1.0 / CAST(digit AS DOUBLE))), 6)
         |  AS chi2_term
         |FROM s ORDER BY digit""".stripMargin,
+    "q_effect_size" ->
+      """WITH v AS (
+        | SELECT CAST(length(text) AS BIGINT) AS v, (lang = 'en') AS ga
+        | FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+        |a AS (
+        | SELECT CAST(sum(CASE WHEN ga THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |  CAST(sum(CASE WHEN ga THEN v ELSE 0 END) AS DOUBLE) AS sa,
+        |  CAST(sum(CASE WHEN ga THEN v * v ELSE 0 END) AS DOUBLE) AS qa,
+        |  CAST(sum(CASE WHEN ga THEN 0 ELSE 1 END) AS BIGINT) AS nb,
+        |  CAST(sum(CASE WHEN ga THEN 0 ELSE v END) AS DOUBLE) AS sb,
+        |  CAST(sum(CASE WHEN ga THEN 0 ELSE v * v END) AS DOUBLE) AS qb
+        | FROM v)
+        |SELECT na AS n_a, nb AS n_b,
+        | round(sa / CAST(na AS DOUBLE), 6) AS mean_a,
+        | round(sb / CAST(nb AS DOUBLE), 6) AS mean_b,
+        | CASE WHEN na > 1 AND nb > 1 AND
+        |   ((qa - sa * sa / CAST(na AS DOUBLE))
+        |     + (qb - sb * sb / CAST(nb AS DOUBLE)))
+        |    / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 2) > 0
+        |  THEN round((sa / CAST(na AS DOUBLE) - sb / CAST(nb AS DOUBLE))
+        |   / sqrt(((qa - sa * sa / CAST(na AS DOUBLE))
+        |      + (qb - sb * sb / CAST(nb AS DOUBLE)))
+        |     / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 2)), 6)
+        | END AS cohens_d
+        |FROM a""".stripMargin,
+    "q_partial_corr" ->
+      """WITH a AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sz,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+        |    * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))
+        |    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS szz,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+        |    * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+        |    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sxz,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS syz
+        | FROM lineitem
+        | WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |  AND l_discount IS NOT NULL),
+        |r AS (
+        | SELECT n,
+        |  (CAST(n AS DOUBLE) * sxy - sx * sy)
+        |   / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+        |       * (CAST(n AS DOUBLE) * syy - sy * sy)) AS rxy,
+        |  (CAST(n AS DOUBLE) * sxz - sx * sz)
+        |   / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+        |       * (CAST(n AS DOUBLE) * szz - sz * sz)) AS rxz,
+        |  (CAST(n AS DOUBLE) * syz - sy * sz)
+        |   / sqrt((CAST(n AS DOUBLE) * syy - sy * sy)
+        |       * (CAST(n AS DOUBLE) * szz - sz * sz)) AS ryz
+        | FROM a)
+        |SELECT n AS n_rows,
+        | round(rxy, 6) AS r_xy, round(rxz, 6) AS r_xz,
+        | round(ryz, 6) AS r_yz,
+        | CASE WHEN (1.0 - rxz * rxz) * (1.0 - ryz * ryz) > 0
+        |  THEN round((rxy - rxz * ryz)
+        |    / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6)
+        | END AS r_xy_given_z
+        |FROM r""".stripMargin,
     "q_runs_test" ->
       """WITH d AS (
         | SELECT o_orderdate AS day,

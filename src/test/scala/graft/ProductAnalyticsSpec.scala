@@ -139,8 +139,33 @@ class ProductAnalyticsSpec extends SparkSpec {
       Seq.fill(10)(("b", "x")) ++ Seq.fill(10)(("b", "y"))).toDF("r", "c")
     val r = Analytics.contingencyStats(df, "r", "c").collect().head
     assert(r.getAs[Long]("dof") === 1L)
+    assert(r.getAs[Long]("n_rows") === 40L)
     assert(r.getAs[Double]("chi2") === 0.0)
     assert(r.getAs[Double]("mi_bits") === 0.0)
+    assert(r.getAs[Double]("cramers_v") === 0.0)
+  }
+
+  test("cohensD: textbook two-group standardized difference") {
+    // a=(1,2,3), b=(4,5,6): means 2 and 5, pooled variance 1 → d = −3.
+    val df = Seq((1, true), (2, true), (3, true),
+      (4, false), (5, false), (6, false)).toDF("v", "ga")
+    val r = Analytics.cohensD(df, col("v"), col("ga")).collect().head
+    assert(r.getAs[Long]("n_a") === 3L && r.getAs[Long]("n_b") === 3L)
+    assert(r.getAs[Double]("mean_a") === 2.0)
+    assert(r.getAs[Double]("mean_b") === 5.0)
+    assert(r.getAs[Double]("cohens_d") === -3.0)
+  }
+
+  test("partialCorr: a perfect x~y relation survives controlling for z") {
+    // x = y = (1..4), z = (0,1,0,1): r_xy = 1, r_xz = r_yz = √0.2 →
+    // partial = (1 − 0.2)/√(0.8·0.8) = 1 exactly.
+    val df = Seq((1, 1, 0), (2, 2, 1), (3, 3, 0), (4, 4, 1))
+      .toDF("x", "y", "z")
+    val r = Analytics.partialCorr(df, "x", "y", "z").collect().head
+    assert(r.getAs[Long]("n_rows") === 4L)
+    assert(r.getAs[Double]("r_xy") === 1.0)
+    assert(r.getAs[Double]("r_xz") === 0.447214)
+    assert(r.getAs[Double]("r_xy_given_z") === 1.0)
   }
 
   test("ksTest: disjoint supports give D = 1") {
