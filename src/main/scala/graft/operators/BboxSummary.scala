@@ -131,12 +131,59 @@ object BboxSummary {
         .map(col): _*)
   }
 
+  /** Bin-bucketed nearest-neighbor join in the integer coordinate plane:
+    * each crossing (view event) finds its nearest hospital (purchase
+    * event) among the 3×3 neighboring grid cells — the standard bounded-
+    * radius spatial-NN shape (candidates via equi-join on cell ids, never
+    * all-pairs; a 1000-executor run shuffles on cell ids with per-cell
+    * density bounded by the grid pitch). Coordinates are exact integer
+    * micro-units, distances exact integer squares; per-point argmin
+    * breaks ties to the smallest neighbor id via a two-step min (min
+    * distance, then min id at that distance), so the result is fully
+    * deterministic. Crossings with an empty 3×3 neighborhood surface
+    * with NULLs (the bounded-radius contract), not dropped.
+    */
+  def nearestHospital(s: SparkSession, d: String): DataFrame = {
+    val events = Tables.events(s, d)
+    def pts(et: String) = events
+      .filter(col("event_type") === et && col("value").isNotNull)
+      .select(col("event_id").as("id"),
+        round(col("value") * 1000, 0).cast("long").as("la"),
+        col("user_id").cast("long").as("ln"))
+    val left = pts("view")
+    val right = pts("purchase")
+      .select(col("id").as("rid"), col("la").as("rla"), col("ln").as("rln"))
+      .withColumn("bx", expr("rla div 20000"))
+      .withColumn("by", expr("rln div 100"))
+    val offs = (-1 to 1).flatMap(dx => (-1 to 1).map(dy => (dx, dy)))
+    val lb = left
+      .withColumn("o", explode(array(offs.map { case (dx, dy) =>
+        struct(lit(dx).as("dx"), lit(dy).as("dy")) }: _*)))
+      .select(col("id"), col("la"), col("ln"),
+        (expr("la div 20000") + col("o.dx")).as("bx"),
+        (expr("ln div 100") + col("o.dy")).as("by"))
+    val cand = lb.join(right, Seq("bx", "by"))
+      .select(col("id"), col("rid"),
+        ((col("la") - col("rla")) * (col("la") - col("rla")) +
+          (col("ln") - col("rln")) * (col("ln") - col("rln"))).as("d2"))
+    val m = cand.groupBy("id").agg(min(col("d2")).as("d2"))
+    val nn = cand.join(m, Seq("id", "d2"))
+      .groupBy("id", "d2").agg(min(col("rid")).as("nn_id"))
+    left.select(col("id"))
+      .join(nn, Seq("id"), "left")
+      .select(col("id"), col("d2"), col("nn_id"))
+      .orderBy("id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_s6_bbox_summary" -> { (s, d) => summary(s, d).orderBy("bbox_label") },
     "q_s7_geocode_join" -> { (s, d) =>
       val bboxes = rawNodes(s, d).select("bbox_label", "lat_bin").distinct()
       geocodeLookup(s, d, bboxes).orderBy("bbox_label")
-    }
+    },
+    // Spatial NN: every crossing's nearest hospital within the 3×3 grid
+    // neighborhood (bounded-radius contract, exact integer distances).
+    "q_nn_join" -> { (s, d) => nearestHospital(s, d) }
   )
 
   // ---- DuckDB oracle ----
@@ -214,7 +261,31 @@ object BboxSummary {
       "q_s7_geocode_join" ->
         s"""WITH raw_nodes AS ($rawNodesSql)
            |$geocodeSql
-           |ORDER BY bbox_label""".stripMargin
+           |ORDER BY bbox_label""".stripMargin,
+      "q_nn_join" ->
+        """WITH l AS (
+          | SELECT event_id AS id, CAST(round(value * 1000, 0) AS BIGINT) AS la,
+          |  CAST(user_id AS BIGINT) AS ln
+          | FROM events WHERE event_type = 'view' AND value IS NOT NULL),
+          |r AS (
+          | SELECT event_id AS rid, CAST(round(value * 1000, 0) AS BIGINT) AS rla,
+          |  CAST(user_id AS BIGINT) AS rln
+          | FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+          |c AS (
+          | SELECT l.id, r.rid,
+          |  (l.la - r.rla) * (l.la - r.rla)
+          |   + (l.ln - r.rln) * (l.ln - r.rln) AS d2
+          | FROM l
+          |  CROSS JOIN (SELECT unnest(range(-1, 2)) AS dx) dxs
+          |  CROSS JOIN (SELECT unnest(range(-1, 2)) AS dy) dys
+          |  JOIN r ON r.rla // 20000 = l.la // 20000 + dxs.dx
+          |        AND r.rln // 100 = l.ln // 100 + dys.dy),
+          |m AS (SELECT id, min(d2) AS d2 FROM c GROUP BY 1),
+          |nn AS (
+          | SELECT c.id, c.d2, min(c.rid) AS nn_id
+          | FROM c JOIN m ON c.id = m.id AND c.d2 = m.d2 GROUP BY 1, 2)
+          |SELECT l.id, nn.d2, nn.nn_id
+          |FROM l LEFT JOIN nn ON l.id = nn.id ORDER BY l.id""".stripMargin
     )
   }
 }
