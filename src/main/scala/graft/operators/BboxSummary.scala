@@ -175,8 +175,52 @@ object BboxSummary {
       .orderBy("id")
   }
 
+  /** Grid-density clustering (DBSCAN-lite): cells of the integer grid
+    * holding at least the MEAN occupied-cell density (auto-sized, so the
+    * threshold tracks the scale factor) are "dense"; adjacent dense
+    * cells (8-neighborhood) merge via connected components
+    * ([[Dedup.componentLabels]] — the same min-label propagation as the
+    * near-dup clusters, cluster id = smallest cell id). The corpus-sized
+    * work is ONE cell aggregation; everything after runs on the
+    * grid-bounded cell frame. Output: one row per cluster with cell and
+    * point counts — fully integer, fully deterministic.
+    */
+  def gridClusters(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(expr("CAST(round(value * 1000, 0) AS BIGINT) div 20000").as("bx"),
+        expr("CAST(user_id AS BIGINT) div 100").as("by"))
+      .groupBy("bx", "by").agg(count(lit(1)).as("cnt"))
+    val thr = cells.agg(sum(col("cnt")).as("s"), count(lit(1)).as("c"))
+      .select(expr("(s + c - 1) div c").as("minpts"))
+    val dense = cells.crossJoin(broadcast(thr))
+      .filter(col("cnt") >= col("minpts"))
+      .select((col("bx") * 1000000L + col("by")).as("cid"),
+        col("bx"), col("by"), col("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val offs = (-1 to 1).flatMap(dx => (-1 to 1).map(dy => (dx, dy)))
+      .filterNot { case (dx, dy) => dx == 0 && dy == 0 }
+    val nbrs = dense
+      .withColumn("o", explode(array(offs.map { case (dx, dy) =>
+        struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy")) }: _*)))
+      .select(col("cid").as("id_a"),
+        ((col("bx") + col("o.dx")) * 1000000L + (col("by") + col("o.dy")))
+          .as("id_b"))
+      .join(dense.select(col("cid").as("id_b")), Seq("id_b"))
+      .filter(col("id_a") < col("id_b"))
+    val pairs = nbrs.select(col("id_a"), col("id_b"))
+      .union(dense.select(col("cid").as("id_a"), col("cid").as("id_b")))
+    val labels = Dedup.componentLabels(pairs)
+    labels.join(dense.select(col("cid").as("id"), col("cnt")), Seq("id"))
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("cnt")).as("n_points"))
+      .orderBy("cluster_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_s6_bbox_summary" -> { (s, d) => summary(s, d).orderBy("bbox_label") },
+    // Grid-density clusters over the event point cloud (DBSCAN-lite).
+    "q_grid_clusters" -> { (s, d) => gridClusters(s, d) },
     "q_s7_geocode_join" -> { (s, d) =>
       val bboxes = rawNodes(s, d).select("bbox_label", "lat_bin").distinct()
       geocodeLookup(s, d, bboxes).orderBy("bbox_label")
@@ -262,6 +306,33 @@ object BboxSummary {
         s"""WITH raw_nodes AS ($rawNodesSql)
            |$geocodeSql
            |ORDER BY bbox_label""".stripMargin,
+      "q_grid_clusters" ->
+        """WITH RECURSIVE cells AS (
+          | SELECT CAST(round(value * 1000, 0) AS BIGINT) // 20000 AS bx,
+          |  CAST(user_id AS BIGINT) // 100 AS by,
+          |  CAST(count(*) AS BIGINT) AS cnt
+          | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+          |thr AS (
+          | SELECT (sum(cnt) + count(*) - 1) // count(*) AS minpts FROM cells),
+          |dense AS (
+          | SELECT bx * 1000000 + by AS cid, bx, by, cnt
+          | FROM cells CROSS JOIN thr WHERE cnt >= minpts),
+          |e AS (
+          | SELECT a.cid AS src, b.cid AS dst
+          | FROM dense a
+          |  CROSS JOIN (SELECT unnest(range(-1, 2)) AS dx) dxs
+          |  CROSS JOIN (SELECT unnest(range(-1, 2)) AS dy) dys
+          |  JOIN dense b ON b.bx = a.bx + dxs.dx AND b.by = a.by + dys.dy
+          | WHERE NOT (dxs.dx = 0 AND dys.dy = 0)),
+          |reach(a, b) AS (
+          | SELECT cid, cid FROM dense
+          | UNION
+          | SELECT reach.a, e.dst FROM reach JOIN e ON reach.b = e.src),
+          |labels AS (SELECT a AS cid, min(b) AS cluster_id FROM reach GROUP BY 1)
+          |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_cells,
+          | CAST(sum(cnt) AS BIGINT) AS n_points
+          |FROM labels JOIN dense USING (cid)
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
       "q_nn_join" ->
         """WITH l AS (
           | SELECT event_id AS id, CAST(round(value * 1000, 0) AS BIGINT) AS la,
