@@ -361,7 +361,26 @@ object Sources {
       .orderBy("l_returnflag")
   }
 
+  /** Order-independent table fingerprint: Σ of per-row md5-60 hashes over
+    * a canonical column rendering (ints verbatim, the double money column
+    * as exact CENTS, dates formatted) summed as exact DECIMAL — the
+    * tabular integrity check next to the binary-ingest fixity audit. Any
+    * changed/dropped/duplicated row moves the sum; partitioning and row
+    * order cannot. One map-side-combined scan, output printed as a
+    * decimal string (the value exceeds int64).
+    */
+  def tableFingerprint(s: SparkSession, d: String): DataFrame = {
+    val h = graft.operators.Dedup.Md5Hash(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd"),
+      col("o_orderpriority"))
+    Tables.orders(s, d).agg(count(lit(1)).as("n_rows"),
+      sum(h.cast(DecimalType(38, 0))).cast("string").as("fingerprint"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_table_fingerprint" -> tableFingerprint _,
     "q_s1_csv_roundtrip" -> csvRoundtrip _,
     "q_csv_quoted" -> csvQuotedRoundtrip _,
     "q_orc_roundtrip" -> orcRoundtrip _,
@@ -377,6 +396,15 @@ object Sources {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_table_fingerprint" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(sum(CAST('0x' || substr(md5(concat_ws(':',
+        |   CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+        |   o_orderstatus,
+        |   CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR),
+        |   strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority)), 1, 15)
+        |  AS BIGINT)) AS VARCHAR) AS fingerprint
+        |FROM orders""".stripMargin,
     "q_orc_roundtrip" ->
       """SELECT l_returnflag, count(*) AS cnt,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
