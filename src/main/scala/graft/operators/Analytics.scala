@@ -1097,6 +1097,29 @@ object Analytics {
         col("wp25"), col("wp50"), col("wp75"))
   }
 
+  /** Quantile normalization: each row's value mapped to its corpus CDF
+    * position via the tie-averaged rank identity (q = (2·cum−c+1)/(2n),
+    * mid-rank convention — exact integers until one division). The rank
+    * map is the distinct-value frame from the range-partitioned
+    * cumulative engine joined back onto the rows: no per-row sort, no
+    * single-task stage — the feature-scaling step a 100 TB training
+    * pipeline runs before mixing heterogeneous quality scores. Output
+    * bounded to the first `limitIds` ids for the gate; ranks are
+    * computed over the FULL corpus first.
+    */
+  def quantileNormalize(df: DataFrame, idCol: String, valueCol: String,
+                        limitIds: Long): DataFrame = {
+    val ranks = cumulativeValueCounts(df.select(col(valueCol)), Nil, valueCol)
+      .select(col("v"), col("c"), col("cum"), col("n"))
+    df.select(col(idCol), col(valueCol).cast("double").as("v"))
+      .join(ranks, Seq("v"))
+      .filter(col(idCol) < limitIds)
+      .select(col(idCol), col("v").as(valueCol),
+        round((lit(2L) * col("cum") - col("c") + 1).cast("double") /
+          (lit(2L) * col("n")).cast("double"), 6).as("q"))
+      .orderBy(idCol)
+  }
+
   /** Spearman rank correlation with ties: each row gets its column's
     * tie-averaged rank DOUBLED (2·avgrank = 2·cum−c+1, an integer — the
     * [[aucRank]] identity), so the whole computation is Pearson over
@@ -1572,6 +1595,11 @@ object Analytics {
     // order baskets.)
     "q_assoc_rules" -> { (s, d) =>
       assocRules(Tables.lineitem(s, d), Tables.part(s, d))
+    },
+    // Where does each document sit in the corpus length distribution?
+    // (mid-rank CDF position — the quantile-normalized feature)
+    "q_quantile_normalize" -> { (s, d) =>
+      quantileNormalize(Tables.documents(s, d), "doc_id", "n_chars", 100L)
     },
     // How big is the en/non-en length difference, in pooled SDs?
     // (Cohen's d — the effect size next to q_ks_test's significance.)
@@ -2237,6 +2265,20 @@ object Analytics {
         |  / (CAST(n AS DOUBLE) * log10(1.0 + 1.0 / CAST(digit AS DOUBLE))), 6)
         |  AS chi2_term
         |FROM s ORDER BY digit""".stripMargin,
+    "q_quantile_normalize" ->
+      """WITH c AS (
+        | SELECT CAST(n_chars AS DOUBLE) AS v, count(*) AS c FROM documents
+        | WHERE n_chars IS NOT NULL GROUP BY 1),
+        |r AS (
+        | SELECT v, c, sum(c) OVER (ORDER BY v
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(c) OVER () AS n
+        | FROM c)
+        |SELECT doc_id, CAST(n_chars AS DOUBLE) AS n_chars,
+        | round(CAST(2 * cum - c + 1 AS DOUBLE)
+        |   / CAST(2 * n AS DOUBLE), 6) AS q
+        |FROM documents JOIN r ON CAST(n_chars AS DOUBLE) = r.v
+        |WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
     "q_effect_size" ->
       """WITH v AS (
         | SELECT CAST(length(text) AS BIGINT) AS v, (lang = 'en') AS ga
