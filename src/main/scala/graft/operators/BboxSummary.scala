@@ -142,6 +142,12 @@ object BboxSummary {
     * distance, then min id at that distance), so the result is fully
     * deterministic. Crossings with an empty 3×3 neighborhood surface
     * with NULLs (the bounded-radius contract), not dropped.
+    *
+    * The argmin is ONE lexicographic `min(struct(d2, rid))` aggregation
+    * (struct ordering = min distance, then min id at that distance —
+    * identical to the two-step min), so the candidate join is computed
+    * once; the original min-then-join-back shape computed the full
+    * candidate set twice and benched 24 s at sf0.1 vs ~8 s for this.
     */
   def nearestHospital(s: SparkSession, d: String): DataFrame = {
     val events = Tables.events(s, d)
@@ -166,9 +172,9 @@ object BboxSummary {
       .select(col("id"), col("rid"),
         ((col("la") - col("rla")) * (col("la") - col("rla")) +
           (col("ln") - col("rln")) * (col("ln") - col("rln"))).as("d2"))
-    val m = cand.groupBy("id").agg(min(col("d2")).as("d2"))
-    val nn = cand.join(m, Seq("id", "d2"))
-      .groupBy("id", "d2").agg(min(col("rid")).as("nn_id"))
+    val nn = cand.groupBy("id")
+      .agg(min(struct(col("d2"), col("rid"))).as("s"))
+      .select(col("id"), col("s.d2").as("d2"), col("s.rid").as("nn_id"))
     left.select(col("id"))
       .join(nn, Seq("id"), "left")
       .select(col("id"), col("d2"), col("nn_id"))
@@ -210,7 +216,9 @@ object BboxSummary {
       .filter(col("id_a") < col("id_b"))
     val pairs = nbrs.select(col("id_a"), col("id_b"))
       .union(dense.select(col("cid").as("id_a"), col("cid").as("id_b")))
-    val labels = Dedup.componentLabels(pairs)
+    // grid adjacency has LONG paths (a dense blob's diameter, not a
+    // near-dup star) — pointer jumping converges in log(diameter) rounds
+    val labels = Dedup.componentLabelsJump(pairs)
     labels.join(dense.select(col("cid").as("id"), col("cnt")), Seq("id"))
       .groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("n_cells"), sum(col("cnt")).as("n_points"))

@@ -474,6 +474,51 @@ object Dedup {
     labels
   }
 
+  /** Pointer-jumping variant of [[componentLabels]] for HIGH-DIAMETER
+    * graphs (grid adjacency, chains): each round does the min-neighbor
+    * propagation AND a label-of-label hop, so convergence takes
+    * O(log diameter) rounds instead of O(diameter) — a 40-cell snake
+    * converges in ~6 rounds, not 40. Same result contract (label = min
+    * id in component). Every round localCheckpoints the node-sized label
+    * frame: two jobs per round, bounded lineage, no quadratic re-exec.
+    * Near-dup graphs (tiny stars) don't need this; grid/graph operators
+    * with long paths do.
+    */
+  def componentLabelsJump(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(lvl)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val prop = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("cand")),
+          Seq("dst"))
+        .select(col("src").as("id"), col("cand"))
+        .union(labels.select(col("id"), col("label").as("cand")))
+        .groupBy("id").agg(min(col("cand")).as("label"))
+      // the jump: follow each node's label to THAT node's label — path
+      // lengths halve every round (labels are node ids, so the self-join
+      // always resolves; coalesce guards the root, whose label is itself)
+      val jumped = prop
+        .join(prop.select(col("id").as("label"), col("label").as("l2")),
+          Seq("label"), "left")
+        .select(col("id"), coalesce(col("l2"), col("label")).as("label"))
+      val next = jumped.localCheckpoint()
+      changed = next
+        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
   def dedupClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame =
     componentLabels(pairs, maxIter)
       .groupBy(col("label").as("cluster_id"))

@@ -78,6 +78,18 @@ class DedupSimSpec extends SparkSpec {
     assert(got == Set((1L, 4L, 4L), (10L, 4L, 13L), (20L, 2L, 21L)))
   }
 
+  test("pointer-jumping CC matches min-propagation on a deep chain") {
+    // a 16-chain (diameter 15) — the jump variant must converge to the
+    // identical min-id labels in O(log d) rounds, including the self-loop
+    // singleton the grid-cluster caller feeds it
+    val pairs = ((1L to 15L).map(i => (i, i + 1)) :+ ((30L, 30L)))
+      .toDF("id_a", "id_b")
+    val got = Dedup.componentLabelsJump(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (1L to 16L).map(i => (i, 1L)).toSet + ((30L, 30L))
+    assert(got == want)
+  }
+
   test("survivor policy keeps the longest doc, ties to the lower id") {
     val docs = Seq((1L, "short"), (2L, "a much longer text"),
       (3L, "same"), (4L, "samX")).toDF("doc_id", "text")
