@@ -168,13 +168,26 @@ object BboxSummary {
       .select(col("id"), col("la"), col("ln"),
         (expr("la div 20000") + col("o.dx")).as("bx"),
         (expr("ln div 100") + col("o.dy")).as("by"))
-    val cand = lb.join(right, Seq("bx", "by"))
-      .select(col("id"), col("rid"),
-        ((col("la") - col("rla")) * (col("la") - col("rla")) +
-          (col("ln") - col("rln")) * (col("ln") - col("rln"))).as("d2"))
-    val nn = cand.groupBy("id")
-      .agg(min(struct(col("d2"), col("rid"))).as("s"))
-      .select(col("id"), col("s.d2").as("d2"), col("s.rid").as("nn_id"))
+    // The argmin key (d2, rid) packs into ONE BIGINT: d2 is
+    // NEIGHBORHOOD-bounded by the grid pitch (≤ (2·20000)² + (2·100)²
+    // < 2³¹), so d2·2³⁰ + rid preserves lexicographic order inside int64
+    // for any rid < 2³⁰ — and min(packed) is a codegen'd HashAggregate
+    // with map-side partials. Earlier shapes paid 25 s at sf0.1: a
+    // min(struct) falls out of whole-stage codegen into SortAggregate
+    // (two full sorts of the 8M candidate pairs), a higher-order
+    // array_min(transform(…)) fold runs interpreted, and the source
+    // parquet's single split serialized everything — the repartition by
+    // cell spreads the probe side, the candidate join stays a broadcast
+    // hash join, and every operator in the hot path stays primitive.
+    val pack = lit(1L << 30)
+    val nn = lb.repartition(col("bx"), col("by"))
+      .join(broadcast(right), Seq("bx", "by"))
+      .groupBy("id")
+      .agg(min(((col("la") - col("rla")) * (col("la") - col("rla")) +
+        (col("ln") - col("rln")) * (col("ln") - col("rln"))) * pack +
+        col("rid")).as("s"))
+      .select(col("id"), expr("s div (1 << 30)").as("d2"),
+        expr("s % (1 << 30)").as("nn_id"))
     left.select(col("id"))
       .join(nn, Seq("id"), "left")
       .select(col("id"), col("d2"), col("nn_id"))

@@ -371,6 +371,17 @@ class ScaleSpec extends SparkSpec {
     } finally spark.sharedState.cacheManager.clearCache()
   }
 
+  test("NN join: broadcast candidates, hash-aggregated packed argmin") {
+    // the hot path must stay in whole-stage codegen: broadcast hash join
+    // for candidates, HashAggregate (NOT SortAggregate) for the packed
+    // argmin — min(struct) silently degrades to sort-based aggregation
+    val plan = graft.operators.BboxSummary.queries("q_nn_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortAggregate"), plan)
+  }
+
   test("modeling-pack windows run over pre-aggregated spines only") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
