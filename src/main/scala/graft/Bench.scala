@@ -42,12 +42,18 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try run(fn(spark, sfDir)) catch { case _: Throwable => () }
+      finally CacheScope.drain() // release operator-internal caches
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The full line (with the per-query map) is ~6 KB and has twice exceeded
+    // the driver's tail-capture window (BENCH_r05/r06 "parsed: null"). A
+    // total-only line is ~100 bytes and always fits; print it first so the
+    // full line — whatever its fate — can only follow it, never displace it.
+    val tinyJson = s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"sf":"$sfDir"}"""
 
     // The result JSON must be unlosable: r5's driver capture lost the stdout
     // line to a StateStore-maintenance stack trace emitted during streaming
@@ -66,6 +72,12 @@ object Bench {
       org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     } catch { case _: Throwable => () }
     try spark.stop() catch { case _: Throwable => () }
+    // Tiny line, full line, tiny line again: whether the driver scans its
+    // capture window for the first parseable JSON line or the last, and
+    // whether or not the window is smaller than the full line, a complete
+    // total-only record is inside it.
+    println(tinyJson)
     println(json)
+    println(tinyJson)
   }
 }

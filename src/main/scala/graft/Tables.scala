@@ -25,14 +25,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.parquet` carries INT64 TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read nanos as long, then integer-divide to micros (a
-    * plain `/` would go through double and lose precision above 2^53 ns).
+  /** `events.parquet` has shipped in two physical layouts across driver
+    * testdata generations: INT64 TIMESTAMP(NANOS) — which Spark's
+    * vectorized reader rejects, so it's read nanos-as-long and
+    * integer-divided to micros (a plain `/` would go through double and
+    * lose precision above 2^53 ns) — and plain TIMESTAMP(MICROS) NTZ.
+    * Probe the resolved schema and normalize either to session-zone
+    * TimestampType (the session pins UTC, so NTZ→TZ is value-preserving
+    * and matches the DuckDB oracle's naive timestamps).
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import Relational.{sumDec, sumDecSql}
+import graft.CacheScope.TrackedDataset
 
 /** EDA / dashboard analytics (SURVEY.md §2.4 A6–A9): descriptive stats,
   * missing-value audit, correlation matrix, dashboard sums/counts.
@@ -129,7 +130,7 @@ object Analytics {
     val ranged = counts
       .repartitionByRange(nPart, g :+ col("v"): _*)
       .withColumn("pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val wOff = Window.partitionBy(g: _*).orderBy("pid")
       .rowsBetween(Window.unboundedPreceding, -1)
     val wTot = Window.partitionBy(g: _*)
@@ -396,7 +397,11 @@ object Analytics {
     * against `session_window`'s adjacent-merge semantics).
     */
   private def withSessionNo(events: DataFrame, gapSec: Int = 1800): DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    // Total order (ts, event_id) in BOTH the lag and the cumsum windows,
+    // mirrored in the oracle SQL: under ts ties the default RANGE frame
+    // would pool tied rows in Spark while the oracle's ROWS frame splits
+    // them — with a total order the frames coincide on every engine.
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
     events
       .withColumn("ts", date_trunc("second", col("ts")))
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
@@ -578,7 +583,10 @@ object Analytics {
                    nBins: Int): DataFrame = {
     val spark = df.sparkSession
     val v = valueCol.cast("long")
-    val slice = df.filter(col(catCol).isNotNull)
+    // NULL category AND NULL value both excluded (mirrored in the oracle):
+    // a NULL value would otherwise flow into `least(NULL, nBins-1)` binning
+    // whose NULL-group placement differs between engines.
+    val slice = df.filter(col(catCol).isNotNull && v.isNotNull)
     val bounds = slice.agg(min(v).as("mn"), max(v).as("mx"),
       count(lit(1)).as("ng"))
     val bySrcBin = slice.select(col(catCol).as("src"), v.as("c"))
@@ -754,7 +762,12 @@ object Analytics {
     */
   def ksTest(df: DataFrame, valueCol: Column, inSliceA: Column): DataFrame = {
     val v = valueCol.cast("long")
+    // NULL values/predicates are excluded explicitly (mirrored in the
+    // oracle SQL): a NULL would sort NULLS FIRST in Spark's cumsum window
+    // but NULLS LAST in DuckDB, shifting both CDFs — parity must not
+    // depend on the generator never emitting NULLs.
     val cnts = df.select(v.as("v"), inSliceA.as("ga"))
+      .filter(col("v").isNotNull && col("ga").isNotNull)
       .groupBy("v")
       .agg(sum(when(col("ga"), 1L).otherwise(0L)).as("ca"),
         sum(when(col("ga"), 0L).otherwise(1L)).as("cb"))
@@ -850,7 +863,7 @@ object Analytics {
     */
   def robustTrend(orders: DataFrame, customer: DataFrame): DataFrame = {
     val m = monthlyRevenue(orders, customer)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val pairs = m.select(col("segment"), col("x").as("xa"), col("yc").as("ya"))
       .join(m.select(col("segment"), col("x").as("xb"), col("yc").as("yb")),
         Seq("segment"))
@@ -996,7 +1009,7 @@ object Analytics {
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("ok"))
       .agg(collect_set(col("p_brand")).as("bs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
 
   def assocRules(lineitem: DataFrame, part: DataFrame): DataFrame = {
     // The basket build is the only corpus-sized stage; everything below
@@ -1056,7 +1069,7 @@ object Analytics {
       .filter(col("n_ab").cast(DecimalType(38, 0)) * col("n_orders") >
         col("na").cast(DecimalType(38, 0)) * col("nb"))
       .select(col("u"), col("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val tri = edges.select(col("u").as("a"), col("v").as("b"))
       .join(edges.select(col("u").as("b"), col("v").as("c")), Seq("b"))
       .join(edges.select(col("u").as("a"), col("v").as("c")), Seq("a", "c"))
@@ -1264,7 +1277,7 @@ object Analytics {
     // corpus-sized sessionize+lag pass — the cache makes "one corpus
     // pass" true by construction. Edges are event-type²-sized.
     val edges = sessionTransitions(events).select("src", "dst", "n")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val wout = edges.groupBy("src").agg(sum(col("n")).as("wout"))
     val e = edges.join(wout, "src")
     val nodes = edges.select(col("src").as("node"))
@@ -1304,9 +1317,9 @@ object Analytics {
       |tr_g AS (
       | SELECT *, CASE WHEN lag(ts) OVER w IS NULL
       |   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
-      | FROM tr_e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      | FROM tr_e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |tr_s AS (
-      | SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      | SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
       | FROM tr_g),
       |tr_t AS (
@@ -1690,7 +1703,7 @@ object Analytics {
     // collect_list is session-length-bounded; the path rollup shuffles
     // path-cardinality keys; the final top-20 sorts a path-count frame.
     "q_session_paths" -> { (s, d) =>
-      val byUser = Window.partitionBy("user_id").orderBy("ts")
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
       val evs = Tables.events(s, d)
         .withColumn("ts", date_trunc("second", col("ts")))
         .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
@@ -1952,7 +1965,8 @@ object Analytics {
     "q_js_divergence" ->
       """WITH v AS (
         | SELECT source AS src, CAST(length(text) AS BIGINT) AS c
-        | FROM documents WHERE source IS NOT NULL),
+        | FROM documents
+        | WHERE source IS NOT NULL AND length(text) IS NOT NULL),
         |b AS (SELECT min(c) AS mn, max(c) AS mx,
         |       CAST(count(*) AS BIGINT) AS ng FROM v),
         |w AS (SELECT mn, mx, ng,
@@ -2099,7 +2113,8 @@ object Analytics {
     "q_ks_test" ->
       """WITH v AS (
         | SELECT CAST(length(text) AS BIGINT) AS v, (lang = 'en') AS ga
-        | FROM documents),
+        | FROM documents
+        | WHERE length(text) IS NOT NULL AND (lang = 'en') IS NOT NULL),
         |c AS (
         | SELECT v, sum(CASE WHEN ga THEN 1 ELSE 0 END) AS ca,
         |  sum(CASE WHEN ga THEN 0 ELSE 1 END) AS cb
@@ -2548,9 +2563,9 @@ object Analytics {
         |g AS (
         | SELECT *, CASE WHEN lag(ts) OVER w IS NULL
         |   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
-        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (
-        | SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        | SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
         | FROM g),
         |p AS (
@@ -2566,9 +2581,9 @@ object Analytics {
         |g AS (
         | SELECT *, CASE WHEN lag(ts) OVER w IS NULL
         |   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
-        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (
-        | SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        | SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
         | FROM g),
         |t AS (
@@ -2583,9 +2598,9 @@ object Analytics {
         |g AS (
         | SELECT *, CASE WHEN lag(ts) OVER w IS NULL
         |   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
-        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (
-        | SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        | SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
         | FROM g),
         |gp AS (

@@ -4,6 +4,7 @@ import graft.Tables
 import graft.functions.Scalars._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.CacheScope.TrackedDataset
 
 /** The reference's `api_transform` + geocode-enrichment pipeline
   * (dags/etl_crash_traffic.py:363-495), re-expressed Spark-first: raw
@@ -179,15 +180,28 @@ object BboxSummary {
     // parquet's single split serialized everything — the repartition by
     // cell spreads the probe side, the candidate join stays a broadcast
     // hash join, and every operator in the hot path stays primitive.
+    // Packing is only order-preserving for 0 ≤ rid < 2³⁰; at corpus sizes
+    // where ids outgrow that, fall back to min(struct) — correct at any id
+    // width, just out of whole-stage codegen. The bound check is one agg
+    // over the small (broadcast-sized) side, so it costs nothing at scale.
     val pack = lit(1L << 30)
-    val nn = lb.repartition(col("bx"), col("by"))
+    val ridRow = right.agg(min(col("rid")), max(col("rid"))).head()
+    val ridPackable = !ridRow.isNullAt(0) &&
+      ridRow.getLong(0) >= 0L && ridRow.getLong(1) < (1L << 30)
+    val cand = lb.repartition(col("bx"), col("by"))
       .join(broadcast(right), Seq("bx", "by"))
-      .groupBy("id")
-      .agg(min(((col("la") - col("rla")) * (col("la") - col("rla")) +
-        (col("ln") - col("rln")) * (col("ln") - col("rln"))) * pack +
-        col("rid")).as("s"))
-      .select(col("id"), expr("s div (1 << 30)").as("d2"),
-        expr("s % (1 << 30)").as("nn_id"))
+    val d2c = (col("la") - col("rla")) * (col("la") - col("rla")) +
+      (col("ln") - col("rln")) * (col("ln") - col("rln"))
+    val nn =
+      if (ridPackable)
+        cand.groupBy("id")
+          .agg(min(d2c * pack + col("rid")).as("s"))
+          .select(col("id"), expr("s div (1 << 30)").as("d2"),
+            expr("s % (1 << 30)").as("nn_id"))
+      else
+        cand.groupBy("id")
+          .agg(min(struct(d2c.as("d2"), col("rid").as("nn_id"))).as("s"))
+          .select(col("id"), col("s.d2").as("d2"), col("s.nn_id").as("nn_id"))
     left.select(col("id"))
       .join(nn, Seq("id"), "left")
       .select(col("id"), col("d2"), col("nn_id"))
@@ -216,7 +230,7 @@ object BboxSummary {
       .filter(col("cnt") >= col("minpts"))
       .select((col("bx") * 1000000L + col("by")).as("cid"),
         col("bx"), col("by"), col("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val offs = (-1 to 1).flatMap(dx => (-1 to 1).map(dy => (dx, dy)))
       .filterNot { case (dx, dy) => dx == 0 && dy == 0 }
     val nbrs = dense

@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.CacheScope.TrackedDataset
 
 /** Deduplication for a training-data pipeline (builder brief): exact,
   * MinHash+LSH near-dup, SimHash, and n-gram Jaccard — every candidate
@@ -183,7 +184,7 @@ object Dedup {
           struct(lit(b).as("band"), keys(b).as("key"))
         }: _*)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.key"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val l = banded.select(col("band"), col("key"), col("id").as("id_a"))
     val r = banded.select(col("band"), col("key"), col("id").as("id_b"))
     l.join(r, Seq("band", "key"))
@@ -241,7 +242,7 @@ object Dedup {
     // times (measured ~3× the pipeline's hash cost at sf0.1). Disk-backed
     // so a 100 TB corpus spills instead of thrashing executors.
     val base = withShingleHashes(docs, idCol, textCol, hasher)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val sig = sigFrame(base, "hs", numHashes)
     val candidates = bandedCandidates(sig, numHashes, rowsPerBand, hasher)
     // exact-Jaccard verify over the HASH arrays (64-bit collisions are
@@ -276,7 +277,7 @@ object Dedup {
                             threshold: Double = 0.5, maxDfFrac: Double = 0.2,
                             hasher: HashFamily = XxHash): DataFrame = {
     val raw = withShingleHashes(docs, idCol, textCol, hasher)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val nDocs = raw.agg(count(lit(1)).as("n"))
     // per-doc shingle arrays are distinct, so the exploded count IS the
     // doc frequency
@@ -288,7 +289,7 @@ object Dedup {
     val base = raw.crossJoin(broadcast(stop))
       .select(col("id"), array_except(col("hs"), col("stop")).as("hs"))
       .filter(size(col("hs")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val sig = sigFrame(base, "hs", numHashes)
     val candidates = bandedCandidates(sig, numHashes, rowsPerBand, hasher)
     val shA = base.select(col("id").as("id_a"), col("hs").as("hs_a"))
@@ -387,7 +388,7 @@ object Dedup {
       }: _*)).as("bk"))
       .select(col("id"), col("sim"), col("bk.band"), col("bk.key"))
       // persisted: read twice by the self-join (see bandedCandidates)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val l = banded.select(col("band"), col("key"), col("id").as("id_a"), col("sim").as("sim_a"))
     val r = banded.select(col("band"), col("key"), col("id").as("id_b"), col("sim").as("sim_b"))
     l.join(r, Seq("band", "key"))
@@ -471,7 +472,12 @@ object Dedup {
       labels = next
       iter += 1
     }
-    labels
+    // the returned plan still references edges, the last checkpoint, and
+    // the final label frame — defer their unpersist to the caller's
+    // post-action CacheScope.drain() instead of leaking them (ADVICE r6)
+    graft.CacheScope.track(edges)
+    if (liveCkpt ne null) graft.CacheScope.track(liveCkpt)
+    graft.CacheScope.track(labels)
   }
 
   /** Pointer-jumping variant of [[componentLabels]] for HIGH-DIAMETER
@@ -516,7 +522,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist(blocking = false)
-    labels
+    graft.CacheScope.track(labels) // final localCheckpoint blocks
   }
 
   def dedupClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame =
@@ -587,9 +593,9 @@ object Dedup {
     // collision to ~3%.
     // persisted for the same three-way reuse as minhashNearDups' base
     val withGrams = withGramHashes(docs, idCol, textCol, n, hasher)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val sig = sigFrame(withGrams, "grams", numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val candidates = bandedCandidates(sig, numHashes, rowsPerBand, hasher)
     val minAgree = math.ceil(numHashes * (threshold - 0.2)).toInt
     val surviving = agreementFilter(candidates, sig, numHashes, minAgree)
@@ -599,6 +605,100 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(jaccard(col("g_a"), col("g_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** (id, band, key) band-key frame from a signature frame — the exploded
+    * form [[bandedCandidates]] uses, shared with the incremental path.
+    */
+  private def bandKeyFrame(sig: DataFrame, numHashes: Int, rowsPerBand: Int,
+                           hasher: HashFamily): DataFrame = {
+    val bands = numHashes / rowsPerBand
+    val keys = bandKeys(numHashes, rowsPerBand, hasher)
+    sig.select(col("id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"), keys(b).as("key"))
+        }: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Compact cross-load "seen" store (VERDICT r6 #5): one row per surviving
+    * content of a load — (id, fp, hs, bands), where fp is the exact
+    * fingerprint, hs the shingle-hash array (the near-dup verify evidence;
+    * longs, ~100× smaller than text), and bands the precomputed LSH band
+    * keys (so matching a NEW load against the store never recomputes
+    * signatures over the store). Persist this as parquet between loads; at
+    * warehouse scale, bucket it by fp so the next load's anti-join is
+    * exchange-free on the store side (the q_bucketed_join pattern).
+    */
+  def buildFingerprintStore(docs: DataFrame, idCol: String = "doc_id",
+                            textCol: String = "text", numHashes: Int = 16,
+                            rowsPerBand: Int = 2,
+                            hasher: HashFamily = XxHash): DataFrame = {
+    val surv = docs
+      .select(col(idCol).as("id"),
+        TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp").agg(min(col("id")).as("id"))
+    val base = surv.join(withShingleHashes(docs, idCol, textCol, hasher), Seq("id"))
+    val sig = sigFrame(base.select("id", "hs"), "hs", numHashes)
+    val bands = numHashes / rowsPerBand
+    val keys = bandKeys(numHashes, rowsPerBand, hasher)
+    val bandArr = sig.select(col("id"),
+      array((0 until bands).map { b =>
+        struct(lit(b).as("band"), keys(b).as("key"))
+      }: _*).as("bands"))
+    base.join(bandArr, Seq("id")).select("id", "fp", "hs", "bands")
+  }
+
+  /** Cross-load incremental dedup — the batch twin of q_stream_dedup for
+    * append-only corpus loads (the reference's idempotent-insert contract,
+    * dags/etl_crash_traffic.py:619-624, lifted from row keys to content
+    * fingerprints). A new load is deduplicated against the persisted store
+    * WITHOUT ever rereading prior loads' text:
+    *
+    *   1. in-batch exact dedup (min-id survivor per fingerprint);
+    *   2. cross-load exact: anti-join on the store's fingerprint column
+    *      (equi-join on fp — broadcast under AQE while the store is small,
+    *      bucketed-on-fp at warehouse scale);
+    *   3. cross-load NEAR-dup: the batch survivors' LSH band keys equi-join
+    *      the store's precomputed band keys (shuffle key = band key, never
+    *      all-pairs), verified by exact Jaccard ≥ threshold over the hash
+    *      arrays; matched batch docs drop.
+    *
+    * Returns the surviving (idCol, fp) rows; callers append the survivors'
+    * [[buildFingerprintStore]] rows to the store to complete the load.
+    * In-batch NEAR-dup (as opposed to exact) stays a separate composed
+    * [[minhashNearDups]] pass by policy — most incremental pipelines run
+    * it once per load before the cross-load step.
+    */
+  def incrementalDedup(newBatch: DataFrame, store: DataFrame,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       numHashes: Int = 16, rowsPerBand: Int = 2,
+                       threshold: Double = 0.5,
+                       hasher: HashFamily = XxHash): DataFrame = {
+    val inBatch = newBatch
+      .select(col(idCol).as("id"),
+        TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp").agg(min(col("id")).as("id"))
+    val exactSurv = inBatch.join(store.select("fp"), Seq("fp"), "left_anti")
+    // hs arrays only for exact survivors — the docs already dropped never
+    // pay the shingle/signature cost
+    val base = exactSurv
+      .join(withShingleHashes(newBatch, idCol, textCol, hasher), Seq("id"))
+      .persistTracked()
+    val sig = sigFrame(base.select("id", "hs"), "hs", numHashes)
+    val newBands = bandKeyFrame(sig, numHashes, rowsPerBand, hasher)
+    val storeBands = store
+      .select(col("id").as("sid"), explode(col("bands")).as("bk"))
+      .select(col("sid"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = newBands.join(storeBands, Seq("band", "key"))
+      .select(col("id"), col("sid")).dropDuplicates("id", "sid")
+    val near = cand
+      .join(base.select(col("id"), col("hs")), Seq("id"))
+      .join(store.select(col("id").as("sid"), col("hs").as("hs_s")), Seq("sid"))
+      .filter(jaccard(col("hs"), col("hs_s")) >= threshold)
+      .select("id").distinct()
+    base.join(near, Seq("id"), "left_anti")
+      .select(col("id").as(idCol), col("fp"))
   }
 
   /** Deterministic near-dup corpus: the documents table plus mutated copies
@@ -680,6 +780,34 @@ object Dedup {
       val mirror = docs.filter(col("doc_id") < 30)
         .select(col("text"), lit("mirror").as("source"))
       crossSourceLeakage(docs.select("text", "source").unionByName(mirror))
+    },
+    // Cross-load incremental dedup: load1 = doc_id % 3 ≠ 0 builds the
+    // persisted fingerprint store (REAL parquet roundtrip); load2 =
+    // doc_id % 3 = 0 plus planted cross-load exact copies (first 30 load1
+    // docs, ids +10^7) and near-dup mutations (load1 docs 30-59, ids
+    // +2·10^7, one token appended). The second load must drop exactly the
+    // planted overlaps and keep every base doc.
+    "q_dedup_incremental" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val spread = s.sparkContext.defaultParallelism
+      val l1 = docs.filter(col("doc_id") % 3 =!= 0).select("doc_id", "text")
+        .repartition(spread, col("doc_id"))
+      val exactCopies = docs
+        .filter(col("doc_id") % 3 =!= 0 && col("doc_id") < 30)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      val nearCopies = docs
+        .filter(col("doc_id") % 3 =!= 0 &&
+          col("doc_id") >= 30 && col("doc_id") < 60)
+        .select((col("doc_id") + 20000000L).as("doc_id"),
+          concat(col("text"), lit(" appended")).as("text"))
+      val l2 = docs.filter(col("doc_id") % 3 === 0).select("doc_id", "text")
+        .unionByName(exactCopies).unionByName(nearCopies)
+        .repartition(spread, col("doc_id"))
+      val storePath = "/root/repo/target/scratch/dedup_fp_store"
+      buildFingerprintStore(l1, hasher = Md5Hash)
+        .write.mode("overwrite").parquet(storePath)
+      incrementalDedup(l2, s.read.parquet(storePath), hasher = Md5Hash)
+        .orderBy("doc_id")
     },
     // MinHash+LSH near-dups on the planted corpus: must recover all 20
     // planted pairs (high-Jaccard mutations). The gated queries run the
@@ -899,6 +1027,65 @@ object Dedup {
         | count(*) AS n_shared
         |FROM s a JOIN s b ON a.fp = b.fp AND a.source < b.source
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the incremental chain: exact store anti-join in plain SQL, then the
+    // SAME md5 minhash/band chain as q_dedup_minhash run over the tagged
+    // two-load corpus, candidates restricted to (exact-survivor, store)
+    // pairs, verified at Jaccard ≥ 0.5
+    "q_dedup_incremental" -> {
+      s"""WITH base AS (
+         | SELECT doc_id AS id, text,
+         |  CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS ld
+         | FROM documents
+         | UNION ALL
+         | SELECT doc_id + 10000000 AS id, text, 2 AS ld FROM documents
+         | WHERE doc_id % 3 <> 0 AND doc_id < 30
+         | UNION ALL
+         | SELECT doc_id + 20000000 AS id, text || ' appended' AS text, 2 AS ld
+         | FROM documents WHERE doc_id % 3 <> 0 AND doc_id >= 30 AND doc_id < 60),
+         |fps AS (
+         | SELECT id, ld,
+         |  md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+         | FROM base),
+         |store AS (SELECT fp, min(id) AS id FROM fps WHERE ld = 1 GROUP BY fp),
+         |inb AS (SELECT fp, min(id) AS id FROM fps WHERE ld = 2 GROUP BY fp),
+         |ex AS (
+         | SELECT i.id, i.fp FROM inb i LEFT JOIN store s USING (fp)
+         | WHERE s.fp IS NULL),
+         |toks AS (
+         | SELECT id,
+         |  list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+         | FROM base),
+         |shs AS (
+         | SELECT id, list_distinct(
+         |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |       ELSE list_transform(range(1, len(toks) - 1),
+         |              i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END) AS shs
+         | FROM toks),
+         |hs AS (SELECT id, list_transform(shs, sh -> ${h64("sh")}) AS hs FROM shs),
+         |${minhashSigSql(16)},
+         |${candidatesSql(16, 2)},
+         |cand AS (
+         | SELECT DISTINCT
+         |  CASE WHEN ea.id IS NOT NULL AND sb.id IS NOT NULL
+         |       THEN c.id_a ELSE c.id_b END AS nid,
+         |  CASE WHEN ea.id IS NOT NULL AND sb.id IS NOT NULL
+         |       THEN c.id_b ELSE c.id_a END AS sid
+         | FROM candidates c
+         | LEFT JOIN ex ea ON c.id_a = ea.id
+         | LEFT JOIN ex eb ON c.id_b = eb.id
+         | LEFT JOIN store sa ON c.id_a = sa.id
+         | LEFT JOIN store sb ON c.id_b = sb.id
+         | WHERE (ea.id IS NOT NULL AND sb.id IS NOT NULL)
+         |    OR (eb.id IS NOT NULL AND sa.id IS NOT NULL)),
+         |near AS (
+         | SELECT DISTINCT c.nid AS id
+         | FROM cand c JOIN hs a ON c.nid = a.id JOIN hs b ON c.sid = b.id
+         | WHERE $jaccardSql >= 0.5)
+         |SELECT e.id AS doc_id, e.fp
+         |FROM ex e LEFT JOIN near n ON e.id = n.id
+         |WHERE n.id IS NULL ORDER BY doc_id""".stripMargin
+    },
 
     // tokens → 3-gram shingles → md5-hash64 → 16 minhash sigs → 8 bands of
     // 2 → candidate pairs → exact Jaccard ≥ 0.5 over the hash sets.

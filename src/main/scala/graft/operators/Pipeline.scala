@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.CacheScope.TrackedDataset
 
 /** The reference DAG re-expressed as ONE end-to-end driver (SURVEY §2.10;
   * dags/etl_crash_traffic.py:951-1005): transform/merge → idempotent fact
@@ -219,7 +220,7 @@ object Pipeline {
       val dimKeyCols = StarPipeline.dimSpecs.flatMap(_._2).distinct
       val subFlat = StarPipeline.flatFact(s, d).filter(subset)
         .select(dimKeyCols.map(col): _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persistTracked()
       val fact = s.read.parquet(s"$wh/star_fact")
       // all 8 null-FK counts in ONE pass over the fact, melted to rows
       // (the describeAll move — passes don't grow with dim count)

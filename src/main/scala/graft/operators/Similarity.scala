@@ -125,6 +125,26 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** Deterministic near-dup embedding corpus (the Dedup.plantedCorpus
+    * pattern lifted to vectors): the embeddings table plus copies of the
+    * first `nPlanted` vectors (vec_id + 10^7) with the LAST coordinate
+    * negated. The flip leaves the sign bucket intact — [[signBucket]] reads
+    * the FIRST `nBits` coordinates — so every planted pair is a guaranteed
+    * LSH candidate, while cosine drops to 1 − 2·x_d²/‖x‖² ≈ 0.97 for the
+    * near-isotropic test vectors: genuinely "near", not exact. The r06
+    * gate compared 0 rows to 0 rows (the corpus has no natural embedding
+    * near-dups at the gated SFs); this makes the oracle hash cover real
+    * pairs at every SF.
+    */
+  def plantedEmbeddings(emb: DataFrame, nPlanted: Int = 20): DataFrame = {
+    val n = size(col("embedding"))
+    val planted = emb.filter(col("vec_id") < nPlanted)
+      .select((col("vec_id") + 10000000L).as("vec_id"),
+        concat(slice(col("embedding"), lit(1), n - 1),
+          array(negate(element_at(col("embedding"), n)))).as("embedding"))
+    emb.select("vec_id", "embedding").unionByName(planted)
+  }
+
   /** ANN top-k: exact cosine, but only within the query's sign bucket. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nBits: Int = 8,
@@ -269,12 +289,14 @@ object Similarity {
           cosineFn = graft.functions.NativeExpressions.cosineSim(s, _, _))
         .orderBy("query_id", "rank")
     },
-    // Embedding-cosine near-dup: pairs above threshold within buckets.
-    // Bucket width derives from corpus size (adaptiveSignBits) — one
-    // cheap count job; at both test scales (500 / 2000 rows) it resolves
-    // to the 8-bit floor the static oracle encodes.
+    // Embedding-cosine near-dup: pairs above threshold within buckets,
+    // over the PLANTED corpus (last-coordinate flips of the first 20
+    // vectors) so the oracle compares real pairs at every SF. Bucket
+    // width derives from corpus size (adaptiveSignBits) — one cheap
+    // count job; at the gated scales (≤ 2020 rows) it resolves to the
+    // 8-bit floor the static oracle encodes.
     "q_sim_near_dup" -> { (s, d) =>
-      val emb = Tables.embeddings(s, d)
+      val emb = plantedEmbeddings(Tables.embeddings(s, d))
       val head = emb.agg(count(lit(1)), max(size(col("embedding")))).head()
       val bits = adaptiveSignBits(head.getLong(0), head.getInt(1))
       embeddingNearDups(emb, 0.95, bits,
@@ -460,7 +482,14 @@ object Similarity {
          | FROM scored)
          |SELECT * FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_sim_near_dup" ->
-      s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings)
+      s"""WITH corpus AS (
+         | SELECT vec_id, embedding FROM embeddings
+         | UNION ALL
+         | SELECT vec_id + 10000000 AS vec_id,
+         |  list_append(embedding[1:len(embedding)-1],
+         |              -embedding[len(embedding)]) AS embedding
+         | FROM embeddings WHERE vec_id < 20),
+         |b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM corpus)
          |SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
          | round(${cosSql("a.embedding", "bb.embedding")}, 6) AS sim
          |FROM b a JOIN b bb USING (bucket)

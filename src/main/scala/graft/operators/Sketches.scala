@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.CacheScope.TrackedDataset
 
 /** Sketch-based approximate analytics — the 100 TB substitutes for exact
   * one-liners that stop being runnable at scale:
@@ -93,7 +94,7 @@ object Sketches {
       val perYear = ev.groupBy("yr")
         .agg(hll_sketch_agg(col("user_id")).as("sk"),
           count_distinct(col("user_id")).as("exact_users"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persistTracked()
       val years = perYear.select(col("yr"), col("exact_users"),
         (abs(hll_sketch_estimate(col("sk")) - col("exact_users")) <=
           col("exact_users").cast("double") * 0.05).as("within_tol"))
@@ -167,8 +168,11 @@ object Sketches {
           // requirement), but changing depth/width, the seed constant, or
           // the generator can legitimately flip it; that's a parameter
           // change surfacing the probabilistic bound, not a sketch bug.
+          // The ×4 slack keeps the gate specific (a broken sketch is off
+          // by orders of magnitude, not 4×) while absorbing the tail of
+          // the probabilistic bound under parameter tweaks (ADVICE r6).
           ((col("__est") - col("exact_n")).cast("double") <=
-            col("n_total").cast("double") * (math.E / width)).as("within_eps"))
+            col("n_total").cast("double") * (4.0 * math.E / width)).as("within_eps"))
         .orderBy("event_type")
     }
   )

@@ -65,45 +65,147 @@ object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
 }
 
 /** The shared heap pass: one bounded max-heap per key, O(n log k)
-  * comparisons, O(|keys in partition| · k) retained rows.
+  * comparisons, O(|keys in partition| · k) retained rows — WITH a spill
+  * story for adversarial key cardinality (ADVICE/VERDICT r6).
   *
-  * Memory bound (NOT spillable): state is an on-heap HashMap of
-  * k-element heaps of copied rows — fine up to ~10⁶–10⁷ (keys·k) rows
-  * per partition (the partial pass only ever sees a mapper's split; the
-  * final pass sees one hash partition's key range). A key space so large
-  * AND so uniformly hot that a single partition's keys·k rows exceed heap
-  * is the regime where the sort-based window plan (which spills) is the
-  * right tool — callers there should raise shuffle partitions or fall
-  * back; the heap exec's win is every other regime, where it removes the
-  * full-partition sort+spill entirely.
+  * In-memory state is an on-heap HashMap of k-element heaps of copied
+  * UnsafeRows. When the retained-row count crosses `spillRows` (default
+  * 4M; `graft.topk.spillRows` system property), the pass flushes every
+  * current survivor to a local spill file — keys written in their
+  * UnsafeRow BYTE order, each key's ≤ k rows contiguous — and clears the
+  * map. At the end, the spill files plus a final flush are k-way MERGED
+  * by key (binary key order is total and consistent across files because
+  * equal keys have identical UnsafeProjection bytes — the same invariant
+  * the HashMap already relies on): only ONE key's ≤ k·|epochs| candidate
+  * rows are ever resident during the merge, so memory stays bounded at
+  * ANY per-partition key cardinality, including every-row-distinct. The
+  * no-spill fast path is unchanged — zero extra copies, zero I/O.
   */
 private[plans] object TopKHeapPass {
+  private def defaultSpillRows: Int =
+    sys.props.get("graft.topk.spillRows").map(_.toInt).getOrElse(1 << 22)
+
+  private val keyBytesOrd: Ordering[Array[Byte]] = new Ordering[Array[Byte]] {
+    override def compare(a: Array[Byte], b: Array[Byte]): Int = {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        val c = java.lang.Byte.compareUnsigned(a(i), b(i))
+        if (c != 0) return c
+        i += 1
+      }
+      java.lang.Integer.compare(a.length, b.length)
+    }
+  }
+
+  /** One spill file: per key, [keyLen keyBytes nRows [rowLen rowBytes]*],
+    * keys in byte order, terminated by keyLen = -1.
+    */
+  private final class SpillReader(file: java.io.File, nFields: Int) {
+    private val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      new java.io.FileInputStream(file), 1 << 16))
+    var key: Array[Byte] = _
+    var rows: Array[UnsafeRow] = _
+    advance()
+    def advance(): Unit = {
+      val kl = in.readInt()
+      if (kl < 0) { key = null; rows = null; in.close(); file.delete(): Unit }
+      else {
+        key = new Array[Byte](kl); in.readFully(key)
+        rows = Array.fill(in.readInt()) {
+          val rl = in.readInt(); val rb = new Array[Byte](rl)
+          in.readFully(rb)
+          val r = new UnsafeRow(nFields)
+          r.pointTo(rb, rl)
+          r
+        }
+      }
+    }
+  }
+
   def run(childOutput: Seq[Attribute], grouping: Seq[Expression],
-          order: Seq[SortOrder], k: Int)(
+          order: Seq[SortOrder], k: Int,
+          spillRows: Int = defaultSpillRows)(
           iter: Iterator[InternalRow]): Iterator[InternalRow] = {
     val keyProj = UnsafeProjection.create(grouping, childOutput)
+    val toUnsafe = UnsafeProjection.create(childOutput.map(_.asInstanceOf[Expression]), childOutput)
     val ord = GenerateOrdering.generate(order, childOutput)
     // max-heap under `ord`: head = worst retained row, evicted first
     val heaps = scala.collection.mutable.HashMap
-      .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
+      .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[UnsafeRow]]
+    var retained = 0
+    val spills = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+
+    def flush(): Unit = {
+      val f = java.io.File.createTempFile("graft-topk-spill", ".bin")
+      f.deleteOnExit()
+      val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(f), 1 << 16))
+      heaps.toArray.sortBy { case (key, _) => key.getBytes }(keyBytesOrd)
+        .foreach { case (key, heap) =>
+          val kb = key.getBytes
+          out.writeInt(kb.length); out.write(kb)
+          val rows = heap.toArray // heap order; re-heaped at merge
+          out.writeInt(rows.length)
+          rows.foreach { r =>
+            val rb = r.getBytes
+            out.writeInt(rb.length); out.write(rb)
+          }
+        }
+      out.writeInt(-1); out.close()
+      spills += f
+      heaps.clear(); retained = 0
+    }
+
     while (iter.hasNext) {
-      val row = iter.next()
-      val key = keyProj(row)
+      val row0 = iter.next()
+      val key = keyProj(row0)
       heaps.get(key) match {
         case Some(heap) =>
-          if (heap.size < k) heap += row.copy()
-          else if (ord.compare(row, heap.head) < 0) {
-            heap.dequeue(); heap += row.copy(): Unit
+          if (heap.size < k) { heap += toUnsafe(row0).copy(); retained += 1 }
+          else if (ord.compare(row0, heap.head) < 0) {
+            heap.dequeue(); heap += toUnsafe(row0).copy(): Unit
           }
         case None =>
-          val heap = new scala.collection.mutable.PriorityQueue[InternalRow]()(ord)
-          heap += row.copy()
+          val heap = new scala.collection.mutable.PriorityQueue[UnsafeRow]()(ord.on((r: UnsafeRow) => r))
+          heap += toUnsafe(row0).copy()
           heaps.put(key.copy(), heap): Unit
+          retained += 1
+      }
+      if (retained >= spillRows) flush()
+    }
+
+    if (spills.isEmpty) {
+      // emit each key's survivors in ordering position 1..k (dequeueAll
+      // yields worst-first; reverse) — k·|keys| rows, the only state left
+      heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
+    } else {
+      if (heaps.nonEmpty) flush()
+      val nFields = childOutput.length
+      val readers = spills.map(new SpillReader(_, nFields))
+      new Iterator[InternalRow] {
+        private var pending: Iterator[UnsafeRow] = Iterator.empty
+        private def refill(): Unit = {
+          val live = readers.filter(_.key != null)
+          if (live.isEmpty) return
+          val minKey = live.map(_.key).min(keyBytesOrd)
+          val heap = new scala.collection.mutable.PriorityQueue[UnsafeRow]()(ord.on((r: UnsafeRow) => r))
+          live.filter(r => keyBytesOrd.compare(r.key, minKey) == 0).foreach { r =>
+            r.rows.foreach { row =>
+              if (heap.size < k) heap += row
+              else if (ord.compare(row, heap.head) < 0) { heap.dequeue(); heap += row: Unit }
+            }
+            r.advance()
+          }
+          pending = heap.dequeueAll.reverseIterator
+        }
+        override def hasNext: Boolean = {
+          if (!pending.hasNext) refill()
+          pending.hasNext
+        }
+        override def next(): InternalRow = pending.next()
       }
     }
-    // emit each key's survivors in ordering position 1..k (dequeueAll
-    // yields worst-first; reverse) — k·|keys| rows, the only state left
-    heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
   }
 }
 

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -27,23 +27,42 @@ import org.apache.spark.sql.types._
   */
 object StreamOps {
 
-  /** Streaming schema for events.parquet (ts = raw nanos; file streams
-    * need an explicit schema).
+  /** Streaming schema for events.parquet, parameterized by the physical
+    * `ts` layout (file streams need an explicit schema). The driver's
+    * testdata has shipped `ts` both as INT64 TIMESTAMP(NANOS) — readable
+    * only as raw long — and as TIMESTAMP(MICROS) NTZ, so the schema is
+    * probed from the batch footer (one cheap metadata read) rather than
+    * hardcoded; see [[graft.Tables.events]].
     */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  def eventsRawSchema(tsType: DataType): StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** S8 — file-stream source over the events table with the nanos→micros
-    * conversion (mirrors Tables.events).
+  /** The physical type of `ts` in this dir's events.parquet. */
+  def eventsTsType(s: SparkSession, dir: String): DataType = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+  }
+
+  /** Normalize a raw `ts` column to session-zone TimestampType (the
+    * session pins UTC) whichever physical layout it came from.
+    */
+  def normTs(c: Column, tsType: DataType): Column = tsType match {
+    case LongType         => expr(s"timestamp_micros(${c.toString} DIV 1000)")
+    case TimestampNTZType => c.cast(TimestampType)
+    case _                => c
+  }
+
+  /** S8 — file-stream source over the events table, ts normalized to
+    * TimestampType (mirrors Tables.events).
     */
   def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream.schema(eventsRawSchema)
+    val tsT = eventsTsType(s, dir)
+    s.readStream.schema(eventsRawSchema(tsT))
       .option("pathGlobFilter", "events.parquet") // file source needs a dir
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withColumn("ts", normTs(col("ts"), tsT))
   }
 
   /** Run a streaming aggregate to a memory sink with AvailableNow and
@@ -151,17 +170,17 @@ object StreamOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // K4 as a stream: hourly counts, complete mode — must equal the batch
     // aggregate (same oracle as q_k4_accidents_by_time).
-    "q_stream_hourly" -> { (s, d) =>
+    "q_stream_hourly" -> { (s, d) => withStatePartitions(s, 8) {
       cleanCheckpoint("stream_hourly")
       val agg = eventsStream(s, d)
         .groupBy(hour(col("ts")).as("h"))
         .agg(count(lit(1)).as("cnt"))
       runToSnapshot(agg, "stream_hourly").orderBy("h")
-    },
+    }},
 
     // North-star: event-time tumbling window + watermark. AvailableNow
     // processes the full file backlog; complete mode emits every window.
-    "q_stream_windowed" -> { (s, d) =>
+    "q_stream_windowed" -> { (s, d) => withStatePartitions(s, 8) {
       cleanCheckpoint("stream_windowed")
       val agg = eventsStream(s, d)
         .withWatermark("ts", "1 hour")
@@ -171,7 +190,7 @@ object StreamOps {
       runToSnapshot(agg, "stream_windowed")
         .select(col("w.start").as("w_start"), col("cnt"), col("total"))
         .orderBy("w_start")
-    },
+    }},
 
     // SKETCHES IN STREAMING STATE: per-window approximate distinct users
     // via HLL++ inside the windowed aggregate — the state per window is
@@ -180,7 +199,7 @@ object StreamOps {
     // q_approx_distinct's scale argument). Gated with the boolean-contract
     // pattern: the snapshot's estimate must sit within 2% of the batch
     // exact distinct per window, which is deterministic for fixed data.
-    "q_stream_hll_users" -> { (s, d) =>
+    "q_stream_hll_users" -> { (s, d) => withStatePartitions(s, 8) {
       cleanCheckpoint("stream_hll_users")
       val agg = eventsStream(s, d)
         .withWatermark("ts", "1 hour")
@@ -197,11 +216,11 @@ object StreamOps {
           (abs(col("__est") - col("exact_users")) <=
             col("exact_users").cast("double") * 0.02).as("within_tol"))
         .orderBy("w_start")
-    },
+    }},
 
     // North-star: SLIDING window (6h length, 3h slide) — every event lands
     // in exactly two windows; complete mode emits all of them.
-    "q_stream_sliding" -> { (s, d) =>
+    "q_stream_sliding" -> { (s, d) => withStatePartitions(s, 8) {
       cleanCheckpoint("stream_sliding")
       val agg = eventsStream(s, d)
         .withWatermark("ts", "1 hour")
@@ -210,7 +229,7 @@ object StreamOps {
       runToSnapshot(agg, "stream_sliding")
         .select(col("w.start").as("w_start"), col("cnt"))
         .orderBy("w_start")
-    },
+    }},
 
     // North-star: session_window aggregation as a streaming query entry
     // (30-min gap), complete mode — session starts/sizes must equal the
@@ -270,19 +289,19 @@ object StreamOps {
 
     // K7 as a stream: the crossings topic in complete mode — equals the
     // batch aggregate (same oracle as q_k7_crossings_vs_lesions).
-    "q_stream_crossings" -> { (s, d) =>
+    "q_stream_crossings" -> { (s, d) => withStatePartitions(s, 8) {
       cleanCheckpoint("stream_crossings")
       val agg = eventsStream(s, d)
         .groupBy(col("event_type").as("crossing_type"))
         .agg(count(lit(1)).as("crossings"),
           sum(col("value").cast(DecimalType(18, 2))).cast("double").as("lesions_total"))
       runToSnapshot(agg, "stream_crossings").orderBy("crossing_type")
-    },
+    }},
 
     // Stream-static broadcast join: the stream enriched against a static
     // dimension (the geocode-lookup shape) before aggregating — at scale
     // the static side broadcasts once per micro-batch, no stream shuffle.
-    "q_stream_enriched" -> { (s, d) =>
+    "q_stream_enriched" -> { (s, d) => withStatePartitions(s, 8) {
       cleanCheckpoint("stream_enriched")
       val nations = broadcast(Tables.nation(s, d).select("n_nationkey", "n_name"))
       val agg = eventsStream(s, d)
@@ -291,7 +310,7 @@ object StreamOps {
         .groupBy(coalesce(col("n_name"), lit("unknown")).as("region"))
         .agg(count(lit(1)).as("cnt"))
       runToSnapshot(agg, "stream_enriched").orderBy("region")
-    },
+    }},
 
     // North-star: STREAM-STREAM interval join — each event joined to the
     // same user's events in the following 10 minutes. Both sides carry
@@ -344,13 +363,18 @@ object StreamOps {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$d/events.parquet"),
         java.nio.file.Paths.get(s"$scratch/00_events.parquet"))
-      // sentinel: 2100-01-01 UTC in raw nanos, schema-identical to events
-      val sentinelNs = 4102444800000000000L
+      // sentinel: 2100-01-01 UTC, schema-identical to events (whichever
+      // physical ts layout this testdata generation shipped)
+      val tsT = eventsTsType(s, d)
+      val sentinelTs: Any = tsT match {
+        case LongType => 4102444800000000000L // raw nanos
+        case _        => java.time.LocalDateTime.of(2100, 1, 1, 0, 0)
+      }
       val tmp = scratch + "_tmp"
       s.createDataFrame(
           java.util.Arrays.asList(org.apache.spark.sql.Row(
-            -1L, sentinelNs, -1L, "flush", 0.0, "{}")),
-          eventsRawSchema)
+            -1L, sentinelTs, -1L, "flush", 0.0, "{}")),
+          eventsRawSchema(tsT))
         .coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .find(f => f.getName.endsWith(".parquet")).get
@@ -358,12 +382,11 @@ object StreamOps {
         java.nio.file.Paths.get(s"$scratch/01_flush.parquet"))
       rmPath(tmp)
 
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       def side(idAs: String, tsAs: String, userAs: String) =
-        s.readStream.schema(eventsRawSchema)
+        s.readStream.schema(eventsRawSchema(tsT))
           .option("maxFilesPerTrigger", "1")
           .parquet(scratch)
-          .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+          .withColumn("ts", normTs(col("ts"), tsT))
           .select(col("event_id").as(idAs), col("ts").as(tsAs),
             col("user_id").as(userAs))
           .withWatermark(tsAs, "1 hour")
@@ -480,6 +503,17 @@ object StreamOps {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        // Eviction guard (ADVICE r6): under eviction MG counts are run-
+        // order-dependent lower bounds and the batch oracle no longer
+        // applies. exactCapacity sizes the summary so that never happens
+        // at gate scale — assert it, so a future SF/config change that
+        // re-enters the eviction regime fails LOUDLY here instead of as a
+        // mysterious hash mismatch downstream.
+        val maxState = s.table("stream_top_users_mg")
+          .agg(max(col("state_size"))).head().getLong(0)
+        require(maxState < cap,
+          s"MG summary hit capacity ($maxState >= $cap): eviction regime, " +
+            "batch oracle invalid — raise capacity for the gated run")
         s.table("stream_top_users_mg")
           .groupBy("event_type", "rank")
           .agg(max(struct(col("n_seen"), col("cnt"), col("user_id"))).as("st"))
@@ -549,7 +583,7 @@ object StreamOps {
     // consumer contract) and overwritten to the "topic" sink; the query
     // then plays the consumer: read back, from_json-decode, return. The
     // final snapshot must equal the batch aggregate.
-    "q_stream_topic_sink" -> { (s, d) =>
+    "q_stream_topic_sink" -> { (s, d) => withStatePartitions(s, 8) {
       cleanCheckpoint("stream_topic_sink")
       val sinkPath = "/root/repo/target/scratch/topic_accidents_by_time"
       val agg = eventsStream(s, d)
@@ -571,7 +605,7 @@ object StreamOps {
         .select(from_json(col("payload"), msgSchema).as("m"))
         .select(col("m.h").as("h"), col("m.cnt").as("cnt"))
         .orderBy("h")
-    },
+    }},
 
     // Streaming UPSERT sink: foreachBatch merges each micro-batch into a
     // keyed store keeping the most-recent row per user — the CDC /
@@ -586,7 +620,7 @@ object StreamOps {
     // to a staging dir and swaps, because overwriting a path while the
     // plan reads it is undefined; on a real deployment this foreachBatch
     // body is a MERGE INTO an Iceberg/Delta table.
-    "q_stream_upsert" -> { (s, d) =>
+    "q_stream_upsert" -> { (s, d) => withStatePartitions(s, 8) {
       cleanCheckpoint("stream_upsert")
       val store = "/root/repo/target/scratch/upsert_store"
       rmPath(store); rmPath(store + ".tmp")
@@ -604,7 +638,7 @@ object StreamOps {
         .select(col("user_id"), col("event_type").as("last_type"),
           col("value").as("last_value"))
         .orderBy("user_id")
-    },
+    }},
 
     // Streaming dedup: the stream unioned with itself (every event arrives
     // twice) then dropDuplicatesWithinWatermark on the event id — the
@@ -627,7 +661,9 @@ object StreamOps {
     // streaming equivalent (session_window) is asserted equal in the
     // ScalaTest suite.
     "q_sessionize" -> { (s, d) =>
-      val byUser = Window.partitionBy("user_id").orderBy("ts")
+      // total order (ts, event_id) in lag + cumsum, mirrored in the
+      // oracle — see withSessionNo's tie-frame note in Analytics
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
       // second-truncated timestamps: keeps the gap arithmetic and the
       // session bounds integral on both engines (events.ts carries nanos)
       val evs = Tables.events(s, d)
@@ -905,16 +941,17 @@ object StreamOps {
         |SELECT make_timestamp(start_s*1000000) AS w_start, count(*) AS cnt
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_stream_session" ->
-      """WITH e AS (SELECT user_id, date_trunc('second', ts) AS ts FROM events),
+      """WITH e AS (SELECT user_id, event_id,
+        |  date_trunc('second', ts) AS ts FROM events),
         |g AS (
-        | SELECT user_id, ts,
-        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |        OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+        | SELECT user_id, event_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |        OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
         |       THEN 1 ELSE 0 END AS new_sess
-        | FROM e),
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (
         | SELECT user_id, ts,
-        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
         | FROM g)
         |SELECT user_id, min(ts) AS sess_start, count(*) AS n_events
@@ -1001,16 +1038,17 @@ object StreamOps {
         | AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_sessionize" ->
-      """WITH e AS (SELECT user_id, date_trunc('second', ts) AS ts FROM events),
+      """WITH e AS (SELECT user_id, event_id,
+        |  date_trunc('second', ts) AS ts FROM events),
         |g AS (
-        | SELECT user_id, ts,
-        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |        OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+        | SELECT user_id, event_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |        OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
         |       THEN 1 ELSE 0 END AS new_sess
-        | FROM e),
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (
         | SELECT user_id, ts,
-        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
         | FROM g)
         |SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no, count(*) AS n_events,

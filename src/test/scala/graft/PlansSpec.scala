@@ -108,6 +108,35 @@ class PlansSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("TopKPerKey spills at adversarial key cardinality and stays exact") {
+    import spark.implicits._
+    // every row its own key (the spill-less heap's worst case) plus a few
+    // repeated keys; a 64-row spill threshold forces multiple epochs per
+    // partition, exercising flush + key-merge on both exec passes
+    val prev = sys.props.get("graft.topk.spillRows")
+    sys.props("graft.topk.spillRows") = "64"
+    try {
+      val rows = (1 to 5000).map(i => (s"k$i", i.toLong, (i % 13).toDouble)) ++
+        (1 to 300).map(i => ("dup", (90000 + i).toLong, (i % 5).toDouble))
+      val df = rows.toDF("key", "id", "v")
+      val got = graft.plans.TopKPerKey
+        .topKPerKey(df, Seq("key"), Seq(("v", false), ("id", true)), k = 3)
+        .orderBy("key", "id").collect().toSeq
+      val want = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("key").orderBy(desc("v"), col("id"))
+        df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+          .drop("rn").orderBy("key", "id").collect().toSeq
+      }
+      assert(got.size == want.size && got == want)
+    } finally {
+      prev match {
+        case Some(p) => sys.props("graft.topk.spillRows") = p
+        case None => sys.props.remove("graft.topk.spillRows"): Unit
+      }
+    }
+  }
+
   test("GraftExtensions installs the strategy at session boot (deployment path)") {
     val s2 = SparkSpec.session.newSession()
     new graft.functions.GraftExtensions().apply(
