@@ -537,6 +537,22 @@ object Relational {
           order = Seq(("o_totalprice", false), ("o_orderkey", true)),
           k = 2)
         .orderBy(col("o_custkey"), desc("o_totalprice"), col("o_orderkey"))
+    },
+
+    // The SPILL path of the same exec under full oracle: a deliberately
+    // tiny epoch threshold forces multi-epoch spilling (flush + key-merge)
+    // on both the partial and final passes at every gated SF — the result
+    // must STILL be row-identical to the window idiom. This is the gate
+    // behind SCALE.md's "bounded memory at any per-partition key
+    // cardinality" claim for the r7 spill story.
+    "q_topk_spill" -> { (s, d) =>
+      graft.plans.TopKPerKey.topKPerKey(
+          Tables.lineitem(s, d)
+            .select("l_orderkey", "l_linenumber", "l_extendedprice"),
+          keys = Seq("l_orderkey"),
+          order = Seq(("l_extendedprice", false), ("l_linenumber", true)),
+          k = 2, spillRows = 512)
+        .orderBy(col("l_orderkey"), desc("l_extendedprice"), col("l_linenumber"))
     }
   )
 
@@ -549,6 +565,14 @@ object Relational {
         | FROM orders)
         |WHERE rn <= 2
         |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+    "q_topk_spill" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM (
+        | SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  row_number() OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+        | FROM lineitem)
+        |WHERE rn <= 2
+        |ORDER BY l_orderkey, l_extendedprice DESC, l_linenumber""".stripMargin,
     "q_s3_scan_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
         | CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec

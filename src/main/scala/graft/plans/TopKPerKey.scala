@@ -37,8 +37,10 @@ case class TopKPerKeyPlan(
     grouping: Seq[Attribute],
     order: Seq[SortOrder],
     k: Int,
+    spillRows: Int,
     child: LogicalPlan) extends UnaryNode {
   require(k > 0, s"top-k needs k > 0, got $k")
+  require(spillRows > 0, s"spill threshold must be positive, got $spillRows")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyPlan =
     copy(child = newChild)
@@ -57,9 +59,10 @@ case class TopKPerKeyPlan(
   */
 object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyPlan(grouping, order, k, child) =>
-      TopKPerKeyExec(grouping, order, k,
-        TopKPerKeyPartialExec(grouping, order, k, planLater(child))) :: Nil
+    case TopKPerKeyPlan(grouping, order, k, spillRows, child) =>
+      TopKPerKeyExec(grouping, order, k, spillRows,
+        TopKPerKeyPartialExec(grouping, order, k, spillRows,
+          planLater(child))) :: Nil
     case _ => Nil
   }
 }
@@ -82,7 +85,7 @@ object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   * no-spill fast path is unchanged — zero extra copies, zero I/O.
   */
 private[plans] object TopKHeapPass {
-  private def defaultSpillRows: Int =
+  def defaultSpillRows: Int =
     sys.props.get("graft.topk.spillRows").map(_.toInt).getOrElse(1 << 22)
 
   private val keyBytesOrd: Ordering[Array[Byte]] = new Ordering[Array[Byte]] {
@@ -125,7 +128,8 @@ private[plans] object TopKHeapPass {
 
   def run(childOutput: Seq[Attribute], grouping: Seq[Expression],
           order: Seq[SortOrder], k: Int,
-          spillRows: Int = defaultSpillRows)(
+          spillRows: Int = defaultSpillRows,
+          onSpill: Int => Unit = _ => ())(
           iter: Iterator[InternalRow]): Iterator[InternalRow] = {
     val keyProj = UnsafeProjection.create(grouping, childOutput)
     val toUnsafe = UnsafeProjection.create(childOutput.map(_.asInstanceOf[Expression]), childOutput)
@@ -154,6 +158,7 @@ private[plans] object TopKHeapPass {
         }
       out.writeInt(-1); out.close()
       spills += f
+      onSpill(retained)
       heaps.clear(); retained = 0
     }
 
@@ -217,14 +222,24 @@ case class TopKPerKeyPartialExec(
     grouping: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
+    spillRows: Int,
     child: SparkPlan) extends UnaryExecNode {
+
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] = Map(
+    "spillEpochs" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "spill epochs"),
+    "spilledRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "spilled rows"))
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val (childOutput, groupingExprs, orderExprs, kk) = (child.output, grouping, order, k)
-    child.execute().mapPartitions(TopKHeapPass.run(childOutput, groupingExprs, orderExprs, kk))
+    val (childOutput, groupingExprs, orderExprs, kk, sr) =
+      (child.output, grouping, order, k, spillRows)
+    val (me, mr) = (metrics("spillEpochs"), metrics("spilledRows"))
+    child.execute().mapPartitions(TopKHeapPass.run(childOutput, groupingExprs,
+      orderExprs, kk, sr, onSpill = n => { me.add(1); mr.add(n) }))
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyPartialExec =
@@ -235,7 +250,14 @@ case class TopKPerKeyExec(
     grouping: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
+    spillRows: Int,
     child: SparkPlan) extends UnaryExecNode {
+
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] = Map(
+    "spillEpochs" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "spill epochs"),
+    "spilledRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "spilled rows"))
 
   override def output: Seq[Attribute] = child.output
 
@@ -247,8 +269,11 @@ case class TopKPerKeyExec(
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val (childOutput, groupingExprs, orderExprs, kk) = (child.output, grouping, order, k)
-    child.execute().mapPartitions(TopKHeapPass.run(childOutput, groupingExprs, orderExprs, kk))
+    val (childOutput, groupingExprs, orderExprs, kk, sr) =
+      (child.output, grouping, order, k, spillRows)
+    val (me, mr) = (metrics("spillEpochs"), metrics("spilledRows"))
+    child.execute().mapPartitions(TopKHeapPass.run(childOutput, groupingExprs,
+      orderExprs, kk, sr, onSpill = n => { me.add(1); mr.add(n) }))
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
@@ -272,7 +297,8 @@ object TopKPerKey {
     * the caller includes a unique tie-break column for determinism.
     */
   def topKPerKey(df: DataFrame, keys: Seq[String],
-                 order: Seq[(String, Boolean)], k: Int): DataFrame = {
+                 order: Seq[(String, Boolean)], k: Int,
+                 spillRows: Int = TopKHeapPass.defaultSpillRows): DataFrame = {
     val s = df.sparkSession
     install(s)
     val lp = df.queryExecution.analyzed
@@ -283,6 +309,6 @@ object TopKPerKey {
       SortOrder(attr(n), if (asc) Ascending else Descending)
     }
     org.apache.spark.sql.graft.Bridge.ofRows(s,
-      TopKPerKeyPlan(keys.map(attr), sortOrders, k, lp))
+      TopKPerKeyPlan(keys.map(attr), sortOrders, k, spillRows, lp))
   }
 }

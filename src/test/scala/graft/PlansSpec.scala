@@ -137,6 +137,30 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("TopKPerKey spill metrics surface epochs and rows") {
+    import spark.implicits._
+    // AQE hides the execs inside leaf QueryStageExec nodes — disable it so
+    // the collected plan exposes them directly (metrics identical either way)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = (1 to 4000).map(i => (s"k$i", i.toLong, 1.0)).toDF("key", "id", "v")
+      val q = graft.plans.TopKPerKey
+        .topKPerKey(df, Seq("key"), Seq(("v", false), ("id", true)), k = 1,
+          spillRows = 128)
+      q.collect()
+      val metrics = q.queryExecution.executedPlan.collect {
+        case e: graft.plans.TopKPerKeyExec => e.metrics
+        case p: graft.plans.TopKPerKeyPartialExec => p.metrics
+      }
+      assert(metrics.nonEmpty)
+      val epochs = metrics.map(_("spillEpochs").value).sum
+      val rows = metrics.map(_("spilledRows").value).sum
+      assert(epochs > 0, "tiny threshold must force at least one spill epoch")
+      assert(rows >= epochs * 64, s"spilled rows ($rows) should track epochs ($epochs)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("GraftExtensions installs the strategy at session boot (deployment path)") {
     val s2 = SparkSpec.session.newSession()
     new graft.functions.GraftExtensions().apply(
