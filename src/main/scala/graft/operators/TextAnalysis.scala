@@ -274,7 +274,56 @@ object TextAnalysis {
       }.toDF("doc_id", "n_raw", "n_bpe")
   }
 
+  /** Bigram-LM quality score (the CCNet filtering shape, Wenzek et al.
+    * 2020 arXiv:1911.00359: score documents by a language model and filter
+    * on perplexity — here the LM is an add-one-smoothed bigram model
+    * trained ON THE CORPUS ITSELF in the same job). Per doc: the mean
+    * negative log2 probability of its token bigrams, low = fluent/typical,
+    * high = atypical (the filterable tail).
+    *
+    * Scale shape: the bigram stream is corpus-token-sized but collapses
+    * map-side to (w1, w2) vocab²-BOUNDED count frames; the per-bigram
+    * probability join keys on (w1, w2) — a plain shuffle join whose build
+    * side is count-frame-sized (AQE broadcasts it while it fits). Float
+    * determinism: each bigram term rounds to 6dp DECIMAL before the
+    * order-independent per-doc decimal sum; one final double division.
+    */
+  def lmScore(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bi = toks.select(col("id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 1), i =>
+          struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2")))).as("b"))
+      .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val biCnt = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val ctxCnt = bi.groupBy("w1").agg(count(lit(1)).as("cu"))
+    val vocab = bi.select(col("w1").as("w"))
+      .union(bi.select(col("w2").as("w")))
+      .agg(countDistinct(col("w")).as("v"))
+    val term = round(
+      log2((col("cb") + 1).cast("double") /
+        (col("cu") + col("v")).cast("double")), 6).cast(DecimalType(18, 6))
+    bi.join(biCnt, Seq("w1", "w2"))
+      .join(ctxCnt, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("id"), term.as("t"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("t")).as("s"))
+      .select(col("id").as(idCol), col("n_bigrams"),
+        round(-col("s").cast("double") / col("n_bigrams").cast("double"), 6)
+          .as("lm_bits"))
+      .orderBy(idCol)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Corpus-trained bigram-LM quality scoring (the CCNet perplexity
+    // filter shape) — per-doc mean -log2 P, full oracle replication.
+    "q_lm_score" -> { (s, d) =>
+      lmScore(Tables.documents(s, d))
+    },
     // Tokenizer deploy path: train 6 merges, then encode the corpus with
     // them in one pass; per-doc compression (n_raw vs n_bpe) is the
     // standard tokenizer-fertility report.
@@ -680,6 +729,27 @@ object TextAnalysis {
       .map { case (l, sc) => s"WHEN $sc = $maxScore THEN '$l'" }
       .mkString(" ")
     Map(
+      // the bigram chain: same tokens, same 1-based bigram enumeration,
+      // same add-one smoothing, 6dp-decimal term fold
+      "q_lm_score" ->
+        s"""WITH toks AS (
+           | SELECT doc_id AS id, ${tokensSql("text")} AS toks FROM documents),
+           |t2 AS (SELECT id, toks FROM toks WHERE len(toks) >= 2),
+           |bb AS (
+           | SELECT id, toks[i] AS w1, toks[i + 1] AS w2
+           | FROM t2, unnest(range(1, len(toks))) AS r(i)),
+           |cb AS (SELECT w1, w2, count(*) AS cb FROM bb GROUP BY 1, 2),
+           |cu AS (SELECT w1, count(*) AS cu FROM bb GROUP BY 1),
+           |v AS (SELECT count(DISTINCT w) AS v FROM
+           |  (SELECT w1 AS w FROM bb UNION SELECT w2 FROM bb)),
+           |terms AS (
+           | SELECT bb.id,
+           |  CAST(round(log2(CAST(cb.cb + 1 AS DOUBLE)
+           |    / CAST(cu.cu + v.v AS DOUBLE)), 6) AS DECIMAL(18,6)) AS t
+           | FROM bb JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v)
+           |SELECT id AS doc_id, count(*) AS n_bigrams,
+           | round(-CAST(sum(t) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS lm_bits
+           |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
       "q_bpe_train" -> bpeTrainSql(10),
       "q_bpe_encode" -> bpeEncodeSql(6),
       "q_text_stats" ->
