@@ -551,7 +551,7 @@ object Relational {
             .select("l_orderkey", "l_linenumber", "l_extendedprice"),
           keys = Seq("l_orderkey"),
           order = Seq(("l_extendedprice", false), ("l_linenumber", true)),
-          k = 2, spillRows = 512)
+          k = 2, spillRows = 1024)
         .orderBy(col("l_orderkey"), desc("l_extendedprice"), col("l_linenumber"))
     }
   )
