@@ -5,6 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import graft.CacheScope.TrackedDataset
 
 /** Text-analysis operators for a training-data pipeline (builder brief):
   * token counting, quality scoring, language-ID heuristic, document
@@ -293,15 +294,23 @@ object TextAnalysis {
     val toks = docs
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= 2)
+    // ONE corpus tokenize/explode pass, persisted: the context counts, the
+    // vocabulary size, and the final per-bigram term join all derive from
+    // this frame or from the vocab²-BOUNDED count frame below — the naive
+    // formulation re-scanned and re-exploded the corpus four times.
     val bi = toks.select(col("id"),
         explode(transform(sequence(lit(1), size(col("toks")) - 1), i =>
           struct(element_at(col("toks"), i).as("w1"),
             element_at(col("toks"), i + 1).as("w2")))).as("b"))
       .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .persistTracked()
     val biCnt = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-    val ctxCnt = bi.groupBy("w1").agg(count(lit(1)).as("cu"))
-    val vocab = bi.select(col("w1").as("w"))
-      .union(bi.select(col("w2").as("w")))
+      .persistTracked()
+    // cu = Σ_w2 cb(w1, w2) and the vocab = distinct words of the count
+    // frame: both bounded by vocab size, zero additional corpus passes
+    val ctxCnt = biCnt.groupBy("w1").agg(sum(col("cb")).as("cu"))
+    val vocab = biCnt.select(col("w1").as("w"))
+      .union(biCnt.select(col("w2").as("w")))
       .agg(countDistinct(col("w")).as("v"))
     val term = round(
       log2((col("cb") + 1).cast("double") /
