@@ -62,6 +62,49 @@ class Round7Spec extends SparkSpec {
       "replaying the same load against the appended store must drop every doc")
   }
 
+  test("events loader normalizes both physical ts layouts identically") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // the driver's generator has shipped events.ts as INT64 raw nanos AND
+    // as TIMESTAMP(MICROS) NTZ across rounds; the loaders must read either
+    // into identical session-UTC timestamps
+    val base = "/root/repo/target/scratch/tslayout"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(): Unit
+    }
+    rm(new java.io.File(base))
+    val instants = Seq( // (event_id, epoch micros)
+      (1L, 1704067200000000L), // 2024-01-01T00:00:00Z
+      (2L, 1704110400123456L), // 2024-01-01T12:00:00.123456Z
+      (3L, 1706738399999999L))
+    val rest = (-1L, "x", 0.0, "{}")
+    val microsRows = instants.map { case (id, us) =>
+      Row(id, java.time.LocalDateTime.ofEpochSecond(
+        us / 1000000L, ((us % 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC), rest._1, rest._2, rest._3, rest._4)
+    }
+    val nanosRows = instants.map { case (id, us) =>
+      Row(id, us * 1000L, rest._1, rest._2, rest._3, rest._4)
+    }
+    def schema(tsT: DataType) = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsT),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(microsRows.asJava, schema(TimestampNTZType))
+      .coalesce(1).write.parquet(s"$base/micros/events.parquet")
+    spark.createDataFrame(nanosRows.asJava, schema(LongType))
+      .coalesce(1).write.parquet(s"$base/nanos/events.parquet")
+    def readBack(dir: String) =
+      Tables.events(spark, dir).select("event_id", "ts")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime)).toSet
+    val a = readBack(s"$base/micros")
+    val b = readBack(s"$base/nanos")
+    assert(a == b, s"layouts disagree: $a vs $b")
+    assert(a.map(_._2) == instants.map(_._2 / 1000L).toSet, // epoch millis
+      "normalized instants must equal the planted UTC instants")
+  }
+
   test("in-batch exact dups collapse before the store ever sees them") {
     val batch = Seq(
       (1L, "alpha beta gamma delta"),
