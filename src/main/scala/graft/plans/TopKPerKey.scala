@@ -141,6 +141,16 @@ private[plans] object TopKHeapPass {
     val spills = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
 
     def flush(): Unit = {
+      if (spills.isEmpty) {
+        // a consumer that abandons the merge iterator early (LIMIT above
+        // us) would otherwise leak the files until JVM exit; the task-
+        // completion hook reclaims them either way (SpillReader deletes
+        // fully-read files itself, so this is normally a no-op)
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+          spills.foreach(f => if (f.exists()) { f.delete(): Unit })
+        }
+      }
       val f = java.io.File.createTempFile("graft-topk-spill", ".bin")
       f.deleteOnExit()
       val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(

@@ -91,10 +91,22 @@ class Round7Spec extends SparkSpec {
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     import scala.jdk.CollectionConverters._
-    spark.createDataFrame(microsRows.asJava, schema(TimestampNTZType))
-      .coalesce(1).write.parquet(s"$base/micros/events.parquet")
-    spark.createDataFrame(nanosRows.asJava, schema(LongType))
-      .coalesce(1).write.parquet(s"$base/nanos/events.parquet")
+    // the real testdata ships events.parquet as a single FILE (the stream
+    // source's pathGlobFilter relies on that) — write to a tmp dir and
+    // move the part file into place
+    def writeAsFile(rows: Seq[Row], tsT: DataType, dir: String): Unit = {
+      val tmp = s"$dir.tmp"
+      spark.createDataFrame(rows.asJava, schema(tsT))
+        .coalesce(1).write.parquet(tmp)
+      new java.io.File(dir).mkdirs()
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      rm(new java.io.File(tmp))
+    }
+    writeAsFile(microsRows, TimestampNTZType, s"$base/micros")
+    writeAsFile(nanosRows, LongType, s"$base/nanos")
     def readBack(dir: String) =
       Tables.events(spark, dir).select("event_id", "ts")
         .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime)).toSet
@@ -103,6 +115,22 @@ class Round7Spec extends SparkSpec {
     assert(a == b, s"layouts disagree: $a vs $b")
     assert(a.map(_._2) == instants.map(_._2 / 1000L).toSet, // epoch millis
       "normalized instants must equal the planted UTC instants")
+
+    // the STREAMING source path (explicit schema + normTs) must agree too
+    def streamBack(dir: String, name: String) = {
+      val ckpt = s"$base/ckpt_$name"
+      val agg = graft.streaming.StreamOps.eventsStream(spark, dir)
+        .groupBy(hour(col("ts")).as("h")).agg(count(lit(1)).as("cnt"))
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name).collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    }
+    val sa = streamBack(s"$base/micros", "ts_layout_micros")
+    val sb = streamBack(s"$base/nanos", "ts_layout_nanos")
+    assert(sa == sb && sa == Set((0, 1L), (12, 1L), (21, 1L)),
+      s"stream layouts disagree or mis-bin: $sa vs $sb")
   }
 
   test("in-batch exact dups collapse before the store ever sees them") {
