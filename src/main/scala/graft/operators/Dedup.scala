@@ -193,6 +193,69 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Public signature frame (id, mh_0..mh_{n-1}) for a corpus —
+    * candidate-stage introspection and tests.
+    */
+  def signatures(docs: DataFrame, idCol: String, textCol: String,
+                 numHashes: Int, hasher: HashFamily = XxHash): DataFrame =
+    sigFrame(withShingleHashes(docs, idCol, textCol, hasher), "hs", numHashes)
+
+  /** BUCKET-CAPPED banded candidates: drop (band, key) buckets holding
+    * more than `maxBucket` docs BEFORE the self-join. The complementary
+    * defense to DF shingle pruning ([[minhashNearDupsPruned]]): pruning
+    * removes boilerplate content before signatures, the cap bounds the
+    * blast radius of whatever still collides — a bucket of b docs yields
+    * b² candidate pairs, so one hot bucket (shared template, adversarial
+    * content, hash pathology) otherwise turns the candidate join
+    * quadratic. Standard LSH practice: an over-full bucket carries almost
+    * no discriminative signal (everything in it matches everything), so
+    * capping trades recall only on degenerate near-universal content.
+    * The size frame is (band, key)-bounded; the semi-join keys on the
+    * band shuffle already in flight — no extra corpus pass.
+    */
+  def bandedCandidatesCapped(sig: DataFrame, numHashes: Int,
+                             rowsPerBand: Int, maxBucket: Int,
+                             hasher: HashFamily = XxHash): DataFrame = {
+    val bands = numHashes / rowsPerBand
+    val keys = bandKeys(numHashes, rowsPerBand, hasher)
+    val banded = sig
+      .select(col("id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"), keys(b).as("key"))
+        }: _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.key"))
+      .persistTracked()
+    val keep = banded.groupBy("band", "key")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBucket)
+      .select("band", "key")
+    val kept = banded.join(keep, Seq("band", "key"), "left_semi")
+    val l = kept.select(col("band"), col("key"), col("id").as("id_a"))
+    val r = kept.select(col("band"), col("key"), col("id").as("id_b"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** [[minhashNearDups]] with the bucket cap in the candidate stage. */
+  def minhashNearDupsCapped(docs: DataFrame, idCol: String, textCol: String,
+                            numHashes: Int = 16, rowsPerBand: Int = 2,
+                            threshold: Double = 0.5, maxBucket: Int = 16,
+                            hasher: HashFamily = XxHash): DataFrame = {
+    val base = withShingleHashes(docs, idCol, textCol, hasher)
+      .persistTracked()
+    val sig = sigFrame(base, "hs", numHashes)
+    val candidates =
+      bandedCandidatesCapped(sig, numHashes, rowsPerBand, maxBucket, hasher)
+    val shA = base.select(col("id").as("id_a"), col("hs").as("hs_a"))
+    val shB = base.select(col("id").as("id_b"), col("hs").as("hs_b"))
+    candidates.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("hs_a"), col("hs_b")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Signature-agreement prefilter: keep candidate pairs whose minhash
     * agreement count (an unbiased Jaccard estimate ×numHashes) clears
     * `minAgree`. The exact verify then joins the heavy gram/shingle arrays
@@ -838,6 +901,22 @@ object Dedup {
         .orderBy("id_a", "id_b")
     },
 
+    // The OTHER boilerplate defense on the same storm fixture: no shingle
+    // pruning, but (band, key) buckets over 8 members drop before the
+    // candidate self-join — one hot bucket otherwise yields b² pairs.
+    // Planted-pair buckets have 2 members, so recall survives the cap.
+    "q_dedup_minhash_capped" -> { (s, d) =>
+      val withFooter = plantedCorpus(Tables.documents(s, d))
+        .withColumn("text",
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"),
+              lit(" subscribe to our newsletter terms privacy contact")))
+            .otherwise(col("text")))
+      minhashNearDupsCapped(withFooter, "doc_id", "text",
+          maxBucket = 8, hasher = Md5Hash)
+        .orderBy("id_a", "id_b")
+    },
+
     // 60-bit fingerprint: 32 bits saturate on a shared-vocabulary corpus
     // (measured 13% of ALL sf0.1 pairs within d≤6 of 32 bits — not a
     // near-dup criterion); d≤6 of 60 bits is discriminative, and 60 keeps
@@ -945,6 +1024,30 @@ object Dedup {
        |candidates AS (
        | SELECT DISTINCT a.id AS id_a, b.id AS id_b
        | FROM banded a JOIN banded b USING (band, key)
+       | WHERE a.id < b.id)""".stripMargin
+  }
+
+  /** [[candidatesSql]] with the bucket cap: buckets over `maxBucket`
+    * members drop before the self-join (mirrors bandedCandidatesCapped).
+    */
+  private def candidatesCappedSql(numHashes: Int, rowsPerBand: Int,
+                                  maxBucket: Int): String = {
+    val bands = numHashes / rowsPerBand
+    val bandSelects = (0 until bands).map { b =>
+      val mhs = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => s"CAST(mh_$i AS VARCHAR)").mkString(", ")
+      s"SELECT id, $b AS band, ${h64(s"concat_ws(':', '$b', $mhs)")} AS key FROM sig"
+    }.mkString("\n UNION ALL\n ")
+    s"""banded AS (
+       | $bandSelects),
+       |kb AS (
+       | SELECT band, key FROM banded
+       | GROUP BY band, key HAVING count(*) <= $maxBucket),
+       |bandedc AS (
+       | SELECT banded.* FROM banded JOIN kb USING (band, key)),
+       |candidates AS (
+       | SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       | FROM bandedc a JOIN bandedc b USING (band, key)
        | WHERE a.id < b.id)""".stripMargin
   }
 
@@ -1120,6 +1223,38 @@ object Dedup {
          |hs AS (SELECT id, list_transform(shs, sh -> ${h64("sh")}) AS hs FROM shs),
          |${minhashSigSql(16)},
          |${candidatesSql(16, 2)}
+         |SELECT c.id_a, c.id_b, $jaccardSql AS jaccard
+         |FROM candidates c
+         |JOIN hs a ON c.id_a = a.id
+         |JOIN hs b ON c.id_b = b.id
+         |WHERE $jaccardSql >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q_dedup_minhash_capped" -> {
+      s"""WITH corpus0 AS (
+         | SELECT doc_id, text FROM documents
+         | UNION ALL
+         | SELECT doc_id + 10000000 AS doc_id, text || ' appended' AS text
+         | FROM documents WHERE doc_id < 20),
+         |corpus AS (
+         | SELECT doc_id, CASE WHEN doc_id % 3 = 0
+         |  THEN text || ' subscribe to our newsletter terms privacy contact'
+         |  ELSE text END AS text
+         | FROM corpus0),
+         |toks AS (
+         | SELECT doc_id AS id,
+         |  list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+         | FROM corpus),
+         |shs AS (
+         | SELECT id, list_distinct(
+         |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |       ELSE list_transform(range(1, len(toks) - 1),
+         |              i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END) AS shs
+         | FROM toks),
+         |hs AS (SELECT id, list_transform(shs, sh -> ${h64("sh")}) AS hs FROM shs),
+         |${minhashSigSql(16)},
+         |${candidatesCappedSql(16, 2, 8)}
          |SELECT c.id_a, c.id_b, $jaccardSql AS jaccard
          |FROM candidates c
          |JOIN hs a ON c.id_a = a.id

@@ -133,6 +133,30 @@ class Round7Spec extends SparkSpec {
       s"stream layouts disagree or mis-bin: $sa vs $sb")
   }
 
+  test("bucket cap suppresses the boilerplate storm but keeps planted recall") {
+    val corpus = Dedup.plantedCorpus(Tables.documents(spark, sfDir), nPlanted = 10)
+      .withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"),
+            lit(" subscribe to our newsletter terms privacy contact")))
+          .otherwise(col("text")))
+    val capped = Dedup.minhashNearDupsCapped(corpus, "doc_id", "text",
+      maxBucket = 8)
+    assert(!capped.queryExecution.executedPlan.toString.contains("Cartesian"))
+    val plantedPairs = capped
+      .filter(col("id_b") - col("id_a") === 10000000L).count()
+    assert(plantedPairs == 10L,
+      "size-2 planted buckets must survive the cap")
+    // the win is at the CANDIDATE stage (the b² blowup the verify join
+    // would otherwise pay): storm buckets must shrink the candidate set,
+    // even though verified output barely changes (footer-inflated pairs
+    // fail the 0.5 Jaccard verify anyway)
+    val sig = Dedup.signatures(corpus, "doc_id", "text", 16)
+    val unc = Dedup.bandedCandidates(sig, 16, 2).count()
+    val cap = Dedup.bandedCandidatesCapped(sig, 16, 2, maxBucket = 8).count()
+    assert(cap < unc, s"cap should cut candidates: $cap vs $unc")
+  }
+
   test("in-batch exact dups collapse before the store ever sees them") {
     val batch = Seq(
       (1L, "alpha beta gamma delta"),
