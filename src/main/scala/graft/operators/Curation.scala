@@ -133,7 +133,40 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Weighted sampling WITHOUT replacement, exactly k per source
+    * (Efraimidis-Spirakis A-ES, 2006): rank every doc by log2(u)/w where
+    * u is a deterministic hash-uniform in (0,1) and w its weight (token
+    * count here) — the top-k per source under that key IS a weighted
+    * without-replacement sample (monotone transform of u^{1/w}; log2
+    * instead of pow because log2 has established 6dp cross-engine parity
+    * while pow is not IEEE-correctly-rounded). The fixed-budget
+    * counterpart of the Bernoulli q_weighted_sample: curation pipelines
+    * use it to fill an exact per-source doc budget with probability ∝
+    * tokens. Runs on the native TopKPerKey exec — map-side k-bounded
+    * heaps, no per-source sort, shuffle carries ≤ k rows per source per
+    * mapper. Determinism: u is md5-derived (rerun/partitioning/engine
+    * stable), the key rounds to 6dp, ties break on doc_id.
+    */
+  def weightedSampleK(docs: DataFrame, k: Int,
+                      idCol: String = "doc_id", srcCol: String = "source",
+                      weight: Column => Column =
+                        c => TextAnalysis.tokenCount(c).cast("double")): DataFrame = {
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") + 0.5) / 4294967296.0
+    val w = weight(col("text"))
+    val scored = docs
+      .filter(w > 0 && col(srcCol).isNotNull)
+      .select(col(srcCol), col(idCol), round(log2(u) / w, 6).as("es_key"))
+    graft.plans.TopKPerKey.topKPerKey(scored, Seq(srcCol),
+        Seq(("es_key", false), (idCol, true)), k)
+      .orderBy(col(srcCol), desc("es_key"), col(idCol))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact-k weighted sampling per source (A-ES) on the native top-k exec.
+    "q_weighted_sample_k" -> { (s, d) =>
+      weightedSampleK(Tables.documents(s, d), k = 10)
+    },
     // Decontamination: eval set = first 20 docs verbatim; report every
     // corpus doc sharing a 5-gram with them (the 20 themselves plus any
     // natural 5-gram collisions in the synthetic vocabulary).
@@ -224,6 +257,20 @@ object Curation {
        |             i -> array_to_string(list_slice($toks, i, i + ${n - 1}), ' ')) END)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q_weighted_sample_k" ->
+      """WITH s AS (
+        | SELECT source, doc_id,
+        |  round(log2((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |      AS BIGINT) + 0.5) / 4294967296.0)
+        |    / len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')), 6)
+        |   AS es_key
+        | FROM documents
+        | WHERE source IS NOT NULL
+        |  AND len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) > 0)
+        |SELECT source, doc_id, es_key FROM (
+        | SELECT *, row_number() OVER (PARTITION BY source
+        |   ORDER BY es_key DESC, doc_id) AS rn FROM s)
+        |WHERE rn <= 10 ORDER BY source, es_key DESC, doc_id""".stripMargin,
     "q_mix_temperature" ->
       """WITH b AS (
         | SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

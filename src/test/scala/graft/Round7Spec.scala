@@ -157,6 +157,25 @@ class Round7Spec extends SparkSpec {
     assert(cap < unc, s"cap should cut candidates: $cap vs $unc")
   }
 
+  test("A-ES weighted sample favors heavy docs and is rerun-stable") {
+    val docs = Tables.documents(spark, sfDir)
+    val s1 = graft.operators.Curation.weightedSampleK(docs, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val s2 = graft.operators.Curation.weightedSampleK(docs, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(s1 == s2, "hash-derived keys must make the sample rerun-stable")
+    // probability ∝ tokens ⇒ the sampled docs' mean token count exceeds
+    // the corpus mean (near-certain at 200 draws on this corpus)
+    val toks = docs.select(col("doc_id"),
+      graft.operators.TextAnalysis.tokenCount(col("text")).cast("double").as("t"))
+    val corpusMean = toks.agg(avg(col("t"))).head().getDouble(0)
+    val ids = s1.map(_._2)
+    val sampleMean = toks.filter(col("doc_id").isin(ids: _*))
+      .agg(avg(col("t"))).head().getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean should exceed corpus mean $corpusMean")
+  }
+
   test("in-batch exact dups collapse before the store ever sees them") {
     val batch = Seq(
       (1L, "alpha beta gamma delta"),
