@@ -149,11 +149,12 @@ object Curation {
     */
   def weightedSampleK(docs: DataFrame, k: Int,
                       idCol: String = "doc_id", srcCol: String = "source",
+                      textCol: String = "text",
                       weight: Column => Column =
                         c => TextAnalysis.tokenCount(c).cast("double")): DataFrame = {
     val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
       .cast("double") + 0.5) / 4294967296.0
-    val w = weight(col("text"))
+    val w = weight(col(textCol))
     val scored = docs
       .filter(w > 0 && col(srcCol).isNotNull)
       .select(col(srcCol), col(idCol), round(log2(u) / w, 6).as("es_key"))

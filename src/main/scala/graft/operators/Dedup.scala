@@ -216,14 +216,7 @@ object Dedup {
   def bandedCandidatesCapped(sig: DataFrame, numHashes: Int,
                              rowsPerBand: Int, maxBucket: Int,
                              hasher: HashFamily = XxHash): DataFrame = {
-    val bands = numHashes / rowsPerBand
-    val keys = bandKeys(numHashes, rowsPerBand, hasher)
-    val banded = sig
-      .select(col("id"),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"), keys(b).as("key"))
-        }: _*)).as("bk"))
-      .select(col("id"), col("bk.band"), col("bk.key"))
+    val banded = bandKeyFrame(sig, numHashes, rowsPerBand, hasher)
       .persistTracked()
     val keep = banded.groupBy("band", "key")
       .agg(count(lit(1)).as("n"))
@@ -536,11 +529,17 @@ object Dedup {
       iter += 1
     }
     // the returned plan still references edges, the last checkpoint, and
-    // the final label frame — defer their unpersist to the caller's
-    // post-action CacheScope.drain() instead of leaking them (ADVICE r6)
+    // the final label frame. Persisted frames defer their unpersist to the
+    // caller's post-action CacheScope.drain() (ADVICE r6); localCheckpoint
+    // frames are NOT CacheManager entries — Dataset.unpersist can't free
+    // them — so their blocks are reclaimed by the ContextCleaner once the
+    // frame is garbage-collected, which drain() enables by dropping the
+    // last strong reference held here.
     graft.CacheScope.track(edges)
-    if (liveCkpt ne null) graft.CacheScope.track(liveCkpt)
-    graft.CacheScope.track(labels)
+    if ((labels ne liveCkpt) && !labels.queryExecution.analyzed
+          .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
+      graft.CacheScope.track(labels)
+    labels
   }
 
   /** Pointer-jumping variant of [[componentLabels]] for HIGH-DIAMETER
@@ -585,7 +584,10 @@ object Dedup {
       iter += 1
     }
     edges.unpersist(blocking = false)
-    graft.CacheScope.track(labels) // final localCheckpoint blocks
+    // final frame is a localCheckpoint: not a CacheManager entry, so the
+    // ContextCleaner reclaims its blocks once the frame is GC'd — nothing
+    // to register with CacheScope
+    labels
   }
 
   def dedupClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame =
@@ -701,7 +703,9 @@ object Dedup {
       .select(col(idCol).as("id"),
         TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .groupBy("fp").agg(min(col("id")).as("id"))
-    val base = surv.join(withShingleHashes(docs, idCol, textCol, hasher), Seq("id"))
+    val survDocs = docs.join(
+      surv.select(col("id").as(idCol)), Seq(idCol), "left_semi")
+    val base = surv.join(withShingleHashes(survDocs, idCol, textCol, hasher), Seq("id"))
     val sig = sigFrame(base.select("id", "hs"), "hs", numHashes)
     val bands = numHashes / rowsPerBand
     val keys = bandKeys(numHashes, rowsPerBand, hasher)
@@ -743,10 +747,14 @@ object Dedup {
         TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .groupBy("fp").agg(min(col("id")).as("id"))
     val exactSurv = inBatch.join(store.select("fp"), Seq("fp"), "left_anti")
-    // hs arrays only for exact survivors — the docs already dropped never
-    // pay the shingle/signature cost
+    // hs arrays only for exact survivors — semi-join the raw batch down
+    // BEFORE the shingle/hash projection so already-dropped docs never pay
+    // the most expensive per-row stage (Catalyst cannot prune a computed
+    // column below a join on its own)
+    val survDocs = newBatch.join(
+      exactSurv.select(col("id").as(idCol)), Seq(idCol), "left_semi")
     val base = exactSurv
-      .join(withShingleHashes(newBatch, idCol, textCol, hasher), Seq("id"))
+      .join(withShingleHashes(survDocs, idCol, textCol, hasher), Seq("id"))
       .persistTracked()
     val sig = sigFrame(base.select("id", "hs"), "hs", numHashes)
     val newBands = bandKeyFrame(sig, numHashes, rowsPerBand, hasher)
@@ -758,7 +766,7 @@ object Dedup {
     val near = cand
       .join(base.select(col("id"), col("hs")), Seq("id"))
       .join(store.select(col("id").as("sid"), col("hs").as("hs_s")), Seq("sid"))
-      .filter(jaccard(col("hs"), col("hs_s")) >= threshold)
+      .filter(round(jaccard(col("hs"), col("hs_s")), 6) >= threshold)
       .select("id").distinct()
     base.join(near, Seq("id"), "left_anti")
       .select(col("id").as(idCol), col("fp"))

@@ -110,6 +110,9 @@ private[plans] object TopKHeapPass {
     var key: Array[Byte] = _
     var rows: Array[UnsafeRow] = _
     advance()
+    /** Close the stream early (abandoned merge); file deletion is the
+      * task-completion hook's job. */
+    def close(): Unit = { key = null; rows = null; try in.close() catch { case _: Throwable => () } }
     def advance(): Unit = {
       val kl = in.readInt()
       if (kl < 0) { key = null; rows = null; in.close(); file.delete(): Unit }
@@ -139,20 +142,25 @@ private[plans] object TopKHeapPass {
       .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[UnsafeRow]]
     var retained = 0
     val spills = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+    val openReaders = scala.collection.mutable.ArrayBuffer.empty[SpillReader]
 
     def flush(): Unit = {
       if (spills.isEmpty) {
         // a consumer that abandons the merge iterator early (LIMIT above
-        // us) would otherwise leak the files until JVM exit; the task-
-        // completion hook reclaims them either way (SpillReader deletes
-        // fully-read files itself, so this is normally a no-op)
+        // us) would otherwise leak files and open streams until JVM exit;
+        // the task-completion hook reclaims both (SpillReader deletes
+        // fully-read files itself, so this is normally a no-op). No
+        // deleteOnExit: its JVM-global registry grows per file and is
+        // never pruned — an unbounded leak in long-lived executors.
         val tc = org.apache.spark.TaskContext.get()
         if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+          openReaders.foreach(_.close())
           spills.foreach(f => if (f.exists()) { f.delete(): Unit })
         }
       }
-      val f = java.io.File.createTempFile("graft-topk-spill", ".bin")
-      f.deleteOnExit()
+      // spill onto spark.local.dir's provisioned disks, NOT java.io.tmpdir
+      val f = java.io.File.createTempFile("graft-topk-spill", ".bin",
+        org.apache.spark.graft.SparkInternals.localDir())
       val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
         new java.io.FileOutputStream(f), 1 << 16))
       heaps.toArray.sortBy { case (key, _) => key.getBytes }(keyBytesOrd)
@@ -205,6 +213,7 @@ private[plans] object TopKHeapPass {
         Ordering.by((r: SpillReader) => r.key)(keyBytesOrd.reverse))
       spills.foreach { f =>
         val r = new SpillReader(f, nFields)
+        openReaders += r
         if (r.key != null) readerQueue += r
       }
       new Iterator[InternalRow] {

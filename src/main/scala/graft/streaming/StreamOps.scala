@@ -367,8 +367,12 @@ object StreamOps {
       // physical ts layout this testdata generation shipped)
       val tsT = eventsTsType(s, d)
       val sentinelTs: Any = tsT match {
-        case LongType => 4102444800000000000L // raw nanos
-        case _        => java.time.LocalDateTime.of(2100, 1, 1, 0, 0)
+        case LongType         => 4102444800000000000L // raw nanos
+        case TimestampNTZType => java.time.LocalDateTime.of(2100, 1, 1, 0, 0)
+        // tz-adjusted TIMESTAMP(MICROS): createDataFrame wants an Instant/
+        // java.sql.Timestamp, not LocalDateTime
+        case _                => java.sql.Timestamp.from(
+          java.time.Instant.parse("2100-01-01T00:00:00Z"))
       }
       val tmp = scratch + "_tmp"
       s.createDataFrame(
