@@ -649,6 +649,81 @@ object StreamOps {
     // aggregate must equal the single-copy batch counts. State holds one
     // key per event inside the watermark horizon only (the streaming
     // exact-dedup a training-data ingest needs).
+    // North-star: APPEND-mode windowed aggregate with late-data DROP
+    // discipline proven end-to-end. Four files through a
+    // maxFilesPerTrigger=1 stream: the real events; a far-future flush
+    // sentinel (2100); a SECOND sentinel; then the real events REPLAYED.
+    // Two sentinels because Spark's stateful operators use TWO watermarks
+    // per batch — late INPUT is filtered against the PREVIOUS trigger's
+    // watermark while state EVICTION uses the current one (measured: with
+    // one sentinel the replay batch still filtered at the pre-flush
+    // watermark and double-counted the final window) — so the replay must
+    // arrive two triggers after the flush to be fully dropped. The memory
+    // table then holds exactly the original windowed counts (the sentinel
+    // window never finalizes, so it never emits); any watermark-discipline
+    // bug shows up as doubled counts or a phantom 2100 window. Scale:
+    // append + watermark is THE unbounded-stream posture — state is the
+    // open-window frontier only.
+    "q_stream_late_drop" -> { (s, d) => withStatePartitions(s, 8) {
+      cleanCheckpoint("stream_late_drop")
+      val scratch = "/root/repo/target/scratch/late_drop_src"
+      rmPath(scratch); new java.io.File(scratch).mkdirs()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        java.nio.file.Paths.get(s"$scratch/00_events.parquet"))
+      val tsT = eventsTsType(s, d)
+      val sentinelTs: Any = tsT match {
+        case LongType         => 4102444800000000000L // raw nanos
+        case TimestampNTZType => java.time.LocalDateTime.of(2100, 1, 1, 0, 0)
+        case _                => java.sql.Timestamp.from(
+          java.time.Instant.parse("2100-01-01T00:00:00Z"))
+      }
+      def writeSentinel(name: String, id: Long): Unit = {
+        val tmp = scratch + "_tmp"
+        s.createDataFrame(
+            java.util.Arrays.asList(org.apache.spark.sql.Row(
+              id, sentinelTs, -1L, "flush", 0.0, "{}")),
+            eventsRawSchema(tsT))
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$scratch/$name.parquet"))
+        rmPath(tmp)
+      }
+      writeSentinel("01_flush", -1L)
+      writeSentinel("02_flush2", -2L)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        java.nio.file.Paths.get(s"$scratch/03_late.parquet"))
+      // the file source batches in MODIFICATION-TIME order and close
+      // stamps can tie-break arbitrarily — minutes-apart explicit stamps
+      // make the 00 → 01 → 02 → 03 sequence unambiguous
+      Seq("00_events", "01_flush", "02_flush2", "03_late").zipWithIndex
+        .foreach { case (n, i) =>
+          new java.io.File(s"$scratch/$n.parquet")
+            .setLastModified(1000000000000L + i * 60000L): Unit
+        }
+
+      val agg = s.readStream.schema(eventsRawSchema(tsT))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(scratch)
+        .withColumn("ts", normTs(col("ts"), tsT))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "6 hours").as("w"))
+        .agg(count(lit(1)).as("cnt"))
+      val q = agg.writeStream.format("memory").queryName("stream_late_drop")
+        .outputMode("append")
+        .option("checkpointLocation",
+          "/root/repo/target/scratch/ckpt_stream_late_drop")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("stream_late_drop")
+        .select(col("w.start").as("w_start"), col("cnt"))
+        .orderBy("w_start")
+    }},
+
     "q_stream_dedup" -> { (s, d) => withStatePartitions(s, 8) {
       cleanCheckpoint("stream_dedup")
       val doubled = eventsStream(s, d).unionByName(eventsStream(s, d))
@@ -970,6 +1045,12 @@ object StreamOps {
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q_stream_dedup" ->
       "SELECT event_type, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
+    // replayed-late rows dropped, sentinel window never finalized: the
+    // append-mode emission equals the plain batch windowed count
+    "q_stream_late_drop" ->
+      """SELECT make_timestamp(CAST(floor(epoch(ts)/21600)*21600*1000000 AS BIGINT)) AS w_start,
+        | count(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_stream_json_envelope" ->
       """SELECT event_type, count(*) AS cnt,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
