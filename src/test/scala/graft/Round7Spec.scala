@@ -105,14 +105,21 @@ class Round7Spec extends SparkSpec {
         java.nio.file.Paths.get(s"$dir/events.parquet"))
       rm(new java.io.File(tmp))
     }
+    val tzRows = instants.map { case (id, us) =>
+      Row(id, java.sql.Timestamp.from(
+        java.time.Instant.EPOCH.plus(us, java.time.temporal.ChronoUnit.MICROS)),
+        rest._1, rest._2, rest._3, rest._4)
+    }
     writeAsFile(microsRows, TimestampNTZType, s"$base/micros")
     writeAsFile(nanosRows, LongType, s"$base/nanos")
+    writeAsFile(tzRows, TimestampType, s"$base/tz")
     def readBack(dir: String) =
       Tables.events(spark, dir).select("event_id", "ts")
         .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime)).toSet
     val a = readBack(s"$base/micros")
     val b = readBack(s"$base/nanos")
-    assert(a == b, s"layouts disagree: $a vs $b")
+    val c = readBack(s"$base/tz") // third layout: tz-adjusted TIMESTAMP
+    assert(a == b && a == c, s"layouts disagree: $a vs $b vs $c")
     assert(a.map(_._2) == instants.map(_._2 / 1000L).toSet, // epoch millis
       "normalized instants must equal the planted UTC instants")
 
