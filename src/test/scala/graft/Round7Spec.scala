@@ -183,6 +183,53 @@ class Round7Spec extends SparkSpec {
       s"weighted sample mean $sampleMean should exceed corpus mean $corpusMean")
   }
 
+  test("as-of tolerance/direction: backward stales out, forward finds the next") {
+    import graft.operators.TemporalJoins
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 7L, ts("2024-01-10 12:00:00")),  // backward hit within 3d, forward hit
+      (2L, 7L, ts("2024-01-20 12:00:00")),  // backward match 10d old -> stale NULL
+      (3L, 8L, ts("2024-01-01 00:00:00"))   // no signup at all -> NULL both ways
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (7L, ts("2024-01-09 00:00:00"), 10.0),
+      (7L, ts("2024-01-12 00:00:00"), 20.0)
+    ).toDF("user_id", "ts", "signup_value")
+    def vals(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Double]] =
+      df.collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    val back = vals(TemporalJoins.asofJoinWithin(
+      left, right, "user_id", "ts", "signup_value", 259200L))
+    assert(back == Map(1L -> Some(10.0), 2L -> None, 3L -> None), s"backward: $back")
+    val fwd = vals(TemporalJoins.asofJoinWithin(
+      left, right, "user_id", "ts", "signup_value", 259200L, "forward"))
+    assert(fwd == Map(1L -> Some(20.0), 2L -> None, 3L -> None), s"forward: $fwd")
+    // equal-ts semantics: a right row AT the left ts matches in both directions
+    val eq = Seq((9L, 7L, ts("2024-01-09 00:00:00"))).toDF("event_id", "user_id", "ts")
+    assert(vals(TemporalJoins.asofJoinWithin(
+      eq, right, "user_id", "ts", "signup_value", 259200L)) == Map(9L -> Some(10.0)))
+    assert(vals(TemporalJoins.asofJoinWithin(
+      eq, right, "user_id", "ts", "signup_value", 259200L, "forward")) == Map(9L -> Some(10.0)))
+  }
+
+  test("peak concurrency: overlaps count, midnight straddle re-opens next day") {
+    import graft.operators.TemporalJoins
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // three overlapping at 10:10; one straddling midnight into day 2
+    val iv = Seq(
+      ts("2024-03-01 10:00:00"), ts("2024-03-01 10:10:00"),
+      ts("2024-03-01 10:20:00"), // overlaps: [10:00,10:30) [10:10,10:40) [10:20,10:50) -> 3 at 10:20
+      ts("2024-03-01 23:50:00")  // straddles midnight -> +1 at day2 00:00
+    ).toDF("ts")
+    val out = TemporalJoins.peakConcurrency(iv, "ts", 1800L)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getTimestamp(2)))
+    assert(out.length == 2, s"two days expected: ${out.toSeq}")
+    assert(out(0) == ("2024-03-01", 3L, ts("2024-03-01 10:20:00")), s"${out(0)}")
+    assert(out(1) == ("2024-03-02", 1L, ts("2024-03-02 00:00:00")), s"${out(1)}")
+  }
+
   test("in-batch exact dups collapse before the store ever sees them") {
     val batch = Seq(
       (1L, "alpha beta gamma delta"),
