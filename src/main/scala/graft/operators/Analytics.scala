@@ -718,6 +718,41 @@ object Analytics {
         round((dsa / dna - dsb / dnb) / sqrt(pooled), 6)).as("cohens_d"))
   }
 
+  /** Per-group skewness and excess kurtosis from ONE pass of exact
+    * integer power sums (cents¹..cents⁴ as DECIMAL — partial-agg order
+    * cannot drift the totals; both engines see the identical four
+    * integers and derive the moments with the identical double-precision
+    * expression tree). The third/fourth central moments come from the
+    * raw-moment expansion, so no second mean-centering scan — the
+    * distributed one-pass shape that scales to any group count. Spark's
+    * built-in `skewness`/`kurtosis` accumulate doubles in partial-agg
+    * order and are run-to-run nondeterministic at scale; this is the
+    * deterministic exact twin.
+    */
+  def skewKurtosis(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val c = (col(valueCol).cast(DecimalType(18, 2)) * 100)
+      .cast(DecimalType(19, 0))
+    val a = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), c.as("c"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        sum(col("c")).as("s1"),
+        sum(col("c") * col("c")).as("s2"),
+        sum(col("c") * col("c") * col("c")).as("s3"),
+        sum(col("c") * col("c") * col("c") * col("c")).as("s4"))
+    val dn = col("n").cast("double")
+    def d(x: String) = col(x).cast("double")
+    val m = d("s1") / dn
+    val m2 = d("s2") / dn - m * m
+    val m3 = d("s3") / dn - lit(3.0) * m * d("s2") / dn + lit(2.0) * m * m * m
+    val m4 = d("s4") / dn - lit(4.0) * m * d("s3") / dn +
+      lit(6.0) * m * m * d("s2") / dn - lit(3.0) * m * m * m * m
+    a.select(col(groupCol), col("n"),
+      when(m2 > 0, round(m3 / (m2 * sqrt(m2)), 6)).as("skewness"),
+      when(m2 > 0, round(m4 / (m2 * m2) - 3.0, 6)).as("kurtosis_excess"))
+      .orderBy(groupCol)
+  }
+
   /** First-order partial correlation r(x,y | z): the three pairwise
     * Pearson correlations from ONE pass of exact decimal moments, then
     * the textbook combination — answers "does x still track y once z is
@@ -1620,6 +1655,11 @@ object Analytics {
       cohensD(Tables.documents(s, d), length(col("text")),
         col("lang") === "en")
     },
+    // Shape of the order-value distribution per priority class: exact
+    // one-pass skewness + excess kurtosis (describe's missing moments).
+    "q_moments" -> { (s, d) =>
+      skewKurtosis(Tables.orders(s, d), "o_orderpriority", "o_totalprice")
+    },
     // Does quantity still track line value once discount is controlled
     // for? (first-order partial correlation, one moment pass)
     "q_partial_corr" -> { (s, d) =>
@@ -2319,6 +2359,34 @@ object Analytics {
         |     / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 2)), 6)
         | END AS cohens_d
         |FROM a""".stripMargin,
+    "q_moments" ->
+      """WITH c AS (
+        | SELECT o_orderpriority,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        | FROM orders WHERE o_totalprice IS NOT NULL),
+        |a AS (
+        | SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(c AS HUGEINT)) AS DOUBLE) AS s1,
+        |  CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE) AS s2,
+        |  CAST(sum(CAST(c AS HUGEINT) * c * c) AS DOUBLE) AS s3,
+        |  CAST(sum(CAST(c AS HUGEINT) * c * c * c) AS DOUBLE) AS s4
+        | FROM c GROUP BY 1),
+        |m AS (
+        | SELECT o_orderpriority, n,
+        |  s1 / CAST(n AS DOUBLE) AS m1, s2, s3, s4,
+        |  CAST(n AS DOUBLE) AS dn
+        | FROM a),
+        |mm AS (
+        | SELECT o_orderpriority, n,
+        |  s2 / dn - m1 * m1 AS m2,
+        |  s3 / dn - 3.0 * m1 * s2 / dn + 2.0 * m1 * m1 * m1 AS m3,
+        |  s4 / dn - 4.0 * m1 * s3 / dn + 6.0 * m1 * m1 * s2 / dn
+        |    - 3.0 * m1 * m1 * m1 * m1 AS m4
+        | FROM m)
+        |SELECT o_orderpriority, n,
+        | CASE WHEN m2 > 0 THEN round(m3 / (m2 * sqrt(m2)), 6) END AS skewness,
+        | CASE WHEN m2 > 0 THEN round(m4 / (m2 * m2) - 3.0, 6) END AS kurtosis_excess
+        |FROM mm ORDER BY o_orderpriority""".stripMargin,
     "q_partial_corr" ->
       """WITH a AS (
         | SELECT CAST(count(*) AS BIGINT) AS n,

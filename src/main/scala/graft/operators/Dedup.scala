@@ -826,6 +826,22 @@ object Dedup {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Keep-best-within-time-bucket dedup: one event per (user, hour),
+    // highest value wins (event_id tie-break) — the "best observation per
+    // entity per window" collapse every feed-ingest pipeline runs.
+    // Composed on the native TopKPerKey exec at k=1: map-side partial
+    // heaps ship ONE row per (user, hour) per mapper through the shuffle,
+    // no window sort anywhere.
+    "q_window_dedup" -> { (s, d) =>
+      import org.apache.spark.sql.functions.{col, date_trunc}
+      graft.plans.TopKPerKey.topKPerKey(
+          graft.Tables.events(s, d)
+            .select(col("event_id"), col("user_id"),
+              date_trunc("hour", col("ts")).as("hour"), col("value")),
+          keys = Seq("user_id", "hour"),
+          order = Seq(("value", false), ("event_id", true)), k = 1)
+        .orderBy("user_id", "hour")
+    },
     // Substring-level duplicated-span inventory on the planted corpus —
     // the planted mutated copies share long verbatim runs with their
     // originals, so their spans show up as duplicated.
@@ -1102,6 +1118,13 @@ object Dedup {
        | SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q_window_dedup" ->
+      """SELECT event_id, user_id, hour, value FROM (
+        | SELECT event_id, user_id, date_trunc('hour', ts) AS hour, value,
+        |  row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |    ORDER BY value DESC, event_id) AS rn
+        | FROM events)
+        |WHERE rn = 1 ORDER BY user_id, hour""".stripMargin,
     "q_span_dedup" ->
       """WITH corpus AS (
         | SELECT doc_id, text FROM documents

@@ -230,6 +230,20 @@ class Round7Spec extends SparkSpec {
     assert(out(1) == ("2024-03-02", 1L, ts("2024-03-02 00:00:00")), s"${out(1)}")
   }
 
+  test("skew/kurtosis: symmetric uniform hits the closed-form values") {
+    // {1..5} dollars: skew = 0; excess kurtosis = 6.8/4 - 3 = -1.3
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0), ("g", 5.0))
+      .toDF("grp", "v")
+    val r = graft.operators.Analytics.skewKurtosis(df, "grp", "v").head()
+    assert(r.getLong(1) == 5L)
+    assert(math.abs(r.getDouble(2)) < 1e-9, s"skew ${r.getDouble(2)}")
+    assert(math.abs(r.getDouble(3) - (-1.3)) < 1e-9, s"kurt ${r.getDouble(3)}")
+    // constant column -> m2 = 0 -> NULL moments, not NaN/crash
+    val const = Seq(("g", 7.0), ("g", 7.0)).toDF("grp", "v")
+    val rc = graft.operators.Analytics.skewKurtosis(const, "grp", "v").head()
+    assert(rc.isNullAt(2) && rc.isNullAt(3))
+  }
+
   test("in-batch exact dups collapse before the store ever sees them") {
     val batch = Seq(
       (1L, "alpha beta gamma delta"),
