@@ -145,6 +145,55 @@ object Similarity {
     emb.select("vec_id", "embedding").unionByName(planted)
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the corpus, search for near-duplicate pairs WITHIN clusters
+    * only, keep the lowest-id member of each similar group. Three stages,
+    * each one shuffle class:
+    *   1. centroids: exact-decimal per-label means (the IVF build);
+    *   2. assignment: one Lloyd step — every vector to its nearest
+    *      centroid by cosine (broadcast argmax over k centroids, ties to
+    *      the smaller label; map-side, no shuffle);
+    *   3. prune: within-cluster pairwise cosine ≥ threshold, drop any
+    *      vector that has a LOWER-id neighbor above threshold (the
+    *      deterministic, transitivity-free survivor rule), and report
+    *      `dup_of` = its earliest such neighbor.
+    * Scale: stage 3 is O(Σ cluster²) — at 100 TB cluster counts are sized
+    * so clusters stay bounded (k ≈ n/target), and a storm cluster falls
+    * back to sign-LSH sub-bucketing within the cluster (compose
+    * [[embeddingNearDups]] per cluster), exactly the band-key pattern the
+    * dedup family uses. The audit output is corpus-sized: one row per
+    * vector with (cluster, kept, dup_of).
+    */
+  def semanticDedup(corpus: DataFrame, labeled: DataFrame, threshold: Double,
+                    cosineFn: (Column, Column) => Column = cosine): DataFrame = {
+    val cents = centroids(labeled)
+    val topc = udaf(new TopKPairAggregator(1), Encoders.product[ScoredId])
+    // assignment scores via the HOF cosine: centroids are double arrays
+    // (exact-decimal means), the native expr is float-only by design
+    val assigned = corpus.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("centroid")), 6).as("csim"),
+        col("label"))
+      .groupBy("vec_id")
+      .agg(topc(col("csim"), col("label").cast("long")).as("tops"))
+      .select(col("vec_id"), explode(col("tops")).as("t"))
+      .select(col("vec_id"), col("t.id").cast("int").as("cluster"))
+    val withEmb = assigned.join(corpus, Seq("vec_id"))
+    val a = withEmb.select(col("cluster"), col("vec_id").as("id_a"),
+      col("embedding").as("e_a"))
+    val b = withEmb.select(col("cluster"), col("vec_id").as("id_b"),
+      col("embedding").as("e_b"))
+    val dups = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(cosineFn(col("e_a"), col("e_b")), 6) >= threshold)
+      .groupBy(col("id_b").as("vec_id"))
+      .agg(min(col("id_a")).as("dup_of"))
+    assigned.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        col("dup_of").isNull.as("kept"), col("dup_of"))
+      .orderBy("vec_id")
+  }
+
   /** ANN top-k: exact cosine, but only within the query's sign bucket. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nBits: Int = 8,
@@ -303,6 +352,14 @@ object Similarity {
           cosineFn = graft.functions.NativeExpressions.cosineSim(s, _, _))
         .orderBy("id_a", "id_b")
     },
+    // SemDeDup: cluster-then-prune semantic dedup over the planted corpus
+    // (assignment from the labeled corpus' centroids; planted flips land
+    // in their original's cluster and prune against it at τ=0.95).
+    "q_semantic_dedup" -> { (s, d) =>
+      val labeled = Tables.embeddings(s, d)
+      semanticDedup(plantedEmbeddings(labeled), labeled, 0.95,
+        graft.functions.NativeExpressions.cosineSim(s, _, _))
+    },
     // IVF centroid-build primitive: per-label, per-dimension accumulation
     // in FIXED-POINT (floor(x·2^20) — a power-of-two scale is exact in
     // binary floating point, so the floor is tie-free and the Long sums
@@ -361,6 +418,38 @@ object Similarity {
     }.mkString("(", " + ", ")")
 
   def oracles: Map[String, String] = Map(
+    "q_semantic_dedup" ->
+      s"""WITH cents AS (
+         | SELECT label, list(c ORDER BY i) AS centroid FROM (
+         |  SELECT label, i,
+         |   CAST(sum(CAST(embedding[i] AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS c
+         |  FROM embeddings CROSS JOIN unnest(range(1, len(embedding)+1)) AS t(i)
+         |  GROUP BY label, i)
+         | GROUP BY label),
+         |corpus AS (
+         | SELECT vec_id, embedding FROM embeddings
+         | UNION ALL
+         | SELECT vec_id + 10000000 AS vec_id,
+         |  list_append(embedding[1:len(embedding)-1],
+         |              -embedding[len(embedding)]) AS embedding
+         | FROM embeddings WHERE vec_id < 20),
+         |assigned AS (
+         | SELECT vec_id, embedding, label AS cluster FROM (
+         |  SELECT corpus.vec_id, corpus.embedding, cents.label,
+         |   row_number() OVER (PARTITION BY corpus.vec_id
+         |     ORDER BY round(${cosSql("corpus.embedding", "cents.centroid")}, 6) DESC,
+         |              cents.label) AS rn
+         |  FROM corpus CROSS JOIN cents) WHERE rn = 1),
+         |dups AS (
+         | SELECT b.vec_id, CAST(min(a.vec_id) AS BIGINT) AS dup_of
+         | FROM assigned a JOIN assigned b
+         |   ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         | WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.95
+         | GROUP BY b.vec_id)
+         |SELECT assigned.vec_id, CAST(cluster AS INTEGER) AS cluster,
+         | (dup_of IS NULL) AS kept, dup_of
+         |FROM assigned LEFT JOIN dups USING (vec_id)
+         |ORDER BY vec_id""".stripMargin,
     // DuckDB lists are 1-based; Spark posexplode is 0-based — i-1 aligns
     "q_embed_centroids" ->
       """SELECT label, CAST(i - 1 AS BIGINT) AS dim, count(*) AS n,

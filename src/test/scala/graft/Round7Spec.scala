@@ -244,6 +244,50 @@ class Round7Spec extends SparkSpec {
     assert(rc.isNullAt(2) && rc.isNullAt(3))
   }
 
+  test("semantic dedup: planted flips drop with dup_of = their original") {
+    import graft.operators.Similarity
+    val labeled = Tables.embeddings(spark, sfDir)
+    val audit = Similarity.semanticDedup(
+      Similarity.plantedEmbeddings(labeled), labeled, 0.95,
+      graft.functions.NativeExpressions.cosineSim(spark, _, _))
+    assert(!audit.queryExecution.executedPlan.toString.contains("Cartesian")
+      || audit.queryExecution.executedPlan.toString.contains("Broadcast"),
+      "pairwise stage must be a cluster equi-join, not all-pairs")
+    val rows = audit.collect().map(r =>
+      r.getLong(0) -> (r.getInt(1), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    // the SemDeDup contract: a planted copy IS pruned whenever the
+    // assignment puts it in its original's cluster; a flip that crosses a
+    // centroid boundary is the paper's documented recall limit (and the
+    // reason production sizes k to cluster diameter >> perturbation)
+    val planted = rows.filter(_._1 >= 10000000L)
+    assert(planted.size == 20)
+    // actual planted-pair cosines: a flip with a heavy last coordinate can
+    // legitimately fall below τ — condition the must-drop assertion on the
+    // pair really being similar (the oracle replays the same math)
+    val corpus = Similarity.plantedEmbeddings(labeled)
+    val pairSim = corpus.filter(col("vec_id") >= 10000000L)
+      .select((col("vec_id") - 10000000L).as("o_id"), col("embedding").as("pe"))
+      .join(corpus.select(col("vec_id").as("o_id"), col("embedding").as("oe")), "o_id")
+      .select(col("o_id"), round(Similarity.cosine(col("pe"), col("oe")), 6).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    var mustDrop = 0
+    planted.foreach { case (id, (cl, kept, dupOf)) =>
+      if (rows(id - 10000000L)._1 == cl && pairSim(id - 10000000L) >= 0.95) {
+        mustDrop += 1
+        assert(!kept, s"co-clustered similar planted $id must drop")
+        assert(dupOf >= 0 && dupOf < 10000000L, s"dup_of of $id is $dupOf")
+      }
+    }
+    assert(mustDrop >= 12,
+      s"most flips should stay similar and co-clustered, got $mustDrop")
+    // originals of the planted copies survive unless they themselves have
+    // an earlier near-dup; at minimum most of the corpus is kept
+    val keptN = rows.count(_._2._2)
+    assert(keptN >= rows.size - 2 * planted.size,
+      s"over-aggressive prune: only $keptN of ${rows.size} kept")
+  }
+
   test("in-batch exact dups collapse before the store ever sees them") {
     val batch = Seq(
       (1L, "alpha beta gamma delta"),
