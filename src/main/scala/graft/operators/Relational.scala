@@ -362,6 +362,27 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // Scale pattern: KEY-SKEW AUDIT — the measurement that DECIDES when
+    // the two salting rewrites above are worth applying. Per-key counts
+    // (one map-side-combined aggregation), then the top-10 heaviest keys
+    // with their corpus share and their multiple of the mean key load,
+    // all in integer ppm (one double division at the end, identical on
+    // both engines). At 100 TB this runs as a cheap pre-flight on the
+    // join/agg key; skew_x_mean_ppm >> 10^6 on the head key = salt it.
+    "q_skew_audit" -> { (s, d) =>
+      val counts = Tables.events(s, d)
+        .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      val totals = counts.agg(sum(col("cnt")).as("total"),
+        count(lit(1)).as("n_keys"))
+      counts.crossJoin(broadcast(totals))
+        .select(col("user_id"), col("cnt"),
+          floor(col("cnt") * 1000000L / col("total")).cast("long")
+            .as("share_ppm"),
+          floor(col("cnt") * col("n_keys") * 1000000L / col("total"))
+            .cast("long").as("skew_x_mean_ppm"))
+        .orderBy(col("cnt").desc, col("user_id")).limit(10)
+    },
+
     // Scale pattern: SALTED JOIN (replicate-small-side) — the join twin of
     // q_skew_salted_agg. lineitem joined on l_returnflag alone has 3
     // distinct keys: a plain shuffle join lands the entire table on 3
@@ -724,6 +745,17 @@ object Relational {
     "q_skew_salted_agg" ->
       s"""SELECT l_returnflag, ${sumDecSql("l_quantity")} AS qty, count(*) AS cnt
          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_skew_audit" ->
+      """WITH counts AS (
+        | SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+        |tot AS (
+        | SELECT CAST(sum(cnt) AS BIGINT) AS total,
+        |  CAST(count(*) AS BIGINT) AS n_keys FROM counts)
+        |SELECT user_id, cnt,
+        | CAST(floor(cnt * 1000000 / total) AS BIGINT) AS share_ppm,
+        | CAST(floor(cnt * n_keys * 1000000 / total) AS BIGINT) AS skew_x_mean_ppm
+        |FROM counts CROSS JOIN tot
+        |ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin,
     "q_zorder_layout" -> {
       val zExpr = (0 until 16).map { i =>
         s"((CAST(xb AS BIGINT) >> $i) & 1) * ${1L << (2 * i)} + ((CAST(yb AS BIGINT) >> $i) & 1) * ${1L << (2 * i + 1)}"

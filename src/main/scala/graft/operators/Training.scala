@@ -57,6 +57,28 @@ object Training {
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
 
+  /** Length-bucketed batch shaping: documents grouped into fixed-width
+    * sequence-length buckets (capacity = next multiple of `width` ≥
+    * tokens), with per-bucket padding efficiency = real tokens /
+    * (docs × capacity). The standard pre-batching report for padded
+    * training: buckets with low efficiency waste accelerator time, and
+    * the bucket boundaries here are the ones the batch assembler would
+    * pad to. Pure integer bucketing (floor-div, no log2 float edge
+    * cases); one map-side projection + one aggregation.
+    */
+  def lengthBuckets(docs: DataFrame, width: Int = 16): DataFrame = {
+    val t = greatest(TextAnalysis.tokenCount(col("text")).cast("long"), lit(1L))
+    docs.select(t.as("t"))
+      .withColumn("capacity", (floor((col("t") - 1) / width) + 1) * width)
+      .groupBy("capacity")
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("total_tokens"))
+      .select(col("capacity"), col("n_docs"), col("total_tokens"),
+        round(col("total_tokens").cast("double") /
+          (col("n_docs") * col("capacity")).cast("double"), 6)
+          .as("pad_efficiency"))
+      .orderBy("capacity")
+  }
+
   // ===== int8 embedding quantization =====
 
   /** Per-vector symmetric int8 scale: max |v| (double). */
@@ -130,6 +152,12 @@ object Training {
           intDot(col("codes"), col("codes")).as("code_norm2"))
         .orderBy("vec_id")
     },
+    // Sequence-length bucket report: 16-wide capacity buckets (sized to
+    // this corpus' 10-99-token docs; production would use 128) with
+    // per-bucket padding efficiency.
+    "q_length_buckets" -> { (s, d) =>
+      lengthBuckets(Tables.documents(s, d))
+    },
     // Quantized retrieval: the same 5 queries as the float top-k suite,
     // ranked by exact integer dot product.
     "q_sim_topk_quant" -> { (s, d) =>
@@ -170,6 +198,17 @@ object Training {
          | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
          | min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM assigned GROUP BY pack_id ORDER BY pack_id""".stripMargin,
+    "q_length_buckets" ->
+      s"""WITH t AS (
+         | SELECT greatest(CAST($tokensSql AS BIGINT), 1) AS t FROM documents),
+         |b AS (
+         | SELECT (CAST(floor((t - 1) / 16) AS BIGINT) + 1) * 16 AS capacity, t
+         | FROM t)
+         |SELECT capacity, count(*) AS n_docs,
+         | CAST(sum(t) AS BIGINT) AS total_tokens,
+         | round(CAST(sum(t) AS DOUBLE) /
+         |   CAST(count(*) * capacity AS DOUBLE), 6) AS pad_efficiency
+         |FROM b GROUP BY capacity ORDER BY capacity""".stripMargin,
     "q_embed_quant" ->
       s"""WITH q AS (
          | SELECT vec_id, ${scaleSql("embedding")} AS sc,
