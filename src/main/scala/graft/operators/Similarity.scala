@@ -194,6 +194,66 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Top principal component of the embedding corpus — distributed
+    * linear algebra in the engine's deterministic idiom:
+    *   1. ONE corpus pass accumulates the uncentered Gram matrix in
+    *      FIXED-POINT (q = floor(x·2^20), the q_embed_centroids trick):
+    *      the d(d+1)/2 upper-triangle sums are exact Longs, so
+    *      partial-agg order cannot drift a bit. 2080 structs explode
+    *      map-side per row; the shuffle carries (i, j) partial sums only.
+    *   2. The d×d matrix (2080 rows — DIMENSION-sized, the same
+    *      driver-state class as the BPE argmax) collects to the driver
+    *      and runs `iters` power-iteration steps with max-abs
+    *      renormalization. Every float op is a fixed-order fold —
+    *      sequential dot products, one max, one divide — which the
+    *      DuckDB oracle replays bit-for-bit (verified: 10 iterations
+    *      match at 6dp through ~1e17-magnitude intermediates).
+    * Overflow bound: |q| ≤ |x|·2^20, so Gram terms stay under 2^53-double
+    * exactness and the Long sums under 2^63 up to ~10^7 rows at |x| ≤ 3;
+    * beyond that, switch the pair sums to DECIMAL(38,0) — same plan.
+    * Output: (dim, loading) of the dominant eigenvector, scaled to
+    * max-abs 1 (sign fixed by the all-ones start vector).
+    */
+  def pcaTopComponent(emb: DataFrame, iters: Int = 10): DataFrame = {
+    val s = emb.sparkSession
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val quant = emb.select(transform(col("embedding"),
+      x => floor(x.cast("double") * 1048576).cast("long")).as("q"))
+    val pairsArr = flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
+      transform(sequence(i, lit(dim - 1)), j =>
+        struct(i.cast("int").as("i"), j.cast("int").as("j"),
+          (element_at(col("q"), i + 1) * element_at(col("q"), j + 1)).as("p")))))
+    val gl = quant.select(explode(pairsArr).as("e"))
+      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
+      .agg(sum(col("e.p")).as("g"))
+      .collect()
+    val G = Array.ofDim[Double](dim, dim)
+    gl.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1); val g = r.getLong(2).toDouble
+      G(i)(j) = g; G(j)(i) = g
+    }
+    var v = Array.fill(dim)(1.0)
+    var k = 0
+    while (k < iters) {
+      val w = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        var acc = 0.0; var j = 0
+        while (j < dim) { acc += G(i)(j) * v(j); j += 1 }
+        w(i) = acc; i += 1
+      }
+      var m = 0.0; i = 0
+      while (i < dim) { val a = math.abs(w(i)); if (a > m) m = a; i += 1 }
+      i = 0
+      while (i < dim) { v(i) = w(i) / m; i += 1 }
+      k += 1
+    }
+    import s.implicits._
+    v.toSeq.zipWithIndex.map { case (x, i) => (i, x) }.toDF("dim", "raw")
+      .select(col("dim"), round(col("raw"), 6).as("loading"))
+      .orderBy("dim")
+  }
+
   /** ANN top-k: exact cosine, but only within the query's sign bucket. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nBits: Int = 8,
@@ -352,6 +412,11 @@ object Similarity {
           cosineFn = graft.functions.NativeExpressions.cosineSim(s, _, _))
         .orderBy("id_a", "id_b")
     },
+    // Dominant principal direction of the embedding corpus (fixed-point
+    // Gram + deterministic power iteration).
+    "q_pca_top" -> { (s, d) =>
+      pcaTopComponent(Tables.embeddings(s, d))
+    },
     // SemDeDup: cluster-then-prune semantic dedup over the planted corpus
     // (assignment from the labeled corpus' centroids; planted flips land
     // in their original's cluster and prune against it at τ=0.95).
@@ -418,6 +483,38 @@ object Similarity {
     }.mkString("(", " + ", ")")
 
   def oracles: Map[String, String] = Map(
+    "q_pca_top" -> {
+      val iters = 10
+      val itCtes = (1 to iters).map { k =>
+        val prev = s"v${k - 1}"
+        s"""w$k AS (
+           | SELECT i, list_sum(list_transform(list_zip(row, v), p -> p[1] * p[2])) AS w
+           | FROM grows CROSS JOIN $prev),
+           |wl$k AS (SELECT list(w ORDER BY i) AS wv FROM w$k),
+           |v$k AS (SELECT list_transform(wv,
+           |  x -> x / list_max(list_transform(wv, y -> abs(y)))) AS v FROM wl$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (
+         | SELECT list_transform(embedding,
+         |  x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS q
+         | FROM embeddings),
+         |gl AS (
+         | SELECT t.i AS i, t2.j AS j, sum(q[t.i + 1] * q[t2.j + 1]) AS g
+         | FROM q CROSS JOIN unnest(range(0, 64)) AS t(i)
+         |        CROSS JOIN unnest(range(t.i, 64)) AS t2(j)
+         | GROUP BY 1, 2),
+         |gfull AS (
+         | SELECT i, j, g FROM gl
+         | UNION ALL
+         | SELECT j, i, g FROM gl WHERE i < j),
+         |grows AS (SELECT i, list(CAST(g AS DOUBLE) ORDER BY j) AS row
+         |          FROM gfull GROUP BY i),
+         |v0 AS (SELECT list_transform(range(0, 64), x -> 1.0) AS v),
+         |$itCtes
+         |SELECT CAST(t.i AS INTEGER) AS dim, round(v[t.i + 1], 6) AS loading
+         |FROM v$iters CROSS JOIN unnest(range(0, 64)) AS t(i)
+         |ORDER BY dim""".stripMargin
+    },
     "q_semantic_dedup" ->
       s"""WITH cents AS (
          | SELECT label, list(c ORDER BY i) AS centroid FROM (

@@ -288,6 +288,20 @@ class Round7Spec extends SparkSpec {
       s"over-aggressive prune: only $keptN of ${rows.size} kept")
   }
 
+  test("pca: rank-1 corpus recovers its direction, max-abs-scaled") {
+    // all rows are multiples of u -> the Gram matrix is rank 1 and the
+    // top component must equal u / max|u| (sign fixed by u . ones > 0)
+    val u = Array(0.5f, 1.0f, -0.25f)
+    val rows = (1 to 5).map(c => Tuple1(u.map(_ * c)))
+    val emb = rows.toDF("embedding")
+    val got = graft.operators.Similarity.pcaTopComponent(emb)
+      .collect().map(r => r.getDouble(1))
+    val want = Array(0.5, 1.0, -0.25)
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-4, s"loading $g vs $w") // fixed-point quantization tolerance
+    }
+  }
+
   test("in-batch exact dups collapse before the store ever sees them") {
     val batch = Seq(
       (1L, "alpha beta gamma delta"),
