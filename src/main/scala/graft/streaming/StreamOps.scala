@@ -158,6 +158,37 @@ object StreamOps {
     try body finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
   }
 
+  /** Sentinel flush row timestamp (2100-01-01) in the layout the events
+    * source actually ships (raw nanos / NTZ / TZ — see Tables.events).
+    */
+  private def sentinelTsValue(tsT: DataType): Any = tsT match {
+    case LongType         => 4102444800000000000L // raw nanos
+    case TimestampNTZType => java.time.LocalDateTime.of(2100, 1, 1, 0, 0)
+    case _                => java.sql.Timestamp.from(
+      java.time.Instant.parse("2100-01-01T00:00:00Z"))
+  }
+
+  /** Write a one-row flush-sentinel parquet into a staged source dir.
+    * Each sentinel file is one AvailableNow trigger (maxFilesPerTrigger=1)
+    * that advances the watermark past every real window; N chained
+    * stateful operators need N sentinels, because watermark advancement
+    * reaches operator k one committed micro-batch after operator k-1.
+    */
+  private def writeSentinelFile(s: SparkSession, tsT: DataType,
+                                scratch: String, name: String, id: Long): Unit = {
+    val tmp = scratch + "_tmp"
+    s.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(
+          id, sentinelTsValue(tsT), -1L, "flush", 0.0, "{}")),
+        eventsRawSchema(tsT))
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$scratch/$name.parquet"))
+    rmPath(tmp)
+  }
+
   private def cleanCheckpoint(name: String): Unit = {
     val dir = new java.io.File(s"/root/repo/target/scratch/ckpt_$name")
     def rm(f: java.io.File): Unit = {
@@ -672,27 +703,8 @@ object StreamOps {
         java.nio.file.Paths.get(s"$d/events.parquet"),
         java.nio.file.Paths.get(s"$scratch/00_events.parquet"))
       val tsT = eventsTsType(s, d)
-      val sentinelTs: Any = tsT match {
-        case LongType         => 4102444800000000000L // raw nanos
-        case TimestampNTZType => java.time.LocalDateTime.of(2100, 1, 1, 0, 0)
-        case _                => java.sql.Timestamp.from(
-          java.time.Instant.parse("2100-01-01T00:00:00Z"))
-      }
-      def writeSentinel(name: String, id: Long): Unit = {
-        val tmp = scratch + "_tmp"
-        s.createDataFrame(
-            java.util.Arrays.asList(org.apache.spark.sql.Row(
-              id, sentinelTs, -1L, "flush", 0.0, "{}")),
-            eventsRawSchema(tsT))
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        java.nio.file.Files.move(part.toPath,
-          java.nio.file.Paths.get(s"$scratch/$name.parquet"))
-        rmPath(tmp)
-      }
-      writeSentinel("01_flush", -1L)
-      writeSentinel("02_flush2", -2L)
+      writeSentinelFile(s, tsT, scratch, "01_flush", -1L)
+      writeSentinelFile(s, tsT, scratch, "02_flush2", -2L)
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$d/events.parquet"),
         java.nio.file.Paths.get(s"$scratch/03_late.parquet"))
@@ -721,6 +733,55 @@ object StreamOps {
       q.awaitTermination()
       s.table("stream_late_drop")
         .select(col("w.start").as("w_start"), col("cnt"))
+        .orderBy("w_start")
+    }},
+
+    // SPARK-4 MULTI-STATEFUL PIPELINE: two chained event-time window
+    // aggregations in ONE streaming query — hourly counts, then per-6h
+    // window the peak and total hourly load — in append mode (chained
+    // stateful operators cannot run complete). The second aggregate
+    // groups on window_time() of the first's window column, the
+    // supported chaining form. Three flush sentinels: watermark
+    // advancement reaches operator k one committed micro-batch after
+    // operator k-1 (the q_stream_late_drop two-watermark rule, once per
+    // stateful operator), so level-2's windows need the third trigger to
+    // flush. Sentinel rows live in a 2100 window that never closes and
+    // so never appear in the output.
+    "q_stream_chained" -> { (s, d) => withStatePartitions(s, 8) {
+      cleanCheckpoint("stream_chained")
+      val scratch = "/root/repo/target/scratch/chained_src"
+      rmPath(scratch); new java.io.File(scratch).mkdirs()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        java.nio.file.Paths.get(s"$scratch/00_events.parquet"))
+      val tsT = eventsTsType(s, d)
+      writeSentinelFile(s, tsT, scratch, "01_flush", -1L)
+      writeSentinelFile(s, tsT, scratch, "02_flush", -2L)
+      writeSentinelFile(s, tsT, scratch, "03_flush", -3L)
+      Seq("00_events", "01_flush", "02_flush", "03_flush").zipWithIndex
+        .foreach { case (n, i) =>
+          new java.io.File(s"$scratch/$n.parquet")
+            .setLastModified(1000000000000L + i * 60000L): Unit
+        }
+      val hourly = s.readStream.schema(eventsRawSchema(tsT))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(scratch)
+        .withColumn("ts", normTs(col("ts"), tsT))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour").as("w1"))
+        .agg(count(lit(1)).as("cnt"))
+      val rollup = hourly
+        .groupBy(window(window_time(col("w1")), "6 hours").as("w"))
+        .agg(max(col("cnt")).as("peak_hourly"), sum(col("cnt")).as("total"))
+      val q = rollup.writeStream.format("memory").queryName("stream_chained")
+        .outputMode("append")
+        .option("checkpointLocation",
+          "/root/repo/target/scratch/ckpt_stream_chained")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("stream_chained")
+        .select(col("w.start").as("w_start"), col("peak_hourly"), col("total"))
         .orderBy("w_start")
     }},
 
@@ -1011,6 +1072,14 @@ object StreamOps {
       """SELECT make_timestamp(CAST(floor(epoch(ts)/21600)*21600*1000000 AS BIGINT)) AS w_start,
         | count(DISTINCT user_id) AS exact_users, TRUE AS within_tol
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_stream_chained" ->
+      """WITH h AS (
+        | SELECT make_timestamp(CAST(floor(epoch(ts)/3600)*3600*1000000 AS BIGINT)) AS h_start,
+        |  count(*) AS cnt
+        | FROM events GROUP BY 1)
+        |SELECT make_timestamp(CAST(floor(epoch(h_start)/21600)*21600*1000000 AS BIGINT)) AS w_start,
+        | max(cnt) AS peak_hourly, CAST(sum(cnt) AS BIGINT) AS total
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_stream_sliding" ->
       """WITH w AS (
         | SELECT unnest([
