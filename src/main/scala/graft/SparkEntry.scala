@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, BboxSummary, Curation, Dedup, Multimodal, Pipeline, Relational, Scd, Similarity, Sketches, SqlSurface, StarPipeline, TemporalJoins, TextAnalysis, Topics, Training}
+import graft.operators.{Analytics, BboxSummary, Curation, Dedup, Evolution, Multimodal, Pipeline, Relational, Retrieval, Scd, Similarity, Sketches, SqlSurface, StarPipeline, TemporalJoins, TextAnalysis, Topics, Training}
 import graft.sources.Sources
 import graft.streaming.StreamOps
 
@@ -28,7 +28,8 @@ object SparkEntry {
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
       StreamOps.queries ++ BboxSummary.queries ++ TemporalJoins.queries ++
       Pipeline.queries ++ Training.queries ++ Curation.queries ++ Scd.queries ++
-      Sketches.queries ++ SqlSurface.queries
+      Sketches.queries ++ SqlSurface.queries ++ Retrieval.queries ++
+      Evolution.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for non-SQL-expressible ops
@@ -40,5 +41,6 @@ object SparkEntry {
       Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
       StreamOps.oracles ++ BboxSummary.oracles ++ TemporalJoins.oracles ++
       Pipeline.oracles ++ Training.oracles ++ Curation.oracles ++ Scd.oracles ++
-      Sketches.oracles ++ SqlSurface.oracles
+      Sketches.oracles ++ SqlSurface.oracles ++ Retrieval.oracles ++
+      Evolution.oracles
 }

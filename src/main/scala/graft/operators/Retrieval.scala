@@ -1,0 +1,157 @@
+package graft.operators
+
+import graft.Tables
+import graft.operators.TextAnalysis.{enStopwords, tokens}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval primitives over the `documents` table: the index
+  * build (term → posting list) and the ranked lookup (BM25). The reference
+  * has no search surface — these extend the engine for the LLM-data use
+  * (retrieval-augmented filtering, query-based corpus audits) the brief
+  * asks for.
+  *
+  * Scale posture: everything funnels through vocabulary-sized frames.
+  * Token explosion is map-side; the only corpus-sized shuffle is the
+  * map-side-combined (doc, term) tf/df aggregation. Posting lists are
+  * k-BOUNDED via the native TopKPerKey exec (partial heaps ship ≤ k rows
+  * per term per mapper) — an unbounded collect_list per term is exactly
+  * the 100 TB OOM the exec exists to avoid. Query-term frames (top-k df
+  * rows) broadcast everywhere else.
+  */
+object Retrieval {
+
+  /** Distinct (doc_id, term) pairs: dedup inside the token array first
+    * (map-side, free) so the shuffle carries each (doc, term) once.
+    */
+  private def docTermPairs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(array_distinct(tokens(lower(col("text"))))).as("term"))
+
+  /** Document frequency per term — vocabulary-sized after one map-side-
+    * combined shuffle.
+    */
+  def documentFrequency(docs: DataFrame): DataFrame =
+    docTermPairs(docs).groupBy("term").agg(count(lit(1)).as("df"))
+
+  /** Inverted index sample: the `topTerms` highest-df terms with their df
+    * and the `postingsK` smallest doc_ids holding the term (a capped
+    * posting list — the index shard a query-router would fetch).
+    *
+    * The posting cap runs on the native TopKPerKey exec: map-side partial
+    * heaps ship at most `postingsK` doc_ids per term per mapper, so the
+    * shuffle and the final per-term state are k-bounded at any corpus
+    * size (collect_list-then-slice would buffer df-sized lists — df for a
+    * common term at 100 TB is billions). The ≤ k survivors then fold to a
+    * comma-joined string, a deterministic, driver-hashable scalar.
+    */
+  def invertedIndex(docs: DataFrame, topTerms: Int = 20,
+                    postingsK: Int = 10): DataFrame = {
+    val pairs = docTermPairs(docs)
+    val top = documentFrequency(docs)
+      .orderBy(desc("df"), col("term")).limit(topTerms)
+    val capped = graft.plans.TopKPerKey.topKPerKey(
+      pairs.join(broadcast(top), Seq("term")),
+      Seq("term"), Seq(("doc_id", true)), postingsK)
+    capped.groupBy("term").agg(
+        first(col("df")).as("df"),
+        concat_ws(",",
+          sort_array(collect_list(col("doc_id"))).cast("array<string>"))
+          .as("postings"))
+      .orderBy(desc("df"), col("term"))
+  }
+
+  /** BM25 ranked retrieval (Robertson & Walker 1994; the Lucene
+    * `k1=1.2, b=0.75` practical form with the non-negative idf
+    * `ln(1 + (N - df + 0.5)/(df + 0.5))`). The query is self-derived for
+    * determinism at every SF: the `nQueryTerms` highest-df non-stopword
+    * terms. Top `k` docs by (rounded score desc, doc_id).
+    *
+    * Plan: one corpus tokenize pass computes per-doc length AND feeds the
+    * explode; query terms broadcast into the exploded stream BEFORE the
+    * tf aggregation, so the only shuffle after df is (matching docs ×
+    * ≤ nQueryTerms) rows. N and Σdl ride as a broadcast scalar; the
+    * length norm uses `dl·N/Σdl` so both engines divide identically.
+    * Score rounds to 6 dp before ranking so cross-engine double folds
+    * can't reorder near-ties.
+    */
+  def bm25TopK(docs: DataFrame, nQueryTerms: Int = 3, k: Int = 20,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      tokens(lower(col("text"))).as("toks"))
+    val qterms = documentFrequency(docs)
+      .filter(!col("term").isin(enStopwords: _*))
+      .orderBy(desc("df"), col("term")).limit(nQueryTerms)
+    val totals = base.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("toks"))).as("sum_dl"))
+    val tf = base
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        explode(col("toks")).as("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .groupBy("doc_id", "term", "dl", "df")
+      .agg(count(lit(1)).as("tf"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val norm = lit(k1) * (lit(1.0 - b) +
+      lit(b) * col("dl").cast("double") * col("n_docs") / col("sum_dl"))
+    val contrib = idf * (col("tf") * (k1 + 1.0)) / (col("tf") + norm)
+    tf.crossJoin(broadcast(totals))
+      .select(col("doc_id"), contrib.as("c"))
+      .groupBy("doc_id").agg(round(sum(col("c")), 6).as("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(k)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_inverted_index" -> { (s, d) => invertedIndex(Tables.documents(s, d)) },
+    "q_bm25_topk" -> { (s, d) => bm25TopK(Tables.documents(s, d)) }
+  )
+
+  private val tokensSql =
+    """list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"""
+  private val pairsSql =
+    s"""pairs AS (
+       | SELECT doc_id, unnest(list_distinct($tokensSql)) AS term
+       | FROM documents)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q_inverted_index" ->
+      s"""WITH $pairsSql,
+         |df AS (SELECT term, count(*) AS df FROM pairs GROUP BY 1),
+         |top AS (SELECT term, df FROM df ORDER BY df DESC, term LIMIT 20),
+         |rn AS (
+         | SELECT p.term, t.df, p.doc_id,
+         |  row_number() OVER (PARTITION BY p.term ORDER BY p.doc_id) AS rn
+         | FROM pairs p JOIN top t USING (term))
+         |SELECT term, df,
+         | array_to_string(list_sort(list(doc_id)), ',') AS postings
+         |FROM rn WHERE rn <= 10
+         |GROUP BY term, df ORDER BY df DESC, term""".stripMargin,
+    "q_bm25_topk" ->
+      s"""WITH base AS (
+         | SELECT doc_id, $tokensSql AS toks FROM documents),
+         |$pairsSql,
+         |dft AS (SELECT term, count(*) AS df FROM pairs GROUP BY 1),
+         |qterms AS (
+         | SELECT term, df FROM dft
+         | WHERE term NOT IN (${enStopwords.map(w => s"'$w'").mkString(", ")})
+         | ORDER BY df DESC, term LIMIT 3),
+         |totals AS (
+         | SELECT count(*) AS n_docs, CAST(sum(len(toks)) AS BIGINT) AS sum_dl
+         | FROM base),
+         |tf AS (
+         | SELECT e.doc_id, e.term, e.dl, q.df, count(*) AS tf
+         | FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+         |       FROM base) e
+         | JOIN qterms q USING (term)
+         | GROUP BY 1, 2, 3, 4)
+         |SELECT doc_id,
+         | round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |   * (tf * 2.2)
+         |   / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) * n_docs / sum_dl))), 6)
+         |  AS score
+         |FROM tf, totals
+         |GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  )
+}

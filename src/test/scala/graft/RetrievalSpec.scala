@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.{Evolution, Retrieval}
+import org.apache.spark.sql.functions._
+
+/** Retrieval (inverted index, BM25) + dataset-evolution (diff, cumulative
+  * reach) semantics on hand-built frames where the expected answer is
+  * checkable by eye.
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("inverted index: df counts distinct docs, postings capped and sorted") {
+    val docs = Seq(
+      (1L, "alpha beta alpha"), // alpha counted once for df despite tf=2
+      (2L, "alpha gamma"),
+      (3L, "beta beta"),
+      (4L, "alpha")
+    ).toDF("doc_id", "text")
+    val idx = Retrieval.invertedIndex(docs, topTerms = 2, postingsK = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    // alpha df=3 (docs 1,2,4), beta df=2 (docs 1,3); postings keep the 2
+    // SMALLEST doc_ids in ascending order
+    assert(idx.toSeq == Seq(("alpha", 3L, "1,2"), ("beta", 2L, "1,3")))
+  }
+
+  test("bm25: higher tf ranks higher at equal length; longer doc penalized") {
+    // one query term ("querz" — rarest non-stopword won't be picked; force
+    // determinism by making corpus where top-3 non-stopword df terms are
+    // known). Terms: zzz appears in all docs (df max), each doc same text
+    // apart from tf of zzz and filler length.
+    val docs = Seq(
+      (1L, "zzz zzz pad1 pad2"),  // tf=2, dl=4
+      (2L, "zzz pad3 pad4 pad5"), // tf=1, dl=4
+      (3L, "zzz zzz pad6 pad7 pad8 pad9 pad10 pad11") // tf=2, dl=8
+    ).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, nQueryTerms = 1, k = 3)
+      .collect().map(_.getLong(0))
+    // doc1 (tf=2, short) > doc3 (tf=2, long) > doc2 (tf=1, short)
+    assert(out.toSeq == Seq(1L, 3L, 2L))
+  }
+
+  test("table diff classifies added/removed/changed/unchanged exhaustively") {
+    // keys: 7 → changed, 11 → removed (absent from B), 13 → added (absent
+    // from A), 1 → unchanged. 77 = 7×11 → in A only (removed wins: absent
+    // from B before the price bump can matter).
+    val orders = Seq(1L, 7L, 11L, 13L, 77L)
+      .map(k => (k, "O", 100.0))
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+    val got = Evolution.tableDiff(orders)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("added" -> 1L, "removed" -> 2L, "changed" -> 1L,
+      "unchanged" -> 1L))
+  }
+
+  test("cumulative distinct users: each user counted once, at first day") {
+    val events = Seq(
+      (10L, "2024-01-01 10:00:00"),
+      (10L, "2024-01-02 10:00:00"), // repeat user: not new on day 2
+      (20L, "2024-01-02 11:00:00"),
+      (30L, "2024-01-03 09:00:00")
+    ).toDF("user_id", "s").withColumn("ts", to_timestamp($"s"))
+    val rows = Evolution.cumulativeDistinctUsers(events)
+      .select(col("d").cast("string"), col("new_users"), col("cum_users"))
+      .as[(String, Long, Long)].collect()
+    assert(rows.toSeq == Seq(
+      ("2024-01-01", 1L, 1L), ("2024-01-02", 1L, 2L), ("2024-01-03", 1L, 3L)))
+  }
+}
