@@ -322,4 +322,43 @@ class DedupSimSpec extends SparkSpec {
       assert(buckets(r.getAs[Long]("query_id")) == buckets(r.getAs[Long]("corpus_id")))
     }
   }
+
+  test("prefix-filter Jaccard join: lossless recall on planted pairs, no cartesian") {
+    val corpus = Dedup.plantedCorpus(Tables.documents(spark, sfDir), nPlanted = 10)
+    val pairs = Dedup.prefixJaccardNearDups(corpus, "doc_id", "text")
+    val physical = pairs.queryExecution.executedPlan.toString
+    assert(!physical.contains("Cartesian"), "all-pairs join in prefix-filter plan")
+    // prefix filtering is recall-LOSSLESS for exact Jaccard >= tau: every
+    // planted mutation (one appended token) keeps J well above 0.5, so all
+    // 10 planted pairs MUST surface — unlike minhash there is no S-curve
+    val planted = pairs.filter(col("id_b") - col("id_a") === 10000000L).count()
+    assert(planted == 10L)
+  }
+
+  test("prefix-filter verify is exact shingle Jaccard on a hand-built pair") {
+    // shingle sets: doc1 {abc, bcd, cde} vs doc2 {abc, bcd, cdf} →
+    // J = 2/4 = 0.5 (boundary: kept); doc3 disjoint → never a candidate
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d f"), (3L, "x y z w v"))
+      .toDF("doc_id", "text")
+    val got = Dedup.prefixJaccardNearDups(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 0.5)))
+  }
+
+  test("dedup eval: planted-truth precision/recall on a clean corpus is 1.0") {
+    // 25 docs with mutually disjoint vocabularies: the only near-dups are
+    // the planted copies, so the detector must score perfect P/R. Docs are
+    // 12 tokens so the planted one-token append keeps shingle-Jaccard at
+    // 10/11 ≈ 0.91 — above the 16-hash/8-band S-curve's reliable zone
+    // (at J = 0.8 one of 20 pairs deterministically missed all 8 bands)
+    val docs = (0L until 25L).map(i =>
+        (i, ('a' to 'l').map(c => s"u$i$c").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = Dedup.dedupEval(docs, nPlanted = 20).collect()(0)
+    assert(r.getAs[Long]("n_truth") == 20L)
+    assert(r.getAs[Long]("tp") == 20L)
+    assert(r.getAs[Long]("fp") == 0L)
+    assert(r.getAs[Double]("prec") == 1.0)
+    assert(r.getAs[Double]("rec") == 1.0)
+  }
 }
