@@ -254,6 +254,69 @@ object Similarity {
       .orderBy("dim")
   }
 
+  /** Distributed Lloyd k-means over the embedding corpus, made exactly
+    * replayable: coordinates quantize to fixed-point longs (q = ⌊x·2^20⌋,
+    * the q_pca_top trick), centroids init from the first `k` vectors by
+    * id, and each update stores ⌊Σq/n⌋ (double-floor division — exact
+    * below 2^53) — so every iteration is pure integer state and the
+    * DuckDB oracle replays all `iters` rounds bit-for-bit. Assignment
+    * argmin breaks ties to the lower cluster id via struct ordering; a
+    * cluster that loses every member keeps its previous centroid.
+    *
+    * Scale posture: the classic Spark k-means shape — centroids live on
+    * the DRIVER (k·dim longs), ship as broadcast literals, and each
+    * iteration is ONE corpus pass: map-side argmin against k in-register
+    * centroids, then a map-side-combined (cid, dim) aggregation whose
+    * result is k·dim rows. Nothing corpus-sized ever shuffles; iteration
+    * count bounds total cost at iters scans. The per-row argmin stays in
+    * whole-stage codegen (transform + aggregate HOFs, no UDF).
+    */
+  def kmeans(emb: DataFrame, k: Int = 4, iters: Int = 3): DataFrame = {
+    val s = emb.sparkSession
+    import graft.CacheScope.TrackedDataset
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val q = emb.select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1048576).cast("long")).as("q"))
+      .persistTracked()
+    var cents: Seq[(Int, Array[Long])] = q.filter(col("vec_id") < k)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toArray)).toSeq
+    var sizes: Map[Int, Long] = Map.empty
+    for (_ <- 1 to iters) {
+      val centArr = array(cents.map { case (cid, c) =>
+        val carr = array(c.map(lit).toIndexedSeq: _*)
+        struct(
+          aggregate(zip_with(col("q"), carr, (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("d2"),
+          lit(cid).as("cid"))
+      }.toIndexedSeq: _*)
+      val assigned = q.select(col("vec_id"), col("q"),
+        array_min(centArr).getField("cid").as("cid"))
+      val agg = assigned.select(col("cid"), posexplode(col("q")))
+        .groupBy("cid", "pos")
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      sizes = agg.groupBy(_.getInt(0))
+        .map { case (cid, rs) => cid -> rs.head.getLong(3) }
+      val updated = agg.groupBy(_.getInt(0)).map { case (cid, rs) =>
+        val c = new Array[Long](dim)
+        rs.foreach { r =>
+          c(r.getInt(1)) = math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong
+        }
+        cid -> c
+      }
+      cents = cents.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
+    }
+    import s.implicits._
+    cents.flatMap { case (cid, c) =>
+      c.zipWithIndex.map { case (v, i) =>
+        (cid, i + 1, v, sizes.getOrElse(cid, 0L))
+      }
+    }.toDF("cluster_id", "di", "c", "n")
+      .orderBy("cluster_id", "di")
+  }
+
   /** ANN top-k: exact cosine, but only within the query's sign bucket. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nBits: Int = 8,
@@ -417,6 +480,10 @@ object Similarity {
     "q_pca_top" -> { (s, d) =>
       pcaTopComponent(Tables.embeddings(s, d))
     },
+    // Full Lloyd k-means (3 rounds, k=4) in exact integer state — the
+    // multi-iteration extension of the single Lloyd step q_semantic_dedup
+    // runs; oracle replays every round.
+    "q_kmeans" -> { (s, d) => kmeans(Tables.embeddings(s, d)) },
     // SemDeDup: cluster-then-prune semantic dedup over the planted corpus
     // (assignment from the labeled corpus' centroids; planted flips land
     // in their original's cluster and prune against it at τ=0.95).
@@ -482,7 +549,51 @@ object Similarity {
       s"CASE WHEN $e[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END"
     }.mkString("(", " + ", ")")
 
+  /** One unrolled Lloyd round for the [[kmeans]] oracle: argmin
+    * assignment (d2 asc, cid asc), per-(cid, dim) integer sums, floored
+    * mean, empty-cluster carry-over.
+    */
+  private def kmeansIterSql(it: Int, dim: Int): String = {
+    val prev = s"c${it - 1}"
+    s"""d$it AS (
+       | SELECT e.vec_id, e.q, c.cid,
+       |  list_sum(list_transform(range(1, ${dim + 1}),
+       |    i -> (e.q[i] - c.c[i]) * (e.q[i] - c.c[i]))) AS d2
+       | FROM emb e, $prev c),
+       |a$it AS (
+       | SELECT vec_id, q, cid FROM (
+       |  SELECT vec_id, q, cid,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |  FROM d$it) WHERE rn = 1),
+       |s$it AS (
+       | SELECT a.cid, t.i AS di, sum(a.q[t.i]) AS s, count(*) AS n
+       | FROM a$it a CROSS JOIN range(1, ${dim + 1}) t(i) GROUP BY 1, 2),
+       |g$it AS (
+       | SELECT cid, list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT)
+       |   ORDER BY di) AS c
+       | FROM s$it GROUP BY cid),
+       |c$it AS (
+       | SELECT p.cid, COALESCE(g.c, p.c) AS c
+       | FROM $prev p LEFT JOIN g$it g USING (cid))""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_kmeans" -> {
+      val iters = (1 to 3).map(kmeansIterSql(_, 64)).mkString(",\n")
+      s"""WITH emb AS (
+         | SELECT vec_id, list_transform(embedding,
+         |   x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS q
+         | FROM embeddings),
+         |c0 AS (
+         | SELECT CAST(vec_id AS INT) AS cid, q AS c FROM emb WHERE vec_id < 4),
+         |$iters,
+         |sz AS (SELECT cid, count(*) AS n FROM a3 GROUP BY 1)
+         |SELECT c3.cid AS cluster_id, CAST(t.i AS INT) AS di, c3.c[t.i] AS c,
+         | COALESCE(sz.n, 0) AS n
+         |FROM c3 CROSS JOIN range(1, 65) t(i)
+         |LEFT JOIN sz ON c3.cid = sz.cid
+         |ORDER BY cluster_id, di""".stripMargin
+    },
     "q_pca_top" -> {
       val iters = 10
       val itCtes = (1 to iters).map { k =>

@@ -107,6 +107,34 @@ object Sketches {
             col("exact_users").cast("double") * 0.05).as("within_tol"))
       years.unionByName(rolled).orderBy("yr")
     },
+    // CROSS-LOAD SKETCH STORE — the incremental-distinct twin of
+    // q_dedup_incremental: load 1's per-key HLL sketches persist to a
+    // compact parquet store (one binary row per key); load 2 builds its
+    // own sketches and hll_union_aggs them with the store — the FULL
+    // distinct count per key without ever rescanning load 1. At 100 TB
+    // this is the only viable daily-distinct pipeline: each load touches
+    // only its own rows plus a key-cardinality-sized sketch table.
+    // Gated with the exact twin over both loads + the 5% HLL contract.
+    "q_hll_incremental" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("user_id"), col("event_id"))
+      val storePath = "/root/repo/target/scratch/hll_store"
+      ev.filter(col("event_id") % 2 === 0)
+        .groupBy("event_type").agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .write.mode("overwrite").parquet(storePath)
+      val merged = ev.filter(col("event_id") % 2 =!= 0)
+        .groupBy("event_type").agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .unionByName(s.read.parquet(storePath))
+        .groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      ev.groupBy("event_type")
+        .agg(count_distinct(col("user_id")).as("exact_users"))
+        .join(broadcast(merged), Seq("event_type"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("est") - col("exact_users")) <=
+            col("exact_users").cast("double") * 0.05).as("within_tol"))
+        .orderBy("event_type")
+    },
     // Exact ≥1%-frequency tokens over the corpus (k=100): the tokenizer /
     // vocabulary-pruning primitive, shaped for columns whose distinct
     // count dwarfs executor memory.
@@ -191,6 +219,10 @@ object Sketches {
       """SELECT count(DISTINCT o_custkey) AS exact_distinct,
         | TRUE AS within_tol
         |FROM orders""".stripMargin,
+    "q_hll_incremental" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        | TRUE AS within_tol
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_hll_rollup" ->
       """SELECT CAST(year(ts) AS INTEGER) AS yr,
         | count(DISTINCT user_id) AS exact_users, TRUE AS within_tol

@@ -323,6 +323,26 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
+  test("kmeans recovers three well-separated planted clusters") {
+    // ids 0..2 are the three cluster centers (init = first k vectors), six
+    // more vectors jitter ±0.1 around them → sizes 3/3/3 and centroids
+    // within quantization of the per-cluster means
+    val centers = Seq(
+      Array(10.0f, 0.0f, 0.0f), Array(0.0f, 10.0f, 0.0f), Array(0.0f, 0.0f, 10.0f))
+    val rows = (0 until 9).map { i =>
+      val c = centers(i % 3)
+      val jit = if (i < 3) 0.0f else if (i < 6) 0.1f else -0.1f
+      (i.toLong, c.map(_ + jit).toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = Similarity.kmeans(emb, k = 3, iters = 2).collect()
+    val sizes = out.map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(sizes == Map(0 -> 3L, 1 -> 3L, 2 -> 3L))
+    // centroid of cluster 0 dim 1 ≈ mean(10.0, 10.1, 9.9) = 10.0
+    val c0d1 = out.find(r => r.getInt(0) == 0 && r.getInt(1) == 1).get.getLong(2)
+    assert(math.abs(c0d1 / 1048576.0 - 10.0) < 0.01)
+  }
+
   test("prefix-filter Jaccard join: lossless recall on planted pairs, no cartesian") {
     val corpus = Dedup.plantedCorpus(Tables.documents(spark, sfDir), nPlanted = 10)
     val pairs = Dedup.prefixJaccardNearDups(corpus, "doc_id", "text")
