@@ -102,9 +102,53 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two retrieval
+    * signals: the BM25 top-20 and a length-prior top-20 (longest docs —
+    * the quality-prior stand-in), fused as Σ 1/(60 + rank). The hybrid-
+    * search shape every RAG stack runs (lexical + prior/dense lists →
+    * one ranking). Both rank windows run over 20-row frames (the fused
+    * lists), never the corpus.
+    */
+  def rrfFusion(docs: DataFrame, topN: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ra = bm25TopK(docs)
+      .withColumn("ra",
+        row_number().over(Window.orderBy(desc("score"), col("doc_id"))))
+      .select("doc_id", "ra")
+    val rb = docs.orderBy(desc("n_chars"), col("doc_id")).limit(20)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("rb",
+        row_number().over(Window.orderBy(desc("n_chars"), col("doc_id"))))
+      .select("doc_id", "rb")
+    ra.join(rb, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(
+          coalesce(lit(1.0) / (lit(60) + col("ra")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rb")), lit(0.0)), 6).as("rrf"))
+      .orderBy(desc("rrf"), col("doc_id"))
+      .limit(topN)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_inverted_index" -> { (s, d) => invertedIndex(Tables.documents(s, d)) },
-    "q_bm25_topk" -> { (s, d) => bm25TopK(Tables.documents(s, d)) }
+    "q_bm25_topk" -> { (s, d) => bm25TopK(Tables.documents(s, d)) },
+    "q_rrf_fusion" -> { (s, d) => rrfFusion(Tables.documents(s, d)) },
+    // INDEX MAINTENANCE without rescanning history: load 1's term→df
+    // postings stats persist as a compact parquet store; load 2 computes
+    // only ITS df and sum-merges with the store (df is additive over a
+    // disjoint doc partition). The gate: the merged index must equal a
+    // full rebuild — which is exactly what the oracle computes. The
+    // incremental-dedup/HLL-store pattern applied to the search index.
+    "q_index_incremental" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val store = "/root/repo/target/scratch/df_store"
+      documentFrequency(docs.filter(col("doc_id") % 3 =!= 0))
+        .write.mode("overwrite").parquet(store)
+      documentFrequency(docs.filter(col("doc_id") % 3 === 0))
+        .unionByName(s.read.parquet(store))
+        .groupBy("term").agg(sum(col("df")).as("df"))
+        .orderBy(desc("df"), col("term")).limit(20)
+    }
   )
 
   private val tokensSql =
@@ -128,30 +172,57 @@ object Retrieval {
          |FROM rn WHERE rn <= 10
          |GROUP BY term, df ORDER BY df DESC, term""".stripMargin,
     "q_bm25_topk" ->
-      s"""WITH base AS (
-         | SELECT doc_id, $tokensSql AS toks FROM documents),
-         |$pairsSql,
-         |dft AS (SELECT term, count(*) AS df FROM pairs GROUP BY 1),
-         |qterms AS (
-         | SELECT term, df FROM dft
-         | WHERE term NOT IN (${enStopwords.map(w => s"'$w'").mkString(", ")})
-         | ORDER BY df DESC, term LIMIT 3),
-         |totals AS (
-         | SELECT count(*) AS n_docs, CAST(sum(len(toks)) AS BIGINT) AS sum_dl
-         | FROM base),
-         |tf AS (
-         | SELECT e.doc_id, e.term, e.dl, q.df, count(*) AS tf
-         | FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
-         |       FROM base) e
-         | JOIN qterms q USING (term)
-         | GROUP BY 1, 2, 3, 4)
-         |SELECT doc_id,
-         | round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-         |   * (tf * 2.2)
-         |   / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) * n_docs / sum_dl))), 6)
-         |  AS score
-         |FROM tf, totals
-         |GROUP BY doc_id
-         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+      s"""WITH $bm25CtesSql
+         |SELECT doc_id, score FROM bscore
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q_rrf_fusion" ->
+      s"""WITH $bm25CtesSql,
+         |ra AS (
+         | SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+         | FROM (SELECT doc_id, score FROM bscore
+         |       ORDER BY score DESC, doc_id LIMIT 20)),
+         |rb AS (
+         | SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r
+         | FROM (SELECT doc_id, n_chars FROM documents
+         |       ORDER BY n_chars DESC, doc_id LIMIT 20))
+         |SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+         | round(COALESCE(CAST(1 AS DOUBLE) / (60 + ra.r), 0)
+         |   + COALESCE(CAST(1 AS DOUBLE) / (60 + rb.r), 0), 6) AS rrf
+         |FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+    "q_index_incremental" ->
+      s"""WITH $pairsSql
+         |SELECT term, count(*) AS df FROM pairs
+         |GROUP BY 1 ORDER BY df DESC, term LIMIT 20""".stripMargin
   )
+
+  /** Shared BM25 CTE chain ending in `bscore(doc_id, score)` — used by
+    * the q_bm25_topk oracle and as ranking A of the q_rrf_fusion oracle.
+    */
+  private def bm25CtesSql: String =
+    s"""base AS (
+       | SELECT doc_id, $tokensSql AS toks FROM documents),
+       |$pairsSql,
+       |dft AS (SELECT term, count(*) AS df FROM pairs GROUP BY 1),
+       |qterms AS (
+       | SELECT term, df FROM dft
+       | WHERE term NOT IN (${enStopwords.map(w => s"'$w'").mkString(", ")})
+       | ORDER BY df DESC, term LIMIT 3),
+       |totals AS (
+       | SELECT count(*) AS n_docs, CAST(sum(len(toks)) AS BIGINT) AS sum_dl
+       | FROM base),
+       |tf AS (
+       | SELECT e.doc_id, e.term, e.dl, q.df, count(*) AS tf
+       | FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+       |       FROM base) e
+       | JOIN qterms q USING (term)
+       | GROUP BY 1, 2, 3, 4),
+       |bscore AS (
+       | SELECT doc_id,
+       |  round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+       |    * (tf * 2.2)
+       |    / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) * n_docs / sum_dl))), 6)
+       |   AS score
+       | FROM tf, totals
+       | GROUP BY doc_id)""".stripMargin
 }

@@ -254,6 +254,37 @@ object Similarity {
       .orderBy("dim")
   }
 
+  /** Simplified (centroid-based) silhouette of the `label` clustering:
+    * per vector, margin = cos(v, own centroid) − max over other
+    * centroids of cos(v, centroid); per label, the count and average
+    * margin. The cluster-quality report a clustering rollout checks
+    * before trusting assignments (positive margin = vectors sit closer
+    * to their own centroid than to any rival).
+    *
+    * Scale posture: the k-centroid frame broadcasts; scoring is one
+    * map-side pass (k cosines per row, codegen HOFs), then a per-vector
+    * k-row collapse and a label-sized aggregate. Per-row margins round
+    * to 6dp and fold as DECIMAL so the average is order-independent
+    * (the q_lm_score decimal-fold trick).
+    */
+  def silhouette(emb: DataFrame): DataFrame = {
+    val cents = centroids(emb)
+      .select(col("label").as("clabel"), col("centroid"))
+    val scored = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        round(cosine(col("embedding"), col("centroid")), 6).as("csim"))
+    scored.groupBy("vec_id", "label")
+      .agg(max(when(col("clabel") === col("label"), col("csim"))).as("a_sim"),
+        max(when(col("clabel") =!= col("label"), col("csim"))).as("b_sim"))
+      .select(col("label"),
+        round(col("a_sim") - col("b_sim"), 6)
+          .cast(DecimalType(12, 6)).as("m"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("m")).cast("double") / count(lit(1)), 6).as("avg_margin"))
+      .orderBy("label")
+  }
+
   /** Distributed Lloyd k-means over the embedding corpus, made exactly
     * replayable: coordinates quantize to fixed-point longs (q = ⌊x·2^20⌋,
     * the q_pca_top trick), centroids init from the first `k` vectors by
@@ -484,6 +515,8 @@ object Similarity {
     // multi-iteration extension of the single Lloyd step q_semantic_dedup
     // runs; oracle replays every round.
     "q_kmeans" -> { (s, d) => kmeans(Tables.embeddings(s, d)) },
+    // Centroid-silhouette quality report on the label clustering.
+    "q_silhouette" -> { (s, d) => silhouette(Tables.embeddings(s, d)) },
     // SemDeDup: cluster-then-prune semantic dedup over the planted corpus
     // (assignment from the labeled corpus' centroids; planted flips land
     // in their original's cluster and prune against it at τ=0.95).
@@ -578,6 +611,27 @@ object Similarity {
   }
 
   def oracles: Map[String, String] = Map(
+    "q_silhouette" ->
+      s"""WITH cents AS (
+         | SELECT label AS clabel, list(c ORDER BY i) AS centroid FROM (
+         |  SELECT label, i,
+         |   CAST(sum(CAST(embedding[i] AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS c
+         |  FROM embeddings CROSS JOIN unnest(range(1, len(embedding)+1)) AS t(i)
+         |  GROUP BY label, i)
+         | GROUP BY label),
+         |scored AS (
+         | SELECT e.vec_id, e.label, c.clabel,
+         |  round(${cosSql("e.embedding", "c.centroid")}, 6) AS csim
+         | FROM embeddings e CROSS JOIN cents c),
+         |pv AS (
+         | SELECT vec_id, label,
+         |  max(CASE WHEN clabel = label THEN csim END) AS a_sim,
+         |  max(CASE WHEN clabel <> label THEN csim END) AS b_sim
+         | FROM scored GROUP BY 1, 2)
+         |SELECT label, count(*) AS n,
+         | round(CAST(sum(CAST(round(a_sim - b_sim, 6) AS DECIMAL(12,6)))
+         |   AS DOUBLE) / count(*), 6) AS avg_margin
+         |FROM pv GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_kmeans" -> {
       val iters = (1 to 3).map(kmeansIterSql(_, 64)).mkString(",\n")
       s"""WITH emb AS (

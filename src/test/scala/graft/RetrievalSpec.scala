@@ -40,6 +40,40 @@ class RetrievalSpec extends SparkSpec {
     assert(out.toSeq == Seq(1L, 3L, 2L))
   }
 
+  test("rrf fusion: doc present in both rankings outranks single-list docs") {
+    // corpus: doc 1 is both BM25-best (max tf of the top query term) AND
+    // longest (n_chars max); docs 2..4 split the two signals
+    val docs = Seq(
+      (1L, "zzz zzz zzz pad pad pad pad pad pad", 900L),
+      (2L, "zzz zzz zzz zzz", 100L), // strong bm25, short
+      (3L, "pad pad pad pad pad pad pad pad", 800L), // long, no query term
+      (4L, "zzz pad", 50L)
+    ).toDF("doc_id", "text", "n_chars")
+    val out = Retrieval.rrfFusion(docs, topN = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // doc1 fuses two reciprocal ranks; every other doc has at most one
+    // top-2 position, so doc1 must lead
+    assert(out.head._1 == 1L)
+    assert(out.head._2 > out(1)._2)
+  }
+
+  test("silhouette margin is positive for well-separated label clusters") {
+    val rows = (0 until 12).map { i =>
+      val label = i % 3
+      val base = Array.fill(6)(0.0f)
+      base(label) = 10.0f
+      base((label + 3) % 6) = if (i < 6) 0.5f else -0.5f
+      (i.toLong, base.toSeq, label)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Similarity.silhouette(emb).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n") == 4L)
+      assert(r.getAs[Double]("avg_margin") > 0.5)
+    }
+  }
+
   test("table diff classifies added/removed/changed/unchanged exhaustively") {
     // keys: 7 → changed, 11 → removed (absent from B), 13 → added (absent
     // from A), 1 → unchanged. 77 = 7×11 → in A only (removed wins: absent
