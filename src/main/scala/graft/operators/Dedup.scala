@@ -886,53 +886,66 @@ object Dedup {
     * lands in BOTH prefixes (≤ s - ceil(tau·s) non-shared tokens can
     * precede it), so every qualifying pair surfaces as a candidate.
     *
-    * Features are the SAME 3-gram token shingles as the MinHash family —
+    * Features are the SAME hashed 3-gram shingles as the MinHash family —
     * a deliberate apples-to-apples pairing: q_dedup_minhash is the
     * probabilistic detector over this feature space, q_dedup_prefix the
-    * exact one (unigram token sets are far too permissive on real
-    * corpora — measured 99k pairs vs ~50 shingle pairs at sf0.01).
+    * exact one, and the verify stage is IDENTICAL (exact Jaccard over
+    * the hash arrays) — only candidate generation differs. (First cuts
+    * used unigram token sets — 99k pairs vs ~50 at sf0.01, far too
+    * permissive — then shingle STRINGS, whose concat_ws assembly alone
+    * cost ~6 s/pass at sf0.1 re-run in every branch; the native
+    * single-pass hash expression is the measured fix, 13.4 s → ~4 s.)
     *
     * Scale posture: the candidate join keys are df-ASCENDING by
     * construction — prefixes are the rarest shingles, so bucket sizes
     * stay small exactly where buckets would otherwise explode (a df=100k
     * boilerplate shingle is never a join key; it sits in suffixes).
     * Size-compatibility (tau·|a| ≤ |b| ≤ |a|/tau) prunes candidates in
-    * the join condition before the verify. Verify runs on integer rank
-    * arrays (intersect/union of ints, never strings). Two corpus-sized
-    * shuffles total (rank attach, per-doc regroup); the vocab rank frame
-    * is one map-side-combined count + a vocab-sized window.
+    * the join condition before the verify. The canonical order is the
+    * (df, hash) pair used directly in a per-doc PARTITIONED window (an
+    * early global-rank formulation sorted the whole vocabulary in one
+    * unpartitioned window task). Everything that shuffles is (id, long)
+    * pairs or long arrays — never shingle text.
     */
   def prefixJaccardNearDups(docs: DataFrame, idCol: String, textCol: String,
-                            tau: Double = 0.5): DataFrame = {
+                            tau: Double = 0.5,
+                            hasher: HashFamily = XxHash): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col(idCol).as("id"),
-        shingles(TextAnalysis.tokens(col(textCol))).as("ts"))
-      .filter(size(col("ts")) > 0)
-    val ex = toks.select(col("id"), explode(col("ts")).as("tok"))
-    // global rare-first canonical order; vocab-sized unpartitioned window
-    // (same justified idiom as the star dims / spine cumsums)
-    val rk = ex.groupBy("tok").agg(count(lit(1)).as("df"))
-      .withColumn("r", row_number().over(Window.orderBy(col("df"), col("tok"))))
-      .select("tok", "r")
-    val docr = ex.join(rk, Seq("tok"))
-      .groupBy("id")
-      .agg(sort_array(collect_list(col("r"))).as("rs"),
-        count(lit(1)).as("sz"))
-    val pref = docr.select(col("id"), col("sz"),
-      explode(slice(col("rs"), lit(1),
-        (col("sz") - ceil(col("sz") * tau) + 1).cast("int"))).as("pr"))
+    // persisted: feeds df-counting, the ranked prefix build and both
+    // verify joins (the minhashNearDups lesson)
+    val base = withShingleHashes(docs, idCol, textCol, hasher)
+      .persistTracked()
+    val ex = base.select(col("id"), explode(col("hs")).as("h"))
+    val dfc = ex.groupBy("h").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("id")
+    val ranked = ex.join(dfc, Seq("h"))
+      .select(col("id"), col("h"),
+        row_number().over(w.orderBy(col("df"), col("h"))).as("rn"),
+        count(lit(1)).over(w).as("sz"))
+    val pref = ranked
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * tau) + 1)
+      .select(col("id"), col("sz"), col("h"), col("rn"))
+    // PPJoin positional filter: J ≥ tau ⇒ overlap O ≥ ⌈tau/(1+tau)·
+    // (|a|+|b|)⌉, and for the FIRST shared element at prefix positions
+    // (i, j) every shared element sits at ≥ those positions, so
+    // O ≤ min(|a|−i, |b|−j)+1 — pairs whose every prefix match fails the
+    // bound can't qualify (lossless). This is what keeps verify volume
+    // sane: without it every rare-shingle co-occurrence reaches the
+    // array-intersect verify (measured 312k candidate pairs → 126k at
+    // sf0.1, and verify is the dominant stage — 17.9 s → 10.2 s cold).
+    val oBound = ceil((col("a.sz") + col("b.sz")) * lit(tau / (1 + tau)))
     val cand = pref.as("a").join(pref.as("b"),
-        col("a.pr") === col("b.pr") && col("a.id") < col("b.id") &&
+        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
           col("b.sz") >= ceil(col("a.sz") * tau) &&
-          col("a.sz") >= ceil(col("b.sz") * tau))
+          col("a.sz") >= ceil(col("b.sz") * tau) &&
+          least(col("a.sz") - col("a.rn"), col("b.sz") - col("b.rn")) + 1 >=
+            oBound)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-    val jac = round(
-      size(array_intersect(col("rs_a"), col("rs_b"))).cast("double") /
-        size(array_union(col("rs_a"), col("rs_b"))).cast("double"), 6)
     cand
-      .join(docr.select(col("id").as("id_a"), col("rs").as("rs_a")), Seq("id_a"))
-      .join(docr.select(col("id").as("id_b"), col("rs").as("rs_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), jac.as("jaccard"))
+      .join(base.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("hs_a"), col("hs_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= tau)
   }
 
@@ -970,7 +983,7 @@ object Dedup {
     "q_dedup_eval" -> { (s, d) => dedupEval(Tables.documents(s, d)) },
     "q_dedup_prefix" -> { (s, d) =>
       prefixJaccardNearDups(plantedCorpus(Tables.documents(s, d)),
-          "doc_id", "text")
+          "doc_id", "text", hasher = Md5Hash)
         .orderBy("id_a", "id_b")
     },
     // Keep-best-within-time-bucket dedup: one event per (user, hour),
@@ -1404,41 +1417,40 @@ object Dedup {
          |SELECT cluster_id, id AS keep_id, sz - 1 AS n_dropped
          |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
 
-    // exact replay of the prefix-filter pipeline: same 3-gram shingles as
-    // the minhash chain, same global rare-first rank, same per-doc prefix
-    // length, same integer-rank Jaccard
+    // exact replay of the prefix-filter pipeline over the SAME md5 hash
+    // chain as q_dedup_minhash: per-doc (df, hash)-ordered prefixes,
+    // size-compatibility, then the shared hash-array Jaccard verify
     "q_dedup_prefix" ->
       s"""WITH $corpusToksSql,
         |shs AS (
         | SELECT id, list_distinct(
         |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
         |       ELSE list_transform(range(1, len(toks) - 1),
-        |              i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END) AS ts
+        |              i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END) AS shs
         | FROM toks),
-        |ex AS (SELECT id, unnest(ts) AS tok FROM shs WHERE len(ts) > 0),
-        |dfc AS (SELECT tok, count(*) AS df FROM ex GROUP BY 1),
-        |rk AS (SELECT tok, row_number() OVER (ORDER BY df, tok) AS r FROM dfc),
-        |docr AS (
-        | SELECT id, list_sort(list(r)) AS rs, count(*) AS sz
-        | FROM ex JOIN rk USING (tok) GROUP BY id),
+        |hs AS (SELECT id, list_transform(shs, sh -> ${h64("sh")}) AS hs FROM shs),
+        |ex AS (SELECT id, unnest(hs) AS h FROM hs),
+        |dfc AS (SELECT h, count(*) AS df FROM ex GROUP BY 1),
+        |ranked AS (
+        | SELECT id, h,
+        |  row_number() OVER (PARTITION BY id ORDER BY df, h) AS rn,
+        |  count(*) OVER (PARTITION BY id) AS sz
+        | FROM ex JOIN dfc USING (h)),
         |pref AS (
-        | SELECT id, sz,
-        |  unnest(list_slice(rs, 1, CAST(sz - ceil(sz * 0.5) + 1 AS INT))) AS pr
-        | FROM docr),
+        | SELECT id, sz, h, rn FROM ranked
+        | WHERE rn <= sz - ceil(sz * 0.5) + 1),
         |cand AS (
-        | SELECT DISTINCT a.id AS id_a, b.id AS id_b
-        | FROM pref a JOIN pref b ON a.pr = b.pr AND a.id < b.id
-        |  AND b.sz >= ceil(a.sz * 0.5) AND a.sz >= ceil(b.sz * 0.5)),
-        |ver AS (
-        | SELECT c.id_a, c.id_b,
-        |  round(CAST(len(list_intersect(da.rs, db.rs)) AS DOUBLE)
-        |    / CAST(len(list_distinct(list_concat(da.rs, db.rs))) AS DOUBLE), 6)
-        |   AS jaccard
-        | FROM cand c
-        | JOIN docr da ON c.id_a = da.id
-        | JOIN docr db ON c.id_b = db.id)
-        |SELECT id_a, id_b, jaccard FROM ver
-        |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+        | SELECT DISTINCT p.id AS id_a, q.id AS id_b
+        | FROM pref p JOIN pref q ON p.h = q.h AND p.id < q.id
+        |  AND q.sz >= ceil(p.sz * 0.5) AND p.sz >= ceil(q.sz * 0.5)
+        |  AND least(p.sz - p.rn, q.sz - q.rn) + 1 >=
+        |   ceil((p.sz + q.sz) * ${0.5 / 1.5}))
+        |SELECT c.id_a, c.id_b, $jaccardSql AS jaccard
+        |FROM cand c
+        |JOIN hs a ON c.id_a = a.id
+        |JOIN hs b ON c.id_b = b.id
+        |WHERE $jaccardSql >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // same md5 chain as q_dedup_minhash, then set-compare the verified
     // pairs against the planted truth (doc_id < 20 ↔ doc_id + 10^7)
