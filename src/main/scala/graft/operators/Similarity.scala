@@ -515,6 +515,26 @@ object Similarity {
     // multi-iteration extension of the single Lloyd step q_semantic_dedup
     // runs; oracle replays every round.
     "q_kmeans" -> { (s, d) => kmeans(Tables.embeddings(s, d)) },
+    // ANN QUALITY EVAL — recall@k of the sign-LSH index against the
+    // exact brute-force ranking (the q_dedup_eval measurement applied to
+    // retrieval: every index rollout reports this number before the
+    // exact path is retired). Both sides are the gated operators
+    // themselves; the eval is two k-row-per-query frames joined on
+    // (query_id, corpus_id) — nothing beyond the retrievals' own cost.
+    "q_ann_recall" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cosF = graft.functions.NativeExpressions.cosineSim(s, _: Column, _: Column)
+      val q = emb.filter(col("vec_id") < 5)
+      val brute = bruteForceTopK(q, emb, 5, cosF)
+        .select(col("query_id"), col("corpus_id"))
+      val lsh = lshTopK(q, emb, 5, cosineFn = cosF)
+        .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
+      brute.join(lsh, Seq("query_id", "corpus_id"), "left")
+        .groupBy("query_id")
+        .agg(count(col("hit")).as("hits"),
+          round(count(col("hit")).cast("double") / 5, 6).as("recall_at_5"))
+        .orderBy("query_id")
+    },
     // Centroid-silhouette quality report on the label clustering.
     "q_silhouette" -> { (s, d) => silhouette(Tables.embeddings(s, d)) },
     // SemDeDup: cluster-then-prune semantic dedup over the planted corpus
@@ -819,6 +839,28 @@ object Similarity {
          | round(coalesce(n_hit, 0) / 5.0, 2) AS recall
          |FROM (SELECT DISTINCT query_id FROM q) q LEFT JOIN hits USING (query_id)
          |ORDER BY query_id""".stripMargin,
+    "q_ann_recall" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb,
+         |  ${bucketSql("embedding")} AS bucket FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS corpus_id, embedding AS c_emb,
+         |  ${bucketSql("embedding")} AS bucket FROM embeddings),
+         |brute AS (
+         | SELECT query_id, corpus_id FROM (
+         |  SELECT query_id, corpus_id,
+         |   row_number() OVER (PARTITION BY query_id
+         |     ORDER BY round(${cosSql("q_emb", "c_emb")}, 6) DESC, corpus_id) AS rank
+         |  FROM c CROSS JOIN q) WHERE rank <= 5),
+         |lsh AS (
+         | SELECT query_id, corpus_id FROM (
+         |  SELECT query_id, corpus_id,
+         |   row_number() OVER (PARTITION BY query_id
+         |     ORDER BY round(${cosSql("q_emb", "c_emb")}, 6) DESC, corpus_id) AS rank
+         |  FROM c JOIN q USING (bucket)) WHERE rank <= 5)
+         |SELECT b.query_id, count(l.corpus_id) AS hits,
+         | round(CAST(count(l.corpus_id) AS DOUBLE) / 5, 6) AS recall_at_5
+         |FROM brute b LEFT JOIN lsh l
+         | ON b.query_id = l.query_id AND b.corpus_id = l.corpus_id
+         |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin,
     "q_sim_topk_lsh" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb,
          |  ${bucketSql("embedding")} AS bucket FROM embeddings WHERE vec_id < 5),
