@@ -1699,6 +1699,51 @@ object Analytics {
     "q_pagerank" -> { (s, d) =>
       pagerankTransitions(Tables.events(s, d))
     },
+    // Degree distribution of the session-transition graph (distinct
+    // in/out neighbors per node, then node counts per degree) — the
+    // third graph report alongside PageRank and the triangle census.
+    // Everything after the shared corpus-sized sessionize pass runs on
+    // the event-type²-bounded edge frame.
+    "q_graph_degree" -> { (s, d) =>
+      val edges = sessionTransitions(Tables.events(s, d))
+        .select("src", "dst").persistTracked()
+      def dist(keyCol: String, dir: String) = edges
+        .groupBy(col(keyCol).as("node"))
+        .agg(countDistinct(if (keyCol == "src") col("dst") else col("src"))
+          .as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+        .select(lit(dir).as("direction"), col("degree"), col("n_nodes"))
+      dist("src", "out").unionByName(dist("dst", "in"))
+        .orderBy("direction", "degree")
+    },
+    // Mutual information I(event_type; weekday) with marginal entropies
+    // — the feature-relevance audit (does behavior depend on day?).
+    // Joint counts collapse to a ≤ |types|·7 cell frame in one map-side-
+    // combined shuffle; marginals re-aggregate the cells; per-cell info
+    // terms round to 9 dp and fold as DECIMAL so the sums are
+    // aggregation-order-independent on both engines.
+    "q_mutual_info" -> { (s, d) =>
+      val cells = Tables.events(s, d)
+        .select(col("event_type").as("x"), (weekday(col("ts")) + 1).as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("cxy"))
+        .persistTracked()
+      val cx = cells.groupBy("x").agg(sum("cxy").as("cx"))
+      val cy = cells.groupBy("y").agg(sum("cxy").as("cy"))
+      val n = cells.agg(sum("cxy").as("n"))
+      def infoFold(term: Column) =
+        round(sum(round(term, 9).cast(DecimalType(28, 9))).cast("double"), 6)
+      val mi = cells.join(broadcast(cx), Seq("x")).join(broadcast(cy), Seq("y"))
+        .crossJoin(broadcast(n))
+        .agg(infoFold((col("cxy").cast("double") / col("n")) *
+          log2(col("cxy").cast("double") * col("n") /
+            (col("cx").cast("double") * col("cy")))).as("mi"))
+      def entropy(marg: DataFrame, c: String) = marg.crossJoin(broadcast(n))
+        .agg(infoFold((col(c).cast("double") / col("n")) *
+          log2(col("n").cast("double") / col(c))).as(s"h_$c"))
+      mi.crossJoin(broadcast(entropy(cx, "cx")))
+        .crossJoin(broadcast(entropy(cy, "cy")))
+        .select(col("mi"), col("h_cx").as("h_x"), col("h_cy").as("h_y"))
+    },
 
     // A9 — the full dashboard lattice in ONE pass: CUBE(year, status)
     // computes detail + BOTH one-dimension subtotals + grand total in a
@@ -2590,6 +2635,46 @@ object Analytics {
         | round(CAST(dt AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6) AS cusum
         |FROM x ORDER BY abs(dt) DESC, day LIMIT 1""".stripMargin,
     "q_pagerank" -> pagerankSql(10),
+    "q_graph_degree" ->
+      s"""WITH $transitionEdgesSql,
+         |eg AS (SELECT DISTINCT src, dst FROM edges),
+         |outd AS (
+         | SELECT degree, count(*) AS n_nodes FROM (
+         |  SELECT src, count(DISTINCT dst) AS degree FROM eg GROUP BY 1)
+         | GROUP BY 1),
+         |ind AS (
+         | SELECT degree, count(*) AS n_nodes FROM (
+         |  SELECT dst, count(DISTINCT src) AS degree FROM eg GROUP BY 1)
+         | GROUP BY 1)
+         |SELECT 'out' AS direction, degree, n_nodes FROM outd
+         |UNION ALL
+         |SELECT 'in' AS direction, degree, n_nodes FROM ind
+         |ORDER BY direction, degree""".stripMargin,
+    "q_mutual_info" ->
+      """WITH cells AS (
+        | SELECT event_type AS x, CAST(isodow(ts) AS INTEGER) AS y,
+        |  count(*) AS cxy
+        | FROM events GROUP BY 1, 2),
+        |cx AS (SELECT x, CAST(sum(cxy) AS BIGINT) AS cx FROM cells GROUP BY 1),
+        |cy AS (SELECT y, CAST(sum(cxy) AS BIGINT) AS cy FROM cells GROUP BY 1),
+        |n AS (SELECT CAST(sum(cxy) AS BIGINT) AS n FROM cells),
+        |mi AS (
+        | SELECT round(CAST(sum(CAST(round(
+        |   (CAST(cxy AS DOUBLE) / n) *
+        |    log2(CAST(cxy AS DOUBLE) * n / (CAST(cx AS DOUBLE) * cy)), 9)
+        |   AS DECIMAL(28,9))) AS DOUBLE), 6) AS mi
+        | FROM cells JOIN cx USING (x) JOIN cy USING (y), n),
+        |hx AS (
+        | SELECT round(CAST(sum(CAST(round(
+        |   (CAST(cx AS DOUBLE) / n) * log2(CAST(n AS DOUBLE) / cx), 9)
+        |   AS DECIMAL(28,9))) AS DOUBLE), 6) AS h_x
+        | FROM cx, n),
+        |hy AS (
+        | SELECT round(CAST(sum(CAST(round(
+        |   (CAST(cy AS DOUBLE) / n) * log2(CAST(n AS DOUBLE) / cy), 9)
+        |   AS DECIMAL(28,9))) AS DOUBLE), 6) AS h_y
+        | FROM cy, n)
+        |SELECT mi, h_x, h_y FROM mi, hx, hy""".stripMargin,
     "q_assoc_rules" ->
       """WITH items AS (
         | SELECT DISTINCT l_orderkey AS ok, p_brand AS brand

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -66,13 +66,92 @@ object Evolution {
       .orderBy("d")
   }
 
+  /** Data-quality expectation suite: named boolean rules evaluated in
+    * ONE scan (each rule a conditional count inside a single aggregate —
+    * a per-rule pass would scan the fact N times), then unpivoted to the
+    * (rule, violations, pass) report every ingest gate publishes before
+    * promoting a load.
+    */
+  def expectations(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    val aggs = count(lit(1)).as("n_total") +:
+      rules.map { case (name, ok) =>
+        sum(when(!coalesce(ok, lit(false)), 1L).otherwise(0L)).as(name)
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = rules.map { case (name, _) =>
+      s"'$name', `$name`"
+    }.mkString(", ")
+    one.selectExpr("n_total",
+        s"stack(${rules.size}, $stacked) AS (rule, violations)")
+      .select(col("rule"), col("violations"),
+        col("n_total"), (col("violations") === 0).as("pass"))
+      .orderBy("rule")
+  }
+
+  /** Per-key freshness audit over the events stream: row count, latest
+    * event, and staleness (minutes behind the globally freshest event).
+    * The ops dashboard for "is some source wedged?" — one
+    * map-side-combined aggregate plus a broadcast scalar.
+    */
+  def freshness(events: DataFrame): DataFrame = {
+    val perKey = events.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), max(col("ts")).as("max_ts"))
+    val global = perKey.agg(max(col("max_ts")).as("g_ts"))
+    perKey.crossJoin(broadcast(global))
+      .select(col("event_type"), col("n"), col("max_ts"),
+        // explicit floor on whole seconds: cast-to-long truncates on the
+        // Spark side where DuckDB's double→int cast ROUNDS — floor both
+        floor((col("g_ts").cast("long") - col("max_ts").cast("long")) /
+          lit(60.0)).cast("long").as("lag_minutes"))
+      .orderBy("event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_expectations" -> { (s, d) =>
+      expectations(Tables.lineitem(s, d), Seq(
+        "qty_in_range" -> col("l_quantity").between(1, 50),
+        "price_positive" -> (col("l_extendedprice") > 0),
+        "discount_in_range" -> col("l_discount").between(0, 0.1),
+        "flag_known" -> col("l_returnflag").isin("A", "N", "R"),
+        "shipdate_present" -> col("l_shipdate").isNotNull))
+    },
+    "q_freshness" -> { (s, d) => freshness(Tables.events(s, d)) },
     "q_table_diff" -> { (s, d) => tableDiff(Tables.orders(s, d)) },
     "q_cumulative_distinct" -> { (s, d) =>
       cumulativeDistinctUsers(Tables.events(s, d)) }
   )
 
   def oracles: Map[String, String] = Map(
+    "q_expectations" -> {
+      val rules = Seq(
+        "qty_in_range" -> "l_quantity BETWEEN 1 AND 50",
+        "price_positive" -> "l_extendedprice > 0",
+        "discount_in_range" -> "l_discount BETWEEN 0 AND 0.1",
+        "flag_known" -> "l_returnflag IN ('A', 'N', 'R')",
+        "shipdate_present" -> "l_shipdate IS NOT NULL")
+      val filters = rules.map { case (n, p) =>
+        s"count(*) FILTER (NOT coalesce($p, FALSE)) AS $n"
+      }.mkString(",\n  ")
+      val arms = rules.map { case (n, _) =>
+        s"SELECT '$n' AS rule, $n AS violations, n_total, $n = 0 AS pass FROM agg"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH agg AS (
+         | SELECT count(*) AS n_total,
+         |  $filters
+         | FROM lineitem)
+         |$arms
+         |ORDER BY rule""".stripMargin
+    },
+    "q_freshness" ->
+      """WITH pk AS (
+        | SELECT event_type, count(*) AS n, max(ts) AS max_ts
+        | FROM events GROUP BY 1),
+        |g AS (SELECT max(max_ts) AS g_ts FROM pk)
+        |SELECT event_type, n, max_ts,
+        | CAST(floor((CAST(floor(epoch(g_ts)) AS BIGINT)
+        |   - CAST(floor(epoch(max_ts)) AS BIGINT)) / 60.0) AS BIGINT)
+        |  AS lag_minutes
+        |FROM pk, g ORDER BY event_type""".stripMargin,
     "q_table_diff" ->
       """WITH a AS (
         | SELECT o_orderkey, o_orderstatus AS status_a,

@@ -87,6 +87,28 @@ class RetrievalSpec extends SparkSpec {
       "unchanged" -> 1L))
   }
 
+  test("expectations: violations counted per rule in one pass, null counts as violation") {
+    val df = Seq(
+      (5.0, "A"), (60.0, "A"), (10.0, null.asInstanceOf[String])
+    ).toDF("qty", "flag")
+    val out = Evolution.expectations(df, Seq(
+        "qty_ok" -> col("qty").between(1, 50),
+        "flag_ok" -> col("flag").isin("A", "B")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // qty: 60 violates (1); flag: null coalesces to violation (1)
+    assert(out.toSeq == Seq(
+      ("flag_ok", 1L, 3L, false), ("qty_ok", 1L, 3L, false)))
+  }
+
+  test("freshness lag is floored whole minutes behind the freshest key") {
+    val events = Seq(
+      ("a", "2024-01-01 10:00:00"), ("b", "2024-01-01 09:58:30")
+    ).toDF("event_type", "s").withColumn("ts", to_timestamp($"s"))
+    val lags = Evolution.freshness(events)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(lags == Map("a" -> 0L, "b" -> 1L)) // 90 s → 1 whole minute
+  }
+
   test("cumulative distinct users: each user counted once, at first day") {
     val events = Seq(
       (10L, "2024-01-01 10:00:00"),
