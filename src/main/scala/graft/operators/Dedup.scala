@@ -967,16 +967,23 @@ object Dedup {
     val truth = docs.filter(col("doc_id") < nPlanted)
       .select(col("doc_id").as("id_a"),
         (col("doc_id") + 10000000L).as("id_b"))
-    val tp = pred.join(broadcast(truth), Seq("id_a", "id_b"))
-      .agg(count(lit(1)).as("tp"))
-    val nPred = pred.agg(count(lit(1)).as("n_pred"))
+    // ONE pass over the predictions: the left join tags truth hits, a
+    // single aggregate yields both n_pred and tp (separate count
+    // branches would re-run the whole detector pipeline per branch —
+    // the persist lesson, solved structurally here)
+    val counts = pred
+      .join(broadcast(truth.withColumn("hit", lit(1))), Seq("id_a", "id_b"),
+        "left")
+      .agg(count(lit(1)).as("n_pred"), count(col("hit")).as("tp"))
     val nTruth = truth.agg(count(lit(1)).as("n_truth"))
-    tp.crossJoin(broadcast(nPred)).crossJoin(broadcast(nTruth))
+    def ratio(num: Column, den: Column) =
+      when(den === 0, 0.0).otherwise(round(num.cast("double") / den, 6))
+    counts.crossJoin(broadcast(nTruth))
       .select(col("n_pred"), col("n_truth"), col("tp"),
         (col("n_pred") - col("tp")).as("fp"),
         (col("n_truth") - col("tp")).as("fn"),
-        round(col("tp").cast("double") / col("n_pred"), 6).as("prec"),
-        round(col("tp").cast("double") / col("n_truth"), 6).as("rec"))
+        ratio(col("tp"), col("n_pred")).as("prec"),
+        ratio(col("tp"), col("n_truth")).as("rec"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1477,8 +1484,10 @@ object Dedup {
          |np AS (SELECT count(*) AS n_pred FROM pred),
          |nt AS (SELECT count(*) AS n_truth FROM documents WHERE doc_id < 20)
          |SELECT n_pred, n_truth, tp, n_pred - tp AS fp, n_truth - tp AS fn,
-         | round(CAST(tp AS DOUBLE) / n_pred, 6) AS prec,
-         | round(CAST(tp AS DOUBLE) / n_truth, 6) AS rec
+         | CASE WHEN n_pred = 0 THEN 0.0
+         |      ELSE round(CAST(tp AS DOUBLE) / n_pred, 6) END AS prec,
+         | CASE WHEN n_truth = 0 THEN 0.0
+         |      ELSE round(CAST(tp AS DOUBLE) / n_truth, 6) END AS rec
          |FROM m, np, nt""".stripMargin,
 
     "q_dedup_minhash" -> {

@@ -94,8 +94,12 @@ object Evolution {
     * map-side-combined aggregate plus a broadcast scalar.
     */
   def freshness(events: DataFrame): DataFrame = {
+    // persisted (key-cardinality rows): feeds both the global max and
+    // the report — unpersisted, the events scan+aggregate ran twice
+    import graft.CacheScope.TrackedDataset
     val perKey = events.groupBy("event_type")
       .agg(count(lit(1)).as("n"), max(col("ts")).as("max_ts"))
+      .persistTracked()
     val global = perKey.agg(max(col("max_ts")).as("g_ts"))
     perKey.crossJoin(broadcast(global))
       .select(col("event_type"), col("n"), col("max_ts"),

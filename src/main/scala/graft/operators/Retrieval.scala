@@ -32,7 +32,10 @@ object Retrieval {
     * combined shuffle.
     */
   def documentFrequency(docs: DataFrame): DataFrame =
-    docTermPairs(docs).groupBy("term").agg(count(lit(1)).as("df"))
+    documentFrequencyFromPairs(docTermPairs(docs))
+
+  private def documentFrequencyFromPairs(pairs: DataFrame): DataFrame =
+    pairs.groupBy("term").agg(count(lit(1)).as("df"))
 
   /** Inverted index sample: the `topTerms` highest-df terms with their df
     * and the `postingsK` smallest doc_ids holding the term (a capped
@@ -47,8 +50,11 @@ object Retrieval {
     */
   def invertedIndex(docs: DataFrame, topTerms: Int = 20,
                     postingsK: Int = 10): DataFrame = {
-    val pairs = docTermPairs(docs)
-    val top = documentFrequency(docs)
+    // persisted: feeds the df aggregation AND the posting build — the
+    // corpus tokenize+explode would otherwise run twice (review finding)
+    import graft.CacheScope.TrackedDataset
+    val pairs = docTermPairs(docs).persistTracked()
+    val top = documentFrequencyFromPairs(pairs)
       .orderBy(desc("df"), col("term")).limit(topTerms)
     val capped = graft.plans.TopKPerKey.topKPerKey(
       pairs.join(broadcast(top), Seq("term")),
@@ -77,9 +83,15 @@ object Retrieval {
     */
   def bm25TopK(docs: DataFrame, nQueryTerms: Int = 3, k: Int = 20,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // persisted: one corpus tokenize pass feeds qterms (via the distinct
+    // explode), the length totals AND the tf explode — unpersisted, the
+    // regex tokenize ran three times per invocation (review finding)
+    import graft.CacheScope.TrackedDataset
     val base = docs.select(col("doc_id"),
-      tokens(lower(col("text"))).as("toks"))
-    val qterms = documentFrequency(docs)
+        tokens(lower(col("text"))).as("toks"))
+      .persistTracked()
+    val qterms = documentFrequencyFromPairs(
+        base.select(col("doc_id"), explode(array_distinct(col("toks"))).as("term")))
       .filter(!col("term").isin(enStopwords: _*))
       .orderBy(desc("df"), col("term")).limit(nQueryTerms)
     val totals = base.agg(count(lit(1)).as("n_docs"),
@@ -151,8 +163,7 @@ object Retrieval {
     }
   )
 
-  private val tokensSql =
-    """list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"""
+  private val tokensSql = TextAnalysis.tokensSql("lower(text)")
   private val pairsSql =
     s"""pairs AS (
        | SELECT doc_id, unnest(list_distinct($tokensSql)) AS term

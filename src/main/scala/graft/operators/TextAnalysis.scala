@@ -647,7 +647,10 @@ object TextAnalysis {
     }
   )
 
-  private def tokensSql(c: String) =
+  /** DuckDB twin of [[tokens]] — shared across module oracles so the
+    * tokenizer convention can't drift per copy.
+    */
+  def tokensSql(c: String): String =
     s"list_filter(string_split_regex($c, '\\s+'), t -> t <> '')"
 
   /** DuckDB replay of [[bpeTrain]]: k unrolled stages of argmax-pair +
