@@ -537,6 +537,27 @@ object Similarity {
     },
     // Centroid-silhouette quality report on the label clustering.
     "q_silhouette" -> { (s, d) => silhouette(Tables.embeddings(s, d)) },
+    // EMBEDDING NORM AUDIT — the broken-vector detector every embedding
+    // ingest runs (all-zero rows from failed encoders, exploding norms
+    // from unnormalized checkpoints skew cosine math downstream).
+    // Per-row norms are a map-side HOF fold (same parity basis as the
+    // cosine everywhere else); per-label stats fold 6dp norms as
+    // DECIMAL so the mean is aggregation-order-independent.
+    "q_embed_norms" -> { (s, d) =>
+      val norm6 = round(
+        sqrt(aggregate(col("embedding"),
+          lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))), 6)
+      Tables.embeddings(s, d)
+        .select(col("label"), norm6.as("norm"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          min(col("norm")).as("min_norm"),
+          max(col("norm")).as("max_norm"),
+          round(sum(col("norm").cast(DecimalType(12, 6))).cast("double") /
+            count(lit(1)), 6).as("avg_norm"),
+          sum(when(col("norm") < 0.01, 1L).otherwise(0L)).as("n_tiny"))
+        .orderBy("label")
+    },
     // SemDeDup: cluster-then-prune semantic dedup over the planted corpus
     // (assignment from the labeled corpus' centroids; planted flips land
     // in their original's cluster and prune against it at τ=0.95).
@@ -631,6 +652,18 @@ object Similarity {
   }
 
   def oracles: Map[String, String] = Map(
+    "q_embed_norms" ->
+      """WITH r AS (
+        | SELECT label,
+        |  round(sqrt(list_sum(list_transform(embedding,
+        |    v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))), 6) AS norm
+        | FROM embeddings)
+        |SELECT label, count(*) AS n,
+        | min(norm) AS min_norm, max(norm) AS max_norm,
+        | round(CAST(sum(CAST(norm AS DECIMAL(12,6))) AS DOUBLE) / count(*), 6)
+        |  AS avg_norm,
+        | CAST(sum(CASE WHEN norm < 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_tiny
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_silhouette" ->
       s"""WITH cents AS (
          | SELECT label AS clabel, list(c ORDER BY i) AS centroid FROM (

@@ -534,6 +534,32 @@ object TextAnalysis {
     // distributed percentile and broadcast back; assignment is a pure
     // map-side when-chain. ntile(10) over all docs is a single-task
     // total sort at 100 TB; this is two bounded passes + a map.
+    // CURRICULUM INTERLEAVE — deterministic data ordering for training:
+    // bucket docs into quality deciles (the sort-free threshold
+    // technique below), rank within each decile (PARTITIONED window —
+    // never a global row_number over the corpus), and emit the
+    // round-robin order (rank, decile): position k of the curriculum
+    // takes the k-th example of each decile in turn, so every training
+    // window sees the full difficulty mix while within-decile order
+    // stays stable under appends. Top-20 via TakeOrdered, no global
+    // sort materialization.
+    "q_curriculum" -> { (s, d) =>
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), length(col("text")).cast("double").as("score"))
+      val thr = Analytics.exactPercentiles(scored, "score",
+        (1 to 9).map(i => s"t$i" -> i / 10.0))
+      val bucketed = scored.crossJoin(broadcast(thr))
+        .withColumn("decile", lit(1) +
+          (1 to 9).map(i => when(col("score") > col(s"t$i"), 1).otherwise(0))
+            .reduce(_ + _))
+      bucketed
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("decile")
+            .orderBy(col("score"), col("doc_id"))))
+        .select(col("doc_id"), col("decile"), col("rn"))
+        .orderBy(col("rn"), col("decile"), col("doc_id"))
+        .limit(20)
+    },
     "q_decile_report" -> { (s, d) =>
       val scored = Tables.documents(s, d)
         .select(col("doc_id"), length(col("text")).cast("double").as("score"))
@@ -851,6 +877,22 @@ object TextAnalysis {
            |t AS (SELECT quantile_cont(mtl, 0.1) AS thr FROM m)
            |SELECT count(*) AS kept, round(min(mtl), 6) AS min_kept_mtl
            |FROM m, t WHERE mtl >= thr""".stripMargin,
+      "q_curriculum" -> {
+        val thrCols = (1 to 9).map(i => s"quantile_cont(score, 0.${i}) AS t$i").mkString(", ")
+        val caseSum = (1 to 9)
+          .map(i => s"CASE WHEN score > t$i THEN 1 ELSE 0 END")
+          .mkString("(", " + ", ")")
+        s"""WITH s AS (
+           | SELECT doc_id, CAST(length(text) AS DOUBLE) AS score FROM documents),
+           |t AS (SELECT $thrCols FROM s),
+           |b AS (SELECT doc_id, score, 1 + $caseSum AS decile FROM s, t),
+           |r AS (
+           | SELECT doc_id, decile, CAST(row_number() OVER (
+           |   PARTITION BY decile ORDER BY score, doc_id) AS INTEGER) AS rn
+           | FROM b)
+           |SELECT doc_id, decile, rn FROM r
+           |ORDER BY rn, decile, doc_id LIMIT 20""".stripMargin
+      },
       "q_decile_report" -> {
         val thrCols = (1 to 9).map(i => s"quantile_cont(score, 0.${i}) AS t$i").mkString(", ")
         val caseSum = (1 to 9)
