@@ -323,6 +323,22 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
+  test("prefix-filter join is immune to shared boilerplate (df-ascending keys)") {
+    // 60 docs with mutually disjoint content vocab + ONE identical
+    // 12-token footer on every doc: the footer's shingles have df=60
+    // (the corpus max) so they sort to the END of every doc's canonical
+    // order and never enter a prefix — no candidate pairs at all. This
+    // is the storm fixture that forces bucket caps / df pruning on the
+    // BANDING detectors (q_dedup_minhash_capped); prefix filtering gets
+    // the same immunity for free from its rare-first key choice.
+    val footer = "subscribe to our newsletter for daily updates terms privacy contact us"
+    val docs = (0L until 60L).map(i =>
+        (i, ('a' to 'n').map(c => s"w$i$c").mkString(" ") + " " + footer))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.prefixJaccardNearDups(docs, "doc_id", "text")
+    assert(pairs.count() == 0L)
+  }
+
   test("kmeans recovers three well-separated planted clusters") {
     // ids 0..2 are the three cluster centers (init = first k vectors), six
     // more vectors jitter ±0.1 around them → sizes 3/3/3 and centroids

@@ -74,6 +74,22 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("plan shapes: postings on the partial/final top-k exec, no cartesian anywhere") {
+    val docs = Tables.documents(spark, sfDir)
+    val idx = Retrieval.invertedIndex(docs).queryExecution.executedPlan.toString
+    // the posting cap must run as the partial/final native exec pair —
+    // a regression to collect_list+slice would buffer df-sized state
+    assert(idx.contains("TopKPerKeyPartial"), "postings not on the partial heap exec")
+    assert(idx.contains("TopKPerKey"), "postings not on the native exec")
+    for ((name, df) <- Seq(
+        "bm25" -> Retrieval.bm25TopK(docs),
+        "rrf" -> Retrieval.rrfFusion(docs),
+        "diff" -> Evolution.tableDiff(Tables.orders(spark, sfDir)))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name plan has a cartesian product")
+    }
+  }
+
   test("table diff classifies added/removed/changed/unchanged exhaustively") {
     // keys: 7 → changed, 11 → removed (absent from B), 13 → added (absent
     // from A), 1 → unchanged. 77 = 7×11 → in A only (removed wins: absent
