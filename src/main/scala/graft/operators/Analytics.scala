@@ -1451,6 +1451,57 @@ object Analytics {
           col("rolling_7d"))
         .orderBy("day")
     },
+    // A9 — rolling 7-day MEDIAN revenue: the robust twin of the rolling
+    // sum (one outlier day can't drag it). No median window function in
+    // Spark — collect the ≤ 7 trailing day-cents into an array (bounded
+    // by the frame, never by data) and index the sorted middle; even
+    // frames interpolate as (m1+m2)/2 in exact-cents double, matching
+    // DuckDB's quantile_cont semantics bit-for-bit. Day-spine window,
+    // same justification as q_rolling_revenue.
+    "q_rolling_median" -> { (s, d) =>
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+          .cast("long").as("dc"))
+      val w = Window.orderBy("day_num").rangeBetween(-6, 0)
+      val arr = sort_array(collect_list(col("dc")).over(w))
+      val n = size(arr)
+      val med = when(n % 2 === 1,
+          element_at(arr, ((n + 1) / 2).cast("int")).cast("double"))
+        .otherwise((element_at(arr, (n / 2).cast("int")) +
+          element_at(arr, (n / 2).cast("int") + 1)) / 2.0)
+      daily
+        .withColumn("day_num", datediff(col("day"), lit("1970-01-01").cast("date")))
+        .withColumn("median_7d", med / 100.0)
+        .select(col("day"), (col("dc") / 100.0).as("daily_total"),
+          col("median_7d"))
+        .orderBy("day")
+    },
+    // TIME-BOXED funnel — the strict version of q_funnel: each step must
+    // happen within 72 h of the PREVIOUS step's first completion, and
+    // "first view after signup" is the min over qualifying events, not
+    // the global min (a user whose only view predates signup doesn't
+    // convert). Three user-keyed aggregates chained by joins — each pass
+    // shuffles events once on user_id; the step frames are
+    // user-cardinality-sized.
+    "q_funnel_windowed" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val win = expr("INTERVAL 72 HOURS")
+      val tA = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("t_a"))
+      val tB = ev.filter(col("event_type") === "view")
+        .join(tA, Seq("user_id"))
+        .filter(col("ts") > col("t_a") && col("ts") <= col("t_a") + win)
+        .groupBy("user_id").agg(min(col("ts")).as("t_b"))
+      val tC = ev.filter(col("event_type") === "purchase")
+        .join(tB, Seq("user_id"))
+        .filter(col("ts") > col("t_b") && col("ts") <= col("t_b") + win)
+        .groupBy("user_id").agg(min(col("ts")).as("t_c"))
+      tA.agg(count(lit(1)).as("n_signup"))
+        .crossJoin(broadcast(tB.agg(count(lit(1)).as("n_view_72h"))))
+        .crossJoin(broadcast(tC.agg(count(lit(1)).as("n_purchase_72h"))))
+    },
     // A9 — EWMA-smoothed daily revenue (α = 0.5), the recursive smoother
     // a rolling mean can't express: ewma_t = (x_t + ewma_{t−1})/2. The
     // per-day pre-aggregate is calendar-bounded (the q_rolling_revenue
@@ -1980,6 +2031,35 @@ object Analytics {
         s"SELECT '$x' AS x, '$y' AS y, \"corr\" FROM (${exactCorrSql(x, y, "lineitem")})"
       }.mkString("", "\nUNION ALL\n", "\nORDER BY x, y")
     },
+    "q_rolling_median" ->
+      """WITH daily AS (
+        | SELECT CAST(o_orderdate AS DATE) AS day,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS dc
+        | FROM orders GROUP BY 1)
+        |SELECT day, dc / 100.0 AS daily_total,
+        | median(dc) OVER (ORDER BY day
+        |   RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) / 100.0
+        |  AS median_7d
+        |FROM daily ORDER BY day""".stripMargin,
+    "q_funnel_windowed" ->
+      """WITH ta AS (
+        | SELECT user_id, min(ts) AS t_a FROM events
+        | WHERE event_type = 'signup' GROUP BY 1),
+        |tb AS (
+        | SELECT e.user_id, min(e.ts) AS t_b
+        | FROM events e JOIN ta USING (user_id)
+        | WHERE e.event_type = 'view'
+        |  AND e.ts > ta.t_a AND e.ts <= ta.t_a + INTERVAL 72 HOUR
+        | GROUP BY 1),
+        |tc AS (
+        | SELECT e.user_id, min(e.ts) AS t_c
+        | FROM events e JOIN tb USING (user_id)
+        | WHERE e.event_type = 'purchase'
+        |  AND e.ts > tb.t_b AND e.ts <= tb.t_b + INTERVAL 72 HOUR
+        | GROUP BY 1)
+        |SELECT (SELECT count(*) FROM ta) AS n_signup,
+        | (SELECT count(*) FROM tb) AS n_view_72h,
+        | (SELECT count(*) FROM tc) AS n_purchase_72h""".stripMargin,
     "q_rolling_revenue" ->
       """WITH daily AS (
         | SELECT CAST(o_orderdate AS DATE) AS day,
