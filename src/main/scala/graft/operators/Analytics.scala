@@ -1451,6 +1451,32 @@ object Analytics {
           col("rolling_7d"))
         .orderBy("day")
     },
+    // LAST-TOUCH ATTRIBUTION — each purchase credits the latest
+    // non-purchase event by the same user within the preceding 24 h
+    // ('none' if nothing qualifies). Candidates come from a per-user
+    // time-range join (bounded by per-user event density, the as-of
+    // shape); the winner per purchase is max(struct(ts, type)) —
+    // latest-then-type, the same deterministic tie-break row_number
+    // replays in the oracle. Left-join misses collapse to NULL before
+    // the max so empty groups surface as NULL, not a null-field struct.
+    "q_attribution" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+      val qual = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("ts").as("q_ts"), col("event_type").as("q_type"))
+      purch.join(qual,
+          purch("user_id") === qual("user_id") &&
+            col("q_ts") < col("p_ts") &&
+            col("q_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS"), "left")
+        .groupBy("p_id")
+        .agg(max(when(col("q_ts").isNotNull,
+          struct(col("q_ts"), col("q_type")))).as("b"))
+        .select(coalesce(col("b.q_type"), lit("none")).as("attributed_type"))
+        .groupBy("attributed_type").agg(count(lit(1)).as("n_purchases"))
+        .orderBy("attributed_type")
+    },
     // A9 — rolling 7-day MEDIAN revenue: the robust twin of the rolling
     // sum (one outlier day can't drag it). No median window function in
     // Spark — collect the ≤ 7 trailing day-cents into an array (bounded
@@ -2031,6 +2057,23 @@ object Analytics {
         s"SELECT '$x' AS x, '$y' AS y, \"corr\" FROM (${exactCorrSql(x, y, "lineitem")})"
       }.mkString("", "\nUNION ALL\n", "\nORDER BY x, y")
     },
+    "q_attribution" ->
+      """WITH ev AS (
+        | SELECT user_id, event_type, ts, event_id FROM events),
+        |p AS (SELECT user_id, event_id AS p_id, ts AS p_ts FROM ev
+        |      WHERE event_type = 'purchase'),
+        |q AS (SELECT user_id, ts AS q_ts, event_type AS q_type FROM ev
+        |      WHERE event_type <> 'purchase'),
+        |cand AS (
+        | SELECT p.p_id, q.q_ts, q.q_type,
+        |  row_number() OVER (PARTITION BY p.p_id
+        |    ORDER BY q.q_ts DESC NULLS LAST, q.q_type DESC NULLS LAST) AS rn
+        | FROM p LEFT JOIN q ON p.user_id = q.user_id
+        |  AND q.q_ts < p.p_ts AND q.q_ts >= p.p_ts - INTERVAL 24 HOUR)
+        |SELECT COALESCE(q_type, 'none') AS attributed_type,
+        | count(*) AS n_purchases
+        |FROM cand WHERE rn = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_rolling_median" ->
       """WITH daily AS (
         | SELECT CAST(o_orderdate AS DATE) AS day,

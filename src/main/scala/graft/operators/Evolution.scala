@@ -110,7 +110,44 @@ object Evolution {
       .orderBy("event_type")
   }
 
+  /** k-anonymity audit over a quasi-identifier set: group sizes below k
+    * are re-identification risks (Sweeney 2002). One map-side-combined
+    * groupBy to the QI-combination frame, then a scalar report — the
+    * privacy pre-flight a dataset release runs alongside the PII scan.
+    */
+  def kAnonymity(df: DataFrame, quasi: Seq[Column], k: Int): DataFrame =
+    df.groupBy(quasi: _*).agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("n_groups"),
+        coalesce(sum(when(col("cnt") < k, 1L)), lit(0L)).as("n_risky_groups"),
+        coalesce(sum(when(col("cnt") < k, col("cnt"))), lit(0L))
+          .as("n_risky_rows"))
+      .select(lit(k).as("k"), col("n_groups"), col("n_risky_groups"),
+        col("n_risky_rows"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_k_anonymity" -> { (s, d) =>
+      kAnonymity(Tables.customer(s, d), Seq(col("c_nationkey"),
+        col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("int")), k = 5)
+    },
+    // ENCODING AUDIT — per-column NDV ratios driving the dictionary-vs-
+    // plain layout call (a low-NDV column stored plain wastes scan I/O
+    // at 100 TB; Parquet picks per-page, this is the table-level audit).
+    // One aggregate computes every count_distinct (Catalyst expands to
+    // one pass per distinct set), then a 5-row stack unpivots the report.
+    "q_encoding_audit" -> { (s, d) =>
+      val cols = Seq("l_returnflag", "l_linestatus", "l_shipdate",
+        "l_partkey", "l_orderkey")
+      val aggs = count(lit(1)).as("n") +:
+        cols.map(c => countDistinct(col(c)).as(s"ndv_$c"))
+      val one = Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+      val stacked = cols.map(c => s"'$c', ndv_$c").mkString(", ")
+      one.selectExpr("n", s"stack(${cols.size}, $stacked) AS (col_name, ndv)")
+        .select(col("col_name"), col("ndv"),
+          floor(col("ndv") * 1000000.0 / col("n")).cast("long").as("ndv_ppm"),
+          (floor(col("ndv") * 1000000.0 / col("n")) < 10000).as("dict_recommended"))
+        .orderBy("col_name")
+    },
     "q_expectations" -> { (s, d) =>
       expectations(Tables.lineitem(s, d), Seq(
         "qty_in_range" -> col("l_quantity").between(1, 50),
@@ -126,6 +163,31 @@ object Evolution {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_k_anonymity" ->
+      """WITH g AS (
+        | SELECT c_nationkey, c_mktsegment,
+        |  CAST(floor(c_acctbal / 1000) AS INTEGER) AS ab,
+        |  count(*) AS cnt
+        | FROM customer GROUP BY 1, 2, 3)
+        |SELECT 5 AS k, count(*) AS n_groups,
+        | COALESCE(CAST(sum(CASE WHEN cnt < 5 THEN 1 ELSE 0 END) AS BIGINT), 0)
+        |  AS n_risky_groups,
+        | COALESCE(CAST(sum(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT), 0)
+        |  AS n_risky_rows
+        |FROM g""".stripMargin,
+    "q_encoding_audit" -> {
+      val cols = Seq("l_returnflag", "l_linestatus", "l_shipdate",
+        "l_partkey", "l_orderkey")
+      val arms = cols.map { c =>
+        s"""SELECT '$c' AS col_name, count(DISTINCT $c) AS ndv FROM lineitem"""
+      }.mkString("\nUNION ALL\n")
+      s"""WITH n AS (SELECT count(*) AS n FROM lineitem),
+         |u AS ($arms)
+         |SELECT col_name, ndv,
+         | CAST(floor(ndv * 1000000.0 / n) AS BIGINT) AS ndv_ppm,
+         | floor(ndv * 1000000.0 / n) < 10000 AS dict_recommended
+         |FROM u, n ORDER BY col_name""".stripMargin
+    },
     "q_expectations" -> {
       val rules = Seq(
         "qty_in_range" -> "l_quantity BETWEEN 1 AND 50",
