@@ -1451,6 +1451,48 @@ object Analytics {
           col("rolling_7d"))
         .orderBy("day")
     },
+    // POISSON BOOTSTRAP 95% CI of mean order value (Chamandy et al.,
+    // "Estimating Uncertainty for Massive Data Streams", Google 2012 —
+    // the distributed bootstrap: resampling n-with-replacement doesn't
+    // shard, but giving each row an independent Poisson(1) weight per
+    // replicate does, and is equivalent for large n). Weights are
+    // DETERMINISTIC: u = first-32-md5-bits(key:replicate)/2^32 inverted
+    // through the Poisson(1) CDF (threshold literals generated from one
+    // Scala source into BOTH engines, so comparisons are bit-identical).
+    // B=50 replicates explode map-side; each replicate folds to exact
+    // integer (Σw·cents, Σw) pairs — the only shuffle carries 50 partial
+    // pairs per task. CI bounds are type-1 percentiles of the 50-row
+    // replicate-mean frame (ceil(0.025·50)=2nd, ceil(0.975·50)=49th).
+    "q_bootstrap_ci" -> { (s, d) =>
+      val B = 50
+      val cdf = { // cumulative Poisson(1) probabilities for k = 0..5
+        val pmf = (0 to 5).scanLeft(math.exp(-1.0))((p, k) => p / (k + 1)).tail
+        pmf.scanLeft(0.0)(_ + _).tail
+      }
+      val rows = Tables.orders(s, d).select(col("o_orderkey"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"))
+      val u = (conv(substring(md5(concat_ws(":", col("o_orderkey"), col("b"))),
+        1, 8), 16, 10).cast("long").cast("double") + 0.5) / 4294967296.0
+      val w = cdf.zipWithIndex
+        .foldRight(lit(6): Column) { case ((c, k), e) =>
+          when(col("u") < c, k).otherwise(e)
+        }
+      val reps = rows
+        .select(col("o_orderkey"), col("cents"),
+          explode(sequence(lit(1), lit(B))).as("b"))
+        .withColumn("u", u).withColumn("w", w)
+        .groupBy("b")
+        .agg(round(sum(col("w").cast("long") * col("cents")).cast("double") /
+          sum(col("w").cast("long")) / 100.0, 6).as("mean_b"))
+      val rn = row_number().over(Window.orderBy(col("mean_b"), col("b")))
+      val ci = reps.withColumn("rn", rn)
+        .agg(max(when(col("rn") === 2, col("mean_b"))).as("ci_lo"),
+          max(when(col("rn") === B - 1, col("mean_b"))).as("ci_hi"))
+      val full = rows.agg(round(sum(col("cents")).cast("double") /
+        count(lit(1)) / 100.0, 6).as("mean"))
+      full.crossJoin(broadcast(ci))
+    },
     // LAST-TOUCH ATTRIBUTION — each purchase credits the latest
     // non-purchase event by the same user within the preceding 24 h
     // ('none' if nothing qualifies). Candidates come from a per-user
@@ -2056,6 +2098,37 @@ object Analytics {
       pairs.map { case (x, y) =>
         s"SELECT '$x' AS x, '$y' AS y, \"corr\" FROM (${exactCorrSql(x, y, "lineitem")})"
       }.mkString("", "\nUNION ALL\n", "\nORDER BY x, y")
+    },
+    "q_bootstrap_ci" -> {
+      val B = 50
+      val pmf = (0 to 5).scanLeft(math.exp(-1.0))((p, k) => p / (k + 1)).tail
+      val cdf = pmf.scanLeft(0.0)(_ + _).tail
+      val wCase = "CASE " + cdf.zipWithIndex
+        .map { case (c, k) => s"WHEN u < $c THEN $k" }
+        .mkString(" ") + " ELSE 6 END"
+      s"""WITH rows0 AS (
+         | SELECT o_orderkey,
+         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         | FROM orders),
+         |reps AS (
+         | SELECT r.cents, b.b,
+         |  (CAST(('0x' || substr(md5(concat_ws(':', r.o_orderkey, b.b)), 1, 8))
+         |    AS BIGINT) + 0.5) / 4294967296.0 AS u
+         | FROM rows0 r CROSS JOIN range(1, ${B + 1}) b(b)),
+         |wm AS (
+         | SELECT b, round(CAST(sum(w * cents) AS DOUBLE) / sum(w) / 100.0, 6)
+         |   AS mean_b
+         | FROM (SELECT b, cents, $wCase AS w FROM reps)
+         | GROUP BY b),
+         |ranked AS (
+         | SELECT mean_b, row_number() OVER (ORDER BY mean_b, b) AS rn FROM wm),
+         |f AS (
+         | SELECT round(CAST(sum(cents) AS DOUBLE) / count(*) / 100.0, 6) AS mean
+         | FROM rows0)
+         |SELECT f.mean,
+         | (SELECT mean_b FROM ranked WHERE rn = 2) AS ci_lo,
+         | (SELECT mean_b FROM ranked WHERE rn = ${B - 1}) AS ci_hi
+         |FROM f""".stripMargin
     },
     "q_attribution" ->
       """WITH ev AS (
