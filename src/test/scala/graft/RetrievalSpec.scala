@@ -84,10 +84,17 @@ class RetrievalSpec extends SparkSpec {
     for ((name, df) <- Seq(
         "bm25" -> Retrieval.bm25TopK(docs),
         "rrf" -> Retrieval.rrfFusion(docs),
-        "diff" -> Evolution.tableDiff(Tables.orders(spark, sfDir)))) {
+        "diff" -> Evolution.tableDiff(Tables.orders(spark, sfDir)),
+        "bootstrap" -> SparkEntry.queries("q_bootstrap_ci")(spark, sfDir),
+        "attribution" -> SparkEntry.queries("q_attribution")(spark, sfDir))) {
       val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plan has a cartesian product")
     }
+    // the bootstrap's replicate fold must partial-aggregate map-side:
+    // the shuffle carries (b, partial-sum) pairs, never exploded rows
+    val bp = SparkEntry.queries("q_bootstrap_ci")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(bp.contains("partial_"), "bootstrap replicate fold not map-side combined")
   }
 
   test("table diff classifies added/removed/changed/unchanged exhaustively") {
