@@ -216,6 +216,60 @@ object Curation {
         .orderBy("source", "doc_id")
     },
 
+    // TOKEN-BUDGET EPOCH PLAN — given a training budget of 2× the corpus
+    // token mass split uniformly across sources, how many epochs (passes)
+    // does each source run? The repeat-factor table behind every
+    // fixed-budget pretraining mix (sources under their share get
+    // epochs > 1, heavy sources get < 1 = subsampled). Exact integer
+    // arithmetic end-to-end (BIGINT div), so the plan is hash-stable:
+    // one token-count aggregate at source cardinality, scalar broadcast.
+    "q_token_budget" -> { (s, d) =>
+      val perSrc = Tables.documents(s, d)
+        .select(col("source"), TextAnalysis.tokenCount(col("text"))
+          .cast("long").as("tok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens"))
+      val tot = perSrc.agg(sum(col("tokens")).as("total_tokens"),
+        count(lit(1)).as("n_sources"))
+      perSrc.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("tokens"),
+          expr("(2 * total_tokens) div n_sources").as("budget_tokens"),
+          expr("((2 * total_tokens) div n_sources) * 1000000 div tokens")
+            .as("epochs_ppm"))
+        .withColumn("oversampled", col("epochs_ppm") > 1000000L)
+        .orderBy("source")
+    },
+
+    // GROUP-AWARE SPLIT — the leakage-safe train/val/test split: the
+    // unit of assignment is the USER, not the event, so no user's
+    // history straddles splits (the GroupShuffleSplit contract; an
+    // event-level hash split leaks session context across the boundary).
+    // The report proves it: per split, event and user counts plus the
+    // count of users observed in more than one split — structurally 0
+    // because split is a pure function of user_id, and the query
+    // MEASURES it rather than assuming it (a refactor that switches the
+    // hash input to event_id fails this gate loudly). Frames after the
+    // first distinct are user-cardinality; the md5 bucket is the same
+    // cross-engine-deterministic idiom as q_sample_split.
+    "q_group_split" -> { (s, d) =>
+      val bucket = conv(substring(md5(col("user_id").cast("string")), 1, 4),
+        16, 10).cast("long") % 100
+      val split = when(bucket < 80, "train").when(bucket < 90, "val")
+        .otherwise("test")
+      val ev = Tables.events(s, d).select(col("user_id"), split.as("split"))
+      val us = ev.distinct()
+      val perUser = us.groupBy("user_id")
+        .agg(count(lit(1)).as("n_splits"))
+      val users = us.join(perUser, Seq("user_id"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_users"),
+          coalesce(sum(when(col("n_splits") > 1, 1L)), lit(0L))
+            .as("users_spanning"))
+      ev.groupBy("split").agg(count(lit(1)).as("n_events"))
+        .join(users, Seq("split"))
+        .orderBy("split")
+    },
+
     // Boilerplate stripping — URL and markup removal, the standard web-
     // corpus cleaning step (synthetic text has neither, so the first 20
     // docs get both planted, like the PII audit). Pure codegen'd regexp
@@ -296,6 +350,37 @@ object Curation {
         |    ORDER BY n_chars DESC, doc_id) AS rn
         | FROM documents)
         |WHERE rn <= 10 ORDER BY source, doc_id""".stripMargin,
+    "q_token_budget" ->
+      s"""WITH b AS (
+         | SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len($toksSql)) AS BIGINT) AS tokens
+         | FROM documents GROUP BY 1),
+         |t AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens,
+         |       CAST(count(*) AS BIGINT) AS n_sources FROM b)
+         |SELECT source, n_docs, tokens,
+         | (2 * total_tokens) // n_sources AS budget_tokens,
+         | ((2 * total_tokens) // n_sources) * 1000000 // tokens
+         |  AS epochs_ppm,
+         | ((2 * total_tokens) // n_sources) * 1000000 // tokens > 1000000
+         |  AS oversampled
+         |FROM b CROSS JOIN t ORDER BY source""".stripMargin,
+    "q_group_split" ->
+      """WITH ev AS (
+        | SELECT user_id, CASE
+        |  WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 80 THEN 'train'
+        |  WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 90 THEN 'val'
+        |  ELSE 'test' END AS split
+        | FROM events),
+        |us AS (SELECT DISTINCT user_id, split FROM ev),
+        |pu AS (SELECT user_id, count(*) AS n_splits FROM us GROUP BY 1),
+        |u AS (
+        | SELECT split, count(*) AS n_users,
+        |  COALESCE(CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT), 0) AS users_spanning
+        | FROM us JOIN pu USING (user_id) GROUP BY 1),
+        |e AS (SELECT split, count(*) AS n_events FROM ev GROUP BY 1)
+        |SELECT split, n_events, n_users, users_spanning
+        |FROM e JOIN u USING (split) ORDER BY split""".stripMargin,
     "q_decontaminate" ->
       s"""WITH shs AS (
          | SELECT doc_id, ${shinglesSql(toksSql, 5)} AS shs FROM documents),

@@ -124,11 +124,75 @@ object Evolution {
       .select(lit(k).as("k"), col("n_groups"), col("n_risky_groups"),
         col("n_risky_rows"))
 
+  /** l-diversity audit (Machanavajjhala et al. 2007): k-anonymity's
+    * complement — a QI group of ANY size whose sensitive attribute takes
+    * too few distinct values still leaks ("everyone in this group has the
+    * same diagnosis"). Per-QI-group distinct-sensitive counts, then a
+    * scalar report. Scale: countDistinct expands to the standard
+    * two-level aggregate (distinct (QI, sensitive) pairs map-side, then
+    * the group roll-up) — both frames are QI-cardinality-bounded.
+    */
+  def lDiversity(df: DataFrame, quasi: Seq[Column], sensitive: Column,
+                 l: Int): DataFrame =
+    df.groupBy(quasi: _*)
+      .agg(countDistinct(sensitive).as("div"), count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("n_groups"),
+        coalesce(sum(when(col("div") < l, 1L)), lit(0L))
+          .as("n_low_div_groups"),
+        coalesce(sum(when(col("div") < l, col("cnt"))), lit(0L))
+          .as("n_rows_at_risk"),
+        min(col("div")).as("min_diversity"))
+      .select(lit(l).as("l"), col("n_groups"), col("n_low_div_groups"),
+        col("n_rows_at_risk"), col("min_diversity"))
+
+  /** Join-cardinality (explosion) audit: before running an equi-join at
+    * 100 TB, estimate its output size from per-key counts alone —
+    * |A ⋈ B| = Σ_k n_A(k)·n_B(k). Two map-side-combined per-key counts
+    * (key-cardinality frames, NEVER the join itself), an inner hash join
+    * of those small frames, and a scalar fold. Reports the amplification
+    * factor and the worst key — the planner pre-flight that catches the
+    * skewed-key blowup (q_skew_salted_join's trigger condition) without
+    * paying for the join.
+    */
+  def joinCardinalityAudit(a: DataFrame, b: DataFrame,
+                           keyA: String, keyB: String): DataFrame = {
+    val ca = a.groupBy(col(keyA).as("k")).agg(count(lit(1)).as("na"))
+    val cb = b.groupBy(col(keyB).as("k")).agg(count(lit(1)).as("nb"))
+    val rowsA = a.agg(count(lit(1)).as("rows_a"))
+    val rowsB = b.agg(count(lit(1)).as("rows_b"))
+    ca.join(cb, Seq("k"))
+      .select(col("k"), (col("na") * col("nb")).as("contrib"))
+      .agg(count(lit(1)).as("n_matching_keys"),
+        coalesce(sum(col("contrib")), lit(0L)).as("est_join_rows"),
+        coalesce(max(col("contrib")), lit(0L)).as("max_key_contrib"))
+      .crossJoin(broadcast(rowsA)).crossJoin(broadcast(rowsB))
+      .select(col("n_matching_keys"), col("est_join_rows"),
+        col("max_key_contrib"), col("rows_a"), col("rows_b"),
+        // amplification vs the larger input, in thousandths (integer —
+        // a float ratio would be the one hash-drift risk in the report)
+        floor(col("est_join_rows") * 1000.0 /
+          greatest(col("rows_a"), col("rows_b"))).cast("long")
+          .as("amplification_x1000"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_k_anonymity" -> { (s, d) =>
       kAnonymity(Tables.customer(s, d), Seq(col("c_nationkey"),
         col("c_mktsegment"),
         floor(col("c_acctbal") / 1000).cast("int")), k = 5)
+    },
+    "q_l_diversity" -> { (s, d) =>
+      lDiversity(Tables.customer(s, d),
+        Seq(col("c_nationkey"), col("c_mktsegment")),
+        floor(col("c_acctbal") / 1000).cast("int"), l = 3)
+    },
+    // Self-join on l_partkey: the classic "same part, all line pairs"
+    // explosion shape — per-key counts are identical on both sides so
+    // the estimate is Σ n_k², audited without materializing a single
+    // joined row.
+    "q_join_cardinality" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      joinCardinalityAudit(li, li, "l_partkey", "l_partkey")
     },
     // ENCODING AUDIT — per-column NDV ratios driving the dictionary-vs-
     // plain layout call (a low-NDV column stored plain wastes scan I/O
@@ -163,6 +227,30 @@ object Evolution {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_l_diversity" ->
+      """WITH g AS (
+        | SELECT c_nationkey, c_mktsegment,
+        |  count(DISTINCT CAST(floor(c_acctbal / 1000) AS INTEGER)) AS div,
+        |  count(*) AS cnt
+        | FROM customer GROUP BY 1, 2)
+        |SELECT 3 AS l, count(*) AS n_groups,
+        | COALESCE(CAST(sum(CASE WHEN div < 3 THEN 1 ELSE 0 END) AS BIGINT), 0)
+        |  AS n_low_div_groups,
+        | COALESCE(CAST(sum(CASE WHEN div < 3 THEN cnt ELSE 0 END) AS BIGINT), 0)
+        |  AS n_rows_at_risk,
+        | min(div) AS min_diversity
+        |FROM g""".stripMargin,
+    "q_join_cardinality" ->
+      """WITH c AS (
+        | SELECT l_partkey AS k, count(*) AS n FROM lineitem GROUP BY 1),
+        |tot AS (SELECT count(*) AS rows_a FROM lineitem)
+        |SELECT count(*) AS n_matching_keys,
+        | COALESCE(CAST(sum(n * n) AS BIGINT), 0) AS est_join_rows,
+        | COALESCE(CAST(max(n * n) AS BIGINT), 0) AS max_key_contrib,
+        | rows_a, rows_a AS rows_b,
+        | CAST(floor(COALESCE(sum(n * n), 0) * 1000.0 / rows_a) AS BIGINT)
+        |  AS amplification_x1000
+        |FROM c, tot GROUP BY rows_a""".stripMargin,
     "q_k_anonymity" ->
       """WITH g AS (
         | SELECT c_nationkey, c_mktsegment,

@@ -504,6 +504,35 @@ object TextAnalysis {
             .as("rep_ratio"))
         .orderBy("doc_id")
     },
+    // TOP-BIGRAM SHARE (Gopher repetition filter, Rae et al. 2021 §A1.1:
+    // "fraction of tokens in the most common n-gram"): q_text_repetition's
+    // unigram screen misses looping generations that alternate two tokens
+    // ("the cat the cat …" has rep_ratio 0.5 but bigram share ~1.0).
+    // Bigrams are built map-side in ONE codegen'd projection
+    // (sequence+transform over the token array — no self-join, no
+    // window); the only shuffle is the (doc_id, bigram) count, and every
+    // per-doc frame is doc-length-bounded. The size≥2 guard matters:
+    // Spark's sequence(0, -1) generates DESCENDING, so an unguarded
+    // empty doc would fabricate a phantom bigram.
+    "q_top_bigram" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val bg = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(t) - 2)," +
+            " i -> concat(element_at(t, i + 1), ' ', element_at(t, i + 2)))"))
+          .as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id").agg(max(col("cnt")).as("top_cnt"),
+          sum(col("cnt")).as("n_bigrams"))
+      docs.select("doc_id").join(bg, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("top_cnt", "n_bigrams"))
+        .select(col("doc_id"), col("n_bigrams"), col("top_cnt"),
+          when(col("n_bigrams") === 0, 0.0)
+            .otherwise(round(col("top_cnt").cast("double") /
+              col("n_bigrams").cast("double"), 6)).as("rep2_ratio"))
+        .orderBy("doc_id")
+    },
     // Stratified deterministic sampling: ~40% of docs per language stratum
     // via the md5 bucket (reproducible across engines/partitionings,
     // unlike df.sample whose output depends on partition layout).
@@ -836,6 +865,23 @@ object TextAnalysis {
            | CASE WHEN len(${tokensSql("text")}) = 0 THEN 0.0
            |  ELSE CAST(top_cnt AS DOUBLE) / CAST(len(${tokensSql("text")}) AS DOUBLE) END AS rep_ratio
            |FROM documents d LEFT JOIN tf ON d.doc_id = tf.doc_id
+           |ORDER BY d.doc_id""".stripMargin,
+      "q_top_bigram" ->
+        s"""WITH bg AS (
+           | SELECT doc_id, unnest(list_transform(
+           |   range(1, len(${tokensSql("text")})),
+           |   i -> ${tokensSql("text")}[i] || ' ' || ${tokensSql("text")}[i + 1]))
+           |  AS bg
+           | FROM documents WHERE len(${tokensSql("text")}) >= 2),
+           |c AS (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2),
+           |t AS (SELECT doc_id, max(cnt) AS top_cnt,
+           |       CAST(sum(cnt) AS BIGINT) AS n_bigrams FROM c GROUP BY 1)
+           |SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
+           | COALESCE(top_cnt, 0) AS top_cnt,
+           | CASE WHEN COALESCE(n_bigrams, 0) = 0 THEN 0.0
+           |  ELSE round(CAST(top_cnt AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6)
+           |  END AS rep2_ratio
+           |FROM documents d LEFT JOIN t ON d.doc_id = t.doc_id
            |ORDER BY d.doc_id""".stripMargin,
       "q_vocab_topk" ->
         s"""SELECT token, count(*) AS freq

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation, Evolution, TextAnalysis}
+
+/** Round-7 continuation additions: privacy l-diversity, join-cardinality
+  * audit, Gopher top-bigram repetition, token-budget plan, group split.
+  */
+class Round7bSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("l-diversity: low-diversity group detected even when k-anonymous") {
+    // group (1, 'A'): 4 rows but only ONE sensitive value -> diversity 1
+    // group (2, 'B'): 3 rows with 3 distinct sensitive values -> ok at l=3
+    val df = Seq(
+      (1, "A", 10), (1, "A", 10), (1, "A", 10), (1, "A", 10),
+      (2, "B", 1), (2, "B", 2), (2, "B", 3)
+    ).toDF("g1", "g2", "sens")
+    val r = Evolution.lDiversity(df, Seq(col("g1"), col("g2")),
+      col("sens"), l = 3).head()
+    assert(r.getAs[Long]("n_groups") == 2L)
+    assert(r.getAs[Long]("n_low_div_groups") == 1L)
+    assert(r.getAs[Long]("n_rows_at_risk") == 4L)
+    assert(r.getAs[Long]("min_diversity") == 1L)
+  }
+
+  test("join-cardinality audit: exact Σ n_a·n_b without running the join") {
+    val a = Seq(1, 1, 2).toDF("k")
+    val b = Seq(1, 2, 2, 3).toDF("k")
+    val r = Evolution.joinCardinalityAudit(a, b, "k", "k").head()
+    // key 1: 2·1 = 2, key 2: 1·2 = 2 -> est 4; key 3 unmatched
+    assert(r.getAs[Long]("n_matching_keys") == 2L)
+    assert(r.getAs[Long]("est_join_rows") == 4L)
+    assert(r.getAs[Long]("max_key_contrib") == 2L)
+    assert(r.getAs[Long]("amplification_x1000") == 1000L)
+    // the audit's estimate equals the true join size by identity
+    assert(a.join(b, "k").count() == 4L)
+  }
+
+  test("top-bigram share catches the two-token loop unigram screen misses") {
+    val q = TextAnalysis.queries("q_top_bigram")
+    val docs = Seq(
+      (0L, "the cat the cat the cat"), // bigram 'the cat' 3 of 5
+      (1L, "all distinct words here now"),
+      (2L, "solo")
+    ).toDF("doc_id", "text")
+    // drive the operator body directly on a planted frame
+    val bg = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 2)," +
+          " i -> concat(element_at(t, i + 1), ' ', element_at(t, i + 2)))"))
+        .as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(max(col("cnt")).as("top_cnt"),
+        sum(col("cnt")).as("n_bigrams"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(bg(0L) == (3L, 5L)) // 'the cat' x3 over 5 bigrams -> 0.6
+    assert(bg(1L) == (1L, 4L))
+    assert(!bg.contains(2L)) // single-token doc: no phantom bigram
+    // and the gated query is well-formed on the real corpus
+    val real = q(spark, sfDir)
+    assert(real.count() > 0)
+    assert(real.filter(col("rep2_ratio") > 1.0 || col("rep2_ratio") < 0.0)
+      .count() == 0)
+  }
+
+  test("group split: user-level assignment has zero cross-split leakage") {
+    val r = Curation.queries("q_group_split")(spark, sfDir)
+      .collect()
+    assert(r.length == 3)
+    assert(r.map(_.getAs[Long]("users_spanning")).sum == 0L)
+    val events = Tables.events(spark, sfDir)
+    assert(r.map(_.getAs[Long]("n_events")).sum == events.count())
+    assert(r.map(_.getAs[Long]("n_users")).sum ==
+      events.select("user_id").distinct().count())
+  }
+
+  test("token budget: uniform 2x-corpus plan conserves the budget") {
+    val rows = Curation.queries("q_token_budget")(spark, sfDir).collect()
+    val totalTok = rows.map(_.getAs[Long]("tokens")).sum
+    val budgets = rows.map(_.getAs[Long]("budget_tokens"))
+    // every source gets the same uniform slice; sum ~= 2x corpus (integer
+    // division loses < n_sources tokens)
+    assert(budgets.distinct.length == 1)
+    val lost = 2 * totalTok - budgets.sum
+    assert(lost >= 0 && lost < rows.length.toLong,
+      s"budget must be 2x total minus div remainder, lost=$lost")
+    rows.foreach { r =>
+      val ppm = r.getAs[Long]("epochs_ppm")
+      assert(ppm == r.getAs[Long]("budget_tokens") * 1000000L /
+        r.getAs[Long]("tokens"))
+      assert(r.getAs[Boolean]("oversampled") == (ppm > 1000000L))
+    }
+  }
+}
