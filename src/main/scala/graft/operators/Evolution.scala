@@ -175,7 +175,46 @@ object Evolution {
           .as("amplification_x1000"))
   }
 
+  /** Schema-drift audit between two dataset snapshots: classify every
+    * column as added / removed / type_changed / unchanged from the
+    * parquet FOOTERS alone (pure metadata — zero data rows move, the
+    * whole audit is O(columns) regardless of corpus size, which is the
+    * point at 100 TB: the gate runs before any load is promoted). Each
+    * engine compares type names in its OWN type system, so the report's
+    * class labels are engine-portable even though "int" spells INTEGER
+    * in DuckDB.
+    */
+  def schemaDrift(s: SparkSession, pathA: String, pathB: String): DataFrame = {
+    import s.implicits._
+    def fields(p: String) =
+      s.read.parquet(p).schema.map(f => (f.name, f.dataType.simpleString))
+    val a = fields(pathA).toDF("col_name", "type_a")
+    val b = fields(pathB).toDF("col_name", "type_b")
+    a.join(b, Seq("col_name"), "full_outer")
+      .select(col("col_name"),
+        when(col("type_a").isNull, "added")
+          .when(col("type_b").isNull, "removed")
+          .when(col("type_a") =!= col("type_b"), "type_changed")
+          .otherwise("unchanged").as("change_class"))
+      .orderBy("col_name")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Snapshot B is carved deterministically from orders: one column
+    // dropped (o_orderpriority), one added (o_channel), one narrowed
+    // (o_custkey bigint -> int) — the three drift classes a real
+    // producer-side schema change produces. B round-trips through a real
+    // parquet write so the audited footer is the artifact a downstream
+    // reader would actually see.
+    "q_schema_drift" -> { (s, d) =>
+      val scratch = "/root/repo/target/scratch/schema_b"
+      s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey").cast("int").as("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+          lit("web").as("o_channel"))
+        .write.mode("overwrite").parquet(scratch)
+      schemaDrift(s, s"$d/orders.parquet", scratch)
+    },
     "q_k_anonymity" -> { (s, d) =>
       kAnonymity(Tables.customer(s, d), Seq(col("c_nationkey"),
         col("c_mktsegment"),
@@ -227,6 +266,27 @@ object Evolution {
   )
 
   def oracles: Map[String, String] = Map(
+    // The oracle derives snapshot B's schema from the SAME projection in
+    // DuckDB's own type system (DESCRIBE of the equivalent SELECT) — each
+    // engine classifies in its own type names, the class labels compare.
+    "q_schema_drift" ->
+      """WITH a AS (
+        | SELECT column_name, column_type
+        | FROM (DESCRIBE SELECT * FROM orders)),
+        |b AS (
+        | SELECT column_name, column_type
+        | FROM (DESCRIBE SELECT o_orderkey,
+        |        CAST(o_custkey AS INTEGER) AS o_custkey,
+        |        o_orderstatus, o_totalprice, o_orderdate,
+        |        'web' AS o_channel
+        |       FROM orders))
+        |SELECT COALESCE(a.column_name, b.column_name) AS col_name,
+        | CASE WHEN a.column_name IS NULL THEN 'added'
+        |      WHEN b.column_name IS NULL THEN 'removed'
+        |      WHEN a.column_type <> b.column_type THEN 'type_changed'
+        |      ELSE 'unchanged' END AS change_class
+        |FROM a FULL OUTER JOIN b ON a.column_name = b.column_name
+        |ORDER BY col_name""".stripMargin,
     "q_l_diversity" ->
       """WITH g AS (
         | SELECT c_nationkey, c_mktsegment,

@@ -170,6 +170,46 @@ object Sketches {
           (abs(col("__approx") - col("exact_distinct")) <=
             col("exact_distinct").cast("double") * 0.02).as("within_tol"))
     },
+    // SKETCH-SPACE SET INTERSECTION — |A∩B| ≈ est(A) + est(B) − est(A∪B)
+    // (inclusion–exclusion; HLL unions are lossless, intersections are
+    // not, so IE is THE production pattern for audience overlap at
+    // 100 TB: three sketch reads instead of a user-level join). Sets are
+    // time-disjoint by construction (viewers of the first half-window vs
+    // purchasers of the second) so the overlap is a real subset. The
+    // exact twin (one semi-join at user cardinality) gates the IE error
+    // against its union-relative bound; only exact values and the
+    // boolean contract cross engines.
+    "q_hll_intersection" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).as("day"))
+      val mid = ev.agg(((min(col("day")) + max(col("day"))) / 2)
+        .cast("long").as("mid"))
+      val evm = ev.crossJoin(broadcast(mid))
+      val a = evm.filter(col("event_type") === "view" && col("day") <= col("mid"))
+        .select("user_id")
+      val b = evm.filter(col("event_type") === "purchase" && col("day") > col("mid"))
+        .select("user_id")
+      val skA = a.agg(hll_sketch_agg(col("user_id")).as("ska"),
+        count_distinct(col("user_id")).as("exact_a"))
+      val skB = b.agg(hll_sketch_agg(col("user_id")).as("skb"),
+        count_distinct(col("user_id")).as("exact_b"))
+      val exactU = a.union(b)
+        .agg(count_distinct(col("user_id")).as("exact_union"))
+      val exactI = a.distinct()
+        .join(b.distinct(), Seq("user_id"), "left_semi")
+        .agg(count(lit(1)).as("exact_intersection"))
+      skA.crossJoin(broadcast(skB)).crossJoin(broadcast(exactU))
+        .crossJoin(broadcast(exactI))
+        .select(col("exact_a"), col("exact_b"), col("exact_union"),
+          col("exact_intersection"),
+          (abs(hll_sketch_estimate(col("ska")) +
+            hll_sketch_estimate(col("skb")) -
+            hll_sketch_estimate(hll_union(col("ska"), col("skb"))) -
+            col("exact_intersection")) <=
+            greatest(col("exact_union").cast("double") * 0.05, lit(5.0)))
+            .as("within_tol"))
+    },
     // Count-min sketch frequencies vs exact, gating the classic bound:
     // never under, over by ≤ e/width·N. The sketch pass is the scale
     // path (fixed 4×2048 Long grid per partial, elementwise-add merge);
@@ -223,6 +263,24 @@ object Sketches {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         | TRUE AS within_tol
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_hll_intersection" ->
+      """WITH e AS (
+        | SELECT user_id, event_type,
+        |  datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+        | FROM events),
+        |m AS (SELECT CAST(floor((min(day) + max(day)) / 2.0) AS BIGINT)
+        |       AS mid FROM e),
+        |a AS (SELECT DISTINCT user_id FROM e, m
+        |      WHERE event_type = 'view' AND day <= mid),
+        |b AS (SELECT DISTINCT user_id FROM e, m
+        |      WHERE event_type = 'purchase' AND day > mid)
+        |SELECT (SELECT count(*) FROM a) AS exact_a,
+        | (SELECT count(*) FROM b) AS exact_b,
+        | (SELECT count(*) FROM (SELECT user_id FROM a UNION SELECT user_id FROM b))
+        |  AS exact_union,
+        | (SELECT count(*) FROM a JOIN b USING (user_id))
+        |  AS exact_intersection,
+        | TRUE AS within_tol""".stripMargin,
     "q_hll_rollup" ->
       """SELECT CAST(year(ts) AS INTEGER) AS yr,
         | count(DISTINCT user_id) AS exact_users, TRUE AS within_tol

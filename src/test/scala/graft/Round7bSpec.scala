@@ -76,6 +76,48 @@ class Round7bSpec extends SparkSpec {
       events.select("user_id").distinct().count())
   }
 
+  test("cuped: exact linear pre/post relation gives theta=2, 100% reduction") {
+    // user u: pre-period (day 0) spend u, post-period (day 10) spend 2u
+    // -> y = 2x exactly, so cov/var = 2 and adjusted variance collapses
+    val ts0 = java.sql.Timestamp.valueOf("1970-01-01 12:00:00")
+    val ts1 = java.sql.Timestamp.valueOf("1970-01-11 12:00:00")
+    val ev = (1 to 10).flatMap { u =>
+      Seq((u.toLong, "purchase", ts0, u.toDouble),
+        (u.toLong, "purchase", ts1, 2.0 * u))
+    }.toDF("user_id", "event_type", "ts", "value")
+    val r = graft.operators.Analytics.cuped(ev).head()
+    assert(r.getAs[Long]("n_users") == 10L)
+    assert(math.abs(r.getAs[Double]("theta") - 2.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("var_adj")) < 1e-9)
+    assert(math.abs(r.getAs[Double]("var_reduction_pct") - 100.0) < 1e-9)
+    // var(y) = var(2..20) population variance = 4 * 8.25 = 33 dollars^2
+    assert(math.abs(r.getAs[Double]("var_y") - 33.0) < 1e-9)
+  }
+
+  test("schema drift classifies added/removed/type_changed from footers") {
+    val a = "/root/repo/target/scratch/r7b_schema_a"
+    val b = "/root/repo/target/scratch/r7b_schema_b"
+    Seq((1L, "x", 1.0)).toDF("id", "name", "score").write
+      .mode("overwrite").parquet(a)
+    Seq((1, "x", true)).toDF("id", "flag", "extra").write
+      .mode("overwrite").parquet(b) // id long->int, name removed, 2 added
+    val got = Evolution.schemaDrift(spark, a, b).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("id" -> "type_changed", "name" -> "removed",
+      "score" -> "removed", "flag" -> "added", "extra" -> "added"))
+  }
+
+  test("hll intersection: IE estimate honors set identities on the corpus") {
+    val r = graft.operators.Sketches.queries("q_hll_intersection")(spark, sfDir)
+      .head()
+    val (ea, eb) = (r.getAs[Long]("exact_a"), r.getAs[Long]("exact_b"))
+    val (eu, ei) = (r.getAs[Long]("exact_union"),
+      r.getAs[Long]("exact_intersection"))
+    assert(eu == ea + eb - ei) // inclusion-exclusion on the exact twin
+    assert(ei <= math.min(ea, eb))
+    assert(r.getAs[Boolean]("within_tol"))
+  }
+
   test("token budget: uniform 2x-corpus plan conserves the budget") {
     val rows = Curation.queries("q_token_budget")(spark, sfDir).collect()
     val totalTok = rows.map(_.getAs[Long]("tokens")).sum
