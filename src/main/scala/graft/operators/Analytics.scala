@@ -1440,6 +1440,44 @@ object Analytics {
         .as("var_reduction_pct"))
   }
 
+  /** Kaplan-Meier fold over an events frame (see q_kaplan_meier): spans
+    * ending on the corpus boundary are right-censored; the product folds
+    * as a cumulative DECIMAL sum of 6dp ln terms on the duration spine.
+    */
+  def kaplanMeier(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"), to_date(col("ts")).as("dt"))
+    val mx = ev.agg(max(col("dt")).as("mx"))
+    val per = ev.crossJoin(broadcast(mx))
+      .groupBy("user_id")
+      .agg(datediff(max(col("dt")), min(col("dt"))).as("dur"),
+        (max(col("dt")) === max(col("mx"))).as("censored"))
+    val byDur = per.groupBy("dur")
+      .agg(sum(when(!col("censored"), 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("n_ending"))
+    val w = Window.orderBy("dur")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.orderBy("dur")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val total = per.agg(count(lit(1)).as("n_total"))
+    byDur.crossJoin(broadcast(total))
+      .withColumn("n_at_risk",
+        col("n_total") - coalesce(sum(col("n_ending")).over(wPrev), lit(0L)))
+      .withColumn("term",
+        when(col("d") < col("n_at_risk"),
+          round(log(lit(1.0) - col("d").cast("double") /
+            col("n_at_risk").cast("double")), 6))
+          .otherwise(0.0).cast(DecimalType(18, 6)))
+      .withColumn("dead", max((col("d") === col("n_at_risk")).cast("int"))
+        .over(w))
+      .withColumn("cuml", sum(col("term")).over(w))
+      .filter(col("d") > 0)
+      .select(col("dur"), col("n_at_risk"), col("d"),
+        when(col("dead") === 1, 0.0)
+          .otherwise(round(exp(col("cuml").cast("double")), 6))
+          .as("survival"))
+      .orderBy("dur")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A6 — the one-call wide describe over lineitem's measures + flags.
     "q_a6_describe_all" -> { (s, d) =>
@@ -1496,6 +1534,74 @@ object Analytics {
     // cast to double once, so every division is IEEE-identical across
     // engines (the q_partial_corr convention).
     "q_cuped" -> { (s, d) => cuped(Tables.events(s, d)) },
+    // RFM SEGMENTATION (Hughes 1994; the classic CRM cube): per-user
+    // Recency / Frequency / Monetary, quartile-scored 1..4 through the
+    // distributed exact-percentile engine (quantile_cont parity, the
+    // q_decile_report pattern), then segment counts. Everything after
+    // the per-user aggregate runs on user-cardinality frames; the nine
+    // thresholds ride one broadcast row.
+    "q_rfm" -> { (s, d) =>
+      import graft.CacheScope.TrackedDataset
+      val ev = Tables.events(s, d)
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .select(col("user_id"), to_date(col("ts")).as("dt"),
+          (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      val mx = ev.agg(max(col("dt")).as("mx"))
+      val per = ev.crossJoin(broadcast(mx))
+        .groupBy("user_id")
+        .agg(datediff(max(col("mx")), max(col("dt"))).cast("double").as("r"),
+          count(lit(1)).cast("double").as("f"),
+          sum(col("cents")).cast("double").as("m"))
+        .persistTracked()
+      val qs = Seq(0.25, 0.5, 0.75)
+      def thr(c: String) = exactPercentiles(per, c,
+        qs.zipWithIndex.map { case (q, i) => s"$c${i + 1}" -> q })
+      def score(c: String) = lit(1) +
+        (1 to 3).map(i => when(col(c) > col(s"$c$i"), 1).otherwise(0))
+          .reduce(_ + _)
+      per.crossJoin(broadcast(thr("r"))).crossJoin(broadcast(thr("f")))
+        .crossJoin(broadcast(thr("m")))
+        .select(score("r").as("r_score"), score("f").as("f_score"),
+          score("m").as("m_score"))
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("r_score", "f_score", "m_score")
+    },
+    // KAPLAN-MEIER SURVIVAL over user activity spans (Kaplan & Meier
+    // 1958): duration = last-minus-first active day; users whose last
+    // activity touches the corpus boundary are right-CENSORED (they count
+    // in the at-risk denominator, never as churn). The KM product folds
+    // as a cumulative DECIMAL sum of 6dp-rounded ln terms over the
+    // duration spine (order-independent; a raw double Π would drift) —
+    // the spine is duration-bounded (≤ calendar days), so both
+    // unpartitioned windows run on a provably small frame. A d=n step
+    // drives survival to exact 0 via the flag, not ln(0).
+    "q_kaplan_meier" -> { (s, d) => kaplanMeier(Tables.events(s, d)) },
+    // MINIMUM DETECTABLE EFFECT at alpha=0.05 / power=0.8 for a
+    // two-arm split of the order stream — the "is this experiment even
+    // worth running" scalar every platform computes next to q_ab_test:
+    // MDE = (z_{0.975} + z_{0.8}) * sqrt(2 sigma^2 / n). One exact-moment
+    // aggregate; constants are 6dp literals shared with the oracle.
+    "q_mde" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+        .select((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"))
+      def dec(c: Column) = c.cast(DecimalType(38, 0))
+      val m = o.agg(count(lit(1)).as("n"), sum(dec(col("cents"))).as("sx"),
+        sum(dec(col("cents")) * dec(col("cents"))).as("sxx"))
+      val nD = dec(col("n"))
+      val vx = (nD * col("sxx") - col("sx") * col("sx")).cast("double")
+      val n2 = col("n").cast("double") * col("n").cast("double")
+      val variance = vx / n2 / 10000.0 // dollars^2, population
+      val mean = col("sx").cast("double") / col("n").cast("double") / 100.0
+      val nArm = expr("n div 2")
+      val mde = lit(2.801585) * // z_{0.975} + z_{0.8}, 6dp literal
+        sqrt(lit(2.0) * variance / nArm.cast("double"))
+      m.select(nArm.as("n_per_arm"), round(mean, 6).as("mean"),
+        round(variance, 6).as("variance"),
+        round(mde, 6).as("mde_abs"),
+        round(mde / mean * 100.0, 6).as("mde_rel_pct"))
+    },
     // POISSON BOOTSTRAP 95% CI of mean order value (Chamandy et al.,
     // "Estimating Uncertainty for Massive Data Streams", Google 2012 —
     // the distributed bootstrap: resampling n-with-replacement doesn't
@@ -2144,6 +2250,91 @@ object Analytics {
         s"SELECT '$x' AS x, '$y' AS y, \"corr\" FROM (${exactCorrSql(x, y, "lineitem")})"
       }.mkString("", "\nUNION ALL\n", "\nORDER BY x, y")
     },
+    "q_rfm" -> {
+      val caseFor = (c: String) => s"1 + (CASE WHEN $c > ${c}1 THEN 1 ELSE 0 END" +
+        s" + CASE WHEN $c > ${c}2 THEN 1 ELSE 0 END" +
+        s" + CASE WHEN $c > ${c}3 THEN 1 ELSE 0 END)"
+      val thrCols = Seq("r", "f", "m").flatMap { c =>
+        Seq(0.25, 0.5, 0.75).zipWithIndex.map { case (q, i) =>
+          s"quantile_cont($c, $q) AS $c${i + 1}" }
+      }.mkString(", ")
+      s"""WITH e AS (
+         | SELECT user_id, CAST(ts AS DATE) AS dt,
+         |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         | FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+         |mx AS (SELECT max(dt) AS mx FROM e),
+         |p AS (
+         | SELECT user_id,
+         |  CAST(datediff('day', max(dt), max(mx)) AS DOUBLE) AS r,
+         |  CAST(count(*) AS DOUBLE) AS f,
+         |  CAST(sum(cents) AS DOUBLE) AS m
+         | FROM e, mx GROUP BY 1),
+         |t AS (SELECT $thrCols FROM p)
+         |SELECT ${caseFor("r")} AS r_score, ${caseFor("f")} AS f_score,
+         | ${caseFor("m")} AS m_score, count(*) AS n_users
+         |FROM p, t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+    },
+    "q_kaplan_meier" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS dt FROM events),
+        |mx AS (SELECT max(dt) AS mx FROM e),
+        |p AS (
+        | SELECT user_id,
+        |  CAST(datediff('day', min(dt), max(dt)) AS INTEGER) AS dur,
+        |  max(dt) = max(mx) AS censored
+        | FROM e, mx GROUP BY 1),
+        |bd AS (
+        | SELECT dur,
+        |  CAST(sum(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |  count(*) AS n_ending
+        | FROM p GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_total FROM p),
+        |r AS (
+        | SELECT dur, d,
+        |  n_total - COALESCE(CAST(sum(n_ending) OVER (ORDER BY dur
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |   AS n_at_risk
+        | FROM bd, tot),
+        |s AS (
+        | SELECT dur, d, n_at_risk,
+        |  CAST(CASE WHEN d < n_at_risk THEN
+        |    round(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE)), 6)
+        |   ELSE 0.0 END AS DECIMAL(18,6)) AS term,
+        |  max(CASE WHEN d = n_at_risk THEN 1 ELSE 0 END) OVER (ORDER BY dur
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+        | FROM r),
+        |c AS (
+        | SELECT dur, d, n_at_risk, dead,
+        |  sum(term) OVER (ORDER BY dur
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuml
+        | FROM s)
+        |SELECT dur, n_at_risk, d,
+        | CASE WHEN dead = 1 THEN 0.0
+        |  ELSE round(exp(CAST(cuml AS DOUBLE)), 6) END AS survival
+        |FROM c WHERE d > 0 ORDER BY dur""".stripMargin,
+    "q_mde" ->
+      """WITH o AS (
+        | SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |  AS cents FROM orders),
+        |m AS (
+        | SELECT CAST(count(*) AS HUGEINT) AS n,
+        |  CAST(sum(cents) AS HUGEINT) AS sx,
+        |  sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS sxx
+        | FROM o)
+        |SELECT CAST(n AS BIGINT) // 2 AS n_per_arm,
+        | round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6) AS mean,
+        | round(CAST(n * sxx - sx * sx AS DOUBLE)
+        |  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 10000.0, 6) AS variance,
+        | round(2.801585 * sqrt(2.0
+        |  * (CAST(n * sxx - sx * sx AS DOUBLE)
+        |     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 10000.0)
+        |  / CAST(CAST(n AS BIGINT) // 2 AS DOUBLE)), 6) AS mde_abs,
+        | round(2.801585 * sqrt(2.0
+        |  * (CAST(n * sxx - sx * sx AS DOUBLE)
+        |     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 10000.0)
+        |  / CAST(CAST(n AS BIGINT) // 2 AS DOUBLE))
+        |  / (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0) * 100.0, 6)
+        |  AS mde_rel_pct
+        |FROM m""".stripMargin,
     "q_cuped" ->
       """WITH e AS (
         | SELECT user_id,

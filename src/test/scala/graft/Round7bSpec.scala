@@ -118,6 +118,47 @@ class Round7bSpec extends SparkSpec {
     assert(r.getAs[Boolean]("within_tol"))
   }
 
+  test("kaplan-meier: planted churn/censor table matches the hand product") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(
+      f"1970-01-${day + 1}%02d 12:00:00")
+    // max day = 10. u1 span 0-1 (churn, dur 1); u2 span 0-2 (churn, dur
+    // 2); u3 span 7-10 (censored, dur 3); u4 span 0-10 (censored).
+    val ev = Seq(
+      (1L, ts(0)), (1L, ts(1)),
+      (2L, ts(0)), (2L, ts(2)),
+      (3L, ts(7)), (3L, ts(10)),
+      (4L, ts(0)), (4L, ts(10))
+    ).toDF("user_id", "ts")
+    val rows = graft.operators.Analytics.kaplanMeier(ev).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq(
+      1 -> (4L, 1L, 0.75), // S(1) = 1 - 1/4
+      2 -> (3L, 1L, 0.5))) // S(2) = 0.75 * (1 - 1/3)
+  }
+
+  test("mde: scalar report is internally consistent on the corpus") {
+    val r = graft.operators.Analytics.queries("q_mde")(spark, sfDir).head()
+    val (mean, variance) = (r.getAs[Double]("mean"), r.getAs[Double]("variance"))
+    val (abs, rel) = (r.getAs[Double]("mde_abs"), r.getAs[Double]("mde_rel_pct"))
+    assert(mean > 0 && variance > 0 && abs > 0)
+    assert(math.abs(rel - abs / mean * 100.0) < 1e-3)
+    // halving n per arm must inflate the MDE by ~sqrt(2)
+    val n = r.getAs[Long]("n_per_arm")
+    val expected = 2.801585 * math.sqrt(2.0 * variance / n)
+    assert(math.abs(abs - expected) < 1e-3)
+  }
+
+  test("rfm: quartile scores partition the purchasing-user population") {
+    val rows = graft.operators.Analytics.queries("q_rfm")(spark, sfDir).collect()
+    rows.foreach { r =>
+      (0 to 2).foreach(i => assert(r.getInt(i) >= 1 && r.getInt(i) <= 4))
+    }
+    val buyers = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == buyers)
+  }
+
   test("token budget: uniform 2x-corpus plan conserves the budget") {
     val rows = Curation.queries("q_token_budget")(spark, sfDir).collect()
     val totalTok = rows.map(_.getAs[Long]("tokens")).sum
