@@ -428,6 +428,46 @@ object Relational {
         .limit(100)
     },
 
+    // ZONE-MAP PRUNING AUDIT — quantifies WHY the sorted layout matters
+    // at 100 TB: carve the fact into 64 equal-width "files" under two
+    // layouts (date-range = the sorted writer, orderkey-range = raw
+    // insertion order), compute per-file min/max zone maps (ONE map-side
+    // combined groupBy each, 64-row frames), and replay a one-month
+    // probe: a file is scanned iff its [min,max] intersects the range —
+    // exactly parquet row-group pruning. The sorted layout scans ~1/80
+    // of rows, insertion order scans ~everything; the delta IS the
+    // data-layout argument q_zorder_layout's key enables.
+    "q_zonemap_prune" -> { (s, d) =>
+      val nF = 64
+      val li = Tables.lineitem(s, d)
+        .select(to_date(col("l_shipdate")).as("sd"), col("l_orderkey"))
+      val mm = li.agg(min(col("sd")).as("lo"), max(col("sd")).as("hi"),
+        min(col("l_orderkey")).as("klo"), max(col("l_orderkey")).as("khi"))
+      val f = li.crossJoin(broadcast(mm))
+        .select(col("sd"),
+          expr(s"(datediff(sd, lo) * $nF) div (datediff(hi, lo) + 1)")
+            .as("f_sorted"),
+          expr(s"((l_orderkey - klo) * $nF) div (khi - klo + 1)")
+            .as("f_ins"))
+      val (pLo, pHi) = ("1997-03-01", "1997-03-31")
+      def audit(fileCol: String, label: String) = {
+        val files = f.groupBy(fileCol)
+          .agg(min(col("sd")).as("mn"), max(col("sd")).as("mx"),
+            count(lit(1)).as("n"))
+        val scanned = col("mn") <= lit(pHi).cast("date") &&
+          col("mx") >= lit(pLo).cast("date")
+        files.agg(count(lit(1)).as("files_total"),
+          coalesce(sum(when(scanned, 1L)), lit(0L)).as("files_scanned"),
+          sum(col("n")).as("rows_total"),
+          coalesce(sum(when(scanned, col("n"))), lit(0L)).as("rows_scanned"))
+          .select(lit(label).as("layout"), col("files_total"),
+            col("files_scanned"), col("rows_total"), col("rows_scanned"))
+      }
+      audit("f_sorted", "date_sorted")
+        .unionByName(audit("f_ins", "insertion"))
+        .orderBy("layout")
+    },
+
     // S3/API surface — the spark.sql() entry path over registered views
     // (the reference's SQL-text surface): same Catalyst plan as the
     // DataFrame API, proven by the shared oracle.
@@ -756,6 +796,42 @@ object Relational {
         | CAST(floor(cnt * n_keys * 1000000 / total) AS BIGINT) AS skew_x_mean_ppm
         |FROM counts CROSS JOIN tot
         |ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin,
+    "q_zonemap_prune" ->
+      """WITH li AS (
+        | SELECT CAST(l_shipdate AS DATE) AS sd, l_orderkey FROM lineitem),
+        |mm AS (SELECT min(sd) AS lo, max(sd) AS hi,
+        |        min(l_orderkey) AS klo, max(l_orderkey) AS khi FROM li),
+        |f AS (
+        | SELECT sd,
+        |  (datediff('day', lo, sd) * 64) // (datediff('day', lo, hi) + 1)
+        |   AS f_sorted,
+        |  ((l_orderkey - klo) * 64) // (khi - klo + 1) AS f_ins
+        | FROM li, mm),
+        |s1 AS (SELECT f_sorted, min(sd) AS mn, max(sd) AS mx,
+        |        count(*) AS n FROM f GROUP BY 1),
+        |s2 AS (SELECT f_ins, min(sd) AS mn, max(sd) AS mx,
+        |        count(*) AS n FROM f GROUP BY 1),
+        |a1 AS (
+        | SELECT 'date_sorted' AS layout, count(*) AS files_total,
+        |  COALESCE(CAST(sum(CASE WHEN mn <= DATE '1997-03-31'
+        |    AND mx >= DATE '1997-03-01' THEN 1 END) AS BIGINT), 0)
+        |   AS files_scanned,
+        |  CAST(sum(n) AS BIGINT) AS rows_total,
+        |  COALESCE(CAST(sum(CASE WHEN mn <= DATE '1997-03-31'
+        |    AND mx >= DATE '1997-03-01' THEN n END) AS BIGINT), 0)
+        |   AS rows_scanned
+        | FROM s1),
+        |a2 AS (
+        | SELECT 'insertion' AS layout, count(*) AS files_total,
+        |  COALESCE(CAST(sum(CASE WHEN mn <= DATE '1997-03-31'
+        |    AND mx >= DATE '1997-03-01' THEN 1 END) AS BIGINT), 0)
+        |   AS files_scanned,
+        |  CAST(sum(n) AS BIGINT) AS rows_total,
+        |  COALESCE(CAST(sum(CASE WHEN mn <= DATE '1997-03-31'
+        |    AND mx >= DATE '1997-03-01' THEN n END) AS BIGINT), 0)
+        |   AS rows_scanned
+        | FROM s2)
+        |SELECT * FROM a1 UNION ALL SELECT * FROM a2 ORDER BY layout""".stripMargin,
     "q_zorder_layout" -> {
       val zExpr = (0 until 16).map { i =>
         s"((CAST(xb AS BIGINT) >> $i) & 1) * ${1L << (2 * i)} + ((CAST(yb AS BIGINT) >> $i) & 1) * ${1L << (2 * i + 1)}"

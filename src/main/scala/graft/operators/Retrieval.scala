@@ -141,7 +141,29 @@ object Retrieval {
       .limit(topN)
   }
 
+  /** Positional phrase search: exact "w1 w2" adjacency via a positional-
+    * postings self-join — the inverted-index operator a bag-of-words
+    * index can't answer. Both posting streams are pre-filtered to ONE
+    * term each before the (doc_id, pos)-keyed equi-join, so the shuffle
+    * carries only the two terms' postings (term-frequency-bounded, not
+    * corpus-bounded); at 100 TB the same plan reads two posting lists
+    * from the persisted index instead of re-tokenizing.
+    */
+  def phraseSearch(docs: DataFrame, w1: String, w2: String): DataFrame = {
+    val post = docs
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "token")))
+    val p1 = post.filter(col("token") === w1).select(col("doc_id"), col("pos"))
+    val p2 = post.filter(col("token") === w2)
+      .select(col("doc_id"), (col("pos") - 1).as("pos"))
+    p1.join(p2, Seq("doc_id", "pos"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_phrase_search" -> { (s, d) =>
+      phraseSearch(Tables.documents(s, d), "table", "hash") },
     "q_inverted_index" -> { (s, d) => invertedIndex(Tables.documents(s, d)) },
     "q_bm25_topk" -> { (s, d) => bm25TopK(Tables.documents(s, d)) },
     "q_rrf_fusion" -> { (s, d) => rrfFusion(Tables.documents(s, d)) },
@@ -170,6 +192,16 @@ object Retrieval {
        | FROM documents)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q_phrase_search" -> {
+      val toks = TextAnalysis.tokensSql("text")
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |b AS (
+         | SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |   i -> toks[i] || ' ' || toks[i + 1])) AS bg
+         | FROM t WHERE len(toks) >= 2)
+         |SELECT doc_id, count(*) AS n_occurrences
+         |FROM b WHERE bg = 'table hash' GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q_inverted_index" ->
       s"""WITH $pairsSql,
          |df AS (SELECT term, count(*) AS df FROM pairs GROUP BY 1),

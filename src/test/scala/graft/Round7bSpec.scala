@@ -159,6 +159,28 @@ class Round7bSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_users")).sum == buyers)
   }
 
+  test("phrase search counts overlapping adjacencies via positional join") {
+    val docs = Seq(
+      (1L, "go go go stop"),          // 'go go' overlaps: 2 occurrences
+      (2L, "go stop go"),             // none adjacent
+      (3L, "stop go go stop go go")   // 2
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Retrieval.phraseSearch(docs, "go", "go")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 3L -> 2L))
+  }
+
+  test("zonemap audit: sorted layout prunes, insertion layout cannot") {
+    val rows = graft.operators.Relational.queries("q_zonemap_prune")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (ft, fs, rt, rs) = rows("date_sorted")
+    val (_, fi, _, ri) = rows("insertion")
+    assert(ft <= 64 && fs >= 1)
+    assert(rs < rt / 5, s"sorted layout must prune hard: $rs of $rt")
+    assert(ri > rs, "insertion order must scan more than the sorted layout")
+  }
+
   test("token budget: uniform 2x-corpus plan conserves the budget") {
     val rows = Curation.queries("q_token_budget")(spark, sfDir).collect()
     val totalTok = rows.map(_.getAs[Long]("tokens")).sum
