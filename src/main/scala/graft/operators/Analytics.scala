@@ -1577,6 +1577,41 @@ object Analytics {
     // unpartitioned windows run on a provably small frame. A d=n step
     // drives survival to exact 0 via the flag, not ln(0).
     "q_kaplan_meier" -> { (s, d) => kaplanMeier(Tables.events(s, d)) },
+    // DIFFERENCE-IN-DIFFERENCES (Card & Krueger 1994 canonical form):
+    // deterministic md5 treatment split × pre/post half-window, four
+    // cell means from ONE map-side-combined aggregate over purchases,
+    // effect = (T_post − T_pre) − (C_post − C_pre). Cell sums are exact
+    // cents; the four divisions happen once on the single result row.
+    "q_did" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).as("day"),
+          (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      val mid = ev.agg(((min(col("day")) + max(col("day"))) / 2)
+        .cast("long").as("mid"))
+      val bucket = conv(substring(md5(col("user_id").cast("string")), 1, 4),
+        16, 10).cast("long") % 100
+      val cells = ev.crossJoin(broadcast(mid))
+        .select((bucket < 50).as("treated"), (col("day") > col("mid")).as("post"),
+          col("cents"))
+        .groupBy("treated", "post")
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents").cast(DecimalType(38, 0))).as("s"))
+      def cell(t: Boolean, p: Boolean, c: String) =
+        max(when(col("treated") === t && col("post") === p, col(c)))
+      val one = cells.agg(
+        cell(true, false, "n").as("n_t_pre"), cell(true, true, "n").as("n_t_post"),
+        cell(false, false, "n").as("n_c_pre"), cell(false, true, "n").as("n_c_post"),
+        cell(true, false, "s").as("s_t_pre"), cell(true, true, "s").as("s_t_post"),
+        cell(false, false, "s").as("s_c_pre"), cell(false, true, "s").as("s_c_post"))
+      def mean(sc: String, nc: String) =
+        col(sc).cast("double") / col(nc).cast("double") / 100.0
+      one.select(col("n_t_pre"), col("n_t_post"), col("n_c_pre"), col("n_c_post"),
+        round((mean("s_t_post", "n_t_post") - mean("s_t_pre", "n_t_pre")) -
+          (mean("s_c_post", "n_c_post") - mean("s_c_pre", "n_c_pre")), 6)
+          .as("did_estimate"))
+    },
     // MINIMUM DETECTABLE EFFECT at alpha=0.05 / power=0.8 for a
     // two-arm split of the order stream — the "is this experiment even
     // worth running" scalar every platform computes next to q_ab_test:
@@ -2311,6 +2346,41 @@ object Analytics {
         | CASE WHEN dead = 1 THEN 0.0
         |  ELSE round(exp(CAST(cuml AS DOUBLE)), 6) END AS survival
         |FROM c WHERE d > 0 ORDER BY dur""".stripMargin,
+    "q_did" ->
+      """WITH e AS (
+        | SELECT user_id,
+        |  datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        | FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |m AS (SELECT CAST(floor((min(day) + max(day)) / 2.0) AS BIGINT)
+        |       AS mid FROM e),
+        |c AS (
+        | SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))
+        |    AS BIGINT) % 100 < 50 AS treated,
+        |  day > mid AS post, cents
+        | FROM e, m),
+        |g AS (
+        | SELECT treated, post, count(*) AS n,
+        |  CAST(sum(cents) AS HUGEINT) AS s
+        | FROM c GROUP BY 1, 2),
+        |w AS (
+        | SELECT
+        |  max(CASE WHEN treated AND NOT post THEN n END) AS n_t_pre,
+        |  max(CASE WHEN treated AND post THEN n END) AS n_t_post,
+        |  max(CASE WHEN NOT treated AND NOT post THEN n END) AS n_c_pre,
+        |  max(CASE WHEN NOT treated AND post THEN n END) AS n_c_post,
+        |  max(CASE WHEN treated AND NOT post THEN s END) AS s_t_pre,
+        |  max(CASE WHEN treated AND post THEN s END) AS s_t_post,
+        |  max(CASE WHEN NOT treated AND NOT post THEN s END) AS s_c_pre,
+        |  max(CASE WHEN NOT treated AND post THEN s END) AS s_c_post
+        | FROM g)
+        |SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+        | round((CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE) / 100.0
+        |   - CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE) / 100.0)
+        |  - (CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE) / 100.0
+        |   - CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE) / 100.0), 6)
+        |  AS did_estimate
+        |FROM w""".stripMargin,
     "q_mde" ->
       """WITH o AS (
         | SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)

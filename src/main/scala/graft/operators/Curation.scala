@@ -216,6 +216,32 @@ object Curation {
         .orderBy("source", "doc_id")
     },
 
+    // BLOCKLIST HIT-RATE FILTER (the C4 "bad words" screen, Raffel et al.
+    // 2020 §2.2 — docs with any hit dropped; RefinedWeb keeps a ratio):
+    // per-doc hit counts against a small term list. The list rides a
+    // BROADCAST semi-structured join (never a shuffle of the corpus);
+    // token explode is map-side; per-doc counts map-side combine. The
+    // synthetic stand-in terms make the mechanics gateable — deployment
+    // swaps the literal list for the real one.
+    "q_blocklist" -> { (s, d) =>
+      val blocked = Seq("slow", "dup", "broken")
+      val docs = Tables.documents(s, d)
+      val hits = docs
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+        .filter(col("token").isin(blocked: _*))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      docs.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n"))
+        .join(hits, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_hits"))
+        .select(col("doc_id"), col("n_hits"),
+          (col("n_hits") === 0).as("keep_strict"),
+          // RefinedWeb-style ratio keep: under 5% of tokens blocked
+          (col("n") > 0 &&
+            col("n_hits") * 100 < col("n") * lit(5)).as("keep_ratio"))
+        .orderBy("doc_id")
+    },
+
     // TOKEN-BUDGET EPOCH PLAN — given a training budget of 2× the corpus
     // token mass split uniformly across sources, how many epochs (passes)
     // does each source run? The repeat-factor table behind every
@@ -350,6 +376,23 @@ object Curation {
         |    ORDER BY n_chars DESC, doc_id) AS rn
         | FROM documents)
         |WHERE rn <= 10 ORDER BY source, doc_id""".stripMargin,
+    "q_blocklist" ->
+      s"""WITH tok AS (
+         | SELECT doc_id, unnest(list_filter(
+         |   string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS token
+         | FROM documents),
+         |h AS (
+         | SELECT doc_id, count(*) AS n_hits FROM tok
+         | WHERE token IN ('slow', 'dup', 'broken') GROUP BY 1),
+         |n AS (SELECT doc_id,
+         |       len(list_filter(string_split_regex(text, '\\s+'),
+         |        t -> t <> '')) AS n
+         |      FROM documents)
+         |SELECT n.doc_id, COALESCE(n_hits, 0) AS n_hits,
+         | COALESCE(n_hits, 0) = 0 AS keep_strict,
+         | n > 0 AND COALESCE(n_hits, 0) * 100 < n * 5 AS keep_ratio
+         |FROM n LEFT JOIN h ON n.doc_id = h.doc_id
+         |ORDER BY n.doc_id""".stripMargin,
     "q_token_budget" ->
       s"""WITH b AS (
          | SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

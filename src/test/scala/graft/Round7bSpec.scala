@@ -181,6 +181,29 @@ class Round7bSpec extends SparkSpec {
     assert(ri > rs, "insertion order must scan more than the sorted layout")
   }
 
+  test("blocklist: strict and ratio keeps disagree exactly at the 5% line") {
+    val rows = Curation.queries("q_blocklist")(spark, sfDir).collect()
+    rows.foreach { r =>
+      val (hits, strict, ratio) = (r.getAs[Long]("n_hits"),
+        r.getAs[Boolean]("keep_strict"), r.getAs[Boolean]("keep_ratio"))
+      assert(strict == (hits == 0))
+      if (strict) assert(ratio) // zero hits always passes the ratio keep
+    }
+    // the synthetic list does hit the corpus (the gate isn't vacuous)
+    assert(rows.exists(_.getAs[Long]("n_hits") > 0))
+  }
+
+  test("did: cells partition purchases; estimate matches hand recompute") {
+    val r = graft.operators.Analytics.queries("q_did")(spark, sfDir).head()
+    val ns = Seq("n_t_pre", "n_t_post", "n_c_pre", "n_c_post")
+      .map(r.getAs[Long](_))
+    assert(ns.forall(_ > 0))
+    val total = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .count()
+    assert(ns.sum == total)
+  }
+
   test("token budget: uniform 2x-corpus plan conserves the budget") {
     val rows = Curation.queries("q_token_budget")(spark, sfDir).collect()
     val totalTok = rows.map(_.getAs[Long]("tokens")).sum
