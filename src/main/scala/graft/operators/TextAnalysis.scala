@@ -111,6 +111,103 @@ object TextAnalysis {
   def fingerprint(c: Column): Column =
     md5(lower(regexp_replace(trim(c), "\\s+", " ")))
 
+  /** WINNOWING fingerprint selection (Schleimer, Wilkerson, Aiken 2003 —
+    * the MOSS algorithm): hash every token k-gram, slide a window of w
+    * consecutive hashes, and keep each window's minimum. The selected
+    * subset is position-robust — any shared run of ≥ w+k-1 tokens between
+    * two documents is GUARANTEED to contribute at least one common
+    * fingerprint (the winnowing guarantee), at an expected density of
+    * 2/(w+1) of all grams. This is the principled middle ground between
+    * whole-doc hashing (misses partial overlap) and keeping every shingle
+    * (w+1 / 2 × the index size).
+    *
+    * Plan shape: one tokenize+gram explode (codegen'd map side), one
+    * hash-shuffle on doc_id for the per-doc sliding window, then a
+    * distinct that collapses map-side (selected rows per doc ≈ 2m/(w+1)).
+    * Per-doc frames are document-bounded, so the window never sees more
+    * than one doc's grams — embarrassingly parallel at 100 TB.
+    *
+    * Determinism and the oracle twin: gram hash = first 28 md5 bits (the
+    * Md5Hash family, DuckDB-replayable); the window argmin is ONE packed
+    * BIGINT min — key = h·2²⁵ + (2²⁵−1−pos), so min(key) orders by hash
+    * ASC then position DESC (the paper's rightmost-minimum tie rule).
+    * The packing is guarded, not assumed: a doc with ≥ 2²⁵ grams raises
+    * rather than silently corrupting the argmin.
+    */
+  def winnow(docs: DataFrame, k: Int = 3, w: Int = 4,
+             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val P = 1L << 25 // position radix: gram pos is doc-length-bounded
+    val grams = docs
+      .select(col(idCol).as("doc_id"), tokens(lower(col(textCol))).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), (size(col("toks")) - (k - 1)).as("m"),
+        explode(transform(sequence(lit(1), size(col("toks")) - (k - 1)), i =>
+          struct(i.as("pos"),
+            concat_ws(" ", slice(col("toks"), i, lit(k))).as("gram")))).as("g"))
+      .select(col("doc_id"), col("m"), col("g.pos").as("pos"),
+        conv(substring(md5(col("g.gram")), 1, 7), 16, 10).cast("long").as("h"))
+    val key = when(col("pos") < lit(P),
+        col("h") * lit(P) + (lit(P - 1) - col("pos")))
+      .otherwise(raise_error(lit(s"winnow: gram position >= 2^25 breaks the argmin packing")))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("mk", min(key).over(win))
+      // only FULL windows select (the last w-1 starts are suffixes of the
+      // final full window); short docs (m < w) winnow as one whole window
+      .filter(col("pos") <= greatest(col("m") - (w - 1), lit(1)))
+      .select(col("doc_id"),
+        (lit(P - 1) - (col("mk") % lit(P))).cast("int").as("pos"),
+        // mk ≥ 0, so a logical shift IS the exact integer division by 2²⁵
+        // (a plain `/` on longs would go through double)
+        shiftrightunsigned(col("mk"), 25).as("fp"))
+      .distinct()
+      .orderBy("doc_id", "pos")
+  }
+
+  /** Zipf-law fit of the corpus vocabulary: OLS of ln(freq) on ln(rank)
+    * over the top-`topN` terms; the exponent (~1 for natural language) is
+    * a corpus-health signal — templated/synthetic text flattens the
+    * curve, boilerplate floods steepen it.
+    *
+    * Plan: the wordcount aggregate (one map-side-combined shuffle), a
+    * topN-row TakeOrdered, a window rank over that BOUNDED frame (never
+    * corpus-sized), then exact DECIMAL moment sums so the fold is
+    * order-independent; the regression doubles derive from identical
+    * decimal sums on both engines.
+    */
+  def zipfFit(docs: DataFrame, topN: Int = 100,
+              textCol: String = "text"): DataFrame = {
+    val dec = DecimalType(18, 6)
+    val vocab = docs
+      .select(explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), col("token")).limit(topN)
+    val ranked = vocab.withColumn("rank",
+      row_number().over(Window.orderBy(desc("freq"), col("token"))))
+    val sums = ranked.select(
+        round(log(col("rank").cast("double")), 6).cast(dec).as("x"),
+        round(log(col("freq").cast("double")), 6).cast(dec).as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val nD = col("n").cast("double")
+    val (sx, sy, sxy, sxx, syy) =
+      (col("sx").cast("double"), col("sy").cast("double"),
+        col("sxy").cast("double"), col("sxx").cast("double"),
+        col("syy").cast("double"))
+    val num = nD * sxy - sx * sy
+    val den = nD * sxx - sx * sx
+    val slope = num / den
+    sums.select(
+      col("n").as("n_terms"),
+      round(-slope, 6).as("zipf_exponent"),
+      round((sy - slope * sx) / nD, 6).as("intercept"),
+      round((num * num) / (den * (nD * syy - sy * sy)), 6).as("r2"))
+  }
+
   /** BPE MERGE TRAINING, distributed: k iterations of (argmax adjacent
     * pair) → (merge that pair corpus-wide) → recount. This is the actual
     * tokenizer-training loop (Sennrich et al. 2016), here at word level
@@ -672,6 +769,24 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // Winnowing fingerprint selection (MOSS) — the position-robust dedup
+    // index: any ≥ (w+k-1)-token overlap between docs shares a selected
+    // fingerprint, at ~2/(w+1) index density.
+    "q_winnow" -> { (s, d) =>
+      winnow(Tables.documents(s, d))
+    },
+    // Zipf-law fit of the corpus vocabulary: OLS of ln(freq) on ln(rank)
+    // over the top-100 terms. The exponent (~1 for natural language) is a
+    // corpus-health signal — synthetic/templated text flattens the curve,
+    // boilerplate floods steepen it. Plan: the wordcount aggregate (one
+    // map-side-combined shuffle), a 100-row TakeOrdered to the bounded
+    // frame, a 100-row window rank (documented: never corpus-sized), and
+    // exact DECIMAL moment sums so the fold is order-independent; the
+    // 5 regression doubles derive from identical decimal sums on both
+    // engines.
+    "q_zipf_fit" -> { (s, d) =>
+      zipfFit(Tables.documents(s, d))
+    },
     "q_rare_bigrams" -> { (s, d) =>
       val docs = Tables.documents(s, d)
       // Two passes over the exploded bigrams ON PURPOSE: each pass's
@@ -817,6 +932,56 @@ object TextAnalysis {
            |SELECT id AS doc_id, count(*) AS n_bigrams,
            | round(-CAST(sum(t) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS lm_bits
            |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
+      // winnowing twin: same 28-bit md5 gram hash, same packed-key window
+      // min (hash ASC, pos DESC tie), same full-window/short-doc rule
+      "q_winnow" ->
+        s"""WITH t AS (
+           | SELECT doc_id, ${tokensSql("lower(text)")} AS toks FROM documents),
+           |g AS (
+           | SELECT doc_id, CAST(r.i AS INTEGER) AS pos,
+           |  len(toks) - 2 AS m,
+           |  array_to_string(list_slice(toks, CAST(r.i AS INTEGER),
+           |    CAST(r.i AS INTEGER) + 2), ' ') AS gram
+           | FROM t, unnest(range(1, len(toks) - 1)) AS r(i)
+           | WHERE len(toks) >= 3),
+           |k AS (
+           | SELECT doc_id, pos, m,
+           |  CAST('0x' || substr(md5(gram), 1, 7) AS BIGINT) * 33554432
+           |    + (33554431 - pos) AS key
+           | FROM g),
+           |w AS (
+           | SELECT doc_id, pos, m,
+           |  min(key) OVER (PARTITION BY doc_id ORDER BY pos
+           |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk
+           | FROM k)
+           |SELECT DISTINCT doc_id,
+           | CAST(33554431 - (mk % 33554432) AS INTEGER) AS pos,
+           | mk // 33554432 AS fp
+           |FROM w WHERE pos <= greatest(m - 3, 1)
+           |ORDER BY doc_id, pos""".stripMargin,
+      // zipf twin: same top-100 vocabulary, same 6dp-decimal ln moments,
+      // same double-space regression arithmetic
+      "q_zipf_fit" ->
+        s"""WITH v AS (
+           | SELECT token, count(*) AS freq FROM (
+           |  SELECT unnest(${tokensSql("lower(text)")}) AS token FROM documents)
+           | GROUP BY 1 ORDER BY freq DESC, token LIMIT 100),
+           |r AS (SELECT freq,
+           |  row_number() OVER (ORDER BY freq DESC, token) AS rank FROM v),
+           |p AS (SELECT
+           |  CAST(round(ln(rank), 6) AS DECIMAL(18,6)) AS x,
+           |  CAST(round(ln(freq), 6) AS DECIMAL(18,6)) AS y FROM r),
+           |s AS (SELECT count(*) AS n,
+           |  CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+           |  CAST(sum(x*y) AS DOUBLE) AS sxy, CAST(sum(x*x) AS DOUBLE) AS sxx,
+           |  CAST(sum(y*y) AS DOUBLE) AS syy FROM p)
+           |SELECT n AS n_terms,
+           | round(-((n*sxy - sx*sy) / (n*sxx - sx*sx)), 6) AS zipf_exponent,
+           | round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6)
+           |   AS intercept,
+           | round(((n*sxy - sx*sy) * (n*sxy - sx*sy))
+           |   / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+           |FROM s""".stripMargin,
       "q_bpe_train" -> bpeTrainSql(10),
       "q_bpe_encode" -> bpeEncodeSql(6),
       "q_text_stats" ->
