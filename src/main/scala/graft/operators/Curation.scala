@@ -163,7 +163,59 @@ object Curation {
       .orderBy(col(srcCol), desc("es_key"), col(idCol))
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment (Thaler &
+    * Ravishankar 1996): shard(id) = argmax over shards of h(id, shard).
+    * The elastic-resharding primitive a 100 TB document store needs —
+    * growing N → N+1 shards moves only ~1/(N+1) of the keys, where
+    * mod-hashing reshuffles ~N/(N+1) of the corpus.
+    *
+    * The argmax packs into one BIGINT per shard: 52 md5 bits · 16 + s
+    * (shard count ≤ 16 enforced), so `greatest(...) % 16` IS the argmax
+    * — a pure codegen'd map, no explode, no shuffle until the audit
+    * aggregate. Determinism: the Md5Hash family, oracle-replayable.
+    */
+  def hrwShard(id: Column, n: Int): Column = {
+    require(n <= 16, s"hrwShard packs the shard id into 4 bits, got n=$n")
+    val packed = (0 until n).map { sh =>
+      conv(substring(md5(concat(id.cast("string"), lit(s":$sh"))), 1, 13),
+        16, 10).cast("long") * 16 + sh
+    }
+    (greatest(packed: _*) % 16).cast("int")
+  }
+
+  /** Reshard-movement audit: HRW vs mod-hash at N=8 → 9 shards, plus the
+    * N=8 HRW balance extremes. One corpus pass computes all four
+    * assignments map-side; two group-counts (shard-cardinality frames)
+    * and a scalar fold produce the report.
+    */
+  def reshardAudit(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    val assigned = docs.select(
+      hrwShard(col(idCol), 8).as("hrw8"), hrwShard(col(idCol), 9).as("hrw9"),
+      (h % 8).cast("int").as("mod8"), (h % 9).cast("int").as("mod9"))
+    val moves = assigned.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("hrw8") =!= col("hrw9"), 1L).otherwise(0L))
+        .as("hrw_moved"),
+      sum(when(col("mod8") =!= col("mod9"), 1L).otherwise(0L))
+        .as("mod_moved"))
+    val balance = assigned.groupBy("hrw8").agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("hrw_max_shard"), min(col("c")).as("hrw_min_shard"))
+    moves.crossJoin(broadcast(balance))
+      .select(col("n_docs"),
+        col("hrw_moved"),
+        expr("hrw_moved * 1000000 div n_docs").as("hrw_moved_ppm"),
+        col("mod_moved"),
+        expr("mod_moved * 1000000 div n_docs").as("mod_moved_ppm"),
+        col("hrw_max_shard"), col("hrw_min_shard"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // HRW resharding beats mod-hash by ~8x on moved keys at N=8 -> 9.
+    "q_rendezvous_shard" -> { (s, d) =>
+      reshardAudit(Tables.documents(s, d))
+    },
     // Exact-k weighted sampling per source (A-ES) on the native top-k exec.
     "q_weighted_sample_k" -> { (s, d) =>
       weightedSampleK(Tables.documents(s, d), k = 10)
@@ -337,7 +389,35 @@ object Curation {
        |      ELSE list_transform(range(1, len($toks) - ${n - 2}),
        |             i -> array_to_string(list_slice($toks, i, i + ${n - 1}), ' ')) END)""".stripMargin
 
-  def oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = {
+    // DuckDB twin of [[hrwShard]]: the same packed-BIGINT argmax
+    def hrwSql(n: Int): String = (0 until n).map { sh =>
+      s"CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':$sh'), 1, 13) AS BIGINT) * 16 + $sh"
+    }.mkString("greatest(", ", ", ") % 16")
+    Map(
+    "q_rendezvous_shard" ->
+      s"""WITH a AS (
+         | SELECT
+         |  ${hrwSql(8)} AS hrw8, ${hrwSql(9)} AS hrw9,
+         |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+         |    % 8 AS mod8,
+         |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+         |    % 9 AS mod9
+         | FROM documents),
+         |m AS (
+         | SELECT count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN hrw8 <> hrw9 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS hrw_moved,
+         |  CAST(sum(CASE WHEN mod8 <> mod9 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS mod_moved
+         | FROM a),
+         |b AS (
+         | SELECT max(c) AS hrw_max_shard, min(c) AS hrw_min_shard FROM (
+         |  SELECT hrw8, count(*) AS c FROM a GROUP BY 1))
+         |SELECT n_docs, hrw_moved, hrw_moved * 1000000 // n_docs AS hrw_moved_ppm,
+         | mod_moved, mod_moved * 1000000 // n_docs AS mod_moved_ppm,
+         | hrw_max_shard, hrw_min_shard
+         |FROM m CROSS JOIN b""".stripMargin,
     "q_weighted_sample_k" ->
       """WITH s AS (
         | SELECT source, doc_id,
@@ -486,5 +566,6 @@ object Curation {
          | round(least(1.0, (1.0 / n_sources) /
          |   (CAST(n_tokens AS DOUBLE) / total_tokens)), 6) AS sample_rate
          |FROM per_source CROSS JOIN totals ORDER BY source""".stripMargin
-  )
+    )
+  }
 }

@@ -822,6 +822,45 @@ object Dedup {
       .select(col("id").as(idCol), col("fp"))
   }
 
+  /** Aggressive text normalization (the CCNet/near-exact-dedup key):
+    * lowercase, non-alphanumerics to spaces, whitespace collapsed. Pure
+    * codegen'd column expression — the normalization itself never
+    * shuffles; only the fingerprint groupBy does.
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** Normalization-collapsed dedup: documents identical AFTER aggressive
+    * normalization (case, punctuation, spacing) but distinct under the
+    * raw exact fingerprint — the near-exact tier between exact dedup (L1)
+    * and MinHash (L2) that catches reformatted mirrors at exact-dedup
+    * cost. Emits (dup_id, keep_id, caught_by_exact): rows with
+    * caught_by_exact = false are the tier's added recall.
+    *
+    * Plan: one map pass computes both fingerprints, ONE hash-shuffle
+    * groups by the normalized key (map-side combined to a row per
+    * distinct content per task), and the pair join re-attaches group
+    * members by the same key — dup-group-bounded, broadcast under AQE.
+    */
+  def normalizedDedupPairs(docs: DataFrame, idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    val fps = docs.select(col(idCol).as("id"),
+      md5(normalizeText(col(textCol))).as("nfp"),
+      TextAnalysis.fingerprint(col(textCol)).as("efp"))
+    val grp = fps.groupBy("nfp")
+      .agg(min(struct(col("id"), col("efp"))).as("k"),
+        count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select(col("nfp"), col("k.id").as("keep_id"),
+        col("k.efp").as("keep_efp"))
+    fps.join(grp, Seq("nfp"))
+      .filter(col("id") =!= col("keep_id"))
+      .select(col("id").as("dup_id"), col("keep_id"),
+        (col("efp") === col("keep_efp")).as("caught_by_exact"))
+      .orderBy("dup_id")
+  }
+
   /** Deterministic near-dup corpus: the documents table plus mutated copies
     * of the first `nPlanted` docs (id + 10^7, one token appended) — lets the
     * near-dup queries prove recall on data that contains no natural dups.
@@ -988,6 +1027,18 @@ object Dedup {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_eval" -> { (s, d) => dedupEval(Tables.documents(s, d)) },
+    // Near-exact tier: variants of the first 20 docs are planted with
+    // case flips, injected punctuation and trailing junk — invisible to
+    // the raw exact fingerprint, collapsed by normalization.
+    "q_dedup_norm" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val variants = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 20000000L).as("doc_id"),
+          concat(upper(regexp_replace(col("text"), " ", ", ")), lit(" !!"))
+            .as("text"))
+      normalizedDedupPairs(
+        docs.select("doc_id", "text").unionByName(variants))
+    },
     "q_dedup_prefix" -> { (s, d) =>
       prefixJaccardNearDups(plantedCorpus(Tables.documents(s, d)),
           "doc_id", "text", hasher = Md5Hash)
@@ -1299,6 +1350,28 @@ object Dedup {
        | SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // same planted variants, same two fingerprints, same min-id survivor
+    "q_dedup_norm" ->
+      """WITH corpus AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 20000000 AS doc_id,
+        |  upper(regexp_replace(text, ' ', ', ', 'g')) || ' !!' AS text
+        | FROM documents WHERE doc_id < 20),
+        |fps AS (
+        | SELECT doc_id AS id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS nfp,
+        |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS efp
+        | FROM corpus),
+        |grp AS (
+        | SELECT nfp, min(id) AS keep_id, arg_min(efp, id) AS keep_efp,
+        |  count(*) AS n
+        | FROM fps GROUP BY 1 HAVING count(*) > 1)
+        |SELECT f.id AS dup_id, g.keep_id,
+        | f.efp = g.keep_efp AS caught_by_exact
+        |FROM fps f JOIN grp g USING (nfp)
+        |WHERE f.id <> g.keep_id ORDER BY dup_id""".stripMargin,
     "q_window_dedup" ->
       """SELECT event_id, user_id, hour, value FROM (
         | SELECT event_id, user_id, date_trunc('hour', ts) AS hour, value,

@@ -145,6 +145,37 @@ object Evolution {
       .select(lit(l).as("l"), col("n_groups"), col("n_low_div_groups"),
         col("n_rows_at_risk"), col("min_diversity"))
 
+  /** Differentially-private count release (Dwork et al. 2006): per-group
+    * counts + Laplace(Δf/ε) noise, sensitivity 1 for a counting query.
+    * Completes the privacy triple (k-anonymity, l-diversity, DP release):
+    * the first two AUDIT a release; this one PRODUCES one.
+    *
+    * Noise is pseudo-random but deterministic — u ∈ (0,1) from the first
+    * 52 md5 bits of a salted group key, mapped through the Laplace
+    * inverse CDF — so the release is reproducible across runs, engines
+    * and partitionings (the oracle replays it bit-for-bit), which real
+    * DP deployments also want (noise re-drawn per query run leaks by
+    * averaging). Plan: the count aggregate IS the query; the noise is a
+    * pure scalar map on the group-cardinality frame. The exact count is
+    * emitted alongside for the gate/tests; a production release projects
+    * it away.
+    */
+  def dpNoisyCounts(df: DataFrame, groupCol: String,
+                    epsilon: Double = 1.0): DataFrame = {
+    val h = conv(substring(md5(concat(lit("dp:"), col(groupCol))), 1, 13),
+      16, 10).cast("long")
+    // (h + 0.5) / 2^52 ∈ (0, 1) strictly — ln(1-2|u-1/2|) stays finite
+    val u = (h.cast("double") + lit(0.5)) / lit(4503599627370496.0)
+    val lap = -signum(u - 0.5) * log(lit(1.0) - lit(2.0) * abs(u - 0.5)) /
+      lit(epsilon)
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_exact"))
+      .select(col(groupCol), col("n_exact"),
+        round(col("n_exact") + lap, 6).as("n_noisy"),
+        lit(epsilon).as("epsilon"))
+      .orderBy(groupCol)
+  }
+
   /** Join-cardinality (explosion) audit: before running an equi-join at
     * 100 TB, estimate its output size from per-key counts alone —
     * |A ⋈ B| = Σ_k n_A(k)·n_B(k). Two map-side-combined per-key counts
@@ -259,6 +290,9 @@ object Evolution {
         "flag_known" -> col("l_returnflag").isin("A", "N", "R"),
         "shipdate_present" -> col("l_shipdate").isNotNull))
     },
+    "q_dp_counts" -> { (s, d) =>
+      dpNoisyCounts(Tables.events(s, d), "event_type")
+    },
     "q_freshness" -> { (s, d) => freshness(Tables.events(s, d)) },
     "q_table_diff" -> { (s, d) => tableDiff(Tables.orders(s, d)) },
     "q_cumulative_distinct" -> { (s, d) =>
@@ -266,6 +300,20 @@ object Evolution {
   )
 
   def oracles: Map[String, String] = Map(
+    // same salted-md5 uniform, same Laplace inverse CDF, ε = 1
+    "q_dp_counts" ->
+      """WITH c AS (
+        | SELECT event_type, count(*) AS n_exact FROM events GROUP BY 1),
+        |u AS (
+        | SELECT event_type, n_exact,
+        |  (CAST('0x' || substr(md5('dp:' || event_type), 1, 13) AS BIGINT)
+        |    + 0.5) / 4503599627370496.0 AS u
+        | FROM c)
+        |SELECT event_type, n_exact,
+        | round(n_exact + (-sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))
+        |   / 1.0), 6) AS n_noisy,
+        | 1.0 AS epsilon
+        |FROM u ORDER BY event_type""".stripMargin,
     // The oracle derives snapshot B's schema from the SAME projection in
     // DuckDB's own type system (DESCRIBE of the equivalent SELECT) — each
     // engine classifies in its own type names, the class labels compare.

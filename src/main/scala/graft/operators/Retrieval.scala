@@ -141,6 +141,57 @@ object Retrieval {
       .limit(topN)
   }
 
+  /** Ranked-retrieval quality metrics — MRR, precision@k and nDCG@k of
+    * the BM25 top-k against binary relevance "doc contains ALL query
+    * terms" (the conjunctive ground truth a lexical ranker should nail).
+    * The index-rollout measurement beside q_ann_recall: rerank/model
+    * changes ship on these numbers, not on eyeballing.
+    *
+    * Scale: the ranked list is k rows; relevance derives from the same
+    * (doc, term) pair stream as the index (one map-side-combined shuffle
+    * after a broadcast semi-join on the 3 query terms); DCG/IDCG are 6dp
+    * decimal folds over ≤ k rows each.
+    */
+  def retrievalMetrics(docs: DataFrame, kEval: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(18, 6)
+    val ranked = bm25TopK(docs, k = kEval)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("score"), col("doc_id")))) // kEval-row frame
+    val pairs = docTermPairs(docs)
+    val qterms = documentFrequencyFromPairs(pairs)
+      .filter(!col("term").isin(enStopwords: _*))
+      .orderBy(desc("df"), col("term")).limit(3)
+    val rel = pairs
+      .join(broadcast(qterms.select("term")), Seq("term"))
+      .groupBy("doc_id").agg(count(lit(1)).as("nq"))
+      .filter(col("nq") === 3)
+      .select(col("doc_id"), lit(1).as("is_rel"))
+    val relCount = rel.agg(count(lit(1)).as("n_relevant"))
+    val gains = ranked.join(rel, Seq("doc_id"), "left")
+      .agg(
+        coalesce(sum(when(col("is_rel") === 1,
+            round(lit(1.0) / log2(col("rank") + 1), 6).cast(dec))),
+          lit(0).cast(dec)).as("dcg"),
+        sum(when(col("is_rel") === 1, 1L).otherwise(0L)).as("n_hits"),
+        min(when(col("is_rel") === 1, col("rank"))).as("first_rel"))
+    val idcg = relCount.select(col("n_relevant"),
+        explode_outer(when(col("n_relevant") > 0,
+            sequence(lit(1), least(col("n_relevant"), lit(kEval))))
+          .otherwise(array())).as("i"))
+      .groupBy("n_relevant")
+      .agg(coalesce(sum(round(lit(1.0) / log2(col("i") + 1), 6).cast(dec)),
+        lit(0).cast(dec)).as("idcg"))
+    gains.crossJoin(broadcast(idcg)).select(
+      col("n_relevant"), col("n_hits"),
+      round(col("n_hits").cast("double") / kEval, 6).as("precision_at_k"),
+      round(coalesce(lit(1.0) / col("first_rel"), lit(0.0)), 6).as("mrr"),
+      round(when(col("idcg") > 0,
+          col("dcg").cast("double") / col("idcg").cast("double"))
+        .otherwise(0.0), 6).as("ndcg_at_k"))
+  }
+
   /** Positional phrase search: exact "w1 w2" adjacency via a positional-
     * postings self-join — the inverted-index operator a bag-of-words
     * index can't answer. Both posting streams are pre-filtered to ONE
@@ -166,6 +217,9 @@ object Retrieval {
       phraseSearch(Tables.documents(s, d), "table", "hash") },
     "q_inverted_index" -> { (s, d) => invertedIndex(Tables.documents(s, d)) },
     "q_bm25_topk" -> { (s, d) => bm25TopK(Tables.documents(s, d)) },
+    "q_retrieval_metrics" -> { (s, d) =>
+      retrievalMetrics(Tables.documents(s, d))
+    },
     "q_rrf_fusion" -> { (s, d) => rrfFusion(Tables.documents(s, d)) },
     // INDEX MAINTENANCE without rescanning history: load 1's term→df
     // postings stats persist as a compact parquet store; load 2 computes
@@ -218,6 +272,39 @@ object Retrieval {
       s"""WITH $bm25CtesSql
          |SELECT doc_id, score FROM bscore
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q_retrieval_metrics" ->
+      s"""WITH $bm25CtesSql,
+         |ranked AS (
+         | SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+         |   AS rank
+         | FROM (SELECT doc_id, score FROM bscore
+         |       ORDER BY score DESC, doc_id LIMIT 10)),
+         |rel AS (
+         | SELECT doc_id FROM (
+         |  SELECT p.doc_id, count(*) AS nq
+         |  FROM pairs p JOIN qterms q USING (term) GROUP BY 1)
+         | WHERE nq = 3),
+         |rc AS (SELECT count(*) AS n_relevant FROM rel),
+         |g AS (
+         | SELECT
+         |  COALESCE(sum(CASE WHEN r.doc_id IS NOT NULL THEN
+         |    CAST(round(1.0 / log2(rank + 1), 6) AS DECIMAL(18,6)) END),
+         |    CAST(0 AS DECIMAL(18,6))) AS dcg,
+         |  CAST(sum(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hits,
+         |  min(CASE WHEN r.doc_id IS NOT NULL THEN rank END) AS first_rel
+         | FROM ranked LEFT JOIN rel r USING (doc_id)),
+         |ic AS (
+         | SELECT COALESCE(sum(CAST(round(1.0 / log2(i + 1), 6)
+         |     AS DECIMAL(18,6))), CAST(0 AS DECIMAL(18,6))) AS idcg
+         | FROM rc, unnest(range(1, least(n_relevant, 10) + 1)) AS r(i))
+         |SELECT rc.n_relevant, g.n_hits,
+         | round(CAST(g.n_hits AS DOUBLE) / 10, 6) AS precision_at_k,
+         | round(COALESCE(1.0 / g.first_rel, 0.0), 6) AS mrr,
+         | CASE WHEN ic.idcg > 0 THEN
+         |   round(CAST(g.dcg AS DOUBLE) / CAST(ic.idcg AS DOUBLE), 6)
+         |  ELSE 0.0 END AS ndcg_at_k
+         |FROM g CROSS JOIN ic CROSS JOIN rc""".stripMargin,
     "q_rrf_fusion" ->
       s"""WITH $bm25CtesSql,
          |ra AS (

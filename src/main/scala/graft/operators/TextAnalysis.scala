@@ -165,6 +165,63 @@ object TextAnalysis {
       .orderBy("doc_id", "pos")
   }
 
+  /** Corpus-TRAINED language ID: multinomial naive Bayes with add-one
+    * smoothing over word unigrams — the model-based upgrade of the
+    * stopword-heuristic [[langId]] (train on the labeled corpus, classify
+    * it back, emit the confusion matrix). The fastText/langid.py shape
+    * without external model weights.
+    *
+    * Plan: ONE tokenize+explode pass feeds both training counts and
+    * scoring. The model frame is (vocab × n_langs) — completed with
+    * explicit zero rows so unseen (word, lang) cells get the smoothed
+    * floor — and joins back to the token stream as a BROADCAST; scoring
+    * shuffles only (doc, lang) partial sums (map-side combined). The
+    * argmax is a per-doc window over n_langs rows. At 100 TB: corpus
+    * passes stay at one, the model is dictionary-sized driver-free state.
+    *
+    * Determinism: per-token log2 terms round to 6dp DECIMAL before the
+    * order-independent sum; argmax ties break on lang ASC.
+    */
+  def langIdNaiveBayes(docs: DataFrame): DataFrame = {
+    import graft.CacheScope.TrackedDataset
+    val dec = DecimalType(28, 6)
+    val tok = docs.filter(col("lang").isNotNull)
+      .select(col("doc_id"), col("lang"), explode(tokens(lower(col("text")))).as("w"))
+      .persistTracked()
+    val cwl = tok.groupBy("lang", "w").agg(count(lit(1)).as("c"))
+      .persistTracked()
+    val cl = cwl.groupBy("lang").agg(sum(col("c")).as("cl"))
+    val v = cwl.agg(countDistinct(col("w")).as("v"))
+    val model = cwl.select("w").distinct()
+      .crossJoin(cl) // vocab × n_langs, both frames dictionary-sized
+      .join(cwl, Seq("lang", "w"), "left").na.fill(0L, Seq("c"))
+      .crossJoin(broadcast(v))
+      .select(col("w"), col("lang").as("cand"),
+        round(log2((col("c") + 1).cast("double") /
+          (col("cl") + col("v")).cast("double")), 6).cast(dec).as("lp"))
+    val priors = docs.filter(col("lang").isNotNull)
+      .groupBy("lang").agg(count(lit(1)).as("nd"))
+      .crossJoin(broadcast(docs.filter(col("lang").isNotNull)
+        .agg(count(lit(1)).as("nall"))))
+      .select(col("lang").as("cand"),
+        round(log2(col("nd").cast("double") / col("nall").cast("double")), 6)
+          .cast(dec).as("lpr"))
+    val scored = tok.select("doc_id", "w")
+      .join(broadcast(model), Seq("w"))
+      .groupBy("doc_id", "cand").agg(sum(col("lp")).as("s"))
+      .join(broadcast(priors), Seq("cand"))
+      .withColumn("score", col("s") + col("lpr"))
+    val pick = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("score"), col("cand"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cand").as("lang_pred"))
+    tok.select("doc_id", "lang").distinct()
+      .join(pick, Seq("doc_id"))
+      .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "lang_pred")
+  }
+
   /** Zipf-law fit of the corpus vocabulary: OLS of ln(freq) on ln(rank)
     * over the top-`topN` terms; the exponent (~1 for natural language) is
     * a corpus-health signal — templated/synthetic text flattens the
@@ -787,6 +844,11 @@ object TextAnalysis {
     "q_zipf_fit" -> { (s, d) =>
       zipfFit(Tables.documents(s, d))
     },
+    // Trained NB language ID, self-classified: the confusion matrix IS
+    // the report (diagonal mass = how separable the lang labels are).
+    "q_langid_nb" -> { (s, d) =>
+      langIdNaiveBayes(Tables.documents(s, d))
+    },
     "q_rare_bigrams" -> { (s, d) =>
       val docs = Tables.documents(s, d)
       // Two passes over the exploded bigrams ON PURPOSE: each pass's
@@ -959,6 +1021,45 @@ object TextAnalysis {
            | mk // 33554432 AS fp
            |FROM w WHERE pos <= greatest(m - 3, 1)
            |ORDER BY doc_id, pos""".stripMargin,
+      // NB twin: same smoothed counts, same 6dp-decimal log2 terms, same
+      // (score DESC, cand ASC) argmax
+      "q_langid_nb" ->
+        s"""WITH tok AS (
+           | SELECT doc_id, lang, unnest(${tokensSql("lower(text)")}) AS w
+           | FROM documents WHERE lang IS NOT NULL),
+           |cwl AS (SELECT lang, w, count(*) AS c FROM tok GROUP BY 1, 2),
+           |cl AS (SELECT lang, sum(c) AS cl FROM cwl GROUP BY 1),
+           |v AS (SELECT count(DISTINCT w) AS v FROM cwl),
+           |model AS (
+           | SELECT vw.w, cl.lang AS cand,
+           |  CAST(round(log2(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
+           |    / CAST(cl.cl + v.v AS DOUBLE)), 6) AS DECIMAL(28,6)) AS lp
+           | FROM (SELECT DISTINCT w FROM cwl) vw
+           | CROSS JOIN cl
+           | LEFT JOIN cwl c ON c.lang = cl.lang AND c.w = vw.w
+           | CROSS JOIN v),
+           |priors AS (
+           | SELECT lang AS cand,
+           |  CAST(round(log2(CAST(nd AS DOUBLE) / CAST(nall AS DOUBLE)), 6)
+           |    AS DECIMAL(28,6)) AS lpr
+           | FROM (SELECT lang, count(*) AS nd FROM documents
+           |       WHERE lang IS NOT NULL GROUP BY 1)
+           | CROSS JOIN (SELECT count(*) AS nall FROM documents
+           |             WHERE lang IS NOT NULL)),
+           |scored AS (
+           | SELECT t.doc_id, m.cand, sum(m.lp) AS s
+           | FROM tok t JOIN model m ON m.w = t.w GROUP BY 1, 2),
+           |pick AS (
+           | SELECT doc_id, cand AS lang_pred FROM (
+           |  SELECT doc_id, cand,
+           |   row_number() OVER (PARTITION BY doc_id
+           |     ORDER BY s + lpr DESC, cand) AS rn
+           |  FROM scored JOIN priors USING (cand))
+           | WHERE rn = 1)
+           |SELECT d.lang, p.lang_pred, count(*) AS n
+           |FROM (SELECT DISTINCT doc_id, lang FROM tok) d
+           |JOIN pick p USING (doc_id)
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       // zipf twin: same top-100 vocabulary, same 6dp-decimal ln moments,
       // same double-space regression arithmetic
       "q_zipf_fit" ->
