@@ -23,6 +23,73 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Similarity {
 
+  /** Deterministic ±1 Johnson–Lindenstrauss sign matrix: entry (i, j) is
+    * the parity of the first md5 byte of "jl:i:j". Computed once on the
+    * driver and embedded as literals — the projection itself is then pure
+    * codegen'd arithmetic with zero per-row hashing.
+    */
+  def jlSigns(kOut: Int, d: Int): IndexedSeq[IndexedSeq[Int]] = {
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    (0 until kOut).map(i => (0 until d).map { j =>
+      if ((mdig.digest(s"jl:$i:$j".getBytes("UTF-8"))(0) & 1) == 0) 1 else -1
+    })
+  }
+
+  /** Johnson–Lindenstrauss random-projection distortion audit: project
+    * the first `nProbe` embeddings from d=64 to `kOut` dims with a ±1
+    * sign matrix (Achlioptas 2003 — database-friendly JL), then measure
+    * ‖Px−Py‖² / (kOut·‖x−y‖²) over all probe pairs. E[ratio] = 1; the
+    * spread quantifies how safely ANN shortlists can run in the reduced
+    * space (the dimensionality-reduction scale path next to MRL
+    * truncation, q_sim_topk_mrl).
+    *
+    * Determinism: embeddings quantize to 6dp DECIMALs first, so every
+    * signed sum and squared distance is EXACT — order-independent on
+    * both engines (a float fold would pin the fold order instead); the
+    * only doubles are the final per-pair ratio and the decimal-folded
+    * mean. Scale: the projection is a map-side expression over the
+    * corpus (here the probe set); the audit pairs frame is
+    * nProbe²-bounded.
+    */
+  def jlDistortionAudit(emb: DataFrame, kOut: Int = 8, d: Int = 64,
+                        nProbe: Int = 20): DataFrame = {
+    val signs = jlSigns(kOut, d)
+    val dec = DecimalType(12, 6)
+    val e = emb.filter(col("vec_id") < nProbe && size(col("embedding")) === d)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double"), 6).cast(dec)).as("e"))
+    val proj = e.select(col("vec_id"), col("e"),
+      array((0 until kOut).map { i =>
+        (0 until d).map { j =>
+          val t = element_at(col("e"), j + 1)
+          if (signs(i)(j) > 0) t else -t
+        }.reduce(_ + _)
+      }: _*).as("p"))
+    val a = proj.select(col("vec_id").as("ida"), col("e").as("ea"),
+      col("p").as("pa"))
+    val b = proj.select(col("vec_id").as("idb"), col("e").as("eb"),
+      col("p").as("pb"))
+    val dOrig = (0 until d).map { j =>
+      val dj = (element_at(col("ea"), j + 1) - element_at(col("eb"), j + 1))
+        .cast(dec)
+      dj * dj
+    }.reduce(_ + _)
+    val dProj = (0 until kOut).map { i =>
+      val di = (element_at(col("pa"), i + 1) - element_at(col("pb"), i + 1))
+        .cast(DecimalType(16, 6))
+      di * di
+    }.reduce(_ + _)
+    a.join(b, col("ida") < col("idb")) // nProbe²/2 rows — audit-bounded
+      .select(round(dProj.cast("double") /
+        (lit(kOut) * dOrig.cast("double")), 6).as("ratio"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("ratio").cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1)), 6).as("mean_ratio"),
+        round(min(col("ratio")), 6).as("min_ratio"),
+        round(max(col("ratio")), 6).as("max_ratio"))
+  }
+
   /** Rank the scored set (query_id, corpus_id, sim) down to k rows per
     * query via the bounded aggregator; ties broken by corpus id. Output
     * matches the window formulation row-for-row (rank = 1..k, sim desc).
@@ -411,6 +478,11 @@ object Similarity {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // JL ±1 projection 64→8: the distance-preservation audit for the
+    // reduced-space ANN path.
+    "q_jl_projection" -> { (s, d) =>
+      jlDistortionAudit(Tables.embeddings(s, d))
+    },
     // IVF scale path: centroid assignment + inverted-list probe.
     "q_sim_topk_ivf" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
@@ -652,6 +724,40 @@ object Similarity {
   }
 
   def oracles: Map[String, String] = Map(
+    // JL twin: the SAME driver-computed ±1 literals, exact-decimal sums
+    "q_jl_projection" -> {
+      val signs = jlSigns(8, 64)
+      def projExpr(i: Int): String =
+        "(CAST(0 AS DECIMAL(12,6)) " + (0 until 64).map { j =>
+          s"${if (signs(i)(j) > 0) "+" else "-"} e[${j + 1}]"
+        }.mkString(" ") + ")"
+      val dOrig = (0 until 64).map { j =>
+        val dd = s"CAST(a.e[${j + 1}] - b.e[${j + 1}] AS DECIMAL(12,6))"
+        s"$dd * $dd"
+      }.mkString(" + ")
+      val dProj = (0 until 8).map { i =>
+        val dd = s"CAST(a.p[${i + 1}] - b.p[${i + 1}] AS DECIMAL(16,6))"
+        s"$dd * $dd"
+      }.mkString(" + ")
+      s"""WITH e AS (
+         | SELECT vec_id, list_transform(embedding,
+         |   x -> CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(12,6))) AS e
+         | FROM embeddings WHERE vec_id < 20 AND len(embedding) = 64),
+         |p AS (
+         | SELECT vec_id, e,
+         |  [${(0 until 8).map(projExpr).mkString(", ")}] AS p
+         | FROM e),
+         |pr AS (
+         | SELECT round(CAST($dProj AS DOUBLE)
+         |   / (8 * CAST($dOrig AS DOUBLE)), 6) AS ratio
+         | FROM p a JOIN p b ON a.vec_id < b.vec_id)
+         |SELECT count(*) AS n_pairs,
+         | round(CAST(sum(CAST(ratio AS DECIMAL(18,6))) AS DOUBLE)
+         |   / count(*), 6) AS mean_ratio,
+         | round(min(ratio), 6) AS min_ratio,
+         | round(max(ratio), 6) AS max_ratio
+         |FROM pr""".stripMargin
+    },
     "q_embed_norms" ->
       """WITH r AS (
         | SELECT label,
