@@ -47,22 +47,34 @@ object Bench {
     val unknown = only -- SparkEntry.queries.keySet
     require(unknown.isEmpty,
       s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.mkString(", ")}")
+    // Per-query GC attribution: wall-clock alone can't distinguish a slow
+    // plan from driver-box noise (BENCH_r06/r07 inflated a handful of
+    // queries 3–5× vs quiet-box reruns). Recording the GC-time delta per
+    // query makes that diagnosable from bench.json without a judge re-run.
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
+      val g0 = gcMillis()
       val t0 = System.nanoTime()
       try run(fn(spark, sfDir)) catch { case _: Throwable => () }
       finally CacheScope.drain() // release operator-internal caches
-      name -> (System.nanoTime() - t0) / 1e9
+      (name, (System.nanoTime() - t0) / 1e9, (gcMillis() - g0) / 1e3)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val gcs = results.map { case (k, _, g) => "\"" + k + "\":" + g }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // The full line (with the per-query map) is ~6 KB and has twice exceeded
-    // the driver's tail-capture window (BENCH_r05/r06 "parsed: null"). A
-    // total-only line is ~100 bytes and always fits; print it first so the
-    // full line — whatever its fate — can only follow it, never displace it.
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_sec":$gcs,"sf":"$sfDir"}"""
+    // Stdout carries ONLY this ~120-byte line. r05–r07 all recorded
+    // "parsed: null" because the full ~7 KB per-query line, truncated
+    // mid-object at the head of the driver's capture window, is what its
+    // parser hit first — any oversized line on stdout can displace the
+    // parseable one. The per-query map (and per-query GC seconds) lives in
+    // target/bench.json alone.
     val tinyJson = s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"sf":"$sfDir"}"""
 
     // The result JSON must be unlosable: r5's driver capture lost the stdout
@@ -82,12 +94,7 @@ object Bench {
       org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     } catch { case _: Throwable => () }
     try spark.stop() catch { case _: Throwable => () }
-    // Tiny line, full line, tiny line again: whether the driver scans its
-    // capture window for the first parseable JSON line or the last, and
-    // whether or not the window is smaller than the full line, a complete
-    // total-only record is inside it.
-    println(tinyJson)
-    println(json)
+    // ONE tiny line on stdout — never the full per-query map (see above).
     println(tinyJson)
   }
 }

@@ -270,22 +270,22 @@ object Curation {
 
     // BLOCKLIST HIT-RATE FILTER (the C4 "bad words" screen, Raffel et al.
     // 2020 §2.2 — docs with any hit dropped; RefinedWeb keeps a ratio):
-    // per-doc hit counts against a small term list. The list rides a
-    // BROADCAST semi-structured join (never a shuffle of the corpus);
-    // token explode is map-side; per-doc counts map-side combine. The
-    // synthetic stand-in terms make the mechanics gateable — deployment
-    // swaps the literal list for the real one.
+    // per-doc hit counts against a small term list, computed as ONE
+    // map-side projection — `size(filter(tokens, t ∈ blocked))` — so the
+    // plan has ZERO exchanges before the output sort (the r07 shape
+    // exploded every token, shuffled doc-cardinality counts, and joined
+    // back: two shuffles + a join for what a single codegen'd HOF pass
+    // computes; PlansSpec asserts the no-Exchange shape). The term list
+    // embeds as an array literal (dictionary-sized — a real blocklist is
+    // a few thousand terms, still literal/broadcast class); deployment
+    // swaps the stand-in terms for the real list.
     "q_blocklist" -> { (s, d) =>
-      val blocked = Seq("slow", "dup", "broken")
-      val docs = Tables.documents(s, d)
-      val hits = docs
+      val blockedArr = array(Seq("slow", "dup", "broken").map(lit): _*)
+      Tables.documents(s, d)
         .select(col("doc_id"),
-          explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
-        .filter(col("token").isin(blocked: _*))
-        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-      docs.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n"))
-        .join(hits, Seq("doc_id"), "left")
-        .na.fill(0L, Seq("n_hits"))
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n"),
+          size(filter(TextAnalysis.tokens(lower(col("text"))),
+            t => array_contains(blockedArr, t))).cast("long").as("n_hits"))
         .select(col("doc_id"), col("n_hits"),
           (col("n_hits") === 0).as("keep_strict"),
           // RefinedWeb-style ratio keep: under 5% of tokens blocked

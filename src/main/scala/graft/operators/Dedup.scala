@@ -836,12 +836,18 @@ object Dedup {
     * raw exact fingerprint — the near-exact tier between exact dedup (L1)
     * and MinHash (L2) that catches reformatted mirrors at exact-dedup
     * cost. Emits (dup_id, keep_id, caught_by_exact): rows with
-    * caught_by_exact = false are the tier's added recall.
+    * caught_by_exact = false are the tier's added recall. A dup is
+    * "caught by exact" iff the exact tier ALONE (min-id keeper per exact
+    * fingerprint, globally) would already have dropped it — i.e. some
+    * doc with a smaller id shares its efp. (Comparing only against the
+    * group keeper's efp — the r07 shape — missed dups that exactly match
+    * a non-keeper member, overstating this tier's added recall.)
     *
     * Plan: one map pass computes both fingerprints, ONE hash-shuffle
     * groups by the normalized key (map-side combined to a row per
     * distinct content per task), and the pair join re-attaches group
-    * members by the same key — dup-group-bounded, broadcast under AQE.
+    * members by the same key — dup-group-bounded, broadcast under AQE;
+    * the efp min-id frame is content-cardinality and joins the same way.
     */
   def normalizedDedupPairs(docs: DataFrame, idCol: String = "doc_id",
                            textCol: String = "text"): DataFrame = {
@@ -849,15 +855,15 @@ object Dedup {
       md5(normalizeText(col(textCol))).as("nfp"),
       TextAnalysis.fingerprint(col(textCol)).as("efp"))
     val grp = fps.groupBy("nfp")
-      .agg(min(struct(col("id"), col("efp"))).as("k"),
-        count(lit(1)).as("n"))
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n"))
       .filter(col("n") > 1)
-      .select(col("nfp"), col("k.id").as("keep_id"),
-        col("k.efp").as("keep_efp"))
+      .select(col("nfp"), col("keep_id"))
+    val eMin = fps.groupBy("efp").agg(min(col("id")).as("efp_min_id"))
     fps.join(grp, Seq("nfp"))
       .filter(col("id") =!= col("keep_id"))
+      .join(eMin, Seq("efp"))
       .select(col("id").as("dup_id"), col("keep_id"),
-        (col("efp") === col("keep_efp")).as("caught_by_exact"))
+        (col("efp_min_id") < col("id")).as("caught_by_exact"))
       .orderBy("dup_id")
   }
 
@@ -1365,12 +1371,12 @@ object Dedup {
         |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS efp
         | FROM corpus),
         |grp AS (
-        | SELECT nfp, min(id) AS keep_id, arg_min(efp, id) AS keep_efp,
-        |  count(*) AS n
-        | FROM fps GROUP BY 1 HAVING count(*) > 1)
+        | SELECT nfp, min(id) AS keep_id, count(*) AS n
+        | FROM fps GROUP BY 1 HAVING count(*) > 1),
+        |emin AS (SELECT efp, min(id) AS efp_min_id FROM fps GROUP BY 1)
         |SELECT f.id AS dup_id, g.keep_id,
-        | f.efp = g.keep_efp AS caught_by_exact
-        |FROM fps f JOIN grp g USING (nfp)
+        | e.efp_min_id < f.id AS caught_by_exact
+        |FROM fps f JOIN grp g USING (nfp) JOIN emin e ON f.efp = e.efp
         |WHERE f.id <> g.keep_id ORDER BY dup_id""".stripMargin,
     "q_window_dedup" ->
       """SELECT event_id, user_id, hour, value FROM (

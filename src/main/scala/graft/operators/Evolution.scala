@@ -151,18 +151,25 @@ object Evolution {
     * the first two AUDIT a release; this one PRODUCES one.
     *
     * Noise is pseudo-random but deterministic — u ∈ (0,1) from the first
-    * 52 md5 bits of a salted group key, mapped through the Laplace
-    * inverse CDF — so the release is reproducible across runs, engines
-    * and partitionings (the oracle replays it bit-for-bit), which real
-    * DP deployments also want (noise re-drawn per query run leaks by
-    * averaging). Plan: the count aggregate IS the query; the noise is a
+    * 52 md5 bits of the group key salted with `secretSeed`, mapped
+    * through the Laplace inverse CDF — so the release is reproducible
+    * across runs, engines and partitionings (noise re-drawn per query
+    * run leaks by averaging). PRIVACY REQUIRES THE SEED TO BE SECRET:
+    * with a known seed anyone can recompute the noise from the public
+    * group key and recover the exact count, so the release provides no
+    * DP at all. A deployment must pass a seed drawn from a secret key
+    * (KMS/keystore class), exactly like a keyed-hash MAC. The default
+    * "dp:" seed exists ONLY so the DuckDB oracle can replay the release
+    * bit-for-bit in tests — it is a test fixture, not a privacy
+    * mechanism. Plan: the count aggregate IS the query; the noise is a
     * pure scalar map on the group-cardinality frame. The exact count is
     * emitted alongside for the gate/tests; a production release projects
     * it away.
     */
   def dpNoisyCounts(df: DataFrame, groupCol: String,
-                    epsilon: Double = 1.0): DataFrame = {
-    val h = conv(substring(md5(concat(lit("dp:"), col(groupCol))), 1, 13),
+                    epsilon: Double = 1.0,
+                    secretSeed: String = "dp:"): DataFrame = {
+    val h = conv(substring(md5(concat(lit(secretSeed), col(groupCol))), 1, 13),
       16, 10).cast("long")
     // (h + 0.5) / 2^52 ∈ (0, 1) strictly — ln(1-2|u-1/2|) stays finite
     val u = (h.cast("double") + lit(0.5)) / lit(4503599627370496.0)

@@ -43,22 +43,29 @@ object Similarity {
     * space (the dimensionality-reduction scale path next to MRL
     * truncation, q_sim_topk_mrl).
     *
-    * Determinism: embeddings quantize to 6dp DECIMALs first, so every
-    * signed sum and squared distance is EXACT — order-independent on
-    * both engines (a float fold would pin the fold order instead); the
-    * only doubles are the final per-pair ratio and the decimal-folded
-    * mean. Scale: the projection is a map-side expression over the
-    * corpus (here the probe set); the audit pairs frame is
-    * nProbe²-bounded.
+    * Determinism: embeddings quantize to fixed-point Longs (q = ⌊x·2^20⌋,
+    * the q_pca_top/q_kmeans trick), so every signed sum and squared
+    * distance is EXACT 64-bit integer arithmetic — order-independent on
+    * both engines. (A DECIMAL expression-tree fold is NOT safe here:
+    * Spark grows decimal precision by 1 per add node, caps it at 38
+    * mid-fold, and `allowPrecisionLoss` then silently drops scale —
+    * the r07 red gate.) Overflow bound at |x| ≤ 3: |q| ≤ 3.2e6, a
+    * projected coordinate ≤ 64·|q| ≈ 2e8, its squared pair-diff ≤
+    * 1.7e17, ×kOut ≤ 1.4e18 < 2^63 — safe under ANSI overflow checks.
+    * The only doubles are the final per-pair ratio (identical IEEE
+    * Long→double conversion on both engines) and the decimal-summed
+    * mean. Pairs with dOrig = 0 (identical probe vectors) are excluded
+    * — the ratio is undefined there. Scale: the projection is a
+    * map-side expression over the corpus (here the probe set); the
+    * audit pairs frame is nProbe²-bounded.
     */
   def jlDistortionAudit(emb: DataFrame, kOut: Int = 8, d: Int = 64,
                         nProbe: Int = 20): DataFrame = {
     val signs = jlSigns(kOut, d)
-    val dec = DecimalType(12, 6)
     val e = emb.filter(col("vec_id") < nProbe && size(col("embedding")) === d)
       .select(col("vec_id"),
         transform(col("embedding"),
-          x => round(x.cast("double"), 6).cast(dec)).as("e"))
+          x => floor(x.cast("double") * 1048576).cast("long")).as("e"))
     val proj = e.select(col("vec_id"), col("e"),
       array((0 until kOut).map { i =>
         (0 until d).map { j =>
@@ -71,18 +78,18 @@ object Similarity {
     val b = proj.select(col("vec_id").as("idb"), col("e").as("eb"),
       col("p").as("pb"))
     val dOrig = (0 until d).map { j =>
-      val dj = (element_at(col("ea"), j + 1) - element_at(col("eb"), j + 1))
-        .cast(dec)
+      val dj = element_at(col("ea"), j + 1) - element_at(col("eb"), j + 1)
       dj * dj
     }.reduce(_ + _)
     val dProj = (0 until kOut).map { i =>
-      val di = (element_at(col("pa"), i + 1) - element_at(col("pb"), i + 1))
-        .cast(DecimalType(16, 6))
+      val di = element_at(col("pa"), i + 1) - element_at(col("pb"), i + 1)
       di * di
     }.reduce(_ + _)
     a.join(b, col("ida") < col("idb")) // nProbe²/2 rows — audit-bounded
-      .select(round(dProj.cast("double") /
-        (lit(kOut) * dOrig.cast("double")), 6).as("ratio"))
+      .select(dOrig.as("d_orig"), dProj.as("d_proj"))
+      .filter(col("d_orig") > 0) // identical probes: ratio undefined
+      .select(round(col("d_proj").cast("double") /
+        (lit(kOut) * col("d_orig").cast("double")), 6).as("ratio"))
       .agg(count(lit(1)).as("n_pairs"),
         round(sum(col("ratio").cast(DecimalType(18, 6))).cast("double") /
           count(lit(1)), 6).as("mean_ratio"),
@@ -724,24 +731,24 @@ object Similarity {
   }
 
   def oracles: Map[String, String] = Map(
-    // JL twin: the SAME driver-computed ±1 literals, exact-decimal sums
+    // JL twin: the SAME driver-computed ±1 literals, exact Long sums
     "q_jl_projection" -> {
       val signs = jlSigns(8, 64)
       def projExpr(i: Int): String =
-        "(CAST(0 AS DECIMAL(12,6)) " + (0 until 64).map { j =>
+        "(CAST(0 AS BIGINT) " + (0 until 64).map { j =>
           s"${if (signs(i)(j) > 0) "+" else "-"} e[${j + 1}]"
         }.mkString(" ") + ")"
       val dOrig = (0 until 64).map { j =>
-        val dd = s"CAST(a.e[${j + 1}] - b.e[${j + 1}] AS DECIMAL(12,6))"
+        val dd = s"(a.e[${j + 1}] - b.e[${j + 1}])"
         s"$dd * $dd"
       }.mkString(" + ")
       val dProj = (0 until 8).map { i =>
-        val dd = s"CAST(a.p[${i + 1}] - b.p[${i + 1}] AS DECIMAL(16,6))"
+        val dd = s"(a.p[${i + 1}] - b.p[${i + 1}])"
         s"$dd * $dd"
       }.mkString(" + ")
       s"""WITH e AS (
          | SELECT vec_id, list_transform(embedding,
-         |   x -> CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(12,6))) AS e
+         |   x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS e
          | FROM embeddings WHERE vec_id < 20 AND len(embedding) = 64),
          |p AS (
          | SELECT vec_id, e,
@@ -750,7 +757,8 @@ object Similarity {
          |pr AS (
          | SELECT round(CAST($dProj AS DOUBLE)
          |   / (8 * CAST($dOrig AS DOUBLE)), 6) AS ratio
-         | FROM p a JOIN p b ON a.vec_id < b.vec_id)
+         | FROM p a JOIN p b ON a.vec_id < b.vec_id
+         | WHERE $dOrig > 0)
          |SELECT count(*) AS n_pairs,
          | round(CAST(sum(CAST(ratio AS DECIMAL(18,6))) AS DOUBLE)
          |   / count(*), 6) AS mean_ratio,

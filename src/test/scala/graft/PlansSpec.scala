@@ -161,6 +161,19 @@ class PlansSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("q_blocklist is one map-side projection: no join, no agg, no explode") {
+    val df = graft.operators.Curation.queries("q_blocklist")(spark, sfDir)
+    val physical = df.queryExecution.executedPlan.toString
+    // the r07 shape exploded tokens, aggregated per doc and joined back —
+    // two hash exchanges + a join; the rewrite is a single codegen'd HOF
+    // pass whose ONLY exchange is the output sort's range partitioning
+    assert(!physical.contains("Join"), physical)
+    assert(!physical.contains("HashAggregate"), physical)
+    assert(!physical.contains("Generate"), physical) // no explode
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(physical).toSeq
+    assert(exchanges == Seq("Exchange rangepartitioning"), physical)
+  }
+
   test("GraftExtensions installs the strategy at session boot (deployment path)") {
     val s2 = SparkSpec.session.newSession()
     new graft.functions.GraftExtensions().apply(
