@@ -1642,15 +1642,19 @@ object Analytics {
     // the distributed bootstrap: resampling n-with-replacement doesn't
     // shard, but giving each row an independent Poisson(1) weight per
     // replicate does, and is equivalent for large n). Weights are
-    // DETERMINISTIC: u = first-32-md5-bits(key:replicate)/2^32 inverted
+    // DETERMINISTIC: ONE md5 per (row, digest-group) yields FOUR 32-bit
+    // words (32 hex chars = 4×8) → four replicate uniforms, inverted
     // through the Poisson(1) CDF (threshold literals generated from one
     // Scala source into BOTH engines, so comparisons are bit-identical).
-    // B=50 replicates explode map-side; each replicate folds to exact
-    // integer (Σw·cents, Σw) pairs — the only shuffle carries 50 partial
-    // pairs per task. CI bounds are type-1 percentiles of the 50-row
-    // replicate-mean frame (ceil(0.025·50)=2nd, ceil(0.975·50)=49th).
+    // The md5 is the dominant per-row cost, so 4 replicates per digest
+    // cuts the constant 4× vs one-hash-per-replicate (r07 plan audit).
+    // B=48 replicates (12 digests × 4) explode map-side; each replicate
+    // folds to exact integer (Σw·cents, Σw) pairs — the only shuffle
+    // carries 48 partial pairs per task. CI bounds are type-1 percentiles
+    // of the 48-row replicate-mean frame (ceil(0.025·48)=2nd,
+    // ceil(0.975·48)=47th).
     "q_bootstrap_ci" -> { (s, d) =>
-      val B = 50
+      val B = 48
       val cdf = { // cumulative Poisson(1) probabilities for k = 0..5
         val pmf = (0 to 5).scanLeft(math.exp(-1.0))((p, k) => p / (k + 1)).tail
         pmf.scanLeft(0.0)(_ + _).tail
@@ -1658,16 +1662,21 @@ object Analytics {
       val rows = Tables.orders(s, d).select(col("o_orderkey"),
         (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
           .cast("long").as("cents"))
-      val u = (conv(substring(md5(concat_ws(":", col("o_orderkey"), col("b"))),
-        1, 8), 16, 10).cast("long").cast("double") + 0.5) / 4294967296.0
       val w = cdf.zipWithIndex
         .foldRight(lit(6): Column) { case ((c, k), e) =>
           when(col("u") < c, k).otherwise(e)
         }
       val reps = rows
         .select(col("o_orderkey"), col("cents"),
-          explode(sequence(lit(1), lit(B))).as("b"))
-        .withColumn("u", u).withColumn("w", w)
+          explode(sequence(lit(1), lit(B / 4))).as("g"))
+        .withColumn("h", md5(concat_ws(":", col("o_orderkey"), col("g"))))
+        .select(col("cents"), col("g"),
+          posexplode(array((0 until 4).map(sl =>
+            substring(col("h"), sl * 8 + 1, 8)): _*)).as(Seq("sl", "hx")))
+        .select(((col("g") - 1) * 4 + col("sl") + 1).as("b"), col("cents"),
+          ((conv(col("hx"), 16, 10).cast("long").cast("double") + 0.5) /
+            4294967296.0).as("u"))
+        .withColumn("w", w)
         .groupBy("b")
         .agg(round(sum(col("w").cast("long") * col("cents")).cast("double") /
           sum(col("w").cast("long")) / 100.0, 6).as("mean_b"))
@@ -2443,7 +2452,7 @@ object Analytics {
         |  AS var_reduction_pct
         |FROM mo""".stripMargin,
     "q_bootstrap_ci" -> {
-      val B = 50
+      val B = 48 // 12 md5 digests × 4 replicate words — mirrors the Spark side
       val pmf = (0 to 5).scanLeft(math.exp(-1.0))((p, k) => p / (k + 1)).tail
       val cdf = pmf.scanLeft(0.0)(_ + _).tail
       val wCase = "CASE " + cdf.zipWithIndex
@@ -2454,10 +2463,11 @@ object Analytics {
          |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
          | FROM orders),
          |reps AS (
-         | SELECT r.cents, b.b,
-         |  (CAST(('0x' || substr(md5(concat_ws(':', r.o_orderkey, b.b)), 1, 8))
-         |    AS BIGINT) + 0.5) / 4294967296.0 AS u
-         | FROM rows0 r CROSS JOIN range(1, ${B + 1}) b(b)),
+         | SELECT r.cents, (g.g - 1) * 4 + s.s + 1 AS b,
+         |  (CAST(('0x' || substr(md5(concat_ws(':', r.o_orderkey, g.g)),
+         |    s.s * 8 + 1, 8)) AS BIGINT) + 0.5) / 4294967296.0 AS u
+         | FROM rows0 r CROSS JOIN range(1, ${B / 4 + 1}) g(g)
+         |  CROSS JOIN range(0, 4) s(s)),
          |wm AS (
          | SELECT b, round(CAST(sum(w * cents) AS DOUBLE) / sum(w) / 100.0, 6)
          |   AS mean_b

@@ -285,8 +285,9 @@ object StreamOps {
         StructField("event_id", LongType), StructField("event_type", StringType),
         StructField("value", DoubleType)))
       Tables.events(s, d)
-        .select(to_json(struct(col("event_id"), col("event_type"), col("value"))).as("payload"))
-        .select(from_json(col("payload"), msgSchema).as("m"))
+        .select(KafkaBridge.encodeMessage(col("event_id"), col("event_type"),
+          col("value")).as("payload"))
+        .select(KafkaBridge.decodeMessage(col("payload"), msgSchema).as("m"))
         .groupBy(col("m.event_type").as("event_type"))
         .agg(count(lit(1)).as("cnt"),
           sum(col("m.value").cast(DecimalType(18, 2))).cast("double").as("total"))
@@ -311,7 +312,7 @@ object StreamOps {
         .agg(to_json(collect_list(
           struct(col("event_id"), col("event_type"), col("value")))).as("payload"))
         .select("payload")
-      msgs.select(explode(from_json(col("payload"), recSchema)).as("m"))
+      msgs.select(KafkaBridge.decodeListEnvelope(col("payload"), recSchema).as("m"))
         .groupBy(col("m.event_type").as("event_type"))
         .agg(count(lit(1)).as("cnt"),
           sum(col("m.value").cast(DecimalType(18, 2))).cast("double").as("total"))
@@ -629,7 +630,7 @@ object StreamOps {
         .option("checkpointLocation", "/root/repo/target/scratch/ckpt_stream_topic_sink")
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.select(to_json(struct(col("h"), col("cnt"))).as("payload"))
+          batch.select(KafkaBridge.encodeMessage(col("h"), col("cnt")).as("payload"))
             .write.mode("overwrite").parquet(sinkPath)
         }
         .start()
@@ -637,7 +638,7 @@ object StreamOps {
       val msgSchema = StructType(Seq(
         StructField("h", IntegerType), StructField("cnt", LongType)))
       s.read.parquet(sinkPath)
-        .select(from_json(col("payload"), msgSchema).as("m"))
+        .select(KafkaBridge.decodeMessage(col("payload"), msgSchema).as("m"))
         .select(col("m.h").as("h"), col("m.cnt").as("cnt"))
         .orderBy("h")
     }},
