@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, BboxSummary, Curation, Dedup, Evolution, Multimodal, Pipeline, Relational, Retrieval, Scd, Similarity, Sketches, SqlSurface, StarPipeline, TemporalJoins, TextAnalysis, Topics, Training}
+import graft.operators.{Analytics, BboxSummary, Curation, Dedup, Evolution, Graph, Multimodal, Pipeline, Relational, Retrieval, Scd, Similarity, Sketches, SqlSurface, StarPipeline, TemporalJoins, TextAnalysis, Topics, Training}
 import graft.sources.Sources
 import graft.streaming.StreamOps
 
@@ -29,7 +29,7 @@ object SparkEntry {
       StreamOps.queries ++ BboxSummary.queries ++ TemporalJoins.queries ++
       Pipeline.queries ++ Training.queries ++ Curation.queries ++ Scd.queries ++
       Sketches.queries ++ SqlSurface.queries ++ Retrieval.queries ++
-      Evolution.queries
+      Evolution.queries ++ Graph.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for non-SQL-expressible ops
@@ -42,5 +42,5 @@ object SparkEntry {
       StreamOps.oracles ++ BboxSummary.oracles ++ TemporalJoins.oracles ++
       Pipeline.oracles ++ Training.oracles ++ Curation.oracles ++ Scd.oracles ++
       Sketches.oracles ++ SqlSurface.oracles ++ Retrieval.oracles ++
-      Evolution.oracles
+      Evolution.oracles ++ Graph.oracles
 }

@@ -484,7 +484,89 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998): the
+    * diversity pass between retrieval and the context window — greedily
+    * pick k of each query's `shortlist` candidates maximizing
+    * λ·relevance − (1−λ)·max-similarity-to-already-picked. At λ = 1/2
+    * the argmax is equivalent to maximizing `rel − maxSim` (×2,
+    * monotone), and with vectors quantized to ⌊x·2^20⌋ Longs BOTH terms
+    * are exact 64-bit integers — the selection (including every
+    * tie-break: score desc, candidate id asc) replays bit-for-bit in
+    * DuckDB's unrolled k-step twin. Rank-1 has no picked set; its
+    * penalty is defined 0.
+    *
+    * Scale posture: relevance is the brute-force path (queries broadcast
+    * over one corpus scan), the shortlist is the k-bounded
+    * TopKPairAggregator (never a per-query window sort), and candidate
+    * vectors re-attach via an AQE-broadcast join of the
+    * (nQ·shortlist)-row frame. The greedy selection itself runs in
+    * `flatMapGroups` — the documented (d)-tier escape hatch, justified
+    * here because each step's scores depend on the previous picks
+    * (an inherently sequential argmax chain; the relational encoding is
+    * k self-joins of the whole frame). Per-group state is
+    * shortlist-bounded (20 rows × 64 dims), NOT corpus-bounded, and
+    * groups are query-parallel.
+    */
+  def mmrRerank(emb: DataFrame, nQ: Int = 5, shortlist: Int = 20,
+                k: Int = 5): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    def quant(c: Column) =
+      transform(c, x => floor(x.cast("double") * 1048576).cast("long"))
+    val base = emb.filter(size(col("embedding")) === 64)
+    val q = base.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("qid"), quant(col("embedding")).as("qe"))
+    val c = base.filter(col("vec_id") >= nQ)
+      .select(col("vec_id").as("cid"), quant(col("embedding")).as("ce"))
+    val rel = c.crossJoin(broadcast(q))
+      .select(col("qid"), col("cid"),
+        aggregate(zip_with(col("qe"), col("ce"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("rel"))
+    // |rel| ≤ 64·(3.2e6)² ≈ 6.5e14 < 2^53 — exact through the double-typed
+    // aggregator, cast back lossless
+    val topk = udaf(new TopKPairAggregator(shortlist), Encoders.product[ScoredId])
+    val short = rel.groupBy("qid")
+      .agg(topk(col("rel").cast("double"), col("cid")).as("tops"))
+      .select(col("qid"), explode(col("tops")).as("t"))
+      .select(col("qid"), col("t.id").as("cid"), col("t.sim").cast("long").as("rel"))
+    val cand = short.join(c, Seq("cid"))
+      .select(col("qid"), col("cid"), col("rel"), col("ce"))
+      .as[(Long, Long, Long, Seq[Long])]
+    cand.groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Long, Seq[Long])]) =>
+        val cands = it.map { case (_, cid, r, ce) => (cid, r, ce.toArray) }
+          .toArray.sortBy(t => (t._1)) // canonical order; argmax scans all
+        val chosen = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+        val used = scala.collection.mutable.HashSet.empty[Long]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Long)]
+        var r = 1
+        while (r <= k && used.size < cands.length) {
+          var bestCid = -1L; var bestScore = Long.MinValue
+          var bestVec: Array[Long] = null
+          for ((cid, rl, ce) <- cands if !used(cid)) {
+            var pen = Long.MinValue
+            for (sv <- chosen) {
+              var dot = 0L; var i = 0
+              while (i < ce.length) { dot += ce(i) * sv(i); i += 1 }
+              if (dot > pen) pen = dot
+            }
+            val score = rl - (if (chosen.isEmpty) 0L else pen)
+            if (score > bestScore || (score == bestScore && cid < bestCid)) {
+              bestScore = score; bestCid = cid; bestVec = ce
+            }
+          }
+          out += ((qid, r, bestCid, bestScore))
+          used += bestCid; chosen += bestVec; r += 1
+        }
+        out.iterator
+      }
+      .toDF("qid", "rank", "cid", "mmr_score")
+      .orderBy("qid", "rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // MMR diversity rerank over the ANN shortlist.
+    "q_mmr_rerank" -> { (s, d) => mmrRerank(Tables.embeddings(s, d)) },
     // JL ±1 projection 64→8: the distance-preservation audit for the
     // reduced-space ANN path.
     "q_jl_projection" -> { (s, d) =>
@@ -731,6 +813,67 @@ object Similarity {
   }
 
   def oracles: Map[String, String] = Map(
+    // MMR twin: k greedy steps unrolled as CTEs; every score is an exact
+    // BIGINT (quantized dots), so argmax + tie-breaks replay bit-for-bit
+    "q_mmr_rerank" -> {
+      val k = 5
+      def stepSql(t: Int): String =
+        s"""cand$t AS (
+           | SELECT s.qid, s.cid, s.rel - p.pen AS score
+           | FROM short s
+           | JOIN (
+           |  SELECT si.qid, si.a AS cid, max(si.d) AS pen
+           |  FROM sims si JOIN cum${t - 1} u
+           |   ON si.qid = u.qid AND si.b = u.cid
+           |  GROUP BY 1, 2) p ON p.qid = s.qid AND p.cid = s.cid
+           | WHERE NOT EXISTS (SELECT 1 FROM cum${t - 1} x
+           |   WHERE x.qid = s.qid AND x.cid = s.cid)),
+           |sel$t AS (
+           | SELECT qid, $t AS rank, cid, score FROM (
+           |  SELECT qid, cid, score,
+           |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid)
+           |    AS rn
+           |  FROM cand$t) WHERE rn = 1),
+           |cum$t AS (
+           | SELECT qid, cid FROM cum${t - 1}
+           | UNION ALL SELECT qid, cid FROM sel$t)""".stripMargin
+      val steps = (2 to k).map(stepSql).mkString(",\n")
+      val unions = (2 to k).map(t => s"UNION ALL SELECT * FROM sel$t")
+        .mkString(" ")
+      s"""WITH base AS (
+         | SELECT vec_id, list_transform(embedding,
+         |   x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS e
+         | FROM embeddings WHERE len(embedding) = 64),
+         |q AS (SELECT vec_id AS qid, e FROM base WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS cid, e FROM base WHERE vec_id >= 5),
+         |rel AS (
+         | SELECT q.qid, c.cid,
+         |  CAST(list_sum(list_transform(range(1, 65), i -> q.e[i] * c.e[i]))
+         |    AS BIGINT) AS rel
+         | FROM q, c),
+         |short AS (
+         | SELECT qid, cid, rel FROM (
+         |  SELECT qid, cid, rel,
+         |   row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rn
+         |  FROM rel) WHERE rn <= 20),
+         |sims AS (
+         | SELECT a.qid, a.cid AS a, b.cid AS b,
+         |  CAST(list_sum(list_transform(range(1, 65), i -> ea.e[i] * eb.e[i]))
+         |    AS BIGINT) AS d
+         | FROM short a JOIN short b ON a.qid = b.qid AND a.cid <> b.cid
+         | JOIN base ea ON ea.vec_id = a.cid
+         | JOIN base eb ON eb.vec_id = b.cid),
+         |sel1 AS (
+         | SELECT qid, 1 AS rank, cid, rel AS score FROM (
+         |  SELECT qid, cid, rel,
+         |   row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rn
+         |  FROM short) WHERE rn = 1),
+         |cum1 AS (SELECT qid, cid FROM sel1),
+         |$steps
+         |SELECT qid, rank, cid, score AS mmr_score
+         |FROM (SELECT * FROM sel1 $unions)
+         |ORDER BY qid, rank""".stripMargin
+    },
     // JL twin: the SAME driver-computed ±1 literals, exact Long sums
     "q_jl_projection" -> {
       val signs = jlSigns(8, 64)

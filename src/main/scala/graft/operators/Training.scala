@@ -164,6 +164,28 @@ object Training {
       val emb = Tables.embeddings(s, d)
       quantizedTopK(emb.filter(col("vec_id") < 5), emb, 5)
         .orderBy("query_id", "rank")
+    },
+    // PER-EPOCH DETERMINISTIC SHUFFLE + SHARD PLAN — pretraining wants a
+    // different global-looking data order every epoch, reproducible
+    // across reruns and resumable mid-epoch. A true global shuffle is a
+    // total ORDER BY (single-partition window at 100 TB — a non-starter);
+    // the scalable form is hash-shard-then-local-rank: shard =
+    // md5(epoch:doc) bucket, rank = row_number WITHIN (epoch, shard) by
+    // the same hash. Each worker streams its shard in rank order; the
+    // composition is epoch-keyed, so epoch 2's shards and orders are
+    // uncorrelated with epoch 1's. Every window is shard-local —
+    // partitioned, parallel, no global sort anywhere.
+    "q_epoch_shuffle" -> { (s, d) =>
+      val h = md5(concat_ws(":", col("epoch"), col("doc_id")))
+      Tables.documents(s, d).select(col("doc_id"))
+        .select(col("doc_id"), explode(sequence(lit(1), lit(2))).as("epoch"))
+        .select(col("doc_id"), col("epoch").cast("long").as("epoch"), h.as("h"))
+        .withColumn("shard",
+          conv(substring(col("h"), 1, 4), 16, 10).cast("long") % 8)
+        .withColumn("rank_in_shard", row_number().over(
+          Window.partitionBy("epoch", "shard").orderBy("h", "doc_id")))
+        .select(col("epoch"), col("shard"), col("doc_id"), col("rank_in_shard"))
+        .orderBy("epoch", "shard", "rank_in_shard")
     }
   )
 
@@ -183,6 +205,19 @@ object Training {
     s"list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2]))"
 
   def oracles: Map[String, String] = Map(
+    "q_epoch_shuffle" ->
+      """WITH x AS (
+        | SELECT d.doc_id, e.epoch,
+        |  md5(concat_ws(':', e.epoch, d.doc_id)) AS h
+        | FROM documents d CROSS JOIN range(1, 3) e(epoch)),
+        |y AS (
+        | SELECT doc_id, epoch,
+        |  CAST(('0x' || substr(h, 1, 4)) AS BIGINT) % 8 AS shard, h
+        | FROM x)
+        |SELECT epoch, shard, doc_id,
+        | CAST(row_number() OVER (PARTITION BY epoch, shard ORDER BY h, doc_id)
+        |  AS INTEGER) AS rank_in_shard
+        |FROM y ORDER BY epoch, shard, rank_in_shard""".stripMargin,
     "q_pack_sequences" ->
       s"""WITH toks AS (
          | SELECT doc_id, $tokensSql AS n_tokens, doc_id % 8 AS shard

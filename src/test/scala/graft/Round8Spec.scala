@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.{Graph, Similarity, Training}
+import org.apache.spark.sql.functions._
+
+/** Round-8 additions: fixed-point PageRank, MMR diversity rerank,
+  * per-epoch deterministic shuffle/shard plan.
+  */
+class Round8Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("pagerank: hand replay on a 3-node path graph, mass conserved-ish") {
+    // path a—b—c (symmetrized): deg(a)=deg(c)=1, deg(b)=2
+    val edges = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"))
+      .toDF("src", "dst")
+    val got = Graph.pagerankOnEdges(edges, iters = 3, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // exact integer replay of the operator's arithmetic
+    val scale = 1000000000000L
+    val base = scale / 3
+    val tele = 15L * base / 100L
+    var p = Map("a" -> base, "b" -> base, "c" -> base)
+    val deg = Map("a" -> 1L, "b" -> 2L, "c" -> 1L)
+    for (_ <- 1 to 3) {
+      val contrib = Map(
+        "a" -> p("b") / deg("b"),          // from b
+        "b" -> (p("a") / deg("a") + p("c") / deg("c")),
+        "c" -> p("b") / deg("b"))
+      p = contrib.map { case (n, s) => n -> (tele + 85L * s / 100L) }
+    }
+    val want = p.toSeq.sortBy { case (n, m) => (-m, n) }
+    assert(got.toSeq == want)
+    // the hub b outranks the leaves; total mass stays near SCALE
+    assert(got.head._1 == "b")
+    val total = got.map(_._2).sum
+    assert(total > (scale * 9) / 10 && total <= scale)
+  }
+
+  test("pagerank on the interaction graph: suppliers dominate (higher degree)") {
+    val rows = Graph.queries("q_pagerank")(spark, sfDir).collect()
+    assert(rows.length == 10)
+    // suppliers connect to many customers; the hub side of the bipartite
+    // graph must hold the top mass
+    assert(rows.head.getString(0).startsWith("s:"))
+    // strictly ordered output
+    val masses = rows.map(_.getLong(1)).toSeq
+    assert(masses == masses.sorted(Ordering[Long].reverse))
+  }
+
+  test("mmr: near-duplicate of the top hit is demoted below a diverse hit") {
+    def vec(xs: Double*): Array[Float] =
+      (xs ++ Seq.fill(64 - xs.length)(0.0)).map(_.toFloat).toArray
+    // rel order is 5 (2.4), 6 (2.2), 7 (0.0); but 6 is a scaled copy of 5
+    // (sim 2.64 > its own rel) while 7 is orthogonal to 5 — MMR demotes 6
+    val emb = Seq(
+      (0L, vec(1.0, 1.0)),          // query
+      (5L, vec(1.2, 1.2)),          // best rel
+      (6L, vec(1.1, 1.1)),          // same direction as 5 — redundant
+      (7L, vec(1.0, -1.0))          // orthogonal to 5, rel 0
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(emb, nQ = 1, shortlist = 3, k = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1, 5L), (2, 7L), (3, 6L)),
+      s"got ${got.toSeq}: pure-rel order would be 5, 6, 7")
+  }
+
+  test("mmr: ranks are 1..k per query; scores nonincreasing from rank 2") {
+    val rows = Similarity.queries("q_mmr_rerank")(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length).toSeq)
+      // from rank 2 on the selected set only grows, so the max-sim
+      // penalty only grows and greedy scores can't increase (rank 1 is
+      // excluded: its penalty is DEFINED 0, and a negative max-sim at
+      // rank 2 can legitimately score above a rank-1 rel)
+      val sc = rs.sortBy(_.getInt(1)).map(_.getLong(3)).drop(1)
+      assert(sc.zip(sc.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("epoch shuffle: ranks contiguous per (epoch, shard); epochs decorrelated") {
+    val rows = Training.queries("q_epoch_shuffle")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val docs = rows.filter(_._1 == 1L).map(_._3).toSet
+    assert(rows.filter(_._1 == 2L).map(_._3).toSet == docs,
+      "every epoch must cover the whole corpus")
+    rows.groupBy(t => (t._1, t._2)).foreach { case (_, g) =>
+      assert(g.map(_._4).sorted.toSeq == (1 to g.length).toSeq,
+        "rank_in_shard must be contiguous 1..n within (epoch, shard)")
+    }
+    // the shuffle is epoch-keyed: shard assignment must differ between
+    // epochs for a substantial fraction of docs (md5 decorrelates)
+    val s1 = rows.filter(_._1 == 1L).map(t => t._3 -> t._2).toMap
+    val s2 = rows.filter(_._1 == 2L).map(t => t._3 -> t._2).toMap
+    val moved = docs.count(d => s1(d) != s2(d))
+    assert(moved > docs.size / 2, s"only $moved/${docs.size} docs moved shard")
+  }
+}
