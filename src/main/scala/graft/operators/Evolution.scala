@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Dataset-evolution operators: snapshot-to-snapshot change classification
   * (the CDC audit every incremental load needs before it trusts an append)
@@ -237,7 +238,57 @@ object Evolution {
       .orderBy("col_name")
   }
 
+  /** Population stability index between two value populations (the
+    * standard production data-drift gate; PSI > 0.2 = investigate,
+    * > 0.25 = retrain in most monitoring playbooks). Reference = the
+    * weekday (Mon–Thu) event-value distribution, current = Fri–Sun —
+    * the weekly-seasonality drift a feed monitor watches.
+    *
+    * Determinism: bins are 10 equal-width slices of the REFERENCE
+    * min/max (clamped outside), so bin edges are two broadcast scalars
+    * and binning is identical IEEE double arithmetic on both engines;
+    * counts Laplace-smooth (+1) so no bin divides by zero; each bin's
+    * (p−q)·ln(p/q) term rounds to 9dp and folds as DECIMAL (the
+    * q_mutual_info pattern — order-independent, 10 terms, nowhere near
+    * the 38-precision cap).
+    *
+    * Scale: one pass for the reference min/max (scalar), one binned
+    * count aggregate (map-side combined, 10-row result), scalar math
+    * after — the whole monitor is two scans of the value column no
+    * matter the table size, and the second scan prunes to (ts, value).
+    */
+  def psiDrift(events: DataFrame): DataFrame = {
+    val ev = events.filter(col("value").isNotNull)
+      .select(col("value").cast("double").as("v"),
+        (weekday(col("ts")) <= 3).as("is_ref"))
+    val mm = ev.filter(col("is_ref"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val counts = ev.crossJoin(broadcast(mm))
+      .select(col("is_ref"),
+        greatest(least(floor((col("v") - col("lo")) * 10.0 /
+          (col("hi") - col("lo"))), lit(9.0)), lit(0.0)).cast("int").as("bin"))
+      .groupBy("bin")
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("cr"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cc"))
+    val spine = events.sparkSession.range(0, 10)
+      .select(col("id").cast("int").as("bin"))
+    val filled = spine.join(counts, Seq("bin"), "left")
+      .na.fill(0L, Seq("cr", "cc"))
+    val tot = filled.agg(sum(col("cr")).as("nr"), sum(col("cc")).as("nc"))
+    val p = (col("cr") + 1).cast("double") / (col("nr") + 10).cast("double")
+    val q = (col("cc") + 1).cast("double") / (col("nc") + 10).cast("double")
+    filled.crossJoin(broadcast(tot))
+      .select(col("nr"), col("nc"),
+        round((p - q) * log(p / q), 9).cast(DecimalType(28, 9)).as("term"))
+      .groupBy("nr", "nc")
+      .agg(round(sum(col("term")).cast("double"), 6).as("psi"))
+      .select(col("nr").as("n_ref"), col("nc").as("n_cur"), col("psi"),
+        (col("psi") > 0.2).as("drifted"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Weekday-vs-weekend value-distribution drift monitor.
+    "q_psi_drift" -> { (s, d) => psiDrift(Tables.events(s, d)) },
     // Snapshot B is carved deterministically from orders: one column
     // dropped (o_orderpriority), one added (o_channel), one narrowed
     // (o_custkey bigint -> int) — the three drift classes a real
@@ -307,6 +358,34 @@ object Evolution {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_psi_drift" ->
+      """WITH ev AS (
+        | SELECT CAST(value AS DOUBLE) AS v, isodow(ts) <= 4 AS is_ref
+        | FROM events WHERE value IS NOT NULL),
+        |mm AS (SELECT min(v) AS lo, max(v) AS hi FROM ev WHERE is_ref),
+        |cnt AS (
+        | SELECT greatest(least(floor((v - lo) * 10.0 / (hi - lo)), 9.0), 0.0)
+        |    ::INTEGER AS bin,
+        |  sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS cr,
+        |  sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS cc
+        | FROM ev, mm GROUP BY 1),
+        |filled AS (
+        | SELECT s.bin, COALESCE(cr, 0) AS cr, COALESCE(cc, 0) AS cc
+        | FROM range(0, 10) s(bin) LEFT JOIN cnt ON s.bin = cnt.bin),
+        |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+        |        CAST(sum(cc) AS BIGINT) AS nc FROM filled),
+        |terms AS (
+        | SELECT nr, nc,
+        |  CAST(round(
+        |   ((cr + 1) / CAST(nr + 10 AS DOUBLE) - (cc + 1) / CAST(nc + 10 AS DOUBLE))
+        |    * ln(((cr + 1) / CAST(nr + 10 AS DOUBLE))
+        |         / ((cc + 1) / CAST(nc + 10 AS DOUBLE))), 9)
+        |   AS DECIMAL(28,9)) AS term
+        | FROM filled, tot)
+        |SELECT nr AS n_ref, nc AS n_cur,
+        | round(CAST(sum(term) AS DOUBLE), 6) AS psi,
+        | round(CAST(sum(term) AS DOUBLE), 6) > 0.2 AS drifted
+        |FROM terms GROUP BY 1, 2""".stripMargin,
     // same salted-md5 uniform, same Laplace inverse CDF, ε = 1
     "q_dp_counts" ->
       """WITH c AS (

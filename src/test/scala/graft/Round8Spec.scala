@@ -79,6 +79,36 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("psi drift: sides partition the non-null values; PSI is a nonneg J-divergence") {
+    val r = graft.operators.Evolution.queries("q_psi_drift")(spark, sfDir).head()
+    val nonNull = Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull).count()
+    assert(r.getAs[Long]("n_ref") + r.getAs[Long]("n_cur") == nonNull)
+    assert(r.getAs[Long]("n_ref") > 0 && r.getAs[Long]("n_cur") > 0)
+    // PSI = KL(p||q) + KL(q||p) ≥ 0, and identical populations give ~0
+    assert(r.getAs[Double]("psi") >= 0.0)
+    assert(r.getAs[Boolean]("drifted") == (r.getAs[Double]("psi") > 0.2))
+  }
+
+  test("psi drift: identical populations score ~0, disjoint populations score high") {
+    import graft.operators.Evolution
+    // same uniform values on both sides of the weekday split → psi ≈ 0
+    val ts = (ds: Int) => s"2024-01-0$ds 12:00:00" // Jan 1 2024 = Monday
+    val same = (1 to 7).flatMap(dow => (1 to 50).map(i =>
+      (ts(dow), i.toDouble))).toDF("ts_s", "value")
+      .select(col("ts_s").cast("timestamp").as("ts"), col("value"))
+    val r0 = Evolution.psiDrift(same).head()
+    assert(math.abs(r0.getAs[Double]("psi")) < 0.01, r0.toString)
+    // weekday values near 0, weekend values near 100 → strong drift
+    val drift = (1 to 7).flatMap(dow => (1 to 50).map(i =>
+      (ts(dow), if (dow <= 4) i % 10 * 1.0 else 90.0 + i % 10)))
+      .toDF("ts_s", "value")
+      .select(col("ts_s").cast("timestamp").as("ts"), col("value"))
+    val r1 = Evolution.psiDrift(drift).head()
+    assert(r1.getAs[Double]("psi") > 1.0, r1.toString)
+    assert(r1.getAs[Boolean]("drifted"))
+  }
+
   test("epoch shuffle: ranks contiguous per (epoch, shard); epochs decorrelated") {
     val rows = Training.queries("q_epoch_shuffle")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
