@@ -994,6 +994,59 @@ object Dedup {
       .filter(col("jaccard") >= tau)
   }
 
+  /** Containment (asymmetric-Jaccard) near-dups — doc-IN-doc detection:
+    * c(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| ≥ t flags documents whose content
+    * sits (near-)verbatim inside a larger host — quoted articles,
+    * scraped mirrors with boilerplate, license blocks. This is the dup
+    * class EVERY symmetric tier misses by construction: for a small doc
+    * inside a big one, Jaccard ≈ |A|/|B| is tiny, so MinHash banding
+    * (which estimates Jaccard) never surfaces the pair.
+    *
+    * Candidates come from a ONE-SIDED prefix filter (the PPJoin idea made
+    * asymmetric): c(A→B) ≥ t ⇒ |A\B| ≤ (1−t)|A|, so A must share at
+    * least one of its ⌊(1−t)|A|⌋+1 rarest shingles with B — A's prefix
+    * joins against the FULL posting side (B can't be prefix-filtered:
+    * the host's rare shingles needn't overlap the quote). Lossless.
+    *
+    * Scale posture: the prefix side carries ~(1−t) of each doc's
+    * shingles, rarest-first, so per-gram fanout is df of globally RARE
+    * grams; the posting side is the span-inventory shape (hash+id pairs,
+    * never text). Verify joins only candidate pairs and intersects
+    * bounded hash arrays. At a web corpus, cap df on the posting side
+    * (drop grams with df > cap from POSTINGS only — affects recall only
+    * for quotes made entirely of boilerplate, the documented slack).
+    */
+  def containmentNearDups(docs: DataFrame, idCol: String, textCol: String,
+                          t: Double = 0.9,
+                          hasher: HashFamily = XxHash): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = withShingleHashes(docs, idCol, textCol, hasher).persistTracked()
+    val ex = base.select(col("id"), explode(col("hs")).as("h"))
+    val dfc = ex.groupBy("h").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("id")
+    // persisted: feeds both the prefix side and the full posting side
+    val ranked = ex.join(dfc, Seq("h"))
+      .select(col("id"), col("h"),
+        row_number().over(w.orderBy(col("df"), col("h"))).as("rn"),
+        count(lit(1)).over(w).as("sz"))
+      .persistTracked()
+    val pref = ranked.filter(col("rn") <= col("sz") - ceil(col("sz") * t) + 1)
+      .select(col("id").as("id_a"), col("sz").as("sz_a"), col("h"))
+    val post = ranked.select(col("id").as("id_b"), col("sz").as("sz_b"), col("h"))
+    val cand = pref.join(post, Seq("h"))
+      .filter(col("id_a") =!= col("id_b") &&
+        col("sz_b") >= ceil(col("sz_a") * t)) // B must hold ≥ t·|A| grams
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+          size(col("hs_a")), 6).as("containment"),
+        round(jaccard(col("hs_a"), col("hs_b")), 6).as("jaccard"))
+      .filter(col("containment") >= t)
+  }
+
   /** Candidate-quality evaluation harness: precision/recall of the MinHash
     * near-dup detector against the planted ground truth — the measurement
     * every production dedup rollout runs before trusting a banding config
@@ -1048,6 +1101,21 @@ object Dedup {
     "q_dedup_prefix" -> { (s, d) =>
       prefixJaccardNearDups(plantedCorpus(Tables.documents(s, d)),
           "doc_id", "text", hasher = Md5Hash)
+        .orderBy("id_a", "id_b")
+    },
+    // Doc-in-doc tier: hosts are planted as doc_i ++ ' ' ++ doc_{i+20}
+    // (i < 10) — every quote's shingle set sits fully inside its host,
+    // containment = 1.0, while Jaccard stays far below any symmetric
+    // near-dup threshold (the class only this tier catches).
+    "q_dedup_containment" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val hosts = docs.as("a")
+        .filter(col("a.doc_id") < 10)
+        .join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + 20)
+        .select((col("a.doc_id") + 30000000L).as("doc_id"),
+          concat(col("a.text"), lit(" "), col("b.text")).as("text"))
+      containmentNearDups(docs.unionByName(hosts), "doc_id", "text",
+          hasher = Md5Hash)
         .orderBy("id_a", "id_b")
     },
     // Keep-best-within-time-bucket dedup: one event per (user, hour),
@@ -1537,6 +1605,51 @@ object Dedup {
         |JOIN hs b ON c.id_b = b.id
         |WHERE $jaccardSql >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // asymmetric twin: A-prefix against FULL postings, exact containment
+    "q_dedup_containment" ->
+      s"""WITH corpus AS (
+         | SELECT doc_id, text FROM documents
+         | UNION ALL
+         | SELECT a.doc_id + 30000000 AS doc_id,
+         |  a.text || ' ' || b.text AS text
+         | FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 20
+         | WHERE a.doc_id < 10),
+         |toks AS (
+         | SELECT doc_id AS id,
+         |  list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+         | FROM corpus),
+         |shs AS (
+         | SELECT id, list_distinct(
+         |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |       ELSE list_transform(range(1, len(toks) - 1),
+         |              i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END) AS shs
+         | FROM toks),
+         |hs AS (SELECT id, list_transform(shs, sh -> ${h64("sh")}) AS hs FROM shs),
+         |ex AS (SELECT id, unnest(hs) AS h FROM hs),
+         |dfc AS (SELECT h, count(*) AS df FROM ex GROUP BY 1),
+         |ranked AS (
+         | SELECT id, h,
+         |  row_number() OVER (PARTITION BY id ORDER BY df, h) AS rn,
+         |  count(*) OVER (PARTITION BY id) AS sz
+         | FROM ex JOIN dfc USING (h)),
+         |pref AS (
+         | SELECT id AS id_a, sz AS sz_a, h FROM ranked
+         | WHERE rn <= sz - ceil(sz * 0.9) + 1),
+         |cand AS (
+         | SELECT DISTINCT p.id_a, q.id AS id_b
+         | FROM pref p JOIN ranked q ON p.h = q.h AND p.id_a <> q.id
+         |  AND q.sz >= ceil(p.sz_a * 0.9))
+         |SELECT c.id_a, c.id_b,
+         | round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+         |   / len(a.hs), 6) AS containment,
+         | $jaccardSql AS jaccard
+         |FROM cand c
+         |JOIN hs a ON c.id_a = a.id
+         |JOIN hs b ON c.id_b = b.id
+         |WHERE round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+         |   / len(a.hs), 6) >= 0.9
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // same md5 chain as q_dedup_minhash, then set-compare the verified
     // pairs against the planted truth (doc_id < 20 ↔ doc_id + 10^7)

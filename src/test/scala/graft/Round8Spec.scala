@@ -79,6 +79,28 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("containment tier: all planted quotes found at 1.0 with sub-threshold jaccard") {
+    val rows = graft.operators.Dedup.queries("q_dedup_containment")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // every planted quote i (and its co-quote i+20) is contained in host
+    // i+30000000 at exactly 1.0 — its shingle set sits verbatim inside
+    (0L until 10L).foreach { i =>
+      val hit = rows.find(t => t._1 == i && t._2 == i + 30000000L)
+      assert(hit.isDefined, s"planted quote $i -> host missing")
+      assert(hit.get._3 == 1.0)
+      // the class is invisible to symmetric tiers: jaccard below the
+      // 0.7 ngram threshold for at least the typical planted pair
+    }
+    val plantedJac = (0L until 10L).flatMap(i =>
+      rows.find(t => t._1 == i && t._2 == i + 30000000L)).map(_._4)
+    assert(plantedJac.count(_ < 0.7) >= 8,
+      s"planted jaccards unexpectedly high: $plantedJac")
+    // directionality: hosts are never 'contained' in their quotes
+    assert(!rows.exists(t => t._1 >= 30000000L && t._2 < 30000000L &&
+      t._1 - 30000000L == t._2))
+  }
+
   test("psi drift: sides partition the non-null values; PSI is a nonneg J-divergence") {
     val r = graft.operators.Evolution.queries("q_psi_drift")(spark, sfDir).head()
     val nonNull = Tables.events(spark, sfDir)
