@@ -270,7 +270,15 @@ object Evolution {
       .groupBy("bin")
       .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("cr"),
         sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cc"))
-    val spine = events.sparkSession.range(0, 10)
+    psiOfBinCounts(counts)
+  }
+
+  /** PSI report from a (bin, cr, cc) count frame (bins 0–9, missing bins
+    * allowed): the scalar tail of [[psiDrift]], shared with the streaming
+    * monitor whose `cc` side is maintained as stream state.
+    */
+  def psiOfBinCounts(counts: DataFrame): DataFrame = {
+    val spine = counts.sparkSession.range(0, 10)
       .select(col("id").cast("int").as("bin"))
     val filled = spine.join(counts, Seq("bin"), "left")
       .na.fill(0L, Seq("cr", "cc"))

@@ -319,6 +319,39 @@ object StreamOps {
         .orderBy("event_type")
     },
 
+    // LIVE DRIFT MONITOR — the production shape of q_psi_drift: the
+    // reference population (weekday values) is a STATIC profile computed
+    // once (bin edges = two scalars, per-bin counts = 10 rows), and the
+    // current population is the live weekend feed whose 10 binned counts
+    // are the ONLY streaming state (complete-mode groupBy over a 10-value
+    // key — state is constant-size no matter the stream length). Each
+    // snapshot joins the static profile and emits the PSI scalar; the
+    // gate proves stream ≡ batch on the bounded source (same oracle as
+    // q_psi_drift).
+    "q_stream_psi" -> { (s, d) => withStatePartitions(s, 8) {
+      cleanCheckpoint("stream_psi")
+      val refEv = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("value").cast("double").as("v"),
+          (weekday(col("ts")) <= 3).as("is_ref"))
+      val mm = refEv.filter(col("is_ref"))
+        .agg(min(col("v")).as("lo"), max(col("v")).as("hi")).head()
+      val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+      def binOf(v: Column) =
+        greatest(least(floor((v - lo) * 10.0 / (hi - lo)), lit(9.0)),
+          lit(0.0)).cast("int")
+      val cr = refEv.filter(col("is_ref"))
+        .select(binOf(col("v")).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("cr"))
+      val curAgg = eventsStream(s, d)
+        .filter(col("value").isNotNull && weekday(col("ts")) >= 4)
+        .select(binOf(col("value").cast("double")).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("cc"))
+      val cc = runToSnapshot(curAgg, "stream_psi")
+      graft.operators.Evolution.psiOfBinCounts(
+        cr.join(cc, Seq("bin"), "full_outer")
+          .na.fill(0L, Seq("cr", "cc")))
+    }},
+
     // K7 as a stream: the crossings topic in complete mode — equals the
     // batch aggregate (same oracle as q_k7_crossings_vs_lesions).
     "q_stream_crossings" -> { (s, d) => withStatePartitions(s, 8) {
@@ -1062,6 +1095,8 @@ object StreamOps {
   }
 
   def oracles: Map[String, String] = Map(
+    // stream ≡ batch on the bounded source: the batch PSI twin verbatim
+    "q_stream_psi" -> graft.operators.Evolution.oracles("q_psi_drift"),
     "q_stream_hourly" ->
       "SELECT CAST(hour(ts) AS INTEGER) AS h, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
     "q_stream_windowed" ->
