@@ -97,10 +97,10 @@ object Graph {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pagerank" -> { (s, d) => pagerank(s, d) })
+    "q_pagerank_entity" -> { (s, d) => pagerank(s, d) })
 
   def oracles: Map[String, String] = Map(
-    "q_pagerank" -> {
+    "q_pagerank_entity" -> {
       val iters = (1 to 3).map(iterSql).mkString(",\n")
       s"""WITH e0 AS (
          | SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst

@@ -30,7 +30,8 @@ class ContractSpec extends SparkSpec {
       graft.operators.Pipeline.queries, graft.operators.Training.queries,
       graft.operators.Curation.queries, graft.operators.Scd.queries,
       graft.operators.Sketches.queries, graft.operators.SqlSurface.queries,
-      graft.operators.Retrieval.queries, graft.operators.Evolution.queries)
+      graft.operators.Retrieval.queries, graft.operators.Evolution.queries,
+      graft.operators.Graph.queries)
     val names = parts.flatMap(_.keys)
     val dupes = names.groupBy(identity).filter(_._2.size > 1).keys
     assert(dupes.isEmpty, s"duplicate query names across modules: ${dupes.mkString(", ")}")

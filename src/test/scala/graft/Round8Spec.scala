@@ -37,7 +37,7 @@ class Round8Spec extends SparkSpec {
   }
 
   test("pagerank on the interaction graph: suppliers dominate (higher degree)") {
-    val rows = Graph.queries("q_pagerank")(spark, sfDir).collect()
+    val rows = Graph.queries("q_pagerank_entity")(spark, sfDir).collect()
     assert(rows.length == 10)
     // suppliers connect to many customers; the hub side of the bipartite
     // graph must hold the top mass
