@@ -1269,6 +1269,53 @@ object Analytics {
       .orderBy("dow")
   }
 
+  /** Seasonality-adjusted daily anomaly detection: daily event counts are
+    * divided by their day-of-week multiplicative index (so a quiet Sunday
+    * isn't an "anomaly" every week), then z-scored against the adjusted
+    * series; days with |z| > 2 are flagged. The alerting companion to
+    * q_dow_seasonality/q_changepoint — the monitor that pages on a real
+    * spike, not on the weekly rhythm.
+    *
+    * Cross-engine determinism: adjusted = y·n_dow·S/(s_dow·N) as ONE
+    * double expression tree (identical IEEE evaluation both engines),
+    * rounded to 9dp; mean and second moment fold the ROUNDED values as
+    * DECIMAL(28,9) sums (order-independent, far from the 38 cap — adj²
+    * is re-rounded in double first precisely to avoid a decimal×decimal
+    * precision blowup). z rounds to 6dp; the |z| > 2 cut compares
+    * identical doubles. Population std, documented.
+    *
+    * Scale: everything after the one map-side-combined daily aggregate
+    * runs on the day-cardinality spine (dow index ≤ 7 rows, totals
+    * scalar, z a map over days).
+    */
+  def dailyAnomalies(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val byDow = daily.groupBy((weekday(col("day")) + 1).as("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("y")).as("s"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("y")).as("st"))
+    val adj = daily
+      .select(col("day"), col("y"), (weekday(col("day")) + 1).as("dow"))
+      .join(broadcast(byDow), Seq("dow"))
+      .crossJoin(broadcast(tot))
+      .select(col("day"), col("dow"), col("y"),
+        round(col("y").cast("double") * col("n_days").cast("double") *
+          col("st").cast("double") /
+          (col("s").cast("double") * col("n").cast("double")), 9).as("adj"))
+    val m = adj.agg(count(lit(1)).as("nd"),
+      sum(col("adj").cast(DecimalType(28, 9))).as("sa"),
+      sum(round(col("adj") * col("adj"), 9).cast(DecimalType(28, 9))).as("sa2"))
+    val mean = col("sa").cast("double") / col("nd").cast("double")
+    val variance = col("sa2").cast("double") / col("nd").cast("double") -
+      mean * mean
+    adj.crossJoin(broadcast(m))
+      .select(col("day"), col("dow"), col("y"), round(col("adj"), 6).as("adj"),
+        round((col("adj") - mean) / sqrt(variance), 6).as("z"))
+      .filter(abs(col("z")) > 2.0)
+      .orderBy("day")
+  }
+
   /** CUSUM changepoint on the daily revenue series: the day t maximizing
     * |Σ_{i≤t}(y_i − μ)|, computed exactly as D_t = N·prefix_t − t·S in
     * integer cents (same argmax as the float CUSUM, zero float until the
@@ -2007,6 +2054,10 @@ object Analytics {
     // Where does the revenue level shift? (exact-integer CUSUM argmax)
     "q_changepoint" -> { (s, d) =>
       cusumChangepoint(Tables.orders(s, d))
+    },
+    // Which days page the on-call? (dow-adjusted |z| > 2 on daily counts)
+    "q_anomaly_daily" -> { (s, d) =>
+      dailyAnomalies(Tables.events(s, d))
     },
     // Which event types anchor user journeys? (integer fixed-point
     // PageRank over the session transition graph.)
@@ -3148,6 +3199,32 @@ object Analytics {
         |    / CAST(n_triples AS DOUBLE), 6)
         | END AS clustering_coeff
         |FROM st CROSS JOIN tri""".stripMargin,
+    "q_anomaly_daily" ->
+      """WITH d AS (
+        | SELECT CAST(ts AS DATE) AS day, count(*) AS y FROM events GROUP BY 1),
+        |b AS (
+        | SELECT CAST(isodow(day) AS INTEGER) AS dow,
+        |  CAST(count(*) AS BIGINT) AS n_days, CAST(sum(y) AS BIGINT) AS s
+        | FROM d GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |      CAST(sum(y) AS BIGINT) AS st FROM d),
+        |a AS (
+        | SELECT day, b.dow, y,
+        |  round(CAST(y AS DOUBLE) * CAST(n_days AS DOUBLE) * CAST(st AS DOUBLE)
+        |    / (CAST(s AS DOUBLE) * CAST(n AS DOUBLE)), 9) AS adj
+        | FROM d JOIN b ON CAST(isodow(day) AS INTEGER) = b.dow CROSS JOIN t),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+        |      sum(CAST(adj AS DECIMAL(28,9))) AS sa,
+        |      sum(CAST(round(adj * adj, 9) AS DECIMAL(28,9))) AS sa2 FROM a),
+        |z AS (
+        | SELECT day, dow, y, round(adj, 6) AS adj6,
+        |  round((adj - CAST(sa AS DOUBLE) / CAST(nd AS DOUBLE))
+        |   / sqrt(CAST(sa2 AS DOUBLE) / CAST(nd AS DOUBLE)
+        |      - (CAST(sa AS DOUBLE) / CAST(nd AS DOUBLE))
+        |        * (CAST(sa AS DOUBLE) / CAST(nd AS DOUBLE))), 6) AS z
+        | FROM a CROSS JOIN m)
+        |SELECT day, dow, y, adj6 AS adj, z
+        |FROM z WHERE abs(z) > 2.0 ORDER BY day""".stripMargin,
     "q_dow_seasonality" ->
       """WITH d AS (
         | SELECT o_orderdate AS day,

@@ -131,6 +131,22 @@ class Round8Spec extends SparkSpec {
     assert(r1.getAs[Boolean]("drifted"))
   }
 
+  test("anomaly detector: weekly rhythm is not an anomaly; a planted spike is") {
+    import java.time.LocalDate
+    val start = LocalDate.parse("2024-01-01") // a Monday
+    val rows = (0 until 28).flatMap { d =>
+      val day = start.plusDays(d)
+      val dow = day.getDayOfWeek.getValue // 1=Mon..7=Sun
+      val base = if (dow >= 6) 50 else 100 // strong weekend rhythm
+      val n = if (d == 9) 300 else base    // planted spike on a Wednesday
+      (1 to n).map(_ => s"$day 12:00:00")
+    }.toDF("ts_s").select(col("ts_s").cast("timestamp").as("ts"))
+    val flagged = graft.operators.Analytics.dailyAnomalies(rows)
+      .collect().map(_.getDate(0).toString)
+    assert(flagged.toSeq == Seq("2024-01-10"),
+      s"flagged $flagged — the weekly rhythm must be adjusted away")
+  }
+
   test("epoch shuffle: ranks contiguous per (epoch, shard); epochs decorrelated") {
     val rows = Training.queries("q_epoch_shuffle")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
