@@ -564,7 +564,60 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** Late-interaction (MaxSim) retrieval, the ColBERT scoring shape
+    * (Khattab & Zaharia 2020): documents and queries are BAGS of vectors
+    * (here: consecutive groups of `groupSize` embedding rows stand in
+    * for per-token embeddings); score(Q, D) = Σ_{q∈Q} max_{d∈D} q·d.
+    * Captures token-level matching that single-vector retrieval
+    * averages away.
+    *
+    * Exact replayability: dots are ⌊x·2^20⌋-quantized integer products
+    * (the q_mmr_rerank arithmetic), so per-pair max and per-doc sum are
+    * pure BIGINT ops with deterministic ties.
+    *
+    * Scale posture: the query bag (nQ docs × groupSize vectors) rides a
+    * broadcast; the corpus scan is one pass producing (qdoc, qvec, ddoc)
+    * maxes via map-side-combined aggregation — the per-vector max and
+    * per-doc sum are the same two-level aggregate every Σmax plan wants.
+    * At web scale the doc side would be pre-shortlisted by a
+    * single-vector ANN pass (q_sim_topk_ivf) before MaxSim rescoring —
+    * exactly ColBERT's candidate-generation + rerank split; the final
+    * top-k per query is the k-bounded aggregator, never a global sort.
+    */
+  def lateInteractionTopK(emb: DataFrame, nQ: Int = 2, groupSize: Int = 8,
+                          k: Int = 10): DataFrame = {
+    def quant(c: Column) =
+      transform(c, x => floor(x.cast("double") * 1048576).cast("long"))
+    val base = emb.filter(size(col("embedding")) === 64)
+      .select((col("vec_id") / groupSize).cast("long").as("doc"),
+        col("vec_id").as("vid"), quant(col("embedding")).as("e"))
+    val qs = base.filter(col("doc") < nQ)
+      .select(col("doc").as("qdoc"), col("vid").as("qvid"), col("e").as("qe"))
+    val ds = base.filter(col("doc") >= nQ)
+    val dots = ds.crossJoin(broadcast(qs))
+      .select(col("qdoc"), col("qvid"), col("doc"),
+        aggregate(zip_with(col("qe"), col("e"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("dot"))
+    val maxes = dots.groupBy("qdoc", "qvid", "doc")
+      .agg(max(col("dot")).as("mx"))
+    val scored = maxes.groupBy("qdoc", "doc")
+      .agg(sum(col("mx")).as("score"))
+    val topk = udaf(new TopKPairAggregator(k), Encoders.product[ScoredId])
+    // |score| ≤ groupSize·64·(3.2e6)² ≈ 5e15 < 2^53 — exact in double
+    scored.groupBy("qdoc")
+      .agg(topk(col("score").cast("double"), col("doc")).as("tops"))
+      .select(col("qdoc"), posexplode(col("tops")).as(Seq("pos", "t")))
+      .select(col("qdoc"), col("t.id").as("doc"),
+        col("t.sim").cast("long").as("score"),
+        (col("pos") + 1).cast("int").as("rank"))
+      .orderBy("qdoc", "rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ColBERT-style MaxSim over multi-vector docs.
+    "q_late_interaction" -> { (s, d) =>
+      lateInteractionTopK(Tables.embeddings(s, d))
+    },
     // MMR diversity rerank over the ANN shortlist.
     "q_mmr_rerank" -> { (s, d) => mmrRerank(Tables.embeddings(s, d)) },
     // JL ±1 projection 64→8: the distance-preservation audit for the
@@ -813,6 +866,28 @@ object Similarity {
   }
 
   def oracles: Map[String, String] = Map(
+    // MaxSim twin: same quantized integer dots, max-then-sum, ranked
+    "q_late_interaction" ->
+      """WITH base AS (
+        | SELECT vec_id // 8 AS doc, vec_id AS vid,
+        |  list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS e
+        | FROM embeddings WHERE len(embedding) = 64),
+        |q AS (SELECT doc AS qdoc, vid AS qvid, e AS qe FROM base WHERE doc < 2),
+        |d AS (SELECT doc, vid, e FROM base WHERE doc >= 2),
+        |dots AS (
+        | SELECT q.qdoc, q.qvid, d.doc,
+        |  CAST(list_sum(list_transform(range(1, 65), i -> q.qe[i] * d.e[i]))
+        |    AS BIGINT) AS dot
+        | FROM d, q),
+        |mx AS (SELECT qdoc, qvid, doc, max(dot) AS mx FROM dots GROUP BY 1, 2, 3),
+        |sc AS (SELECT qdoc, doc, CAST(sum(mx) AS BIGINT) AS score
+        |       FROM mx GROUP BY 1, 2)
+        |SELECT qdoc, doc, score, rank FROM (
+        | SELECT qdoc, doc, score,
+        |  CAST(row_number() OVER (PARTITION BY qdoc ORDER BY score DESC, doc)
+        |   AS INTEGER) AS rank
+        | FROM sc) WHERE rank <= 10 ORDER BY qdoc, rank""".stripMargin,
     // MMR twin: k greedy steps unrolled as CTEs; every score is an exact
     // BIGINT (quantized dots), so argmax + tie-breaks replay bit-for-bit
     "q_mmr_rerank" -> {

@@ -79,6 +79,22 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("late interaction: MaxSim sums per-query-vector maxes, token match wins") {
+    def vec(xs: Double*): Array[Float] =
+      (xs ++ Seq.fill(64 - xs.length)(0.0)).map(_.toFloat).toArray
+    val Q = 1048576L * 1048576L // one unit·unit dot in 2^20 fixed point
+    val emb = Seq(
+      (0L, vec(1.0, 0.0)), (1L, vec(0.0, 1.0)),   // query doc 0 (2 vecs)
+      (4L, vec(2.0, 0.0)), (5L, vec(0.0, 0.0)),   // doc 2: only q0 matches
+      (6L, vec(1.0, 0.0)), (7L, vec(0.0, 1.5))    // doc 3: both match
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.lateInteractionTopK(emb, nQ = 1, groupSize = 2, k = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+    // doc 3: 1·1 + 1·1.5 = 2.5 units beats doc 2's best-token 2·1 = 2 —
+    // per-token matching that a mean-pooled single vector would blur
+    assert(got.toSeq == Seq((3L, Q * 5 / 2, 1), (2L, Q * 2, 2)), got.toSeq)
+  }
+
   test("containment tier: all planted quotes found at 1.0 with sub-threshold jaccard") {
     val rows = graft.operators.Dedup.queries("q_dedup_containment")(spark, sfDir)
       .collect()
