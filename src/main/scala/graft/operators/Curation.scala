@@ -211,7 +211,60 @@ object Curation {
         col("hrw_max_shard"), col("hrw_min_shard"))
   }
 
+  /** Per-source DATA CARD — the datasheet row every corpus release ships
+    * (Gebru et al. 2021 "Datasheets for Datasets", scoped to the fields
+    * computable from the table itself): volume (docs, tokens), shape
+    * (exact median tokens), language profile (dominant lang + its ppm
+    * share), and exact-duplicate exposure (docs whose normalized
+    * fingerprint appears more than once ANYWHERE in the corpus, as ppm).
+    *
+    * Scale: ONE map pass computes tokens+fingerprint; everything after
+    * runs on source-cardinality aggregates except (a) the median, a
+    * per-source window over (source, tok) — partitioned, parallel, the
+    * grouped-percentile shape — and (b) the dup check, a fingerprint-
+    * cardinality aggregate joined back semi-style. Integer ppm shares
+    * keep the card hash-stable.
+    */
+  def dataCard(docs: DataFrame): DataFrame = {
+    import graft.CacheScope.TrackedDataset
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"), col("source"),
+        coalesce(col("lang"), lit("unknown")).as("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("tok"),
+        TextAnalysis.fingerprint(col("text")).as("efp"))
+      .persistTracked()
+    val vol = base.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens"))
+    val med = base
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy("tok", "doc_id")))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("source")))
+      .filter(col("rn") === expr("(cnt + 1) div 2")) // type-1 lower median
+      .select(col("source"), col("tok").as("p50_tokens"))
+    val lang = base.groupBy("source", "lang").agg(count(lit(1)).as("ln"))
+      .withColumn("rn", row_number().over(Window.partitionBy("source")
+        .orderBy(desc("ln"), desc("lang"))))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"), col("ln"))
+    val dupFp = base.groupBy("efp").agg(count(lit(1)).as("nfp"))
+      .filter(col("nfp") > 1).select("efp")
+    val dup = base.join(dupFp, Seq("efp"), "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("dup_docs"))
+    vol.join(med, Seq("source"))
+      .join(lang, Seq("source"))
+      .join(dup, Seq("source"), "left")
+      .na.fill(0L, Seq("dup_docs"))
+      .select(col("source"), col("n_docs"), col("tokens"), col("p50_tokens"),
+        col("top_lang"),
+        expr("ln * 1000000 div n_docs").as("top_lang_ppm"),
+        col("dup_docs"),
+        expr("dup_docs * 1000000 div n_docs").as("dup_ppm"))
+      .orderBy("source")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The per-source datasheet row (volume, shape, language, dup rate).
+    "q_data_card" -> { (s, d) => dataCard(Tables.documents(s, d)) },
     // HRW resharding beats mod-hash by ~8x on moved keys at N=8 -> 9.
     "q_rendezvous_shard" -> { (s, d) =>
       reshardAudit(Tables.documents(s, d))
@@ -395,6 +448,37 @@ object Curation {
       s"CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':$sh'), 1, 13) AS BIGINT) * 16 + $sh"
     }.mkString("greatest(", ", ", ") % 16")
     Map(
+    "q_data_card" ->
+      s"""WITH base AS (
+         | SELECT doc_id, source, COALESCE(lang, 'unknown') AS lang,
+         |  CAST(len($toksSql) AS BIGINT) AS tok,
+         |  md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS efp
+         | FROM documents),
+         |vol AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(tok) AS BIGINT) AS tokens FROM base GROUP BY 1),
+         |med AS (
+         | SELECT source, tok AS p50_tokens FROM (
+         |  SELECT source, tok,
+         |   row_number() OVER (PARTITION BY source ORDER BY tok, doc_id) AS rn,
+         |   count(*) OVER (PARTITION BY source) AS cnt
+         |  FROM base) WHERE rn = (cnt + 1) // 2),
+         |lc AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS ln
+         |       FROM base GROUP BY 1, 2),
+         |tl AS (
+         | SELECT source, lang AS top_lang, ln FROM (
+         |  SELECT source, lang, ln, row_number() OVER (PARTITION BY source
+         |    ORDER BY ln DESC, lang DESC) AS rn
+         |  FROM lc) WHERE rn = 1),
+         |dupfp AS (SELECT efp FROM base GROUP BY efp HAVING count(*) > 1),
+         |dup AS (
+         | SELECT source, CAST(count(*) AS BIGINT) AS dup_docs FROM base
+         | WHERE efp IN (SELECT efp FROM dupfp) GROUP BY 1)
+         |SELECT v.source, n_docs, tokens, p50_tokens, top_lang,
+         | ln * 1000000 // n_docs AS top_lang_ppm,
+         | COALESCE(dup_docs, 0) AS dup_docs,
+         | COALESCE(dup_docs, 0) * 1000000 // n_docs AS dup_ppm
+         |FROM vol v JOIN med USING (source) JOIN tl USING (source)
+         |LEFT JOIN dup USING (source) ORDER BY source""".stripMargin,
     "q_rendezvous_shard" ->
       s"""WITH a AS (
          | SELECT

@@ -163,6 +163,28 @@ class Round8Spec extends SparkSpec {
       s"flagged $flagged — the weekly rhythm must be adjusted away")
   }
 
+  test("data card: volumes partition the corpus; shares and medians are sane") {
+    val docs = Tables.documents(spark, sfDir)
+    val rows = graft.operators.Curation.queries("q_data_card")(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    rows.foreach { r =>
+      val (n, ppm, dppm) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("top_lang_ppm"), r.getAs[Long]("dup_ppm"))
+      assert(ppm > 0 && ppm <= 1000000)
+      assert(dppm >= 0 && dppm <= 1000000)
+      assert(r.getAs[Long]("dup_docs") <= n)
+      assert(r.getAs[Long]("p50_tokens") > 0)
+      assert(r.getAs[Long]("tokens") >= r.getAs[Long]("p50_tokens") * (n / 2))
+    }
+    // per-source exact medians: recompute one source independently
+    val src = rows.head.getAs[String]("source")
+    val toks = docs.filter(col("source") === src)
+      .select(graft.operators.TextAnalysis.tokenCount(col("text")).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    assert(rows.head.getAs[Long]("p50_tokens") == toks((toks.length + 1) / 2 - 1))
+  }
+
   test("epoch shuffle: ranks contiguous per (epoch, shard); epochs decorrelated") {
     val rows = Training.queries("q_epoch_shuffle")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
