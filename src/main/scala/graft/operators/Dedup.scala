@@ -1047,6 +1047,67 @@ object Dedup {
       .filter(col("containment") >= t)
   }
 
+  /** TIER-STACK REPORT — the dedup deliverable a corpus release ships:
+    * for each tier of the stack (exact → normalized → MinHash-Jaccard →
+    * containment) the total pairs it flags and its MARGINAL pairs (not
+    * already caught by any earlier tier). The marginal column is what
+    * justifies each tier's cost at 100 TB.
+    *
+    * Scale posture — count, don't materialize, wherever set algebra
+    * allows: the exact and normalized tiers never build a pair list
+    * (Σ C(n,2) over fingerprint group sizes — a group-cardinality
+    * aggregate; identical raw text implies identical normalized text, so
+    * efp groups nest inside nfp groups and the normalized marginal is a
+    * plain difference of the two sums). Only the near-dup tiers
+    * materialize pairs, and those frames are candidate-bounded by their
+    * own banding/prefix filters; marginals come from fingerprint joins
+    * on those small pair frames (nfp differs ⇒ not caught earlier) and
+    * one anti-join between the two near tiers.
+    */
+  def dedupTierReport(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    import graft.CacheScope.TrackedDataset
+    val fps = docs.select(col(idCol).as("id"),
+        TextAnalysis.fingerprint(col(textCol)).as("efp"),
+        md5(normalizeText(col(textCol))).as("nfp"))
+      .persistTracked()
+    def pairMass(keyCol: String) = fps.groupBy(keyCol)
+      .agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("c"))
+    val exact = pairMass("efp")
+    val norm = pairMass("nfp")
+    val mh = minhashNearDups(docs, idCol, textCol, hasher = Md5Hash)
+      .select("id_a", "id_b").persistTracked()
+    val fpa = fps.select(col("id").as("id_a"), col("nfp").as("nfp_a"))
+    val fpb = fps.select(col("id").as("id_b"), col("nfp").as("nfp_b"))
+    val mhTagged = mh.join(fpa, Seq("id_a")).join(fpb, Seq("id_b"))
+    val mhStats = mhTagged.agg(count(lit(1)).as("t"),
+      coalesce(sum(when(col("nfp_a") =!= col("nfp_b"), 1L)), lit(0L)).as("nw"))
+    val cont = containmentNearDups(docs, idCol, textCol, hasher = Md5Hash)
+      .select(col("id_a"), col("id_b"),
+        least(col("id_a"), col("id_b")).as("lo"),
+        greatest(col("id_a"), col("id_b")).as("hi"))
+    val contNew = cont
+      .join(fpa, Seq("id_a")).join(fpb, Seq("id_b"))
+      .filter(col("nfp_a") =!= col("nfp_b"))
+      .join(mh.select(col("id_a").as("lo"), col("id_b").as("hi")),
+        Seq("lo", "hi"), "left_anti")
+    val contStats = cont.agg(count(lit(1)).as("t"))
+      .crossJoin(broadcast(contNew.agg(count(lit(1)).as("nw"))))
+    exact.select(lit(1).as("tier_order"), lit("exact").as("tier"),
+        col("c").as("n_pairs"), col("c").as("n_new"))
+      .unionByName(exact.crossJoin(norm.select(col("c").as("cn")))
+        .select(lit(2).as("tier_order"), lit("normalized").as("tier"),
+          col("cn").as("n_pairs"), (col("cn") - col("c")).as("n_new")))
+      .unionByName(mhStats
+        .select(lit(3).as("tier_order"), lit("minhash_jaccard").as("tier"),
+          col("t").as("n_pairs"), col("nw").as("n_new")))
+      .unionByName(contStats
+        .select(lit(4).as("tier_order"), lit("containment").as("tier"),
+          col("t").as("n_pairs"), col("nw").as("n_new")))
+      .orderBy("tier_order")
+  }
+
   /** Candidate-quality evaluation harness: precision/recall of the MinHash
     * near-dup detector against the planted ground truth — the measurement
     * every production dedup rollout runs before trusting a banding config
@@ -1187,6 +1248,12 @@ object Dedup {
         .write.mode("overwrite").parquet(storePath)
       incrementalDedup(l2, s.read.parquet(storePath), hasher = Md5Hash)
         .orderBy("doc_id")
+    },
+    // The tier-stack deliverable on the NATURAL corpus (no planting):
+    // total + marginal pairs per tier, exact tiers counted not
+    // materialized.
+    "q_dedup_tiers" -> { (s, d) =>
+      dedupTierReport(Tables.documents(s, d))
     },
     // MinHash+LSH near-dups on the planted corpus: must recover all 20
     // planted pairs (high-Jaccard mutations). The gated queries run the
@@ -1605,6 +1672,80 @@ object Dedup {
         |JOIN hs b ON c.id_b = b.id
         |WHERE $jaccardSql >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // tier stack on plain documents: exact/normalized counted via
+    // Σ C(n,2); minhash + containment pairs reuse the md5 chains
+    "q_dedup_tiers" ->
+      s"""WITH toks AS (
+         | SELECT doc_id AS id,
+         |  list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+         | FROM documents),
+         |shs AS (
+         | SELECT id, list_distinct(
+         |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |       ELSE list_transform(range(1, len(toks) - 1),
+         |              i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END) AS shs
+         | FROM toks),
+         |hs AS (SELECT id, list_transform(shs, sh -> ${h64("sh")}) AS hs FROM shs),
+         |fps AS (
+         | SELECT doc_id AS id,
+         |  md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS efp,
+         |  md5(trim(regexp_replace(regexp_replace(lower(text),
+         |    '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS nfp
+         | FROM documents),
+         |exg AS (SELECT CAST(COALESCE(sum(n * (n - 1) // 2), 0) AS BIGINT) AS c
+         |        FROM (SELECT count(*) AS n FROM fps GROUP BY efp)),
+         |nmg AS (SELECT CAST(COALESCE(sum(n * (n - 1) // 2), 0) AS BIGINT) AS c
+         |        FROM (SELECT count(*) AS n FROM fps GROUP BY nfp)),
+         |${minhashSigSql(16)},
+         |${candidatesSql(16, 2)},
+         |mhp AS (
+         | SELECT c.id_a, c.id_b FROM candidates c
+         | JOIN hs a ON c.id_a = a.id JOIN hs b ON c.id_b = b.id
+         | WHERE $jaccardSql >= 0.5),
+         |mh_stats AS (
+         | SELECT CAST(count(*) AS BIGINT) AS t,
+         |  CAST(COALESCE(sum(CASE WHEN fa.nfp <> fb.nfp THEN 1 ELSE 0 END), 0)
+         |   AS BIGINT) AS nw
+         | FROM mhp JOIN fps fa ON mhp.id_a = fa.id
+         | JOIN fps fb ON mhp.id_b = fb.id),
+         |ex2 AS (SELECT id, unnest(hs) AS h FROM hs),
+         |dfc AS (SELECT h, count(*) AS df FROM ex2 GROUP BY 1),
+         |ranked AS (
+         | SELECT id, h,
+         |  row_number() OVER (PARTITION BY id ORDER BY df, h) AS rn,
+         |  count(*) OVER (PARTITION BY id) AS sz
+         | FROM ex2 JOIN dfc USING (h)),
+         |pref AS (
+         | SELECT id AS id_a, sz AS sz_a, h FROM ranked
+         | WHERE rn <= sz - ceil(sz * 0.9) + 1),
+         |ccand AS (
+         | SELECT DISTINCT p.id_a, q.id AS id_b
+         | FROM pref p JOIN ranked q ON p.h = q.h AND p.id_a <> q.id
+         |  AND q.sz >= ceil(p.sz_a * 0.9)),
+         |cpairs AS (
+         | SELECT c.id_a, c.id_b FROM ccand c
+         | JOIN hs a ON c.id_a = a.id JOIN hs b ON c.id_b = b.id
+         | WHERE round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+         |   / len(a.hs), 6) >= 0.9),
+         |cont_stats AS (
+         | SELECT CAST(count(*) AS BIGINT) AS t,
+         |  CAST(COALESCE(sum(CASE WHEN fa.nfp <> fb.nfp
+         |    AND NOT EXISTS (SELECT 1 FROM mhp m
+         |      WHERE m.id_a = least(cp.id_a, cp.id_b)
+         |        AND m.id_b = greatest(cp.id_a, cp.id_b))
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS nw
+         | FROM cpairs cp JOIN fps fa ON cp.id_a = fa.id
+         | JOIN fps fb ON cp.id_b = fb.id)
+         |SELECT 1 AS tier_order, 'exact' AS tier, c AS n_pairs, c AS n_new
+         |FROM exg
+         |UNION ALL
+         |SELECT 2, 'normalized', nmg.c, nmg.c - exg.c FROM nmg, exg
+         |UNION ALL
+         |SELECT 3, 'minhash_jaccard', t, nw FROM mh_stats
+         |UNION ALL
+         |SELECT 4, 'containment', t, nw FROM cont_stats
+         |ORDER BY tier_order""".stripMargin,
 
     // asymmetric twin: A-prefix against FULL postings, exact containment
     "q_dedup_containment" ->

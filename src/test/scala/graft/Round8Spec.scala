@@ -117,6 +117,27 @@ class Round8Spec extends SparkSpec {
       t._1 - 30000000L == t._2))
   }
 
+  test("tier report: each planted dup class lands in exactly its tier's marginal") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (0L, base),                                      // base
+      (1L, base),                                      // exact copy
+      (2L, base.toUpperCase + "!!"),                   // normalized copy
+      (3L, base.dropRight(2) + "nu"),                  // near-dup (1 token)
+      (4L, base + " " + (1 to 20).map(i => s"w$i").mkString(" ")), // host
+      (5L, "completely different content here nothing shared at all ok")
+    ).toDF("doc_id", "text")
+    val rows = graft.operators.Dedup.dedupTierReport(docs).collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(rows("exact") == ((1L, 1L)))            // (0,1)
+    assert(rows("normalized") == ((3L, 2L)))       // {0,1,2} pairs, 2 new
+    assert(rows("minhash_jaccard") == ((3L, 2L)))  // (0,1),(0,3),(1,3); new: x,3
+    // directed: 0↔1, 0↔3, 1↔3 plus the host pairs 0→4, 1→4, and 3→4
+    // (the near-dup shares 9 of its 10 shingles with the host too) = 9;
+    // marginal = the three host pairs, the class no earlier tier sees
+    assert(rows("containment") == ((9L, 3L)), rows.toString)
+  }
+
   test("psi drift: sides partition the non-null values; PSI is a nonneg J-divergence") {
     val r = graft.operators.Evolution.queries("q_psi_drift")(spark, sfDir).head()
     val nonNull = Tables.events(spark, sfDir)
