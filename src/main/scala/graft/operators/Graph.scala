@@ -45,7 +45,13 @@ object Graph {
       .select(concat(lit("c:"), col("o_custkey")).as("src"),
         concat(lit("s:"), col("l_suppkey")).as("dst"))
       .distinct()
-    half.unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
+    // symmetrize map-side (explode both directions of each distinct edge):
+    // a union of two `half` branches would re-run the scan+join+distinct
+    // twice — measured in the r8 plan audit before this shape
+    half.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
   }
 
   /** `iters` damped rounds (d = 0.85) of fixed-point PageRank; returns

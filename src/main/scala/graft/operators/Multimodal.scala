@@ -79,6 +79,29 @@ object Multimodal {
       mediaTable(s, d).select("media_id", "mime", "n_bytes", "checksum")
         .orderBy("media_id")
     },
+    // ViT PATCH-GRID TOKENIZATION PLAN — the vision-token budgeting math
+    // every VLM training pipeline runs before mixing images into a token
+    // stream: per image, the 16×16 patch grid (⌈w/16⌉·⌈h/16⌉ vision
+    // tokens) and whether it exceeds the per-image budget (1024 tokens →
+    // resize-to-fit). STUB boundary (FakeDecoder posture): real
+    // deployments read (w, h) from the image header during decode; here
+    // dims derive deterministically from the payload checksum so the
+    // downstream math — the real part — is exact-integer and
+    // oracle-gated. Pure map pass, zero shuffles before the output sort.
+    "q_mm_patch_plan" -> { (s, d) =>
+      val w = (lit(160) +
+        conv(substring(col("checksum"), 1, 3), 16, 10).cast("long") % 841)
+      val h = (lit(160) +
+        conv(substring(col("checksum"), 4, 3), 16, 10).cast("long") % 841)
+      mediaTable(s, d)
+        .select(col("media_id"), w.as("w"), h.as("h"))
+        .select(col("media_id"), col("w"), col("h"),
+          (expr("(w + 15) div 16") * expr("(h + 15) div 16")).as("n_patches"))
+        .select(col("media_id"), col("w"), col("h"), col("n_patches"),
+          least(col("n_patches"), lit(1024L)).as("n_tokens"),
+          (col("n_patches") > 1024).as("needs_resize"))
+        .orderBy("media_id")
+    },
     // Feature extraction through the typed mapPartitions path.
     "q_mm_features" -> { (s, d) =>
       extractFeatures(mediaTable(s, d)).toDF().orderBy("media_id")
@@ -141,6 +164,20 @@ object Multimodal {
       """SELECT doc_id AS media_id, 'text/plain' AS mime,
         | octet_length(encode(text)) AS n_bytes, md5(text) AS checksum
         |FROM documents ORDER BY media_id""".stripMargin,
+    "q_mm_patch_plan" ->
+      """WITH m AS (
+        | SELECT doc_id AS media_id,
+        |  160 + CAST(('0x' || substr(md5(text), 1, 3)) AS BIGINT) % 841 AS w,
+        |  160 + CAST(('0x' || substr(md5(text), 4, 3)) AS BIGINT) % 841 AS h
+        | FROM documents),
+        |p AS (
+        | SELECT media_id, w, h,
+        |  ((w + 15) // 16) * ((h + 15) // 16) AS n_patches
+        | FROM m)
+        |SELECT media_id, w, h, n_patches,
+        | least(n_patches, 1024) AS n_tokens,
+        | n_patches > 1024 AS needs_resize
+        |FROM p ORDER BY media_id""".stripMargin,
     // the fake decoder's byte features are plain SQL over the same bytes;
     // first/last byte extracted OCTET-level via hex(encode(..)) so the
     // oracle agrees with the decoder on non-ASCII text too ('ü' → 195,
