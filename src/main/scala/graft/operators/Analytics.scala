@@ -1684,6 +1684,39 @@ object Analytics {
         round(mde, 6).as("mde_abs"),
         round(mde / mean * 100.0, 6).as("mde_rel_pct"))
     },
+    // NEYMAN SAMPLING ALLOCATION (Neyman 1934): split a fixed audit/
+    // labeling budget across strata ∝ N_k·σ_k — the variance-optimal
+    // design for estimating the overall mean, vs the naive proportional
+    // split (emitted alongside for contrast; high-variance strata earn
+    // more than their row share). One exact-moment aggregate per stratum
+    // (integer cents, the q_mde pattern); per-stratum weights round to
+    // 6dp and fold as DECIMAL so the total is order-independent; the
+    // final floor() allocations are identical doubles on both engines.
+    "q_neyman_alloc" -> { (s, d) =>
+      val B = 1000L
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("event_type"),
+          (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      def dec(c: Column) = c.cast(DecimalType(38, 0))
+      val m = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(dec(col("cents"))).as("sx"),
+          sum(dec(col("cents")) * dec(col("cents"))).as("sxx"))
+      val vx = (dec(col("n")) * col("sxx") - col("sx") * col("sx"))
+        .cast("double")
+      val n2 = col("n").cast("double") * col("n").cast("double")
+      val sigma = sqrt(vx / n2 / 10000.0)
+      val w = m.select(col("event_type"), col("n"),
+        round(sigma, 6).as("sigma"),
+        round(col("n").cast("double") * sigma, 6)
+          .cast(DecimalType(28, 6)).as("w"))
+      val tw = w.agg(sum(col("w")).as("tw"), sum(col("n")).as("tn"))
+      w.crossJoin(broadcast(tw))
+        .select(col("event_type"), col("n").as("n_rows"), col("sigma"),
+          floor(lit(B).cast("double") * col("w").cast("double") /
+            col("tw").cast("double")).cast("long").as("neyman_n"),
+          expr(s"($B * n) div tn").as("prop_n"))
+        .orderBy("event_type")
+    },
     // POISSON BOOTSTRAP 95% CI of mean order value (Chamandy et al.,
     // "Estimating Uncertainty for Massive Data Streams", Google 2012 —
     // the distributed bootstrap: resampling n-with-replacement doesn't
@@ -2441,6 +2474,31 @@ object Analytics {
         |   - CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE) / 100.0), 6)
         |  AS did_estimate
         |FROM w""".stripMargin,
+    "q_neyman_alloc" ->
+      """WITH e AS (
+        | SELECT event_type,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        | FROM events WHERE value IS NOT NULL),
+        |m AS (
+        | SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS HUGEINT) AS sx,
+        |  sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS sxx
+        | FROM e GROUP BY 1),
+        |w AS (
+        | SELECT event_type, n,
+        |  round(sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+        |   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 10000.0), 6) AS sigma,
+        |  CAST(round(CAST(n AS DOUBLE)
+        |   * sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 10000.0), 6)
+        |   AS DECIMAL(28,6)) AS w
+        | FROM m),
+        |t AS (SELECT sum(w) AS tw, CAST(sum(n) AS BIGINT) AS tn FROM w)
+        |SELECT event_type, n AS n_rows, sigma,
+        | CAST(floor(1000.0 * CAST(w AS DOUBLE) / CAST(tw AS DOUBLE))
+        |  AS BIGINT) AS neyman_n,
+        | (1000 * n) // tn AS prop_n
+        |FROM w CROSS JOIN t ORDER BY event_type""".stripMargin,
     "q_mde" ->
       """WITH o AS (
         | SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)

@@ -265,6 +265,30 @@ object Curation {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The per-source datasheet row (volume, shape, language, dup rate).
     "q_data_card" -> { (s, d) => dataCard(Tables.documents(s, d)) },
+
+    // DETERMINISTIC NEGATIVE SAMPLING for contrastive training: per
+    // anchor document, k pseudo-random negatives drawn by ranking
+    // candidates on md5(anchor:candidate) — uniform, rerun/partitioning/
+    // engine-stable (resumable training needs the SAME negatives every
+    // epoch-0 rebuild) — with a same-source exclusion so near-context
+    // docs can't leak in as "negatives" (the false-negative screen;
+    // production swaps in the dup-cluster exclusion from q_dedup_clusters
+    // the same way). Scale posture: anchors broadcast over one corpus
+    // scan; the per-anchor k-smallest-hash selection runs on the native
+    // TopKPerKey exec — map-side k-bounded heaps, the shuffle carries ≤ k
+    // candidates per anchor per mapper, never a per-anchor sort.
+    "q_negative_sample" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "source")
+      val anchors = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("source").as("qsrc"))
+      val cand = docs.crossJoin(broadcast(anchors))
+        .filter(col("doc_id") =!= col("qid") && col("source") =!= col("qsrc"))
+        .select(col("qid"), col("doc_id").as("neg_id"),
+          md5(concat_ws(":", col("qid"), col("doc_id"))).as("sample_key"))
+      graft.plans.TopKPerKey.topKPerKey(cand, keys = Seq("qid"),
+          order = Seq(("sample_key", true), ("neg_id", true)), k = 5)
+        .orderBy("qid", "sample_key")
+    },
     // HRW resharding beats mod-hash by ~8x on moved keys at N=8 -> 9.
     "q_rendezvous_shard" -> { (s, d) =>
       reshardAudit(Tables.documents(s, d))
@@ -448,6 +472,20 @@ object Curation {
       s"CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':$sh'), 1, 13) AS BIGINT) * 16 + $sh"
     }.mkString("greatest(", ", ", ") % 16")
     Map(
+    "q_negative_sample" ->
+      """WITH a AS (
+        | SELECT doc_id AS qid, source AS qsrc FROM documents
+        | WHERE doc_id < 5),
+        |c AS (
+        | SELECT a.qid, d.doc_id AS neg_id,
+        |  md5(concat_ws(':', a.qid, d.doc_id)) AS sample_key
+        | FROM documents d CROSS JOIN a
+        | WHERE d.doc_id <> a.qid AND d.source <> a.qsrc)
+        |SELECT qid, neg_id, sample_key FROM (
+        | SELECT qid, neg_id, sample_key,
+        |  row_number() OVER (PARTITION BY qid
+        |    ORDER BY sample_key, neg_id) AS rn
+        | FROM c) WHERE rn <= 5 ORDER BY qid, sample_key""".stripMargin,
     "q_data_card" ->
       s"""WITH base AS (
          | SELECT doc_id, source, COALESCE(lang, 'unknown') AS lang,

@@ -206,6 +206,40 @@ class Round8Spec extends SparkSpec {
     assert(rows.head.getAs[Long]("p50_tokens") == toks((toks.length + 1) / 2 - 1))
   }
 
+  test("neyman allocation: budget respected, high-variance strata earn above share") {
+    val rows = graft.operators.Analytics.queries("q_neyman_alloc")(spark, sfDir)
+      .collect()
+    val neyman = rows.map(_.getAs[Long]("neyman_n")).sum
+    val prop = rows.map(_.getAs[Long]("prop_n")).sum
+    // floors: within one unit per stratum below the 1000 budget
+    assert(neyman <= 1000 && neyman > 1000 - rows.length)
+    assert(prop <= 1000 && prop > 1000 - rows.length)
+    rows.foreach(r => assert(r.getAs[Double]("sigma") >= 0.0))
+    // the designs genuinely differ unless all sigmas are equal
+    assert(rows.exists(r =>
+      r.getAs[Long]("neyman_n") != r.getAs[Long]("prop_n")))
+  }
+
+  test("negative sampling: k per anchor, no same-source leaks, rerun-stable") {
+    val q = graft.operators.Curation.queries("q_negative_sample")
+    val a = q(spark, sfDir).collect()
+    val srcOf = Tables.documents(spark, sfDir)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byAnchor = a.groupBy(_.getLong(0))
+    assert(byAnchor.size == 5)
+    byAnchor.foreach { case (qid, rs) =>
+      assert(rs.length == 5)
+      rs.foreach { r =>
+        val neg = r.getLong(1)
+        assert(neg != qid)
+        assert(srcOf(neg) != srcOf(qid), "same-source leak")
+      }
+    }
+    val b = q(spark, sfDir).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+  }
+
   test("epoch shuffle: ranks contiguous per (epoch, shard); epochs decorrelated") {
     val rows = Training.queries("q_epoch_shuffle")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
