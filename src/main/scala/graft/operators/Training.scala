@@ -165,6 +165,36 @@ object Training {
       quantizedTopK(emb.filter(col("vec_id") < 5), emb, 5)
         .orderBy("query_id", "rank")
     },
+    // LEAVE-ONE-OUT TARGET ENCODING with smoothing (Micci-Barreca 2001)
+    // — the leakage-safe categorical feature: each row's encoding is the
+    // smoothed mean of its category's target EXCLUDING the row itself
+    // (in-fold mean would leak the label; the m=10 prior shrinks rare
+    // categories toward the global mean). Exact-integer rational:
+    // te = ((sc_t − own)·N + m·S) / ((n_t − 1 + m)·N), one double
+    // division at the end — bit-stable cross-engine. Scale: per-row map
+    // over the fact with a category-cardinality broadcast and a scalar
+    // broadcast; output capped to event_id < 2000 (stats come from the
+    // FULL table — the cap only bounds the verify frame).
+    "q_target_encode" -> { (s, d) =>
+      val m = 10L
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+            * 100).cast("long").as("cents"))
+      val byT = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("nt"), sum(col("cents")).as("sc"))
+      val tot = ev.agg(count(lit(1)).as("nn"), sum(col("cents")).as("ss"))
+      ev.join(broadcast(byT), Seq("event_type")).crossJoin(broadcast(tot))
+        .filter(col("event_id") < 2000)
+        .select(col("event_id"), col("event_type"),
+          round(col("cents").cast("double") / 100.0, 2).as("value"),
+          round(((col("sc") - col("cents")) * col("nn") +
+              lit(m) * col("ss")).cast("double") /
+            ((col("nt") - 1 + m) * col("nn")).cast("double") / 100.0, 6)
+            .as("te_loo"))
+        .orderBy("event_id")
+    },
+
     // PER-EPOCH DETERMINISTIC SHUFFLE + SHARD PLAN — pretraining wants a
     // different global-looking data order every epoch, reproducible
     // across reruns and resumable mid-epoch. A true global shuffle is a
@@ -205,6 +235,21 @@ object Training {
     s"list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2]))"
 
   def oracles: Map[String, String] = Map(
+    "q_target_encode" ->
+      """WITH ev AS (
+        | SELECT event_id, event_type,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        | FROM events WHERE value IS NOT NULL),
+        |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nt,
+        |      CAST(sum(cents) AS BIGINT) AS sc FROM ev GROUP BY 1),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+        |      CAST(sum(cents) AS BIGINT) AS ss FROM ev)
+        |SELECT event_id, ev.event_type,
+        | round(CAST(cents AS DOUBLE) / 100.0, 2) AS value,
+        | round(CAST((sc - cents) * nn + 10 * ss AS DOUBLE)
+        |   / CAST((nt - 1 + 10) * nn AS DOUBLE) / 100.0, 6) AS te_loo
+        |FROM ev JOIN t USING (event_type) CROSS JOIN g
+        |WHERE event_id < 2000 ORDER BY event_id""".stripMargin,
     "q_epoch_shuffle" ->
       """WITH x AS (
         | SELECT d.doc_id, e.epoch,

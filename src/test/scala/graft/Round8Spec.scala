@@ -206,6 +206,33 @@ class Round8Spec extends SparkSpec {
     assert(rows.head.getAs[Long]("p50_tokens") == toks((toks.length + 1) / 2 - 1))
   }
 
+  test("target encoding: matches hand LOO recompute; excludes own label") {
+    val rows = graft.operators.Training.queries("q_target_encode")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sfDir).filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("cents")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byT = ev.groupBy(_._2).map { case (t, rs) =>
+      t -> (rs.length.toLong, rs.map(_._3).sum)
+    }
+    val (nn, ss) = (ev.length.toLong, ev.map(_._3).sum)
+    val centsOf = ev.map(t => t._1 -> t._3).toMap
+    rows.take(10).foreach { r =>
+      val (id, t) = (r.getLong(0), r.getString(1))
+      val (nt, sc) = byT(t)
+      val own = centsOf(id)
+      val expect = BigDecimal(
+        ((sc - own) * nn + 10L * ss).toDouble /
+          ((nt - 1 + 10) * nn).toDouble / 100.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("te_loo") - expect) < 1e-9,
+        s"event $id: ${r.getAs[Double]("te_loo")} vs $expect")
+    }
+  }
+
   test("neyman allocation: budget respected, high-variance strata earn above share") {
     val rows = graft.operators.Analytics.queries("q_neyman_alloc")(spark, sfDir)
       .collect()
