@@ -165,6 +165,36 @@ object Training {
       quantizedTopK(emb.filter(col("vec_id") < 5), emb, 5)
         .orderBy("query_id", "rank")
     },
+    // FEATURE-HASHING COLLISION AUDIT (the hashing trick, Weinberger et
+    // al. 2009): categorical features hash into a fixed D=64 bucket
+    // space with a ±1 sign bit. Before training on hashed features, a
+    // pipeline audits the space: per bucket, how many DISTINCT raw
+    // features collided there, the row mass, and the net signed mass
+    // (the sign trick makes colliding features cancel in expectation —
+    // net ≈ 0 on balanced collisions is the property being bought).
+    // Plan: feature extraction is a map-side explode of 3 pure-column
+    // expressions; the audit aggregates at feature cardinality then
+    // bucket cardinality (64 rows) — two map-side-combined shuffles of
+    // dictionary-class frames, never row-cardinality state.
+    "q_feature_hash" -> { (s, d) =>
+      val feats = Tables.events(s, d).select(explode(array(
+          concat(lit("type:"), col("event_type")),
+          concat(lit("dow:"), weekday(col("ts")) + 1),
+          concat(lit("hour:"), hour(col("ts"))))).as("feat"))
+        .groupBy("feat").agg(count(lit(1)).as("n"))
+        .select(col("feat"), col("n"),
+          (conv(substring(md5(col("feat")), 1, 4), 16, 10)
+            .cast("long") % 64).as("bucket"),
+          when(conv(substring(md5(col("feat")), 5, 1), 16, 10)
+            .cast("long") % 2 === 0, 1L).otherwise(-1L).as("sign"))
+      feats.groupBy("bucket")
+        .agg(count(lit(1)).as("n_features"),
+          sum(col("n")).as("n_rows"),
+          sum(col("sign") * col("n")).as("net_signed"))
+        .withColumn("has_collision", col("n_features") > 1)
+        .orderBy("bucket")
+    },
+
     // LEAVE-ONE-OUT TARGET ENCODING with smoothing (Micci-Barreca 2001)
     // — the leakage-safe categorical feature: each row's encoding is the
     // smoothed mean of its category's target EXCLUDING the row itself
@@ -235,6 +265,24 @@ object Training {
     s"list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2]))"
 
   def oracles: Map[String, String] = Map(
+    "q_feature_hash" ->
+      """WITH f AS (
+        | SELECT unnest(['type:' || event_type,
+        |   'dow:' || CAST(isodow(ts) AS INTEGER),
+        |   'hour:' || CAST(hour(ts) AS INTEGER)]) AS feat
+        | FROM events),
+        |fc AS (SELECT feat, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY 1),
+        |h AS (
+        | SELECT feat, n,
+        |  CAST(('0x' || substr(md5(feat), 1, 4)) AS BIGINT) % 64 AS bucket,
+        |  CASE WHEN CAST(('0x' || substr(md5(feat), 5, 1)) AS BIGINT) % 2 = 0
+        |   THEN 1 ELSE -1 END AS sign
+        | FROM fc)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_features,
+        | CAST(sum(n) AS BIGINT) AS n_rows,
+        | CAST(sum(sign * n) AS BIGINT) AS net_signed,
+        | count(*) > 1 AS has_collision
+        |FROM h GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q_target_encode" ->
       """WITH ev AS (
         | SELECT event_id, event_type,
