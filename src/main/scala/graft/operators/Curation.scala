@@ -266,6 +266,49 @@ object Curation {
     // The per-source datasheet row (volume, shape, language, dup rate).
     "q_data_card" -> { (s, d) => dataCard(Tables.documents(s, d)) },
 
+    // SKYLINE (Pareto frontier) DOC SELECTION (Börzsönyi et al. 2001 —
+    // the classic DB operator Spark has no built-in for): the documents
+    // not dominated in (token count ↑, distinct-token ratio ↑) — "no
+    // other doc is at least as long AND at least as lexically rich,
+    // strictly better in one". The multi-objective shortlist a curation
+    // pass keeps when length and quality trade off.
+    //
+    // Scale path (vs the oracle's obviously-correct O(n²) NOT EXISTS):
+    // grid-prune first — bucket docs by ⌊tokens/8⌋, broadcast the ~100-row
+    // per-bucket max-ratio table, and drop any doc whose ratio ≤ the
+    // running max over STRICTLY higher buckets (every doc there is
+    // strictly longer, so ≥ ratio ⇒ dominated; no frontier point can be
+    // pruned). One corpus map pass + a broadcast join kills ~all rows;
+    // the exact dominance anti-join then runs on the surviving
+    // frontier-candidate set only (dimension-class), never all-pairs.
+    "q_skyline" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("a"),
+          round(size(array_distinct(TextAnalysis.tokens(lower(col("text")))))
+            .cast("double") /
+            TextAnalysis.tokenCount(col("text")).cast("double"), 6).as("b"))
+        .filter(col("a") > 0)
+      val bmax = docs.select(expr("a div 8").as("bk"), col("b"))
+        .groupBy("bk").agg(max(col("b")).as("bm"))
+      val W = org.apache.spark.sql.expressions.Window
+      val wDesc = W.orderBy(desc("bk")).rowsBetween(W.unboundedPreceding, -1)
+      // running max of bm over STRICTLY higher buckets (window over the
+      // ~100-row bucket frame, not the corpus)
+      val cm = bmax.withColumn("cm_higher", max(col("bm")).over(wDesc))
+      val surv = docs.withColumn("bk", expr("a div 8"))
+        .join(broadcast(cm.select(col("bk"), col("cm_higher"))), Seq("bk"))
+        .filter(col("cm_higher").isNull || col("b") > col("cm_higher"))
+        .select("doc_id", "a", "b")
+      val e = surv.select(col("a").as("ea"), col("b").as("eb"))
+      surv.join(broadcast(e),
+          col("ea") >= col("a") && col("eb") >= col("b") &&
+            (col("ea") > col("a") || col("eb") > col("b")), "left_anti")
+        .select(col("doc_id"), col("a").as("n_tokens"),
+          col("b").as("uniq_ratio"))
+        .orderBy("doc_id")
+    },
+
     // DETERMINISTIC NEGATIVE SAMPLING for contrastive training: per
     // anchor document, k pseudo-random negatives drawn by ranking
     // candidates on md5(anchor:candidate) — uniform, rerun/partitioning/
@@ -472,6 +515,18 @@ object Curation {
       s"CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':$sh'), 1, 13) AS BIGINT) * 16 + $sh"
     }.mkString("greatest(", ", ", ") % 16")
     Map(
+    "q_skyline" ->
+      s"""WITH d AS (
+         | SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS a,
+         |  round(CAST(len(list_distinct(list_filter(
+         |    string_split_regex(lower(text), '\\s+'), t -> t <> ''))) AS DOUBLE)
+         |   / CAST(len($toksSql) AS DOUBLE), 6) AS b
+         | FROM documents WHERE len($toksSql) > 0)
+         |SELECT doc_id, a AS n_tokens, b AS uniq_ratio FROM d
+         |WHERE NOT EXISTS (
+         | SELECT 1 FROM d e WHERE e.a >= d.a AND e.b >= d.b
+         |  AND (e.a > d.a OR e.b > d.b))
+         |ORDER BY doc_id""".stripMargin,
     "q_negative_sample" ->
       """WITH a AS (
         | SELECT doc_id AS qid, source AS qsrc FROM documents

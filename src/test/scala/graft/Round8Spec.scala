@@ -233,6 +233,31 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("skyline: bucket-pruned frontier equals brute-force dominance check") {
+    val got = graft.operators.Curation.queries("q_skyline")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // brute force over the same (a, b) projection
+    val all = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.tokenCount(col("text")).cast("long").as("a"),
+        round(size(array_distinct(
+            graft.operators.TextAnalysis.tokens(lower(col("text")))))
+          .cast("double") /
+          graft.operators.TextAnalysis.tokenCount(col("text")).cast("double"), 6)
+          .as("b"))
+      .filter(col("a") > 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val brute = all.filter { case (_, a, b) =>
+      !all.exists { case (_, ea, eb) =>
+        ea >= a && eb >= b && (ea > a || eb > b)
+      }
+    }.sortBy(_._1)
+    assert(got.toSeq == brute.toSeq,
+      s"pruned ${got.length} vs brute ${brute.length}")
+    assert(got.nonEmpty && got.length < all.length / 2,
+      "frontier should be a genuine shortlist")
+  }
+
   test("neyman allocation: budget respected, high-variance strata earn above share") {
     val rows = graft.operators.Analytics.queries("q_neyman_alloc")(spark, sfDir)
       .collect()
