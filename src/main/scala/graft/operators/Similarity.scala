@@ -613,7 +613,159 @@ object Similarity {
       .orderBy("qdoc", "rank")
   }
 
+  /** Integer Lloyd iterations over a pre-quantized (vec_id, q) frame —
+    * the [[kmeans]] core without the quantization/reporting, reused per
+    * PQ subspace. Centroids are driver state (k·dim Longs, dimension
+    * class); every update stores ⌊Σq/n⌋ so the DuckDB twin replays each
+    * round bit-for-bit; a cluster that loses every member keeps its
+    * previous centroid; assignment ties break to the lower cid.
+    */
+  private def intKmeansCentroids(q: DataFrame, k: Int, iters: Int,
+                                 dim: Int): Seq[(Int, Array[Long])] = {
+    var cents: Seq[(Int, Array[Long])] = q.filter(col("vec_id") < k)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toArray)).toSeq
+    for (_ <- 1 to iters) {
+      val centArr = array(cents.map { case (cid, c) =>
+        val carr = array(c.map(lit).toIndexedSeq: _*)
+        struct(
+          aggregate(zip_with(col("q"), carr, (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("d2"),
+          lit(cid).as("cid"))
+      }.toIndexedSeq: _*)
+      // two-step select: combining getField with posexplode in ONE
+      // select makes Spark's Generate analysis drop the struct field
+      // names (FIELD_NOT_FOUND col1/col2 — reproduced in PlansSpec-era
+      // probing); the split is load-bearing
+      val agg = q
+        .select(array_min(centArr).getField("cid").as("cid"), col("q"))
+        .select(col("cid"), posexplode(col("q")))
+        .groupBy("cid", "pos")
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val updated = agg.groupBy(_.getInt(0)).map { case (cid, rs) =>
+        val c = new Array[Long](dim)
+        rs.foreach { r =>
+          c(r.getInt(1)) =
+            math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong
+        }
+        cid -> c
+      }
+      cents = cents.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
+    }
+    cents
+  }
+
+  /** PRODUCT QUANTIZATION + ADC retrieval (Jégou et al. 2011 — the
+    * memory-compression workhorse of billion-scale ANN): the 64-dim
+    * space splits into m=4 16-dim subspaces, each with its own
+    * 16-centroid codebook (integer Lloyd, trained on the full corpus);
+    * a document compresses to 4 code nibbles (32× smaller than the
+    * int-quantized vector), and a query scores documents WITHOUT
+    * decompression via Asymmetric Distance Computation — per subspace a
+    * 16-entry distance table from the query to the codebook, then
+    * score(doc) = Σ_m dtable[m][code_m(doc)] (one table lookup per
+    * subspace per doc).
+    *
+    * Exactness: vectors quantize to ⌊x·2^20⌋ Longs, codebooks follow the
+    * [[kmeans]] integer-replay recipe per subspace, distance tables are
+    * exact integer sums, and ADC totals stay < 2^53 (4 subspaces ×
+    * 16 dims × (2·3.2e6)² ≈ 2.6e15) — the DuckDB twin replays training,
+    * coding and scoring bit-for-bit.
+    *
+    * The output is the DEPLOYED PQ shape: ADC ranks a cheap SHORTLIST
+    * (top-`shortlist` per query over codes only), then the exact
+    * quantized L2 rescores just those candidates — compression prunes
+    * the scan, exactness decides the final ranking (measured in
+    * PqRecallSpec: ADC alone recalls ~0.3 of the exact top-10 at these
+    * codebook sizes; the rescored shortlist recovers it).
+    *
+    * Scale posture: codebooks are driver state (m·16·16 Longs —
+    * dimension class) shipped as literals; coding is ONE map-side pass
+    * over the corpus; the scored frame carries (qid, doc, dist) with the
+    * query distance tables as a broadcast (nQ rows); both ranking stages
+    * are the k-bounded aggregator, and the exact rescore touches only
+    * nQ·shortlist vectors. At deployment the coded table (4 bytes/doc)
+    * is what persists — the point of PQ at 100 TB is that the scan reads
+    * codes, not vectors.
+    */
+  def pqTopK(emb: DataFrame, nQ: Int = 5, k: Int = 10,
+             iters: Int = 2, shortlist: Int = 50): DataFrame = {
+    val m = 4; val subDim = 16; val kCent = 16
+    val s = emb.sparkSession
+    import graft.CacheScope.TrackedDataset
+    val q = emb.filter(size(col("embedding")) === m * subDim)
+      .select(col("vec_id"), transform(col("embedding"),
+        x => floor(x.cast("double") * 1048576).cast("long")).as("qv"))
+      .persistTracked()
+    val books: Seq[Seq[(Int, Array[Long])]] = (0 until m).map { sub =>
+      intKmeansCentroids(
+        q.select(col("vec_id"),
+          slice(col("qv"), sub * subDim + 1, subDim).as("q")),
+        kCent, iters, subDim)
+    }
+    val codeCols = (0 until m).map { sub =>
+      val centArr = array(books(sub).map { case (cid, c) =>
+        val carr = array(c.map(lit).toIndexedSeq: _*)
+        struct(aggregate(
+            zip_with(slice(col("qv"), sub * subDim + 1, subDim), carr,
+              (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("d2"),
+          lit(cid).as("cid"))
+      }.toIndexedSeq: _*)
+      array_min(centArr).getField("cid").as(s"code$sub")
+    }
+    val coded = q.filter(col("vec_id") >= nQ)
+      .select((col("vec_id").as("doc_id") +: codeCols): _*)
+    // nQ query vectors collect to the driver (scalar-guard class) to
+    // build the ADC tables as broadcast literals
+    val qvecs = q.filter(col("vec_id") < nQ).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    import s.implicits._
+    val dtRows = qvecs.map { case (qid, v) =>
+      val dts = (0 until m).map { sub =>
+        books(sub).sortBy(_._1).map { case (_, c) =>
+          var acc = 0L; var i = 0
+          while (i < subDim) {
+            val d = v(sub * subDim + i) - c(i); acc += d * d; i += 1
+          }
+          acc
+        }.toArray
+      }
+      (qid, dts(0), dts(1), dts(2), dts(3))
+    }.toSeq.toDF("qid", "dt0", "dt1", "dt2", "dt3")
+    val scored = coded.crossJoin(broadcast(dtRows))
+      .select(col("qid"), col("doc_id"),
+        (0 until m).map(sub =>
+          element_at(col(s"dt$sub"), col(s"code$sub") + 1)).reduce(_ + _)
+          .as("adc_dist"))
+    val topS = udaf(new TopKPairAggregator(shortlist), Encoders.product[ScoredId])
+    val short = scored.groupBy("qid")
+      .agg(topS((-col("adc_dist")).cast("double"), col("doc_id")).as("tops"))
+      .select(col("qid"), explode(col("tops")).as("t"))
+      .select(col("qid"), col("t.id").as("doc_id"))
+    // exact rescore of the shortlist only: query vectors ride a broadcast
+    val qdf = qvecs.toSeq.map { case (qid, v) => (qid, v.toSeq) }
+      .toDF("qid", "qe")
+    val resc = short
+      .join(q.select(col("vec_id").as("doc_id"), col("qv")), Seq("doc_id"))
+      .join(broadcast(qdf), Seq("qid"))
+      .select(col("qid"), col("doc_id"),
+        aggregate(zip_with(col("qe"), col("qv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("l2_dist"))
+    val topK = udaf(new TopKPairAggregator(k), Encoders.product[ScoredId])
+    resc.groupBy("qid")
+      .agg(topK((-col("l2_dist")).cast("double"), col("doc_id")).as("tops"))
+      .select(col("qid"), posexplode(col("tops")).as(Seq("pos", "t")))
+      .select(col("qid"), col("t.id").as("doc_id"),
+        (-col("t.sim")).cast("long").as("l2_dist"),
+        (col("pos") + 1).cast("int").as("rank"))
+      .orderBy("qid", "rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PQ-compressed ADC retrieval (the billion-scale ANN memory path).
+    "q_pq_adc" -> { (s, d) => pqTopK(Tables.embeddings(s, d)) },
     // ColBERT-style MaxSim over multi-vector docs.
     "q_late_interaction" -> { (s, d) =>
       lateInteractionTopK(Tables.embeddings(s, d))
@@ -865,7 +1017,100 @@ object Similarity {
        | FROM $prev p LEFT JOIN g$it g USING (cid))""".stripMargin
   }
 
+  /** DuckDB twin of [[pqTopK]]: per subspace, the same integer Lloyd
+    * rounds (the kmeansIterSql shape parameterized by subspace), final
+    * assignments as codes, query distance tables, ADC sum, ranked.
+    */
+  private def pqOracleSql(m: Int = 4, subDim: Int = 16, iters: Int = 2,
+                          nQ: Int = 5, k: Int = 10,
+                          shortlist: Int = 50): String = {
+    val dp1 = subDim + 1
+    def subCtes(sub: Int): String = {
+      val lo = sub * subDim + 1; val hi = (sub + 1) * subDim
+      val init =
+        s"""sub$sub AS (
+           | SELECT vec_id, list_slice(e, $lo, $hi) AS q FROM base),
+           |c${sub}_0 AS (
+           | SELECT CAST(vec_id AS BIGINT) AS cid, q AS c FROM sub$sub
+           | WHERE vec_id < 16)""".stripMargin
+      val rounds = (1 to iters).map { t =>
+        s"""d${sub}_$t AS (
+           | SELECT e.vec_id, e.q, c.cid,
+           |  list_sum(list_transform(range(1, $dp1),
+           |    i -> (e.q[i] - c.c[i]) * (e.q[i] - c.c[i]))) AS d2
+           | FROM sub$sub e, c${sub}_${t - 1} c),
+           |a${sub}_$t AS (
+           | SELECT vec_id, q, cid FROM (
+           |  SELECT vec_id, q, cid,
+           |   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+           |  FROM d${sub}_$t) WHERE rn = 1),
+           |s${sub}_$t AS (
+           | SELECT a.cid, t.i AS di, sum(a.q[t.i]) AS sv, count(*) AS n
+           | FROM a${sub}_$t a CROSS JOIN range(1, $dp1) t(i) GROUP BY 1, 2),
+           |g${sub}_$t AS (
+           | SELECT cid, list(CAST(floor(CAST(sv AS DOUBLE) / n) AS BIGINT)
+           |   ORDER BY di) AS c
+           | FROM s${sub}_$t GROUP BY cid),
+           |c${sub}_$t AS (
+           | SELECT p.cid, COALESCE(g.c, p.c) AS c
+           | FROM c${sub}_${t - 1} p LEFT JOIN g${sub}_$t g USING (cid))""".stripMargin
+      }.mkString(",\n")
+      val fin =
+        s"""f$sub AS (
+           | SELECT vec_id, cid FROM (
+           |  SELECT e.vec_id, c.cid,
+           |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |    list_sum(list_transform(range(1, $dp1),
+           |      i -> (e.q[i] - c.c[i]) * (e.q[i] - c.c[i]))), c.cid) AS rn
+           |  FROM sub$sub e, c${sub}_$iters c) WHERE rn = 1),
+           |dt$sub AS (
+           | SELECT q.vec_id AS qid, c.cid,
+           |  list_sum(list_transform(range(1, $dp1),
+           |    i -> (q.q[i] - c.c[i]) * (q.q[i] - c.c[i]))) AS d
+           | FROM sub$sub q, c${sub}_$iters c WHERE q.vec_id < $nQ)""".stripMargin
+      Seq(init, rounds, fin).mkString(",\n")
+    }
+    val dtJoins = (1 until m).map(sub =>
+      s" JOIN f$sub ON f$sub.vec_id = f0.vec_id" +
+        s" JOIN dt$sub ON dt$sub.qid = dt0.qid AND dt$sub.cid = f$sub.cid")
+      .mkString("\n")
+    val dSum = (0 until m).map(sub => s"dt$sub.d").mkString(" + ")
+    s"""WITH base AS (
+       | SELECT vec_id, list_transform(embedding,
+       |   x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS e
+       | FROM embeddings WHERE len(embedding) = ${m * subDim}),
+       |${(0 until m).map(subCtes).mkString(",\n")},
+       |sc AS (
+       | SELECT dt0.qid, f0.vec_id AS doc_id,
+       |  CAST($dSum AS BIGINT) AS adc_dist
+       | FROM f0
+       | JOIN dt0 ON dt0.cid = f0.cid
+       |$dtJoins
+       | WHERE f0.vec_id >= $nQ),
+       |short AS (
+       | SELECT qid, doc_id FROM (
+       |  SELECT qid, doc_id,
+       |   row_number() OVER (PARTITION BY qid
+       |     ORDER BY adc_dist, doc_id) AS rn
+       |  FROM sc) WHERE rn <= $shortlist),
+       |resc AS (
+       | SELECT s.qid, s.doc_id,
+       |  CAST(list_sum(list_transform(range(1, ${m * subDim + 1}),
+       |    i -> (qb.e[i] - db.e[i]) * (qb.e[i] - db.e[i]))) AS BIGINT)
+       |   AS l2_dist
+       | FROM short s
+       | JOIN base qb ON qb.vec_id = s.qid
+       | JOIN base db ON db.vec_id = s.doc_id)
+       |SELECT qid, doc_id, l2_dist, rank FROM (
+       | SELECT qid, doc_id, l2_dist,
+       |  CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY l2_dist, doc_id) AS INTEGER) AS rank
+       | FROM resc) WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    // PQ/ADC twin: 4 × (integer Lloyd replay) + coding + table scoring
+    "q_pq_adc" -> pqOracleSql(),
     // MaxSim twin: same quantized integer dots, max-then-sum, ranked
     "q_late_interaction" ->
       """WITH base AS (
