@@ -1875,6 +1875,54 @@ object Analytics {
         .orderBy("day")
     },
 
+    // ROLLING-ORIGIN FORECAST BACKTEST — the "does the forecaster work"
+    // harness next to q_ewma_daily/q_holt_forecast: at every origin day
+    // t, the one-step-ahead EWMA forecast (= ewma_{t-1}, the value the
+    // smoother would have shipped that morning) is compared to the
+    // realized revenue; MAE/MAPE plus the skill vs the naive
+    // carry-forward baseline (forecast = yesterday's actual — the bar
+    // any forecaster must beat). Errors are exact integer cents (the
+    // ewma state is integer), so every sum is order-independent; MAPE
+    // folds 9dp-rounded per-day ratios as DECIMAL. The lag window runs
+    // on the calendar-bounded day spine (the q_rolling_revenue
+    // argument), never on orders.
+    "q_forecast_backtest" -> { (s, d) =>
+      val ew = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("dt"))
+        .select(col("day"), (col("dt") * 100).cast("long").as("rc"))
+        .agg(array_sort(collect_list(struct(col("day"), col("rc")))).as("a"))
+        .selectExpr(
+          """inline(aggregate(
+            |  a,
+            |  cast(array() as array<struct<day:date,rc:bigint,ewma_u:bigint>>),
+            |  (acc, e) -> array_append(acc, named_struct(
+            |    'day', e.day, 'rc', e.rc,
+            |    'ewma_u', case when size(acc) = 0 then e.rc
+            |              else (e.rc + element_at(acc, -1).ewma_u) div 2
+            |              end))))""".stripMargin)
+      val w = Window.orderBy("day")
+      val bt = ew
+        .withColumn("prev_ewma", lag(col("ewma_u"), 1).over(w))
+        .withColumn("prev_rc", lag(col("rc"), 1).over(w))
+        .filter(col("prev_ewma").isNotNull)
+        .select(col("rc"),
+          abs(col("rc") - col("prev_ewma")).as("err_c"),
+          abs(col("rc") - col("prev_rc")).as("naive_c"))
+      bt.agg(count(lit(1)).as("n_days"),
+          sum(col("err_c")).as("se"), sum(col("naive_c")).as("sn"),
+          sum(round(col("err_c").cast("double") / col("rc").cast("double")
+            * 100.0, 9).cast(DecimalType(28, 9))).as("sm"))
+        .select(col("n_days"),
+          round(col("se").cast("double") / col("n_days") / 100.0, 6)
+            .as("mae"),
+          round(col("sm").cast("double") / col("n_days"), 6).as("mape_pct"),
+          round(col("sn").cast("double") / col("n_days") / 100.0, 6)
+            .as("naive_mae"),
+          round(lit(1.0) - col("se").cast("double") /
+            col("sn").cast("double"), 6).as("skill_vs_naive"))
+    },
+
     // A9 — Holt double-exponential forecast (α = β = ½): level+trend
     // recursion over the daily series, then a 7-day linear forecast.
     // Same exactness contract as q_ewma_daily — the state is integer
@@ -2834,6 +2882,36 @@ object Analytics {
         | FROM e JOIN i ON i.rn = e.rn + 1)
         |SELECT day, rev, CAST(ewma_u AS DOUBLE) / 100.0 AS ewma
         |FROM e ORDER BY day""".stripMargin,
+    "q_forecast_backtest" ->
+      """WITH RECURSIVE d AS (
+        | SELECT o_orderdate AS day,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rc
+        | FROM orders GROUP BY 1),
+        |i AS (SELECT day, rc, row_number() OVER (ORDER BY day) AS rn FROM d),
+        |e AS (
+        | SELECT rn, day, rc, rc AS ewma_u FROM i WHERE rn = 1
+        | UNION ALL
+        | SELECT i.rn, i.day, i.rc, (i.rc + e.ewma_u) // 2
+        | FROM e JOIN i ON i.rn = e.rn + 1),
+        |bt AS (
+        | SELECT c.rc,
+        |  abs(c.rc - p.ewma_u) AS err_c,
+        |  abs(c.rc - p.rc) AS naive_c
+        | FROM e c JOIN e p ON p.rn = c.rn - 1),
+        |m AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(err_c) AS BIGINT) AS se,
+        |  CAST(sum(naive_c) AS BIGINT) AS sn,
+        |  sum(CAST(round(CAST(err_c AS DOUBLE) / CAST(rc AS DOUBLE)
+        |    * 100.0, 9) AS DECIMAL(28,9))) AS sm
+        | FROM bt)
+        |SELECT n_days,
+        | round(CAST(se AS DOUBLE) / n_days / 100.0, 6) AS mae,
+        | round(CAST(sm AS DOUBLE) / n_days, 6) AS mape_pct,
+        | round(CAST(sn AS DOUBLE) / n_days / 100.0, 6) AS naive_mae,
+        | round(1.0 - CAST(se AS DOUBLE) / CAST(sn AS DOUBLE), 6)
+        |  AS skill_vs_naive
+        |FROM m""".stripMargin,
     "q_holt_forecast" ->
       """WITH RECURSIVE d AS (
         | SELECT o_orderdate AS day,

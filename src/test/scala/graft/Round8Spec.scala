@@ -258,6 +258,19 @@ class Round8Spec extends SparkSpec {
       "frontier should be a genuine shortlist")
   }
 
+  test("forecast backtest: metrics internally consistent and finite") {
+    val r = graft.operators.Analytics.queries("q_forecast_backtest")(spark, sfDir)
+      .head()
+    val (n, mae, naive, skill) = (r.getAs[Long]("n_days"),
+      r.getAs[Double]("mae"), r.getAs[Double]("naive_mae"),
+      r.getAs[Double]("skill_vs_naive"))
+    assert(n > 10)
+    assert(mae >= 0 && naive > 0 && r.getAs[Double]("mape_pct") >= 0)
+    // skill is definitionally 1 − Σerr/Σnaive (6dp rounding slack)
+    assert(math.abs(skill - (1.0 - mae / naive)) < 1e-3,
+      s"skill $skill vs ${1.0 - mae / naive}")
+  }
+
   test("neyman allocation: budget respected, high-variance strata earn above share") {
     val rows = graft.operators.Analytics.queries("q_neyman_alloc")(spark, sfDir)
       .collect()
