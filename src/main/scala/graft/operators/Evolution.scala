@@ -294,9 +294,71 @@ object Evolution {
         (col("psi") > 0.2).as("drifted"))
   }
 
+  /** One FK edge's referential-integrity audit (dbt-style relationship
+    * test at engine level): child rows, NULL FKs, and orphaned rows
+    * (non-null FK with no parent). Scale: the orphan check runs on the
+    * DISTINCT-FK frame (key cardinality, never the child table) — per-FK
+    * counts aggregate map-side, the anti-join probes parent keys, and
+    * orphaned ROW counts come from summing the per-key counts.
+    */
+  def fkAudit(name: String, child: DataFrame, fk: String,
+              parent: DataFrame, pk: String): DataFrame = {
+    val tot = child.agg(count(lit(1)).as("n_child"),
+      coalesce(sum(when(col(fk).isNull, 1L)), lit(0L)).as("n_null_fk"))
+    val cnt = child.filter(col(fk).isNotNull)
+      .groupBy(col(fk).as("k")).agg(count(lit(1)).as("c"))
+    val orph = cnt
+      .join(parent.select(col(pk).as("k")).distinct(), Seq("k"), "left_anti")
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_orphans"))
+    tot.crossJoin(broadcast(orph))
+      .select(lit(name).as("fk_edge"), col("n_child"), col("n_null_fk"),
+        col("n_orphans"),
+        expr("n_orphans * 1000000 div n_child").as("orphan_ppm"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Weekday-vs-weekend value-distribution drift monitor.
     "q_psi_drift" -> { (s, d) => psiDrift(Tables.events(s, d)) },
+
+    // REFERENTIAL-INTEGRITY SWEEP over the warehouse's five FK edges —
+    // the pre-flight every load gate runs before joins are trusted
+    // (an orphaned FK silently drops rows in inner joins and fabricates
+    // NULL dims in left joins; measure it, don't discover it).
+    "q_fk_orphans" -> { (s, d) =>
+      Seq(
+        fkAudit("customer.c_nationkey->nation", Tables.customer(s, d),
+          "c_nationkey", Tables.nation(s, d), "n_nationkey"),
+        fkAudit("lineitem.l_orderkey->orders", Tables.lineitem(s, d),
+          "l_orderkey", Tables.orders(s, d), "o_orderkey"),
+        fkAudit("lineitem.l_partkey->part", Tables.lineitem(s, d),
+          "l_partkey", Tables.part(s, d), "p_partkey"),
+        fkAudit("lineitem.l_suppkey->supplier", Tables.lineitem(s, d),
+          "l_suppkey", Tables.supplier(s, d), "s_suppkey"),
+        fkAudit("orders.o_custkey->customer", Tables.orders(s, d),
+          "o_custkey", Tables.customer(s, d), "c_custkey"))
+        .reduce(_ unionByName _)
+        .orderBy("fk_edge")
+    },
+
+    // ONE-PASS COLUMN PROFILE — the catalog auto-profiling row (NDV,
+    // null count) for every column of a table in a SINGLE scan: melt
+    // columns to (col_name, value) via stack (k columns ≠ k scans — the
+    // describeAll trick), then one countDistinct aggregate. NDV is
+    // EXACT via the standard two-level distinct expansion; string-cast
+    // is injective per column so casting can't merge values.
+    "q_column_profile" -> { (s, d) =>
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      Tables.orders(s, d)
+        .selectExpr(s"stack(${cols.size}, " +
+          cols.map(c => s"'$c', cast($c as string)").mkString(", ") +
+          ") as (col_name, v)")
+        .groupBy("col_name")
+        .agg(count(lit(1)).as("n"),
+          (count(lit(1)) - count(col("v"))).as("n_nulls"),
+          countDistinct(col("v")).as("ndv"))
+        .orderBy("col_name")
+    },
     // Snapshot B is carved deterministically from orders: one column
     // dropped (o_orderpriority), one added (o_channel), one narrowed
     // (o_custkey bigint -> int) — the three drift classes a real
@@ -365,7 +427,46 @@ object Evolution {
       cumulativeDistinctUsers(Tables.events(s, d)) }
   )
 
+  private def fkEdgeSql(name: String, child: String, fk: String,
+                        parent: String, pk: String): String =
+    s"""SELECT '$name' AS fk_edge,
+       | CAST((SELECT count(*) FROM $child) AS BIGINT) AS n_child,
+       | CAST((SELECT count(*) FROM $child WHERE $fk IS NULL) AS BIGINT)
+       |  AS n_null_fk,
+       | CAST((SELECT count(*) FROM $child c WHERE c.$fk IS NOT NULL
+       |   AND NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = c.$fk))
+       |  AS BIGINT) AS n_orphans,
+       | CAST((SELECT count(*) FROM $child c WHERE c.$fk IS NOT NULL
+       |   AND NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = c.$fk))
+       |  AS BIGINT) * 1000000
+       |  // CAST((SELECT count(*) FROM $child) AS BIGINT) AS orphan_ppm""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "q_fk_orphans" -> Seq(
+      fkEdgeSql("customer.c_nationkey->nation", "customer", "c_nationkey",
+        "nation", "n_nationkey"),
+      fkEdgeSql("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      fkEdgeSql("lineitem.l_partkey->part", "lineitem", "l_partkey",
+        "part", "p_partkey"),
+      fkEdgeSql("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+        "supplier", "s_suppkey"),
+      fkEdgeSql("orders.o_custkey->customer", "orders", "o_custkey",
+        "customer", "c_custkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY fk_edge"),
+    "q_column_profile" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      val melts = cols.map(c =>
+        s"SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS v FROM orders")
+        .mkString("\n UNION ALL\n ")
+      s"""WITH m AS (
+         | $melts)
+         |SELECT col_name, CAST(count(*) AS BIGINT) AS n,
+         | CAST(count(*) - count(v) AS BIGINT) AS n_nulls,
+         | CAST(count(DISTINCT v) AS BIGINT) AS ndv
+         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q_psi_drift" ->
       """WITH ev AS (
         | SELECT CAST(value AS DOUBLE) AS v, isodow(ts) <= 4 AS is_ref
