@@ -43,7 +43,8 @@ object Training {
       sum(col("n_tokens")).over(packWindow.rowsBetween(
         Window.unboundedPreceding, -1)), lit(0L))
     toks.withColumn("pack_id",
-      (col("shard") * lit(1000000L)) + floor(cumBefore / budget))
+        (col("shard") * lit(1000000L)) + floor(cumBefore / budget))
+      .withColumn("start_tok", cumBefore % budget)
   }
 
   /** One row per pack: how many docs landed in it, their token total, and
@@ -165,6 +166,25 @@ object Training {
       quantizedTopK(emb.filter(col("vec_id") < 5), emb, 5)
         .orderBy("query_id", "rank")
     },
+    // PACK BOUNDARY MAP — what the dataloader actually consumes beside
+    // the pack summary: per pack, the ordered (doc_id@start_token) list
+    // marking where each document begins, i.e. the attention-boundary /
+    // loss-mask offsets for concat-and-chunk training. Emitted as a
+    // canonical ';'-joined string (the q_collect_ops array idiom) so the
+    // oracle hash is order-stable. Same shard-partitioned windows as
+    // q_pack_sequences — no global sort.
+    "q_pack_boundaries" -> { (s, d) =>
+      packAssignments(Tables.documents(s, d), 512, 8)
+        .groupBy("pack_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("doc_id"), col("start_tok")))),
+            e => concat_ws("@", e.getField("doc_id"), e.getField("start_tok"))),
+            ";").as("boundaries"))
+        .orderBy("pack_id")
+    },
+
     // FEATURE-HASHING COLLISION AUDIT (the hashing trick, Weinberger et
     // al. 2009): categorical features hash into a fixed D=64 bucket
     // space with a ±1 sign bit. Before training on hashed features, a
@@ -265,6 +285,27 @@ object Training {
     s"list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2]))"
 
   def oracles: Map[String, String] = Map(
+    "q_pack_boundaries" ->
+      s"""WITH toks AS (
+         | SELECT doc_id, $tokensSql AS n_tokens, doc_id % 8 AS shard
+         | FROM documents),
+         |a AS (
+         | SELECT doc_id, n_tokens, shard,
+         |  CAST(coalesce(sum(n_tokens) OVER (
+         |    PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |   AS BIGINT) AS cb
+         | FROM toks),
+         |p AS (
+         | SELECT doc_id, n_tokens,
+         |  shard * 1000000 + CAST(floor(cb / 512.0) AS BIGINT) AS pack_id,
+         |  cb % 512 AS start_tok
+         | FROM a)
+         |SELECT pack_id, count(*) AS n_docs,
+         | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         | array_to_string(list(doc_id || '@' || start_tok ORDER BY doc_id),
+         |  ';') AS boundaries
+         |FROM p GROUP BY pack_id ORDER BY pack_id""".stripMargin,
     "q_feature_hash" ->
       """WITH f AS (
         | SELECT unnest(['type:' || event_type,
