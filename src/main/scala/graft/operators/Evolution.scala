@@ -184,6 +184,39 @@ object Evolution {
       .orderBy(groupCol)
   }
 
+  /** DP SUM release with contribution clipping — the workhorse DP
+    * primitive (a count is its C=1 case): each row's value clips to
+    * [0, C] BEFORE summing, which bounds the query's sensitivity at C
+    * regardless of outliers (without clipping a single huge value makes
+    * the release either useless or non-private), then Laplace(C/ε)
+    * noise via the same deterministic seeded inverse-CDF as
+    * [[dpNoisyCounts]] — and the same caveat: the default seed is an
+    * oracle-test fixture; real privacy requires a secret seed. Clipped
+    * sums are exact integer cents (order-independent); the only floats
+    * are the final noise expression.
+    */
+  def dpNoisySums(df: DataFrame, groupCol: String, valueCol: String,
+                  clipDollars: Long = 100L, epsilon: Double = 1.0,
+                  secretSeed: String = "dpsum:"): DataFrame = {
+    val clipC = clipDollars * 100 // cents
+    val cents = least(greatest(
+      (col(valueCol).cast(DecimalType(18, 2)) * 100).cast("long"), lit(0L)),
+      lit(clipC))
+    val h = conv(substring(md5(concat(lit(secretSeed), col(groupCol))), 1, 13),
+      16, 10).cast("long")
+    val u = (h.cast("double") + lit(0.5)) / lit(4503599627370496.0)
+    val lap = -signum(u - 0.5) * log(lit(1.0) - lit(2.0) * abs(u - 0.5)) *
+      lit(clipDollars.toDouble / epsilon)
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(sum(cents).as("sc"))
+      .select(col(groupCol),
+        (col("sc").cast("double") / 100.0).as("sum_clipped"),
+        round(col("sc").cast("double") / 100.0 + lap, 6).as("sum_noisy"),
+        lit(epsilon).as("epsilon"), lit(clipDollars).as("clip"))
+      .orderBy(groupCol)
+  }
+
   /** Join-cardinality (explosion) audit: before running an equi-join at
     * 100 TB, estimate its output size from per-key counts alone —
     * |A ⋈ B| = Σ_k n_A(k)·n_B(k). Two map-side-combined per-key counts
@@ -421,6 +454,9 @@ object Evolution {
     "q_dp_counts" -> { (s, d) =>
       dpNoisyCounts(Tables.events(s, d), "event_type")
     },
+    "q_dp_sums" -> { (s, d) =>
+      dpNoisySums(Tables.events(s, d), "event_type", "value")
+    },
     "q_freshness" -> { (s, d) => freshness(Tables.events(s, d)) },
     "q_table_diff" -> { (s, d) => tableDiff(Tables.orders(s, d)) },
     "q_cumulative_distinct" -> { (s, d) =>
@@ -495,6 +531,25 @@ object Evolution {
         | round(CAST(sum(term) AS DOUBLE), 6) AS psi,
         | round(CAST(sum(term) AS DOUBLE), 6) > 0.2 AS drifted
         |FROM terms GROUP BY 1, 2""".stripMargin,
+    // clipped-sum twin: same seeded uniform, Laplace scale C/eps
+    "q_dp_sums" ->
+      """WITH c AS (
+        | SELECT event_type,
+        |  CAST(sum(least(greatest(
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), 0), 10000))
+        |   AS BIGINT) AS sc
+        | FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |u AS (
+        | SELECT event_type, sc,
+        |  (CAST('0x' || substr(md5('dpsum:' || event_type), 1, 13) AS BIGINT)
+        |    + 0.5) / 4503599627370496.0 AS u
+        | FROM c)
+        |SELECT event_type, CAST(sc AS DOUBLE) / 100.0 AS sum_clipped,
+        | round(CAST(sc AS DOUBLE) / 100.0
+        |  + (-sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)) * 100.0), 6)
+        |  AS sum_noisy,
+        | 1.0 AS epsilon, CAST(100 AS BIGINT) AS clip
+        |FROM u ORDER BY event_type""".stripMargin,
     // same salted-md5 uniform, same Laplace inverse CDF, ε = 1
     "q_dp_counts" ->
       """WITH c AS (

@@ -102,6 +102,32 @@ object Multimodal {
           (col("n_patches") > 1024).as("needs_resize"))
         .orderBy("media_id")
     },
+    // MULTIMODAL SEQUENCE BUDGET — the text+vision token ledger a VLM
+    // mixing pass runs per source: text tokens (whitespace tokenizer) +
+    // vision tokens (the q_mm_patch_plan grid, budget-capped) per doc,
+    // rolled up per source with the count of docs that overflow a
+    // 2048-token multimodal context. Pure map + one source-cardinality
+    // aggregate; same FakeDecoder stub boundary for the image dims.
+    "q_mm_budget" -> { (s, d) =>
+      val cs = md5(col("text"))
+      val w = lit(160) + conv(substring(cs, 1, 3), 16, 10).cast("long") % 841
+      val h = lit(160) + conv(substring(cs, 4, 3), 16, 10).cast("long") % 841
+      Tables.documents(s, d)
+        .select(col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("tt"),
+          w.as("w"), h.as("h"))
+        .select(col("source"), col("tt"),
+          least(expr("((w + 15) div 16) * ((h + 15) div 16)"), lit(1024L))
+            .as("vt"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tt")).as("text_tokens"),
+          sum(col("vt")).as("vision_tokens"),
+          (sum(col("tt")) + sum(col("vt"))).as("total_tokens"),
+          coalesce(sum(when(col("tt") + col("vt") > 2048, 1L)), lit(0L))
+            .as("n_over_context"))
+        .orderBy("source")
+    },
     // Feature extraction through the typed mapPartitions path.
     "q_mm_features" -> { (s, d) =>
       extractFeatures(mediaTable(s, d)).toDF().orderBy("media_id")
@@ -164,6 +190,25 @@ object Multimodal {
       """SELECT doc_id AS media_id, 'text/plain' AS mime,
         | octet_length(encode(text)) AS n_bytes, md5(text) AS checksum
         |FROM documents ORDER BY media_id""".stripMargin,
+    "q_mm_budget" ->
+      """WITH m AS (
+        | SELECT source,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |    t -> t <> '')) AS BIGINT) AS tt,
+        |  160 + CAST(('0x' || substr(md5(text), 1, 3)) AS BIGINT) % 841 AS w,
+        |  160 + CAST(('0x' || substr(md5(text), 4, 3)) AS BIGINT) % 841 AS h
+        | FROM documents),
+        |p AS (
+        | SELECT source, tt,
+        |  least(((w + 15) // 16) * ((h + 15) // 16), 1024) AS vt
+        | FROM m)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(tt) AS BIGINT) AS text_tokens,
+        | CAST(sum(vt) AS BIGINT) AS vision_tokens,
+        | CAST(sum(tt) + sum(vt) AS BIGINT) AS total_tokens,
+        | CAST(COALESCE(sum(CASE WHEN tt + vt > 2048 THEN 1 ELSE 0 END), 0)
+        |  AS BIGINT) AS n_over_context
+        |FROM p GROUP BY 1 ORDER BY source""".stripMargin,
     "q_mm_patch_plan" ->
       """WITH m AS (
         | SELECT doc_id AS media_id,
