@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.{Evolution, Multimodal, Training}
+import org.apache.spark.sql.functions._
+
+/** Round-8 continuation: FK orphans, column profile, DP sums, pack
+  * boundaries, multimodal budget.
+  */
+class Round8cSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fk audit: planted orphans and null FKs are counted exactly") {
+    val child = Seq((1L, Some(10L)), (2L, Some(11L)), (3L, None),
+      (4L, Some(99L)), (5L, Some(99L))).toDF("id", "fk")
+    val parent = Seq(10L, 11L, 12L).toDF("pk")
+    val r = Evolution.fkAudit("t", child, "fk", parent, "pk").head()
+    assert(r.getAs[Long]("n_child") == 5)
+    assert(r.getAs[Long]("n_null_fk") == 1)
+    assert(r.getAs[Long]("n_orphans") == 2) // both rows pointing at 99
+    assert(r.getAs[Long]("orphan_ppm") == 400000)
+  }
+
+  test("fk sweep on the warehouse: synthetic star has zero orphans") {
+    val rows = Evolution.queries("q_fk_orphans")(spark, sfDir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_orphans") == 0, r.toString)
+      assert(r.getAs[Long]("n_child") > 0)
+    }
+  }
+
+  test("column profile: NDV and null counts match per-column recomputation") {
+    val rows = Evolution.queries("q_column_profile")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val o = Tables.orders(spark, sfDir)
+    val n = o.count()
+    Seq("o_orderkey", "o_orderstatus", "o_orderpriority").foreach { c =>
+      val (pn, pnulls, pndv) = rows(c)
+      assert(pn == n)
+      assert(pnulls == o.filter(col(c).isNull).count())
+      assert(pndv == o.select(c).distinct().filter(col(c).isNotNull).count())
+    }
+  }
+
+  test("dp sums: clipping bounds every per-row contribution at C") {
+    val r = Evolution.queries("q_dp_sums")(spark, sfDir).collect()
+    val ev = Tables.events(spark, sfDir).filter(col("value").isNotNull)
+    r.foreach { row =>
+      val t = row.getString(0)
+      val nRows = ev.filter(col("event_type") === t).count()
+      val sc = row.getAs[Double]("sum_clipped")
+      // clipped sum can never exceed n·C nor fall below 0
+      assert(sc >= 0 && sc <= nRows * 100.0, s"$t: $sc vs ${nRows * 100.0}")
+      // noise is bounded: |Laplace(C=100, eps=1)| < 100·37 nats
+      assert(math.abs(row.getAs[Double]("sum_noisy") - sc) < 3700.0)
+    }
+    // clipping actually engages somewhere (values above $100 exist)
+    val rawSum = ev.agg(sum((col("value")
+      .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+      .cast("long"))).head().getLong(0) / 100.0
+    assert(r.map(_.getAs[Double]("sum_clipped")).sum < rawSum)
+  }
+
+  test("pack boundaries: first doc starts at 0, offsets strictly increase below budget") {
+    val rows = Training.queries("q_pack_boundaries")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bounds = r.getAs[String]("boundaries").split(";")
+        .map(_.split("@")).map(a => (a(0).toLong, a(1).toLong))
+      assert(bounds.length == r.getAs[Long]("n_docs"))
+      // concat-and-chunk: only a shard's FIRST pack starts at offset 0 —
+      // later packs open mid-spillover of the previous pack's last doc
+      if (r.getAs[Long]("pack_id") % 1000000L == 0L)
+        assert(bounds.head._2 == 0, "shard-initial pack must start at 0")
+      assert(bounds.forall(_._2 < 512), "offsets live inside the budget")
+      // doc ids ascend and so do start offsets within a pack
+      assert(bounds.map(_._1).toSeq == bounds.map(_._1).sorted.toSeq)
+      assert(bounds.map(_._2).toSeq == bounds.map(_._2).sorted.toSeq)
+    }
+  }
+
+  test("mm budget: ledger is consistent with the patch plan and text tokens") {
+    val b = Multimodal.queries("q_mm_budget")(spark, sfDir).collect()
+    val plan = Multimodal.queries("q_mm_patch_plan")(spark, sfDir)
+      .agg(sum(col("n_tokens"))).head().getLong(0)
+    assert(b.map(_.getAs[Long]("vision_tokens")).sum == plan)
+    b.foreach { r =>
+      assert(r.getAs[Long]("total_tokens") ==
+        r.getAs[Long]("text_tokens") + r.getAs[Long]("vision_tokens"))
+      assert(r.getAs[Long]("n_over_context") <= r.getAs[Long]("n_docs"))
+    }
+  }
+}
