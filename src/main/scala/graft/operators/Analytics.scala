@@ -1684,6 +1684,32 @@ object Analytics {
         round(mde, 6).as("mde_abs"),
         round(mde / mean * 100.0, 6).as("mde_rel_pct"))
     },
+    // DISTRIBUTION-FREE MEDIAN CI (order statistics; Hahn & Meeker):
+    // the 95% CI for the median needs NO bootstrap and no normality —
+    // binomial order-statistic ranks l = ⌊(n − z√n)/2⌋ and
+    // u = ⌈1 + (n + z√n)/2⌉ bracket it (normal approximation to the
+    // binomial ranks, the standard large-n form). Rank selection runs on
+    // the DISTRIBUTED cumulative-value frame (X4's range-partitioned
+    // percentile shape — min v with cum ≥ rank; no single-task sort, no
+    // value buffering), so the whole CI costs the same as one exact
+    // percentile pass. Contrast with q_bootstrap_ci: that one re-weights
+    // the data B times for the MEAN; this reads it once for the median.
+    "q_median_ci" -> { (s, d) =>
+      val cum = cumulativeValueCounts(Tables.orders(s, d), Nil, "o_totalprice")
+      val nD = col("n").cast("double")
+      val z = lit(1.959964)
+      val lRank = greatest(floor((nD - z * sqrt(nD)) / 2.0), lit(1L))
+      val uRank = least(ceil(lit(1.0) + (nD + z * sqrt(nD)) / 2.0),
+        col("n"))
+      val mRank = expr("(n + 1) div 2") // type-1 lower median rank
+      cum.agg(max(col("n")).as("n"),
+          min(when(col("cum") >= mRank, col("v"))).as("median"),
+          min(when(col("cum") >= lRank, col("v"))).as("ci_lo"),
+          min(when(col("cum") >= uRank, col("v"))).as("ci_hi"))
+        .select(col("n"), col("median"), col("ci_lo"), col("ci_hi"),
+          lit(0.95).as("conf"))
+    },
+
     // NEYMAN SAMPLING ALLOCATION (Neyman 1934): split a fixed audit/
     // labeling budget across strata ∝ N_k·σ_k — the variance-optimal
     // design for estimating the overall mean, vs the naive proportional
@@ -2522,6 +2548,24 @@ object Analytics {
         |   - CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE) / 100.0), 6)
         |  AS did_estimate
         |FROM w""".stripMargin,
+    "q_median_ci" ->
+      """WITH v AS (
+        | SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+        | WHERE o_totalprice IS NOT NULL),
+        |r AS (
+        | SELECT v, row_number() OVER (ORDER BY v) AS rn,
+        |  CAST(count(*) OVER () AS BIGINT) AS n
+        | FROM v)
+        |SELECT max(n) AS n,
+        | min(CASE WHEN rn >= (n + 1) // 2 THEN v END) AS median,
+        | min(CASE WHEN rn >= greatest(CAST(floor(
+        |   (CAST(n AS DOUBLE) - 1.959964 * sqrt(CAST(n AS DOUBLE))) / 2.0)
+        |   AS BIGINT), 1) THEN v END) AS ci_lo,
+        | min(CASE WHEN rn >= least(CAST(ceil(
+        |   1.0 + (CAST(n AS DOUBLE) + 1.959964 * sqrt(CAST(n AS DOUBLE)))
+        |    / 2.0) AS BIGINT), n) THEN v END) AS ci_hi,
+        | 0.95 AS conf
+        |FROM r""".stripMargin,
     "q_neyman_alloc" ->
       """WITH e AS (
         | SELECT event_type,

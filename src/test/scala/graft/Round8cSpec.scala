@@ -80,6 +80,24 @@ class Round8cSpec extends SparkSpec {
     }
   }
 
+  test("median CI: brackets the exact median; matches hand rank recompute") {
+    val r = graft.operators.Analytics.queries("q_median_ci")(spark, sfDir)
+      .head()
+    val (n, med, lo, hi) = (r.getAs[Long]("n"), r.getAs[Double]("median"),
+      r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+    assert(lo <= med && med <= hi)
+    val vals = Tables.orders(spark, sfDir)
+      .select(col("o_totalprice").cast("double")).collect()
+      .map(_.getDouble(0)).sorted
+    assert(n == vals.length)
+    val z = 1.959964
+    val lR = math.max(math.floor((n - z * math.sqrt(n.toDouble)) / 2.0), 1).toLong
+    val uR = math.min(math.ceil(1.0 + (n + z * math.sqrt(n.toDouble)) / 2.0)
+      .toLong, n)
+    assert(med == vals(((n + 1) / 2 - 1).toInt))
+    assert(lo == vals((lR - 1).toInt) && hi == vals((uR - 1).toInt))
+  }
+
   test("mm budget: ledger is consistent with the patch plan and text tokens") {
     val b = Multimodal.queries("q_mm_budget")(spark, sfDir).collect()
     val plan = Multimodal.queries("q_mm_patch_plan")(spark, sfDir)
