@@ -1684,6 +1684,67 @@ object Analytics {
         round(mde, 6).as("mde_abs"),
         round(mde / mean * 100.0, 6).as("mde_rel_pct"))
     },
+    // RATIO-METRIC CI via the DELTA METHOD (Deng et al. 2017 "Trustworthy
+    // online controlled experiments" lineage): most product metrics are
+    // ratios of user-level sums (revenue per event here, r = ΣX/ΣY), and
+    // naive row-level variance is wrong because the unit of randomization
+    // is the USER. SE² = (varX + r²·varY − 2r·covXY) / (n·ȳ²) from
+    // user-level moments. Every moment is an exact integer/decimal sum
+    // (cents; X², XY, Y² fit DECIMAL(38,0) at any realistic scale), then
+    // ONE double expression tree for r, SE and the 95% bounds — the
+    // analytical companion to q_bootstrap_ci at a fraction of the cost
+    // (one pass, no replicates).
+    "q_ratio_ci" -> { (s, d) =>
+      val perUser = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("user_id"),
+          (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("xc"))
+        .groupBy("user_id")
+        .agg(sum(col("xc")).as("x"), count(lit(1)).as("y"))
+      def dec(c: Column) = c.cast(DecimalType(38, 0))
+      val m = perUser.agg(count(lit(1)).as("n"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"))
+      val nD = col("n").cast("double")
+      val xb = col("sx").cast("double") / nD
+      val yb = col("sy").cast("double") / nD
+      val varX = col("sxx").cast("double") / nD - xb * xb
+      val varY = col("syy").cast("double") / nD - yb * yb
+      val covXY = col("sxy").cast("double") / nD - xb * yb
+      val r = col("sx").cast("double") / col("sy").cast("double")
+      val se = sqrt((varX + r * r * varY - lit(2.0) * r * covXY) /
+        (nD * yb * yb))
+      m.select(col("n").as("n_users"),
+          round(r / 100.0, 6).as("ratio"),
+          round(se / 100.0, 6).as("se"),
+          round((r - lit(1.959964) * se) / 100.0, 6).as("ci_lo"),
+          round((r + lit(1.959964) * se) / 100.0, 6).as("ci_hi"))
+    },
+
+    // SAMPLE-RATIO MISMATCH guardrail (the first trust check of every
+    // experiment readout): md5-split users 50/50 (the q_ab_test
+    // assignment), then χ² with 1 dof against the expected split —
+    // χ² > 3.841459 (95%) flags a broken randomizer/logging pipe before
+    // anyone reads the metric. Exact integer counts; one double tree.
+    "q_srm_check" -> { (s, d) =>
+      val bucket = conv(substring(md5(col("user_id").cast("string")), 1, 4),
+        16, 10).cast("long") % 2
+      val c = Tables.events(s, d)
+        .select(col("user_id")).distinct()
+        .select(when(bucket === 0, "a").otherwise("b").as("arm"))
+        .groupBy("arm").agg(count(lit(1)).as("cnt"))
+      val w = c.agg(
+        coalesce(sum(when(col("arm") === "a", col("cnt"))), lit(0L)).as("na"),
+        coalesce(sum(when(col("arm") === "b", col("cnt"))), lit(0L)).as("nb"))
+      val nD = (col("na") + col("nb")).cast("double")
+      val e = nD / 2.0
+      val chi2 = (col("na").cast("double") - e) * (col("na").cast("double") - e) / e +
+        (col("nb").cast("double") - e) * (col("nb").cast("double") - e) / e
+      w.select(col("na"), col("nb"), round(chi2, 6).as("chi2"),
+        (chi2 > 3.841459).as("srm_detected"))
+    },
+
     // DISTRIBUTION-FREE MEDIAN CI (order statistics; Hahn & Meeker):
     // the 95% CI for the median needs NO bootstrap and no normality —
     // binomial order-statistic ranks l = ⌊(n − z√n)/2⌋ and
@@ -2548,6 +2609,70 @@ object Analytics {
         |   - CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE) / 100.0), 6)
         |  AS did_estimate
         |FROM w""".stripMargin,
+    "q_ratio_ci" ->
+      """WITH pu AS (
+        | SELECT user_id,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |   AS BIGINT) AS x,
+        |  CAST(count(*) AS BIGINT) AS y
+        | FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |m AS (
+        | SELECT CAST(count(*) AS HUGEINT) AS n,
+        |  CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |  sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+        |  sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+        |  sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+        | FROM pu),
+        |t AS (
+        | SELECT CAST(n AS BIGINT) AS n_users,
+        |  CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) AS r,
+        |  sqrt(((CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+        |     - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |       * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+        |   + (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+        |     * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+        |     * (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |          * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+        |   - 2.0 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+        |     * (CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |          * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))))
+        |  / (CAST(n AS DOUBLE) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |     * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))) AS se
+        | FROM m)
+        |SELECT n_users, round(r / 100.0, 6) AS ratio,
+        | round(se / 100.0, 6) AS se,
+        | round((r - 1.959964 * se) / 100.0, 6) AS ci_lo,
+        | round((r + 1.959964 * se) / 100.0, 6) AS ci_hi
+        |FROM t""".stripMargin,
+    "q_srm_check" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |arms AS (
+        | SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+        |   1, 4)) AS BIGINT) % 2 = 0 THEN 'a' ELSE 'b' END AS arm
+        | FROM u),
+        |c AS (
+        | SELECT
+        |  CAST(COALESCE(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END), 0)
+        |   AS BIGINT) AS na,
+        |  CAST(COALESCE(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END), 0)
+        |   AS BIGINT) AS nb
+        | FROM arms)
+        |SELECT na, nb,
+        | round((CAST(na AS DOUBLE) - CAST(na + nb AS DOUBLE) / 2.0)
+        |   * (CAST(na AS DOUBLE) - CAST(na + nb AS DOUBLE) / 2.0)
+        |   / (CAST(na + nb AS DOUBLE) / 2.0)
+        |  + (CAST(nb AS DOUBLE) - CAST(na + nb AS DOUBLE) / 2.0)
+        |   * (CAST(nb AS DOUBLE) - CAST(na + nb AS DOUBLE) / 2.0)
+        |   / (CAST(na + nb AS DOUBLE) / 2.0), 6) AS chi2,
+        | ((CAST(na AS DOUBLE) - CAST(na + nb AS DOUBLE) / 2.0)
+        |   * (CAST(na AS DOUBLE) - CAST(na + nb AS DOUBLE) / 2.0)
+        |   / (CAST(na + nb AS DOUBLE) / 2.0)
+        |  + (CAST(nb AS DOUBLE) - CAST(na + nb AS DOUBLE) / 2.0)
+        |   * (CAST(nb AS DOUBLE) - CAST(na + nb AS DOUBLE) / 2.0)
+        |   / (CAST(na + nb AS DOUBLE) / 2.0)) > 3.841459 AS srm_detected
+        |FROM c""".stripMargin,
     "q_median_ci" ->
       """WITH v AS (
         | SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders

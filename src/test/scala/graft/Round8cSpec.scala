@@ -98,6 +98,33 @@ class Round8cSpec extends SparkSpec {
     assert(lo == vals((lR - 1).toInt) && hi == vals((uR - 1).toInt))
   }
 
+  test("ratio CI: brackets the point estimate; ratio matches exact sums") {
+    val r = graft.operators.Analytics.queries("q_ratio_ci")(spark, sfDir).head()
+    val (ratio, lo, hi) = (r.getAs[Double]("ratio"),
+      r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+    assert(lo < ratio && ratio < hi)
+    assert(r.getAs[Double]("se") > 0)
+    val ev = Tables.events(spark, sfDir).filter(col("value").isNotNull)
+    val sx = ev.agg(sum((col("value")
+      .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+      .cast("long"))).head().getLong(0)
+    val sy = ev.count()
+    assert(math.abs(ratio - sx.toDouble / sy / 100.0) < 1e-6)
+  }
+
+  test("srm: balanced md5 split does not trip; a rigged split does") {
+    val r = graft.operators.Analytics.queries("q_srm_check")(spark, sfDir).head()
+    assert(r.getAs[Long]("na") + r.getAs[Long]("nb") ==
+      Tables.events(spark, sfDir).select("user_id").distinct().count())
+    // the md5 assignment is fair by construction — chi2 should be small
+    assert(!r.getAs[Boolean]("srm_detected"),
+      s"fair split flagged: chi2=${r.getAs[Double]("chi2")}")
+    // sanity of the statistic itself: a 60/40 split of 1000 must trip
+    val e = 500.0
+    val chi2Rigged = (600 - e) * (600 - e) / e + (400 - e) * (400 - e) / e
+    assert(chi2Rigged > 3.841459)
+  }
+
   test("mm budget: ledger is consistent with the patch plan and text tokens") {
     val b = Multimodal.queries("q_mm_budget")(spark, sfDir).collect()
     val plan = Multimodal.queries("q_mm_patch_plan")(spark, sfDir)
