@@ -1722,6 +1722,30 @@ object Analytics {
           round((r + lit(1.959964) * se) / 100.0, 6).as("ci_hi"))
     },
 
+    // QUANTILE TREATMENT EFFECTS — effects beyond the mean: the per-arm
+    // exact p25/p50/p75 (the distributed X4 percentile engine, grouped
+    // by the md5 arm assignment) and their differences. A treatment that
+    // moves the tail but not the median (or vice versa) is invisible to
+    // q_ab_test's mean difference; QTE is the standard readout for it.
+    "q_qte" -> { (s, d) =>
+      val bucket = conv(substring(md5(col("user_id").cast("string")), 1, 4),
+        16, 10).cast("long") % 2
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(when(bucket === 0, "a").otherwise("b").as("arm"), col("value"))
+      val g = groupedExactPercentiles(ev, "arm", "value",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
+      val a = g.filter(col("arm") === "a")
+        .select(col("p25").as("a25"), col("p50").as("a50"), col("p75").as("a75"))
+      val b = g.filter(col("arm") === "b")
+        .select(col("p25").as("b25"), col("p50").as("b50"), col("p75").as("b75"))
+      a.crossJoin(broadcast(b))
+        .selectExpr("stack(3, 'p25', a25, b25, 'p50', a50, b50, " +
+          "'p75', a75, b75) as (quantile, q_a, q_b)")
+        .select(col("quantile"), col("q_a"), col("q_b"),
+          round(col("q_b") - col("q_a"), 6).as("qte"))
+        .orderBy("quantile")
+    },
+
     // SAMPLE-RATIO MISMATCH guardrail (the first trust check of every
     // experiment readout): md5-split users 50/50 (the q_ab_test
     // assignment), then χ² with 1 dof against the expected split —
@@ -2646,6 +2670,24 @@ object Analytics {
         | round((r - 1.959964 * se) / 100.0, 6) AS ci_lo,
         | round((r + 1.959964 * se) / 100.0, 6) AS ci_hi
         |FROM t""".stripMargin,
+    "q_qte" ->
+      """WITH e AS (
+        | SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+        |    1, 4)) AS BIGINT) % 2 = 0 THEN 'a' ELSE 'b' END AS arm, value
+        | FROM events WHERE value IS NOT NULL),
+        |g AS (
+        | SELECT arm, quantile_cont(value, 0.25) AS p25,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.75) AS p75
+        | FROM e GROUP BY 1),
+        |a AS (SELECT * FROM g WHERE arm = 'a'),
+        |b AS (SELECT * FROM g WHERE arm = 'b'),
+        |q AS (
+        | SELECT 'p25' AS quantile, a.p25 AS q_a, b.p25 AS q_b FROM a, b
+        | UNION ALL SELECT 'p50', a.p50, b.p50 FROM a, b
+        | UNION ALL SELECT 'p75', a.p75, b.p75 FROM a, b)
+        |SELECT quantile, q_a, q_b, round(q_b - q_a, 6) AS qte
+        |FROM q ORDER BY quantile""".stripMargin,
     "q_srm_check" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),
         |arms AS (
