@@ -1722,6 +1722,43 @@ object Analytics {
           round((r + lit(1.959964) * se) / 100.0, 6).as("ci_hi"))
     },
 
+    // POWER CURVE — q_mde's scalar generalized to the planning table:
+    // the minimum detectable effect at n/4, n/2, n, 2n and 4n per-arm
+    // sample sizes (same alpha .05 / power .8 constant, same exact
+    // moments, one scan) — the "how long must this experiment run"
+    // readout. The n-multiples explode from a 5-element literal array,
+    // so the cost over q_mde is five map-side rows.
+    "q_power_curve" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+        .select((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"))
+      def dec(c: Column) = c.cast(DecimalType(38, 0))
+      val m = o.agg(count(lit(1)).as("n"), sum(dec(col("cents"))).as("sx"),
+        sum(dec(col("cents")) * dec(col("cents"))).as("sxx"))
+      val vx = (dec(col("n")) * col("sxx") - col("sx") * col("sx"))
+        .cast("double")
+      val n2 = col("n").cast("double") * col("n").cast("double")
+      val variance = vx / n2 / 10000.0
+      val mean = col("sx").cast("double") / col("n").cast("double") / 100.0
+      val nArm = expr("(n div 2) * mult_num div mult_den")
+      val mde = lit(2.801585) *
+        sqrt(lit(2.0) * variance / nArm.cast("double"))
+      m.select(col("n"), col("sx"), col("sxx"),
+          explode(array(
+            struct(lit("0.25x").as("scale"), lit(1L).as("mult_num"), lit(4L).as("mult_den")),
+            struct(lit("0.5x").as("scale"), lit(1L).as("mult_num"), lit(2L).as("mult_den")),
+            struct(lit("1x").as("scale"), lit(1L).as("mult_num"), lit(1L).as("mult_den")),
+            struct(lit("2x").as("scale"), lit(2L).as("mult_num"), lit(1L).as("mult_den")),
+            struct(lit("4x").as("scale"), lit(4L).as("mult_num"), lit(1L).as("mult_den")))).as("s"))
+        .select(col("n"), col("sx"), col("sxx"),
+          col("s.scale").as("scale"), col("s.mult_num").as("mult_num"),
+          col("s.mult_den").as("mult_den"))
+        .select(col("scale"), nArm.as("n_per_arm"),
+          round(mde, 6).as("mde_abs"),
+          round(mde / mean * 100.0, 6).as("mde_rel_pct"))
+        .orderBy("scale")
+    },
+
     // QUANTILE TREATMENT EFFECTS — effects beyond the mean: the per-arm
     // exact p25/p50/p75 (the distributed X4 percentile engine, grouped
     // by the md5 arm assignment) and their differences. A treatment that
@@ -2670,6 +2707,32 @@ object Analytics {
         | round((r - 1.959964 * se) / 100.0, 6) AS ci_lo,
         | round((r + 1.959964 * se) / 100.0, 6) AS ci_hi
         |FROM t""".stripMargin,
+    "q_power_curve" ->
+      """WITH o AS (
+        | SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |  AS cents FROM orders),
+        |m AS (
+        | SELECT CAST(count(*) AS HUGEINT) AS n,
+        |  CAST(sum(cents) AS HUGEINT) AS sx,
+        |  sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS sxx
+        | FROM o),
+        |s AS (
+        | SELECT * FROM (VALUES ('0.25x', 1, 4), ('0.5x', 1, 2),
+        |  ('1x', 1, 1), ('2x', 2, 1), ('4x', 4, 1))
+        |  AS t(scale, mult_num, mult_den)),
+        |x AS (
+        | SELECT scale,
+        |  (CAST(n AS BIGINT) // 2) * mult_num // mult_den AS n_per_arm,
+        |  CAST(n * sxx - sx * sx AS DOUBLE)
+        |   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 10000.0 AS variance,
+        |  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean
+        | FROM m, s)
+        |SELECT scale, n_per_arm,
+        | round(2.801585 * sqrt(2.0 * variance / CAST(n_per_arm AS DOUBLE)), 6)
+        |  AS mde_abs,
+        | round(2.801585 * sqrt(2.0 * variance / CAST(n_per_arm AS DOUBLE))
+        |  / mean * 100.0, 6) AS mde_rel_pct
+        |FROM x ORDER BY scale""".stripMargin,
     "q_qte" ->
       """WITH e AS (
         | SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
