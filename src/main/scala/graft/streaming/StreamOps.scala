@@ -352,6 +352,35 @@ object StreamOps {
           .na.fill(0L, Seq("cr", "cc")))
     }},
 
+    // LIVE SRM MONITOR — q_srm_check as a stream: per-arm DISTINCT-user
+    // counts maintained as streaming state (complete-mode two-level
+    // aggregate: dropDuplicates on (arm, user) then a 2-key count — state
+    // is user-cardinality keys, the same class as q_stream_hll_users'
+    // exact twin), χ² computed on each snapshot. Experiment platforms run
+    // exactly this against the live assignment feed so a broken
+    // randomizer pages within minutes, not at readout. Gate: stream ≡
+    // batch on the bounded source (same oracle as q_srm_check).
+    "q_stream_srm" -> { (s, d) => withStatePartitions(s, 8) {
+      cleanCheckpoint("stream_srm")
+      val bucket = conv(substring(md5(col("user_id").cast("string")), 1, 4),
+        16, 10).cast("long") % 2
+      val agg = eventsStream(s, d)
+        .select(col("user_id"),
+          when(bucket === 0, "a").otherwise("b").as("arm"))
+        .dropDuplicates("arm", "user_id")
+        .groupBy("arm").agg(count(lit(1)).as("cnt"))
+      val c = runToSnapshot(agg, "stream_srm")
+      val w = c.agg(
+        coalesce(sum(when(col("arm") === "a", col("cnt"))), lit(0L)).as("na"),
+        coalesce(sum(when(col("arm") === "b", col("cnt"))), lit(0L)).as("nb"))
+      val nD = (col("na") + col("nb")).cast("double")
+      val e = nD / 2.0
+      val chi2 = (col("na").cast("double") - e) * (col("na").cast("double") - e) / e +
+        (col("nb").cast("double") - e) * (col("nb").cast("double") - e) / e
+      w.select(col("na"), col("nb"), round(chi2, 6).as("chi2"),
+        (chi2 > 3.841459).as("srm_detected"))
+    }},
+
     // K7 as a stream: the crossings topic in complete mode — equals the
     // batch aggregate (same oracle as q_k7_crossings_vs_lesions).
     "q_stream_crossings" -> { (s, d) => withStatePartitions(s, 8) {
@@ -1097,6 +1126,8 @@ object StreamOps {
   def oracles: Map[String, String] = Map(
     // stream ≡ batch on the bounded source: the batch PSI twin verbatim
     "q_stream_psi" -> graft.operators.Evolution.oracles("q_psi_drift"),
+    // stream ≡ batch: the batch SRM twin verbatim
+    "q_stream_srm" -> graft.operators.Analytics.oracles("q_srm_check"),
     "q_stream_hourly" ->
       "SELECT CAST(hour(ts) AS INTEGER) AS h, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
     "q_stream_windowed" ->
