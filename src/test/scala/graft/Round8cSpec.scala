@@ -125,6 +125,39 @@ class Round8cSpec extends SparkSpec {
     assert(chi2Rigged > 3.841459)
   }
 
+  test("qte: arm quantiles match per-arm grouped percentiles; qte = q_b - q_a") {
+    val rows = graft.operators.Analytics.queries("q_qte")(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("p25", "p50", "p75"))
+    rows.foreach { r =>
+      val (qa, qb, qte) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(math.abs(qte - BigDecimal(qb - qa).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+  }
+
+  test("power curve: MDE shrinks as 1/sqrt(n); 4x sample halves the 1x MDE") {
+    val rows = graft.operators.Analytics.queries("q_power_curve")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("mde_abs")).toMap
+    // ordering: more samples → smaller detectable effect
+    assert(rows("0.25x") > rows("0.5x") && rows("0.5x") > rows("1x") &&
+      rows("1x") > rows("2x") && rows("2x") > rows("4x"))
+    // the sqrt law: quadrupling n halves the MDE (integer-floor slack)
+    assert(math.abs(rows("4x") - rows("1x") / 2.0) < rows("1x") * 0.01)
+  }
+
+  test("median CI width shrinks with n (order-statistic ranks tighten)") {
+    import spark.implicits._
+    def ci(n: Int): Double = {
+      // derive from the operator's own arithmetic on a uniform ladder
+      val z = 1.959964
+      val lR = math.max(math.floor((n - z * math.sqrt(n.toDouble)) / 2.0), 1)
+      val uR = math.min(math.ceil(1.0 + (n + z * math.sqrt(n.toDouble)) / 2.0), n)
+      (uR - lR) / n.toDouble // relative rank width
+    }
+    assert(ci(10000) < ci(1000) && ci(1000) < ci(100))
+  }
+
   test("mm budget: ledger is consistent with the patch plan and text tokens") {
     val b = Multimodal.queries("q_mm_budget")(spark, sfDir).collect()
     val plan = Multimodal.queries("q_mm_patch_plan")(spark, sfDir)
