@@ -520,6 +520,37 @@ object TextAnalysis {
           round(qualityScore(col("text")), 2).as("quality"))
         .orderBy("doc_id")
     },
+    // QUALITY-THRESHOLD SWEEP — the knob-tuning table behind every
+    // quality filter: at each candidate threshold, the docs and tokens
+    // that survive (as counts and ppm). One corpus scan collapses to the
+    // score-histogram frame (≤ ~12 distinct weighted-sum scores);
+    // everything after — the threshold explode, cumulative keeps, totals
+    // — runs on that dictionary-class frame. Choosing a cut means
+    // trading corpus mass for quality; this emits the whole trade-off,
+    // not one point.
+    "q_quality_sweep" -> { (s, d) =>
+      val thr = Seq(0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
+      val g = Tables.documents(s, d)
+        .select(round(qualityScore(col("text")), 2).as("q"),
+          tokenCount(col("text")).cast("long").as("tok"))
+        .groupBy("q")
+        .agg(count(lit(1)).as("nd"), sum(col("tok")).as("nt"))
+      val tot = g.agg(sum(col("nd")).as("td"), sum(col("nt")).as("tt"))
+      val sweep = g
+        .select(explode(array(thr.map(lit): _*)).as("threshold"),
+          col("q"), col("nd"), col("nt"))
+        .filter(col("q") >= col("threshold"))
+        .groupBy("threshold")
+        .agg(sum(col("nd")).as("docs_kept"), sum(col("nt")).as("tokens_kept"))
+      tot.select(explode(array(thr.map(lit): _*)).as("threshold"),
+          col("td"), col("tt"))
+        .join(sweep, Seq("threshold"), "left")
+        .na.fill(0L, Seq("docs_kept", "tokens_kept"))
+        .select(col("threshold"), col("docs_kept"), col("tokens_kept"),
+          expr("docs_kept * 1000000 div td").as("docs_ppm"),
+          expr("tokens_kept * 1000000 div tt").as("tokens_ppm"))
+        .orderBy("threshold")
+    },
     "q_text_langid" -> { (s, d) =>
       Tables.documents(s, d).select(
           col("doc_id"), col("lang"),
@@ -1094,6 +1125,27 @@ object TextAnalysis {
            |FROM documents ORDER BY doc_id""".stripMargin,
       "q_text_quality" ->
         s"SELECT doc_id, round($quality, 2) AS quality FROM documents ORDER BY doc_id",
+      "q_quality_sweep" ->
+        s"""WITH sc AS (
+           | SELECT round($quality, 2) AS q,
+           |  CAST(len(${tokensSql("text")}) AS BIGINT) AS tok
+           | FROM documents),
+           |g AS (
+           | SELECT q, CAST(count(*) AS BIGINT) AS nd,
+           |  CAST(sum(tok) AS BIGINT) AS nt
+           | FROM sc GROUP BY 1),
+           |t AS (SELECT CAST(sum(nd) AS BIGINT) AS td,
+           |      CAST(sum(nt) AS BIGINT) AS tt FROM g),
+           |s AS (SELECT unnest([0.0, 0.2, 0.4, 0.6, 0.8, 1.0]) AS threshold),
+           |k AS (
+           | SELECT s.threshold,
+           |  CAST(COALESCE(sum(g.nd), 0) AS BIGINT) AS docs_kept,
+           |  CAST(COALESCE(sum(g.nt), 0) AS BIGINT) AS tokens_kept
+           | FROM s LEFT JOIN g ON g.q >= s.threshold GROUP BY 1)
+           |SELECT threshold, docs_kept, tokens_kept,
+           | docs_kept * 1000000 // td AS docs_ppm,
+           | tokens_kept * 1000000 // tt AS tokens_ppm
+           |FROM k, t ORDER BY threshold""".stripMargin,
       "q_text_langid" ->
         s"""SELECT doc_id, lang,
            | CASE WHEN $maxScore = 0 THEN 'und' $langCase END AS lang_pred
