@@ -1249,6 +1249,29 @@ object Dedup {
       incrementalDedup(l2, s.read.parquet(storePath), hasher = Md5Hash)
         .orderBy("doc_id")
     },
+    // DEDUP-THRESHOLD SWEEP — the q_quality_sweep counterpart for the
+    // near-dup knob: verified pairs surviving each candidate Jaccard
+    // cut (0.5–0.9), from ONE detector run (the sweep explodes over the
+    // verified PAIR frame, which banding already bounded — never a
+    // re-run per threshold). Raising the cut trades recall for
+    // precision; this emits the whole curve so the banding config
+    // (S-curve steep point) can be chosen against it.
+    "q_dedup_sweep" -> { (s, d) =>
+      val thr = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+      val pairs = minhashNearDups(plantedCorpus(Tables.documents(s, d)),
+        "doc_id", "text", hasher = Md5Hash)
+      val sw = pairs
+        .select(explode(array(thr.map(lit): _*)).as("threshold"),
+          col("jaccard"))
+        .filter(col("jaccard") >= col("threshold"))
+        .groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+      pairs.agg(count(lit(1)).as("tot"))
+        .select(explode(array(thr.map(lit): _*)).as("threshold"))
+        .join(sw, Seq("threshold"), "left")
+        .na.fill(0L, Seq("n_pairs"))
+        .orderBy("threshold")
+    },
+
     // The tier-stack deliverable on the NATURAL corpus (no planting):
     // total + marginal pairs per tier, exact tiers counted not
     // materialized.
@@ -1823,6 +1846,30 @@ object Dedup {
          |      ELSE round(CAST(tp AS DOUBLE) / n_truth, 6) END AS rec
          |FROM m, np, nt""".stripMargin,
 
+    "q_dedup_sweep" -> {
+      s"""WITH $corpusToksSql,
+         |shs AS (
+         | SELECT id, list_distinct(
+         |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |       ELSE list_transform(range(1, len(toks) - 1),
+         |              i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END) AS shs
+         | FROM toks),
+         |hs AS (SELECT id, list_transform(shs, sh -> ${h64("sh")}) AS hs FROM shs),
+         |${minhashSigSql(16)},
+         |${candidatesSql(16, 2)},
+         |p AS (
+         | SELECT $jaccardSql AS jaccard
+         | FROM candidates c
+         | JOIN hs a ON c.id_a = a.id
+         | JOIN hs b ON c.id_b = b.id
+         | WHERE $jaccardSql >= 0.5),
+         |s AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold)
+         |SELECT s.threshold,
+         | CAST(COALESCE(sum(CASE WHEN p.jaccard >= s.threshold
+         |   THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_pairs
+         |FROM s LEFT JOIN p ON true
+         |GROUP BY 1 ORDER BY threshold""".stripMargin
+    },
     "q_dedup_minhash" -> {
       s"""WITH $corpusToksSql,
          |shs AS (
