@@ -158,6 +158,28 @@ class Round8cSpec extends SparkSpec {
     assert(ci(10000) < ci(1000) && ci(1000) < ci(100))
   }
 
+  test("quality sweep: monotone nonincreasing; threshold 0 keeps everything") {
+    val rows = graft.operators.TextAnalysis.queries("q_quality_sweep")(spark, sfDir)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val all = Tables.documents(spark, sfDir).count()
+    assert(rows.head._1 == 0.0 && rows.head._2 == all)
+    rows.sliding(2).foreach { case Array((_, d1, t1), (_, d2, t2)) =>
+      assert(d2 <= d1 && t2 <= t1, "keeps must shrink as the cut rises")
+    }
+    assert(rows.last._2 < all, "the 1.0 cut must actually drop documents")
+  }
+
+  test("dedup sweep: pair counts shrink with the cut; 0.5 equals the detector") {
+    val rows = graft.operators.Dedup.queries("q_dedup_sweep")(spark, sfDir)
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
+    val det = graft.operators.Dedup.queries("q_dedup_minhash")(spark, sfDir)
+      .count()
+    assert(rows.head == ((0.5, det)))
+    rows.sliding(2).foreach { case Array((_, a), (_, b)) => assert(b <= a) }
+    assert(rows.last._2 > 0, "exact planted copies keep the 0.9 cut non-empty")
+  }
+
   test("mm budget: ledger is consistent with the patch plan and text tokens") {
     val b = Multimodal.queries("q_mm_budget")(spark, sfDir).collect()
     val plan = Multimodal.queries("q_mm_patch_plan")(spark, sfDir)
