@@ -262,10 +262,59 @@ object Curation {
       .orderBy("source")
   }
 
+  /** The composed curation pipeline (see q_curation_funnel's comment):
+    * blocklist → quality cut → exact dedup → per-source cap, each stage
+    * consuming the previous stage's survivors; one (stage, docs) row per
+    * stage. `capK` is parameterized so tests can plant a corpus that
+    * exercises every stage's shrink.
+    */
+  def curationFunnel(docs: DataFrame, qualityCut: Double = 0.4,
+                     capK: Int = 100): DataFrame = {
+    import graft.CacheScope.TrackedDataset
+    val blockedArr = array(Seq("slow", "dup", "broken").map(lit): _*)
+    val s0 = docs
+      .select(col("doc_id"), col("source"), col("n_chars"), col("text"))
+      .persistTracked()
+    val s1 = s0.filter(size(filter(
+      TextAnalysis.tokens(lower(col("text"))),
+      t => array_contains(blockedArr, t))) === 0).persistTracked()
+    val s2 = s1.filter(round(TextAnalysis.qualityScore(col("text")), 2)
+      >= qualityCut).persistTracked()
+    val keep = s2.groupBy(TextAnalysis.fingerprint(col("text")).as("efp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val s3 = s2.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
+      .persistTracked()
+    val s4 = graft.plans.TopKPerKey.topKPerKey(
+      s3.select("doc_id", "source", "n_chars"),
+      keys = Seq("source"),
+      order = Seq(("n_chars", false), ("doc_id", true)), k = capK)
+    def stage(ord: Int, name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("docs"))
+        .select(lit(ord).as("stage_order"), lit(name).as("stage"),
+          col("docs"))
+    stage(1, "raw", s0)
+      .unionByName(stage(2, "blocklist", s1))
+      .unionByName(stage(3, "quality", s2))
+      .unionByName(stage(4, "exact_dedup", s3))
+      .unionByName(stage(5, "source_cap", s4))
+      .orderBy("stage_order")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The per-source datasheet row (volume, shape, language, dup rate).
     "q_data_card" -> { (s, d) => dataCard(Tables.documents(s, d)) },
 
+    // END-TO-END CURATION FUNNEL — the composed pipeline run: blocklist
+    // strict keep → quality cut (≥ 0.4) → exact dedup (min-id keeper)
+    // → per-source cap (100 best-by-length). One row per stage with the
+    // surviving doc count — the release-notes funnel every curated
+    // corpus publishes, and the gate that the stages actually COMPOSE
+    // (each stage consumes the previous stage's survivors, not the raw
+    // table). Stage frames persist once; counts are scalar aggregates;
+    // the cap runs on the native TopKPerKey exec.
+    "q_curation_funnel" -> { (s, d) =>
+      curationFunnel(Tables.documents(s, d))
+    },
     // SKYLINE (Pareto frontier) DOC SELECTION (Börzsönyi et al. 2001 —
     // the classic DB operator Spark has no built-in for): the documents
     // not dominated in (token count ↑, distinct-token ratio ↑) — "no
@@ -527,6 +576,38 @@ object Curation {
          | SELECT 1 FROM d e WHERE e.a >= d.a AND e.b >= d.b
          |  AND (e.a > d.a OR e.b > d.b))
          |ORDER BY doc_id""".stripMargin,
+    "q_curation_funnel" ->
+      s"""WITH s0 AS (SELECT doc_id, source, n_chars, text FROM documents),
+         |s1 AS (
+         | SELECT * FROM s0
+         | WHERE len(list_filter(
+         |   list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''),
+         |   t -> t IN ('slow', 'dup', 'broken'))) = 0),
+         |s2 AS (SELECT * FROM s1
+         |       WHERE round(${TextAnalysis.qualitySql}, 2) >= 0.4),
+         |keep AS (
+         | SELECT min(doc_id) AS doc_id FROM (
+         |  SELECT doc_id,
+         |   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS efp
+         |  FROM s2) GROUP BY efp),
+         |s3 AS (SELECT s2.* FROM s2
+         |       WHERE doc_id IN (SELECT doc_id FROM keep)),
+         |s4 AS (
+         | SELECT doc_id FROM (
+         |  SELECT doc_id, row_number() OVER (PARTITION BY source
+         |    ORDER BY n_chars DESC, doc_id) AS rn
+         |  FROM s3) WHERE rn <= 100)
+         |SELECT 1 AS stage_order, 'raw' AS stage,
+         | CAST((SELECT count(*) FROM s0) AS BIGINT) AS docs
+         |UNION ALL SELECT 2, 'blocklist',
+         | CAST((SELECT count(*) FROM s1) AS BIGINT)
+         |UNION ALL SELECT 3, 'quality',
+         | CAST((SELECT count(*) FROM s2) AS BIGINT)
+         |UNION ALL SELECT 4, 'exact_dedup',
+         | CAST((SELECT count(*) FROM s3) AS BIGINT)
+         |UNION ALL SELECT 5, 'source_cap',
+         | CAST((SELECT count(*) FROM s4) AS BIGINT)
+         |ORDER BY stage_order""".stripMargin,
     "q_negative_sample" ->
       """WITH a AS (
         | SELECT doc_id AS qid, source AS qsrc FROM documents

@@ -985,6 +985,23 @@ object TextAnalysis {
     s"len(list_filter(${tokensSql(c)}, t -> list_contains($lst, t)))"
   }
 
+  /** DuckDB twin of [[qualityScore]] — shared with Curation's funnel
+    * oracle (single source of truth for the score formula in SQL).
+    */
+  private[operators] lazy val qualitySql: String = {
+    val nTok = s"len(${tokensSql("text")})"
+    val stopRatio =
+      s"CASE WHEN $nTok=0 THEN 0.0 ELSE CAST(${hitsSql("text", enStopwords)} AS DOUBLE)/CAST($nTok AS DOUBLE) END"
+    val punctRatio =
+      s"CASE WHEN length(text)=0 THEN 0.0 ELSE CAST(length(text)-length(regexp_replace(text,'$punctClass','','g')) AS DOUBLE)/CAST(length(text) AS DOUBLE) END"
+    val meanTok =
+      s"CASE WHEN $nTok=0 THEN 0.0 ELSE CAST(list_sum(list_transform(${tokensSql("text")}, t -> length(t))) AS DOUBLE)/CAST($nTok AS DOUBLE) END"
+    s"""(CASE WHEN length(text) BETWEEN 20 AND 20000 THEN 1.0 ELSE 0.0 END * 0.3
+       | + CASE WHEN $stopRatio > 0.01 THEN 1.0 ELSE 0.0 END * 0.3
+       | + CASE WHEN $punctRatio < 0.2 THEN 1.0 ELSE 0.0 END * 0.2
+       | + CASE WHEN $meanTok BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END * 0.2)""".stripMargin
+  }
+
   def oracles: Map[String, String] = {
     val nTok = s"len(${tokensSql("text")})"
     val stopRatio =
@@ -993,11 +1010,7 @@ object TextAnalysis {
       s"CASE WHEN length(text)=0 THEN 0.0 ELSE CAST(length(text)-length(regexp_replace(text,'$punctClass','','g')) AS DOUBLE)/CAST(length(text) AS DOUBLE) END"
     val meanTok =
       s"CASE WHEN $nTok=0 THEN 0.0 ELSE CAST(list_sum(list_transform(${tokensSql("text")}, t -> length(t))) AS DOUBLE)/CAST($nTok AS DOUBLE) END"
-    val quality =
-      s"""(CASE WHEN length(text) BETWEEN 20 AND 20000 THEN 1.0 ELSE 0.0 END * 0.3
-         | + CASE WHEN $stopRatio > 0.01 THEN 1.0 ELSE 0.0 END * 0.3
-         | + CASE WHEN $punctRatio < 0.2 THEN 1.0 ELSE 0.0 END * 0.2
-         | + CASE WHEN $meanTok BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END * 0.2)""".stripMargin
+    val quality = qualitySql
     val langScores = langStopwords.map { case (l, ws) => l -> hitsSql("text", ws) }
     val maxScore = langScores.map(_._2).mkString("greatest(", ", ", ")")
     val langCase = langScores

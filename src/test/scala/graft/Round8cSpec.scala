@@ -180,6 +180,28 @@ class Round8cSpec extends SparkSpec {
     assert(rows.last._2 > 0, "exact planted copies keep the 0.9 cut non-empty")
   }
 
+  test("curation funnel: every stage shrinks its planted victim class") {
+    import graft.operators.Curation
+    val good = "the quick brown fox jumps over the lazy dog again and again ok"
+    val docs = Seq(
+      (1L, "s1", good),                    // survives everything
+      (2L, "s1", good + " extra words"),   // survives; s1's 2nd doc
+      (3L, "s1", good + " more words yet"),// survives; capped at k=2
+      (4L, "s1", "slow " + good),          // blocklisted
+      (5L, "s2", "x y"),                   // fails quality (too short)
+      (6L, "s2", good),                    // exact dup of 1? no — same text, min-id keeps 1
+      (7L, "s2", good + " unique tail here")
+    ).toDF("doc_id", "source", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val f = Curation.curationFunnel(docs, qualityCut = 0.4, capK = 2)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(f("raw") == 7)
+    assert(f("blocklist") == 6)   // doc 4 dropped
+    assert(f("quality") == 5)     // doc 5 dropped
+    assert(f("exact_dedup") == 4) // doc 6 collapses into doc 1
+    assert(f("source_cap") == 3)  // s1 capped to its 2 longest
+  }
+
   test("mm budget: ledger is consistent with the patch plan and text tokens") {
     val b = Multimodal.queries("q_mm_budget")(spark, sfDir).collect()
     val plan = Multimodal.queries("q_mm_patch_plan")(spark, sfDir)
