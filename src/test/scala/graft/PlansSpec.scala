@@ -174,6 +174,23 @@ class PlansSpec extends SparkSpec {
     assert(exchanges == Seq("Exchange rangepartitioning"), physical)
   }
 
+  test("round-8 scans prune columns: median CI reads one column, funnel four") {
+    // a scan that reads all columns for a narrow projection is wrong at
+    // 100 TB — pin ReadSchema on the round's new operators
+    def readSchemas(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      "ReadSchema: struct<[^>]*>".r
+        .findAllIn(df.queryExecution.executedPlan.toString).toSeq
+    val med = graft.operators.Analytics.queries("q_median_ci")(spark, sfDir)
+    val medScans = readSchemas(med).filter(_.contains("o_"))
+    assert(medScans.nonEmpty &&
+      medScans.forall(s => s.contains("o_totalprice") && !s.contains("o_orderkey")),
+      medScans.mkString("\n"))
+    val fun = graft.operators.Curation.queries("q_curation_funnel")(spark, sfDir)
+    val funScans = readSchemas(fun).filter(_.contains("doc_id"))
+    assert(funScans.nonEmpty && funScans.forall(!_.contains("lang")),
+      s"funnel must not read unused doc columns:\n${funScans.mkString("\n")}")
+  }
+
   test("GraftExtensions installs the strategy at session boot (deployment path)") {
     val s2 = SparkSpec.session.newSession()
     new graft.functions.GraftExtensions().apply(
