@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tails `sbt "runMain graft.Bench"` stdout and json-parses the
+// one result line. sbt's default LoggedOutput strategy prefixes every
+// forked-process stdout line with "[info] ", which made the line
+// unparseable for five straight rounds (BENCH_r04–r08 `parsed: null`).
+// StdoutOutput passes the child's stdout/stderr through verbatim.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
