@@ -1047,11 +1047,96 @@ object Dedup {
       .filter(col("containment") >= t)
   }
 
+  /** w-token rolling windows per doc: (id, pos, fp) with fp = md5 of the
+    * space-joined token window at 1-based token offset pos. EVERY offset
+    * (stride 1), unlike spanInventory's strided char windows — exactness
+    * is the point: two docs share a ≥ w-token verbatim run iff they share
+    * a window fingerprint. Docs shorter than w tokens have no windows and
+    * are exempt from this tier by definition.
+    */
+  private def substrWindows(docs: DataFrame, idCol: String, textCol: String,
+                            w: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= w)
+    // struct built inside the transform, fields read in a SEPARATE select
+    // (the posexplode/getField analysis quirk — see intKmeansCentroids)
+    toks.select(col("id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - lit(w - 1)),
+          p => struct(p.as("pos"),
+            md5(concat_ws(" ", slice(col("toks"), p, lit(w)))).as("fp")))).as("wn"))
+      .select(col("id"), col("wn.pos").as("pos"), col("wn.fp").as("fp"))
+  }
+
+  /** EXACT-SUBSTRING dedup tier (Lee et al. 2022 "Deduplicating Training
+    * Data Makes Language Models Better", arXiv:2107.06499 — the ExactSubstr
+    * detector): cross-doc VERBATIM token runs of length ≥ w. This is the
+    * memorization/licensing tier no whole-doc detector covers: a 50-token
+    * quote inside two otherwise-unrelated documents moves Jaccard and
+    * containment by ~w/|doc| but is exactly the content a model memorizes.
+    * The paper's suffix array is a single-node construct; the distributed
+    * re-expression is stride-1 rolling-hash windows → group by fingerprint
+    * → keep windows seen in ≥ 2 distinct docs → merge per-doc overlapping
+    * duplicated windows into maximal spans (adjacent-position islands:
+    * pos − row_number over the per-doc ordered window frame). A duplicated
+    * run of L ≥ w tokens yields L − w + 1 consecutive duplicated positions
+    * and merges back to exactly one span of span_tokens = L.
+    *
+    * Scale posture: windows flow as (id, pos, md5) — never text; the
+    * dup-fp set is duplicated-fingerprint cardinality (tiny vs corpus) and
+    * joins back broadcast-shaped under AQE, exactly the spanInventory
+    * pattern. The islands window is PARTITIONED by doc and each doc holds
+    * ≤ |doc| − w + 1 rows — bounded by document length, never corpus size.
+    * Output: one row per maximal duplicated span (doc_id, start_tok,
+    * end_tok, span_tokens).
+    */
+  def exactSubstrSpans(docs: DataFrame, idCol: String, textCol: String,
+                       w: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = substrWindows(docs, idCol, textCol, w)
+    val dup = wins.groupBy("fp")
+      .agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd") >= 2).select("fp")
+    val dw = wins.join(dup, Seq("fp")).select("id", "pos")
+    val wnd = Window.partitionBy("id").orderBy("pos")
+    dw.select(col("id"), col("pos"),
+        (col("pos") - row_number().over(wnd)).as("grp"))
+      .groupBy("id", "grp")
+      .agg(min(col("pos")).as("start_tok"),
+        (max(col("pos")) + lit(w - 1)).as("end_tok"),
+        (max(col("pos")) - min(col("pos")) + lit(w)).as("span_tokens"))
+      .select(col("id").as("doc_id"), col("start_tok"), col("end_tok"),
+        col("span_tokens"))
+  }
+
+  /** Distinct cross-doc pairs sharing ≥ 1 duplicated w-token window — the
+    * pair view of the exact-substring tier, for the tier-stack report.
+    * Fingerprint groups larger than `maxGroup` docs are EXCLUDED from pair
+    * materialization (a license block shared by 10^6 docs would otherwise
+    * yield C(10^6, 2) pairs): the capped-bucket defense q_dedup_minhash_
+    * capped already ships for banding, applied here to window groups. The
+    * documented slack: pairs whose ONLY shared run is cap-crossing
+    * boilerplate are unreported here (their spans still surface in
+    * exactSubstrSpans, which never materializes pairs).
+    */
+  def exactSubstrPairs(docs: DataFrame, idCol: String, textCol: String,
+                       w: Int = 50, maxGroup: Int = 64): DataFrame = {
+    val wins = substrWindows(docs, idCol, textCol, w)
+    val ok = wins.groupBy("fp")
+      .agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd") >= 2 && col("nd") <= maxGroup).select("fp")
+    val dw = wins.join(ok, Seq("fp")).select("id", "fp").distinct()
+    dw.as("a").join(dw.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
   /** TIER-STACK REPORT — the dedup deliverable a corpus release ships:
     * for each tier of the stack (exact → normalized → MinHash-Jaccard →
-    * containment) the total pairs it flags and its MARGINAL pairs (not
-    * already caught by any earlier tier). The marginal column is what
-    * justifies each tier's cost at 100 TB.
+    * containment → exact-substring) the total pairs it flags and its
+    * MARGINAL pairs (not already caught by any earlier tier). The marginal
+    * column is what justifies each tier's cost at 100 TB.
     *
     * Scale posture — count, don't materialize, wherever set algebra
     * allows: the exact and normalized tiers never build a pair list
@@ -1094,6 +1179,19 @@ object Dedup {
         Seq("lo", "hi"), "left_anti")
     val contStats = cont.agg(count(lit(1)).as("t"))
       .crossJoin(broadcast(contNew.agg(count(lit(1)).as("nw"))))
+    // tier 5: exact-substring (w-token verbatim runs) — marginal = pairs
+    // with different normalized fingerprints not already surfaced by the
+    // minhash OR containment pair frames (both anti-joined on (lo, hi))
+    val ss = exactSubstrPairs(docs, idCol, textCol).persistTracked()
+    val contPairs = cont.select(col("lo").as("id_a"), col("hi").as("id_b"))
+      .distinct()
+    val ssNew = ss
+      .join(fpa, Seq("id_a")).join(fpb, Seq("id_b"))
+      .filter(col("nfp_a") =!= col("nfp_b"))
+      .join(mh, Seq("id_a", "id_b"), "left_anti")
+      .join(contPairs, Seq("id_a", "id_b"), "left_anti")
+    val ssStats = ss.agg(count(lit(1)).as("t"))
+      .crossJoin(broadcast(ssNew.agg(count(lit(1)).as("nw"))))
     exact.select(lit(1).as("tier_order"), lit("exact").as("tier"),
         col("c").as("n_pairs"), col("c").as("n_new"))
       .unionByName(exact.crossJoin(norm.select(col("c").as("cn")))
@@ -1104,6 +1202,9 @@ object Dedup {
           col("t").as("n_pairs"), col("nw").as("n_new")))
       .unionByName(contStats
         .select(lit(4).as("tier_order"), lit("containment").as("tier"),
+          col("t").as("n_pairs"), col("nw").as("n_new")))
+      .unionByName(ssStats
+        .select(lit(5).as("tier_order"), lit("exact_substring").as("tier"),
           col("t").as("n_pairs"), col("nw").as("n_new")))
       .orderBy("tier_order")
   }
@@ -1277,6 +1378,27 @@ object Dedup {
     // materialized.
     "q_dedup_tiers" -> { (s, d) =>
       dedupTierReport(Tables.documents(s, d))
+    },
+    // EXACT-SUBSTRING tier on a corpus with planted cross-doc quotes:
+    // every ≥50-token doc among doc_id < 40 is re-published verbatim
+    // inside a wrapper (3-token attribution prefix + 2-token suffix,
+    // id + 4·10^7). Each source/copy pair must merge to exactly ONE
+    // maximal span per side — tokens 1..n in the source, 4..n+3 in the
+    // copy, span_tokens = n on both — proving window→island extension,
+    // not just window matching.
+    "q_dedup_substr" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val quoted = docs
+        .filter(col("doc_id") < 40 &&
+          size(TextAnalysis.tokens(col("text"))) >= 50)
+        .select((col("doc_id") + 40000000L).as("doc_id"),
+          concat(lit("quoted from upstream: "), col("text"),
+            lit(" end quote")).as("text"))
+      val spread = s.sparkContext.defaultParallelism
+      val corpus = docs.select("doc_id", "text").unionByName(quoted)
+        .repartition(spread, col("doc_id"))
+      exactSubstrSpans(corpus, "doc_id", "text", w = 50)
+        .orderBy("doc_id", "start_tok")
     },
     // MinHash+LSH near-dups on the planted corpus: must recover all 20
     // planted pairs (high-Jaccard mutations). The gated queries run the
@@ -1557,6 +1679,35 @@ object Dedup {
         |SELECT s.doc_id, count(*) AS n_spans, count(dup.fp) AS n_dup_spans
         |FROM s LEFT JOIN dup ON s.fp = dup.fp
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // ExactSubstr twin: stride-1 50-token rolling windows, md5 over the
+    // space-joined window, cross-doc dup fps, per-doc island merge
+    "q_dedup_substr" ->
+      """WITH corpus AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 40000000 AS doc_id,
+        |  'quoted from upstream: ' || text || ' end quote' AS text
+        | FROM documents
+        | WHERE doc_id < 40 AND len(list_filter(
+        |   string_split_regex(text, '\s+'), t -> t <> '')) >= 50),
+        |toks AS (
+        | SELECT doc_id AS id,
+        |  list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+        | FROM corpus),
+        |wins AS (
+        | SELECT id, CAST(t.i AS INTEGER) AS pos,
+        |  md5(array_to_string(list_slice(toks, CAST(t.i AS INTEGER),
+        |    CAST(t.i + 49 AS INTEGER)), ' ')) AS fp
+        | FROM toks, unnest(range(1, len(toks) - 48)) AS t(i)
+        | WHERE len(toks) >= 50),
+        |dup AS (SELECT fp FROM wins GROUP BY fp HAVING count(DISTINCT id) >= 2),
+        |dw AS (SELECT w.id, w.pos FROM wins w JOIN dup USING (fp)),
+        |isl AS (SELECT id, pos,
+        |  pos - row_number() OVER (PARTITION BY id ORDER BY pos) AS grp
+        | FROM dw)
+        |SELECT id AS doc_id, min(pos) AS start_tok,
+        | max(pos) + 49 AS end_tok, max(pos) - min(pos) + 50 AS span_tokens
+        |FROM isl GROUP BY id, grp ORDER BY doc_id, start_tok""".stripMargin,
     "q_dedup_exact" ->
       """WITH corpus AS (
         | SELECT doc_id, text FROM documents
@@ -1759,7 +1910,28 @@ object Dedup {
          |        AND m.id_b = greatest(cp.id_a, cp.id_b))
          |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS nw
          | FROM cpairs cp JOIN fps fa ON cp.id_a = fa.id
-         | JOIN fps fb ON cp.id_b = fb.id)
+         | JOIN fps fb ON cp.id_b = fb.id),
+         |swins AS (
+         | SELECT id, md5(array_to_string(list_slice(toks,
+         |    CAST(t.i AS INTEGER), CAST(t.i + 49 AS INTEGER)), ' ')) AS fp
+         | FROM toks, unnest(range(1, len(toks) - 48)) AS t(i)
+         | WHERE len(toks) >= 50),
+         |sok AS (SELECT fp FROM swins GROUP BY fp
+         |        HAVING count(DISTINCT id) BETWEEN 2 AND 64),
+         |sdw AS (SELECT DISTINCT s.id, s.fp FROM swins s JOIN sok USING (fp)),
+         |spairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |           FROM sdw a JOIN sdw b ON a.fp = b.fp AND a.id < b.id),
+         |ss_stats AS (
+         | SELECT CAST(count(*) AS BIGINT) AS t,
+         |  CAST(COALESCE(sum(CASE WHEN fa.nfp <> fb.nfp
+         |    AND NOT EXISTS (SELECT 1 FROM mhp m
+         |      WHERE m.id_a = sp.id_a AND m.id_b = sp.id_b)
+         |    AND NOT EXISTS (SELECT 1 FROM cpairs c2
+         |      WHERE least(c2.id_a, c2.id_b) = sp.id_a
+         |        AND greatest(c2.id_a, c2.id_b) = sp.id_b)
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS nw
+         | FROM spairs sp JOIN fps fa ON sp.id_a = fa.id
+         | JOIN fps fb ON sp.id_b = fb.id)
          |SELECT 1 AS tier_order, 'exact' AS tier, c AS n_pairs, c AS n_new
          |FROM exg
          |UNION ALL
@@ -1768,6 +1940,8 @@ object Dedup {
          |SELECT 3, 'minhash_jaccard', t, nw FROM mh_stats
          |UNION ALL
          |SELECT 4, 'containment', t, nw FROM cont_stats
+         |UNION ALL
+         |SELECT 5, 'exact_substring', t, nw FROM ss_stats
          |ORDER BY tier_order""".stripMargin,
 
     // asymmetric twin: A-prefix against FULL postings, exact containment

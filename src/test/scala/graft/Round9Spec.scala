@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-9 operator behavior on PLANTED data (the natural corpus is too
+  * clean to exercise these paths — the r8 lesson).
+  */
+class Round9Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def doc(tokens: Seq[String]): String = tokens.mkString(" ")
+
+  test("exactSubstrSpans merges overlapping dup windows into ONE maximal span") {
+    // B embeds A's tokens 6..45 (a 40-token verbatim run) between unique
+    // wrappers; w=10 → 31 duplicated window positions per side that must
+    // merge to exactly one island each, span_tokens = 40.
+    val aToks = (1 to 60).map(i => s"a$i")
+    val shared = aToks.slice(5, 45) // tokens 6..45 of A
+    val bToks = (1 to 5).map(i => s"x$i") ++ shared ++ (1 to 5).map(i => s"y$i")
+    val cToks = (1 to 60).map(i => s"c$i")
+    val docs = Seq((1L, doc(aToks)), (2L, doc(bToks)), (3L, doc(cToks)))
+      .toDF("doc_id", "text")
+    val spans = operators.Dedup.exactSubstrSpans(docs, "doc_id", "text", w = 10)
+      .orderBy("doc_id").collect()
+    assert(spans.length === 2) // one span per involved doc, none for C
+    val byId = spans.map(r => r.getLong(0) ->
+      (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(byId(1L) === ((6, 45, 40)))  // A: tokens 6..45
+    assert(byId(2L) === ((6, 45, 40)))  // B: 5 wrapper tokens then the run
+  }
+
+  test("exactSubstrSpans finds nothing when the shared run is shorter than w") {
+    val shared = (1 to 9).map(i => s"s$i") // 9 < w=10
+    val docs = Seq(
+      (1L, doc((1 to 20).map(i => s"a$i") ++ shared)),
+      (2L, doc((1 to 20).map(i => s"b$i") ++ shared))).toDF("doc_id", "text")
+    assert(operators.Dedup.exactSubstrSpans(docs, "doc_id", "text", w = 10)
+      .count() === 0)
+  }
+
+  test("exactSubstrPairs caps boilerplate window groups; spans survive the cap") {
+    // 10 docs all carry the same 10-token license block: the window group
+    // has 10 members, so with maxGroup=4 NO pairs materialize (C(10,2)=45
+    // suppressed), but the span inventory still reports every doc.
+    val license = (1 to 10).map(i => s"lic$i")
+    val docs = (1L to 10L).map(i =>
+      (i, doc((1 to 20).map(j => s"u${i}_$j") ++ license))).toDF("doc_id", "text")
+    val pairs = operators.Dedup
+      .exactSubstrPairs(docs, "doc_id", "text", w = 10, maxGroup = 4)
+    assert(pairs.count() === 0)
+    val uncapped = operators.Dedup
+      .exactSubstrPairs(docs, "doc_id", "text", w = 10, maxGroup = 64)
+    assert(uncapped.count() === 45)
+    val spans = operators.Dedup.exactSubstrSpans(docs, "doc_id", "text", w = 10)
+    assert(spans.count() === 10)
+    assert(spans.agg(min(col("span_tokens")), max(col("span_tokens")))
+      .collect()(0) .toSeq === Seq(10, 10))
+  }
+}
