@@ -147,6 +147,87 @@ object Sketches {
     "q_approx_median" -> { (s, d) =>
       approxMedian(Tables.lineitem(s, d), "l_extendedprice", 0.01)
     },
+    // MERGEABLE quantile sketch (KLL-class — functions/Kll.scala): the GK
+    // summary behind q_approx_median cannot re-aggregate; this one can.
+    // One sketch over lineitem prices, three quantiles gated via EXACT
+    // rank intervals at the deterministic 2% contract (ε = H/(2k), k=512).
+    // The rank gate is the honest one for a quantile sketch: |true rank of
+    // the estimate − q| ≤ ε, checked against [count(<est), count(≤est)] so
+    // ties can't fail a correct sketch.
+    "q_kll_quantiles" -> { (s, d) =>
+      val kll = udaf(new graft.functions.KllAggregator(512),
+        org.apache.spark.sql.Encoders.scalaDouble)
+      val est = udf((sk: Seq[Seq[Double]], q: Double) =>
+        graft.functions.Kll.quantile(sk, q))
+      val li = Tables.lineitem(s, d)
+        .select(col("l_extendedprice").cast("double").as("x"))
+      val sk = li.agg(kll(col("x")).as("sk"), count(lit(1)).as("n"))
+      val ests = sk.select(col("n"),
+        est(col("sk"), lit(0.1)).as("e10"),
+        est(col("sk"), lit(0.5)).as("e50"),
+        est(col("sk"), lit(0.9)).as("e90"))
+      val ranks = li.crossJoin(broadcast(ests))
+        .groupBy("n", "e10", "e50", "e90")
+        .agg(
+          sum(when(col("x") < col("e10"), 1L).otherwise(0L)).as("lt10"),
+          sum(when(col("x") <= col("e10"), 1L).otherwise(0L)).as("le10"),
+          sum(when(col("x") < col("e50"), 1L).otherwise(0L)).as("lt50"),
+          sum(when(col("x") <= col("e50"), 1L).otherwise(0L)).as("le50"),
+          sum(when(col("x") < col("e90"), 1L).otherwise(0L)).as("lt90"),
+          sum(when(col("x") <= col("e90"), 1L).otherwise(0L)).as("le90"))
+      def tol(q: Double, lt: String, le: String) =
+        (col(lt) <= (lit(q) + 0.02) * col("n")) &&
+          (col(le) >= (lit(q) - 0.02) * col("n"))
+      Analytics.exactPercentiles(li, "x",
+          Seq("exact_p10" -> 0.1, "exact_p50" -> 0.5, "exact_p90" -> 0.9))
+        .crossJoin(broadcast(ranks))
+        .select(col("exact_p10"), col("exact_p50"), col("exact_p90"),
+          tol(0.1, "lt10", "le10").as("within_tol_p10"),
+          tol(0.5, "lt50", "le50").as("within_tol_p50"),
+          tol(0.9, "lt90", "le90").as("within_tol_p90"))
+    },
+    // SKETCH-SPACE quantile ROLLUP — the q_hll_rollup pattern for medians:
+    // per-event-type KLL sketch rows are the ONLY thing the rolled-up
+    // estimate reads (levelwise union + re-compact, no second scan of the
+    // fact for the estimate itself). Gated per group AND rolled-up with
+    // the exact-rank contract; exact medians come from the distributed
+    // exact-percentile frame (never sketch-vs-sketch).
+    "q_kll_rollup" -> { (s, d) =>
+      val kllB = udaf(new graft.functions.KllAggregator(512),
+        org.apache.spark.sql.Encoders.scalaDouble)
+      val kllU = udaf(new graft.functions.KllMergeAggregator(512),
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[Seq[Seq[Double]]]())
+      val est = udf((sk: Seq[Seq[Double]]) =>
+        graft.functions.Kll.quantile(sk, 0.5))
+      val ev = Tables.events(s, d)
+        .select(col("event_type").as("grp"), col("value").cast("double").as("x"))
+      val perGrp = ev.groupBy("grp")
+        .agg(kllB(col("x")).as("sk"), count(lit(1)).as("n"))
+        .persistTracked()
+      val tolc = (col("lt") <= lit(0.52) * col("n")) &&
+        (col("le") >= lit(0.48) * col("n"))
+      val estGrp = perGrp.select(col("grp"), est(col("sk")).as("e"), col("n"))
+      val rankGrp = ev.join(broadcast(estGrp), Seq("grp"))
+        .groupBy("grp", "n", "e")
+        .agg(sum(when(col("x") < col("e"), 1L).otherwise(0L)).as("lt"),
+          sum(when(col("x") <= col("e"), 1L).otherwise(0L)).as("le"))
+      val groups = Analytics
+        .groupedExactPercentiles(ev, "grp", "x", Seq("exact_p50" -> 0.5))
+        .join(rankGrp, Seq("grp"))
+        .select(col("grp"), col("exact_p50"), tolc.as("within_tol"))
+      val estTot = perGrp.agg(kllU(col("sk")).as("sk"))
+        .select(est(col("sk")).as("e"))
+      val rankTot = ev.crossJoin(broadcast(estTot))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("x") < col("e"), 1L).otherwise(0L)).as("lt"),
+          sum(when(col("x") <= col("e"), 1L).otherwise(0L)).as("le"))
+      val total = Analytics.exactPercentiles(ev, "x", Seq("exact_p50" -> 0.5))
+        .crossJoin(broadcast(rankTot))
+        .select(lit("(all)").as("grp"), col("exact_p50"),
+          tolc.as("within_tol"))
+      groups.unionByName(total).orderBy("grp")
+    },
     // The OPTIMIZER-REWRITE path to the same sketch: install
     // ApproxDistinctRewrite (here via experimental.extraOptimizations —
     // the spark.sql.extensions deployment injects it at session boot),
@@ -294,6 +375,23 @@ object Sketches {
       """SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS exact_p50,
         | TRUE AS within_tol
         |FROM lineitem""".stripMargin,
+    "q_kll_quantiles" ->
+      """SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.1) AS exact_p10,
+        | quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS exact_p50,
+        | quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9) AS exact_p90,
+        | TRUE AS within_tol_p10, TRUE AS within_tol_p50,
+        | TRUE AS within_tol_p90
+        |FROM lineitem""".stripMargin,
+    "q_kll_rollup" ->
+      """SELECT event_type AS grp,
+        | quantile_cont(CAST(value AS DOUBLE), 0.5) AS exact_p50,
+        | TRUE AS within_tol
+        |FROM events GROUP BY 1
+        |UNION ALL
+        |SELECT '(all)' AS grp,
+        | quantile_cont(CAST(value AS DOUBLE), 0.5) AS exact_p50,
+        | TRUE AS within_tol
+        |FROM events ORDER BY grp""".stripMargin,
     "q_approx_rewrite" ->
       """SELECT count(DISTINCT o_custkey) AS exact_distinct,
         | TRUE AS within_tol

@@ -38,6 +38,44 @@ class Round9Spec extends SparkSpec {
       .count() === 0)
   }
 
+  test("Kll: rank error within the deterministic H/(2k) bound; weight conserved") {
+    val k = 128
+    val n = 100000
+    // a permuted-but-deterministic insertion order (worst case for a
+    // sorted-stream shortcut; values are exactly 1..n)
+    val vals = (0 until n).map(i => ((i.toLong * 48271) % n).toDouble)
+    val st = vals.foldLeft(graft.functions.Kll.empty)(
+      (s, v) => graft.functions.Kll.insert(s, v, k))
+    val weight = st.zipWithIndex.map { case (b, h) => b.length.toLong << h }.sum
+    assert(weight === n.toLong) // compaction conserves represented mass
+    val h = st.count(_ != null) // levels present
+    val eps = h.toDouble / (2 * k) + 1.0 / k // bound + discretization slack
+    for (q <- Seq(0.01, 0.25, 0.5, 0.75, 0.99)) {
+      val est = graft.functions.Kll.quantile(st, q)
+      val rank = vals.count(_ <= est).toDouble / n
+      assert(math.abs(rank - q) <= eps,
+        s"q=$q est=$est rank=$rank eps=$eps levels=$h")
+    }
+  }
+
+  test("Kll: merging per-shard sketches honors the same rank contract") {
+    val k = 128
+    val n = 80000
+    val vals = (0 until n).map(i => ((i.toLong * 16807) % n).toDouble)
+    val shards = vals.grouped(n / 7 + 1).map(chunk =>
+      chunk.foldLeft(graft.functions.Kll.empty)(
+        (s, v) => graft.functions.Kll.insert(s, v, k))).toSeq
+    val merged = shards.reduce((a, b) => graft.functions.Kll.merge(a, b, k))
+    val weight = merged.zipWithIndex.map { case (b, h) => b.length.toLong << h }.sum
+    assert(weight === n.toLong)
+    val eps = merged.length.toDouble / (2 * k) + 1.0 / k
+    for (q <- Seq(0.1, 0.5, 0.9)) {
+      val est = graft.functions.Kll.quantile(merged, q)
+      val rank = vals.count(_ <= est).toDouble / n
+      assert(math.abs(rank - q) <= eps, s"q=$q rank=$rank eps=$eps")
+    }
+  }
+
   test("exactSubstrPairs caps boilerplate window groups; spans survive the cap") {
     // 10 docs all carry the same 10-token license block: the window group
     // has 10 members, so with maxGroup=4 NO pairs materialize (C(10,2)=45
