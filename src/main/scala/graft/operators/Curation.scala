@@ -487,6 +487,58 @@ object Curation {
         .orderBy("source")
     },
 
+    // OUT-OF-TIME (temporal) SPLIT + measured leakage audit — the holdout
+    // forecast/time-series training needs (q_forecast_backtest consumes
+    // exactly this boundary discipline): train < 80%-of-range, val < 90%,
+    // test after, with boundaries computed in INTEGER seconds (lo + range
+    // * 8 div 10) so both engines derive bit-identical cut points. The
+    // audit follows q_group_split's measure-don't-assume posture, made
+    // non-vacuous by being TWO-PASS: the assignment frame is joined back
+    // to an independent re-read of the fact by event_id and future_leaks
+    // counts train/val rows whose re-read timestamp lands at/after their
+    // split's upper boundary — a timezone/normalization drift between the
+    // assignment job and a consumer job (the classic temporal-split bug)
+    // fails this gate loudly instead of silently training on the future.
+    // users_spanning is reported per split and EXPECTED > 0 here: a
+    // temporal split does not give entity disjointness — that column is
+    // the printed reason q_group_split exists beside it.
+    // Scale posture: bounds is a broadcast scalar row; the audit join is
+    // key-partitioned fact-vs-fact (the one real shuffle, and it IS the
+    // deliverable); user frames are user-cardinality.
+    "q_temporal_split" -> { (s, d) =>
+      val evRaw = Tables.events(s, d)
+      val base = evRaw.select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("sec"))
+      val bounds = base.agg(min(col("sec")).as("lo"), max(col("sec")).as("hi"))
+        .select(expr("lo + (hi - lo) * 8 div 10").as("b1"),
+          expr("lo + (hi - lo) * 9 div 10").as("b2"))
+      val assign = base.crossJoin(broadcast(bounds))
+        .select(col("event_id"), col("user_id"), col("b1"), col("b2"),
+          when(col("sec") < col("b1"), "train")
+            .when(col("sec") < col("b2"), "val")
+            .otherwise("test").as("split"))
+      val audit = evRaw.select(col("event_id"),
+          unix_timestamp(col("ts")).as("sec_audit"))
+        .join(assign, Seq("event_id"))
+      val perSplit = audit.groupBy("split")
+        .agg(count(lit(1)).as("n_events"),
+          coalesce(sum(when(
+            (col("split") === "train" && col("sec_audit") >= col("b1")) ||
+              (col("split") === "val" && col("sec_audit") >= col("b2")), 1L)),
+            lit(0L)).as("future_leaks"))
+      val us = assign.select("user_id", "split").distinct()
+      val perUser = us.groupBy("user_id").agg(count(lit(1)).as("n_splits"))
+      val users = us.join(perUser, Seq("user_id"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_users"),
+          coalesce(sum(when(col("n_splits") > 1, 1L)), lit(0L))
+            .as("users_spanning"))
+      perSplit.join(users, Seq("split"))
+        .select("split", "n_events", "future_leaks", "n_users",
+          "users_spanning")
+        .orderBy("split")
+    },
+
     // GROUP-AWARE SPLIT — the leakage-safe train/val/test split: the
     // unit of assignment is the USER, not the event, so no user's
     // history straddles splits (the GroupShuffleSplit contract; an
@@ -745,6 +797,40 @@ object Curation {
          | ((2 * total_tokens) // n_sources) * 1000000 // tokens > 1000000
          |  AS oversampled
          |FROM b CROSS JOIN t ORDER BY source""".stripMargin,
+    "q_temporal_split" ->
+      """WITH base AS (
+        | SELECT event_id, user_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        | FROM events),
+        |bounds AS (
+        | SELECT min(sec) + (max(sec) - min(sec)) * 8 // 10 AS b1,
+        |  min(sec) + (max(sec) - min(sec)) * 9 // 10 AS b2
+        | FROM base),
+        |assign AS (
+        | SELECT event_id, user_id, b1, b2, CASE
+        |  WHEN sec < b1 THEN 'train'
+        |  WHEN sec < b2 THEN 'val' ELSE 'test' END AS split
+        | FROM base, bounds),
+        |audit AS (
+        | SELECT a.split, a.b1, a.b2, e2.sec AS sec_audit
+        | FROM assign a JOIN (
+        |  SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events) e2 USING (event_id)),
+        |per_split AS (
+        | SELECT split, count(*) AS n_events,
+        |  COALESCE(CAST(sum(CASE WHEN (split = 'train' AND sec_audit >= b1)
+        |    OR (split = 'val' AND sec_audit >= b2)
+        |    THEN 1 ELSE 0 END) AS BIGINT), 0) AS future_leaks
+        | FROM audit GROUP BY 1),
+        |us AS (SELECT DISTINCT user_id, split FROM assign),
+        |pu AS (SELECT user_id, count(*) AS n_splits FROM us GROUP BY 1),
+        |u AS (
+        | SELECT split, count(*) AS n_users,
+        |  COALESCE(CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT), 0) AS users_spanning
+        | FROM us JOIN pu USING (user_id) GROUP BY 1)
+        |SELECT split, n_events, future_leaks, n_users, users_spanning
+        |FROM per_split JOIN u USING (split) ORDER BY split""".stripMargin,
     "q_group_split" ->
       """WITH ev AS (
         | SELECT user_id, CASE
