@@ -381,6 +381,51 @@ object StreamOps {
         (chi2 > 3.841459).as("srm_detected"))
     }},
 
+    // BOUNDED-STATE LIVE SRM — q_stream_srm with the state class fixed:
+    // the exact monitor keeps one state key per (arm, user), which is
+    // assignment-feed cardinality at web scale. Here the ONLY streaming
+    // state is 2 HLL++ register arrays (one per arm, fixed KBs at any
+    // user cardinality — the sketch-state pattern q_stream_hll_users
+    // establishes for windows). HLL register merges are max-based and
+    // order-independent, so the complete-mode snapshot estimate is a
+    // pure function of the data: the gate asserts the streamed estimate
+    // EQUALS the batch sketch estimate per arm (stream ≡ batch-HLL),
+    // plus the 2% contract vs exact per-arm distincts. na/nb/chi2 stay
+    // the EXACT batch values (same readout as q_srm_check): the sketch
+    // monitors, the readout is exact.
+    "q_stream_srm_hll" -> { (s, d) => withStatePartitions(s, 8) {
+      cleanCheckpoint("stream_srm_hll")
+      def armOf = {
+        val bucket = conv(substring(md5(col("user_id").cast("string")), 1, 4),
+          16, 10).cast("long") % 2
+        when(bucket === 0, "a").otherwise("b").as("arm")
+      }
+      val agg = eventsStream(s, d)
+        .select(col("user_id"), armOf)
+        .groupBy("arm")
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("est"))
+      val streamed = runToSnapshot(agg, "stream_srm_hll")
+      val batch = Tables.events(s, d)
+        .select(col("user_id"), armOf)
+        .groupBy("arm")
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("best"),
+          countDistinct(col("user_id")).as("exact"))
+      val w = streamed.join(batch, Seq("arm")).agg(
+        coalesce(sum(when(col("arm") === "a", col("exact"))), lit(0L)).as("na"),
+        coalesce(sum(when(col("arm") === "b", col("exact"))), lit(0L)).as("nb"),
+        min((col("est") === col("best")).cast("int")).as("__eq"),
+        min((abs(col("est") - col("exact")) <=
+          col("exact").cast("double") * 0.02).cast("int")).as("__tol"))
+      val nD = (col("na") + col("nb")).cast("double")
+      val e = nD / 2.0
+      val chi2 = (col("na").cast("double") - e) * (col("na").cast("double") - e) / e +
+        (col("nb").cast("double") - e) * (col("nb").cast("double") - e) / e
+      w.select(col("na"), col("nb"), round(chi2, 6).as("chi2"),
+        (chi2 > 3.841459).as("srm_detected"),
+        (col("__eq") === 1).as("stream_eq_batch_sketch"),
+        (col("__tol") === 1).as("within_tol"))
+    }},
+
     // K7 as a stream: the crossings topic in complete mode — equals the
     // batch aggregate (same oracle as q_k7_crossings_vs_lesions).
     "q_stream_crossings" -> { (s, d) => withStatePartitions(s, 8) {
@@ -1128,6 +1173,12 @@ object StreamOps {
     "q_stream_psi" -> graft.operators.Evolution.oracles("q_psi_drift"),
     // stream ≡ batch: the batch SRM twin verbatim
     "q_stream_srm" -> graft.operators.Analytics.oracles("q_srm_check"),
+    // the exact readout twin + the two pinned sketch contracts (no
+    // stripMargin on the outer template: the inner SQL is pre-stripped)
+    "q_stream_srm_hll" ->
+      ("SELECT na, nb, chi2, srm_detected, " +
+        "TRUE AS stream_eq_batch_sketch, TRUE AS within_tol FROM (\n" +
+        graft.operators.Analytics.oracles("q_srm_check") + "\n)"),
     "q_stream_hourly" ->
       "SELECT CAST(hour(ts) AS INTEGER) AS h, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
     "q_stream_windowed" ->
