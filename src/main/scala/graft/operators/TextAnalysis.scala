@@ -504,6 +504,36 @@ object TextAnalysis {
     "q_bpe_train" -> { (s, d) =>
       bpeTrain(s, Tables.documents(s, d), 10).orderBy("step")
     },
+    // TOKENIZER FERTILITY AUDIT — bytes/chars/raw-words per BPE token,
+    // PER SOURCE: the data-card column that decides tokenizer/corpus fit
+    // (a source whose bytes-per-token runs hot against the corpus mean is
+    // under-served by the trained merges — more compute per byte of
+    // signal). Pairs q_data_card with the trained q_bpe_train artifact:
+    // train once, encode once (the same collected-merges deploy path as
+    // q_bpe_encode), then ONE source-cardinality aggregate over exact
+    // long sums with a single final division — no per-doc ratios
+    // averaged (ratio-of-sums, not sum-of-ratios, so the figure weighs
+    // documents by their mass exactly like a training run would).
+    "q_tokenizer_fertility" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val merges = bpeTrain(s, docs, 6).orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val enc = bpeEncode(s, docs, merges)
+      val meta = docs.select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("chars"),
+        expr("octet_length(text)").cast("long").as("bytes"))
+      enc.join(meta, Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bpe")).as("n_bpe_tokens"),
+          round(sum(col("bytes")).cast("double") / sum(col("n_bpe")), 6)
+            .as("bytes_per_token"),
+          round(sum(col("chars")).cast("double") / sum(col("n_bpe")), 6)
+            .as("chars_per_token"),
+          round(sum(col("n_raw")).cast("double") / sum(col("n_bpe")), 6)
+            .as("raw_per_bpe"))
+        .orderBy("source")
+    },
     "q_text_stats" -> { (s, d) =>
       Tables.documents(s, d).select(
           col("doc_id"),
@@ -925,7 +955,11 @@ object TextAnalysis {
     * chain and emit per-doc raw/encoded token counts after the final
     * merge application.
     */
-  private def bpeEncodeSql(k: Int): String = {
+  /** The shared train+encode CTE chain (argmax merge per step, greedy
+    * fold re-encode) — consumed by both the per-doc encode oracle and the
+    * per-source fertility oracle.
+    */
+  private def bpeCtes(k: Int): String = {
     val docs1 =
       """docs1 AS (
         | SELECT doc_id,
@@ -945,13 +979,34 @@ object TextAnalysis {
          |   CASE WHEN (acc = ma OR ends_with(acc, '|' || ma)) AND x = mb
          |    THEN acc || '_' || x ELSE acc || '|' || x END), '|') END AS toks
          | FROM docs$i CROSS JOIN m$i)""".stripMargin
-    val ctes = docs1 +: (1 to k).flatMap(i => Seq(pairs(i), m(i), docsNext(i)))
-    s"""WITH ${ctes.mkString(",\n")}
+    (docs1 +: (1 to k).flatMap(i => Seq(pairs(i), m(i), docsNext(i))))
+      .mkString(",\n")
+  }
+
+  private def bpeEncodeSql(k: Int): String =
+    s"""WITH ${bpeCtes(k)}
        |SELECT d0.doc_id, CAST(len(d0.toks) AS BIGINT) AS n_raw,
        | CAST(len(df.toks) AS BIGINT) AS n_bpe
        |FROM docs1 d0 JOIN docs${k + 1} df USING (doc_id)
        |ORDER BY doc_id""".stripMargin
-  }
+
+  private def fertilitySql(k: Int): String =
+    s"""WITH ${bpeCtes(k)},
+       |enc AS (
+       | SELECT d0.doc_id, CAST(len(d0.toks) AS BIGINT) AS n_raw,
+       |  CAST(len(df.toks) AS BIGINT) AS n_bpe
+       | FROM docs1 d0 JOIN docs${k + 1} df USING (doc_id)),
+       |meta AS (
+       | SELECT doc_id, source, CAST(length(text) AS BIGINT) AS chars,
+       |  CAST(strlen(text) AS BIGINT) AS bytes
+       | FROM documents)
+       |SELECT source, count(*) AS n_docs,
+       | CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+       | round(CAST(sum(bytes) AS DOUBLE) / sum(n_bpe), 6) AS bytes_per_token,
+       | round(CAST(sum(chars) AS DOUBLE) / sum(n_bpe), 6) AS chars_per_token,
+       | round(CAST(sum(n_raw) AS DOUBLE) / sum(n_bpe), 6) AS raw_per_bpe
+       |FROM enc JOIN meta USING (doc_id)
+       |GROUP BY source ORDER BY source""".stripMargin
 
   private def bpeTrainSql(k: Int): String = {
     val docs1 =
@@ -1129,6 +1184,7 @@ object TextAnalysis {
            |FROM s""".stripMargin,
       "q_bpe_train" -> bpeTrainSql(10),
       "q_bpe_encode" -> bpeEncodeSql(6),
+      "q_tokenizer_fertility" -> fertilitySql(6),
       "q_text_stats" ->
         s"""SELECT doc_id, CAST($nTok AS INTEGER) AS n_tokens,
            | CAST(len(regexp_extract_all(text, '$bpeTokenPattern')) AS INTEGER) AS n_bpe_tokens,
