@@ -481,6 +481,57 @@ object TextAnalysis {
       .orderBy(idCol)
   }
 
+  /** Distributed ISOTONIC REGRESSION (pool-adjacent-violators; Barlow et
+    * al. 1972, Best & Chakravarti 1990) for score calibration: given a
+    * score column and a binary label, fit the monotone-non-decreasing
+    * step function minimizing weighted squared error — the standard
+    * calibration pass that turns a raw quality score (q_lm_score /
+    * q_text_quality) into a probability against a labeled slice.
+    *
+    * Instead of the sequential PAVA stack, the fit uses the closed form
+    * fitted(i) = max_{j≤i} min_{k≥i} avg(y[j..k]) — every pooled-block
+    * average A(j,k) derives from PREFIX SUMS over the score spine (the X4
+    * cumulative frame), so the whole fit is: one groupBy to the
+    * distinct-score spine, one bounded window for prefix sums, and two
+    * dictionary-sized inequality joins. Block averages are ratios of
+    * exact LONG sums evaluated in one double division — bit-identical
+    * cross-engine, no float accumulation order anywhere.
+    *
+    * Scale posture: everything after the first groupBy lives on the
+    * spine — |S| rows, |S|²/2 block averages, ≤|S|³ triple-join rows. A
+    * score with unbounded distinct values must be binned first (the
+    * q_psi_drift binning idiom) exactly as production calibrators do;
+    * the corpus-fact pass is the single map-side-combined groupBy.
+    */
+  def isotonicCalibrate(df: DataFrame, scoreCol: String,
+                        labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lv = df.groupBy(col(scoreCol).as("x"))
+      .agg(count(lit(1)).as("w"), sum(col(labelCol).cast("long")).as("y"))
+      .persistTracked()
+    // bounded frame: the spine is distinct-score cardinality by contract
+    val wnd = Window.orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = lv.select(col("x"), col("w"), col("y"),
+      sum(col("w")).over(wnd).as("cw"), sum(col("y")).over(wnd).as("cy"))
+      .persistTracked()
+    val bjk = pre.select(col("x").as("xj"),
+        (col("cw") - col("w")).as("cw0"), (col("cy") - col("y")).as("cy0"))
+      .join(pre.select(col("x").as("xk"), col("cw"), col("cy")),
+        col("xj") <= col("xk"))
+      .select(col("xj"), col("xk"),
+        ((col("cy") - col("cy0")).cast("double") /
+          (col("cw") - col("cw0")).cast("double")).as("ajk"))
+    val mn = bjk.join(lv.select(col("x").as("xi")),
+        col("xj") <= col("xi") && col("xk") >= col("xi"))
+      .groupBy("xi", "xj").agg(min(col("ajk")).as("mnv"))
+    val fit = mn.groupBy("xi").agg(max(col("mnv")).as("fitted"))
+    lv.join(fit, col("x") === col("xi"))
+      .select(col("x").as(scoreCol), col("w").as("n"),
+        round(col("y").cast("double") / col("w"), 6).as("rate"),
+        round(col("fitted"), 6).as("fitted"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Corpus-trained bigram-LM quality scoring (the CCNet perplexity
     // filter shape) — per-doc mean -log2 P, full oracle replication.
@@ -549,6 +600,21 @@ object TextAnalysis {
           col("doc_id"),
           round(qualityScore(col("text")), 2).as("quality"))
         .orderBy("doc_id")
+    },
+    // ISOTONIC CALIBRATION of a raw score against a labeled slice: the
+    // English-stopword ratio (2dp spine, ~30 levels) calibrated to the
+    // lang column's "is English" — the curation case where a cheap signal
+    // becomes a probability. The natural rate curve trends up with real
+    // dips (sampling noise at thin levels), so the gate exercises actual
+    // pooling; the planted textbook case lives in Round9Spec. rate is the
+    // raw per-level label rate; fitted is the PAVA repair (non-decreasing
+    // by construction, equal to rate wherever already monotone).
+    "q_isotonic_calibrate" -> { (s, d) =>
+      isotonicCalibrate(
+        Tables.documents(s, d).select(
+          round(stopwordRatio(col("text")), 2).as("q"),
+          (col("lang") === "en").cast("int").as("label")),
+        "q", "label").orderBy("q")
     },
     // QUALITY-THRESHOLD SWEEP — the knob-tuning table behind every
     // quality filter: at each candidate threshold, the docs and tokens
@@ -1194,6 +1260,33 @@ object TextAnalysis {
            |FROM documents ORDER BY doc_id""".stripMargin,
       "q_text_quality" ->
         s"SELECT doc_id, round($quality, 2) AS quality FROM documents ORDER BY doc_id",
+      // PAVA via the max-min closed form over prefix sums — block
+      // averages are ratios of exact BIGINT sums, one double division
+      "q_isotonic_calibrate" ->
+        s"""WITH base AS (
+           | SELECT round($stopRatio, 2) AS x,
+           |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+           | FROM documents),
+           |lv AS (SELECT x, CAST(count(*) AS BIGINT) AS w,
+           |  CAST(sum(label) AS BIGINT) AS y FROM base GROUP BY 1),
+           |pre AS (SELECT x, w, y,
+           |  CAST(sum(w) OVER (ORDER BY x) AS BIGINT) AS cw,
+           |  CAST(sum(y) OVER (ORDER BY x) AS BIGINT) AS cy FROM lv),
+           |bjk AS (
+           | SELECT a.x AS xj, b.x AS xk,
+           |  CAST(b.cy - (a.cy - a.y) AS DOUBLE) /
+           |   CAST(b.cw - (a.cw - a.w) AS DOUBLE) AS ajk
+           | FROM pre a JOIN pre b ON a.x <= b.x),
+           |mn AS (
+           | SELECT i.x AS xi, p.xj, min(p.ajk) AS mnv
+           | FROM bjk p JOIN lv i ON p.xj <= i.x AND p.xk >= i.x
+           | GROUP BY 1, 2),
+           |fit AS (SELECT xi, max(mnv) AS fitted FROM mn GROUP BY 1)
+           |SELECT lv.x AS q, lv.w AS n,
+           | round(CAST(lv.y AS DOUBLE) / lv.w, 6) AS rate,
+           | round(f.fitted, 6) AS fitted
+           |FROM lv JOIN fit f ON lv.x = f.xi
+           |ORDER BY q""".stripMargin,
       "q_quality_sweep" ->
         s"""WITH sc AS (
            | SELECT round($quality, 2) AS q,

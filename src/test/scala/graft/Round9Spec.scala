@@ -76,6 +76,23 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("isotonicCalibrate repairs planted monotonicity violations (textbook PAVA)") {
+    // rates by score: 0.2, 0.6, 0.4, 0.8 — the middle pair violates and
+    // must pool to 0.5; the ends were monotone and must be untouched.
+    val rows = Seq((1, 1), (2, 3), (3, 2), (4, 4)).flatMap { case (x, pos) =>
+      (0 until 5).map(i => (x.toDouble, if (i < pos) 1 else 0))
+    }
+    val df = rows.toDF("q", "label")
+    val out = operators.TextAnalysis.isotonicCalibrate(df, "q", "label")
+      .orderBy("q").collect()
+      .map(r => (r.getDouble(0), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      (1.0, 0.2, 0.2), (2.0, 0.6, 0.5), (3.0, 0.4, 0.5), (4.0, 0.8, 0.8)))
+    // fitted is globally non-decreasing
+    val fitted = out.map(_._3)
+    assert(fitted.zip(fitted.tail).forall { case (a, b) => a <= b })
+  }
+
   test("exactSubstrPairs caps boilerplate window groups; spans survive the cap") {
     // 10 docs all carry the same 10-token license block: the window group
     // has 10 members, so with maxGroup=4 NO pairs materialize (C(10,2)=45
