@@ -194,6 +194,21 @@ object Evolution {
     * oracle-test fixture; real privacy requires a secret seed. Clipped
     * sums are exact integer cents (order-independent); the only floats
     * are the final noise expression.
+    *
+    * Two further production requirements the fixture intentionally does
+    * not model (ADVICE r8):
+    *  1. SEQUENTIAL RELEASES: noise here is a pure function of the group
+    *     key, so two releases over a grown table reuse IDENTICAL noise
+    *     and their difference exposes the exact count/sum delta. A
+    *     production seed must include a release epoch/version (seed =
+    *     secret ∥ key ∥ release_id), and the privacy budget ε must be
+    *     accounted across releases (composition).
+    *  2. CONTRIBUTOR-LEVEL CLIPPING: clipping per ROW bounds sensitivity
+    *     at C only if each individual contributes one row. When a user
+    *     can contribute many rows, clip the PER-USER aggregate (group by
+    *     contributor first, clip, then release) or scale C by the
+    *     per-user contribution bound — otherwise the release is not
+    *     user-level DP.
     */
   def dpNoisySums(df: DataFrame, groupCol: String, valueCol: String,
                   clipDollars: Long = 100L, epsilon: Double = 1.0,

@@ -534,8 +534,21 @@ object Similarity {
       .as[(Long, Long, Long, Seq[Long])]
     cand.groupByKey(_._1)
       .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Long, Seq[Long])]) =>
-        val cands = it.map { case (_, cid, r, ce) => (cid, r, ce.toArray) }
-          .toArray.sortBy(t => (t._1)) // canonical order; argmax scans all
+        val cands = it.map { case (_, cid, r, ce) =>
+          val arr = ce.toArray
+          // the penalty dot below is raw JVM Long arithmetic (wraps
+          // silently); its safety rests on |x| ≤ 3·2^20 per quantized
+          // component (dims ≤ 64 ⇒ Σ|a·b| ≤ 64·(3·2^20)² ≈ 6.3e14 ≪
+          // 2^63). Validate the bound HERE so a corrupt embedding fails
+          // loudly instead of wrapping the ranking (ADVICE r8).
+          var i = 0
+          while (i < arr.length) {
+            require(math.abs(arr(i)) <= (3L << 20),
+              s"quantized embedding out of range (cid=$cid dim=$i: ${arr(i)})")
+            i += 1
+          }
+          (cid, r, arr)
+        }.toArray.sortBy(t => (t._1)) // canonical order; argmax scans all
         val chosen = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
         val used = scala.collection.mutable.HashSet.empty[Long]
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Long)]

@@ -335,9 +335,15 @@ object StreamOps {
           (weekday(col("ts")) <= 3).as("is_ref"))
       val mm = refEv.filter(col("is_ref"))
         .agg(min(col("v")).as("lo"), max(col("v")).as("hi")).head()
-      val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+      // empty reference population → null min/max: degrade like the batch
+      // twin (zero-width profile at 0, all counts land in bin 0) instead
+      // of NPEing on getDouble (ADVICE r8)
+      val (lo, hi) =
+        if (mm.isNullAt(0)) (0.0, 0.0)
+        else (mm.getDouble(0), mm.getDouble(1))
       def binOf(v: Column) =
-        greatest(least(floor((v - lo) * 10.0 / (hi - lo)), lit(9.0)),
+        if (hi == lo) lit(0).cast("int")
+        else greatest(least(floor((v - lo) * 10.0 / (hi - lo)), lit(9.0)),
           lit(0.0)).cast("int")
       val cr = refEv.filter(col("is_ref"))
         .select(binOf(col("v")).as("bin"))
