@@ -487,6 +487,60 @@ object Curation {
         .orderBy("source")
     },
 
+    // DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    // arXiv:2302.03169): weight every raw document by how target-like its
+    // hashed-n-gram distribution is, log w(x) = Σ_f log(p_target(f) /
+    // p_raw(f)) under add-one-smoothed bag-of-hashed-ngrams models
+    // (unigrams + bigrams hashed to 256 buckets; the paper's 10k-bucket
+    // knob, scaled to this corpus). Target slice = lang='en' docs — the
+    // in-domain sample a curator actually has. selected = logw ≥ exact
+    // p90 (the deterministic stand-in for the paper's Gumbel resampling;
+    // the weight table is the artifact either consumer uses).
+    // Float determinism: each per-feature log term rounds to 6dp DECIMAL
+    // before the order-independent per-doc decimal sum (the q_lm_score
+    // idiom); the only doubles are ln() of exact integers.
+    // Scale posture: features flow as (doc_id, bucket) longs — never
+    // n-gram text; the model is a 256-row broadcast; the threshold is
+    // one X4 exact-percentile pass over the doc-cardinality weight frame.
+    "q_dsir_weights" -> { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      import graft.CacheScope.TrackedDataset
+      val buckets = 256
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        (col("lang") === "en").as("is_target"),
+        TextAnalysis.tokens(lower(col("text"))).as("toks"))
+      val uni = toks.select(col("doc_id"), col("is_target"),
+        explode(col("toks")).as("f"))
+      val bi = toks.filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), col("is_target"),
+          explode(transform(sequence(lit(1), size(col("toks")) - 1), i =>
+            concat_ws(" ", element_at(col("toks"), i),
+              element_at(col("toks"), i + 1)))).as("f"))
+      val feats = uni.unionByName(bi)
+        .select(col("doc_id"), col("is_target"),
+          (conv(substring(md5(col("f")), 1, 8), 16, 10).cast("long")
+            % buckets).as("h"))
+        .persistTracked()
+      val stats = feats.groupBy("h").agg(
+        count(lit(1)).as("cr"),
+        coalesce(sum(when(col("is_target"), 1L)), lit(0L)).as("ct"))
+      val tot = stats.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+      val term = round(
+        log(col("ct") + 1.0) - log((col("tt") + buckets).cast("double")) -
+          log(col("cr") + 1.0) + log((col("tr") + buckets).cast("double")),
+        6).cast(DecimalType(18, 6))
+      val perDoc = feats.join(broadcast(stats), Seq("h"))
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), term.as("t"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_feats"), sum(col("t")).cast("double").as("lw"))
+      val thr = Analytics.exactPercentiles(perDoc, "lw", Seq("p90" -> 0.9))
+      perDoc.crossJoin(broadcast(thr))
+        .select(col("doc_id"), col("n_feats"), round(col("lw"), 6).as("logw"),
+          (col("lw") >= col("p90")).as("selected"))
+        .orderBy("doc_id")
+    },
+
     // OUT-OF-TIME (temporal) SPLIT + measured leakage audit — the holdout
     // forecast/time-series training needs (q_forecast_backtest consumes
     // exactly this boundary discipline): train < 80%-of-range, val < 90%,
@@ -797,6 +851,37 @@ object Curation {
          | ((2 * total_tokens) // n_sources) * 1000000 // tokens > 1000000
          |  AS oversampled
          |FROM b CROSS JOIN t ORDER BY source""".stripMargin,
+    "q_dsir_weights" ->
+      """WITH toks AS (
+        | SELECT doc_id, lang = 'en' AS is_target,
+        |  list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+        | FROM documents),
+        |uni AS (SELECT doc_id, is_target, unnest(toks) AS f FROM toks),
+        |bi AS (
+        | SELECT doc_id, is_target,
+        |  unnest(list_transform(range(1, len(toks)),
+        |   i -> toks[i] || ' ' || toks[i + 1])) AS f
+        | FROM toks WHERE len(toks) >= 2),
+        |feats AS (
+        | SELECT doc_id, is_target,
+        |  CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 256 AS h
+        | FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        |stats AS (
+        | SELECT h, CAST(count(*) AS BIGINT) AS cr,
+        |  CAST(COALESCE(sum(CASE WHEN is_target THEN 1 ELSE 0 END), 0)
+        |   AS BIGINT) AS ct
+        | FROM feats GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS tr,
+        |        CAST(sum(ct) AS BIGINT) AS tt FROM stats),
+        |pd AS (
+        | SELECT doc_id, count(*) AS n_feats,
+        |  CAST(sum(CAST(round(ln(ct + 1.0) - ln(CAST(tt + 256 AS DOUBLE))
+        |   - ln(cr + 1.0) + ln(CAST(tr + 256 AS DOUBLE)), 6)
+        |   AS DECIMAL(18,6))) AS DOUBLE) AS lw
+        | FROM feats JOIN stats USING (h) CROSS JOIN tot GROUP BY doc_id),
+        |thr AS (SELECT quantile_cont(lw, 0.9) AS p90 FROM pd)
+        |SELECT doc_id, n_feats, round(lw, 6) AS logw, lw >= p90 AS selected
+        |FROM pd, thr ORDER BY doc_id""".stripMargin,
     "q_temporal_split" ->
       """WITH base AS (
         | SELECT event_id, user_id,
