@@ -228,6 +228,46 @@ object Sketches {
           tolc.as("within_tol"))
       groups.unionByName(total).orderBy("grp")
     },
+    // SKETCH-DRIVEN EQUI-DEPTH RANGE PARTITIONING PLAN — the scale
+    // decision the quantile sketch exists to make: 31 boundary values
+    // from ONE KLL pass give a skew-aware 32-way range partitioning of
+    // the fact (what repartitionByRange's driver-side sampling does, but
+    // mergeable — at 100 TB per-partition sketch rows union into the
+    // planner without a sample collect). The plan is then MEASURED, not
+    // assumed: every row is assigned to its bucket via the broadcast
+    // boundary array and the gate pins bucket-share balance to
+    // 1/32 ± (2ε + tie slack) where ε = H/(2k) is the sketch's rank
+    // bound — a broken compactor yields a 10×-share bucket and fails
+    // loudly. Exported values are engine-replicable exacts + pinned
+    // booleans (the sketch-oracle convention).
+    "q_range_boundaries" -> { (s, d) =>
+      val nb = 32
+      val kll = udaf(new graft.functions.KllAggregator(512),
+        org.apache.spark.sql.Encoders.scalaDouble)
+      val li = Tables.lineitem(s, d)
+        .select(col("l_extendedprice").cast("double").as("x"))
+      val sk = li.agg(kll(col("x")).as("sk"), count(lit(1)).as("n"))
+        .persistTracked()
+      val bounds = udf((sk: Seq[Seq[Double]]) =>
+        (1 until nb).map(i =>
+          graft.functions.Kll.quantile(sk, i.toDouble / nb)).toArray)
+      val b = sk.select(col("n"), bounds(col("sk")).as("bs"))
+      val shares = li.crossJoin(broadcast(b))
+        .select(col("n"),
+          aggregate(col("bs"), lit(0),
+            (acc, bd) => acc + when(col("x") >= bd, 1).otherwise(0))
+            .as("bucket"))
+        .groupBy("bucket", "n").agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("nbk"),
+          max(col("c").cast("double") / col("n")).as("mx"),
+          min(col("c").cast("double") / col("n")).as("mn"))
+      sk.select(col("n").as("n_total"))
+        .crossJoin(broadcast(shares))
+        .select(col("n_total"), lit(nb).as("n_buckets"),
+          (col("nbk") === nb).as("all_nonempty"),
+          (col("mx") <= 1.0 / nb + 0.03 &&
+            col("mn") >= 1.0 / nb - 0.03).as("within_balance"))
+    },
     // The OPTIMIZER-REWRITE path to the same sketch: install
     // ApproxDistinctRewrite (here via experimental.extraOptimizations —
     // the spark.sql.extensions deployment injects it at session boot),
@@ -374,6 +414,10 @@ object Sketches {
     "q_approx_median" ->
       """SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS exact_p50,
         | TRUE AS within_tol
+        |FROM lineitem""".stripMargin,
+    "q_range_boundaries" ->
+      """SELECT count(*) AS n_total, 32 AS n_buckets,
+        | TRUE AS all_nonempty, TRUE AS within_balance
         |FROM lineitem""".stripMargin,
     "q_kll_quantiles" ->
       """SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.1) AS exact_p10,

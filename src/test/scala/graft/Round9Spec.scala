@@ -76,6 +76,28 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("Kll boundaries give balanced equi-depth buckets on a skewed distribution") {
+    val k = 256
+    val nb = 16
+    val n = 50000
+    // heavy right skew: x = u^4 on a deterministic permutation of [0,1)
+    val vals = (0 until n).map { i =>
+      val u = ((i.toLong * 48271) % n).toDouble / n
+      u * u * u * u
+    }
+    val st = vals.foldLeft(graft.functions.Kll.empty)(
+      (s, v) => graft.functions.Kll.insert(s, v, k))
+    val bs = (1 until nb).map(i =>
+      graft.functions.Kll.quantile(st, i.toDouble / nb))
+    assert(bs.zip(bs.tail).forall { case (a, b) => a <= b },
+      "boundaries must be non-decreasing")
+    val counts = new Array[Int](nb)
+    vals.foreach { v => counts(bs.count(v >= _)) += 1 }
+    val shares = counts.map(_.toDouble / n)
+    assert(shares.forall(s => math.abs(s - 1.0 / nb) <= 0.02),
+      s"bucket shares off: ${shares.mkString(",")}")
+  }
+
   test("isotonicCalibrate repairs planted monotonicity violations (textbook PAVA)") {
     // rates by score: 0.2, 0.6, 0.4, 0.8 — the middle pair violates and
     // must pool to 0.5; the ends were monotone and must be untouched.
