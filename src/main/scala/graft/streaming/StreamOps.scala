@@ -605,6 +605,45 @@ object StreamOps {
       }
     }},
 
+    // LIVE MEDIAN — KLL sketch state per event_type (TypeKllProcessor):
+    // fixed O(k log n/k) state at any stream length, the quantile member
+    // of the bounded-state sketch family. Stream insertion order differs
+    // from batch, so the estimate is gated by the sketch's own
+    // ORDER-INDEPENDENT guarantee: the end-of-stream estimate's exact
+    // rank must sit within the ±2% contract of q=0.5 (the q_kll_rollup
+    // gate), with exact medians from the grouped X4 percentile frame.
+    "q_stream_kll_median" -> { (s, d) => withStatePartitions(s, 8) {
+      withRocksDbState(s) {
+        cleanCheckpoint("stream_kll_median")
+        val q = streamingKllMedian(eventsStream(s, d), 512).toDF()
+          .writeStream.format("memory").queryName("stream_kll_median")
+          .outputMode("update")
+          .option("checkpointLocation",
+            "/root/repo/target/scratch/ckpt_stream_kll_median")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val finals = s.table("stream_kll_median")
+          .groupBy(col("event_type").as("grp"))
+          .agg(max(struct(col("n_seen"), col("est_p50"))).as("st"))
+          .select(col("grp"), col("st.n_seen").as("n"),
+            col("st.est_p50").as("e"))
+        val ev = Tables.events(s, d).select(col("event_type").as("grp"),
+          col("value").cast("double").as("x"))
+        val rank = ev.join(broadcast(finals), Seq("grp"))
+          .groupBy("grp", "n", "e")
+          .agg(sum(when(col("x") < col("e"), 1L).otherwise(0L)).as("lt"),
+            sum(when(col("x") <= col("e"), 1L).otherwise(0L)).as("le"))
+        val tolc = (col("lt") <= lit(0.52) * col("n")) &&
+          (col("le") >= lit(0.48) * col("n"))
+        graft.operators.Analytics
+          .groupedExactPercentiles(ev, "grp", "x", Seq("exact_p50" -> 0.5))
+          .join(rank, Seq("grp"))
+          .select(col("grp"), col("exact_p50"), tolc.as("within_tol"))
+          .orderBy("grp")
+      }
+    }},
+
     // MapState heavy hitters: q_stream_top_users' semantics through
     // transformWithState MapState over RocksDB — point-wise entry
     // updates instead of whole-map rewrites (see TypeTopUsersProcessor).
@@ -1080,6 +1119,62 @@ object StreamOps {
     }
   }
 
+  /** KLL quantile sketch as STREAMING STATE — the third bounded-state
+    * sketch in the store (HLL registers: q_stream_srm_hll / q_stream_hll_
+    * users; Misra-Gries: q_stream_top_users_mg; quantiles: this). State
+    * per type is the compactor hierarchy, O(k·log(n/k)) doubles no matter
+    * how many values stream through — the live-median/latency-dashboard
+    * primitive. The state-store value encoder gets the levels FLATTENED
+    * to (lens, vals) parallel arrays (the MgSummaryState trick — no
+    * nested containers in state), rebuilt per type per batch in
+    * O(state).
+    */
+  case class KllMedianSnap(event_type: String, n_seen: Long, est_p50: Double)
+  case class KllStreamState(lens: Seq[Int], vals: Seq[Double], n_seen: Long)
+
+  class TypeKllProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Double), KllMedianSnap] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var sk: ValueState[KllStreamState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sk = getHandle.getValueState[KllStreamState]("kll",
+        org.apache.spark.sql.Encoders.product[KllStreamState], TTLConfig.NONE)
+
+    override def handleInputRows(etype: String, rows: Iterator[(String, Double)],
+                                 timerValues: TimerValues): Iterator[KllMedianSnap] = {
+      val prev =
+        if (sk.exists()) sk.get() else KllStreamState(Seq(0), Nil, 0L)
+      var st: graft.functions.Kll.State = {
+        val b = Vector.newBuilder[Vector[Double]]
+        var off = 0
+        prev.lens.foreach { l =>
+          b += prev.vals.slice(off, off + l).toVector; off += l
+        }
+        val v = b.result()
+        if (v.isEmpty) graft.functions.Kll.empty else v
+      }
+      var n = prev.n_seen
+      rows.foreach { case (_, v) =>
+        st = graft.functions.Kll.insert(st, v, k); n += 1
+      }
+      sk.update(KllStreamState(st.map(_.length), st.flatten, n))
+      Iterator(KllMedianSnap(etype, n, graft.functions.Kll.quantile(st, 0.5)))
+    }
+  }
+
+  def streamingKllMedian(events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         k: Int): org.apache.spark.sql.Dataset[KllMedianSnap] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.select(col("event_type"), col("value").cast("double"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new TypeKllProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   def streamingTopUsersMg(events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                           k: Int, capacity: Int): org.apache.spark.sql.Dataset[TopUserMg] = {
     import events.sparkSession.implicits._
@@ -1179,6 +1274,13 @@ object StreamOps {
     "q_stream_psi" -> graft.operators.Evolution.oracles("q_psi_drift"),
     // stream ≡ batch: the batch SRM twin verbatim
     "q_stream_srm" -> graft.operators.Analytics.oracles("q_srm_check"),
+    // per-type exact median + the pinned rank contract (the stream's KLL
+    // state is gated by its order-independent guarantee, not replayed)
+    "q_stream_kll_median" ->
+      """SELECT event_type AS grp,
+        | quantile_cont(CAST(value AS DOUBLE), 0.5) AS exact_p50,
+        | TRUE AS within_tol
+        |FROM events GROUP BY 1 ORDER BY grp""".stripMargin,
     // the exact readout twin + the two pinned sketch contracts (no
     // stripMargin on the outer template: the inner SQL is pre-stripped)
     "q_stream_srm_hll" ->
