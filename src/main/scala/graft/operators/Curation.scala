@@ -422,6 +422,52 @@ object Curation {
       temperatureMix(Tables.documents(s, d))
     },
 
+    // DATA-CONSTRAINED REPETITION PLAN (Muennighoff et al. 2023, "Scaling
+    // Data-Constrained Language Models", arXiv:2305.16264: repeated data
+    // holds value up to ~4 epochs, then returns decay to ~zero): given a
+    // token budget of 3× the corpus's unique tokens and the sqrt-
+    // temperature mix (the q_mix_temperature weights — sqrt, not pow(τ):
+    // pow is not IEEE-correctly-rounded cross-engine), allocate each
+    // source its target tokens, cap epochs at R_max = 4, and report the
+    // DEFICIT the cap strands — the actionable column: deficit > 0 means
+    // "go acquire more of this source", not "repeat it harder".
+    // Scale posture: one fact pass to source-cardinality sums; everything
+    // after lives on the ~|sources|-row frame with two broadcast scalars.
+    "q_repetition_plan" -> { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val rMax = 4.0
+      val mult = 3.0
+      // planted scarce source: the natural corpus is uniform, so no source
+      // ever hits the repetition cap — 3 docs re-labeled 'tiny_planted'
+      // give the sqrt-temperature boost a genuinely data-constrained
+      // source and exercise capped=true + deficit > 0 for real
+      val docs = Tables.documents(s, d)
+      val corpus = docs.select("source", "text").unionByName(
+        docs.filter(col("doc_id") < 3)
+          .select(lit("tiny_planted").as("source"), col("text")))
+      val bySrc = corpus.filter(col("source").isNotNull)
+        .groupBy("source")
+        .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("u"))
+      val tot = bySrc.agg(sum(col("u")).as("tu"))
+      val share = col("u").cast("double") / col("tu").cast("double")
+      val f = bySrc.crossJoin(broadcast(tot))
+        .select(col("source"), col("u"), col("tu"),
+          round(sqrt(share), 6).cast(DecimalType(18, 6)).as("w"))
+      val sw = f.agg(sum(col("w")).as("sw"))
+      val p = col("w").cast("double") / col("sw").cast("double")
+      val tgt = p * mult * col("tu").cast("double")
+      val epochsRaw = tgt / col("u").cast("double")
+      f.crossJoin(broadcast(sw))
+        .select(col("source"), col("u").as("unique_tokens"),
+          round(p, 6).as("p_temp"),
+          round(tgt, 6).as("target_tokens"),
+          round(least(epochsRaw, lit(rMax)), 6).as("epochs"),
+          (epochsRaw > rMax).as("capped"),
+          round(greatest(tgt - col("u").cast("double") * rMax, lit(0.0)), 6)
+            .as("deficit_tokens"))
+        .orderBy("source")
+    },
+
     // PER-SOURCE DOCUMENT CAP — the pretraining-mix move that keeps any
     // one crawl domain from dominating the corpus: at most k docs per
     // source, best-first (longest doc wins, ties to the lower id). Runs
@@ -796,6 +842,34 @@ object Curation {
         | SELECT *, row_number() OVER (PARTITION BY source
         |   ORDER BY es_key DESC, doc_id) AS rn FROM s)
         |WHERE rn <= 10 ORDER BY source, es_key DESC, doc_id""".stripMargin,
+    "q_repetition_plan" ->
+      s"""WITH corpus AS (
+         | SELECT source, text FROM documents
+         | UNION ALL
+         | SELECT 'tiny_planted' AS source, text FROM documents
+         | WHERE doc_id < 3),
+         |b AS (
+         | SELECT source, CAST(sum(len($toksSql)) AS BIGINT) AS u
+         | FROM corpus WHERE source IS NOT NULL GROUP BY 1),
+         |t AS (SELECT CAST(sum(u) AS BIGINT) AS tu FROM b),
+         |f AS (
+         | SELECT source, u, tu,
+         |  CAST(round(sqrt(CAST(u AS DOUBLE) / CAST(tu AS DOUBLE)), 6)
+         |    AS DECIMAL(18,6)) AS w
+         | FROM b CROSS JOIN t),
+         |s AS (SELECT sum(w) AS sw FROM f)
+         |SELECT source, u AS unique_tokens,
+         | round(CAST(w AS DOUBLE) / CAST(sw AS DOUBLE), 6) AS p_temp,
+         | round(CAST(w AS DOUBLE) / CAST(sw AS DOUBLE) * 3.0
+         |   * CAST(tu AS DOUBLE), 6) AS target_tokens,
+         | round(least(CAST(w AS DOUBLE) / CAST(sw AS DOUBLE) * 3.0
+         |   * CAST(tu AS DOUBLE) / CAST(u AS DOUBLE), 4.0), 6) AS epochs,
+         | (CAST(w AS DOUBLE) / CAST(sw AS DOUBLE) * 3.0
+         |   * CAST(tu AS DOUBLE) / CAST(u AS DOUBLE)) > 4.0 AS capped,
+         | round(greatest(CAST(w AS DOUBLE) / CAST(sw AS DOUBLE) * 3.0
+         |   * CAST(tu AS DOUBLE) - 4.0 * CAST(u AS DOUBLE), 0.0), 6)
+         |  AS deficit_tokens
+         |FROM f CROSS JOIN s ORDER BY source""".stripMargin,
     "q_mix_temperature" ->
       """WITH b AS (
         | SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
