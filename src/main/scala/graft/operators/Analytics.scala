@@ -1816,6 +1816,50 @@ object Analytics {
     // value buffering), so the whole CI costs the same as one exact
     // percentile pass. Contrast with q_bootstrap_ci: that one re-weights
     // the data B times for the MEAN; this reads it once for the median.
+    // SPLIT CONFORMAL PREDICTION (Papadopoulos et al. 2002; Vovk et al.
+    // 2005; Angelopoulos & Bates 2021 survey): the distribution-free
+    // prediction-interval recipe — fit any predictor on a train split
+    // (here: per-event-type exact median), take the ⌈(n+1)(1−α)⌉-th
+    // smallest nonconformity score |y − ŷ| on a CALIBRATION split, and
+    // intervals ŷ ± q̂ cover new points with probability ≥ 1−α, no
+    // distributional assumptions. The query MEASURES realized coverage on
+    // a held-out test split (α = 0.1; the md5 hash split is the
+    // q_group_split idiom) rather than trusting the theorem.
+    // Scale shape: the predictor is a type-cardinality broadcast; q̂ is
+    // ONE order statistic selected by rank on the X4 range-partitioned
+    // cumulative frame (no single-task sort at any calibration size);
+    // coverage is one counting pass.
+    "q_conformal_coverage" -> { (s, d) =>
+      val bucket = conv(substring(md5(col("event_id").cast("string")), 1, 4),
+        16, 10).cast("long") % 100
+      val e = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("event_type"), col("value").cast("double").as("v"),
+          bucket.as("b"))
+      val tr = e.filter(col("b") < 50)
+      val cal = e.filter(col("b") >= 50 && col("b") < 75)
+      val te = e.filter(col("b") >= 75)
+      val med = groupedExactPercentiles(tr, "event_type", "v", Seq("m" -> 0.5))
+      val cs = cal.join(broadcast(med), Seq("event_type"))
+        .select(abs(col("v") - col("m")).as("sc"))
+      val cum = cumulativeValueCounts(cs, Nil, "sc")
+      val k = ceil((col("n") + 1) * lit(0.9))
+      val qh = cum.agg(max(col("n")).as("n_cal"),
+        min(when(col("cum") >= k, col("v"))).as("qhat"))
+      val cov = te.join(broadcast(med), Seq("event_type"))
+        .crossJoin(broadcast(qh))
+        .groupBy("n_cal", "qhat")
+        .agg(count(lit(1)).as("n_test"),
+          coalesce(sum(when(abs(col("v") - col("m")) <= col("qhat"), 1L)),
+            lit(0L)).as("ncov"))
+      tr.agg(count(lit(1)).as("n_train"))
+        .crossJoin(broadcast(cov))
+        .select(col("n_train"), col("n_cal"), col("n_test"),
+          round(col("qhat"), 6).as("qhat"),
+          round(col("ncov").cast("double") / col("n_test"), 6).as("coverage"),
+          (col("ncov").cast("double") / col("n_test") >= 0.88)
+            .as("covered_at_nominal"))
+    },
+
     "q_median_ci" -> { (s, d) =>
       val cum = cumulativeValueCounts(Tables.orders(s, d), Nil, "o_totalprice")
       val nD = col("n").cast("double")
@@ -2778,6 +2822,32 @@ object Analytics {
         |   * (CAST(nb AS DOUBLE) - CAST(na + nb AS DOUBLE) / 2.0)
         |   / (CAST(na + nb AS DOUBLE) / 2.0)) > 3.841459 AS srm_detected
         |FROM c""".stripMargin,
+    "q_conformal_coverage" ->
+      """WITH e AS (
+        | SELECT event_type, CAST(value AS DOUBLE) AS v,
+        |  CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4))
+        |   AS BIGINT) % 100 AS b
+        | FROM events WHERE value IS NOT NULL),
+        |tr AS (SELECT * FROM e WHERE b < 50),
+        |cal AS (SELECT * FROM e WHERE b >= 50 AND b < 75),
+        |te AS (SELECT * FROM e WHERE b >= 75),
+        |med AS (SELECT event_type, quantile_cont(v, 0.5) AS m
+        |        FROM tr GROUP BY 1),
+        |cs AS (SELECT abs(v - m) AS sc FROM cal JOIN med USING (event_type)),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cs),
+        |rk AS (SELECT sc, row_number() OVER (ORDER BY sc) AS rn FROM cs),
+        |qh AS (SELECT min(sc) AS qhat FROM rk, nn
+        |       WHERE rn >= CAST(ceil((n_cal + 1) * 0.9) AS BIGINT)),
+        |cov AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_test,
+        |  CAST(COALESCE(sum(CASE WHEN abs(v - m) <= qhat THEN 1 ELSE 0 END),
+        |   0) AS BIGINT) AS ncov
+        | FROM te JOIN med USING (event_type) CROSS JOIN qh)
+        |SELECT (SELECT count(*) FROM tr) AS n_train, nn.n_cal, cov.n_test,
+        | round((SELECT qhat FROM qh), 6) AS qhat,
+        | round(CAST(ncov AS DOUBLE) / n_test, 6) AS coverage,
+        | CAST(ncov AS DOUBLE) / n_test >= 0.88 AS covered_at_nominal
+        |FROM nn, cov""".stripMargin,
     "q_median_ci" ->
       """WITH v AS (
         | SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
