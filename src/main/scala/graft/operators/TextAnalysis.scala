@@ -669,6 +669,37 @@ object TextAnalysis {
         .orderBy(desc("freq"), col("token"))
         .limit(20)
     },
+    // VOCAB COVERAGE / OOV-RATE audit — the tokenizer-fit companion to
+    // q_tokenizer_fertility: fix the vocabulary at the corpus's top-V
+    // tokens (V=500, ties broken token-ascending) and report each
+    // source's out-of-vocabulary token ppm — the source whose oov_ppm
+    // runs hot is the one the tokenizer under-serves. The top-V selection
+    // runs on the native TopKPerKey exec over the token-count frame
+    // (map-side k-bounded heaps under a constant key — no vocab-sized
+    // sort, no unpartitioned window; a web-scale vocabulary never fits a
+    // single window task). The vocab then broadcasts into one anti-join-
+    // shaped counting pass (left join + null check, map-side combined).
+    "q_oov_rate" -> { (s, d) =>
+      // V=20 against this corpus's 31-token vocabulary so the OOV path is
+      // non-vacuous (V=32k against a real corpus; the knob, not the shape)
+      val v = 20
+      val tok = Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("token"))
+        .persistTracked()
+      val counts = tok.groupBy("token").agg(count(lit(1)).as("freq"))
+      val vocab = graft.plans.TopKPerKey.topKPerKey(
+          counts.withColumn("g", lit(1)), keys = Seq("g"),
+          order = Seq(("freq", false), ("token", true)), k = v)
+        .select(col("token"), lit(1).as("in_vocab"))
+      tok.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          coalesce(sum(when(col("in_vocab").isNull, 1L)), lit(0L))
+            .as("oov_tokens"))
+        .select(col("source"), col("n_tokens"), col("oov_tokens"),
+          expr("oov_tokens * 1000000 div n_tokens").as("oov_ppm"))
+        .orderBy("source")
+    },
     // TF-IDF term relevance over the corpus: summed tf-idf per term
     // collapses to total_tf(term) × idf(term), so after the per-doc tf
     // aggregate everything is term-cardinality-sized — two map-side-
@@ -1367,6 +1398,20 @@ object TextAnalysis {
         s"""SELECT token, count(*) AS freq
            |FROM (SELECT unnest(${tokensSql("text")}) AS token FROM documents)
            |GROUP BY 1 ORDER BY freq DESC, token LIMIT 20""".stripMargin,
+      "q_oov_rate" ->
+        s"""WITH tok AS (
+           | SELECT source, unnest(${tokensSql("text")}) AS token
+           | FROM documents),
+           |counts AS (SELECT token, count(*) AS freq FROM tok GROUP BY 1),
+           |vocab AS (SELECT token FROM counts
+           |          ORDER BY freq DESC, token LIMIT 20)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+           | CAST(COALESCE(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END),
+           |  0) AS BIGINT) AS oov_tokens,
+           | COALESCE(CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+           |  AS BIGINT), 0) * 1000000 // count(*) AS oov_ppm
+           |FROM tok LEFT JOIN vocab v USING (token)
+           |GROUP BY source ORDER BY source""".stripMargin,
       "q_tfidf_topk" ->
         s"""WITH tok AS (SELECT doc_id, unnest(${tokensSql("lower(text)")}) AS term
            |             FROM documents),
