@@ -191,6 +191,36 @@ class PlansSpec extends SparkSpec {
       s"funnel must not read unused doc columns:\n${funScans.mkString("\n")}")
   }
 
+  test("round-9 plans keep dictionary frames broadcast: DSIR model, OOV vocab") {
+    // the 256-bucket DSIR model and the top-V vocabulary must join as
+    // broadcasts — a sort-merge there shuffles the corpus-sized feature
+    // stream against a dictionary
+    val dsir = graft.operators.Curation.queries("q_dsir_weights")(spark, sfDir)
+    val dsirPlan = dsir.queryExecution.executedPlan.toString
+    assert(dsirPlan.contains("BroadcastHashJoin"), dsirPlan)
+    assert(!dsirPlan.contains("SortMergeJoin"), dsirPlan)
+    val oov = graft.operators.TextAnalysis.queries("q_oov_rate")(spark, sfDir)
+    val oovPlan = oov.queryExecution.executedPlan.toString
+    assert(oovPlan.contains("BroadcastHashJoin"), oovPlan)
+    assert(!oovPlan.contains("SortMergeJoin"), oovPlan)
+    assert(oovPlan.contains("TopKPerKey"), oovPlan) // vocab via the native exec
+  }
+
+  test("round-9 scans prune columns: substr dedup reads (doc_id, text) only") {
+    def readSchemas(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      "ReadSchema: struct<[^>]*>".r
+        .findAllIn(df.queryExecution.executedPlan.toString).toSeq
+    val sub = graft.operators.Dedup.queries("q_dedup_substr")(spark, sfDir)
+    val scans = readSchemas(sub).filter(_.contains("doc_id"))
+    assert(scans.nonEmpty && scans.forall(s =>
+      !s.contains("lang") && !s.contains("source") && !s.contains("n_chars")),
+      scans.mkString("\n"))
+    val ts = graft.operators.Curation.queries("q_temporal_split")(spark, sfDir)
+    val tsScans = readSchemas(ts).filter(_.contains("event_id"))
+    assert(tsScans.nonEmpty && tsScans.forall(!_.contains("event_type")),
+      tsScans.mkString("\n"))
+  }
+
   test("GraftExtensions installs the strategy at session boot (deployment path)") {
     val s2 = SparkSpec.session.newSession()
     new graft.functions.GraftExtensions().apply(
