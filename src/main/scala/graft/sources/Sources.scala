@@ -361,6 +361,31 @@ object Sources {
       .orderBy("l_returnflag")
   }
 
+  /** XML round-trip over Spark 4's NATIVE XML source (the spark-xml
+    * donation, built into spark-sql since 4.0 — no external connector):
+    * write a filtered region/nation join as row-tagged XML, read it back
+    * with an explicit schema, aggregate. DuckDB has no XML reader, so the
+    * oracle (like every roundtrip gate here) is the same aggregate off
+    * the original parquet — fidelity through the format IS the assertion.
+    * Scale posture: XML is a per-row text codec like CSV/JSONL; the scan
+    * parallelizes per file split and everything downstream is ordinary
+    * relational plan.
+    */
+  def xmlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = "/root/repo/target/scratch/xml_nation"
+    rmDir(path)
+    Tables.nation(s, d)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .write.option("rowTag", "nation").xml(path)
+    s.read
+      .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+      .option("rowTag", "nation").xml(path)
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("cnt"), min(col("n_name")).as("first_name"),
+        max(col("n_name")).as("last_name"))
+      .orderBy("n_regionkey")
+  }
+
   /** Order-independent table fingerprint: Σ of per-row md5-60 hashes over
     * a canonical column rendering (ints verbatim, the double money column
     * as exact CENTS, dates formatted) summed as exact DECIMAL — the
@@ -384,6 +409,7 @@ object Sources {
     "q_s1_csv_roundtrip" -> csvRoundtrip _,
     "q_csv_quoted" -> csvQuotedRoundtrip _,
     "q_orc_roundtrip" -> orcRoundtrip _,
+    "q_xml_roundtrip" -> xmlRoundtrip _,
     "q_s4_idempotent_write" -> idempotentWriteRoundtrip _,
     "q_jdbc_roundtrip" -> jdbcRoundtrip _,
     "q_jsonl_roundtrip" -> jsonlRoundtrip _,
@@ -405,6 +431,10 @@ object Sources {
         |   strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority)), 1, 15)
         |  AS BIGINT)) AS VARCHAR) AS fingerprint
         |FROM orders""".stripMargin,
+    "q_xml_roundtrip" ->
+      """SELECT n_regionkey, count(*) AS cnt,
+        | min(n_name) AS first_name, max(n_name) AS last_name
+        |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_orc_roundtrip" ->
       """SELECT l_returnflag, count(*) AS cnt,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
