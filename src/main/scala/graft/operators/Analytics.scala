@@ -1832,9 +1832,12 @@ object Analytics {
     "q_conformal_coverage" -> { (s, d) =>
       val bucket = conv(substring(md5(col("event_id").cast("string")), 1, 4),
         16, 10).cast("long") % 100
+      // persisted: the split frame feeds the predictor fit, n_train, the
+      // calibration scores, and the coverage pass — four consumers
       val e = Tables.events(s, d).filter(col("value").isNotNull)
         .select(col("event_type"), col("value").cast("double").as("v"),
           bucket.as("b"))
+        .persistTracked()
       val tr = e.filter(col("b") < 50)
       val cal = e.filter(col("b") >= 50 && col("b") < 75)
       val te = e.filter(col("b") >= 75)
