@@ -92,8 +92,59 @@ object Scd {
       .orderBy("c_custkey", "version")
   }
 
+  /** CDC CHANGELOG APPLY — the consumer side of change-data-capture (the
+    * Debezium/Delta-MERGE shape): given a base snapshot and an ordered
+    * changelog of (op ∈ I/U/D, key, payload, seq), produce the final
+    * table state — last writer per key wins, a trailing D tombstone
+    * removes the key, unseen keys pass through, new keys insert. The
+    * batch twin of q_stream_upsert, with DELETES (the case upsert alone
+    * never covers).
+    *
+    * Scale posture: the base rides the same union as the log (seq 0), so
+    * the whole apply is ONE per-key argmax — max(struct(seq, ...)) with
+    * map-side partial aggregation, no windows, no join, one shuffle at
+    * key cardinality. That is the "compact the changelog" job a lakehouse
+    * runs at any scale; ordering never funnels through a single task.
+    * Payload comparison never reaches the non-key struct fields (seq is
+    * unique per key by contract), so doubles in the payload can't wobble
+    * the argmax.
+    */
+  def cdcApply(all: DataFrame, keyCol: String): DataFrame =
+    all.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_versions"),
+        max(struct(col("seq"), col("op"), col("status"), col("price")))
+          .as("f"))
+      .filter(col("f.op") =!= "D")
+      .select(col(keyCol), col("f.status").as("final_status"),
+        col("f.price").cast("double").as("final_price"), col("n_versions"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_scd2_dim" -> scd2CustomerDim _
+    "q_scd2_dim" -> scd2CustomerDim _,
+    // planted changelog over orders: every 10th key updated (seq 1),
+    // every 100th then deleted (seq 2 — exercises update-then-delete
+    // ordering), 50 brand-new keys inserted; everyone else passes through
+    "q_cdc_merge" -> { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val base = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("price"),
+        lit(0L).as("seq"), lit("I").as("op"))
+      val upd = base.filter(col("k") % 10 === 0)
+        .select(col("k"), lit("X").as("status"),
+          (col("price") + 1000).cast(DecimalType(18, 2)).as("price"),
+          lit(1L).as("seq"), lit("U").as("op"))
+      val del = base.filter(col("k") % 100 === 0)
+        .select(col("k"), lit(null).cast("string").as("status"),
+          lit(null).cast(DecimalType(18, 2)).as("price"),
+          lit(2L).as("seq"), lit("D").as("op"))
+      val ins = base.filter(col("k") < 50)
+        .select((col("k") + 900000000L).as("k"), lit("N").as("status"),
+          lit(42.42).cast(DecimalType(18, 2)).as("price"),
+          lit(1L).as("seq"), lit("I").as("op"))
+      cdcApply(base.unionByName(upd).unionByName(del).unionByName(ins), "k")
+        .withColumnRenamed("k", "o_orderkey")
+        .orderBy("o_orderkey")
+    }
   )
 
   def oracles: Map[String, String] = Map(
@@ -116,6 +167,39 @@ object Scd {
         |       CAST(NULL AS INTEGER), true
         |FROM v2 LEFT JOIN v1 USING (c_custkey)
         |WHERE v1.c_custkey IS NULL OR v1.seg <> v2.seg
-        |ORDER BY c_custkey, version""".stripMargin
+        |ORDER BY c_custkey, version""".stripMargin,
+    "q_cdc_merge" ->
+      """WITH base AS (
+        | SELECT o_orderkey AS k, o_orderstatus AS status,
+        |  CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |  CAST(0 AS BIGINT) AS seq, 'I' AS op
+        | FROM orders),
+        |upd AS (
+        | SELECT k, 'X' AS status,
+        |  CAST(price + 1000 AS DECIMAL(18,2)) AS price,
+        |  CAST(1 AS BIGINT) AS seq, 'U' AS op
+        | FROM base WHERE k % 10 = 0),
+        |del AS (
+        | SELECT k, CAST(NULL AS VARCHAR) AS status,
+        |  CAST(NULL AS DECIMAL(18,2)) AS price,
+        |  CAST(2 AS BIGINT) AS seq, 'D' AS op
+        | FROM base WHERE k % 100 = 0),
+        |ins AS (
+        | SELECT k + 900000000 AS k, 'N' AS status,
+        |  CAST(42.42 AS DECIMAL(18,2)) AS price,
+        |  CAST(1 AS BIGINT) AS seq, 'I' AS op
+        | FROM base WHERE k < 50),
+        |allv AS (
+        | SELECT * FROM base UNION ALL SELECT * FROM upd
+        | UNION ALL SELECT * FROM del UNION ALL SELECT * FROM ins),
+        |r AS (
+        | SELECT k, status, price, op,
+        |  row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn,
+        |  CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n_versions
+        | FROM allv)
+        |SELECT k AS o_orderkey, status AS final_status,
+        | CAST(price AS DOUBLE) AS final_price, n_versions
+        |FROM r WHERE rn = 1 AND op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin
   )
 }
