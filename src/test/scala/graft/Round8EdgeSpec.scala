@@ -50,14 +50,14 @@ class Round8EdgeSpec extends SparkSpec {
     assert(!r.getAs[Double]("psi").isNaN && !r.getAs[Double]("psi").isInfinite)
   }
 
-  test("tier report on a dup-free corpus: all zeros, four rows") {
+  test("tier report on a dup-free corpus: all zeros, five rows") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon"),
       (2L, "one two three four five six"),
       (3L, "red green blue yellow purple")
     ).toDF("doc_id", "text")
     val rows = Dedup.dedupTierReport(docs).collect()
-    assert(rows.length == 4)
+    assert(rows.length == 5) // r9 adds the exact_substring tier
     rows.foreach { r =>
       assert(r.getLong(2) == 0 && r.getLong(3) == 0, r.toString)
     }
