@@ -146,6 +146,47 @@ object Evolution {
       .select(lit(l).as("l"), col("n_groups"), col("n_low_div_groups"),
         col("n_rows_at_risk"), col("min_diversity"))
 
+  /** t-CLOSENESS audit (Li, Li & Venkatasubramanian 2007): the third
+    * syntactic-privacy gate — a QI group can be large (k-anonymous) and
+    * diverse (l-diverse) and still leak when its sensitive-attribute
+    * DISTRIBUTION diverges from the table's ("this group skews heavily
+    * into the top balance bucket"). Per-group distance to the global
+    * distribution must stay ≤ t; for an unordered categorical sensitive
+    * attribute the paper's EMD reduces to total-variation distance
+    * 0.5·Σ_v |p_g(v) − p(v)|. Values absent from a group still
+    * contribute p(v), folded in closed form: TV = (1 + Σ_{v∈g}(|p_g−p|
+    * − p)) / 2 — so the join only ever touches observed (group, value)
+    * pairs.
+    *
+    * Float determinism: each per-value term rounds to 6dp DECIMAL before
+    * the order-independent per-group decimal sum (the q_lm_score fold);
+    * the p's are single double divisions of exact longs.
+    * Scale posture: every frame is (QI × value)-cardinality or smaller;
+    * the global value distribution is a broadcast dictionary.
+    */
+  def tCloseness(df0: DataFrame, quasi: Seq[String], vCol: String,
+                 t: Double): DataFrame = {
+    val gv = df0.groupBy((quasi :+ vCol).map(col): _*)
+      .agg(count(lit(1)).as("ngv"))
+    val g = gv.groupBy(quasi.map(col): _*).agg(sum(col("ngv")).as("ng"))
+    val vf = gv.groupBy(col(vCol)).agg(sum(col("ngv")).as("nv"))
+    val tot = vf.agg(sum(col("nv")).as("n"))
+    val pv = col("nv").cast("double") / col("n").cast("double")
+    val pgv = col("ngv").cast("double") / col("ng").cast("double")
+    val term = round(abs(pgv - pv) - pv, 6).cast(DecimalType(18, 6))
+    val perGroup = gv
+      .join(g, quasi)
+      .join(broadcast(vf.crossJoin(broadcast(tot))), Seq(vCol))
+      .select(quasi.map(col) :+ term.as("term"): _*)
+      .groupBy(quasi.map(col): _*)
+      .agg(((sum(col("term")).cast("double") + 1.0) / 2.0).as("tv"))
+    perGroup.agg(count(lit(1)).as("n_groups"),
+        coalesce(sum(when(col("tv") > t, 1L)), lit(0L)).as("n_violating"),
+        round(max(col("tv")), 6).as("max_tv"))
+      .select(lit(t).as("t"), col("n_groups"), col("n_violating"),
+        col("max_tv"))
+  }
+
   /** Differentially-private count release (Dwork et al. 2006): per-group
     * counts + Laplace(Δf/ε) noise, sensitivity 1 for a counting query.
     * Completes the privacy triple (k-anonymity, l-diversity, DP release):
@@ -432,6 +473,15 @@ object Evolution {
         Seq(col("c_nationkey"), col("c_mktsegment")),
         floor(col("c_acctbal") / 1000).cast("int"), l = 3)
     },
+    // same QI/sensitive frame as the k-anon and l-div gates: the three
+    // audits read one projection and answer three different leak models
+    "q_t_closeness" -> { (s, d) =>
+      tCloseness(
+        Tables.customer(s, d).select(col("c_nationkey").as("q1"),
+          col("c_mktsegment").as("q2"),
+          floor(col("c_acctbal") / 1000).cast("int").as("v")),
+        Seq("q1", "q2"), "v", t = 0.3)
+    },
     // Self-join on l_partkey: the classic "same part, all line pairs"
     // explosion shape — per-key counts are identical on both sides so
     // the estimate is Σ n_k², audited without materializing a single
@@ -636,6 +686,29 @@ object Evolution {
         | COALESCE(CAST(sum(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT), 0)
         |  AS n_risky_rows
         |FROM g""".stripMargin,
+    "q_t_closeness" ->
+      """WITH b AS (
+        | SELECT c_nationkey AS q1, c_mktsegment AS q2,
+        |  CAST(floor(c_acctbal / 1000) AS INTEGER) AS v
+        | FROM customer),
+        |gv AS (SELECT q1, q2, v, CAST(count(*) AS BIGINT) AS ngv
+        |       FROM b GROUP BY 1, 2, 3),
+        |g AS (SELECT q1, q2, CAST(sum(ngv) AS BIGINT) AS ng
+        |      FROM gv GROUP BY 1, 2),
+        |vf AS (SELECT v, CAST(sum(ngv) AS BIGINT) AS nv FROM gv GROUP BY 1),
+        |n AS (SELECT CAST(sum(nv) AS BIGINT) AS n FROM vf),
+        |terms AS (
+        | SELECT q1, q2,
+        |  CAST(round(abs(CAST(ngv AS DOUBLE) / ng - CAST(nv AS DOUBLE) / n)
+        |    - CAST(nv AS DOUBLE) / n, 6) AS DECIMAL(18,6)) AS term
+        | FROM gv JOIN g USING (q1, q2) JOIN vf USING (v) CROSS JOIN n),
+        |pg AS (SELECT q1, q2, (CAST(sum(term) AS DOUBLE) + 1.0) / 2.0 AS tv
+        |       FROM terms GROUP BY 1, 2)
+        |SELECT CAST(0.3 AS DOUBLE) AS t, CAST(count(*) AS BIGINT) AS n_groups,
+        | CAST(COALESCE(sum(CASE WHEN tv > 0.3 THEN 1 ELSE 0 END), 0)
+        |  AS BIGINT) AS n_violating,
+        | round(max(tv), 6) AS max_tv
+        |FROM pg""".stripMargin,
     "q_encoding_audit" -> {
       val cols = Seq("l_returnflag", "l_linestatus", "l_shipdate",
         "l_partkey", "l_orderkey")
