@@ -79,6 +79,45 @@ object Multimodal {
       mediaTable(s, d).select("media_id", "mime", "n_bytes", "checksum")
         .orderBy("media_id")
     },
+    // BINARY-CONTENT EXACT DEDUP — the first tier of every image/media
+    // curation stack: byte-identical payloads collapse by content digest
+    // BEFORE any decode runs (the expensive perceptual tiers only see
+    // digest survivors). Fixture: two crawl "sources" on disk whose blob
+    // sets overlap on 8 files (srcB re-hosts srcA's first 8), read back
+    // through the real distributed binaryFile source; the report is the
+    // duplicated digest groups with copy and source counts — the
+    // cross-source overlap a crawler dedups on. Scale posture: digests
+    // flow (16-byte md5 + path-derived metadata), never payloads, into
+    // one map-side-combined groupBy at content cardinality.
+    "q_mm_dedup" -> { (s, d) =>
+      val root = "/root/repo/target/scratch/mm_blobs"
+      graft.sources.Sources.rmDir(root)
+      val rows = Tables.documents(s, d).filter(col("doc_id") < 24)
+        .select("doc_id", "text").collect()
+      def put(src: String, id: Long, text: String): Unit = {
+        val p = java.nio.file.Paths.get(root, src, f"doc_$id%05d.bin")
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p, text.getBytes("UTF-8")): Unit
+      }
+      rows.foreach { r =>
+        val (id, t) = (r.getLong(0), r.getString(1))
+        if (id < 20) put("srcA", id, t)
+        if (id < 8 || id >= 20) put("srcB", id, t)
+      }
+      s.read.format("binaryFile").option("pathGlobFilter", "*.bin")
+        .option("recursiveFileLookup", "true").load(root)
+        .select(
+          regexp_extract(col("path"), "(srcA|srcB)", 1).as("msrc"),
+          regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+            .cast("long").as("doc_id"),
+          md5(col("content")).as("digest"))
+        .groupBy("digest")
+        .agg(count(lit(1)).as("n_copies"),
+          countDistinct(col("msrc")).as("n_sources"),
+          min(col("doc_id")).as("min_doc"))
+        .filter(col("n_copies") > 1)
+        .orderBy("min_doc")
+    },
     // ViT PATCH-GRID TOKENIZATION PLAN — the vision-token budgeting math
     // every VLM training pipeline runs before mixing images into a token
     // stream: per image, the 16×16 patch grid (⌈w/16⌉·⌈h/16⌉ vision
@@ -186,6 +225,20 @@ object Multimodal {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_mm_dedup" ->
+      """WITH blobs AS (
+        | SELECT doc_id, 'srcA' AS msrc, md5(text) AS digest
+        | FROM documents WHERE doc_id < 20
+        | UNION ALL
+        | SELECT doc_id, 'srcB', md5(text) FROM documents WHERE doc_id < 8
+        | UNION ALL
+        | SELECT doc_id, 'srcB', md5(text) FROM documents
+        | WHERE doc_id >= 20 AND doc_id < 24)
+        |SELECT digest, CAST(count(*) AS BIGINT) AS n_copies,
+        | CAST(count(DISTINCT msrc) AS BIGINT) AS n_sources,
+        | min(doc_id) AS min_doc
+        |FROM blobs GROUP BY digest HAVING count(*) > 1
+        |ORDER BY min_doc""".stripMargin,
     "q_mm_metadata" ->
       """SELECT doc_id AS media_id, 'text/plain' AS mime,
         | octet_length(encode(text)) AS n_bytes, md5(text) AS checksum

@@ -286,7 +286,7 @@ object Sources {
       .withColumn("compacted", lit(after < before))
   }
 
-  private def rmDir(path: String): Unit = {
+  private[graft] def rmDir(path: String): Unit = {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete(): Unit
