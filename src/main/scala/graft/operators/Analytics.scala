@@ -822,6 +822,39 @@ object Analytics {
           / (col("na") + col("nb")).cast("double")), 6).as("ks_stat"))
   }
 
+  /** Wasserstein-1 over the KS spine (see q_wasserstein_drift's comment
+    * for semantics; shares ksTest's null handling and slice contract).
+    */
+  def wasserstein1(df: DataFrame, valueCol: Column,
+                   inSliceA: Column): DataFrame = {
+    val v = valueCol.cast("long")
+    val cnts = df.select(v.as("v"), inSliceA.as("ga"))
+      .filter(col("v").isNotNull && col("ga").isNotNull)
+      .groupBy("v")
+      .agg(sum(when(col("ga"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("ga"), 0L).otherwise(1L)).as("cb"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val fa = sum(col("ca")).over(w).cast("double") /
+      sum(col("ca")).over(tot).cast("double")
+    val fb = sum(col("cb")).over(w).cast("double") /
+      sum(col("cb")).over(tot).cast("double")
+    // last spine value has no Δv: lead is null, the term drops from the
+    // sum on both engines
+    val dv = (lead(col("v"), 1).over(Window.orderBy("v")) - col("v"))
+      .cast("double")
+    cnts
+      .select(col("v"),
+        round(abs(fa - fb) * dv, 6).cast(DecimalType(18, 6)).as("term"),
+        sum(col("ca")).over(tot).as("na"), sum(col("cb")).over(tot).as("nb"))
+      .groupBy("na", "nb")
+      .agg(sum(col("term")).as("w1d"))
+      .select(col("na"), col("nb"),
+        coalesce(col("w1d").cast("double"), lit(0.0)).as("w1"))
+  }
+
   /** Per-group simple OLS of a monthly series on its month index —
     * slope/intercept/R² in closed form from the exact integer moments
     * (x = calendar month number, y = revenue CENTS, so n·Σxy, Σx·Σy,
@@ -2249,6 +2282,19 @@ object Analytics {
     "q_ks_test" -> { (s, d) =>
       ksTest(Tables.documents(s, d), length(col("text")), col("lang") === "en")
     },
+    // WASSERSTEIN-1 (earth mover's) distance between the same two slices
+    // the KS test compares — the drift metric that weighs HOW FAR mass
+    // moved, not just the worst CDF gap (a small shift of all mass and a
+    // large shift of a sliver can tie on KS; W1 separates them). For 1-D
+    // empirical CDFs, W1 = Σ over the merged value spine of
+    // Δv·|F_A − F_B| — the KS cumulative frame with the sup replaced by
+    // a decimal-folded integral (6dp terms, order-independent sum).
+    // Same scale posture as KS: everything lives on the distinct-value
+    // spine; the fact pass is one map-side-combined groupBy.
+    "q_wasserstein_drift" -> { (s, d) =>
+      wasserstein1(Tables.documents(s, d), length(col("text")),
+        col("lang") === "en")
+    },
 
     // Closed-form modeling layer on top of the test pack.
     // Is revenue trending, per market segment? (exact-moment OLS)
@@ -3278,6 +3324,34 @@ object Analytics {
         | CAST(l + h.h * b AS DOUBLE) / 100.0 AS forecast
         |FROM f CROSS JOIN (SELECT unnest(range(1, 8)) AS h) h
         |ORDER BY h""".stripMargin,
+    "q_wasserstein_drift" ->
+      """WITH v AS (
+        | SELECT CAST(length(text) AS BIGINT) AS v, (lang = 'en') AS ga
+        | FROM documents
+        | WHERE length(text) IS NOT NULL AND (lang = 'en') IS NOT NULL),
+        |c AS (
+        | SELECT v, sum(CASE WHEN ga THEN 1 ELSE 0 END) AS ca,
+        |  sum(CASE WHEN ga THEN 0 ELSE 1 END) AS cb
+        | FROM v GROUP BY 1),
+        |cum AS (
+        | SELECT v,
+        |  sum(ca) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+        |  sum(cb) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+        |  CAST(sum(ca) OVER () AS BIGINT) AS na,
+        |  CAST(sum(cb) OVER () AS BIGINT) AS nb,
+        |  lead(v) OVER (ORDER BY v) AS nv
+        | FROM c),
+        |t AS (
+        | SELECT na, nb,
+        |  CAST(round(abs(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
+        |    - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |    * CAST(nv - v AS DOUBLE), 6) AS DECIMAL(18,6)) AS term
+        | FROM cum WHERE nv IS NOT NULL)
+        |SELECT na, nb,
+        | COALESCE(CAST(sum(term) AS DOUBLE), 0.0) AS w1
+        |FROM t GROUP BY 1, 2""".stripMargin,
     "q_ks_test" ->
       """WITH v AS (
         | SELECT CAST(length(text) AS BIGINT) AS v, (lang = 'en') AS ga
