@@ -444,6 +444,91 @@ object NativeExpressions {
     }
   }
 
+  /** Jaro-Winkler interpreted core shared by eval and generated code
+    * (the match/transposition scan is the hot loop either way). Semantics
+    * pinned AGAINST DUCKDB's jaro_winkler_similarity (probed, and gated
+    * in Round9Spec + the q_jaro_match oracle): match window
+    * ⌊max(|a|,|b|)/2⌋−1, zero when either side is empty or no characters
+    * match, transpositions = mismatched aligned pairs / 2, Winkler boost
+    * min(prefix,4)·0.1·(1−jaro) applied ONLY when jaro > 0.7.
+    */
+  object JaroWinklerUtil {
+    def jw(ua: UTF8String, ub: UTF8String): Double =
+      jwStr(ua.toString, ub.toString)
+
+    def jwStr(a: String, b: String): Double = {
+      val la = a.length; val lb = b.length
+      if (la == 0 || lb == 0) return 0.0
+      val window = math.max(math.max(la, lb) / 2 - 1, 0)
+      val ma = new Array[Boolean](la); val mb = new Array[Boolean](lb)
+      var m = 0
+      var i = 0
+      while (i < la) {
+        val lo = math.max(0, i - window)
+        val hi = math.min(lb - 1, i + window)
+        var j = lo
+        var found = false
+        while (j <= hi && !found) {
+          if (!mb(j) && a.charAt(i) == b.charAt(j)) {
+            ma(i) = true; mb(j) = true; m += 1; found = true
+          }
+          j += 1
+        }
+        i += 1
+      }
+      if (m == 0) return 0.0
+      var t = 0; var k = 0
+      i = 0
+      while (i < la) {
+        if (ma(i)) {
+          while (!mb(k)) k += 1
+          if (a.charAt(i) != b.charAt(k)) t += 1
+          k += 1
+        }
+        i += 1
+      }
+      val md = m.toDouble
+      val jaro = (md / la + md / lb + (md - t / 2.0) / md) / 3.0
+      if (jaro <= 0.7) jaro
+      else {
+        var l = 0
+        val maxP = math.min(4, math.min(la, lb))
+        while (l < maxP && a.charAt(l) == b.charAt(l)) l += 1
+        jaro + l * 0.1 * (1.0 - jaro)
+      }
+    }
+  }
+
+  /** jaro_winkler(a, b) over strings — the similarity DuckDB ships
+    * natively and Spark lacks (levenshtein is the only built-in edit
+    * metric): typo-tolerant entity matching weighs shared prefixes, the
+    * empirically right prior for names/codes. Codegen'd via the shared
+    * static core so it rides whole-stage codegen next to levenshtein in
+    * the q_fuzzy_match family's candidate verify.
+    */
+  case class JaroWinkler(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val ok = Seq(left, right).forall(_.dataType == StringType)
+      if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"jaro_winkler expects string inputs, got ${left.dataType}, ${right.dataType}")
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      JaroWinklerUtil.jw(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val util = JaroWinklerUtil.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $util.jw($a, $b);")
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): JaroWinkler =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Identity wrapper marking a value for per-expression optimizer
     * rewrites ([[graft.plans.ApproxDistinctRewrite]] matches
     * `count(DISTINCT approx_hint(x))`). Pure passthrough in eval AND
@@ -505,6 +590,9 @@ object NativeExpressions {
     reg.createOrReplaceTempFunction("approx_hint",
       (children: Seq[Expression]) => ApproxHint(children.head),
       "built-in")
+    reg.createOrReplaceTempFunction("jaro_winkler",
+      (children: Seq[Expression]) => JaroWinkler(children(0), children(1)),
+      "built-in")
   }
 
   /** Column-API entry points. */
@@ -541,6 +629,9 @@ object NativeExpressions {
   def tokenHashesMd5(spark: SparkSession, toks: Column): Column = {
     register(spark); call_function("token_hashes_md5", toks)
   }
+  def jaroWinkler(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark); call_function("jaro_winkler", a, b)
+  }
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` installs the
@@ -561,6 +652,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("approx_hint"),
       new ExpressionInfo(NativeExpressions.ApproxHint.getClass.getName, "approx_hint"),
       (children: Seq[Expression]) => NativeExpressions.ApproxHint(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(NativeExpressions.JaroWinkler.getClass.getName, "jaro_winkler"),
+      (children: Seq[Expression]) =>
+        NativeExpressions.JaroWinkler(children(0), children(1))))
     // lands in the operator-optimization batches — before Catalyst's own
     // RewriteDistinctAggregates, so count(DISTINCT) is still intact when
     // the rule pattern-matches (see ApproxDistinctRewrite's scaladoc).

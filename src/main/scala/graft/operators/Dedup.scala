@@ -1520,6 +1520,31 @@ object Dedup {
         .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
         .filter(col("dist") <= 2)
         .orderBy("name_a", "name_b")
+    },
+    // The prefix-weighted twin of q_fuzzy_match: same blocked candidate
+    // generation, verified with the native codegen'd JARO-WINKLER
+    // expression (functions/NativeExpressions.JaroWinkler) instead of
+    // levenshtein — the metric that rewards shared prefixes, pinned
+    // byte-for-byte against DuckDB's jaro_winkler_similarity (same
+    // window, transposition, empty-input and >0.7-boost semantics;
+    // Round9Spec holds the probe values). Rounded to 6dp on both sides.
+    "q_jaro_match" -> { (s, d) =>
+      val names = Tables.part(s, d)
+        .select(lower(col("p_name")).as("name")).distinct()
+      def blocked(key: org.apache.spark.sql.Column) = {
+        val b = names.withColumn("blk", key)
+        b.select(col("blk"), col("name").as("name_a"))
+          .join(b.select(col("blk"), col("name").as("name_b")), Seq("blk"))
+          .filter(col("name_a") < col("name_b"))
+          .select("name_a", "name_b")
+      }
+      blocked(substring(col("name"), 1, 3))
+        .unionByName(blocked(substring(col("name"), -3, 3)))
+        .distinct()
+        .withColumn("jw", round(graft.functions.NativeExpressions
+          .jaroWinkler(s, col("name_a"), col("name_b")), 6))
+        .filter(col("jw") >= 0.93)
+        .orderBy("name_a", "name_b")
     }
   )
 
@@ -2234,6 +2259,23 @@ object Dedup {
         |FROM ents e JOIN replab rl USING (name)
         | JOIN reps cr ON rl.cluster_id = cr.rep_id
         |ORDER BY e.id""".stripMargin,
+    "q_jaro_match" ->
+      """WITH names AS (SELECT DISTINCT lower(p_name) AS name FROM part),
+        |pre AS (SELECT a.name AS name_a, b.name AS name_b
+        |        FROM names a JOIN names b
+        |          ON substr(a.name, 1, 3) = substr(b.name, 1, 3)
+        |         AND a.name < b.name),
+        |suf AS (SELECT a.name AS name_a, b.name AS name_b
+        |        FROM names a JOIN names b
+        |          ON substr(a.name, length(a.name) - 2, 3) =
+        |             substr(b.name, length(b.name) - 2, 3)
+        |         AND a.name < b.name),
+        |cand AS (SELECT * FROM pre UNION SELECT * FROM suf)
+        |SELECT name_a, name_b,
+        | round(jaro_winkler_similarity(name_a, name_b), 6) AS jw
+        |FROM cand
+        |WHERE round(jaro_winkler_similarity(name_a, name_b), 6) >= 0.93
+        |ORDER BY name_a, name_b""".stripMargin,
     "q_fuzzy_match" ->
       """WITH names AS (SELECT DISTINCT lower(p_name) AS name FROM part),
         |pre AS (SELECT a.name AS name_a, b.name AS name_b

@@ -76,6 +76,36 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("JaroWinkler matches DuckDB's jaro_winkler_similarity on probe values") {
+    // probed from duckdb 1.0 (10dp): the pins cover matching, window
+    // exclusion (ab/ba), transpositions, the >0.7 boost threshold (the
+    // 0.5556 cases stay UNboosted), prefix capping at 4, and empties
+    val pins = Seq(
+      ("martha", "marhta", 0.9611111111),
+      ("dixon", "dicksonx", 0.8133333333),
+      ("duane", "dwayne", 0.84),
+      ("abc", "abc", 1.0),
+      ("", "abc", 0.0),
+      ("", "", 0.0),
+      ("ab", "ba", 0.0),
+      ("crane", "caren", 0.88),
+      ("appel", "applet", 0.9144444444),
+      ("abcdxx", "abyyyy", 0.5555555556),
+      ("aaaaaa", "aabbbb", 0.5555555556),
+      ("ab", "abcdefghij", 0.7866666667))
+    pins.foreach { case (a, b, want) =>
+      val got = graft.functions.NativeExpressions.JaroWinklerUtil.jwStr(a, b)
+      assert(math.abs(got - want) < 1e-9, s"jw($a, $b) = $got, want $want")
+    }
+    // expression path (eval + codegen) agrees with the static core
+    val df = pins.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .select(graft.functions.NativeExpressions
+        .jaroWinkler(spark, col("a"), col("b")).as("jw"))
+    assert(df.collect().map(_.getDouble(0)).toSeq ==
+      pins.map { case (a, b, _) =>
+        graft.functions.NativeExpressions.JaroWinklerUtil.jwStr(a, b) })
+  }
+
   test("Kll boundaries give balanced equi-depth buckets on a skewed distribution") {
     val k = 256
     val nb = 16
