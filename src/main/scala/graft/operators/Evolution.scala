@@ -473,6 +473,39 @@ object Evolution {
         Seq(col("c_nationkey"), col("c_mktsegment")),
         floor(col("c_acctbal") / 1000).cast("int"), l = 3)
     },
+    // KEYED PSEUDONYMIZATION with a measured referential-integrity gate:
+    // user ids become keyed-hash tokens (md5(secret ∥ id) — the MAC-class
+    // construction; like the DP seed, the fixture secret exists only so
+    // the oracle can replay, a deployment injects a KMS secret). The two
+    // properties a pseudonymized release must PROVE, measured not
+    // assumed: (1) injectivity on this corpus — token collisions merge
+    // distinct users' histories, so n_tokens must equal n_users;
+    // (2) referential integrity — per-user event counts survive the
+    // mapping exactly (the multiset of group sizes is invariant), checked
+    // as equality of the size-histogram fingerprints before/after.
+    // Scale: two group-bys at user cardinality; the histogram compare is
+    // a dictionary-sized decimal fold.
+    "q_pseudonymize" -> { (s, d) =>
+      val tok = md5(concat(lit("pseud:"), col("user_id").cast("string")))
+      val ev = Tables.events(s, d).select(col("user_id"), tok.as("token"))
+      val pre = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+      val post = ev.groupBy("token").agg(count(lit(1)).as("n"))
+      def hist(df: DataFrame) = df.groupBy("n")
+        .agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(col("n") * col("n") * col("c")), lit(0L)).as("fp"),
+          count(lit(1)).as("nsz"))
+      val a = pre.agg(count(lit(1)).as("n_users"))
+        .crossJoin(broadcast(post.agg(count(lit(1)).as("n_tokens"))))
+        .crossJoin(broadcast(hist(pre).select(col("fp").as("fp_pre"),
+          col("nsz").as("nsz_pre"))))
+        .crossJoin(broadcast(hist(post).select(col("fp").as("fp_post"),
+          col("nsz").as("nsz_post"))))
+      a.select(col("n_users"), col("n_tokens"),
+        (col("n_users") === col("n_tokens")).as("injective"),
+        (col("fp_pre") === col("fp_post") &&
+          col("nsz_pre") === col("nsz_post")).as("histogram_preserved"))
+    },
+
     // same QI/sensitive frame as the k-anon and l-div gates: the three
     // audits read one projection and answer three different leak models
     "q_t_closeness" -> { (s, d) =>
@@ -686,6 +719,25 @@ object Evolution {
         | COALESCE(CAST(sum(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT), 0)
         |  AS n_risky_rows
         |FROM g""".stripMargin,
+    "q_pseudonymize" ->
+      """WITH ev AS (
+        | SELECT user_id,
+        |  md5('pseud:' || CAST(user_id AS VARCHAR)) AS token
+        | FROM events),
+        |pre AS (SELECT user_id, count(*) AS n FROM ev GROUP BY 1),
+        |post AS (SELECT token, count(*) AS n FROM ev GROUP BY 1),
+        |ha AS (SELECT CAST(COALESCE(sum(n * n * c), 0) AS BIGINT) AS fp,
+        |  CAST(count(*) AS BIGINT) AS nsz FROM (
+        |   SELECT n, count(*) AS c FROM pre GROUP BY 1)),
+        |hb AS (SELECT CAST(COALESCE(sum(n * n * c), 0) AS BIGINT) AS fp,
+        |  CAST(count(*) AS BIGINT) AS nsz FROM (
+        |   SELECT n, count(*) AS c FROM post GROUP BY 1))
+        |SELECT (SELECT count(*) FROM pre) AS n_users,
+        | (SELECT count(*) FROM post) AS n_tokens,
+        | (SELECT count(*) FROM pre) = (SELECT count(*) FROM post)
+        |  AS injective,
+        | (ha.fp = hb.fp AND ha.nsz = hb.nsz) AS histogram_preserved
+        |FROM ha, hb""".stripMargin,
     "q_t_closeness" ->
       """WITH b AS (
         | SELECT c_nationkey AS q1, c_mktsegment AS q2,
