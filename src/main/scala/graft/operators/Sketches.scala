@@ -135,6 +135,49 @@ object Sketches {
             col("exact_users").cast("double") * 0.05).as("within_tol"))
         .orderBy("event_type")
     },
+    // CROSS-LOAD QUANTILE SKETCH STORE — the q_hll_incremental pattern
+    // for quantiles, closing the symmetry the KLL family was built for:
+    // load 1's per-type KLL states persist to a compact parquet store
+    // (one array<array<double>> row per key); load 2 builds its own
+    // sketches and unions them with the store — full-corpus quantile
+    // estimates without ever rescanning load 1. Gated per type with the
+    // exact-rank contract over BOTH loads (exact medians from the
+    // grouped X4 frame; the sketch's rank guarantee is merge-order-
+    // independent, so re-loading from parquet cannot weaken it).
+    "q_kll_incremental" -> { (s, d) =>
+      val kllB = udaf(new graft.functions.KllAggregator(512),
+        org.apache.spark.sql.Encoders.scalaDouble)
+      val kllU = udaf(new graft.functions.KllMergeAggregator(512),
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[Seq[Seq[Double]]]())
+      val est = udf((sk: Seq[Seq[Double]]) =>
+        graft.functions.Kll.quantile(sk, 0.5))
+      val ev = Tables.events(s, d)
+        .select(col("event_type").as("grp"),
+          col("value").cast("double").as("x"), col("event_id"))
+      val storePath = "/root/repo/target/scratch/kll_store"
+      ev.filter(col("event_id") % 2 === 0)
+        .groupBy("grp").agg(kllB(col("x")).as("sk"))
+        .write.mode("overwrite").parquet(storePath)
+      val merged = ev.filter(col("event_id") % 2 =!= 0)
+        .groupBy("grp").agg(kllB(col("x")).as("sk"))
+        .unionByName(s.read.parquet(storePath))
+        .groupBy("grp").agg(kllU(col("sk")).as("sk"))
+        .select(col("grp"), est(col("sk")).as("e"))
+      val base = ev.select("grp", "x")
+      val rank = base.join(broadcast(merged), Seq("grp"))
+        .groupBy("grp", "e")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("x") < col("e"), 1L).otherwise(0L)).as("lt"),
+          sum(when(col("x") <= col("e"), 1L).otherwise(0L)).as("le"))
+      val tolc = (col("lt") <= lit(0.52) * col("n")) &&
+        (col("le") >= lit(0.48) * col("n"))
+      Analytics.groupedExactPercentiles(base, "grp", "x",
+          Seq("exact_p50" -> 0.5))
+        .join(rank, Seq("grp"))
+        .select(col("grp"), col("exact_p50"), tolc.as("within_tol"))
+        .orderBy("grp")
+    },
     // Exact ≥1%-frequency tokens over the corpus (k=100): the tokenizer /
     // vocabulary-pruning primitive, shaped for columns whose distinct
     // count dwarfs executor memory.
@@ -426,6 +469,11 @@ object Sketches {
         | TRUE AS within_tol_p10, TRUE AS within_tol_p50,
         | TRUE AS within_tol_p90
         |FROM lineitem""".stripMargin,
+    "q_kll_incremental" ->
+      """SELECT event_type AS grp,
+        | quantile_cont(CAST(value AS DOUBLE), 0.5) AS exact_p50,
+        | TRUE AS within_tol
+        |FROM events GROUP BY 1 ORDER BY grp""".stripMargin,
     "q_kll_rollup" ->
       """SELECT event_type AS grp,
         | quantile_cont(CAST(value AS DOUBLE), 0.5) AS exact_p50,
