@@ -639,6 +639,31 @@ object Curation {
         .orderBy("split")
     },
 
+    // GROUP-AWARE K-FOLD — the cross-validation generalization of
+    // q_group_split: fold = md5-bucket of the USER (k=5), so every
+    // user's history lives in exactly one fold (GroupKFold semantics).
+    // Measured, not assumed: users_spanning must be 0 per fold, and the
+    // balance columns expose the hash split's actual evenness (CV
+    // variance estimates assume near-equal folds; a skewed hash would
+    // silently widen them). Frames after the distinct are
+    // user-cardinality; one fact pass for event counts.
+    "q_group_kfold" -> { (s, d) =>
+      val k = 5
+      val fold = (conv(substring(md5(col("user_id").cast("string")), 1, 4),
+        16, 10).cast("long") % k).cast("int")
+      val ev = Tables.events(s, d).select(col("user_id"), fold.as("fold"))
+      val us = ev.distinct()
+      val perUser = us.groupBy("user_id").agg(count(lit(1)).as("n_folds"))
+      val users = us.join(perUser, Seq("user_id"))
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n_users"),
+          coalesce(sum(when(col("n_folds") > 1, 1L)), lit(0L))
+            .as("users_spanning"))
+      ev.groupBy("fold").agg(count(lit(1)).as("n_events"))
+        .join(users, Seq("fold"))
+        .orderBy("fold")
+    },
+
     // GROUP-AWARE SPLIT — the leakage-safe train/val/test split: the
     // unit of assignment is the USER, not the event, so no user's
     // history straddles splits (the GroupShuffleSplit contract; an
@@ -990,6 +1015,22 @@ object Curation {
         | FROM us JOIN pu USING (user_id) GROUP BY 1)
         |SELECT split, n_events, future_leaks, n_users, users_spanning
         |FROM per_split JOIN u USING (split) ORDER BY split""".stripMargin,
+    "q_group_kfold" ->
+      """WITH ev AS (
+        | SELECT user_id,
+        |  CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))
+        |   AS BIGINT) % 5 AS INTEGER) AS fold
+        | FROM events),
+        |us AS (SELECT DISTINCT user_id, fold FROM ev),
+        |pu AS (SELECT user_id, count(*) AS n_folds FROM us GROUP BY 1),
+        |u AS (
+        | SELECT fold, count(*) AS n_users,
+        |  COALESCE(CAST(sum(CASE WHEN n_folds > 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT), 0) AS users_spanning
+        | FROM us JOIN pu USING (user_id) GROUP BY 1),
+        |e AS (SELECT fold, count(*) AS n_events FROM ev GROUP BY 1)
+        |SELECT fold, n_events, n_users, users_spanning
+        |FROM e JOIN u USING (fold) ORDER BY fold""".stripMargin,
     "q_group_split" ->
       """WITH ev AS (
         | SELECT user_id, CASE
