@@ -2282,6 +2282,46 @@ object Analytics {
     "q_ks_test" -> { (s, d) =>
       ksTest(Tables.documents(s, d), length(col("text")), col("lang") === "en")
     },
+    // METRIC DIAGNOSIS / root-cause contribution (the Adtributor shape —
+    // Bhagwan et al., NSDI 2014): a dashboard moved between two periods;
+    // for each segment of a dimension, report how much of the TOTAL
+    // delta it explains (EP = segment delta / total delta, signed — a
+    // segment moving against the trend gets a negative EP) and how
+    // SURPRISING its mix shift is (per-segment Jensen-Shannon term
+    // between the period-share distributions: a big but proportional
+    // segment is unsurprising; a small segment that doubled is). Periods
+    // = first vs second half of the month, metric = Σ value by
+    // event_type. All inputs are exact DECIMAL cent sums; the JS/EP
+    // terms are per-ROW double expressions of those exact sums (no
+    // cross-row float accumulation), rounded at 6dp on both engines.
+    // Scale posture: one fact pass to a (dimension × 2)-cardinality
+    // frame; totals broadcast back as scalars.
+    "q_metric_attribution" -> { (s, d) =>
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("event_type"),
+          (dayofmonth(col("ts")) <= 15).as("pa"),
+          (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+            .as("cents"))
+      val seg = ev.groupBy("event_type")
+        .agg(coalesce(sum(when(col("pa"), col("cents"))), lit(0L)).as("ca"),
+          coalesce(sum(when(!col("pa"), col("cents"))), lit(0L)).as("cb"))
+      val tot = seg.agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
+      val p = col("ca").cast("double") / col("ta").cast("double")
+      val q = col("cb").cast("double") / col("tb").cast("double")
+      val js = lit(0.5) * (
+        when(p === 0.0, 0.0).otherwise(p * log2(lit(2.0) * p / (p + q))) +
+          when(q === 0.0, 0.0).otherwise(q * log2(lit(2.0) * q / (p + q))))
+      seg.crossJoin(broadcast(tot))
+        .select(col("event_type"),
+          (col("ca").cast("double") / 100.0).as("va"),
+          (col("cb").cast("double") / 100.0).as("vb"),
+          ((col("cb") - col("ca")).cast("double") / 100.0).as("delta"),
+          round((col("cb") - col("ca")).cast("double") /
+            (col("tb") - col("ta")).cast("double"), 6).as("ep"),
+          round(js, 6).as("surprise"))
+        .orderBy("event_type")
+    },
+
     // WASSERSTEIN-1 (earth mover's) distance between the same two slices
     // the KS test compares — the drift metric that weighs HOW FAR mass
     // moved, not just the worst CDF gap (a small shift of all mass and a
@@ -3324,6 +3364,32 @@ object Analytics {
         | CAST(l + h.h * b AS DOUBLE) / 100.0 AS forecast
         |FROM f CROSS JOIN (SELECT unnest(range(1, 8)) AS h) h
         |ORDER BY h""".stripMargin,
+    "q_metric_attribution" ->
+      """WITH e AS (
+        | SELECT event_type, day(ts) <= 15 AS pa,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        | FROM events WHERE value IS NOT NULL),
+        |seg AS (
+        | SELECT event_type,
+        |  CAST(COALESCE(sum(CASE WHEN pa THEN cents END), 0) AS BIGINT) AS ca,
+        |  CAST(COALESCE(sum(CASE WHEN NOT pa THEN cents END), 0) AS BIGINT) AS cb
+        | FROM e GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS ta,
+        |        CAST(sum(cb) AS BIGINT) AS tb FROM seg)
+        |SELECT event_type,
+        | CAST(ca AS DOUBLE) / 100.0 AS va,
+        | CAST(cb AS DOUBLE) / 100.0 AS vb,
+        | CAST(cb - ca AS DOUBLE) / 100.0 AS delta,
+        | round(CAST(cb - ca AS DOUBLE) / CAST(tb - ta AS DOUBLE), 6) AS ep,
+        | round(0.5 * (
+        |  CASE WHEN ca = 0 THEN 0.0 ELSE
+        |   (CAST(ca AS DOUBLE) / ta) * log2(2.0 * (CAST(ca AS DOUBLE) / ta)
+        |    / (CAST(ca AS DOUBLE) / ta + CAST(cb AS DOUBLE) / tb)) END +
+        |  CASE WHEN cb = 0 THEN 0.0 ELSE
+        |   (CAST(cb AS DOUBLE) / tb) * log2(2.0 * (CAST(cb AS DOUBLE) / tb)
+        |    / (CAST(ca AS DOUBLE) / ta + CAST(cb AS DOUBLE) / tb)) END), 6)
+        |  AS surprise
+        |FROM seg CROSS JOIN tot ORDER BY event_type""".stripMargin,
     "q_wasserstein_drift" ->
       """WITH v AS (
         | SELECT CAST(length(text) AS BIGINT) AS v, (lang = 'en') AS ga
