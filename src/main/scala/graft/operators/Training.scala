@@ -137,7 +137,72 @@ object Training {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  // ===== Bradley–Terry preference strength =====
+
+  /** Bradley–Terry strength fit (Bradley & Terry 1952; the Zermelo/MM
+    * fixed point, Hunter 2004) over pairwise preference duels — the
+    * standard readout for RLHF preference data: given (i beats j) counts,
+    * recover per-item strengths π with π_i ∝ W_i / Σ_j n_ij/(π_i+π_j).
+    *
+    * Duels here are derived deterministically from the corpus: within
+    * each language, each source's docs are ranked by doc_id, and
+    * rank-matched docs of every source pair duel on n_chars (ties go to
+    * the lexicographically lower source). This is the "which source
+    * produces longer documents, all else blocked" tournament — the same
+    * blocked-comparison shape a human-preference table would load into.
+    *
+    * Exact replayability: strengths are fixed-point Longs (10^6 units);
+    * every update term — n·S² div (π_i+π_j), W·S² div D — is integer
+    * division, so DuckDB replays all rounds bit-for-bit (the q_pagerank
+    * pattern). A shut-out source is clamped to strength ≥ 1 so later
+    * denominators never hit 0/0.
+    *
+    * Scale posture: duel generation is one shuffle (rank-matched
+    * equi-join on (lang, rank) — per-slot fan-out bounded at C(k,2) for
+    * k sources); the aggregated duel matrix is k²-cardinality and the
+    * strength frame k-cardinality — broadcast-class frames from there,
+    * so the 3 fixed-point rounds cost k²-row joins, not corpus passes.
+    */
+  def btStrength(docs: DataFrame, iters: Int = 3): DataFrame = {
+    import graft.CacheScope.TrackedDataset
+    val S2 = "1000000000000L" // (10^6 strength units) squared
+    val ranked = docs.select(col("lang"), col("source"), col("n_chars"),
+      row_number().over(
+        Window.partitionBy("lang", "source").orderBy("doc_id")).as("rn"))
+    val duelAgg = ranked.as("a").join(ranked.as("b"),
+        col("a.lang") === col("b.lang") && col("a.rn") === col("b.rn") &&
+          col("a.source") < col("b.source"))
+      .select(col("a.source").as("si"), col("b.source").as("sj"),
+        when(col("a.n_chars") >= col("b.n_chars"), 1L).otherwise(0L)
+          .as("wa"))
+      .groupBy("si", "sj").agg(count(lit(1)).as("n"), sum("wa").as("w"))
+    val dir = duelAgg
+      .select(col("si").as("i"), col("sj").as("j"), col("n"), col("w"))
+      .unionAll(duelAgg.select(col("sj").as("i"), col("si").as("j"),
+        col("n"), (col("n") - col("w")).as("w")))
+      .persistTracked()
+    val wins = dir.groupBy("i")
+      .agg(sum("w").as("tw"), sum("n").as("tn")).persistTracked()
+    var p = wins.select(col("i").as("s"), lit(1000000L).as("p"))
+    for (_ <- 1 to iters) {
+      val denom = dir
+        .join(p.select(col("s").as("i"), col("p").as("pi")), Seq("i"))
+        .join(p.select(col("s").as("j"), col("p").as("pj")), Seq("j"))
+        .groupBy("i")
+        .agg(sum(expr(s"(n * $S2) div (pi + pj)")).as("dd"))
+      p = wins.join(denom, Seq("i"))
+        .select(col("i").as("s"),
+          greatest(expr(s"(tw * $S2) div dd"), lit(1L)).as("p"))
+    }
+    wins.join(p, wins("i") === p("s"))
+      .select(col("i").as("source"), col("tn").as("duels"),
+        col("tw").as("wins"), col("p").as("strength"))
+      .orderBy(desc("strength"), col("source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Bradley–Terry source-strength tournament over rank-matched duels.
+    "q_bt_strength" -> { (s, d) => btStrength(Tables.documents(s, d)) },
     // Concat-and-chunk packing of the documents table: 512-token budget,
     // 8 shards. Returns the per-pack contract rows.
     "q_pack_sequences" -> { (s, d) =>
@@ -284,7 +349,48 @@ object Training {
   private def intDotSql(a: String, b: String) =
     s"list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2]))"
 
+  /** One DuckDB Bradley–Terry round (replays the Spark fixed-point
+    * update exactly: BIGINT-valued floors; `//` = integer division).
+    */
+  private def btIterSql(t: Int): String = {
+    val prev = s"p${t - 1}"
+    s"""p$t AS (
+       | SELECT w.i AS s,
+       |  greatest((w.tw * 1000000000000) // t.dd, 1) AS p
+       | FROM wins w JOIN (
+       |  SELECT d.i, sum((d.n * 1000000000000) // (pi.p + pj.p)) AS dd
+       |  FROM dir d JOIN $prev pi ON d.i = pi.s
+       |   JOIN $prev pj ON d.j = pj.s
+       |  GROUP BY 1) t ON w.i = t.i)""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_bt_strength" -> {
+      val iters = (1 to 3).map(btIterSql).mkString(",\n")
+      s"""WITH ranked AS (
+         | SELECT lang, source, n_chars,
+         |  row_number() OVER (PARTITION BY lang, source ORDER BY doc_id)
+         |   AS rn
+         | FROM documents),
+         |duel AS (
+         | SELECT a.source AS si, b.source AS sj,
+         |  CASE WHEN a.n_chars >= b.n_chars THEN 1 ELSE 0 END AS wa
+         | FROM ranked a JOIN ranked b
+         |  ON a.lang = b.lang AND a.rn = b.rn AND a.source < b.source),
+         |agg AS (
+         | SELECT si, sj, count(*) AS n, sum(wa) AS w FROM duel
+         | GROUP BY 1, 2),
+         |dir AS (
+         | SELECT si AS i, sj AS j, n, w FROM agg
+         | UNION ALL SELECT sj, si, n, n - w FROM agg),
+         |wins AS (SELECT i, sum(w) AS tw, sum(n) AS tn FROM dir GROUP BY 1),
+         |p0 AS (SELECT i AS s, CAST(1000000 AS BIGINT) AS p FROM wins),
+         |$iters
+         |SELECT w.i AS source, CAST(w.tn AS BIGINT) AS duels,
+         | CAST(w.tw AS BIGINT) AS wins, CAST(p.p AS BIGINT) AS strength
+         |FROM wins w JOIN p3 p ON w.i = p.s
+         |ORDER BY strength DESC, source""".stripMargin
+    },
     "q_pack_boundaries" ->
       s"""WITH toks AS (
          | SELECT doc_id, $tokensSql AS n_tokens, doc_id % 8 AS shard

@@ -163,4 +163,35 @@ class Round9Spec extends SparkSpec {
     assert(spans.agg(min(col("span_tokens")), max(col("span_tokens")))
       .collect()(0) .toSeq === Seq(10, 10))
   }
+
+  test("btStrength recovers the 3:1 closed-form ratio for two sources") {
+    // a beats b in 3 of 4 rank-matched duels. Two-item Bradley–Terry has
+    // the closed form π_a/π_b = W_a/W_b = 3, and the fixed point is
+    // reached after one round (then stationary) — so the fixed-point
+    // integer replay must land the ratio exactly.
+    val docs = Seq(
+      (1L, "en", "a", 100L), (2L, "en", "a", 100L),
+      (3L, "en", "a", 100L), (4L, "en", "a", 10L),
+      (11L, "en", "b", 50L), (12L, "en", "b", 50L),
+      (13L, "en", "b", 50L), (14L, "en", "b", 50L))
+      .toDF("doc_id", "lang", "source", "n_chars")
+    val r = operators.Training.btStrength(docs).collect()
+    val byS = r.map(x => x.getString(0) -> x.getLong(3)).toMap
+    assert(byS("a") === 3L * byS("b"))
+    assert(r.map(_.getString(0)).toSeq === Seq("a", "b")) // strength order
+  }
+
+  test("btStrength clamps a shut-out source to strength 1, not 0/0") {
+    // c loses every duel (tw = 0) → the raw update is 0; the clamp keeps
+    // it at 1 so round-2 denominators π_i + π_c never divide by zero.
+    val docs = Seq(
+      (1L, "en", "a", 100L), (2L, "en", "a", 100L),
+      (11L, "en", "b", 50L), (12L, "en", "b", 90L),
+      (21L, "en", "c", 1L), (22L, "en", "c", 1L))
+      .toDF("doc_id", "lang", "source", "n_chars")
+    val r = operators.Training.btStrength(docs).collect()
+    val byS = r.map(x => x.getString(0) -> x.getLong(3)).toMap
+    assert(byS("c") === 1L)
+    assert(byS("a") > byS("b") && byS("b") > byS("c"))
+  }
 }
