@@ -300,7 +300,52 @@ object Curation {
       .orderBy("stage_order")
   }
 
+  /** Cohen's kappa inter-annotator agreement (Cohen 1960) between two
+    * deterministic heuristic labelers over the corpus, per source plus a
+    * pooled ALL row — the labeling-pipeline QA readout: raw agreement
+    * (po) is inflated by chance; kappa subtracts the agreement two
+    * INDEPENDENT raters with these marginals would reach (pe). Here
+    * rater A = `n_chars ≥ 280`, rater B = `token count ≥ 45` — two
+    * correlated-but-distinct length heuristics, the same shape as two
+    * model-graders scoring the same docs. Degenerate slices (pe = 1,
+    * both raters constant) yield null kappa, not a divide error.
+    *
+    * Scale posture: one corpus pass to a source-cardinality frame of
+    * exact counts (map-side combined); po/pe/kappa are per-ROW double
+    * expressions of those exact counts — no cross-row float work, no
+    * window, no second pass. The pooled row reuses the per-source
+    * counts (no rescan).
+    */
+  def cohenKappa(docs: DataFrame): DataFrame = {
+    val cell = docs.filter(col("source").isNotNull)
+      .select(col("source"),
+        (col("n_chars") >= 280L).cast("int").as("a"),
+        (TextAnalysis.tokenCount(col("text")) >= 45).cast("int").as("b"))
+    val perSrc = cell.groupBy("source").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("agree"),
+      sum("a").as("na1"), sum("b").as("nb1"))
+    val pooled = perSrc
+      .agg(sum("n").as("n"), sum("agree").as("agree"),
+        sum("na1").as("na1"), sum("nb1").as("nb1"))
+      .select(lit("ALL").as("source"), col("n"), col("agree"),
+        col("na1"), col("nb1"))
+    val nD = col("n").cast("double")
+    val po = col("agree").cast("double") / nD
+    val p1 = col("na1").cast("double") / nD
+    val p2 = col("nb1").cast("double") / nD
+    val pe = p1 * p2 + (lit(1.0) - p1) * (lit(1.0) - p2)
+    perSrc.unionByName(pooled)
+      .select(col("source"), col("n"),
+        round(po, 6).as("po"), round(pe, 6).as("pe"),
+        when(pe === 1.0, lit(null).cast("double"))
+          .otherwise(round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+      .orderBy("source")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Inter-annotator agreement between the two length heuristics.
+    "q_cohen_kappa" -> { (s, d) => cohenKappa(Tables.documents(s, d)) },
     // The per-source datasheet row (volume, shape, language, dup rate).
     "q_data_card" -> { (s, d) => dataCard(Tables.documents(s, d)) },
 
@@ -741,6 +786,34 @@ object Curation {
       s"CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':$sh'), 1, 13) AS BIGINT) * 16 + $sh"
     }.mkString("greatest(", ", ", ") % 16")
     Map(
+    "q_cohen_kappa" ->
+      s"""WITH cell AS (
+         | SELECT source,
+         |  CASE WHEN n_chars >= 280 THEN 1 ELSE 0 END AS a,
+         |  CASE WHEN len(${TextAnalysis.tokensSql("text")}) >= 45
+         |       THEN 1 ELSE 0 END AS b
+         | FROM documents WHERE source IS NOT NULL),
+         |per AS (
+         | SELECT source, count(*) AS n,
+         |  sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree,
+         |  sum(a) AS na1, sum(b) AS nb1
+         | FROM cell GROUP BY 1),
+         |uni AS (
+         | SELECT source, n, agree, na1, nb1 FROM per
+         | UNION ALL
+         | SELECT 'ALL', sum(n), sum(agree), sum(na1), sum(nb1) FROM per),
+         |r AS (
+         | SELECT source, CAST(n AS BIGINT) AS n,
+         |  CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+         |  CAST(na1 AS DOUBLE) / CAST(n AS DOUBLE) AS p1,
+         |  CAST(nb1 AS DOUBLE) / CAST(n AS DOUBLE) AS p2
+         | FROM uni)
+         |SELECT source, n, round(po, 6) AS po,
+         | round(p1 * p2 + (1 - p1) * (1 - p2), 6) AS pe,
+         | CASE WHEN p1 * p2 + (1 - p1) * (1 - p2) = 1 THEN NULL
+         |  ELSE round((po - (p1 * p2 + (1 - p1) * (1 - p2)))
+         |   / (1 - (p1 * p2 + (1 - p1) * (1 - p2))), 6) END AS kappa
+         |FROM r ORDER BY source""".stripMargin,
     "q_skyline" ->
       s"""WITH d AS (
          | SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS a,
