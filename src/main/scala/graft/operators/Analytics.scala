@@ -1520,6 +1520,75 @@ object Analytics {
         .as("var_reduction_pct"))
   }
 
+  /** Post-stratification adjusted lift (the survey-sampling estimator
+    * applied to experiment readouts; Miratrix et al. 2013): the pooled
+    * treatment−control conversion difference is re-estimated as the
+    * stratum-size-weighted sum of WITHIN-stratum differences, removing
+    * the covariate imbalance a finite random split leaves behind.
+    * Stratum = the user's pre-period activity bucket (events in the
+    * first half-window, the q_cuped covariate convention); outcome =
+    * post-period purchase; arm = the family's md5 user split. Returns
+    * one row per stratum plus `pooled` (unadjusted) and
+    * `post_stratified` (adjusted) rows in the same schema.
+    *
+    * Exactness: all counts are integers; rates are per-row double
+    * expressions of them. The adjusted rates/lift are sums over the
+    * (tiny) stratum frame — folded as 6dp DECIMAL terms so the sum is
+    * order-independent across engines (the q_wasserstein_drift fold).
+    * A stratum missing an arm yields null rates and drops from the
+    * adjusted fold on both engines (sum skips nulls) rather than
+    * poisoning the estimate.
+    *
+    * Scale posture: one fact pass to a user-keyed aggregate (map-side
+    * combined, bounded by user cardinality), then stratum-cardinality
+    * frames (broadcast-class) for everything else; the half-window
+    * boundary is one broadcast scalar. No windows, no second fact pass.
+    */
+  def postStrat(events: DataFrame): DataFrame = {
+    import graft.CacheScope.TrackedDataset
+    val ev = events.select(col("user_id"),
+      datediff(to_date(col("ts")), lit("1970-01-01")).as("day"),
+      col("event_type"))
+    val mid = ev.agg(((min(col("day")) + max(col("day"))) / 2)
+      .cast("long").as("mid"))
+    val arm = when(
+      conv(substring(md5(col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 2 === 0, "control").otherwise("treatment")
+    val per = ev.crossJoin(broadcast(mid)).groupBy("user_id").agg(
+      sum(when(col("day") <= col("mid"), 1L).otherwise(0L)).as("pre"),
+      max(when(col("event_type") === "purchase" && col("day") > col("mid"),
+        1L).otherwise(0L)).as("y"))
+    val st = per.select(col("y"), arm.as("arm"),
+        when(col("pre") <= 28, "pre_low").when(col("pre") <= 36, "pre_mid")
+          .otherwise("pre_top").as("stratum"))
+      .groupBy("stratum").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("arm") === "control", 1L).otherwise(0L)).as("nc"),
+        sum(when(col("arm") === "control", col("y")).otherwise(0L)).as("xc"),
+        sum(when(col("arm") === "treatment", 1L).otherwise(0L)).as("nt"),
+        sum(when(col("arm") === "treatment", col("y")).otherwise(0L)).as("xt"))
+      .persistTracked()
+    val rc = col("xc").cast("double") / col("nc").cast("double")
+    val rt = col("xt").cast("double") / col("nt").cast("double")
+    def row(scope: Column, df: DataFrame) = df.select(scope.as("scope"),
+      col("n").as("n_users"), round(rc, 6).as("rate_c"),
+      round(rt, 6).as("rate_t"), round(rt - rc, 6).as("lift"))
+    val strata = row(col("stratum"), st)
+    val tot = st.agg(sum("n").as("n"), sum("nc").as("nc"),
+      sum("xc").as("xc"), sum("nt").as("nt"), sum("xt").as("xt"))
+    val pooled = row(lit("pooled"), tot)
+    val totN = tot.select(col("n").as("tn"))
+    val w = col("n").cast("double") / col("tn").cast("double")
+    def fold(e: Column) = sum(round(w * e, 6).cast(DecimalType(18, 6)))
+      .cast("double")
+    val adjusted = st.crossJoin(broadcast(totN))
+      .agg(max(col("tn")).as("n_users"), fold(rc).as("rate_c"),
+        fold(rt).as("rate_t"), fold(rt - rc).as("lift"))
+      .select(lit("post_stratified").as("scope"), col("n_users"),
+        col("rate_c"), col("rate_t"), col("lift"))
+    strata.unionByName(pooled).unionByName(adjusted).orderBy("scope")
+  }
+
   /** Kaplan-Meier fold over an events frame (see q_kaplan_meier): spans
     * ending on the corpus boundary are right-censored; the product folds
     * as a cumulative DECIMAL sum of 6dp ln terms on the duration spine.
@@ -1614,6 +1683,8 @@ object Analytics {
     // cast to double once, so every division is IEEE-identical across
     // engines (the q_partial_corr convention).
     "q_cuped" -> { (s, d) => cuped(Tables.events(s, d)) },
+    // Post-stratification adjusted lift (strata + pooled + adjusted rows).
+    "q_post_strat" -> { (s, d) => postStrat(Tables.events(s, d)) },
     // RFM SEGMENTATION (Hughes 1994; the classic CRM cube): per-user
     // Recency / Frequency / Monetary, quartile-scored 1..4 through the
     // distributed exact-percentile engine (quantile_cont parity, the
@@ -3004,6 +3075,67 @@ object Analytics {
         |  / (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0) * 100.0, 6)
         |  AS mde_rel_pct
         |FROM m""".stripMargin,
+    "q_post_strat" ->
+      """WITH e AS (
+        | SELECT user_id,
+        |  datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |  event_type
+        | FROM events),
+        |m AS (SELECT CAST(floor((min(day) + max(day)) / 2.0) AS BIGINT)
+        |       AS mid FROM e),
+        |p AS (
+        | SELECT user_id,
+        |  sum(CASE WHEN day <= mid THEN 1 ELSE 0 END) AS pre,
+        |  max(CASE WHEN event_type = 'purchase' AND day > mid
+        |      THEN 1 ELSE 0 END) AS y
+        | FROM e, m GROUP BY 1),
+        |lab AS (
+        | SELECT y,
+        |  CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+        |    1, 4)) AS BIGINT) % 2 = 0 THEN 'control'
+        |   ELSE 'treatment' END AS arm,
+        |  CASE WHEN pre <= 28 THEN 'pre_low' WHEN pre <= 36 THEN 'pre_mid'
+        |   ELSE 'pre_top' END AS stratum
+        | FROM p),
+        |st AS (
+        | SELECT stratum, count(*) AS n,
+        |  sum(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) AS nc,
+        |  sum(CASE WHEN arm = 'control' THEN y ELSE 0 END) AS xc,
+        |  sum(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END) AS nt,
+        |  sum(CASE WHEN arm = 'treatment' THEN y ELSE 0 END) AS xt
+        | FROM lab GROUP BY 1),
+        |tot AS (
+        | SELECT sum(n) AS n, sum(nc) AS nc, sum(xc) AS xc,
+        |  sum(nt) AS nt, sum(xt) AS xt FROM st),
+        |r AS (
+        | SELECT stratum AS scope, CAST(n AS BIGINT) AS n_users,
+        |  CAST(xc AS DOUBLE) / CAST(nc AS DOUBLE) AS rc,
+        |  CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE) AS rt
+        | FROM st
+        | UNION ALL
+        | SELECT 'pooled', CAST(n AS BIGINT),
+        |  CAST(xc AS DOUBLE) / CAST(nc AS DOUBLE),
+        |  CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE)
+        | FROM tot),
+        |adj AS (
+        | SELECT 'post_stratified' AS scope,
+        |  (SELECT CAST(n AS BIGINT) FROM tot) AS n_users,
+        |  CAST(sum(CAST(round(CAST(s.n AS DOUBLE) / CAST(t.n AS DOUBLE)
+        |   * (CAST(s.xc AS DOUBLE) / CAST(s.nc AS DOUBLE)), 6)
+        |   AS DECIMAL(18,6))) AS DOUBLE) AS rate_c,
+        |  CAST(sum(CAST(round(CAST(s.n AS DOUBLE) / CAST(t.n AS DOUBLE)
+        |   * (CAST(s.xt AS DOUBLE) / CAST(s.nt AS DOUBLE)), 6)
+        |   AS DECIMAL(18,6))) AS DOUBLE) AS rate_t,
+        |  CAST(sum(CAST(round(CAST(s.n AS DOUBLE) / CAST(t.n AS DOUBLE)
+        |   * (CAST(s.xt AS DOUBLE) / CAST(s.nt AS DOUBLE)
+        |      - CAST(s.xc AS DOUBLE) / CAST(s.nc AS DOUBLE)), 6)
+        |   AS DECIMAL(18,6))) AS DOUBLE) AS lift
+        | FROM st s, tot t)
+        |SELECT scope, n_users, round(rc, 6) AS rate_c,
+        | round(rt, 6) AS rate_t, round(rt - rc, 6) AS lift FROM r
+        |UNION ALL
+        |SELECT scope, n_users, rate_c, rate_t, lift FROM adj
+        |ORDER BY scope""".stripMargin,
     "q_cuped" ->
       """WITH e AS (
         | SELECT user_id,
