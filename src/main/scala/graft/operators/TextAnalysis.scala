@@ -481,6 +481,45 @@ object TextAnalysis {
       .orderBy(idCol)
   }
 
+  /** RELIABILITY DIAGRAM + expected calibration error (Naeini et al.
+    * 2015 for ECE; the standard companion readout to
+    * [[isotonicCalibrate]]): equal-width bins over a [0,1] score, and
+    * per bin the mean predicted score vs the empirical positive rate —
+    * their gap is the miscalibration at that confidence level, and
+    * ECE = Σ (n_b/N)·gap_b summarizes it in one number.
+    *
+    * Exactness: scores arrive 2dp-rounded, so the per-bin score sum is
+    * an exact DECIMAL (no float accumulation); mean/rate/gap are per-row
+    * double expressions of exact sums. ECE folds 6dp decimal terms over
+    * the ≤`bins`-row frame (order-independent). Bin index floor(s·bins)
+    * is double math — identical IEEE rounding on both engines.
+    *
+    * Scale posture: one corpus pass to a `bins`-cardinality frame
+    * (map-side combined); N and ECE are broadcast scalars back onto it.
+    */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+                      bins: Int = 10): DataFrame = {
+    val per = df.select(
+        least(floor(col(scoreCol) * bins).cast("int"), lit(bins - 1))
+          .as("bin"),
+        col(scoreCol).cast(DecimalType(18, 2)).as("s"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("s").as("ss"), sum("y").as("sy"))
+    val ms = col("ss").cast("double") / col("n").cast("double")
+    val fp = col("sy").cast("double") / col("n").cast("double")
+    val gap = abs(fp - ms)
+    val tot = per.agg(sum("n").as("nt"))
+    val withT = per.crossJoin(broadcast(tot))
+    val ece = withT.agg(
+      sum(round(col("n").cast("double") / col("nt").cast("double") * gap, 6)
+        .cast(DecimalType(18, 6))).cast("double").as("ece"))
+    withT.select(col("bin"), col("n"), round(ms, 6).as("mean_score"),
+        round(fp, 6).as("frac_pos"), round(gap, 6).as("gap"))
+      .crossJoin(broadcast(ece))
+      .orderBy("bin")
+  }
+
   /** Distributed ISOTONIC REGRESSION (pool-adjacent-violators; Barlow et
     * al. 1972, Best & Chakravarti 1990) for score calibration: given a
     * score column and a binary label, fit the monotone-non-decreasing
@@ -609,6 +648,15 @@ object TextAnalysis {
     // pooling; the planted textbook case lives in Round9Spec. rate is the
     // raw per-level label rate; fitted is the PAVA repair (non-decreasing
     // by construction, equal to rate wherever already monotone).
+    // Reliability diagram + ECE over the same score/label pair the
+    // isotonic fit calibrates — the before-picture its repair targets.
+    "q_calibration_bins" -> { (s, d) =>
+      calibrationBins(
+        Tables.documents(s, d).select(
+          round(stopwordRatio(col("text")), 2).as("q"),
+          (col("lang") === "en").cast("int").as("label")),
+        "q", "label")
+    },
     "q_isotonic_calibrate" -> { (s, d) =>
       isotonicCalibrate(
         Tables.documents(s, d).select(
@@ -1293,6 +1341,30 @@ object TextAnalysis {
         s"SELECT doc_id, round($quality, 2) AS quality FROM documents ORDER BY doc_id",
       // PAVA via the max-min closed form over prefix sums — block
       // averages are ratios of exact BIGINT sums, one double division
+      "q_calibration_bins" ->
+        s"""WITH base AS (
+           | SELECT round($stopRatio, 2) AS q,
+           |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+           | FROM documents),
+           |per AS (
+           | SELECT CAST(least(CAST(floor(q * 10) AS INTEGER), 9)
+           |   AS INTEGER) AS bin,
+           |  count(*) AS n, sum(CAST(q AS DECIMAL(18,2))) AS ss,
+           |  sum(label) AS sy
+           | FROM base GROUP BY 1),
+           |tot AS (SELECT sum(n) AS nt FROM per),
+           |g AS (
+           | SELECT bin, CAST(n AS BIGINT) AS n,
+           |  CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) AS ms,
+           |  CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS fp,
+           |  CAST(n AS DOUBLE) / CAST(t.nt AS DOUBLE) AS w
+           | FROM per, tot t),
+           |e AS (
+           | SELECT CAST(sum(CAST(round(w * abs(fp - ms), 6)
+           |  AS DECIMAL(18,6))) AS DOUBLE) AS ece FROM g)
+           |SELECT bin, n, round(ms, 6) AS mean_score,
+           | round(fp, 6) AS frac_pos, round(abs(fp - ms), 6) AS gap, ece
+           |FROM g, e ORDER BY bin""".stripMargin,
       "q_isotonic_calibrate" ->
         s"""WITH base AS (
            | SELECT round($stopRatio, 2) AS x,
