@@ -1520,6 +1520,65 @@ object Analytics {
         .as("var_reduction_pct"))
   }
 
+  /** SIMPSON'S-PARADOX REVERSAL DETECTOR (Simpson 1951; the aggregation
+    * trap every dashboard comparison is exposed to): compares a metric
+    * between two cohorts both POOLED and WITHIN each stratum, and flags
+    * strata whose effect direction opposes the pooled direction — the
+    * signature of a confounded comparison (cohort mix differing across
+    * strata). Here: mean order value, segment `segA` vs `segB`,
+    * stratified by order priority. `opposes_pooled` is the per-stratum
+    * flag; a report where every stratum opposes the pooled row is the
+    * full paradox (exercised with planted data in Round9Spec — the
+    * natural corpus is too uniform to reverse).
+    *
+    * Exactness: means are exact cent sums over exact counts, one double
+    * division per cell; the sign test multiplies two such doubles —
+    * no float accumulation anywhere.
+    *
+    * Scale posture: one fact pass (orders ⋈ customer on custkey — the
+    * dim side filtered to two segments before the join, so AQE
+    * broadcast-plans it at warehouse scale) down to a
+    * stratum-cardinality count frame; the pooled row and its diff are
+    * broadcast scalars re-joined onto that frame. No windows.
+    */
+  def simpsonCheck(orders: DataFrame, customer: DataFrame,
+                   segA: String = "AUTOMOBILE",
+                   segB: String = "BUILDING"): DataFrame = {
+    import graft.CacheScope.TrackedDataset
+    val j = orders.select(col("o_custkey"),
+        col("o_orderpriority").as("stratum"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")
+          .as("cents"))
+      .join(customer.select(col("c_custkey"), col("c_mktsegment"))
+        .filter(col("c_mktsegment").isin(segA, segB)),
+        col("o_custkey") === col("c_custkey"))
+    val isA = col("c_mktsegment") === segA
+    val per = j.groupBy("stratum").agg(
+        sum(when(isA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(isA, col("cents")).otherwise(0L)).as("sa"),
+        sum(when(!isA, 1L).otherwise(0L)).as("n_b"),
+        sum(when(!isA, col("cents")).otherwise(0L)).as("sb"))
+      .persistTracked()
+    val pooled = per.agg(sum("n_a").as("n_a"), sum("sa").as("sa"),
+        sum("n_b").as("n_b"), sum("sb").as("sb"))
+      .select(lit("pooled").as("stratum"), col("n_a"), col("sa"),
+        col("n_b"), col("sb"))
+    val ma = col("sa").cast("double") / col("n_a").cast("double") / 100.0
+    val mb = col("sb").cast("double") / col("n_b").cast("double") / 100.0
+    val all = per.unionByName(pooled)
+      .select(col("stratum"), col("n_a"), col("n_b"),
+        ma.as("ma"), mb.as("mb"))
+    val pd = all.filter(col("stratum") === "pooled")
+      .select((col("ma") - col("mb")).as("pooled_diff"))
+    all.crossJoin(broadcast(pd))
+      .select(col("stratum"), col("n_a"), col("n_b"),
+        round(col("ma"), 6).as("mean_a"), round(col("mb"), 6).as("mean_b"),
+        round(col("ma") - col("mb"), 6).as("diff"),
+        ((col("ma") - col("mb")) * col("pooled_diff") < 0)
+          .as("opposes_pooled"))
+      .orderBy("stratum")
+  }
+
   /** Post-stratification adjusted lift (the survey-sampling estimator
     * applied to experiment readouts; Miratrix et al. 2013): the pooled
     * treatment−control conversion difference is re-estimated as the
@@ -1685,6 +1744,11 @@ object Analytics {
     "q_cuped" -> { (s, d) => cuped(Tables.events(s, d)) },
     // Post-stratification adjusted lift (strata + pooled + adjusted rows).
     "q_post_strat" -> { (s, d) => postStrat(Tables.events(s, d)) },
+    // Simpson's-paradox audit: segment A vs B mean order value, pooled
+    // and per priority stratum, with the direction-reversal flag.
+    "q_simpson_check" -> { (s, d) =>
+      simpsonCheck(Tables.orders(s, d), Tables.customer(s, d))
+    },
     // RFM SEGMENTATION (Hughes 1994; the classic CRM cube): per-user
     // Recency / Frequency / Monetary, quartile-scored 1..4 through the
     // distributed exact-percentile engine (quantile_cont parity, the
@@ -3075,6 +3139,37 @@ object Analytics {
         |  / (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0) * 100.0, 6)
         |  AS mde_rel_pct
         |FROM m""".stripMargin,
+    "q_simpson_check" ->
+      """WITH j AS (
+        | SELECT o_orderpriority AS stratum,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |   AS cents,
+        |  c_mktsegment = 'AUTOMOBILE' AS ia
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        | WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')),
+        |per AS (
+        | SELECT stratum,
+        |  sum(CASE WHEN ia THEN 1 ELSE 0 END) AS n_a,
+        |  sum(CASE WHEN ia THEN cents ELSE 0 END) AS sa,
+        |  sum(CASE WHEN ia THEN 0 ELSE 1 END) AS n_b,
+        |  sum(CASE WHEN ia THEN 0 ELSE cents END) AS sb
+        | FROM j GROUP BY 1),
+        |uni AS (
+        | SELECT stratum, n_a, sa, n_b, sb FROM per
+        | UNION ALL
+        | SELECT 'pooled', sum(n_a), sum(sa), sum(n_b), sum(sb) FROM per),
+        |g AS (
+        | SELECT stratum, CAST(n_a AS BIGINT) AS n_a,
+        |  CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0 AS ma,
+        |  CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0 AS mb
+        | FROM uni),
+        |pd AS (SELECT ma - mb AS pooled_diff FROM g
+        |       WHERE stratum = 'pooled')
+        |SELECT stratum, n_a, n_b, round(ma, 6) AS mean_a,
+        | round(mb, 6) AS mean_b, round(ma - mb, 6) AS diff,
+        | (ma - mb) * pooled_diff < 0 AS opposes_pooled
+        |FROM g, pd ORDER BY stratum""".stripMargin,
     "q_post_strat" ->
       """WITH e AS (
         | SELECT user_id,

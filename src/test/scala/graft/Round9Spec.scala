@@ -181,6 +181,31 @@ class Round9Spec extends SparkSpec {
     assert(r.map(_.getString(0)).toSeq === Seq("a", "b")) // strength order
   }
 
+  test("simpsonCheck flags the full reversal on the textbook planted mix") {
+    // Segment A concentrates in the high-value stratum, B in the low-value
+    // one. WITHIN both strata B's mean is higher (diff = -1), but pooled,
+    // A's mean is ~98 vs B's ~7 — the full Simpson reversal: every stratum
+    // row must carry opposes_pooled = true, the pooled row false.
+    val orders =
+      ((1 to 1).map(i => (100L + i, "LOW", 5.0)) ++        // A: 1 low @5
+        (1 to 99).map(i => (200L + i, "LOW", 6.0)) ++      // B: 99 low @6
+        (1 to 99).map(i => (300L + i, "HIGH", 99.0)) ++    // A: 99 high @99
+        (1 to 1).map(i => (400L + i, "HIGH", 100.0)))      // B: 1 high @100
+        .toDF("o_custkey", "o_orderpriority", "o_totalprice")
+    val customer =
+      ((1 to 1).map(i => (100L + i, "AUTOMOBILE")) ++
+        (1 to 99).map(i => (200L + i, "BUILDING")) ++
+        (1 to 99).map(i => (300L + i, "AUTOMOBILE")) ++
+        (1 to 1).map(i => (400L + i, "BUILDING")))
+        .toDF("c_custkey", "c_mktsegment")
+    val r = operators.Analytics.simpsonCheck(orders, customer).collect()
+    val byS = r.map(x => x.getString(0) ->
+      (x.getDouble(5), x.getBoolean(6))).toMap
+    assert(byS("LOW") === ((-1.0, true)))
+    assert(byS("HIGH") === ((-1.0, true)))
+    assert(byS("pooled")._1 > 0 && !byS("pooled")._2)
+  }
+
   test("btStrength clamps a shut-out source to strength 1, not 0/0") {
     // c loses every duel (tw = 0) → the raw update is 0; the clamp keeps
     // it at 1 so round-2 denominators π_i + π_c never divide by zero.
