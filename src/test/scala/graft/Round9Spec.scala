@@ -181,6 +181,23 @@ class Round9Spec extends SparkSpec {
     assert(r.map(_.getString(0)).toSeq === Seq("a", "b")) // strength order
   }
 
+  test("sortedNeighborhoodPairs emits exactly the global w-window pairs " +
+      "across a bucket boundary") {
+    // Buckets a (4 names) and b (3 names), w = 3: expected pairs are all
+    // sort-order neighbors at distance 1 or 2, INCLUDING the two pairs
+    // that straddle the a→b boundary (a3–b1, a3–b2, a4–b1, a4–b2 minus
+    // those at distance ≥ 3). Global sort: a1 a2 a3 a4 b1 b2 b3.
+    val names = Seq("a1", "a2", "a3", "a4", "b1", "b2", "b3").toDF("name")
+    val got = operators.Dedup.sortedNeighborhoodPairs(names, w = 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val order = Seq("a1", "a2", "a3", "a4", "b1", "b2", "b3")
+    val want = (for {
+      i <- order.indices; j <- order.indices
+      if j > i && j - i < 3
+    } yield (order(i), order(j))).toSet
+    assert(got === want)
+  }
+
   test("simpsonCheck flags the full reversal on the textbook planted mix") {
     // Segment A concentrates in the high-value stratum, B in the low-value
     // one. WITHIN both strata B's mean is higher (diff = -1), but pooled,
