@@ -481,6 +481,53 @@ object TextAnalysis {
       .orderBy(idCol)
   }
 
+  /** FIGHTIN' WORDS distinctive vocabulary (Monroe, Colaresi & Quinn
+    * 2008): for each source, the words most over-represented vs the
+    * REST of the corpus, scored by the z-statistic of the log-odds
+    * delta under an informative-prior smoothing (flat Dirichlet 0.5
+    * here) — the standard "what does this source talk about that
+    * others don't" fingerprint, robust where raw ratios explode on
+    * rare words (the variance term 1/(y+α)+1/(y_rest+α) downweights
+    * them). Top `k` words per source.
+    *
+    * Determinism: every input to the float tree is an exact integer
+    * count; ln/sqrt/div evaluate the same IEEE doubles identically on
+    * both engines (the q_js_divergence precedent), and ranking
+    * tie-breaks on the word.
+    *
+    * Scale posture: one tokenize pass to the (source×word) count frame
+    * (map-side combined); word totals join on word (vocab-keyed
+    * shuffle), source totals and the V/N scalars broadcast. Top-k per
+    * source runs through the TopKPerKey physical operator (heap
+    * per partition, spill-gated) — no vocab-sized sort, no
+    * unpartitioned window.
+    */
+  def fightinWords(docs: DataFrame, k: Int = 5): DataFrame = {
+    import graft.CacheScope.TrackedDataset
+    val sw = docs.filter(col("source").isNotNull)
+      .select(col("source"), explode(tokens(lower(col("text")))).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("y"))
+      .persistTracked()
+    val wt = sw.groupBy("word").agg(sum("y").as("yw"))
+    val st = sw.groupBy("source").agg(sum("y").as("ni"))
+    val gl = wt.agg(count(lit(1)).as("v"), sum("yw").as("nn"))
+    val yD = col("y").cast("double")
+    val yrD = (col("yw") - col("y")).cast("double")
+    val a0 = lit(0.5) * col("v").cast("double")
+    val t1 = (yD + 0.5) / (col("ni").cast("double") + a0 - yD - 0.5)
+    val t2 = (yrD + 0.5) /
+      ((col("nn") - col("ni")).cast("double") + a0 - yrD - 0.5)
+    val z = (log(t1) - log(t2)) /
+      sqrt(lit(1.0) / (yD + 0.5) + lit(1.0) / (yrD + 0.5))
+    val scored = sw.join(wt, Seq("word")).join(broadcast(st), Seq("source"))
+      .crossJoin(broadcast(gl))
+      .select(col("source"), col("word"), col("y").as("cnt"), z.as("z"))
+    graft.plans.TopKPerKey
+      .topKPerKey(scored, Seq("source"), Seq(("z", false), ("word", true)), k)
+      .select(col("source"), col("word"), col("cnt"), round(col("z"), 6).as("z"))
+      .orderBy(col("source"), desc("z"), col("word"))
+  }
+
   /** RELIABILITY DIAGRAM + expected calibration error (Naeini et al.
     * 2015 for ECE; the standard companion readout to
     * [[isotonicCalibrate]]): equal-width bins over a [0,1] score, and
@@ -648,6 +695,10 @@ object TextAnalysis {
     // pooling; the planted textbook case lives in Round9Spec. rate is the
     // raw per-level label rate; fitted is the PAVA repair (non-decreasing
     // by construction, equal to rate wherever already monotone).
+    // Per-source distinctive vocabulary (top-5 Fightin' Words z-scores).
+    "q_fightin_words" -> { (s, d) =>
+      fightinWords(Tables.documents(s, d))
+    },
     // Reliability diagram + ECE over the same score/label pair the
     // isotonic fit calibrates — the before-picture its repair targets.
     "q_calibration_bins" -> { (s, d) =>
@@ -1341,6 +1392,31 @@ object TextAnalysis {
         s"SELECT doc_id, round($quality, 2) AS quality FROM documents ORDER BY doc_id",
       // PAVA via the max-min closed form over prefix sums — block
       // averages are ratios of exact BIGINT sums, one double division
+      "q_fightin_words" ->
+        s"""WITH t AS (
+           | SELECT source, unnest(${tokensSql("lower(text)")}) AS word
+           | FROM documents WHERE source IS NOT NULL),
+           |sw AS (SELECT source, word, count(*) AS y FROM t GROUP BY 1, 2),
+           |wt AS (SELECT word, sum(y) AS yw FROM sw GROUP BY 1),
+           |st AS (SELECT source, sum(y) AS ni FROM sw GROUP BY 1),
+           |gl AS (SELECT count(*) AS v, sum(yw) AS nn FROM wt),
+           |sc AS (
+           | SELECT s.source, s.word, CAST(s.y AS BIGINT) AS cnt,
+           |  (ln((CAST(s.y AS DOUBLE) + 0.5) /
+           |      (CAST(st.ni AS DOUBLE) + 0.5 * CAST(g.v AS DOUBLE)
+           |       - CAST(s.y AS DOUBLE) - 0.5))
+           |   - ln((CAST(w.yw - s.y AS DOUBLE) + 0.5) /
+           |      (CAST(g.nn - st.ni AS DOUBLE) + 0.5 * CAST(g.v AS DOUBLE)
+           |       - CAST(w.yw - s.y AS DOUBLE) - 0.5)))
+           |  / sqrt(1.0 / (CAST(s.y AS DOUBLE) + 0.5)
+           |         + 1.0 / (CAST(w.yw - s.y AS DOUBLE) + 0.5)) AS z
+           | FROM sw s JOIN wt w ON s.word = w.word
+           |  JOIN st ON s.source = st.source, gl g),
+           |rk AS (
+           | SELECT source, word, cnt, z, row_number() OVER (
+           |  PARTITION BY source ORDER BY z DESC, word) AS rn FROM sc)
+           |SELECT source, word, cnt, round(z, 6) AS z FROM rk
+           |WHERE rn <= 5 ORDER BY source, z DESC, word""".stripMargin,
       "q_calibration_bins" ->
         s"""WITH base AS (
            | SELECT round($stopRatio, 2) AS q,
