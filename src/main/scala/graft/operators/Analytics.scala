@@ -1520,6 +1520,84 @@ object Analytics {
         .as("var_reduction_pct"))
   }
 
+  /** ALWAYS-VALID SEQUENTIAL TEST (mSPRT; Johari, Koomen, Pekelis &
+    * Walsh 2017) — the "peeking-safe" monitor the fixed-n q_ab_test
+    * readout cannot provide: the day-by-day log mixture likelihood
+    * ratio for the two-arm conversion difference under a normal mixture
+    * prior τ, with the ever-crossed decision flag. Peeking at q_ab_test
+    * daily inflates false positives; the mSPRT trajectory is valid at
+    * EVERY stopping time:
+    *   llr_n = ½·ln(σ²/(σ²+τ²)) + δ²·τ² / (2σ²(σ²+τ²)),
+    * σ² = pooled p(1−p)(1/n_c+1/n_t) at day-n cumulative counts, δ =
+    * rate difference, crossing at llr ≥ ln(1/α). Pre-conversion days
+    * (pooled rate 0 or 1 ⇒ σ² = 0) yield null llr and don't cross.
+    *
+    * Determinism: cumulative counts are exact integers (window sums on
+    * the day spine); the float tree (ln/sqrt-free: ln, mult, div) is
+    * evaluated identically on both engines per row.
+    *
+    * Scale posture: one fact pass to per-user firsts (map-side
+    * combined, user-cardinality), one groupBy to the ≤|days|×2 frame;
+    * all windows run on the day spine (calendar-bounded). The mixture
+    * parameter τ and threshold are literals — no driver state.
+    */
+  def msprt(events: DataFrame, tau: Double = 0.01,
+            alpha: Double = 0.05): DataFrame = {
+    val arm = when(
+      conv(substring(md5(col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 2 === 0, "c").otherwise("t")
+    val perUser = events
+      .select(col("user_id"), to_date(col("ts")).as("dt"), col("event_type"))
+      .groupBy("user_id")
+      .agg(min(col("dt")).as("first_dt"),
+        min(when(col("event_type") === "purchase", col("dt"))).as("conv_dt"))
+      .withColumn("arm", arm)
+    val joins = perUser.groupBy(col("first_dt").as("dt"), col("arm"))
+      .agg(count(lit(1)).as("joined"))
+    val convs = perUser.filter(col("conv_dt").isNotNull)
+      .groupBy(col("conv_dt").as("dt"), col("arm"))
+      .agg(count(lit(1)).as("converted"))
+    // complete day×arm grid so every cumulative series has a row per day
+    val arms = events.sparkSession.range(1)
+      .select(explode(array(lit("c"), lit("t"))).as("arm"))
+    val grid = events.select(to_date(col("ts")).as("dt")).distinct()
+      .crossJoin(broadcast(arms))
+    val byDay = grid
+      .join(joins, Seq("dt", "arm"), "left")
+      .join(convs, Seq("dt", "arm"), "left")
+      .na.fill(0L, Seq("joined", "converted"))
+    val spine = org.apache.spark.sql.expressions.Window
+      .partitionBy("arm").orderBy("dt")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = byDay.select(col("dt"), col("arm"),
+        sum("joined").over(spine).as("n"),
+        sum("converted").over(spine).as("x"))
+      .groupBy("dt")
+      .agg(max(when(col("arm") === "c", col("n"))).as("n_c"),
+        max(when(col("arm") === "c", col("x"))).as("x_c"),
+        max(when(col("arm") === "t", col("n"))).as("n_t"),
+        max(when(col("arm") === "t", col("x"))).as("x_t"))
+    val nc = col("n_c").cast("double")
+    val nt = col("n_t").cast("double")
+    val p = (col("x_c") + col("x_t")).cast("double") / (nc + nt)
+    val s2 = p * (lit(1.0) - p) * (lit(1.0) / nc + lit(1.0) / nt)
+    val dlt = col("x_t").cast("double") / nt - col("x_c").cast("double") / nc
+    val t2 = lit(tau * tau)
+    val llr = lit(0.5) * log(s2 / (s2 + t2)) +
+      dlt * dlt * t2 / (lit(2.0) * s2 * (s2 + t2))
+    val dayW = org.apache.spark.sql.expressions.Window.orderBy("dt")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow) // day spine
+    cum.select(col("dt"), col("n_c"), col("x_c"), col("n_t"), col("x_t"),
+        when(s2 > 0, round(llr, 6)).as("llr"),
+        when(s2 > 0, llr >= math.log(1.0 / alpha)).otherwise(lit(false))
+          .as("sig_today"))
+      .withColumn("crossed",
+        max(col("sig_today").cast("int")).over(dayW) === 1)
+      .orderBy("dt")
+  }
+
   /** SIMPSON'S-PARADOX REVERSAL DETECTOR (Simpson 1951; the aggregation
     * trap every dashboard comparison is exposed to): compares a metric
     * between two cohorts both POOLED and WITHIN each stratum, and flags
@@ -1744,6 +1822,8 @@ object Analytics {
     "q_cuped" -> { (s, d) => cuped(Tables.events(s, d)) },
     // Post-stratification adjusted lift (strata + pooled + adjusted rows).
     "q_post_strat" -> { (s, d) => postStrat(Tables.events(s, d)) },
+    // Always-valid mSPRT monitor: the day-by-day llr trajectory + flag.
+    "q_msprt" -> { (s, d) => msprt(Tables.events(s, d)) },
     // Simpson's-paradox audit: segment A vs B mean order value, pooled
     // and per priority stratum, with the direction-reversal flag.
     "q_simpson_check" -> { (s, d) =>
@@ -3139,6 +3219,67 @@ object Analytics {
         |  / (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0) * 100.0, 6)
         |  AS mde_rel_pct
         |FROM m""".stripMargin,
+    "q_msprt" ->
+      """WITH pu AS (
+        | SELECT user_id,
+        |  CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+        |   1, 4)) AS BIGINT) % 2 = 0 THEN 'c' ELSE 't' END AS arm,
+        |  min(CAST(ts AS DATE)) AS first_dt,
+        |  min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE)
+        |      END) AS conv_dt
+        | FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(ts AS DATE) AS dt FROM events),
+        |grid AS (SELECT dt, arm FROM days,
+        |         (SELECT 'c' AS arm UNION ALL SELECT 't') a),
+        |joins AS (SELECT first_dt AS dt, arm, count(*) AS joined
+        |          FROM pu GROUP BY 1, 2),
+        |convs AS (SELECT conv_dt AS dt, arm, count(*) AS converted
+        |          FROM pu WHERE conv_dt IS NOT NULL GROUP BY 1, 2),
+        |byday AS (
+        | SELECT g.dt, g.arm, coalesce(j.joined, 0) AS joined,
+        |  coalesce(c.converted, 0) AS converted
+        | FROM grid g LEFT JOIN joins j ON g.dt = j.dt AND g.arm = j.arm
+        |  LEFT JOIN convs c ON g.dt = c.dt AND g.arm = c.arm),
+        |cum AS (
+        | SELECT dt, arm,
+        |  sum(joined) OVER (PARTITION BY arm ORDER BY dt) AS n,
+        |  sum(converted) OVER (PARTITION BY arm ORDER BY dt) AS x
+        | FROM byday),
+        |piv AS (
+        | SELECT dt,
+        |  CAST(max(CASE WHEN arm = 'c' THEN n END) AS BIGINT) AS n_c,
+        |  CAST(max(CASE WHEN arm = 'c' THEN x END) AS BIGINT) AS x_c,
+        |  CAST(max(CASE WHEN arm = 't' THEN n END) AS BIGINT) AS n_t,
+        |  CAST(max(CASE WHEN arm = 't' THEN x END) AS BIGINT) AS x_t
+        | FROM cum GROUP BY 1),
+        |stat AS (
+        | SELECT dt, n_c, x_c, n_t, x_t,
+        |  CAST(x_c + x_t AS DOUBLE)
+        |   / (CAST(n_c AS DOUBLE) + CAST(n_t AS DOUBLE)) AS p,
+        |  CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+        |   - CAST(x_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS dlt
+        | FROM piv),
+        |s2t AS (
+        | SELECT dt, n_c, x_c, n_t, x_t, dlt,
+        |  p * (1.0 - p) * (1.0 / CAST(n_c AS DOUBLE)
+        |                   + 1.0 / CAST(n_t AS DOUBLE)) AS s2
+        | FROM stat),
+        |lt AS (
+        | SELECT dt, n_c, x_c, n_t, x_t, s2,
+        |  CASE WHEN s2 > 0 THEN
+        |   0.5 * ln(s2 / (s2 + 0.01 * 0.01)) + dlt * dlt * (0.01 * 0.01)
+        |    / (2.0 * s2 * (s2 + 0.01 * 0.01)) END AS llr
+        | FROM s2t),
+        |sg AS (
+        | SELECT dt, n_c, x_c, n_t, x_t,
+        |  CASE WHEN s2 > 0 THEN round(llr, 6) END AS llr,
+        |  CASE WHEN s2 > 0 THEN llr >= ln(1.0 / 0.05)
+        |   ELSE false END AS sig_today
+        | FROM lt)
+        |SELECT dt, n_c, x_c, n_t, x_t, llr, sig_today,
+        | max(CASE WHEN sig_today THEN 1 ELSE 0 END)
+        |  OVER (ORDER BY dt) = 1 AS crossed
+        |FROM sg ORDER BY dt""".stripMargin,
     "q_simpson_check" ->
       """WITH j AS (
         | SELECT o_orderpriority AS stratum,
