@@ -102,6 +102,57 @@ object Graph {
        | ON d.node = s.node)""".stripMargin
   }
 
+  /** Bounded K-CORE PEELING (Seidman 1983; the distributed peel of
+    * Montresor et al. 2013): repeatedly remove nodes of degree < k from
+    * the symmetrized entity graph. The k-core is the classic "dense
+    * backbone" extractor — here it strips casual buyers off the
+    * purchase graph, leaving the high-interaction core.
+    *
+    * Bounded-round contract (the q_pagerank/q_kmeans posture): exactly
+    * `rounds` peels, each one shuffle (degree count + two semi-joins on
+    * the survivor set). After ANY number of rounds the survivor set is
+    * a superset of the true k-core; the per-node `stable` flag (final
+    * degree ≥ k) exposes convergence — all-true means the result IS the
+    * exact k-core. Convergence on a planted cascade is spec-gated in
+    * Round9Spec.
+    *
+    * Scale posture: survivor filtering is two equi-joins keyed by
+    * endpoint (the survivor frame is node-cardinality — broadcast-class
+    * beside edges); nothing edge-cardinality persists across rounds.
+    * Beyond ~8 rounds add localCheckpoint every 4 (the X12 lineage
+    * rule); at 4 rounds lineage stays shallow.
+    */
+  def kcore(s: SparkSession, d: String, k: Int = 20,
+            rounds: Int = 4): DataFrame = {
+    import graft.CacheScope.TrackedDataset
+    kcoreOnEdges(interactionEdges(s, d).persistTracked(), k, rounds)
+  }
+
+  /** The peel itself, over any symmetrized (src, dst) edge frame. */
+  def kcoreOnEdges(edgeFrame: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var edges = edgeFrame
+    for (_ <- 1 to rounds) {
+      val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("src")
+      edges = edges
+        .join(keep, Seq("src"))
+        .join(keep.select(col("src").as("dst")), Seq("dst"))
+        .select("src", "dst")
+    }
+    edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"),
+        (col("deg") >= k).as("stable"))
+      .orderBy("node")
+  }
+
+  /** One DuckDB peel round (replays the Spark round exactly). */
+  private def coreRoundSql(t: Int, k: Int): String = {
+    val prev = s"e${t - 1}"
+    s"""k$t AS (SELECT src FROM $prev GROUP BY 1 HAVING count(*) >= $k),
+       |e$t AS (SELECT e.src, e.dst FROM $prev e
+       | JOIN k$t a ON e.src = a.src JOIN k$t b ON e.dst = b.src)""".stripMargin
+  }
+
   /** Adamic–Adar link prediction (Adamic & Adar 2003) on the bipartite
     * customer–supplier purchase graph: for a candidate customer pair,
     * score = Σ over shared suppliers of 1/ln(deg(supplier)) — rare
@@ -156,9 +207,20 @@ object Graph {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank_entity" -> { (s, d) => pagerank(s, d) },
-    "q_link_predict" -> { (s, d) => linkPredict(s, d) })
+    "q_link_predict" -> { (s, d) => linkPredict(s, d) },
+    "q_kcore" -> { (s, d) => kcore(s, d) })
 
   def oracles: Map[String, String] = Map(
+    "q_kcore" -> {
+      val rounds = (1 to 4).map(coreRoundSql(_, 20)).mkString(",\n")
+      s"""WITH h AS (
+         | SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
+         | FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e0 AS (SELECT src, dst FROM h UNION ALL SELECT dst, src FROM h),
+         |$rounds
+         |SELECT src AS node, count(*) AS deg, count(*) >= 20 AS stable
+         |FROM e4 GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q_link_predict" ->
       """WITH e AS (
         | SELECT DISTINCT l_suppkey AS supp, o_custkey AS cust

@@ -198,6 +198,22 @@ class Round9Spec extends SparkSpec {
     assert(got === want)
   }
 
+  test("kcore peels a planted chain cascade to the exact stable core") {
+    // Planted graph: a K4 clique (nodes 1-4, degree 3 each) plus a chain
+    // 4-5-6-7 hanging off it. With k=2, peeling must cascade down the
+    // chain one round at a time (7 goes first, exposing 6, then 5) and
+    // converge to the clique, where every node has degree 3 ≥ 2 and the
+    // stable flag is true — the bounded 4 rounds suffice for this depth.
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val fin = operators.Graph.kcoreOnEdges(edges, k = 2, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(fin.map(_._1).toSet === Set(1L, 2L, 3L, 4L))
+    assert(fin.map(_._2).toSet === Set(3L))
+    assert(fin.forall(_._3)) // converged: every survivor stable
+  }
+
   test("simpsonCheck flags the full reversal on the textbook planted mix") {
     // Segment A concentrates in the high-value stratum, B in the low-value
     // one. WITHIN both strata B's mean is higher (diff = -1), but pooled,
