@@ -343,9 +343,48 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Fleiss' kappa (Fleiss 1971) — [[cohenKappa]] generalized to m > 2
+    * raters: per item, agreement P_i = (Σ_j n_ij² − m) / (m(m−1)) over
+    * category assignment counts n_ij; chance agreement P̄e = Σ_j p̄_j²
+    * from the pooled category shares. Three deterministic binary raters
+    * here (char-length, token-count, and BPE-token-count thresholds —
+    * the two-rater pair plus a third, differently-biased length
+    * heuristic). One overall row.
+    *
+    * Exactness: with binary categories and m = 3, every per-item count
+    * is an integer, so Σ P_i aggregates as exact integer sums (ΣΣn²
+    * and the m terms); P̄o/P̄e/kappa are one float tree over those exact
+    * scalars — no cross-row float accumulation at all.
+    *
+    * Scale posture: one corpus pass computing the three indicator
+    * columns per row (pure map), aggregated to FOUR integer scalars
+    * map-side; everything else is scalar arithmetic.
+    */
+  def fleissKappa(docs: DataFrame): DataFrame = {
+    val r1 = (col("n_chars") >= 280L).cast("int")
+    val r2 = (TextAnalysis.tokenCount(col("text")) >= 45).cast("int")
+    val r3 = (TextAnalysis.bpeTokenCount(col("text")) >= 60).cast("int")
+    val per = docs.select((r1 + r2 + r3).as("pos")) // n_i,positive ∈ 0..3
+    // P_i = (pos² + (3-pos)² - 3) / 6; Σ over items as exact ints
+    val m = per.agg(count(lit(1)).as("n"),
+      sum(col("pos") * col("pos")
+        + (lit(3) - col("pos")) * (lit(3) - col("pos"))).as("ssq"),
+      sum(col("pos")).as("tpos"))
+    val nD = col("n").cast("double")
+    val po = (col("ssq").cast("double") - lit(3.0) * nD) / (lit(6.0) * nD)
+    val pj = col("tpos").cast("double") / (lit(3.0) * nD)
+    val pe = pj * pj + (lit(1.0) - pj) * (lit(1.0) - pj)
+    m.select(col("n").as("n_items"), round(po, 6).as("po"),
+      round(pe, 6).as("pe"),
+      when(pe === 1.0, lit(null).cast("double"))
+        .otherwise(round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Inter-annotator agreement between the two length heuristics.
     "q_cohen_kappa" -> { (s, d) => cohenKappa(Tables.documents(s, d)) },
+    // Three-rater Fleiss' kappa over the length-heuristic panel.
+    "q_fleiss_kappa" -> { (s, d) => fleissKappa(Tables.documents(s, d)) },
     // The per-source datasheet row (volume, shape, language, dup rate).
     "q_data_card" -> { (s, d) => dataCard(Tables.documents(s, d)) },
 
@@ -786,6 +825,32 @@ object Curation {
       s"CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':$sh'), 1, 13) AS BIGINT) * 16 + $sh"
     }.mkString("greatest(", ", ", ") % 16")
     Map(
+    "q_fleiss_kappa" ->
+      s"""WITH per AS (
+         | SELECT (CASE WHEN n_chars >= 280 THEN 1 ELSE 0 END
+         |  + CASE WHEN len(${TextAnalysis.tokensSql("text")}) >= 45
+         |     THEN 1 ELSE 0 END
+         |  + CASE WHEN len(regexp_extract_all(text,
+         |     '${TextAnalysis.bpeTokenPattern}')) >= 60
+         |     THEN 1 ELSE 0 END) AS pos
+         | FROM documents),
+         |m AS (
+         | SELECT count(*) AS n,
+         |  sum(pos * pos + (3 - pos) * (3 - pos)) AS ssq,
+         |  sum(pos) AS tpos
+         | FROM per),
+         |r AS (
+         | SELECT CAST(n AS BIGINT) AS n_items,
+         |  (CAST(ssq AS DOUBLE) - 3.0 * CAST(n AS DOUBLE))
+         |   / (6.0 * CAST(n AS DOUBLE)) AS po,
+         |  CAST(tpos AS DOUBLE) / (3.0 * CAST(n AS DOUBLE)) AS pj
+         | FROM m)
+         |SELECT n_items, round(po, 6) AS po,
+         | round(pj * pj + (1 - pj) * (1 - pj), 6) AS pe,
+         | CASE WHEN pj * pj + (1 - pj) * (1 - pj) = 1 THEN NULL
+         |  ELSE round((po - (pj * pj + (1 - pj) * (1 - pj)))
+         |   / (1 - (pj * pj + (1 - pj) * (1 - pj))), 6) END AS kappa
+         |FROM r""".stripMargin,
     "q_cohen_kappa" ->
       s"""WITH cell AS (
          | SELECT source,
