@@ -1520,6 +1520,58 @@ object Analytics {
         .as("var_reduction_pct"))
   }
 
+  /** DELETE-ONE-BUCKET JACKKNIFE for a ratio metric (Quenouille/Tukey;
+    * the delete-a-group variant that ships in production experiment
+    * platforms): users hash into B buckets; θ_(b) = the revenue-per-
+    * event ratio with bucket b removed; SE² = (B−1)/B · Σ(θ_(b)−θ̄)².
+    * The DESIGN-BASED companion to q_ratio_ci's delta-method CI — same
+    * metric, no linearization assumption; agreement between the two is
+    * itself the validation readout.
+    *
+    * Determinism: bucket sums are exact integers; each θ_(b) is one
+    * double expression, 6dp-decimal-rounded before the (exact) Σ and
+    * mean; squared deviations fold as 10dp decimals (values ~1e-3, well
+    * inside double precision, order-independent). Rounding noise enters
+    * at 1e-6 on θ ~ tens-of-dollars values — far below the SE itself.
+    *
+    * Scale posture: one fact pass to user-cardinality, one shuffle to
+    * the B-row bucket frame; everything after is B-row arithmetic with
+    * broadcast scalars. B is the only knob: more buckets = finer
+    * variance resolution, same plan shape.
+    */
+  def jackknifeRatio(events: DataFrame, buckets: Int = 32): DataFrame = {
+    import graft.CacheScope.TrackedDataset
+    val per = events.filter(col("value").isNotNull)
+      .select(col("user_id"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("xc"))
+      .groupBy("user_id").agg(sum("xc").as("x"), count(lit(1)).as("y"))
+    val b = per.select(
+        (conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % buckets).as("b"), col("x"), col("y"))
+      .groupBy("b").agg(sum("x").as("sx"), sum("y").as("sy"))
+    val tot = b.agg(sum("sx").as("tx"), sum("sy").as("ty"))
+    val th = (col("tx") - col("sx")).cast("double") /
+      (col("ty") - col("sy")).cast("double") / 100.0
+    val jr = b.crossJoin(broadcast(tot))
+      .select(round(th, 6).cast(DecimalType(18, 6)).as("thr"))
+      .persistTracked()
+    val m1 = jr.agg(count(lit(1)).as("bn"), sum("thr").as("s1"))
+    val dev = col("thr").cast("double") -
+      col("s1").cast("double") / col("bn").cast("double")
+    val v = jr.crossJoin(broadcast(m1))
+      .agg(max(col("bn")).as("bn"),
+        sum(round(dev * dev, 10).cast(DecimalType(28, 10))).as("sdev"))
+    val varJ = (col("bn").cast("double") - 1.0) / col("bn").cast("double") *
+      col("sdev").cast("double")
+    val se = sqrt(greatest(varJ, lit(0.0)))
+    val r = col("tx").cast("double") / col("ty").cast("double") / 100.0
+    v.crossJoin(broadcast(tot))
+      .select(col("bn").cast("long").as("n_buckets"),
+        round(r, 6).as("ratio"), round(se, 6).as("se"),
+        round(r - lit(1.96) * se, 6).as("lo"),
+        round(r + lit(1.96) * se, 6).as("hi"))
+  }
+
   /** ALWAYS-VALID SEQUENTIAL TEST (mSPRT; Johari, Koomen, Pekelis &
     * Walsh 2017) — the "peeking-safe" monitor the fixed-n q_ab_test
     * readout cannot provide: the day-by-day log mixture likelihood
@@ -1824,6 +1876,8 @@ object Analytics {
     "q_post_strat" -> { (s, d) => postStrat(Tables.events(s, d)) },
     // Always-valid mSPRT monitor: the day-by-day llr trajectory + flag.
     "q_msprt" -> { (s, d) => msprt(Tables.events(s, d)) },
+    // Delete-one-bucket jackknife SE for revenue/event (vs q_ratio_ci).
+    "q_jackknife_ratio" -> { (s, d) => jackknifeRatio(Tables.events(s, d)) },
     // Simpson's-paradox audit: segment A vs B mean order value, pooled
     // and per priority stratum, with the direction-reversal flag.
     "q_simpson_check" -> { (s, d) =>
@@ -3219,6 +3273,41 @@ object Analytics {
         |  / (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0) * 100.0, 6)
         |  AS mde_rel_pct
         |FROM m""".stripMargin,
+    "q_jackknife_ratio" ->
+      """WITH per AS (
+        | SELECT user_id,
+        |  sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS x,
+        |  count(*) AS y
+        | FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |b AS (
+        | SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+        |   AS BIGINT) % 32 AS b,
+        |  sum(x) AS sx, sum(y) AS sy
+        | FROM per GROUP BY 1),
+        |tot AS (SELECT sum(sx) AS tx, sum(sy) AS ty FROM b),
+        |jr AS (
+        | SELECT CAST(round(CAST(t.tx - b.sx AS DOUBLE)
+        |   / CAST(t.ty - b.sy AS DOUBLE) / 100.0, 6)
+        |  AS DECIMAL(18,6)) AS thr
+        | FROM b, tot t),
+        |m1 AS (SELECT count(*) AS bn, sum(thr) AS s1 FROM jr),
+        |v AS (
+        | SELECT max(m.bn) AS bn,
+        |  sum(CAST(round((CAST(thr AS DOUBLE)
+        |    - CAST(m.s1 AS DOUBLE) / CAST(m.bn AS DOUBLE))
+        |   * (CAST(thr AS DOUBLE)
+        |    - CAST(m.s1 AS DOUBLE) / CAST(m.bn AS DOUBLE)), 10)
+        |   AS DECIMAL(28,10))) AS sdev
+        | FROM jr, m1 m),
+        |f AS (
+        | SELECT CAST(v.bn AS BIGINT) AS n_buckets,
+        |  CAST(t.tx AS DOUBLE) / CAST(t.ty AS DOUBLE) / 100.0 AS r,
+        |  sqrt(greatest((CAST(v.bn AS DOUBLE) - 1.0)
+        |    / CAST(v.bn AS DOUBLE) * CAST(v.sdev AS DOUBLE), 0.0)) AS se
+        | FROM v, tot t)
+        |SELECT n_buckets, round(r, 6) AS ratio, round(se, 6) AS se,
+        | round(r - 1.96 * se, 6) AS lo, round(r + 1.96 * se, 6) AS hi
+        |FROM f""".stripMargin,
     "q_msprt" ->
       """WITH pu AS (
         | SELECT user_id,
