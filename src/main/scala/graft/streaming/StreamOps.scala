@@ -432,6 +432,53 @@ object StreamOps {
         (col("__tol") === 1).as("within_tol"))
     }},
 
+    // LIVE mSPRT MONITOR — q_msprt's always-valid statistic as a stream:
+    // the batch query replays the whole day-spine trajectory; the live
+    // twin maintains the CURRENT cumulative per-arm (users, converters)
+    // as streaming state and evaluates the log mixture LR at each
+    // snapshot — the number an experimenter may glance at at ANY moment
+    // without alpha inflation (that is the mSPRT contract). State =
+    // distinct (arm, user) keys in two complete-mode dedup+count
+    // queries (the q_stream_srm exact-state class; q_stream_srm_hll
+    // shows the sketch-bounded variant of exactly this state). Gate:
+    // stream ≡ batch cumulative at end-of-feed (derived oracle — the
+    // final q_msprt row without the path-dependent `crossed`).
+    "q_stream_msprt" -> { (s, d) => withStatePartitions(s, 8) {
+      cleanCheckpoint("stream_msprt_n")
+      cleanCheckpoint("stream_msprt_x")
+      val arm = when(
+        conv(substring(md5(col("user_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 2 === 0, "c").otherwise("t")
+      def base = eventsStream(s, d)
+        .select(col("user_id"), col("event_type")).withColumn("arm", arm)
+      val nAgg = base.dropDuplicates("arm", "user_id")
+        .groupBy("arm").agg(count(lit(1)).as("n"))
+      val xAgg = base.filter(col("event_type") === "purchase")
+        .dropDuplicates("arm", "user_id")
+        .groupBy("arm").agg(count(lit(1)).as("x"))
+      val nSnap = runToSnapshot(nAgg, "stream_msprt_n")
+      val xSnap = runToSnapshot(xAgg, "stream_msprt_x")
+      val w = nSnap.join(xSnap, Seq("arm"), "left")
+        .na.fill(0L, Seq("x"))
+        .agg(
+          coalesce(sum(when(col("arm") === "c", col("n"))), lit(0L)).as("n_c"),
+          coalesce(sum(when(col("arm") === "c", col("x"))), lit(0L)).as("x_c"),
+          coalesce(sum(when(col("arm") === "t", col("n"))), lit(0L)).as("n_t"),
+          coalesce(sum(when(col("arm") === "t", col("x"))), lit(0L)).as("x_t"))
+      val nc = col("n_c").cast("double")
+      val nt = col("n_t").cast("double")
+      val p = (col("x_c") + col("x_t")).cast("double") / (nc + nt)
+      val s2 = p * (lit(1.0) - p) * (lit(1.0) / nc + lit(1.0) / nt)
+      val dlt = col("x_t").cast("double") / nt - col("x_c").cast("double") / nc
+      val t2 = lit(0.01 * 0.01)
+      val llr = lit(0.5) * log(s2 / (s2 + t2)) +
+        dlt * dlt * t2 / (lit(2.0) * s2 * (s2 + t2))
+      w.select(col("n_c"), col("x_c"), col("n_t"), col("x_t"),
+        when(s2 > 0, round(llr, 6)).as("llr"),
+        when(s2 > 0, llr >= math.log(1.0 / 0.05)).otherwise(lit(false))
+          .as("sig_now"))
+    }},
+
     // K7 as a stream: the crossings topic in complete mode — equals the
     // batch aggregate (same oracle as q_k7_crossings_vs_lesions).
     "q_stream_crossings" -> { (s, d) => withStatePartitions(s, 8) {
@@ -1270,6 +1317,49 @@ object StreamOps {
   }
 
   def oracles: Map[String, String] = Map(
+    // stream ≡ batch cumulative: q_msprt's final counts + llr (the
+    // path-dependent `crossed` flag is batch-only by construction)
+    "q_stream_msprt" ->
+      """WITH pu AS (
+        | SELECT user_id,
+        |  CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+        |   1, 4)) AS BIGINT) % 2 = 0 THEN 'c' ELSE 't' END AS arm,
+        |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        | FROM events GROUP BY 1, 2),
+        |piv AS (
+        | SELECT
+        |  CAST(sum(CASE WHEN arm = 'c' THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_c,
+        |  CAST(sum(CASE WHEN arm = 'c' THEN conv ELSE 0 END) AS BIGINT)
+        |   AS x_c,
+        |  CAST(sum(CASE WHEN arm = 't' THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_t,
+        |  CAST(sum(CASE WHEN arm = 't' THEN conv ELSE 0 END) AS BIGINT)
+        |   AS x_t
+        | FROM pu),
+        |stat AS (
+        | SELECT n_c, x_c, n_t, x_t,
+        |  CAST(x_c + x_t AS DOUBLE)
+        |   / (CAST(n_c AS DOUBLE) + CAST(n_t AS DOUBLE)) AS p,
+        |  CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+        |   - CAST(x_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS dlt
+        | FROM piv),
+        |s2t AS (
+        | SELECT n_c, x_c, n_t, x_t, dlt,
+        |  p * (1.0 - p) * (1.0 / CAST(n_c AS DOUBLE)
+        |                   + 1.0 / CAST(n_t AS DOUBLE)) AS s2
+        | FROM stat),
+        |lt AS (
+        | SELECT n_c, x_c, n_t, x_t, s2,
+        |  CASE WHEN s2 > 0 THEN
+        |   0.5 * ln(s2 / (s2 + 0.01 * 0.01)) + dlt * dlt * (0.01 * 0.01)
+        |    / (2.0 * s2 * (s2 + 0.01 * 0.01)) END AS llr
+        | FROM s2t)
+        |SELECT n_c, x_c, n_t, x_t,
+        | CASE WHEN s2 > 0 THEN round(llr, 6) END AS llr,
+        | CASE WHEN s2 > 0 THEN llr >= ln(1.0 / 0.05)
+        |  ELSE false END AS sig_now
+        |FROM lt""".stripMargin,
     // stream ≡ batch on the bounded source: the batch PSI twin verbatim
     "q_stream_psi" -> graft.operators.Evolution.oracles("q_psi_drift"),
     // stream ≡ batch: the batch SRM twin verbatim
