@@ -1520,6 +1520,58 @@ object Analytics {
         .as("var_reduction_pct"))
   }
 
+  /** CLUSTER-RANDOMIZATION DESIGN EFFECT (Kish 1965; Donner & Klar for
+    * the ANOVA ICC estimator): when treatment must be assigned at
+    * cluster grain (here: customer nation — think geo/store/team
+    * rollouts), the effective sample size shrinks by
+    * deff = 1 + (m̄−1)·ICC, with ICC from the one-way ANOVA moments
+    * (MSB−MSW)/(MSB+(n0−1)·MSW). This is the number that says whether a
+    * cluster-randomized test is even worth running — q_power_curve's
+    * per-arm n divides by it.
+    *
+    * Exactness: the q_anova_lang recipe — per-cluster exact integer
+    * moments (dollar-valued longs), the sg²/ng terms 6dp-decimal-folded
+    * across the cluster frame, one shared float tree at the end.
+    *
+    * Scale posture: one fact pass (orders ⋈ customer on custkey) to the
+    * cluster-cardinality moment frame, map-side combined; everything
+    * after is arithmetic on one row. Clusters are the report grain, so
+    * the frame is small by definition.
+    */
+  def designEffect(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val j = orders
+      .select(col("o_custkey"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")
+          .as("v"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val g = j.groupBy("c_nationkey").agg(count(lit(1)).as("ng"),
+      sum(dec(col("v"))).as("sg"), sum(dec(col("v")) * dec(col("v"))).as("qg"))
+    val terms = g.select(col("ng"), col("sg"), col("qg"),
+      round(col("sg").cast("double") * col("sg").cast("double")
+        / col("ng").cast("double"), 6).cast(DecimalType(28, 6)).as("tg"),
+      (col("ng") * col("ng")).as("ng2"))
+    val a = terms.agg(count(lit(1)).as("gk"), sum("ng").as("n"),
+      sum("sg").as("s"), sum("qg").as("q"), sum("tg").as("t"),
+      sum("ng2").as("n2"))
+    val nD = col("n").cast("double")
+    val gD = col("gk").cast("double")
+    val ssb = col("t").cast("double") -
+      col("s").cast("double") * col("s").cast("double") / nD
+    val ssw = col("q").cast("double") - col("t").cast("double")
+    val msb = ssb / (gD - 1.0)
+    val msw = ssw / (nD - gD)
+    val n0 = (nD - col("n2").cast("double") / nD) / (gD - 1.0)
+    val icc = (msb - msw) / (msb + (n0 - 1.0) * msw)
+    val mbar = nD / gD
+    val deff = lit(1.0) + (mbar - 1.0) * icc
+    a.select(col("gk").as("g_clusters"), col("n").as("n_rows"),
+      round(mbar, 6).as("mean_cluster_size"), round(n0, 6).as("n0"),
+      when(col("gk") > 1 && ssw > 0, round(icc, 6)).as("icc"),
+      when(col("gk") > 1 && ssw > 0, round(deff, 6)).as("deff"))
+  }
+
   /** DELETE-ONE-BUCKET JACKKNIFE for a ratio metric (Quenouille/Tukey;
     * the delete-a-group variant that ships in production experiment
     * platforms): users hash into B buckets; θ_(b) = the revenue-per-
@@ -1878,6 +1930,10 @@ object Analytics {
     "q_msprt" -> { (s, d) => msprt(Tables.events(s, d)) },
     // Delete-one-bucket jackknife SE for revenue/event (vs q_ratio_ci).
     "q_jackknife_ratio" -> { (s, d) => jackknifeRatio(Tables.events(s, d)) },
+    // Cluster-randomization ICC + Kish design effect (nation clusters).
+    "q_design_effect" -> { (s, d) =>
+      designEffect(Tables.orders(s, d), Tables.customer(s, d))
+    },
     // Simpson's-paradox audit: segment A vs B mean order value, pooled
     // and per priority stratum, with the direction-reversal flag.
     "q_simpson_check" -> { (s, d) =>
@@ -3273,6 +3329,47 @@ object Analytics {
         |  / (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0) * 100.0, 6)
         |  AS mde_rel_pct
         |FROM m""".stripMargin,
+    "q_design_effect" ->
+      """WITH j AS (
+        | SELECT c_nationkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        | FROM orders JOIN customer ON o_custkey = c_custkey),
+        |g AS (
+        | SELECT c_nationkey, count(*) AS ng, sum(v) AS sg,
+        |  sum(v * v) AS qg
+        | FROM j GROUP BY 1),
+        |terms AS (
+        | SELECT ng, sg, qg,
+        |  CAST(round(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+        |   / CAST(ng AS DOUBLE), 6) AS DECIMAL(28,6)) AS tg,
+        |  ng * ng AS ng2
+        | FROM g),
+        |a AS (
+        | SELECT count(*) AS gk, sum(ng) AS n, sum(sg) AS s, sum(qg) AS q,
+        |  sum(tg) AS t, sum(ng2) AS n2
+        | FROM terms),
+        |f AS (
+        | SELECT CAST(gk AS BIGINT) AS g_clusters, CAST(n AS BIGINT)
+        |   AS n_rows,
+        |  CAST(gk AS DOUBLE) AS gd, CAST(n AS DOUBLE) AS nd,
+        |  CAST(t AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |   / CAST(n AS DOUBLE) AS ssb,
+        |  CAST(q AS DOUBLE) - CAST(t AS DOUBLE) AS ssw,
+        |  (CAST(n AS DOUBLE) - CAST(n2 AS DOUBLE) / CAST(n AS DOUBLE))
+        |   / (CAST(gk AS DOUBLE) - 1.0) AS n0
+        | FROM a),
+        |i AS (
+        | SELECT g_clusters, n_rows, gd, nd, ssw, n0,
+        |  (ssb / (gd - 1.0) - ssw / (nd - gd))
+        |   / (ssb / (gd - 1.0) + (n0 - 1.0) * (ssw / (nd - gd))) AS icc
+        | FROM f)
+        |SELECT g_clusters, n_rows, round(nd / gd, 6) AS mean_cluster_size,
+        | round(n0, 6) AS n0,
+        | CASE WHEN g_clusters > 1 AND ssw > 0 THEN round(icc, 6) END
+        |  AS icc,
+        | CASE WHEN g_clusters > 1 AND ssw > 0
+        |  THEN round(1.0 + (nd / gd - 1.0) * icc, 6) END AS deff
+        |FROM i""".stripMargin,
     "q_jackknife_ratio" ->
       """WITH per AS (
         | SELECT user_id,
