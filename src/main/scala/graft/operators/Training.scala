@@ -137,6 +137,57 @@ object Training {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  // ===== embedding-space outliers =====
+
+  /** EMBEDDING OUTLIERS, integer-exact: per label, the centroid of the
+    * int8-quantized vectors (element-wise floor mean), squared integer
+    * distance of every vector to its label centroid, and Tukey-fence
+    * flagging (d² > q3 + 1.5·IQR on the per-label exact quartiles) —
+    * the standard "mislabeled / off-manifold example" sweep a training
+    * pipeline runs before fitting anything. Integer distances make the
+    * whole readout bit-exact across engines (no float accumulation in
+    * 64-dim sums); the only doubles are the interpolated quartile
+    * fences.
+    *
+    * Centroid floor-division note: code sums can be negative, and BIGINT
+    * `div` truncates toward zero on the JVM but floors in DuckDB — so
+    * the mean is computed on +127-offset codes (non-negative by
+    * construction), where the two agree, then shifted back.
+    *
+    * Scale posture: one explode pass to (label, pos) integer sums
+    * (map-side combined, centroid frame = labels × dims — tiny); d² is
+    * one co-partitioned join on (label, pos) + a re-aggregate to vector
+    * cardinality; fences come from the grouped exact-percentile
+    * machinery (rank math on the distinct-value spine, no full sort);
+    * the fence frame broadcasts back. No driver state.
+    */
+  def embedOutliers(emb: DataFrame): DataFrame = {
+    import graft.CacheScope.TrackedDataset
+    val ex = quantizeEmbeddings(emb)
+      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .select(col("vec_id"), col("label"),
+        posexplode(col("codes")).as(Seq("pos", "c")))
+      .persistTracked()
+    val cent = ex.groupBy("label", "pos")
+      .agg(sum(col("c") + 127L).as("sp"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"), (expr("sp div n") - 127L).as("m"))
+    val d2 = ex.join(cent, Seq("label", "pos"))
+      .select(col("vec_id"), col("label"),
+        ((col("c") - col("m")) * (col("c") - col("m"))).as("t"))
+      .groupBy("vec_id", "label").agg(sum("t").as("d2"))
+      .persistTracked()
+    val fences = Analytics.groupedExactPercentiles(
+        d2.select(col("label"), col("d2")), "label", "d2",
+        Seq("q1" -> 0.25, "q3" -> 0.75))
+      .select(col("label"),
+        (col("q3") + lit(1.5) * (col("q3") - col("q1"))).as("fence"))
+    d2.join(broadcast(fences), Seq("label"))
+      .filter(col("d2").cast("double") > col("fence"))
+      .select(col("label"), col("vec_id"), col("d2"),
+        round(col("fence"), 6).as("fence"))
+      .orderBy("label", "vec_id")
+  }
+
   // ===== Bradley–Terry preference strength =====
 
   /** Bradley–Terry strength fit (Bradley & Terry 1952; the Zermelo/MM
@@ -203,6 +254,10 @@ object Training {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Bradley–Terry source-strength tournament over rank-matched duels.
     "q_bt_strength" -> { (s, d) => btStrength(Tables.documents(s, d)) },
+    // Integer-exact per-label embedding outliers (Tukey fence on d²).
+    "q_embed_outliers" -> { (s, d) =>
+      embedOutliers(Tables.embeddings(s, d))
+    },
     // Concat-and-chunk packing of the documents table: 512-token budget,
     // 8 shards. Returns the per-pack contract rows.
     "q_pack_sequences" -> { (s, d) =>
@@ -365,6 +420,32 @@ object Training {
   }
 
   def oracles: Map[String, String] = Map(
+    "q_embed_outliers" ->
+      s"""WITH q AS (
+         | SELECT vec_id, label,
+         |  ${codesSql("embedding", scaleSql("embedding"))} AS codes
+         | FROM embeddings),
+         |ex AS (
+         | SELECT vec_id, label, t.i - 1 AS pos, codes[t.i] AS c
+         | FROM q CROSS JOIN unnest(range(1, len(codes) + 1)) AS t(i)),
+         |cent AS (
+         | SELECT label, pos, (sum(c + 127) // count(*)) - 127 AS m
+         | FROM ex GROUP BY 1, 2),
+         |d2 AS (
+         | SELECT e.vec_id, e.label, sum((e.c - c.m) * (e.c - c.m)) AS d2
+         | FROM ex e JOIN cent c ON e.label = c.label AND e.pos = c.pos
+         | GROUP BY 1, 2),
+         |fen AS (
+         | SELECT label,
+         |  quantile_cont(d2, 0.75)
+         |   + 1.5 * (quantile_cont(d2, 0.75) - quantile_cont(d2, 0.25))
+         |   AS fence
+         | FROM d2 GROUP BY 1)
+         |SELECT d.label, d.vec_id, CAST(d.d2 AS BIGINT) AS d2,
+         | round(f.fence, 6) AS fence
+         |FROM d2 d JOIN fen f ON d.label = f.label
+         |WHERE CAST(d.d2 AS DOUBLE) > f.fence
+         |ORDER BY d.label, d.vec_id""".stripMargin,
     "q_bt_strength" -> {
       val iters = (1 to 3).map(btIterSql).mkString(",\n")
       s"""WITH ranked AS (
