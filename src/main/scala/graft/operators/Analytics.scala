@@ -478,6 +478,65 @@ object Analytics {
           round((col("rt") - col("rc")) / col("se"), 6)).as("z"))
   }
 
+  /** A/A NEGATIVE CONTROL: a two-sample z-test on purchases-per-user
+    * replayed under K independent salted md5 splits of the SAME
+    * population with NO treatment applied. Any |z| ≥ 1.96 row is a red
+    * flag on the experimentation stack itself (broken hashing, biased
+    * assignment, interference) rather than on any experiment — the QA
+    * gate platforms run before trusting q_ab_test readouts (Kohavi et
+    * al., "A/A Testing"). The metric is a per-user COUNT, not the
+    * purchase indicator, because indicators degenerate (se = 0) on a
+    * population where everyone converts — a count metric keeps the gate
+    * non-vacuous at any SF. Deterministic: each salt's split is a pure
+    * function of (user_id, salt), so the readout is hash-stable across
+    * engines; the z tree is IEEE doubles from EXACT integer moments
+    * (Σx, Σx² as Longs), rounded once at 6dp.
+    *
+    * Scale posture: ONE user-keyed aggregate (bounded by user
+    * cardinality, map-side combined), then a K-way literal explode —
+    * the K× blow-up happens AFTER per-user reduction, so the shuffle
+    * carries K·|users| thin rows, not K·|events| — and a K-group
+    * conditional rollup. No joins, no windows, no driver state.
+    */
+  def aaCheck(events: DataFrame, salts: Int = 5): DataFrame = {
+    val perUser = events
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("m"))
+    val salted = perUser
+      .select(col("user_id"), col("m"),
+        explode(array((0 until salts).map(lit): _*)).as("salt"))
+      .withColumn("arm",
+        conv(substring(md5(concat(col("user_id").cast("string"), lit(":"),
+          col("salt").cast("string"))), 1, 4), 16, 10)
+          .cast("long") % 2)
+    val a = salted.groupBy("salt").agg(
+      count(when(col("arm") === 0, 1)).as("n_a"),
+      sum(when(col("arm") === 0, col("m")).otherwise(0L)).as("s_a"),
+      sum(when(col("arm") === 0, col("m") * col("m")).otherwise(0L))
+        .as("ss_a"),
+      count(when(col("arm") === 1, 1)).as("n_b"),
+      sum(when(col("arm") === 1, col("m")).otherwise(0L)).as("s_b"),
+      sum(when(col("arm") === 1, col("m") * col("m")).otherwise(0L))
+        .as("ss_b"))
+    def mean(s: String, n: String) =
+      col(s).cast("double") / col(n).cast("double")
+    // unbiased variance from exact integer moments: (Σx² − (Σx)²/n)/(n−1)
+    def variance(ss: String, s: String, n: String) =
+      (col(ss).cast("double") -
+        col(s).cast("double") * col(s).cast("double") /
+          col(n).cast("double")) / (col(n).cast("double") - lit(1.0))
+    val se = sqrt(variance("ss_a", "s_a", "n_a") / col("n_a").cast("double")
+      + variance("ss_b", "s_b", "n_b") / col("n_b").cast("double"))
+    val a2 = a.select(col("salt"), col("n_a"), col("n_b"),
+      round(mean("s_a", "n_a"), 6).as("mean_a"),
+      round(mean("s_b", "n_b"), 6).as("mean_b"),
+      when(se > 0, round((mean("s_b", "n_b") - mean("s_a", "n_a")) / se, 6))
+        .as("z"))
+    a2.withColumn("healthy", col("z").isNull || abs(col("z")) < lit(1.96))
+      .orderBy("salt")
+  }
+
   /** Median-absolute-deviation outlier audit: (med, mad, n_total,
     * n_outliers) at the 3σ-consistent 4.4478·MAD threshold. Both medians
     * run through the exact-percentile engine and broadcast back.
@@ -2898,6 +2957,14 @@ object Analytics {
       abTest(Tables.events(s, d))
     },
 
+    // A/A NEGATIVE CONTROL — q_ab_test's split machinery replayed under
+    // 5 salted null splits; any unhealthy row indicts the assignment
+    // stack, not an experiment. Same single user-keyed aggregate as
+    // q_ab_test with the K-way explode AFTER per-user reduction.
+    "q_aa_check" -> { (s, d) =>
+      aaCheck(Tables.events(s, d))
+    },
+
     // CONVERSION FUNNEL — ordered step completion (signup → view →
     // purchase by FIRST occurrence per user): one user-keyed aggregate
     // computes all step timestamps in a single pass (conditional mins,
@@ -4595,6 +4662,37 @@ object Analytics {
         | round(rc, 6) AS rate_c, round(rt, 6) AS rate_t,
         | CASE WHEN se > 0 THEN round((rt - rc) / se, 6) END AS z
         |FROM b""".stripMargin,
+    "q_aa_check" ->
+      """WITH u AS (
+        | SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS m
+        | FROM events GROUP BY 1),
+        |v AS (
+        | SELECT CAST(t.s AS INTEGER) AS salt, m,
+        |  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' || CAST(t.s AS VARCHAR)), 1, 4)) AS BIGINT) % 2 AS arm
+        | FROM u CROSS JOIN unnest(range(0, 5)) AS t(s)),
+        |a AS (
+        | SELECT salt,
+        |  count(CASE WHEN arm = 0 THEN 1 END) AS n_a,
+        |  CAST(sum(CASE WHEN arm = 0 THEN m ELSE 0 END) AS BIGINT) AS s_a,
+        |  CAST(sum(CASE WHEN arm = 0 THEN m * m ELSE 0 END) AS BIGINT) AS ss_a,
+        |  count(CASE WHEN arm = 1 THEN 1 END) AS n_b,
+        |  CAST(sum(CASE WHEN arm = 1 THEN m ELSE 0 END) AS BIGINT) AS s_b,
+        |  CAST(sum(CASE WHEN arm = 1 THEN m * m ELSE 0 END) AS BIGINT) AS ss_b
+        | FROM v GROUP BY 1),
+        |b AS (
+        | SELECT salt, n_a, n_b,
+        |  CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+        |  CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+        |  sqrt(
+        |   ((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - CAST(1 AS DOUBLE))) / CAST(n_a AS DOUBLE)
+        |   + ((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - CAST(1 AS DOUBLE))) / CAST(n_b AS DOUBLE)) AS se
+        | FROM a)
+        |SELECT salt, n_a, n_b,
+        | round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+        | CASE WHEN se > 0 THEN round((mb - ma) / se, 6) END AS z,
+        | (se <= 0 OR abs(round((mb - ma) / se, 6)) < 1.96) AS healthy
+        |FROM b ORDER BY salt""".stripMargin,
     "q_mad_outliers" ->
       """WITH m AS (SELECT quantile_cont(o_totalprice, 0.5) AS med FROM orders),
         |d AS (SELECT med, abs(o_totalprice - med) AS adev FROM orders, m),
