@@ -617,6 +617,36 @@ object Curation {
         .orderBy("source")
     },
 
+    // CONTEXT-LENGTH TRUNCATION PLAN — given a model context of L
+    // tokens, what does each source lose under truncate-at-L, and how
+    // much of it should be SPLIT into multiple examples instead
+    // (docs > 2L, where a single truncation discards the majority of
+    // the document)? The per-source readout that decides the
+    // truncate-vs-split policy before tokenizing a 100 TB corpus.
+    // L=32 here: the synthetic corpus is 10–99 whitespace tokens per
+    // doc (median 56), so 32 exercises BOTH tiers at every SF the way
+    // a 2k–8k context would on real documents.
+    // Exact integer arithmetic end-to-end (least/greatest on BIGINT
+    // token counts, ppm via BIGINT div) — hash-stable. Scale posture:
+    // one map pass to per-doc token counts, one source-cardinality
+    // aggregate (map-side combined), no joins.
+    "q_truncation_plan" -> { (s, d) =>
+      val L = 32L
+      val perDoc = Tables.documents(s, d)
+        .select(col("source"), TextAnalysis.tokenCount(col("text"))
+          .cast("long").as("tok"))
+      perDoc.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("tok") > L, 1L).otherwise(0L)).as("n_trunc"),
+          sum(when(col("tok") > 2 * L, 1L).otherwise(0L)).as("n_split"),
+          sum(col("tok")).as("tokens"),
+          sum(least(col("tok"), lit(L))).as("tokens_kept"),
+          sum(greatest(col("tok") - L, lit(0L))).as("tokens_dropped"))
+        .withColumn("kept_ppm",
+          expr("tokens_kept * 1000000 div tokens"))
+        .orderBy("source")
+    },
+
     // DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
     // arXiv:2302.03169): weight every raw document by how target-like its
     // hashed-n-gram distribution is, log w(x) = Σ_f log(p_target(f) /
@@ -1074,6 +1104,20 @@ object Curation {
          | n > 0 AND COALESCE(n_hits, 0) * 100 < n * 5 AS keep_ratio
          |FROM n LEFT JOIN h ON n.doc_id = h.doc_id
          |ORDER BY n.doc_id""".stripMargin,
+    "q_truncation_plan" ->
+      s"""WITH d AS (
+         | SELECT source, CAST(len($toksSql) AS BIGINT) AS tok
+         | FROM documents)
+         |SELECT source,
+         | count(*) AS n_docs,
+         | CAST(sum(CASE WHEN tok > 32 THEN 1 ELSE 0 END) AS BIGINT) AS n_trunc,
+         | CAST(sum(CASE WHEN tok > 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_split,
+         | CAST(sum(tok) AS BIGINT) AS tokens,
+         | CAST(sum(least(tok, 32)) AS BIGINT) AS tokens_kept,
+         | CAST(sum(greatest(tok - 32, 0)) AS BIGINT) AS tokens_dropped,
+         | CAST(sum(least(tok, 32)) AS BIGINT) * 1000000
+         |  // CAST(sum(tok) AS BIGINT) AS kept_ppm
+         |FROM d GROUP BY source ORDER BY source""".stripMargin,
     "q_token_budget" ->
       s"""WITH b AS (
          | SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
