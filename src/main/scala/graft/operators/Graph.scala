@@ -205,9 +205,71 @@ object Graph {
       .orderBy(desc("aa_score"), col("c1"), col("c2")).limit(k)
   }
 
+  /** LABEL-PROPAGATION COMMUNITIES (Raghavan et al. 2007), synchronous
+    * variant with two determinism pins the async original lacks:
+    * (1) ties break to the LEXICOGRAPHICALLY SMALLEST label (min over
+    * a (−count, label) struct — one aggregate, no window sort), and
+    * (2) each node votes for its OWN current label once (a self-loop),
+    * which damps the 2-coloring oscillation synchronous LPA exhibits on
+    * bipartite graphs like this customer↔supplier one. Bounded-round
+    * contract (the q_kcore posture): exactly `rounds` updates; the
+    * per-node `stable` flag (label unchanged in the final round)
+    * exposes convergence honestly.
+    *
+    * Scale posture: per round ONE shuffle — edges ⋈ label frame on src
+    * (label frame is node-cardinality, broadcast-class beside edges),
+    * neighbor-label counts map-side combined, argmax as a second
+    * aggregate on (node) — never a row_number window over the
+    * edge-cardinality count frame. Nothing edge-cardinality persists
+    * across rounds; beyond ~8 rounds add localCheckpoint every 4 (X12).
+    */
+  def labelProp(s: SparkSession, d: String, rounds: Int = 3): DataFrame = {
+    import graft.CacheScope.TrackedDataset
+    val base = interactionEdges(s, d)
+    val nodes = base.select(col("src").as("node")).distinct()
+    // self-loop per node = the node's own vote for its current label
+    val edges = base.union(
+      nodes.select(col("node").as("src"), col("node").as("dst")))
+      .persistTracked()
+    var lab = nodes.select(col("node"), col("node").as("label"))
+    var prev = lab
+    for (_ <- 1 to rounds) {
+      prev = lab
+      val cnt = edges
+        .join(lab.select(col("node").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      lab = cnt.groupBy("node")
+        .agg(min(struct(negate(col("cnt")).as("nc"),
+          col("label").as("label"))).as("b"))
+        .select(col("node"), col("b.label").as("label"))
+    }
+    lab.join(prev.select(col("node"), col("label").as("pl")), Seq("node"))
+      .select(col("node"), col("label"),
+        (col("label") === col("pl")).as("stable"))
+      .orderBy("node")
+  }
+
+  /** One DuckDB LPA round (replays the Spark round exactly; the
+    * row_number tie-break (cnt DESC, label ASC) is order-equivalent to
+    * Spark's min((−cnt, label)) struct).
+    */
+  private def lpaRoundSql(t: Int): String = {
+    val prev = s"l${t - 1}"
+    s"""l$t AS (
+       | SELECT node, label FROM (
+       |  SELECT e.dst AS node, p.label, count(*) AS cnt,
+       |   row_number() OVER (PARTITION BY e.dst
+       |    ORDER BY count(*) DESC, p.label ASC) AS rn
+       |  FROM edges e JOIN $prev p ON e.src = p.node
+       |  GROUP BY e.dst, p.label)
+       | WHERE rn = 1)""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank_entity" -> { (s, d) => pagerank(s, d) },
     "q_link_predict" -> { (s, d) => linkPredict(s, d) },
+    "q_label_prop" -> { (s, d) => labelProp(s, d) },
     "q_kcore" -> { (s, d) => kcore(s, d) })
 
   def oracles: Map[String, String] = Map(
@@ -242,6 +304,22 @@ object Graph {
         |FROM pairs JOIN deg USING (supp)
         |GROUP BY 1, 2
         |ORDER BY aa_score DESC, c1, c2 LIMIT 20""".stripMargin,
+    "q_label_prop" -> {
+      val rounds = (1 to 3).map(lpaRoundSql).mkString(",\n")
+      s"""WITH h AS (
+         | SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
+         | FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |nodes AS (SELECT DISTINCT src AS node FROM
+         | (SELECT src FROM h UNION ALL SELECT dst FROM h) t(src)),
+         |edges AS (
+         | SELECT src, dst FROM h UNION ALL SELECT dst, src FROM h
+         | UNION ALL SELECT node, node FROM nodes),
+         |l0 AS (SELECT node, node AS label FROM nodes),
+         |$rounds
+         |SELECT a.node, a.label, a.label = b.label AS stable
+         |FROM l3 a JOIN l2 b ON a.node = b.node
+         |ORDER BY a.node""".stripMargin
+    },
     "q_pagerank_entity" -> {
       val iters = (1 to 3).map(iterSql).mkString(",\n")
       s"""WITH e0 AS (
