@@ -799,6 +799,43 @@ object TextAnalysis {
           expr("oov_tokens * 1000000 div n_tokens").as("oov_ppm"))
         .orderBy("source")
     },
+    // VOCAB COVERAGE CURVE — q_oov_rate's design-side sibling: instead
+    // of auditing one fixed V, report what fraction of the corpus token
+    // MASS the top-c vocabulary covers at each candidate cutoff c (the
+    // curve a tokenizer designer reads to pick V in the first place).
+    // Cutoffs {5, 10, 20} against this corpus's 31-token vocabulary
+    // (32k/64k/128k against a real one — the knob, not the shape).
+    // Scale posture: token counts collapse map-side to a vocab-sized
+    // frame; the top-maxCutoff slice runs on the native TopKPerKey exec
+    // (k-bounded heaps, no vocab-wide sort/window); ranking then happens
+    // on that ≤20-row frame only, and the corpus total joins in as a
+    // broadcast scalar. Integer ppm end-to-end — hash-stable.
+    "q_vocab_coverage" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val cutoffs = Seq(5, 10, 20)
+      val counts = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .persistTracked()
+      val tot = counts.agg(sum(col("freq")).as("total"))
+      val top = graft.plans.TopKPerKey.topKPerKey(
+          counts.withColumn("g", lit(1)), keys = Seq("g"),
+          order = Seq(("freq", false), ("token", true)), k = cutoffs.max)
+        // rank within the ≤ maxCutoff-row slice — bounded by construction
+        .withColumn("rn", row_number().over(Window.partitionBy("g")
+          .orderBy(desc("freq"), asc("token"))))
+      top.select(col("freq"), col("rn"),
+          explode(array(cutoffs.map(lit): _*)).as("cutoff"))
+        .filter(col("rn") <= col("cutoff"))
+        .groupBy("cutoff")
+        .agg(count(lit(1)).as("vocab_tokens"),
+          sum(col("freq")).as("covered"))
+        .crossJoin(broadcast(tot))
+        .select(col("cutoff"), col("vocab_tokens"),
+          col("covered"), expr("covered * 1000000 div total").as("mass_ppm"))
+        .orderBy("cutoff")
+    },
+
     // TF-IDF term relevance over the corpus: summed tf-idf per term
     // collapses to total_tf(term) × idf(term), so after the per-doc tf
     // aggregate everything is term-cardinality-sized — two map-side-
@@ -1560,6 +1597,22 @@ object TextAnalysis {
            |  AS BIGINT), 0) * 1000000 // count(*) AS oov_ppm
            |FROM tok LEFT JOIN vocab v USING (token)
            |GROUP BY source ORDER BY source""".stripMargin,
+      "q_vocab_coverage" ->
+        s"""WITH c AS (
+           | SELECT token, count(*) AS freq
+           | FROM (SELECT unnest(${tokensSql("text")}) AS token FROM documents)
+           | GROUP BY 1),
+           |t AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM c),
+           |r AS (SELECT token, freq,
+           |  row_number() OVER (ORDER BY freq DESC, token) AS rn
+           | FROM c QUALIFY rn <= 20),
+           |k AS (SELECT CAST(unnest([5, 10, 20]) AS INTEGER) AS cutoff)
+           |SELECT cutoff, count(*) AS vocab_tokens,
+           | CAST(sum(freq) AS BIGINT) AS covered,
+           | CAST(sum(freq) AS BIGINT) * 1000000
+           |  // (SELECT total FROM t) AS mass_ppm
+           |FROM r JOIN k ON r.rn <= k.cutoff
+           |GROUP BY cutoff ORDER BY cutoff""".stripMargin,
       "q_tfidf_topk" ->
         s"""WITH tok AS (SELECT doc_id, unnest(${tokensSql("lower(text)")}) AS term
            |             FROM documents),
