@@ -1306,7 +1306,48 @@ object Dedup {
     intra.unionByName(cross)
   }
 
+  /** LSH BANDING S-CURVE TUNING TABLE — the design artifact behind the
+    * shipped MinHash tier's constants (16 signatures as 4 bands × 4
+    * rows, Jaccard threshold 0.5): for every (bands b, rows r) split of
+    * 16 hashes, P[candidate | Jaccard = s] = 1 − (1 − s^r)^b on a
+    * 0.1-step s grid (Leskovec/Rajaraman/Ullman, MMDS §3.4). The table
+    * a 100 TB rollout reads to trade shuffle volume (more bands = more
+    * candidate pairs) against recall at the tier's threshold; `shipped`
+    * marks the live (4, 4) configuration.
+    *
+    * Determinism: s^r and (1−s^r)^b are built by REPEATED MULTIPLICATION
+    * (left-assoc chains, identical trees in both engines) — never
+    * pow(), which is not correctly rounded and diverges cross-engine at
+    * the 6dp contract. Input-free 45-row design table: all compute is a
+    * literal-frame map, nothing scales with data.
+    */
+  def lshCurve(s: SparkSession): DataFrame = {
+    val combos = Seq((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+    val frames = combos.map { case (b, r) =>
+      val base = s.range(1, 10).toDF("s_x10")
+        .withColumn("bands", lit(b))
+        .withColumn("rows_per_band", lit(r))
+      val sv = col("s_x10").cast("double") / lit(10.0)
+      val sr = (1 to r).map(_ => sv).reduce(_ * _)
+      val q = lit(1.0) - sr
+      val qb = (1 to b).map(_ => q).reduce(_ * _)
+      base.withColumn("p_cand", round(lit(1.0) - qb, 6))
+    }
+    frames.reduce(_ unionByName _)
+      .withColumn("shipped",
+        col("bands") === 4 && col("rows_per_band") === 4)
+      .select("bands", "rows_per_band", "s_x10", "p_cand", "shipped")
+      .orderBy("bands", "s_x10")
+  }
+
+  /** n-fold left-assoc product of a SQL expression (the no-pow rule). */
+  private def pchainSql(e: String, n: Int): String =
+    List.fill(n)(s"($e)").mkString(" * ")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // LSH banding tuning table for the shipped (4 bands × 4 rows) tier.
+    "q_lsh_curve" -> { (s, _) => lshCurve(s) },
+
     // Sorted-neighborhood blocking (w=8) scored with the same native
     // Jaro–Winkler as q_jaro_match — the third blocking family's
     // recall/candidate trade-off, directly comparable. Threshold 0.88:
@@ -1735,6 +1776,20 @@ object Dedup {
        | SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q_lsh_curve" -> {
+      val branches = Seq((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+        .map { case (b, r) =>
+          val sv = "(CAST(s_x10 AS DOUBLE) / 10.0)"
+          val q = s"(1.0 - (${pchainSql(sv, r)}))"
+          s"""SELECT $b AS bands, $r AS rows_per_band, s_x10,
+             | round(1.0 - (${pchainSql(q, b)}), 6) AS p_cand,
+             | ${b == 4 && r == 4} AS shipped FROM g""".stripMargin
+        }.mkString("\nUNION ALL\n")
+      s"""WITH g AS (
+         | SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS s_x10)
+         |$branches
+         |ORDER BY bands, s_x10""".stripMargin
+    },
     // same planted variants, same two fingerprints, same min-id survivor
     "q_dedup_norm" ->
       """WITH corpus AS (
