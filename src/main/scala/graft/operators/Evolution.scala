@@ -251,6 +251,50 @@ object Evolution {
     *     per-user contribution bound — otherwise the release is not
     *     user-level DP.
     */
+  /** DP MEDIAN via the EXPONENTIAL MECHANISM (McSherry & Talwar 2007)
+    * — the third DP release class: counts and sums add noise to the
+    * OUTPUT, but a median's output lives in the data domain, so the
+    * mechanism instead samples a candidate value with probability
+    * ∝ exp(ε·u/2), utility u(v) = −|#{x ≤ v} − n/2| (rank distance —
+    * sensitivity 1). Sampling is replayed deterministically through the
+    * Gumbel-max trick: argmax over candidates of ε·u/2 + Gumbel(seeded)
+    * is distribution-identical to exponential-mechanism sampling, and
+    * the Gumbel draw −ln(−ln(u)) uses the same seeded md5 inverse-CDF
+    * as [[dpNoisyCounts]] — same caveat: the default seed is an oracle
+    * fixture; real privacy needs a secret seed + per-release epoch.
+    *
+    * Scale posture: candidates are the distinct-value spine with
+    * cumulative counts (the exact-percentile frame — value-cardinality-
+    * bounded window), n joins in as a broadcast scalar, and the argmax
+    * is ONE max-of-struct aggregate — no sort, no driver loop. The
+    * chosen value's rank distance is emitted so the gate can see the
+    * mechanism landed near the true median (rank_dist ≪ n).
+    */
+  def dpMedian(df: DataFrame, valueCol: String, epsilon: Double = 1.0,
+               secretSeed: String = "dpmed:"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = df.filter(col(valueCol).isNotNull)
+      .select((col(valueCol).cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("c"))
+    val spine = cents.groupBy("c").agg(count(lit(1)).as("k"))
+      .withColumn("cum", sum(col("k")).over(Window.orderBy("c")))
+    val n = cents.agg(count(lit(1)).as("n"))
+    val h = conv(substring(md5(concat(lit(secretSeed),
+      col("c").cast("string"))), 1, 13), 16, 10).cast("long")
+    val u = (h.cast("double") + lit(0.5)) / lit(4503599627370496.0)
+    val gum = -log(-log(u))
+    val rd = abs(lit(2) * col("cum") - col("n"))
+    spine.crossJoin(broadcast(n))
+      .select(col("c"), col("n"), rd.as("rd"),
+        (-lit(epsilon) * rd.cast("double") / lit(4.0) + gum).as("score"))
+      .agg(max(struct(col("score").as("score"), col("c").as("c"),
+          col("rd").as("rd"))).as("b"),
+        max(col("n")).as("n"))
+      .select(lit(epsilon).as("epsilon"), col("n"),
+        (col("b.c").cast("double") / 100.0).as("dp_median"),
+        col("b.rd").as("rank_dist"))
+  }
+
   def dpNoisySums(df: DataFrame, groupCol: String, valueCol: String,
                   clipDollars: Long = 100L, epsilon: Double = 1.0,
                   secretSeed: String = "dpsum:"): DataFrame = {
@@ -555,6 +599,11 @@ object Evolution {
     "q_dp_sums" -> { (s, d) =>
       dpNoisySums(Tables.events(s, d), "event_type", "value")
     },
+    // DP median of order totals via the exponential mechanism
+    // (Gumbel-max replay over the distinct-value spine).
+    "q_dp_median" -> { (s, d) =>
+      dpMedian(Tables.orders(s, d), "o_totalprice")
+    },
     "q_freshness" -> { (s, d) => freshness(Tables.events(s, d)) },
     "q_table_diff" -> { (s, d) => tableDiff(Tables.orders(s, d)) },
     "q_cumulative_distinct" -> { (s, d) =>
@@ -648,6 +697,24 @@ object Evolution {
         |  AS sum_noisy,
         | 1.0 AS epsilon, CAST(100 AS BIGINT) AS clip
         |FROM u ORDER BY event_type""".stripMargin,
+    // exponential-mechanism median: Gumbel-max replay, rank utility
+    "q_dp_median" ->
+      """WITH v AS (
+        | SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        | FROM orders WHERE o_totalprice IS NOT NULL),
+        |g AS (SELECT c, count(*) AS k FROM v GROUP BY 1),
+        |s AS (SELECT c, sum(k) OVER (ORDER BY c) AS cum FROM g),
+        |n AS (SELECT count(*) AS n FROM v),
+        |sc AS (
+        | SELECT c, abs(2 * cum - (SELECT n FROM n)) AS rd,
+        |  (CAST('0x' || substr(md5('dpmed:' || CAST(c AS VARCHAR)), 1, 13) AS BIGINT)
+        |    + 0.5) / 4503599627370496.0 AS u
+        | FROM s)
+        |SELECT 1.0 AS epsilon, (SELECT n FROM n) AS n,
+        | CAST(c AS DOUBLE) / 100.0 AS dp_median, rd AS rank_dist
+        |FROM sc
+        |ORDER BY (-1.0 * CAST(rd AS DOUBLE) / 4.0 + (-ln(-ln(u)))) DESC, c DESC
+        |LIMIT 1""".stripMargin,
     // same salted-md5 uniform, same Laplace inverse CDF, ε = 1
     "q_dp_counts" ->
       """WITH c AS (
