@@ -61,6 +61,29 @@ object TextAnalysis {
       (length(c) - length(regexp_replace(c, punctClass, ""))).cast("double") /
         length(c).cast("double"))
 
+  /** Four-fifths-rule disparate-impact table over any (group, keep)
+    * frame: per-group keep rate in exact integer ppm, ratio to the
+    * most-favored group, and the EEOC 4/5ths violation flag computed as
+    * the exact integer cross-multiply rate·5 < max_rate·4 (no float
+    * compare). Scale: one group-cardinality aggregate + one broadcast
+    * scalar max. Violation path is spec-gated on planted rates
+    * (Round9Spec) — the natural corpus keeps uniformly.
+    */
+  def disparateImpact(df: DataFrame, groupCol: String,
+                      keepCol: String): DataFrame = {
+    val perG = df.groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(keepCol), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("rate_ppm", expr("n_kept * 1000000 div n"))
+    val mx = perG.agg(max(col("rate_ppm")).as("max_ppm"))
+    perG.crossJoin(broadcast(mx))
+      .select(col(groupCol), col("n"), col("n_kept"), col("rate_ppm"),
+        round(col("rate_ppm").cast("double") /
+          col("max_ppm").cast("double"), 6).as("di_ratio"),
+        (col("rate_ppm") * 5 < col("max_ppm") * 4).as("violates_45"))
+      .orderBy(groupCol)
+  }
+
   /** Mean token length (a words-vs-garbage signal). */
   def meanTokenLen(c: Column): Column = {
     val n = tokenCount(c)
@@ -1006,6 +1029,28 @@ object TextAnalysis {
         .agg(count(lit(1)).as("kept"),
           round(min(col("mtl")), 6).as("min_kept_mtl"))
     },
+    // DISPARATE-IMPACT AUDIT of the quality filter — the four-fifths
+    // rule (EEOC 1978; Feldman et al. 2015 brought it to ML pipelines):
+    // per language group, the bottom-decile mean-token-length filter's
+    // keep rate must be ≥ 80% of the most-favored group's, or the
+    // filter is flagged as disparately excluding that language from the
+    // corpus. The fairness pre-flight a multilingual curation run needs
+    // BEFORE shipping a filter tuned on one language's statistics.
+    // Exactness: rates as integer ppm; the 4/5ths test is the exact
+    // integer cross-multiply rate·5 < max_rate·4 (no float compare);
+    // only the reported di_ratio is a rounded double. Scale: one
+    // broadcast threshold, one lang-cardinality aggregate, one
+    // broadcast max — no joins beyond scalars.
+    "q_disparate_impact" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("lang"), round(meanTokenLen(col("text")), 6).as("mtl"))
+      val thr = Analytics.exactPercentiles(docs, "mtl", Seq("thr" -> 0.1))
+      disparateImpact(
+        docs.crossJoin(broadcast(thr))
+          .select(col("lang"), (col("mtl") >= col("thr")).as("keep")),
+        "lang", "keep")
+    },
+
     // SORT-FREE decile report: bucket every doc by quality score WITHOUT
     // a global ntile sort — the 9 exact decile thresholds come from the
     // distributed percentile and broadcast back; assignment is a pure
@@ -1649,6 +1694,21 @@ object TextAnalysis {
            |t AS (SELECT quantile_cont(mtl, 0.1) AS thr FROM m)
            |SELECT count(*) AS kept, round(min(mtl), 6) AS min_kept_mtl
            |FROM m, t WHERE mtl >= thr""".stripMargin,
+      "q_disparate_impact" ->
+        s"""WITH m AS (SELECT lang, round($meanTok, 6) AS mtl FROM documents),
+           |t AS (SELECT quantile_cont(mtl, 0.1) AS thr FROM m),
+           |p AS (
+           | SELECT lang, count(*) AS n,
+           |  CAST(sum(CASE WHEN mtl >= thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+           | FROM m, t GROUP BY 1),
+           |r AS (SELECT lang, n, n_kept,
+           |       n_kept * 1000000 // n AS rate_ppm FROM p),
+           |x AS (SELECT max(rate_ppm) AS max_ppm FROM r)
+           |SELECT lang, n, n_kept, rate_ppm,
+           | round(CAST(rate_ppm AS DOUBLE) / CAST(max_ppm AS DOUBLE), 6)
+           |  AS di_ratio,
+           | rate_ppm * 5 < max_ppm * 4 AS violates_45
+           |FROM r, x ORDER BY lang""".stripMargin,
       "q_curriculum" -> {
         val thrCols = (1 to 9).map(i => s"quantile_cont(score, 0.${i}) AS t$i").mkString(", ")
         val caseSum = (1 to 9)

@@ -239,6 +239,22 @@ class Round9Spec extends SparkSpec {
     assert(byS("pooled")._1 > 0 && !byS("pooled")._2)
   }
 
+  test("disparateImpact fires the 4/5ths flag exactly at the EEOC boundary") {
+    // majority keeps 10/10; minority keeps 8/10 = exactly 0.8 (NOT a
+    // violation — the rule is strict-less-than) and edge keeps 7/10
+    // (a violation). Exact integer cross-multiply, no float boundary.
+    val rows =
+      (1 to 10).map(i => ("majority", true)) ++
+      (1 to 8).map(i => ("minority", true)) ++ (1 to 2).map(i => ("minority", false)) ++
+      (1 to 7).map(i => ("edge", true)) ++ (1 to 3).map(i => ("edge", false))
+    val r = operators.TextAnalysis
+      .disparateImpact(rows.toDF("grp", "keep"), "grp", "keep").collect()
+    val byG = r.map(x => (x.getString(0), (x.getLong(3), x.getBoolean(5)))).toMap
+    assert(byG("majority") === ((1000000L, false)))
+    assert(byG("minority") === ((800000L, false))) // exactly 4/5: no flag
+    assert(byG("edge") === ((700000L, true)))
+  }
+
   test("btStrength clamps a shut-out source to strength 1, not 0/0") {
     // c loses every duel (tw = 0) → the raw update is 0; the clamp keeps
     // it at 1 so round-2 denominators π_i + π_c never divide by zero.
