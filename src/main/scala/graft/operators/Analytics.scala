@@ -2535,6 +2535,60 @@ object Analytics {
             col("sn").cast("double"), 6).as("skill_vs_naive"))
     },
 
+    // SPLIT-CONFORMAL PREDICTION INTERVAL for the one-step EWMA
+    // forecaster (Vovk et al. 2005; Lei et al. 2018): calibrate q̂ as
+    // the ⌈0.9·(n_cal+1)⌉-th smallest absolute residual on the first
+    // 70% of days, then MEASURE the empirical coverage of ŷ ± q̂ on the
+    // held-out last 30% — the distribution-free interval harness an
+    // ML-ops stack runs on any point forecaster. Honest caveat in the
+    // readout: a time split is not exchangeable, so the ≥ 90% marginal
+    // guarantee is approximate here — which is exactly why coverage is
+    // MEASURED, not assumed (target_ppm rides alongside). Exactness:
+    // residuals are integer cents, q̂ is an exact order statistic
+    // (integer rank math — no interpolated quantile), coverage is
+    // integer ppm; no float enters until the reported q̂. Scale: the
+    // residual spine is day-cardinality (calendar-bounded windows);
+    // q̂ broadcasts back as a scalar.
+    "q_conformal_interval" -> { (s, d) =>
+      val ew = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("dt"))
+        .select(col("day"), (col("dt") * 100).cast("long").as("rc"))
+        .agg(array_sort(collect_list(struct(col("day"), col("rc")))).as("a"))
+        .selectExpr(
+          """inline(aggregate(
+            |  a,
+            |  cast(array() as array<struct<day:date,rc:bigint,ewma_u:bigint>>),
+            |  (acc, e) -> array_append(acc, named_struct(
+            |    'day', e.day, 'rc', e.rc,
+            |    'ewma_u', case when size(acc) = 0 then e.rc
+            |              else (e.rc + element_at(acc, -1).ewma_u) div 2
+            |              end))))""".stripMargin)
+      val w = Window.orderBy("day")
+      val res = ew
+        .withColumn("prev_ewma", lag(col("ewma_u"), 1).over(w))
+        .filter(col("prev_ewma").isNotNull)
+        .select(col("day"), abs(col("rc") - col("prev_ewma")).as("err_c"))
+        .withColumn("rn", row_number().over(Window.orderBy("day")))
+      val tot = res.agg(count(lit(1)).as("n"))
+      val marked = res.crossJoin(broadcast(tot))
+        .withColumn("n_cal", expr("(7 * n) div 10"))
+      val qhat = marked.filter(col("rn") <= col("n_cal"))
+        .withColumn("rr",
+          row_number().over(Window.orderBy("err_c", "day")))
+        .filter(col("rr") === expr("(9 * (n_cal + 1) + 9) div 10"))
+        .select(col("err_c").as("q_c"))
+      marked.filter(col("rn") > col("n_cal"))
+        .crossJoin(broadcast(qhat))
+        .agg(max(col("n_cal")).as("n_cal"), count(lit(1)).as("n_eval"),
+          max(col("q_c")).as("qc"),
+          sum(when(col("err_c") <= col("q_c"), 1L).otherwise(0L)).as("cov"))
+        .select(col("n_cal"), col("n_eval"),
+          round(col("qc").cast("double") / 100.0, 6).as("qhat"),
+          expr("cov * 1000000 div n_eval").as("coverage_ppm"),
+          lit(900000L).as("target_ppm"))
+    },
+
     // A9 — Holt double-exponential forecast (α = β = ½): level+trend
     // recursion over the daily series, then a 7-day linear forecast.
     // Same exactness contract as q_ewma_daily — the state is integer
@@ -3966,6 +4020,35 @@ object Analytics {
         | round(1.0 - CAST(se AS DOUBLE) / CAST(sn AS DOUBLE), 6)
         |  AS skill_vs_naive
         |FROM m""".stripMargin,
+    "q_conformal_interval" ->
+      """WITH RECURSIVE d AS (
+        | SELECT o_orderdate AS day,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rc
+        | FROM orders GROUP BY 1),
+        |i AS (SELECT day, rc, row_number() OVER (ORDER BY day) AS rn FROM d),
+        |e AS (
+        | SELECT rn, day, rc, rc AS ewma_u FROM i WHERE rn = 1
+        | UNION ALL
+        | SELECT i.rn, i.day, i.rc, (i.rc + e.ewma_u) // 2
+        | FROM e JOIN i ON i.rn = e.rn + 1),
+        |res AS (
+        | SELECT c.day, abs(c.rc - p.ewma_u) AS err_c,
+        |  row_number() OVER (ORDER BY c.day) AS rn
+        | FROM e c JOIN e p ON p.rn = c.rn - 1),
+        |t AS (SELECT count(*) AS n, (7 * count(*)) // 10 AS n_cal FROM res),
+        |cal AS (
+        | SELECT err_c, row_number() OVER (ORDER BY err_c, day) AS rr
+        | FROM res, t WHERE rn <= n_cal),
+        |q AS (SELECT err_c AS q_c FROM cal, t
+        |      WHERE rr = (9 * (n_cal + 1) + 9) // 10),
+        |ev AS (SELECT err_c FROM res, t WHERE rn > n_cal)
+        |SELECT (SELECT n_cal FROM t) AS n_cal,
+        | count(*) AS n_eval,
+        | round(CAST((SELECT q_c FROM q) AS DOUBLE) / 100.0, 6) AS qhat,
+        | CAST(sum(CASE WHEN err_c <= (SELECT q_c FROM q) THEN 1 ELSE 0 END)
+        |  AS BIGINT) * 1000000 // count(*) AS coverage_ppm,
+        | CAST(900000 AS BIGINT) AS target_ppm
+        |FROM ev""".stripMargin,
     "q_holt_forecast" ->
       """WITH RECURSIVE d AS (
         | SELECT o_orderdate AS day,
