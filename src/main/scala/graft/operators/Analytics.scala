@@ -3011,6 +3011,74 @@ object Analytics {
       abTest(Tables.events(s, d))
     },
 
+    // LIFT-HETEROGENEITY READOUT (fixed-effect meta-analysis across
+    // user segments — Cochran 1954's Q, Higgins & Thompson 2002's I²):
+    // the per-segment treatment lifts on purchases-per-user are pooled
+    // inverse-variance, and Q = Σwθ² − (Σwθ)²/Σw tests whether the
+    // segments genuinely disagree (Q > χ²₀.₀₅(k−1) ⇒ one global lift
+    // number is hiding real segment structure — ship per-segment
+    // readouts instead). The standard "is the effect uniform" gate run
+    // before rolling out a winner measured on the pooled population.
+    // Determinism: per-segment moments are exact integer (Σx, Σx²
+    // Longs); θ/w doubles derive from them identically in both engines;
+    // the cross-segment folds round each term to 9dp DECIMAL first
+    // (order-independent sums — the q_jackknife convention). Scale: one
+    // user-keyed aggregate, one (segment × arm)-cardinality rollup,
+    // then a k-row fold. No joins.
+    "q_lift_heterogeneity" -> { (s, d) =>
+      val k = 4
+      val perUser = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("m"))
+        .select(col("m"), (col("user_id") % k).as("seg"),
+          (conv(substring(md5(col("user_id").cast("string")), 1, 4), 16, 10)
+            .cast("long") % 2).as("arm"))
+      val bySeg = perUser.groupBy("seg").agg(
+        count(when(col("arm") === 0, 1)).as("n_c"),
+        sum(when(col("arm") === 0, col("m")).otherwise(0L)).as("s_c"),
+        sum(when(col("arm") === 0, col("m") * col("m")).otherwise(0L))
+          .as("ss_c"),
+        count(when(col("arm") === 1, 1)).as("n_t"),
+        sum(when(col("arm") === 1, col("m")).otherwise(0L)).as("s_t"),
+        sum(when(col("arm") === 1, col("m") * col("m")).otherwise(0L))
+          .as("ss_t"))
+      def m(sc: String, n: String) =
+        col(sc).cast("double") / col(n).cast("double")
+      def v(ss: String, sc: String, n: String) =
+        (col(ss).cast("double") -
+          col(sc).cast("double") * col(sc).cast("double") /
+            col(n).cast("double")) / (col(n).cast("double") - lit(1.0))
+      val theta = m("s_t", "n_t") - m("s_c", "n_c")
+      val varT = v("ss_t", "s_t", "n_t") / col("n_t").cast("double") +
+        v("ss_c", "s_c", "n_c") / col("n_c").cast("double")
+      val w = lit(1.0) / varT
+      bySeg
+        .select(
+          round(w, 9).cast(DecimalType(28, 9)).as("w"),
+          round(w * theta, 9).cast(DecimalType(28, 9)).as("wt"),
+          round(w * theta * theta, 9).cast(DecimalType(28, 9)).as("wt2"))
+        .agg(count(lit(1)).as("k_segments"),
+          sum(col("w")).as("sw"), sum(col("wt")).as("swt"),
+          sum(col("wt2")).as("swt2"))
+        .select(col("k_segments"),
+          round(col("swt").cast("double") / col("sw").cast("double"), 6)
+            .as("pooled_lift"),
+          round(col("swt2").cast("double") -
+            col("swt").cast("double") * col("swt").cast("double") /
+              col("sw").cast("double"), 6).as("q_stat"),
+          (round(col("swt2").cast("double") -
+            col("swt").cast("double") * col("swt").cast("double") /
+              col("sw").cast("double"), 6) > lit(7.814728))
+            .as("heterogeneous"))
+        .withColumn("i2",
+          round(greatest(lit(0.0),
+            (col("q_stat") - (col("k_segments") - lit(1)).cast("double")) /
+              col("q_stat")), 6))
+        .select("k_segments", "pooled_lift", "q_stat", "i2",
+          "heterogeneous")
+    },
+
     // A/A NEGATIVE CONTROL — q_ab_test's split machinery replayed under
     // 5 salted null splits; any unhealthy row indicts the assignment
     // stack, not an experiment. Same single user-keyed aggregate as
@@ -4745,6 +4813,48 @@ object Analytics {
         | round(rc, 6) AS rate_c, round(rt, 6) AS rate_t,
         | CASE WHEN se > 0 THEN round((rt - rc) / se, 6) END AS z
         |FROM b""".stripMargin,
+    "q_lift_heterogeneity" ->
+      """WITH u AS (
+        | SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS m
+        | FROM events GROUP BY 1),
+        |p AS (
+        | SELECT m, user_id % 4 AS seg,
+        |  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4)) AS BIGINT) % 2 AS arm
+        | FROM u),
+        |g AS (
+        | SELECT seg,
+        |  count(CASE WHEN arm = 0 THEN 1 END) AS n_c,
+        |  CAST(sum(CASE WHEN arm = 0 THEN m ELSE 0 END) AS BIGINT) AS s_c,
+        |  CAST(sum(CASE WHEN arm = 0 THEN m * m ELSE 0 END) AS BIGINT) AS ss_c,
+        |  count(CASE WHEN arm = 1 THEN 1 END) AS n_t,
+        |  CAST(sum(CASE WHEN arm = 1 THEN m ELSE 0 END) AS BIGINT) AS s_t,
+        |  CAST(sum(CASE WHEN arm = 1 THEN m * m ELSE 0 END) AS BIGINT) AS ss_t
+        | FROM p GROUP BY 1),
+        |t AS (
+        | SELECT seg,
+        |  (CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+        |   - CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE)) AS theta,
+        |  ((CAST(ss_t AS DOUBLE) - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE)) / (CAST(n_t AS DOUBLE) - 1.0)) / CAST(n_t AS DOUBLE)
+        |   + ((CAST(ss_c AS DOUBLE) - CAST(s_c AS DOUBLE) * CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE)) / (CAST(n_c AS DOUBLE) - 1.0)) / CAST(n_c AS DOUBLE) AS vr
+        | FROM g),
+        |f AS (
+        | SELECT count(*) AS k_segments,
+        |  sum(CAST(round(1.0 / vr, 9) AS DECIMAL(28,9))) AS sw,
+        |  sum(CAST(round((1.0 / vr) * theta, 9) AS DECIMAL(28,9))) AS swt,
+        |  sum(CAST(round((1.0 / vr) * theta * theta, 9) AS DECIMAL(28,9))) AS swt2
+        | FROM t),
+        |r AS (
+        | SELECT k_segments,
+        |  round(CAST(swt AS DOUBLE) / CAST(sw AS DOUBLE), 6) AS pooled_lift,
+        |  round(CAST(swt2 AS DOUBLE)
+        |   - CAST(swt AS DOUBLE) * CAST(swt AS DOUBLE) / CAST(sw AS DOUBLE), 6)
+        |   AS q_stat
+        | FROM f)
+        |SELECT k_segments, pooled_lift, q_stat,
+        | round(greatest(0.0, (q_stat - (k_segments - 1)) / q_stat), 6) AS i2,
+        | q_stat > 7.814728 AS heterogeneous
+        |FROM r""".stripMargin,
     "q_aa_check" ->
       """WITH u AS (
         | SELECT user_id,
