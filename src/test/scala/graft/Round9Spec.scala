@@ -239,6 +239,27 @@ class Round9Spec extends SparkSpec {
     assert(byS("pooled")._1 > 0 && !byS("pooled")._2)
   }
 
+  test("aaCheck flags a split-correlated metric on the biased salt only") {
+    // Plant a broken assignment: the metric is 8+noise for salt-0's
+    // arm-1 users and 1+noise for its arm-0 users, so salt 0 MUST flag
+    // unhealthy while the re-randomized salts 1–4 (independent md5
+    // splits of the same users) stay healthy.
+    val arm0 = conv(substring(md5(concat(col("user_id").cast("string"),
+      lit(":0"))), 1, 4), 16, 10).cast("long") % 2
+    val users = spark.range(1, 401).toDF("user_id")
+      .withColumn("k",
+        when(arm0 === 1, 8L).otherwise(1L) + col("user_id") % 3)
+    val events = users
+      .select(col("user_id"),
+        explode(sequence(lit(1L), col("k"))).as("i"))
+      .select(col("user_id"), lit("purchase").as("event_type"))
+    val r = operators.Analytics.aaCheck(events).collect()
+    val bySalt = r.map(x => x.getInt(0) -> x.getBoolean(6)).toMap
+    assert(!bySalt(0), "biased salt must flag unhealthy")
+    assert((1 to 4).count(s => bySalt(s)) >= 3,
+      "independent re-randomizations must stay (mostly) healthy")
+  }
+
   test("disparateImpact fires the 4/5ths flag exactly at the EEOC boundary") {
     // majority keeps 10/10; minority keeps 8/10 = exactly 0.8 (NOT a
     // violation — the rule is strict-less-than) and edge keeps 7/10
