@@ -51,6 +51,38 @@ object Curation {
       .agg(count(lit(1)).as("n_shared")) // shingles are per-doc distinct
   }
 
+  /** CRAWL NOVELTY DECAY — per ingest batch, what fraction of its
+    * 5-gram shingle occurrences is FIRST-SEEN (no earlier batch
+    * contains the gram)? The saturation readout a continuously-crawled
+    * corpus watches: novelty_ppm trending to zero means new batches are
+    * re-crawling content the corpus already has, and the marginal
+    * training value of the pipeline is collapsing (the corpus-level
+    * twin of q_dedup_tiers' marginal-pair story). Batches are
+    * `doc_id div batchSize` — ingest order — since the synthetic corpus
+    * carries no crawl timestamp; occurrences are per-doc-distinct (the
+    * shingleHashStream contract), so a gram repeated across docs in one
+    * batch counts once per doc.
+    *
+    * Scale posture: gram first-seen is ONE map-side-combined min per
+    * gram hash; the join back is co-partitioned on the gram hash (both
+    * sides shuffle on h, no broadcast of a corpus-sized set); the final
+    * rollup is batch-cardinality. At 100 TB the gram-hash frame is the
+    * big one — it stays (hash, batch) thin rows end-to-end.
+    */
+  def noveltyDecay(docs: DataFrame, batchSize: Long = 100L): DataFrame = {
+    import graft.CacheScope.TrackedDataset
+    val hs = shingleHashStream(docs, "doc_id", "text", 5, Dedup.Md5Hash)
+      .select(expr(s"id div $batchSize").as("batch"), col("h"))
+      .persistTracked()
+    val first = hs.groupBy("h").agg(min(col("batch")).as("fb"))
+    hs.join(first, Seq("h"))
+      .groupBy("batch")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("fb") === col("batch"), 1L).otherwise(0L)).as("novel"))
+      .withColumn("novelty_ppm", expr("novel * 1000000 div n_grams"))
+      .orderBy("batch")
+  }
+
   // ===== PII redaction =====
 
   /** (label, pattern, replacement) — patterns valid in BOTH Java regex
@@ -481,6 +513,10 @@ object Curation {
       contaminationReport(docs, docs.filter(col("doc_id") < 20),
           hasher = Dedup.Md5Hash)
         .orderBy("doc_id")
+    },
+    // Crawl novelty decay: first-seen 5-gram fraction per ingest batch.
+    "q_novelty_decay" -> { (s, d) =>
+      noveltyDecay(Tables.documents(s, d))
     },
     // PII audit over a corpus with planted PII (the synthetic text has
     // none): first 20 docs get an email + phone + ip appended.
@@ -1240,6 +1276,20 @@ object Curation {
          |SELECT doc_id, count(*) AS n_shared
          |FROM hs WHERE h IN (SELECT h FROM ev)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_novelty_decay" ->
+      s"""WITH shs AS (
+         | SELECT doc_id, ${shinglesSql(toksSql, 5)} AS shs FROM documents),
+         |hs AS (
+         | SELECT doc_id // 100 AS batch,
+         |  unnest(list_transform(shs, sh -> ${h64("sh")})) AS h
+         | FROM shs),
+         |f AS (SELECT h, min(batch) AS fb FROM hs GROUP BY 1)
+         |SELECT batch, count(*) AS n_grams,
+         | CAST(sum(CASE WHEN fb = batch THEN 1 ELSE 0 END) AS BIGINT) AS novel,
+         | CAST(sum(CASE WHEN fb = batch THEN 1 ELSE 0 END) AS BIGINT)
+         |  * 1000000 // count(*) AS novelty_ppm
+         |FROM hs JOIN f USING (h)
+         |GROUP BY batch ORDER BY batch""".stripMargin,
     "q_pii_audit" -> {
       val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
       val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
