@@ -478,6 +478,38 @@ object Analytics {
           round((col("rt") - col("rc")) / col("se"), 6)).as("z"))
   }
 
+  /** SAX over any ordered (day, c) integer series — see q_sax_symbolic's
+    * comment for the contract (PAA → z-normalize → 4-symbol quantize at
+    * Gaussian breakpoints, symbol assigned from the 6dp-rounded z).
+    * Full a..d alphabet is exercised on a planted trending series in
+    * Round9Spec; the stationary natural series concentrates in b/c by
+    * construction (PAA averaging shrinks segment variance).
+    */
+  def saxSymbolic(days: DataFrame, w: Int = 30): DataFrame = {
+    val mom = days.agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+      sum(col("c").cast(DecimalType(19, 0)) * col("c")).as("ss"))
+    val segs = days
+      .withColumn("rn", row_number().over(Window.orderBy("day")))
+      .crossJoin(broadcast(mom))
+      .withColumn("seg", expr(s"((rn - 1) * $w) div n"))
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n_days"), sum(col("c")).as("sc"),
+        max(col("n")).as("n"), max(col("s")).as("s"),
+        max(col("ss")).as("ss"))
+    val mu = col("s").cast("double") / col("n").cast("double")
+    val sigma = sqrt((col("ss").cast("double") -
+      col("s").cast("double") * col("s").cast("double") /
+        col("n").cast("double")) / col("n").cast("double"))
+    val z = round((col("sc").cast("double") / col("n_days").cast("double")
+      - mu) / sigma, 6)
+    segs.select(col("seg"), col("n_days"), z.as("paa_z"))
+      .withColumn("symbol",
+        when(col("paa_z") < -0.6745, "a")
+          .when(col("paa_z") < 0.0, "b")
+          .when(col("paa_z") < 0.6745, "c").otherwise("d"))
+      .orderBy("seg")
+  }
+
   /** A/A NEGATIVE CONTROL: a two-sample z-test on purchases-per-user
     * replayed under K independent salted md5 splits of the SAME
     * population with NO treatment applied. Any |z| ≥ 1.96 row is a red
@@ -2487,6 +2519,27 @@ object Analytics {
         .orderBy("day")
     },
 
+    // SAX SYMBOLIC REPRESENTATION of the daily-revenue series (Lin,
+    // Keogh, Lonardi & Chiu 2003): PAA-compress the n-day series into
+    // 30 equal segments, z-normalize, and quantize into a 4-symbol
+    // alphabet at the standard Gaussian breakpoints (−0.6745, 0,
+    // 0.6745) — the discretization behind motif discovery / novelty
+    // search over time series at scale (symbols index into suffix
+    // structures; raw doubles don't). Exactness: per-segment sums and
+    // the global moments are exact integers (Σc as Long, Σc² as
+    // DECIMAL/HUGEINT — the q_cuped idiom), z-scores are one fixed
+    // double tree from them, and the SYMBOL is assigned from the
+    // 6dp-ROUNDED z so the bin edges can't flip on a 1-ulp cross-engine
+    // wobble. PAA-then-normalize ≡ normalize-then-PAA (z is affine).
+    // Scale: day-spine windows only (calendar-bounded); moments join as
+    // one broadcast scalar row.
+    "q_sax_symbolic" -> { (s, d) =>
+      saxSymbolic(Tables.orders(s, d)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+          .cast("long").as("c")))
+    },
+
     // ROLLING-ORIGIN FORECAST BACKTEST — the "does the forecaster work"
     // harness next to q_ewma_daily/q_holt_forecast: at every origin day
     // t, the one-step-ahead EWMA forecast (= ewma_{t-1}, the value the
@@ -4088,6 +4141,30 @@ object Analytics {
         | round(1.0 - CAST(se AS DOUBLE) / CAST(sn AS DOUBLE), 6)
         |  AS skill_vs_naive
         |FROM m""".stripMargin,
+    "q_sax_symbolic" ->
+      """WITH d AS (
+        | SELECT o_orderdate AS day,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS c
+        | FROM orders GROUP BY 1),
+        |i AS (SELECT day, c, row_number() OVER (ORDER BY day) AS rn FROM d),
+        |m AS (SELECT count(*) AS n, CAST(sum(c) AS BIGINT) AS s,
+        |       sum(CAST(c AS HUGEINT) * c) AS ss FROM d),
+        |g AS (
+        | SELECT ((rn - 1) * 30) // (SELECT n FROM m) AS seg,
+        |  count(*) AS n_days, CAST(sum(c) AS BIGINT) AS sc
+        | FROM i GROUP BY 1),
+        |z AS (
+        | SELECT seg, n_days,
+        |  round((CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE)
+        |    - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |   / sqrt((CAST(ss AS DOUBLE)
+        |     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / CAST(n AS DOUBLE)), 6) AS paa_z
+        | FROM g, m)
+        |SELECT seg, n_days, paa_z,
+        | CASE WHEN paa_z < -0.6745 THEN 'a' WHEN paa_z < 0.0 THEN 'b'
+        |      WHEN paa_z < 0.6745 THEN 'c' ELSE 'd' END AS symbol
+        |FROM z ORDER BY seg""".stripMargin,
     "q_conformal_interval" ->
       """WITH RECURSIVE d AS (
         | SELECT o_orderdate AS day,

@@ -276,6 +276,20 @@ class Round9Spec extends SparkSpec {
     assert(byG("edge") === ((700000L, true)))
   }
 
+  test("saxSymbolic walks the full a..d alphabet on a planted linear trend") {
+    // 120 days ramping linearly: PAA segment means ramp with them, so
+    // the 30 segments must sweep a → d monotonically and hit all four.
+    val days = spark.range(0, 120)
+      .select(date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+          col("id").cast("int")).as("day"),
+        (col("id") * 100L).as("c"))
+    val r = operators.Analytics.saxSymbolic(days).collect()
+    assert(r.length === 30)
+    val syms = r.map(_.getString(3))
+    assert(syms.toSet === Set("a", "b", "c", "d"))
+    assert(syms.sameElements(syms.sorted), "trend must map monotonically")
+  }
+
   test("btStrength clamps a shut-out source to strength 1, not 0/0") {
     // c loses every duel (tw = 0) → the raw update is 0; the clamp keeps
     // it at 1 so round-2 denominators π_i + π_c never divide by zero.
