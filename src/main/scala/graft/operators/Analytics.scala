@@ -3064,6 +3064,40 @@ object Analytics {
       abTest(Tables.events(s, d))
     },
 
+    // MARKOV ENTROPY RATE of in-session event sequences — how
+    // predictable is the next event given the current one? The plug-in
+    // estimator Σ_i π̂_i·H(dst | src=i) over the q_session_transitions
+    // matrix (π̂ = empirical source frequency), reported beside the
+    // log2(k) ceiling — the sequence-predictability readout behind
+    // next-event prefetching and session-model sanity checks. Exactness:
+    // all counts exact; each −p·log2(p) term and each π_i·H_i product
+    // rounds to 6dp DECIMAL before its fold (order-independent, the
+    // q_mix_entropy convention). Scale: the transition matrix is
+    // state²-bounded (windows on it are trivially bounded); everything
+    // upstream is the sessionize shuffle the transitions query already
+    // pays.
+    "q_entropy_rate" -> { (s, d) =>
+      val tr = sessionTransitions(Tables.events(s, d))
+        .withColumnRenamed("n", "nij")
+      val bySrc = tr.withColumn("ni",
+        sum(col("nij")).over(Window.partitionBy("src")))
+      val p = col("nij").cast("double") / col("ni").cast("double")
+      val hi = bySrc.groupBy("src")
+        .agg(max(col("ni")).as("ni"),
+          sum(round(-(p * log2(p)), 6).cast(DecimalType(18, 6))).as("hd"))
+      val tot = hi.agg(sum(col("ni")).as("nt"),
+        count(lit(1)).as("n_states"))
+      hi.crossJoin(broadcast(tot))
+        .select(col("nt"), col("n_states"),
+          round(col("ni").cast("double") / col("nt").cast("double") *
+            col("hd").cast("double"), 6).cast(DecimalType(18, 6)).as("term"))
+        .groupBy("n_states", "nt")
+        .agg(sum(col("term")).as("r"))
+        .select(col("n_states"), col("nt").as("n_transitions"),
+          col("r").cast("double").as("entropy_rate_bits"),
+          round(log2(col("n_states").cast("double")), 6).as("max_bits"))
+    },
+
     // LIFT-HETEROGENEITY READOUT (fixed-effect meta-analysis across
     // user segments — Cochran 1954's Q, Higgins & Thompson 2002's I²):
     // the per-segment treatment lifts on purchases-per-user are pooled
@@ -4843,6 +4877,39 @@ object Analytics {
         | FROM s)
         |SELECT src, dst, count(*) AS n FROM t
         |WHERE src IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_entropy_rate" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, event_type,
+        |  date_trunc('second', ts) AS ts FROM events),
+        |g AS (
+        | SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        | SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+        | FROM g),
+        |t AS (
+        | SELECT event_type AS dst, lag(event_type) OVER (
+        |   PARTITION BY user_id, sess_no ORDER BY ts, event_id) AS src
+        | FROM s),
+        |tr AS (SELECT src, dst, count(*) AS nij FROM t
+        |       WHERE src IS NOT NULL GROUP BY 1, 2),
+        |ni AS (SELECT src, CAST(sum(nij) AS BIGINT) AS ni FROM tr GROUP BY 1),
+        |h AS (
+        | SELECT tr.src, max(ni.ni) AS ni,
+        |  sum(CAST(round(-((CAST(nij AS DOUBLE) / CAST(ni.ni AS DOUBLE))
+        |    * log2(CAST(nij AS DOUBLE) / CAST(ni.ni AS DOUBLE))), 6)
+        |   AS DECIMAL(18,6))) AS hd
+        | FROM tr JOIN ni ON tr.src = ni.src GROUP BY 1),
+        |tt AS (SELECT CAST(sum(ni) AS BIGINT) AS nt, count(*) AS n_states
+        |       FROM h)
+        |SELECT n_states, nt AS n_transitions,
+        | CAST(sum(CAST(round(CAST(ni AS DOUBLE) / CAST(nt AS DOUBLE)
+        |   * CAST(hd AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |  AS entropy_rate_bits,
+        | round(log2(CAST(n_states AS DOUBLE)), 6) AS max_bits
+        |FROM h, tt GROUP BY 1, 2""".stripMargin,
     "q_think_time" ->
       """WITH e AS (
         | SELECT user_id, event_id, date_trunc('second', ts) AS ts FROM events),
