@@ -3064,6 +3064,54 @@ object Analytics {
       abTest(Tables.events(s, d))
     },
 
+    // WINSORIZED LIFT — the heavy-tail-robust experiment readout: per
+    // user revenue clipped at the POOLED exact p99 before the
+    // two-sample z (one whale in one arm can flip a raw-mean readout;
+    // clipping at a pooled quantile bounds any single user's influence
+    // while using the same threshold for both arms, so it cannot bias
+    // the comparison). Kohavi et al.'s standard metric-capping
+    // practice. Exactness: per-user revenue is exact integer cents; the
+    // p99 threshold comes from the distributed exact-percentile engine
+    // and broadcasts back; clipped values round to 2dp DECIMAL so the
+    // arm sums are order-independent; the z tree is one double
+    // expression from those decimal moments. Scale: one user-keyed
+    // aggregate + one percentile pass + one scalar rollup.
+    "q_winsorized_lift" -> { (s, d) =>
+      val perUser = Tables.events(s, d).filter(col("value").isNotNull)
+        .groupBy("user_id")
+        .agg(sum((col("value").cast(DecimalType(18, 2)) * 100)
+          .cast("long")).as("sc"))
+        .select(col("user_id"),
+          (col("sc").cast("double") / 100.0).as("v"))
+      val p99 = exactPercentiles(perUser, "v", Seq("p99" -> 0.99))
+      val clipped = perUser.crossJoin(broadcast(p99))
+        .select(col("p99"),
+          (conv(substring(md5(col("user_id").cast("string")), 1, 4), 16, 10)
+            .cast("long") % 2).as("arm"),
+          round(least(col("v"), col("p99")), 2)
+            .cast(DecimalType(18, 2)).as("w"))
+      val agg = clipped.groupBy("p99").agg(
+        count(when(col("arm") === 0, 1)).as("n_c"),
+        sum(when(col("arm") === 0, col("w"))).as("s_c"),
+        sum(when(col("arm") === 0, col("w") * col("w"))).as("ss_c"),
+        count(when(col("arm") === 1, 1)).as("n_t"),
+        sum(when(col("arm") === 1, col("w"))).as("s_t"),
+        sum(when(col("arm") === 1, col("w") * col("w"))).as("ss_t"))
+      def mean(sc: String, n: String) =
+        col(sc).cast("double") / col(n).cast("double")
+      def variance(ss: String, sc: String, n: String) =
+        (col(ss).cast("double") -
+          col(sc).cast("double") * col(sc).cast("double") /
+            col(n).cast("double")) / (col(n).cast("double") - lit(1.0))
+      val se = sqrt(variance("ss_c", "s_c", "n_c") / col("n_c").cast("double")
+        + variance("ss_t", "s_t", "n_t") / col("n_t").cast("double"))
+      agg.select(col("n_c"), col("n_t"), round(col("p99"), 6).as("clip_at"),
+        round(mean("s_c", "n_c"), 6).as("mean_c"),
+        round(mean("s_t", "n_t"), 6).as("mean_t"),
+        when(se > 0, round((mean("s_t", "n_t") - mean("s_c", "n_c")) / se, 6))
+          .as("z"))
+    },
+
     // MARKOV ENTROPY RATE of in-session event sequences — how
     // predictable is the next event given the current one? The plug-in
     // estimator Σ_i π̂_i·H(dst | src=i) over the q_session_transitions
@@ -4956,6 +5004,39 @@ object Analytics {
         |SELECT n_c, x_c, n_t, x_t,
         | round(rc, 6) AS rate_c, round(rt, 6) AS rate_t,
         | CASE WHEN se > 0 THEN round((rt - rc) / se, 6) END AS z
+        |FROM b""".stripMargin,
+    "q_winsorized_lift" ->
+      """WITH u AS (
+        | SELECT user_id,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sc
+        | FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |v AS (SELECT user_id, CAST(sc AS DOUBLE) / 100.0 AS v FROM u),
+        |p AS (SELECT quantile_cont(v, 0.99) AS p99 FROM v),
+        |c AS (
+        | SELECT p99,
+        |  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4)) AS BIGINT) % 2 AS arm,
+        |  CAST(round(least(v, p99), 2) AS DECIMAL(18,2)) AS w
+        | FROM v, p),
+        |a AS (
+        | SELECT p99,
+        |  count(CASE WHEN arm = 0 THEN 1 END) AS n_c,
+        |  sum(CASE WHEN arm = 0 THEN w END) AS s_c,
+        |  sum(CASE WHEN arm = 0 THEN w * w END) AS ss_c,
+        |  count(CASE WHEN arm = 1 THEN 1 END) AS n_t,
+        |  sum(CASE WHEN arm = 1 THEN w END) AS s_t,
+        |  sum(CASE WHEN arm = 1 THEN w * w END) AS ss_t
+        | FROM c GROUP BY 1),
+        |b AS (
+        | SELECT p99, n_c, n_t,
+        |  CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS mc,
+        |  CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS mt,
+        |  sqrt(
+        |   ((CAST(ss_c AS DOUBLE) - CAST(s_c AS DOUBLE) * CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE)) / (CAST(n_c AS DOUBLE) - 1.0)) / CAST(n_c AS DOUBLE)
+        |   + ((CAST(ss_t AS DOUBLE) - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE)) / (CAST(n_t AS DOUBLE) - 1.0)) / CAST(n_t AS DOUBLE)) AS se
+        | FROM a)
+        |SELECT n_c, n_t, round(p99, 6) AS clip_at,
+        | round(mc, 6) AS mean_c, round(mt, 6) AS mean_t,
+        | CASE WHEN se > 0 THEN round((mt - mc) / se, 6) END AS z
         |FROM b""".stripMargin,
     "q_lift_heterogeneity" ->
       """WITH u AS (

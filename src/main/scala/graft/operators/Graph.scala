@@ -35,16 +35,23 @@ object Graph {
 
   private val SCALE = 1000000000000L // 10^12 fixed-point mass units
 
-  /** Symmetrized distinct customer↔supplier edges ("c:<id>" / "s:<id>"
-    * nodes) from who-bought-from-whom (orders ⋈ lineitem).
+  /** Distinct DIRECTED customer→supplier edges ("c:<id>" → "s:<id>")
+    * from who-bought-from-whom (orders ⋈ lineitem) — the bipartite half
+    * that [[interactionEdges]] symmetrizes and [[hits]] consumes as-is.
     */
-  def interactionEdges(s: SparkSession, d: String): DataFrame = {
-    val half = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+  def bipartiteEdges(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select("o_orderkey", "o_custkey")
       .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
         col("o_orderkey") === col("l_orderkey"))
       .select(concat(lit("c:"), col("o_custkey")).as("src"),
         concat(lit("s:"), col("l_suppkey")).as("dst"))
       .distinct()
+
+  /** Symmetrized distinct customer↔supplier edges ("c:<id>" / "s:<id>"
+    * nodes) from who-bought-from-whom (orders ⋈ lineitem).
+    */
+  def interactionEdges(s: SparkSession, d: String): DataFrame = {
+    val half = bipartiteEdges(s, d)
     // symmetrize map-side (explode both directions of each distinct edge):
     // a union of two `half` branches would re-run the scan+join+distinct
     // twice — measured in the r8 plan audit before this shape
@@ -52,6 +59,50 @@ object Graph {
         struct(col("src"), col("dst")),
         struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
       .select(col("e.src"), col("e.dst"))
+  }
+
+  /** HITS hubs & authorities (Kleinberg 1999) on the DIRECTED bipartite
+    * purchase graph — the natural home for HITS: customers are pure
+    * hubs, suppliers pure authorities, and the mutual reinforcement
+    * ("good customers buy from good suppliers") is exactly the
+    * hub↔authority recursion. PageRank on the symmetrized graph ranks
+    * by mixed centrality; this separates the two roles.
+    *
+    * Fixed-point integer replay (the q_pagerank contract) with L1
+    * normalization per half-step (a := a·S div Σa) instead of the
+    * textbook L2 — rank-equivalent, and it keeps every operation in
+    * integer division so DuckDB replays all rounds bit-for-bit (an L2
+    * norm would put a sqrt inside the iteration). S = 10^6 here so the
+    * worst intermediate (Σmass·S ≈ n·S²) stays far inside Long at
+    * fixture scale; a 10^9-node deployment raises S and moves the
+    * products to DECIMAL(38,0) — the knob, not the shape.
+    *
+    * Scale posture: each half-step is ONE shuffle (edges ⋈ the
+    * node-cardinality score frame, map-side-combined sum on the other
+    * endpoint) plus a broadcast scalar normalizer — the exact PageRank
+    * round shape, two per iteration. Nothing edge-cardinality persists.
+    */
+  def hits(s: SparkSession, d: String, rounds: Int = 2,
+           k: Int = 10): DataFrame = {
+    import graft.CacheScope.TrackedDataset
+    val S = 1000000L
+    val e = bipartiteEdges(s, d).persistTracked()
+    var h = e.select(col("src")).distinct().withColumn("h", lit(S))
+    var a: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val araw = e.join(h, Seq("src")).groupBy("dst")
+        .agg(sum(col("h")).as("ar"))
+      val asum = araw.agg(sum(col("ar")).as("sa"))
+      a = araw.crossJoin(broadcast(asum))
+        .select(col("dst"), expr(s"ar * $S div sa").as("a"))
+      val hraw = e.join(a, Seq("dst")).groupBy("src")
+        .agg(sum(col("a")).as("hr"))
+      val hsum = hraw.agg(sum(col("hr")).as("sh"))
+      h = hraw.crossJoin(broadcast(hsum))
+        .select(col("src"), expr(s"hr * $S div sh").as("h"))
+    }
+    a.select(col("dst").as("node"), col("a").as("auth_mass"))
+      .orderBy(desc("auth_mass"), asc("node")).limit(k)
   }
 
   /** `iters` damped rounds (d = 0.85) of fixed-point PageRank; returns
@@ -270,6 +321,7 @@ object Graph {
     "q_pagerank_entity" -> { (s, d) => pagerank(s, d) },
     "q_link_predict" -> { (s, d) => linkPredict(s, d) },
     "q_label_prop" -> { (s, d) => labelProp(s, d) },
+    "q_hits" -> { (s, d) => hits(s, d) },
     "q_kcore" -> { (s, d) => kcore(s, d) })
 
   def oracles: Map[String, String] = Map(
@@ -304,6 +356,26 @@ object Graph {
         |FROM pairs JOIN deg USING (supp)
         |GROUP BY 1, 2
         |ORDER BY aa_score DESC, c1, c2 LIMIT 20""".stripMargin,
+    "q_hits" ->
+      """WITH e AS (
+        | SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
+        | FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |h0 AS (SELECT src, CAST(1000000 AS BIGINT) AS h
+        |       FROM (SELECT DISTINCT src FROM e)),
+        |a1r AS (SELECT dst, CAST(sum(h.h) AS BIGINT) AS ar
+        |        FROM e JOIN h0 h USING (src) GROUP BY 1),
+        |a1 AS (SELECT dst, ar * 1000000
+        |        // (SELECT CAST(sum(ar) AS BIGINT) FROM a1r) AS a FROM a1r),
+        |h1r AS (SELECT src, CAST(sum(a1.a) AS BIGINT) AS hr
+        |        FROM e JOIN a1 USING (dst) GROUP BY 1),
+        |h1 AS (SELECT src, hr * 1000000
+        |        // (SELECT CAST(sum(hr) AS BIGINT) FROM h1r) AS h FROM h1r),
+        |a2r AS (SELECT dst, CAST(sum(h1.h) AS BIGINT) AS ar
+        |        FROM e JOIN h1 USING (src) GROUP BY 1),
+        |a2 AS (SELECT dst, ar * 1000000
+        |        // (SELECT CAST(sum(ar) AS BIGINT) FROM a2r) AS a FROM a2r)
+        |SELECT dst AS node, a AS auth_mass FROM a2
+        |ORDER BY auth_mass DESC, node LIMIT 10""".stripMargin,
     "q_label_prop" -> {
       val rounds = (1 to 3).map(lpaRoundSql).mkString(",\n")
       s"""WITH h AS (
