@@ -83,6 +83,35 @@ object Curation {
       .orderBy("batch")
   }
 
+  /** Water-filling λ over any (source, avail) frame — see
+    * q_waterfill_mix's comment for the contract (budget = total div 2;
+    * Σ min(avail, λ) lands in (B − n, B] under integer floors). The
+    * protected-small-source branch is spec-gated on planted skew
+    * (Round9Spec); the natural corpus's uniform sources all cap.
+    */
+  def waterfillMix(avail: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tot = avail.agg(sum(col("avail")).as("total"),
+      count(lit(1)).as("n"))
+    val w = Window.orderBy("avail", "source")
+    val spine = avail.crossJoin(broadcast(tot))
+      .withColumn("r", row_number().over(w))
+      .withColumn("pk", sum(col("avail")).over(w))
+      .withColumn("prevAvail", lag(col("avail"), 1, 0L).over(w))
+      .withColumn("b", expr("total div 2"))
+    val lam = spine
+      .withColumn("lamK", expr("(b - (pk - avail)) div (n - r + 1)"))
+      .filter(col("lamK") >= col("prevAvail") &&
+        col("lamK") < col("avail"))
+      .agg(min(col("lamK")).as("lambda"))
+    avail.crossJoin(broadcast(lam))
+      .select(col("source"), col("avail").as("avail_tokens"),
+        least(col("avail"), col("lambda")).as("alloc_tokens"),
+        col("lambda").as("cap_level"),
+        (col("avail") > col("lambda")).as("capped"))
+      .orderBy("source")
+  }
+
   // ===== PII redaction =====
 
   /** (label, pattern, replacement) — patterns valid in BOTH Java regex
@@ -517,6 +546,26 @@ object Curation {
     // Crawl novelty decay: first-seen 5-gram fraction per ingest batch.
     "q_novelty_decay" -> { (s, d) =>
       noveltyDecay(Tables.documents(s, d))
+    },
+
+    // WATER-FILLING MIX ALLOCATION — spend a token budget of half the
+    // corpus by capping every source at a COMMON level λ: sources with
+    // avail ≤ λ keep everything (small sources are protected), heavy
+    // sources are cut to λ, and λ is chosen so Σ min(avail, λ) = B.
+    // The third mix-balancing primitive beside q_token_budget (uniform
+    // split) and q_source_cap (fixed per-source row cap) — this one
+    // derives the cap FROM the budget. Exact integer throughout: the
+    // candidate level for "k smallest sources kept whole" is
+    // λ_k = (B − P_k) div (n − k) on the sorted source spine (prefix
+    // sums + one lag), and the unique k with prev_avail ≤ λ_k < avail
+    // wins; floors mean Σ alloc ∈ (B − n, B]. Scale: the spine is
+    // source-cardinality (bounded window); the corpus pays ONE
+    // token-count aggregate.
+    "q_waterfill_mix" -> { (s, d) =>
+      waterfillMix(Tables.documents(s, d)
+        .groupBy("source")
+        .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+          .as("avail")))
     },
     // PII audit over a corpus with planted PII (the synthetic text has
     // none): first 20 docs get an email + phone + ip appended.
@@ -1276,6 +1325,29 @@ object Curation {
          |SELECT doc_id, count(*) AS n_shared
          |FROM hs WHERE h IN (SELECT h FROM ev)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_waterfill_mix" ->
+      s"""WITH a AS (
+         | SELECT source, CAST(sum(len($toksSql)) AS BIGINT) AS avail
+         | FROM documents GROUP BY 1),
+         |t AS (SELECT CAST(sum(avail) AS BIGINT) AS total,
+         |       count(*) AS n FROM a),
+         |sp AS (
+         | SELECT source, avail,
+         |  row_number() OVER (ORDER BY avail, source) AS r,
+         |  CAST(sum(avail) OVER (ORDER BY avail, source
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pk,
+         |  COALESCE(lag(avail) OVER (ORDER BY avail, source), 0) AS prev_avail
+         | FROM a),
+         |l AS (
+         | SELECT CAST(min((total // 2 - (pk - avail)) // (n - r + 1)) AS BIGINT)
+         |   AS lambda
+         | FROM sp, t
+         | WHERE (total // 2 - (pk - avail)) // (n - r + 1) >= prev_avail
+         |   AND (total // 2 - (pk - avail)) // (n - r + 1) < avail)
+         |SELECT source, avail AS avail_tokens,
+         | least(avail, lambda) AS alloc_tokens,
+         | lambda AS cap_level, avail > lambda AS capped
+         |FROM a, l ORDER BY source""".stripMargin,
     "q_novelty_decay" ->
       s"""WITH shs AS (
          | SELECT doc_id, ${shinglesSql(toksSql, 5)} AS shs FROM documents),

@@ -290,6 +290,22 @@ class Round9Spec extends SparkSpec {
     assert(syms.sameElements(syms.sorted), "trend must map monotonically")
   }
 
+  test("waterfillMix protects small sources and caps whales at one level") {
+    // avail (10, 20, 1000, 3000): total 4030, B = 2015. Waterfill must
+    // keep the two small sources whole and cap both whales at the same
+    // λ = (2015 − 30) div 2 = 992, with Σ alloc ∈ (B − n, B].
+    val avail = Seq(("tiny", 10L), ("small", 20L),
+      ("big", 1000L), ("whale", 3000L)).toDF("source", "avail")
+    val r = operators.Curation.waterfillMix(avail).collect()
+    val byS = r.map(x => x.getString(0) -> (x.getLong(2), x.getBoolean(4))).toMap
+    assert(byS("tiny") === ((10L, false)))
+    assert(byS("small") === ((20L, false)))
+    assert(byS("big") === ((992L, true)))
+    assert(byS("whale") === ((992L, true)))
+    val alloc = r.map(_.getLong(2)).sum
+    assert(alloc > 2015 - 4 && alloc <= 2015)
+  }
+
   test("btStrength clamps a shut-out source to strength 1, not 0/0") {
     // c loses every duel (tw = 0) → the raw update is 0; the clamp keeps
     // it at 1 so round-2 denominators π_i + π_c never divide by zero.
