@@ -791,6 +791,40 @@ object TextAnalysis {
         .orderBy(desc("freq"), col("token"))
         .limit(20)
     },
+    // BPE-STYLE REGEX PRE-TOKENIZER COUNT — the GPT-2 pre-tokenization
+    // pattern (Radford et al. 2019; contractions, space-prefixed
+    // letter/digit/punct runs, whitespace runs) counted per source
+    // beside the whitespace count — the two token-counting conventions
+    // every budget/packing decision needs reconciled (a "512-token"
+    // budget means different bytes under each). Pattern restricted to
+    // constructs with IDENTICAL semantics in Java regex (Spark) and RE2
+    // (DuckDB): no lookaround, no backreferences; both engines resolve
+    // alternation leftmost-first. Pure map + source-cardinality
+    // aggregate; exact integer ratio ppm.
+    "q_pretokenizer" -> { (s, d) =>
+      val pat = "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+|" +
+        " ?[^\\s\\p{L}\\p{N}]+|\\s+"
+      // the synthetic corpus is pure space-separated words, where the
+      // two conventions agree by construction — plant contraction /
+      // digit / punctuation text on the first 20 docs (the q_pii_audit
+      // planting idiom) so the divergence path is exercised
+      val planted = when(col("doc_id") < 20,
+        concat(col("text"), lit(" it's v2.0-ready, isn't it?!")))
+        .otherwise(col("text"))
+      Tables.documents(s, d)
+        .select(col("source"),
+          tokenCount(planted).cast("long").as("ws"),
+          size(regexp_extract_all(planted, lit(pat), lit(0)))
+            .cast("long").as("pre"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws")).as("ws_tokens"),
+          sum(col("pre")).as("pre_tokens"))
+        .withColumn("pre_per_ws_ppm",
+          expr("pre_tokens * 1000000 div ws_tokens"))
+        .orderBy("source")
+    },
+
     // VOCAB COVERAGE / OOV-RATE audit — the tokenizer-fit companion to
     // q_tokenizer_fertility: fix the vocabulary at the corpus's top-V
     // tokens (V=500, ties broken token-ascending) and report each
@@ -1642,6 +1676,25 @@ object TextAnalysis {
            |  AS BIGINT), 0) * 1000000 // count(*) AS oov_ppm
            |FROM tok LEFT JOIN vocab v USING (token)
            |GROUP BY source ORDER BY source""".stripMargin,
+      "q_pretokenizer" ->
+        s"""WITH p AS (
+           | SELECT source,
+           |  CASE WHEN doc_id < 20
+           |   THEN text || ' it''s v2.0-ready, isn''t it?!' ELSE text END
+           |  AS text
+           | FROM documents),
+           |d AS (
+           | SELECT source, len(${tokensSql("text")}) AS ws,
+           |  len(regexp_extract_all(text,
+           |   '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))
+           |  AS pre
+           | FROM p)
+           |SELECT source, count(*) AS n_docs,
+           | CAST(sum(ws) AS BIGINT) AS ws_tokens,
+           | CAST(sum(pre) AS BIGINT) AS pre_tokens,
+           | CAST(sum(pre) AS BIGINT) * 1000000 // CAST(sum(ws) AS BIGINT)
+           |  AS pre_per_ws_ppm
+           |FROM d GROUP BY source ORDER BY source""".stripMargin,
       "q_vocab_coverage" ->
         s"""WITH c AS (
            | SELECT token, count(*) AS freq
