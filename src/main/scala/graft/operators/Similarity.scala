@@ -914,6 +914,55 @@ object Similarity {
           round(count(col("hit")).cast("double") / 5, 6).as("recall_at_5"))
         .orderBy("query_id")
     },
+    // RANK-BIASED OVERLAP between the IVF ranking and the exact brute
+    // ranking (Webber, Moffat & Zobel 2010) — recall@k (q_ann_recall)
+    // says WHETHER the right ids surface; RBO says whether they surface
+    // in the right ORDER, weighting agreement at rank 1 most (p = 0.9
+    // geometric decay). Reported as the truncated-depth lower bound
+    // (RBO_min at d = 5). Determinism: the p^(k−1) weights are Scala
+    // doubles computed once at plan build and embedded as IDENTICAL
+    // literals in both engines (never an in-engine pow); each depth
+    // term rounds to 9dp DECIMAL before the per-query fold. Scale: both
+    // rankings are k-bounded per query, the agreement join is on
+    // (query, corpus) ids, and the depth explode is k× a k-bounded
+    // frame.
+    "q_rbo" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cosF = graft.functions.NativeExpressions
+        .cosineSim(s, _: Column, _: Column)
+      val q = emb.filter(col("vec_id") < 5)
+      val a = bruteForceTopK(q, emb, 5, cosF)
+        .select(col("query_id"), col("corpus_id"), col("rank").as("ra"))
+      val b = ivfTopK(q, emb, 5)
+        .select(col("query_id"), col("corpus_id"), col("rank").as("rb"))
+      val pairs = a.join(b, Seq("query_id", "corpus_id"))
+        .select(col("query_id"), greatest(col("ra"), col("rb")).as("m"))
+      val depths = 1 to 5
+      val p = 0.9
+      val wCol = depths.tail
+        .foldLeft(when(col("k") === 1, lit(1.0))) { (acc, k) =>
+          acc.when(col("k") === k, lit(math.pow(p, k - 1)))
+        }
+      val ov = pairs
+        .select(col("query_id"),
+          explode(array(depths.map(lit): _*)).as("k"), col("m"))
+        .groupBy("query_id", "k")
+        .agg(sum(when(col("m") <= col("k"), 1L).otherwise(0L)).as("ov"))
+      val terms = ov
+        .select(col("query_id"), col("k"), col("ov"),
+          round(wCol * (col("ov").cast("double") / col("k").cast("double")),
+            9).cast(DecimalType(18, 9)).as("term"))
+        .groupBy("query_id")
+        .agg(max(when(col("k") === 5, col("ov"))).as("ov5"),
+          sum(col("term")).as("ts"))
+      q.select(col("vec_id").as("query_id")).join(terms, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("ov5"), lit(0L)).as("overlap_at_5"),
+          coalesce(round(lit(1.0 - p) * col("ts").cast("double"), 6),
+            lit(0.0)).as("rbo_min"))
+        .orderBy("query_id")
+    },
+
     // Centroid-silhouette quality report on the label clustering.
     "q_silhouette" -> { (s, d) => silhouette(Tables.embeddings(s, d)) },
     // EMBEDDING NORM AUDIT — the broken-vector detector every embedding
@@ -1399,6 +1448,59 @@ object Similarity {
          |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS INTEGER) AS rank
          | FROM scored)
          |SELECT * FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_rbo" -> {
+      val p = 0.9
+      val wCase = (1 to 5)
+        .map(k => s"WHEN $k THEN ${math.pow(p, k - 1)}")
+        .mkString("CASE k ", " ", " END")
+      s"""WITH cents AS (
+         | SELECT label, list(c ORDER BY i) AS centroid FROM (
+         |  SELECT label, i,
+         |   CAST(sum(CAST(embedding[i] AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS c
+         |  FROM embeddings CROSS JOIN unnest(range(1, len(embedding)+1)) AS t(i)
+         |  GROUP BY label, i)
+         | GROUP BY label),
+         |q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS corpus_id, embedding AS c_emb, label FROM embeddings),
+         |bscored AS (
+         | SELECT query_id, corpus_id, round(${cosSql("q_emb", "c_emb")}, 6) AS sim
+         | FROM c CROSS JOIN q),
+         |bt AS (SELECT query_id, corpus_id, ra FROM (
+         |  SELECT query_id, corpus_id, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS INTEGER) AS ra
+         |  FROM bscored) WHERE ra <= 5),
+         |assigned AS (
+         | SELECT query_id, q_emb, label, round(${cosSql("q_emb", "centroid")}, 6) AS csim
+         | FROM q CROSS JOIN cents),
+         |probe AS (
+         | SELECT query_id, q_emb, label FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, label) AS rn
+         |  FROM assigned) WHERE rn = 1),
+         |iscored AS (
+         | SELECT query_id, corpus_id, round(${cosSql("q_emb", "c_emb")}, 6) AS sim
+         | FROM c JOIN probe USING (label)),
+         |it AS (SELECT query_id, corpus_id, rb FROM (
+         |  SELECT query_id, corpus_id, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS INTEGER) AS rb
+         |  FROM iscored) WHERE rb <= 5),
+         |pairs AS (
+         | SELECT query_id, greatest(ra, rb) AS m
+         | FROM bt JOIN it USING (query_id, corpus_id)),
+         |ks AS (SELECT CAST(unnest(range(1, 6)) AS INTEGER) AS k),
+         |ov AS (
+         | SELECT query_id, k,
+         |  CAST(sum(CASE WHEN m <= k THEN 1 ELSE 0 END) AS BIGINT) AS ov
+         | FROM pairs CROSS JOIN ks GROUP BY 1, 2),
+         |terms AS (
+         | SELECT query_id, max(CASE WHEN k = 5 THEN ov END) AS ov5,
+         |  sum(CAST(round(($wCase) * (CAST(ov AS DOUBLE) / CAST(k AS DOUBLE)), 9)
+         |   AS DECIMAL(18,9))) AS ts
+         | FROM ov GROUP BY 1)
+         |SELECT s.query_id, coalesce(ov5, 0) AS overlap_at_5,
+         | coalesce(round(${1.0 - p} * CAST(ts AS DOUBLE), 6), 0.0) AS rbo_min
+         |FROM (SELECT DISTINCT query_id FROM q) s LEFT JOIN terms USING (query_id)
+         |ORDER BY s.query_id""".stripMargin
+    },
     "q_sim_topk_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
          |c AS (SELECT vec_id AS corpus_id, embedding AS c_emb FROM embeddings),
