@@ -317,7 +317,39 @@ object Graph {
        | WHERE rn = 1)""".stripMargin
   }
 
+  /** DEGREE ASSORTATIVITY (Newman 2002): Pearson correlation of
+    * endpoint degrees over the symmetrized edge list — do high-degree
+    * entities interact with each other (r > 0, social-network-like) or
+    * with the periphery (r < 0, hub-and-spoke)? The one-scalar
+    * structure readout that decides whether degree-targeted sampling /
+    * salting is worth it before running heavier graph ops. Exactness:
+    * every moment (Σx, Σxy, Σx² over edges) is an exact integer — the
+    * whole correlation is ONE double expression from Longs. Scale: a
+    * degree count plus two node-cardinality joins back onto edges
+    * (broadcast-class beside the edge list), then a scalar aggregate.
+    */
+  def assortativity(s: SparkSession, d: String): DataFrame = {
+    import graft.CacheScope.TrackedDataset
+    val e = interactionEdges(s, d).persistTracked()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).persistTracked()
+    val dx = deg.select(col("src"), col("deg").as("x"))
+    val dy = deg.select(col("src").as("dst"), col("deg").as("y"))
+    val mo = e.join(dx, Seq("src")).join(dy, Seq("dst"))
+      .agg(count(lit(1)).as("m"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    def db(c: String) = col(c).cast("double")
+    val num = db("sxy") / db("m") - db("sx") / db("m") * (db("sy") / db("m"))
+    val den = sqrt((db("sxx") / db("m") - db("sx") / db("m") *
+        (db("sx") / db("m"))) *
+      (db("syy") / db("m") - db("sy") / db("m") * (db("sy") / db("m"))))
+    mo.select(col("m").as("m_edges"),
+      when(den > 0, round(num / den, 6)).as("assortativity"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_assortativity" -> { (s, d) => assortativity(s, d) },
     "q_pagerank_entity" -> { (s, d) => pagerank(s, d) },
     "q_link_predict" -> { (s, d) => linkPredict(s, d) },
     "q_label_prop" -> { (s, d) => labelProp(s, d) },
@@ -325,6 +357,32 @@ object Graph {
     "q_kcore" -> { (s, d) => kcore(s, d) })
 
   def oracles: Map[String, String] = Map(
+    "q_assortativity" ->
+      """WITH h AS (
+        | SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
+        | FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM h UNION ALL SELECT dst, src FROM h),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+        |mo AS (
+        | SELECT count(*) AS m,
+        |  CAST(sum(x.deg) AS BIGINT) AS sx, CAST(sum(y.deg) AS BIGINT) AS sy,
+        |  CAST(sum(x.deg * y.deg) AS BIGINT) AS sxy,
+        |  CAST(sum(x.deg * x.deg) AS BIGINT) AS sxx,
+        |  CAST(sum(y.deg * y.deg) AS BIGINT) AS syy
+        | FROM e JOIN deg x ON e.src = x.src JOIN deg y ON e.dst = y.src)
+        |SELECT m AS m_edges,
+        | CASE WHEN sqrt((CAST(sxx AS DOUBLE) / CAST(m AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) / CAST(m AS DOUBLE) * (CAST(sx AS DOUBLE) / CAST(m AS DOUBLE)))
+        |   * (CAST(syy AS DOUBLE) / CAST(m AS DOUBLE)
+        |    - CAST(sy AS DOUBLE) / CAST(m AS DOUBLE) * (CAST(sy AS DOUBLE) / CAST(m AS DOUBLE)))) > 0
+        |  THEN round((CAST(sxy AS DOUBLE) / CAST(m AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) / CAST(m AS DOUBLE) * (CAST(sy AS DOUBLE) / CAST(m AS DOUBLE)))
+        |   / sqrt((CAST(sxx AS DOUBLE) / CAST(m AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) / CAST(m AS DOUBLE) * (CAST(sx AS DOUBLE) / CAST(m AS DOUBLE)))
+        |   * (CAST(syy AS DOUBLE) / CAST(m AS DOUBLE)
+        |    - CAST(sy AS DOUBLE) / CAST(m AS DOUBLE) * (CAST(sy AS DOUBLE) / CAST(m AS DOUBLE)))), 6)
+        | END AS assortativity
+        |FROM mo""".stripMargin,
     "q_kcore" -> {
       val rounds = (1 to 4).map(coreRoundSql(_, 20)).mkString(",\n")
       s"""WITH h AS (
