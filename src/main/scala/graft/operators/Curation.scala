@@ -548,6 +548,63 @@ object Curation {
       noveltyDecay(Tables.documents(s, d))
     },
 
+    // HEAPS'-LAW FIT — q_novelty_decay's extrapolation partner: distinct
+    // 5-gram vocabulary growth V(N) ≈ K·N^β fit by ln-ln OLS over the
+    // cumulative (grams-seen, distinct-grams-seen) curve at ingest-batch
+    // checkpoints. β near 1 = the crawl is nowhere near saturation
+    // (every batch still mints new grams); β falling toward 0.5 = the
+    // classic sublinear regime where doubling the crawl stops doubling
+    // the vocabulary. Fit on SHINGLES, not word tokens: this corpus's
+    // 31-word vocabulary saturates in batch 0, and a zero-variance
+    // series has no slope (guarded: NULL r2/k instead of a divide —
+    // Spark 4 ANSI throws even on double division by exact zero).
+    // Exactness:
+    // checkpoints are exact integers; ln values round to 6dp DECIMAL
+    // and all OLS moments are exact decimal sums (the q_zipf_fit
+    // convention); exp() once on the final intercept. Scale: the gram
+    // stream collapses map-side to gram/batch-sized frames; windows run
+    // on the batch spine only.
+    "q_heaps_fit" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.CacheScope.TrackedDataset
+      val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+      val tok = Tables.documents(s, d)
+        .select(expr("doc_id div 100").as("batch"),
+          explode(Dedup.shingles(
+            TextAnalysis.tokens(col("text")), 5)).as("g"))
+        .persistTracked()
+      val perBatch = tok.groupBy("batch").agg(count(lit(1)).as("nt"))
+      val firstSeen = tok.groupBy("g").agg(min(col("batch")).as("fb"))
+        .groupBy(col("fb").as("batch")).agg(count(lit(1)).as("nv"))
+      val w = Window.orderBy("batch")
+      val spine = perBatch.join(firstSeen, Seq("batch"), "left")
+        .na.fill(0L, Seq("nv"))
+        .select(col("batch"), sum(col("nt")).over(w).as("cn"),
+          sum(col("nv")).over(w).as("cv"))
+      val sums = spine.select(
+          round(log(col("cn").cast("double")), 6).cast(dec).as("x"),
+          round(log(col("cv").cast("double")), 6).cast(dec).as("y"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+      val nD = col("n").cast("double")
+      val (sx, sy, sxy, sxx, syy) =
+        (col("sx").cast("double"), col("sy").cast("double"),
+          col("sxy").cast("double"), col("sxx").cast("double"),
+          col("syy").cast("double"))
+      val num = nD * sxy - sx * sy
+      val den = nD * sxx - sx * sx
+      val slope = num / den
+      val den2 = den * (nD * syy - sy * sy)
+      sums.select(col("n").as("n_points"),
+        when(den =!= 0.0, round(slope, 6)).as("beta"),
+        when(den =!= 0.0,
+          round(exp((sy - slope * sx) / nD), 6)).as("k"),
+        when(den2 =!= 0.0, round((num * num) / den2, 6)).as("r2"))
+    },
+
     // WATER-FILLING MIX ALLOCATION — spend a token budget of half the
     // corpus by capping every source at a COMMON level λ: sources with
     // avail ≤ λ keep everything (small sources are protected), heavy
@@ -1348,6 +1405,39 @@ object Curation {
          | least(avail, lambda) AS alloc_tokens,
          | lambda AS cap_level, avail > lambda AS capped
          |FROM a, l ORDER BY source""".stripMargin,
+    "q_heaps_fit" ->
+      s"""WITH shs AS (
+         | SELECT doc_id // 100 AS batch, ${shinglesSql(toksSql, 5)} AS shs
+         | FROM documents),
+         |tok AS (SELECT batch, unnest(shs) AS g FROM shs),
+         |pb AS (SELECT batch, count(*) AS nt FROM tok GROUP BY 1),
+         |fs AS (SELECT min(batch) AS fb FROM tok GROUP BY g),
+         |nv AS (SELECT fb AS batch, count(*) AS nv FROM fs GROUP BY 1),
+         |sp AS (
+         | SELECT pb.batch,
+         |  CAST(sum(pb.nt) OVER (ORDER BY pb.batch
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+         |  CAST(sum(COALESCE(nv.nv, 0)) OVER (ORDER BY pb.batch
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cv
+         | FROM pb LEFT JOIN nv USING (batch)),
+         |p AS (SELECT
+         |  CAST(round(ln(CAST(cn AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+         |  CAST(round(ln(CAST(cv AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+         | FROM sp),
+         |s AS (SELECT count(*) AS n,
+         |  CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         |  CAST(sum(x*y) AS DOUBLE) AS sxy, CAST(sum(x*x) AS DOUBLE) AS sxx,
+         |  CAST(sum(y*y) AS DOUBLE) AS syy FROM p)
+         |SELECT n AS n_points,
+         | CASE WHEN n*sxx - sx*sx <> 0.0
+         |  THEN round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) END AS beta,
+         | CASE WHEN n*sxx - sx*sx <> 0.0
+         |  THEN round(exp((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n), 6)
+         |  END AS k,
+         | CASE WHEN (n*sxx - sx*sx) * (n*syy - sy*sy) <> 0.0
+         |  THEN round(((n*sxy - sx*sy) * (n*sxy - sx*sy))
+         |   / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) END AS r2
+         |FROM s""".stripMargin,
     "q_novelty_decay" ->
       s"""WITH shs AS (
          | SELECT doc_id, ${shinglesSql(toksSql, 5)} AS shs FROM documents),
