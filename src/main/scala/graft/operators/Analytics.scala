@@ -2519,6 +2519,56 @@ object Analytics {
         .orderBy("day")
     },
 
+    // CUSUM CONTROL CHART (Page 1954) over daily revenue — the
+    // sequential drift detector beside q_anomaly_daily's pointwise
+    // seasonal z and q_changepoint's retrospective split: S⁺/S⁻
+    // accumulate deviations beyond an allowance k = σ/2 and alarm at
+    // h = 4σ (the classic (k, h) operating point), resetting after
+    // each alarm. Catches slow drifts no single-day outlier test sees.
+    // Exactness: the recursion state is INTEGER CENTS (μ is the floor
+    // mean; k and h floor once from the exact-moment σ — the only two
+    // doubles, floored identically in both engines), so the whole fold
+    // replays bit-for-bit (the q_ewma_daily contract). Scale: one
+    // day-spine fold (calendar-bounded array aggregate), moments from
+    // one scalar pass.
+    "q_cusum" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+          .cast("long").as("rc"))
+        .agg(array_sort(collect_list(struct(col("day"), col("rc")))).as("a"),
+          count(lit(1)).as("n"), sum(col("rc")).as("sc"),
+          sum(col("rc").cast(DecimalType(19, 0)) * col("rc")).as("ssc"))
+        .withColumn("mu", expr("sc div n"))
+        .withColumn("v",
+          (col("ssc").cast("double") -
+            col("sc").cast("double") * col("sc").cast("double") /
+              col("n").cast("double")) / col("n").cast("double"))
+        .withColumn("kc", floor(sqrt(col("v")) / 2.0).cast("long"))
+        .withColumn("hc", floor(sqrt(col("v")) * 4.0).cast("long"))
+        .withColumn("f", expr(
+          """aggregate(
+            |  a,
+            |  named_struct('sp', 0L, 'sn', 0L, 'al', 0L,
+            |               'msp', 0L, 'msn', 0L),
+            |  (acc, e) -> named_struct(
+            |    'sp', CASE WHEN greatest(0L, acc.sp + (e.rc - mu) - kc) > hc
+            |          THEN 0L ELSE greatest(0L, acc.sp + (e.rc - mu) - kc) END,
+            |    'sn', CASE WHEN greatest(0L, acc.sn + (mu - e.rc) - kc) > hc
+            |          THEN 0L ELSE greatest(0L, acc.sn + (mu - e.rc) - kc) END,
+            |    'al', acc.al +
+            |      (CASE WHEN greatest(0L, acc.sp + (e.rc - mu) - kc) > hc
+            |         OR greatest(0L, acc.sn + (mu - e.rc) - kc) > hc
+            |       THEN 1L ELSE 0L END),
+            |    'msp', greatest(acc.msp,
+            |      greatest(0L, acc.sp + (e.rc - mu) - kc)),
+            |    'msn', greatest(acc.msn,
+            |      greatest(0L, acc.sn + (mu - e.rc) - kc))))""".stripMargin))
+        .select(col("n").as("n_days"), col("kc").as("k_cents"),
+          col("hc").as("h_cents"), col("f.al").as("n_alarms"),
+          col("f.msp").as("max_sp"), col("f.msn").as("max_sn"))
+    },
+
     // SAX SYMBOLIC REPRESENTATION of the daily-revenue series (Lin,
     // Keogh, Lonardi & Chiu 2003): PAA-compress the n-day series into
     // 30 equal segments, z-normalize, and quantize into a 4-symbol
@@ -4223,6 +4273,44 @@ object Analytics {
         | round(1.0 - CAST(se AS DOUBLE) / CAST(sn AS DOUBLE), 6)
         |  AS skill_vs_naive
         |FROM m""".stripMargin,
+    "q_cusum" ->
+      """WITH RECURSIVE d AS (
+        | SELECT o_orderdate AS day,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rc
+        | FROM orders GROUP BY 1),
+        |i AS (SELECT rc, row_number() OVER (ORDER BY day) AS rn FROM d),
+        |m AS (
+        | SELECT count(*) AS n, CAST(sum(rc) AS BIGINT) AS sc,
+        |  CAST(sum(rc) AS BIGINT) // count(*) AS mu,
+        |  CAST(floor(sqrt((CAST(sum(CAST(rc AS HUGEINT) * rc) AS DOUBLE)
+        |    - CAST(CAST(sum(rc) AS BIGINT) AS DOUBLE) * CAST(CAST(sum(rc) AS BIGINT) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE)) / CAST(count(*) AS DOUBLE)) / 2.0)
+        |   AS BIGINT) AS kc,
+        |  CAST(floor(sqrt((CAST(sum(CAST(rc AS HUGEINT) * rc) AS DOUBLE)
+        |    - CAST(CAST(sum(rc) AS BIGINT) AS DOUBLE) * CAST(CAST(sum(rc) AS BIGINT) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE)) / CAST(count(*) AS DOUBLE)) * 4.0)
+        |   AS BIGINT) AS hc
+        | FROM d),
+        |f AS (
+        | SELECT 0 AS rn, CAST(0 AS BIGINT) AS sp, CAST(0 AS BIGINT) AS sn,
+        |  CAST(0 AS BIGINT) AS al, CAST(0 AS BIGINT) AS msp,
+        |  CAST(0 AS BIGINT) AS msn
+        | UNION ALL
+        | SELECT i.rn,
+        |  CASE WHEN greatest(0, f.sp + (i.rc - m.mu) - m.kc) > m.hc THEN 0
+        |       ELSE greatest(0, f.sp + (i.rc - m.mu) - m.kc) END,
+        |  CASE WHEN greatest(0, f.sn + (m.mu - i.rc) - m.kc) > m.hc THEN 0
+        |       ELSE greatest(0, f.sn + (m.mu - i.rc) - m.kc) END,
+        |  f.al + (CASE WHEN greatest(0, f.sp + (i.rc - m.mu) - m.kc) > m.hc
+        |            OR greatest(0, f.sn + (m.mu - i.rc) - m.kc) > m.hc
+        |          THEN 1 ELSE 0 END),
+        |  greatest(f.msp, greatest(0, f.sp + (i.rc - m.mu) - m.kc)),
+        |  greatest(f.msn, greatest(0, f.sn + (m.mu - i.rc) - m.kc))
+        | FROM f JOIN i ON i.rn = f.rn + 1 CROSS JOIN m)
+        |SELECT (SELECT n FROM m) AS n_days, (SELECT kc FROM m) AS k_cents,
+        | (SELECT hc FROM m) AS h_cents, al AS n_alarms,
+        | msp AS max_sp, msn AS max_sn
+        |FROM f ORDER BY rn DESC LIMIT 1""".stripMargin,
     "q_sax_symbolic" ->
       """WITH d AS (
         | SELECT o_orderdate AS day,
