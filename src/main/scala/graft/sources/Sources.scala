@@ -286,6 +286,41 @@ object Sources {
       .withColumn("compacted", lit(after < before))
   }
 
+  /** DYNAMIC PARTITION OVERWRITE — the lake-table restatement primitive:
+    * re-publish ONE partition (year 1995 restated with doubled totals)
+    * into a date-partitioned table WITHOUT touching any other
+    * partition. partitionOverwriteMode=dynamic is the difference
+    * between "replace the partitions present in the incoming data"
+    * (this) and static overwrite's "truncate the whole table first" —
+    * at 100 TB the latter is a catastrophic full rewrite, and getting
+    * this mode wrong is a classic data-loss incident. The gated query
+    * reads the whole table back per year, so the oracle proves BOTH
+    * effects at once: 1995 carries the restated (doubled) totals, and
+    * every other year's rows and totals are bit-identical to the
+    * source. Config is restored after the write (no cross-query bleed).
+    */
+  def partitionDynamicOverwrite(s: SparkSession, d: String): DataFrame = {
+    val path = "/root/repo/target/scratch/orders_dyn_overwrite"
+    rmDir(path)
+    val base = Tables.orders(s, d)
+      .withColumn("o_year", year(col("o_orderdate")))
+    base.write.partitionBy("o_year").parquet(path)
+    val restated = base.filter(col("o_year") === 1995)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try restated.write.mode("overwrite").partitionBy("o_year").parquet(path)
+    finally prev match {
+      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    s.read.parquet(path)
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("cnt"),
+        graft.operators.Relational.sumDec(col("o_totalprice")).as("total"))
+      .orderBy("o_year")
+  }
+
   private[graft] def rmDir(path: String): Unit = {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
@@ -416,6 +451,7 @@ object Sources {
     "q_binary_ingest" -> binaryIngest _,
     "q_bucketed_join" -> bucketedJoin _,
     "q_partition_pruning" -> partitionedPrunedScan _,
+    "q_partition_overwrite" -> partitionDynamicOverwrite _,
     "q_compaction" -> compactionRoundtrip _,
     "q_corrupt_records" -> corruptRecordScan _,
     "q_schema_merge" -> schemaMergeScan _
@@ -492,6 +528,13 @@ object Sources {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders WHERE year(o_orderdate) = 1995
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_partition_overwrite" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        | count(*) AS cnt,
+        | CAST(SUM(CAST(CASE WHEN year(o_orderdate) = 1995
+        |   THEN o_totalprice * 2 ELSE o_totalprice END
+        |  AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_corrupt_records" ->
       """SELECT count(*) AS good_rows, CAST(2 AS BIGINT) AS corrupt_rows
         |FROM orders""".stripMargin,
