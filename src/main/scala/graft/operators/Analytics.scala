@@ -3114,6 +3114,58 @@ object Analytics {
       abTest(Tables.events(s, d))
     },
 
+    // UPLIFT QINI CURVE (Radcliffe 2007) — the targeting readout: rank
+    // users by a score, and at each decile depth ask how many EXTRA
+    // responders the treated group shows over the control baseline
+    // scaled to its size: Qini(k) = Rt(k) − Rc(k)·Nt(k)/Nc(k). The
+    // harness contract is the CURVE machinery (a real deployment plugs
+    // in a model score; here score = activity = events-per-user, and
+    // responder = above-median purchase count, so both paths are
+    // non-degenerate at any SF). Sort-free at scale: deciles come from
+    // 9 broadcast exact-percentile thresholds + a map-side when-chain
+    // (the q_decile_report idiom — never a global ntile sort over
+    // users); cumulatives run on the 10-row decile spine. Counts exact
+    // integers; qini is one rounded double per row.
+    "q_uplift_qini" -> { (s, d) =>
+      val perUser = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_ev"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("m"))
+      val med = exactPercentiles(perUser, "m", Seq("med" -> 0.5))
+      val u = perUser.crossJoin(broadcast(med))
+        .select(
+          (conv(substring(md5(col("user_id").cast("string")), 1, 4), 16, 10)
+            .cast("long") % 2).as("arm"),
+          (col("m") > col("med")).as("resp"),
+          col("n_ev").cast("double").as("score"))
+      val thr = exactPercentiles(u, "score",
+        (1 to 9).map(i => s"t$i" -> i / 10.0))
+      val bucketed = u.crossJoin(broadcast(thr))
+        .withColumn("decile", lit(1) +
+          (1 to 9).map(i => when(col("score") > col(s"t$i"), 1).otherwise(0))
+            .reduce(_ + _))
+      val perD = bucketed.groupBy("decile").agg(
+        count(when(col("arm") === 1, 1)).as("nt"),
+        count(when(col("arm") === 0, 1)).as("nc"),
+        sum(when(col("arm") === 1 && col("resp"), 1L).otherwise(0L))
+          .as("rt"),
+        sum(when(col("arm") === 0 && col("resp"), 1L).otherwise(0L))
+          .as("rc"))
+      // cumulate from the BEST decile down (decile 10 = highest score)
+      val w = Window.orderBy(desc("decile"))
+      perD
+        .select(row_number().over(w).as("k"),
+          sum(col("nt")).over(w).as("cnt"), sum(col("nc")).over(w).as("cnc"),
+          sum(col("rt")).over(w).as("crt"), sum(col("rc")).over(w).as("crc"))
+        .select(col("k"), col("cnt").as("n_t"), col("cnc").as("n_c"),
+          col("crt").as("resp_t"), col("crc").as("resp_c"),
+          round(col("crt").cast("double") -
+            col("crc").cast("double") * col("cnt").cast("double") /
+              col("cnc").cast("double"), 6).as("qini"))
+        .orderBy("k")
+    },
+
     // WINSORIZED LIFT — the heavy-tail-robust experiment readout: per
     // user revenue clipped at the POOLED exact p99 before the
     // two-sample z (one whale in one arm can flip a raw-mean readout;
@@ -5093,6 +5145,46 @@ object Analytics {
         | round(rc, 6) AS rate_c, round(rt, 6) AS rate_t,
         | CASE WHEN se > 0 THEN round((rt - rc) / se, 6) END AS z
         |FROM b""".stripMargin,
+    "q_uplift_qini" -> {
+      val thrCols = (1 to 9)
+        .map(i => s"quantile_cont(score, 0.$i) AS t$i").mkString(", ")
+      val caseSum = (1 to 9)
+        .map(i => s"CASE WHEN score > t$i THEN 1 ELSE 0 END")
+        .mkString("(", " + ", ")")
+      s"""WITH pu AS (
+         | SELECT user_id, count(*) AS n_ev,
+         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS m
+         | FROM events GROUP BY 1),
+         |md AS (SELECT quantile_cont(m, 0.5) AS med FROM pu),
+         |u AS (
+         | SELECT
+         |  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4)) AS BIGINT) % 2 AS arm,
+         |  m > med AS resp, CAST(n_ev AS DOUBLE) AS score
+         | FROM pu, md),
+         |t AS (SELECT $thrCols FROM u),
+         |b AS (SELECT arm, resp, 1 + $caseSum AS decile FROM u, t),
+         |pd AS (
+         | SELECT decile,
+         |  count(CASE WHEN arm = 1 THEN 1 END) AS nt,
+         |  count(CASE WHEN arm = 0 THEN 1 END) AS nc,
+         |  CAST(sum(CASE WHEN arm = 1 AND resp THEN 1 ELSE 0 END) AS BIGINT) AS rt,
+         |  CAST(sum(CASE WHEN arm = 0 AND resp THEN 1 ELSE 0 END) AS BIGINT) AS rc
+         | FROM b GROUP BY 1),
+         |c AS (
+         | SELECT row_number() OVER (ORDER BY decile DESC) AS k,
+         |  CAST(sum(nt) OVER w AS BIGINT) AS n_t,
+         |  CAST(sum(nc) OVER w AS BIGINT) AS n_c,
+         |  CAST(sum(rt) OVER w AS BIGINT) AS resp_t,
+         |  CAST(sum(rc) OVER w AS BIGINT) AS resp_c
+         | FROM pd
+         | WINDOW w AS (ORDER BY decile DESC
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT k, n_t, n_c, resp_t, resp_c,
+         | round(CAST(resp_t AS DOUBLE)
+         |  - CAST(resp_c AS DOUBLE) * CAST(n_t AS DOUBLE) / CAST(n_c AS DOUBLE), 6)
+         |  AS qini
+         |FROM c ORDER BY k""".stripMargin
+    },
     "q_winsorized_lift" ->
       """WITH u AS (
         | SELECT user_id,
