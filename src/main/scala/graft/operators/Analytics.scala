@@ -2519,6 +2519,39 @@ object Analytics {
         .orderBy("day")
     },
 
+    // ADDITIVE SEASONAL DECOMPOSITION (classical, Kendall & Stuart):
+    // trend = centered 7-day moving average on the day spine (edges
+    // with fewer than 7 observations drop — the textbook contract),
+    // detrended = y − trend, and the per-ISO-weekday mean of the
+    // detrended series IS the additive seasonal component — the
+    // decomposition artifact behind q_dow_seasonality's one-number
+    // index and q_anomaly_daily's adjustment. Exact integers
+    // end-to-end; the one subtlety is that detrended values go
+    // NEGATIVE, where integer division's floor-vs-truncate semantics
+    // can differ across engines — so the group mean runs on
+    // 2^40-offset values (positive by construction, where both agree)
+    // and shifts back, the q_embed_outliers +127 idiom. Scale:
+    // day-spine windows only (calendar-bounded), then a ≤7-row group.
+    "q_seasonal_decompose" -> { (s, d) =>
+      val K = 1099511627776L // 2^40
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+          .cast("long").as("rc"))
+      val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+      val det = daily
+        .withColumn("cnt7", count(lit(1)).over(w7))
+        .withColumn("s7", sum(col("rc")).over(w7))
+        .filter(col("cnt7") === 7)
+        .select(col("day"), (col("rc") - expr("s7 div 7")).as("det"))
+      det.groupBy((weekday(col("day")) + 1).as("dow"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("det") + K).as("so"))
+        .select(col("dow"), col("n_days"),
+          (expr("so div n_days") - K).as("seasonal_cents"))
+        .orderBy("dow")
+    },
+
     // CUSUM CONTROL CHART (Page 1954) over daily revenue — the
     // sequential drift detector beside q_anomaly_daily's pointwise
     // seasonal z and q_changepoint's retrospective split: S⁺/S⁻
@@ -4325,6 +4358,22 @@ object Analytics {
         | round(1.0 - CAST(se AS DOUBLE) / CAST(sn AS DOUBLE), 6)
         |  AS skill_vs_naive
         |FROM m""".stripMargin,
+    "q_seasonal_decompose" ->
+      """WITH d AS (
+        | SELECT o_orderdate AS day,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rc
+        | FROM orders GROUP BY 1),
+        |t AS (
+        | SELECT day, rc,
+        |  count(*) OVER w7 AS cnt7,
+        |  CAST(sum(rc) OVER w7 AS BIGINT) // 7 AS trend
+        | FROM d
+        | WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |de AS (SELECT day, rc - trend AS det FROM t WHERE cnt7 = 7)
+        |SELECT CAST(isodow(day) AS INTEGER) AS dow, count(*) AS n_days,
+        | CAST(sum(det + 1099511627776) AS BIGINT) // count(*)
+        |  - 1099511627776 AS seasonal_cents
+        |FROM de GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_cusum" ->
       """WITH RECURSIVE d AS (
         | SELECT o_orderdate AS day,
