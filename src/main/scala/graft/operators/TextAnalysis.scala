@@ -1205,6 +1205,40 @@ object TextAnalysis {
     "q_winnow" -> { (s, d) =>
       winnow(Tables.documents(s, d))
     },
+    // HILL TAIL-INDEX ESTIMATOR (Hill 1975) over document lengths:
+    // α̂ = 1 / [ mean_{i≤k} ln x_(i) − ln x_(k+1) ] on the k = 100
+    // largest documents. α ≤ 2 means infinite-variance length tails —
+    // the diagnosis that decides whether packing/batching plans can
+    // rely on mean-based sizing or must cap outliers (q_truncation_plan
+    // / q_winsorized_lift are the interventions; this is the test for
+    // whether they're needed). Scale: the top-(k+1) slice runs on the
+    // native TopKPerKey exec (k-bounded heaps, no corpus sort); ln
+    // values round to 6dp DECIMAL before the k-row fold; guarded NULL
+    // when the top slice is degenerate (all-equal lengths). Window runs
+    // on the ≤101-row slice only.
+    "q_hill_tail" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val k = 100
+      val top = graft.plans.TopKPerKey.topKPerKey(
+          Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+            .withColumn("g", lit(1)),
+          keys = Seq("g"),
+          order = Seq(("n_chars", false), ("doc_id", true)), k = k + 1)
+        .withColumn("rn", row_number().over(Window.partitionBy("g")
+          .orderBy(desc("n_chars"), asc("doc_id"))))
+      val xk = top.filter(col("rn") === k + 1)
+        .select(col("n_chars").as("xk"))
+      val inv = col("sl").cast("double") / col("kk").cast("double") -
+        round(log(col("xk").cast("double")), 6)
+      top.filter(col("rn") <= k)
+        .select(round(log(col("n_chars").cast("double")), 6)
+          .cast(DecimalType(18, 6)).as("lx"))
+        .agg(count(lit(1)).as("kk"), sum(col("lx")).as("sl"))
+        .crossJoin(broadcast(xk))
+        .select(col("kk").as("k"), col("xk").as("x_k1"),
+          when(inv =!= 0.0, round(lit(1.0) / inv, 6)).as("alpha"))
+    },
+
     // Zipf-law fit of the corpus vocabulary: OLS of ln(freq) on ln(rank)
     // over the top-100 terms. The exponent (~1 for natural language) is a
     // corpus-health signal — synthetic/templated text flattens the curve,
@@ -1494,6 +1528,21 @@ object TextAnalysis {
            | round(((n*sxy - sx*sy) * (n*sxy - sx*sy))
            |   / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
            |FROM s""".stripMargin,
+      "q_hill_tail" ->
+        """WITH r AS (
+          | SELECT n_chars,
+          |  row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn
+          | FROM documents),
+          |xk AS (SELECT n_chars AS xk FROM r WHERE rn = 101),
+          |t AS (SELECT CAST(round(ln(CAST(n_chars AS DOUBLE)), 6)
+          |       AS DECIMAL(18,6)) AS lx FROM r WHERE rn <= 100)
+          |SELECT count(*) AS k, (SELECT xk FROM xk) AS x_k1,
+          | CASE WHEN CAST(sum(lx) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+          |   - round(ln(CAST((SELECT xk FROM xk) AS DOUBLE)), 6) <> 0.0
+          |  THEN round(1.0 / (CAST(sum(lx) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+          |   - round(ln(CAST((SELECT xk FROM xk) AS DOUBLE)), 6)), 6)
+          | END AS alpha
+          |FROM t""".stripMargin,
       "q_bpe_train" -> bpeTrainSql(10),
       "q_bpe_encode" -> bpeEncodeSql(6),
       "q_tokenizer_fertility" -> fertilitySql(6),
