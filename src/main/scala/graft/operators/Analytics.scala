@@ -2672,14 +2672,18 @@ object Analytics {
     },
 
     // SPLIT-CONFORMAL PREDICTION INTERVAL for the one-step EWMA
-    // forecaster (Vovk et al. 2005; Lei et al. 2018): calibrate q̂ as
-    // the ⌈0.9·(n_cal+1)⌉-th smallest absolute residual on the first
-    // 70% of days, then MEASURE the empirical coverage of ŷ ± q̂ on the
-    // held-out last 30% — the distribution-free interval harness an
-    // ML-ops stack runs on any point forecaster. Honest caveat in the
-    // readout: a time split is not exchangeable, so the ≥ 90% marginal
-    // guarantee is approximate here — which is exactly why coverage is
-    // MEASURED, not assumed (target_ppm rides alongside). Exactness:
+    // forecaster (Vovk et al. 2005; Lei et al. 2018) — the TIME-SERIES
+    // member of the conformal pair: q_conformal_coverage calibrates a
+    // static per-type predictor on an exchangeable md5 hash split
+    // (where the ≥ 1−α guarantee holds exactly); this one calibrates a
+    // SEQUENTIAL forecaster on a temporal split, the case every
+    // forecasting deployment actually faces. Calibrate q̂ as the
+    // ⌈0.9·(n_cal+1)⌉-th smallest absolute residual on the first 70%
+    // of days, then MEASURE the empirical coverage of ŷ ± q̂ on the
+    // held-out last 30%. Honest caveat in the readout: a time split is
+    // not exchangeable, so the ≥ 90% marginal guarantee is approximate
+    // here — which is exactly why coverage is MEASURED, not assumed
+    // (target_ppm rides alongside). Exactness:
     // residuals are integer cents, q̂ is an exact order statistic
     // (integer rank math — no interpolated quantile), coverage is
     // integer ppm; no float enters until the reported q̂. Scale: the

@@ -89,14 +89,20 @@ object Graph {
     val e = bipartiteEdges(s, d).persistTracked()
     var h = e.select(col("src")).distinct().withColumn("h", lit(S))
     var a: DataFrame = null
+    // each half-step's raw-score frame is persisted: it feeds BOTH the
+    // scalar normalizer and the normalized frame, and the normalized
+    // frame fans into the next half-step — unpersisted, the plan
+    // re-executes the prefix ~2× per half-step (the kcore 3^rounds
+    // lesson, same fix)
     for (_ <- 1 to rounds) {
+      import graft.CacheScope.TrackedDataset
       val araw = e.join(h, Seq("src")).groupBy("dst")
-        .agg(sum(col("h")).as("ar"))
+        .agg(sum(col("h")).as("ar")).persistTracked()
       val asum = araw.agg(sum(col("ar")).as("sa"))
       a = araw.crossJoin(broadcast(asum))
         .select(col("dst"), expr(s"ar * $S div sa").as("a"))
       val hraw = e.join(a, Seq("dst")).groupBy("src")
-        .agg(sum(col("a")).as("hr"))
+        .agg(sum(col("a")).as("hr")).persistTracked()
       val hsum = hraw.agg(sum(col("hr")).as("sh"))
       h = hraw.crossJoin(broadcast(hsum))
         .select(col("src"), expr(s"hr * $S div sh").as("h"))
@@ -179,8 +185,18 @@ object Graph {
     kcoreOnEdges(interactionEdges(s, d).persistTracked(), k, rounds)
   }
 
-  /** The peel itself, over any symmetrized (src, dst) edge frame. */
+  /** The peel itself, over any symmetrized (src, dst) edge frame.
+    *
+    * Each round's survivor edge frame is PERSISTED before the next
+    * round reads it: the frame appears THREE times in round t+1's DAG
+    * (once under `keep`, twice as the join probe sides), so without the
+    * persist the unevaluated plan re-executes the whole prefix 3^rounds
+    * times — measured 43 s → 6 s at sf0.1 when the r9 bench caught
+    * it. The X12 rule in its cache form: iterative frames that fan out
+    * into the next round must be materialized per round.
+    */
   def kcoreOnEdges(edgeFrame: DataFrame, k: Int, rounds: Int): DataFrame = {
+    import graft.CacheScope.TrackedDataset
     var edges = edgeFrame
     for (_ <- 1 to rounds) {
       val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -189,6 +205,7 @@ object Graph {
         .join(keep, Seq("src"))
         .join(keep.select(col("src").as("dst")), Seq("dst"))
         .select("src", "dst")
+        .persistTracked()
     }
     edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg"),
@@ -284,7 +301,11 @@ object Graph {
       .persistTracked()
     var lab = nodes.select(col("node"), col("node").as("label"))
     var prev = lab
+    // persist each round's label frame: it feeds the next round AND the
+    // final stable-flag join (prev), so unpersisted lineage re-executes
+    // the prefix per consumer (the kcore 3^rounds lesson)
     for (_ <- 1 to rounds) {
+      import graft.CacheScope.TrackedDataset
       prev = lab
       val cnt = edges
         .join(lab.select(col("node").as("src"), col("label")), Seq("src"))
@@ -294,6 +315,7 @@ object Graph {
         .agg(min(struct(negate(col("cnt")).as("nc"),
           col("label").as("label"))).as("b"))
         .select(col("node"), col("b.label").as("label"))
+        .persistTracked()
     }
     lab.join(prev.select(col("node"), col("label").as("pl")), Seq("node"))
       .select(col("node"), col("label"),
