@@ -118,8 +118,38 @@ object Scd {
       .select(col(keyCol), col("f.status").as("final_status"),
         col("f.price").cast("double").as("final_price"), col("n_versions"))
 
+  /** POINT-IN-TIME (PIT) JOIN against the SCD2 dimension — the reason
+    * Type-2 history exists at all: each fact joins to the dimension row
+    * that was VALID AT THE FACT'S LOAD BATCH (valid_from ≤ batch <
+    * valid_to), never to today's row. Facts carry batch = orderkey % 2
+    * so both dimension loads are exercised; batch-0 facts for odd
+    * customers match nothing (the dim didn't know the key yet) and
+    * surface as the NULL-attribute bucket — the honest "early fact"
+    * case a PIT join must not silently drop.
+    *
+    * Scale posture: a PIT join is an equi-join on the key with a range
+    * residual — the dimension (version-multiplied but still
+    * dimension-sized) broadcasts, so the fact side stays map-only
+    * exactly like the star joins; no windows, no as-of sort. The
+    * readout aggregates to (batch, seg, version) cardinality.
+    */
+  def pitJoin(s: SparkSession, d: String): DataFrame = {
+    val dim = scd2CustomerDim(s, d)
+    val facts = Tables.orders(s, d).select(col("o_custkey"),
+      (col("o_orderkey") % 2).cast("int").as("batch"))
+    facts.join(broadcast(dim),
+        facts("o_custkey") === dim("c_custkey") &&
+          col("batch") >= col("valid_from") &&
+          (col("valid_to").isNull || col("batch") < col("valid_to")),
+        "left")
+      .groupBy(col("batch"), col("seg"), col("version"))
+      .agg(count(lit(1)).as("n_facts"))
+      .orderBy("batch", "seg", "version")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scd2_dim" -> scd2CustomerDim _,
+    "q_pit_join" -> pitJoin _,
     // planted changelog over orders: every 10th key updated (seq 1),
     // every 100th then deleted (seq 2 — exercises update-then-delete
     // ordering), 50 brand-new keys inserted; everyone else passes through
@@ -168,6 +198,32 @@ object Scd {
         |FROM v2 LEFT JOIN v1 USING (c_custkey)
         |WHERE v1.c_custkey IS NULL OR v1.seg <> v2.seg
         |ORDER BY c_custkey, version""".stripMargin,
+    "q_pit_join" ->
+      """WITH v1 AS (SELECT c_custkey, c_mktsegment AS seg FROM customer
+        |            WHERE c_custkey % 2 = 0),
+        |v2 AS (SELECT c_custkey,
+        |        CASE WHEN c_acctbal < 0 THEN 'LAPSED' ELSE c_mktsegment END AS seg
+        |       FROM customer),
+        |dim AS (
+        | SELECT v1.c_custkey, v1.seg, 1 AS version, 0 AS valid_from,
+        |        CAST(NULL AS INTEGER) AS valid_to
+        | FROM v1 JOIN v2 USING (c_custkey) WHERE v1.seg = v2.seg
+        | UNION ALL
+        | SELECT v1.c_custkey, v1.seg, 1, 0, 1
+        | FROM v1 JOIN v2 USING (c_custkey) WHERE v1.seg <> v2.seg
+        | UNION ALL
+        | SELECT v2.c_custkey, v2.seg,
+        |        CASE WHEN v1.c_custkey IS NULL THEN 1 ELSE 2 END, 1,
+        |        CAST(NULL AS INTEGER)
+        | FROM v2 LEFT JOIN v1 USING (c_custkey)
+        | WHERE v1.c_custkey IS NULL OR v1.seg <> v2.seg),
+        |f AS (SELECT o_custkey,
+        |       CAST(o_orderkey % 2 AS INTEGER) AS batch FROM orders)
+        |SELECT f.batch, d.seg, d.version, count(*) AS n_facts
+        |FROM f LEFT JOIN dim d ON f.o_custkey = d.c_custkey
+        | AND f.batch >= d.valid_from
+        | AND (d.valid_to IS NULL OR f.batch < d.valid_to)
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q_cdc_merge" ->
       """WITH base AS (
         | SELECT o_orderkey AS k, o_orderstatus AS status,
