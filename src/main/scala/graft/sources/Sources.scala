@@ -321,6 +321,49 @@ object Sources {
       .orderBy("o_year")
   }
 
+  /** TARGETED ERASURE REWRITE — GDPR right-to-erasure at lake scale:
+    * delete one subject's rows (customer key 7) from a date-partitioned
+    * table by rewriting ONLY the partitions that contain them. The
+    * affected-partition set comes from a distributed semi-join (never a
+    * driver collect), the replacement data is the anti-filtered content
+    * of exactly those partitions, and dynamic partitionOverwriteMode
+    * makes the write replace just that set — at 100 TB this is a
+    * handful of partition-sized rewrites instead of a table rewrite,
+    * the difference between a routine compliance job and an outage. The
+    * readback gates all three contracts per year: subject rows gone
+    * (n_subject = 0 everywhere), non-subject rows bit-identical, and
+    * the `rewritten` flag marks which partitions were touched.
+    */
+  def erasureRewrite(s: SparkSession, d: String): DataFrame = {
+    val path = "/root/repo/target/scratch/orders_erasure"
+    rmDir(path)
+    val subject = col("o_custkey") % 10000 === 7
+    val base = Tables.orders(s, d)
+      .withColumn("o_year", year(col("o_orderdate")))
+    base.write.partitionBy("o_year").parquet(path)
+    val t = s.read.parquet(path)
+    val affected = t.filter(subject).select("o_year").distinct()
+    val incoming = t.join(affected, Seq("o_year"), "left_semi")
+      .filter(!subject)
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try incoming.write.mode("overwrite").partitionBy("o_year").parquet(path)
+    finally prev match {
+      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val flag = base.filter(subject).select("o_year").distinct()
+      .withColumn("rw", lit(true))
+    s.read.parquet(path)
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("cnt"),
+        coalesce(sum(when(subject, 1L)), lit(0L)).as("n_subject"))
+      .join(broadcast(flag), Seq("o_year"), "left")
+      .withColumn("rewritten", coalesce(col("rw"), lit(false)))
+      .select("o_year", "cnt", "n_subject", "rewritten")
+      .orderBy("o_year")
+  }
+
   private[graft] def rmDir(path: String): Unit = {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
@@ -452,6 +495,7 @@ object Sources {
     "q_bucketed_join" -> bucketedJoin _,
     "q_partition_pruning" -> partitionedPrunedScan _,
     "q_partition_overwrite" -> partitionDynamicOverwrite _,
+    "q_erasure_rewrite" -> erasureRewrite _,
     "q_compaction" -> compactionRoundtrip _,
     "q_corrupt_records" -> corruptRecordScan _,
     "q_schema_merge" -> schemaMergeScan _
@@ -535,6 +579,16 @@ object Sources {
         |   THEN o_totalprice * 2 ELSE o_totalprice END
         |  AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_erasure_rewrite" ->
+      """WITH b AS (
+        | SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, o_custkey
+        | FROM orders),
+        |a AS (SELECT DISTINCT o_year FROM b WHERE o_custkey % 10000 = 7)
+        |SELECT o_year,
+        | CAST(count(CASE WHEN o_custkey % 10000 <> 7 THEN 1 END) AS BIGINT) AS cnt,
+        | CAST(0 AS BIGINT) AS n_subject,
+        | o_year IN (SELECT o_year FROM a) AS rewritten
+        |FROM b GROUP BY o_year ORDER BY o_year""".stripMargin,
     "q_corrupt_records" ->
       """SELECT count(*) AS good_rows, CAST(2 AS BIGINT) AS corrupt_rows
         |FROM orders""".stripMargin,
