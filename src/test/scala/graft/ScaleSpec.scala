@@ -219,6 +219,16 @@ class ScaleSpec extends SparkSpec {
       s"bloom kept $kept of $total (true matches $trueMatch)")
   }
 
+  test("PIT join against SCD2 stays broadcast (range residual, no SMJ)") {
+    // the dimension is version-multiplied but still dimension-sized —
+    // a PIT join must keep the fact side map-only like the star joins
+    val plan = graft.operators.Scd.pitJoin(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected BHJ:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("star fact plan keeps every dimension join broadcast") {
     val plan = graft.operators.StarPipeline.fact(spark, sfDir)
       .queryExecution.executedPlan.toString
