@@ -3382,6 +3382,54 @@ object Analytics {
             col("t_purchase") > col("t_view"), 1)).as("n_full_funnel"))
     },
 
+    // FUNNEL LIFT BY ARM — q_funnel's step counts split by the
+    // q_ab_test md5 assignment, with per-step treatment/control rate
+    // ratios: the readout that says WHICH funnel step an experiment
+    // moves, not just the end-to-end conversion delta. One user-keyed
+    // aggregate (the funnel's conditional mins plus the arm column),
+    // then a 2-group rollup reshaped to one row per step; rates are
+    // integer ppm and the ratio is the single rounded double. No joins.
+    "q_funnel_lift" -> { (s, d) =>
+      val perUser = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "signup", col("ts"))).as("ts1"),
+          min(when(col("event_type") === "view", col("ts"))).as("ts2"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("ts3"))
+        .select(
+          (conv(substring(md5(col("user_id").cast("string")), 1, 4), 16, 10)
+            .cast("long") % 2).as("arm"),
+          col("ts1").isNotNull.as("s_signup"),
+          (col("ts2") > col("ts1")).as("s_view"),
+          (col("ts2") > col("ts1") && col("ts3") > col("ts2"))
+            .as("s_purchase"))
+      val agg = perUser.groupBy("arm").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("s_signup"), 1L).otherwise(0L)).as("k1"),
+        sum(when(col("s_view"), 1L).otherwise(0L)).as("k2"),
+        sum(when(col("s_purchase"), 1L).otherwise(0L)).as("k3"))
+      val steps = agg.select(col("arm"), col("n"),
+        explode(array(
+          struct(lit(1).as("step"), col("k1").as("k")),
+          struct(lit(2).as("step"), col("k2").as("k")),
+          struct(lit(3).as("step"), col("k3").as("k")))).as("e"))
+        .select(col("arm"), col("n"), col("e.step"), col("e.k"))
+      val wide = steps.groupBy("step").agg(
+        max(when(col("arm") === 0, col("n"))).as("n_c"),
+        max(when(col("arm") === 0, col("k"))).as("k_c"),
+        max(when(col("arm") === 1, col("n"))).as("n_t"),
+        max(when(col("arm") === 1, col("k"))).as("k_t"))
+      wide.select(col("step"), col("n_c"), col("k_c"), col("n_t"),
+          col("k_t"),
+          expr("k_c * 1000000 div n_c").as("rate_c_ppm"),
+          expr("k_t * 1000000 div n_t").as("rate_t_ppm"))
+        .withColumn("lift_ratio",
+          when(col("rate_c_ppm") > 0,
+            round(col("rate_t_ppm").cast("double") /
+              col("rate_c_ppm").cast("double"), 6)))
+        .orderBy("step")
+    },
+
     // COHORT RETENTION — users grouped by first-active week, activity
     // counted per subsequent week (the retention matrix). The first-seen
     // frame is user-cardinality-sized and broadcasts back onto events;
@@ -5419,6 +5467,43 @@ object Analytics {
         | count(CASE WHEN t_view > t_signup THEN 1 END) AS n_signup_then_view,
         | count(CASE WHEN t_view > t_signup AND t_purchase > t_view THEN 1 END) AS n_full_funnel
         |FROM f""".stripMargin,
+    "q_funnel_lift" ->
+      """WITH f AS (
+        | SELECT user_id,
+        |  min(CASE WHEN event_type = 'signup' THEN ts END) AS ts1,
+        |  min(CASE WHEN event_type = 'view' THEN ts END) AS ts2,
+        |  min(CASE WHEN event_type = 'purchase' THEN ts END) AS ts3
+        | FROM events GROUP BY 1),
+        |u AS (
+        | SELECT
+        |  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4)) AS BIGINT) % 2 AS arm,
+        |  ts1 IS NOT NULL AS s1, ts2 > ts1 AS s2,
+        |  (ts2 > ts1 AND ts3 > ts2) AS s3
+        | FROM f),
+        |a AS (
+        | SELECT arm, count(*) AS n,
+        |  CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+        |  CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS k2,
+        |  CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS k3
+        | FROM u GROUP BY 1),
+        |st AS (
+        | SELECT arm, n, t.step, CASE t.step WHEN 1 THEN k1 WHEN 2 THEN k2
+        |   ELSE k3 END AS k
+        | FROM a CROSS JOIN (SELECT CAST(unnest([1, 2, 3]) AS INTEGER) AS step) t),
+        |w AS (
+        | SELECT step,
+        |  max(CASE WHEN arm = 0 THEN n END) AS n_c,
+        |  max(CASE WHEN arm = 0 THEN k END) AS k_c,
+        |  max(CASE WHEN arm = 1 THEN n END) AS n_t,
+        |  max(CASE WHEN arm = 1 THEN k END) AS k_t
+        | FROM st GROUP BY 1)
+        |SELECT step, n_c, k_c, n_t, k_t,
+        | k_c * 1000000 // n_c AS rate_c_ppm,
+        | k_t * 1000000 // n_t AS rate_t_ppm,
+        | CASE WHEN k_c * 1000000 // n_c > 0
+        |  THEN round(CAST(k_t * 1000000 // n_t AS DOUBLE)
+        |   / CAST(k_c * 1000000 // n_c AS DOUBLE), 6) END AS lift_ratio
+        |FROM w ORDER BY step""".stripMargin,
     "q_cohort_retention" ->
       """WITH e AS (
         | SELECT user_id, date_trunc('week', ts) AS wk FROM events),
