@@ -171,6 +171,38 @@ object Multimodal {
     "q_mm_features" -> { (s, d) =>
       extractFeatures(mediaTable(s, d)).toDF().orderBy("media_id")
     },
+    // ASPECT-RATIO BUCKETING — the vision-training batching trick
+    // (NovelAI/SDXL lineage): group media by nearest canonical aspect
+    // ratio so each batch resizes to ONE geometry and padding waste
+    // stays near zero (mixed-aspect batches pad every image to the max
+    // of both dims). Dimensions come from a declared STUB decode —
+    // w/h are read off the content digest's first two bytes (uniform
+    // over 64..319, so the fixture exercises EVERY canonical bucket;
+    // text bytes would cluster at 1:1) — the plumbing is real, the
+    // codec isn't in this container. Bucket assignment is pure
+    // integer cross-multiplication against the midpoint boundaries
+    // (w·1000 vs h·625/875/1165/1665 — no float ratios anywhere), so
+    // the report is hash-stable. One mapPartitions decode pass + a
+    // ≤5-group rollup with a broadcast total.
+    "q_mm_aspect_buckets" -> { (s, d) =>
+      val f = mediaTable(s, d).select(
+        (conv(substring(col("checksum"), 1, 2), 16, 10).cast("int") + 64)
+          .as("w"),
+        (conv(substring(col("checksum"), 3, 2), 16, 10).cast("int") + 64)
+          .as("h"))
+      val b = when(col("w") * 1000 < col("h") * 625, "1:2")
+        .when(col("w") * 1000 < col("h") * 875, "3:4")
+        .when(col("w") * 1000 < col("h") * 1165, "1:1")
+        .when(col("w") * 1000 < col("h") * 1665, "4:3")
+        .otherwise("2:1")
+      val g = f.select(b.as("bucket")).groupBy("bucket")
+        .agg(count(lit(1)).as("n_media"))
+      val tot = g.agg(sum(col("n_media")).as("t"))
+      g.crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n_media"),
+          expr("n_media * 1000000 div t").as("share_ppm"))
+        .orderBy("bucket")
+    },
     // Frame sampling — the video-preprocessing shape: treat the payload as
     // fixed-size frames (STUB framing: 256-byte strides standing in for a
     // real container's frame index), keep every 4th frame, emit a
@@ -289,6 +321,21 @@ object Multimodal {
         | CASE WHEN length(hx)=0 THEN -1
         |      ELSE CAST('0x' || substr(hx, length(hx)-1, 2) AS INTEGER) END AS last_byte
         |FROM b ORDER BY media_id""".stripMargin,
+    "q_mm_aspect_buckets" ->
+      """WITH b AS (SELECT md5(text) AS ck FROM documents),
+        |wh AS (
+        | SELECT 64 + CAST('0x' || substr(ck, 1, 2) AS INTEGER) AS w,
+        |  64 + CAST('0x' || substr(ck, 3, 2) AS INTEGER) AS h
+        | FROM b),
+        |g AS (
+        | SELECT CASE WHEN w*1000 < h*625 THEN '1:2'
+        |   WHEN w*1000 < h*875 THEN '3:4'
+        |   WHEN w*1000 < h*1165 THEN '1:1'
+        |   WHEN w*1000 < h*1665 THEN '4:3' ELSE '2:1' END AS bucket
+        | FROM wh)
+        |SELECT bucket, count(*) AS n_media,
+        | count(*) * 1000000 // (SELECT count(*) FROM g) AS share_ppm
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_mm_resize" ->
       """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
         |            octet_length(encode(text)) AS nb FROM documents),
