@@ -108,6 +108,32 @@ object StreamOps {
       sys.error(s"upsert swap failed for $store")
   }
 
+  /** Per-micro-batch CDC merge with TOMBSTONE RETENTION (the streaming
+    * lakehouse MERGE): store ∪ batch → one per-key argmax on (seq, …),
+    * keeping D rows IN the store — dropping a tombstone at merge time
+    * would let a late-arriving lower-seq insert resurrect the key in a
+    * later batch. Deletes filter once, at read time. n accumulates the
+    * versions seen per key across batches (the q_cdc_merge n_versions
+    * contract). Same swap discipline as [[upsertLatest]].
+    */
+  def cdcBatchMerge(batch: DataFrame, store: String): Unit = {
+    val s = batch.sparkSession
+    val incoming = batch.withColumn("n", lit(1L))
+    val all =
+      try s.read.parquet(store).unionByName(incoming)
+      catch { case _: org.apache.spark.sql.AnalysisException => incoming }
+    val merged = all.groupBy("k")
+      .agg(sum(col("n")).as("n"),
+        max(struct(col("seq"), col("op"), col("status"), col("price")))
+          .as("f"))
+      .select(col("k"), col("f.seq").as("seq"), col("f.op").as("op"),
+        col("f.status").as("status"), col("f.price").as("price"), col("n"))
+    merged.write.mode("overwrite").parquet(store + ".tmp")
+    rmPath(store)
+    if (!new java.io.File(store + ".tmp").renameTo(new java.io.File(store)))
+      sys.error(s"cdc swap failed for $store")
+  }
+
   private def rmPath(path: String): Unit = {
     val dir = new java.io.File(path)
     def rm(f: java.io.File): Unit = {
@@ -855,6 +881,61 @@ object StreamOps {
     // to a staging dir and swaps, because overwriting a path while the
     // plan reads it is undefined; on a real deployment this foreachBatch
     // body is a MERGE INTO an Iceberg/Delta table.
+    // STREAMING CDC APPLY — q_cdc_merge's changelog driven through a
+    // real file stream in three waves (base / updates+inserts /
+    // deletes, maxFilesPerTrigger=1 so the merge crosses micro-batch
+    // boundaries) into a foreachBatch lakehouse MERGE with tombstone
+    // retention. seq-argmax makes the merge ARRIVAL-ORDER-INDEPENDENT
+    // (a delete arriving before its insert cannot resurrect), which is
+    // the property that lets the same code run at-least-once at 100 TB.
+    // Gate: final store state ≡ the batch q_cdc_merge oracle verbatim.
+    "q_stream_cdc_apply" -> { (s, d) => withStatePartitions(s, 8) {
+      import org.apache.spark.sql.types._
+      cleanCheckpoint("stream_cdc")
+      val dir = "/root/repo/target/scratch/cdc_log"
+      val store = "/root/repo/target/scratch/cdc_store"
+      rmPath(dir); rmPath(store); rmPath(store + ".tmp")
+      val base = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("price"),
+        lit(0L).as("seq"), lit("I").as("op"))
+      val upd = base.filter(col("k") % 10 === 0)
+        .select(col("k"), lit("X").as("status"),
+          (col("price") + 1000).cast(DecimalType(18, 2)).as("price"),
+          lit(1L).as("seq"), lit("U").as("op"))
+      val del = base.filter(col("k") % 100 === 0)
+        .select(col("k"), lit(null).cast("string").as("status"),
+          lit(null).cast(DecimalType(18, 2)).as("price"),
+          lit(2L).as("seq"), lit("D").as("op"))
+      val ins = base.filter(col("k") < 50)
+        .select((col("k") + 900000000L).as("k"), lit("N").as("status"),
+          lit(42.42).cast(DecimalType(18, 2)).as("price"),
+          lit(1L).as("seq"), lit("I").as("op"))
+      base.coalesce(1).write.mode("append").parquet(dir)
+      upd.unionByName(ins).coalesce(1).write.mode("append").parquet(dir)
+      del.coalesce(1).write.mode("append").parquet(dir)
+      val schema = StructType(Seq(
+        StructField("k", LongType), StructField("status", StringType),
+        StructField("price", DecimalType(18, 2)),
+        StructField("seq", LongType), StructField("op", StringType)))
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+        .writeStream
+        .option("checkpointLocation",
+          "/root/repo/target/scratch/ckpt_stream_cdc")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          cdcBatchMerge(batch, store)
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(store).filter(col("op") =!= "D")
+        .select(col("k").as("o_orderkey"), col("status").as("final_status"),
+          col("price").cast("double").as("final_price"),
+          col("n").as("n_versions"))
+        .orderBy("o_orderkey")
+    }},
+
     "q_stream_upsert" -> { (s, d) => withStatePartitions(s, 8) {
       cleanCheckpoint("stream_upsert")
       val store = "/root/repo/target/scratch/upsert_store"
@@ -1421,6 +1502,8 @@ object StreamOps {
         |SELECT user_id, min(ts) AS sess_start, count(*) AS n_events
         |FROM s GROUP BY user_id, sess_no ORDER BY user_id, sess_start""".stripMargin,
     // upsert store ≡ last event per user over the whole table
+    // stream ≡ batch: the q_cdc_merge oracle verbatim (same changelog)
+    "q_stream_cdc_apply" -> graft.operators.Scd.oracles("q_cdc_merge"),
     "q_stream_upsert" ->
       """SELECT user_id, event_type AS last_type, value AS last_value
         |FROM (SELECT user_id, event_type, value,
