@@ -83,10 +83,14 @@ object Graph {
     * round shape, two per iteration. Nothing edge-cardinality persists.
     */
   def hits(s: SparkSession, d: String, rounds: Int = 2,
-           k: Int = 10): DataFrame = {
+           k: Int = 10): DataFrame =
+    hitsOnEdges(bipartiteEdges(s, d), rounds, k)
+
+  /** The recursion itself, over any directed (src, dst) edge frame. */
+  def hitsOnEdges(edgeFrame: DataFrame, rounds: Int, k: Int): DataFrame = {
     import graft.CacheScope.TrackedDataset
     val S = 1000000L
-    val e = bipartiteEdges(s, d).persistTracked()
+    val e = edgeFrame.persistTracked()
     var h = e.select(col("src")).distinct().withColumn("h", lit(S))
     var a: DataFrame = null
     // each half-step's raw-score frame is persisted: it feeds BOTH the
@@ -291,9 +295,12 @@ object Graph {
     * edge-cardinality count frame. Nothing edge-cardinality persists
     * across rounds; beyond ~8 rounds add localCheckpoint every 4 (X12).
     */
-  def labelProp(s: SparkSession, d: String, rounds: Int = 3): DataFrame = {
+  def labelProp(s: SparkSession, d: String, rounds: Int = 3): DataFrame =
+    labelPropOnEdges(interactionEdges(s, d), rounds)
+
+  /** The propagation itself, over any symmetrized (src, dst) frame. */
+  def labelPropOnEdges(base: DataFrame, rounds: Int): DataFrame = {
     import graft.CacheScope.TrackedDataset
-    val base = interactionEdges(s, d)
     val nodes = base.select(col("src").as("node")).distinct()
     // self-loop per node = the node's own vote for its current label
     val edges = base.union(

@@ -306,6 +306,75 @@ class Round9Spec extends SparkSpec {
     assert(alloc > 2015 - 4 && alloc <= 2015)
   }
 
+  test("labelPropOnEdges resolves two planted cliques to two stable communities") {
+    // two 4-cliques bridged by ONE edge: LPA must converge to exactly
+    // two communities (the bridge can't outvote the cliques), each
+    // labeled by its lexicographically-smallest member, all stable.
+    def clique(ids: Seq[String]) =
+      for (a <- ids; b <- ids if a != b) yield (a, b)
+    val edges = (clique(Seq("a1", "a2", "a3", "a4")) ++
+      clique(Seq("b1", "b2", "b3", "b4")) ++
+      Seq(("a4", "b1"), ("b1", "a4"))).toDF("src", "dst")
+    val r = operators.Graph.labelPropOnEdges(edges, rounds = 3).collect()
+    val byNode = r.map(x => x.getString(0) -> (x.getString(1), x.getBoolean(2))).toMap
+    assert(Seq("a1", "a2", "a3", "a4").forall(n => byNode(n)._1 == "a1"))
+    assert(Seq("b1", "b2", "b3", "b4").forall(n => byNode(n)._1 == "b1"))
+    assert(r.forall(_.getBoolean(2)), "all nodes must be stable")
+  }
+
+  test("hitsOnEdges ranks the planted hub-magnet supplier first") {
+    // s1 is bought by all 6 customers, s2 by two, s3 by one — authority
+    // order must be s1 > s2 > s3 at any round count.
+    val cs = (1 to 6).map(i => s"c$i")
+    val edges = (cs.map(c => (c, "s1")) ++
+      Seq(("c1", "s2"), ("c2", "s2"), ("c3", "s3"))).toDF("src", "dst")
+    val r = operators.Graph.hitsOnEdges(edges, rounds = 2, k = 3).collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("s1", "s2", "s3"))
+    assert(r(0).getLong(1) > r(1).getLong(1))
+    assert(r(1).getLong(1) > r(2).getLong(1))
+  }
+
+  test("noveltyDecay reports zero novelty for a verbatim re-crawled batch") {
+    // batch 1 (ids 100..109) is a byte-identical re-crawl of batch 0
+    // (ids 0..9): its first-seen gram fraction must be exactly 0.
+    val texts = (0 until 10).map(i =>
+      (0 until 12).map(j => s"w${i}_$j").mkString(" "))
+    val docs = (texts.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+      texts.zipWithIndex.map { case (t, i) => (i + 100L, t) })
+      .toDF("doc_id", "text")
+    val r = operators.Curation.noveltyDecay(docs, batchSize = 100L)
+      .collect().map(x => x.getLong(0) -> x.getLong(3)).toMap
+    assert(r(0L) === 1000000L)
+    assert(r(1L) === 0L)
+  }
+
+  test("cdcBatchMerge is arrival-order independent (tombstone retention)") {
+    // the delete (seq 2) arrives BEFORE the insert (seq 0) and update
+    // (seq 1): the tombstone must survive both later merges, and a key
+    // whose update arrives before its insert must land on the update.
+    import org.apache.spark.sql.types.DecimalType
+    val store = "/root/repo/target/scratch/cdc_spec_store"
+    graft.sources.Sources.rmDir(store)
+    graft.sources.Sources.rmDir(store + ".tmp")
+    def wave(rows: Seq[(Long, String, java.math.BigDecimal, Long, String)]) =
+      rows.toDF("k", "status", "price", "seq", "op")
+        .withColumn("price", col("price").cast(DecimalType(18, 2)))
+    def bd(v: String) = new java.math.BigDecimal(v)
+    streaming.StreamOps.cdcBatchMerge(
+      wave(Seq((1L, null, null, 2L, "D"), (2L, "U2", bd("2.50"), 1L, "U"))),
+      store)
+    streaming.StreamOps.cdcBatchMerge(
+      wave(Seq((1L, "I1", bd("1.00"), 1L, "U"))), store)
+    streaming.StreamOps.cdcBatchMerge(
+      wave(Seq((1L, "I1", bd("1.00"), 0L, "I"), (2L, "I2", bd("2.00"), 0L, "I"))),
+      store)
+    val fin = spark.read.parquet(store).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getLong(5))).toMap
+    assert(fin(1L)._1 == "D", "tombstone must win over late lower-seq rows")
+    assert(fin(1L)._2 == 3L)
+    assert(fin(2L)._1 == "U", "update must win over its late insert")
+  }
+
   test("btStrength clamps a shut-out source to strength 1, not 0/0") {
     // c loses every duel (tw = 0) → the raw update is 0; the clamp keeps
     // it at 1 so round-2 denominators π_i + π_c never divide by zero.
