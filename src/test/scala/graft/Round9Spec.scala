@@ -306,6 +306,28 @@ class Round9Spec extends SparkSpec {
     assert(alloc > 2015 - 4 && alloc <= 2015)
   }
 
+  test("waterfillMix invariants hold across seeded random avail profiles") {
+    // for ANY avail profile: Σ alloc ∈ (B − n, B] (the floor bound),
+    // alloc ≤ avail everywhere, capped ⇔ avail > λ, and every capped
+    // source gets EXACTLY λ (one common level — the defining property)
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 8) {
+      val n = 2 + rnd.nextInt(12)
+      val avails = (1 to n).map(i => (s"s$i", 1L + rnd.nextInt(100000).toLong))
+      val r = operators.Curation.waterfillMix(avails.toDF("source", "avail"))
+        .collect()
+      val b = avails.map(_._2).sum / 2
+      val alloc = r.map(_.getLong(2)).sum
+      assert(alloc <= b && alloc > b - n, s"alloc=$alloc B=$b n=$n")
+      val lam = r.head.getLong(3)
+      r.foreach { row =>
+        assert(row.getLong(2) <= row.getLong(1))
+        assert(row.getBoolean(4) === (row.getLong(1) > lam))
+        if (row.getBoolean(4)) assert(row.getLong(2) === lam)
+      }
+    }
+  }
+
   test("labelPropOnEdges resolves two planted cliques to two stable communities") {
     // two 4-cliques bridged by ONE edge: LPA must converge to exactly
     // two communities (the bridge can't outvote the cliques), each
