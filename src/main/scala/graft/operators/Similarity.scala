@@ -894,6 +894,43 @@ object Similarity {
     // multi-iteration extension of the single Lloyd step q_semantic_dedup
     // runs; oracle replays every round.
     "q_kmeans" -> { (s, d) => kmeans(Tables.embeddings(s, d)) },
+    // IVF INDEX APPEND — the maintenance path every deployed ANN index
+    // lives on: new vectors (vec_id ≥ 400, the incoming batch) are
+    // assigned to the FROZEN centroids trained on the base slice —
+    // no recluster, no index rebuild, exactly how FAISS/ScaNN serve
+    // appends between retrains. The per-list growth report
+    // (n_new / n_base ppm) is the retrain trigger: a list growing far
+    // faster than its peers means the incoming distribution drifted
+    // off the trained quantizer (pairs with q_psi_drift on content).
+    // Centroids are driver state (k·dim Longs — dimension-class, the
+    // q_kmeans precedent); assignment is one codegen'd map pass over
+    // the corpus; the rollup is k rows. Integer-exact end to end.
+    "q_ivf_append" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val rep = kmeans(emb.filter(col("vec_id") < 400), k = 4, iters = 3)
+        .collect()
+      val cents: Seq[(Int, Array[Long])] = rep.groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          (cid, rows.sortBy(_.getInt(1)).map(_.getLong(2)).toArray)
+        }.toSeq.sortBy(_._1)
+      val q = emb.select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1048576).cast("long")).as("q"))
+      val centArr = array(cents.map { case (cid, c) =>
+        val carr = array(c.map(lit).toIndexedSeq: _*)
+        struct(
+          aggregate(zip_with(col("q"), carr, (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("d2"),
+          lit(cid).as("cid"))
+      }.toIndexedSeq: _*)
+      q.select(col("vec_id"), array_min(centArr).getField("cid").as("cid"))
+        .groupBy("cid")
+        .agg(sum(when(col("vec_id") < 400, 1L).otherwise(0L)).as("n_base"),
+          sum(when(col("vec_id") >= 400, 1L).otherwise(0L)).as("n_new"))
+        .withColumn("growth_ppm",
+          expr("n_new * 1000000 div greatest(n_base, 1L)"))
+        .orderBy("cid")
+    },
     // ANN QUALITY EVAL — recall@k of the sign-LSH index against the
     // exact brute-force ranking (the q_dedup_eval measurement applied to
     // retrieval: every index rollout reports this number before the
@@ -1324,6 +1361,38 @@ object Similarity {
          | round(CAST(sum(CAST(round(a_sim - b_sim, 6) AS DECIMAL(12,6)))
          |   AS DOUBLE) / count(*), 6) AS avg_margin
          |FROM pv GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_ivf_append" -> {
+      val iters = (1 to 3).map(kmeansIterSql(_, 64)).mkString(",\n")
+      s"""WITH emb AS (
+         | SELECT vec_id, list_transform(embedding,
+         |   x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS q
+         | FROM embeddings WHERE vec_id < 400),
+         |c0 AS (
+         | SELECT CAST(vec_id AS INT) AS cid, q AS c FROM emb WHERE vec_id < 4),
+         |$iters,
+         |emball AS (
+         | SELECT vec_id, list_transform(embedding,
+         |   x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS q
+         | FROM embeddings),
+         |da AS (
+         | SELECT e.vec_id, c.cid,
+         |  list_sum(list_transform(range(1, 65),
+         |    i -> (e.q[i] - c.c[i]) * (e.q[i] - c.c[i]))) AS d2
+         | FROM emball e, c3 c),
+         |aa AS (
+         | SELECT vec_id, cid FROM (
+         |  SELECT vec_id, cid,
+         |   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |  FROM da) WHERE rn = 1)
+         |SELECT cid,
+         | CAST(sum(CASE WHEN vec_id < 400 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+         | CAST(sum(CASE WHEN vec_id >= 400 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+         | CAST(sum(CASE WHEN vec_id >= 400 THEN 1 ELSE 0 END) AS BIGINT)
+         |  * 1000000 // greatest(
+         |   CAST(sum(CASE WHEN vec_id < 400 THEN 1 ELSE 0 END) AS BIGINT), 1)
+         |  AS growth_ppm
+         |FROM aa GROUP BY cid ORDER BY cid""".stripMargin
+    },
     "q_kmeans" -> {
       val iters = (1 to 3).map(kmeansIterSql(_, 64)).mkString(",\n")
       s"""WITH emb AS (
