@@ -1959,7 +1959,170 @@ object Analytics {
       .orderBy("dur")
   }
 
+  /** KRUSKAL–WALLIS rank test (Kruskal & Wallis 1952): the k-group
+    * generalization of the Mann-Whitney AUC already shipped — does a
+    * numeric column's DISTRIBUTION differ across k slices, with no
+    * normality assumption (the ANOVA F beside it assumes it)?
+    *
+    * Rank machinery is the [[aucRank]] identity on the distinct-value
+    * count frame: a value v spanning mid-ranks has 2·avgrank =
+    * 2·cum − c + 1, so the per-group DOUBLED rank sum
+    * R2_g = Σ_v cg·(2·cum_v − c_v + 1) is an exact integer, and
+    * H = 12/(N(N+1)) · Σ_g (R2_g/2)²/n_g − 3(N+1) needs float only in
+    * the per-group term (rounded 6dp, DECIMAL-summed — order-safe).
+    * Tie correction C = 1 − Σ(c³−c)/(N³−N) from the same value frame.
+    *
+    * Scale posture: one shuffle to group×value cardinality, one to value
+    * cardinality; the cumsum window runs over DISTINCT values (bounded
+    * by the value domain — the ksTest spine argument), never corpus
+    * rows; k-sized and scalar frames finish the job.
+    */
+  def kruskalWallis(df: DataFrame, groupCol: String,
+                    valueCol: Column): DataFrame = {
+    val v = valueCol.cast("long")
+    val base = df.filter(col(groupCol).isNotNull && v.isNotNull)
+      .select(col(groupCol).as("g"), v.as("v"))
+    val gv = base.groupBy("g", "v").agg(count(lit(1)).as("cg"))
+      .persistTracked()
+    val vf = gv.groupBy("v").agg(sum(col("cg")).as("c"))
+      .withColumn("cum", sum(col("c")).over(Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val rg = gv.join(vf, Seq("v"))
+      .groupBy("g")
+      .agg(sum(col("cg")).as("ng"),
+        sum(col("cg") * (lit(2L) * col("cum") - col("c") + lit(1L)))
+          .as("r2"))
+    val dr2 = col("r2").cast("double")
+    val terms = rg.select(col("ng"),
+      round(dr2 * dr2 / (lit(4.0) * col("ng").cast("double")), 6)
+        .cast(DecimalType(28, 6)).as("tg"))
+    val ties = vf.agg(
+      sum(col("c") * col("c") * col("c") - col("c")).as("tie"))
+    val a = terms
+      .agg(count(lit(1)).as("k_groups"), sum(col("ng")).as("n_rows"),
+        sum(col("tg")).as("t"))
+      .crossJoin(broadcast(ties))
+    val dn = col("n_rows").cast("double")
+    val h = lit(12.0) * col("t").cast("double") / (dn * (dn + 1)) -
+      lit(3.0) * (dn + 1)
+    val cTie = lit(1.0) - col("tie").cast("double") / (dn * dn * dn - dn)
+    a.select(col("k_groups"), col("n_rows"),
+      (col("k_groups") - 1).as("dof"),
+      when(col("k_groups") > 1, round(h, 6)).as("h_stat"),
+      when(col("k_groups") > 1 && cTie > 0, round(h / cTie, 6))
+        .as("h_tie_adj"))
+  }
+
+  /** BROWN–FORSYTHE test (Brown & Forsythe 1974 — the robust Levene
+    * variant): variance homogeneity across k groups as a one-way ANOVA
+    * on |x − median_group|. The homoscedasticity gate that decides
+    * whether the plain ANOVA F beside it is even valid.
+    *
+    * Exactness: group medians come from the grouped exact-percentile
+    * engine (quantile_cont parity, bitwise-verified); the deviation is
+    * DOUBLED — z2 = |2x − 2·median| — so even x.5 medians keep every
+    * moment an exact integer (F is scale-invariant, so the statistic is
+    * unchanged). The ANOVA fold is [[anova]]'s own shape.
+    *
+    * Scale posture: the median pass is the range-partitioned cumulative
+    * engine (no single-task stage); the deviation join broadcasts the
+    * k-row median frame; the ANOVA pass is one map-side-combined shuffle
+    * to k rows.
+    */
+  def brownForsythe(df: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame = {
+    val meds = groupedExactPercentiles(
+        df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull),
+        groupCol, valueCol, Seq("med" -> 0.5))
+      .select(col(groupCol), (round(col("med") * 2, 0)).cast("long").as("m2"))
+    val z = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .join(broadcast(meds), Seq(groupCol))
+      .select(col(groupCol),
+        abs(lit(2L) * col(valueCol).cast("long") - col("m2")).as("z2"))
+    anova(z, col("z2"), groupCol)
+      .select(col("k_groups"), col("n_rows"),
+        col("ss_between"), col("ss_within"), col("f_stat").as("w_stat"))
+  }
+
+  /** GRANGER-STYLE lagged predictability (Granger 1969, bivariate lag-1
+    * form): does yesterday's ORDER COUNT predict today's revenue beyond
+    * yesterday's revenue itself? Restricted model rev_t ~ rev_{t-1} vs
+    * full model rev_t ~ rev_{t-1} + cnt_{t-1}; the F on the RSS drop is
+    * the causality readout, and the fitted betas are the effect sizes.
+    *
+    * Exactness ledger: the daily series is exact integer DOLLARS
+    * (cents div 100 — dollars keep every cross-moment below 2^53 at
+    * sf0.1 so the Long→double casts are exact; a 100× deployment moves
+    * to k$ units, the knob not the shape). The OLS solve is ONE closed-
+    * form double expression tree (Cramer on the centered 2×2 normal
+    * equations) evaluated identically on both engines from exact integer
+    * moments — the assortativity contract.
+    *
+    * Scale posture: one shuffle to day cardinality, a bounded day-spine
+    * gap-fill (zero-revenue days are real observations, not holes), one
+    * unpartitioned lag window over the DAY spine (bounded domain — the
+    * EWMA/ACF posture), then a scalar moment fold.
+    */
+  def grangerDaily(orders: DataFrame): DataFrame = {
+    val day = to_date(col("o_orderdate"))
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long")
+    // whole dollars PER DAY (one integer floor of the exact cents sum)
+    val daily = orders.groupBy(day.as("day"))
+      .agg(sum(cents).as("sc"), count(lit(1)).as("cnt"))
+      .select(col("day"), expr("sc div 100").as("rev"), col("cnt"))
+    val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = bounds.select(explode(expr(
+        "sequence(d0, d1, interval 1 day)")).as("day"))
+    val filled = spine.join(daily, Seq("day"), "left")
+      .na.fill(0L, Seq("rev", "cnt"))
+    val w = Window.orderBy("day")
+    val lagged = filled
+      .select(col("rev").as("y"),
+        lag(col("rev"), 1).over(w).as("x1"),
+        lag(col("cnt"), 1).over(w).as("x2"))
+      .filter(col("x1").isNotNull)
+    val mo = lagged.agg(count(lit(1)).as("n"),
+      sum(col("y")).as("sy"), sum(col("x1")).as("s1"),
+      sum(col("x2")).as("s2"), sum(col("y") * col("y")).as("syy"),
+      sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x2") * col("x2")).as("s22"),
+      sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x1") * col("y")).as("s1y"),
+      sum(col("x2") * col("y")).as("s2y"))
+    def d(c: String) = col(c).cast("double")
+    val n = d("n")
+    val c11 = d("s11") - d("s1") * d("s1") / n
+    val c22 = d("s22") - d("s2") * d("s2") / n
+    val c12 = d("s12") - d("s1") * d("s2") / n
+    val c1y = d("s1y") - d("s1") * d("sy") / n
+    val c2y = d("s2y") - d("s2") * d("sy") / n
+    val cyy = d("syy") - d("sy") * d("sy") / n
+    val det = c11 * c22 - c12 * c12
+    val b1 = (c1y * c22 - c2y * c12) / det
+    val b2 = (c2y * c11 - c1y * c12) / det
+    val rssF = cyy - b1 * c1y - b2 * c2y
+    val rssR = cyy - c1y * c1y / c11
+    mo.select(col("n").as("n_days"),
+      when(det > 0, round(b1, 6)).as("beta_rev_lag"),
+      when(det > 0, round(b2, 6)).as("beta_cnt_lag"),
+      when(det > 0 && rssF > 0 && col("n") > 3,
+        round((rssR - rssF) / (rssF / (n - 3)), 6)).as("f_stat"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Kruskal–Wallis: does doc length DISTRIBUTION differ across sources
+    // (rank-based — the q_anova_lang readout without normality)?
+    "q_kruskal_wallis" -> { (s, d) =>
+      kruskalWallis(Tables.documents(s, d), "source", col("n_chars"))
+    },
+    // Brown–Forsythe: is doc-length VARIANCE homogeneous across sources
+    // (the validity gate for the ANOVA F beside it)?
+    "q_levene_bf" -> { (s, d) =>
+      brownForsythe(Tables.documents(s, d), "source", "n_chars")
+    },
+    // Granger-style lag-1 predictability: order count → next-day revenue.
+    "q_granger_daily" -> { (s, d) => grangerDaily(Tables.orders(s, d)) },
     // A6 — the one-call wide describe over lineitem's measures + flags.
     "q_a6_describe_all" -> { (s, d) =>
       describeAll(Tables.lineitem(s, d),
@@ -3529,6 +3692,137 @@ object Analytics {
   }
 
   def oracles: Map[String, String] = Map(
+    "q_kruskal_wallis" ->
+      """WITH base AS (
+        | SELECT source AS g, CAST(n_chars AS BIGINT) AS v FROM documents
+        | WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |gv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS cg
+        |       FROM base GROUP BY 1, 2),
+        |vf AS (
+        | SELECT v, c, CAST(sum(c) OVER (ORDER BY v
+        |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        | FROM (SELECT v, CAST(sum(cg) AS BIGINT) AS c FROM gv GROUP BY 1)),
+        |rg AS (
+        | SELECT g, CAST(sum(cg) AS BIGINT) AS ng,
+        |  CAST(sum(cg * (2 * cum - c + 1)) AS BIGINT) AS r2
+        | FROM gv JOIN vf USING (v) GROUP BY 1),
+        |terms AS (
+        | SELECT ng,
+        |  CAST(round(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)
+        |    / (4.0 * CAST(ng AS DOUBLE)), 6) AS DECIMAL(28,6)) AS tg
+        | FROM rg),
+        |ties AS (SELECT CAST(sum(c * c * c - c) AS BIGINT) AS tie FROM vf),
+        |a AS (
+        | SELECT CAST(count(*) AS BIGINT) AS k_groups,
+        |  CAST(sum(ng) AS BIGINT) AS n_rows, sum(tg) AS t
+        | FROM terms)
+        |SELECT k_groups, n_rows, k_groups - 1 AS dof,
+        | CASE WHEN k_groups > 1 THEN
+        |  round(12.0 * CAST(t AS DOUBLE)
+        |     / (CAST(n_rows AS DOUBLE) * (CAST(n_rows AS DOUBLE) + 1))
+        |   - 3.0 * (CAST(n_rows AS DOUBLE) + 1), 6) END AS h_stat,
+        | CASE WHEN k_groups > 1 AND 1.0 - CAST(tie AS DOUBLE)
+        |    / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)
+        |       * CAST(n_rows AS DOUBLE) - CAST(n_rows AS DOUBLE)) > 0 THEN
+        |  round((12.0 * CAST(t AS DOUBLE)
+        |     / (CAST(n_rows AS DOUBLE) * (CAST(n_rows AS DOUBLE) + 1))
+        |   - 3.0 * (CAST(n_rows AS DOUBLE) + 1))
+        |   / (1.0 - CAST(tie AS DOUBLE)
+        |    / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)
+        |       * CAST(n_rows AS DOUBLE) - CAST(n_rows AS DOUBLE))), 6)
+        | END AS h_tie_adj
+        |FROM a CROSS JOIN ties""".stripMargin,
+    "q_levene_bf" ->
+      """WITH meds AS (
+        | SELECT source,
+        |  CAST(round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5) * 2, 0)
+        |       AS BIGINT) AS m2
+        | FROM documents
+        | WHERE source IS NOT NULL AND n_chars IS NOT NULL GROUP BY 1),
+        |z AS (
+        | SELECT d.source, abs(2 * CAST(d.n_chars AS BIGINT) - m.m2) AS v
+        | FROM documents d JOIN meds m ON d.source = m.source
+        | WHERE d.n_chars IS NOT NULL),
+        |g AS (
+        | SELECT source, CAST(count(*) AS BIGINT) AS ng,
+        |  CAST(sum(v) AS BIGINT) AS sg, CAST(sum(v * v) AS BIGINT) AS qg
+        | FROM z GROUP BY 1),
+        |t AS (
+        | SELECT ng, sg, qg,
+        |  CAST(round(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+        |    / CAST(ng AS DOUBLE), 6) AS DECIMAL(28,6)) AS tg
+        | FROM g),
+        |a AS (
+        | SELECT CAST(count(*) AS BIGINT) AS k_groups,
+        |  CAST(sum(ng) AS BIGINT) AS n_rows, CAST(sum(sg) AS BIGINT) AS s,
+        |  CAST(sum(qg) AS BIGINT) AS q, sum(tg) AS t
+        | FROM t)
+        |SELECT k_groups, n_rows,
+        | round(CAST(t AS DOUBLE)
+        |   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+        |  AS ss_between,
+        | round(CAST(q AS DOUBLE) - CAST(t AS DOUBLE), 6) AS ss_within,
+        | CASE WHEN k_groups > 1 AND n_rows > k_groups
+        |       AND CAST(q AS DOUBLE) - CAST(t AS DOUBLE) > 0 THEN
+        |  round(((CAST(t AS DOUBLE)
+        |     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_rows AS DOUBLE))
+        |    / CAST(k_groups - 1 AS DOUBLE))
+        |   / ((CAST(q AS DOUBLE) - CAST(t AS DOUBLE))
+        |    / CAST(n_rows - k_groups AS DOUBLE)), 6)
+        | END AS w_stat
+        |FROM a""".stripMargin,
+    "q_granger_daily" ->
+      """WITH daily AS (
+        | SELECT CAST(o_orderdate AS DATE) AS day,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |   AS BIGINT) // 100 AS rev,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        | FROM orders GROUP BY 1),
+        |b0 AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+        |spine AS (
+        | SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+        |        AS DATE) AS day FROM b0),
+        |filled AS (
+        | SELECT s.day, COALESCE(d.rev, 0) AS rev, COALESCE(d.cnt, 0) AS cnt
+        | FROM spine s LEFT JOIN daily d ON s.day = d.day),
+        |lagged AS (
+        | SELECT rev AS y,
+        |  lag(rev, 1) OVER (ORDER BY day) AS x1,
+        |  lag(cnt, 1) OVER (ORDER BY day) AS x2
+        | FROM filled),
+        |mo AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x1) AS BIGINT) AS s1,
+        |  CAST(sum(x2) AS BIGINT) AS s2, CAST(sum(y * y) AS BIGINT) AS syy,
+        |  CAST(sum(x1 * x1) AS BIGINT) AS s11,
+        |  CAST(sum(x2 * x2) AS BIGINT) AS s22,
+        |  CAST(sum(x1 * x2) AS BIGINT) AS s12,
+        |  CAST(sum(x1 * y) AS BIGINT) AS s1y,
+        |  CAST(sum(x2 * y) AS BIGINT) AS s2y
+        | FROM lagged WHERE x1 IS NOT NULL),
+        |c AS (
+        | SELECT n,
+        |  CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS c11,
+        |  CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS c22,
+        |  CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS c12,
+        |  CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS c1y,
+        |  CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS c2y,
+        |  CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cyy
+        | FROM mo),
+        |b AS (
+        | SELECT n, c11, c12, c22, c1y, c2y, cyy,
+        |  c11 * c22 - c12 * c12 AS det,
+        |  (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS b1,
+        |  (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS b2
+        | FROM c)
+        |SELECT n AS n_days,
+        | CASE WHEN det > 0 THEN round(b1, 6) END AS beta_rev_lag,
+        | CASE WHEN det > 0 THEN round(b2, 6) END AS beta_cnt_lag,
+        | CASE WHEN det > 0 AND cyy - b1 * c1y - b2 * c2y > 0 AND n > 3 THEN
+        |  round(((cyy - c1y * c1y / c11) - (cyy - b1 * c1y - b2 * c2y))
+        |   / ((cyy - b1 * c1y - b2 * c2y) / (CAST(n AS DOUBLE) - 3)), 6)
+        | END AS f_stat
+        |FROM b""".stripMargin,
     "q_a6_describe_all" -> describeAllSql("lineitem",
       Seq("l_quantity", "l_extendedprice", "l_discount"),
       Seq("l_returnflag", "l_linestatus")),
