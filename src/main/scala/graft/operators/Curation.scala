@@ -441,7 +441,86 @@ object Curation {
         .otherwise(round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
   }
 
+  /** ITERATIVE PROPORTIONAL FITTING / raking (Deming & Stephan 1940) of
+    * the (source × lang) document-mix table: calibrate cell weights so
+    * the SOURCE marginal becomes uniform (the mix-rebalancing goal the
+    * temperature/water-filling operators approximate one-dimensionally)
+    * while the LANG marginal stays at its observed distribution — the
+    * classic two-constraint mix solve neither can express. Output is the
+    * per-cell reweight (mass + ratio vs input), i.e. the sampling-rate
+    * table a 100 TB mixer consumes.
+    *
+    * Fixed-point integer replay (the q_pagerank contract): masses are
+    * SCALE = 10^12 units, every scaling step is (w · target) div current
+    * with DECIMAL(38,0)/HUGEINT products (the q_mde width idiom), so
+    * DuckDB replays all rounds bit-for-bit. Exactly `rounds` row+col
+    * scalings — raking converges geometrically; 3 rounds lands marginal
+    * errors in the low ppm on this table (spec-asserted), and the round
+    * count is the knob, not the shape.
+    *
+    * Scale posture: ONE corpus aggregate builds the cell table (map-side
+    * combined to source×lang cardinality); every iteration touches only
+    * that tiny frame (marginal sums are group-bys of it; each round
+    * persists — the kcore lesson). The one driver scalar is the source
+    * count (the q_pagerank posture).
+    */
+  def ipfRaking(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    import graft.CacheScope.TrackedDataset
+    val SCALE = 1000000000000L
+    // cell mass = CHARACTERS, not documents: the corpus generator hands
+    // every source the same doc count (a uniform doc marginal would make
+    // raking a no-op); char budgets differ per source, so "uniform
+    // source char budget × observed lang mix" is a real two-sided solve
+    val cells = docs.filter(col("source").isNotNull && col("lang").isNotNull)
+      .groupBy("source", "lang").agg(sum(col("n_chars")).as("n"))
+      .persistTracked()
+    val tot = cells.agg(sum(col("n")).as("nn"))
+    val nSrc = cells.select("source").distinct().count()
+    val tRow = SCALE / nSrc
+    var w = cells.crossJoin(broadcast(tot))
+      .select(col("source"), col("lang"), col("n"),
+        expr(s"n * $SCALE div nn").as("w0"))
+      .withColumn("w", col("w0"))
+      .persistTracked()
+    val tCol = w.groupBy("lang").agg(sum(col("w")).as("tl")).persistTracked()
+    for (_ <- 1 to rounds) {
+      val rs = w.groupBy("source").agg(sum(col("w")).as("rs"))
+      val rowScaled = w.join(rs, Seq("source"))
+        .select(col("source"), col("lang"), col("n"), col("w0"),
+          expr(s"CAST(w AS DECIMAL(38,0)) * $tRow div rs").as("w"))
+      val cs = rowScaled.groupBy("lang").agg(sum(col("w")).as("cs"))
+      w = rowScaled.join(cs, Seq("lang")).join(broadcast(tCol), Seq("lang"))
+        .select(col("source"), col("lang"), col("n"), col("w0"),
+          expr("CAST(w AS DECIMAL(38,0)) * tl div cs").as("w"))
+        .persistTracked()
+    }
+    w.select(col("source"), col("lang"), col("n").as("n_chars_total"),
+        col("w").as("weight_mass"),
+        expr("w * 1000000 div w0").as("ratio_ppm"))
+      .orderBy("source", "lang")
+  }
+
+  /** One DuckDB raking round (replays the Spark round exactly: HUGEINT
+    * products, `//` floors — all operands positive so floor ≡ truncate).
+    */
+  private def ipfRoundSql(t: Int): String = {
+    val prev = if (t == 1) "w0" else s"c${t - 1}"
+    s"""r$t AS (
+       | SELECT source, lang, n, w0, CAST(CAST(w AS HUGEINT)
+       |   * (1000000000000 // (SELECT k FROM nsrc)) // rs AS BIGINT) AS w
+       | FROM $prev JOIN (SELECT source, CAST(sum(w) AS BIGINT) AS rs
+       |                  FROM $prev GROUP BY 1) USING (source)),
+       |c$t AS (
+       | SELECT source, lang, n, w0,
+       |  CAST(CAST(w AS HUGEINT) * tl // cs AS BIGINT) AS w
+       | FROM r$t JOIN (SELECT lang, CAST(sum(w) AS BIGINT) AS cs
+       |                FROM r$t GROUP BY 1) USING (lang)
+       |      JOIN tcol USING (lang))""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // IPF/raking: uniform-source × observed-lang mix calibration.
+    "q_ipf_raking" -> { (s, d) => ipfRaking(Tables.documents(s, d)) },
     // Inter-annotator agreement between the two length heuristics.
     "q_cohen_kappa" -> { (s, d) => cohenKappa(Tables.documents(s, d)) },
     // Three-rater Fleiss' kappa over the length-heuristic panel.
@@ -997,6 +1076,26 @@ object Curation {
       s"CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':$sh'), 1, 13) AS BIGINT) * 16 + $sh"
     }.mkString("greatest(", ", ", ") % 16")
     Map(
+    "q_ipf_raking" -> {
+      val rounds = (1 to 3).map(ipfRoundSql).mkString(",\n")
+      s"""WITH cells AS (
+         | SELECT source, lang, CAST(sum(n_chars) AS BIGINT) AS n
+         | FROM documents
+         | WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cells),
+         |nsrc AS (SELECT count(DISTINCT source) AS k FROM cells),
+         |w0 AS (
+         | SELECT source, lang, n,
+         |  CAST(CAST(n AS HUGEINT) * 1000000000000 // nn AS BIGINT) AS w0,
+         |  CAST(CAST(n AS HUGEINT) * 1000000000000 // nn AS BIGINT) AS w
+         | FROM cells CROSS JOIN tot),
+         |tcol AS (SELECT lang, CAST(sum(w) AS BIGINT) AS tl
+         |         FROM w0 GROUP BY 1),
+         |$rounds
+         |SELECT source, lang, n AS n_chars_total, w AS weight_mass,
+         | CAST(CAST(w AS HUGEINT) * 1000000 // w0 AS BIGINT) AS ratio_ppm
+         |FROM c3 ORDER BY 1, 2""".stripMargin
+    },
     "q_fleiss_kappa" ->
       s"""WITH per AS (
          | SELECT (CASE WHEN n_chars >= 280 THEN 1 ELSE 0 END

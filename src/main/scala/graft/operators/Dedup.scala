@@ -1344,7 +1344,68 @@ object Dedup {
   private def pchainSql(e: String, n: Int): String =
     List.fill(n)(s"($e)").mkString(" * ")
 
+  /** FELLEGI–SUNTER probabilistic record linkage (Fellegi & Sunter 1969)
+    * — the calibration layer the fuzzy/Jaro/sorted-neighborhood blockers
+    * feed: every blocked candidate pair gets an agreement PATTERN over
+    * comparison fields, and each pattern a log2 match weight
+    * w = Σ_i [agree_i · log2(m_i/u_i) + (1−agree_i) · log2((1−m_i)/(1−u_i))],
+    * classified match / possible / non-match by the two thresholds.
+    * u-probabilities (chance agreement among non-matches) are estimated
+    * from the field's own value distribution — u = Σ_v n_v(n_v−1) /
+    * (N(N−1)), the exact unordered-pair identity — while m-probabilities
+    * are declared reliabilities (no labeled duplicates exist to fit them;
+    * the EM upgrade replaces constants, not the shape).
+    *
+    * Blocking: (nation, $1000 balance bucket) equi-join — co-partitioned
+    * self-join, block-bounded pair fan-out (the q_fuzzy_match posture),
+    * never all-pairs. Balance buckets shift cents by +$1000 first so the
+    * integer division never sees a negative (Spark `div` truncates toward
+    * zero, DuckDB `//` floors — they disagree below zero).
+    *
+    * Scale posture: ONE self-join shuffle on the block key; agreement
+    * patterns combine map-side to ≤4 rows; the u estimates are
+    * value-cardinality aggregates broadcast onto the pattern table. The
+    * final weight is one double expression from exact integer counts
+    * (the assortativity contract).
+    */
+  def fsLinkage(customer: DataFrame,
+                mSeg: Double = 0.95, mHb: Double = 0.85): DataFrame = {
+    val cents = (col("c_acctbal").cast(
+      org.apache.spark.sql.types.DecimalType(18, 2)) * 100).cast("long")
+    val c = customer.select(col("c_custkey").as("k"),
+        col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+        (cents + lit(100000L)).as("sc"))
+      .select(col("k"), col("nat"), col("seg"),
+        expr("sc div 100000").as("kb"), expr("sc div 10000").as("hb"))
+      .persistTracked()
+    val pairs = c.as("a").join(c.as("b"),
+        col("a.nat") === col("b.nat") && col("a.kb") === col("b.kb") &&
+          col("a.k") < col("b.k"))
+      .select((col("a.seg") === col("b.seg")).cast("int").as("seg_agree"),
+        (col("a.hb") === col("b.hb")).cast("int").as("hb_agree"))
+      .groupBy("seg_agree", "hb_agree").agg(count(lit(1)).as("n_pairs"))
+    def uOf(field: String) = c.groupBy(col(field)).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * (col("n") - 1)).as("num"),
+        sum(col("n")).as("nn"))
+      .select((col("num").cast("double") /
+        (col("nn").cast("double") * (col("nn") - 1).cast("double")))
+        .as(s"u_$field"))
+    val withU = pairs.crossJoin(broadcast(uOf("seg")))
+      .crossJoin(broadcast(uOf("hb")))
+    def term(agree: Column, m: Double, u: Column) =
+      when(agree === 1, log2(lit(m) / u))
+        .otherwise(log2(lit(1.0 - m) / (lit(1.0) - u)))
+    val w = term(col("seg_agree"), mSeg, col("u_seg")) +
+      term(col("hb_agree"), mHb, col("u_hb"))
+    withU.select(col("seg_agree"), col("hb_agree"), col("n_pairs"),
+        round(w, 6).as("fs_weight"),
+        when(w >= 2, "match").when(w >= 0, "possible")
+          .otherwise("nonmatch").as("class"))
+      .orderBy("seg_agree", "hb_agree")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fs_linkage" -> { (s, d) => fsLinkage(Tables.customer(s, d)) },
     // LSH banding tuning table for the shipped (4 bands × 4 rows) tier.
     "q_lsh_curve" -> { (s, _) => lshCurve(s) },
 
@@ -1776,6 +1837,40 @@ object Dedup {
        | SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q_fs_linkage" ->
+      """WITH c AS (
+        | SELECT c_custkey AS k, c_nationkey AS nat, c_mktsegment AS seg,
+        |  (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |   + 100000) // 100000 AS kb,
+        |  (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |   + 100000) // 10000 AS hb
+        | FROM customer),
+        |pairs AS (
+        | SELECT CAST(a.seg = b.seg AS INTEGER) AS seg_agree,
+        |  CAST(a.hb = b.hb AS INTEGER) AS hb_agree,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        | FROM c a JOIN c b
+        |  ON a.nat = b.nat AND a.kb = b.kb AND a.k < b.k
+        | GROUP BY 1, 2),
+        |useg AS (
+        | SELECT CAST(sum(n * (n - 1)) AS DOUBLE)
+        |  / (CAST(sum(n) AS DOUBLE) * CAST(sum(n) - 1 AS DOUBLE)) AS u_seg
+        | FROM (SELECT count(*) AS n FROM c GROUP BY seg)),
+        |uhb AS (
+        | SELECT CAST(sum(n * (n - 1)) AS DOUBLE)
+        |  / (CAST(sum(n) AS DOUBLE) * CAST(sum(n) - 1 AS DOUBLE)) AS u_hb
+        | FROM (SELECT count(*) AS n FROM c GROUP BY hb)),
+        |w AS (
+        | SELECT seg_agree, hb_agree, n_pairs,
+        |  (CASE WHEN seg_agree = 1 THEN log2(0.95 / u_seg)
+        |        ELSE log2((1.0 - 0.95) / (1.0 - u_seg)) END)
+        |  + (CASE WHEN hb_agree = 1 THEN log2(0.85 / u_hb)
+        |          ELSE log2((1.0 - 0.85) / (1.0 - u_hb)) END) AS wgt
+        | FROM pairs CROSS JOIN useg CROSS JOIN uhb)
+        |SELECT seg_agree, hb_agree, n_pairs, round(wgt, 6) AS fs_weight,
+        | CASE WHEN wgt >= 2 THEN 'match' WHEN wgt >= 0 THEN 'possible'
+        |      ELSE 'nonmatch' END AS class
+        |FROM w ORDER BY 1, 2""".stripMargin,
     "q_lsh_curve" -> {
       val branches = Seq((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
         .map { case (b, r) =>

@@ -377,7 +377,57 @@ object Graph {
       when(den > 0, round(num / den, 6)).as("assortativity"))
   }
 
+  /** MULTI-SOURCE BFS landmark distances (the Pregel frontier-expansion
+    * shape none of the other graph ops exercise — PageRank/HITS/LPA pass
+    * full-frame messages every round; BFS's working set is the FRONTIER,
+    * which shrinks as the graph saturates). Landmarks are the `nLm`
+    * smallest supplier nodes (deterministic, no driver collect); output
+    * is the per-landmark distance histogram — the distance-oracle build
+    * step of landmark-based shortest-path estimation (Potamias et al.
+    * 2009) and the reachability probe for graph-radius sanity checks.
+    *
+    * Exact-round contract: exactly `hops` expansions; nodes not reached
+    * within `hops` are absent (honest truncation — the q_kcore posture).
+    *
+    * Scale posture: per round ONE shuffle (edges ⋈ frontier on src —
+    * frontier ≤ node-cardinality and usually far smaller) plus a
+    * left-anti against the visited set (co-partitioned on (node, lm));
+    * the visited set grows to (reached × landmarks) rows, node-class,
+    * never edge-class. Frontier and visited persist per round (they fan
+    * into the next round twice — the kcore 3^rounds lesson). Landmark
+    * count multiplies state linearly — the k knob.
+    */
+  def bfsLandmarks(s: SparkSession, d: String, hops: Int = 3,
+                   nLm: Int = 3): DataFrame = {
+    import graft.CacheScope.TrackedDataset
+    bfsOnEdges(interactionEdges(s, d).persistTracked(),
+      Tables.supplier(s, d).orderBy("s_suppkey").limit(nLm)
+        .select(concat(lit("s:"), col("s_suppkey")).as("node")), hops)
+  }
+
+  /** The expansion itself, over any symmetrized (src, dst) frame. */
+  def bfsOnEdges(edges: DataFrame, seeds: DataFrame, hops: Int): DataFrame = {
+    import graft.CacheScope.TrackedDataset
+    var dist = seeds
+      .select(col("node"), col("node").as("lm"), lit(0).as("dist"))
+      .persistTracked()
+    var frontier = dist
+    for (t <- 1 to hops) {
+      val next = edges
+        .join(frontier.select(col("node").as("src"), col("lm")), Seq("src"))
+        .select(col("dst").as("node"), col("lm")).distinct()
+        .join(dist.select("node", "lm"), Seq("node", "lm"), "left_anti")
+        .select(col("node"), col("lm"), lit(t).as("dist"))
+        .persistTracked()
+      dist = dist.union(next).persistTracked()
+      frontier = next
+    }
+    dist.groupBy("lm", "dist").agg(count(lit(1)).as("nodes"))
+      .orderBy("lm", "dist")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bfs_landmarks" -> { (s, d) => bfsLandmarks(s, d) },
     "q_assortativity" -> { (s, d) => assortativity(s, d) },
     "q_pagerank_entity" -> { (s, d) => pagerank(s, d) },
     "q_link_predict" -> { (s, d) => linkPredict(s, d) },
@@ -386,6 +436,26 @@ object Graph {
     "q_kcore" -> { (s, d) => kcore(s, d) })
 
   def oracles: Map[String, String] = Map(
+    // DuckDB replays BFS as a recursive UNION (distinct) walk bounded at
+    // 3 hops, then min(dist) per (lm, node) = the true BFS distance —
+    // level sets are node-bounded so the recursion can't path-explode.
+    "q_bfs_landmarks" ->
+      """WITH RECURSIVE h AS (
+        | SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
+        | FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM h UNION ALL SELECT dst, src FROM h),
+        |seeds AS (SELECT 's:' || s_suppkey AS node FROM supplier
+        |          ORDER BY s_suppkey LIMIT 3),
+        |walk(lm, node, dist) AS (
+        | SELECT node, node, 0 FROM seeds
+        | UNION
+        | SELECT w.lm, e.dst, w.dist + 1
+        | FROM walk w JOIN e ON e.src = w.node
+        | WHERE w.dist < 3)
+        |SELECT lm, CAST(dist AS INTEGER) AS dist,
+        | CAST(count(*) AS BIGINT) AS nodes
+        |FROM (SELECT lm, node, min(dist) AS dist FROM walk GROUP BY 1, 2)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_assortativity" ->
       """WITH h AS (
         | SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst

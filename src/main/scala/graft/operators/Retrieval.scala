@@ -114,6 +114,58 @@ object Retrieval {
       .limit(k)
   }
 
+  /** DIRICHLET-smoothed query-likelihood retrieval (Zhai & Lafferty
+    * 2001, μ = 2000) — the language-modeling ranker beside BM25's
+    * probabilistic one; the pair is the standard lexical A/B for index
+    * rollouts (they disagree exactly on how document length and
+    * collection frequency trade off). Rank-preserving decomposition:
+    * score(q,d) = Σ_{t∈q∩d} ln(1 + tf·|C|/(μ·cf_t)) + |q|·ln(μ/(dl+μ)),
+    * so only MATCHING (doc, term) rows are ever materialized (the
+    * posting-bounded candidate restriction every LM retriever ships;
+    * no-match docs are strictly dominated short-doc priors).
+    *
+    * Scale posture: the bm25TopK plan shape — one corpus tokenize pass
+    * (persisted), query terms broadcast into the exploded stream BEFORE
+    * any aggregation (the shuffle carries matching rows only),
+    * collection stats ride as broadcast scalars. Per-term contributions
+    * round to 6dp and sum as DECIMAL (order-safe); the doc-length prior
+    * is one double expression both engines evaluate identically.
+    */
+  def dirichletLmTopK(docs: DataFrame, nQueryTerms: Int = 3, k: Int = 20,
+                      mu: Double = 2000.0): DataFrame = {
+    import graft.CacheScope.TrackedDataset
+    import org.apache.spark.sql.types.DecimalType
+    val base = docs.select(col("doc_id"),
+        tokens(lower(col("text"))).as("toks"))
+      .persistTracked()
+    val qterms = documentFrequencyFromPairs(
+        base.select(col("doc_id"),
+          explode(array_distinct(col("toks"))).as("term")))
+      .filter(!col("term").isin(enStopwords: _*))
+      .orderBy(desc("df"), col("term")).limit(nQueryTerms)
+    // matching token stream — persisted: feeds cf AND tf
+    val stream = base.select(col("doc_id"), size(col("toks")).as("dl"),
+        explode(col("toks")).as("term"))
+      .join(broadcast(qterms.select("term")), Seq("term"))
+      .persistTracked()
+    val cf = stream.groupBy("term").agg(count(lit(1)).as("cf"))
+    val totals = base.agg(sum(size(col("toks"))).as("ct"))
+    val tf = stream.groupBy("doc_id", "term", "dl")
+      .agg(count(lit(1)).as("tf"))
+    val contrib = round(log(lit(1.0) +
+        col("tf").cast("double") * col("ct").cast("double") /
+          (lit(mu) * col("cf").cast("double"))), 6)
+      .cast(DecimalType(18, 6))
+    tf.join(broadcast(cf), Seq("term")).crossJoin(broadcast(totals))
+      .groupBy("doc_id", "dl")
+      .agg(sum(contrib).as("s"))
+      .select(col("doc_id"),
+        round(col("s").cast("double") +
+          lit(nQueryTerms) * log(lit(mu) / (col("dl").cast("double") + lit(mu))), 6)
+          .as("score"))
+      .orderBy(desc("score"), col("doc_id")).limit(k)
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) of two retrieval
     * signals: the BM25 top-20 and a length-prior top-20 (longest docs —
     * the quality-prior stand-in), fused as Σ 1/(60 + rank). The hybrid-
@@ -217,6 +269,7 @@ object Retrieval {
       phraseSearch(Tables.documents(s, d), "table", "hash") },
     "q_inverted_index" -> { (s, d) => invertedIndex(Tables.documents(s, d)) },
     "q_bm25_topk" -> { (s, d) => bm25TopK(Tables.documents(s, d)) },
+    "q_dirichlet_lm" -> { (s, d) => dirichletLmTopK(Tables.documents(s, d)) },
     "q_retrieval_metrics" -> { (s, d) =>
       retrievalMetrics(Tables.documents(s, d))
     },
@@ -272,6 +325,35 @@ object Retrieval {
       s"""WITH $bm25CtesSql
          |SELECT doc_id, score FROM bscore
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q_dirichlet_lm" ->
+      s"""WITH base AS (
+         | SELECT doc_id, $tokensSql AS toks FROM documents),
+         |$pairsSql,
+         |dft AS (SELECT term, count(*) AS df FROM pairs GROUP BY 1),
+         |qterms AS (
+         | SELECT term, df FROM dft
+         | WHERE term NOT IN (${enStopwords.map(w => s"'$w'").mkString(", ")})
+         | ORDER BY df DESC, term LIMIT 3),
+         |st AS (
+         | SELECT e.doc_id, e.dl, e.term
+         | FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+         |       FROM base) e
+         | JOIN qterms USING (term)),
+         |cf AS (SELECT term, CAST(count(*) AS BIGINT) AS cf
+         |       FROM st GROUP BY 1),
+         |tot AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS ct FROM base),
+         |tfq AS (SELECT doc_id, term, dl, CAST(count(*) AS BIGINT) AS tf
+         |        FROM st GROUP BY 1, 2, 3),
+         |sc AS (
+         | SELECT doc_id, dl,
+         |  sum(CAST(round(ln(1.0 + CAST(tf AS DOUBLE) * CAST(ct AS DOUBLE)
+         |    / (2000.0 * CAST(cf AS DOUBLE))), 6) AS DECIMAL(18,6))) AS s
+         | FROM tfq JOIN cf USING (term) CROSS JOIN tot
+         | GROUP BY 1, 2)
+         |SELECT doc_id,
+         | round(CAST(s AS DOUBLE)
+         |  + 3 * ln(2000.0 / (CAST(dl AS DOUBLE) + 2000.0)), 6) AS score
+         |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "q_retrieval_metrics" ->
       s"""WITH $bm25CtesSql,
          |ranked AS (

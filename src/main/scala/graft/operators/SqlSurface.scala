@@ -101,6 +101,40 @@ object SqlSurface {
           |ORDER BY o_orderkey""".stripMargin)
     },
 
+    // RECURSIVE CTE (Spark 4's WITH RECURSIVE / UnionLoop): a compounded
+    // monthly revenue index — index_m = index_{m−1} · rev_m div rev_{m−1}
+    // in integer ppm, re-based at month 1. Genuinely recursive: the
+    // per-step integer floor makes the index path-dependent, so no
+    // window/exp-sum-log rewrite reproduces it — this is the SQL-surface
+    // recursion gate, not a gap-fill in disguise. The recursion frame is
+    // MONTH-cardinality (bounded ~84 rows; recursion limit 100 default),
+    // built from one fact aggregate — the 100 TB scan happens once,
+    // the loop never touches the fact again. The month spine is densified
+    // by row_number (bounded window over month rows) so a missing month
+    // can't silently stop the loop on one engine only.
+    "q_recursive_cte" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      s.sql(
+        """WITH RECURSIVE monthly AS (
+          | SELECT month_key, rev,
+          |  CAST(row_number() OVER (ORDER BY month_key) AS BIGINT) AS m
+          | FROM (SELECT (year(o_orderdate) * 100 + month(o_orderdate)) AS month_key,
+          |        CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) div 100 AS rev
+          |       FROM v_orders GROUP BY 1)),
+          |idx AS (
+          | SELECT CAST(1 AS BIGINT) AS m, CAST(1000000 AS BIGINT) AS index_ppm
+          | UNION ALL
+          | SELECT i.m + CAST(1 AS BIGINT) AS m,
+          |  (i.index_ppm * m2.rev) div m1.rev AS index_ppm
+          | FROM idx i
+          | JOIN monthly m1 ON m1.m = i.m
+          | JOIN monthly m2 ON m2.m = i.m + 1)
+          |SELECT CAST(mo.month_key AS BIGINT) AS month_key,
+          | mo.rev AS rev_dollars, i.index_ppm
+          |FROM idx i JOIN monthly mo ON mo.m = i.m
+          |ORDER BY mo.month_key""".stripMargin)
+    },
+
     // LATERAL-style positional explode: token + position per document.
     // posexplode is a generator, not a join — map-side, zero shuffle; the
     // downstream ORDER BY is the driver-gate determinism requirement, not
@@ -363,6 +397,24 @@ object SqlSurface {
         |SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
         | min(k) AS min_k, max(k) AS max_k, count(DISTINCT k) AS dk
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_recursive_cte" ->
+      """WITH RECURSIVE monthly AS (
+        | SELECT month_key, rev,
+        |  CAST(row_number() OVER (ORDER BY month_key) AS BIGINT) AS m
+        | FROM (SELECT (year(o_orderdate) * 100 + month(o_orderdate)) AS month_key,
+        |        CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) // 100 AS rev
+        |       FROM orders GROUP BY 1)),
+        |idx(m, index_ppm) AS (
+        | SELECT CAST(1 AS BIGINT), CAST(1000000 AS BIGINT)
+        | UNION ALL
+        | SELECT i.m + 1, (i.index_ppm * m2.rev) // m1.rev
+        | FROM idx i
+        | JOIN monthly m1 ON m1.m = i.m
+        | JOIN monthly m2 ON m2.m = i.m + 1)
+        |SELECT CAST(mo.month_key AS BIGINT) AS month_key,
+        | mo.rev AS rev_dollars, i.index_ppm
+        |FROM idx i JOIN monthly mo ON mo.m = i.m
+        |ORDER BY mo.month_key""".stripMargin,
     // DuckDB zips same-SELECT unnests, reproducing posexplode
     "q_lateral_explode" ->
       """WITH t AS (SELECT doc_id,

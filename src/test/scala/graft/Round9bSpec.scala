@@ -59,6 +59,71 @@ class Round9bSpec extends SparkSpec {
     assert(r.getAs[Double]("f_stat") > 1000.0)
   }
 
+  test("bfsOnEdges: chain graph distances from one seed, 3-hop truncation") {
+    // a—b—c—d—e: dist(a,·) = 0,1,2,3; e (dist 4) is honestly absent
+    val half = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+      .toDF("src", "dst")
+    val edges = half.union(half.select(col("dst"), col("src")))
+    val seeds = Seq("a").toDF("node")
+    val got = operators.Graph.bfsOnEdges(edges, seeds, hops = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("a", 0, 1L), ("a", 1, 1L), ("a", 2, 1L),
+      ("a", 3, 1L)))
+  }
+
+  test("fsLinkage: planted block reproduces the hand-computed FS weights") {
+    // one block of 4: segs A,A,B,C (u_seg = 2/(4·3) = 1/6), hb all equal
+    // (u_hb = 1 → only the agree branch is ever taken). Patterns:
+    // (seg=1,hb=1) × 1 pair, (seg=0,hb=1) × 5 pairs.
+    val cust = Seq(
+      (1L, 1, "A", 500.0), (2L, 1, "A", 510.0),
+      (3L, 1, "B", 520.0), (4L, 1, "C", 530.0))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val rows = operators.Dedup.fsLinkage(cust).collect()
+    assert(rows.length === 2)
+    def lg2(x: Double) = math.log(x) / math.log(2.0)
+    val wAgree = lg2(0.95 / (1.0 / 6)) + lg2(0.85 / 1.0)
+    val wDis = lg2((1.0 - 0.95) / (1.0 - 1.0 / 6)) + lg2(0.85 / 1.0)
+    val byPat = rows.map(r => (r.getInt(0), r.getInt(1)) ->
+      (r.getLong(2), r.getDouble(3), r.getString(4))).toMap
+    assert(byPat((1, 1))._1 === 1L)
+    assert(math.abs(byPat((1, 1))._2 - wAgree) < 1e-5)
+    assert(byPat((1, 1))._3 === "match")
+    assert(byPat((0, 1))._1 === 5L)
+    assert(math.abs(byPat((0, 1))._2 - wDis) < 1e-5)
+    assert(byPat((0, 1))._3 === "nonmatch")
+  }
+
+  test("ipfRaking: converges to the consistent two-marginal solution") {
+    // cells (s1,l1)=300, (s1,l2)=100, (s2,l1)=100 chars; uniform source
+    // target (250 each) + observed lang target (400/100) has the unique
+    // solution 150/100/250 — 3 rounds must land within 1%
+    val docs = Seq(
+      ("s1", "l1", 300L), ("s1", "l2", 100L), ("s2", "l1", 100L))
+      .toDF("source", "lang", "n_chars")
+    val unit = 1000000000000L / 500
+    val got = operators.Curation.ipfRaking(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    val want = Map(("s1", "l1") -> 150L * unit, ("s1", "l2") -> 100L * unit,
+      ("s2", "l1") -> 250L * unit)
+    for ((k, w) <- want)
+      assert(math.abs(got(k) - w).toDouble / w < 0.01, s"$k: ${got(k)} vs $w")
+  }
+
+  test("dirichletLmTopK: tf raises the score, length is penalized") {
+    // vocab {alpha,beta,gamma} are the top-df query terms everywhere;
+    // doc 1 doubles alpha (higher tf), doc 3 pads with unique terms
+    // (longer dl, same tf) → ranking must be 1, 2, 3
+    val docs = Seq(
+      (1L, "alpha alpha beta gamma"),
+      (2L, "alpha beta gamma"),
+      (3L, "alpha beta gamma pad1 pad2 pad3 pad4 pad5"))
+      .toDF("doc_id", "text")
+    val ranked = operators.Retrieval.dirichletLmTopK(docs)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ranked === Seq(1L, 2L, 3L))
+  }
+
   test("grangerDaily: an exact AR fit (zero residual) yields null F, not ∞") {
     // rev_t = rev_{t−1} exactly → RSS_full = 0 → guarded null
     val t0 = java.time.LocalDate.of(2020, 1, 1)
