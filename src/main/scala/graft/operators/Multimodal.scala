@@ -167,6 +167,42 @@ object Multimodal {
             .as("n_over_context"))
         .orderBy("source")
     },
+    // INTERLEAVED IMAGE-TEXT SEQUENCE PACKING (the MMC4/Flamingo batch
+    // shape): each (text, image) item costs tt + capped vision tokens;
+    // items order deterministically per source (md5 — the epoch-shuffle
+    // posture) and pack into L=4096-token contexts by the cumulative
+    // boundary rule (the q_pack_boundaries contract: items assigned to
+    // the context where they START; a straddler over-fills it —
+    // fill_ppm > 10^6 is the honest over-pack signal, not an error).
+    // Per-context modality ledger = what the dataloader's attention
+    // mask and the vision-encoder batch sizing consume. One partitioned
+    // window per source (corpus-scale shuffle on source), one map-side
+    // combined rollup to context cardinality.
+    "q_mm_interleave" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val cs = md5(col("text"))
+      val w = lit(160) + conv(substring(cs, 1, 3), 16, 10).cast("long") % 841
+      val h = lit(160) + conv(substring(cs, 4, 3), 16, 10).cast("long") % 841
+      val items = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("tt"),
+          md5(concat_ws(":", col("source"), col("doc_id"))).as("ord"),
+          w.as("w"), h.as("h"))
+        .select(col("source"), col("doc_id"), col("tt"), col("ord"),
+          least(expr("((w + 15) div 16) * ((h + 15) div 16)"), lit(1024L))
+            .as("vt"))
+      val win = Window.partitionBy("source").orderBy("ord", "doc_id")
+      items
+        .withColumn("cum", sum(col("tt") + col("vt")).over(win))
+        .withColumn("ctx_id",
+          expr("(cum - (tt + vt)) div 4096").cast("long"))
+        .groupBy("source", "ctx_id")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("tt")).as("text_tokens"),
+          sum(col("vt")).as("vision_tokens"),
+          expr("(sum(tt) + sum(vt)) * 1000000 div 4096").as("fill_ppm"))
+        .orderBy("source", "ctx_id")
+    },
     // Feature extraction through the typed mapPartitions path.
     "q_mm_features" -> { (s, d) =>
       extractFeatures(mediaTable(s, d)).toDF().orderBy("media_id")
@@ -294,6 +330,30 @@ object Multimodal {
         | CAST(COALESCE(sum(CASE WHEN tt + vt > 2048 THEN 1 ELSE 0 END), 0)
         |  AS BIGINT) AS n_over_context
         |FROM p GROUP BY 1 ORDER BY source""".stripMargin,
+    "q_mm_interleave" ->
+      """WITH m AS (
+        | SELECT source, doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |    t -> t <> '')) AS BIGINT) AS tt,
+        |  md5(source || ':' || CAST(doc_id AS VARCHAR)) AS ord,
+        |  160 + CAST(('0x' || substr(md5(text), 1, 3)) AS BIGINT) % 841 AS w,
+        |  160 + CAST(('0x' || substr(md5(text), 4, 3)) AS BIGINT) % 841 AS h
+        | FROM documents),
+        |i AS (
+        | SELECT source, doc_id, tt, ord,
+        |  least(((w + 15) // 16) * ((h + 15) // 16), 1024) AS vt
+        | FROM m),
+        |c AS (
+        | SELECT source, tt, vt,
+        |  CAST(sum(tt + vt) OVER (PARTITION BY source ORDER BY ord, doc_id
+        |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        | FROM i)
+        |SELECT source, CAST((cum - (tt + vt)) // 4096 AS BIGINT) AS ctx_id,
+        | CAST(count(*) AS BIGINT) AS n_items,
+        | CAST(sum(tt) AS BIGINT) AS text_tokens,
+        | CAST(sum(vt) AS BIGINT) AS vision_tokens,
+        | CAST((sum(tt) + sum(vt)) * 1000000 // 4096 AS BIGINT) AS fill_ppm
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_mm_patch_plan" ->
       """WITH m AS (
         | SELECT doc_id AS media_id,

@@ -641,7 +641,71 @@ object TextAnalysis {
         round(col("fitted"), 6).as("fitted"))
   }
 
+  /** FLESCH-KINCAID READABILITY per source (Kincaid et al. 1975):
+    * words-per-sentence and syllables-per-word (vowel-group heuristic —
+    * the standard dictionary-free approximation) folded into the grade
+    * and reading-ease formulas. Ratios are RATIO-OF-SUMS over exact
+    * per-source integer totals (the q_tokenizer_fertility convention:
+    * documents weigh by mass, not one-doc-one-vote), so the only float
+    * is the final formula tree. Sentence counts clamp to ≥1 per doc
+    * (punctuation-free docs are one sentence, not a division by zero).
+    * One map pass + one source-cardinality aggregate.
+    */
+  def readability(docs: DataFrame): DataFrame = {
+    val words = tokenCount(col("text")).cast("long")
+    val sents = greatest(lit(1L),
+      regexp_count(col("text"), lit("[.!?]+")).cast("long"))
+    val sylls = regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long")
+    val g = docs.filter(col("text").isNotNull && col("source").isNotNull)
+      .select(col("source"), words.as("w"), sents.as("s"), sylls.as("y"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("sw"),
+        sum(col("s")).as("ss"), sum(col("y")).as("sy"))
+    val wps = col("sw").cast("double") / col("ss").cast("double")
+    val spw = col("sy").cast("double") / col("sw").cast("double")
+    g.select(col("source"), col("n_docs"),
+        round(wps, 6).as("words_per_sentence"),
+        round(spw, 6).as("syllables_per_word"),
+        round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 6)
+          .as("fk_grade"),
+        round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 6)
+          .as("flesch_ease"))
+      .orderBy("source")
+  }
+
+  /** ENCODING-CORRUPTION (mojibake) AUDIT per source. The natural corpus
+    * is clean, so the query audits a SELF-DERIVED corrupted twin (the
+    * q_dedup_norm planted-variant posture, but in-plan so the oracle
+    * sees identical bytes): docs whose md5 leads with 0/1 gain a U+FFFD
+    * replacement char, with 2/3 a CP1252-mojibake 'Ã©' digraph — the two
+    * classic double-decode fingerprints. The DETECTOR is the operator
+    * under test: per source, docs flagged by each fingerprint and the
+    * combined corrupt ppm — the ingest-gate readout that decides whether
+    * a source needs re-extraction before training. Pure map + one
+    * source-cardinality aggregate.
+    */
+  def mojibakeAudit(docs: DataFrame): DataFrame = {
+    val lead = substring(md5(col("text")), 1, 1)
+    val twin = when(lead.isin("0", "1"), concat(col("text"), lit("�")))
+      .when(lead.isin("2", "3"), concat(col("text"), lit("Ã©")))
+      .otherwise(col("text"))
+    val flagged = docs.filter(col("text").isNotNull && col("source").isNotNull)
+      .select(col("source"), twin.as("t"))
+      .select(col("source"),
+        col("t").contains("�").cast("long").as("repl"),
+        col("t").contains("Ã©").cast("long").as("moji"))
+    flagged.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("repl")).as("n_replacement"),
+        sum(col("moji")).as("n_mojibake"),
+        expr("sum(greatest(repl, moji)) * 1000000 div count(*)")
+          .as("corrupt_ppm"))
+      .orderBy("source")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_readability" -> { (s, d) => readability(Tables.documents(s, d)) },
+    "q_mojibake_audit" -> { (s, d) => mojibakeAudit(Tables.documents(s, d)) },
     // Corpus-trained bigram-LM quality scoring (the CCNet perplexity
     // filter shape) — per-doc mean -log2 P, full oracle replication.
     "q_lm_score" -> { (s, d) =>
@@ -1418,6 +1482,56 @@ object TextAnalysis {
       .map { case (l, sc) => s"WHEN $sc = $maxScore THEN '$l'" }
       .mkString(" ")
     Map(
+      "q_readability" ->
+        s"""WITH g AS (
+           | SELECT source,
+           |  CAST($nTok AS BIGINT) AS w,
+           |  greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+           |    AS BIGINT)) AS s,
+           |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+           |    AS BIGINT) AS y
+           | FROM documents
+           | WHERE text IS NOT NULL AND source IS NOT NULL),
+           |a AS (
+           | SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(w) AS BIGINT) AS sw, CAST(sum(s) AS BIGINT) AS ss,
+           |  CAST(sum(y) AS BIGINT) AS sy
+           | FROM g GROUP BY 1)
+           |SELECT source, n_docs,
+           | round(CAST(sw AS DOUBLE) / CAST(ss AS DOUBLE), 6)
+           |  AS words_per_sentence,
+           | round(CAST(sy AS DOUBLE) / CAST(sw AS DOUBLE), 6)
+           |  AS syllables_per_word,
+           | round(0.39 * (CAST(sw AS DOUBLE) / CAST(ss AS DOUBLE))
+           |  + 11.8 * (CAST(sy AS DOUBLE) / CAST(sw AS DOUBLE))
+           |  - 15.59, 6) AS fk_grade,
+           | round(206.835 - 1.015 * (CAST(sw AS DOUBLE) / CAST(ss AS DOUBLE))
+           |  - 84.6 * (CAST(sy AS DOUBLE) / CAST(sw AS DOUBLE)), 6)
+           |  AS flesch_ease
+           |FROM a ORDER BY source""".stripMargin,
+      "q_mojibake_audit" ->
+        """WITH t AS (
+          | SELECT source,
+          |  CASE WHEN substr(md5(text), 1, 1) IN ('0', '1')
+          |        THEN text || chr(65533)
+          |       WHEN substr(md5(text), 1, 1) IN ('2', '3')
+          |        THEN text || chr(195) || chr(169)
+          |       ELSE text END AS t
+          | FROM documents
+          | WHERE text IS NOT NULL AND source IS NOT NULL),
+          |f AS (
+          | SELECT source,
+          |  CAST(CASE WHEN position(chr(65533) IN t) > 0
+          |       THEN 1 ELSE 0 END AS BIGINT) AS repl,
+          |  CAST(CASE WHEN position(chr(195) || chr(169) IN t) > 0
+          |       THEN 1 ELSE 0 END AS BIGINT) AS moji
+          | FROM t)
+          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          | CAST(sum(repl) AS BIGINT) AS n_replacement,
+          | CAST(sum(moji) AS BIGINT) AS n_mojibake,
+          | CAST(sum(greatest(repl, moji)) * 1000000 // count(*) AS BIGINT)
+          |  AS corrupt_ppm
+          |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
       // the bigram chain: same tokens, same 1-based bigram enumeration,
       // same add-one smoothing, 6dp-decimal term fold
       "q_lm_score" ->

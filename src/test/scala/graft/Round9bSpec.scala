@@ -124,6 +124,57 @@ class Round9bSpec extends SparkSpec {
     assert(ranked === Seq(1L, 2L, 3L))
   }
 
+  test("readability: hand-computed Flesch-Kincaid on a two-sentence doc") {
+    // "go. go now." → 3 words, 2 sentences, 3 vowel groups →
+    // wps = 1.5, spw = 1.0, fk = 0.39·1.5 + 11.8·1 − 15.59 = −3.205
+    val docs = Seq(("s1", "go. go now.")).toDF("source", "text")
+    val r = operators.TextAnalysis.readability(docs).collect()(0)
+    assert(r.getAs[Double]("words_per_sentence") === 1.5)
+    assert(r.getAs[Double]("syllables_per_word") === 1.0)
+    assert(math.abs(r.getAs[Double]("fk_grade") - (-3.205)) < 1e-9)
+  }
+
+  test("readability: punctuation-free docs clamp to one sentence") {
+    val docs = Seq(("s1", "alpha beta gamma")).toDF("source", "text")
+    val r = operators.TextAnalysis.readability(docs).collect()(0)
+    assert(r.getAs[Double]("words_per_sentence") === 3.0)
+  }
+
+  test("mojibakeAudit: detector matches the twin rule replayed in Scala") {
+    def md5lead(s: String): Char = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.head
+    val texts = (1 to 40).map(i => s"document body number $i")
+    val docs = texts.map(("s1", _)).toDF("source", "text")
+    // replay the twin + detector rule exactly
+    val expRepl = texts.count(t => "01".contains(md5lead(t)))
+    val expMoji = texts.count(t => "23".contains(md5lead(t)))
+    val r = operators.TextAnalysis.mojibakeAudit(docs).collect()(0)
+    assert(r.getAs[Long]("n_docs") === 40L)
+    assert(r.getAs[Long]("n_replacement") === expRepl.toLong)
+    assert(r.getAs[Long]("n_mojibake") === expMoji.toLong)
+    assert(expRepl + expMoji > 0, "twin rule planted nothing — weak fixture")
+    assert(r.getAs[Long]("corrupt_ppm") ===
+      (expRepl + expMoji).toLong * 1000000L / 40L)
+  }
+
+  test("mm_interleave packing: conservation, gapless contexts, start-rule") {
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q_mm_interleave")(spark, sf).collect()
+    val docs = graft.Tables.documents(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n_items")).sum === docs)
+    // per source: ctx ids 0..k gapless
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val ids = rows.map(_.getAs[Long]("ctx_id")).sorted
+      assert(ids.head === 0L && ids === (0L until ids.length).toArray.toSeq.toArray)
+    }
+    // token conservation vs an independent recount
+    val items = SparkEntry.queries("q_mm_budget")(spark, sf).collect()
+    assert(out.map(r => r.getAs[Long]("text_tokens") +
+        r.getAs[Long]("vision_tokens")).sum ===
+      items.map(_.getAs[Long]("total_tokens")).sum)
+  }
+
   test("grangerDaily: an exact AR fit (zero residual) yields null F, not ∞") {
     // rev_t = rev_{t−1} exactly → RSS_full = 0 → guarded null
     val t0 = java.time.LocalDate.of(2020, 1, 1)
