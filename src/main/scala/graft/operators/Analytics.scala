@@ -2110,7 +2110,107 @@ object Analytics {
         round((rssR - rssF) / (rssF / (n - 3)), 6)).as("f_stat"))
   }
 
+  /** The standard-normal CDF upper tail, per Abramowitz & Stegun
+    * 26.2.17 (|ε| < 7.5e-8): BOTH engines evaluate this exact
+    * expression tree (Horner form, explicit literals, exp the only
+    * transcendental), so two-sided p-values are bit-identical across
+    * Spark and DuckDB without either having erf.
+    */
+  private def pTwoSided(absZ: Column): Column = {
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * absZ)
+    val poly = t * (lit(0.319381530) + t * (lit(-0.356563782) +
+      t * (lit(1.781477937) + t * (lit(-1.821255978) +
+        t * lit(1.330274429)))))
+    lit(2.0) * (lit(0.3989422804014327) * exp(lit(-0.5) * absZ * absZ)) * poly
+  }
+
+  /** The identical SQL tree (same nesting, same literals). */
+  private def pTwoSidedSql(absZ: String): String = {
+    val t = s"(1.0 / (1.0 + 0.2316419 * $absZ))"
+    val poly = s"($t * (0.319381530 + $t * (-0.356563782 + $t * " +
+      s"(1.781477937 + $t * (-1.821255978 + $t * 1.330274429)))))"
+    s"(2.0 * (0.3989422804014327 * exp(-0.5 * $absZ * $absZ)) * $poly)"
+  }
+
+  /** BENJAMINI–HOCHBERG FDR control (Benjamini & Hochberg 1995) over
+    * the per-source mean-length tests — the multiple-comparisons
+    * correction every "which segments moved?" dashboard needs once it
+    * runs one test per segment (20 uncorrected tests at α=.05 expect a
+    * false positive every run). Per source: one-sample z of the source
+    * mean vs the corpus mean (exact integer moments), two-sided p via
+    * the cross-engine A&S normal tail, then the BH step-up rule at
+    * q=0.05: reject H₁..H_k for the largest k with p_(k) ≤ k·q/m.
+    *
+    * Scale posture: one map-side-combined shuffle to source
+    * cardinality; global moments fold from the per-source frame
+    * (scalar, broadcast back); the rank window and the step-up cummax
+    * run on the SOURCE-cardinality frame (the q_lsh_curve bounded-frame
+    * posture), never on corpus rows. p-values rank UNROUNDED (identical
+    * doubles on both engines) and display rounded.
+    */
+  def fdrBh(docs: DataFrame, q: Double = 0.05): DataFrame = {
+    val v = col("n_chars").cast("long")
+    val g = docs.filter(col("source").isNotNull && v.isNotNull)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(v).as("s"), sum(v * v).as("qq"))
+    val tot = g.agg(sum(col("n")).as("nn"), sum(col("s")).as("ss"),
+      sum(col("qq")).as("qt"))
+    def d(c: String) = col(c).cast("double")
+    val meanAll = d("ss") / d("nn")
+    val sdAll = sqrt((d("qt") - d("ss") * d("ss") / d("nn")) / (d("nn") - 1))
+    val z = (d("s") / d("n") - meanAll) / (sdAll / sqrt(d("n")))
+    val p = pTwoSided(abs(z))
+    val scored = g.crossJoin(broadcast(tot))
+      .select(col("source"), col("n").as("n_docs"),
+        round(z, 6).as("z"), p.as("praw"))
+    val w = Window.orderBy("praw", "source") // source-cardinality frame
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    scored
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("p_rank", row_number().over(w).cast("long"))
+      .withColumn("kmax", max(when(col("praw") <=
+          col("p_rank") * lit(q) / col("m"), col("p_rank"))).over(wAll))
+      .select(col("source"), col("n_docs"), col("z"),
+        round(col("praw"), 12).as("p_value"), col("p_rank"),
+        (col("p_rank") <= coalesce(col("kmax"), lit(0L))).as("significant"))
+      .orderBy("p_rank")
+  }
+
+  /** INDEX-OF-DISPERSION audit (variance/mean of daily counts, per
+    * event type): the Poisson-ness check that decides whether count
+    * models (and CI formulas assuming var≈mean) are valid per stream —
+    * D ≫ 1 means bursty/clumped arrivals (overdispersion), D < 1
+    * regular spacing. Zero-days matter: the day spine × type cross
+    * (both bounded) restores them before the moments. Exact integer
+    * moments to type cardinality, one double tree per row.
+    */
+  def overdispersion(events: DataFrame, flagAt: Double = 1.5): DataFrame = {
+    val daily = events.groupBy(to_date(col("ts")).as("day"),
+        col("event_type")).agg(count(lit(1)).as("c"))
+    val days = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val types = daily.select("event_type").distinct()
+    val filled = days.crossJoin(broadcast(types))
+      .join(daily, Seq("day", "event_type"), "left")
+      .na.fill(0L, Seq("c"))
+    val g = filled.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("qq"))
+    def d(c: String) = col(c).cast("double")
+    val mean = d("s") / d("n")
+    val variance = (d("qq") - d("s") * d("s") / d("n")) / (d("n") - 1)
+    g.select(col("event_type"), col("n").as("n_days"),
+        round(mean, 6).as("mean_daily"),
+        round(variance, 6).as("var_daily"),
+        when(mean > 0, round(variance / mean, 6)).as("dispersion"),
+        when(mean > 0, variance / mean > flagAt).as("overdispersed"))
+      .orderBy("event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fdr_bh" -> { (s, d) => fdrBh(Tables.documents(s, d)) },
+    "q_overdispersion" -> { (s, d) => overdispersion(Tables.events(s, d)) },
     // Kruskal–Wallis: does doc length DISTRIBUTION differ across sources
     // (rank-based — the q_anova_lang readout without normality)?
     "q_kruskal_wallis" -> { (s, d) =>
@@ -3692,6 +3792,76 @@ object Analytics {
   }
 
   def oracles: Map[String, String] = Map(
+    "q_fdr_bh" -> {
+      val z = """((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+        |   - CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE))
+        |  / (sqrt((CAST(qt AS DOUBLE) - CAST(ss AS DOUBLE)
+        |      * CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE))
+        |     / (CAST(nn AS DOUBLE) - 1))
+        |   / sqrt(CAST(n AS DOUBLE))))""".stripMargin
+      s"""WITH g AS (
+         | SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(v) AS BIGINT) AS s, CAST(sum(v * v) AS BIGINT) AS qq
+         | FROM (SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents
+         |       WHERE source IS NOT NULL AND n_chars IS NOT NULL)
+         | GROUP BY 1),
+         |tot AS (
+         | SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(s) AS BIGINT) AS ss,
+         |  CAST(sum(qq) AS BIGINT) AS qt
+         | FROM g),
+         |zc AS (
+         | SELECT source, n AS n_docs, $z AS z0
+         | FROM g CROSS JOIN tot),
+         |scored AS (
+         | SELECT source, n_docs, round(z0, 6) AS z,
+         |  ${pTwoSidedSql("abs(z0)")} AS praw
+         | FROM zc),
+         |ranked AS (
+         | SELECT source, n_docs, z, praw,
+         |  CAST(count(*) OVER () AS BIGINT) AS m,
+         |  CAST(row_number() OVER (ORDER BY praw, source) AS BIGINT)
+         |   AS p_rank
+         | FROM scored),
+         |k AS (
+         | SELECT *, max(CASE WHEN praw <= p_rank * 0.05 / m
+         |   THEN p_rank END) OVER () AS kmax
+         | FROM ranked)
+         |SELECT source, n_docs, z, round(praw, 12) AS p_value, p_rank,
+         | p_rank <= COALESCE(kmax, 0) AS significant
+         |FROM k ORDER BY p_rank""".stripMargin
+    },
+    "q_overdispersion" ->
+      """WITH daily AS (
+        | SELECT CAST(ts AS DATE) AS day, event_type,
+        |  CAST(count(*) AS BIGINT) AS c
+        | FROM events GROUP BY 1, 2),
+        |b0 AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+        |spine AS (
+        | SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+        |        AS DATE) AS day FROM b0),
+        |filled AS (
+        | SELECT s.day, t.event_type, COALESCE(d.c, 0) AS c
+        | FROM spine s
+        | CROSS JOIN (SELECT DISTINCT event_type FROM daily) t
+        | LEFT JOIN daily d ON s.day = d.day AND t.event_type = d.event_type),
+        |g AS (
+        | SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS qq
+        | FROM filled GROUP BY 1)
+        |SELECT event_type, n AS n_days,
+        | round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_daily,
+        | round((CAST(qq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |    / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1), 6) AS var_daily,
+        | CASE WHEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) > 0 THEN
+        |  round(((CAST(qq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |     / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+        |   / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) END AS dispersion,
+        | CASE WHEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) > 0 THEN
+        |  ((CAST(qq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |     / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+        |   / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) > 1.5 END
+        |  AS overdispersed
+        |FROM g ORDER BY event_type""".stripMargin,
     "q_kruskal_wallis" ->
       """WITH base AS (
         | SELECT source AS g, CAST(n_chars AS BIGINT) AS v FROM documents

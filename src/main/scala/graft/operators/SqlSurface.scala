@@ -102,37 +102,49 @@ object SqlSurface {
     },
 
     // RECURSIVE CTE (Spark 4's WITH RECURSIVE / UnionLoop): a compounded
-    // monthly revenue index — index_m = index_{m−1} · rev_m div rev_{m−1}
-    // in integer ppm, re-based at month 1. Genuinely recursive: the
-    // per-step integer floor makes the index path-dependent, so no
-    // window/exp-sum-log rewrite reproduces it — this is the SQL-surface
-    // recursion gate, not a gap-fill in disguise. The recursion frame is
-    // MONTH-cardinality (bounded ~84 rows; recursion limit 100 default),
-    // built from one fact aggregate — the 100 TB scan happens once,
-    // the loop never touches the fact again. The month spine is densified
-    // by row_number (bounded window over month rows) so a missing month
+    // quarterly revenue index — index_q = index_{q−1} · rev_q div
+    // rev_{q−1} in integer ppm, re-based at quarter 1. Genuinely
+    // recursive: the per-step integer floor makes the index
+    // path-dependent, so no window/exp-sum-log rewrite reproduces it —
+    // this is the SQL-surface recursion gate, not a gap-fill in
+    // disguise. The recursion frame is QUARTER-cardinality (~27 rows;
+    // recursion limit 100 default), built from one fact aggregate — the
+    // 100 TB scan happens once, the loop never touches the fact again.
+    // UnionLoop pays one driver-loop step per row (~0.15 s each), so
+    // the spine unit IS the latency knob: monthly (80 steps) measured
+    // 12 s steady at sf0.1, quarterly ~1/3 of that. The spine is
+    // densified by row_number (bounded window) so a missing quarter
     // can't silently stop the loop on one engine only.
     "q_recursive_cte" -> { (s, d) =>
-      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      import graft.CacheScope.TrackedDataset
+      // the fact aggregate runs ONCE, outside the loop: UnionLoop
+      // re-evaluates every plan it references per iteration, so an
+      // inline `monthly` CTE would re-scan orders ~84 times (measured
+      // 35 s at sf0.1; cached month frame: the loop joins 84 rows)
+      val quarterly = Tables.orders(s, d)
+        .groupBy((year(col("o_orderdate")) * 10 +
+          quarter(col("o_orderdate"))).as("quarter_key"))
+        .agg(sum((col("o_totalprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long")).as("sc"))
+        .select(col("quarter_key").cast("long").as("quarter_key"),
+          expr("sc div 100").as("rev"))
+        .withColumn("m", row_number().over(
+          Window.orderBy("quarter_key")).cast("long")) // quarter-cardinality
+        .persistTracked()
+      quarterly.createOrReplaceTempView("v_quarterly")
       s.sql(
-        """WITH RECURSIVE monthly AS (
-          | SELECT month_key, rev,
-          |  CAST(row_number() OVER (ORDER BY month_key) AS BIGINT) AS m
-          | FROM (SELECT (year(o_orderdate) * 100 + month(o_orderdate)) AS month_key,
-          |        CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) div 100 AS rev
-          |       FROM v_orders GROUP BY 1)),
-          |idx AS (
+        """WITH RECURSIVE idx AS (
           | SELECT CAST(1 AS BIGINT) AS m, CAST(1000000 AS BIGINT) AS index_ppm
           | UNION ALL
           | SELECT i.m + CAST(1 AS BIGINT) AS m,
           |  (i.index_ppm * m2.rev) div m1.rev AS index_ppm
           | FROM idx i
-          | JOIN monthly m1 ON m1.m = i.m
-          | JOIN monthly m2 ON m2.m = i.m + 1)
-          |SELECT CAST(mo.month_key AS BIGINT) AS month_key,
-          | mo.rev AS rev_dollars, i.index_ppm
-          |FROM idx i JOIN monthly mo ON mo.m = i.m
-          |ORDER BY mo.month_key""".stripMargin)
+          | JOIN v_quarterly m1 ON m1.m = i.m
+          | JOIN v_quarterly m2 ON m2.m = i.m + 1)
+          |SELECT mo.quarter_key, mo.rev AS rev_dollars, i.index_ppm
+          |FROM idx i JOIN v_quarterly mo ON mo.m = i.m
+          |ORDER BY mo.quarter_key""".stripMargin)
     },
 
     // LATERAL-style positional explode: token + position per document.
@@ -399,9 +411,9 @@ object SqlSurface {
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_recursive_cte" ->
       """WITH RECURSIVE monthly AS (
-        | SELECT month_key, rev,
-        |  CAST(row_number() OVER (ORDER BY month_key) AS BIGINT) AS m
-        | FROM (SELECT (year(o_orderdate) * 100 + month(o_orderdate)) AS month_key,
+        | SELECT quarter_key, rev,
+        |  CAST(row_number() OVER (ORDER BY quarter_key) AS BIGINT) AS m
+        | FROM (SELECT (year(o_orderdate) * 10 + quarter(o_orderdate)) AS quarter_key,
         |        CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) // 100 AS rev
         |       FROM orders GROUP BY 1)),
         |idx(m, index_ppm) AS (
@@ -411,10 +423,10 @@ object SqlSurface {
         | FROM idx i
         | JOIN monthly m1 ON m1.m = i.m
         | JOIN monthly m2 ON m2.m = i.m + 1)
-        |SELECT CAST(mo.month_key AS BIGINT) AS month_key,
+        |SELECT CAST(mo.quarter_key AS BIGINT) AS quarter_key,
         | mo.rev AS rev_dollars, i.index_ppm
         |FROM idx i JOIN monthly mo ON mo.m = i.m
-        |ORDER BY mo.month_key""".stripMargin,
+        |ORDER BY mo.quarter_key""".stripMargin,
     // DuckDB zips same-SELECT unnests, reproducing posexplode
     "q_lateral_explode" ->
       """WITH t AS (SELECT doc_id,

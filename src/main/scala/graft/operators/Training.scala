@@ -251,7 +251,48 @@ object Training {
       .orderBy(desc("strength"), col("source"))
   }
 
+  /** WEIGHT-OF-EVIDENCE binning + INFORMATION VALUE (Siddiqi 2006 —
+    * the credit-scoring feature audit): bin a candidate feature (doc
+    * length, $64 buckets), and per bin WoE = ln((pos_b/P)/(neg_b/N))
+    * with IV = Σ (pos_b/P − neg_b/N) · WoE — the standard "is this
+    * feature worth giving the quality classifier?" number (IV < 0.02
+    * useless, > 0.3 strong). Target = is-English (the langid label).
+    * Laplace +1 on both cell counts (documented) keeps empty-side bins
+    * finite instead of ±∞. Exact integer counts to bin cardinality; WoE
+    * and IV terms are per-bin double trees rounded 6dp, the IV total a
+    * DECIMAL sum of the rounded terms (order-safe) broadcast back onto
+    * the bins.
+    */
+  def woeIv(docs: DataFrame): DataFrame = {
+    val bin = expr("n_chars div 64")
+    val pos = (col("lang") === "en").cast("long")
+    val b = docs.filter(col("lang").isNotNull && col("n_chars").isNotNull)
+      .select(bin.as("bin"), pos.as("p"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("np"))
+      .select(col("bin"), col("n"), (col("np") + 1L).as("g"),
+        (col("n") - col("np") + 1L).as("bd"))
+    val tot = b.agg(sum(col("g")).as("gg"), sum(col("bd")).as("bb"))
+    def d(c: String) = col(c).cast("double")
+    val shareG = d("g") / d("gg")
+    val shareB = d("bd") / d("bb")
+    val woe = log(shareG / shareB)
+    val ivT = round((shareG - shareB) * woe, 6)
+    val terms = b.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n").as("n_docs"),
+        (col("g") - 1L).as("n_pos"), (col("bd") - 1L).as("n_neg"),
+        round(woe, 6).as("woe"),
+        ivT.cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("iv_term"))
+    val ivTotal = terms.agg(sum(col("iv_term")).cast("double").as("iv_total"))
+    terms.crossJoin(broadcast(ivTotal))
+      .select(col("bin"), col("n_docs"), col("n_pos"), col("n_neg"),
+        col("woe"), col("iv_term").cast("double").as("iv_term"),
+        round(col("iv_total"), 6).as("iv_total"))
+      .orderBy("bin")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_woe_iv" -> { (s, d) => woeIv(Tables.documents(s, d)) },
     // Bradley–Terry source-strength tournament over rank-matched duels.
     "q_bt_strength" -> { (s, d) => btStrength(Tables.documents(s, d)) },
     // Integer-exact per-label embedding outliers (Tukey fence on d²).
@@ -420,6 +461,32 @@ object Training {
   }
 
   def oracles: Map[String, String] = Map(
+    "q_woe_iv" ->
+      """WITH b AS (
+        | SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(p) + 1 AS BIGINT) AS g,
+        |  CAST(count(*) - sum(p) + 1 AS BIGINT) AS bd
+        | FROM (SELECT CAST(n_chars AS BIGINT) // 64 AS bin,
+        |        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p
+        |       FROM documents
+        |       WHERE lang IS NOT NULL AND n_chars IS NOT NULL)
+        | GROUP BY 1),
+        |tot AS (SELECT CAST(sum(g) AS BIGINT) AS gg,
+        |        CAST(sum(bd) AS BIGINT) AS bb FROM b),
+        |terms AS (
+        | SELECT bin, n AS n_docs, g - 1 AS n_pos, bd - 1 AS n_neg,
+        |  round(ln((CAST(g AS DOUBLE) / CAST(gg AS DOUBLE))
+        |    / (CAST(bd AS DOUBLE) / CAST(bb AS DOUBLE))), 6) AS woe,
+        |  CAST(round((CAST(g AS DOUBLE) / CAST(gg AS DOUBLE)
+        |     - CAST(bd AS DOUBLE) / CAST(bb AS DOUBLE))
+        |    * ln((CAST(g AS DOUBLE) / CAST(gg AS DOUBLE))
+        |      / (CAST(bd AS DOUBLE) / CAST(bb AS DOUBLE))), 6)
+        |   AS DECIMAL(18,6)) AS iv_term
+        | FROM b CROSS JOIN tot),
+        |iv AS (SELECT CAST(sum(iv_term) AS DOUBLE) AS iv_total FROM terms)
+        |SELECT bin, n_docs, n_pos, n_neg, woe,
+        | CAST(iv_term AS DOUBLE) AS iv_term, round(iv_total, 6) AS iv_total
+        |FROM terms CROSS JOIN iv ORDER BY bin""".stripMargin,
     "q_embed_outliers" ->
       s"""WITH q AS (
          | SELECT vec_id, label,
