@@ -2208,7 +2208,175 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** CUSUM control-chart fold (Page 1954) over ANY (day, rc) daily
+    * integer series — k = σ/2, h = 4σ from the series' own exact
+    * moments, two-sided with reset-on-alarm. Shared by the batch
+    * q_cusum (orders revenue) and the streaming twin q_stream_cusum
+    * (event values — the aggregate-on-snapshot stream shape): the day
+    * array is calendar-bounded, so the sequential fold runs as one
+    * higher-order aggregate, never a corpus-sized window.
+    */
+  def cusumOfDaily(daily: DataFrame): DataFrame =
+    daily
+        .agg(array_sort(collect_list(struct(col("day"), col("rc")))).as("a"),
+          count(lit(1)).as("n"), sum(col("rc")).as("sc"),
+          sum(col("rc").cast(DecimalType(19, 0)) * col("rc")).as("ssc"))
+        .withColumn("mu", expr("sc div n"))
+        .withColumn("v",
+          (col("ssc").cast("double") -
+            col("sc").cast("double") * col("sc").cast("double") /
+              col("n").cast("double")) / col("n").cast("double"))
+        .withColumn("kc", floor(sqrt(col("v")) / 2.0).cast("long"))
+        .withColumn("hc", floor(sqrt(col("v")) * 4.0).cast("long"))
+        .withColumn("f", expr(
+          """aggregate(
+            |  a,
+            |  named_struct('sp', 0L, 'sn', 0L, 'al', 0L,
+            |               'msp', 0L, 'msn', 0L),
+            |  (acc, e) -> named_struct(
+            |    'sp', CASE WHEN greatest(0L, acc.sp + (e.rc - mu) - kc) > hc
+            |          THEN 0L ELSE greatest(0L, acc.sp + (e.rc - mu) - kc) END,
+            |    'sn', CASE WHEN greatest(0L, acc.sn + (mu - e.rc) - kc) > hc
+            |          THEN 0L ELSE greatest(0L, acc.sn + (mu - e.rc) - kc) END,
+            |    'al', acc.al +
+            |      (CASE WHEN greatest(0L, acc.sp + (e.rc - mu) - kc) > hc
+            |         OR greatest(0L, acc.sn + (mu - e.rc) - kc) > hc
+            |       THEN 1L ELSE 0L END),
+            |    'msp', greatest(acc.msp,
+            |      greatest(0L, acc.sp + (e.rc - mu) - kc)),
+            |    'msn', greatest(acc.msn,
+            |      greatest(0L, acc.sn + (mu - e.rc) - kc))))""".stripMargin))
+        .select(col("n").as("n_days"), col("kc").as("k_cents"),
+          col("hc").as("h_cents"), col("f.al").as("n_alarms"),
+          col("f.msp").as("max_sp"), col("f.msn").as("max_sn"))
+
+  /** LOG-RANK TEST (Mantel 1966) between the two md5 experiment arms on
+    * the activity-span survival curves — the hypothesis test beside
+    * q_kaplan_meier's curve (does treatment change time-to-churn?),
+    * using the same duration/right-censoring construction. At each
+    * distinct duration: O−E = d_c − n_c·d/n and the hypergeometric
+    * variance d·(n_c/n)(1−n_c/n)(n−d)/(n−1); z = Σ(O−E)/√ΣV.
+    *
+    * Exactness: deaths/at-risk counts are exact integers off the
+    * distinct-duration spine (two bounded cumsum windows — the
+    * kaplanMeier posture); per-time terms round 6dp and sum as DECIMAL
+    * (order-safe); z is one final double. Scale: one shuffle to user
+    * cardinality, one to duration cardinality, then spine-sized work.
+    */
+  def logrank(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"), to_date(col("ts")).as("dt"))
+    val mx = ev.agg(max(col("dt")).as("mx"))
+    val isControl = conv(substring(md5(col("user_id").cast("string")), 1, 4),
+      16, 10).cast("long") % 2 === 0
+    val per = ev.crossJoin(broadcast(mx))
+      .groupBy("user_id")
+      .agg(datediff(max(col("dt")), min(col("dt"))).as("dur"),
+        (max(col("dt")) === max(col("mx"))).as("censored"))
+      .withColumn("ctl", isControl)
+    val byDur = per.groupBy("dur")
+      .agg(sum(when(!col("censored") && col("ctl"), 1L).otherwise(0L)).as("dc"),
+        sum(when(!col("censored"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("ctl"), 1L).otherwise(0L)).as("ec"),
+        count(lit(1)).as("e"))
+    val wPrev = Window.orderBy("dur")
+      .rowsBetween(Window.unboundedPreceding, -1) // duration spine only
+    val tot = per.agg(count(lit(1)).as("nt"),
+      sum(when(col("ctl"), 1L).otherwise(0L)).as("nc"))
+    val risk = byDur.crossJoin(broadcast(tot))
+      .withColumn("n", col("nt") -
+        coalesce(sum(col("e")).over(wPrev), lit(0L)))
+      .withColumn("na", col("nc") -
+        coalesce(sum(col("ec")).over(wPrev), lit(0L)))
+    def db(c: String) = col(c).cast("double")
+    val oe = db("dc") - db("na") * db("d") / db("n")
+    val vr = db("d") * (db("na") / db("n")) * (lit(1.0) - db("na") / db("n")) *
+      (db("n") - db("d")) / (db("n") - 1)
+    val terms = risk.filter(col("d") > 0 && col("n") > 1)
+      .select(col("dc"), col("d"),
+        round(oe, 6).cast(DecimalType(18, 6)).as("oe"),
+        round(vr, 6).cast(DecimalType(18, 6)).as("vr"))
+    terms
+      .agg(sum(col("d")).as("n_deaths"), sum(col("dc")).as("n_deaths_control"),
+        sum(col("oe")).cast("double").as("soe"),
+        sum(col("vr")).cast("double").as("svr"))
+      .crossJoin(broadcast(tot))
+      .select(col("nt").as("n_users"), col("nc").as("n_control"),
+        col("n_deaths"), col("n_deaths_control"),
+        round(col("soe"), 6).as("o_minus_e"),
+        round(col("svr"), 6).as("var_logrank"),
+        when(col("svr") > 0, round(col("soe") / sqrt(col("svr")), 6))
+          .as("z"))
+  }
+
+  /** SHAPLEY CHANNEL ATTRIBUTION (Shapley 1953; the marketing form of
+    * Zhao et al. 2018) over the three touch channels click/view/signup
+    * with conversion = any purchase: coalition value v(S) = conversions
+    * from users whose touch set ⊆ S (monotone by construction), and
+    * φ_i = Σ_{S∌i} |S|!(n−|S|−1)!/n! · (v(S∪i) − v(S)) — the
+    * order-fair division last-touch/first-touch can't give. No-touch
+    * conversions are the 'organic' baseline row, so shares sum to 1.
+    *
+    * Exactness: with n = 3 the Shapley weights are sixths, so 6·φ is an
+    * exact integer — shares are integer ppm, φ one terminal division.
+    * Scale: ONE user-cardinality aggregate builds the 8-row exact-mask
+    * table; v(S), the 12-row (channel × coalition) weight table, and
+    * the φ fold are all constant-size (the q_ipf_raking aggregate-once-
+    * solve-small shape).
+    */
+  def shapleyAttr(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    // touches count only STRICTLY BEFORE the user's first purchase
+    // ((ts, event_id)-ordered — id breaks timestamp ties): post-purchase
+    // exposure can't have caused it, and without the cut this corpus's
+    // ~66 events/user saturate every mask to 7 (measured — the operator
+    // degenerates to an equal three-way split)
+    val fp = events.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(min(struct(col("ts"), col("event_id"))).as("fp"))
+    def touched(t: String) = max(when(col("event_type") === t &&
+      struct(col("ts"), col("event_id")) < col("fp"), 1).otherwise(0))
+    val perUser = events.join(fp, Seq("user_id")) // converters only: v(S)
+      .groupBy("user_id")                         // counts conversions
+      .agg((touched("click") * 4 + touched("view") * 2 +
+        touched("signup")).as("mask"))
+    val byMask = perUser.groupBy("mask").agg(count(lit(1)).as("cv"))
+    val spine = s.range(8).select(col("id").cast("int").as("smask"))
+    // v(S) = Σ conversions with touch set ⊆ S (8×8 literal-bounded join)
+    val v = spine.join(byMask,
+        expr("(mask & smask) = mask"), "left")
+      .groupBy("smask").agg(coalesce(sum(col("cv")), lit(0L)).as("v"))
+    // (channel, coalition-without-channel, 6·weight) enumeration: n=3 →
+    // w(|S|) ∈ {2,1,1,2}/6 for |S| = 0,1,1,2
+    val combos = (for {
+      (ch, bit) <- Seq(("click", 4), ("view", 2), ("signup", 1))
+      sm <- 0 until 8 if (sm & bit) == 0
+    } yield {
+      val size = Integer.bitCount(sm)
+      val w6 = Seq(2L, 1L, 2L)(size)
+      (ch, bit, sm, w6)
+    }).toDF("channel", "bit", "smask", "w6")
+    val phi6 = combos
+      .join(v.select(col("smask"), col("v").as("v0")), Seq("smask"))
+      .join(v.select((col("smask")).as("smask_i"), col("v").as("v1")),
+        expr("smask_i = (smask | bit)"))
+      .groupBy("channel")
+      .agg(sum(col("w6") * (col("v1") - col("v0"))).as("phi6"))
+    val totals = v.agg(max(when(col("smask") === 7, col("v"))).as("vall"))
+      .crossJoin(v.agg(max(when(col("smask") === 0, col("v"))).as("v0")))
+    val organic = totals.select(lit("organic").as("channel"),
+      (col("v0") * 6L).as("phi6"))
+    phi6.unionByName(organic).crossJoin(broadcast(totals))
+      .select(col("channel"),
+        round(col("phi6").cast("double") / 6.0, 6).as("phi_conversions"),
+        when(col("vall") > 0,
+          expr("phi6 * 1000000 div (6 * vall)")).as("share_ppm"))
+      .orderBy("channel")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_logrank" -> { (s, d) => logrank(Tables.events(s, d)) },
+    "q_shapley_attr" -> { (s, d) => shapleyAttr(Tables.events(s, d)) },
     "q_fdr_bh" -> { (s, d) => fdrBh(Tables.documents(s, d)) },
     "q_overdispersion" -> { (s, d) => overdispersion(Tables.events(s, d)) },
     // Kruskal–Wallis: does doc length DISTRIBUTION differ across sources
@@ -2828,41 +2996,10 @@ object Analytics {
     // day-spine fold (calendar-bounded array aggregate), moments from
     // one scalar pass.
     "q_cusum" -> { (s, d) =>
-      Tables.orders(s, d)
+      cusumOfDaily(Tables.orders(s, d)
         .groupBy(col("o_orderdate").cast("date").as("day"))
         .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
-          .cast("long").as("rc"))
-        .agg(array_sort(collect_list(struct(col("day"), col("rc")))).as("a"),
-          count(lit(1)).as("n"), sum(col("rc")).as("sc"),
-          sum(col("rc").cast(DecimalType(19, 0)) * col("rc")).as("ssc"))
-        .withColumn("mu", expr("sc div n"))
-        .withColumn("v",
-          (col("ssc").cast("double") -
-            col("sc").cast("double") * col("sc").cast("double") /
-              col("n").cast("double")) / col("n").cast("double"))
-        .withColumn("kc", floor(sqrt(col("v")) / 2.0).cast("long"))
-        .withColumn("hc", floor(sqrt(col("v")) * 4.0).cast("long"))
-        .withColumn("f", expr(
-          """aggregate(
-            |  a,
-            |  named_struct('sp', 0L, 'sn', 0L, 'al', 0L,
-            |               'msp', 0L, 'msn', 0L),
-            |  (acc, e) -> named_struct(
-            |    'sp', CASE WHEN greatest(0L, acc.sp + (e.rc - mu) - kc) > hc
-            |          THEN 0L ELSE greatest(0L, acc.sp + (e.rc - mu) - kc) END,
-            |    'sn', CASE WHEN greatest(0L, acc.sn + (mu - e.rc) - kc) > hc
-            |          THEN 0L ELSE greatest(0L, acc.sn + (mu - e.rc) - kc) END,
-            |    'al', acc.al +
-            |      (CASE WHEN greatest(0L, acc.sp + (e.rc - mu) - kc) > hc
-            |         OR greatest(0L, acc.sn + (mu - e.rc) - kc) > hc
-            |       THEN 1L ELSE 0L END),
-            |    'msp', greatest(acc.msp,
-            |      greatest(0L, acc.sp + (e.rc - mu) - kc)),
-            |    'msn', greatest(acc.msn,
-            |      greatest(0L, acc.sn + (mu - e.rc) - kc))))""".stripMargin))
-        .select(col("n").as("n_days"), col("kc").as("k_cents"),
-          col("hc").as("h_cents"), col("f.al").as("n_alarms"),
-          col("f.msp").as("max_sp"), col("f.msn").as("max_sn"))
+          .cast("long").as("rc")))
     },
 
     // SAX SYMBOLIC REPRESENTATION of the daily-revenue series (Lin,
@@ -3792,6 +3929,106 @@ object Analytics {
   }
 
   def oracles: Map[String, String] = Map(
+    "q_logrank" ->
+      """WITH ev AS (
+        | SELECT user_id, CAST(ts AS DATE) AS dt FROM events),
+        |mx AS (SELECT max(dt) AS mx FROM ev),
+        |per AS (
+        | SELECT user_id,
+        |  CAST(date_diff('day', min(dt), max(dt)) AS INTEGER) AS dur,
+        |  max(dt) = (SELECT mx FROM mx) AS censored,
+        |  CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4)
+        |       AS BIGINT) % 2 = 0 AS ctl
+        | FROM ev GROUP BY user_id),
+        |bydur AS (
+        | SELECT dur,
+        |  CAST(sum(CASE WHEN NOT censored AND ctl THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS dc,
+        |  CAST(sum(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |  CAST(sum(CASE WHEN ctl THEN 1 ELSE 0 END) AS BIGINT) AS ec,
+        |  CAST(count(*) AS BIGINT) AS e
+        | FROM per GROUP BY 1),
+        |tot AS (
+        | SELECT CAST(count(*) AS BIGINT) AS nt,
+        |  CAST(sum(CASE WHEN ctl THEN 1 ELSE 0 END) AS BIGINT) AS nc
+        | FROM per),
+        |risk AS (
+        | SELECT dur, dc, d, ec, e,
+        |  nt - COALESCE(CAST(sum(e) OVER (ORDER BY dur
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |   AS n,
+        |  nc - COALESCE(CAST(sum(ec) OVER (ORDER BY dur
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |   AS na
+        | FROM bydur CROSS JOIN tot),
+        |terms AS (
+        | SELECT dc, d,
+        |  CAST(round(CAST(dc AS DOUBLE)
+        |    - CAST(na AS DOUBLE) * CAST(d AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |   AS DECIMAL(18,6)) AS oe,
+        |  CAST(round(CAST(d AS DOUBLE) * (CAST(na AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * (1.0 - CAST(na AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * (CAST(n AS DOUBLE) - CAST(d AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) - 1), 6) AS DECIMAL(18,6)) AS vr
+        | FROM risk WHERE d > 0 AND n > 1),
+        |a AS (
+        | SELECT CAST(sum(d) AS BIGINT) AS n_deaths,
+        |  CAST(sum(dc) AS BIGINT) AS n_deaths_control,
+        |  CAST(sum(oe) AS DOUBLE) AS soe, CAST(sum(vr) AS DOUBLE) AS svr
+        | FROM terms)
+        |SELECT nt AS n_users, nc AS n_control, n_deaths, n_deaths_control,
+        | round(soe, 6) AS o_minus_e, round(svr, 6) AS var_logrank,
+        | CASE WHEN svr > 0 THEN round(soe / sqrt(svr), 6) END AS z
+        |FROM a CROSS JOIN tot""".stripMargin,
+    "q_shapley_attr" ->
+      """WITH fp AS (
+        | SELECT user_id,
+        |  min(struct_pack(ts := ts, event_id := event_id)) AS fp
+        | FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |pu AS (
+        | SELECT e.user_id,
+        |  max(CASE WHEN event_type = 'click' AND
+        |    struct_pack(ts := e.ts, event_id := e.event_id) < fp
+        |    THEN 1 ELSE 0 END) * 4
+        |  + max(CASE WHEN event_type = 'view' AND
+        |    struct_pack(ts := e.ts, event_id := e.event_id) < fp
+        |    THEN 1 ELSE 0 END) * 2
+        |  + max(CASE WHEN event_type = 'signup' AND
+        |    struct_pack(ts := e.ts, event_id := e.event_id) < fp
+        |    THEN 1 ELSE 0 END) AS mask
+        | FROM events e JOIN fp USING (user_id) GROUP BY 1),
+        |bymask AS (SELECT mask, CAST(count(*) AS BIGINT) AS cv
+        |           FROM pu GROUP BY 1),
+        |spine AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS smask),
+        |v AS (
+        | SELECT smask, CAST(COALESCE(sum(cv), 0) AS BIGINT) AS v
+        | FROM spine LEFT JOIN bymask ON (mask & smask) = mask
+        | GROUP BY 1),
+        |combos AS (
+        | SELECT ch AS channel, bit, smask,
+        |  CAST(CASE bit_count(CAST(smask AS BIGINT))
+        |   WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 2 END AS BIGINT) AS w6
+        | FROM (VALUES ('click', 4), ('view', 2), ('signup', 1)) c(ch, bit)
+        | CROSS JOIN spine
+        | WHERE (smask & bit) = 0),
+        |phi AS (
+        | SELECT channel, CAST(sum(w6 * (v1.v - v0.v)) AS BIGINT) AS phi6
+        | FROM combos
+        | JOIN v v0 ON v0.smask = combos.smask
+        | JOIN v v1 ON v1.smask = (combos.smask | combos.bit)
+        | GROUP BY 1),
+        |tots AS (
+        | SELECT (SELECT v FROM v WHERE smask = 7) AS vall,
+        |  (SELECT v FROM v WHERE smask = 0) AS v0),
+        |un AS (
+        | SELECT channel, phi6 FROM phi
+        | UNION ALL
+        | SELECT 'organic', v0 * 6 FROM tots)
+        |SELECT channel,
+        | round(CAST(phi6 AS DOUBLE) / 6.0, 6) AS phi_conversions,
+        | CASE WHEN vall > 0 THEN CAST(phi6 * 1000000 // (6 * vall) AS BIGINT)
+        | END AS share_ppm
+        |FROM un CROSS JOIN tots ORDER BY channel""".stripMargin,
     "q_fdr_bh" -> {
       val z = """((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
         |   - CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE))

@@ -384,6 +384,25 @@ object StreamOps {
           .na.fill(0L, Seq("cr", "cc")))
     }},
 
+    // LIVE CUSUM CONTROL CHART — the q_cusum fold as a stream: the
+    // streaming STATE is the per-day value sums (complete-mode groupBy
+    // day — calendar-bounded keys, constant per-key size), and each
+    // snapshot runs the sequential CUSUM fold on that day frame (the
+    // q_stream_psi aggregate-on-snapshot shape: recursions don't
+    // stream, bounded aggregates do, so keep the recursion ON the
+    // snapshot). Ops teams run exactly this against a revenue/volume
+    // feed so a level shift pages mid-day. Gate: stream ≡ batch (the
+    // oracle recomputes the identical fold over events at rest).
+    "q_stream_cusum" -> { (s, d) => withStatePartitions(s, 8) {
+      cleanCheckpoint("stream_cusum")
+      val daily = eventsStream(s, d).filter(col("value").isNotNull)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg((sum(col("value").cast(DecimalType(18, 2))) * 100)
+          .cast("long").as("rc"))
+      graft.operators.Analytics.cusumOfDaily(
+        runToSnapshot(daily, "stream_cusum"))
+    }},
+
     // LIVE SRM MONITOR — q_srm_check as a stream: per-arm DISTINCT-user
     // counts maintained as streaming state (complete-mode two-level
     // aggregate: dropDuplicates on (arm, user) then a 2-key count — state
@@ -1398,6 +1417,46 @@ object StreamOps {
   }
 
   def oracles: Map[String, String] = Map(
+    // stream ≡ batch: the identical CUSUM fold over events at rest
+    // (the q_cusum recursive-CTE twin, day series = event value cents)
+    "q_stream_cusum" ->
+      """WITH RECURSIVE d AS (
+        | SELECT CAST(ts AS DATE) AS day,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS rc
+        | FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |i AS (SELECT rc, row_number() OVER (ORDER BY day) AS rn FROM d),
+        |m AS (
+        | SELECT count(*) AS n, CAST(sum(rc) AS BIGINT) AS sc,
+        |  CAST(sum(rc) AS BIGINT) // count(*) AS mu,
+        |  CAST(floor(sqrt((CAST(sum(CAST(rc AS HUGEINT) * rc) AS DOUBLE)
+        |    - CAST(CAST(sum(rc) AS BIGINT) AS DOUBLE) * CAST(CAST(sum(rc) AS BIGINT) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE)) / CAST(count(*) AS DOUBLE)) / 2.0)
+        |   AS BIGINT) AS kc,
+        |  CAST(floor(sqrt((CAST(sum(CAST(rc AS HUGEINT) * rc) AS DOUBLE)
+        |    - CAST(CAST(sum(rc) AS BIGINT) AS DOUBLE) * CAST(CAST(sum(rc) AS BIGINT) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE)) / CAST(count(*) AS DOUBLE)) * 4.0)
+        |   AS BIGINT) AS hc
+        | FROM d),
+        |f AS (
+        | SELECT 0 AS rn, CAST(0 AS BIGINT) AS sp, CAST(0 AS BIGINT) AS sn,
+        |  CAST(0 AS BIGINT) AS al, CAST(0 AS BIGINT) AS msp,
+        |  CAST(0 AS BIGINT) AS msn
+        | UNION ALL
+        | SELECT i.rn,
+        |  CASE WHEN greatest(0, f.sp + (i.rc - m.mu) - m.kc) > m.hc THEN 0
+        |       ELSE greatest(0, f.sp + (i.rc - m.mu) - m.kc) END,
+        |  CASE WHEN greatest(0, f.sn + (m.mu - i.rc) - m.kc) > m.hc THEN 0
+        |       ELSE greatest(0, f.sn + (m.mu - i.rc) - m.kc) END,
+        |  f.al + (CASE WHEN greatest(0, f.sp + (i.rc - m.mu) - m.kc) > m.hc
+        |            OR greatest(0, f.sn + (m.mu - i.rc) - m.kc) > m.hc
+        |          THEN 1 ELSE 0 END),
+        |  greatest(f.msp, greatest(0, f.sp + (i.rc - m.mu) - m.kc)),
+        |  greatest(f.msn, greatest(0, f.sn + (m.mu - i.rc) - m.kc))
+        | FROM f JOIN i ON i.rn = f.rn + 1 CROSS JOIN m)
+        |SELECT (SELECT n FROM m) AS n_days, (SELECT kc FROM m) AS k_cents,
+        | (SELECT hc FROM m) AS h_cents, al AS n_alarms,
+        | msp AS max_sp, msn AS max_sn
+        |FROM f ORDER BY rn DESC LIMIT 1""".stripMargin,
     // stream ≡ batch cumulative: q_msprt's final counts + llr (the
     // path-dependent `crossed` flag is batch-only by construction)
     "q_stream_msprt" ->

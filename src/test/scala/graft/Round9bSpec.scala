@@ -255,6 +255,65 @@ class Round9bSpec extends SparkSpec {
     }
   }
 
+  test("logrank: all-control deaths with treatment censored → positive z") {
+    def ctl(id: Long): Boolean = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.take(4), 16) % 2 == 0
+    }
+    val ids = (1L to 40L)
+    val t0 = java.time.LocalDate.of(2022, 1, 1)
+    // control: span ends day 2 (death at dur 2); treatment: ends at the
+    // global max (day 9) → censored
+    val rows = ids.flatMap { id =>
+      val end = if (ctl(id)) 2 else 9
+      Seq((id, t0.toString + " 00:00:00"),
+        (id, t0.plusDays(end).toString + " 00:00:00"))
+    }
+    val ev = rows.toDF("user_id", "dts")
+      .select(col("user_id"), to_timestamp(col("dts")).as("ts"),
+        lit("view").as("event_type"))
+    val r = operators.Analytics.logrank(ev).collect()(0)
+    val nc = ids.count(ctl).toLong
+    assert(r.getAs[Long]("n_control") === nc)
+    assert(r.getAs[Long]("n_deaths") === nc)        // only control dies
+    assert(r.getAs[Long]("n_deaths_control") === nc)
+    assert(r.getAs[Double]("z") > 1.0)
+  }
+
+  test("shapleyAttr: click-only causation attributes everything to click") {
+    val t0 = "2022-01-01 00:00:00"
+    val t1 = "2022-01-01 01:00:00"
+    val rows =
+      (1L to 10L).flatMap(u => Seq((u, t0, "click"), (u, t1, "purchase"))) ++
+        (11L to 15L).map(u => (u, t0, "view")) ++ // never convert
+        (16L to 18L).map(u => (u, t0, "purchase")) // organic converters
+    val ev = rows.toDF("user_id", "dts", "event_type")
+      .select(col("user_id"), to_timestamp(col("dts")).as("ts"),
+        col("event_type"),
+        col("user_id").as("event_id")) // unique ids, ts ties broken
+    val got = operators.Analytics.shapleyAttr(ev).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getLong(2))).toMap
+    assert(got("click") === ((10.0, 10L * 1000000 / 13)))
+    assert(got("view")._1 === 0.0)
+    assert(got("signup")._1 === 0.0)
+    assert(got("organic") === ((3.0, 3L * 1000000 / 13)))
+  }
+
+  test("stream_cusum snapshot equals the batch fold on the same source") {
+    val sf = "/root/testdata/sf0.001"
+    val stream = SparkEntry.queries("q_stream_cusum")(spark, sf).collect()
+    val batch = operators.Analytics.cusumOfDaily(
+      graft.Tables.events(spark, sf)
+        .filter(col("value").isNotNull)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg((sum(col("value")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2))) * 100)
+          .cast("long").as("rc"))).collect()
+    assert(stream.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+  }
+
   test("grangerDaily: an exact AR fit (zero residual) yields null F, not ∞") {
     // rev_t = rev_{t−1} exactly → RSS_full = 0 → guarded null
     val t0 = java.time.LocalDate.of(2020, 1, 1)
