@@ -2374,7 +2374,67 @@ object Analytics {
       .orderBy("channel")
   }
 
+  /** MAXIMUM DRAWDOWN of the daily-revenue series: largest peak-to-
+    * trough fall of the level against its running maximum — the
+    * worst-case-regression readout monitoring teams put beside EWMA/
+    * CUSUM (those flag shifts; drawdown sizes the worst one). Exact
+    * integer cents end-to-end: running peak is a bounded cummax window
+    * over the day spine, the argmax picks the EARLIEST deepest trough
+    * (max_by on (dd, −epoch_day) — total order, engine-agnostic), and
+    * dd_ppm is one integer division against the peak.
+    */
+  def maxDrawdown(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("rc"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dd = daily.withColumn("peak", max(col("rc")).over(w))
+      .withColumn("dd", col("peak") - col("rc"))
+      .withColumn("dno", datediff(col("day"), lit("1970-01-01").cast("date"))
+        .cast("long"))
+    dd.agg(max_by(
+        struct(col("day"), col("peak"), col("rc"), col("dd")),
+        struct(col("dd"), negate(col("dno")))).as("m"),
+        count(lit(1)).as("n_days"))
+      .select(col("n_days"), col("m.day").as("trough_day"),
+        col("m.peak").as("peak_cents"), col("m.rc").as("trough_cents"),
+        col("m.dd").as("max_drawdown_cents"),
+        expr("m.dd * 1000000 div m.peak").as("dd_ppm"))
+  }
+
+  /** LORENZ CURVE at decile resolution over customer spend — the table
+    * behind q_gini's scalar (which 10% of customers carry which share
+    * of revenue). Deciles assign by ntile over (spend, custkey) — the
+    * tie-break makes assignment total and cross-engine identical; the
+    * frame is customer-cardinality (dimension-class, the q_gini
+    * argument). Shares are integer-ppm divisions of exact cents.
+    */
+  def lorenzDeciles(orders: DataFrame): DataFrame = {
+    val per = orders.groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+        .cast(DecimalType(18, 2)).as("sp"))
+      .select(col("o_custkey"), (col("sp") * 100).cast("long").as("sc"))
+    val byDec = per
+      .withColumn("decile",
+        ntile(10).over(Window.orderBy(col("sc"), col("o_custkey")))
+          .cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"), sum(col("sc")).as("spend_cents"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDec.crossJoin(broadcast(per.agg(sum(col("sc")).as("tot"))))
+      .withColumn("cum", sum(col("spend_cents")).over(w))
+      .select(col("decile"), col("n_customers"), col("spend_cents"),
+        expr("spend_cents * 1000000 div tot").as("share_ppm"),
+        expr("cum * 1000000 div tot").as("cum_share_ppm"))
+      .orderBy("decile")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_max_drawdown" -> { (s, d) => maxDrawdown(Tables.orders(s, d)) },
+    "q_lorenz_deciles" -> { (s, d) => lorenzDeciles(Tables.orders(s, d)) },
     "q_logrank" -> { (s, d) => logrank(Tables.events(s, d)) },
     "q_shapley_attr" -> { (s, d) => shapleyAttr(Tables.events(s, d)) },
     "q_fdr_bh" -> { (s, d) => fdrBh(Tables.documents(s, d)) },
@@ -3929,6 +3989,48 @@ object Analytics {
   }
 
   def oracles: Map[String, String] = Map(
+    "q_max_drawdown" ->
+      """WITH d AS (
+        | SELECT CAST(o_orderdate AS DATE) AS day,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rc
+        | FROM orders GROUP BY 1),
+        |p AS (
+        | SELECT day, rc,
+        |  CAST(max(rc) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |       AS BIGINT) AS peak,
+        |  CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT) AS dno
+        | FROM d),
+        |x AS (
+        | SELECT day, peak, rc, peak - rc AS dd,
+        |  row_number() OVER (ORDER BY peak - rc DESC, dno ASC) AS rnk,
+        |  count(*) OVER () AS n_days
+        | FROM p)
+        |SELECT CAST(n_days AS BIGINT) AS n_days, day AS trough_day,
+        | peak AS peak_cents, rc AS trough_cents,
+        | dd AS max_drawdown_cents,
+        | CAST(dd * 1000000 // peak AS BIGINT) AS dd_ppm
+        |FROM x WHERE rnk = 1""".stripMargin,
+    "q_lorenz_deciles" ->
+      """WITH per AS (
+        | SELECT o_custkey,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |   AS DECIMAL(18,2)) * 100 AS BIGINT) AS sc
+        | FROM orders GROUP BY 1),
+        |dec AS (
+        | SELECT sc, ntile(10) OVER (ORDER BY sc, o_custkey) AS decile
+        | FROM per),
+        |g AS (
+        | SELECT CAST(decile AS BIGINT) AS decile,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(sc) AS BIGINT) AS spend_cents
+        | FROM dec GROUP BY 1),
+        |t AS (SELECT CAST(sum(sc) AS BIGINT) AS tot FROM per)
+        |SELECT decile, n_customers, spend_cents,
+        | CAST(spend_cents * 1000000 // tot AS BIGINT) AS share_ppm,
+        | CAST(CAST(sum(spend_cents) OVER (ORDER BY decile
+        |   ROWS UNBOUNDED PRECEDING) AS BIGINT) * 1000000 // tot AS BIGINT)
+        |  AS cum_share_ppm
+        |FROM g CROSS JOIN t ORDER BY decile""".stripMargin,
     "q_logrank" ->
       """WITH ev AS (
         | SELECT user_id, CAST(ts AS DATE) AS dt FROM events),

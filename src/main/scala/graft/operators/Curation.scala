@@ -518,7 +518,38 @@ object Curation {
        |      JOIN tcol USING (lang))""".stripMargin
   }
 
+  /** LEAVE-ONE-SOURCE-OUT impact — data-valuation-lite for the mix
+    * table: for each source, how would two corpus-level metrics move if
+    * the source were dropped (Δ mean doc length, Δ English share)? The
+    * first-order "which source drags the corpus" readout teams consult
+    * before the heavier mix solvers (q_ipf_raking / q_waterfill_mix);
+    * LOSO is exact here, not a gradient approximation, because both
+    * metrics are ratios of sums: corpus-minus-source = totals minus the
+    * source's own sums. ONE map-side-combined aggregate to source
+    * cardinality + a broadcast totals row — never k corpus re-scans.
+    */
+  def losoImpact(docs: DataFrame): DataFrame = {
+    val en = (col("lang") === "en").cast("long")
+    val g = docs.filter(col("source").isNotNull && col("n_chars").isNotNull)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sc"),
+        sum(en).as("ne"))
+    val tot = g.agg(sum(col("n")).as("nt"), sum(col("sc")).as("sct"),
+      sum(col("ne")).as("net"))
+    def db(c: String) = col(c).cast("double")
+    val meanWithout = (db("sct") - db("sc")) / (db("nt") - db("n"))
+    val meanWith = db("sct") / db("nt")
+    val enWithout = (db("net") - db("ne")) / (db("nt") - db("n"))
+    val enWith = db("net") / db("nt")
+    g.crossJoin(broadcast(tot))
+      .select(col("source"), col("n").as("n_docs"),
+        round(meanWithout - meanWith, 6).as("delta_mean_chars"),
+        round(enWithout - enWith, 6).as("delta_en_share"))
+      .orderBy("source")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_loso_impact" -> { (s, d) => losoImpact(Tables.documents(s, d)) },
     // IPF/raking: uniform-source × observed-lang mix calibration.
     "q_ipf_raking" -> { (s, d) => ipfRaking(Tables.documents(s, d)) },
     // Inter-annotator agreement between the two length heuristics.
@@ -1076,6 +1107,24 @@ object Curation {
       s"CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':$sh'), 1, 13) AS BIGINT) * 16 + $sh"
     }.mkString("greatest(", ", ", ") % 16")
     Map(
+    "q_loso_impact" ->
+      """WITH g AS (
+        | SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sc,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ne
+        | FROM documents
+        | WHERE source IS NOT NULL AND n_chars IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+        |  CAST(sum(sc) AS BIGINT) AS sct, CAST(sum(ne) AS BIGINT) AS net
+        | FROM g)
+        |SELECT source, n AS n_docs,
+        | round((CAST(sct AS DOUBLE) - CAST(sc AS DOUBLE))
+        |   / (CAST(nt AS DOUBLE) - CAST(n AS DOUBLE))
+        |  - CAST(sct AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS delta_mean_chars,
+        | round((CAST(net AS DOUBLE) - CAST(ne AS DOUBLE))
+        |   / (CAST(nt AS DOUBLE) - CAST(n AS DOUBLE))
+        |  - CAST(net AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS delta_en_share
+        |FROM g CROSS JOIN t ORDER BY source""".stripMargin,
     "q_ipf_raking" -> {
       val rounds = (1 to 3).map(ipfRoundSql).mkString(",\n")
       s"""WITH cells AS (

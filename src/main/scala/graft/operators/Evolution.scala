@@ -449,7 +449,40 @@ object Evolution {
         expr("n_orphans * 1000000 div n_child").as("orphan_ppm"))
   }
 
+  /** RANDOMIZED RESPONSE (Warner 1965) — the local-DP collection
+    * mechanism beside the central-DP releases (q_dp_counts/sums/median):
+    * each record reports its sensitive bit TRUTHFULLY with probability
+    * p = 3/4 and FLIPPED otherwise, and the estimator de-biases the
+    * noisy channel: π̂ = (obs − (1−p)) / (2p − 1). Sensitive bit here:
+    * is-English. The deterministic "coin" is an md5 nibble (the
+    * q_dp_counts seeded-noise posture — a fixture for replayability; a
+    * production run draws real coins, the SHAPE is the operator). The
+    * TRUE rate rides along so the estimator's error is measured, not
+    * assumed. One map pass + one scalar aggregate.
+    */
+  def randomizedResponse(docs: DataFrame, pNum: Int = 12): DataFrame = {
+    val truth = (col("lang") === "en").cast("long")
+    // coin: first md5 nibble < pNum (of 16) → report truth, else flip
+    val honest = conv(substring(md5(col("doc_id").cast("string")), 1, 1),
+      16, 10).cast("long") < pNum
+    val report = when(honest, truth).otherwise(lit(1L) - truth)
+    val a = docs.filter(col("lang").isNotNull)
+      .select(truth.as("t"), report.as("r"))
+      .agg(count(lit(1)).as("n"), sum(col("t")).as("nt"),
+        sum(col("r")).as("nr"))
+    def db(c: String) = col(c).cast("double")
+    val p = pNum / 16.0
+    val obs = db("nr") / db("n")
+    val piHat = (obs - lit(1.0 - p)) / lit(2.0 * p - 1.0)
+    a.select(col("n").as("n_docs"), col("nr").as("n_reported_yes"),
+      round(obs, 6).as("obs_rate"),
+      round(piHat, 6).as("pi_hat"),
+      round(db("nt") / db("n"), 6).as("pi_true"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_randomized_response" -> { (s, d) =>
+      randomizedResponse(Tables.documents(s, d)) },
     // Weekday-vs-weekend value-distribution drift monitor.
     "q_psi_drift" -> { (s, d) => psiDrift(Tables.events(s, d)) },
 
@@ -625,6 +658,22 @@ object Evolution {
        |  // CAST((SELECT count(*) FROM $child) AS BIGINT) AS orphan_ppm""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q_randomized_response" ->
+      """WITH b AS (
+        | SELECT CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS t,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS BIGINT)
+        |   < 12 AS honest
+        | FROM documents WHERE lang IS NOT NULL),
+        |a AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(t) AS BIGINT) AS nt,
+        |  CAST(sum(CASE WHEN honest THEN t ELSE 1 - t END) AS BIGINT) AS nr
+        | FROM b)
+        |SELECT n AS n_docs, nr AS n_reported_yes,
+        | round(CAST(nr AS DOUBLE) / CAST(n AS DOUBLE), 6) AS obs_rate,
+        | round((CAST(nr AS DOUBLE) / CAST(n AS DOUBLE) - 0.25) / 0.5, 6)
+        |  AS pi_hat,
+        | round(CAST(nt AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pi_true
+        |FROM a""".stripMargin,
     "q_fk_orphans" -> Seq(
       fkEdgeSql("customer.c_nationkey->nation", "customer", "c_nationkey",
         "nation", "n_nationkey"),

@@ -314,6 +314,62 @@ class Round9bSpec extends SparkSpec {
     assert(stream.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
   }
 
+  test("maxDrawdown: planted peak→trough recovered, earliest-trough ties") {
+    // revenue 10, 50, 20, 20, 90: peak 50, trough 20 (day 3, not day 4)
+    val t0 = java.time.LocalDate.of(2020, 1, 1)
+    val rows = Seq(10, 50, 20, 20, 90).zipWithIndex.map { case (v, i) =>
+      (t0.plusDays(i).toString + " 00:00:00", v.toDouble)
+    }
+    val orders = rows.toDF("ds", "o_totalprice")
+      .select(to_timestamp(col("ds")).as("o_orderdate"), col("o_totalprice"))
+    val r = operators.Analytics.maxDrawdown(orders).collect()(0)
+    assert(r.getAs[Long]("peak_cents") === 5000L)
+    assert(r.getAs[Long]("trough_cents") === 2000L)
+    assert(r.getAs[Long]("max_drawdown_cents") === 3000L)
+    assert(r.getAs[java.sql.Date]("trough_day").toString === "2020-01-03")
+    assert(r.getAs[Long]("dd_ppm") === 600000L)
+  }
+
+  test("lorenzDeciles: shares are monotone and close at one million ppm") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q_lorenz_deciles")(spark, sf).collect()
+    assert(rows.length === 10)
+    val cums = rows.map(_.getAs[Long]("cum_share_ppm"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+    assert(math.abs(cums.last - 1000000L) <= 10) // flooring slack
+    // deciles sorted ascending by spend → shares non-decreasing
+    val shares = rows.map(_.getAs[Long]("share_ppm"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("randomizedResponse: estimator de-biases a planted rate") {
+    // plant π = 0.3 over 1000 docs; the md5 coin flips ~1/4 of reports;
+    // the de-biased estimate must land far closer to π than the raw
+    // observed rate does
+    val docs = (1L to 1000L).map(i => (i, if (i % 10 < 3) "en" else "fr"))
+      .toDF("doc_id", "lang")
+    val r = operators.Evolution.randomizedResponse(docs).collect()(0)
+    val piHat = r.getAs[Double]("pi_hat")
+    val obs = r.getAs[Double]("obs_rate")
+    assert(r.getAs[Double]("pi_true") === 0.3)
+    assert(math.abs(piHat - 0.3) < 0.06, s"pi_hat $piHat")
+    assert(math.abs(obs - 0.3) > math.abs(piHat - 0.3),
+      "raw rate should be MORE biased than the de-biased estimate")
+  }
+
+  test("losoImpact: dropping the long source lowers the mean") {
+    val docs = ((1 to 10).map(i => ("long", "en", 1000L)) ++
+      (1 to 30).map(i => ("short", "fr", 100L)))
+      .toDF("source", "lang", "n_chars")
+    val rows = operators.Curation.losoImpact(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // mean with = (10000+3000)/40 = 325; without long = 100 → Δ = −225
+    assert(rows("long").getAs[Double]("delta_mean_chars") === -225.0)
+    // en share with = .25; without long = 0 → Δ = −0.25
+    assert(rows("long").getAs[Double]("delta_en_share") === -0.25)
+    assert(rows("short").getAs[Double]("delta_mean_chars") > 0)
+  }
+
   test("grangerDaily: an exact AR fit (zero residual) yields null F, not ∞") {
     // rev_t = rev_{t−1} exactly → RSS_full = 0 → guarded null
     val t0 = java.time.LocalDate.of(2020, 1, 1)
