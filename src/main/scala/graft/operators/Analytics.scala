@@ -2432,7 +2432,89 @@ object Analytics {
       .orderBy("decile")
   }
 
+  /** COHORT LTV CURVE — cumulative revenue per acquisition cohort by
+    * months-since-first-order: the matrix behind every "is newer-cohort
+    * quality declining?" growth review, and the monetary twin of
+    * q_cohort_retention (that one counts active users; this one sums
+    * spend). Month arithmetic is a LINEAR index (y·12+m) so ages are
+    * integer subtraction, engine-agnostic. One custkey-co-partitioned
+    * join (first-order month back onto orders), one (cohort, age)
+    * aggregate, and a cohort-partitioned bounded cumsum window.
+    */
+  def cohortLtv(orders: DataFrame): DataFrame = {
+    val mIdx = (year(col("o_orderdate")) * 12 +
+      month(col("o_orderdate"))).cast("long")
+    val per = orders.select(col("o_custkey"), mIdx.as("m"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("cents"))
+    val first = per.groupBy("o_custkey").agg(min(col("m")).as("cm"))
+    val g = per.join(first, Seq("o_custkey"))
+      .groupBy(col("cm"), (col("m") - col("cm")).as("age_months"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("rev_cents"))
+    val w = Window.partitionBy("cm").orderBy("age_months")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
+      .select((expr("(cm - 1) div 12") * 100 +
+          (col("cm") - expr("((cm - 1) div 12) * 12"))).as("cohort_month"),
+        col("age_months"), col("n_orders"), col("rev_cents"),
+        col("cum_rev_cents"))
+      .orderBy("cohort_month", "age_months")
+  }
+
+  /** HOLT–WINTERS additive triple smoothing (Winters 1960), 7-day
+    * season — the seasonal completion of the forecasting family
+    * (q_ewma_daily = level, q_holt_forecast = level+trend; this adds
+    * the day-of-week component q_dow_seasonality showed matters).
+    * α=β=γ=1/2 as INTEGER halvings — `div` truncates toward zero
+    * identically in Spark and DuckDB (verified on negatives, which
+    * seasonal deviations produce), so the whole recursion replays
+    * bit-for-bit. Seasonals zero-init (documented: state converges
+    * within weeks on a multi-year spine). The fold is one higher-order
+    * aggregate over the calendar-bounded day array (the q_cusum shape);
+    * forecasts h = 1..7 re-add the target day-of-week seasonal.
+    */
+  def holtWinters(orders: DataFrame): DataFrame = {
+    orders
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("rc"))
+      .select(col("day"), col("rc"),
+        (dayofweek(col("day")) - 1).cast("int").as("dw"))
+      .agg(array_sort(collect_list(struct(col("day"), col("rc"), col("dw"))))
+        .as("a"))
+      .selectExpr(
+        """aggregate(
+          |  a,
+          |  named_struct('d', cast(null as date), 'l', cast(0 as bigint),
+          |    'b', cast(0 as bigint),
+          |    's', array_repeat(cast(0 as bigint), 7), 'init', false),
+          |  (acc, e) -> if(NOT acc.init,
+          |    named_struct('d', e.day, 'l', e.rc, 'b', cast(0 as bigint),
+          |      's', acc.s, 'init', true),
+          |    named_struct(
+          |      'd', e.day,
+          |      'l', (e.rc - element_at(acc.s, e.dw + 1) + acc.l + acc.b) div 2,
+          |      'b', (((e.rc - element_at(acc.s, e.dw + 1) + acc.l + acc.b) div 2)
+          |            - acc.l + acc.b) div 2,
+          |      's', transform(acc.s, (v, i) -> if(i = e.dw,
+          |            ((e.rc - ((e.rc - element_at(acc.s, e.dw + 1) + acc.l + acc.b) div 2))
+          |             + v) div 2, v)),
+          |      'init', true))) AS st""".stripMargin)
+      .selectExpr("st.d AS last_day", "st.l AS l", "st.b AS b", "st.s AS s",
+        "explode(sequence(1, 7)) AS h")
+      .select(col("h").cast("long").as("h"),
+        date_add(col("last_day"), col("h").cast("int")).as("day"),
+        col("l"), col("b"), col("s"))
+      .select(col("h"), col("day"),
+        round((col("l") + col("h") * col("b") +
+          element_at(col("s"), dayofweek(col("day")).cast("int")))
+          .cast("double") / 100.0, 2).as("forecast"))
+      .orderBy("h")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_holt_winters" -> { (s, d) => holtWinters(Tables.orders(s, d)) },
+    "q_cohort_ltv" -> { (s, d) => cohortLtv(Tables.orders(s, d)) },
     "q_max_drawdown" -> { (s, d) => maxDrawdown(Tables.orders(s, d)) },
     "q_lorenz_deciles" -> { (s, d) => lorenzDeciles(Tables.orders(s, d)) },
     "q_logrank" -> { (s, d) => logrank(Tables.events(s, d)) },
@@ -3988,7 +4070,65 @@ object Analytics {
     (numSelects ++ catSelects).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** DuckDB Holt–Winters replay: recursive CTE with the 7 seasonal
+    * registers as columns; l' is textually repeated inside b'/s_k'
+    * (CTE columns can't reference siblings) exactly as the Spark
+    * named_struct does.
+    */
+  private def holtWintersSql: String = {
+    val sdw = (0 to 6).map(k => s"WHEN $k THEN f.s$k").mkString(
+      "(CASE i.dw ", " ", " END)")
+    val lp = s"((i.rc - $sdw + f.l + f.b) // 2)"
+    val sCols = (0 to 6).map(k =>
+      s"CASE WHEN i.dw = $k THEN ((i.rc - $lp) + f.s$k) // 2 ELSE f.s$k END")
+      .mkString(",\n  ")
+    val zeros = (0 to 6).map(k => s"CAST(0 AS BIGINT) AS s$k").mkString(", ")
+    s"""WITH RECURSIVE d AS (
+       | SELECT CAST(o_orderdate AS DATE) AS day,
+       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rc
+       | FROM orders GROUP BY 1),
+       |i AS (SELECT day, rc, dayofweek(day) AS dw,
+       |      row_number() OVER (ORDER BY day) AS rn FROM d),
+       |f AS (
+       | SELECT 1 AS rn, (SELECT rc FROM i WHERE rn = 1) AS l,
+       |  CAST(0 AS BIGINT) AS b, $zeros
+       | UNION ALL
+       | SELECT i.rn, $lp AS l,
+       |  ($lp - f.l + f.b) // 2 AS b,
+       |  $sCols
+       | FROM f JOIN i ON i.rn = f.rn + 1),
+       |last AS (SELECT * FROM f ORDER BY rn DESC LIMIT 1),
+       |md AS (SELECT max(day) AS last_day FROM d),
+       |fc AS (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS h)
+       |SELECT h, last_day + CAST(h AS INTEGER) AS day,
+       | round(CAST(l + h * b +
+       |  (CASE dayofweek(last_day + CAST(h AS INTEGER))
+       |   ${(0 to 6).map(k => s"WHEN $k THEN s$k").mkString(" ")} END)
+       |  AS DOUBLE) / 100.0, 2) AS forecast
+       |FROM fc CROSS JOIN last CROSS JOIN md ORDER BY h""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_holt_winters" -> holtWintersSql,
+    "q_cohort_ltv" ->
+      """WITH per AS (
+        | SELECT o_custkey,
+        |  CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        | FROM orders),
+        |f AS (SELECT o_custkey, CAST(min(m) AS BIGINT) AS cm
+        |      FROM per GROUP BY 1),
+        |g AS (
+        | SELECT cm, m - cm AS age_months,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS rev_cents
+        | FROM per JOIN f USING (o_custkey) GROUP BY 1, 2)
+        |SELECT ((cm - 1) // 12) * 100 + (cm - ((cm - 1) // 12) * 12)
+        |  AS cohort_month,
+        | age_months, n_orders, rev_cents,
+        | CAST(sum(rev_cents) OVER (PARTITION BY cm ORDER BY age_months
+        |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_cents
+        |FROM g ORDER BY cohort_month, age_months""".stripMargin,
     "q_max_drawdown" ->
       """WITH d AS (
         | SELECT CAST(o_orderdate AS DATE) AS day,

@@ -776,7 +776,42 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** HARD-NEGATIVE MINING for contrastive training (the embedding twin
+    * of q_negative_sample's md5-random negatives): for each query
+    * vector, the single most-similar vector with a DIFFERENT label —
+    * maximally confusable, which is exactly what a contrastive loss
+    * wants beside its positives (random negatives quickly become too
+    * easy). Scored with the native single-pass cosine expression, top-1
+    * via a max_by argmax with id tie-break (no window). Scale posture:
+    * queries broadcast against the corpus scan (the q_sim_topk_brute
+    * shape); at 100 TB the scan side swaps for the IVF/PQ candidate
+    * stream — the scorer and argmax are unchanged.
+    */
+  def hardNegatives(emb: DataFrame, nQ: Int = 10): DataFrame = {
+    val s = emb.sparkSession
+    val q = emb.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val c = emb.select(col("vec_id").as("corpus_id"),
+      col("embedding").as("c_emb"), col("label").as("c_label"))
+    c.crossJoin(broadcast(q))
+      .filter(col("q_label") =!= col("c_label"))
+      .select(col("query_id"), col("q_label"), col("corpus_id"),
+        col("c_label"),
+        round(graft.functions.NativeExpressions
+          .cosineSim(s, col("q_emb"), col("c_emb")), 6).as("sim"))
+      .groupBy("query_id", "q_label")
+      .agg(max_by(struct(col("corpus_id"), col("c_label"), col("sim")),
+        struct(col("sim"), negate(col("corpus_id")))).as("m"))
+      .select(col("query_id"), col("q_label"),
+        col("m.corpus_id").as("neg_id"), col("m.c_label").as("neg_label"),
+        col("m.sim").as("sim"))
+      .orderBy("query_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hard_negatives" -> { (s, d) =>
+      hardNegatives(Tables.embeddings(s, d)) },
     // PQ-compressed ADC retrieval (the billion-scale ANN memory path).
     "q_pq_adc" -> { (s, d) => pqTopK(Tables.embeddings(s, d)) },
     // ColBERT-style MaxSim over multi-vector docs.
@@ -1208,6 +1243,24 @@ object Similarity {
   }
 
   def oracles: Map[String, String] = Map(
+    // hard negatives: same cosine, argmax by (sim desc, id asc)
+    "q_hard_negatives" ->
+      s"""WITH q AS (
+         | SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
+         | FROM embeddings WHERE vec_id < 10),
+         |sc AS (
+         | SELECT query_id, q_label, c.vec_id AS corpus_id,
+         |  c.label AS c_label,
+         |  round(${cosSql("q_emb", "c.embedding")}, 6) AS sim
+         | FROM embeddings c CROSS JOIN q
+         | WHERE q.q_label <> c.label),
+         |r AS (
+         | SELECT *, row_number() OVER (PARTITION BY query_id
+         |   ORDER BY sim DESC, corpus_id ASC) AS rn
+         | FROM sc)
+         |SELECT query_id, q_label, corpus_id AS neg_id,
+         | c_label AS neg_label, sim
+         |FROM r WHERE rn = 1 ORDER BY query_id""".stripMargin,
     // PQ/ADC twin: 4 × (integer Lloyd replay) + coding + table scoring
     "q_pq_adc" -> pqOracleSql(),
     // MaxSim twin: same quantized integer dots, max-then-sum, ranked

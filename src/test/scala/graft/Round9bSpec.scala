@@ -370,6 +370,66 @@ class Round9bSpec extends SparkSpec {
     assert(rows("short").getAs[Double]("delta_mean_chars") > 0)
   }
 
+  test("holtWinters: constant series forecasts the constant exactly") {
+    val t0 = java.time.LocalDate.of(2020, 1, 6) // a Monday
+    val rows = (0 until 21).map(i =>
+      (t0.plusDays(i).toString + " 00:00:00", 100.0))
+    val orders = rows.toDF("ds", "o_totalprice")
+      .select(to_timestamp(col("ds")).as("o_orderdate"), col("o_totalprice"))
+    val got = operators.Analytics.holtWinters(orders).collect()
+    assert(got.length === 7)
+    got.foreach(r => assert(r.getAs[Double]("forecast") === 100.0))
+  }
+
+  test("holtWinters: learned weekly seasonal lifts the Sunday forecast") {
+    val t0 = java.time.LocalDate.of(2020, 1, 6) // Monday
+    val rows = (0 until 70).map { i =>
+      val day = t0.plusDays(i)
+      val v = if (day.getDayOfWeek == java.time.DayOfWeek.SUNDAY) 200.0
+        else 100.0
+      (day.toString + " 00:00:00", v)
+    }
+    val orders = rows.toDF("ds", "o_totalprice")
+      .select(to_timestamp(col("ds")).as("o_orderdate"), col("o_totalprice"))
+    val got = operators.Analytics.holtWinters(orders).collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toLocalDate.getDayOfWeek,
+        r.getAs[Double]("forecast"))).toMap
+    val sun = got(java.time.DayOfWeek.SUNDAY)
+    got.filterNot(_._1 == java.time.DayOfWeek.SUNDAY).values
+      .foreach(f => assert(sun > f + 30,
+        s"sunday $sun should clearly exceed weekday $f"))
+  }
+
+  test("cohortLtv: hand-built two-cohort matrix with cumulative spend") {
+    val rows = Seq(
+      (1L, "2020-01-15 00:00:00", 100.0),
+      (1L, "2020-03-02 00:00:00", 50.0),
+      (2L, "2020-03-20 00:00:00", 70.0))
+    val orders = rows.toDF("o_custkey", "ds", "o_totalprice")
+      .select(col("o_custkey"), to_timestamp(col("ds")).as("o_orderdate"),
+        col("o_totalprice"))
+    val got = operators.Analytics.cohortLtv(orders).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got((202001L, 0L)) === ((1L, 10000L, 10000L)))
+    assert(got((202001L, 2L)) === ((1L, 5000L, 15000L)))
+    assert(got((202003L, 0L)) === ((1L, 7000L, 7000L)))
+  }
+
+  test("hardNegatives: picks the most-similar DIFFERENT-label vector") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 1),
+      (5L, Array(1.0f, 0.0f), 1),   // same label — must be skipped
+      (6L, Array(0.9f, 0.1f), 2),   // hard negative
+      (7L, Array(0.0f, 1.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val got = operators.Similarity.hardNegatives(emb, nQ = 1).collect()
+    assert(got.length === 1)
+    assert(got(0).getAs[Long]("neg_id") === 6L)
+    assert(got(0).getAs[Int]("neg_label") === 2)
+    assert(got(0).getAs[Double]("sim") > 0.99)
+  }
+
   test("grangerDaily: an exact AR fit (zero residual) yields null F, not ∞") {
     // rev_t = rev_{t−1} exactly → RSS_full = 0 → guarded null
     val t0 = java.time.LocalDate.of(2020, 1, 1)
