@@ -548,6 +548,44 @@ object Curation {
       .orderBy("source")
   }
 
+  /** DSIR per-doc log-weights (doc_id, n_feats, lw) — the shared frame
+    * behind q_dsir_weights (threshold selection) and q_ess_weights
+    * (resampling-health diagnostic). See q_dsir_weights for the model.
+    */
+  def dsirPerDoc(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import graft.CacheScope.TrackedDataset
+    val buckets = 256
+    val toks = Tables.documents(s, d).select(col("doc_id"),
+      (col("lang") === "en").as("is_target"),
+      TextAnalysis.tokens(lower(col("text"))).as("toks"))
+    val uni = toks.select(col("doc_id"), col("is_target"),
+      explode(col("toks")).as("f"))
+    val bi = toks.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("is_target"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 1), i =>
+          concat_ws(" ", element_at(col("toks"), i),
+            element_at(col("toks"), i + 1)))).as("f"))
+    val feats = uni.unionByName(bi)
+      .select(col("doc_id"), col("is_target"),
+        (conv(substring(md5(col("f")), 1, 8), 16, 10).cast("long")
+          % buckets).as("h"))
+      .persistTracked()
+    val stats = feats.groupBy("h").agg(
+      count(lit(1)).as("cr"),
+      coalesce(sum(when(col("is_target"), 1L)), lit(0L)).as("ct"))
+    val tot = stats.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+    val term = round(
+      log(col("ct") + 1.0) - log((col("tt") + buckets).cast("double")) -
+        log(col("cr") + 1.0) + log((col("tr") + buckets).cast("double")),
+      6).cast(DecimalType(18, 6))
+    feats.join(broadcast(stats), Seq("h"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), term.as("t"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum(col("t")).cast("double").as("lw"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_loso_impact" -> { (s, d) => losoImpact(Tables.documents(s, d)) },
     // IPF/raking: uniform-source × observed-lang mix calibration.
@@ -915,42 +953,42 @@ object Curation {
     // n-gram text; the model is a 256-row broadcast; the threshold is
     // one X4 exact-percentile pass over the doc-cardinality weight frame.
     "q_dsir_weights" -> { (s, d) =>
-      import org.apache.spark.sql.types.DecimalType
-      import graft.CacheScope.TrackedDataset
-      val buckets = 256
-      val toks = Tables.documents(s, d).select(col("doc_id"),
-        (col("lang") === "en").as("is_target"),
-        TextAnalysis.tokens(lower(col("text"))).as("toks"))
-      val uni = toks.select(col("doc_id"), col("is_target"),
-        explode(col("toks")).as("f"))
-      val bi = toks.filter(size(col("toks")) >= 2)
-        .select(col("doc_id"), col("is_target"),
-          explode(transform(sequence(lit(1), size(col("toks")) - 1), i =>
-            concat_ws(" ", element_at(col("toks"), i),
-              element_at(col("toks"), i + 1)))).as("f"))
-      val feats = uni.unionByName(bi)
-        .select(col("doc_id"), col("is_target"),
-          (conv(substring(md5(col("f")), 1, 8), 16, 10).cast("long")
-            % buckets).as("h"))
-        .persistTracked()
-      val stats = feats.groupBy("h").agg(
-        count(lit(1)).as("cr"),
-        coalesce(sum(when(col("is_target"), 1L)), lit(0L)).as("ct"))
-      val tot = stats.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
-      val term = round(
-        log(col("ct") + 1.0) - log((col("tt") + buckets).cast("double")) -
-          log(col("cr") + 1.0) + log((col("tr") + buckets).cast("double")),
-        6).cast(DecimalType(18, 6))
-      val perDoc = feats.join(broadcast(stats), Seq("h"))
-        .crossJoin(broadcast(tot))
-        .select(col("doc_id"), term.as("t"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_feats"), sum(col("t")).cast("double").as("lw"))
+      val perDoc = dsirPerDoc(s, d)
       val thr = Analytics.exactPercentiles(perDoc, "lw", Seq("p90" -> 0.9))
       perDoc.crossJoin(broadcast(thr))
         .select(col("doc_id"), col("n_feats"), round(col("lw"), 6).as("logw"),
           (col("lw") >= col("p90")).as("selected"))
         .orderBy("doc_id")
+    },
+
+    // EFFECTIVE SAMPLE SIZE of the DSIR importance weights, PER SOURCE
+    // (Kong 1992): ESS = (Σw)²/Σw² with w = exp(logw − max_s logw) —
+    // the self-normalized form, shifted by the per-source max so exp
+    // never overflows and the ratio is scale-invariant. THE diagnostic
+    // importance resampling ships with: ESS/n near 1 means the source's
+    // docs are exchangeable under the target; near 0 means a handful of
+    // docs would dominate a resample (variance blow-up — cap weights or
+    // re-model before trusting the mix). Shifted weights round to 6dp
+    // DECIMAL (order-safe sums; w·w an exact decimal product); ESS is
+    // one final double tree. Reuses the dsirPerDoc frame + a doc-
+    // cardinality source join + source-cardinality aggregates.
+    "q_ess_weights" -> { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val per = dsirPerDoc(s, d)
+        .join(Tables.documents(s, d).select("doc_id", "source"), Seq("doc_id"))
+      val mx = per.groupBy("source").agg(max(col("lw")).as("mxl"))
+      val w = round(exp(col("lw") - col("mxl")), 6).cast(DecimalType(18, 6))
+      val g = per.join(broadcast(mx), Seq("source"))
+        .select(col("source"), w.as("w"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("sw"),
+          sum(col("w") * col("w")).as("sww"))
+      def db(c: String) = col(c).cast("double")
+      g.select(col("source"), col("n_docs"),
+          round(db("sw") * db("sw") / db("sww"), 6).as("ess"),
+          round(db("sw") * db("sw") / db("sww") / db("n_docs"), 6)
+            .as("ess_ratio"))
+        .orderBy("source")
     },
 
     // OUT-OF-TIME (temporal) SPLIT + measured leakage audit — the holdout
@@ -1100,6 +1138,38 @@ object Curation {
        | CASE WHEN len($toks) < $n THEN [array_to_string($toks, ' ')]
        |      ELSE list_transform(range(1, len($toks) - ${n - 2}),
        |             i -> array_to_string(list_slice($toks, i, i + ${n - 1}), ' ')) END)""".stripMargin
+
+  /** Shared DuckDB DSIR CTE chain ending in `pd(doc_id, n_feats, lw)`
+    * — used by the q_dsir_weights and q_ess_weights oracles.
+    */
+  private val dsirPdCtes: String =
+    """toks AS (
+      | SELECT doc_id, lang = 'en' AS is_target,
+      |  list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+      | FROM documents),
+      |uni AS (SELECT doc_id, is_target, unnest(toks) AS f FROM toks),
+      |bi AS (
+      | SELECT doc_id, is_target,
+      |  unnest(list_transform(range(1, len(toks)),
+      |   i -> toks[i] || ' ' || toks[i + 1])) AS f
+      | FROM toks WHERE len(toks) >= 2),
+      |feats AS (
+      | SELECT doc_id, is_target,
+      |  CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 256 AS h
+      | FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+      |stats AS (
+      | SELECT h, CAST(count(*) AS BIGINT) AS cr,
+      |  CAST(COALESCE(sum(CASE WHEN is_target THEN 1 ELSE 0 END), 0)
+      |   AS BIGINT) AS ct
+      | FROM feats GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS tr,
+      |        CAST(sum(ct) AS BIGINT) AS tt FROM stats),
+      |pd AS (
+      | SELECT doc_id, count(*) AS n_feats,
+      |  CAST(sum(CAST(round(ln(ct + 1.0) - ln(CAST(tt + 256 AS DOUBLE))
+      |   - ln(cr + 1.0) + ln(CAST(tr + 256 AS DOUBLE)), 6)
+      |   AS DECIMAL(18,6))) AS DOUBLE) AS lw
+      | FROM feats JOIN stats USING (h) CROSS JOIN tot GROUP BY doc_id)""".stripMargin
 
   def oracles: Map[String, String] = {
     // DuckDB twin of [[hrwShard]]: the same packed-BIGINT argmax
@@ -1423,36 +1493,30 @@ object Curation {
          |  AS oversampled
          |FROM b CROSS JOIN t ORDER BY source""".stripMargin,
     "q_dsir_weights" ->
-      """WITH toks AS (
-        | SELECT doc_id, lang = 'en' AS is_target,
-        |  list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
-        | FROM documents),
-        |uni AS (SELECT doc_id, is_target, unnest(toks) AS f FROM toks),
-        |bi AS (
-        | SELECT doc_id, is_target,
-        |  unnest(list_transform(range(1, len(toks)),
-        |   i -> toks[i] || ' ' || toks[i + 1])) AS f
-        | FROM toks WHERE len(toks) >= 2),
-        |feats AS (
-        | SELECT doc_id, is_target,
-        |  CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 256 AS h
-        | FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
-        |stats AS (
-        | SELECT h, CAST(count(*) AS BIGINT) AS cr,
-        |  CAST(COALESCE(sum(CASE WHEN is_target THEN 1 ELSE 0 END), 0)
-        |   AS BIGINT) AS ct
-        | FROM feats GROUP BY 1),
-        |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS tr,
-        |        CAST(sum(ct) AS BIGINT) AS tt FROM stats),
-        |pd AS (
-        | SELECT doc_id, count(*) AS n_feats,
-        |  CAST(sum(CAST(round(ln(ct + 1.0) - ln(CAST(tt + 256 AS DOUBLE))
-        |   - ln(cr + 1.0) + ln(CAST(tr + 256 AS DOUBLE)), 6)
-        |   AS DECIMAL(18,6))) AS DOUBLE) AS lw
-        | FROM feats JOIN stats USING (h) CROSS JOIN tot GROUP BY doc_id),
-        |thr AS (SELECT quantile_cont(lw, 0.9) AS p90 FROM pd)
-        |SELECT doc_id, n_feats, round(lw, 6) AS logw, lw >= p90 AS selected
-        |FROM pd, thr ORDER BY doc_id""".stripMargin,
+      (s"WITH $dsirPdCtes,\n" +
+        """thr AS (SELECT quantile_cont(lw, 0.9) AS p90 FROM pd)
+          |SELECT doc_id, n_feats, round(lw, 6) AS logw, lw >= p90 AS selected
+          |FROM pd, thr ORDER BY doc_id""".stripMargin),
+    "q_ess_weights" ->
+      (s"WITH $dsirPdCtes,\n" +
+        """per AS (
+          | SELECT pd.doc_id, pd.lw, d.source
+          | FROM pd JOIN documents d USING (doc_id)),
+          |mx AS (SELECT source, max(lw) AS mxl FROM per GROUP BY 1),
+          |w AS (
+          | SELECT per.source,
+          |  CAST(round(exp(lw - mxl), 6) AS DECIMAL(18,6)) AS w
+          | FROM per JOIN mx USING (source)),
+          |g AS (
+          | SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |  sum(w) AS sw, sum(w * w) AS sww
+          | FROM w GROUP BY 1)
+          |SELECT source, n_docs,
+          | round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+          |   / CAST(sww AS DOUBLE), 6) AS ess,
+          | round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+          |   / CAST(sww AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS ess_ratio
+          |FROM g ORDER BY source""".stripMargin),
     "q_temporal_split" ->
       """WITH base AS (
         | SELECT event_id, user_id,

@@ -430,6 +430,19 @@ class Round9bSpec extends SparkSpec {
     assert(got(0).getAs[Double]("sim") > 0.99)
   }
 
+  test("essWeights: ESS bounded by [1, n] and ratio in (0, 1]") {
+    val rows = SparkEntry.queries("q_ess_weights")(spark,
+      "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs").toDouble
+      val ess = r.getAs[Double]("ess")
+      assert(ess >= 1.0 - 1e-6 && ess <= n + 1e-6, s"ess $ess n $n")
+      val ratio = r.getAs[Double]("ess_ratio")
+      assert(ratio > 0 && ratio <= 1.0 + 1e-6)
+    }
+  }
+
   test("grangerDaily: an exact AR fit (zero residual) yields null F, not ∞") {
     // rev_t = rev_{t−1} exactly → RSS_full = 0 → guarded null
     val t0 = java.time.LocalDate.of(2020, 1, 1)
