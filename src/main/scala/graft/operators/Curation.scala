@@ -586,7 +586,41 @@ object Curation {
       .agg(count(lit(1)).as("n_feats"), sum(col("t")).cast("double").as("lw"))
   }
 
+  /** UCB1 ADAPTIVE SOURCE SELECTION (Auer et al. 2002) — the bandit
+    * view of corpus mixing: each source is an arm, reward = the doc
+    * survives the length screen (n_chars ≥ 256 — the truncation-plan
+    * threshold family), and UCB = mean + √(2 ln N / n) says which
+    * source an adaptive curation loop samples NEXT (exploit high keep
+    * rates, explore under-sampled sources). The static counterpart of
+    * the online loop: at 100 TB the table updates incrementally per
+    * ingest batch and the argmax drives the next crawl allocation.
+    * Exact integer counts to source cardinality; UCB one double tree;
+    * argmax flagged via the bounded source-frame max (no corpus
+    * window). Ties break to the lexicographically first source.
+    */
+  def ucbMix(docs: DataFrame, minChars: Long = 256L): DataFrame = {
+    val g = docs.filter(col("source").isNotNull && col("n_chars").isNotNull)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum((col("n_chars") >= minChars).cast("long")).as("keeps"))
+    val tot = g.agg(sum(col("n")).as("nn"))
+    def db(c: String) = col(c).cast("double")
+    val ucb = db("keeps") / db("n") +
+      sqrt(lit(2.0) * log(db("nn")) / db("n"))
+    val scored = g.crossJoin(broadcast(tot))
+      .select(col("source"), col("n").as("n_docs"), col("keeps"),
+        expr("keeps * 1000000 div n").as("keep_ppm"),
+        round(ucb, 6).as("ucb"))
+    scored.crossJoin(broadcast(
+        scored.orderBy(desc("ucb"), asc("source")).limit(1)
+          .select(col("source").as("chosen_src"))))
+      .withColumn("chosen", col("source") === col("chosen_src"))
+      .drop("chosen_src")
+      .orderBy("source")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ucb_mix" -> { (s, d) => ucbMix(Tables.documents(s, d)) },
     "q_loso_impact" -> { (s, d) => losoImpact(Tables.documents(s, d)) },
     // IPF/raking: uniform-source × observed-lang mix calibration.
     "q_ipf_raking" -> { (s, d) => ipfRaking(Tables.documents(s, d)) },
@@ -1177,6 +1211,26 @@ object Curation {
       s"CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':$sh'), 1, 13) AS BIGINT) * 16 + $sh"
     }.mkString("greatest(", ", ", ") % 16")
     Map(
+    "q_ucb_mix" ->
+      """WITH g AS (
+        | SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN n_chars >= 256 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS keeps
+        | FROM documents
+        | WHERE source IS NOT NULL AND n_chars IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM g),
+        |sc AS (
+        | SELECT source, n AS n_docs, keeps,
+        |  CAST(keeps * 1000000 // n AS BIGINT) AS keep_ppm,
+        |  round(CAST(keeps AS DOUBLE) / CAST(n AS DOUBLE)
+        |   + sqrt(2.0 * ln(CAST(nn AS DOUBLE)) / CAST(n AS DOUBLE)), 6)
+        |   AS ucb
+        | FROM g CROSS JOIN t),
+        |best AS (SELECT source AS chosen_src FROM sc
+        |         ORDER BY ucb DESC, source ASC LIMIT 1)
+        |SELECT source, n_docs, keeps, keep_ppm, ucb,
+        | source = chosen_src AS chosen
+        |FROM sc CROSS JOIN best ORDER BY source""".stripMargin,
     "q_loso_impact" ->
       """WITH g AS (
         | SELECT source, CAST(count(*) AS BIGINT) AS n,

@@ -426,7 +426,58 @@ object Graph {
       .orderBy("lm", "dist")
   }
 
+  /** PERSONALIZED PAGERANK (Page et al. 1999 §6; the PPR of Jeh &
+    * Widom 2002) from a seed set — q_pagerank_entity ranks GLOBAL
+    * centrality; PPR teleports back to the SEEDS, so mass concentrates
+    * in their neighborhood: the "related entities" / graph-local
+    * recommendation primitive. Seeds = the q_bfs_landmarks suppliers
+    * (the two queries compose: BFS gives reach, PPR gives affinity).
+    *
+    * Same fixed-point integer contract as q_pagerank_entity (SCALE
+    * mass units, every op integer div, DuckDB replays bit-for-bit);
+    * only the teleport vector changes — 15% of mass div nSeeds to each
+    * seed, zero elsewhere. Same scale posture too: one shuffle per
+    * round, rank frame node-cardinality, one driver scalar (seed
+    * count); nothing edge-cardinality persists.
+    */
+  def pprOnEdges(edgeFrame: DataFrame, seeds: DataFrame, iters: Int,
+                 k: Int): DataFrame = {
+    import graft.CacheScope.TrackedDataset
+    val edges = edgeFrame.persistTracked()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+      .join(seeds.select(col("node"), lit(true).as("is_seed")),
+        Seq("node"), "left")
+      .na.fill(false, Seq("is_seed"))
+      .persistTracked()
+    val nSeeds = seeds.count() // one driver scalar (q_pagerank posture)
+    val seedMass = SCALE / nSeeds
+    val teleport = (15L * seedMass) / 100L
+    var p = deg.select(col("node"), col("deg"), col("is_seed"),
+      when(col("is_seed"), seedMass).otherwise(0L).as("p"))
+    for (_ <- 1 to iters) {
+      val sums = edges
+        .join(p.select(col("node").as("src"), expr("p div deg").as("c")),
+          Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("c")).as("s"))
+      p = deg.join(sums, Seq("node"), "left")
+        .select(col("node"), col("deg"), col("is_seed"),
+          (when(col("is_seed"), teleport).otherwise(0L) +
+            expr("(85 * coalesce(s, 0)) div 100")).as("p"))
+    }
+    p.select(col("node"), col("p").as("ppr_mass"))
+      .orderBy(desc("ppr_mass"), asc("node")).limit(k)
+  }
+
+  def ppr(s: SparkSession, d: String, iters: Int = 3, k: Int = 10,
+          nSeeds: Int = 3): DataFrame =
+    pprOnEdges(interactionEdges(s, d),
+      Tables.supplier(s, d).orderBy("s_suppkey").limit(nSeeds)
+        .select(concat(lit("s:"), col("s_suppkey")).as("node")), iters, k)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ppr_seed" -> { (s, d) => ppr(s, d) },
     "q_bfs_landmarks" -> { (s, d) => bfsLandmarks(s, d) },
     "q_assortativity" -> { (s, d) => assortativity(s, d) },
     "q_pagerank_entity" -> { (s, d) => pagerank(s, d) },
@@ -435,7 +486,47 @@ object Graph {
     "q_hits" -> { (s, d) => hits(s, d) },
     "q_kcore" -> { (s, d) => kcore(s, d) })
 
+  /** One DuckDB PPR iteration (seed-vector teleport; otherwise the
+    * q_pagerank_entity round verbatim).
+    */
+  private def pprIterSql(t: Int): String = {
+    val prev = s"p${t - 1}"
+    s"""p$t AS (
+       | SELECT d.node, d.deg, d.is_seed,
+       |  (CASE WHEN d.is_seed
+       |    THEN (SELECT (15 * (1000000000000 // n)) // 100 FROM ns)
+       |    ELSE 0 END)
+       |   + CAST((85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS p
+       | FROM d2 d LEFT JOIN (
+       |  SELECT e.dst AS node, sum(p.p // p.deg) AS s
+       |  FROM edges e JOIN $prev p ON e.src = p.node GROUP BY 1) s
+       | ON d.node = s.node)""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_ppr_seed" -> {
+      val iters = (1 to 3).map(pprIterSql).mkString(",\n")
+      s"""WITH e0 AS (
+         | SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
+         | FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (
+         | SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+         |seeds AS (SELECT 's:' || s_suppkey AS node FROM supplier
+         |          ORDER BY s_suppkey LIMIT 3),
+         |ns AS (SELECT count(*) AS n FROM seeds),
+         |d2 AS (
+         | SELECT deg.node, deg.deg, seeds.node IS NOT NULL AS is_seed
+         | FROM deg LEFT JOIN seeds ON deg.node = seeds.node),
+         |p0 AS (
+         | SELECT node, deg, is_seed,
+         |  CASE WHEN is_seed THEN (SELECT 1000000000000 // n FROM ns)
+         |   ELSE 0 END AS p
+         | FROM d2),
+         |$iters
+         |SELECT node, p AS ppr_mass FROM p3
+         |ORDER BY ppr_mass DESC, node LIMIT 10""".stripMargin
+    },
     // DuckDB replays BFS as a recursive UNION (distinct) walk bounded at
     // 3 hops, then min(dist) per (lm, node) = the true BFS distance —
     // level sets are node-bounded so the recursion can't path-explode.

@@ -443,6 +443,43 @@ class Round9bSpec extends SparkSpec {
     }
   }
 
+  test("pprOnEdges: mass concentrates near the seed, not the far clique") {
+    // path a—b—c—d plus a fat far clique {x1..x4} attached at d: global
+    // PageRank loves the clique; PPR from seed {a} must rank b above
+    // every clique member
+    val half = Seq(("a", "b"), ("b", "c"), ("c", "d")) ++
+      (1 to 4).flatMap(i => Seq(("d", s"x$i")) ++
+        (1 to 4).filter(_ != i).map(j => (s"x$i", s"x$j")))
+    val edges = half.toDF("src", "dst")
+      .union(half.toDF("src", "dst").select(col("dst"), col("src")))
+      .distinct()
+    val seeds = Seq("a").toDF("node")
+    val ranks = operators.Graph.pprOnEdges(edges, seeds, iters = 3, k = 12)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // locality: the seed's 1-hop neighbor beats every far-clique member
+    // (a itself can rank below b — b absorbs a's ENTIRE mass each round
+    // while a gets back only the teleport + half of b's, which is the
+    // correct damped-walk behavior, not a bug)
+    (1 to 4).foreach(i => assert(ranks("b") > ranks(s"x$i"),
+      s"b=${ranks("b")} should beat clique x$i=${ranks(s"x$i")}"))
+    assert(ranks("a") > ranks("d")) // teleport keeps the seed above the hub
+  }
+
+  test("ucbMix: under-sampled arm wins despite a lower keep rate") {
+    // "big" source: 400 docs, 60% keep; "tiny": 4 docs, 50% keep —
+    // the exploration bonus √(2 ln N / n) dominates at n = 4
+    val rows = (1 to 400).map(i =>
+      ("big", if (i <= 240) 300L else 100L)) ++
+      (1 to 4).map(i => ("tiny", if (i <= 2) 300L else 100L))
+    val got = operators.Curation.ucbMix(rows.toDF("source", "n_chars"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("tiny").getAs[Boolean]("chosen"))
+    assert(!got("big").getAs[Boolean]("chosen"))
+    assert(got("big").getAs[Long]("keep_ppm") === 600000L)
+    assert(got("tiny").getAs[Double]("ucb") >
+      got("big").getAs[Double]("ucb"))
+  }
+
   test("grangerDaily: an exact AR fit (zero residual) yields null F, not ∞") {
     // rev_t = rev_{t−1} exactly → RSS_full = 0 → guarded null
     val t0 = java.time.LocalDate.of(2020, 1, 1)
