@@ -2512,7 +2512,47 @@ object Analytics {
       .orderBy("h")
   }
 
+  /** NELSON–AALEN cumulative hazard (Nelson 1972, Aalen 1978) on the
+    * same duration/right-censoring construction as q_kaplan_meier:
+    * H(t) = Σ_{t_i ≤ t} d_i/n_i with the Fleming–Harrington survival
+    * exp(−H) beside it — the hazard-scale view KM's product form can't
+    * give (hazards ADD across competing risks and stratifications; the
+    * log-survival trick used for KM is this estimator's cousin).
+    * Per-time terms round 6dp and cumsum as DECIMAL over the
+    * distinct-duration spine (bounded window); survival is one exp at
+    * the end. Same shuffles as KM: user-cardinality, then spine-sized.
+    */
+  def nelsonAalen(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"), to_date(col("ts")).as("dt"))
+    val mx = ev.agg(max(col("dt")).as("mx"))
+    val per = ev.crossJoin(broadcast(mx))
+      .groupBy("user_id")
+      .agg(datediff(max(col("dt")), min(col("dt"))).as("dur"),
+        (max(col("dt")) === max(col("mx"))).as("censored"))
+    val byDur = per.groupBy("dur")
+      .agg(sum(when(!col("censored"), 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("n_ending"))
+    val w = Window.orderBy("dur")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.orderBy("dur")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val total = per.agg(count(lit(1)).as("n_total"))
+    byDur.crossJoin(broadcast(total))
+      .withColumn("n_at_risk",
+        col("n_total") - coalesce(sum(col("n_ending")).over(wPrev), lit(0L)))
+      .withColumn("term",
+        round(col("d").cast("double") / col("n_at_risk").cast("double"), 6)
+          .cast(DecimalType(18, 6)))
+      .withColumn("ch", sum(col("term")).over(w))
+      .filter(col("d") > 0)
+      .select(col("dur"), col("n_at_risk"), col("d"),
+        col("ch").cast("double").as("cum_hazard"),
+        round(exp(negate(col("ch").cast("double"))), 6).as("fh_survival"))
+      .orderBy("dur")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_nelson_aalen" -> { (s, d) => nelsonAalen(Tables.events(s, d)) },
     "q_holt_winters" -> { (s, d) => holtWinters(Tables.orders(s, d)) },
     "q_cohort_ltv" -> { (s, d) => cohortLtv(Tables.orders(s, d)) },
     "q_max_drawdown" -> { (s, d) => maxDrawdown(Tables.orders(s, d)) },
@@ -4109,6 +4149,36 @@ object Analytics {
   }
 
   def oracles: Map[String, String] = Map(
+    "q_nelson_aalen" ->
+      """WITH ev AS (
+        | SELECT user_id, CAST(ts AS DATE) AS dt FROM events),
+        |mx AS (SELECT max(dt) AS mx FROM ev),
+        |per AS (
+        | SELECT user_id,
+        |  CAST(date_diff('day', min(dt), max(dt)) AS INTEGER) AS dur,
+        |  max(dt) = (SELECT mx FROM mx) AS censored
+        | FROM ev GROUP BY user_id),
+        |bydur AS (
+        | SELECT dur,
+        |  CAST(sum(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |  CAST(count(*) AS BIGINT) AS e
+        | FROM per GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM per),
+        |risk AS (
+        | SELECT dur, d,
+        |  nt - COALESCE(CAST(sum(e) OVER (ORDER BY dur
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |   AS n_at_risk
+        | FROM bydur CROSS JOIN tot),
+        |terms AS (
+        | SELECT dur, n_at_risk, d,
+        |  CAST(sum(CAST(round(CAST(d AS DOUBLE)
+        |    / CAST(n_at_risk AS DOUBLE), 6) AS DECIMAL(18,6)))
+        |   OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS ch
+        | FROM risk)
+        |SELECT dur, n_at_risk, d, ch AS cum_hazard,
+        | round(exp(-ch), 6) AS fh_survival
+        |FROM terms WHERE d > 0 ORDER BY dur""".stripMargin,
     "q_holt_winters" -> holtWintersSql,
     "q_cohort_ltv" ->
       """WITH per AS (

@@ -482,7 +482,48 @@ object Sources {
       sum(h.cast(DecimalType(38, 0))).cast("string").as("fingerprint"))
   }
 
+  /** JOIN-STRATEGY PLAN AUDIT — the measured version of the "did I
+    * broadcast the dim?" review every fact-join plan needs: the SAME
+    * orders ⋈ customer aggregation is planned twice, once with the
+    * default 10 MB broadcast threshold (dimension side qualifies →
+    * BroadcastHashJoin, zero fact shuffle) and once with broadcasting
+    * disabled (-1 → SortMergeJoin, BOTH sides shuffle — at 100 TB the
+    * difference is the whole fact table over the wire). Counts come
+    * from the compiled physical plan (no job runs); AQE is pinned OFF
+    * for the measurement so the static planner's strategy is what's
+    * audited (AQE's runtime re-plan would hide the threshold's effect).
+    * The oracle pins the expected strategy table — a plan regression
+    * (dimension stats lost, threshold misconfigured) fails the gate.
+    */
+  def joinStrategyAudit(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    def measure(threshold: String): (Long, Long) = {
+      val prevT = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevA = s.conf.get("spark.sql.adaptive.enabled")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        val df = Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+        val p = df.queryExecution.executedPlan
+        (p.collect { case _: BroadcastHashJoinExec => 1L }.sum,
+          p.collect { case _: SortMergeJoinExec => 1L }.sum)
+      } finally {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+        s.conf.set("spark.sql.adaptive.enabled", prevA)
+      }
+    }
+    import s.implicits._
+    val (b1, m1) = measure("10485760")
+    val (b2, m2) = measure("-1")
+    Seq(("broadcast_disabled", b2, m2), ("broadcast_enabled", b1, m1))
+      .toDF("mode", "n_broadcast_hash_joins", "n_sort_merge_joins")
+      .orderBy("mode")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_strategy_audit" -> joinStrategyAudit _,
     "q_table_fingerprint" -> tableFingerprint _,
     "q_s1_csv_roundtrip" -> csvRoundtrip _,
     "q_csv_quoted" -> csvQuotedRoundtrip _,
@@ -502,6 +543,14 @@ object Sources {
   )
 
   def oracles: Map[String, String] = Map(
+    // expected-strategy pin: the dimension must broadcast under the
+    // default threshold and sort-merge when broadcasting is disabled
+    "q_join_strategy_audit" ->
+      """SELECT * FROM (VALUES
+        | ('broadcast_disabled', CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+        | ('broadcast_enabled', CAST(1 AS BIGINT), CAST(0 AS BIGINT)))
+        | t(mode, n_broadcast_hash_joins, n_sort_merge_joins)
+        |ORDER BY mode""".stripMargin,
     "q_table_fingerprint" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         | CAST(sum(CAST('0x' || substr(md5(concat_ws(':',

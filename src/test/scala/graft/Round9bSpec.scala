@@ -480,6 +480,33 @@ class Round9bSpec extends SparkSpec {
       got("big").getAs[Double]("ucb"))
   }
 
+  test("nelsonAalen: hand-computed hazard on a five-user cohort") {
+    val t0 = java.time.LocalDate.of(2022, 1, 1)
+    def row(u: Long, endDay: Int) = Seq(
+      (u, t0.toString + " 00:00:00"),
+      (u, t0.plusDays(endDay).toString + " 00:00:00"))
+    // deaths at dur 1,1,2,3; user 5 censored at the global max (day 9)
+    val rows = row(1, 1) ++ row(2, 1) ++ row(3, 2) ++ row(4, 3) ++ row(5, 9)
+    val ev = rows.toDF("user_id", "dts")
+      .select(col("user_id"), to_timestamp(col("dts")).as("ts"))
+    val got = operators.Analytics.nelsonAalen(ev).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(got(1) === ((5L, 2L, 0.4, math.rint(math.exp(-0.4) * 1e6) / 1e6)))
+    assert(got(2)._3 === 0.4 + 0.333333)
+    assert(got(3)._3 === 0.4 + 0.333333 + 0.5)
+    assert(got(3)._1 === 2L) // two at risk at dur 3 (u4 + censored u5)
+  }
+
+  test("joinStrategyAudit: the threshold flips the physical strategy") {
+    val got = graft.sources.Sources
+      .joinStrategyAudit(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got("broadcast_enabled") === ((1L, 0L)))
+    assert(got("broadcast_disabled") === ((0L, 1L)))
+  }
+
   test("grangerDaily: an exact AR fit (zero residual) yields null F, not ∞") {
     // rev_t = rev_{t−1} exactly → RSS_full = 0 → guarded null
     val t0 = java.time.LocalDate.of(2020, 1, 1)
