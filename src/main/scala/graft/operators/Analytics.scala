@@ -2551,7 +2551,60 @@ object Analytics {
       .orderBy("dur")
   }
 
+  /** KENDALL'S τ-b (Kendall 1938; τ-b tie correction) between document
+    * word count and the 32-char length bucket — the third
+    * rank-correlation view beside Pearson (q_a8_corr, linear) and
+    * Spearman (q_spearman, monotone-by-rank): τ counts CONCORDANT vs
+    * DISCORDANT pairs, so it's the probability interpretation ("a
+    * random pair agrees in direction") robust to any monotone
+    * rescaling. The pair is chosen DEPENDENT on purpose (words↤chars;
+    * the synthetic fact columns are mutually independent and would gate
+    * a vacuous τ ≈ 0) — the tie machinery and the cell algebra are
+    * what's under test, and bucketing plants heavy y-ties.
+    *
+    * Scale shape — the reason this is feasible at all: naive τ is
+    * O(n²) over ROWS; here the corpus collapses ONCE to the (x, y)
+    * contingency cells (bounded by the two value domains, the ksTest
+    * spine argument) and all pair counting is a cell×cell join:
+    * C = Σ_a n_a·(Σ_{b: x>, y>} n_b), D likewise with y< — work is
+    * cells², independent of corpus size. Ties come from the marginals.
+    * All counts exact Longs; τ is one final double tree.
+    */
+  def kendallTau(docs: DataFrame): DataFrame = {
+    val x = TextAnalysis.tokenCount(col("text")).cast("long")
+    val y = expr("CAST(n_chars AS BIGINT) div 32")
+    val cells = docs.filter(col("text").isNotNull &&
+        col("n_chars").isNotNull)
+      .groupBy(x.as("x"), y.as("y")).agg(count(lit(1)).as("n"))
+      .persistTracked()
+    val a = cells.select(col("x").as("ax"), col("y").as("ay"),
+      col("n").as("an"))
+    val b = cells.select(col("x").as("bx"), col("y").as("by"),
+      col("n").as("bn"))
+    val conc = a.join(b, col("bx") > col("ax") && col("by") > col("ay"))
+      .agg(coalesce(sum(col("an") * col("bn")), lit(0L)).as("c"))
+    val disc = a.join(b, col("bx") > col("ax") && col("by") < col("ay"))
+      .agg(coalesce(sum(col("an") * col("bn")), lit(0L)).as("dd"))
+    val tx = cells.groupBy("x").agg(sum(col("n")).as("t"))
+      .agg(sum(col("t") * (col("t") - 1)).as("tx2"),
+        sum(col("t")).as("nn"))
+    val ty = cells.groupBy("y").agg(sum(col("n")).as("t"))
+      .agg(sum(col("t") * (col("t") - 1)).as("ty2"))
+    val m = conc.crossJoin(disc).crossJoin(tx).crossJoin(ty)
+    def db(c: String) = col(c).cast("double")
+    val n0 = db("nn") * (db("nn") - 1) / 2
+    val n1 = db("tx2") / 2
+    val n2 = db("ty2") / 2
+    val tau = (db("c") - db("dd")) / sqrt((n0 - n1) * (n0 - n2))
+    m.select(col("nn").as("n_rows"), col("c").as("n_concordant"),
+      col("dd").as("n_discordant"),
+      expr("tx2 div 2").as("ties_x_pairs"),
+      expr("ty2 div 2").as("ties_y_pairs"),
+      when((n0 - n1) * (n0 - n2) > 0, round(tau, 6)).as("tau_b"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kendall_tau" -> { (s, d) => kendallTau(Tables.documents(s, d)) },
     "q_nelson_aalen" -> { (s, d) => nelsonAalen(Tables.events(s, d)) },
     "q_holt_winters" -> { (s, d) => holtWinters(Tables.orders(s, d)) },
     "q_cohort_ltv" -> { (s, d) => cohortLtv(Tables.orders(s, d)) },
@@ -4149,6 +4202,40 @@ object Analytics {
   }
 
   def oracles: Map[String, String] = Map(
+    "q_kendall_tau" ->
+      s"""WITH cells AS (
+        | SELECT CAST(len(${TextAnalysis.tokensSql("text")}) AS BIGINT) AS x,
+        |  CAST(n_chars AS BIGINT) // 32 AS y,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM documents
+        | WHERE text IS NOT NULL AND n_chars IS NOT NULL
+        | GROUP BY 1, 2),
+        |conc AS (
+        | SELECT CAST(COALESCE(sum(a.n * b.n), 0) AS BIGINT) AS c
+        | FROM cells a JOIN cells b ON b.x > a.x AND b.y > a.y),
+        |disc AS (
+        | SELECT CAST(COALESCE(sum(a.n * b.n), 0) AS BIGINT) AS dd
+        | FROM cells a JOIN cells b ON b.x > a.x AND b.y < a.y),
+        |tx AS (
+        | SELECT CAST(sum(t * (t - 1)) AS BIGINT) AS tx2,
+        |  CAST(sum(t) AS BIGINT) AS nn
+        | FROM (SELECT sum(n) AS t FROM cells GROUP BY x)),
+        |ty AS (
+        | SELECT CAST(sum(t * (t - 1)) AS BIGINT) AS ty2
+        | FROM (SELECT sum(n) AS t FROM cells GROUP BY y))
+        |SELECT nn AS n_rows, c AS n_concordant, dd AS n_discordant,
+        | tx2 // 2 AS ties_x_pairs, ty2 // 2 AS ties_y_pairs,
+        | CASE WHEN (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1) / 2
+        |     - CAST(tx2 AS DOUBLE) / 2)
+        |    * (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1) / 2
+        |     - CAST(ty2 AS DOUBLE) / 2) > 0 THEN
+        |  round((CAST(c AS DOUBLE) - CAST(dd AS DOUBLE))
+        |   / sqrt((CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1) / 2
+        |      - CAST(tx2 AS DOUBLE) / 2)
+        |     * (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1) / 2
+        |      - CAST(ty2 AS DOUBLE) / 2)), 6)
+        | END AS tau_b
+        |FROM conc CROSS JOIN disc CROSS JOIN tx CROSS JOIN ty""".stripMargin,
     "q_nelson_aalen" ->
       """WITH ev AS (
         | SELECT user_id, CAST(ts AS DATE) AS dt FROM events),

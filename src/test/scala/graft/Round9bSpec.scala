@@ -507,6 +507,21 @@ class Round9bSpec extends SparkSpec {
     assert(got("broadcast_disabled") === ((0L, 1L)))
   }
 
+  test("kendallTau: textbook four-point τ-b with a planted y-tie") {
+    // (x,y) = (1,1),(2,2),(3,3),(4,1): C=3, D=2, one y-tied pair →
+    // τ-b = 1/√(6·5) = 0.182574
+    def words(k: Int) = Seq.fill(k)("w").mkString(" ")
+    val docs = Seq(
+      (words(1), 32L), (words(2), 64L), (words(3), 96L), (words(4), 32L))
+      .toDF("text", "n_chars")
+    val r = operators.Analytics.kendallTau(docs).collect()(0)
+    assert(r.getAs[Long]("n_concordant") === 3L)
+    assert(r.getAs[Long]("n_discordant") === 2L)
+    assert(r.getAs[Long]("ties_x_pairs") === 0L)
+    assert(r.getAs[Long]("ties_y_pairs") === 1L)
+    assert(math.abs(r.getAs[Double]("tau_b") - 0.182574) < 1e-6)
+  }
+
   test("grangerDaily: an exact AR fit (zero residual) yields null F, not ∞") {
     // rev_t = rev_{t−1} exactly → RSS_full = 0 → guarded null
     val t0 = java.time.LocalDate.of(2020, 1, 1)
