@@ -2603,7 +2603,94 @@ object Analytics {
       when((n0 - n1) * (n0 - n2) > 0, round(tau, 6)).as("tau_b"))
   }
 
+  /** BEST-SPLIT FINDER (the histogram split search inside every
+    * gradient-boosted tree / CART node — LightGBM/XGBoost's kernel,
+    * distributed): scan every candidate threshold of a numeric feature
+    * and pick the split minimizing weighted Gini impurity of the target.
+    * Candidates are the DISTINCT feature values (the ksTest spine
+    * argument — at 100 TB the same code runs on pre-binned histograms,
+    * value-domain-bounded either way); left counts come from one
+    * cumulative window over that spine, right = totals − left. Per-
+    * candidate scores round to 6dp BEFORE the argmin (cross-engine tie
+    * safety), ties to the smaller threshold. Feature = n_chars, target
+    * = is-English: the "is doc length a useful lang feature?" answer in
+    * tree form beside q_woe_iv's scorecard form.
+    */
+  def splitFinder(docs: DataFrame): DataFrame = {
+    val v = col("n_chars").cast("long")
+    val pos = (col("lang") === "en").cast("long")
+    val cells = docs.filter(v.isNotNull && col("lang").isNotNull)
+      .groupBy(v.as("v")).agg(count(lit(1)).as("c"), sum(pos).as("p"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = cells.agg(sum(col("c")).as("n"), sum(col("p")).as("np"))
+    val cum = cells
+      .withColumn("cl", sum(col("c")).over(w))
+      .withColumn("pl", sum(col("p")).over(w))
+      .crossJoin(broadcast(tot))
+      .filter(col("cl") < col("n")) // a split must leave a right side
+    def gini(p: Column, n: Column): Column = {
+      val fp = p.cast("double") / n.cast("double")
+      lit(1.0) - fp * fp - (lit(1.0) - fp) * (lit(1.0) - fp)
+    }
+    val nl = col("cl"); val nr = col("n") - col("cl")
+    val score = (nl.cast("double") * gini(col("pl"), nl) +
+      nr.cast("double") * gini(col("np") - col("pl"), nr)) /
+      col("n").cast("double")
+    val scored = cum.select(col("v"), col("cl").as("n_left"),
+      nr.as("n_right"), round(score, 6).as("gini_split"),
+      col("n"), col("np"))
+    scored
+      .agg(min(struct(col("gini_split"), col("v"), col("n_left"),
+        col("n_right"), col("n"), col("np"))).as("b"))
+      .select(col("b.v").as("split_at"), col("b.n_left"),
+        col("b.n_right"),
+        round(gini(col("b.np"), col("b.n")), 6).as("gini_parent"),
+        col("b.gini_split"),
+        round(gini(col("b.np"), col("b.n")) - col("b.gini_split"), 6)
+          .as("gini_gain"))
+  }
+
+  /** Tie-aware PR-AUC (precision-recall trapezoid over distinct-score
+    * blocks) of "longer docs are English" — the imbalanced-class
+    * companion of the ROC AUC already shipped (q_auc_length): ROC
+    * flatters abundant-negative problems; PR answers "of what I'd
+    * flag, how much is right". Blocks descend by score with cumulative
+    * TP/FP off the distinct-value spine; area = Σ ΔR·(P_i+P_{i-1})/2,
+    * per-segment terms 6dp-decimal summed (order-safe).
+    */
+  def prAuc(docs: DataFrame): DataFrame = {
+    val v = col("n_chars").cast("long")
+    val pos = (col("lang") === "en").cast("long")
+    val cells = docs.filter(v.isNotNull && col("lang").isNotNull)
+      .groupBy(v.as("v")).agg(count(lit(1)).as("c"), sum(pos).as("p"))
+    val w = Window.orderBy(desc("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = cells.agg(sum(col("p")).as("np"))
+    val cum = cells
+      .withColumn("ct", sum(col("c")).over(w))
+      .withColumn("pt", sum(col("p")).over(w))
+      .crossJoin(broadcast(tot))
+    def db(c: Column) = c.cast("double")
+    val prec = db(col("pt")) / db(col("ct"))
+    val precPrev = db(col("pt") - col("p")) /
+      when(col("ct") - col("c") > 0, db(col("ct") - col("c"))).otherwise(lit(1.0))
+    val rec = db(col("pt")) / db(col("np"))
+    val recPrev = db(col("pt") - col("p")) / db(col("np"))
+    // at the first block prec_{i-1} is defined as prec_i (standard
+    // left-endpoint convention: recall starts at 0 with that precision)
+    val p0 = when(col("ct") - col("c") === 0, prec).otherwise(precPrev)
+    val term = round((rec - recPrev) * (prec + p0) / 2, 6)
+      .cast(DecimalType(18, 6))
+    cum.select(term.as("t"), col("np"))
+      .groupBy("np").agg(sum(col("t")).cast("double").as("pr_auc"))
+      .select(col("np").as("n_positives"), round(col("pr_auc"), 6)
+        .as("pr_auc"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_split_finder" -> { (s, d) => splitFinder(Tables.documents(s, d)) },
+    "q_pr_auc" -> { (s, d) => prAuc(Tables.documents(s, d)) },
     "q_kendall_tau" -> { (s, d) => kendallTau(Tables.documents(s, d)) },
     "q_nelson_aalen" -> { (s, d) => nelsonAalen(Tables.events(s, d)) },
     "q_holt_winters" -> { (s, d) => holtWinters(Tables.orders(s, d)) },
@@ -4201,7 +4288,75 @@ object Analytics {
        |FROM fc CROSS JOIN last CROSS JOIN md ORDER BY h""".stripMargin
   }
 
+  /** Gini impurity 1 − p² − q² as a DuckDB expression (same tree as
+    * the Spark side's [[splitFinder]] gini).
+    */
+  private def giniSql(p: String, n: String): String = {
+    val fp = s"(CAST($p AS DOUBLE) / CAST($n AS DOUBLE))"
+    s"(1.0 - $fp * $fp - (1.0 - $fp) * (1.0 - $fp))"
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_split_finder" -> {
+      val gl = giniSql("pl", "cl")
+      val gr = giniSql("np - pl", "n - cl")
+      val gp = giniSql("np", "n")
+      s"""WITH cells AS (
+         | SELECT CAST(n_chars AS BIGINT) AS v,
+         |  CAST(count(*) AS BIGINT) AS c,
+         |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS p
+         | FROM documents
+         | WHERE n_chars IS NOT NULL AND lang IS NOT NULL GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+         |        CAST(sum(p) AS BIGINT) AS np FROM cells),
+         |cum AS (
+         | SELECT v,
+         |  CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+         |       AS BIGINT) AS cl,
+         |  CAST(sum(p) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+         |       AS BIGINT) AS pl
+         | FROM cells),
+         |sc AS (
+         | SELECT v, cl AS n_left, n - cl AS n_right, n, np, pl, cl,
+         |  round((CAST(cl AS DOUBLE) * $gl
+         |    + CAST(n - cl AS DOUBLE) * $gr) / CAST(n AS DOUBLE), 6)
+         |   AS gini_split
+         | FROM cum CROSS JOIN tot WHERE cl < n),
+         |best AS (SELECT * FROM sc ORDER BY gini_split ASC, v ASC LIMIT 1)
+         |SELECT v AS split_at, n_left, n_right,
+         | round($gp, 6) AS gini_parent, gini_split,
+         | round($gp - gini_split, 6) AS gini_gain
+         |FROM best""".stripMargin
+    },
+    "q_pr_auc" ->
+      """WITH cells AS (
+        | SELECT CAST(n_chars AS BIGINT) AS v,
+        |  CAST(count(*) AS BIGINT) AS c,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS p
+        | FROM documents
+        | WHERE n_chars IS NOT NULL AND lang IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT CAST(sum(p) AS BIGINT) AS np FROM cells),
+        |cum AS (
+        | SELECT v, c, p,
+        |  CAST(sum(c) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING)
+        |       AS BIGINT) AS ct,
+        |  CAST(sum(p) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING)
+        |       AS BIGINT) AS pt
+        | FROM cells),
+        |terms AS (
+        | SELECT np,
+        |  CAST(round((CAST(pt AS DOUBLE) / CAST(np AS DOUBLE)
+        |     - CAST(pt - p AS DOUBLE) / CAST(np AS DOUBLE))
+        |    * (CAST(pt AS DOUBLE) / CAST(ct AS DOUBLE)
+        |     + CASE WHEN ct - c = 0
+        |        THEN CAST(pt AS DOUBLE) / CAST(ct AS DOUBLE)
+        |        ELSE CAST(pt - p AS DOUBLE)
+        |          / (CASE WHEN ct - c > 0 THEN CAST(ct - c AS DOUBLE)
+        |             ELSE 1.0 END) END) / 2, 6) AS DECIMAL(18,6)) AS t
+        | FROM cum CROSS JOIN tot)
+        |SELECT np AS n_positives,
+        | round(CAST(sum(t) AS DOUBLE), 6) AS pr_auc
+        |FROM terms GROUP BY np""".stripMargin,
     "q_kendall_tau" ->
       s"""WITH cells AS (
         | SELECT CAST(len(${TextAnalysis.tokensSql("text")}) AS BIGINT) AS x,

@@ -522,6 +522,33 @@ class Round9bSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("tau_b") - 0.182574) < 1e-6)
   }
 
+  test("splitFinder: perfectly separable feature → pure split, gain = parent") {
+    val docs = ((1 to 10).map(i => ("en", (40 + i).toLong)) ++
+      (1 to 10).map(i => ("fr", (100 + i).toLong)))
+      .toDF("lang", "n_chars")
+    val r = operators.Analytics.splitFinder(docs).collect()(0)
+    assert(r.getAs[Long]("split_at") === 50L) // last pure-left threshold
+    assert(r.getAs[Long]("n_left") === 10L)
+    assert(r.getAs[Double]("gini_split") === 0.0)
+    assert(r.getAs[Double]("gini_parent") === 0.5)
+    assert(r.getAs[Double]("gini_gain") === 0.5)
+  }
+
+  test("prAuc: separable scores give area 1; inverted scores collapse") {
+    val sep = ((1 to 10).map(i => ("en", (100 + i).toLong)) ++
+      (1 to 10).map(i => ("fr", (40 + i).toLong)))
+      .toDF("lang", "n_chars")
+    val a1 = operators.Analytics.prAuc(sep).collect()(0)
+      .getAs[Double]("pr_auc")
+    assert(a1 > 0.999, s"separable PR-AUC $a1")
+    val inv = ((1 to 10).map(i => ("en", (40 + i).toLong)) ++
+      (1 to 10).map(i => ("fr", (100 + i).toLong)))
+      .toDF("lang", "n_chars")
+    val a2 = operators.Analytics.prAuc(inv).collect()(0)
+      .getAs[Double]("pr_auc")
+    assert(a2 < 0.45, s"inverted PR-AUC $a2")
+  }
+
   test("grangerDaily: an exact AR fit (zero residual) yields null F, not ∞") {
     // rev_t = rev_{t−1} exactly → RSS_full = 0 → guarded null
     val t0 = java.time.LocalDate.of(2020, 1, 1)
