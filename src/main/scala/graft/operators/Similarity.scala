@@ -809,7 +809,43 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** 1-NN LABEL-CONSISTENCY EVAL — the embedding-quality number behind
+    * "do these vectors respect the labels?": for each probe vector, the
+    * nearest OTHER vector's label is the prediction; accuracy per label
+    * + overall ppm. The leave-one-out cousin of q_silhouette (that one
+    * scores geometry; this one scores the decision rule a retrieval
+    * classifier would actually run). Probes = vec_id < nQ broadcast
+    * against the corpus scan (the q_sim_topk_brute shape — IVF/PQ
+    * candidate streams swap in at 100 TB); argmax via max_by, ties to
+    * the smaller id.
+    */
+  def knnAccuracy(emb: DataFrame, nQ: Int = 50): DataFrame = {
+    val s = emb.sparkSession
+    val q = emb.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val c = emb.select(col("vec_id").as("corpus_id"),
+      col("embedding").as("c_emb"), col("label").as("c_label"))
+    val pred = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("q_label"), col("corpus_id"),
+        col("c_label"),
+        round(graft.functions.NativeExpressions
+          .cosineSim(s, col("q_emb"), col("c_emb")), 6).as("sim"))
+      .groupBy("query_id", "q_label")
+      .agg(max_by(col("c_label"),
+        struct(col("sim"), negate(col("corpus_id")))).as("pred"))
+    pred.groupBy(col("q_label").as("label"))
+      .agg(count(lit(1)).as("n_probes"),
+        sum((col("pred") === col("q_label")).cast("long")).as("n_correct"))
+      .select(col("label"), col("n_probes"), col("n_correct"),
+        expr("n_correct * 1000000 div n_probes").as("accuracy_ppm"))
+      .orderBy("label")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_knn_accuracy" -> { (s, d) =>
+      knnAccuracy(Tables.embeddings(s, d)) },
     "q_hard_negatives" -> { (s, d) =>
       hardNegatives(Tables.embeddings(s, d)) },
     // PQ-compressed ADC retrieval (the billion-scale ANN memory path).
@@ -1243,6 +1279,29 @@ object Similarity {
   }
 
   def oracles: Map[String, String] = Map(
+    // 1-NN eval: same cosine, argmax by (sim desc, id asc), per-label
+    "q_knn_accuracy" ->
+      s"""WITH q AS (
+         | SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
+         | FROM embeddings WHERE vec_id < 50),
+         |sc AS (
+         | SELECT query_id, q_label, c.vec_id AS corpus_id,
+         |  c.label AS c_label,
+         |  round(${cosSql("q_emb", "c.embedding")}, 6) AS sim
+         | FROM embeddings c CROSS JOIN q
+         | WHERE query_id <> c.vec_id),
+         |r AS (
+         | SELECT *, row_number() OVER (PARTITION BY query_id
+         |   ORDER BY sim DESC, corpus_id ASC) AS rn
+         | FROM sc),
+         |pred AS (SELECT query_id, q_label, c_label AS pred
+         |         FROM r WHERE rn = 1)
+         |SELECT q_label AS label, CAST(count(*) AS BIGINT) AS n_probes,
+         | CAST(sum(CASE WHEN pred = q_label THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_correct,
+         | CAST(sum(CASE WHEN pred = q_label THEN 1 ELSE 0 END)
+         |  * 1000000 // count(*) AS BIGINT) AS accuracy_ppm
+         |FROM pred GROUP BY 1 ORDER BY 1""".stripMargin,
     // hard negatives: same cosine, argmax by (sim desc, id asc)
     "q_hard_negatives" ->
       s"""WITH q AS (

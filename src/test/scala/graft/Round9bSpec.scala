@@ -549,6 +549,16 @@ class Round9bSpec extends SparkSpec {
     assert(a2 < 0.45, s"inverted PR-AUC $a2")
   }
 
+  test("knnAccuracy: clustered labels score a perfect 1-NN accuracy") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.05f), 1), (1L, Array(0.95f, 0.0f), 1),
+      (2L, Array(0.0f, 1.0f), 2), (3L, Array(0.05f, 0.95f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val got = operators.Similarity.knnAccuracy(emb, nQ = 4).collect()
+      .map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(got === Map(1 -> 1000000L, 2 -> 1000000L))
+  }
+
   test("grangerDaily: an exact AR fit (zero residual) yields null F, not ∞") {
     // rev_t = rev_{t−1} exactly → RSS_full = 0 → guarded null
     val t0 = java.time.LocalDate.of(2020, 1, 1)
