@@ -2688,7 +2688,179 @@ object Analytics {
         .as("pr_auc"))
   }
 
+  /** McNEMAR'S PAIRED TEST (McNemar 1947, with Edwards' continuity
+    * correction) — the right test for "is model A better than model B on
+    * the SAME examples": marginal accuracies ignore the pairing, McNemar
+    * uses only the DISAGREEMENT cells (b = A right & B wrong, c = the
+    * reverse), χ² = (|b−c|−1)²/(b+c) on 1 dof. The two "models" here are
+    * stand-in rule classifiers over the event stream (a value threshold
+    * vs a time-of-day rule, truth = purchase) — the operator under test
+    * is the paired comparison, which applies verbatim to any two
+    * prediction columns.
+    *
+    * Scale posture: ONE full-scan aggregate to a 2×2 table (map-side
+    * combined; four Long cells cross any cluster as one row). The χ² and
+    * accuracies are single double expressions of exact Longs.
+    */
+  def mcnemar(ev: DataFrame): DataFrame = {
+    val truth = col("event_type") === "purchase"
+    val predA = coalesce(col("value"), lit(0.0)) > 50.0
+    val predB = hour(col("ts")) % 2 === 0
+    val ca = predA === truth
+    val cb = predB === truth
+    ev.agg(
+        count(lit(1)).as("n"),
+        sum(when(ca && cb, 1L).otherwise(0L)).as("both_correct"),
+        sum(when(ca && !cb, 1L).otherwise(0L)).as("a_only"),
+        sum(when(!ca && cb, 1L).otherwise(0L)).as("b_only"),
+        sum(when(!ca && !cb, 1L).otherwise(0L)).as("both_wrong"))
+      .select(col("n"), col("both_correct"), col("a_only"), col("b_only"),
+        col("both_wrong"),
+        round((col("both_correct") + col("a_only")).cast("double") /
+          col("n"), 6).as("acc_a"),
+        round((col("both_correct") + col("b_only")).cast("double") /
+          col("n"), 6).as("acc_b"),
+        when(col("a_only") + col("b_only") > 0,
+          round(pow(abs(col("a_only") - col("b_only")).cast("double") - 1.0,
+            2) / (col("a_only") + col("b_only")).cast("double"), 6))
+          .as("mcnemar_chi2"))
+  }
+
+  /** RANDOMIZATION TEST for a two-group mean difference (Fisher 1935;
+    * the Bernoulli-reassignment variant that SHARDS — a true permutation
+    * fixes group sizes, which needs a global shuffle per replicate;
+    * reassigning each row independently with p̂ = n₁/n matches the
+    * permutation null asymptotically and is embarrassingly parallel).
+    * Complements q_bootstrap_ci (uncertainty of ONE mean) with the
+    * hypothesis-test twin (is the purchase−click gap real?).
+    *
+    * Determinism: replicate uniforms come from the q_bootstrap_ci recipe
+    * — one md5 per (row, digest-group) yields four 32-bit words → four
+    * replicate uniforms, so both engines draw bit-identical assignments;
+    * p̂ and every replicate diff are single double expressions of exact
+    * Long sums, so the `|d_b| ≥ |d_obs|` comparisons replay exactly.
+    *
+    * Scale posture: B=48 replicates explode map-side; each folds to four
+    * exact Long partials per task (one shuffle of B groups). The
+    * observed row crosses in as a broadcast scalar.
+    */
+  def randomizationTest(ev: DataFrame, b: Int = 48): DataFrame = {
+    val rows = ev
+      .filter(col("event_type").isin("purchase", "click") &&
+        col("value").isNotNull)
+      .select(col("event_id"),
+        (col("event_type") === "purchase").as("t"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+          .as("cents"))
+    val obs = rows.agg(
+        sum(when(col("t"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("t"), 1L).otherwise(0L)).as("n0"),
+        sum(when(col("t"), col("cents")).otherwise(0L)).as("s1"),
+        sum(when(!col("t"), col("cents")).otherwise(0L)).as("s0"))
+      .select(col("n1"), col("n0"),
+        (col("s1").cast("double") / col("n1") -
+          col("s0").cast("double") / col("n0")).as("d_obs"),
+        (col("n1").cast("double") /
+          (col("n1") + col("n0")).cast("double")).as("phat"))
+    val reps = rows
+      .select(col("event_id"), col("cents"),
+        explode(sequence(lit(1), lit(b / 4))).as("g"))
+      .withColumn("h", md5(concat_ws(":", col("event_id"), col("g"))))
+      .select(col("cents"), col("g"),
+        posexplode(array((0 until 4).map(sl =>
+          substring(col("h"), sl * 8 + 1, 8)): _*)).as(Seq("sl", "hx")))
+      .select(((col("g") - 1) * 4 + col("sl") + 1).as("b"), col("cents"),
+        ((conv(col("hx"), 16, 10).cast("long").cast("double") + 0.5) /
+          4294967296.0).as("u"))
+    val perRep = reps.crossJoin(broadcast(obs.select("phat")))
+      .select(col("b"), col("cents"), (col("u") < col("phat")).as("g1"))
+      .groupBy("b")
+      .agg(sum(when(col("g1"), col("cents")).otherwise(0L)).as("rs1"),
+        sum(when(col("g1"), 1L).otherwise(0L)).as("m1"),
+        sum(when(!col("g1"), col("cents")).otherwise(0L)).as("rs0"),
+        sum(when(!col("g1"), 1L).otherwise(0L)).as("m0"))
+      .select(col("b"),
+        when(col("m1") > 0 && col("m0") > 0,
+          col("rs1").cast("double") / col("m1") -
+            col("rs0").cast("double") / col("m0")).as("d_b"))
+    // an all-one-side replicate (impossible at any real n) counts as
+    // extreme — conservative, and the oracle mirrors the coalesce
+    perRep.crossJoin(broadcast(obs))
+      .agg(max(col("n1")).as("n_treat"), max(col("n0")).as("n_ctrl"),
+        max(round(col("d_obs") / 100.0, 6)).as("diff_obs"),
+        count(lit(1)).as("b_reps"),
+        sum(when(coalesce(abs(col("d_b")) >= abs(col("d_obs")), lit(true)),
+          1L).otherwise(0L)).as("n_extreme"))
+      .select(col("n_treat"), col("n_ctrl"), col("diff_obs"), col("b_reps"),
+        col("n_extreme"),
+        round((col("n_extreme") + 1).cast("double") /
+          (col("b_reps") + 1).cast("double"), 6).as("p_value"))
+  }
+
+  /** COARSENED EXACT MATCHING ATT (Iacus, King & Porro 2012) — the
+    * observational-causal estimate that actually distributes: coarsen
+    * covariates into strata (order status × order quarter here), keep
+    * strata containing BOTH treated and control rows, weight each
+    * stratum's controls to its treated count, and read the average
+    * treatment effect on the treated as (treated mean − weighted control
+    * mean) over matched strata. No per-unit nearest-neighbor search, no
+    * propensity model — the stratum groupBy IS the matching, so it is
+    * one shuffle at any corpus size. Treatment = urgent/high order
+    * priority; outcome = order value.
+    *
+    * Exactness: per-stratum counts and cent-sums are exact Longs; the
+    * weighted control sum folds per-stratum terms nt·sc/nc rounded to
+    * 6dp DECIMAL (order-independent), and the final ATT is one double
+    * expression — both engines replay it bit-for-bit.
+    */
+  def cemAtt(orders: DataFrame): DataFrame = {
+    val rows = orders.select(
+      col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("t"),
+      col("o_orderstatus").as("st"),
+      (year(col("o_orderdate")) * 10 + quarter(col("o_orderdate")))
+        .as("qtr"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")
+        .as("cents"))
+    val strata = rows.groupBy("st", "qtr")
+      .agg(sum(when(col("t"), 1L).otherwise(0L)).as("nt"),
+        sum(when(!col("t"), 1L).otherwise(0L)).as("nc"),
+        sum(when(col("t"), col("cents")).otherwise(0L)).as("sct"),
+        sum(when(!col("t"), col("cents")).otherwise(0L)).as("scc"))
+    val naive = rows.agg(
+      (sum(when(col("t"), col("cents")).otherwise(0L)).cast("double") /
+        sum(when(col("t"), 1L).otherwise(0L)) -
+        sum(when(!col("t"), col("cents")).otherwise(0L)).cast("double") /
+          sum(when(!col("t"), 1L).otherwise(0L))).as("naive"))
+    val matched = col("nt") > 0 && col("nc") > 0
+    strata.agg(
+        count(lit(1)).as("n_strata"),
+        sum(when(matched, 1L).otherwise(0L)).as("n_strata_matched"),
+        sum(when(matched, col("nt")).otherwise(0L)).as("n_treated"),
+        sum(when(matched, col("nc")).otherwise(0L)).as("n_control"),
+        sum(when(matched, col("sct")).otherwise(0L)).as("st_sum"),
+        sum(when(matched,
+          round(col("nt").cast("double") * col("scc") / col("nc"), 6)
+            .cast(DecimalType(28, 6))).otherwise(lit(0).cast(DecimalType(28, 6))))
+          .as("wc_sum"))
+      .crossJoin(broadcast(naive))
+      .select(col("n_strata"), col("n_strata_matched"), col("n_treated"),
+        col("n_control"),
+        round((col("st_sum").cast("double") / col("n_treated") -
+          col("wc_sum").cast("double") / col("n_treated")) / 100.0, 6)
+          .as("att"),
+        round(col("naive") / 100.0, 6).as("naive_diff"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Paired model comparison: McNemar χ² on the disagreement cells of
+    // two rule classifiers over the same events (one-pass 2×2 table).
+    "q_mcnemar" -> { (s, d) => mcnemar(Tables.events(s, d)) },
+    // Fisher randomization test: is the purchase−click value gap real?
+    // (hash-seeded Bernoulli reassignment, B=48 sharded replicates)
+    "q_permutation_test" -> { (s, d) => randomizationTest(Tables.events(s, d)) },
+    // Coarsened-exact-matching ATT: priority effect on order value,
+    // matched within (status × quarter) strata — one groupBy, no pairs.
+    "q_cem_att" -> { (s, d) => cemAtt(Tables.orders(s, d)) },
     "q_split_finder" -> { (s, d) => splitFinder(Tables.documents(s, d)) },
     "q_pr_auc" -> { (s, d) => prAuc(Tables.documents(s, d)) },
     "q_kendall_tau" -> { (s, d) => kendallTau(Tables.documents(s, d)) },
@@ -4297,6 +4469,115 @@ object Analytics {
   }
 
   def oracles: Map[String, String] = Map(
+    "q_mcnemar" ->
+      """WITH c AS (
+        | SELECT (event_type = 'purchase') AS truth,
+        |  (COALESCE(value, 0.0) > 50.0) AS pa,
+        |  (hour(ts) % 2 = 0) AS pb
+        | FROM events),
+        |t AS (
+        | SELECT count(*) AS n,
+        |  CAST(sum(CASE WHEN pa = truth AND pb = truth THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS both_correct,
+        |  CAST(sum(CASE WHEN pa = truth AND pb <> truth THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS a_only,
+        |  CAST(sum(CASE WHEN pa <> truth AND pb = truth THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS b_only,
+        |  CAST(sum(CASE WHEN pa <> truth AND pb <> truth THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS both_wrong
+        | FROM c)
+        |SELECT n, both_correct, a_only, b_only, both_wrong,
+        | round(CAST(both_correct + a_only AS DOUBLE) / n, 6) AS acc_a,
+        | round(CAST(both_correct + b_only AS DOUBLE) / n, 6) AS acc_b,
+        | CASE WHEN a_only + b_only > 0 THEN
+        |  round(pow(CAST(abs(a_only - b_only) AS DOUBLE) - 1.0, 2)
+        |    / CAST(a_only + b_only AS DOUBLE), 6) END AS mcnemar_chi2
+        |FROM t""".stripMargin,
+    "q_permutation_test" ->
+      s"""WITH rows0 AS (
+         | SELECT event_id, (event_type = 'purchase') AS t,
+         |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         | FROM events
+         | WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL),
+         |obs AS (
+         | SELECT
+         |  CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |  CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS n0,
+         |  CAST(sum(CASE WHEN t THEN cents ELSE 0 END) AS BIGINT) AS s1,
+         |  CAST(sum(CASE WHEN t THEN 0 ELSE cents END) AS BIGINT) AS s0
+         | FROM rows0),
+         |o2 AS (
+         | SELECT n1, n0,
+         |  CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0 AS d_obs,
+         |  CAST(n1 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE) AS phat
+         | FROM obs),
+         |reps AS (
+         | SELECT r.cents, (g.g - 1) * 4 + s.s + 1 AS b,
+         |  (CAST(('0x' || substr(md5(concat_ws(':', r.event_id, g.g)),
+         |    s.s * 8 + 1, 8)) AS BIGINT) + 0.5) / 4294967296.0 AS u
+         | FROM rows0 r CROSS JOIN range(1, 13) g(g)
+         |  CROSS JOIN range(0, 4) s(s)),
+         |pr AS (
+         | SELECT b,
+         |  CASE WHEN sum(CASE WHEN g1 THEN 1 ELSE 0 END) > 0
+         |        AND sum(CASE WHEN g1 THEN 0 ELSE 1 END) > 0 THEN
+         |   CAST(sum(CASE WHEN g1 THEN cents ELSE 0 END) AS DOUBLE)
+         |     / sum(CASE WHEN g1 THEN 1 ELSE 0 END)
+         |   - CAST(sum(CASE WHEN g1 THEN 0 ELSE cents END) AS DOUBLE)
+         |     / sum(CASE WHEN g1 THEN 0 ELSE 1 END) END AS d_b
+         | FROM (SELECT b, cents, u < (SELECT phat FROM o2) AS g1 FROM reps)
+         | GROUP BY b),
+         |agg AS (
+         | SELECT count(*) AS b_reps,
+         |  CAST(sum(CASE WHEN COALESCE(abs(d_b) >=
+         |    (SELECT abs(d_obs) FROM o2), TRUE) THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_extreme
+         | FROM pr)
+         |SELECT o2.n1 AS n_treat, o2.n0 AS n_ctrl,
+         | round(o2.d_obs / 100.0, 6) AS diff_obs,
+         | agg.b_reps, agg.n_extreme,
+         | round(CAST(agg.n_extreme + 1 AS DOUBLE)
+         |   / CAST(agg.b_reps + 1 AS DOUBLE), 6) AS p_value
+         |FROM o2 CROSS JOIN agg""".stripMargin,
+    "q_cem_att" ->
+      """WITH rows0 AS (
+        | SELECT (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS t,
+        |  o_orderstatus AS st,
+        |  year(o_orderdate) * 10 + quarter(o_orderdate) AS qtr,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        | FROM orders),
+        |strata AS (
+        | SELECT st, qtr,
+        |  CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |  CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS nc,
+        |  CAST(sum(CASE WHEN t THEN cents ELSE 0 END) AS BIGINT) AS sct,
+        |  CAST(sum(CASE WHEN t THEN 0 ELSE cents END) AS BIGINT) AS scc
+        | FROM rows0 GROUP BY 1, 2),
+        |naive AS (
+        | SELECT CAST(sum(CASE WHEN t THEN cents ELSE 0 END) AS DOUBLE)
+        |    / sum(CASE WHEN t THEN 1 ELSE 0 END)
+        |  - CAST(sum(CASE WHEN t THEN 0 ELSE cents END) AS DOUBLE)
+        |    / sum(CASE WHEN t THEN 0 ELSE 1 END) AS naive
+        | FROM rows0),
+        |agg AS (
+        | SELECT count(*) AS n_strata,
+        |  CAST(sum(CASE WHEN nt > 0 AND nc > 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_strata_matched,
+        |  CAST(sum(CASE WHEN nt > 0 AND nc > 0 THEN nt ELSE 0 END)
+        |   AS BIGINT) AS n_treated,
+        |  CAST(sum(CASE WHEN nt > 0 AND nc > 0 THEN nc ELSE 0 END)
+        |   AS BIGINT) AS n_control,
+        |  CAST(sum(CASE WHEN nt > 0 AND nc > 0 THEN sct ELSE 0 END)
+        |   AS BIGINT) AS st_sum,
+        |  sum(CASE WHEN nt > 0 AND nc > 0 THEN
+        |    CAST(round(CAST(nt AS DOUBLE) * scc / nc, 6) AS DECIMAL(28,6))
+        |   ELSE CAST(0 AS DECIMAL(28,6)) END) AS wc_sum
+        | FROM strata)
+        |SELECT n_strata, n_strata_matched, n_treated, n_control,
+        | round((CAST(st_sum AS DOUBLE) / n_treated
+        |   - CAST(wc_sum AS DOUBLE) / n_treated) / 100.0, 6) AS att,
+        | round(naive / 100.0, 6) AS naive_diff
+        |FROM agg CROSS JOIN naive""".stripMargin,
     "q_split_finder" -> {
       val gl = giniSql("pl", "cl")
       val gr = giniSql("np - pl", "n - cl")

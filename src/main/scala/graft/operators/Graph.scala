@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Graph analytics beyond degree/components: PageRank on the entity
   * interaction graph (Page et al. 1999; the Pregel/GraphX formulation
@@ -476,7 +477,59 @@ object Graph {
       Tables.supplier(s, d).orderBy("s_suppkey").limit(nSeeds)
         .select(concat(lit("s:"), col("s_suppkey")).as("node")), iters, k)
 
+  /** NEWMAN MODULARITY (Newman & Girvan 2004 eq. 5) of the label-
+    * propagation partition: Q = Σ_c [ in_c/2m − (D_c/2m)² ] — how much
+    * denser each community is than the configuration-model expectation.
+    * The readout that makes q_label_prop actionable: Q near 0 says the
+    * "communities" are noise; Q ≫ 0 justifies community-partitioned
+    * layouts (co-locating a community's rows before neighborhood joins).
+    * Per-community q_term is reported so the weak communities are
+    * visible, with the partition-level Q broadcast onto every row.
+    *
+    * Exactness: over the symmetrized edge list, |E| = 2m, per-community
+    * symmetrized-internal-edge counts (= 2·in_c) and degree sums are
+    * exact Longs; each q_term is one double expression rounded at 6dp,
+    * and Q folds those 6dp DECIMAL terms exactly.
+    *
+    * Scale posture: labels are node-cardinality (broadcast-class beside
+    * edges); attaching both endpoints' labels is the standard two-join
+    * pass, then everything collapses to a community-cardinality frame.
+    * Nothing edge-cardinality persists.
+    */
+  def modularity(s: SparkSession, d: String, rounds: Int = 3): DataFrame = {
+    import graft.CacheScope.TrackedDataset
+    val edges = interactionEdges(s, d).persistTracked()
+    val lab = labelPropOnEdges(edges, rounds).select("node", "label")
+      .persistTracked()
+    val el = edges
+      .join(lab.select(col("node").as("src"), col("label").as("ls")),
+        Seq("src"))
+      .join(lab.select(col("node").as("dst"), col("label").as("ld")),
+        Seq("dst"))
+    val byC = el.groupBy(col("ls").as("community"))
+      .agg(count(lit(1)).as("deg_sum"),
+        sum(when(col("ls") === col("ld"), 1L).otherwise(0L)).as("in2"))
+    val nNodes = lab.groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+    val m2 = el.agg(count(lit(1)).as("m2"))
+    val withTerm = byC.join(nNodes, Seq("community"))
+      .crossJoin(broadcast(m2))
+      .select(col("community"), col("n_nodes"), col("deg_sum"),
+        (col("in2") / 2).cast("long").as("internal_edges"),
+        round(col("in2").cast("double") / col("m2") -
+          pow(col("deg_sum").cast("double") / col("m2"), 2), 6)
+          .cast(DecimalType(18, 6)).as("q_term"))
+    val qTot = withTerm.agg(sum(col("q_term")).cast("double").as("q_total"))
+    withTerm.crossJoin(broadcast(qTot))
+      .select(col("community"), col("n_nodes"), col("deg_sum"),
+        col("internal_edges"), col("q_term").cast("double").as("q_term"),
+        col("q_total"))
+      .orderBy("community")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Modularity Q of the LPA communities (per-community terms + total).
+    "q_modularity" -> { (s, d) => modularity(s, d) },
     "q_ppr_seed" -> { (s, d) => ppr(s, d) },
     "q_bfs_landmarks" -> { (s, d) => bfsLandmarks(s, d) },
     "q_assortativity" -> { (s, d) => assortativity(s, d) },
@@ -624,6 +677,44 @@ object Graph {
         |        // (SELECT CAST(sum(ar) AS BIGINT) FROM a2r) AS a FROM a2r)
         |SELECT dst AS node, a AS auth_mass FROM a2
         |ORDER BY auth_mass DESC, node LIMIT 10""".stripMargin,
+    "q_modularity" -> {
+      val rounds = (1 to 3).map(lpaRoundSql).mkString(",\n")
+      // LPA replay verbatim (self-loop edges for voting), then Q over
+      // the PLAIN symmetrized edges (no self-loops)
+      s"""WITH h AS (
+         | SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
+         | FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |nodes AS (SELECT DISTINCT src AS node FROM
+         | (SELECT src FROM h UNION ALL SELECT dst FROM h) t(src)),
+         |edges AS (
+         | SELECT src, dst FROM h UNION ALL SELECT dst, src FROM h
+         | UNION ALL SELECT node, node FROM nodes),
+         |l0 AS (SELECT node, node AS label FROM nodes),
+         |$rounds,
+         |sym AS (SELECT src, dst FROM h UNION ALL SELECT dst, src FROM h),
+         |el AS (
+         | SELECT a.label AS ls, b.label AS ld
+         | FROM sym JOIN l3 a ON sym.src = a.node
+         |  JOIN l3 b ON sym.dst = b.node),
+         |m2 AS (SELECT count(*) AS m2 FROM el),
+         |byc AS (
+         | SELECT ls AS community, count(*) AS deg_sum,
+         |  CAST(sum(CASE WHEN ls = ld THEN 1 ELSE 0 END) AS BIGINT) AS in2
+         | FROM el GROUP BY 1),
+         |nn AS (SELECT label AS community, count(*) AS n_nodes
+         |       FROM l3 GROUP BY 1),
+         |wt AS (
+         | SELECT community, n_nodes, deg_sum,
+         |  CAST(in2 // 2 AS BIGINT) AS internal_edges,
+         |  CAST(round(CAST(in2 AS DOUBLE) / (SELECT m2 FROM m2)
+         |    - pow(CAST(deg_sum AS DOUBLE) / (SELECT m2 FROM m2), 2), 6)
+         |   AS DECIMAL(18,6)) AS q_term
+         | FROM byc JOIN nn USING (community)),
+         |qt AS (SELECT CAST(sum(q_term) AS DOUBLE) AS q_total FROM wt)
+         |SELECT community, n_nodes, deg_sum, internal_edges,
+         | CAST(q_term AS DOUBLE) AS q_term, q_total
+         |FROM wt CROSS JOIN qt ORDER BY community""".stripMargin
+    },
     "q_label_prop" -> {
       val rounds = (1 to 3).map(lpaRoundSql).mkString(",\n")
       s"""WITH h AS (

@@ -843,7 +843,54 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** MAXIMUM MEAN DISCREPANCY, linear kernel (Gretton et al. 2012 §2.2)
+    * — the two-sample test for EMBEDDING drift: with k(x,y) = ⟨x,y⟩,
+    * MMD² = ‖μ_X − μ_Y‖², the squared distance between the two samples'
+    * mean embeddings. Zero iff the means coincide; the standard cheap
+    * first-order check that a new corpus snapshot's embedding
+    * distribution still matches the reference before retraining an index
+    * (RBF-kernel MMD catches higher moments but needs random features —
+    * the linear statistic is the one that folds to d numbers per group).
+    * Groups here: label < 5 (reference) vs ≥ 5 (candidate); any group
+    * predicate slots in.
+    *
+    * Scale posture: ONE pass — posexplode is map-side, the only shuffle
+    * carries d groups (d = dim count), each an exact DECIMAL(18,9) sum
+    * (order-independent; a raw double Σ would drift with partial-agg
+    * order). The d-row frame folds to one row; per-dim terms round to
+    * 6dp DECIMAL before the final exact sum so both engines replay the
+    * fold bit-for-bit.
+    */
+  def mmdDrift(emb: DataFrame, refPred: Column): DataFrame = {
+    val terms = emb
+      .select(refPred.as("ref"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg(sum(when(col("ref"), col("x").cast(DecimalType(18, 9)))).as("sx"),
+        sum(when(col("ref"), 1L).otherwise(0L)).as("nx"),
+        sum(when(!col("ref"), col("x").cast(DecimalType(18, 9)))).as("sy"),
+        sum(when(!col("ref"), 1L).otherwise(0L)).as("ny"))
+      .select(col("nx"), col("ny"),
+        round(pow(col("sx").cast("double") / col("nx") -
+          col("sy").cast("double") / col("ny"), 2), 6)
+          .cast(DecimalType(18, 6)).as("term"))
+    terms.agg(max(col("nx")).as("n_ref"), max(col("ny")).as("n_cur"),
+        count(lit(1)).as("n_dims"), sum(col("term")).as("mmd2d"))
+      .select(col("n_ref"), col("n_cur"), col("n_dims"),
+        col("mmd2d").cast("double").as("mmd2"),
+        // n_eff·MMD² — the scale on which the asymptotic null lives
+        // (Gretton et al. 2012 thm 12): grows with evidence if the
+        // means truly differ, stays O(1) under the null.
+        round((col("n_ref") * col("n_cur")).cast("double") /
+          (col("n_ref") + col("n_cur")).cast("double") *
+          col("mmd2d").cast("double"), 6).as("stat_neff"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Linear-kernel MMD² between the label<5 and label≥5 embedding
+    // populations — mean-embedding drift in one d-group pass.
+    "q_mmd_drift" -> { (s, d) =>
+      mmdDrift(Tables.embeddings(s, d), col("label") < 5) },
     "q_knn_accuracy" -> { (s, d) =>
       knnAccuracy(Tables.embeddings(s, d)) },
     "q_hard_negatives" -> { (s, d) =>
@@ -1279,6 +1326,32 @@ object Similarity {
   }
 
   def oracles: Map[String, String] = Map(
+    "q_mmd_drift" ->
+      """WITH t AS (
+        | SELECT i - 1 AS dim,
+        |  sum(CASE WHEN label < 5
+        |   THEN CAST(embedding[i] AS DECIMAL(18,9)) END) AS sx,
+        |  CAST(sum(CASE WHEN label < 5 THEN 1 ELSE 0 END) AS BIGINT) AS nx,
+        |  sum(CASE WHEN label >= 5
+        |   THEN CAST(embedding[i] AS DECIMAL(18,9)) END) AS sy,
+        |  CAST(sum(CASE WHEN label >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS ny
+        | FROM embeddings
+        |  CROSS JOIN unnest(range(1, len(embedding) + 1)) AS r(i)
+        | GROUP BY 1),
+        |terms AS (
+        | SELECT nx, ny,
+        |  CAST(round(pow(CAST(sx AS DOUBLE) / nx
+        |    - CAST(sy AS DOUBLE) / ny, 2), 6) AS DECIMAL(18,6)) AS term
+        | FROM t),
+        |agg AS (
+        | SELECT max(nx) AS n_ref, max(ny) AS n_cur,
+        |  count(*) AS n_dims, sum(term) AS mmd2d
+        | FROM terms)
+        |SELECT n_ref, n_cur, n_dims, CAST(mmd2d AS DOUBLE) AS mmd2,
+        | round(CAST(n_ref * n_cur AS DOUBLE)
+        |   / CAST(n_ref + n_cur AS DOUBLE) * CAST(mmd2d AS DOUBLE), 6)
+        |  AS stat_neff
+        |FROM agg""".stripMargin,
     // 1-NN eval: same cosine, argmax by (sim desc, id asc), per-label
     "q_knn_accuracy" ->
       s"""WITH q AS (

@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Session-5 round-9 operators on PLANTED data: McNemar, the Fisher
+  * randomization test, CEM ATT, linear-kernel MMD, and Newman modularity.
+  */
+class Round9cSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(h: Int) = f"2024-01-01 $h%02d:00:00"
+
+  test("mcnemar: hand-built 2x2 disagreement table and Edwards chi2") {
+    // truth = purchase. A = value>50, B = even hour.
+    // row1: purchase, 60, h0  -> A right, B right   (both_correct)
+    // row2: purchase, 40, h0  -> A wrong, B right   (b_only)
+    // row3: click,    60, h1  -> A wrong, B wrong?  A says T vs truth F ->
+    //       wrong; B: odd hour -> pred F = truth F -> right  (b_only)
+    // row4: click,    40, h1  -> A right, B right   (both_correct)
+    // row5: click,    60, h0  -> A wrong, B wrong   (both_wrong)
+    // row6: purchase, 60, h1  -> A right, B wrong   (a_only)
+    val ev = Seq(
+      (1L, "purchase", 60.0, ts(0)), (2L, "purchase", 40.0, ts(0)),
+      (3L, "click", 60.0, ts(1)), (4L, "click", 40.0, ts(1)),
+      (5L, "click", 60.0, ts(0)), (6L, "purchase", 60.0, ts(1)))
+      .toDF("event_id", "event_type", "value", "s")
+      .select(col("event_id"), col("event_type"), col("value"),
+        to_timestamp(col("s")).as("ts"))
+    val r = operators.Analytics.mcnemar(ev).collect()(0)
+    assert(r.getAs[Long]("n") === 6L)
+    assert(r.getAs[Long]("both_correct") === 2L)
+    assert(r.getAs[Long]("a_only") === 1L)
+    assert(r.getAs[Long]("b_only") === 2L)
+    assert(r.getAs[Long]("both_wrong") === 1L)
+    assert(math.abs(r.getAs[Double]("acc_a") - 0.5) < 1e-9)
+    assert(math.abs(r.getAs[Double]("acc_b") - 4.0 / 6) < 1e-6)
+    // chi2 = (|1-2|-1)^2 / 3 = 0
+    assert(r.getAs[Double]("mcnemar_chi2") === 0.0)
+  }
+
+  test("mcnemar: zero-disagreement pair yields null chi2, not a throw") {
+    // identical predictions: value>50 XNOR even-hour on every row
+    val ev = Seq((1L, "purchase", 60.0, ts(0)), (2L, "click", 40.0, ts(1)))
+      .toDF("event_id", "event_type", "value", "s")
+      .select(col("event_id"), col("event_type"), col("value"),
+        to_timestamp(col("s")).as("ts"))
+    val r = operators.Analytics.mcnemar(ev).collect()(0)
+    assert(r.getAs[Long]("a_only") === 0L && r.getAs[Long]("b_only") === 0L)
+    assert(r.isNullAt(r.fieldIndex("mcnemar_chi2")))
+  }
+
+  test("randomizationTest: planted HUGE gap is never matched by chance") {
+    // purchases at 1000.00, clicks at 1.00 — no Bernoulli relabeling of a
+    // balanced sample reproduces a 999 gap, so only the d_obs itself can
+    // be extreme and p bottoms out at its floor 1/(B+1).
+    val ev = (1L to 40L).map { i =>
+      if (i <= 20) (i, "purchase", 1000.0, ts((i % 24).toInt))
+      else (i, "click", 1.0, ts((i % 24).toInt))
+    }.toDF("event_id", "event_type", "value", "s")
+      .select(col("event_id"), col("event_type"), col("value"),
+        to_timestamp(col("s")).as("ts"))
+    val r = operators.Analytics.randomizationTest(ev).collect()(0)
+    assert(r.getAs[Long]("n_treat") === 20L)
+    assert(r.getAs[Long]("n_ctrl") === 20L)
+    assert(math.abs(r.getAs[Double]("diff_obs") - 999.0) < 1e-6)
+    assert(r.getAs[Long]("b_reps") === 48L)
+    assert(r.getAs[Long]("n_extreme") === 0L)
+    assert(math.abs(r.getAs[Double]("p_value") - 1.0 / 49) < 1e-6)
+  }
+
+  test("randomizationTest: a null effect is not declared significant") {
+    // both groups drawn from the same constant — every replicate diff is
+    // 0 = |d_obs|, so every replicate is 'extreme' and p = 1
+    val ev = (1L to 30L).map { i =>
+      (i, if (i % 2 == 0) "purchase" else "click", 7.0, ts(3))
+    }.toDF("event_id", "event_type", "value", "s")
+      .select(col("event_id"), col("event_type"), col("value"),
+        to_timestamp(col("s")).as("ts"))
+    val r = operators.Analytics.randomizationTest(ev).collect()(0)
+    assert(r.getAs[Double]("diff_obs") === 0.0)
+    assert(r.getAs[Double]("p_value") === 1.0)
+  }
+
+  test("cemAtt: stratum reweighting removes a planted confounder") {
+    // Two strata with opposite outcome levels; treatment concentrates in
+    // the high-outcome stratum, so the naive diff is inflated. Within
+    // each stratum the true effect is exactly +10.
+    // Stratum O/20241 (status O, 2024 Q1): treated 110 ×3, control 100 ×1
+    // Stratum F/20241: treated 30 ×1, control 20 ×3
+    def row(pri: String, st: String, day: String, price: Double) =
+      (pri, st, java.sql.Date.valueOf(day), price)
+    val orders = Seq(
+      row("1-URGENT", "O", "2024-01-05", 110.0),
+      row("1-URGENT", "O", "2024-01-06", 110.0),
+      row("2-HIGH", "O", "2024-02-07", 110.0),
+      row("5-LOW", "O", "2024-03-08", 100.0),
+      row("1-URGENT", "F", "2024-01-09", 30.0),
+      row("5-LOW", "F", "2024-02-10", 20.0),
+      row("5-LOW", "F", "2024-02-11", 20.0),
+      row("5-LOW", "F", "2024-03-12", 20.0))
+      .toDF("o_orderpriority", "o_orderstatus", "o_orderdate", "o_totalprice")
+    val r = operators.Analytics.cemAtt(orders).collect()(0)
+    assert(r.getAs[Long]("n_strata") === 2L)
+    assert(r.getAs[Long]("n_strata_matched") === 2L)
+    assert(r.getAs[Long]("n_treated") === 4L)
+    assert(r.getAs[Long]("n_control") === 4L)
+    // ATT: treated mean = (330+30)/4 = 90; weighted control =
+    // (3·100/1 + 1·60/3)/4 = 320/4 = 80 -> +10 exactly
+    assert(math.abs(r.getAs[Double]("att") - 10.0) < 1e-4)
+    // naive: 90 − (100+60)/4 = 90 − 40 = +50 — the confounded estimate
+    assert(math.abs(r.getAs[Double]("naive_diff") - 50.0) < 1e-6)
+  }
+
+  test("mmdDrift: identical populations give 0, a planted shift its norm") {
+    val mk = (id: Long, lab: Int, v: Seq[Float]) => (id, v, lab)
+    // ref (label 0) and cur (label 9) both = {(1,0),(0,1)} -> means equal
+    val same = Seq(
+      mk(1, 0, Seq(1f, 0f)), mk(2, 0, Seq(0f, 1f)),
+      mk(3, 9, Seq(1f, 0f)), mk(4, 9, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding", "label")
+    val r0 = operators.Similarity.mmdDrift(same, col("label") < 5).collect()(0)
+    assert(r0.getAs[Long]("n_ref") === 2L && r0.getAs[Long]("n_cur") === 2L)
+    assert(r0.getAs[Long]("n_dims") === 2L)
+    assert(r0.getAs[Double]("mmd2") === 0.0)
+    // shift cur by +0.5 in dim 0: mmd2 = 0.25, stat = (2·2/4)·0.25
+    val shifted = Seq(
+      mk(1, 0, Seq(1f, 0f)), mk(2, 0, Seq(0f, 1f)),
+      mk(3, 9, Seq(1.5f, 0f)), mk(4, 9, Seq(0.5f, 1f)))
+      .toDF("vec_id", "embedding", "label")
+    val r1 = operators.Similarity.mmdDrift(shifted, col("label") < 5)
+      .collect()(0)
+    assert(math.abs(r1.getAs[Double]("mmd2") - 0.25) < 1e-9)
+    assert(math.abs(r1.getAs[Double]("stat_neff") - 0.25) < 1e-9)
+  }
+
+  test("modularity: Q invariants hold end-to-end on the sf0.001 graph") {
+    // bounds, term-sum consistency, and the internal≤total degree
+    // identity — the algebra a wrong join or double-counted edge breaks
+    val out = operators.Graph.modularity(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val qTotal = out.head.getAs[Double]("q_total")
+    // every row carries the same broadcast total, and Q is bounded
+    assert(out.forall(r => r.getAs[Double]("q_total") === qTotal))
+    assert(qTotal >= -0.5 && qTotal <= 1.0)
+    // per-community terms sum (at 6dp) to the reported total
+    val sumTerms = out.map(_.getAs[Double]("q_term")).sum
+    assert(math.abs(sumTerms - qTotal) < 1e-6)
+    // internal degree cannot exceed total degree
+    assert(out.forall(r =>
+      2 * r.getAs[Long]("internal_edges") <= r.getAs[Long]("deg_sum")))
+  }
+}
