@@ -1124,6 +1124,61 @@ object Analytics {
           (lit(2.0) * dnp * dnn), 6)).as("auc"))
   }
 
+  /** DeLONG CONFIDENCE INTERVAL for the AUC (DeLong, DeLong &
+    * Clarke-Pearson 1988) — q_auc_length gives the point estimate; this
+    * gives the sampling uncertainty, via the placement-value identity:
+    * for each positive, V10 = share of negatives it outranks (ties ½);
+    * for each negative, V01 symmetric. AUC = mean(V10) = mean(V01) and
+    * var(AUC) = S10/n1 + S01/n0 with S10/S01 the placement variances.
+    * The standard way to say "AUC 0.61 ± what?" before shipping a
+    * quality-score threshold.
+    *
+    * Scale posture: placements come from the SAME distinct-value spine
+    * as [[aucRank]] (cumsum window bounded by the score domain, never a
+    * per-row rank); every per-score moment term is rounded to 6dp
+    * DECIMAL before the exact fold, so both engines replay the variance
+    * bit-for-bit. One shuffle to the spine, one window, one aggregate.
+    */
+  def aucDelongCi(df: DataFrame, scoreCol: Column,
+                  positive: Column): DataFrame = {
+    val c = df.filter(scoreCol.isNotNull && positive.isNotNull)
+      .select(scoreCol.cast("long").as("v"),
+        when(positive, 1L).otherwise(0L).as("pos"))
+      .groupBy("v")
+      .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("p"))
+      .select(col("v"), col("p"), (col("cnt") - col("p")).as("q"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = c.withColumn("cq", sum(col("q")).over(w))
+      .withColumn("cp", sum(col("p")).over(w))
+    val tot = c.agg(sum(col("p")).as("n1"), sum(col("q")).as("n0"))
+    def t6(x: Column) = round(x, 6).cast(DecimalType(28, 6))
+    val v10 = ((col("cq") - col("q")).cast("double") +
+      lit(0.5) * col("q").cast("double")) / col("n0").cast("double")
+    val v01 = ((col("n1") - col("cp")).cast("double") +
+      lit(0.5) * col("p").cast("double")) / col("n1").cast("double")
+    val m = cum.crossJoin(broadcast(tot))
+      .select(col("n1"), col("n0"),
+        // moment terms associate as p·(v·v) on BOTH engines (pow() is
+        // not guaranteed bit-equal to the explicit product)
+        t6(col("p") * (v10 * v10)).as("ss10"), t6(col("p") * v10).as("s10"),
+        t6(col("q") * (v01 * v01)).as("ss01"), t6(col("q") * v01).as("s01"))
+      .groupBy("n1", "n0")
+      .agg(sum(col("s10")).cast("double").as("s10"),
+        sum(col("ss10")).cast("double").as("ss10"),
+        sum(col("s01")).cast("double").as("s01"),
+        sum(col("ss01")).cast("double").as("ss01"))
+    val dn1 = col("n1").cast("double"); val dn0 = col("n0").cast("double")
+    val auc = col("s10") / dn1
+    val var10 = (col("ss10") - col("s10") * col("s10") / dn1) / (dn1 - 1)
+    val var01 = (col("ss01") - col("s01") * col("s01") / dn0) / (dn0 - 1)
+    val se = sqrt(var10 / dn1 + var01 / dn0)
+    m.select(col("n1").as("n_pos"), col("n0").as("n_neg"),
+      round(auc, 6).as("auc"), round(se, 6).as("se_delong"),
+      round(auc - lit(1.959964) * se, 6).as("ci_lo"),
+      round(auc + lit(1.959964) * se, 6).as("ci_hi"))
+  }
+
   /** Benford's-law audit of a positive decimal measure: observed
     * leading-digit shares vs log10(1+1/d), with the per-digit χ² term.
     * The leading digit comes from the decimal's string form (exact —
@@ -2861,6 +2916,10 @@ object Analytics {
     // Coarsened-exact-matching ATT: priority effect on order value,
     // matched within (status × quarter) strata — one groupBy, no pairs.
     "q_cem_att" -> { (s, d) => cemAtt(Tables.orders(s, d)) },
+    // DeLong CI on the q_auc_length AUC (length predicting is-English).
+    "q_auc_delong_ci" -> { (s, d) =>
+      aucDelongCi(Tables.documents(s, d), col("n_chars"),
+        col("lang") === "en") },
     "q_split_finder" -> { (s, d) => splitFinder(Tables.documents(s, d)) },
     "q_pr_auc" -> { (s, d) => prAuc(Tables.documents(s, d)) },
     "q_kendall_tau" -> { (s, d) => kendallTau(Tables.documents(s, d)) },
@@ -4539,6 +4598,45 @@ object Analytics {
          | round(CAST(agg.n_extreme + 1 AS DOUBLE)
          |   / CAST(agg.b_reps + 1 AS DOUBLE), 6) AS p_value
          |FROM o2 CROSS JOIN agg""".stripMargin,
+    "q_auc_delong_ci" ->
+      """WITH c AS (
+        | SELECT CAST(n_chars AS BIGINT) AS v,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS p,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS q
+        | FROM documents
+        | WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+        | GROUP BY 1),
+        |cum AS (
+        | SELECT v, p, q,
+        |  sum(q) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cq,
+        |  sum(p) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cp
+        | FROM c),
+        |tot AS (SELECT CAST(sum(p) AS BIGINT) AS n1,
+        |        CAST(sum(q) AS BIGINT) AS n0 FROM c),
+        |m AS (
+        | SELECT n1, n0,
+        |  CAST(sum(CAST(round(p * ((CAST(cq - q AS DOUBLE) + 0.5 * q) / n0),
+        |    6) AS DECIMAL(28,6))) AS DOUBLE) AS s10,
+        |  CAST(sum(CAST(round(p * (((CAST(cq - q AS DOUBLE) + 0.5 * q) / n0)
+        |    * ((CAST(cq - q AS DOUBLE) + 0.5 * q) / n0)),
+        |    6) AS DECIMAL(28,6))) AS DOUBLE) AS ss10,
+        |  CAST(sum(CAST(round(q * ((CAST(n1 - cp AS DOUBLE) + 0.5 * p) / n1),
+        |    6) AS DECIMAL(28,6))) AS DOUBLE) AS s01,
+        |  CAST(sum(CAST(round(q * (((CAST(n1 - cp AS DOUBLE) + 0.5 * p) / n1)
+        |    * ((CAST(n1 - cp AS DOUBLE) + 0.5 * p) / n1)),
+        |    6) AS DECIMAL(28,6))) AS DOUBLE) AS ss01
+        | FROM cum CROSS JOIN tot GROUP BY 1, 2)
+        |SELECT n1 AS n_pos, n0 AS n_neg,
+        | round(s10 / n1, 6) AS auc,
+        | round(sqrt((ss10 - s10 * s10 / n1) / (n1 - 1) / n1
+        |   + (ss01 - s01 * s01 / n0) / (n0 - 1) / n0), 6) AS se_delong,
+        | round(s10 / n1 - 1.959964 * sqrt((ss10 - s10 * s10 / n1)
+        |   / (n1 - 1) / n1 + (ss01 - s01 * s01 / n0) / (n0 - 1) / n0), 6)
+        |  AS ci_lo,
+        | round(s10 / n1 + 1.959964 * sqrt((ss10 - s10 * s10 / n1)
+        |   / (n1 - 1) / n1 + (ss01 - s01 * s01 / n0) / (n0 - 1) / n0), 6)
+        |  AS ci_hi
+        |FROM m""".stripMargin,
     "q_cem_att" ->
       """WITH rows0 AS (
         | SELECT (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS t,

@@ -703,6 +703,43 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Skip-gram co-occurrence PMI (window ≤ 3) over a (text) frame —
+    * see the q_cooccur_pmi entry comment for semantics/posture.
+    */
+  def cooccurPmi(docs: DataFrame, minSupport: Int = 3,
+                 k: Int = 20): DataFrame = {
+    val toks = docs.select(tokens(lower(col("text"))).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val nu = uni.agg(sum(col("cu")).as("nu"))
+    val n = size(col("toks"))
+    val pairGen = flatten(transform(sequence(lit(1), n), i =>
+      filter(transform(sequence(lit(1), lit(3)), kk =>
+        when(i + kk <= n, struct(
+          least(element_at(col("toks"), i),
+            element_at(col("toks"), i + kk)).as("w1"),
+          greatest(element_at(col("toks"), i),
+            element_at(col("toks"), i + kk)).as("w2")))),
+        x => x.isNotNull)))
+    val pc = toks.filter(n >= 2)
+      .select(explode(pairGen).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("cb"))
+    val np = pc.agg(sum(col("cb")).as("np"))
+    val pmi = log2((col("cb").cast("double") / col("np").cast("double")) /
+      ((col("c1").cast("double") / col("nu").cast("double")) *
+        (col("c2").cast("double") / col("nu").cast("double"))))
+    pc.filter(col("cb") >= minSupport)
+      .join(broadcast(uni.select(col("w").as("w1"), col("cu").as("c1"))),
+        Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("cu").as("c2"))),
+        Seq("w2"))
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(np))
+      .select(col("w1"), col("w2"), col("cb"), round(pmi, 6).as("pmi"))
+      .orderBy(desc("pmi"), col("w1"), col("w2"))
+      .limit(k)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_readability" -> { (s, d) => readability(Tables.documents(s, d)) },
     "q_mojibake_audit" -> { (s, d) => mojibakeAudit(Tables.documents(s, d)) },
@@ -991,6 +1028,17 @@ object TextAnalysis {
     // broadcasts no matter the corpus size. Min support 3 kills the
     // noise floor (PMI is max for hapax pairs); (pmi desc, w1, w2) is a
     // total order so the top-20 is deterministic.
+    // SKIP-GRAM CO-OCCURRENCE PMI (window ≤ 3) — q_pmi_topk scores
+    // ADJACENT pairs (collocations); this is the word-embedding input
+    // shape (Mikolov et al. 2013's context window): unordered token
+    // pairs within distance 1..3, counted once per occurrence. Pair
+    // generation is map-side (per-position inner transform over the
+    // three offsets, nulls filtered — no self-join, no positions
+    // table); counts collapse to vocabulary²-bounded frames before the
+    // unigram broadcast joins, exactly the q_pmi_topk posture. The
+    // unordered (least, greatest) normalization halves the key space
+    // and matches the symmetric-window convention.
+    "q_cooccur_pmi" -> { (s, d) => cooccurPmi(Tables.documents(s, d)) },
     "q_pmi_topk" -> { (s, d) =>
       val toks = Tables.documents(s, d)
         .select(tokens(lower(col("text"))).as("toks"))
@@ -1884,6 +1932,27 @@ object TextAnalysis {
            | round(total_tf * (ln((n_docs + 1.0) / (df + 1)) + 1), 6) AS score
            |FROM d, n
            |ORDER BY score DESC, term LIMIT 20""".stripMargin,
+      "q_cooccur_pmi" ->
+        s"""WITH toks AS (SELECT ${tokensSql("lower(text)")} AS t FROM documents),
+           |u AS (SELECT w, count(*) AS cu
+           |      FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+           |nu AS (SELECT CAST(sum(cu) AS BIGINT) AS nu FROM u),
+           |pc AS (
+           | SELECT least(t[i], t[i + k]) AS w1,
+           |  greatest(t[i], t[i + k]) AS w2, count(*) AS cb
+           | FROM toks
+           |  CROSS JOIN unnest(range(1, len(t) + 1)) AS r(i)
+           |  CROSS JOIN range(1, 4) kk(k)
+           | WHERE len(t) >= 2 AND i + k <= len(t)
+           | GROUP BY 1, 2),
+           |np AS (SELECT CAST(sum(cb) AS BIGINT) AS np FROM pc)
+           |SELECT w1, w2, cb,
+           | round(log2((CAST(cb AS DOUBLE) / CAST(np AS DOUBLE))
+           |   / ((CAST(u1.cu AS DOUBLE) / CAST(nu AS DOUBLE))
+           |      * (CAST(u2.cu AS DOUBLE) / CAST(nu AS DOUBLE)))), 6) AS pmi
+           |FROM pc JOIN u u1 ON pc.w1 = u1.w JOIN u u2 ON pc.w2 = u2.w, nu, np
+           |WHERE cb >= 3
+           |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
       "q_pmi_topk" ->
         s"""WITH toks AS (SELECT ${tokensSql("lower(text)")} AS t FROM documents),
            |u AS (SELECT w, count(*) AS cu

@@ -291,7 +291,62 @@ object Training {
       .orderBy("bin")
   }
 
+  /** SHUFFLE-QUALITY AUDIT of the epoch-shuffle order: how decorrelated
+    * is the training order from the SOURCE of each document? Training on
+    * long same-source runs degrades convergence (the motivation for the
+    * epoch shuffle itself), so this measures it: within each (epoch,
+    * shard), the rate of ADJACENT same-source pairs in the shuffled
+    * order, against the exact expectation under a uniform random
+    * permutation, Σ_s n_s(n_s−1) / (N(N−1)). mix_ratio ≈ 1 says the
+    * hash order is as source-mixed as true random; ≫ 1 flags clumping
+    * (e.g. a source whose ids hash-collide into one shard).
+    *
+    * Scale posture: the lag window is SHARD-LOCAL (partitioned — the
+    * exact q_epoch_shuffle layout, no global sort); the expectation
+    * comes from source counts (source-cardinality frame, broadcast
+    * back); products go through DECIMAL(38,0) so a 10¹⁰-doc corpus
+    * doesn't overflow the N² term.
+    */
+  def shuffleQuality(docs: DataFrame, epochs: Int = 2,
+                     shards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val h = md5(concat_ws(":", col("epoch"), col("doc_id")))
+    val ordered = docs.select(col("doc_id"), col("source"))
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1), lit(epochs))).as("epoch"))
+      .select(col("doc_id"), col("source"),
+        col("epoch").cast("long").as("epoch"), h.as("h"))
+      .withColumn("shard",
+        conv(substring(col("h"), 1, 4), 16, 10).cast("long") % shards)
+    val w = Window.partitionBy("epoch", "shard").orderBy("h", "doc_id")
+    val perEpoch = ordered
+      .withColumn("prev_src", lag(col("source"), 1).over(w))
+      .groupBy("epoch")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("prev_src").isNotNull, 1L).otherwise(0L)).as("n_pairs"),
+        sum(when(col("prev_src") === col("source"), 1L).otherwise(0L))
+          .as("same_src_pairs"))
+    def d38(c: Column) = c.cast(DecimalType(38, 0))
+    val expRate = docs.groupBy("source").agg(count(lit(1)).as("ns"))
+      .agg(sum(d38(col("ns")) * d38(col("ns") - 1L)).as("num"),
+        sum(col("ns")).as("nn"))
+      .select((col("num").cast("double") /
+        (d38(col("nn")) * d38(col("nn") - 1L)).cast("double")).as("er"))
+    perEpoch.crossJoin(broadcast(expRate))
+      .select(col("epoch"), col("n_docs"), col("n_pairs"),
+        col("same_src_pairs"),
+        round(col("same_src_pairs").cast("double") / col("n_pairs"), 6)
+          .as("obs_rate"),
+        round(col("er"), 6).as("exp_rate"),
+        round(col("same_src_pairs").cast("double") / col("n_pairs") /
+          col("er"), 6).as("mix_ratio"))
+      .orderBy("epoch")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Source-decorrelation audit of the epoch-shuffle training order.
+    "q_shuffle_quality" -> { (s, d) =>
+      shuffleQuality(Tables.documents(s, d)) },
     "q_woe_iv" -> { (s, d) => woeIv(Tables.documents(s, d)) },
     // Bradley–Terry source-strength tournament over rank-matched duels.
     "q_bt_strength" -> { (s, d) => btStrength(Tables.documents(s, d)) },
@@ -593,6 +648,36 @@ object Training {
         |   / CAST((nt - 1 + 10) * nn AS DOUBLE) / 100.0, 6) AS te_loo
         |FROM ev JOIN t USING (event_type) CROSS JOIN g
         |WHERE event_id < 2000 ORDER BY event_id""".stripMargin,
+    "q_shuffle_quality" ->
+      """WITH x AS (
+        | SELECT d.doc_id, d.source, e.epoch,
+        |  md5(concat_ws(':', e.epoch, d.doc_id)) AS h
+        | FROM documents d CROSS JOIN range(1, 3) e(epoch)),
+        |y AS (
+        | SELECT doc_id, source, epoch,
+        |  CAST(('0x' || substr(h, 1, 4)) AS BIGINT) % 8 AS shard, h
+        | FROM x),
+        |adj AS (
+        | SELECT epoch, source,
+        |  lag(source) OVER (PARTITION BY epoch, shard ORDER BY h, doc_id)
+        |   AS prev_src
+        | FROM y),
+        |pe AS (
+        | SELECT epoch, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN prev_src IS NOT NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN prev_src = source THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS same_src_pairs
+        | FROM adj GROUP BY 1),
+        |er AS (
+        | SELECT CAST(sum(CAST(ns AS HUGEINT) * (ns - 1)) AS DOUBLE)
+        |   / CAST(CAST(sum(ns) AS HUGEINT) * (sum(ns) - 1) AS DOUBLE) AS er
+        | FROM (SELECT count(*) AS ns FROM documents GROUP BY source))
+        |SELECT epoch, n_docs, n_pairs, same_src_pairs,
+        | round(CAST(same_src_pairs AS DOUBLE) / n_pairs, 6) AS obs_rate,
+        | round(er, 6) AS exp_rate,
+        | round(CAST(same_src_pairs AS DOUBLE) / n_pairs / er, 6) AS mix_ratio
+        |FROM pe CROSS JOIN er ORDER BY epoch""".stripMargin,
     "q_epoch_shuffle" ->
       """WITH x AS (
         | SELECT d.doc_id, e.epoch,

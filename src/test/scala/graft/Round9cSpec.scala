@@ -133,6 +133,68 @@ class Round9cSpec extends SparkSpec {
     assert(math.abs(r1.getAs[Double]("stat_neff") - 0.25) < 1e-9)
   }
 
+  test("shuffleQuality: exact random-permutation expectation on counts") {
+    // sources a×3, b×2 -> exp = (3·2 + 2·1)/(5·4) = 0.4 exactly
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"))
+      .toDF("doc_id", "source")
+    val out = operators.Training.shuffleQuality(docs).collect()
+    assert(out.length === 2) // one row per epoch
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_docs") === 5L)
+      assert(math.abs(r.getAs[Double]("exp_rate") - 0.4) < 1e-9)
+      val pairs = r.getAs[Long]("n_pairs")
+      assert(pairs >= 0L && pairs <= 4L) // ≥1 shard splits the chain
+      assert(r.getAs[Long]("same_src_pairs") <= pairs)
+    }
+  }
+
+  test("aucDelongCi: perfect separation collapses the CI to a point") {
+    val df = Seq((3L, true), (4L, true), (1L, false), (2L, false))
+      .toDF("score", "en")
+    val r = operators.Analytics
+      .aucDelongCi(df, col("score"), col("en")).collect()(0)
+    assert(r.getAs[Long]("n_pos") === 2L && r.getAs[Long]("n_neg") === 2L)
+    assert(r.getAs[Double]("auc") === 1.0)
+    assert(r.getAs[Double]("se_delong") === 0.0)
+    assert(r.getAs[Double]("ci_lo") === 1.0)
+    assert(r.getAs[Double]("ci_hi") === 1.0)
+  }
+
+  test("aucDelongCi: hand-computed placements on an overlapping pair") {
+    // pos {2,3}, neg {1,2}: V10 = {0.75, 1}, V01 = {1, 0.75}
+    // AUC = 0.875, S10 = S01 = 0.03125, se = sqrt(0.03125/2·2) = 0.176777
+    val df = Seq((2L, true), (3L, true), (1L, false), (2L, false))
+      .toDF("score", "en")
+    val r = operators.Analytics
+      .aucDelongCi(df, col("score"), col("en")).collect()(0)
+    assert(math.abs(r.getAs[Double]("auc") - 0.875) < 1e-9)
+    assert(math.abs(r.getAs[Double]("se_delong") - 0.176777) < 1e-6)
+    assert(math.abs(r.getAs[Double]("ci_lo") - (0.875 - 1.959964 * 0.1767767)) < 1e-5)
+  }
+
+  test("cooccurPmi: window-3 pairs on a planted trigram corpus") {
+    // 'a b c' ×3: unordered window-3 pairs (a,b),(a,c),(b,c) each ×3;
+    // Nu = 9, Np = 9, every unigram 3 -> PMI = log2(3) for all pairs
+    val docs = (1 to 3).map(i => (i.toLong, "a b c"))
+      .toDF("doc_id", "text")
+    val out = operators.TextAnalysis.cooccurPmi(docs).collect()
+    assert(out.length === 3)
+    assert(out.map(r => (r.getAs[String]("w1"), r.getAs[String]("w2")))
+      .toSeq === Seq(("a", "b"), ("a", "c"), ("b", "c")))
+    out.foreach { r =>
+      assert(r.getAs[Long]("cb") === 3L)
+      assert(math.abs(r.getAs[Double]("pmi") - 1.584963) < 1e-6)
+    }
+  }
+
+  test("cooccurPmi: distance-4 tokens never pair") {
+    // 'x a a a y' ×3: (x,y) is 4 apart -> absent; (a,a) self-pairs exist
+    val docs = (1 to 3).map(i => (i.toLong, "x a a a y")).toDF("doc_id", "text")
+    val out = operators.TextAnalysis.cooccurPmi(docs).collect()
+    assert(!out.exists(r =>
+      r.getAs[String]("w1") === "x" && r.getAs[String]("w2") === "y"))
+  }
+
   test("modularity: Q invariants hold end-to-end on the sf0.001 graph") {
     // bounds, term-sum consistency, and the internal≤total degree
     // identity — the algebra a wrong join or double-counted edge breaks
