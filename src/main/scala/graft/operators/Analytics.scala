@@ -2187,6 +2187,55 @@ object Analytics {
     s"(2.0 * (0.3989422804014327 * exp(-0.5 * $absZ * $absZ)) * $poly)"
   }
 
+  /** BAYESIAN A/B READOUT — the decision-layer twin of q_ab_test's
+    * frequentist z-test: with a flat prior and the large-sample normal
+    * posterior for each arm's mean, P(μ_B > μ_A) = Φ(Δ/se_Δ) — the
+    * "probability B is better" number stakeholders actually ask for,
+    * plus the 95% credible interval of the lift. Φ comes from the same
+    * cross-engine A&S 26.2.17 tail as q_fdr_bh, so the probability is
+    * bit-identical on both engines.
+    *
+    * Scale posture: ONE full-scan aggregate to exact Long moment sums
+    * (Σ cents, Σ cents² in DECIMAL(38,0)); everything after is a scalar
+    * double expression. Arms: purchase (B) vs click (A) event values.
+    */
+  def bayesAb(ev: DataFrame): DataFrame = {
+    val rows = ev
+      .filter(col("event_type").isin("purchase", "click") &&
+        col("value").isNotNull)
+      .select((col("event_type") === "purchase").as("t"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+          .as("cents"))
+    val m = rows.agg(
+      sum(when(col("t"), 1L).otherwise(0L)).as("nb"),
+      sum(when(!col("t"), 1L).otherwise(0L)).as("na"),
+      sum(when(col("t"), col("cents")).otherwise(0L)).as("sb"),
+      sum(when(!col("t"), col("cents")).otherwise(0L)).as("sa"),
+      sum(when(col("t"), (col("cents") * col("cents"))
+        .cast(DecimalType(38, 0))).otherwise(lit(0).cast(DecimalType(38, 0))))
+        .as("ssb"),
+      sum(when(!col("t"), (col("cents") * col("cents"))
+        .cast(DecimalType(38, 0))).otherwise(lit(0).cast(DecimalType(38, 0))))
+        .as("ssa"))
+    def d(c: Column) = c.cast("double")
+    val varB = (d(col("ssb")) - d(col("sb")) * d(col("sb")) / d(col("nb"))) /
+      (d(col("nb")) - 1.0)
+    val varA = (d(col("ssa")) - d(col("sa")) * d(col("sa")) / d(col("na"))) /
+      (d(col("na")) - 1.0)
+    val diff = d(col("sb")) / d(col("nb")) - d(col("sa")) / d(col("na"))
+    val se = sqrt(varB / d(col("nb")) + varA / d(col("na")))
+    val z = diff / se
+    val upperTail = pTwoSided(abs(z)) / lit(2.0)
+    val probB = when(z >= 0, lit(1.0) - upperTail).otherwise(upperTail)
+    m.select(col("na").as("n_a"), col("nb").as("n_b"),
+      round(d(col("sa")) / d(col("na")) / 100.0, 6).as("mean_a"),
+      round(d(col("sb")) / d(col("nb")) / 100.0, 6).as("mean_b"),
+      round(diff / 100.0, 6).as("lift"),
+      round((diff - lit(1.959964) * se) / 100.0, 6).as("ci_lo"),
+      round((diff + lit(1.959964) * se) / 100.0, 6).as("ci_hi"),
+      round(probB, 6).as("prob_b_beats_a"))
+  }
+
   /** BENJAMINI–HOCHBERG FDR control (Benjamini & Hochberg 1995) over
     * the per-source mean-length tests — the multiple-comparisons
     * correction every "which segments moved?" dashboard needs once it
@@ -2920,6 +2969,9 @@ object Analytics {
     "q_auc_delong_ci" -> { (s, d) =>
       aucDelongCi(Tables.documents(s, d), col("n_chars"),
         col("lang") === "en") },
+    // Bayesian A/B: P(B beats A) + credible interval of the lift
+    // (normal posterior on exact moment sums, portable A&S Phi).
+    "q_bayes_ab" -> { (s, d) => bayesAb(Tables.events(s, d)) },
     "q_split_finder" -> { (s, d) => splitFinder(Tables.documents(s, d)) },
     "q_pr_auc" -> { (s, d) => prAuc(Tables.documents(s, d)) },
     "q_kendall_tau" -> { (s, d) => kendallTau(Tables.documents(s, d)) },
@@ -4598,6 +4650,48 @@ object Analytics {
          | round(CAST(agg.n_extreme + 1 AS DOUBLE)
          |   / CAST(agg.b_reps + 1 AS DOUBLE), 6) AS p_value
          |FROM o2 CROSS JOIN agg""".stripMargin,
+    "q_bayes_ab" -> {
+      val z = "(((CAST(sb AS DOUBLE) / nb - CAST(sa AS DOUBLE) / na)) / se)"
+      s"""WITH rows0 AS (
+         | SELECT (event_type = 'purchase') AS t,
+         |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         | FROM events
+         | WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL),
+         |m AS (
+         | SELECT
+         |  CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         |  CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS na,
+         |  CAST(sum(CASE WHEN t THEN cents ELSE 0 END) AS BIGINT) AS sb,
+         |  CAST(sum(CASE WHEN t THEN 0 ELSE cents END) AS BIGINT) AS sa,
+         |  sum(CASE WHEN t THEN CAST(cents * cents AS HUGEINT)
+         |      ELSE CAST(0 AS HUGEINT) END) AS ssb,
+         |  sum(CASE WHEN t THEN CAST(0 AS HUGEINT)
+         |      ELSE CAST(cents * cents AS HUGEINT) END) AS ssa
+         | FROM rows0),
+         |s AS (
+         | SELECT na, nb, sa, sb,
+         |  sqrt(((CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS
+         |    DOUBLE) / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0))
+         |    / CAST(nb AS DOUBLE)
+         |   + ((CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS
+         |    DOUBLE) / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0))
+         |    / CAST(na AS DOUBLE)) AS se
+         | FROM m)
+         |SELECT na AS n_a, nb AS n_b,
+         | round(CAST(sa AS DOUBLE) / na / 100.0, 6) AS mean_a,
+         | round(CAST(sb AS DOUBLE) / nb / 100.0, 6) AS mean_b,
+         | round((CAST(sb AS DOUBLE) / nb - CAST(sa AS DOUBLE) / na)
+         |   / 100.0, 6) AS lift,
+         | round(((CAST(sb AS DOUBLE) / nb - CAST(sa AS DOUBLE) / na)
+         |   - 1.959964 * se) / 100.0, 6) AS ci_lo,
+         | round(((CAST(sb AS DOUBLE) / nb - CAST(sa AS DOUBLE) / na)
+         |   + 1.959964 * se) / 100.0, 6) AS ci_hi,
+         | round(CASE WHEN $z >= 0
+         |  THEN 1.0 - ${pTwoSidedSql(s"abs($z)")} / 2.0
+         |  ELSE ${pTwoSidedSql(s"abs($z)")} / 2.0 END, 6)
+         |  AS prob_b_beats_a
+         |FROM s""".stripMargin
+    },
     "q_auc_delong_ci" ->
       """WITH c AS (
         | SELECT CAST(n_chars AS BIGINT) AS v,

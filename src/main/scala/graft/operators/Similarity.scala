@@ -886,7 +886,61 @@ object Similarity {
           col("mmd2d").cast("double"), 6).as("stat_neff"))
   }
 
+  /** CALINSKI–HARABASZ INDEX (Calinski & Harabasz 1974) of the label
+    * partition — the cluster-quality number you can actually afford at
+    * corpus scale: between-/within-cluster variance ratio from GROUP
+    * MOMENTS only (O(N·d) map + a (k·d)-group shuffle), where
+    * silhouette's pairwise distances are O(N²). Uses the sums-of-squares
+    * identity (W = Σ ss − s²/n per (label,dim); B = total SS − W), so no
+    * centroid frame is ever materialized.
+    *
+    * Exactness: the q_embed_centroids fixed-point recipe — q =
+    * ⌊x·2^20⌋ Longs, q² sums in DECIMAL(38,0) — keeps every moment an
+    * exact integer; the per-group variance terms are single double
+    * expressions of those integers, rounded 6dp into an exact DECIMAL
+    * fold, so both engines replay W, B and the index bit-for-bit.
+    */
+  def calinskiHarabasz(emb: DataFrame): DataFrame = {
+    val g = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"),
+        floor(col("x").cast("double") * 1048576).cast("long").as("q"))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"),
+        sum((col("q") * col("q")).cast(DecimalType(38, 0))).as("ss"))
+    def d(c: Column) = c.cast("double")
+    val terms = g.select(col("dim"), col("n"), col("s"),
+      round(d(col("ss")) - d(col("s")) * d(col("s")) / d(col("n")), 6)
+        .cast(DecimalType(38, 6)).as("w_t"),
+      round(d(col("s")) * d(col("s")) / d(col("n")), 6)
+        .cast(DecimalType(38, 6)).as("cb_t"))
+    val perDim = terms.groupBy("dim")
+      .agg(sum(col("w_t")).as("w_d"), sum(col("cb_t")).as("cb_d"),
+        sum(col("n")).as("nd"), sum(col("s")).as("st"))
+    val kf = g.select("label").distinct().agg(count(lit(1)).as("k"))
+    val fin = perDim
+      .select(col("w_d"),
+        round(d(col("cb_d")) - d(col("st")) * d(col("st")) / d(col("nd")), 6)
+          .cast(DecimalType(38, 6)).as("b_d"),
+        col("nd"))
+      .agg(sum(col("w_d")).cast("double").as("w"),
+        sum(col("b_d")).cast("double").as("b"),
+        max(col("nd")).as("n"))
+      .crossJoin(broadcast(kf))
+    // /2^40 converts q² units back to x² units for the reported SS;
+    // the index itself is scale-invariant
+    fin.select(col("k"), col("n").as("n_rows"),
+      round(col("w") / 1.099511627776e12, 6).as("w_ss"),
+      round(col("b") / 1.099511627776e12, 6).as("b_ss"),
+      round((col("b") / d(col("k") - 1)) /
+        (col("w") / d(col("n") - col("k"))), 6).as("ch_index"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Between/within variance ratio of the label partition (the
+    // O(N·d) cluster-quality companion to the pairwise silhouette).
+    "q_calinski_harabasz" -> { (s, d) =>
+      calinskiHarabasz(Tables.embeddings(s, d)) },
     // Linear-kernel MMD² between the label<5 and label≥5 embedding
     // populations — mean-embedding drift in one d-group pass.
     "q_mmd_drift" -> { (s, d) =>
@@ -1326,6 +1380,43 @@ object Similarity {
   }
 
   def oracles: Map[String, String] = Map(
+    "q_calinski_harabasz" ->
+      """WITH g AS (
+        | SELECT label, i - 1 AS dim, count(*) AS n,
+        |  CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576)
+        |    AS BIGINT)) AS BIGINT) AS s,
+        |  sum(CAST(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576)
+        |    AS BIGINT) * CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576)
+        |    AS BIGINT) AS HUGEINT)) AS ss
+        | FROM embeddings
+        |  CROSS JOIN unnest(range(1, len(embedding) + 1)) AS r(i)
+        | GROUP BY 1, 2),
+        |terms AS (
+        | SELECT dim, n, s,
+        |  CAST(round(CAST(ss AS DOUBLE)
+        |    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |   AS DECIMAL(38,6)) AS w_t,
+        |  CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |    / CAST(n AS DOUBLE), 6) AS DECIMAL(38,6)) AS cb_t
+        | FROM g),
+        |pd AS (
+        | SELECT dim, sum(w_t) AS w_d, sum(cb_t) AS cb_d,
+        |  CAST(sum(n) AS BIGINT) AS nd, CAST(sum(s) AS BIGINT) AS st
+        | FROM terms GROUP BY 1),
+        |kf AS (SELECT count(DISTINCT label) AS k FROM g),
+        |fin AS (
+        | SELECT CAST(sum(w_d) AS DOUBLE) AS w,
+        |  CAST(sum(CAST(round(CAST(cb_d AS DOUBLE)
+        |    - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(nd AS DOUBLE),
+        |    6) AS DECIMAL(38,6))) AS DOUBLE) AS b,
+        |  max(nd) AS n
+        | FROM pd)
+        |SELECT k, n AS n_rows,
+        | round(w / 1.099511627776e12, 6) AS w_ss,
+        | round(b / 1.099511627776e12, 6) AS b_ss,
+        | round((b / CAST(k - 1 AS DOUBLE))
+        |   / (w / CAST(n - k AS DOUBLE)), 6) AS ch_index
+        |FROM fin CROSS JOIN kf""".stripMargin,
     "q_mmd_drift" ->
       """WITH t AS (
         | SELECT i - 1 AS dim,

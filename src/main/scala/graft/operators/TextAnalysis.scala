@@ -703,6 +703,65 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** RAKE KEYWORD EXTRACTION (Rose et al. 2010, "Automatic Keyword
+    * Extraction from Individual Documents") over the whole corpus:
+    * candidate phrases are maximal runs of non-stopword tokens; each
+    * word scores deg(w)/freq(w) where deg counts the words sharing its
+    * phrases (phrase length, self included) and freq its phrase
+    * occurrences; a phrase scores the sum of its words' scores. The
+    * corpus-level top-k is the "what is this corpus about" card next to
+    * q_tfidf_topk (which needs a document axis) and q_pmi_topk (pairs
+    * only).
+    *
+    * Scale posture: phrase segmentation is a PER-ROW higher-order
+    * aggregate over the token array (map-side — no positions table, no
+    * per-doc window, no shuffle to build phrases); word stats collapse
+    * to vocabulary size, phrase stats to distinct-phrase size, and the
+    * phrase-score join broadcasts the vocabulary-sized word scores.
+    * Word scores are 6dp DECIMAL, so the per-phrase sum is exact and
+    * order-independent on both engines.
+    */
+  def rakeKeywords(docs: DataFrame, k: Int = 15): DataFrame = {
+    import graft.CacheScope.TrackedDataset
+    val stopArr = array(enStopwords.map(lit): _*)
+    val zero = struct(
+      array().cast("array<array<string>>").as("done"),
+      array().cast("array<string>").as("cur"))
+    val step = (acc: Column, t: Column) => {
+      val isStop = array_contains(stopArr, t)
+      struct(
+        when(isStop && size(acc.getField("cur")) > 0,
+          concat(acc.getField("done"), array(acc.getField("cur"))))
+          .otherwise(acc.getField("done")).as("done"),
+        when(isStop, array().cast("array<string>"))
+          .otherwise(concat(acc.getField("cur"), array(t))).as("cur"))
+    }
+    val fin = (acc: Column) =>
+      when(size(acc.getField("cur")) > 0,
+        concat(acc.getField("done"), array(acc.getField("cur"))))
+        .otherwise(acc.getField("done"))
+    val phrases = docs
+      .select(explode(aggregate(tokens(lower(col("text"))), zero, step, fin))
+        .as("ptoks"))
+      .select(array_join(col("ptoks"), " ").as("phrase"), col("ptoks"),
+        size(col("ptoks")).as("len"))
+      .persistTracked()
+    val wscores = phrases.select(explode(col("ptoks")).as("w"), col("len"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+      .select(col("w"), round(col("deg").cast("double") / col("freq"), 6)
+        .cast(DecimalType(18, 6)).as("wscore"))
+    phrases.groupBy("phrase").agg(count(lit(1)).as("cnt"))
+      .select(col("phrase"), col("cnt"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .join(broadcast(wscores), Seq("w"))
+      .groupBy("phrase", "cnt")
+      .agg(sum(col("wscore")).cast("double").as("score"))
+      .select(col("phrase"), col("cnt"), round(col("score"), 6).as("score"))
+      .orderBy(desc("score"), col("phrase"))
+      .limit(k)
+  }
+
   /** Skip-gram co-occurrence PMI (window ≤ 3) over a (text) frame —
     * see the q_cooccur_pmi entry comment for semantics/posture.
     */
@@ -1039,6 +1098,9 @@ object TextAnalysis {
     // unordered (least, greatest) normalization halves the key space
     // and matches the symmetric-window convention.
     "q_cooccur_pmi" -> { (s, d) => cooccurPmi(Tables.documents(s, d)) },
+    // RAKE corpus keywords: stopword-delimited phrases, deg/freq word
+    // scores, top-15 phrases (map-side segmentation, bounded joins).
+    "q_rake_keywords" -> { (s, d) => rakeKeywords(Tables.documents(s, d)) },
     "q_pmi_topk" -> { (s, d) =>
       val toks = Tables.documents(s, d)
         .select(tokens(lower(col("text"))).as("toks"))
@@ -1932,6 +1994,39 @@ object TextAnalysis {
            | round(total_tf * (ln((n_docs + 1.0) / (df + 1)) + 1), 6) AS score
            |FROM d, n
            |ORDER BY score DESC, term LIMIT 20""".stripMargin,
+      "q_rake_keywords" -> {
+        val stopList = enStopwords.map(w => s"'$w'").mkString(", ")
+        s"""WITH toks AS (
+           | SELECT doc_id, ${tokensSql("lower(text)")} AS t FROM documents),
+           |pos AS (
+           | SELECT doc_id, CAST(i AS BIGINT) AS i, t[i] AS w
+           | FROM toks CROSS JOIN unnest(range(1, len(t) + 1)) AS r(i)),
+           |ns AS (SELECT doc_id, i, w FROM pos WHERE w NOT IN ($stopList)),
+           |isl AS (
+           | SELECT doc_id, i, w,
+           |  i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+           | FROM ns),
+           |isl2 AS (
+           | SELECT doc_id, i, w, grp,
+           |  count(*) OVER (PARTITION BY doc_id, grp) AS len
+           | FROM isl),
+           |ph AS (
+           | SELECT doc_id, grp, string_agg(w, ' ' ORDER BY i) AS phrase
+           | FROM isl2 GROUP BY 1, 2),
+           |wsc AS (
+           | SELECT w, CAST(round(CAST(sum(len) AS DOUBLE) / count(*), 6)
+           |   AS DECIMAL(18,6)) AS wscore
+           | FROM isl2 GROUP BY 1),
+           |pc AS (SELECT phrase, count(*) AS cnt FROM ph GROUP BY 1),
+           |psc AS (
+           | SELECT phrase, cnt, CAST(sum(wscore) AS DOUBLE) AS score
+           | FROM (SELECT phrase, cnt, unnest(string_split(phrase, ' ')) AS w
+           |       FROM pc) x
+           |  JOIN wsc USING (w)
+           | GROUP BY 1, 2)
+           |SELECT phrase, cnt, round(score, 6) AS score
+           |FROM psc ORDER BY score DESC, phrase LIMIT 15""".stripMargin
+      },
       "q_cooccur_pmi" ->
         s"""WITH toks AS (SELECT ${tokensSql("lower(text)")} AS t FROM documents),
            |u AS (SELECT w, count(*) AS cu

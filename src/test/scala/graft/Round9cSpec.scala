@@ -195,6 +195,72 @@ class Round9cSpec extends SparkSpec {
       r.getAs[String]("w1") === "x" && r.getAs[String]("w2") === "y"))
   }
 
+  test("calinskiHarabasz: two planted separated pairs give CH = 200") {
+    // label 0: x={0,1}, label 1: x={10,11} (dim1 all 0):
+    // W = 0.5+0.5 = 1, B = 101−1 = 100, CH = (100/1)/(1/2) = 200
+    val emb = Seq(
+      (1L, Seq(0f, 0f), 0), (2L, Seq(1f, 0f), 0),
+      (3L, Seq(10f, 0f), 1), (4L, Seq(11f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = operators.Similarity.calinskiHarabasz(emb).collect()(0)
+    assert(r.getAs[Long]("k") === 2L)
+    assert(r.getAs[Long]("n_rows") === 4L)
+    assert(math.abs(r.getAs[Double]("w_ss") - 1.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("b_ss") - 100.0) < 1e-4)
+    assert(math.abs(r.getAs[Double]("ch_index") - 200.0) < 1e-3)
+  }
+
+  test("rakeKeywords: stopword-delimited phrases score deg/freq sums") {
+    // 'red apple and green apple' x2: phrases {red apple, green apple},
+    // every word scores 2.0 (deg 4 / freq 2 or deg 8 / freq 4),
+    // both phrases score 4.0, tie broken by phrase asc
+    val docs = Seq((1L, "red apple and green apple"),
+      (2L, "red apple and green apple")).toDF("doc_id", "text")
+    val out = operators.TextAnalysis.rakeKeywords(docs).collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[String]("phrase") === "green apple")
+    assert(out(1).getAs[String]("phrase") === "red apple")
+    out.foreach { r =>
+      assert(r.getAs[Long]("cnt") === 2L)
+      assert(math.abs(r.getAs[Double]("score") - 4.0) < 1e-9)
+    }
+  }
+
+  test("rakeKeywords: single-word runs and all-stopword docs") {
+    // 'apple the apple' -> two 1-token phrases of the same word
+    // (score 1.0); an all-stopword doc contributes nothing
+    val docs = Seq((1L, "apple the apple"), (2L, "the and of"))
+      .toDF("doc_id", "text")
+    val out = operators.TextAnalysis.rakeKeywords(docs).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[String]("phrase") === "apple")
+    assert(out(0).getAs[Long]("cnt") === 2L)
+    assert(math.abs(out(0).getAs[Double]("score") - 1.0) < 1e-9)
+  }
+
+  test("bayesAb: planted separation is near-certain, null effect is 0.5") {
+    def ev(rows: Seq[(Long, String, Double)]) =
+      rows.map { case (i, t, v) => (i, t, v, ts(1)) }
+        .toDF("event_id", "event_type", "value", "s")
+        .select(col("event_id"), col("event_type"), col("value"),
+          to_timestamp(col("s")).as("ts"))
+    val gap = ev((1L to 10L).map(i =>
+      (i, "purchase", if (i % 2 == 0) 999.0 else 1001.0)) ++
+      (11L to 20L).map(i => (i, "click", if (i % 2 == 0) 1.0 else 3.0)))
+    // mean_b = 1000, mean_a = 2 -> lift 998
+    val r1 = operators.Analytics.bayesAb(gap).collect()(0)
+    assert(math.abs(r1.getAs[Double]("lift") - 998.0) < 1e-6)
+    assert(r1.getAs[Double]("prob_b_beats_a") > 0.999999)
+    assert(r1.getAs[Double]("ci_lo") < 998.0 && 998.0 < r1.getAs[Double]("ci_hi"))
+    val same = ev((1L to 20L).map(i =>
+      (i, if (i % 2 == 0) "purchase" else "click",
+        if (i % 4 < 2) 10.0 else 20.0)))
+    val r2 = operators.Analytics.bayesAb(same).collect()(0)
+    assert(math.abs(r2.getAs[Double]("lift")) < 1e-9)
+    // A&S |eps| < 7.5e-8: Phi(0) lands at 0.5 within tolerance
+    assert(math.abs(r2.getAs[Double]("prob_b_beats_a") - 0.5) < 1e-5)
+  }
+
   test("modularity: Q invariants hold end-to-end on the sf0.001 graph") {
     // bounds, term-sum consistency, and the internal≤total degree
     // identity — the algebra a wrong join or double-counted edge breaks
