@@ -2217,6 +2217,15 @@ object Analytics {
       sum(when(!col("t"), (col("cents") * col("cents"))
         .cast(DecimalType(38, 0))).otherwise(lit(0).cast(DecimalType(38, 0))))
         .as("ssa"))
+    bayesAbFinish(m)
+  }
+
+  /** The posterior readout over a one-row (na, nb, sa, sb, ssa, ssb)
+    * moments frame — shared by [[bayesAb]] and the streaming twin
+    * (q_stream_bayes_ab aggregates the same moments as streaming state,
+    * then applies this identical expression tree to the snapshot).
+    */
+  private[graft] def bayesAbFinish(m: DataFrame): DataFrame = {
     def d(c: Column) = c.cast("double")
     val varB = (d(col("ssb")) - d(col("sb")) * d(col("sb")) / d(col("nb"))) /
       (d(col("nb")) - 1.0)
@@ -2955,6 +2964,150 @@ object Analytics {
         round(col("naive") / 100.0, 6).as("naive_diff"))
   }
 
+  /** KNEE / ELBOW of a monotone curve (the Kneedle criterion of Satopää
+    * et al. 2011, chord form): normalize both axes to [0,1] over the
+    * curve's endpoints and return the point farthest from the diagonal
+    * chord — the operating point where marginal return bends. The
+    * generic "pick the threshold for me" primitive for any sweep frame
+    * the engine already emits (dedup/quality threshold sweeps, Lorenz
+    * concentration, coverage-vs-vocab curves). Expects ≥ 2 distinct x.
+    *
+    * Scale posture: runs on an ALREADY-COLLAPSED curve frame (sweep or
+    * decile cardinality); min/max ride in as one broadcast row, the
+    * argmax is (gap desc, x asc) — a total order, no window.
+    */
+  def kneePoint(curve: DataFrame, xCol: String, yCol: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val mm = curve.agg(min(d(col(xCol))).as("x0"), max(d(col(xCol))).as("x1"),
+      min(d(col(yCol))).as("y0"), max(d(col(yCol))).as("y1"))
+    curve.crossJoin(broadcast(mm))
+      .select(col(xCol), col(yCol),
+        round(abs((d(col(xCol)) - col("x0")) / (col("x1") - col("x0")) -
+          (d(col(yCol)) - col("y0")) / (col("y1") - col("y0"))), 6).as("gap"))
+      .orderBy(desc("gap"), col(xCol))
+      .limit(1)
+  }
+
+  /** O'BRIEN–FLEMING GROUP-SEQUENTIAL MONITOR (O'Brien & Fleming 1979;
+    * boundary values from Jennison & Turnbull 2000, two-sided α=0.05,
+    * K=5 equally-spaced looks): the classical peeking schedule next to
+    * q_msprt's always-valid mixture — spend almost no alpha early
+    * (|z| ≥ 4.877 at look 1) and close at nearly the fixed-sample
+    * boundary (2.040 at look 5). Looks are calendar-based: the day
+    * spine splits into 5 equal information fractions, and each look's z
+    * is the Welch two-sample statistic on the CUMULATIVE purchase-vs-
+    * click moments up to that look.
+    *
+    * Scale posture: one full-scan aggregate to (look × arm) exact Long
+    * moments (day→look assignment is an ntile over the bounded day
+    * spine, broadcast back onto events); the cumulative fold and z tree
+    * run on the 5-row look frame.
+    */
+  def obrienFleming(ev: DataFrame): DataFrame = {
+    val bounds = Seq(4.8769, 3.3569, 2.6803, 2.2898, 2.0310)
+    val rows = ev
+      .filter(col("event_type").isin("purchase", "click") &&
+        col("value").isNotNull)
+      .select(to_date(col("ts")).as("day"),
+        (col("event_type") === "purchase").as("t"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+          .as("cents"))
+    // bounded day-spine window (calendar cardinality)
+    val looks = rows.select("day").distinct()
+      .withColumn("look", ntile(5).over(Window.orderBy("day")).cast("long"))
+    val perLook = rows.join(broadcast(looks), Seq("day"))
+      .groupBy("look")
+      .agg(countDistinct(col("day")).as("n_days"),
+        sum(when(col("t"), 1L).otherwise(0L)).as("nb"),
+        sum(when(!col("t"), 1L).otherwise(0L)).as("na"),
+        sum(when(col("t"), col("cents")).otherwise(0L)).as("sb"),
+        sum(when(!col("t"), col("cents")).otherwise(0L)).as("sa"),
+        sum(when(col("t"), (col("cents") * col("cents"))
+          .cast(DecimalType(38, 0)))
+          .otherwise(lit(0).cast(DecimalType(38, 0)))).as("ssb"),
+        sum(when(!col("t"), (col("cents") * col("cents"))
+          .cast(DecimalType(38, 0)))
+          .otherwise(lit(0).cast(DecimalType(38, 0)))).as("ssa"))
+    val w = Window.orderBy("look")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def cum(c: String) = sum(col(c)).over(w).as(c)
+    val c = perLook.select(col("look"), cum("n_days"), cum("nb"), cum("na"),
+      cum("sb"), cum("sa"), cum("ssb"), cum("ssa"))
+    def d(cc: Column) = cc.cast("double")
+    val varB = (d(col("ssb")) - d(col("sb")) * d(col("sb")) / d(col("nb"))) /
+      (d(col("nb")) - 1.0)
+    val varA = (d(col("ssa")) - d(col("sa")) * d(col("sa")) / d(col("na"))) /
+      (d(col("na")) - 1.0)
+    val z = (d(col("sb")) / d(col("nb")) - d(col("sa")) / d(col("na"))) /
+      sqrt(varB / d(col("nb")) + varA / d(col("na")))
+    val bound = bounds.zipWithIndex.foldLeft(lit(Double.NaN)) {
+      case (e, (b, i)) => when(col("look") === (i + 1), b).otherwise(e)
+    }
+    c.select(col("look"), col("n_days"), col("na"), col("nb"),
+        round(z, 6).as("z"), bound.as("boundary"),
+        (abs(round(z, 6)) >= bound).as("crossed"))
+      .orderBy("look")
+  }
+
+  /** PINBALL (QUANTILE) LOSS BACKTEST — the eval that decides whether a
+    * quantile forecast is worth shipping: freeze the first 70% of the
+    * daily-revenue spine as training, forecast the q ∈ {.1,.5,.9}
+    * quantiles as the training window's exact type-1 quantiles, and
+    * score each held-out day with L_q(y,ŷ) = max(q·(y−ŷ), (q−1)·(y−ŷ)).
+    * Complements q_forecast_backtest (point MAE) with the quantile
+    * calibration view (a good q=.9 forecast should under-shoot ~10% of
+    * days, and pinball is the proper score for that claim).
+    *
+    * Scale posture: the 100 TB fact collapses to the day spine first;
+    * split, ranks and quantiles live on that bounded frame; per-day
+    * losses round to 6dp DECIMAL before the exact mean fold.
+    */
+  def pinballLoss(orders: DataFrame): DataFrame = {
+    // quantiles as exact rationals k/10 (k = 1, 5, 9): rank, loss and
+    // split are all INTEGER arithmetic — no float quantile boundary can
+    // ever disagree between engines
+    val ks = Seq(1L, 5L, 9L)
+    val daily = orders
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("dc"))
+    val n = daily.agg(count(lit(1)).as("nd"))
+    val idx = daily.crossJoin(broadcast(n))
+      .withColumn("rn", row_number().over(Window.orderBy("day")))
+      .withColumn("is_train", col("rn") <= expr("(nd * 7) div 10"))
+    val trainN = idx.filter(col("is_train"))
+      .agg(count(lit(1)).as("ntr"))
+    // type-1 quantiles of the training days: rank over the bounded
+    // train spine, pick ceil(k·n/10) = (k·n + 9) div 10
+    val ranked = idx.filter(col("is_train"))
+      .withColumn("qr", row_number().over(Window.orderBy("dc", "day")))
+      .crossJoin(broadcast(trainN))
+    val fc = ranked
+      .select(explode(array(ks.map(lit): _*)).as("k"), col("qr"), col("dc"),
+        col("ntr"))
+      .filter(col("qr") === expr("(k * ntr + 9) div 10"))
+      .select(col("k"), col("dc").as("fc"), col("ntr"))
+    val test = idx.filter(!col("is_train")).select(col("day"), col("dc"))
+    // pinball in cents·10 units: max(k·err, (k−10)·err) is an exact Long
+    // per day, so the mean folds exactly with no per-term rounding
+    val err = col("dc") - col("fc")
+    val pin = greatest(col("k") * err, (col("k") - 10L) * err)
+    test.crossJoin(broadcast(fc))
+      .select(col("k"), col("fc"), col("ntr"), pin.as("loss"),
+        when(col("dc") > col("fc"), 1L).otherwise(0L).as("over"))
+      .groupBy("k", "fc", "ntr")
+      .agg(count(lit(1)).as("n_test_days"),
+        sum(col("loss")).as("lsum"), sum(col("over")).as("n_over"))
+      .select((col("k").cast("double") / 10.0).as("q"),
+        col("ntr").as("n_train_days"), col("n_test_days"),
+        round(col("fc").cast("double") / 100.0, 6).as("forecast"),
+        round(col("lsum").cast("double") / col("n_test_days") / 1000.0, 6)
+          .as("pinball_loss"),
+        round(col("n_over").cast("double") / col("n_test_days"), 6)
+          .as("exceed_rate"))
+      .orderBy("q")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Paired model comparison: McNemar χ² on the disagreement cells of
     // two rule classifiers over the same events (one-pass 2×2 table).
@@ -2972,6 +3125,17 @@ object Analytics {
     // Bayesian A/B: P(B beats A) + credible interval of the lift
     // (normal posterior on exact moment sums, portable A&S Phi).
     "q_bayes_ab" -> { (s, d) => bayesAb(Tables.events(s, d)) },
+    // Kneedle chord knee of the Lorenz concentration curve: the decile
+    // where cumulative spend share bends away from proportional.
+    "q_knee_lorenz" -> { (s, d) =>
+      kneePoint(lorenzDeciles(Tables.orders(s, d)), "decile",
+        "cum_share_ppm") },
+    // O'Brien-Fleming 5-look group-sequential monitor on the
+    // purchase-vs-click value gap (calendar information fractions).
+    "q_obrien_fleming" -> { (s, d) => obrienFleming(Tables.events(s, d)) },
+    // Pinball-loss quantile backtest on the daily-revenue spine
+    // (train quantiles as forecasts, held-out proper scoring).
+    "q_pinball_loss" -> { (s, d) => pinballLoss(Tables.orders(s, d)) },
     "q_split_finder" -> { (s, d) => splitFinder(Tables.documents(s, d)) },
     "q_pr_auc" -> { (s, d) => prAuc(Tables.documents(s, d)) },
     "q_kendall_tau" -> { (s, d) => kendallTau(Tables.documents(s, d)) },
@@ -4650,6 +4814,115 @@ object Analytics {
          | round(CAST(agg.n_extreme + 1 AS DOUBLE)
          |   / CAST(agg.b_reps + 1 AS DOUBLE), 6) AS p_value
          |FROM o2 CROSS JOIN agg""".stripMargin,
+    "q_knee_lorenz" ->
+      """WITH per AS (
+        | SELECT o_custkey,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |   AS DECIMAL(18,2)) * 100 AS BIGINT) AS sc
+        | FROM orders GROUP BY 1),
+        |dec AS (
+        | SELECT sc, ntile(10) OVER (ORDER BY sc, o_custkey) AS decile
+        | FROM per),
+        |g AS (
+        | SELECT CAST(decile AS BIGINT) AS decile,
+        |  CAST(sum(sc) AS BIGINT) AS spend_cents
+        | FROM dec GROUP BY 1),
+        |t AS (SELECT CAST(sum(sc) AS BIGINT) AS tot FROM per),
+        |curve AS (
+        | SELECT decile,
+        |  CAST(CAST(sum(spend_cents) OVER (ORDER BY decile
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) * 1000000 // tot AS BIGINT)
+        |   AS cum_share_ppm
+        | FROM g CROSS JOIN t),
+        |mm AS (
+        | SELECT CAST(min(decile) AS DOUBLE) AS x0,
+        |  CAST(max(decile) AS DOUBLE) AS x1,
+        |  CAST(min(cum_share_ppm) AS DOUBLE) AS y0,
+        |  CAST(max(cum_share_ppm) AS DOUBLE) AS y1
+        | FROM curve)
+        |SELECT decile, cum_share_ppm,
+        | round(abs((CAST(decile AS DOUBLE) - x0) / (x1 - x0)
+        |   - (CAST(cum_share_ppm AS DOUBLE) - y0) / (y1 - y0)), 6) AS gap
+        |FROM curve CROSS JOIN mm
+        |ORDER BY gap DESC, decile LIMIT 1""".stripMargin,
+    "q_obrien_fleming" ->
+      """WITH rows0 AS (
+        | SELECT CAST(ts AS DATE) AS day, (event_type = 'purchase') AS t,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        | FROM events
+        | WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL),
+        |looks AS (
+        | SELECT day, CAST(ntile(5) OVER (ORDER BY day) AS BIGINT) AS look
+        | FROM (SELECT DISTINCT day FROM rows0)),
+        |pl AS (
+        | SELECT look, count(DISTINCT r.day) AS n_days,
+        |  CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |  CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS na,
+        |  CAST(sum(CASE WHEN t THEN cents ELSE 0 END) AS BIGINT) AS sb,
+        |  CAST(sum(CASE WHEN t THEN 0 ELSE cents END) AS BIGINT) AS sa,
+        |  sum(CASE WHEN t THEN CAST(cents * cents AS HUGEINT)
+        |      ELSE CAST(0 AS HUGEINT) END) AS ssb,
+        |  sum(CASE WHEN t THEN CAST(0 AS HUGEINT)
+        |      ELSE CAST(cents * cents AS HUGEINT) END) AS ssa
+        | FROM rows0 r JOIN looks USING (day) GROUP BY 1),
+        |c AS (
+        | SELECT look,
+        |  CAST(sum(n_days) OVER w AS BIGINT) AS n_days,
+        |  CAST(sum(nb) OVER w AS BIGINT) AS nb,
+        |  CAST(sum(na) OVER w AS BIGINT) AS na,
+        |  CAST(sum(sb) OVER w AS BIGINT) AS sb,
+        |  CAST(sum(sa) OVER w AS BIGINT) AS sa,
+        |  sum(ssb) OVER w AS ssb, sum(ssa) OVER w AS ssa
+        | FROM pl WINDOW w AS (ORDER BY look ROWS UNBOUNDED PRECEDING)),
+        |zf AS (
+        | SELECT look, n_days, na, nb,
+        |  round((CAST(sb AS DOUBLE) / nb - CAST(sa AS DOUBLE) / na)
+        |   / sqrt(((CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE)
+        |      * CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |      / (CAST(nb AS DOUBLE) - 1.0)) / CAST(nb AS DOUBLE)
+        |    + ((CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE)
+        |      * CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))
+        |      / (CAST(na AS DOUBLE) - 1.0)) / CAST(na AS DOUBLE)), 6) AS z,
+        |  CASE look WHEN 1 THEN 4.8769 WHEN 2 THEN 3.3569
+        |   WHEN 3 THEN 2.6803 WHEN 4 THEN 2.2898 ELSE 2.0310 END AS boundary
+        | FROM c)
+        |SELECT look, n_days, na, nb, z, boundary,
+        | abs(z) >= boundary AS crossed
+        |FROM zf ORDER BY look""".stripMargin,
+    "q_pinball_loss" ->
+      """WITH daily AS (
+        | SELECT CAST(o_orderdate AS DATE) AS day,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |   AS dc
+        | FROM orders GROUP BY 1),
+        |n AS (SELECT count(*) AS nd FROM daily),
+        |idx AS (
+        | SELECT day, dc,
+        |  row_number() OVER (ORDER BY day) <= (nd * 7) // 10 AS is_train
+        | FROM daily CROSS JOIN n),
+        |tn AS (SELECT count(*) AS ntr FROM idx WHERE is_train),
+        |ranked AS (
+        | SELECT dc, row_number() OVER (ORDER BY dc, day) AS qr
+        | FROM idx WHERE is_train),
+        |fc AS (
+        | SELECT k, dc AS fc, ntr
+        | FROM ranked CROSS JOIN (SELECT unnest([1, 5, 9]) AS k) qq
+        |  CROSS JOIN tn
+        | WHERE qr = (k * ntr + 9) // 10),
+        |test AS (SELECT day, dc FROM idx WHERE NOT is_train),
+        |terms AS (
+        | SELECT k, fc, ntr,
+        |  greatest(k * (dc - fc), (k - 10) * (dc - fc)) AS loss,
+        |  CASE WHEN dc > fc THEN 1 ELSE 0 END AS over
+        | FROM test CROSS JOIN fc)
+        |SELECT CAST(k AS DOUBLE) / 10.0 AS q,
+        | CAST(max(ntr) AS BIGINT) AS n_train_days,
+        | count(*) AS n_test_days,
+        | round(CAST(max(fc) AS DOUBLE) / 100.0, 6) AS forecast,
+        | round(CAST(sum(loss) AS DOUBLE) / count(*) / 1000.0, 6)
+        |  AS pinball_loss,
+        | round(CAST(sum(over) AS DOUBLE) / count(*), 6) AS exceed_rate
+        |FROM terms GROUP BY k ORDER BY q""".stripMargin,
     "q_bayes_ab" -> {
       val z = "(((CAST(sb AS DOUBLE) / nb - CAST(sa AS DOUBLE) / na)) / se)"
       s"""WITH rows0 AS (

@@ -444,6 +444,38 @@ object StreamOps {
     // plus the 2% contract vs exact per-arm distincts. na/nb/chi2 stay
     // the EXACT batch values (same readout as q_srm_check): the sketch
     // monitors, the readout is exact.
+    // LIVE BAYESIAN A/B — q_bayes_ab as a stream: the streaming state is
+    // the two arms' (n, Σcents, Σcents²) moment rows (complete-mode
+    // groupBy over a 2-value key — constant-size state at any stream
+    // length; the sums are exact Long/DECIMAL, so the snapshot is a pure
+    // function of the data), and each snapshot applies the IDENTICAL
+    // posterior expression tree via Analytics.bayesAbFinish. Gate:
+    // stream ≡ batch on the bounded source (same oracle as q_bayes_ab).
+    "q_stream_bayes_ab" -> { (s, d) => withStatePartitions(s, 8) {
+      cleanCheckpoint("stream_bayes_ab")
+      val agg = eventsStream(s, d)
+        .filter(col("event_type").isin("purchase", "click") &&
+          col("value").isNotNull)
+        .select((col("event_type") === "purchase").as("t"),
+          (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+            .as("cents"))
+        .groupBy("t")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+          sum((col("cents") * col("cents")).cast(DecimalType(38, 0)))
+            .as("ss"))
+      val snap = runToSnapshot(agg, "stream_bayes_ab")
+      val m = snap.agg(
+        coalesce(sum(when(col("t"), col("n"))), lit(0L)).as("nb"),
+        coalesce(sum(when(!col("t"), col("n"))), lit(0L)).as("na"),
+        coalesce(sum(when(col("t"), col("s"))), lit(0L)).as("sb"),
+        coalesce(sum(when(!col("t"), col("s"))), lit(0L)).as("sa"),
+        coalesce(sum(when(col("t"), col("ss"))),
+          lit(0).cast(DecimalType(38, 0))).as("ssb"),
+        coalesce(sum(when(!col("t"), col("ss"))),
+          lit(0).cast(DecimalType(38, 0))).as("ssa"))
+      graft.operators.Analytics.bayesAbFinish(m)
+    }},
+
     "q_stream_srm_hll" -> { (s, d) => withStatePartitions(s, 8) {
       cleanCheckpoint("stream_srm_hll")
       def armOf = {
@@ -1417,6 +1449,8 @@ object StreamOps {
   }
 
   def oracles: Map[String, String] = Map(
+    // stream ≡ batch: the live posterior must equal the at-rest readout
+    "q_stream_bayes_ab" -> graft.operators.Analytics.oracles("q_bayes_ab"),
     // stream ≡ batch: the identical CUSUM fold over events at rest
     // (the q_cusum recursive-CTE twin, day series = event value cents)
     "q_stream_cusum" ->

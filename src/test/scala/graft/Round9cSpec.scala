@@ -261,6 +261,76 @@ class Round9cSpec extends SparkSpec {
     assert(math.abs(r2.getAs[Double]("prob_b_beats_a") - 0.5) < 1e-5)
   }
 
+  test("kneePoint: max chord distance lands on the planted bend") {
+    val curve = Seq((0L, 0.0), (1L, 9.0), (2L, 9.5)).toDF("x", "y")
+    val r = operators.Analytics.kneePoint(curve, "x", "y").collect()(0)
+    assert(r.getAs[Long]("x") === 1L)
+    // |0.5 − 9/9.5| = 0.447368
+    assert(math.abs(r.getAs[Double]("gap") - 0.447368) < 1e-6)
+  }
+
+  test("obrienFleming: a planted separation crosses every OF boundary") {
+    // 10 days, each with 2 purchases {999,1001} and 2 clicks {1,3}:
+    // z ≈ 998/se at every look, far over even the 4.877 first boundary
+    val rows = for {
+      day <- 1 to 10
+      (t, v) <- Seq(("purchase", 999.0), ("purchase", 1001.0),
+        ("click", 1.0), ("click", 3.0))
+    } yield (day.toLong * 10 + v.toLong, t, v, f"2024-01-$day%02d 12:00:00")
+    val ev = rows.toDF("event_id", "event_type", "value", "s")
+      .select(col("event_id"), col("event_type"), col("value"),
+        to_timestamp(col("s")).as("ts"))
+    val out = operators.Analytics.obrienFleming(ev).collect()
+    assert(out.length === 5)
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("look") === (i + 1).toLong)
+      assert(r.getAs[Long]("n_days") === 2L * (i + 1))
+      assert(r.getAs[Long]("na") === 4L * (i + 1))
+      assert(r.getAs[Long]("nb") === 4L * (i + 1))
+      assert(r.getAs[Double]("z") > 100.0)
+      assert(r.getAs[Boolean]("crossed"))
+    }
+    assert(out(0).getAs[Double]("boundary") === 4.8769)
+    assert(out(4).getAs[Double]("boundary") === 2.0310)
+  }
+
+  test("obrienFleming: a null effect never crosses") {
+    val rows = for {
+      day <- 1 to 10
+      (t, v) <- Seq(("purchase", 9.0), ("purchase", 11.0),
+        ("click", 9.0), ("click", 11.0))
+    } yield (day.toLong * 100 + v.toLong, t, v, f"2024-01-$day%02d 12:00:00")
+    val ev = rows.toDF("event_id", "event_type", "value", "s")
+      .select(col("event_id"), col("event_type"), col("value"),
+        to_timestamp(col("s")).as("ts"))
+    val out = operators.Analytics.obrienFleming(ev).collect()
+    assert(out.forall(r => r.getAs[Double]("z") === 0.0))
+    assert(out.forall(r => !r.getAs[Boolean]("crossed")))
+  }
+
+  test("pinballLoss: hand-computed quantile forecasts and losses") {
+    // train days 1..7 at $1..$7 hundred, test days 8..10 at $400:
+    // type-1 ranks (k·7+9) div 10 = 1/4/7 -> forecasts $100/$400/$700;
+    // pinball = .1·300 / 0 / .9·(−300 under) = 30 / 0 / 30
+    val orders = (1 to 10).map { d =>
+      (java.sql.Date.valueOf(f"2024-02-$d%02d"),
+        if (d <= 7) d * 100.0 else 400.0)
+    }.toDF("o_orderdate", "o_totalprice")
+    val out = operators.Analytics.pinballLoss(orders).collect()
+    assert(out.length === 3)
+    val byQ = out.map(r => r.getAs[Double]("q") -> r).toMap
+    assert(out.forall(_.getAs[Long]("n_train_days") === 7L))
+    assert(out.forall(_.getAs[Long]("n_test_days") === 3L))
+    assert(byQ(0.1).getAs[Double]("forecast") === 100.0)
+    assert(byQ(0.5).getAs[Double]("forecast") === 400.0)
+    assert(byQ(0.9).getAs[Double]("forecast") === 700.0)
+    assert(math.abs(byQ(0.1).getAs[Double]("pinball_loss") - 30.0) < 1e-9)
+    assert(byQ(0.5).getAs[Double]("pinball_loss") === 0.0)
+    assert(math.abs(byQ(0.9).getAs[Double]("pinball_loss") - 30.0) < 1e-9)
+    assert(byQ(0.1).getAs[Double]("exceed_rate") === 1.0)
+    assert(byQ(0.9).getAs[Double]("exceed_rate") === 0.0)
+  }
+
   test("modularity: Q invariants hold end-to-end on the sf0.001 graph") {
     // bounds, term-sum consistency, and the internal≤total degree
     // identity — the algebra a wrong join or double-counted edge breaks
