@@ -3108,7 +3108,128 @@ object Analytics {
       .orderBy("q")
   }
 
+  /** NEGATIVE-BINOMIAL METHOD-OF-MOMENTS FIT of daily purchase counts —
+    * q_overdispersion DETECTS var > mean; this fits the corrective
+    * model: NB(r, p) with r = m²/(v−m), p = m/v (closed form, no MLE
+    * iteration — the only NB fit that distributes as a one-pass
+    * aggregate). The universe is the observed day spine from ALL events
+    * (so zero-purchase days count as zeros — fitting only nonzero days
+    * would truncate the distribution). Reported beside the observed
+    * zero share, the number the Poisson assumption gets wrong first.
+    *
+    * Exactness: day counts are exact Longs from one fact pass; m, v and
+    * the NB parameters are a single double tree of those integers.
+    */
+  def nbFit(ev: DataFrame): DataFrame = {
+    val daily = ev
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("c"))
+    val m = daily.agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+      sum(col("c") * col("c")).as("ss"),
+      sum(when(col("c") === 0, 1L).otherwise(0L)).as("z"))
+    def d(c: Column) = c.cast("double")
+    val mean = d(col("s")) / d(col("n"))
+    val vr = (d(col("ss")) - d(col("s")) * d(col("s")) / d(col("n"))) /
+      (d(col("n")) - 1.0)
+    m.select(col("n").as("n_days"), round(mean, 6).as("mean"),
+      round(vr, 6).as("variance"),
+      when(vr > mean, round(mean * mean / (vr - mean), 6)).as("nb_r"),
+      when(vr > mean, round(mean / vr, 6)).as("nb_p"),
+      round(d(col("z")) / d(col("n")), 6).as("zero_share_obs"),
+      round(exp(negate(mean)), 6).as("zero_share_poisson"))
+  }
+
+  /** SEASONAL-NAIVE MASE (Hyndman & Koehler 2006) on the daily-revenue
+    * spine: the scale-free forecast benchmark — MAE of the one-step
+    * weekly-naive forecast (ŷ_t = y_{t−7}) on the held-out 30%, scaled
+    * by the SAME naive's in-sample MAE. MASE < 1 means a candidate
+    * model beats the naive on its own scale; this emits the naive's own
+    * denominator and held-out numerator so any model's MAE (e.g.
+    * q_forecast_backtest's) divides in directly.
+    *
+    * Exactness: absolute errors are exact Long cents (lag over the
+    * bounded day spine); both MAEs and the ratio are one double tree.
+    */
+  def maseNaive(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("dc"))
+    val n = daily.agg(count(lit(1)).as("nd"))
+    val w = Window.orderBy("day")
+    val idx = daily.crossJoin(broadcast(n))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("lag7", lag(col("dc"), 7).over(w))
+      .filter(col("lag7").isNotNull)
+      .select((col("rn") <= expr("(nd * 7) div 10")).as("is_train"),
+        abs(col("dc") - col("lag7")).as("ae"))
+    val a = idx.agg(
+      sum(when(col("is_train"), 1L).otherwise(0L)).as("n_train"),
+      sum(when(col("is_train"), col("ae")).otherwise(0L)).as("ae_train"),
+      sum(when(!col("is_train"), 1L).otherwise(0L)).as("n_test"),
+      sum(when(!col("is_train"), col("ae")).otherwise(0L)).as("ae_test"))
+    def d(c: Column) = c.cast("double")
+    val maeTr = d(col("ae_train")) / d(col("n_train"))
+    val maeTe = d(col("ae_test")) / d(col("n_test"))
+    a.select(col("n_train").as("n_train_terms"),
+      col("n_test").as("n_test_terms"),
+      round(maeTr / 100.0, 6).as("mae_train"),
+      round(maeTe / 100.0, 6).as("mae_test"),
+      when(col("ae_train") > 0, round(maeTe / maeTr, 6)).as("mase"))
+  }
+
+  /** SEASONAL / TREND STRENGTH (Hyndman & Athanasopoulos, FPP3 §4.3) of
+    * the daily-revenue series: F_S = max(0, 1 − Var(R)/Var(S+R)) and
+    * F_T = max(0, 1 − Var(R)/Var(T+R)) over the q_seasonal_decompose
+    * components (7-day centered trend, ISO-weekday additive seasonal,
+    * remainder) — the two numbers that decide whether q_holt_winters'
+    * seasonal machinery is worth running on a series at all.
+    *
+    * Exactness: components replay q_seasonal_decompose's integer
+    * construction bit-for-bit (floor trend, 2^40-offset seasonal
+    * means); variances come from exact integer moments (squares in
+    * DECIMAL(38,0)) and the strengths are one double tree.
+    */
+  def seasonalStrength(orders: DataFrame): DataFrame = {
+    val K = 1099511627776L // 2^40
+    val daily = orders
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("rc"))
+    val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    val det = daily
+      .withColumn("cnt7", count(lit(1)).over(w7))
+      .withColumn("s7", sum(col("rc")).over(w7))
+      .filter(col("cnt7") === 7)
+      .select(col("day"), col("rc"), (col("rc") - expr("s7 div 7")).as("det"),
+        (weekday(col("day")) + 1).as("dow"))
+    val seas = det.groupBy("dow")
+      .agg(count(lit(1)).as("nd"), sum(col("det") + K).as("so"))
+      .select(col("dow"), (expr("so div nd") - K).as("seasonal"))
+    val rows = det.join(broadcast(seas), Seq("dow"))
+      .select(col("det"), (col("det") - col("seasonal")).as("rem"),
+        (col("rc") - col("seasonal")).as("tr"))
+    def sq(c: Column) = (c.cast(DecimalType(38, 0)) * c.cast(DecimalType(38, 0)))
+    val m = rows.agg(count(lit(1)).as("n"),
+      sum(col("det")).as("s_det"), sum(sq(col("det"))).as("ss_det"),
+      sum(col("rem")).as("s_rem"), sum(sq(col("rem"))).as("ss_rem"),
+      sum(col("tr")).as("s_tr"), sum(sq(col("tr"))).as("ss_tr"))
+    def d(c: Column) = c.cast("double")
+    def vr(s: String, ss: String) =
+      (d(col(ss)) - d(col(s)) * d(col(s)) / d(col("n"))) / (d(col("n")) - 1.0)
+    val fS = greatest(lit(0.0), lit(1.0) - vr("s_rem", "ss_rem") /
+      vr("s_det", "ss_det"))
+    val fT = greatest(lit(0.0), lit(1.0) - vr("s_rem", "ss_rem") /
+      vr("s_tr", "ss_tr"))
+    m.select(col("n").as("n_days"), round(fS, 6).as("seasonal_strength"),
+      round(fT, 6).as("trend_strength"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Seasonal/trend strength of the daily-revenue decomposition.
+    "q_seasonal_strength" -> { (s, d) =>
+      seasonalStrength(Tables.orders(s, d)) },
     // Paired model comparison: McNemar χ² on the disagreement cells of
     // two rule classifiers over the same events (one-pass 2×2 table).
     "q_mcnemar" -> { (s, d) => mcnemar(Tables.events(s, d)) },
@@ -3136,6 +3257,11 @@ object Analytics {
     // Pinball-loss quantile backtest on the daily-revenue spine
     // (train quantiles as forecasts, held-out proper scoring).
     "q_pinball_loss" -> { (s, d) => pinballLoss(Tables.orders(s, d)) },
+    // NB method-of-moments fit of daily purchase counts (zeros kept
+    // via the all-events day spine).
+    "q_nb_fit" -> { (s, d) => nbFit(Tables.events(s, d)) },
+    // Seasonal-naive MASE benchmark on the daily-revenue spine.
+    "q_mase_naive" -> { (s, d) => maseNaive(Tables.orders(s, d)) },
     "q_split_finder" -> { (s, d) => splitFinder(Tables.documents(s, d)) },
     "q_pr_auc" -> { (s, d) => prAuc(Tables.documents(s, d)) },
     "q_kendall_tau" -> { (s, d) => kendallTau(Tables.documents(s, d)) },
@@ -4814,6 +4940,108 @@ object Analytics {
          | round(CAST(agg.n_extreme + 1 AS DOUBLE)
          |   / CAST(agg.b_reps + 1 AS DOUBLE), 6) AS p_value
          |FROM o2 CROSS JOIN agg""".stripMargin,
+    "q_seasonal_strength" ->
+      """WITH d AS (
+        | SELECT CAST(o_orderdate AS DATE) AS day,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |   AS rc
+        | FROM orders GROUP BY 1),
+        |t AS (
+        | SELECT day, rc, count(*) OVER w7 AS cnt7,
+        |  CAST(sum(rc) OVER w7 AS BIGINT) // 7 AS trend
+        | FROM d
+        | WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |de AS (
+        | SELECT day, rc, rc - trend AS det,
+        |  CAST(isodow(day) AS INTEGER) AS dow
+        | FROM t WHERE cnt7 = 7),
+        |seas AS (
+        | SELECT dow,
+        |  CAST(sum(det + 1099511627776) AS BIGINT) // count(*)
+        |   - 1099511627776 AS seasonal
+        | FROM de GROUP BY 1),
+        |r AS (
+        | SELECT det, det - seasonal AS rem, rc - seasonal AS tr
+        | FROM de JOIN seas USING (dow)),
+        |m AS (
+        | SELECT count(*) AS n,
+        |  CAST(sum(det) AS BIGINT) AS s_det,
+        |  sum(CAST(det AS HUGEINT) * det) AS ss_det,
+        |  CAST(sum(rem) AS BIGINT) AS s_rem,
+        |  sum(CAST(rem AS HUGEINT) * rem) AS ss_rem,
+        |  CAST(sum(tr) AS BIGINT) AS s_tr,
+        |  sum(CAST(tr AS HUGEINT) * tr) AS ss_tr
+        | FROM r),
+        |v AS (
+        | SELECT n,
+        |  (CAST(ss_det AS DOUBLE) - CAST(s_det AS DOUBLE)
+        |    * CAST(s_det AS DOUBLE) / CAST(n AS DOUBLE))
+        |   / (CAST(n AS DOUBLE) - 1.0) AS v_det,
+        |  (CAST(ss_rem AS DOUBLE) - CAST(s_rem AS DOUBLE)
+        |    * CAST(s_rem AS DOUBLE) / CAST(n AS DOUBLE))
+        |   / (CAST(n AS DOUBLE) - 1.0) AS v_rem,
+        |  (CAST(ss_tr AS DOUBLE) - CAST(s_tr AS DOUBLE)
+        |    * CAST(s_tr AS DOUBLE) / CAST(n AS DOUBLE))
+        |   / (CAST(n AS DOUBLE) - 1.0) AS v_tr
+        | FROM m)
+        |SELECT n AS n_days,
+        | round(greatest(0.0, 1.0 - v_rem / v_det), 6) AS seasonal_strength,
+        | round(greatest(0.0, 1.0 - v_rem / v_tr), 6) AS trend_strength
+        |FROM v""".stripMargin,
+    "q_nb_fit" ->
+      """WITH daily AS (
+        | SELECT CAST(ts AS DATE) AS day,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS c
+        | FROM events GROUP BY 1),
+        |m AS (
+        | SELECT count(*) AS n, CAST(sum(c) AS BIGINT) AS s,
+        |  CAST(sum(c * c) AS BIGINT) AS ss,
+        |  CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS z
+        | FROM daily),
+        |f AS (
+        | SELECT n, z, CAST(s AS DOUBLE) / n AS mean,
+        |  (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |    / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS vr
+        | FROM m)
+        |SELECT n AS n_days, round(mean, 6) AS mean, round(vr, 6) AS variance,
+        | CASE WHEN vr > mean THEN round(mean * mean / (vr - mean), 6) END
+        |  AS nb_r,
+        | CASE WHEN vr > mean THEN round(mean / vr, 6) END AS nb_p,
+        | round(CAST(z AS DOUBLE) / CAST(n AS DOUBLE), 6) AS zero_share_obs,
+        | round(exp(-mean), 6) AS zero_share_poisson
+        |FROM f""".stripMargin,
+    "q_mase_naive" ->
+      """WITH daily AS (
+        | SELECT CAST(o_orderdate AS DATE) AS day,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |   AS dc
+        | FROM orders GROUP BY 1),
+        |n AS (SELECT count(*) AS nd FROM daily),
+        |idx AS (
+        | SELECT row_number() OVER (ORDER BY day) <= (nd * 7) // 10
+        |   AS is_train,
+        |  abs(dc - lag(dc, 7) OVER (ORDER BY day)) AS ae,
+        |  lag(dc, 7) OVER (ORDER BY day) AS lag7
+        | FROM daily CROSS JOIN n),
+        |a AS (
+        | SELECT
+        |  CAST(sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_train,
+        |  CAST(sum(CASE WHEN is_train THEN ae ELSE 0 END) AS BIGINT)
+        |   AS ae_train,
+        |  CAST(sum(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT)
+        |   AS n_test,
+        |  CAST(sum(CASE WHEN is_train THEN 0 ELSE ae END) AS BIGINT)
+        |   AS ae_test
+        | FROM idx WHERE lag7 IS NOT NULL)
+        |SELECT n_train AS n_train_terms, n_test AS n_test_terms,
+        | round(CAST(ae_train AS DOUBLE) / n_train / 100.0, 6) AS mae_train,
+        | round(CAST(ae_test AS DOUBLE) / n_test / 100.0, 6) AS mae_test,
+        | CASE WHEN ae_train > 0 THEN
+        |  round((CAST(ae_test AS DOUBLE) / n_test)
+        |    / (CAST(ae_train AS DOUBLE) / n_train), 6) END AS mase
+        |FROM a""".stripMargin,
     "q_knee_lorenz" ->
       """WITH per AS (
         | SELECT o_custkey,

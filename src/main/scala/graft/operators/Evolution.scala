@@ -480,7 +480,63 @@ object Evolution {
       round(db("nt") / db("n"), 6).as("pi_true"))
   }
 
+  /** MULTI-COLUMN PSI MATRIX — q_psi_drift answers "did THIS column
+    * drift"; production monitoring asks "WHICH column drifted" over the
+    * whole numeric schema. One melt pass puts every monitored column
+    * through the identical 10-bin Laplace-smoothed PSI ([[psiDrift]]'s
+    * recipe, reference bin edges from the reference population), so the
+    * answer is a k-row table, not k table scans. Periods: H1 vs H2 ship
+    * months.
+    *
+    * Scale posture: the melt is map-side (k struct literals per row);
+    * the only shuffles are (k × 10)-group bin counts with map-side
+    * combine and a k-row edge frame broadcast back. Cost is one fact
+    * scan regardless of how many columns are monitored.
+    */
+  def psiMatrix(li: DataFrame, features: Seq[String] = Seq(
+      "l_discount", "l_extendedprice", "l_quantity", "l_tax")): DataFrame = {
+    val melted = li.select(
+        explode(array(features.map(c =>
+          struct(lit(c).as("feature"), col(c).cast("double").as("v"))): _*))
+          .as("m"),
+        (month(col("l_shipdate")) <= 6).as("is_ref"))
+      .select(col("m.feature").as("feature"), col("m.v").as("v"),
+        col("is_ref"))
+      .filter(col("v").isNotNull)
+    val mm = melted.filter(col("is_ref"))
+      .groupBy("feature").agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val counts = melted.join(broadcast(mm), Seq("feature"))
+      .select(col("feature"), col("is_ref"),
+        when(col("hi") === col("lo"), lit(0)).otherwise(
+          greatest(least(floor((col("v") - col("lo")) * 10.0 /
+            (col("hi") - col("lo"))), lit(9.0)), lit(0.0)).cast("int"))
+          .as("bin"))
+      .groupBy("feature", "bin")
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("cr"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cc"))
+    val spine = mm.select("feature")
+      .crossJoin(li.sparkSession.range(0, 10)
+        .select(col("id").cast("int").as("bin")))
+    val filled = spine.join(counts, Seq("feature", "bin"), "left")
+      .na.fill(0L, Seq("cr", "cc"))
+    val tot = filled.groupBy("feature")
+      .agg(sum(col("cr")).as("nr"), sum(col("cc")).as("nc"))
+    val p = (col("cr") + 1).cast("double") / (col("nr") + 10).cast("double")
+    val q = (col("cc") + 1).cast("double") / (col("nc") + 10).cast("double")
+    filled.join(broadcast(tot), Seq("feature"))
+      .select(col("feature"), col("nr"), col("nc"),
+        round((p - q) * log(p / q), 9).cast(DecimalType(28, 9)).as("term"))
+      .groupBy("feature", "nr", "nc")
+      .agg(round(sum(col("term")).cast("double"), 6).as("psi"))
+      .select(col("feature"), col("nr").as("n_ref"), col("nc").as("n_cur"),
+        col("psi"), (col("psi") > 0.2).as("drifted"))
+      .orderBy("feature")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Which column drifted: one-pass 10-bin PSI across the numeric
+    // lineitem schema (H1 vs H2 ship months).
+    "q_psi_matrix" -> { (s, d) => psiMatrix(Tables.lineitem(s, d)) },
     "q_randomized_response" -> { (s, d) =>
       randomizedResponse(Tables.documents(s, d)) },
     // Weekday-vs-weekend value-distribution drift monitor.
@@ -658,6 +714,48 @@ object Evolution {
        |  // CAST((SELECT count(*) FROM $child) AS BIGINT) AS orphan_ppm""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q_psi_matrix" -> {
+      val melt = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+        .map(c => s"""SELECT '$c' AS feature, CAST($c AS DOUBLE) AS v,
+                     | month(l_shipdate) <= 6 AS is_ref FROM lineitem"""
+          .stripMargin)
+        .mkString("\n UNION ALL\n ")
+      s"""WITH m0 AS (
+         | $melt),
+         |m2 AS (SELECT * FROM m0 WHERE v IS NOT NULL),
+         |mm AS (SELECT feature, min(v) AS lo, max(v) AS hi
+         |       FROM m2 WHERE is_ref GROUP BY 1),
+         |counts AS (
+         | SELECT feature,
+         |  CASE WHEN hi = lo THEN 0
+         |   ELSE CAST(greatest(least(floor((v - lo) * 10.0 / (hi - lo)),
+         |     9.0), 0.0) AS INTEGER) END AS bin,
+         |  CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+         |  CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS cc
+         | FROM m2 JOIN mm USING (feature) GROUP BY 1, 2),
+         |spine AS (
+         | SELECT feature, CAST(b AS INTEGER) AS bin
+         | FROM mm CROSS JOIN range(0, 10) r(b)),
+         |filled AS (
+         | SELECT feature, bin, coalesce(cr, 0) AS cr, coalesce(cc, 0) AS cc
+         | FROM spine LEFT JOIN counts USING (feature, bin)),
+         |tot AS (
+         | SELECT feature, CAST(sum(cr) AS BIGINT) AS nr,
+         |  CAST(sum(cc) AS BIGINT) AS nc
+         | FROM filled GROUP BY 1),
+         |terms AS (
+         | SELECT feature, nr, nc,
+         |  CAST(round((CAST(cr + 1 AS DOUBLE) / CAST(nr + 10 AS DOUBLE)
+         |    - CAST(cc + 1 AS DOUBLE) / CAST(nc + 10 AS DOUBLE))
+         |   * ln((CAST(cr + 1 AS DOUBLE) / CAST(nr + 10 AS DOUBLE))
+         |     / (CAST(cc + 1 AS DOUBLE) / CAST(nc + 10 AS DOUBLE))), 9)
+         |   AS DECIMAL(28,9)) AS term
+         | FROM filled JOIN tot USING (feature))
+         |SELECT feature, nr AS n_ref, nc AS n_cur,
+         | round(CAST(sum(term) AS DOUBLE), 6) AS psi,
+         | round(CAST(sum(term) AS DOUBLE), 6) > 0.2 AS drifted
+         |FROM terms GROUP BY 1, 2, 3 ORDER BY feature""".stripMargin
+    },
     "q_randomized_response" ->
       """WITH b AS (
         | SELECT CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS t,

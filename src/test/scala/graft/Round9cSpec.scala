@@ -331,6 +331,113 @@ class Round9cSpec extends SparkSpec {
     assert(byQ(0.9).getAs[Double]("exceed_rate") === 0.0)
   }
 
+  test("nbFit: moments, NB parameters, and zero shares on planted days") {
+    // daily purchase counts {2, 0, 4, 0}: m=1.5, v=11/3,
+    // r = 2.25/(11/3−1.5) = 1.038462, p = 1.5/(11/3) = 0.409091
+    val rows = Seq(
+      ("2024-03-01", "purchase"), ("2024-03-01", "purchase"),
+      ("2024-03-01", "click"),
+      ("2024-03-02", "click"),
+      ("2024-03-03", "purchase"), ("2024-03-03", "purchase"),
+      ("2024-03-03", "purchase"), ("2024-03-03", "purchase"),
+      ("2024-03-03", "click"),
+      ("2024-03-04", "click"))
+    val ev = rows.zipWithIndex.map { case ((d0, t), i) =>
+      (i.toLong, t, 1.0, d0 + " 08:00:00")
+    }.toDF("event_id", "event_type", "value", "s")
+      .select(col("event_id"), col("event_type"), col("value"),
+        to_timestamp(col("s")).as("ts"))
+    val r = operators.Analytics.nbFit(ev).collect()(0)
+    assert(r.getAs[Long]("n_days") === 4L)
+    assert(math.abs(r.getAs[Double]("mean") - 1.5) < 1e-9)
+    assert(math.abs(r.getAs[Double]("variance") - 11.0 / 3) < 1e-5)
+    assert(math.abs(r.getAs[Double]("nb_r") - 1.038462) < 1e-6)
+    assert(math.abs(r.getAs[Double]("nb_p") - 0.409091) < 1e-6)
+    assert(r.getAs[Double]("zero_share_obs") === 0.5)
+    assert(math.abs(r.getAs[Double]("zero_share_poisson") - 0.22313) < 1e-5)
+  }
+
+  test("maseNaive: linear trend scores exactly MASE 1 against itself") {
+    // y_t = t dollars over 20 days: every weekly-naive error is $7, so
+    // train and test MAE are both 7 and the ratio is exactly 1
+    val orders = (1 to 20).map(t =>
+      (java.sql.Date.valueOf(f"2024-03-$t%02d"), t * 1.0))
+      .toDF("o_orderdate", "o_totalprice")
+    val r = operators.Analytics.maseNaive(orders).collect()(0)
+    assert(r.getAs[Long]("n_train_terms") === 7L) // t = 8..14
+    assert(r.getAs[Long]("n_test_terms") === 6L)  // t = 15..20
+    assert(r.getAs[Double]("mae_train") === 7.0)
+    assert(r.getAs[Double]("mae_test") === 7.0)
+    assert(r.getAs[Double]("mase") === 1.0)
+  }
+
+  test("maseNaive: a perfectly seasonal series yields null MASE, not Inf") {
+    val orders = (1 to 20).map(t =>
+      (java.sql.Date.valueOf(f"2024-03-$t%02d"), ((t - 1) % 7 + 1) * 10.0))
+      .toDF("o_orderdate", "o_totalprice")
+    val r = operators.Analytics.maseNaive(orders).collect()(0)
+    assert(r.getAs[Double]("mae_train") === 0.0)
+    assert(r.isNullAt(r.fieldIndex("mase")))
+  }
+
+  test("effDiameter: landmark reach invariants on the sf0.001 graph") {
+    val out = operators.Graph.effDiameter(spark, sfDir).collect()
+    assert(out.length === 3) // three landmark suppliers
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_reached") > 0L)
+      assert(r.getAs[Int]("eff_d90") <= r.getAs[Int]("max_dist"))
+      assert(r.getAs[Int]("max_dist") <= 3)
+    }
+  }
+
+  test("seasonalStrength: exact weekly pattern over a linear trend is 1/1") {
+    // y_t = 7t + p(t mod 7): the centered 7-mean is exactly 7t+21, the
+    // detrended series is the pure pattern, remainder 0 -> F_S = F_T = 1
+    val p = Seq(0, 7, 14, 21, 28, 35, 42)
+    val orders = (1 to 20).map { t =>
+      (java.sql.Date.valueOf(f"2024-03-$t%02d"), (7 * t + p(t % 7)) * 1.0)
+    }.toDF("o_orderdate", "o_totalprice")
+    val r = operators.Analytics.seasonalStrength(orders).collect()(0)
+    assert(r.getAs[Long]("n_days") === 14L) // days 4..17 have full windows
+    assert(r.getAs[Double]("seasonal_strength") === 1.0)
+    assert(r.getAs[Double]("trend_strength") === 1.0)
+  }
+
+  test("seasonalStrength: strengths stay in [0,1] on the sf0.001 fixture") {
+    val r = operators.Analytics
+      .seasonalStrength(Tables.orders(spark, sfDir)).collect()(0)
+    val fs = r.getAs[Double]("seasonal_strength")
+    val ft = r.getAs[Double]("trend_strength")
+    assert(fs >= 0.0 && fs <= 1.0)
+    assert(ft >= 0.0 && ft <= 1.0)
+  }
+
+  test("psiMatrix: flags exactly the planted drifted column") {
+    // ref (H1) vs cur (H2): l_discount jumps to the top bin in H2,
+    // the other three columns keep identical distributions
+    val rows = (0 until 40).map { i =>
+      val ref = i < 20
+      val day = if (ref) f"2024-01-${i % 20 + 1}%02d"
+      else f"2024-07-${i % 20 + 1}%02d"
+      (java.sql.Date.valueOf(day),
+        (i % 10) * 1.0,                     // l_quantity: same both halves
+        100.0 + (i % 5),                    // l_extendedprice: same
+        if (ref) (i % 10) * 0.01 else 0.09, // l_discount: drifts
+        0.05)                               // l_tax: constant
+    }.toDF("l_shipdate", "l_quantity", "l_extendedprice", "l_discount",
+      "l_tax")
+    val out = operators.Evolution.psiMatrix(rows).collect()
+    assert(out.length === 4)
+    assert(out.map(_.getAs[String]("feature")).toSeq ===
+      Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"))
+    val byF = out.map(r => r.getAs[String]("feature") -> r).toMap
+    assert(out.forall(r => r.getAs[Long]("n_ref") === 20L))
+    assert(byF("l_discount").getAs[Boolean]("drifted"))
+    assert(!byF("l_quantity").getAs[Boolean]("drifted"))
+    assert(byF("l_quantity").getAs[Double]("psi") < 0.05)
+    assert(!byF("l_tax").getAs[Boolean]("drifted"))
+  }
+
   test("modularity: Q invariants hold end-to-end on the sf0.001 graph") {
     // bounds, term-sum consistency, and the internal≤total degree
     // identity — the algebra a wrong join or double-counted edge breaks
