@@ -3226,7 +3226,116 @@ object Analytics {
       round(fT, 6).as("trend_strength"))
   }
 
+  /** FRIEDMAN TEST (Friedman 1937, tie-corrected) — the BLOCKED
+    * complement of q_kruskal_wallis: do the k event types differ in
+    * daily value once the day itself is controlled for? Blocks = days,
+    * treatments = event types, observation = the day's cent sum per
+    * type (missing cells are true zeros — every block is complete by
+    * construction, the Friedman requirement). Ranks are WITHIN-block,
+    * so day-level shocks that inflate a between-groups test cancel.
+    *
+    * Exactness: the q_kruskal_wallis doubled-average-rank identity per
+    * (day, value) group keeps every rank an integer; Q = 3·ΣD_j²/(n·k·
+    * (k+1)) − 3n(k+1) with D_j the doubled rank sums, plus the
+    * Σ(t³−t) tie correction — all one double tree over exact Longs.
+    *
+    * Scale posture: one fact pass to (day × k) cells; ranks come from
+    * day-PARTITIONED windows over ≤k rows; everything after is
+    * treatment-cardinality.
+    */
+  def friedman(ev: DataFrame): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val base = ev
+      .filter(col("value").isNotNull && col("event_type").isin(types: _*))
+      .groupBy(to_date(col("ts")).as("day"), col("event_type").as("t"))
+      .agg(sum((col("value").cast(DecimalType(18, 2)) * 100).cast("long"))
+        .as("cents"))
+    val cells = base.select("day").distinct()
+      .select(col("day"), explode(array(types.map(lit): _*)).as("t"))
+      .join(base, Seq("day", "t"), "left")
+      .na.fill(0L, Seq("cents"))
+    val gp = cells.groupBy("day", "cents").agg(count(lit(1)).as("c"))
+    val wDay = Window.partitionBy("day").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dRank = gp.withColumn("cum", sum(col("c")).over(wDay))
+      .select(col("day"), col("cents"),
+        (lit(2L) * col("cum") - col("c") + 1L).as("d_rank"))
+    val byT = cells.join(dRank, Seq("day", "cents"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n"), sum(col("d_rank")).as("d2"))
+    val ties = gp.agg(
+      sum(col("c") * col("c") * col("c") - col("c")).as("tie"))
+    val a = byT
+      .agg(count(lit(1)).as("k"), max(col("n")).as("n_blocks"),
+        sum((col("d2") * col("d2")).cast(DecimalType(38, 0))).as("d2sq"))
+      .crossJoin(broadcast(ties))
+    def d(c: Column) = c.cast("double")
+    val dn = d(col("n_blocks")); val dk = d(col("k"))
+    val q = lit(3.0) * d(col("d2sq")) / (dn * dk * (dk + 1)) -
+      lit(3.0) * dn * (dk + 1)
+    val cTie = lit(1.0) -
+      d(col("tie")) / (dn * dk * (dk * dk - 1))
+    a.select(col("n_blocks"), col("k").as("k_treatments"),
+      (col("k") - 1).as("dof"),
+      when(col("k") > 1, round(q, 6)).as("q_stat"),
+      when(col("k") > 1 && cTie > 0, round(q / cTie, 6)).as("q_tie_adj"))
+  }
+
+  /** TOST EQUIVALENCE TEST (Schuirmann 1987) — the question q_ab_test
+    * cannot answer: not "is B different" but "is B the SAME within a
+    * margin δ" (non-inferiority/launch-parity reviews). Two one-sided
+    * z-tests against Δ = ±δ; equivalence is declared iff BOTH reject,
+    * i.e. p_tost = max(p_lower, p_upper) < α. Uses the portable A&S
+    * tail, so both engines agree bit-for-bit.
+    *
+    * Scale posture: ONE full-scan aggregate to exact moments (the
+    * q_bayes_ab shape); everything after is a scalar double tree.
+    */
+  def tostEquivalence(ev: DataFrame, deltaCents: Long = 500L): DataFrame = {
+    val rows = ev
+      .filter(col("event_type").isin("purchase", "click") &&
+        col("value").isNotNull)
+      .select((col("event_type") === "purchase").as("t"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+          .as("cents"))
+    val m = rows.agg(
+      sum(when(col("t"), 1L).otherwise(0L)).as("nb"),
+      sum(when(!col("t"), 1L).otherwise(0L)).as("na"),
+      sum(when(col("t"), col("cents")).otherwise(0L)).as("sb"),
+      sum(when(!col("t"), col("cents")).otherwise(0L)).as("sa"),
+      sum(when(col("t"), (col("cents") * col("cents"))
+        .cast(DecimalType(38, 0))).otherwise(lit(0).cast(DecimalType(38, 0))))
+        .as("ssb"),
+      sum(when(!col("t"), (col("cents") * col("cents"))
+        .cast(DecimalType(38, 0))).otherwise(lit(0).cast(DecimalType(38, 0))))
+        .as("ssa"))
+    def d(c: Column) = c.cast("double")
+    val varB = (d(col("ssb")) - d(col("sb")) * d(col("sb")) / d(col("nb"))) /
+      (d(col("nb")) - 1.0)
+    val varA = (d(col("ssa")) - d(col("sa")) * d(col("sa")) / d(col("na"))) /
+      (d(col("na")) - 1.0)
+    val diff = d(col("sb")) / d(col("nb")) - d(col("sa")) / d(col("na"))
+    val se = sqrt(varB / d(col("nb")) + varA / d(col("na")))
+    // one-sided upper-tail p at z (any sign) from the two-sided A&S tail
+    def upper(z: Column) = when(z >= 0, pTwoSided(abs(z)) / 2)
+      .otherwise(lit(1.0) - pTwoSided(abs(z)) / 2)
+    val pLo = upper((diff + deltaCents) / se)  // H0: Δ ≤ −δ
+    val pUp = upper((lit(deltaCents.toDouble) - diff) / se) // H0: Δ ≥ +δ
+    m.select(col("na").as("n_a"), col("nb").as("n_b"),
+      round(diff / 100.0, 6).as("diff"),
+      round(se / 100.0, 6).as("se"),
+      lit(deltaCents / 100.0).as("delta"),
+      round(pLo, 6).as("p_lower"), round(pUp, 6).as("p_upper"),
+      round(greatest(pLo, pUp), 6).as("p_tost"),
+      (greatest(pLo, pUp) < 0.05).as("equivalent"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Blocked nonparametric k-treatment test (days as blocks).
+    "q_friedman" -> { (s, d) => friedman(Tables.events(s, d)) },
+    // Equivalence/non-inferiority readout: is B within ±$5 of A?
+    "q_tost_equivalence" -> { (s, d) =>
+      tostEquivalence(Tables.events(s, d)) },
     // Seasonal/trend strength of the daily-revenue decomposition.
     "q_seasonal_strength" -> { (s, d) =>
       seasonalStrength(Tables.orders(s, d)) },
@@ -4940,6 +5049,98 @@ object Analytics {
          | round(CAST(agg.n_extreme + 1 AS DOUBLE)
          |   / CAST(agg.b_reps + 1 AS DOUBLE), 6) AS p_value
          |FROM o2 CROSS JOIN agg""".stripMargin,
+    "q_friedman" ->
+      """WITH base AS (
+        | SELECT CAST(ts AS DATE) AS day, event_type AS t,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |   AS BIGINT) AS cents
+        | FROM events
+        | WHERE value IS NOT NULL
+        |  AND event_type IN ('click','error','purchase','signup','view')
+        | GROUP BY 1, 2),
+        |cells AS (
+        | SELECT d.day, tt.t, coalesce(b.cents, 0) AS cents
+        | FROM (SELECT DISTINCT day FROM base) d
+        |  CROSS JOIN (SELECT unnest(
+        |    ['click','error','purchase','signup','view']) AS t) tt
+        |  LEFT JOIN base b ON b.day = d.day AND b.t = tt.t),
+        |gp AS (SELECT day, cents, count(*) AS c FROM cells GROUP BY 1, 2),
+        |dr AS (
+        | SELECT day, cents,
+        |  2 * CAST(sum(c) OVER (PARTITION BY day ORDER BY cents
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) - c + 1 AS d_rank
+        | FROM gp),
+        |byt AS (
+        | SELECT t, count(*) AS n, CAST(sum(d_rank) AS BIGINT) AS d2
+        | FROM cells JOIN dr USING (day, cents) GROUP BY 1),
+        |ties AS (
+        | SELECT CAST(sum(c * c * c - c) AS BIGINT) AS tie FROM gp),
+        |a AS (
+        | SELECT count(*) AS k, max(n) AS n_blocks,
+        |  sum(CAST(d2 * d2 AS HUGEINT)) AS d2sq
+        | FROM byt)
+        |SELECT n_blocks, k AS k_treatments, k - 1 AS dof,
+        | CASE WHEN k > 1 THEN round(
+        |  3.0 * CAST(d2sq AS DOUBLE)
+        |   / (CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
+        |      * (CAST(k AS DOUBLE) + 1))
+        |  - 3.0 * CAST(n_blocks AS DOUBLE) * (CAST(k AS DOUBLE) + 1), 6)
+        | END AS q_stat,
+        | CASE WHEN k > 1 AND 1.0 - CAST(tie AS DOUBLE)
+        |    / (CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
+        |       * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1)) > 0
+        |  THEN round((3.0 * CAST(d2sq AS DOUBLE)
+        |    / (CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
+        |       * (CAST(k AS DOUBLE) + 1))
+        |   - 3.0 * CAST(n_blocks AS DOUBLE) * (CAST(k AS DOUBLE) + 1))
+        |   / (1.0 - CAST(tie AS DOUBLE)
+        |    / (CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
+        |       * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1))), 6)
+        | END AS q_tie_adj
+        |FROM a CROSS JOIN ties""".stripMargin,
+    "q_tost_equivalence" -> {
+      val diff = "(CAST(sb AS DOUBLE) / nb - CAST(sa AS DOUBLE) / na)"
+      val se = """sqrt(((CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE)
+                 |    * CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+                 |    / (CAST(nb AS DOUBLE) - 1.0)) / CAST(nb AS DOUBLE)
+                 |   + ((CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE)
+                 |    * CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))
+                 |    / (CAST(na AS DOUBLE) - 1.0)) / CAST(na AS DOUBLE))"""
+        .stripMargin
+      def upper(z: String) =
+        s"""CASE WHEN $z >= 0 THEN ${pTwoSidedSql(s"abs($z)")} / 2
+           | ELSE 1.0 - ${pTwoSidedSql(s"abs($z)")} / 2 END""".stripMargin
+      val zLo = "((df + 500) / se)"
+      val zUp = "((500 - df) / se)"
+      s"""WITH rows0 AS (
+         | SELECT (event_type = 'purchase') AS t,
+         |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         | FROM events
+         | WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL),
+         |m AS (
+         | SELECT
+         |  CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         |  CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS na,
+         |  CAST(sum(CASE WHEN t THEN cents ELSE 0 END) AS BIGINT) AS sb,
+         |  CAST(sum(CASE WHEN t THEN 0 ELSE cents END) AS BIGINT) AS sa,
+         |  sum(CASE WHEN t THEN CAST(cents * cents AS HUGEINT)
+         |      ELSE CAST(0 AS HUGEINT) END) AS ssb,
+         |  sum(CASE WHEN t THEN CAST(0 AS HUGEINT)
+         |      ELSE CAST(cents * cents AS HUGEINT) END) AS ssa
+         | FROM rows0),
+         |s AS (SELECT na, nb, $diff AS df, $se AS se FROM m),
+         |p AS (
+         | SELECT na, nb, df, se,
+         |  ${upper(zLo)} AS p_lo, ${upper(zUp)} AS p_up
+         | FROM s)
+         |SELECT na AS n_a, nb AS n_b,
+         | round(df / 100.0, 6) AS diff, round(se / 100.0, 6) AS se,
+         | CAST(5.0 AS DOUBLE) AS delta,
+         | round(p_lo, 6) AS p_lower, round(p_up, 6) AS p_upper,
+         | round(greatest(p_lo, p_up), 6) AS p_tost,
+         | greatest(p_lo, p_up) < 0.05 AS equivalent
+         |FROM p""".stripMargin
+    },
     "q_seasonal_strength" ->
       """WITH d AS (
         | SELECT CAST(o_orderdate AS DATE) AS day,

@@ -762,6 +762,35 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** GOOD–TURING UNSEEN-MASS ESTIMATE (Good 1953): from the frequency-
+    * of-frequencies table, P(next token is an unseen type) = N₁/N, the
+    * hapax share of the token stream — the principled version of the
+    * OOV forecast (q_oov_rate measures OOV against a FIXED vocab; this
+    * predicts it for the corpus's own growth, the q_heaps_fit
+    * companion). Also emits the Good–Turing adjusted count for hapaxes,
+    * r₁* = 2·N₂/N₁ (how much a count-of-1 should really count — the
+    * smoothing kernel of Katz/SGT language models).
+    *
+    * Scale posture: token counts collapse to vocabulary size, then to
+    * the frequency-of-frequencies spine (≤ max count rows); the readout
+    * is exact integer sums with one double tree.
+    */
+  def goodTuring(docs: DataFrame): DataFrame = {
+    val fof = docs.select(explode(tokens(lower(col("text")))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .groupBy("f").agg(count(lit(1)).as("nf"))
+    def d(c: Column) = c.cast("double")
+    fof.agg(sum(col("f") * col("nf")).as("n_tokens"),
+        sum(col("nf")).as("vocab"),
+        sum(when(col("f") === 1, col("nf")).otherwise(0L)).as("n1"),
+        sum(when(col("f") === 2, col("nf")).otherwise(0L)).as("n2"))
+      .select(col("n_tokens"), col("vocab"), col("n1"), col("n2"),
+        round(d(col("n1")) / d(col("n_tokens")), 6).as("p_unseen"),
+        round(d(col("n1")) / d(col("vocab")), 6).as("hapax_share"),
+        when(col("n1") > 0, round(lit(2.0) * col("n2") / col("n1"), 6))
+          .as("r1_star"))
+  }
+
   /** Skip-gram co-occurrence PMI (window ≤ 3) over a (text) frame —
     * see the q_cooccur_pmi entry comment for semantics/posture.
     */
@@ -1101,6 +1130,8 @@ object TextAnalysis {
     // RAKE corpus keywords: stopword-delimited phrases, deg/freq word
     // scores, top-15 phrases (map-side segmentation, bounded joins).
     "q_rake_keywords" -> { (s, d) => rakeKeywords(Tables.documents(s, d)) },
+    // Good-Turing unseen-type mass + hapax smoothing kernel.
+    "q_good_turing" -> { (s, d) => goodTuring(Tables.documents(s, d)) },
     "q_pmi_topk" -> { (s, d) =>
       val toks = Tables.documents(s, d)
         .select(tokens(lower(col("text"))).as("toks"))
@@ -1994,6 +2025,27 @@ object TextAnalysis {
            | round(total_tf * (ln((n_docs + 1.0) / (df + 1)) + 1), 6) AS score
            |FROM d, n
            |ORDER BY score DESC, term LIMIT 20""".stripMargin,
+      "q_good_turing" ->
+        s"""WITH fof AS (
+           | SELECT f, count(*) AS nf FROM (
+           |  SELECT w, count(*) AS f FROM (
+           |   SELECT unnest(${tokensSql("lower(text)")}) AS w FROM documents)
+           |  GROUP BY 1)
+           | GROUP BY 1),
+           |a AS (
+           | SELECT CAST(sum(f * nf) AS BIGINT) AS n_tokens,
+           |  CAST(sum(nf) AS BIGINT) AS vocab,
+           |  CAST(sum(CASE WHEN f = 1 THEN nf ELSE 0 END) AS BIGINT) AS n1,
+           |  CAST(sum(CASE WHEN f = 2 THEN nf ELSE 0 END) AS BIGINT) AS n2
+           | FROM fof)
+           |SELECT n_tokens, vocab, n1, n2,
+           | round(CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+           |  AS p_unseen,
+           | round(CAST(n1 AS DOUBLE) / CAST(vocab AS DOUBLE), 6)
+           |  AS hapax_share,
+           | CASE WHEN n1 > 0
+           |  THEN round(CAST(2.0 AS DOUBLE) * n2 / n1, 6) END AS r1_star
+           |FROM a""".stripMargin,
       "q_rake_keywords" -> {
         val stopList = enStopwords.map(w => s"'$w'").mkString(", ")
         s"""WITH toks AS (

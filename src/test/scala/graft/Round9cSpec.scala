@@ -438,6 +438,59 @@ class Round9cSpec extends SparkSpec {
     assert(!byF("l_tax").getAs[Boolean]("drifted"))
   }
 
+  test("friedman: consistent within-day ordering gives the textbook max") {
+    // 3 days, 5 types always ranked the same way: Rj = 3·(1..5),
+    // Q = 12·495/(3·5·6) − 3·3·6 = 12, no ties -> adj = 12
+    val rows = for {
+      day <- 1 to 3
+      (t, v) <- Seq("click" -> 10.0, "error" -> 20.0, "purchase" -> 30.0,
+        "signup" -> 40.0, "view" -> 50.0)
+    } yield (day.toLong * 10 + v.toLong, t, v, f"2024-04-$day%02d 09:00:00")
+    val ev = rows.toDF("event_id", "event_type", "value", "s")
+      .select(col("event_id"), col("event_type"), col("value"),
+        to_timestamp(col("s")).as("ts"))
+    val r = operators.Analytics.friedman(ev).collect()(0)
+    assert(r.getAs[Long]("n_blocks") === 3L)
+    assert(r.getAs[Long]("k_treatments") === 5L)
+    assert(r.getAs[Double]("q_stat") === 12.0)
+    assert(r.getAs[Double]("q_tie_adj") === 12.0)
+  }
+
+  test("tostEquivalence: equal arms pass, a wide gap fails") {
+    def ev(rows: Seq[(Long, String, Double)]) =
+      rows.map { case (i, t, v) => (i, t, v, ts(2)) }
+        .toDF("event_id", "event_type", "value", "s")
+        .select(col("event_id"), col("event_type"), col("value"),
+          to_timestamp(col("s")).as("ts"))
+    val same = ev((1L to 40L).map(i =>
+      (i, if (i % 2 == 0) "purchase" else "click",
+        if (i % 4 < 2) 10.0 else 11.0)))
+    val r1 = operators.Analytics.tostEquivalence(same).collect()(0)
+    assert(math.abs(r1.getAs[Double]("diff")) < 1e-9)
+    assert(r1.getAs[Double]("delta") === 5.0)
+    assert(r1.getAs[Boolean]("equivalent"))
+    val far = ev((1L to 40L).map(i =>
+      if (i <= 20) (i, "purchase", 100.0 + (i % 2))
+      else (i, "click", 10.0 + (i % 2))))
+    val r2 = operators.Analytics.tostEquivalence(far).collect()(0)
+    assert(r2.getAs[Double]("diff") > 80.0)
+    assert(!r2.getAs[Boolean]("equivalent"))
+    assert(r2.getAs[Double]("p_upper") > 0.99)
+  }
+
+  test("goodTuring: hand-computed frequency-of-frequencies readout") {
+    // tokens a a b c: N=4, V=3, N1=2, N2=1
+    val docs = Seq((1L, "a a b c")).toDF("doc_id", "text")
+    val r = operators.TextAnalysis.goodTuring(docs).collect()(0)
+    assert(r.getAs[Long]("n_tokens") === 4L)
+    assert(r.getAs[Long]("vocab") === 3L)
+    assert(r.getAs[Long]("n1") === 2L)
+    assert(r.getAs[Long]("n2") === 1L)
+    assert(r.getAs[Double]("p_unseen") === 0.5)
+    assert(math.abs(r.getAs[Double]("hapax_share") - 2.0 / 3) < 1e-6)
+    assert(r.getAs[Double]("r1_star") === 1.0)
+  }
+
   test("modularity: Q invariants hold end-to-end on the sf0.001 graph") {
     // bounds, term-sum consistency, and the internal≤total degree
     // identity — the algebra a wrong join or double-counted edge breaks
