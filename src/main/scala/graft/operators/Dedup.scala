@@ -1404,7 +1404,49 @@ object Dedup {
       .orderBy("seg_agree", "hb_agree")
   }
 
+  /** CAPTURE–RECAPTURE ESTIMATE of the true near-dup pair population
+    * (Chapman 1951's bias-corrected Lincoln–Petersen) from two
+    * INDEPENDENT detectors: minhash-Jaccard (token shingles) and
+    * simhash-Hamming (token hashes) each catch a sample of the real
+    * duplicate pairs; treating the pairs as a mark-recapture study,
+    * N̂ = (n₁+1)(n₂+1)/(m+1) − 1 estimates how many near-dup pairs
+    * EXIST — including the ones neither detector caught. Per-detector
+    * coverage n/N̂ is the number a dedup rollout review actually wants
+    * ("are we removing 60% or 95% of the duplication?") and no single
+    * detector can report about itself.
+    *
+    * Scale posture: both detectors are the engine's own banded/bucketed
+    * pipelines (never all-pairs); the overlap is one equi-join on the
+    * pair key and the estimator is a scalar double tree of three exact
+    * counts.
+    */
+  def captureRecapture(docs: DataFrame): DataFrame = {
+    import graft.CacheScope.TrackedDataset
+    val corpus = docs.persistTracked()
+    val p1 = minhashNearDups(corpus, "doc_id", "text", hasher = Md5Hash)
+      .select("id_a", "id_b").persistTracked()
+    val p2 = simhashNearDups(corpus, "doc_id", "text", maxHamming = 6,
+      bits = 60, hasher = Md5Hash)
+      .select("id_a", "id_b").persistTracked()
+    val c1 = p1.agg(count(lit(1)).as("n_det1"))
+    val c2 = p2.agg(count(lit(1)).as("n_det2"))
+    val cb = p1.join(p2, Seq("id_a", "id_b")).agg(count(lit(1)).as("n_both"))
+    def d(c: Column) = c.cast("double")
+    val est = (d(col("n_det1") + 1) * d(col("n_det2") + 1)) /
+      d(col("n_both") + 1) - lit(1.0)
+    c1.crossJoin(broadcast(c2)).crossJoin(broadcast(cb))
+      .select(col("n_det1"), col("n_det2"), col("n_both"),
+        round(est, 6).as("est_total_pairs"),
+        when(est > 0, round(d(col("n_det1")) / est, 6)).as("coverage_det1"),
+        when(est > 0, round(d(col("n_det2")) / est, 6)).as("coverage_det2"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Chapman capture-recapture: what share of the TRUE near-dup pair
+    // population does each detector catch?
+    "q_capture_recapture" -> { (s, d) =>
+      captureRecapture(plantedCorpus(Tables.documents(s, d)))
+    },
     "q_fs_linkage" -> { (s, d) => fsLinkage(Tables.customer(s, d)) },
     // LSH banding tuning table for the shipped (4 bands × 4 rows) tier.
     "q_lsh_curve" -> { (s, _) => lshCurve(s) },
@@ -1837,6 +1879,59 @@ object Dedup {
        | SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // both detector chains verbatim (minhash pred + simhash bands) on
+    // the shared planted-corpus toks, then the Chapman estimator
+    "q_capture_recapture" -> {
+      val bits = 60
+      val simExpr = (0 until bits).map { b =>
+        s"CASE WHEN list_sum(list_transform(ths, h -> ((h >> $b) & 1) * 2 - 1)) > 0 THEN ${1L << b} ELSE 0 END"
+      }.mkString("(", "\n  + ", ")")
+      // simhash chain CTEs renamed (smh/sbanded): candidatesSql already
+      // owns the names `banded`/`candidates` in this WITH
+      val bandSelects = simhashChunkLayout(bits, 6).zipWithIndex.map {
+        case ((off, sz), i) =>
+          s"SELECT id, sim, $i AS band, (sim >> $off) & ${(1L << sz) - 1} AS key FROM smh"
+      }.mkString("\n UNION ALL\n ")
+      s"""WITH $corpusToksSql,
+         |shs AS (
+         | SELECT id, list_distinct(
+         |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |       ELSE list_transform(range(1, len(toks) - 1),
+         |              i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END) AS shs
+         | FROM toks),
+         |hs AS (SELECT id, list_transform(shs, sh2 -> ${h64("sh2")}) AS hs FROM shs),
+         |${minhashSigSql(16)},
+         |${candidatesSql(16, 2)},
+         |p1 AS (
+         | SELECT c.id_a, c.id_b FROM candidates c
+         | JOIN hs a ON c.id_a = a.id
+         | JOIN hs b ON c.id_b = b.id
+         | WHERE $jaccardSql >= 0.5),
+         |ths AS (SELECT id, list_transform(toks, t -> ${h64("t")}) AS ths
+         |        FROM toks),
+         |smh AS (SELECT id, CAST($simExpr AS BIGINT) AS sim FROM ths),
+         |sbanded AS (
+         | $bandSelects),
+         |p2 AS (
+         | SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         | FROM sbanded a JOIN sbanded b USING (band, key)
+         | WHERE a.id < b.id AND bit_count(xor(a.sim, b.sim)) <= 6),
+         |c1 AS (SELECT count(*) AS n_det1 FROM p1),
+         |c2 AS (SELECT count(*) AS n_det2 FROM p2),
+         |cb AS (SELECT count(*) AS n_both
+         |       FROM p1 JOIN p2 USING (id_a, id_b)),
+         |e AS (
+         | SELECT n_det1, n_det2, n_both,
+         |  CAST(n_det1 + 1 AS DOUBLE) * CAST(n_det2 + 1 AS DOUBLE)
+         |   / CAST(n_both + 1 AS DOUBLE) - 1.0 AS est
+         | FROM c1 CROSS JOIN c2 CROSS JOIN cb)
+         |SELECT n_det1, n_det2, n_both, round(est, 6) AS est_total_pairs,
+         | CASE WHEN est > 0
+         |  THEN round(CAST(n_det1 AS DOUBLE) / est, 6) END AS coverage_det1,
+         | CASE WHEN est > 0
+         |  THEN round(CAST(n_det2 AS DOUBLE) / est, 6) END AS coverage_det2
+         |FROM e""".stripMargin
+    },
     "q_fs_linkage" ->
       """WITH c AS (
         | SELECT c_custkey AS k, c_nationkey AS nat, c_mktsegment AS seg,

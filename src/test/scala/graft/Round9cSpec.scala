@@ -491,6 +491,22 @@ class Round9cSpec extends SparkSpec {
     assert(r.getAs[Double]("r1_star") === 1.0)
   }
 
+  test("captureRecapture: Chapman invariants on the planted corpus") {
+    val docs = operators.Dedup.plantedCorpus(Tables.documents(spark, sfDir))
+    val r = operators.Dedup.captureRecapture(docs).collect()(0)
+    val n1 = r.getAs[Long]("n_det1"); val n2 = r.getAs[Long]("n_det2")
+    val m = r.getAs[Long]("n_both")
+    val est = r.getAs[Double]("est_total_pairs")
+    // the planted exact-ish dups are caught by BOTH detectors
+    assert(m > 0L && m <= math.min(n1, n2))
+    // Chapman is at least as large as either sample (m <= n2 identity)
+    assert(est >= math.max(n1, n2) - 1e-6)
+    assert(r.getAs[Double]("coverage_det1") > 0.0 &&
+      r.getAs[Double]("coverage_det1") <= 1.0 + 1e-6)
+    assert(r.getAs[Double]("coverage_det2") > 0.0 &&
+      r.getAs[Double]("coverage_det2") <= 1.0 + 1e-6)
+  }
+
   test("modularity: Q invariants hold end-to-end on the sf0.001 graph") {
     // bounds, term-sum consistency, and the internal≤total degree
     // identity — the algebra a wrong join or double-counted edge breaks
