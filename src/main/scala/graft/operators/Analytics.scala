@@ -3330,7 +3330,82 @@ object Analytics {
       (greatest(pLo, pUp) < 0.05).as("equivalent"))
   }
 
+  /** WILCOXON SIGNED-RANK TEST (Wilcoxon 1945, normal approximation
+    * with tie correction) on the daily purchase−click value gap — the
+    * PAIRED nonparametric location test: each day is its own control,
+    * so day-level level shifts cancel and only the within-day sign and
+    * magnitude of the gap counts (q_friedman generalizes this to k
+    * treatments; this is the k=2 workhorse with the exact rank
+    * statistic). Zero diffs drop (the standard convention).
+    *
+    * Exactness: the doubled-average-rank identity over the distinct
+    * |diff| spine keeps W₂ = 2·W⁺, μ₂ = n(n+1)/2 and σ₂² =
+    * n(n+1)(2n+1)/6 − Σ(t³−t)/12 all exact integers; z and the A&S
+    * p-value are one double tree.
+    */
+  def wilcoxonSigned(ev: DataFrame): DataFrame = {
+    val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+    val daily = ev
+      .filter(col("value").isNotNull &&
+        col("event_type").isin("purchase", "click"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "purchase", cents).otherwise(0L))
+        .as("sp"),
+        sum(when(col("event_type") === "click", cents).otherwise(0L))
+          .as("sc"))
+      .select((col("sp") - col("sc")).as("diff"))
+      .filter(col("diff") =!= 0)
+    val gp = daily
+      .select(abs(col("diff")).as("ad"), (col("diff") > 0).as("pos"))
+      .groupBy("ad")
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("cp"))
+    val w = Window.orderBy("ad")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = gp.withColumn("cum", sum(col("c")).over(w))
+      .select(col("c"), col("cp"),
+        (lit(2L) * col("cum") - col("c") + 1L).as("d_rank"))
+    val a = cum.agg(sum(col("c")).as("n"),
+      sum(col("cp") * col("d_rank")).as("w2"),
+      sum(col("c") * col("c") * col("c") - col("c")).as("tie"))
+    def d(c: Column) = c.cast("double")
+    val dn = d(col("n"))
+    val mu2 = dn * (dn + 1) / 2.0
+    val var2 = dn * (dn + 1) * (lit(2.0) * dn + 1) / 6.0 -
+      d(col("tie")) / 12.0
+    val z = (d(col("w2")) - mu2) / sqrt(var2)
+    a.select(col("n").as("n_pairs"),
+      (d(col("w2")) / 2.0).as("w_plus"),
+      when(var2 > 0, round(z, 6)).as("z"),
+      when(var2 > 0, round(pTwoSided(abs(z)), 6)).as("p_value"))
+  }
+
+  /** LJUNG–BOX WHITE-NOISE TEST (Ljung & Box 1978) on the daily-revenue
+    * autocorrelations: Q = n(n+2)·Σ ρ_k²/(n−k) over the first m lags —
+    * the "is there ANY serial structure left" portmanteau that decides
+    * whether q_acf_daily's per-lag readout means anything and whether a
+    * forecaster's residuals are done. Rides [[acfDaily]] unchanged; the
+    * fold adds one m-row pass.
+    */
+  def ljungBox(orders: DataFrame, m: Int = 7): DataFrame = {
+    val a = acfDaily(orders, m)
+    val terms = a.select((col("n_pairs") + col("lag")).as("n"),
+      when(col("acf").isNotNull,
+        round(col("acf") * col("acf") / col("n_pairs"), 12))
+        .otherwise(lit(0.0)).cast(DecimalType(28, 12)).as("t"))
+    terms.groupBy("n")
+      .agg(count(lit(1)).as("m_lags"), sum(col("t")).as("ts"))
+      .select(col("n").as("n_days"), col("m_lags"),
+        round(col("n").cast("double") * (col("n") + 2).cast("double") *
+          col("ts").cast("double"), 6).as("q_stat"),
+        col("m_lags").as("dof"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Paired nonparametric daily purchase-vs-click location test.
+    "q_wilcoxon_signed" -> { (s, d) => wilcoxonSigned(Tables.events(s, d)) },
+    // Portmanteau white-noise test over the first 7 daily-revenue ACFs.
+    "q_ljung_box" -> { (s, d) => ljungBox(Tables.orders(s, d)) },
     // Blocked nonparametric k-treatment test (days as blocks).
     "q_friedman" -> { (s, d) => friedman(Tables.events(s, d)) },
     // Equivalence/non-inferiority readout: is B within ±$5 of A?
@@ -5049,6 +5124,87 @@ object Analytics {
          | round(CAST(agg.n_extreme + 1 AS DOUBLE)
          |   / CAST(agg.b_reps + 1 AS DOUBLE), 6) AS p_value
          |FROM o2 CROSS JOIN agg""".stripMargin,
+    "q_wilcoxon_signed" ->
+      s"""WITH daily AS (
+         | SELECT CAST(ts AS DATE) AS day,
+         |  CAST(sum(CASE WHEN event_type = 'purchase'
+         |   THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |   ELSE 0 END) AS BIGINT) AS sp,
+         |  CAST(sum(CASE WHEN event_type = 'click'
+         |   THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |   ELSE 0 END) AS BIGINT) AS sc
+         | FROM events
+         | WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+         | GROUP BY 1),
+         |df AS (SELECT sp - sc AS diff FROM daily WHERE sp - sc <> 0),
+         |gp AS (
+         | SELECT abs(diff) AS ad, count(*) AS c,
+         |  CAST(sum(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cp
+         | FROM df GROUP BY 1),
+         |cum AS (
+         | SELECT c, cp,
+         |  2 * CAST(sum(c) OVER (ORDER BY ad ROWS UNBOUNDED PRECEDING)
+         |    AS BIGINT) - c + 1 AS d_rank
+         | FROM gp),
+         |a AS (
+         | SELECT CAST(sum(c) AS BIGINT) AS n,
+         |  CAST(sum(cp * d_rank) AS BIGINT) AS w2,
+         |  CAST(sum(c * c * c - c) AS BIGINT) AS tie
+         | FROM cum),
+         |f AS (
+         | SELECT n, w2,
+         |  CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1) / 2.0 AS mu2,
+         |  CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)
+         |   * (2.0 * CAST(n AS DOUBLE) + 1) / 6.0
+         |   - CAST(tie AS DOUBLE) / 12.0 AS var2
+         | FROM a)
+         |SELECT n AS n_pairs, CAST(w2 AS DOUBLE) / 2.0 AS w_plus,
+         | CASE WHEN var2 > 0
+         |  THEN round((CAST(w2 AS DOUBLE) - mu2) / sqrt(var2), 6) END AS z,
+         | CASE WHEN var2 > 0 THEN round(${pTwoSidedSql(
+        "abs((CAST(w2 AS DOUBLE) - mu2) / sqrt(var2))")}, 6) END AS p_value
+         |FROM f""".stripMargin,
+    "q_ljung_box" ->
+      """WITH d AS (
+        | SELECT o_orderdate AS day,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |   AS yc
+        | FROM orders GROUP BY 1),
+        |i AS (SELECT yc, row_number() OVER (ORDER BY day) AS rn FROM d),
+        |p AS (
+        | SELECT k.k AS lag, a.yc AS x, b.yc AS y
+        | FROM i a, i b, (SELECT unnest(range(1, 8)) AS k) k
+        | WHERE b.rn = a.rn + k.k),
+        |a AS (
+        | SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(count(*) AS DOUBLE) AS dm,
+        |  CAST(sum(x) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS DOUBLE)
+        |   AS sxx,
+        |  CAST(sum(y) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE)
+        |   AS syy,
+        |  CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE)
+        |   AS sxy
+        | FROM p GROUP BY 1),
+        |rho AS (
+        | SELECT lag, n_pairs,
+        |  CASE WHEN dm * sxx - sx * sx > 0 AND dm * syy - sy * sy > 0 THEN
+        |   round((dm * sxy - sx * sy)
+        |     / sqrt((dm * sxx - sx * sx) * (dm * syy - sy * sy)), 6)
+        |  END AS acf
+        | FROM a),
+        |terms AS (
+        | SELECT CAST(n_pairs + lag AS BIGINT) AS n,
+        |  CAST(CASE WHEN acf IS NOT NULL
+        |   THEN round(acf * acf / n_pairs, 12) ELSE 0.0 END
+        |   AS DECIMAL(28,12)) AS t
+        | FROM rho)
+        |SELECT n AS n_days, count(*) AS m_lags,
+        | round(CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE)
+        |   * CAST(sum(t) AS DOUBLE), 6) AS q_stat,
+        | count(*) AS dof
+        |FROM terms GROUP BY n""".stripMargin,
     "q_friedman" ->
       """WITH base AS (
         | SELECT CAST(ts AS DATE) AS day, event_type AS t,

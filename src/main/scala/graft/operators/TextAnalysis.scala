@@ -762,6 +762,60 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** MULTI-CLASS PRECISION/RECALL/F1 REPORT of the heuristic language
+    * classifier against the labeled corpus — per-class rows plus the
+    * macro-F1 (classes weighted equally — the number that catches a
+    * classifier coasting on the majority class) and plain accuracy
+    * (= micro-F1 in single-label classification). The classifier-eval
+    * layer the binary AUC/PR family can't provide for k classes.
+    *
+    * Scale posture: one prediction pass collapses to a (truth, pred)
+    * class-pair frame; per-class stats and the macro fold are
+    * class-cardinality. Per-class F1 rounds to 6dp DECIMAL so the macro
+    * average folds exactly.
+    */
+  def macroF1(docs: DataFrame): DataFrame = {
+    import graft.CacheScope.TrackedDataset
+    val cm = docs.filter(col("lang").isNotNull)
+      .select(col("lang").as("truth"), langId(col("text")).as("pred"))
+      .groupBy("truth", "pred").agg(count(lit(1)).as("n"))
+      .persistTracked()
+    val classes = cm.select(col("truth").as("cls"))
+      .union(cm.select(col("pred").as("cls"))).distinct()
+    val byTruth = cm.groupBy(col("truth").as("cls"))
+      .agg(sum(col("n")).as("n_true"),
+        sum(when(col("pred") === col("truth"), col("n")).otherwise(0L))
+          .as("tp"))
+    val byPred = cm.groupBy(col("pred").as("cls"))
+      .agg(sum(col("n")).as("n_pred"))
+    def d(c: Column) = c.cast("double")
+    val stats = classes.join(byTruth, Seq("cls"), "left")
+      .join(byPred, Seq("cls"), "left")
+      .na.fill(0L, Seq("n_true", "tp", "n_pred"))
+    val p = when(col("n_pred") > 0, d(col("tp")) / d(col("n_pred")))
+      .otherwise(lit(0.0))
+    val r = when(col("n_true") > 0, d(col("tp")) / d(col("n_true")))
+      .otherwise(lit(0.0))
+    val f1 = when(p + r > 0, lit(2.0) * p * r / (p + r)).otherwise(lit(0.0))
+    val withF = stats.select(col("cls"), col("n_true"), col("tp"),
+        (col("n_pred") - col("tp")).as("fp"),
+        (col("n_true") - col("tp")).as("fn"),
+        round(p, 6).as("precision"), round(r, 6).as("recall"),
+        round(f1, 6).cast(DecimalType(18, 6)).as("f1d"))
+      .persistTracked()
+    val tot = withF.agg(
+      round(sum(col("f1d")).cast("double") / count(lit(1)), 6)
+        .as("macro_f1"),
+      round(sum(col("tp")).cast("double") /
+        sum(col("n_true")).cast("double"), 6).as("accuracy"))
+    withF.crossJoin(broadcast(tot))
+      .select(col("cls"), col("n_true"), col("tp"), col("fp"), col("fn"),
+        col("precision"), col("recall"),
+        col("f1d").cast("double").as("f1"), col("macro_f1"),
+        col("accuracy"))
+      .orderBy("cls")
+  }
+
   /** GOOD–TURING UNSEEN-MASS ESTIMATE (Good 1953): from the frequency-
     * of-frequencies table, P(next token is an unseen type) = N₁/N, the
     * hapax share of the token stream — the principled version of the
@@ -1132,6 +1186,8 @@ object TextAnalysis {
     "q_rake_keywords" -> { (s, d) => rakeKeywords(Tables.documents(s, d)) },
     // Good-Turing unseen-type mass + hapax smoothing kernel.
     "q_good_turing" -> { (s, d) => goodTuring(Tables.documents(s, d)) },
+    // Per-class P/R/F1 + macro-F1/accuracy of the langid heuristic.
+    "q_macro_f1" -> { (s, d) => macroF1(Tables.documents(s, d)) },
     "q_pmi_topk" -> { (s, d) =>
       val toks = Tables.documents(s, d)
         .select(tokens(lower(col("text"))).as("toks"))
@@ -2025,6 +2081,44 @@ object TextAnalysis {
            | round(total_tf * (ln((n_docs + 1.0) / (df + 1)) + 1), 6) AS score
            |FROM d, n
            |ORDER BY score DESC, term LIMIT 20""".stripMargin,
+      "q_macro_f1" -> {
+        val p = "CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / n_pred ELSE CAST(0.0 AS DOUBLE) END"
+        val r = "CASE WHEN n_true > 0 THEN CAST(tp AS DOUBLE) / n_true ELSE CAST(0.0 AS DOUBLE) END"
+        s"""WITH preds AS (
+           | SELECT lang AS truth,
+           |  CASE WHEN $maxScore = 0 THEN 'und' $langCase END AS pred
+           | FROM documents WHERE lang IS NOT NULL),
+           |cm AS (SELECT truth, pred, count(*) AS n FROM preds GROUP BY 1, 2),
+           |classes AS (
+           | SELECT truth AS cls FROM cm UNION SELECT pred FROM cm),
+           |bt AS (
+           | SELECT truth AS cls, CAST(sum(n) AS BIGINT) AS n_true,
+           |  CAST(sum(CASE WHEN pred = truth THEN n ELSE 0 END) AS BIGINT)
+           |   AS tp
+           | FROM cm GROUP BY 1),
+           |bp AS (
+           | SELECT pred AS cls, CAST(sum(n) AS BIGINT) AS n_pred
+           | FROM cm GROUP BY 1),
+           |st AS (
+           | SELECT cls, coalesce(n_true, 0) AS n_true, coalesce(tp, 0) AS tp,
+           |  coalesce(n_pred, 0) AS n_pred
+           | FROM classes LEFT JOIN bt USING (cls) LEFT JOIN bp USING (cls)),
+           |wf AS (
+           | SELECT cls, n_true, tp, n_pred - tp AS fp, n_true - tp AS fn,
+           |  round($p, 6) AS precision, round($r, 6) AS recall,
+           |  CAST(round(CASE WHEN ($p) + ($r) > 0
+           |    THEN CAST(2.0 AS DOUBLE) * ($p) * ($r) / (($p) + ($r))
+           |    ELSE CAST(0.0 AS DOUBLE) END, 6) AS DECIMAL(18,6)) AS f1d
+           | FROM st),
+           |tot AS (
+           | SELECT round(CAST(sum(f1d) AS DOUBLE) / count(*), 6) AS macro_f1,
+           |  round(CAST(sum(tp) AS DOUBLE) / CAST(sum(n_true) AS DOUBLE), 6)
+           |   AS accuracy
+           | FROM wf)
+           |SELECT cls, n_true, tp, fp, fn, precision, recall,
+           | CAST(f1d AS DOUBLE) AS f1, macro_f1, accuracy
+           |FROM wf CROSS JOIN tot ORDER BY cls""".stripMargin
+      },
       "q_good_turing" ->
         s"""WITH fof AS (
            | SELECT f, count(*) AS nf FROM (

@@ -507,6 +507,67 @@ class Round9cSpec extends SparkSpec {
       r.getAs[Double]("coverage_det2") <= 1.0 + 1e-6)
   }
 
+  test("macroF1: hand-built confusion over the langid heuristic") {
+    // doc1 en predicted en ('the and'); doc2 en predicted und ('xyz');
+    // doc3 de predicted de ('der und die'... 'und' is both de stopword
+    // and the undetermined label — fine, it scores de); doc4 es
+    // predicted de ('der die' text labeled es)
+    val docs = Seq(
+      (1L, "the and of", "en"), (2L, "xyz zzz", "en"),
+      (3L, "der die und", "de"), (4L, "der die von", "es"))
+      .toDF("doc_id", "text", "lang")
+    val out = operators.TextAnalysis.macroF1(docs).collect()
+    val byC = out.map(r => r.getAs[String]("cls") -> r).toMap
+    // classes: de, en, es, und
+    assert(out.map(_.getAs[String]("cls")).toSeq ===
+      Seq("de", "en", "es", "und"))
+    // en: n_true 2, tp 1, fp 0, fn 1 -> p 1, r .5, f1 = 2/3
+    assert(byC("en").getAs[Long]("tp") === 1L)
+    assert(byC("en").getAs[Double]("precision") === 1.0)
+    assert(byC("en").getAs[Double]("recall") === 0.5)
+    assert(math.abs(byC("en").getAs[Double]("f1") - 2.0 / 3) < 1e-6)
+    // de: tp 1, fp 1 (es doc), fn 0 -> p .5, r 1, f1 = 2/3
+    assert(byC("de").getAs[Long]("fp") === 1L)
+    assert(math.abs(byC("de").getAs[Double]("f1") - 2.0 / 3) < 1e-6)
+    // es: tp 0 -> f1 0; und: predicted only -> n_true 0, f1 0
+    assert(byC("es").getAs[Double]("f1") === 0.0)
+    assert(byC("und").getAs[Long]("n_true") === 0L)
+    // macro = (2/3 + 2/3 + 0 + 0)/4 = 1/3; accuracy = 2/4
+    assert(math.abs(byC("en").getAs[Double]("macro_f1") - 1.0 / 3) < 1e-5)
+    assert(byC("en").getAs[Double]("accuracy") === 0.5)
+  }
+
+  test("wilcoxonSigned: all-positive diffs give the maximal statistic") {
+    // 5 days, purchase always > click by a distinct margin:
+    // W+ = n(n+1)/2 = 15, z = (15 - 7.5)/sqrt(13.75) = 2.022600
+    val rows = (1 to 5).flatMap { d0 =>
+      Seq((d0.toLong * 2, "purchase", (100 + d0 * 10).toDouble,
+        f"2024-05-$d0%02d 10:00:00"),
+        (d0.toLong * 2 + 1, "click", 50.0, f"2024-05-$d0%02d 11:00:00"))
+    }
+    val ev = rows.toDF("event_id", "event_type", "value", "s")
+      .select(col("event_id"), col("event_type"), col("value"),
+        to_timestamp(col("s")).as("ts"))
+    val r = operators.Analytics.wilcoxonSigned(ev).collect()(0)
+    assert(r.getAs[Long]("n_pairs") === 5L)
+    assert(r.getAs[Double]("w_plus") === 15.0)
+    assert(math.abs(r.getAs[Double]("z") - 2.0226) < 1e-4)
+    assert(r.getAs[Double]("p_value") < 0.05)
+  }
+
+  test("ljungBox: white noise scores low, a weekly cycle scores high") {
+    // strong period-7 signal -> large Q
+    val seasonal = (1 to 40).map(t =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+        .plusDays(t.toLong)), ((t % 7) * 100 + 100).toDouble))
+      .toDF("o_orderdate", "o_totalprice")
+    val rs = operators.Analytics.ljungBox(seasonal).collect()(0)
+    assert(rs.getAs[Long]("n_days") === 40L)
+    assert(rs.getAs[Long]("dof") === 7L)
+    // chi2(7) 99th percentile is 18.48; the cycle blows far past it
+    assert(rs.getAs[Double]("q_stat") > 18.48)
+  }
+
   test("modularity: Q invariants hold end-to-end on the sf0.001 graph") {
     // bounds, term-sum consistency, and the internal≤total degree
     // identity — the algebra a wrong join or double-counted edge breaks
