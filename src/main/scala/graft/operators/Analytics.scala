@@ -3401,7 +3401,42 @@ object Analytics {
         col("m_lags").as("dof"))
   }
 
+  /** ABC REVENUE CLASSIFICATION (the Pareto/ABC inventory analysis):
+    * parts ranked by revenue, class A = the heaviest parts covering the
+    * first 80% of cumulative revenue, B the next 15%, C the tail — the
+    * canonical "which SKUs deserve attention" split, and the
+    * actionable-classes companion to q_lorenz_deciles' curve. Class
+    * boundaries are INTEGER comparisons (cum·100 ≤ tot·80) so no float
+    * share can flip a part at the boundary.
+    *
+    * Scale posture: the fact collapses to the part dimension first; the
+    * cumulative window runs on that dimension-cardinality spine (the
+    * q_lorenz_deciles precedent), then 3 rows.
+    */
+  def abcClasses(li: DataFrame): DataFrame = {
+    val rev = li.groupBy("l_partkey")
+      .agg((sum(col("l_extendedprice").cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("rc"))
+    val tot = rev.agg(sum(col("rc")).as("tot"))
+    val w = Window.orderBy(desc("rc"), col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.crossJoin(broadcast(tot))
+      .withColumn("cum", sum(col("rc")).over(w))
+      .select(col("rc"), col("tot"),
+        when(col("cum") * 100L <= col("tot") * 80L, "A")
+          .when(col("cum") * 100L <= col("tot") * 95L, "B")
+          .otherwise("C").as("abc"))
+      .groupBy("abc")
+      .agg(count(lit(1)).as("n_parts"), sum(col("rc")).as("revenue_cents"),
+        max(col("tot")).as("tot"))
+      .select(col("abc"), col("n_parts"), col("revenue_cents"),
+        expr("revenue_cents * 1000000 div tot").as("share_ppm"))
+      .orderBy("abc")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Pareto/ABC revenue classes over the part dimension.
+    "q_abc_classes" -> { (s, d) => abcClasses(Tables.lineitem(s, d)) },
     // Paired nonparametric daily purchase-vs-click location test.
     "q_wilcoxon_signed" -> { (s, d) => wilcoxonSigned(Tables.events(s, d)) },
     // Portmanteau white-noise test over the first 7 daily-revenue ACFs.
@@ -5124,6 +5159,27 @@ object Analytics {
          | round(CAST(agg.n_extreme + 1 AS DOUBLE)
          |   / CAST(agg.b_reps + 1 AS DOUBLE), 6) AS p_value
          |FROM o2 CROSS JOIN agg""".stripMargin,
+    "q_abc_classes" ->
+      """WITH rev AS (
+        | SELECT l_partkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |   AS rc
+        | FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(sum(rc) AS BIGINT) AS tot FROM rev),
+        |cl AS (
+        | SELECT rc, tot,
+        |  CASE WHEN CAST(sum(rc) OVER (ORDER BY rc DESC, l_partkey
+        |     ROWS UNBOUNDED PRECEDING) AS BIGINT) * 100 <= tot * 80
+        |   THEN 'A'
+        |   WHEN CAST(sum(rc) OVER (ORDER BY rc DESC, l_partkey
+        |     ROWS UNBOUNDED PRECEDING) AS BIGINT) * 100 <= tot * 95
+        |   THEN 'B' ELSE 'C' END AS abc
+        | FROM rev CROSS JOIN tot)
+        |SELECT abc, count(*) AS n_parts,
+        | CAST(sum(rc) AS BIGINT) AS revenue_cents,
+        | CAST(CAST(sum(rc) AS BIGINT) * 1000000 // max(tot) AS BIGINT)
+        |  AS share_ppm
+        |FROM cl GROUP BY 1 ORDER BY abc""".stripMargin,
     "q_wilcoxon_signed" ->
       s"""WITH daily AS (
          | SELECT CAST(ts AS DATE) AS day,

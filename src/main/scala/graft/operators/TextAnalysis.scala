@@ -816,6 +816,41 @@ object TextAnalysis {
       .orderBy("cls")
   }
 
+  /** DISTINCT-N-GRAM RATIOS (the distinct-n / rep-n diversity metric of
+    * Li et al. 2016 "A Diversity-Promoting Objective", corpus level):
+    * for n = 1..4, distinct n-grams over total n-grams — low ratios at
+    * higher orders are the signature of boilerplate/templated/looped
+    * text that per-document top-token share (q_text_repetition) misses
+    * when the repetition spans documents. Also reports the single most
+    * repeated n-gram's count per order.
+    *
+    * Scale posture: all four orders generate MAP-SIDE in one pass (per-
+    * position inner transform, nulls filtered — the q_cooccur_pmi
+    * generator); counts collapse to (order, gram) vocabulary-scale
+    * groups with map-side combine, then to 4 rows.
+    */
+  def repNgrams(docs: DataFrame, maxN: Int = 4): DataFrame = {
+    val n = size(col("toks"))
+    val gen = flatten(transform(sequence(lit(1), lit(maxN)), nn =>
+      filter(transform(sequence(lit(1), n), i =>
+        when(i + nn - 1 <= n, struct(nn.as("ord"),
+          array_join(slice(col("toks"), i, nn), " ").as("g")))),
+        x => x.isNotNull)))
+    docs.select(tokens(lower(col("text"))).as("toks"))
+      .filter(n >= 1)
+      .select(explode(gen).as("e"))
+      .groupBy(col("e.ord").cast("long").as("n_order"), col("e.g").as("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("n_order")
+      .agg(sum(col("c")).as("total_ngrams"),
+        count(lit(1)).as("distinct_ngrams"), max(col("c")).as("top_count"))
+      .select(col("n_order"), col("total_ngrams"), col("distinct_ngrams"),
+        round(col("distinct_ngrams").cast("double") /
+          col("total_ngrams").cast("double"), 6).as("distinct_ratio"),
+        col("top_count"))
+      .orderBy("n_order")
+  }
+
   /** GOOD–TURING UNSEEN-MASS ESTIMATE (Good 1953): from the frequency-
     * of-frequencies table, P(next token is an unseen type) = N₁/N, the
     * hapax share of the token stream — the principled version of the
@@ -1188,6 +1223,8 @@ object TextAnalysis {
     "q_good_turing" -> { (s, d) => goodTuring(Tables.documents(s, d)) },
     // Per-class P/R/F1 + macro-F1/accuracy of the langid heuristic.
     "q_macro_f1" -> { (s, d) => macroF1(Tables.documents(s, d)) },
+    // distinct-n diversity ratios for n = 1..4 (cross-doc repetition).
+    "q_rep_ngrams" -> { (s, d) => repNgrams(Tables.documents(s, d)) },
     "q_pmi_topk" -> { (s, d) =>
       val toks = Tables.documents(s, d)
         .select(tokens(lower(col("text"))).as("toks"))
@@ -2081,6 +2118,23 @@ object TextAnalysis {
            | round(total_tf * (ln((n_docs + 1.0) / (df + 1)) + 1), 6) AS score
            |FROM d, n
            |ORDER BY score DESC, term LIMIT 20""".stripMargin,
+      "q_rep_ngrams" ->
+        s"""WITH toks AS (
+           | SELECT ${tokensSql("lower(text)")} AS t FROM documents),
+           |g AS (
+           | SELECT CAST(nn.n AS BIGINT) AS n_order,
+           |  array_to_string(list_slice(t, i, i + nn.n - 1), ' ') AS g
+           | FROM toks
+           |  CROSS JOIN unnest(range(1, len(t) + 1)) AS r(i)
+           |  CROSS JOIN range(1, 5) nn(n)
+           | WHERE len(t) >= 1 AND i + nn.n - 1 <= len(t)),
+           |pc AS (SELECT n_order, g, count(*) AS c FROM g GROUP BY 1, 2)
+           |SELECT n_order, CAST(sum(c) AS BIGINT) AS total_ngrams,
+           | count(*) AS distinct_ngrams,
+           | round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+           |  AS distinct_ratio,
+           | CAST(max(c) AS BIGINT) AS top_count
+           |FROM pc GROUP BY 1 ORDER BY n_order""".stripMargin,
       "q_macro_f1" -> {
         val p = "CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / n_pred ELSE CAST(0.0 AS DOUBLE) END"
         val r = "CASE WHEN n_true > 0 THEN CAST(tp AS DOUBLE) / n_true ELSE CAST(0.0 AS DOUBLE) END"

@@ -568,6 +568,37 @@ class Round9cSpec extends SparkSpec {
     assert(rs.getAs[Double]("q_stat") > 18.48)
   }
 
+  test("repNgrams: exact ratios on a planted half-repeated corpus") {
+    // 'a b a b' -> unigrams: 4 total, 2 distinct; bigrams: 3 total
+    // ('a b','b a','a b'), 2 distinct; trigrams: 2 total 2 distinct;
+    // 4-grams: 1/1
+    val docs = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val out = operators.TextAnalysis.repNgrams(docs).collect()
+    assert(out.length === 4)
+    val m = out.map(r => r.getAs[Long]("n_order") -> r).toMap
+    assert(m(1L).getAs[Long]("total_ngrams") === 4L)
+    assert(m(1L).getAs[Long]("distinct_ngrams") === 2L)
+    assert(m(1L).getAs[Double]("distinct_ratio") === 0.5)
+    assert(m(2L).getAs[Long]("total_ngrams") === 3L)
+    assert(m(2L).getAs[Long]("distinct_ngrams") === 2L)
+    assert(m(2L).getAs[Long]("top_count") === 2L)
+    assert(m(4L).getAs[Double]("distinct_ratio") === 1.0)
+  }
+
+  test("abcClasses: integer 80/95 boundaries on a planted skew") {
+    // parts with revenue 80, 15, 3, 2: cum shares 80/95/98/100 ->
+    // A = {80}, B = {15}, C = {3, 2}
+    val li = Seq((1L, 80.0), (2L, 15.0), (3L, 3.0), (4L, 2.0))
+      .toDF("l_partkey", "l_extendedprice")
+    val out = operators.Analytics.abcClasses(li).collect()
+    val m = out.map(r => r.getAs[String]("abc") -> r).toMap
+    assert(m("A").getAs[Long]("n_parts") === 1L)
+    assert(m("A").getAs[Long]("share_ppm") === 800000L)
+    assert(m("B").getAs[Long]("n_parts") === 1L)
+    assert(m("C").getAs[Long]("n_parts") === 2L)
+    assert(m("C").getAs[Long]("share_ppm") === 50000L)
+  }
+
   test("modularity: Q invariants hold end-to-end on the sf0.001 graph") {
     // bounds, term-sum consistency, and the internal≤total degree
     // identity — the algebra a wrong join or double-counted edge breaks
