@@ -3434,7 +3434,62 @@ object Analytics {
       .orderBy("abc")
   }
 
+  /** STATIONARY DISTRIBUTION of the in-session event-type Markov chain
+    * (power iteration on the q_session_transitions matrix): where does
+    * a user's session SETTLE in the long run — the single-vector
+    * summary that turns the k×k transition matrix into a ranking of
+    * steady-state attention, and the chain-level complement of
+    * q_entropy_rate's one-number predictability.
+    *
+    * Exactness: the q_pagerank fixed-point contract — row-normalized
+    * probabilities p = n·S div n_i and every update Σ π_i·p_ij div S in
+    * integer division (products through DECIMAL(38,0)/HUGEINT), so
+    * DuckDB replays all rounds bit-for-bit. States without outgoing
+    * transitions get an explicit self-loop so mass never vanishes.
+    *
+    * Scale posture: ONE fact pass (the sessionize windows) collapses to
+    * the k²-row transition frame; all iteration happens on k-row/k²-row
+    * frames. k = event-type cardinality, broadcast-class forever.
+    */
+  def markovStationary(events: DataFrame, iters: Int = 4): DataFrame = {
+    import graft.CacheScope.TrackedDataset
+    val S = 1000000000000L
+    val tr = sessionTransitions(events).persistTracked()
+    val ni = tr.groupBy("src").agg(sum(col("n")).as("ni"))
+    val pEdges = tr.join(ni, Seq("src"))
+      .select(col("src"), col("dst"),
+        expr(s"CAST(CAST(n AS DECIMAL(38,0)) * $S div ni AS BIGINT)")
+          .as("p"))
+    val states = tr.select(col("src").as("state"))
+      .union(tr.select(col("dst").as("state"))).distinct()
+      .persistTracked()
+    val selfRows = states
+      .join(tr.select(col("src").as("state")).distinct(), Seq("state"),
+        "left_anti")
+      .select(col("state").as("src"), col("state").as("dst"),
+        lit(S).as("p"))
+    val pm = pEdges.union(selfRows).persistTracked()
+    val kf = states.agg(count(lit(1)).as("k"))
+    var pi = states.crossJoin(broadcast(kf))
+      .select(col("state"), expr(s"$S div k").as("pi"))
+    for (_ <- 1 to iters) {
+      pi = pm.join(pi.select(col("state").as("src"), col("pi")), Seq("src"))
+        .groupBy(col("dst").as("state"))
+        .agg(sum(expr(s"CAST(pi AS DECIMAL(38,0)) * p div $S")).as("pd"))
+        .select(col("state"), col("pd").cast("long").as("pi"))
+        .persistTracked()
+    }
+    states.join(pi, Seq("state"), "left")
+      .na.fill(0L, Seq("pi"))
+      .select(col("state"), col("pi").as("pi_mass"),
+        expr(s"pi * 1000000 div $S").as("share_ppm"))
+      .orderBy("state")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Long-run session attention: stationary vector of the event chain.
+    "q_markov_stationary" -> { (s, d) =>
+      markovStationary(Tables.events(s, d)) },
     // Pareto/ABC revenue classes over the part dimension.
     "q_abc_classes" -> { (s, d) => abcClasses(Tables.lineitem(s, d)) },
     // Paired nonparametric daily purchase-vs-click location test.
@@ -5159,6 +5214,55 @@ object Analytics {
          | round(CAST(agg.n_extreme + 1 AS DOUBLE)
          |   / CAST(agg.b_reps + 1 AS DOUBLE), 6) AS p_value
          |FROM o2 CROSS JOIN agg""".stripMargin,
+    "q_markov_stationary" -> {
+      val S = "1000000000000"
+      def roundSql(t: Int) = {
+        val prev = s"pi${t - 1}"
+        s"""pi$t AS (
+           | SELECT dst AS state,
+           |  CAST(sum(CAST(pi AS HUGEINT) * p // $S) AS BIGINT) AS pi
+           | FROM pm JOIN $prev ON pm.src = $prev.state GROUP BY 1)"""
+          .stripMargin
+      }
+      s"""WITH e AS (
+         | SELECT user_id, event_id, event_type,
+         |  date_trunc('second', ts) AS ts FROM events),
+         |g AS (
+         | SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+         |   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END
+         |  AS new_sess
+         | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |s AS (
+         | SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+         |   ORDER BY ts, event_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+         | FROM g),
+         |t AS (
+         | SELECT event_type AS dst, lag(event_type) OVER (
+         |   PARTITION BY user_id, sess_no ORDER BY ts, event_id) AS src
+         | FROM s),
+         |tr AS (SELECT src, dst, count(*) AS n FROM t
+         |       WHERE src IS NOT NULL GROUP BY 1, 2),
+         |ni AS (SELECT src, CAST(sum(n) AS BIGINT) AS ni FROM tr GROUP BY 1),
+         |pe AS (
+         | SELECT tr.src, tr.dst,
+         |  CAST(CAST(n AS HUGEINT) * $S // ni AS BIGINT) AS p
+         | FROM tr JOIN ni USING (src)),
+         |states AS (SELECT DISTINCT state FROM
+         | (SELECT src AS state FROM tr UNION ALL SELECT dst FROM tr)),
+         |selfr AS (
+         | SELECT state AS src, state AS dst, CAST($S AS BIGINT) AS p
+         | FROM states WHERE state NOT IN (SELECT DISTINCT src FROM tr)),
+         |pm AS (SELECT * FROM pe UNION ALL SELECT * FROM selfr),
+         |kf AS (SELECT count(*) AS k FROM states),
+         |pi0 AS (SELECT state, CAST($S // k AS BIGINT) AS pi
+         |        FROM states CROSS JOIN kf),
+         |${(1 to 4).map(roundSql).mkString(",\n")}
+         |SELECT st.state, coalesce(pi4.pi, 0) AS pi_mass,
+         | CAST(coalesce(pi4.pi, 0) * 1000000 // $S AS BIGINT) AS share_ppm
+         |FROM states st LEFT JOIN pi4 ON st.state = pi4.state
+         |ORDER BY st.state""".stripMargin
+    },
     "q_abc_classes" ->
       """WITH rev AS (
         | SELECT l_partkey,

@@ -599,6 +599,44 @@ class Round9cSpec extends SparkSpec {
     assert(m("C").getAs[Long]("share_ppm") === 50000L)
   }
 
+  test("markovStationary: a 2-cycle chain keeps the uniform vector") {
+    // one session alternating purchase/click: P is the swap matrix, so
+    // the uniform start is stationary -> 500000 ppm each
+    val rows = (0 until 5).map { i =>
+      (i.toLong, 1L, if (i % 2 == 0) "purchase" else "click", 1.0,
+        f"2024-06-01 10:${i * 2}%02d:00")
+    }
+    val ev = rows.toDF("event_id", "user_id", "event_type", "value", "s")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), to_timestamp(col("s")).as("ts"))
+    val out = operators.Analytics.markovStationary(ev).collect()
+    assert(out.map(_.getAs[String]("state")).toSeq ===
+      Seq("click", "purchase"))
+    out.foreach { r =>
+      assert(r.getAs[Long]("share_ppm") === 500000L)
+      assert(r.getAs[Long]("pi_mass") === 500000000000L)
+    }
+  }
+
+  test("markovStationary: an absorbing state collects all the mass") {
+    // purchase -> click -> click(self-loop via absorbing: click never
+    // leaves because it's the session's last type each time)... plant:
+    // two sessions 'purchase,click,click,click' so click->click
+    // dominates and purchase only leaks out
+    val rows = (0 until 4).map { i =>
+      (i.toLong, 1L, if (i == 0) "purchase" else "click", 1.0,
+        f"2024-06-02 10:${i * 2}%02d:00")
+    }
+    val ev = rows.toDF("event_id", "user_id", "event_type", "value", "s")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), to_timestamp(col("s")).as("ts"))
+    val out = operators.Analytics.markovStationary(ev).collect()
+    val m = out.map(r => r.getAs[String]("state") -> r).toMap
+    // purchase has no incoming mass after round 1; click absorbs ~all
+    assert(m("click").getAs[Long]("share_ppm") >= 999999L)
+    assert(m("purchase").getAs[Long]("pi_mass") === 0L)
+  }
+
   test("modularity: Q invariants hold end-to-end on the sf0.001 graph") {
     // bounds, term-sum consistency, and the internal≤total degree
     // identity — the algebra a wrong join or double-counted edge breaks
