@@ -3486,7 +3486,63 @@ object Analytics {
       .orderBy("state")
   }
 
+  /** PRICE INDEX NUMBERS (Laspeyres 1871 / Paasche 1874 / Fisher 1922's
+    * ideal index) between the corpus's first and last ship years: the
+    * canonical "how much did prices move, holding the basket fixed"
+    * readout — Laspeyres weights by base-year quantities (overstates
+    * inflation), Paasche by current-year (understates), Fisher is their
+    * geometric mean. Unit prices are ratio-of-exact-sums per (part,
+    * year); only parts traded in BOTH years enter (the matched-model
+    * convention).
+    *
+    * Scale posture: one fact pass to (part, year) exact cent/qty sums;
+    * the base/current frames self-join co-partitioned on part; index
+    * numerators fold 6dp DECIMAL terms (order-independent), and the
+    * three indices are one double tree.
+    */
+  def priceIndex(li: DataFrame): DataFrame = {
+    import graft.CacheScope.TrackedDataset
+    val py = li.select(col("l_partkey").as("part"),
+        year(col("l_shipdate")).as("y"),
+        (col("l_quantity").cast(DecimalType(18, 2)) * 100).cast("long")
+          .as("q"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long")
+          .as("e"))
+      .groupBy("part", "y")
+      .agg(sum(col("q")).as("sq"), sum(col("e")).as("se"))
+      .persistTracked()
+    val yr = py.agg(min(col("y")).as("y0"), max(col("y")).as("y1"))
+    val j = py.crossJoin(broadcast(yr))
+    val base = j.filter(col("y") === col("y0"))
+      .select(col("part"), col("y0"), col("y1"),
+        col("sq").as("q0"), col("se").as("e0"))
+    val cur = j.filter(col("y") === col("y1"))
+      .select(col("part"), col("sq").as("q1"), col("se").as("e1"))
+    def d(c: Column) = c.cast("double")
+    val p0 = d(col("e0")) / d(col("q0"))
+    val p1 = d(col("e1")) / d(col("q1"))
+    def t6(x: Column) = round(x, 6).cast(DecimalType(38, 6))
+    val m = base.join(cur, Seq("part"))
+      .select(col("y0"), col("y1"),
+        t6(p1 * d(col("q0"))).as("l_num"), t6(p0 * d(col("q0"))).as("l_den"),
+        t6(p1 * d(col("q1"))).as("p_num"), t6(p0 * d(col("q1"))).as("p_den"))
+      .groupBy("y0", "y1")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("l_num")).cast("double").as("ln"),
+        sum(col("l_den")).cast("double").as("ld"),
+        sum(col("p_num")).cast("double").as("pn"),
+        sum(col("p_den")).cast("double").as("pd"))
+    val lasp = col("ln") / col("ld")
+    val paas = col("pn") / col("pd")
+    m.select(col("y0").as("base_year"), col("y1").as("current_year"),
+      col("n_parts"), round(lasp, 6).as("laspeyres"),
+      round(paas, 6).as("paasche"),
+      round(sqrt(lasp * paas), 6).as("fisher"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Matched-model Laspeyres/Paasche/Fisher price indices.
+    "q_price_index" -> { (s, d) => priceIndex(Tables.lineitem(s, d)) },
     // Long-run session attention: stationary vector of the event chain.
     "q_markov_stationary" -> { (s, d) =>
       markovStationary(Tables.events(s, d)) },
@@ -5214,6 +5270,44 @@ object Analytics {
          | round(CAST(agg.n_extreme + 1 AS DOUBLE)
          |   / CAST(agg.b_reps + 1 AS DOUBLE), 6) AS p_value
          |FROM o2 CROSS JOIN agg""".stripMargin,
+    "q_price_index" ->
+      """WITH py AS (
+        | SELECT l_partkey AS part, CAST(year(l_shipdate) AS INTEGER) AS y,
+        |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+        |   AS BIGINT)) AS BIGINT) AS sq,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |   AS BIGINT)) AS BIGINT) AS se
+        | FROM lineitem GROUP BY 1, 2),
+        |yr AS (SELECT min(y) AS y0, max(y) AS y1 FROM py),
+        |base AS (
+        | SELECT part, y0, y1, sq AS q0, se AS e0
+        | FROM py CROSS JOIN yr WHERE y = y0),
+        |cur AS (
+        | SELECT part, sq AS q1, se AS e1
+        | FROM py CROSS JOIN yr WHERE y = y1),
+        |m AS (
+        | SELECT y0, y1,
+        |  CAST(round(CAST(e1 AS DOUBLE) / CAST(q1 AS DOUBLE)
+        |    * CAST(q0 AS DOUBLE), 6) AS DECIMAL(38,6)) AS l_num,
+        |  CAST(round(CAST(e0 AS DOUBLE) / CAST(q0 AS DOUBLE)
+        |    * CAST(q0 AS DOUBLE), 6) AS DECIMAL(38,6)) AS l_den,
+        |  CAST(round(CAST(e1 AS DOUBLE) / CAST(q1 AS DOUBLE)
+        |    * CAST(q1 AS DOUBLE), 6) AS DECIMAL(38,6)) AS p_num,
+        |  CAST(round(CAST(e0 AS DOUBLE) / CAST(q0 AS DOUBLE)
+        |    * CAST(q1 AS DOUBLE), 6) AS DECIMAL(38,6)) AS p_den
+        | FROM base JOIN cur USING (part)),
+        |a AS (
+        | SELECT y0, y1, count(*) AS n_parts,
+        |  CAST(sum(l_num) AS DOUBLE) AS ln2,
+        |  CAST(sum(l_den) AS DOUBLE) AS ld,
+        |  CAST(sum(p_num) AS DOUBLE) AS pn,
+        |  CAST(sum(p_den) AS DOUBLE) AS pd
+        | FROM m GROUP BY 1, 2)
+        |SELECT y0 AS base_year, y1 AS current_year, n_parts,
+        | round(ln2 / ld, 6) AS laspeyres,
+        | round(pn / pd, 6) AS paasche,
+        | round(sqrt(ln2 / ld * (pn / pd)), 6) AS fisher
+        |FROM a""".stripMargin,
     "q_markov_stationary" -> {
       val S = "1000000000000"
       def roundSql(t: Int) = {

@@ -637,6 +637,26 @@ class Round9cSpec extends SparkSpec {
     assert(m("purchase").getAs[Long]("pi_mass") === 0L)
   }
 
+  test("priceIndex: hand-computed Laspeyres/Paasche/Fisher on two parts") {
+    // part 1: p0=2, p1=3 (q0=10, q1=5); part 2: p0=4, p1=4 (q0=5, q1=10)
+    // L = (3·10 + 4·5)/(2·10 + 4·5) = 50/40 = 1.25
+    // P = (3·5 + 4·10)/(2·5 + 4·10) = 55/50 = 1.10
+    // F = sqrt(1.375) = 1.172604
+    def row(part: Long, day: String, qty: Double, ext: Double) =
+      (part, java.sql.Date.valueOf(day), qty, ext)
+    val li = Seq(
+      row(1L, "2020-03-01", 10.0, 20.0), row(1L, "2023-05-01", 5.0, 15.0),
+      row(2L, "2020-07-01", 5.0, 20.0), row(2L, "2023-09-01", 10.0, 40.0))
+      .toDF("l_partkey", "l_shipdate", "l_quantity", "l_extendedprice")
+    val r = operators.Analytics.priceIndex(li).collect()(0)
+    assert(r.getAs[Int]("base_year") === 2020)
+    assert(r.getAs[Int]("current_year") === 2023)
+    assert(r.getAs[Long]("n_parts") === 2L)
+    assert(math.abs(r.getAs[Double]("laspeyres") - 1.25) < 1e-9)
+    assert(math.abs(r.getAs[Double]("paasche") - 1.1) < 1e-9)
+    assert(math.abs(r.getAs[Double]("fisher") - 1.172604) < 1e-6)
+  }
+
   test("modularity: Q invariants hold end-to-end on the sf0.001 graph") {
     // bounds, term-sum consistency, and the internal≤total degree
     // identity — the algebra a wrong join or double-counted edge breaks
