@@ -619,6 +619,24 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Herfindahl–Hirschman concentration of the source token mix — see
+    * the q_hhi_sources entry comment.
+    */
+  def hhiSources(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val per = docs.groupBy("source")
+      .agg(sum(graft.operators.TextAnalysis.tokenCount(col("text"))
+        .cast("long")).as("nt"))
+    val tot = per.agg(sum(col("nt")).as("tt"), count(lit(1)).as("k"))
+    val share = col("nt").cast("double") / col("tt").cast("double")
+    val terms = per.crossJoin(broadcast(tot))
+      .select(col("k"),
+        round(share * share, 6).cast(DecimalType(18, 6)).as("t"))
+    terms.groupBy("k").agg(sum(col("t")).cast("double").as("hhi"))
+      .select(col("k").as("n_sources"), round(col("hhi"), 6).as("hhi"),
+        round(lit(1.0) / col("hhi"), 6).as("effective_sources"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ucb_mix" -> { (s, d) => ucbMix(Tables.documents(s, d)) },
     "q_loso_impact" -> { (s, d) => losoImpact(Tables.documents(s, d)) },
@@ -824,6 +842,13 @@ object Curation {
     "q_source_mix" -> { (s, d) =>
       sourceMix(Tables.documents(s, d)).orderBy("source")
     },
+    // HERFINDAHL–HIRSCHMAN CONCENTRATION of the source token mix — the
+    // antitrust-standard scalar beside q_gini_by_source's inequality
+    // curve: HHI = Σ share², effective sources = 1/HHI (the "how many
+    // sources do we REALLY have" number that decides whether the corpus
+    // survives losing its biggest supplier). One source-cardinality
+    // aggregate; HHI folds 6dp-decimal share² terms.
+    "q_hhi_sources" -> { (s, d) => hhiSources(Tables.documents(s, d)) },
     // Temperature-flattened sampling weights (α = 0.5) — the mix the
     // sampler actually draws from, vs q_source_mix's uniform target.
     "q_mix_temperature" -> { (s, d) =>
@@ -1757,6 +1782,21 @@ object Curation {
         |    '[ \t]+', ' ', 'g'))) AS BIGINT) AS clean_chars
         | FROM planted)
         |SELECT * FROM r WHERE n_urls + n_tags > 0 ORDER BY doc_id""".stripMargin,
+    "q_hhi_sources" ->
+      s"""WITH per AS (
+         | SELECT source, CAST(sum(len($toksSql)) AS BIGINT) AS nt
+         | FROM documents GROUP BY 1),
+         |tot AS (SELECT CAST(sum(nt) AS BIGINT) AS tt, count(*) AS k
+         |        FROM per),
+         |terms AS (
+         | SELECT k, CAST(round((CAST(nt AS DOUBLE) / CAST(tt AS DOUBLE))
+         |   * (CAST(nt AS DOUBLE) / CAST(tt AS DOUBLE)), 6)
+         |  AS DECIMAL(18,6)) AS t
+         | FROM per CROSS JOIN tot)
+         |SELECT k AS n_sources,
+         | round(CAST(sum(t) AS DOUBLE), 6) AS hhi,
+         | round(1.0 / CAST(sum(t) AS DOUBLE), 6) AS effective_sources
+         |FROM terms GROUP BY k""".stripMargin,
     "q_source_mix" ->
       s"""WITH per_source AS (
          | SELECT source, count(*) AS n_docs,

@@ -936,7 +936,50 @@ object Similarity {
         (col("w") / d(col("n") - col("k"))), 6).as("ch_index"))
   }
 
+  /** COORDINATE-WISE MEDIAN EMBEDDING — the robust centroid (the
+    * aggregation rule of coordinate-median federated/Byzantine-robust
+    * aggregation, Yin et al. 2018): unlike the mean (q_embed_centroids),
+    * a handful of corrupted or outlier vectors cannot drag any
+    * coordinate, so this is the center to anchor outlier fences and
+    * drift baselines on when the corpus may contain junk embeddings.
+    * Reports the mean alongside so the per-dimension skew (median−mean)
+    * is read directly.
+    *
+    * Exactness: values quantize to ⌊x·2^20⌋ Longs (the
+    * q_embed_centroids recipe); the type-1 median per dimension comes
+    * from (dim, q) value counts + a dim-PARTITIONED cumulative (bounded
+    * by per-dim distinct values) — integer comparisons only, no float
+    * percentile.
+    */
+  def embedMedian(emb: DataFrame): DataFrame = {
+    import graft.CacheScope.TrackedDataset
+    val qv = emb
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim"),
+        floor(col("x").cast("double") * 1048576).cast("long").as("q"))
+      .groupBy("dim", "q").agg(count(lit(1)).as("c"))
+      .persistTracked()
+    val tot = qv.groupBy("dim")
+      .agg(sum(col("c")).as("n"), sum(col("q") * col("c")).as("sq"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("dim").orderBy("q")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = qv.withColumn("cum", sum(col("c")).over(w))
+      .join(tot, Seq("dim"))
+      .filter(col("cum") * 2L >= col("n")) // cum ≥ ceil(n/2)
+      .groupBy("dim")
+      .agg(min(col("q")).as("mq"))
+    med.join(tot, Seq("dim"))
+      .select(col("dim").cast("long").as("dim"), col("n").as("n_vectors"),
+        round(col("mq").cast("double") / 1048576.0, 6).as("median_coord"),
+        round(col("sq").cast("double") / col("n") / 1048576.0, 6)
+          .as("mean_coord"))
+      .orderBy("dim")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Robust (coordinate-median) centroid beside the mean, per dim.
+    "q_embed_median" -> { (s, d) => embedMedian(Tables.embeddings(s, d)) },
     // Between/within variance ratio of the label partition (the
     // O(N·d) cluster-quality companion to the pairwise silhouette).
     "q_calinski_harabasz" -> { (s, d) =>
@@ -1380,6 +1423,31 @@ object Similarity {
   }
 
   def oracles: Map[String, String] = Map(
+    "q_embed_median" ->
+      """WITH qv AS (
+        | SELECT i - 1 AS dim,
+        |  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT)
+        |   AS q,
+        |  count(*) AS c
+        | FROM embeddings
+        |  CROSS JOIN unnest(range(1, len(embedding) + 1)) AS r(i)
+        | GROUP BY 1, 2),
+        |tot AS (
+        | SELECT dim, CAST(sum(c) AS BIGINT) AS n,
+        |  CAST(sum(q * c) AS BIGINT) AS sq
+        | FROM qv GROUP BY 1),
+        |cum AS (
+        | SELECT dim, q, CAST(sum(c) OVER (PARTITION BY dim ORDER BY q
+        |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        | FROM qv),
+        |med AS (
+        | SELECT dim, min(q) AS mq
+        | FROM cum JOIN tot USING (dim)
+        | WHERE cum * 2 >= n GROUP BY dim)
+        |SELECT CAST(dim AS BIGINT) AS dim, n AS n_vectors,
+        | round(CAST(mq AS DOUBLE) / 1048576.0, 6) AS median_coord,
+        | round(CAST(sq AS DOUBLE) / n / 1048576.0, 6) AS mean_coord
+        |FROM med JOIN tot USING (dim) ORDER BY dim""".stripMargin,
     "q_calinski_harabasz" ->
       """WITH g AS (
         | SELECT label, i - 1 AS dim, count(*) AS n,

@@ -657,6 +657,36 @@ class Round9cSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("fisher") - 1.172604) < 1e-6)
   }
 
+  test("embedMedian: the median ignores the outlier the mean cannot") {
+    // dim0 values {0, 0, 0, 100}: type-1 median 0, mean 25
+    val emb = Seq(
+      (1L, Seq(0f, 1f), 0), (2L, Seq(0f, 2f), 0),
+      (3L, Seq(0f, 3f), 0), (4L, Seq(100f, 4f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = operators.Similarity.embedMedian(emb).collect()
+    val d0 = out.find(_.getAs[Long]("dim") === 0L).get
+    assert(d0.getAs[Long]("n_vectors") === 4L)
+    assert(d0.getAs[Double]("median_coord") === 0.0)
+    assert(math.abs(d0.getAs[Double]("mean_coord") - 25.0) < 1e-6)
+    // dim1 {1,2,3,4}: lower median 2, mean 2.5
+    val d1 = out.find(_.getAs[Long]("dim") === 1L).get
+    assert(d1.getAs[Double]("median_coord") === 2.0)
+    assert(math.abs(d1.getAs[Double]("mean_coord") - 2.5) < 1e-6)
+  }
+
+  test("hhiSources: planted concentration hits the textbook values") {
+    // token mass 50/25/25 across three sources:
+    // HHI = .25 + .0625 + .0625 = .375, effective = 2.666667
+    val docs = Seq(
+      (1L, ("w " * 50).trim, "s1"), (2L, ("w " * 25).trim, "s2"),
+      (3L, ("w " * 25).trim, "s3"))
+      .toDF("doc_id", "text", "source")
+    val r = operators.Curation.hhiSources(docs).collect()(0)
+    assert(r.getAs[Long]("n_sources") === 3L)
+    assert(math.abs(r.getAs[Double]("hhi") - 0.375) < 1e-9)
+    assert(math.abs(r.getAs[Double]("effective_sources") - 8.0 / 3) < 1e-5)
+  }
+
   test("modularity: Q invariants hold end-to-end on the sf0.001 graph") {
     // bounds, term-sum consistency, and the internal≤total degree
     // identity — the algebra a wrong join or double-counted edge breaks
