@@ -3540,7 +3540,67 @@ object Analytics {
       round(sqrt(lasp * paas), 6).as("fisher"))
   }
 
+  /** RATIO-METRIC LIFT BETWEEN ARMS (Deng et al. 2017's delta method,
+    * two-sample form) — q_ratio_ci gives ONE group's ratio CI; the
+    * experiment readout needs the DIFFERENCE of two arms' ratio metrics
+    * (value per event here) with user-level variance, because both the
+    * numerator and denominator are randomized at the user grain. Arms
+    * come from the q_ab_test md5 user split; se²(R) per arm =
+    * (varX + R²·varY − 2R·covXY)/(n·ȳ²), combined independently.
+    *
+    * Scale posture: one user-keyed aggregate, then a 2-group moment
+    * frame collapsed to one row — the whole readout after the per-user
+    * pass is scalar.
+    */
+  def ratioLiftCi(ev: DataFrame): DataFrame = {
+    val arm = when(conv(substring(md5(col("user_id").cast("string")), 1, 4),
+      16, 10).cast("long") % 2 === 0, "a").otherwise("b")
+    val perUser = ev.filter(col("value").isNotNull)
+      .select(col("user_id"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("xc"))
+      .groupBy("user_id")
+      .agg(sum(col("xc")).as("x"), count(lit(1)).as("y"))
+      .withColumn("arm", arm)
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val m = perUser.groupBy("arm").agg(count(lit(1)).as("n"),
+      sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+      sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+      sum(dec(col("y")) * dec(col("y"))).as("syy"),
+      sum(dec(col("x")) * dec(col("y"))).as("sxy"))
+    def pick(a: String, c: String) =
+      max(when(col("arm") === a, col(c))).as(s"${a}_$c")
+    val wide = m.agg(
+      pick("a", "n"), pick("a", "sx"), pick("a", "sy"), pick("a", "sxx"),
+      pick("a", "syy"), pick("a", "sxy"),
+      pick("b", "n"), pick("b", "sx"), pick("b", "sy"), pick("b", "sxx"),
+      pick("b", "syy"), pick("b", "sxy"))
+    def d(c: Column) = c.cast("double")
+    def ratio(p: String) = d(col(s"${p}_sx")) / d(col(s"${p}_sy"))
+    def se2(p: String) = {
+      val nD = d(col(s"${p}_n"))
+      val xb = d(col(s"${p}_sx")) / nD
+      val yb = d(col(s"${p}_sy")) / nD
+      val varX = d(col(s"${p}_sxx")) / nD - xb * xb
+      val varY = d(col(s"${p}_syy")) / nD - yb * yb
+      val covXY = d(col(s"${p}_sxy")) / nD - xb * yb
+      val r = ratio(p)
+      (varX + r * r * varY - lit(2.0) * r * covXY) / (nD * yb * yb)
+    }
+    val diff = ratio("b") - ratio("a")
+    val se = sqrt(se2("a") + se2("b"))
+    wide.select(col("a_n").as("n_users_a"), col("b_n").as("n_users_b"),
+      round(ratio("a") / 100.0, 6).as("ratio_a"),
+      round(ratio("b") / 100.0, 6).as("ratio_b"),
+      round(diff / 100.0, 6).as("diff"),
+      round(se / 100.0, 6).as("se"),
+      round((diff - lit(1.959964) * se) / 100.0, 6).as("ci_lo"),
+      round((diff + lit(1.959964) * se) / 100.0, 6).as("ci_hi"),
+      (abs(diff) > lit(1.959964) * se).as("significant"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Two-arm ratio-metric lift with user-grain delta-method CI.
+    "q_ratio_lift_ci" -> { (s, d) => ratioLiftCi(Tables.events(s, d)) },
     // Matched-model Laspeyres/Paasche/Fisher price indices.
     "q_price_index" -> { (s, d) => priceIndex(Tables.lineitem(s, d)) },
     // Long-run session attention: stationary vector of the event chain.
@@ -5270,6 +5330,62 @@ object Analytics {
          | round(CAST(agg.n_extreme + 1 AS DOUBLE)
          |   / CAST(agg.b_reps + 1 AS DOUBLE), 6) AS p_value
          |FROM o2 CROSS JOIN agg""".stripMargin,
+    "q_ratio_lift_ci" -> {
+      def r(p: String) = s"(CAST(${p}_sx AS DOUBLE) / CAST(${p}_sy AS DOUBLE))"
+      def se2(p: String) =
+        s"""((CAST(${p}_sxx AS DOUBLE) / ${p}_n
+           |   - CAST(${p}_sx AS DOUBLE) / ${p}_n
+           |     * (CAST(${p}_sx AS DOUBLE) / ${p}_n)
+           |  + ${r(p)} * ${r(p)} * (CAST(${p}_syy AS DOUBLE) / ${p}_n
+           |   - CAST(${p}_sy AS DOUBLE) / ${p}_n
+           |     * (CAST(${p}_sy AS DOUBLE) / ${p}_n))
+           |  - 2.0 * ${r(p)} * (CAST(${p}_sxy AS DOUBLE) / ${p}_n
+           |   - CAST(${p}_sx AS DOUBLE) / ${p}_n
+           |     * (CAST(${p}_sy AS DOUBLE) / ${p}_n)))
+           | / (CAST(${p}_n AS DOUBLE) * (CAST(${p}_sy AS DOUBLE) / ${p}_n)
+           |    * (CAST(${p}_sy AS DOUBLE) / ${p}_n)))""".stripMargin
+      s"""WITH pu AS (
+         | SELECT user_id,
+         |  CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+         |    1, 4)) AS BIGINT) % 2 = 0 THEN 'a' ELSE 'b' END AS arm,
+         |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+         |   AS BIGINT) AS x,
+         |  count(*) AS y
+         | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         |m AS (
+         | SELECT arm, count(*) AS n,
+         |  sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         |  sum(CAST(x AS HUGEINT) * x) AS sxx,
+         |  sum(CAST(y AS HUGEINT) * y) AS syy,
+         |  sum(CAST(x AS HUGEINT) * y) AS sxy
+         | FROM pu GROUP BY 1),
+         |wide AS (
+         | SELECT
+         |  max(CASE WHEN arm = 'a' THEN n END) AS a_n,
+         |  max(CASE WHEN arm = 'a' THEN sx END) AS a_sx,
+         |  max(CASE WHEN arm = 'a' THEN sy END) AS a_sy,
+         |  max(CASE WHEN arm = 'a' THEN sxx END) AS a_sxx,
+         |  max(CASE WHEN arm = 'a' THEN syy END) AS a_syy,
+         |  max(CASE WHEN arm = 'a' THEN sxy END) AS a_sxy,
+         |  max(CASE WHEN arm = 'b' THEN n END) AS b_n,
+         |  max(CASE WHEN arm = 'b' THEN sx END) AS b_sx,
+         |  max(CASE WHEN arm = 'b' THEN sy END) AS b_sy,
+         |  max(CASE WHEN arm = 'b' THEN sxx END) AS b_sxx,
+         |  max(CASE WHEN arm = 'b' THEN syy END) AS b_syy,
+         |  max(CASE WHEN arm = 'b' THEN sxy END) AS b_sxy
+         | FROM m),
+         |f AS (
+         | SELECT a_n, b_n, ${r("a")} AS ra, ${r("b")} AS rb,
+         |  sqrt(${se2("a")} + ${se2("b")}) AS se
+         | FROM wide)
+         |SELECT a_n AS n_users_a, b_n AS n_users_b,
+         | round(ra / 100.0, 6) AS ratio_a, round(rb / 100.0, 6) AS ratio_b,
+         | round((rb - ra) / 100.0, 6) AS diff, round(se / 100.0, 6) AS se,
+         | round((rb - ra - 1.959964 * se) / 100.0, 6) AS ci_lo,
+         | round((rb - ra + 1.959964 * se) / 100.0, 6) AS ci_hi,
+         | abs(rb - ra) > 1.959964 * se AS significant
+         |FROM f""".stripMargin
+    },
     "q_price_index" ->
       """WITH py AS (
         | SELECT l_partkey AS part, CAST(year(l_shipdate) AS INTEGER) AS y,

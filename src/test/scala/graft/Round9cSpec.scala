@@ -687,6 +687,25 @@ class Round9cSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("effective_sources") - 8.0 / 3) < 1e-5)
   }
 
+  test("ratioLiftCi: identical arms give zero lift and no significance") {
+    // every user has the same (x, y) profile, so both arms' ratios are
+    // identical whatever the hash split does
+    val rows = (1L to 40L).flatMap { u =>
+      Seq((u * 10, u, 12.0, ts(1)), (u * 10 + 1, u, 24.0, ts(2)))
+    }
+    val ev = rows.toDF("event_id", "user_id", "value", "s")
+      .select(col("event_id"), col("user_id"), col("value"),
+        to_timestamp(col("s")).as("ts"))
+    val r = operators.Analytics.ratioLiftCi(ev).collect()(0)
+    assert(r.getAs[Long]("n_users_a") + r.getAs[Long]("n_users_b") === 40L)
+    assert(math.abs(r.getAs[Double]("ratio_a") - 18.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("ratio_b") - 18.0) < 1e-9)
+    assert(r.getAs[Double]("diff") === 0.0)
+    assert(!r.getAs[Boolean]("significant"))
+    // per-user values are constant -> all variances 0 -> se 0
+    assert(r.getAs[Double]("se") === 0.0)
+  }
+
   test("modularity: Q invariants hold end-to-end on the sf0.001 graph") {
     // bounds, term-sum consistency, and the internal≤total degree
     // identity — the algebra a wrong join or double-counted edge breaks
