@@ -2958,8 +2958,11 @@ object Analytics {
       .crossJoin(broadcast(naive))
       .select(col("n_strata"), col("n_strata_matched"), col("n_treated"),
         col("n_control"),
-        round((col("st_sum").cast("double") / col("n_treated") -
-          col("wc_sum").cast("double") / col("n_treated")) / 100.0, 6)
+        // no matched strata → no estimand: null, never a DIVIDE_BY_ZERO
+        // under ANSI (found by the Round9dSpec degenerate gate)
+        when(col("n_treated") > 0,
+          round((col("st_sum").cast("double") / col("n_treated") -
+            col("wc_sum").cast("double") / col("n_treated")) / 100.0, 6))
           .as("att"),
         round(col("naive") / 100.0, 6).as("naive_diff"))
   }
@@ -5994,8 +5997,9 @@ object Analytics {
         |   ELSE CAST(0 AS DECIMAL(28,6)) END) AS wc_sum
         | FROM strata)
         |SELECT n_strata, n_strata_matched, n_treated, n_control,
-        | round((CAST(st_sum AS DOUBLE) / n_treated
-        |   - CAST(wc_sum AS DOUBLE) / n_treated) / 100.0, 6) AS att,
+        | CASE WHEN n_treated > 0 THEN
+        |  round((CAST(st_sum AS DOUBLE) / n_treated
+        |    - CAST(wc_sum AS DOUBLE) / n_treated) / 100.0, 6) END AS att,
         | round(naive / 100.0, 6) AS naive_diff
         |FROM agg CROSS JOIN naive""".stripMargin,
     "q_split_finder" -> {

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input behavior of the session-5 operators: empty frames
+  * and one-sided populations must degrade (empty result / null stats),
+  * never throw — the q_stream_psi ADVICE-r8 lesson applied up front.
+  */
+class Round9dSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val emptyEvents = Seq.empty[(Long, String, Double, String)]
+    .toDF("event_id", "event_type", "value", "s")
+    .select(col("event_id"), col("event_type"), col("value"),
+      to_timestamp(col("s")).as("ts"))
+
+  test("mcnemar: an empty stream yields the null/zero table, no throw") {
+    // global sums over ZERO rows are NULL on both engines (count is 0)
+    val r = operators.Analytics.mcnemar(emptyEvents).collect()(0)
+    assert(r.getAs[Long]("n") === 0L)
+    assert(r.isNullAt(r.fieldIndex("both_correct")))
+    // 0/0 accuracies surface as non-finite/null, never an exception
+  }
+
+  test("tostEquivalence: empty arms do not throw") {
+    val r = operators.Analytics.tostEquivalence(emptyEvents).collect()(0)
+    assert(r.isNullAt(r.fieldIndex("n_a")))
+    assert(r.isNullAt(r.fieldIndex("n_b")))
+  }
+
+  test("mmdDrift: a one-sided population yields null mmd2, no throw") {
+    val emb = Seq((1L, Seq(1f, 2f), 0), (2L, Seq(3f, 4f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = operators.Similarity.mmdDrift(emb, col("label") < 5)
+      .collect()(0)
+    assert(r.getAs[Long]("n_ref") === 2L)
+    assert(r.getAs[Long]("n_cur") === 0L)
+    assert(r.isNullAt(r.fieldIndex("mmd2")))
+  }
+
+  test("macroF1: an all-null-label corpus returns an empty report") {
+    val docs = Seq((1L, "the and", null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "lang")
+    assert(operators.TextAnalysis.macroF1(docs).collect().isEmpty)
+  }
+
+  test("wilcoxonSigned: all-zero diffs return null z, not a throw") {
+    // purchase and click sums equal every day -> every diff drops
+    val rows = (1 to 3).flatMap { d0 =>
+      Seq((d0.toLong * 2, "purchase", 10.0, f"2024-07-$d0%02d 10:00:00"),
+        (d0.toLong * 2 + 1, "click", 10.0, f"2024-07-$d0%02d 11:00:00"))
+    }
+    val ev = rows.toDF("event_id", "event_type", "value", "s")
+      .select(col("event_id"), col("event_type"), col("value"),
+        to_timestamp(col("s")).as("ts"))
+    val r = operators.Analytics.wilcoxonSigned(ev).collect()(0)
+    // every diff drops -> the rank frame is empty -> null sums, null z
+    assert(r.isNullAt(r.fieldIndex("n_pairs")))
+    assert(r.isNullAt(r.fieldIndex("z")))
+  }
+
+  test("repNgrams: an empty corpus returns no rows, no throw") {
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(operators.TextAnalysis.repNgrams(docs).collect().isEmpty)
+  }
+
+  test("goodTuring: a hapax-free corpus yields null r1_star") {
+    // every token appears twice -> N1 = 0
+    val docs = Seq((1L, "a a b b")).toDF("doc_id", "text")
+    val r = operators.TextAnalysis.goodTuring(docs).collect()(0)
+    assert(r.getAs[Long]("n1") === 0L)
+    assert(r.getAs[Double]("p_unseen") === 0.0)
+    assert(r.isNullAt(r.fieldIndex("r1_star")))
+  }
+
+  test("cemAtt: no matched strata yields a null-safe zero estimate") {
+    // one all-treated stratum, one all-control stratum -> 0 matched
+    val orders = Seq(
+      ("1-URGENT", "O", java.sql.Date.valueOf("2024-01-05"), 10.0),
+      ("5-LOW", "F", java.sql.Date.valueOf("2024-04-05"), 20.0))
+      .toDF("o_orderpriority", "o_orderstatus", "o_orderdate",
+        "o_totalprice")
+    val r = operators.Analytics.cemAtt(orders).collect()(0)
+    assert(r.getAs[Long]("n_strata_matched") === 0L)
+    assert(r.getAs[Long]("n_treated") === 0L)
+    // the un-guarded version threw DIVIDE_BY_ZERO here under ANSI;
+    // the contract is a null estimand
+    assert(r.isNullAt(r.fieldIndex("att")))
+  }
+}
