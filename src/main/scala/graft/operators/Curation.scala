@@ -619,6 +619,38 @@ object Curation {
       .orderBy("source")
   }
 
+  /** χ² GOODNESS-OF-FIT of the source token mix against the uniform
+    * target (the q_source_mix resampling goal): did the resampled/
+    * curated corpus actually LAND on the intended mix? q_srm_check is
+    * the two-arm special case of exactly this gate; here every source
+    * is a cell, expected mass = T/k. Emits the χ² statistic with its
+    * dof and the worst single-source deviation (ppm) so the offender is
+    * named, not just detected.
+    *
+    * Scale posture: one source-cardinality aggregate; χ² folds
+    * 6dp-decimal per-cell terms.
+    */
+  def mixGof(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val per = docs.groupBy("source")
+      .agg(sum(graft.operators.TextAnalysis.tokenCount(col("text"))
+        .cast("long")).as("nt"))
+    val tot = per.agg(sum(col("nt")).as("tt"), count(lit(1)).as("k"))
+    def d(c: Column) = c.cast("double")
+    val e = d(col("tt")) / d(col("k"))
+    val term = (d(col("nt")) - e) * (d(col("nt")) - e) / e
+    val devPpm = abs(expr("nt * 1000000 div tt") -
+      expr("1000000 div k"))
+    per.crossJoin(broadcast(tot))
+      .select(col("k"), round(term, 6).cast(DecimalType(28, 6)).as("t"),
+        devPpm.as("dev"))
+      .groupBy("k")
+      .agg(sum(col("t")).cast("double").as("chi2"), max(col("dev")).as("md"))
+      .select(col("k").as("n_sources"), (col("k") - 1).as("dof"),
+        round(col("chi2"), 6).as("chi2"),
+        col("md").as("max_dev_ppm"))
+  }
+
   /** Herfindahl–Hirschman concentration of the source token mix — see
     * the q_hhi_sources entry comment.
     */
@@ -849,6 +881,9 @@ object Curation {
     // survives losing its biggest supplier). One source-cardinality
     // aggregate; HHI folds 6dp-decimal share² terms.
     "q_hhi_sources" -> { (s, d) => hhiSources(Tables.documents(s, d)) },
+    // Did the curated mix land on the uniform target? χ² GOF + worst
+    // single-source deviation.
+    "q_mix_gof" -> { (s, d) => mixGof(Tables.documents(s, d)) },
     // Temperature-flattened sampling weights (α = 0.5) — the mix the
     // sampler actually draws from, vs q_source_mix's uniform target.
     "q_mix_temperature" -> { (s, d) =>
@@ -1782,6 +1817,25 @@ object Curation {
         |    '[ \t]+', ' ', 'g'))) AS BIGINT) AS clean_chars
         | FROM planted)
         |SELECT * FROM r WHERE n_urls + n_tags > 0 ORDER BY doc_id""".stripMargin,
+    "q_mix_gof" ->
+      s"""WITH per AS (
+         | SELECT source, CAST(sum(len($toksSql)) AS BIGINT) AS nt
+         | FROM documents GROUP BY 1),
+         |tot AS (SELECT CAST(sum(nt) AS BIGINT) AS tt, count(*) AS k
+         |        FROM per),
+         |terms AS (
+         | SELECT k,
+         |  CAST(round((CAST(nt AS DOUBLE) - CAST(tt AS DOUBLE)
+         |      / CAST(k AS DOUBLE))
+         |    * (CAST(nt AS DOUBLE) - CAST(tt AS DOUBLE) / CAST(k AS DOUBLE))
+         |    / (CAST(tt AS DOUBLE) / CAST(k AS DOUBLE)), 6)
+         |   AS DECIMAL(28,6)) AS t,
+         |  abs(nt * 1000000 // tt - 1000000 // k) AS dev
+         | FROM per CROSS JOIN tot)
+         |SELECT k AS n_sources, k - 1 AS dof,
+         | round(CAST(sum(t) AS DOUBLE), 6) AS chi2,
+         | CAST(max(dev) AS BIGINT) AS max_dev_ppm
+         |FROM terms GROUP BY k""".stripMargin,
     "q_hhi_sources" ->
       s"""WITH per AS (
          | SELECT source, CAST(sum(len($toksSql)) AS BIGINT) AS nt

@@ -73,6 +73,29 @@ class Round9dSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("r1_star")))
   }
 
+  test("mixGof: hand-computed chi-square on a planted 50/25/25 mix") {
+    // uniform target e = 100/3: chi2 = (50-e)^2/e + 2*(25-e)^2/e
+    //  = (2500/9 + 2*625/9) / (100/3) = (3750/9)*(3/100) = 12.5
+    val docs = Seq(
+      (1L, ("w " * 50).trim, "s1"), (2L, ("w " * 25).trim, "s2"),
+      (3L, ("w " * 25).trim, "s3"))
+      .toDF("doc_id", "text", "source")
+    val r = operators.Curation.mixGof(docs).collect()(0)
+    assert(r.getAs[Long]("n_sources") === 3L)
+    assert(r.getAs[Long]("dof") === 2L)
+    assert(math.abs(r.getAs[Double]("chi2") - 12.5) < 1e-6)
+    // s1 share 500000 vs target 333333 -> dev 166667
+    assert(r.getAs[Long]("max_dev_ppm") === 166667L)
+  }
+
+  test("mixGof: a perfectly uniform mix scores zero") {
+    val docs = Seq((1L, "a b", "s1"), (2L, "c d", "s2"))
+      .toDF("doc_id", "text", "source")
+    val r = operators.Curation.mixGof(docs).collect()(0)
+    assert(r.getAs[Double]("chi2") === 0.0)
+    assert(r.getAs[Long]("max_dev_ppm") === 0L)
+  }
+
   test("cemAtt: no matched strata yields a null-safe zero estimate") {
     // one all-treated stratum, one all-control stratum -> 0 matched
     val orders = Seq(
