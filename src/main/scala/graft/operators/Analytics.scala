@@ -1173,10 +1173,15 @@ object Analytics {
     val var10 = (col("ss10") - col("s10") * col("s10") / dn1) / (dn1 - 1)
     val var01 = (col("ss01") - col("s01") * col("s01") / dn0) / (dn0 - 1)
     val se = sqrt(var10 / dn1 + var01 / dn0)
+    // n1<=1 or n0<=1 makes an (n-1) divisor zero — the CI is undefined,
+    // so emit the null contract (nbFit/wilcoxonSigned precedent), never
+    // NaN/Infinity.
+    val ok = col("n1") > 1 && col("n0") > 1
     m.select(col("n1").as("n_pos"), col("n0").as("n_neg"),
-      round(auc, 6).as("auc"), round(se, 6).as("se_delong"),
-      round(auc - lit(1.959964) * se, 6).as("ci_lo"),
-      round(auc + lit(1.959964) * se, 6).as("ci_hi"))
+      round(auc, 6).as("auc"),
+      when(ok, round(se, 6)).as("se_delong"),
+      when(ok, round(auc - lit(1.959964) * se, 6)).as("ci_lo"),
+      when(ok, round(auc + lit(1.959964) * se, 6)).as("ci_hi"))
   }
 
   /** Benford's-law audit of a positive decimal measure: observed
@@ -2821,7 +2826,12 @@ object Analytics {
     val predB = hour(col("ts")) % 2 === 0
     val ca = predA === truth
     val cb = predB === truth
-    ev.agg(
+    // A null ts makes predB null, so the row would land in NO 2×2 cell
+    // while still counting in n (cells no longer sum to n, accuracies
+    // silently deflated). Rows without a timestamp can't be scored by
+    // the time-of-day rule — exclude them, matching the coalesce
+    // treatment of value.
+    ev.filter(col("ts").isNotNull).agg(
         count(lit(1)).as("n"),
         sum(when(ca && cb, 1L).otherwise(0L)).as("both_correct"),
         sum(when(ca && !cb, 1L).otherwise(0L)).as("a_only"),
@@ -3423,17 +3433,22 @@ object Analytics {
     val tot = rev.agg(sum(col("rc")).as("tot"))
     val w = Window.orderBy(desc("rc"), col("l_partkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Boundary products and the ppm share route through DECIMAL(38,0):
+    // at 100 TB the corpus-total cents exceed 1e17, so cum*100 / tot*95 /
+    // revenue_cents*1e6 all overflow Long (the shuffleQuality recipe).
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
     rev.crossJoin(broadcast(tot))
       .withColumn("cum", sum(col("rc")).over(w))
       .select(col("rc"), col("tot"),
-        when(col("cum") * 100L <= col("tot") * 80L, "A")
-          .when(col("cum") * 100L <= col("tot") * 95L, "B")
+        when(dec(col("cum")) * 100 <= dec(col("tot")) * 80, "A")
+          .when(dec(col("cum")) * 100 <= dec(col("tot")) * 95, "B")
           .otherwise("C").as("abc"))
       .groupBy("abc")
       .agg(count(lit(1)).as("n_parts"), sum(col("rc")).as("revenue_cents"),
         max(col("tot")).as("tot"))
       .select(col("abc"), col("n_parts"), col("revenue_cents"),
-        expr("revenue_cents * 1000000 div tot").as("share_ppm"))
+        expr("CAST(CAST(revenue_cents AS DECIMAL(38,0)) * 1000000 div tot" +
+          " AS BIGINT)").as("share_ppm"))
       .orderBy("abc")
   }
 
@@ -3581,11 +3596,15 @@ object Analytics {
     def ratio(p: String) = d(col(s"${p}_sx")) / d(col(s"${p}_sy"))
     def se2(p: String) = {
       val nD = d(col(s"${p}_n"))
+      // Deng et al. use SAMPLE (n−1) variances/covariance — the Bessel
+      // factor n/(n−1) on the central moments; the population form is
+      // biased low at small per-arm user counts (inflates 'significant').
+      val bessel = nD / (nD - lit(1.0))
       val xb = d(col(s"${p}_sx")) / nD
       val yb = d(col(s"${p}_sy")) / nD
-      val varX = d(col(s"${p}_sxx")) / nD - xb * xb
-      val varY = d(col(s"${p}_syy")) / nD - yb * yb
-      val covXY = d(col(s"${p}_sxy")) / nD - xb * yb
+      val varX = (d(col(s"${p}_sxx")) / nD - xb * xb) * bessel
+      val varY = (d(col(s"${p}_syy")) / nD - yb * yb) * bessel
+      val covXY = (d(col(s"${p}_sxy")) / nD - xb * yb) * bessel
       val r = ratio(p)
       (varX + r * r * varY - lit(2.0) * r * covXY) / (nD * yb * yb)
     }
@@ -5268,7 +5287,7 @@ object Analytics {
         | SELECT (event_type = 'purchase') AS truth,
         |  (COALESCE(value, 0.0) > 50.0) AS pa,
         |  (hour(ts) % 2 = 0) AS pb
-        | FROM events),
+        | FROM events WHERE ts IS NOT NULL),
         |t AS (
         | SELECT count(*) AS n,
         |  CAST(sum(CASE WHEN pa = truth AND pb = truth THEN 1 ELSE 0 END)
@@ -5335,16 +5354,20 @@ object Analytics {
          |FROM o2 CROSS JOIN agg""".stripMargin,
     "q_ratio_lift_ci" -> {
       def r(p: String) = s"(CAST(${p}_sx AS DOUBLE) / CAST(${p}_sy AS DOUBLE))"
+      // Bessel n/(n-1): sample moments (Deng et al.), matching the Spark
+      // tree's (central_moment) * bessel association exactly
+      def bes(p: String) =
+        s"(CAST(${p}_n AS DOUBLE) / (CAST(${p}_n AS DOUBLE) - 1.0))"
       def se2(p: String) =
-        s"""((CAST(${p}_sxx AS DOUBLE) / ${p}_n
+        s"""(((CAST(${p}_sxx AS DOUBLE) / ${p}_n
            |   - CAST(${p}_sx AS DOUBLE) / ${p}_n
-           |     * (CAST(${p}_sx AS DOUBLE) / ${p}_n)
-           |  + ${r(p)} * ${r(p)} * (CAST(${p}_syy AS DOUBLE) / ${p}_n
+           |     * (CAST(${p}_sx AS DOUBLE) / ${p}_n)) * ${bes(p)}
+           |  + ${r(p)} * ${r(p)} * ((CAST(${p}_syy AS DOUBLE) / ${p}_n
            |   - CAST(${p}_sy AS DOUBLE) / ${p}_n
-           |     * (CAST(${p}_sy AS DOUBLE) / ${p}_n))
-           |  - 2.0 * ${r(p)} * (CAST(${p}_sxy AS DOUBLE) / ${p}_n
+           |     * (CAST(${p}_sy AS DOUBLE) / ${p}_n)) * ${bes(p)})
+           |  - 2.0 * ${r(p)} * ((CAST(${p}_sxy AS DOUBLE) / ${p}_n
            |   - CAST(${p}_sx AS DOUBLE) / ${p}_n
-           |     * (CAST(${p}_sy AS DOUBLE) / ${p}_n)))
+           |     * (CAST(${p}_sy AS DOUBLE) / ${p}_n)) * ${bes(p)}))
            | / (CAST(${p}_n AS DOUBLE) * (CAST(${p}_sy AS DOUBLE) / ${p}_n)
            |    * (CAST(${p}_sy AS DOUBLE) / ${p}_n)))""".stripMargin
       s"""WITH pu AS (
@@ -5486,15 +5509,17 @@ object Analytics {
         |cl AS (
         | SELECT rc, tot,
         |  CASE WHEN CAST(sum(rc) OVER (ORDER BY rc DESC, l_partkey
-        |     ROWS UNBOUNDED PRECEDING) AS BIGINT) * 100 <= tot * 80
+        |     ROWS UNBOUNDED PRECEDING) AS HUGEINT) * 100
+        |    <= CAST(tot AS HUGEINT) * 80
         |   THEN 'A'
         |   WHEN CAST(sum(rc) OVER (ORDER BY rc DESC, l_partkey
-        |     ROWS UNBOUNDED PRECEDING) AS BIGINT) * 100 <= tot * 95
+        |     ROWS UNBOUNDED PRECEDING) AS HUGEINT) * 100
+        |    <= CAST(tot AS HUGEINT) * 95
         |   THEN 'B' ELSE 'C' END AS abc
         | FROM rev CROSS JOIN tot)
         |SELECT abc, count(*) AS n_parts,
         | CAST(sum(rc) AS BIGINT) AS revenue_cents,
-        | CAST(CAST(sum(rc) AS BIGINT) * 1000000 // max(tot) AS BIGINT)
+        | CAST(CAST(sum(rc) AS HUGEINT) * 1000000 // max(tot) AS BIGINT)
         |  AS share_ppm
         |FROM cl GROUP BY 1 ORDER BY abc""".stripMargin,
     "q_wilcoxon_signed" ->
@@ -5953,14 +5978,17 @@ object Analytics {
         | FROM cum CROSS JOIN tot GROUP BY 1, 2)
         |SELECT n1 AS n_pos, n0 AS n_neg,
         | round(s10 / n1, 6) AS auc,
-        | round(sqrt((ss10 - s10 * s10 / n1) / (n1 - 1) / n1
-        |   + (ss01 - s01 * s01 / n0) / (n0 - 1) / n0), 6) AS se_delong,
-        | round(s10 / n1 - 1.959964 * sqrt((ss10 - s10 * s10 / n1)
+        | CASE WHEN n1 > 1 AND n0 > 1 THEN
+        |  round(sqrt((ss10 - s10 * s10 / n1) / (n1 - 1) / n1
+        |   + (ss01 - s01 * s01 / n0) / (n0 - 1) / n0), 6) END AS se_delong,
+        | CASE WHEN n1 > 1 AND n0 > 1 THEN
+        |  round(s10 / n1 - 1.959964 * sqrt((ss10 - s10 * s10 / n1)
         |   / (n1 - 1) / n1 + (ss01 - s01 * s01 / n0) / (n0 - 1) / n0), 6)
-        |  AS ci_lo,
-        | round(s10 / n1 + 1.959964 * sqrt((ss10 - s10 * s10 / n1)
+        |  END AS ci_lo,
+        | CASE WHEN n1 > 1 AND n0 > 1 THEN
+        |  round(s10 / n1 + 1.959964 * sqrt((ss10 - s10 * s10 / n1)
         |   / (n1 - 1) / n1 + (ss01 - s01 * s01 / n0) / (n0 - 1) / n0), 6)
-        |  AS ci_hi
+        |  END AS ci_hi
         |FROM m""".stripMargin,
     "q_cem_att" ->
       """WITH rows0 AS (

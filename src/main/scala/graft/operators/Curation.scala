@@ -639,7 +639,11 @@ object Curation {
     def d(c: Column) = c.cast("double")
     val e = d(col("tt")) / d(col("k"))
     val term = (d(col("nt")) - e) * (d(col("nt")) - e) / e
-    val devPpm = abs(expr("nt * 1000000 div tt") -
+    // DECIMAL(38,0) before the ppm scaling: at the 100 TB posture nt is
+    // ~1e13+ tokens, so nt*1e6 overflows Long (ANSI ARITHMETIC_OVERFLOW);
+    // the decimal product holds 20 digits comfortably and `div` still
+    // returns BIGINT. Mirrors the shuffleQuality N²-term recipe.
+    val devPpm = abs(expr("CAST(nt AS DECIMAL(38,0)) * 1000000 div tt") -
       expr("1000000 div k"))
     per.crossJoin(broadcast(tot))
       .select(col("k"), round(term, 6).cast(DecimalType(28, 6)).as("t"),
@@ -1830,7 +1834,7 @@ object Curation {
          |    * (CAST(nt AS DOUBLE) - CAST(tt AS DOUBLE) / CAST(k AS DOUBLE))
          |    / (CAST(tt AS DOUBLE) / CAST(k AS DOUBLE)), 6)
          |   AS DECIMAL(28,6)) AS t,
-         |  abs(nt * 1000000 // tt - 1000000 // k) AS dev
+         |  abs(CAST(nt AS HUGEINT) * 1000000 // tt - 1000000 // k) AS dev
          | FROM per CROSS JOIN tot)
          |SELECT k AS n_sources, k - 1 AS dof,
          | round(CAST(sum(t) AS DOUBLE), 6) AS chi2,

@@ -853,7 +853,7 @@ object Evolution {
         |s AS (SELECT c, sum(k) OVER (ORDER BY c) AS cum FROM g),
         |n AS (SELECT count(*) AS n FROM v),
         |sc AS (
-        | SELECT c, abs(2 * cum - (SELECT n FROM n)) AS rd,
+        | SELECT c, CAST(abs(2 * cum - (SELECT n FROM n)) AS BIGINT) AS rd,
         |  (CAST('0x' || substr(md5('dpmed:' || CAST(c AS VARCHAR)), 1, 13) AS BIGINT)
         |    + 0.5) / 4503599627370496.0 AS u
         | FROM s)

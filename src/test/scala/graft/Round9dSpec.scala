@@ -96,6 +96,38 @@ class Round9dSpec extends SparkSpec {
     assert(r.getAs[Long]("max_dev_ppm") === 0L)
   }
 
+  test("aucDelongCi: a single positive yields null se/CI, never NaN") {
+    // n_pos = 1 makes the (n1-1) placement-variance divisor zero; the
+    // contract is the null CI (nbFit/wilcoxonSigned precedent), not
+    // NaN/Infinity leaking into the readout
+    val docs = Seq((1L, 10L, "en"), (2L, 5L, "fr"), (3L, 7L, "fr"),
+      (4L, 3L, "fr"))
+      .toDF("doc_id", "n_chars", "lang")
+    val r = operators.Analytics
+      .aucDelongCi(docs, col("n_chars"), col("lang") === "en").collect()(0)
+    assert(r.getAs[Long]("n_pos") === 1L)
+    assert(r.getAs[Long]("n_neg") === 3L)
+    assert(r.getAs[Double]("auc") === 1.0) // the point estimate survives
+    assert(r.isNullAt(r.fieldIndex("se_delong")))
+    assert(r.isNullAt(r.fieldIndex("ci_lo")))
+    assert(r.isNullAt(r.fieldIndex("ci_hi")))
+  }
+
+  test("mcnemar: null-ts rows are excluded so cells sum to n") {
+    val ev = Seq(
+      (1L, "purchase", 60.0, "2024-07-01 10:00:00"),
+      (2L, "click", 10.0, "2024-07-01 11:00:00"),
+      (3L, "purchase", 70.0, null.asInstanceOf[String]))
+      .toDF("event_id", "event_type", "value", "s")
+      .select(col("event_id"), col("event_type"), col("value"),
+        to_timestamp(col("s")).as("ts"))
+    val r = operators.Analytics.mcnemar(ev).collect()(0)
+    assert(r.getAs[Long]("n") === 2L)
+    val cells = Seq("both_correct", "a_only", "b_only", "both_wrong")
+      .map(r.getAs[Long](_)).sum
+    assert(cells === r.getAs[Long]("n"))
+  }
+
   test("cemAtt: no matched strata yields a null-safe zero estimate") {
     // one all-treated stratum, one all-control stratum -> 0 matched
     val orders = Seq(
