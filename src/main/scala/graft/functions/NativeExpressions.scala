@@ -563,7 +563,10 @@ object NativeExpressions {
         else SimHash64(children.head),
       "built-in")
     reg.createOrReplaceTempFunction("shingle_hashes",
-      (children: Seq[Expression]) => ShingleHashes(children.head),
+      (children: Seq[Expression]) =>
+        if (children.length > 1)
+          ShingleHashes(children.head, children(1).eval().asInstanceOf[Int])
+        else ShingleHashes(children.head),
       "built-in")
     reg.createOrReplaceTempFunction("char_gram_hashes",
       (children: Seq[Expression]) => CharGramHashes(children.head),
@@ -579,7 +582,11 @@ object NativeExpressions {
         else SimHashFromHashes(children.head),
       "built-in")
     reg.createOrReplaceTempFunction("shingle_hashes_md5",
-      (children: Seq[Expression]) => ShingleHashes(children.head, md5 = true),
+      (children: Seq[Expression]) =>
+        if (children.length > 1)
+          ShingleHashes(children.head, children(1).eval().asInstanceOf[Int],
+            md5 = true)
+        else ShingleHashes(children.head, md5 = true),
       "built-in")
     reg.createOrReplaceTempFunction("char_gram_hashes_md5",
       (children: Seq[Expression]) => CharGramHashes(children.head, md5 = true),
@@ -609,6 +616,11 @@ object NativeExpressions {
   def shingleHashes(spark: SparkSession, toks: Column): Column = {
     register(spark); call_function("shingle_hashes", toks)
   }
+  def shingleHashes(spark: SparkSession, toks: Column, n: Int): Column = {
+    register(spark)
+    call_function("shingle_hashes", toks,
+      org.apache.spark.sql.functions.lit(n))
+  }
   def charGramHashes(spark: SparkSession, text: Column): Column = {
     register(spark); call_function("char_gram_hashes", text)
   }
@@ -622,6 +634,11 @@ object NativeExpressions {
   }
   def shingleHashesMd5(spark: SparkSession, toks: Column): Column = {
     register(spark); call_function("shingle_hashes_md5", toks)
+  }
+  def shingleHashesMd5(spark: SparkSession, toks: Column, n: Int): Column = {
+    register(spark)
+    call_function("shingle_hashes_md5", toks,
+      org.apache.spark.sql.functions.lit(n))
   }
   def charGramHashesMd5(spark: SparkSession, text: Column): Column = {
     register(spark); call_function("char_gram_hashes_md5", text)

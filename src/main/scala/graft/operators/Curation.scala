@@ -27,12 +27,22 @@ object Curation {
     * hash per shingle, exploded. `Dedup.shingles` distincts per doc.
     */
   private def shingleHashStream(docs: DataFrame, idCol: String, textCol: String,
-                                n: Int, hasher: Dedup.HashFamily): DataFrame =
-    docs.select(col(idCol).as("id"),
-        TextAnalysis.tokens(col(textCol)).as("toks"))
-      .select(col("id"), Dedup.shingles(col("toks"), n).as("shs"))
-      .select(col("id"), explode(col("shs")).as("sh"))
-      .select(col("id"), hasher(col("sh")).as("h"))
+                                n: Int, hasher: Dedup.HashFamily): DataFrame = {
+    // Native one-pass shingle hashing (codegen'd, no per-shingle string
+    // materialization or hex/conv roundtrip) — bit-equal to the HOF
+    // shingles+hash formulation (asserted in ScalarsSpec), so the DuckDB
+    // oracles are unchanged.
+    val hs = hasher match {
+      case Dedup.XxHash => graft.functions.NativeExpressions
+        .shingleHashes(docs.sparkSession,
+          TextAnalysis.tokens(col(textCol)), n)
+      case Dedup.Md5Hash => graft.functions.NativeExpressions
+        .shingleHashesMd5(docs.sparkSession,
+          TextAnalysis.tokens(col(textCol)), n)
+    }
+    docs.select(col(idCol).as("id"), hs.as("hs"))
+      .select(col("id"), explode(col("hs")).as("h"))
+  }
 
   /** Contamination report: corpus documents sharing at least one word
     * n-gram with the eval set, with the count of shared shingles — the
