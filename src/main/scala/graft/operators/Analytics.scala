@@ -3620,7 +3620,143 @@ object Analytics {
       (abs(diff) > lit(1.959964) * se).as("significant"))
   }
 
+  /** OFF-POLICY EVALUATION: IPS and SNIPS (Horvitz-Thompson inverse
+    * propensity scoring; self-normalized variant per Swaminathan & Joachims
+    * 2015) — "what would this target policy have earned on the logged
+    * traffic?", the counterfactual readout that decides a rule change
+    * WITHOUT an experiment. Logged actions are the event types, rewards
+    * the event values, contexts the hour of day; logging propensities are
+    * the empirical action marginals (the estimated-propensity variant,
+    * Strehl et al. 2010), and the target policy is a deterministic
+    * hour-of-day rule (evenings → purchase, work hours → click, else
+    * view). ESS = (Σw)²/Σw² is the importance-weight health check: a
+    * collapsed ESS says the logs can't evaluate this policy.
+    *
+    * Exactness: the estimator folds PER ACTION, not per row — for a
+    * deterministic policy, Σ over rows of r·1[π(x)=a]/p̂(a) equals
+    * n·Σ_a S_a/n_a with S_a, m_a, n_a exact Long sums, and the n's
+    * cancel in every released ratio. The k per-action ratio terms round
+    * to fixed-scale DECIMAL before the exact fold (k = action
+    * cardinality, so this frame is broadcast-class forever).
+    *
+    * Scale posture: ONE full-scan map-side-combined aggregate to the
+    * action-cardinality frame; everything after is k-row arithmetic.
+    */
+  def ipsOffPolicy(ev: DataFrame): DataFrame = {
+    val h = hour(col("ts"))
+    val target = when(h >= 18 && h <= 23, "purchase")
+      .when(h >= 9 && h <= 17, "click")
+      .otherwise("view")
+    val matched = target === col("event_type")
+    val cents = (coalesce(col("value"), lit(0.0))
+      .cast(DecimalType(18, 2)) * 100).cast("long")
+    val per = ev.filter(col("ts").isNotNull)
+      .groupBy(col("event_type").as("a"))
+      .agg(count(lit(1)).as("na"),
+        sum(when(matched, 1L).otherwise(0L)).as("ma"),
+        sum(when(matched, cents).otherwise(0L)).as("sa"))
+    def d(c: Column) = c.cast("double")
+    // per-action ratio terms at fixed scale so the k-row fold is exact
+    val tw = round(d(col("ma")) / d(col("na")), 12)
+      .cast(DecimalType(28, 12))
+    val twr = round(d(col("sa")) / d(col("na")), 6)
+      .cast(DecimalType(28, 6))
+    val tw2 = round(d(col("ma")) / (d(col("na")) * d(col("na"))), 12)
+      .cast(DecimalType(28, 12))
+    val agg = per.select(col("na"), col("ma"),
+        tw.as("tw"), twr.as("twr"), tw2.as("tw2"))
+      .agg(sum(col("na")).as("n"), sum(col("ma")).as("n_matched"),
+        sum(col("tw")).cast("double").as("sw"),
+        sum(col("twr")).cast("double").as("swr"),
+        sum(col("tw2")).cast("double").as("sw2"))
+    // n cancels: V_IPS = Σ_a S_a/n_a (cents), SNIPS = swr/sw,
+    // ESS share = sw²/sw2/n (1.0 = weights are uniform)
+    agg.select(col("n"), col("n_matched"),
+      round(col("swr") / 100.0, 6).as("ips_value"),
+      when(col("sw") > 0, round(col("swr") / col("sw") / 100.0, 6))
+        .as("snips_value"),
+      when(col("sw2") > 0,
+        round(col("sw") * col("sw") / col("sw2"), 6)).as("ess"),
+      round(d(col("n_matched")) / d(col("n")), 6).as("match_rate"))
+  }
+
+  // Shared Cramer formulas for the 3×3 normal equations (intercept + two
+  // regressors) — ONE string each, parsed by Spark's expr AND interpolated
+  // verbatim into the DuckDB oracle, so the double trees are identical by
+  // construction. Inputs are double-cast exact moment sums named
+  // n/sx/sz/sy/sxx/szz/sxz/sxy/szy/syy.
+  private[operators] val olsDet =
+    "(n*(sxx*szz - sxz*sxz) - sx*(sx*szz - sz*sxz) + sz*(sx*sxz - sz*sxx))"
+  private[operators] val olsD0 =
+    "(sy*(sxx*szz - sxz*sxz) - sx*(sxy*szz - szy*sxz) + sz*(sxy*sxz - szy*sxx))"
+  private[operators] val olsD1 =
+    "(n*(sxy*szz - szy*sxz) - sy*(sx*szz - sz*sxz) + sz*(sx*szy - sz*sxy))"
+  private[operators] val olsD2 =
+    "(n*(sxx*szy - sxz*sxy) - sx*(sx*szy - sz*sxy) + sy*(sx*sxz - sz*sxx))"
+
+  /** MULTIPLE LINEAR REGRESSION via distributed normal equations
+    * (the textbook scale path for small-p OLS: ONE map-side-combined
+    * pass accumulates the p² Gram sums, the p×p solve is driver-trivial
+    * — here a closed-form 3×3 Cramer, still inside the plan). Regresses
+    * line-item revenue on quantity and discount: the joint effect
+    * q_ols_trend's single-regressor fit can't separate (discount and
+    * quantity correlate through pricing rules).
+    *
+    * Exactness: y in cents, discount in basis points — every moment is
+    * an exact DECIMAL(38,0) fold (Σy·x at 100 TB tops 1e19+, past Long);
+    * the determinants are single double expressions of those exact sums,
+    * SHARED as literal strings with the oracle so both engines parse the
+    * same tree. Degenerate design (det 0) → null coefficients.
+    *
+    * R² = 1 − SSE/TSS with SSE = Σy² − b'X'y — no residual pass needed.
+    */
+  def olsMulti(li: DataFrame): DataFrame = {
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val base = li.select(
+      (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("y"),
+      col("l_quantity").cast("long").as("x"),
+      (col("l_discount").cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("z"))
+    val m = base.agg(count(lit(1)).as("cn"),
+      sum(dec(col("x"))).as("msx"), sum(dec(col("z"))).as("msz"),
+      sum(dec(col("y"))).as("msy"),
+      sum(dec(col("x")) * dec(col("x"))).as("msxx"),
+      sum(dec(col("z")) * dec(col("z"))).as("mszz"),
+      sum(dec(col("x")) * dec(col("z"))).as("msxz"),
+      sum(dec(col("x")) * dec(col("y"))).as("msxy"),
+      sum(dec(col("z")) * dec(col("y"))).as("mszy"),
+      sum(dec(col("y")) * dec(col("y"))).as("msyy"))
+    def d(c: String) = col(c).cast("double")
+    val dd = m.select(d("cn").as("n"), d("msx").as("sx"), d("msz").as("sz"),
+      d("msy").as("sy"), d("msxx").as("sxx"), d("mszz").as("szz"),
+      d("msxz").as("sxz"), d("msxy").as("sxy"), d("mszy").as("szy"),
+      d("msyy").as("syy"), col("cn"))
+    val sol = dd.select(col("cn"), col("n"), col("sy"), col("sxy"),
+      col("szy"), col("syy"),
+      expr(olsDet).as("det"), expr(olsD0).as("d0"),
+      expr(olsD1).as("d1"), expr(olsD2).as("d2"))
+    val ok = abs(col("det")) > 0
+    val b0 = col("d0") / col("det")
+    val b1 = col("d1") / col("det")
+    val b2 = col("d2") / col("det")
+    val sse = col("syy") - b0 * col("sy") - b1 * col("sxy") -
+      b2 * col("szy")
+    val tss = col("syy") - col("sy") * col("sy") / col("n")
+    sol.select(col("cn").as("n"),
+      when(ok, round(b0 / 100.0, 6)).as("intercept_usd"),
+      when(ok, round(b1 / 100.0, 6)).as("per_qty_usd"),
+      // cents-per-z-unit × (100 z per fraction) ÷ (100 cents per USD) = 1:
+      // b2 is already USD per unit discount fraction
+      when(ok, round(b2, 6)).as("per_discount_usd"),
+      when(ok && tss > 0, round(lit(1.0) - sse / tss, 6)).as("r2"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Counterfactual policy value from logged traffic (IPS + SNIPS).
+    "q_ips_offpolicy" -> { (s, d) => ipsOffPolicy(Tables.events(s, d)) },
+    // Two-regressor OLS from one Gram-sums pass (distributed normal eqs).
+    "q_ols_multi" -> { (s, d) => olsMulti(Tables.lineitem(s, d)) },
     // Two-arm ratio-metric lift with user-grain delta-method CI.
     "q_ratio_lift_ci" -> { (s, d) => ratioLiftCi(Tables.events(s, d)) },
     // Matched-model Laspeyres/Paasche/Fisher price indices.
@@ -5282,6 +5418,82 @@ object Analytics {
   }
 
   def oracles: Map[String, String] = Map(
+    // same exact HUGEINT moments, IDENTICAL Cramer strings (shared consts)
+    "q_ols_multi" ->
+      s"""WITH base AS (
+         | SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+         |   AS BIGINT) AS y,
+         |  CAST(l_quantity AS BIGINT) AS x,
+         |  CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS z
+         | FROM lineitem),
+         |m AS (
+         | SELECT count(*) AS cn,
+         |  sum(CAST(x AS HUGEINT)) AS msx, sum(CAST(z AS HUGEINT)) AS msz,
+         |  sum(CAST(y AS HUGEINT)) AS msy,
+         |  sum(CAST(x AS HUGEINT) * x) AS msxx,
+         |  sum(CAST(z AS HUGEINT) * z) AS mszz,
+         |  sum(CAST(x AS HUGEINT) * z) AS msxz,
+         |  sum(CAST(x AS HUGEINT) * y) AS msxy,
+         |  sum(CAST(z AS HUGEINT) * y) AS mszy,
+         |  sum(CAST(y AS HUGEINT) * y) AS msyy
+         | FROM base),
+         |dd AS (
+         | SELECT cn, CAST(cn AS DOUBLE) AS n, CAST(msx AS DOUBLE) AS sx,
+         |  CAST(msz AS DOUBLE) AS sz, CAST(msy AS DOUBLE) AS sy,
+         |  CAST(msxx AS DOUBLE) AS sxx, CAST(mszz AS DOUBLE) AS szz,
+         |  CAST(msxz AS DOUBLE) AS sxz, CAST(msxy AS DOUBLE) AS sxy,
+         |  CAST(mszy AS DOUBLE) AS szy, CAST(msyy AS DOUBLE) AS syy
+         | FROM m),
+         |sol AS (
+         | SELECT cn, n, sy, sxy, szy, syy,
+         |  $olsDet AS det, $olsD0 AS d0, $olsD1 AS d1, $olsD2 AS d2
+         | FROM dd)
+         |SELECT cn AS n,
+         | CASE WHEN abs(det) > 0 THEN round(d0 / det / 100.0, 6) END
+         |  AS intercept_usd,
+         | CASE WHEN abs(det) > 0 THEN round(d1 / det / 100.0, 6) END
+         |  AS per_qty_usd,
+         | CASE WHEN abs(det) > 0 THEN round(d2 / det, 6) END
+         |  AS per_discount_usd,
+         | CASE WHEN abs(det) > 0
+         |   AND syy - sy * sy / n > 0 THEN
+         |  round(1.0 - (syy - d0 / det * sy - d1 / det * sxy
+         |    - d2 / det * szy) / (syy - sy * sy / n), 6) END AS r2
+         |FROM sol""".stripMargin,
+    // same per-action fold: terms at fixed DECIMAL scale, n cancels
+    "q_ips_offpolicy" ->
+      """WITH base AS (
+        | SELECT event_type AS a,
+        |  CASE WHEN hour(ts) >= 18 AND hour(ts) <= 23 THEN 'purchase'
+        |       WHEN hour(ts) >= 9 AND hour(ts) <= 17 THEN 'click'
+        |       ELSE 'view' END = event_type AS m,
+        |  CAST(CAST(COALESCE(value, 0.0) AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |   AS cents
+        | FROM events WHERE ts IS NOT NULL),
+        |per AS (
+        | SELECT a, count(*) AS na,
+        |  CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS ma,
+        |  CAST(sum(CASE WHEN m THEN cents ELSE 0 END) AS BIGINT) AS sa
+        | FROM base GROUP BY 1),
+        |agg AS (
+        | SELECT CAST(sum(na) AS BIGINT) AS n,
+        |  CAST(sum(ma) AS BIGINT) AS n_matched,
+        |  CAST(sum(CAST(round(CAST(ma AS DOUBLE) / CAST(na AS DOUBLE), 12)
+        |    AS DECIMAL(28,12))) AS DOUBLE) AS sw,
+        |  CAST(sum(CAST(round(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE), 6)
+        |    AS DECIMAL(28,6))) AS DOUBLE) AS swr,
+        |  CAST(sum(CAST(round(CAST(ma AS DOUBLE)
+        |     / (CAST(na AS DOUBLE) * CAST(na AS DOUBLE)), 12)
+        |    AS DECIMAL(28,12))) AS DOUBLE) AS sw2
+        | FROM per)
+        |SELECT n, n_matched,
+        | round(swr / 100.0, 6) AS ips_value,
+        | CASE WHEN sw > 0 THEN round(swr / sw / 100.0, 6) END
+        |  AS snips_value,
+        | CASE WHEN sw2 > 0 THEN round(sw * sw / sw2, 6) END AS ess,
+        | round(CAST(n_matched AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |  AS match_rate
+        |FROM agg""".stripMargin,
     "q_mcnemar" ->
       """WITH c AS (
         | SELECT (event_type = 'purchase') AS truth,

@@ -665,6 +665,51 @@ object Curation {
         col("md").as("max_dev_ppm"))
   }
 
+  /** EXCESS-LOSS DOMAIN REWEIGHTING (the DoReMi shape, Xie et al. 2023
+    * arXiv:2305.10429, static one-step form): per-source proxy loss =
+    * mean corpus-LM surprisal ([[TextAnalysis.knSurprisal]]); excess =
+    * loss − token-weighted corpus baseline; mixture weights = softmax of
+    * η·excess, smoothed toward uniform (α = (1−c)·w + c/k). Sources the
+    * corpus LM finds HARD get upweighted — the exponentiated-gradient
+    * fixed point DoReMi's proxy-training loop converges to when the
+    * reference losses are held fixed, which is exactly the information
+    * available without a proxy-training run (documented approximation,
+    * not a hidden one).
+    *
+    * Exactness: surprisal terms are already a 6dp-decimal fold; here the
+    * baseline's token-weighted products and the softmax terms round to
+    * fixed-scale DECIMAL before their source-cardinality folds, so both
+    * engines replay bit-for-bit. Scale posture: everything past the
+    * surprisal aggregate is k-row arithmetic (k = source cardinality,
+    * broadcast-class forever).
+    */
+  def domainReweight(docs: DataFrame, eta: Double = 1.0,
+                     smooth: Double = 0.2): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val sur = TextAnalysis.knSurprisal(docs)
+      .select(col("source"), col("n_bigrams"), col("kn_bits"))
+    def d(c: Column) = c.cast("double")
+    val tot = sur.agg(sum(col("n_bigrams")).as("tb"),
+      sum(round(col("kn_bits") * d(col("n_bigrams")), 6)
+        .cast(DecimalType(28, 6))).as("wb"),
+      count(lit(1)).as("k"))
+    val excess = col("kn_bits") - d(col("wb")) / d(col("tb"))
+    val t2 = sur.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_bigrams"), col("kn_bits"), col("k"),
+        excess.as("excess"),
+        round(exp(lit(eta) * excess), 12)
+          .cast(DecimalType(28, 12)).as("term"))
+    val sw = t2.agg(sum(col("term")).as("sumw"))
+    val w = d(col("term")) / d(col("sumw"))
+    val alpha = (lit(1.0) - lit(smooth)) * w + lit(smooth) / d(col("k"))
+    t2.crossJoin(broadcast(sw))
+      .select(col("source"), col("n_bigrams"), col("kn_bits"),
+        round(col("excess"), 6).as("excess_bits"),
+        round(w, 6).as("weight"),
+        round(alpha, 6).as("alpha"))
+      .orderBy("source")
+  }
+
   /** Herfindahl–Hirschman concentration of the source token mix — see
     * the q_hhi_sources entry comment.
     */
@@ -685,6 +730,9 @@ object Curation {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ucb_mix" -> { (s, d) => ucbMix(Tables.documents(s, d)) },
+    // DoReMi-shape source reweighting: softmax of corpus-LM excess loss.
+    "q_domain_reweight" -> { (s, d) =>
+      domainReweight(Tables.documents(s, d)) },
     "q_loso_impact" -> { (s, d) => losoImpact(Tables.documents(s, d)) },
     // IPF/raking: uniform-source × observed-lang mix calibration.
     "q_ipf_raking" -> { (s, d) => ipfRaking(Tables.documents(s, d)) },
@@ -1831,6 +1879,35 @@ object Curation {
         |    '[ \t]+', ' ', 'g'))) AS BIGINT) AS clean_chars
         | FROM planted)
         |SELECT * FROM r WHERE n_urls + n_tags > 0 ORDER BY doc_id""".stripMargin,
+    // same KN surprisal frame (shared CTE strings), same 6dp/12dp folds
+    "q_domain_reweight" ->
+      ("WITH " + TextAnalysis.knCountCtesSql + ",\n" +
+        TextAnalysis.knTermsCteSql + ",\n" +
+        """sur AS (
+          | SELECT source, count(*) AS n_bigrams,
+          |  round(CAST(sum(t) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+          |   AS kn_bits
+          | FROM terms GROUP BY 1),
+          |tot AS (
+          | SELECT CAST(sum(n_bigrams) AS BIGINT) AS tb,
+          |  sum(CAST(round(kn_bits * CAST(n_bigrams AS DOUBLE), 6)
+          |    AS DECIMAL(28,6))) AS wb,
+          |  count(*) AS k
+          | FROM sur),
+          |rw AS (
+          | SELECT source, n_bigrams, kn_bits, k,
+          |  kn_bits - CAST(wb AS DOUBLE) / CAST(tb AS DOUBLE) AS excess,
+          |  CAST(round(exp(1.0 * (kn_bits
+          |    - CAST(wb AS DOUBLE) / CAST(tb AS DOUBLE))), 12)
+          |   AS DECIMAL(28,12)) AS term
+          | FROM sur CROSS JOIN tot),
+          |sw AS (SELECT sum(term) AS sumw FROM rw)
+          |SELECT source, n_bigrams, kn_bits,
+          | round(excess, 6) AS excess_bits,
+          | round(CAST(term AS DOUBLE) / CAST(sumw AS DOUBLE), 6) AS weight,
+          | round((1.0 - 0.2) * (CAST(term AS DOUBLE)
+          |   / CAST(sumw AS DOUBLE)) + 0.2 / CAST(k AS DOUBLE), 6) AS alpha
+          |FROM rw CROSS JOIN sw ORDER BY source""".stripMargin),
     "q_mix_gof" ->
       s"""WITH per AS (
          | SELECT source, CAST(sum(len($toksSql)) AS BIGINT) AS nt

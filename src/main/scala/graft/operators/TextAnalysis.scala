@@ -504,6 +504,102 @@ object TextAnalysis {
       .orderBy(idCol)
   }
 
+  /** INTERPOLATED KNESER-NEY BIGRAM LM (Kneser & Ney 1995; the KenLM
+    * smoothing family CCNet actually filters with — q_lm_score's add-one
+    * model is the teaching baseline, this is the production one).
+    * Absolute discount D = n1/(n1+2·n2) (Ries' estimate from the count-
+    * of-counts), and the backoff mass routes to the CONTINUATION
+    * unigram — P_cont(w2) = |{w1 : c(w1,w2)>0}| / |bigram types| — the
+    * "how many contexts does this word complete" distribution that makes
+    * KN beat frequency smoothing on function-word-heavy text:
+    *
+    *   P_KN(w2|w1) = (c(w1,w2) − D)/c(w1·)
+    *               + D·N1+(w1·)/c(w1·) · P_cont(w2)
+    *
+    * (every scored bigram is seen, so the max(·,0) clamp is inert).
+    *
+    * Exactness: all counts are exact Longs; D and each P_KN are single
+    * double expressions replayed verbatim by DuckDB; surprisal terms
+    * round to 6dp DECIMAL before the order-independent per-source fold
+    * (the q_lm_score convention).
+    *
+    * Scale posture: ONE corpus tokenize/explode pass (persisted);
+    * everything downstream is vocab- or vocab²-bounded — cb(w1,w2) and
+    * its two marginal frames collapse map-side; the scalar frame
+    * (D, n1, n2, B) is one row broadcast; the per-bigram probability
+    * join keys on (w1,w2)/(w1)/(w2) with AQE free to broadcast the
+    * count frames while they fit.
+    */
+  private def knFrames(docs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val bi = docs
+      .select(col("doc_id").as("id"), col("source"),
+        tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("id"), col("source"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 1), i =>
+          struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2")))).as("b"))
+      .select(col("id"), col("source"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .persistTracked()
+    val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .persistTracked()
+    val cu = cb.groupBy("w1")
+      .agg(sum(col("cb")).as("cu"), count(lit(1)).as("fwd"))
+    val bwd = cb.groupBy("w2").agg(count(lit(1)).as("bwd"))
+    val gl = cb.agg(count(lit(1)).as("b"),
+      sum(when(col("cb") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("cb") === 2, 1L).otherwise(0L)).as("n2"))
+    (bi, cb, cu, bwd, gl)
+  }
+
+  private def knProb: Column = {
+    def d(c: Column) = c.cast("double")
+    val disc = d(col("n1")) / (d(col("n1")) + lit(2.0) * d(col("n2")))
+    (d(col("cb")) - disc) / d(col("cu")) +
+      disc * d(col("fwd")) / d(col("cu")) * (d(col("bwd")) / d(col("b")))
+  }
+
+  /** Trained-artifact view: the k most probable bigram continuations
+    * under the KN model, with their count components and the corpus
+    * discount — the inspection table a curation run ships beside the
+    * model it filtered with.
+    */
+  def knLmTopK(docs: DataFrame, k: Int = 15): DataFrame = {
+    val (_, cb, cu, bwd, gl) = knFrames(docs)
+    def d(c: Column) = c.cast("double")
+    val disc = d(col("n1")) / (d(col("n1")) + lit(2.0) * d(col("n2")))
+    cb.join(cu, Seq("w1")).join(bwd, Seq("w2"))
+      .crossJoin(broadcast(gl))
+      .withColumn("p", knProb)
+      .orderBy(desc("p"), col("w1"), col("w2"))
+      .limit(k)
+      .select(col("w1"), col("w2"), col("cb"), col("cu"), col("fwd"),
+        col("bwd"), round(disc, 6).as("discount"),
+        round(col("p"), 6).as("p_kn"))
+  }
+
+  /** Per-source mean KN surprisal (−log2 P_KN per bigram instance) — the
+    * CCNet head/middle/tail signal at the source grain: a source whose
+    * corpus-LM surprisal runs hot is atypical of the corpus (and a
+    * filtering/resampling candidate). Ratio of exact 6dp-decimal sums,
+    * never a mean of per-doc ratios.
+    */
+  def knSurprisal(docs: DataFrame): DataFrame = {
+    val (bi, cb, cu, bwd, gl) = knFrames(docs)
+    val term = round(-log2(knProb), 6).cast(DecimalType(18, 6))
+    bi.join(cb, Seq("w1", "w2")).join(cu, Seq("w1")).join(bwd, Seq("w2"))
+      .crossJoin(broadcast(gl))
+      .select(col("id"), col("source"), term.as("t"))
+      .groupBy("source")
+      .agg(countDistinct(col("id")).as("n_docs"),
+        count(lit(1)).as("n_bigrams"),
+        round(sum(col("t")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("kn_bits"))
+      .orderBy("source")
+  }
+
   /** FIGHTIN' WORDS distinctive vocabulary (Monroe, Colaresi & Quinn
     * 2008): for each source, the words most over-represented vs the
     * REST of the corpus, scored by the z-statistic of the log-odds
@@ -588,6 +684,67 @@ object TextAnalysis {
         round(fp, 6).as("frac_pos"), round(gap, 6).as("gap"))
       .crossJoin(broadcast(ece))
       .orderBy("bin")
+  }
+
+  /** MURPHY (1973) BRIER-SCORE DECOMPOSITION over the same forecast/label
+    * pair the reliability diagram plots: BS ≈ REL − RES + UNC, where
+    * reliability penalizes bins whose mean forecast misses their outcome
+    * rate (what recalibration can fix), resolution rewards bins that
+    * separate outcome rates from the base rate (what recalibration can
+    * NOT add), and uncertainty is the irreducible ō(1−ō). The released
+    * decomp_gap = BS − (REL − RES + UNC) is the exact within-bin
+    * forecast-variance residual the binned identity hides — emitting it
+    * keeps the decomposition honest instead of pretending the identity
+    * is exact under binning.
+    *
+    * Exactness: forecasts are 2dp decimals, so every per-row (s−y)² is
+    * exact at 4dp and the Brier numerator is an exact decimal fold; the
+    * per-bin REL/RES terms are single double expressions of exact sums
+    * rounded to 6dp DECIMAL before the bin-cardinality fold.
+    *
+    * Scale posture: ONE map-side-combined groupBy to the 10-bin frame;
+    * the base-rate scalar broadcasts back; everything after is 10-row
+    * arithmetic.
+    */
+  def brierDecomposition(df: DataFrame, scoreCol: String, labelCol: String,
+                         bins: Int = 10): DataFrame = {
+    val per = df.select(
+        least(floor(col(scoreCol) * bins).cast("int"), lit(bins - 1))
+          .as("bin"),
+        col(scoreCol).cast(DecimalType(18, 2)).as("s"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("s")).as("ss"),
+        sum(col("y")).as("sy"),
+        sum(((col("s") - col("y")) * (col("s") - col("y")))
+          .cast(DecimalType(28, 4))).as("sqs"))
+    val tot = per.agg(sum(col("n")).as("nt"), sum(col("sy")).as("syt"))
+    def d(c: Column) = c.cast("double")
+    val obar = d(col("syt")) / d(col("nt"))
+    val sbk = d(col("ss")) / d(col("n"))
+    val obk = d(col("sy")) / d(col("n"))
+    val relT = round(d(col("n")) * ((sbk - obk) * (sbk - obk)), 6)
+      .cast(DecimalType(28, 6))
+    val resT = round(d(col("n")) * ((obk - obar) * (obk - obar)), 6)
+      .cast(DecimalType(28, 6))
+    val agg = per.crossJoin(broadcast(tot))
+      .select(col("n"), col("sqs"), col("nt"), col("syt"),
+        relT.as("rel_t"), resT.as("res_t"))
+      .groupBy("nt", "syt")
+      .agg(count(lit(1)).as("n_bins"), sum(col("sqs")).as("sqs"),
+        sum(col("rel_t")).cast("double").as("rel"),
+        sum(col("res_t")).cast("double").as("res"))
+    val ob = d(col("syt")) / d(col("nt"))
+    val brier = d(col("sqs")) / d(col("nt"))
+    val rel = col("rel") / d(col("nt"))
+    val res = col("res") / d(col("nt"))
+    val unc = ob * (lit(1.0) - ob)
+    agg.select(col("nt").as("n"), col("n_bins"),
+      round(brier, 6).as("brier"),
+      round(rel, 6).as("reliability"),
+      round(res, 6).as("resolution"),
+      round(unc, 6).as("uncertainty"),
+      round(brier - (rel - res + unc), 6).as("decomp_gap"))
   }
 
   /** Distributed ISOTONIC REGRESSION (pool-adjacent-violators; Barlow et
@@ -925,6 +1082,11 @@ object TextAnalysis {
     "q_lm_score" -> { (s, d) =>
       lmScore(Tables.documents(s, d))
     },
+    // Interpolated Kneser-Ney bigram LM: the trained-model inspection
+    // table (top continuations + discount) and the per-source surprisal
+    // readout — the production smoothing beside q_lm_score's add-one.
+    "q_kn_lm" -> { (s, d) => knLmTopK(Tables.documents(s, d)) },
+    "q_kn_surprisal" -> { (s, d) => knSurprisal(Tables.documents(s, d)) },
     // Tokenizer deploy path: train 6 merges, then encode the corpus with
     // them in one pass; per-doc compression (n_raw vs n_bpe) is the
     // standard tokenizer-fertility report.
@@ -1015,6 +1177,15 @@ object TextAnalysis {
           round(stopwordRatio(col("text")), 2).as("q"),
           (col("lang") === "en").cast("int").as("label")),
         "q", "label").orderBy("q")
+    },
+    // Murphy decomposition of the same forecast/label pair: how much of
+    // the Brier score recalibration can fix (REL) vs never will (UNC).
+    "q_brier_decomp" -> { (s, d) =>
+      brierDecomposition(
+        Tables.documents(s, d).select(
+          round(stopwordRatio(col("text")), 2).as("q"),
+          (col("lang") === "en").cast("int").as("label")),
+        "q", "label")
     },
     // QUALITY-THRESHOLD SWEEP — the knob-tuning table behind every
     // quality filter: at each candidate threshold, the docs and tokens
@@ -1701,6 +1872,43 @@ object TextAnalysis {
        | + CASE WHEN $meanTok BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END * 0.2)""".stripMargin
   }
 
+  /** Shared DuckDB CTE bodies for the Kneser-Ney bigram model — used by
+    * q_kn_lm / q_kn_surprisal here and by Curation's q_domain_reweight
+    * oracle (which stacks the reweighting on the same surprisal frame).
+    * Pre-stripped: embed with plain concatenation, never inside another
+    * stripMargin template.
+    */
+  def knCountCtesSql: String =
+    s"""toks AS (
+       | SELECT doc_id AS id, source, ${tokensSql("text")} AS toks
+       | FROM documents),
+       |t2 AS (SELECT id, source, toks FROM toks WHERE len(toks) >= 2),
+       |bb AS (
+       | SELECT id, source, toks[i] AS w1, toks[i + 1] AS w2
+       | FROM t2, unnest(range(1, len(toks))) AS r(i)),
+       |cb AS (SELECT w1, w2, count(*) AS cb FROM bb GROUP BY 1, 2),
+       |cu AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu,
+       |       count(*) AS fwd FROM cb GROUP BY 1),
+       |bwd AS (SELECT w2, count(*) AS bwd FROM cb GROUP BY 1),
+       |gl AS (SELECT count(*) AS b,
+       |  CAST(sum(CASE WHEN cb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |  CAST(sum(CASE WHEN cb = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+       | FROM cb)""".stripMargin
+
+  def knTermsCteSql: String =
+    """terms AS (
+      | SELECT bb.id, bb.source,
+      |  CAST(round(-log2(
+      |   (CAST(cb AS DOUBLE) - CAST(n1 AS DOUBLE) / (CAST(n1 AS DOUBLE)
+      |      + 2.0 * CAST(n2 AS DOUBLE))) / CAST(cu AS DOUBLE)
+      |    + CAST(n1 AS DOUBLE) / (CAST(n1 AS DOUBLE)
+      |      + 2.0 * CAST(n2 AS DOUBLE))
+      |      * CAST(fwd AS DOUBLE) / CAST(cu AS DOUBLE)
+      |      * (CAST(bwd AS DOUBLE) / CAST(b AS DOUBLE))), 6)
+      |   AS DECIMAL(18,6)) AS t
+      | FROM bb JOIN cb USING (w1, w2) JOIN cu USING (w1)
+      |  JOIN bwd USING (w2) CROSS JOIN gl)""".stripMargin
+
   def oracles: Map[String, String] = {
     val nTok = s"len(${tokensSql("text")})"
     val stopRatio =
@@ -1787,6 +1995,31 @@ object TextAnalysis {
            |SELECT id AS doc_id, count(*) AS n_bigrams,
            | round(-CAST(sum(t) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS lm_bits
            |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
+      // Kneser-Ney twins: same count frames, same D = n1/(n1+2n2), same
+      // interpolated-probability expression tree, 6dp term fold
+      "q_kn_lm" ->
+        ("WITH " + knCountCtesSql + ",\n" +
+          """scored AS (
+            | SELECT w1, w2, cb, cu, fwd, bwd,
+            |  CAST(n1 AS DOUBLE) / (CAST(n1 AS DOUBLE)
+            |    + 2.0 * CAST(n2 AS DOUBLE)) AS d,
+            |  (CAST(cb AS DOUBLE) - CAST(n1 AS DOUBLE) / (CAST(n1 AS DOUBLE)
+            |     + 2.0 * CAST(n2 AS DOUBLE))) / CAST(cu AS DOUBLE)
+            |   + CAST(n1 AS DOUBLE) / (CAST(n1 AS DOUBLE)
+            |     + 2.0 * CAST(n2 AS DOUBLE))
+            |     * CAST(fwd AS DOUBLE) / CAST(cu AS DOUBLE)
+            |     * (CAST(bwd AS DOUBLE) / CAST(b AS DOUBLE)) AS p
+            | FROM cb JOIN cu USING (w1) JOIN bwd USING (w2) CROSS JOIN gl)
+            |SELECT w1, w2, cb, cu, fwd, bwd,
+            | round(d, 6) AS discount, round(p, 6) AS p_kn
+            |FROM scored ORDER BY p DESC, w1, w2 LIMIT 15""".stripMargin),
+      "q_kn_surprisal" ->
+        ("WITH " + knCountCtesSql + ",\n" + knTermsCteSql + "\n" +
+          """SELECT source, count(DISTINCT id) AS n_docs,
+            | count(*) AS n_bigrams,
+            | round(CAST(sum(t) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+            |  AS kn_bits
+            |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin),
       // winnowing twin: same 28-bit md5 gram hash, same packed-key window
       // min (hash ASC, pos DESC tie), same full-window/short-doc rule
       "q_winnow" ->
@@ -1954,6 +2187,55 @@ object TextAnalysis {
            |SELECT bin, n, round(ms, 6) AS mean_score,
            | round(fp, 6) AS frac_pos, round(abs(fp - ms), 6) AS gap, ece
            |FROM g, e ORDER BY bin""".stripMargin,
+      // same 10-bin frame, exact 4dp (s−y)² fold, 6dp REL/RES terms
+      "q_brier_decomp" ->
+        s"""WITH base AS (
+           | SELECT round($stopRatio, 2) AS q,
+           |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           | FROM documents),
+           |per AS (
+           | SELECT CAST(least(CAST(floor(q * 10) AS INTEGER), 9)
+           |   AS INTEGER) AS bin,
+           |  count(*) AS n, sum(CAST(q AS DECIMAL(18,2))) AS ss,
+           |  CAST(sum(y) AS BIGINT) AS sy,
+           |  sum(CAST((CAST(q AS DECIMAL(18,2)) - y)
+           |    * (CAST(q AS DECIMAL(18,2)) - y) AS DECIMAL(28,4))) AS sqs
+           | FROM base GROUP BY 1),
+           |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+           |        CAST(sum(sy) AS BIGINT) AS syt FROM per),
+           |terms AS (
+           | SELECT per.n, per.sqs, t.nt, t.syt,
+           |  CAST(round(CAST(per.n AS DOUBLE)
+           |   * ((CAST(ss AS DOUBLE) / CAST(per.n AS DOUBLE)
+           |       - CAST(sy AS DOUBLE) / CAST(per.n AS DOUBLE))
+           |     * (CAST(ss AS DOUBLE) / CAST(per.n AS DOUBLE)
+           |       - CAST(sy AS DOUBLE) / CAST(per.n AS DOUBLE))), 6)
+           |   AS DECIMAL(28,6)) AS rel_t,
+           |  CAST(round(CAST(per.n AS DOUBLE)
+           |   * ((CAST(sy AS DOUBLE) / CAST(per.n AS DOUBLE)
+           |       - CAST(t.syt AS DOUBLE) / CAST(t.nt AS DOUBLE))
+           |     * (CAST(sy AS DOUBLE) / CAST(per.n AS DOUBLE)
+           |       - CAST(t.syt AS DOUBLE) / CAST(t.nt AS DOUBLE))), 6)
+           |   AS DECIMAL(28,6)) AS res_t
+           | FROM per, tot t),
+           |agg AS (
+           | SELECT nt, syt, count(*) AS n_bins, sum(sqs) AS sqs,
+           |  CAST(sum(rel_t) AS DOUBLE) AS rel,
+           |  CAST(sum(res_t) AS DOUBLE) AS res
+           | FROM terms GROUP BY 1, 2)
+           |SELECT nt AS n, n_bins,
+           | round(CAST(sqs AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS brier,
+           | round(rel / CAST(nt AS DOUBLE), 6) AS reliability,
+           | round(res / CAST(nt AS DOUBLE), 6) AS resolution,
+           | round(CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE)
+           |  * (1.0 - CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE)), 6)
+           |  AS uncertainty,
+           | round(CAST(sqs AS DOUBLE) / CAST(nt AS DOUBLE)
+           |  - (rel / CAST(nt AS DOUBLE) - res / CAST(nt AS DOUBLE)
+           |     + CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE)
+           |       * (1.0 - CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE))), 6)
+           |  AS decomp_gap
+           |FROM agg""".stripMargin,
       "q_isotonic_calibrate" ->
         s"""WITH base AS (
            | SELECT round($stopRatio, 2) AS x,

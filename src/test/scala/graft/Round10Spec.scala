@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Hand-computed gates for the round-10 operators: Kneser-Ney LM,
+  * IPS/SNIPS off-policy evaluation, Brier decomposition, two-regressor
+  * OLS, and DoReMi-shape domain reweighting.
+  */
+class Round10Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Kneser-Ney ------------------------------------------------------
+
+  test("knLmTopK: hand-computed discount and interpolated probability") {
+    // corpus bigrams: (a b) x2, (b a) x1, (a c) x1  ->  types: 3
+    // n1 = 2 (b a, a c), n2 = 1 (a b) -> D = 2/(2+2) = 0.5
+    val docs = Seq((1L, "a b a b", "s1"), (2L, "a c", "s1"))
+      .toDF("doc_id", "text", "source")
+    // doc1 bigrams: (a,b),(b,a),(a,b); doc2: (a,c)
+    val top = operators.TextAnalysis.knLmTopK(docs, k = 10).collect()
+    val ab = top.find(r => r.getString(1) == "b" && r.getString(0) == "a").get
+    assert(ab.getAs[Long]("cb") === 2L)
+    assert(ab.getAs[Long]("cu") === 3L) // c(a,.) = ab,ab,ac
+    assert(ab.getAs[Long]("fwd") === 2L) // a -> {b, c}
+    assert(ab.getAs[Long]("bwd") === 1L) // b completed only by a
+    assert(ab.getAs[Double]("discount") === 0.5)
+    // P(b|a) = (2-0.5)/3 + 0.5*2/3 * (1/3) = 0.5 + 0.111111 = 0.611111
+    assert(math.abs(ab.getAs[Double]("p_kn") - 0.611111) < 1e-6)
+  }
+
+  test("knSurprisal: repeated-text source scores fewer bits than a rare one") {
+    val rep = (1L to 6L).map(i => (i, "the cat sat on the mat", "common"))
+    val rare = Seq((7L, "zyx quux fnord blarg", "rare"))
+    val docs = (rep ++ rare).toDF("doc_id", "text", "source")
+    val m = operators.TextAnalysis.knSurprisal(docs).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("kn_bits")).toMap
+    assert(m("common") < m("rare"))
+    assert(m.values.forall(_ > 0.0))
+  }
+
+  // ---- IPS / SNIPS -----------------------------------------------------
+
+  test("ipsOffPolicy: per-action fold reproduces the row-level estimator") {
+    // 4 events at hour 10 (target = click): two clicks ($10, $20),
+    // one view ($5), one purchase ($40). p(click)=2/4, others 1/4.
+    // w_i = 1/p(a_i) on matched rows: the two clicks, w = 2.
+    // V_IPS = (2*10 + 2*20)/4 = 15 ; V_SNIPS = 60/4 / (4/4) = 15
+    // ESS = (Sw)^2/Sw^2 = 16/8 = 2
+    val ev = Seq(
+      (1L, 1L, "click", 10.0, "2024-07-01 10:00:00"),
+      (2L, 1L, "click", 20.0, "2024-07-01 10:10:00"),
+      (3L, 2L, "view", 5.0, "2024-07-01 10:20:00"),
+      (4L, 2L, "purchase", 40.0, "2024-07-01 10:30:00"))
+      .toDF("event_id", "user_id", "event_type", "value", "s")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), to_timestamp(col("s")).as("ts"))
+    val r = operators.Analytics.ipsOffPolicy(ev).collect()(0)
+    assert(r.getAs[Long]("n") === 4L)
+    assert(r.getAs[Long]("n_matched") === 2L)
+    assert(math.abs(r.getAs[Double]("ips_value") - 15.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("snips_value") - 15.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("ess") - 2.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("match_rate") - 0.5) < 1e-6)
+  }
+
+  test("ipsOffPolicy: zero matches yields null SNIPS, never a divide") {
+    val ev = Seq((1L, 1L, "error", 3.0, "2024-07-01 02:00:00"))
+      .toDF("event_id", "user_id", "event_type", "value", "s")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), to_timestamp(col("s")).as("ts"))
+    val r = operators.Analytics.ipsOffPolicy(ev).collect()(0)
+    assert(r.getAs[Long]("n_matched") === 0L)
+    assert(r.isNullAt(r.fieldIndex("snips_value")))
+    assert(math.abs(r.getAs[Double]("ips_value")) < 1e-9)
+  }
+
+  // ---- Brier decomposition --------------------------------------------
+
+  test("brierDecomposition: textbook two-bin case") {
+    // bin .2: forecasts 0.20 x4, outcomes 1,0,0,0 (rate .25)
+    // bin .8: forecasts 0.80 x4, outcomes 1,1,1,0 (rate .75)
+    // BS = (4*((.2)^2*3 + (.8)^2) + 4-block) /8
+    //  row terms: (.2-0)^2 x3 =.04x3, (.2-1)^2=.64 ; (.8-1)^2 x3=.04x3,
+    //  (.8-0)^2=.64 -> total 2*(.12+.64)=1.52 -> BS=.19
+    // REL = (4*(.2-.25)^2 + 4*(.8-.75)^2)/8 = (4*.0025*2)/8 = .0025
+    // obar=.5 -> RES = (4*(.25-.5)^2+4*(.75-.5)^2)/8 = .0625
+    // UNC = .25 ; identity: .0025-.0625+.25 = .19 = BS, gap 0
+    val df = Seq(
+      (0.20, 1), (0.20, 0), (0.20, 0), (0.20, 0),
+      (0.80, 1), (0.80, 1), (0.80, 1), (0.80, 0))
+      .toDF("q", "label")
+    val r = operators.TextAnalysis.brierDecomposition(df, "q", "label")
+      .collect()(0)
+    assert(r.getAs[Long]("n") === 8L)
+    assert(r.getAs[Long]("n_bins") === 2L)
+    assert(math.abs(r.getAs[Double]("brier") - 0.19) < 1e-9)
+    assert(math.abs(r.getAs[Double]("reliability") - 0.0025) < 1e-9)
+    assert(math.abs(r.getAs[Double]("resolution") - 0.0625) < 1e-9)
+    assert(math.abs(r.getAs[Double]("uncertainty") - 0.25) < 1e-9)
+    assert(math.abs(r.getAs[Double]("decomp_gap")) < 1e-9)
+  }
+
+  // ---- OLS via normal equations ---------------------------------------
+
+  test("olsMulti: exact planted plane is recovered with r2 = 1") {
+    // price = 3 + 2*qty + 50*discount  (USD), quantities/discounts varied
+    val rows = for {
+      q <- 1 to 6; dpc <- Seq(0.00, 0.05, 0.10)
+    } yield (q.toLong, dpc, 3.0 + 2.0 * q + 50.0 * dpc)
+    val li = rows.toDF("l_quantity", "l_discount", "l_extendedprice")
+    val r = operators.Analytics.olsMulti(li).collect()(0)
+    assert(math.abs(r.getAs[Double]("intercept_usd") - 3.0) < 1e-4)
+    assert(math.abs(r.getAs[Double]("per_qty_usd") - 2.0) < 1e-4)
+    assert(math.abs(r.getAs[Double]("per_discount_usd") - 50.0) < 1e-3)
+    assert(math.abs(r.getAs[Double]("r2") - 1.0) < 1e-6)
+  }
+
+  test("olsMulti: collinear design yields null coefficients, no divide") {
+    // discount is an exact linear function of quantity -> singular X'X
+    val rows = (1 to 8).map(q => (q.toLong, q * 0.01, 10.0 + q))
+    val li = rows.toDF("l_quantity", "l_discount", "l_extendedprice")
+    val r = operators.Analytics.olsMulti(li).collect()(0)
+    assert(r.isNullAt(r.fieldIndex("per_qty_usd")))
+    assert(r.isNullAt(r.fieldIndex("r2")))
+  }
+
+  // ---- Domain reweighting ---------------------------------------------
+
+  test("domainReweight: weights normalize and the hard source upweights") {
+    val rep = (1L to 6L).map(i => (i, "the cat sat on the mat", "common"))
+    val rare = Seq((7L, "zyx quux fnord blarg", "rare"),
+      (8L, "vex jolt wizzle kern", "rare"))
+    val docs = (rep ++ rare).toDF("doc_id", "text", "source")
+    val rows = operators.Curation.domainReweight(docs).collect()
+    val w = rows.map(r => r.getString(0) -> r.getAs[Double]("weight")).toMap
+    val a = rows.map(r => r.getString(0) -> r.getAs[Double]("alpha")).toMap
+    assert(math.abs(w.values.sum - 1.0) < 1e-5)
+    assert(math.abs(a.values.sum - 1.0) < 1e-5)
+    // the source the corpus LM finds hard gets more mass
+    assert(w("rare") > w("common"))
+    // smoothing keeps every source sampled
+    assert(a.values.forall(_ > 0.05))
+  }
+}
