@@ -2019,6 +2019,42 @@ object Analytics {
       .orderBy("dur")
   }
 
+  /** RESTRICTED MEAN SURVIVAL TIME (RMST; Royston & Parmar 2013's
+    * recommended KM summary): the area under the Kaplan-Meier curve up
+    * to horizon τ — "expected days retained within the first τ" — the
+    * single-number retention metric that stays defined under censoring
+    * where a plain mean lifetime does not. Left-endpoint step
+    * rectangles over the KM spine (S is a step function, so this is
+    * exact, not a quadrature), clamped at τ, plus the censored tail
+    * rectangle S(t_last)·(τ − t_last).
+    *
+    * Exactness: survival values are the already-6dp KM outputs; each
+    * rectangle rounds to 6dp DECIMAL before the spine-bounded fold.
+    * Scale posture: everything runs on the distinct-duration spine the
+    * KM fit already produces — the only corpus pass is KM's own.
+    */
+  def rmst(events: DataFrame, tau: Int = 14): DataFrame = {
+    val km = kaplanMeier(events).select(col("dur"), col("survival"))
+    val w = Window.orderBy("dur")
+    val prevS = lag(col("survival"), 1, 1.0).over(w)
+    val prevD = lag(col("dur"), 1, 0).over(w)
+    val terms = km.select(
+      when(prevD < tau,
+        round(prevS * (least(col("dur"), lit(tau)) - prevD).cast("double"),
+          6)).otherwise(0.0).cast(DecimalType(18, 6)).as("t"))
+      .agg(count(lit(1)).as("n_steps"),
+        sum(col("t")).cast("double").as("st"))
+    val tail = km.orderBy(desc("dur")).limit(1)
+      .select(when(col("dur") < tau,
+        round(col("survival") * (lit(tau) - col("dur")).cast("double"), 6))
+        .otherwise(0.0).cast(DecimalType(18, 6)).as("tail_t"))
+    terms.crossJoin(broadcast(tail))
+      .select(lit(tau).as("tau"), col("n_steps"),
+        round(col("st") + col("tail_t").cast("double"), 6).as("rmst_days"),
+        round((col("st") + col("tail_t").cast("double")) / tau.toDouble, 6)
+          .as("rmst_share"))
+  }
+
   /** KRUSKAL–WALLIS rank test (Kruskal & Wallis 1952): the k-group
     * generalization of the Mann-Whitney AUC already shipped — does a
     * numeric column's DISTRIBUTION differ across k slices, with no
@@ -3504,6 +3540,81 @@ object Analytics {
       .orderBy("state")
   }
 
+  /** MARKOV REMOVAL-EFFECT ATTRIBUTION (Anderl et al. 2016's
+    * chain-based multi-touch model): each non-conversion event type is a
+    * channel; its credit is how much the session chain's conversion
+    * probability DROPS when walks may no longer pass through it
+    * (removed-channel mass flows to the null absorber). The
+    * fundamental-matrix quantity P(absorb at purchase | start) is solved
+    * by fixed-point value iteration in S = 10^12 integer arithmetic (the
+    * q_pagerank/q_markov_stationary contract), so DuckDB replays every
+    * round bit-for-bit. Transitions out of purchase are ignored
+    * (absorbing); per-state denominators are RAW occurrence counts, so
+    * the residual mass (occ − Σ out) is each state's organic exit to
+    * the null absorber — no renormalization is needed when a channel's
+    * inbound edges are removed, the freed mass exits, which is exactly
+    * the removal semantics.
+    *
+    * Complements q_shapley_attr (cooperative-game credit on converting
+    * paths) with the counterfactual-chain credit the marketing
+    * literature contrasts it against.
+    *
+    * Scale posture: ONE sessionize pass to the k²-row transition frame
+    * and the k-row start/occurrence frames; the value iteration runs on
+    * the (k+1 removals × k states) grid — broadcast-class forever; no
+    * driver state, no collect (removal candidates stay a k-row frame).
+    */
+  def markovAttribution(events: DataFrame, iters: Int = 4): DataFrame = {
+    import graft.CacheScope.TrackedDataset
+    val S = 1000000000000L
+    val spark = events.sparkSession
+    val tr = sessionTransitions(events)
+      .filter(col("src") =!= "purchase").persistTracked()
+    val occ = events.groupBy(col("event_type").as("state"))
+      .agg(count(lit(1)).as("occ")).persistTracked()
+    val removals = occ.select(col("state").as("rm"))
+      .filter(col("rm") =!= "purchase")
+      .union(spark.range(1).select(lit("(none)").as("rm")))
+      .persistTracked()
+    val skeleton = removals.crossJoin(broadcast(occ)).persistTracked()
+    var grid = skeleton.select(col("rm"), col("state"), col("occ"),
+      when(col("state") === "purchase", S).otherwise(0L).as("x"))
+    for (_ <- 1 to iters) {
+      val contrib = grid.select(col("rm"), col("state").as("dst"), col("x"))
+        .join(tr, Seq("dst"))
+        .filter(col("src") =!= col("rm") && col("dst") =!= col("rm"))
+        .groupBy(col("rm"), col("src").as("state"))
+        .agg(sum(expr("CAST(n AS DECIMAL(38,0)) * x")).as("sx"))
+      grid = skeleton.join(contrib, Seq("rm", "state"), "left")
+        .select(col("rm"), col("state"), col("occ"),
+          when(col("state") === "purchase", S)
+            .when(col("state") === col("rm"), 0L)
+            .otherwise(coalesce(expr("CAST(sx div occ AS BIGINT)"),
+              lit(0L))).as("x"))
+    }
+    val st = withSessionNo(events).filter(col("new_sess") === 1)
+      .groupBy(col("event_type").as("state"))
+      .agg(count(lit(1)).as("st")).persistTracked()
+    val stTot = st.agg(sum(col("st")).as("tot"))
+    val pv = grid.join(st, Seq("state"))
+      .groupBy("rm")
+      .agg(sum(expr("CAST(st AS DECIMAL(38,0)) * x")).as("sp"))
+      .crossJoin(broadcast(stTot))
+      .select(col("rm"), expr("CAST(sp div tot AS BIGINT)").as("p"))
+      .persistTracked()
+    val full = pv.filter(col("rm") === "(none)")
+      .select(col("p").as("pf"))
+    pv.filter(col("rm") =!= "(none)")
+      .crossJoin(broadcast(full))
+      .select(col("rm").as("channel"),
+        expr("pf div 1000000").as("p_full_ppm"),
+        expr("p div 1000000").as("p_removed_ppm"),
+        when(col("pf") > 0,
+          expr("CAST(CAST(pf - p AS DECIMAL(38,0)) * 1000000 div pf" +
+            " AS BIGINT)")).as("removal_effect_ppm"))
+      .orderBy("channel")
+  }
+
   /** PRICE INDEX NUMBERS (Laspeyres 1871 / Paasche 1874 / Fisher 1922's
     * ideal index) between the corpus's first and last ship years: the
     * canonical "how much did prices move, holding the basket fixed"
@@ -3757,6 +3868,12 @@ object Analytics {
     "q_ips_offpolicy" -> { (s, d) => ipsOffPolicy(Tables.events(s, d)) },
     // Two-regressor OLS from one Gram-sums pass (distributed normal eqs).
     "q_ols_multi" -> { (s, d) => olsMulti(Tables.lineitem(s, d)) },
+    // Area under the KM curve to day 14: the censoring-safe retention mean.
+    "q_rmst" -> { (s, d) => rmst(Tables.events(s, d)) },
+    // Chain-counterfactual channel credit: conversion-probability drop
+    // when each event type is removed from the session Markov chain.
+    "q_markov_attribution" -> { (s, d) =>
+      markovAttribution(Tables.events(s, d)) },
     // Two-arm ratio-metric lift with user-grain delta-method CI.
     "q_ratio_lift_ci" -> { (s, d) => ratioLiftCi(Tables.events(s, d)) },
     // Matched-model Laspeyres/Paasche/Fisher price indices.
@@ -5417,7 +5534,113 @@ object Analytics {
     s"(1.0 - $fp * $fp - (1.0 - $fp) * (1.0 - $fp))"
   }
 
+  /** Shared DuckDB CTE chain for the Kaplan-Meier spine — used by
+    * q_kaplan_meier and stacked under q_rmst's step integral.
+    * Pre-stripped; embed with plain concatenation only.
+    */
+  private def kmCtesSql: String =
+    """e AS (SELECT user_id, CAST(ts AS DATE) AS dt FROM events),
+      |mx AS (SELECT max(dt) AS mx FROM e),
+      |p AS (
+      | SELECT user_id,
+      |  CAST(datediff('day', min(dt), max(dt)) AS INTEGER) AS dur,
+      |  max(dt) = max(mx) AS censored
+      | FROM e, mx GROUP BY 1),
+      |bd AS (
+      | SELECT dur,
+      |  CAST(sum(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS BIGINT) AS d,
+      |  count(*) AS n_ending
+      | FROM p GROUP BY 1),
+      |tot AS (SELECT count(*) AS n_total FROM p),
+      |r AS (
+      | SELECT dur, d,
+      |  n_total - COALESCE(CAST(sum(n_ending) OVER (ORDER BY dur
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+      |   AS n_at_risk
+      | FROM bd, tot),
+      |s AS (
+      | SELECT dur, d, n_at_risk,
+      |  CAST(CASE WHEN d < n_at_risk THEN
+      |    round(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE)), 6)
+      |   ELSE 0.0 END AS DECIMAL(18,6)) AS term,
+      |  max(CASE WHEN d = n_at_risk THEN 1 ELSE 0 END) OVER (ORDER BY dur
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+      | FROM r),
+      |c AS (
+      | SELECT dur, d, n_at_risk, dead,
+      |  sum(term) OVER (ORDER BY dur
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuml
+      | FROM s)""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    // same sessionize CTEs, same S=1e12 value iteration unrolled per
+    // round (the q_markov_stationary generated-CTE idiom), same integer
+    // removal-effect division
+    "q_markov_attribution" -> {
+      val S = "1000000000000"
+      def roundSql(t: Int) =
+        s"""x$t AS (
+           | SELECT sk.rm, sk.state, sk.occ,
+           |  CASE WHEN sk.state = 'purchase' THEN $S
+           |       WHEN sk.state = sk.rm THEN 0
+           |       ELSE COALESCE(CAST(ag.sx // sk.occ AS BIGINT), 0)
+           |  END AS x
+           | FROM sk LEFT JOIN (
+           |  SELECT xp.rm, tr.src AS state,
+           |   sum(CAST(tr.n AS HUGEINT) * xp.x) AS sx
+           |  FROM x${t - 1} xp JOIN tr ON tr.dst = xp.state
+           |   AND tr.src <> xp.rm AND tr.dst <> xp.rm
+           |  GROUP BY 1, 2) ag
+           |  ON ag.rm = sk.rm AND ag.state = sk.state)""".stripMargin
+      s"""WITH e AS (
+         | SELECT user_id, event_id, event_type,
+         |  date_trunc('second', ts) AS ts FROM events),
+         |g AS (
+         | SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+         |   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END
+         |  AS new_sess
+         | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |s AS (
+         | SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+         |   ORDER BY ts, event_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+         | FROM g),
+         |tpairs AS (
+         | SELECT event_type AS dst, lag(event_type) OVER (
+         |   PARTITION BY user_id, sess_no ORDER BY ts, event_id) AS src
+         | FROM s),
+         |tr AS (
+         | SELECT src, dst, count(*) AS n FROM tpairs
+         | WHERE src IS NOT NULL AND src <> 'purchase' GROUP BY 1, 2),
+         |occ AS (
+         | SELECT event_type AS state, count(*) AS occ FROM e GROUP BY 1),
+         |rms AS (
+         | SELECT state AS rm FROM occ WHERE state <> 'purchase'
+         | UNION ALL SELECT '(none)'),
+         |sk AS (SELECT rm, state, occ FROM rms CROSS JOIN occ),
+         |x0 AS (
+         | SELECT rm, state, occ,
+         |  CASE WHEN state = 'purchase' THEN $S ELSE 0 END AS x FROM sk),
+         |${(1 to 4).map(roundSql).mkString(",\n")},
+         |st AS (
+         | SELECT event_type AS state, count(*) AS st FROM g
+         | WHERE new_sess = 1 GROUP BY 1),
+         |stt AS (SELECT CAST(sum(st) AS BIGINT) AS tot FROM st),
+         |pv AS (
+         | SELECT x4.rm,
+         |  CAST(sum(CAST(st.st AS HUGEINT) * x4.x) // tot AS BIGINT) AS p
+         | FROM x4 JOIN st ON st.state = x4.state CROSS JOIN stt
+         | GROUP BY 1, tot),
+         |pfull AS (SELECT p AS pf FROM pv WHERE rm = '(none)')
+         |SELECT rm AS channel,
+         | CAST(pf // 1000000 AS BIGINT) AS p_full_ppm,
+         | CAST(p // 1000000 AS BIGINT) AS p_removed_ppm,
+         | CASE WHEN pf > 0 THEN
+         |  CAST(CAST(pf - p AS HUGEINT) * 1000000 // pf AS BIGINT)
+         | END AS removal_effect_ppm
+         |FROM pv CROSS JOIN pfull WHERE rm <> '(none)'
+         |ORDER BY rm""".stripMargin
+    },
     // same exact HUGEINT moments, IDENTICAL Cramer strings (shared consts)
     "q_ols_multi" ->
       s"""WITH base AS (
@@ -6768,42 +6991,38 @@ object Analytics {
          |FROM p, t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
     },
     "q_kaplan_meier" ->
-      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS dt FROM events),
-        |mx AS (SELECT max(dt) AS mx FROM e),
-        |p AS (
-        | SELECT user_id,
-        |  CAST(datediff('day', min(dt), max(dt)) AS INTEGER) AS dur,
-        |  max(dt) = max(mx) AS censored
-        | FROM e, mx GROUP BY 1),
-        |bd AS (
-        | SELECT dur,
-        |  CAST(sum(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS BIGINT) AS d,
-        |  count(*) AS n_ending
-        | FROM p GROUP BY 1),
-        |tot AS (SELECT count(*) AS n_total FROM p),
-        |r AS (
-        | SELECT dur, d,
-        |  n_total - COALESCE(CAST(sum(n_ending) OVER (ORDER BY dur
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
-        |   AS n_at_risk
-        | FROM bd, tot),
-        |s AS (
-        | SELECT dur, d, n_at_risk,
-        |  CAST(CASE WHEN d < n_at_risk THEN
-        |    round(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE)), 6)
-        |   ELSE 0.0 END AS DECIMAL(18,6)) AS term,
-        |  max(CASE WHEN d = n_at_risk THEN 1 ELSE 0 END) OVER (ORDER BY dur
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
-        | FROM r),
-        |c AS (
-        | SELECT dur, d, n_at_risk, dead,
-        |  sum(term) OVER (ORDER BY dur
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuml
-        | FROM s)
-        |SELECT dur, n_at_risk, d,
-        | CASE WHEN dead = 1 THEN 0.0
-        |  ELSE round(exp(CAST(cuml AS DOUBLE)), 6) END AS survival
-        |FROM c WHERE d > 0 ORDER BY dur""".stripMargin,
+      ("WITH " + kmCtesSql + "\n" +
+        """SELECT dur, n_at_risk, d,
+          | CASE WHEN dead = 1 THEN 0.0
+          |  ELSE round(exp(CAST(cuml AS DOUBLE)), 6) END AS survival
+          |FROM c WHERE d > 0 ORDER BY dur""".stripMargin),
+    // KM step integral: same spine, lag(survival, 1, 1.0) left-endpoint
+    // rectangles clamped at tau, plus the censored tail rectangle
+    "q_rmst" ->
+      ("WITH " + kmCtesSql + ",\n" +
+        """km AS (
+          | SELECT dur,
+          |  CASE WHEN dead = 1 THEN 0.0
+          |   ELSE round(exp(CAST(cuml AS DOUBLE)), 6) END AS survival
+          | FROM c WHERE d > 0),
+          |terms AS (
+          | SELECT CAST(CASE WHEN lag(dur, 1, 0) OVER (ORDER BY dur) < 14
+          |   THEN round(lag(survival, 1, 1.0) OVER (ORDER BY dur)
+          |    * CAST(least(dur, 14) - lag(dur, 1, 0) OVER (ORDER BY dur)
+          |       AS DOUBLE), 6)
+          |   ELSE 0.0 END AS DECIMAL(18,6)) AS t
+          | FROM km),
+          |tl AS (
+          | SELECT CAST(CASE WHEN dur < 14
+          |   THEN round(survival * CAST(14 - dur AS DOUBLE), 6)
+          |   ELSE 0.0 END AS DECIMAL(18,6)) AS tail_t
+          | FROM km ORDER BY dur DESC LIMIT 1),
+          |agg AS (SELECT count(*) AS n_steps,
+          |        CAST(sum(t) AS DOUBLE) AS st FROM terms)
+          |SELECT CAST(14 AS INTEGER) AS tau, n_steps,
+          | round(st + CAST(tail_t AS DOUBLE), 6) AS rmst_days,
+          | round((st + CAST(tail_t AS DOUBLE)) / 14.0, 6) AS rmst_share
+          |FROM agg CROSS JOIN tl""".stripMargin),
     "q_did" ->
       """WITH e AS (
         | SELECT user_id,

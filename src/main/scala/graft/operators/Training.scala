@@ -343,7 +343,93 @@ object Training {
       .orderBy("epoch")
   }
 
+  /** ONE ALS HALF-STEP of a rank-2 implicit-feedback matrix factorization
+    * (Hu, Koren & Volinsky 2008's alternating shape; Koren et al. 2009):
+    * fix deterministic item factors, solve every user's ridge normal
+    * equations IN THE PLAN — the distributed-ML kernel behind every
+    * production recommender's ALS loop, reduced to its one-step essence
+    * so the oracle can replay it. Per user u over their (item, strength)
+    * edges: P_u = (Σ q_s q_sᵀ + λI)⁻¹ Σ q_s r_us, a 2×2 closed-form
+    * Cramer solve per user (λ > 0 keeps it non-singular). Item factors
+    * initialize functionally — two seeded md5 uniforms PER ITEM KEY,
+    * computed inline on each edge row, so there is no factor table to
+    * build, shuffle, or join on the first sweep.
+    *
+    * Released: the 10 largest-norm user factors plus the global fit
+    * check — RMSE of p·q against the strengths next to the trivial
+    * predict-zero RMS. One half-step must already beat zero; the full
+    * ALS loop is this operator alternated (items solve by the symmetric
+    * groupBy on s), each sweep ONE co-partitioned shuffle.
+    *
+    * Exactness: per-edge Gram terms round to fixed-scale DECIMAL before
+    * the per-user fold (order-safe); the solve and residuals are single
+    * double expressions of those exact sums, mirrored in the oracle.
+    *
+    * Scale posture: edges collapse from the fact join map-side; the
+    * sweep is ONE shuffle keyed on the user; the rescore join keys on
+    * the same user partitioning (co-partitioned, AQE-broadcastable);
+    * top-10 is a TakeOrdered, never a global sort.
+    */
+  def alsStep(orders: DataFrame, lineitem: DataFrame,
+              lambda: Double = 0.1): DataFrame = {
+    import graft.CacheScope.TrackedDataset
+    import org.apache.spark.sql.types.DecimalType
+    val edges = orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem.select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .agg(count(lit(1)).as("r"))
+      .persistTracked()
+    def u(seed: String) =
+      (conv(substring(md5(concat(lit(seed), col("s").cast("string"))),
+        1, 13), 16, 10).cast("long").cast("double") + lit(0.5)) /
+        lit(4503599627370496.0)
+    val q1 = u("alsq1:"); val q2 = u("alsq2:")
+    def d(c: Column) = c.cast("double")
+    def t12(x: Column) = round(x, 12).cast(DecimalType(28, 12))
+    def t6(x: Column) = round(x, 6).cast(DecimalType(28, 6))
+    val pu = edges.select(col("c"), col("r"),
+        q1.as("q1"), q2.as("q2"))
+      .groupBy("c")
+      .agg(count(lit(1)).as("n_items"),
+        sum(t12(col("q1") * col("q1"))).cast("double").as("a11"),
+        sum(t12(col("q1") * col("q2"))).cast("double").as("a12"),
+        sum(t12(col("q2") * col("q2"))).cast("double").as("a22"),
+        sum(t6(col("q1") * d(col("r")))).cast("double").as("b1"),
+        sum(t6(col("q2") * d(col("r")))).cast("double").as("b2"))
+    val a11l = col("a11") + lit(lambda); val a22l = col("a22") + lit(lambda)
+    val det = a11l * a22l - col("a12") * col("a12")
+    val sol = pu.select(col("c"), col("n_items"),
+        ((a22l * col("b1") - col("a12") * col("b2")) / det).as("p1"),
+        ((a11l * col("b2") - col("a12") * col("b1")) / det).as("p2"))
+      .persistTracked()
+    val resid = d(col("r")) - (col("p1") * col("q1") +
+      col("p2") * col("q2"))
+    val glob = edges.join(sol, Seq("c"))
+      .select(col("r"), col("p1"), col("p2"), q1.as("q1"), q2.as("q2"))
+      .select(t6(resid * resid).as("sq"),
+        // DECIMAL(38,0): Σr² at the 100 TB edge count outgrows Long
+        (col("r").cast(DecimalType(38, 0)) *
+          col("r").cast(DecimalType(38, 0))).as("rr"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(col("sq")).cast("double").as("sse"),
+        sum(col("rr")).as("srr"))
+      .select(col("n_edges"),
+        round(sqrt(col("sse") / d(col("n_edges"))), 6).as("rmse"),
+        round(sqrt(d(col("srr")) / d(col("n_edges"))), 6).as("rms_zero"))
+    val norm = col("p1") * col("p1") + col("p2") * col("p2")
+    sol.orderBy(norm.desc, col("c"))
+      .limit(10)
+      .crossJoin(broadcast(glob))
+      .select(col("c").as("custkey"), col("n_items"),
+        round(col("p1"), 6).as("p1"), round(col("p2"), 6).as("p2"),
+        col("n_edges"), col("rmse"), col("rms_zero"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // One ALS half-step: per-user ridge solve against seeded item factors.
+    "q_als_step" -> { (s, d) =>
+      alsStep(Tables.orders(s, d), Tables.lineitem(s, d)) },
     // Source-decorrelation audit of the epoch-shuffle training order.
     "q_shuffle_quality" -> { (s, d) =>
       shuffleQuality(Tables.documents(s, d)) },
@@ -516,6 +602,53 @@ object Training {
   }
 
   def oracles: Map[String, String] = Map(
+    // same seeded item factors, same fixed-scale Gram folds, same 2×2
+    // Cramer/residual double trees
+    "q_als_step" ->
+      """WITH edges AS (
+        | SELECT o_custkey AS c, l_suppkey AS s, count(*) AS r
+        | FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        | GROUP BY 1, 2),
+        |qe AS (
+        | SELECT c, s, r,
+        |  (CAST(CAST('0x' || substr(md5('alsq1:' || CAST(s AS VARCHAR)),
+        |     1, 13) AS BIGINT) AS DOUBLE) + 0.5) / 4503599627370496.0 AS q1,
+        |  (CAST(CAST('0x' || substr(md5('alsq2:' || CAST(s AS VARCHAR)),
+        |     1, 13) AS BIGINT) AS DOUBLE) + 0.5) / 4503599627370496.0 AS q2
+        | FROM edges),
+        |pu AS (
+        | SELECT c, count(*) AS n_items,
+        |  CAST(sum(CAST(round(q1 * q1, 12) AS DECIMAL(28,12))) AS DOUBLE)
+        |   AS a11,
+        |  CAST(sum(CAST(round(q1 * q2, 12) AS DECIMAL(28,12))) AS DOUBLE)
+        |   AS a12,
+        |  CAST(sum(CAST(round(q2 * q2, 12) AS DECIMAL(28,12))) AS DOUBLE)
+        |   AS a22,
+        |  CAST(sum(CAST(round(q1 * CAST(r AS DOUBLE), 6) AS DECIMAL(28,6)))
+        |   AS DOUBLE) AS b1,
+        |  CAST(sum(CAST(round(q2 * CAST(r AS DOUBLE), 6) AS DECIMAL(28,6)))
+        |   AS DOUBLE) AS b2
+        | FROM qe GROUP BY 1),
+        |sol AS (
+        | SELECT c, n_items,
+        |  ((a22 + 0.1) * b1 - a12 * b2)
+        |   / ((a11 + 0.1) * (a22 + 0.1) - a12 * a12) AS p1,
+        |  ((a11 + 0.1) * b2 - a12 * b1)
+        |   / ((a11 + 0.1) * (a22 + 0.1) - a12 * a12) AS p2
+        | FROM pu),
+        |gfit AS (
+        | SELECT count(*) AS n_edges,
+        |  CAST(sum(CAST(round((CAST(r AS DOUBLE) - (p1 * q1 + p2 * q2))
+        |    * (CAST(r AS DOUBLE) - (p1 * q1 + p2 * q2)), 6)
+        |   AS DECIMAL(28,6))) AS DOUBLE) AS sse,
+        |  CAST(sum(CAST(r AS HUGEINT) * r) AS DOUBLE) AS srr
+        | FROM qe JOIN sol USING (c))
+        |SELECT c AS custkey, n_items,
+        | round(p1, 6) AS p1, round(p2, 6) AS p2, n_edges,
+        | round(sqrt(sse / CAST(n_edges AS DOUBLE)), 6) AS rmse,
+        | round(sqrt(srr / CAST(n_edges AS DOUBLE)), 6) AS rms_zero
+        |FROM sol CROSS JOIN gfit
+        |ORDER BY p1 * p1 + p2 * p2 DESC, c LIMIT 10""".stripMargin,
     "q_woe_iv" ->
       """WITH b AS (
         | SELECT bin, CAST(count(*) AS BIGINT) AS n,

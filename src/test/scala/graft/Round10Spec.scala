@@ -124,6 +124,69 @@ class Round10Spec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("r2")))
   }
 
+  // ---- RMST -------------------------------------------------------------
+
+  test("rmst: hand-computed KM step integral with censored tail") {
+    // user1: days 1..4 (dur 3, not censored; last-seen != corpus max)
+    // user2: day 1 and day 10 (dur 9, censored at corpus max)
+    // user3: day 10 only (dur 0, censored)
+    // KM: at dur 3, n_at_risk 2, d 1 -> S = 0.5 (dur-0/9 rows have d=0)
+    // RMST(14) = 1.0*(3-0) + 0.5*(14-3) = 8.5
+    val ev = Seq(
+      (1L, 1L, "2024-07-01 10:00:00"), (2L, 1L, "2024-07-04 10:00:00"),
+      (3L, 2L, "2024-07-01 10:00:00"), (4L, 2L, "2024-07-10 10:00:00"),
+      (5L, 3L, "2024-07-10 12:00:00"))
+      .toDF("event_id", "user_id", "s")
+      .select(col("event_id"), col("user_id"), lit("view").as("event_type"),
+        lit(1.0).as("value"), to_timestamp(col("s")).as("ts"))
+    val r = operators.Analytics.rmst(ev).collect()(0)
+    assert(r.getAs[Int]("tau") === 14)
+    assert(math.abs(r.getAs[Double]("rmst_days") - 8.5) < 1e-6)
+    assert(math.abs(r.getAs[Double]("rmst_share") - 8.5 / 14.0) < 1e-6)
+  }
+
+  // ---- ALS half-step ----------------------------------------------------
+
+  test("alsStep: one half-step beats the predict-zero baseline") {
+    val orders = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    val rows = operators.Training.alsStep(orders, li).collect()
+    assert(rows.length === 10)
+    val rmse = rows.head.getAs[Double]("rmse")
+    val rms0 = rows.head.getAs[Double]("rms_zero")
+    assert(rmse > 0.0 && rmse < rms0)
+    // factors solved, not defaulted
+    assert(rows.forall(r => !r.isNullAt(r.fieldIndex("p1"))))
+    // ranked by factor norm descending
+    val norms = rows.map(r => math.pow(r.getAs[Double]("p1"), 2) +
+      math.pow(r.getAs[Double]("p2"), 2))
+    assert(norms.zip(norms.tail).forall { case (a, b) => a >= b - 1e-9 })
+  }
+
+  // ---- Markov removal attribution ----------------------------------------
+
+  test("markovAttribution: converting channel carries the full effect") {
+    // two sessions click->purchase, one session view (never converts):
+    // P_full = 2/3; removing click kills all conversions (effect 1e6 ppm),
+    // removing view changes nothing (effect 0)
+    val ev = Seq(
+      (1L, 1L, "click", "2024-07-01 10:00:00"),
+      (2L, 1L, "purchase", "2024-07-01 10:01:00"),
+      (3L, 2L, "click", "2024-07-01 11:00:00"),
+      (4L, 2L, "purchase", "2024-07-01 11:01:00"),
+      (5L, 3L, "view", "2024-07-01 12:00:00"))
+      .toDF("event_id", "user_id", "event_type", "s")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        lit(1.0).as("value"), to_timestamp(col("s")).as("ts"))
+    val rows = operators.Analytics.markovAttribution(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === Set("click", "view"))
+    assert(rows("click").getAs[Long]("p_full_ppm") === 666666L)
+    assert(rows("click").getAs[Long]("p_removed_ppm") === 0L)
+    assert(rows("click").getAs[Long]("removal_effect_ppm") === 1000000L)
+    assert(rows("view").getAs[Long]("removal_effect_ppm") === 0L)
+  }
+
   // ---- Domain reweighting ---------------------------------------------
 
   test("domainReweight: weights normalize and the hard source upweights") {
