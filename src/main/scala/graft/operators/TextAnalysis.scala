@@ -747,6 +747,76 @@ object TextAnalysis {
       round(brier - (rel - res + unc), 6).as("decomp_gap"))
   }
 
+  // Shared Newton-step strings for logistic (Platt) calibration — one
+  // literal each, parsed by Spark's expr AND interpolated into the DuckDB
+  // oracle so the double trees match by construction. Level columns:
+  // s (score), w (count), y (positives); scalars a, b; aggregated sums
+  // sga/sgb/shaa/shab/shbb.
+  private[operators] val plattP = "(1.0 / (1.0 + exp(-(a * s + b))))"
+  private[operators] val plattGa =
+    s"CAST(round((y - w * $plattP) * s, 12) AS DECIMAL(28,12))"
+  private[operators] val plattGb =
+    s"CAST(round(y - w * $plattP, 12) AS DECIMAL(28,12))"
+  private[operators] val plattHaa =
+    s"CAST(round(w * $plattP * (1.0 - $plattP) * s * s, 12)" +
+      " AS DECIMAL(28,12))"
+  private[operators] val plattHab =
+    s"CAST(round(w * $plattP * (1.0 - $plattP) * s, 12) AS DECIMAL(28,12))"
+  private[operators] val plattHbb =
+    s"CAST(round(w * $plattP * (1.0 - $plattP), 12) AS DECIMAL(28,12))"
+  private[operators] val plattDet = "(shaa * shbb - shab * shab)"
+  private[operators] val plattDa = s"((sga * shbb - shab * sgb) / $plattDet)"
+  private[operators] val plattDb = s"((shaa * sgb - shab * sga) / $plattDet)"
+
+  /** PLATT SCALING (Platt 1999; logistic calibration) of the same raw
+    * score q_isotonic_calibrate repairs monotonically: fit
+    * P(y=1|s) = σ(A·s + B) by three unrolled Newton-Raphson steps on the
+    * log-likelihood — the PARAMETRIC calibrator (2 parameters, smooth,
+    * extrapolates past the training score range) beside isotonic's
+    * nonparametric step function; the standard pairing in calibration
+    * practice.
+    *
+    * Scale posture: ONE map-side-combined groupBy collapses the corpus
+    * to the distinct-score level frame (the isotonic precedent — a
+    * production score is binned first); every Newton step is level-
+    * cardinality arithmetic against a broadcast 1-row (A,B) frame, so
+    * three steps cost three tiny aggregates, not three corpus passes.
+    *
+    * Exactness: per-level gradient/Hessian terms round to 12dp DECIMAL
+    * before their folds; the σ, Cramer-delta, and log-loss expressions
+    * are literal strings shared with the oracle.
+    */
+  def plattScaling(df: DataFrame, scoreCol: String, labelCol: String,
+                   steps: Int = 3): DataFrame = {
+    import graft.CacheScope.TrackedDataset
+    val spark = df.sparkSession
+    val lv = df.groupBy(col(scoreCol).cast("double").as("s"))
+      .agg(count(lit(1)).as("w"), sum(col(labelCol).cast("long")).as("y"))
+      .persistTracked()
+    var ab = spark.range(1).select(lit(0.0).as("a"), lit(0.0).as("b"))
+    for (_ <- 1 to steps) {
+      ab = lv.crossJoin(broadcast(ab))
+        .groupBy("a", "b")
+        .agg(sum(expr(plattGa)).cast("double").as("sga"),
+          sum(expr(plattGb)).cast("double").as("sgb"),
+          sum(expr(plattHaa)).cast("double").as("shaa"),
+          sum(expr(plattHab)).cast("double").as("shab"),
+          sum(expr(plattHbb)).cast("double").as("shbb"))
+        .select((col("a") + expr(plattDa)).as("a"),
+          (col("b") + expr(plattDb)).as("b"))
+    }
+    val lossT = s"CAST(round(y * ln($plattP)" +
+      s" + (w - y) * ln(1.0 - $plattP), 6) AS DECIMAL(28,6))"
+    lv.crossJoin(broadcast(ab))
+      .groupBy("a", "b")
+      .agg(sum(col("w")).as("n"), count(lit(1)).as("n_levels"),
+        sum(expr(lossT)).cast("double").as("ll"))
+      .select(col("n"), col("n_levels"),
+        round(col("a"), 6).as("platt_a"),
+        round(col("b"), 6).as("platt_b"),
+        round(-col("ll") / col("n").cast("double"), 6).as("log_loss"))
+  }
+
   /** Distributed ISOTONIC REGRESSION (pool-adjacent-violators; Barlow et
     * al. 1972, Best & Chakravarti 1990) for score calibration: given a
     * score column and a binary label, fit the monotone-non-decreasing
@@ -1074,7 +1144,66 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** TEXTRANK KEYWORDS (Mihalcea & Tarau 2004): weighted PageRank over
+    * the word co-occurrence graph (window ≤ 2, both directions, stopwords
+    * dropped) — the graph-centrality keyword extractor beside q_rake's
+    * frequency-heuristic one; a word ranks high when it co-occurs with
+    * other high-ranking words, not merely when it is frequent. Rank
+    * arithmetic is the q_pagerank fixed-point integer scheme verbatim
+    * (S = 10^6 ppm, damping 850/1000, weighted contributions
+    * (850·rank·n) div (1000·wout)), so DuckDB replays every round.
+    *
+    * Scale posture: ONE corpus tokenize/pair pass collapses map-side to
+    * the vocab²-bounded weighted edge frame; all iteration runs on
+    * vocab-sized rank frames (broadcast per round, localCheckpoint to
+    * keep lineage flat — the pagerankTransitions recipe). Top-k is a
+    * TakeOrdered.
+    */
+  def textRank(docs: DataFrame, iters: Int = 6, k: Int = 15): DataFrame = {
+    val toksF = docs.select(tokens(lower(col("text"))).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val n = size(col("toks"))
+    val pairGen = flatten(transform(sequence(lit(1), n), i =>
+      filter(transform(sequence(lit(1), lit(2)), kk =>
+        when(i + kk <= n, struct(
+          element_at(col("toks"), i).as("a"),
+          element_at(col("toks"), i + kk).as("b")))),
+        x => x.isNotNull)))
+    val pairs = toksF.select(explode(pairGen).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") =!= col("b") &&
+        !col("a").isin(enStopwords: _*) && !col("b").isin(enStopwords: _*))
+    val edges = pairs
+      .select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      .persistTracked()
+    val wout = edges.groupBy("src").agg(sum(col("n")).as("wout"))
+    val e = edges.join(wout, "src")
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val base = nodes.crossJoin(broadcast(nodes.agg(count(lit(1)).as("nn"))))
+    var ranks = base.select(col("node"), expr("1000000 div nn").as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(broadcast(ranks), col("src") === col("node"))
+        .select(col("dst"),
+          expr("(850 * rank * n) div (1000 * wout)").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("c"))
+      ranks = base.join(broadcast(contrib), col("node") === col("dst"),
+          "left")
+        .select(col("node"),
+          (expr("150000 div nn") + coalesce(col("c"), lit(0L))).as("rank"))
+        .localCheckpoint()
+    }
+    ranks.orderBy(desc("rank"), col("node")).limit(k)
+      .select(col("node").as("word"), col("rank").cast("long").as("rank_ppm"),
+        round(col("rank").cast("double") / lit(1000000.0), 6).as("share"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_textrank" -> { (s, d) => textRank(Tables.documents(s, d)) },
     "q_readability" -> { (s, d) => readability(Tables.documents(s, d)) },
     "q_mojibake_audit" -> { (s, d) => mojibakeAudit(Tables.documents(s, d)) },
     // Corpus-trained bigram-LM quality scoring (the CCNet perplexity
@@ -1177,6 +1306,15 @@ object TextAnalysis {
           round(stopwordRatio(col("text")), 2).as("q"),
           (col("lang") === "en").cast("int").as("label")),
         "q", "label").orderBy("q")
+    },
+    // Parametric (logistic) calibration of the same score/label pair —
+    // the smooth 2-parameter twin of the isotonic step fit.
+    "q_platt_scaling" -> { (s, d) =>
+      plattScaling(
+        Tables.documents(s, d).select(
+          round(stopwordRatio(col("text")), 2).as("q"),
+          (col("lang") === "en").cast("int").as("label")),
+        "q", "label")
     },
     // Murphy decomposition of the same forecast/label pair: how much of
     // the Brier score recalibration can fix (REL) vs never will (UNC).
@@ -1995,6 +2133,45 @@ object TextAnalysis {
            |SELECT id AS doc_id, count(*) AS n_bigrams,
            | round(-CAST(sum(t) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS lm_bits
            |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
+      // weighted-PageRank keyword twin: same window-2 pair set, same
+      // q_pagerank integer rank scheme, rounds unrolled
+      "q_textrank" -> {
+        val stop = enStopwords.map(w => s"'$w'").mkString(", ")
+        def it(t: Int) =
+          s"""r$t AS (
+             | SELECT nodes.node, 150000 // nn.nn + coalesce(c.c, 0) AS rank
+             | FROM nodes CROSS JOIN nn LEFT JOIN (
+             |   SELECT e.dst,
+             |    sum((850 * r${t - 1}.rank * e.n) // (1000 * w.wout)) AS c
+             |   FROM edges e JOIN r${t - 1} ON e.src = r${t - 1}.node
+             |    JOIN w ON w.src = e.src
+             |   GROUP BY 1) c ON c.dst = nodes.node)""".stripMargin
+        s"""WITH tk AS (
+           | SELECT ${tokensSql("lower(text)")} AS toks FROM documents),
+           |tf AS (SELECT toks FROM tk WHERE len(toks) >= 2),
+           |bb AS (
+           | SELECT toks[i] AS a, toks[i + kk] AS b
+           | FROM tf, unnest(range(1, len(toks) + 1)) AS r(i)
+           |  CROSS JOIN (VALUES (1), (2)) AS kx(kk)
+           | WHERE i + kk <= len(toks)),
+           |pp AS (
+           | SELECT a, b FROM bb
+           | WHERE a <> b AND a NOT IN ($stop) AND b NOT IN ($stop)),
+           |es AS (SELECT a AS src, b AS dst FROM pp
+           |       UNION ALL SELECT b, a FROM pp),
+           |edges AS (SELECT src, dst, count(*) AS n FROM es GROUP BY 1, 2),
+           |w AS (SELECT src, CAST(sum(n) AS BIGINT) AS wout
+           |      FROM edges GROUP BY 1),
+           |nodes AS (SELECT DISTINCT node FROM (
+           | SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM nodes),
+           |r0 AS (SELECT node, 1000000 // nn AS rank
+           |       FROM nodes CROSS JOIN nn),
+           |${(1 to 6).map(it).mkString(",\n")}
+           |SELECT node AS word, CAST(rank AS BIGINT) AS rank_ppm,
+           | round(CAST(rank AS DOUBLE) / 1000000.0, 6) AS share
+           |FROM r6 ORDER BY rank DESC, node LIMIT 15""".stripMargin
+      },
       // Kneser-Ney twins: same count frames, same D = n1/(n1+2n2), same
       // interpolated-probability expression tree, 6dp term fold
       "q_kn_lm" ->
@@ -2187,6 +2364,38 @@ object TextAnalysis {
            |SELECT bin, n, round(ms, 6) AS mean_score,
            | round(fp, 6) AS frac_pos, round(abs(fp - ms), 6) AS gap, ece
            |FROM g, e ORDER BY bin""".stripMargin,
+      // logistic-calibration twin: same level frame, same shared σ /
+      // gradient / Cramer-delta strings, 3 unrolled Newton CTEs
+      "q_platt_scaling" -> {
+        def stepSql(t: Int) =
+          s"""ab$t AS (
+             | SELECT a + $plattDa AS a, b + $plattDb AS b
+             | FROM (
+             |  SELECT a, b,
+             |   CAST(sum($plattGa) AS DOUBLE) AS sga,
+             |   CAST(sum($plattGb) AS DOUBLE) AS sgb,
+             |   CAST(sum($plattHaa) AS DOUBLE) AS shaa,
+             |   CAST(sum($plattHab) AS DOUBLE) AS shab,
+             |   CAST(sum($plattHbb) AS DOUBLE) AS shbb
+             |  FROM lv CROSS JOIN ab${t - 1} GROUP BY 1, 2))""".stripMargin
+        s"""WITH base AS (
+           | SELECT round($stopRatio, 2) AS q,
+           |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+           | FROM documents),
+           |lv AS (
+           | SELECT CAST(q AS DOUBLE) AS s, count(*) AS w,
+           |  CAST(sum(label) AS BIGINT) AS y
+           | FROM base GROUP BY 1),
+           |ab0 AS (SELECT 0.0 AS a, 0.0 AS b),
+           |${(1 to 3).map(stepSql).mkString(",\n")}
+           |SELECT CAST(sum(w) AS BIGINT) AS n, count(*) AS n_levels,
+           | round(any_value(a), 6) AS platt_a,
+           | round(any_value(b), 6) AS platt_b,
+           | round(-CAST(sum(CAST(round(y * ln($plattP)
+           |    + (w - y) * ln(1.0 - $plattP), 6) AS DECIMAL(28,6)))
+           |   AS DOUBLE) / CAST(sum(w) AS DOUBLE), 6) AS log_loss
+           |FROM lv CROSS JOIN ab3""".stripMargin
+      },
       // same 10-bin frame, exact 4dp (s−y)² fold, 6dp REL/RES terms
       "q_brier_decomp" ->
         s"""WITH base AS (

@@ -124,6 +124,52 @@ class Round10Spec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("r2")))
   }
 
+  // ---- TextRank ----------------------------------------------------------
+
+  test("textRank: the hub word outranks its spokes") {
+    val docs = Seq(
+      (1L, "spark runs fast", "s"), (2L, "spark scales well", "s"),
+      (3L, "spark joins data", "s"), (4L, "spark streams data", "s"))
+      .toDF("doc_id", "text", "source")
+    val rows = operators.TextAnalysis.textRank(docs, iters = 6, k = 20)
+      .collect()
+    assert(rows.head.getString(0) === "spark")
+    assert(rows.head.getAs[Long]("rank_ppm") >
+      rows.last.getAs[Long]("rank_ppm"))
+    // fixed-point masses stay in ppm range
+    assert(rows.forall(r => r.getAs[Long]("rank_ppm") > 0 &&
+      r.getAs[Long]("rank_ppm") < 1000000L))
+  }
+
+  // ---- Platt scaling ------------------------------------------------------
+
+  test("plattScaling: uninformative labels fix A=B=0 at log-loss ln2") {
+    // every level converts at exactly 1/2 -> gradient is 0 at the
+    // (0,0) start, Newton stays put, loss is the coin-flip entropy
+    val df = Seq(0.1, 0.3, 0.5, 0.7, 0.9)
+      .flatMap(s => Seq((s, 1), (s, 0)))
+      .toDF("q", "label")
+    val r = operators.TextAnalysis.plattScaling(df, "q", "label")
+      .collect()(0)
+    assert(r.getAs[Double]("platt_a") === 0.0)
+    assert(r.getAs[Double]("platt_b") === 0.0)
+    assert(math.abs(r.getAs[Double]("log_loss") - math.log(2.0)) < 1e-5)
+  }
+
+  test("plattScaling: a monotone rate curve fits a positive slope") {
+    // rate rises with the score -> A > 0 and the fit beats coin-flip
+    val rows = Seq((0.1, 10, 1), (0.3, 10, 3), (0.5, 10, 5),
+      (0.7, 10, 7), (0.9, 10, 9)).flatMap { case (s, w, pos) =>
+      (1 to pos).map(_ => (s, 1)) ++ (1 to (w - pos)).map(_ => (s, 0))
+    }
+    val df = rows.toDF("q", "label")
+    val r = operators.TextAnalysis.plattScaling(df, "q", "label")
+      .collect()(0)
+    assert(r.getAs[Long]("n") === 50L)
+    assert(r.getAs[Double]("platt_a") > 0.0)
+    assert(r.getAs[Double]("log_loss") < math.log(2.0))
+  }
+
   // ---- RMST -------------------------------------------------------------
 
   test("rmst: hand-computed KM step integral with censored tail") {
