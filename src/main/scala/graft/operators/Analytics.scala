@@ -3908,6 +3908,12 @@ object Analytics {
     "q_auc_delong_ci" -> { (s, d) =>
       aucDelongCi(Tables.documents(s, d), col("n_chars"),
         col("lang") === "en") },
+    // Adversarial validation (split hygiene): can a drift-prone feature
+    // predict the held-out flag? Healthy split -> AUC CI straddles 0.5.
+    "q_adversarial_valid" -> { (s, d) =>
+      aucDelongCi(Tables.documents(s, d), col("n_chars"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 5 === 0) },
     // Bayesian A/B: P(B beats A) + credible interval of the lift
     // (normal posterior on exact moment sums, portable A&S Phi).
     "q_bayes_ab" -> { (s, d) => bayesAb(Tables.events(s, d)) },
@@ -5534,6 +5540,54 @@ object Analytics {
     s"(1.0 - $fp * $fp - (1.0 - $fp) * (1.0 - $fp))"
   }
 
+  /** Parameterized DeLong-CI DuckDB statement over documents' n_chars
+    * score — shared by q_auc_delong_ci (label = is-English) and
+    * q_adversarial_valid (label = held-out split flag). Same placement
+    * identity, same 6dp moment folds, same degenerate-count guards.
+    */
+  private def delongSql(posPred: String, wherePred: String): String =
+    s"""WITH c AS (
+       | SELECT CAST(n_chars AS BIGINT) AS v,
+       |  CAST(sum(CASE WHEN $posPred THEN 1 ELSE 0 END) AS BIGINT) AS p,
+       |  CAST(sum(CASE WHEN $posPred THEN 0 ELSE 1 END) AS BIGINT) AS q
+       | FROM documents
+       | WHERE $wherePred
+       | GROUP BY 1),
+       |cum AS (
+       | SELECT v, p, q,
+       |  sum(q) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cq,
+       |  sum(p) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cp
+       | FROM c),
+       |tot AS (SELECT CAST(sum(p) AS BIGINT) AS n1,
+       |        CAST(sum(q) AS BIGINT) AS n0 FROM c),
+       |m AS (
+       | SELECT n1, n0,
+       |  CAST(sum(CAST(round(p * ((CAST(cq - q AS DOUBLE) + 0.5 * q) / n0),
+       |    6) AS DECIMAL(28,6))) AS DOUBLE) AS s10,
+       |  CAST(sum(CAST(round(p * (((CAST(cq - q AS DOUBLE) + 0.5 * q) / n0)
+       |    * ((CAST(cq - q AS DOUBLE) + 0.5 * q) / n0)),
+       |    6) AS DECIMAL(28,6))) AS DOUBLE) AS ss10,
+       |  CAST(sum(CAST(round(q * ((CAST(n1 - cp AS DOUBLE) + 0.5 * p) / n1),
+       |    6) AS DECIMAL(28,6))) AS DOUBLE) AS s01,
+       |  CAST(sum(CAST(round(q * (((CAST(n1 - cp AS DOUBLE) + 0.5 * p) / n1)
+       |    * ((CAST(n1 - cp AS DOUBLE) + 0.5 * p) / n1)),
+       |    6) AS DECIMAL(28,6))) AS DOUBLE) AS ss01
+       | FROM cum CROSS JOIN tot GROUP BY 1, 2)
+       |SELECT n1 AS n_pos, n0 AS n_neg,
+       | round(s10 / n1, 6) AS auc,
+       | CASE WHEN n1 > 1 AND n0 > 1 THEN
+       |  round(sqrt((ss10 - s10 * s10 / n1) / (n1 - 1) / n1
+       |   + (ss01 - s01 * s01 / n0) / (n0 - 1) / n0), 6) END AS se_delong,
+       | CASE WHEN n1 > 1 AND n0 > 1 THEN
+       |  round(s10 / n1 - 1.959964 * sqrt((ss10 - s10 * s10 / n1)
+       |   / (n1 - 1) / n1 + (ss01 - s01 * s01 / n0) / (n0 - 1) / n0), 6)
+       |  END AS ci_lo,
+       | CASE WHEN n1 > 1 AND n0 > 1 THEN
+       |  round(s10 / n1 + 1.959964 * sqrt((ss10 - s10 * s10 / n1)
+       |   / (n1 - 1) / n1 + (ss01 - s01 * s01 / n0) / (n0 - 1) / n0), 6)
+       |  END AS ci_hi
+       |FROM m""".stripMargin
+
   /** Shared DuckDB CTE chain for the Kaplan-Meier spine — used by
     * q_kaplan_meier and stacked under q_rmst's step integral.
     * Pre-stripped; embed with plain concatenation only.
@@ -6384,47 +6438,15 @@ object Analytics {
          |FROM s""".stripMargin
     },
     "q_auc_delong_ci" ->
-      """WITH c AS (
-        | SELECT CAST(n_chars AS BIGINT) AS v,
-        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS p,
-        |  CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS q
-        | FROM documents
-        | WHERE n_chars IS NOT NULL AND lang IS NOT NULL
-        | GROUP BY 1),
-        |cum AS (
-        | SELECT v, p, q,
-        |  sum(q) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cq,
-        |  sum(p) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cp
-        | FROM c),
-        |tot AS (SELECT CAST(sum(p) AS BIGINT) AS n1,
-        |        CAST(sum(q) AS BIGINT) AS n0 FROM c),
-        |m AS (
-        | SELECT n1, n0,
-        |  CAST(sum(CAST(round(p * ((CAST(cq - q AS DOUBLE) + 0.5 * q) / n0),
-        |    6) AS DECIMAL(28,6))) AS DOUBLE) AS s10,
-        |  CAST(sum(CAST(round(p * (((CAST(cq - q AS DOUBLE) + 0.5 * q) / n0)
-        |    * ((CAST(cq - q AS DOUBLE) + 0.5 * q) / n0)),
-        |    6) AS DECIMAL(28,6))) AS DOUBLE) AS ss10,
-        |  CAST(sum(CAST(round(q * ((CAST(n1 - cp AS DOUBLE) + 0.5 * p) / n1),
-        |    6) AS DECIMAL(28,6))) AS DOUBLE) AS s01,
-        |  CAST(sum(CAST(round(q * (((CAST(n1 - cp AS DOUBLE) + 0.5 * p) / n1)
-        |    * ((CAST(n1 - cp AS DOUBLE) + 0.5 * p) / n1)),
-        |    6) AS DECIMAL(28,6))) AS DOUBLE) AS ss01
-        | FROM cum CROSS JOIN tot GROUP BY 1, 2)
-        |SELECT n1 AS n_pos, n0 AS n_neg,
-        | round(s10 / n1, 6) AS auc,
-        | CASE WHEN n1 > 1 AND n0 > 1 THEN
-        |  round(sqrt((ss10 - s10 * s10 / n1) / (n1 - 1) / n1
-        |   + (ss01 - s01 * s01 / n0) / (n0 - 1) / n0), 6) END AS se_delong,
-        | CASE WHEN n1 > 1 AND n0 > 1 THEN
-        |  round(s10 / n1 - 1.959964 * sqrt((ss10 - s10 * s10 / n1)
-        |   / (n1 - 1) / n1 + (ss01 - s01 * s01 / n0) / (n0 - 1) / n0), 6)
-        |  END AS ci_lo,
-        | CASE WHEN n1 > 1 AND n0 > 1 THEN
-        |  round(s10 / n1 + 1.959964 * sqrt((ss10 - s10 * s10 / n1)
-        |   / (n1 - 1) / n1 + (ss01 - s01 * s01 / n0) / (n0 - 1) / n0), 6)
-        |  END AS ci_hi
-        |FROM m""".stripMargin,
+      delongSql("lang = 'en'",
+        "n_chars IS NOT NULL AND lang IS NOT NULL"),
+    // split-hygiene check: a drift-prone feature should NOT predict the
+    // held-out flag (healthy split -> AUC CI straddles 0.5)
+    "q_adversarial_valid" ->
+      delongSql(
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))" +
+          " AS BIGINT) % 5 = 0",
+        "n_chars IS NOT NULL"),
     "q_cem_att" ->
       """WITH rows0 AS (
         | SELECT (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS t,

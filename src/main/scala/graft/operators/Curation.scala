@@ -710,6 +710,47 @@ object Curation {
       .orderBy("source")
   }
 
+  /** CCNet HEAD/MIDDLE/TAIL PERPLEXITY BUCKETS (Wenzek et al. 2020's
+    * released corpus partition): docs cut into equal thirds of the
+    * corpus-LM surprisal distribution, reported as per-source bucket
+    * shares — the table that tells a curation run which sources are
+    * fluent-typical (head-heavy) vs atypical (tail-heavy), and the
+    * standard pre-filtering readout before a perplexity cut is chosen.
+    *
+    * Exactness: tercile boundaries are INTEGER comparisons on the
+    * centibit value spine (cum·3 ≤ n / cum·3 ≤ 2n — the q_abc_classes
+    * boundary idiom), so no float share can flip a doc at the cut.
+    *
+    * Scale posture: the per-doc surprisal frame cuts on CENTIBIT levels
+    * (2dp), so the cumulative window runs on a ≤few-thousand-row value
+    * spine, never doc cardinality; the rollup is source×3.
+    */
+  def ccnetBuckets(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.CacheScope.TrackedDataset
+    val per = TextAnalysis.knDocSurprisal(docs)
+      .select(col("source"),
+        round(col("kn_bits") * 100, 0).cast("long").as("cb2"))
+      .persistTracked()
+    val spine = per.groupBy("cb2").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(Window.orderBy("cb2")))
+    val tot = per.agg(count(lit(1)).as("n"))
+    val bucketed = per.join(spine.select("cb2", "cum"), Seq("cb2"))
+      .crossJoin(broadcast(tot))
+      .select(col("source"),
+        when(col("cum") * 3 <= col("n"), "head")
+          .when(col("cum") * 3 <= col("n") * 2, "middle")
+          .otherwise("tail").as("bucket"))
+    val bySrc = bucketed.groupBy("source")
+      .agg(count(lit(1)).as("src_docs"))
+    bucketed.groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"))
+      .join(broadcast(bySrc), Seq("source"))
+      .select(col("source"), col("bucket"), col("n_docs"),
+        expr("n_docs * 1000000 div src_docs").as("share_ppm"))
+      .orderBy("source", "bucket")
+  }
+
   /** Herfindahl–Hirschman concentration of the source token mix — see
     * the q_hhi_sources entry comment.
     */
@@ -733,6 +774,9 @@ object Curation {
     // DoReMi-shape source reweighting: softmax of corpus-LM excess loss.
     "q_domain_reweight" -> { (s, d) =>
       domainReweight(Tables.documents(s, d)) },
+    // CCNet head/middle/tail perplexity thirds, per-source shares.
+    "q_ccnet_buckets" -> { (s, d) =>
+      ccnetBuckets(Tables.documents(s, d)) },
     "q_loso_impact" -> { (s, d) => losoImpact(Tables.documents(s, d)) },
     // IPF/raking: uniform-source × observed-lang mix calibration.
     "q_ipf_raking" -> { (s, d) => ipfRaking(Tables.documents(s, d)) },
@@ -1879,6 +1923,33 @@ object Curation {
         |    '[ \t]+', ' ', 'g'))) AS BIGINT) AS clean_chars
         | FROM planted)
         |SELECT * FROM r WHERE n_urls + n_tags > 0 ORDER BY doc_id""".stripMargin,
+    // same per-doc KN surprisal (shared CTEs), same integer tercile cuts
+    "q_ccnet_buckets" ->
+      ("WITH " + TextAnalysis.knCountCtesSql + ",\n" +
+        TextAnalysis.knTermsCteSql + ",\n" +
+        TextAnalysis.knDocCteSql + ",\n" +
+        """per AS (
+          | SELECT source,
+          |  CAST(round(kn_bits * 100, 0) AS BIGINT) AS cb2
+          | FROM docsur),
+          |spine AS (
+          | SELECT cb2, CAST(sum(count(*)) OVER (ORDER BY cb2
+          |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          |  AS cum
+          | FROM per GROUP BY 1),
+          |tot AS (SELECT count(*) AS n FROM per),
+          |bk AS (
+          | SELECT source,
+          |  CASE WHEN cum * 3 <= n THEN 'head'
+          |       WHEN cum * 3 <= n * 2 THEN 'middle'
+          |       ELSE 'tail' END AS bucket
+          | FROM per JOIN spine USING (cb2) CROSS JOIN tot),
+          |bs AS (SELECT source, count(*) AS src_docs FROM bk GROUP BY 1)
+          |SELECT source, bucket, count(*) AS n_docs,
+          | CAST(count(*) * 1000000 // src_docs AS BIGINT) AS share_ppm
+          |FROM bk JOIN bs USING (source)
+          |GROUP BY source, bucket, src_docs
+          |ORDER BY source, bucket""".stripMargin),
     // same KN surprisal frame (shared CTE strings), same 6dp/12dp folds
     "q_domain_reweight" ->
       ("WITH " + TextAnalysis.knCountCtesSql + ",\n" +

@@ -580,6 +580,21 @@ object TextAnalysis {
         round(col("p"), 6).as("p_kn"))
   }
 
+  /** Per-DOC mean KN surprisal — the row-grain frame q_ccnet_buckets
+    * cuts into head/middle/tail and [[knSurprisal]] rolls up per source.
+    */
+  def knDocSurprisal(docs: DataFrame): DataFrame = {
+    val (bi, cb, cu, bwd, gl) = knFrames(docs)
+    val term = round(-log2(knProb), 6).cast(DecimalType(18, 6))
+    bi.join(cb, Seq("w1", "w2")).join(cu, Seq("w1")).join(bwd, Seq("w2"))
+      .crossJoin(broadcast(gl))
+      .select(col("id"), col("source"), term.as("t"))
+      .groupBy("id", "source")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("t")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("kn_bits"))
+  }
+
   /** Per-source mean KN surprisal (−log2 P_KN per bigram instance) — the
     * CCNet head/middle/tail signal at the source grain: a source whose
     * corpus-LM surprisal runs hot is atypical of the corpus (and a
@@ -2032,6 +2047,14 @@ object TextAnalysis {
        |  CAST(sum(CASE WHEN cb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
        |  CAST(sum(CASE WHEN cb = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
        | FROM cb)""".stripMargin
+
+  /** Per-doc surprisal CTE (stacks on [[knTermsCteSql]]'s `terms`). */
+  def knDocCteSql: String =
+    """docsur AS (
+      | SELECT id, source, count(*) AS n_bigrams,
+      |  round(CAST(sum(t) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+      |   AS kn_bits
+      | FROM terms GROUP BY 1, 2)""".stripMargin
 
   def knTermsCteSql: String =
     """terms AS (

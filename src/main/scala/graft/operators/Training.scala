@@ -426,10 +426,63 @@ object Training {
         col("n_edges"), col("rmse"), col("rms_zero"))
   }
 
+  /** GREEDY k-CENTER CORESET (Gonzalez 1985's farthest-first traversal,
+    * the 2-approximation): k maximally-spread representatives of the
+    * embedding set — the diversity-first data-selection kernel (active
+    * learning seed sets, dedup-aware subset picks) that complements
+    * q_kmeans' density-seeking centroids. Distances are EXACT integer
+    * squared distances on the int8-quantized codes (d² = n2a − 2·a·b +
+    * n2b, the q_embed_quant machinery), so both engines replay the
+    * whole greedy trajectory bit-for-bit — no float argmax anywhere.
+    *
+    * Scale posture: the min-distance frame updates against ONE new
+    * broadcast center per round (k map passes total, never a k×n join);
+    * each round's argmax is a TakeOrdered. localCheckpoint per round
+    * keeps lineage flat (the X12 rule). Released: the k centers in
+    * selection order with their selection distance (monotone
+    * non-increasing — the greedy invariant) and the final covering
+    * radius (the k-center objective).
+    */
+  def kCenterCoreset(emb: DataFrame, k: Int = 5): DataFrame = {
+    import graft.CacheScope.TrackedDataset
+    val pts = quantizeEmbeddings(emb)
+      .select(col("vec_id"), col("codes"),
+        coalesce(intDot(col("codes"), col("codes")), lit(0L)).as("n2"))
+      .persistTracked()
+    val c1 = pts.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("cid"), col("codes").as("ccodes"),
+        col("n2").as("n2c"))
+    def d2 = col("n2") -
+      lit(2L) * coalesce(intDot(col("codes"), col("ccodes")), lit(0L)) +
+      col("n2c")
+    var md = pts.crossJoin(broadcast(c1))
+      .select(col("vec_id"), col("codes"), col("n2"), d2.as("d2min"))
+      .localCheckpoint()
+    var centers = c1.select(lit(1).as("step"), col("cid").as("center_id"),
+      lit(null).cast("long").as("d2_selected"))
+    for (t <- 2 to k) {
+      val cnew = md.orderBy(desc("d2min"), asc("vec_id")).limit(1)
+        .select(col("vec_id").as("cid"), col("codes").as("ccodes"),
+          col("n2").as("n2c"), col("d2min").as("dsel"))
+        .localCheckpoint()
+      centers = centers.union(
+        cnew.select(lit(t).as("step"), col("cid"), col("dsel")))
+      md = md.crossJoin(broadcast(cnew.drop("dsel")))
+        .select(col("vec_id"), col("codes"), col("n2"),
+          least(col("d2min"), d2).as("d2min"))
+        .localCheckpoint()
+    }
+    val radius = md.agg(max(col("d2min")).as("radius_d2"))
+    centers.crossJoin(broadcast(radius)).orderBy("step")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // One ALS half-step: per-user ridge solve against seeded item factors.
     "q_als_step" -> { (s, d) =>
       alsStep(Tables.orders(s, d), Tables.lineitem(s, d)) },
+    // Farthest-first k-center coreset over int8 codes (exact integer d²).
+    "q_kcenter_coreset" -> { (s, d) =>
+      kCenterCoreset(Tables.embeddings(s, d)) },
     // Source-decorrelation audit of the epoch-shuffle training order.
     "q_shuffle_quality" -> { (s, d) =>
       shuffleQuality(Tables.documents(s, d)) },
@@ -602,6 +655,45 @@ object Training {
   }
 
   def oracles: Map[String, String] = Map(
+    // same int8 codes, same integer d², greedy rounds unrolled
+    "q_kcenter_coreset" -> {
+      def roundSql(t: Int) =
+        s"""c$t AS (
+           | SELECT vec_id AS cid, codes AS ccodes, n2 AS n2c,
+           |  d2min AS dsel
+           | FROM md${t - 1} ORDER BY d2min DESC, vec_id LIMIT 1),
+           |md$t AS (
+           | SELECT m.vec_id, m.codes, m.n2,
+           |  least(m.d2min, m.n2
+           |   - 2 * CAST(coalesce(${intDotSql("m.codes", "ccodes")}, 0)
+           |      AS BIGINT) + n2c) AS d2min
+           | FROM md${t - 1} m CROSS JOIN c$t)""".stripMargin
+      s"""WITH pts AS (
+         | SELECT vec_id, codes,
+         |  CAST(coalesce(${intDotSql("codes", "codes")}, 0) AS BIGINT)
+         |   AS n2
+         | FROM (SELECT vec_id,
+         |   ${codesSql("embedding", scaleSql("embedding"))} AS codes
+         |  FROM embeddings)),
+         |c1 AS (SELECT vec_id AS cid, codes AS ccodes, n2 AS n2c
+         |       FROM pts ORDER BY vec_id LIMIT 1),
+         |md1 AS (
+         | SELECT p.vec_id, p.codes, p.n2,
+         |  p.n2 - 2 * CAST(coalesce(${intDotSql("p.codes", "ccodes")}, 0)
+         |     AS BIGINT) + n2c AS d2min
+         | FROM pts p CROSS JOIN c1),
+         |${(2 to 5).map(roundSql).mkString(",\n")},
+         |rad AS (SELECT CAST(max(d2min) AS BIGINT) AS radius_d2 FROM md5),
+         |ctr AS (
+         | SELECT 1 AS step, cid AS center_id,
+         |  CAST(NULL AS BIGINT) AS d2_selected FROM c1
+         | ${(2 to 5).map(t =>
+            s"UNION ALL SELECT $t, cid, CAST(dsel AS BIGINT) FROM c$t")
+            .mkString("\n ")})
+         |SELECT CAST(step AS INTEGER) AS step, center_id, d2_selected,
+         | radius_d2
+         |FROM ctr CROSS JOIN rad ORDER BY step""".stripMargin
+    },
     // same seeded item factors, same fixed-scale Gram folds, same 2×2
     // Cramer/residual double trees
     "q_als_step" ->

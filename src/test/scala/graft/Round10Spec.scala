@@ -233,6 +233,66 @@ class Round10Spec extends SparkSpec {
     assert(rows("view").getAs[Long]("removal_effect_ppm") === 0L)
   }
 
+  // ---- CCNet buckets ------------------------------------------------------
+
+  test("ccnetBuckets: repeated-text source heads, gibberish source tails") {
+    val easy = (1L to 3L).map(i => (i, "the cat sat on the mat again", "easy"))
+    val hard = Seq((4L, "zyx quux fnord blarg xylo", "hard"),
+      (5L, "vex jolt wizzle kern plonk", "hard"),
+      (6L, "grok snarf blip quux zeta", "hard"))
+    val mid = (7L to 9L).map(i =>
+      (i, s"the cat quux number$i on mat", "mid"))
+    val docs = (easy ++ hard ++ mid).toDF("doc_id", "text", "source")
+    val rows = operators.Curation.ccnetBuckets(docs).collect()
+    val m = rows.map(r => (r.getString(0), r.getString(1)) ->
+      r.getAs[Long]("n_docs")).toMap
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === 9L)
+    // identical easy docs share one surprisal level -> all head
+    assert(m.getOrElse(("easy", "head"), 0L) === 3L)
+    assert(m.getOrElse(("hard", "tail"), 0L) >= 2L)
+    // per-source shares are ppm of that source's docs
+    assert(rows.filter(_.getString(0) == "easy")
+      .map(_.getAs[Long]("share_ppm")).sum === 1000000L)
+  }
+
+  // ---- k-center coreset ---------------------------------------------------
+
+  test("kCenterCoreset: farthest-first picks one center per planted cluster") {
+    // three directionally-distinct clusters (codes are scale-invariant)
+    def v(dir: Int, eps: Float) = {
+      val a = Array.fill(4)(0f); a(dir) = 1f; a((dir + 1) % 4) = eps; a
+    }
+    val emb = Seq(
+      (1L, v(0, 0.00f)), (2L, v(0, 0.02f)), (3L, v(0, 0.04f)),
+      (10L, v(1, 0.00f)), (11L, v(1, 0.02f)),
+      (20L, v(2, 0.00f)), (21L, v(2, 0.02f)))
+      .toDF("vec_id", "embedding")
+    val rows = operators.Training.kCenterCoreset(emb, k = 3).collect()
+    assert(rows.length === 3)
+    val ids = rows.map(_.getAs[Long]("center_id"))
+    assert(ids(0) === 1L) // deterministic seed: min vec_id
+    // one center per cluster: ids span the three id bands
+    assert(ids.map(_ / 10).toSet === Set(0L, 1L, 2L))
+    // greedy invariant: selection distance is non-increasing
+    val dsel = rows.drop(1).map(_.getAs[Long]("d2_selected"))
+    assert(dsel.zip(dsel.tail).forall { case (a, b) => a >= b })
+    // covering radius is within-cluster scale, far below cross-cluster
+    assert(rows.head.getAs[Long]("radius_d2") < dsel.min)
+  }
+
+  // ---- adversarial validation ---------------------------------------------
+
+  test("adversarial validation: a split-independent feature scores near 0.5") {
+    val docs = Tables.documents(spark, sfDir)
+    val r = operators.Analytics.aucDelongCi(docs, col("n_chars"),
+      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 5 === 0).collect()(0)
+    val auc = r.getAs[Double]("auc")
+    assert(auc > 0.35 && auc < 0.65)
+    // the CI straddles chance — the healthy-split verdict
+    assert(r.getAs[Double]("ci_lo") < 0.5 && r.getAs[Double]("ci_hi") > 0.5)
+  }
+
   // ---- Domain reweighting ---------------------------------------------
 
   test("domainReweight: weights normalize and the hard source upweights") {
