@@ -3863,7 +3863,118 @@ object Analytics {
       when(ok && tss > 0, round(lit(1.0) - sse / tss, 6)).as("r2"))
   }
 
+  /** MORAN'S I SPATIAL AUTOCORRELATION (Moran 1950) of customer density
+    * over the derived 0.5°-cell grid (the P8/P9 synthetic-geo binning
+    * convention): are occupied cells' counts similar to their
+    * queen-adjacent neighbors' (I > E[I] = −1/(N−1), clustering) or
+    * anti-correlated (checkerboard)? The standard first screen before
+    * trusting per-cell hotspot statistics (q_grid_clusters,
+    * q_s6_bbox_summary).
+    *
+    * Exactness: with z'_i = N·x_i − Σx (exact integers; the shared N
+    * scaling cancels in the ratio), I = (N/W)·Σ_ij w_ij z'_i z'_j / Σz'²
+    * needs float only in the final division; both cross-product folds
+    * route through DECIMAL(38,0)/HUGEINT.
+    *
+    * Scale posture: the corpus collapses to the occupied-cell lattice
+    * first (one shuffle, calendar/grid-bounded, never corpus-bounded);
+    * queen adjacency is an EQUI-join — each cell emits its 8 neighbor
+    * keys map-side and joins on the exact (lat, lng) key, never a
+    * theta/range join; everything after is cell-cardinality work.
+    */
+  def moransI(customer: DataFrame): DataFrame = {
+    val cells = customer.groupBy(
+        floor(col("c_acctbal") / 500.0).cast("long").as("li"),
+        (col("c_custkey") % 12).cast("long").as("gi"))
+      .agg(count(lit(1)).as("x"))
+    val glob = cells.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val z = cells.crossJoin(broadcast(glob))
+      .select(col("li"), col("gi"), (col("n") * col("x") - col("s")).as("z"),
+        col("n"))
+      .persistTracked()
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val offs = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1),
+      (0, 1), (1, -1), (1, 0), (1, 1))
+    val nbr = z.select(col("z").as("zi"),
+        explode(array(offs.map { case (a, b) =>
+          struct((col("li") + a).as("li"), (col("gi") + b).as("gi"))
+        }: _*)).as("o"))
+      .select(col("zi"), col("o.li").as("li"), col("o.gi").as("gi"))
+    val num = nbr.join(z.select("li", "gi", "z"), Seq("li", "gi"))
+      .agg(count(lit(1)).as("w_pairs"),
+        sum(dec(col("zi")) * dec(col("z"))).as("num"))
+    val den = z.agg(max(col("n")).as("n_cells"),
+      sum(dec(col("z")) * dec(col("z"))).as("den"))
+    num.crossJoin(broadcast(den))
+      .select(col("n_cells"), col("w_pairs"),
+        when(col("w_pairs") > 0 && col("den") > 0,
+          round(col("n_cells").cast("double") /
+            col("w_pairs").cast("double") *
+            (col("num").cast("double") / col("den").cast("double")), 6))
+          .as("morans_i"),
+        when(col("n_cells") > 1,
+          round(lit(-1.0) / (col("n_cells").cast("double") - 1.0), 6))
+          .as("expected_i"))
+  }
+
+  /** THEIL–SEN ROBUST TREND (Theil 1950; Sen 1968) of daily revenue over
+    * the trailing `windowDays`: the median of all pairwise slopes —
+    * immune to ~29% contamination where an OLS slope is dragged by one
+    * flash-sale day. The robust KPI trend arrow.
+    *
+    * Exactness: each slope is the FIXED-POINT integer
+    * ⌊Δcents·100/Δdays⌋, computed as a truncating integer division on a
+    * non-negative shifted dividend ((Δy·100 + K·Δt) div Δt − K with
+    * K = 10^14) so truncation ≡ floor on BOTH engines (Spark `div`
+    * truncates toward zero, DuckDB `//` floors — they agree only on
+    * non-negative dividends); the median is the exact type-1 order
+    * statistic off the distinct-slope count spine (2·cum ≥ n), no float
+    * interpolation anywhere.
+    *
+    * Scale posture: the corpus collapses to the calendar-bounded day
+    * spine first (one shuffle); the pair frame is spine² capped by the
+    * window (≤ windowDays²/2 rows) INDEPENDENT of corpus rows, and the
+    * median cumsum runs over distinct slope values of that bounded
+    * frame.
+    */
+  def theilSen(orders: DataFrame, windowDays: Int = 180): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("y"))
+      .select(datediff(col("day"), lit("1970-01-01")).as("t"), col("y"))
+    val mx = daily.agg(max(col("t")).as("mt"))
+    val d = daily.crossJoin(broadcast(mx))
+      .filter(col("t") > col("mt") - windowDays)
+      .select("t", "y")
+      .persistTracked()
+    val pairs = d.as("a").join(d.as("b"),
+        col("b.t") > col("a.t")) // bounded spine² — never corpus²
+      .select(expr(
+        "CAST((CAST(b.y - a.y AS DECIMAL(38,0)) * 100 + " +
+          "CAST(100000000000000 AS DECIMAL(38,0)) * (b.t - a.t)) div " +
+          "(b.t - a.t) AS BIGINT) - 100000000000000").as("s_fp"))
+    val gp = pairs.groupBy("s_fp").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy("s_fp")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = gp.withColumn("cum", sum(col("c")).over(w))
+    val tot = d.agg(count(lit(1)).as("n_days"))
+      .crossJoin(pairs.agg(count(lit(1)).as("n_pairs")))
+    cum.crossJoin(broadcast(tot))
+      .filter(col("cum") * 2 >= col("n_pairs"))
+      .agg(max(col("n_days")).as("n_days"),
+        max(col("n_pairs")).as("n_pairs"),
+        min(col("s_fp")).as("slope_fp"))
+      .select(col("n_days"), col("n_pairs"),
+        round(col("slope_fp").cast("double") / 10000.0, 6)
+          .as("slope_dollars_per_day"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Queen-adjacency spatial autocorrelation of the customer-density grid.
+    "q_morans_i" -> { (s, d) => moransI(Tables.customer(s, d)) },
+    // Median-of-pairwise-slopes robust trend of trailing daily revenue.
+    "q_theil_sen" -> { (s, d) => theilSen(Tables.orders(s, d)) },
     // Counterfactual policy value from logged traffic (IPS + SNIPS).
     "q_ips_offpolicy" -> { (s, d) => ipsOffPolicy(Tables.events(s, d)) },
     // Two-regressor OLS from one Gram-sums pass (distributed normal eqs).
@@ -5627,6 +5738,60 @@ object Analytics {
       | FROM s)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // occupied-cell lattice + queen-adjacency join twin; HUGEINT cross
+    // products mirror the Spark DECIMAL(38,0) folds
+    "q_morans_i" ->
+      """WITH cells AS (
+        | SELECT CAST(floor(c_acctbal / 500.0) AS BIGINT) AS li,
+        |  CAST(c_custkey % 12 AS BIGINT) AS gi, count(*) AS x
+        | FROM customer GROUP BY 1, 2),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS s FROM cells),
+        |z AS (SELECT li, gi, n * x - s AS z, n FROM cells, g),
+        |num AS (
+        | SELECT count(*) AS w_pairs,
+        |  sum(CAST(a.z AS HUGEINT) * CAST(b.z AS HUGEINT)) AS num
+        | FROM z a JOIN z b
+        |  ON b.li BETWEEN a.li - 1 AND a.li + 1
+        |  AND b.gi BETWEEN a.gi - 1 AND a.gi + 1
+        |  AND NOT (a.li = b.li AND a.gi = b.gi)),
+        |den AS (SELECT CAST(max(n) AS BIGINT) AS n_cells,
+        |  sum(CAST(z AS HUGEINT) * CAST(z AS HUGEINT)) AS den FROM z)
+        |SELECT n_cells, w_pairs,
+        | CASE WHEN w_pairs > 0 AND den > 0 THEN
+        |  round(CAST(n_cells AS DOUBLE) / CAST(w_pairs AS DOUBLE)
+        |   * (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)), 6) END
+        |  AS morans_i,
+        | CASE WHEN n_cells > 1 THEN
+        |  round(-1.0 / (CAST(n_cells AS DOUBLE) - 1.0), 6) END
+        |  AS expected_i
+        |FROM num, den""".stripMargin,
+    // same day spine, same shifted non-negative floor division, same
+    // type-1 order statistic off the distinct-slope count spine
+    "q_theil_sen" ->
+      """WITH daily AS (
+        | SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |   AS t,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |   AS y
+        | FROM orders GROUP BY 1),
+        |mx AS (SELECT max(t) AS mt FROM daily),
+        |d AS (SELECT t, y FROM daily, mx WHERE t > mt - 180),
+        |pairs AS (
+        | SELECT CAST((CAST(b.y - a.y AS HUGEINT) * 100 +
+        |   CAST(100000000000000 AS HUGEINT) * (b.t - a.t)) //
+        |   (b.t - a.t) AS BIGINT) - 100000000000000 AS s_fp
+        | FROM d a JOIN d b ON b.t > a.t),
+        |gp AS (SELECT s_fp, count(*) AS c FROM pairs GROUP BY 1),
+        |cum AS (SELECT s_fp,
+        |  sum(c) OVER (ORDER BY s_fp ROWS UNBOUNDED PRECEDING) AS cum
+        | FROM gp),
+        |tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_days,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_pairs)
+        |SELECT max(n_days) AS n_days, max(n_pairs) AS n_pairs,
+        | round(CAST(min(s_fp) AS DOUBLE) / 10000.0, 6)
+        |  AS slope_dollars_per_day
+        |FROM cum, tot WHERE cum * 2 >= n_pairs""".stripMargin,
     // same sessionize CTEs, same S=1e12 value iteration unrolled per
     // round (the q_markov_stationary generated-CTE idiom), same integer
     // removal-effect division

@@ -977,6 +977,67 @@ object Similarity {
       .orderBy("dim")
   }
 
+  /** NDCG position discounts 1/log2(p+1), 9dp reciprocal ranks, and the
+    * flat-gain IDCG@10 (gains 10..1) — Scala doubles computed once at
+    * plan build and embedded as IDENTICAL literals in both engines (the
+    * q_rbo weight idiom), so no in-engine log/pow can drift.
+    */
+  private[operators] val ndcgDisc: Map[Int, Double] =
+    (1 to 10).map(p => p -> 1.0 / (math.log(p + 1.0) / math.log(2.0))).toMap
+  private[operators] val ndcgRr: Map[Int, Double] =
+    (1 to 10).map(p => p -> BigDecimal(1.0 / p)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+  private[operators] val ndcgIdcg: Double =
+    (1 to 10).map(p => BigDecimal((11 - p).toDouble * ndcgDisc(p))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble
+
+  /** NDCG@10 + MRR of the sign-LSH index against the exact brute
+    * ranking — the GRADED companion of q_ann_recall (set overlap) and
+    * q_rbo (order agreement): relevance = 11 − ideal rank (integer
+    * gains off the brute top-10), so a candidate list that surfaces the
+    * right ids but buries the best ones scores low; MRR tracks where
+    * the single best document lands. Determinism: discounts,
+    * reciprocals, and the constant flat-gain IDCG@10 are the
+    * [[ndcgDisc]]/[[ndcgRr]]/[[ndcgIdcg]] literals (identical in both
+    * engines); each DCG term rounds to 9dp DECIMAL before the per-query
+    * fold. Scale: both rankings are k-bounded per query and the
+    * relevance join is on (query, corpus) ids — nothing beyond the
+    * retrievals' own cost.
+    */
+  def ndcgEval(s: SparkSession, emb: DataFrame): DataFrame = {
+    val cosF = graft.functions.NativeExpressions
+      .cosineSim(s, _: Column, _: Column)
+    val q = emb.filter(col("vec_id") < 5)
+    val ideal = bruteForceTopK(q, emb, 10, cosF)
+      .select(col("query_id"), col("corpus_id"),
+        (lit(11) - col("rank")).cast("long").as("gain"))
+    val cand = lshTopK(q, emb, 10, cosineFn = cosF)
+      .select(col("query_id"), col("corpus_id"), col("rank").as("pos"))
+    val discCol = (2 to 10).foldLeft(
+      when(col("pos") === 1, lit(ndcgDisc(1)))) { (acc, p) =>
+      acc.when(col("pos") === p, lit(ndcgDisc(p)))
+    }
+    val rrCol = (2 to 10).foldLeft(
+      when(col("pos") === 1, lit(ndcgRr(1)))) { (acc, p) =>
+      acc.when(col("pos") === p, lit(ndcgRr(p)))
+    }
+    val terms = cand
+      .join(ideal, Seq("query_id", "corpus_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(col("gain"), lit(0L)).cast("double") * discCol, 9)
+          .cast(DecimalType(18, 9)).as("term"),
+        when(col("gain") === 10L, rrCol).otherwise(lit(0.0)).as("rr"),
+        when(col("gain").isNotNull, 1L).otherwise(0L).as("hit"))
+    terms.groupBy("query_id")
+      .agg(sum(col("hit")).as("n_hits"),
+        round(sum(col("term")).cast("double"), 6).as("dcg"),
+        round(sum(col("term")).cast("double") / ndcgIdcg, 6)
+          .as("ndcg_at_10"),
+        round(max(col("rr")), 6).as("mrr"))
+      .orderBy("query_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Robust (coordinate-median) centroid beside the mean, per dim.
     "q_embed_median" -> { (s, d) => embedMedian(Tables.embeddings(s, d)) },
@@ -1214,6 +1275,19 @@ object Similarity {
             lit(0.0)).as("rbo_min"))
         .orderBy("query_id")
     },
+
+    // NDCG@10 + MRR of the sign-LSH index against the exact brute
+    // ranking — the GRADED companion of q_ann_recall (set overlap) and
+    // q_rbo (order agreement): relevance = 11 − ideal rank (integer
+    // gains off the brute top-10), so a candidate list that surfaces
+    // the right ids but buries the best ones scores low. Determinism:
+    // the 1/log2(p+1) discounts, the 1/p reciprocals, and the constant
+    // flat-gain IDCG@10 are Scala doubles computed once at plan build
+    // and embedded as IDENTICAL literals in both engines (the q_rbo
+    // weight idiom); each DCG term rounds to 9dp DECIMAL before the
+    // per-query fold. Scale: both rankings are k-bounded per query and
+    // the relevance join is on (query, corpus) ids.
+    "q_ndcg" -> { (s, d) => ndcgEval(s, Tables.embeddings(s, d)) },
 
     // Centroid-silhouette quality report on the label clustering.
     "q_silhouette" -> { (s, d) => silhouette(Tables.embeddings(s, d)) },
@@ -1999,6 +2073,40 @@ object Similarity {
          |FROM brute b LEFT JOIN lsh l
          | ON b.query_id = l.query_id AND b.corpus_id = l.corpus_id
          |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin,
+    "q_ndcg" -> {
+      def caseSql(m: Map[Int, Double]) = "(CASE cd.pos " +
+        (1 to 10).map(p => s"WHEN $p THEN ${m(p)}").mkString(" ") +
+        " ELSE 0.0 END)"
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb,
+         |  ${bucketSql("embedding")} AS bucket FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS corpus_id, embedding AS c_emb,
+         |  ${bucketSql("embedding")} AS bucket FROM embeddings),
+         |ideal AS (
+         | SELECT query_id, corpus_id, 11 - rank AS gain FROM (
+         |  SELECT query_id, corpus_id,
+         |   row_number() OVER (PARTITION BY query_id
+         |     ORDER BY round(${cosSql("q_emb", "c_emb")}, 6) DESC, corpus_id) AS rank
+         |  FROM c CROSS JOIN q) WHERE rank <= 10),
+         |cand AS (
+         | SELECT query_id, corpus_id, rank AS pos FROM (
+         |  SELECT query_id, corpus_id,
+         |   row_number() OVER (PARTITION BY query_id
+         |     ORDER BY round(${cosSql("q_emb", "c_emb")}, 6) DESC, corpus_id) AS rank
+         |  FROM c JOIN q USING (bucket)) WHERE rank <= 10),
+         |terms AS (
+         | SELECT cd.query_id,
+         |  CAST(round(CAST(COALESCE(i.gain, 0) AS DOUBLE)
+         |    * ${caseSql(ndcgDisc)}, 9) AS DECIMAL(18,9)) AS term,
+         |  CASE WHEN i.gain = 10 THEN ${caseSql(ndcgRr)}
+         |   ELSE 0.0 END AS rr,
+         |  CASE WHEN i.gain IS NOT NULL THEN 1 ELSE 0 END AS hit
+         | FROM cand cd LEFT JOIN ideal i USING (query_id, corpus_id))
+         |SELECT query_id, CAST(sum(hit) AS BIGINT) AS n_hits,
+         | round(CAST(sum(term) AS DOUBLE), 6) AS dcg,
+         | round(CAST(sum(term) AS DOUBLE) / $ndcgIdcg, 6) AS ndcg_at_10,
+         | round(max(rr), 6) AS mrr
+         |FROM terms GROUP BY 1 ORDER BY query_id""".stripMargin
+    },
     "q_sim_topk_lsh" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb,
          |  ${bucketSql("embedding")} AS bucket FROM embeddings WHERE vec_id < 5),

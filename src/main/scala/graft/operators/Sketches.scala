@@ -77,7 +77,58 @@ object Sketches {
       .orderBy(desc("freq"), col(itemCol))
   }
 
+  /** COUNT-MIN SKETCH (Cormode & Muthukrishnan 2005) over part
+    * frequencies: d deterministic md5 hash rows × w counters — the
+    * fixed-size, MERGEABLE frequency summary for point queries with a
+    * strictly ONE-SIDED error (est ≥ exact; E[err] ≤ N/w per row, the
+    * min over d rows collapses the tail) — the streaming/monitoring
+    * companion to q_heavy_hitters' exact top-k when even the key frame
+    * is too hot to keep. Released: the k heaviest parts with exact
+    * count, CMS estimate, and the non-negative overestimate — the
+    * honest collision-cost readout at this (d, w).
+    *
+    * Determinism: bucket = first-8-hex-digits of md5("r:key") mod w on
+    * both engines. Scale posture: exact per-key counts first (one
+    * map-side-combined shuffle, key-cardinality bounded); the sketch
+    * build explodes d cells per KEY (never per corpus row) into d·w
+    * counters; the probe joins the k-key frame to the d·w-cell sketch
+    * on (row, bucket). The sketch is d·w longs at ANY corpus size, and
+    * merging shards is cellwise addition — the mergeability CMS exists
+    * for.
+    */
+  def countMin(items: DataFrame, keyCol: String,
+               d: Int = 4, w: Int = 512, k: Int = 10): DataFrame = {
+    val exact = items.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("cnt")).persistTracked()
+    def bucket(r: Int) =
+      conv(substring(md5(concat_ws(":", lit(r.toString),
+        col("key").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % w
+    val cells = exact.select(explode(array((0 until d).map(r =>
+        struct(lit(r).as("r"), bucket(r).as("bucket"), col("cnt"))): _*))
+        .as("e"))
+      .groupBy(col("e.r").as("r"), col("e.bucket").as("bucket"))
+      .agg(sum(col("e.cnt")).as("cell"))
+    val top = exact.orderBy(desc("cnt"), col("key")).limit(k)
+    val probes = top.select(col("key"), col("cnt"),
+        explode(array((0 until d).map(r =>
+          struct(lit(r).as("r"), bucket(r).as("bucket"))): _*)).as("p"))
+      .select(col("key"), col("cnt"),
+        col("p.r").as("r"), col("p.bucket").as("bucket"))
+    probes.join(cells, Seq("r", "bucket"))
+      .groupBy("key", "cnt")
+      .agg(min(col("cell")).as("cms_est"))
+      .select(col("key"), col("cnt").as("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("cnt")).as("overestimate"))
+      .orderBy(desc("exact_cnt"), col("key"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Count-min point-query readout for the 10 heaviest parts (d=4,
+    // w=512 deterministic md5 rows; one-sided overestimate gated ≥ 0).
+    "q_countmin" -> { (s, d) =>
+      countMin(Tables.lineitem(s, d), "l_partkey")
+    },
     "q_approx_distinct" -> { (s, d) =>
       approxDistinct(Tables.orders(s, d), "o_custkey", 0.02)
     },
@@ -410,6 +461,30 @@ object Sketches {
   )
 
   def oracles: Map[String, String] = Map(
+    // identical md5 bucket scheme — the CMS here is fully deterministic,
+    // so the oracle replays the sketch exactly, not just its error bound
+    "q_countmin" ->
+      """WITH exact AS (
+        | SELECT l_partkey AS key, count(*) AS cnt FROM lineitem
+        | GROUP BY 1),
+        |rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+        |cells AS (
+        | SELECT r,
+        |  CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
+        |    CAST(key AS VARCHAR)), 1, 8)) AS BIGINT) % 512 AS bucket,
+        |  CAST(sum(cnt) AS BIGINT) AS cell
+        | FROM exact, rs GROUP BY 1, 2),
+        |top AS (SELECT key, cnt FROM exact ORDER BY cnt DESC, key LIMIT 10),
+        |probes AS (
+        | SELECT key, cnt, r,
+        |  CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
+        |    CAST(key AS VARCHAR)), 1, 8)) AS BIGINT) % 512 AS bucket
+        | FROM top, rs)
+        |SELECT p.key AS key, CAST(p.cnt AS BIGINT) AS exact_cnt,
+        | CAST(min(c.cell) AS BIGINT) AS cms_est,
+        | CAST(min(c.cell) - p.cnt AS BIGINT) AS overestimate
+        |FROM probes p JOIN cells c USING (r, bucket)
+        |GROUP BY p.key, p.cnt ORDER BY exact_cnt DESC, key""".stripMargin,
     "q_heavy_hitters" ->
       """WITH tok AS (
         | SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),

@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Training-data assembly operators (builder brief: "the operations a
   * large-scale training-data pipeline would need"): sequence packing of
@@ -476,7 +477,75 @@ object Training {
     centers.crossJoin(broadcast(radius)).orderBy("step")
   }
 
+  /** LINEAR CKA (Kornblith et al. 2019) between the float embeddings and
+    * their int8-quantized codes — "did quantization preserve the
+    * representation's GEOMETRY?", the one-number readout that decides an
+    * int8 rollout beyond q_sim_topk_quant's per-query ranking check.
+    * CKA = ‖C_xy‖_F² / (‖C_xx‖_F·‖C_yy‖_F) over column-centered
+    * cross-covariance matrices; ≈1 means the quantized space is a
+    * rotation/scale of the original, →0 means geometry was destroyed.
+    * Per-view isotropic scaling cancels, so the 2^10 fixed-point X and
+    * the per-vector-scaled int8 Y are compared fairly.
+    *
+    * Exactness: X = ⌊v·1024⌋ (1024 is a power of two — the float→int map
+    * is lossless-identical on both engines), Y = the gated q_embed_quant
+    * codes; all d² covariance entries come from ONE integer moment pass
+    * via n·Σxy − ΣxΣy, and every product routes through
+    * DECIMAL(38,0)/HUGEINT. Float appears only in the final
+    * ratio-of-norms. (At ≥1e9-row corpora the exact squares would
+    * outgrow DECIMAL(38) — divide the centered entries by n before
+    * squaring there; the readout is invariant.)
+    *
+    * Scale posture: the double posexplode emits d² rows PER VECTOR
+    * map-side (d bounded at 64) with map-side combine into d² groups —
+    * one corpus-proportional pass, no self-join, no gram collect; the
+    * d²-row matrix frames finish on the driver-bounded side.
+    */
+  def ckaQuant(emb: DataFrame): DataFrame = {
+    val both = quantizeEmbeddings(emb).select(col("vec_id"), col("codes"))
+      .join(emb.select(col("vec_id"),
+        transform(col("embedding"),
+          v => floor(v.cast("double") * 1024).cast("long")).as("xq")),
+        Seq("vec_id"))
+    val e1 = both.select(col("xq"), col("codes"), posexplode(col("xq")))
+      .select(col("xq"), col("codes"), col("pos").as("a"),
+        col("col").as("xa"))
+      .withColumn("ya", element_at(col("codes"), col("a") + 1))
+    val e2 = e1
+      .select(col("a"), col("xa"), col("ya"), col("codes"),
+        posexplode(col("xq")))
+      .select(col("a"), col("xa"), col("ya"),
+        col("pos").as("b"), col("col").as("xb"),
+        element_at(col("codes"), col("pos") + 1).as("yb"))
+    val mom = e2.groupBy("a", "b").agg(
+      count(lit(1)).as("n"),
+      sum(col("xa") * col("xb")).as("sxx"),
+      sum(col("xa") * col("yb")).as("sxy"),
+      sum(col("ya") * col("yb")).as("syy"),
+      sum(col("xa")).as("sxa"), sum(col("xb")).as("sxb"),
+      sum(col("ya")).as("sya"), sum(col("yb")).as("syb"))
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val cent = mom.select(
+      (dec(col("n")) * col("sxx") - dec(col("sxa")) * col("sxb")).as("mxx"),
+      (dec(col("n")) * col("sxy") - dec(col("sxa")) * col("syb")).as("mxy"),
+      (dec(col("n")) * col("syy") - dec(col("sya")) * col("syb")).as("myy"))
+    val h = cent.agg(
+      sum(col("mxy") * col("mxy")).as("hxy"),
+      sum(col("mxx") * col("mxx")).as("hxx"),
+      sum(col("myy") * col("myy")).as("hyy"))
+    val meta = both.agg(count(lit(1)).as("n_vecs"),
+      max(size(col("xq"))).cast("long").as("dims"))
+    h.crossJoin(broadcast(meta))
+      .select(col("n_vecs"), col("dims"),
+        when(col("hxx") > 0 && col("hyy") > 0,
+          round(col("hxy").cast("double") /
+            sqrt(col("hxx").cast("double") * col("hyy").cast("double")), 6))
+          .as("cka"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Geometry-preservation readout of the int8 quantization (linear CKA).
+    "q_cka_quant" -> { (s, d) => ckaQuant(Tables.embeddings(s, d)) },
     // One ALS half-step: per-user ridge solve against seeded item factors.
     "q_als_step" -> { (s, d) =>
       alsStep(Tables.orders(s, d), Tables.lineitem(s, d)) },
@@ -655,6 +724,43 @@ object Training {
   }
 
   def oracles: Map[String, String] = Map(
+    // same ⌊v·1024⌋ / int8 views, same n·Σxy − ΣxΣy centered moments in
+    // HUGEINT, same final ratio-of-norms double
+    "q_cka_quant" ->
+      s"""WITH bo AS (
+         | SELECT vec_id,
+         |  list_transform(embedding,
+         |    v -> CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT)) AS xq,
+         |  ${codesSql("embedding", scaleSql("embedding"))} AS codes
+         | FROM embeddings),
+         |dims AS (SELECT unnest(range(1, 65)) AS i),
+         |pr AS (
+         | SELECT d1.i AS a, d2.i AS b,
+         |  xq[d1.i] AS xa, codes[d1.i] AS ya,
+         |  xq[d2.i] AS xb, codes[d2.i] AS yb
+         | FROM bo, dims d1, dims d2),
+         |mom AS (
+         | SELECT a, b, CAST(count(*) AS HUGEINT) AS n,
+         |  CAST(sum(xa * xb) AS HUGEINT) AS sxx,
+         |  CAST(sum(xa * yb) AS HUGEINT) AS sxy,
+         |  CAST(sum(ya * yb) AS HUGEINT) AS syy,
+         |  CAST(sum(xa) AS HUGEINT) AS sxa, CAST(sum(xb) AS HUGEINT) AS sxb,
+         |  CAST(sum(ya) AS HUGEINT) AS sya, CAST(sum(yb) AS HUGEINT) AS syb
+         | FROM pr GROUP BY 1, 2),
+         |cent AS (
+         | SELECT n * sxx - sxa * sxb AS mxx,
+         |  n * sxy - sxa * syb AS mxy,
+         |  n * syy - sya * syb AS myy
+         | FROM mom),
+         |h AS (SELECT sum(mxy * mxy) AS hxy, sum(mxx * mxx) AS hxx,
+         |  sum(myy * myy) AS hyy FROM cent),
+         |meta AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(max(len(xq)) AS BIGINT) AS dims FROM bo)
+         |SELECT n_vecs, dims,
+         | CASE WHEN hxx > 0 AND hyy > 0 THEN
+         |  round(CAST(hxy AS DOUBLE) /
+         |   sqrt(CAST(hxx AS DOUBLE) * CAST(hyy AS DOUBLE)), 6) END AS cka
+         |FROM h, meta""".stripMargin,
     // same int8 codes, same integer d², greedy rounds unrolled
     "q_kcenter_coreset" -> {
       def roundSql(t: Int) =
