@@ -3970,7 +3970,375 @@ object Analytics {
           .as("slope_dollars_per_day"))
   }
 
+  /** HODGES–LEHMANN SHIFT + MANN–WHITNEY U (Hodges & Lehmann 1963;
+    * Mann & Whitney 1947): the UNPAIRED two-sample companion of
+    * q_wilcoxon_signed — "how much bigger are purchase days than click
+    * days, and is the shift real?" — with the robust effect size the
+    * rank test alone doesn't give: HL = exact type-1 median of ALL
+    * pairwise differences (the estimator whose breakdown matches the
+    * test), plus the tie-corrected normal-approximation U/z/p.
+    *
+    * Exactness: differences are exact cents Longs; the HL median is the
+    * 2·cum ≥ n order statistic on the distinct-difference spine (the
+    * q_theil_sen idiom); rank sums use the doubled-midrank integers
+    * (the aucRank identity). Scale posture: both samples collapse to
+    * the CALENDAR-bounded day spine before the pair frame, so the
+    * cross join is days², never corpus²; the rank pass runs on the
+    * distinct-value spine.
+    */
+  def hodgesLehmann(events: DataFrame): DataFrame = {
+    val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+    val daily = events
+      .filter(col("value").isNotNull &&
+        col("event_type").isin("purchase", "click"))
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(sum(cents).as("v"))
+      .persistTracked()
+    val x = daily.filter(col("event_type") === "purchase")
+      .select(col("v").as("x"))
+    val y = daily.filter(col("event_type") === "click")
+      .select(col("v").as("y"))
+    val diffs = x.crossJoin(y).select((col("x") - col("y")).as("d"))
+    val wd = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = diffs.groupBy("d").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wd))
+    val np = diffs.agg(count(lit(1)).as("n_pairs"))
+    val hl = cum.crossJoin(broadcast(np))
+      .filter(col("cum") * 2 >= col("n_pairs"))
+      .agg(min(col("d")).as("hl"), max(col("n_pairs")).as("n_pairs"))
+    val allv = x.select(col("x").as("v"), lit(1L).as("isx"))
+      .unionByName(y.select(col("y").as("v"), lit(0L).as("isx")))
+    val wv = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gv = allv.groupBy("v")
+      .agg(count(lit(1)).as("c"), sum(col("isx")).as("cx"))
+      .withColumn("cum", sum(col("c")).over(wv))
+      .select(col("c"), col("cx"),
+        (lit(2L) * col("cum") - col("c") + 1L).as("d_rank"))
+    val a = gv.agg(sum(col("cx") * col("d_rank")).as("r2x"),
+      sum(col("cx")).as("nx"), sum(col("c") - col("cx")).as("ny"),
+      sum(col("c") * col("c") * col("c") - col("c")).as("tie"))
+    def d(c: Column) = c.cast("double")
+    val nx = d(col("nx"))
+    val ny = d(col("ny"))
+    val n = nx + ny
+    val u = d(col("r2x")) / 2.0 - nx * (nx + 1) / 2.0
+    val v2 = nx * ny / 12.0 *
+      ((n + 1) - d(col("tie")) / (n * (n - 1)))
+    val z = (u - nx * ny / 2.0) / sqrt(v2)
+    a.crossJoin(broadcast(hl)).select(
+      col("nx").as("n_x"), col("ny").as("n_y"), col("n_pairs"),
+      round(u, 6).as("u_stat"),
+      when(v2 > 0, round(z, 6)).as("z"),
+      when(v2 > 0, round(pTwoSided(abs(z)), 6)).as("p_value"),
+      round(d(col("hl")) / 100.0, 6).as("hl_shift_dollars"))
+  }
+
+  /** COCHRAN–ARMITAGE TREND TEST (Cochran 1954; Armitage 1955): is the
+    * return rate MONOTONICALLY trending across ordered quantity doses
+    * (1–10, 11–20, … 41–50)? The dose-response test that a flat χ²
+    * contingency (q_chi2_contingency) has no power for — one ordered
+    * alternative instead of k−1 unordered ones.
+    *
+    * Exactness: all five moment sums (n, r, t·r, t·n, t²·n) are exact
+    * integers from ONE dose-level pass; z needs float only at the end.
+    * Scale posture: one map-side-combined shuffle to the k≤5 dose
+    * frame, then scalar work.
+    */
+  def cochranArmitage(li: DataFrame): DataFrame = {
+    val g = li.select(
+        (expr("CAST((CAST(l_quantity AS BIGINT) - 1) div 10 AS BIGINT)")
+          + 1L).as("t"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("r"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n"), sum(col("r")).as("rr"))
+    val a = g.agg(sum(col("n")).as("nn"), sum(col("rr")).as("rt"),
+      sum(col("t") * col("rr")).as("str"),
+      sum(col("t") * col("n")).as("stn"),
+      sum(col("t") * col("t") * col("n")).as("st2n"),
+      count(lit(1)).as("k_doses"))
+    def d(c: Column) = c.cast("double")
+    val pbar = d(col("rt")) / d(col("nn"))
+    val num = d(col("str")) - pbar * d(col("stn"))
+    val den = pbar * (lit(1.0) - pbar) *
+      (d(col("st2n")) - d(col("stn")) * d(col("stn")) / d(col("nn")))
+    val z = num / sqrt(den)
+    a.select(col("k_doses"), col("nn").as("n_rows"),
+      round(pbar, 6).as("overall_rate"),
+      when(den > 0, round(z, 6)).as("z"),
+      when(den > 0, round(pTwoSided(abs(z)), 6)).as("p_value"))
+  }
+
+  /** GPD TAIL FIT (peaks-over-threshold, Pickands 1975; method-of-moments
+    * per Hosking & Wallis 1987): model order totals ABOVE the exact p95
+    * as a Generalized Pareto — the extreme-value answer to "how bad is
+    * the 1-in-100 order?" that empirical quantiles can't extrapolate.
+    * Released: shape ξ (heavy tail when > 0), scale β, and the
+    * GPD-extrapolated VaR₉₉.
+    *
+    * Exactness: the threshold is the type-1 20·cum ≥ 19·n order
+    * statistic on the distinct-value spine (never an interpolated
+    * float); excess moments are exact DECIMAL sums; the one pow routes
+    * through the explicit exp(−ξ·ln x) tree both engines share.
+    * Scale posture: value-spine cumsum (domain-bounded) + one filtered
+    * moment pass; no sort of raw rows anywhere.
+    */
+  def tailGpd(orders: DataFrame): DataFrame = {
+    val v = orders
+      .select((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("v"))
+      .persistTracked()
+    val wv = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = v.groupBy("v").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wv))
+    val nn = v.agg(count(lit(1)).as("n"))
+    val u = cum.crossJoin(broadcast(nn))
+      .filter(col("cum") * 20 >= col("n") * 19)
+      .agg(min(col("v")).as("u"), max(col("n")).as("n"))
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val exc = v.crossJoin(broadcast(u)).filter(col("v") > col("u"))
+      .agg(max(col("u")).as("u"), max(col("n")).as("n"),
+        count(lit(1)).as("ne"),
+        sum(dec(col("v") - col("u"))).as("sy"),
+        sum(dec(col("v") - col("u")) * dec(col("v") - col("u")))
+          .as("syy"))
+    def d(c: Column) = c.cast("double")
+    val ne = d(col("ne"))
+    val m = d(col("sy")) / ne
+    val s2 = (d(col("syy")) - ne * m * m) / (ne - 1)
+    val r = m * m / s2
+    val xi = lit(0.5) * (lit(1.0) - r)
+    val beta = lit(0.5) * m * (lit(1.0) + r)
+    val tailp = lit(0.01) * d(col("n")) / ne
+    val varq = d(col("u")) +
+      beta / xi * (exp(lit(-1.0) * xi * log(tailp)) - 1.0)
+    val ok = col("ne") > 1 && s2 > 0
+    exc.select(col("n").as("n_total"),
+      round(d(col("u")) / 100.0, 2).as("threshold_dollars"),
+      col("ne").as("n_exceed"),
+      round(m / 100.0, 6).as("mean_excess_dollars"),
+      when(ok, round(xi, 6)).as("xi"),
+      when(ok, round(beta / 100.0, 6)).as("beta_dollars"),
+      when(ok && abs(xi) > 1e-9 && tailp > 0, round(varq / 100.0, 2))
+        .as("var99_dollars"))
+  }
+
+  /** SHARP REGRESSION DISCONTINUITY (Thistlethwaite & Campbell 1960;
+    * local-linear per Imbens & Lemieux 2008) at the quantity-25/26
+    * break: does unit revenue JUMP at the cutoff (a price-break /
+    * policy-threshold effect), net of the smooth trend on each side?
+    * Separate local-linear fits left and right of the cutoff inside the
+    * ±15-quantity bandwidth; the jump is the difference of the two
+    * intercepts AT the cutoff.
+    *
+    * Exactness: the running variable is recentred to the INTEGER
+    * half-unit distance x = 2·qty − 51 (the cutoff lands exactly on
+    * x = 0, no .5 floats); each side's OLS comes from exact
+    * DECIMAL(38,0) Gram sums with the n·Σxy − ΣxΣy differencing done in
+    * decimal BEFORE the one double division (the q_cuped recipe).
+    * Scale posture: one filtered scan into two 5-moment groups; scalar
+    * algebra after.
+    */
+  def rdd(li: DataFrame, halfCut: Int = 51, h: Int = 15): DataFrame = {
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val base = li.select(
+        (col("l_quantity").cast("long") * 2 - halfCut).as("x"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("y"))
+      .filter(abs(col("x")) <= 2 * h)
+    val mo = base
+      .groupBy(when(col("x") > 0, "right").otherwise("left").as("side"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+    def d(c: Column) = c.cast("double")
+    val det = dec(col("n")) * col("sxx") - dec(col("sx")) * col("sx")
+    val slByX = (dec(col("n")) * col("sxy") - dec(col("sx")) * col("sy"))
+    val icNum = (col("sy") * col("sxx") - dec(col("sx")) * col("sxy"))
+    val fit = mo.select(col("side"), col("n"),
+      when(d(det) > 0, d(slByX) / d(det)).as("slope_x"),
+      when(d(det) > 0, d(icNum) / d(det)).as("icpt"))
+    val one = fit.groupBy().agg(
+      max(when(col("side") === "left", col("n"))).as("n_left"),
+      max(when(col("side") === "right", col("n"))).as("n_right"),
+      max(when(col("side") === "left", col("icpt"))).as("yl"),
+      max(when(col("side") === "right", col("icpt"))).as("yr"),
+      max(when(col("side") === "left", col("slope_x"))).as("sl"),
+      max(when(col("side") === "right", col("slope_x"))).as("sr"))
+    one.select(col("n_left"), col("n_right"),
+      round(col("yl") / 100.0, 4).as("y_left_dollars"),
+      round(col("yr") / 100.0, 4).as("y_right_dollars"),
+      round((col("yr") - col("yl")) / 100.0, 4).as("jump_dollars"),
+      round(col("sl") * 2 / 100.0, 4).as("slope_left_per_qty"),
+      round(col("sr") * 2 / 100.0, 4).as("slope_right_per_qty"))
+  }
+
+  /** Harmonic cos/sin tables for [[harmonicPower]]: cos(2πj/p) for
+    * j = 0..p−1, Scala doubles embedded as IDENTICAL literals in both
+    * engines (the ndcg-discount idiom) — no in-engine trig anywhere.
+    */
+  private[operators] def cosLit(p: Int): IndexedSeq[Double] =
+    (0 until p).map(j => math.cos(2 * math.Pi * j / p))
+  private[operators] def sinLit(p: Int): IndexedSeq[Double] =
+    (0 until p).map(j => math.sin(2 * math.Pi * j / p))
+
+  /** FIXED-PERIOD HARMONIC POWER (the classical periodogram restricted
+    * to candidate calendar periods): the share of daily-revenue variance
+    * explained by the first harmonic at period p ∈ {7, 30} — "is there a
+    * weekly / monthly cycle, and how strong?" — the quantitative gate
+    * before fitting seasonal models (q_holt_winters,
+    * q_seasonal_strength's decomposition twin from the frequency side).
+    *
+    * Exactness: phases are INTEGER day-index residues t mod p, so the
+    * cos/sin values form a p-entry literal table ([[cosLit]]) shared by
+    * both engines — no in-engine trig; centered values are the exact
+    * integers z = n·y − Σy (the q_morans_i scaling trick; the n's cancel
+    * in the variance share); each projection term rounds 6dp and folds
+    * as DECIMAL. Scale posture: corpus → calendar-bounded day spine,
+    * then one p-branch CASE pass per period.
+    */
+  def harmonicPower(orders: DataFrame,
+                    periods: Seq[Int] = Seq(7, 30)): DataFrame = {
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val daily = orders.groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("y"))
+    val mn = daily.agg(min(col("day")).as("d0"))
+    val spine = daily.crossJoin(broadcast(mn))
+      .select(datediff(col("day"), col("d0")).cast("long").as("t"),
+        col("y"))
+      .persistTracked()
+    val g = spine.agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+    val zc = spine.crossJoin(broadcast(g))
+      .select(col("t"), (dec(col("n")) * col("y") - dec(col("s"))).as("z"),
+        col("n"))
+    def d(c: Column) = c.cast("double")
+    val per = periods.map { p =>
+      val phase = col("t") % p
+      def lits(tab: IndexedSeq[Double]) =
+        (1 until p).foldLeft(when(phase === 0, lit(tab(0)))) { (acc, j) =>
+          acc.when(phase === j, lit(tab(j)))
+        }
+      val a = sum(round(d(col("z")) * lits(cosLit(p)), 6)
+        .cast(DecimalType(38, 6)))
+      val b = sum(round(d(col("z")) * lits(sinLit(p)), 6)
+        .cast(DecimalType(38, 6)))
+      zc.agg(max(col("n")).as("n"), a.as("a"), b.as("b"),
+          sum(col("z") * col("z")).as("szz"))
+        .select(lit(p).as("period"), col("n").as("n_days"),
+          when(col("szz") > 0,
+            round(lit(2.0) * (d(col("a")) * d(col("a")) +
+              d(col("b")) * d(col("b"))) /
+              (d(col("n")) * d(col("szz"))), 6))
+            .as("var_share"))
+    }
+    per.reduce(_ unionByName _).orderBy("period")
+  }
+
+  /** TWO-COMPONENT GAUSSIAN MIXTURE by EM (Dempster, Laird & Rubin
+    * 1977), 3 unrolled iterations on the daily-revenue spine: are days a
+    * MIXTURE of two revenue regimes (slow/busy), and where do the
+    * regimes sit? The model-based companion to q_a6's marginal quantiles
+    * — a bimodal spine has no "typical day", and the fitted π tells how
+    * often each regime rules.
+    *
+    * Determinism across engines (the q_platt_scaling recipe): init is
+    * data-derived but exact (μ = type-1 q25/q75 order statistics, σ² =
+    * exact-moment sample variance rounded 6dp, π = 0.5); every E-step
+    * responsibility is the IDENTICAL double tree rounded 9dp before the
+    * M-step's DECIMAL folds; every new parameter rounds 6dp before the
+    * next iteration, so a 1-ulp decimal→double cast wobble cannot
+    * propagate. Underflowed densities (both components exp→0) fall back
+    * to the nearer-mean hard assignment in both engines.
+    *
+    * Scale posture: the corpus collapses once to the calendar-bounded
+    * day spine; each EM iteration is one broadcast-params map pass +
+    * one 6-sum aggregate over that spine — iterations never reshuffle,
+    * and at 100 TB the spine is still just days.
+    */
+  def gmmDaily(orders: DataFrame, iters: Int = 3): DataFrame = {
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    def d(c: Column) = c.cast("double")
+    val daily = orders.groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("y"))
+      .select("y").persistTracked()
+    val wv = Window.orderBy("y")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily.groupBy("y").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wv)).persistTracked()
+    val nn = daily.agg(count(lit(1)).as("n"), sum(dec(col("y"))).as("sy"),
+      sum(dec(col("y")) * dec(col("y"))).as("syy"))
+    val q1 = cum.crossJoin(broadcast(nn)).filter(col("cum") * 4 >= col("n"))
+      .agg(min(col("y")).as("m1"))
+    val q3 = cum.crossJoin(broadcast(nn))
+      .filter(col("cum") * 4 >= col("n") * 3)
+      .agg(min(col("y")).as("m2"))
+    val s0 = round((d(col("syy")) - d(col("sy")) * d(col("sy")) /
+      d(col("n"))) / (d(col("n")) - 1), 6)
+    var params = nn.crossJoin(broadcast(q1)).crossJoin(broadcast(q3))
+      .select(col("n"), d(col("m1")).as("mu1"), d(col("m2")).as("mu2"),
+        s0.as("s1"), s0.as("s2"), lit(0.5).as("p1"))
+    val yd = d(col("y"))
+    for (_ <- 1 to iters) {
+      def f(mu: Column, s: Column) =
+        exp(lit(-0.5) * (yd - mu) * (yd - mu) / s) / sqrt(s)
+      val num = col("p1") * f(col("mu1"), col("s1"))
+      val den = num + (lit(1.0) - col("p1")) * f(col("mu2"), col("s2"))
+      val rRaw = when(den > 0, num / den)
+        .otherwise(when(abs(yd - col("mu1")) <= abs(yd - col("mu2")),
+          lit(1.0)).otherwise(lit(0.0)))
+      val m = daily.crossJoin(broadcast(params))
+        .select(col("y"), round(rRaw, 9).as("r"), col("n"))
+        .agg(max(col("n")).as("n"),
+          sum(col("r").cast(DecimalType(28, 9))).as("sr"),
+          sum(round(col("r") * yd, 6).cast(DecimalType(38, 6))).as("sry"),
+          sum(round(col("r") * yd * yd, 2).cast(DecimalType(38, 2)))
+            .as("sryy"),
+          sum(dec(col("y"))).as("sy"),
+          sum(dec(col("y")) * dec(col("y"))).as("syy"))
+      val mu1n = d(col("sry")) / d(col("sr"))
+      val mu2n = (d(col("sy")) - d(col("sry"))) / (d(col("n")) - d(col("sr")))
+      params = m.select(col("n"),
+        round(mu1n, 6).as("mu1"), round(mu2n, 6).as("mu2"),
+        round(greatest(d(col("sryy")) / d(col("sr")) - mu1n * mu1n,
+          lit(1.0)), 6).as("s1"),
+        round(greatest((d(col("syy")) - d(col("sryy"))) /
+          (d(col("n")) - d(col("sr"))) - mu2n * mu2n, lit(1.0)), 6)
+          .as("s2"),
+        round(d(col("sr")) / d(col("n")), 6).as("p1"))
+    }
+    val flip = col("mu1") <= col("mu2")
+    params.select(col("n").as("n_days"),
+      round(when(flip, col("p1")).otherwise(lit(1.0) - col("p1")), 6)
+        .as("pi_lo"),
+      round(when(flip, col("mu1")).otherwise(col("mu2")) / 100.0, 2)
+        .as("mu_lo_dollars"),
+      round(when(flip, col("mu2")).otherwise(col("mu1")) / 100.0, 2)
+        .as("mu_hi_dollars"),
+      round(sqrt(when(flip, col("s1")).otherwise(col("s2"))) / 100.0, 2)
+        .as("sigma_lo_dollars"),
+      round(sqrt(when(flip, col("s2")).otherwise(col("s1"))) / 100.0, 2)
+        .as("sigma_hi_dollars"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Weekly/monthly harmonic variance share of daily revenue.
+    "q_harmonic_power" -> { (s, d) => harmonicPower(Tables.orders(s, d)) },
+    // Two-regime GMM of daily revenue (3 unrolled EM iterations).
+    "q_gmm_daily" -> { (s, d) => gmmDaily(Tables.orders(s, d)) },
+    // Unpaired purchase-vs-click day shift: HL estimate + Mann-Whitney U.
+    "q_hodges_lehmann" -> { (s, d) => hodgesLehmann(Tables.events(s, d)) },
+    // Ordered dose-response trend of return rate across quantity doses.
+    "q_cochran_armitage" -> { (s, d) =>
+      cochranArmitage(Tables.lineitem(s, d)) },
+    // Peaks-over-threshold GPD fit of the order-total tail + VaR99.
+    "q_tail_gpd" -> { (s, d) => tailGpd(Tables.orders(s, d)) },
+    // Sharp RDD at the quantity price break: local-linear jump estimate.
+    "q_rdd" -> { (s, d) => rdd(Tables.lineitem(s, d)) },
     // Queen-adjacency spatial autocorrelation of the customer-density grid.
     "q_morans_i" -> { (s, d) => moransI(Tables.customer(s, d)) },
     // Median-of-pairwise-slopes robust trend of trailing daily revenue.
@@ -5738,6 +6106,309 @@ object Analytics {
       | FROM s)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // same integer z = n·y − Σy centering, same literal cos/sin tables
+    // (no in-engine trig), same 6dp DECIMAL projection folds
+    "q_harmonic_power" -> {
+      def caseSql(p: Int, tab: IndexedSeq[Double]) =
+        s"(CASE t % $p " +
+          (0 until p).map(j => s"WHEN $j THEN ${tab(j)}").mkString(" ") +
+          " END)"
+      def hSql(p: Int) =
+        s"""h$p AS (
+           | SELECT $p AS period, max(n) AS n_days, max(n) AS n,
+           |  CAST(sum(CAST(round(CAST(z AS DOUBLE) *
+           |    ${caseSql(p, cosLit(p))}, 6) AS DECIMAL(38,6)))
+           |   AS DOUBLE) AS a,
+           |  CAST(sum(CAST(round(CAST(z AS DOUBLE) *
+           |    ${caseSql(p, sinLit(p))}, 6) AS DECIMAL(38,6)))
+           |   AS DOUBLE) AS b,
+           |  sum(z * z) AS szz
+           | FROM zc)""".stripMargin
+      s"""WITH daily AS (
+         | SELECT CAST(o_orderdate AS DATE) AS day,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+         |   AS y
+         | FROM orders GROUP BY 1),
+         |mn AS (SELECT min(day) AS d0 FROM daily),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(y) AS BIGINT) AS s FROM daily),
+         |zc AS (
+         | SELECT CAST(datediff('day', d0, day) AS BIGINT) AS t,
+         |  CAST(n AS HUGEINT) * y - CAST(s AS HUGEINT) AS z, n
+         | FROM daily, mn, g),
+         |${hSql(7)},
+         |${hSql(30)}
+         |SELECT period, n_days,
+         | CASE WHEN szz > 0 THEN
+         |  round(2.0 * (a * a + b * b)
+         |   / (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)), 6) END
+         |  AS var_share
+         |FROM (SELECT * FROM h7 UNION ALL SELECT * FROM h30)
+         |ORDER BY period""".stripMargin
+    },
+    // same exact q25/q75/variance init, same unrolled EM iterations
+    // (9dp responsibilities, DECIMAL M-folds, 6dp param rounding)
+    "q_gmm_daily" -> {
+      def fSql(y: String, mu: String, s: String) =
+        s"exp(-0.5 * ($y - $mu) * ($y - $mu) / $s) / sqrt($s)"
+      def iterSql(t: Int): String = {
+        val pp = s"p${t - 1}"
+        val y = "CAST(y AS DOUBLE)"
+        val num = s"$pp.p1 * ${fSql(y, s"$pp.mu1", s"$pp.s1")}"
+        val den = s"$num + (1.0 - $pp.p1) * " +
+          fSql(y, s"$pp.mu2", s"$pp.s2")
+        s"""r$t AS (
+           | SELECT y, $pp.n AS n,
+           |  round(CASE WHEN $den > 0 THEN ($num) / ($den)
+           |   WHEN abs($y - $pp.mu1) <= abs($y - $pp.mu2) THEN 1.0
+           |   ELSE 0.0 END, 9) AS r
+           | FROM daily, $pp),
+           |m$t AS (
+           | SELECT max(n) AS n,
+           |  sum(CAST(r AS DECIMAL(28,9))) AS sr,
+           |  sum(CAST(round(r * CAST(y AS DOUBLE), 6) AS DECIMAL(38,6)))
+           |   AS sry,
+           |  sum(CAST(round(r * CAST(y AS DOUBLE) * CAST(y AS DOUBLE), 2)
+           |   AS DECIMAL(38,2))) AS sryy,
+           |  sum(CAST(y AS HUGEINT)) AS sy,
+           |  sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+           | FROM r$t),
+           |p$t AS (
+           | SELECT n,
+           |  round(CAST(sry AS DOUBLE) / CAST(sr AS DOUBLE), 6) AS mu1,
+           |  round((CAST(sy AS DOUBLE) - CAST(sry AS DOUBLE))
+           |   / (CAST(n AS DOUBLE) - CAST(sr AS DOUBLE)), 6) AS mu2,
+           |  round(greatest(CAST(sryy AS DOUBLE) / CAST(sr AS DOUBLE)
+           |    - (CAST(sry AS DOUBLE) / CAST(sr AS DOUBLE))
+           |      * (CAST(sry AS DOUBLE) / CAST(sr AS DOUBLE)), 1.0), 6)
+           |   AS s1,
+           |  round(greatest((CAST(syy AS DOUBLE) - CAST(sryy AS DOUBLE))
+           |     / (CAST(n AS DOUBLE) - CAST(sr AS DOUBLE))
+           |    - ((CAST(sy AS DOUBLE) - CAST(sry AS DOUBLE))
+           |       / (CAST(n AS DOUBLE) - CAST(sr AS DOUBLE)))
+           |      * ((CAST(sy AS DOUBLE) - CAST(sry AS DOUBLE))
+           |       / (CAST(n AS DOUBLE) - CAST(sr AS DOUBLE))), 1.0), 6)
+           |   AS s2,
+           |  round(CAST(sr AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p1
+           | FROM m$t)""".stripMargin
+      }
+      s"""WITH daily AS (
+         | SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+         |   AS BIGINT) AS y
+         | FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+         |cum AS (
+         | SELECT y, sum(c) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING)
+         |   AS cum
+         | FROM (SELECT y, count(*) AS c FROM daily GROUP BY 1)),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  sum(CAST(y AS HUGEINT)) AS sy,
+         |  sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+         | FROM daily),
+         |q1 AS (SELECT CAST(min(y) AS BIGINT) AS m1 FROM cum, nn
+         |  WHERE cum * 4 >= n),
+         |q3 AS (SELECT CAST(min(y) AS BIGINT) AS m2 FROM cum, nn
+         |  WHERE cum * 4 >= n * 3),
+         |p0 AS (
+         | SELECT n, CAST(m1 AS DOUBLE) AS mu1, CAST(m2 AS DOUBLE) AS mu2,
+         |  round((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+         |    * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+         |   / (CAST(n AS DOUBLE) - 1), 6) AS s1,
+         |  round((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+         |    * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+         |   / (CAST(n AS DOUBLE) - 1), 6) AS s2,
+         |  0.5 AS p1
+         | FROM nn, q1, q3),
+         |${iterSql(1)},
+         |${iterSql(2)},
+         |${iterSql(3)}
+         |SELECT n AS n_days,
+         | round(CASE WHEN mu1 <= mu2 THEN p1 ELSE 1.0 - p1 END, 6)
+         |  AS pi_lo,
+         | round(CASE WHEN mu1 <= mu2 THEN mu1 ELSE mu2 END / 100.0, 2)
+         |  AS mu_lo_dollars,
+         | round(CASE WHEN mu1 <= mu2 THEN mu2 ELSE mu1 END / 100.0, 2)
+         |  AS mu_hi_dollars,
+         | round(sqrt(CASE WHEN mu1 <= mu2 THEN s1 ELSE s2 END)
+         |  / 100.0, 2) AS sigma_lo_dollars,
+         | round(sqrt(CASE WHEN mu1 <= mu2 THEN s2 ELSE s1 END)
+         |  / 100.0, 2) AS sigma_hi_dollars
+         |FROM p3""".stripMargin
+    },
+    // same day-spine samples, same pairwise-difference median spine,
+    // same doubled-midrank integers, same Φ tail
+    "q_hodges_lehmann" ->
+      s"""WITH daily AS (
+         | SELECT CAST(ts AS DATE) AS day, event_type,
+         |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+         |   AS BIGINT) AS v
+         | FROM events
+         | WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+         | GROUP BY 1, 2),
+         |x AS (SELECT v AS x FROM daily WHERE event_type = 'purchase'),
+         |y AS (SELECT v AS y FROM daily WHERE event_type = 'click'),
+         |diffs AS (SELECT x - y AS d FROM x CROSS JOIN y),
+         |cum AS (
+         | SELECT d, sum(c) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+         |   AS cum
+         | FROM (SELECT d, count(*) AS c FROM diffs GROUP BY 1)),
+         |np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM diffs),
+         |hl AS (SELECT CAST(min(d) AS BIGINT) AS hl,
+         |  max(n_pairs) AS n_pairs
+         | FROM cum, np WHERE cum * 2 >= n_pairs),
+         |allv AS (
+         | SELECT x AS v, 1 AS isx FROM x
+         | UNION ALL SELECT y AS v, 0 AS isx FROM y),
+         |gv AS (
+         | SELECT c, cx, 2 * cum - c + 1 AS d_rank FROM (
+         |  SELECT v, count(*) AS c, CAST(sum(isx) AS BIGINT) AS cx,
+         |   sum(count(*)) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+         |    AS cum
+         |  FROM allv GROUP BY v)),
+         |a AS (
+         | SELECT CAST(sum(cx * d_rank) AS BIGINT) AS r2x,
+         |  CAST(sum(cx) AS BIGINT) AS nx,
+         |  CAST(sum(c - cx) AS BIGINT) AS ny,
+         |  CAST(sum(c * c * c - c) AS BIGINT) AS tie FROM gv),
+         |f AS (
+         | SELECT nx, ny,
+         |  CAST(nx AS DOUBLE) AS nxd, CAST(ny AS DOUBLE) AS nyd,
+         |  CAST(r2x AS DOUBLE) / 2.0
+         |   - CAST(nx AS DOUBLE) * (CAST(nx AS DOUBLE) + 1) / 2.0 AS u
+         | FROM a),
+         |f2 AS (
+         | SELECT nx, ny, u,
+         |  nxd * nyd / 12.0 * (((nxd + nyd) + 1)
+         |   - CAST((SELECT tie FROM a) AS DOUBLE)
+         |     / ((nxd + nyd) * ((nxd + nyd) - 1))) AS v2,
+         |  u - nxd * nyd / 2.0 AS num
+         | FROM f)
+         |SELECT nx AS n_x, ny AS n_y,
+         | (SELECT n_pairs FROM hl) AS n_pairs,
+         | round(u, 6) AS u_stat,
+         | CASE WHEN v2 > 0 THEN round(num / sqrt(v2), 6) END AS z,
+         | CASE WHEN v2 > 0 THEN round(${pTwoSidedSql(
+        "abs(num / sqrt(v2))")}, 6) END AS p_value,
+         | round(CAST((SELECT hl FROM hl) AS DOUBLE) / 100.0, 6)
+         |  AS hl_shift_dollars
+         |FROM f2""".stripMargin,
+    // same 5 exact dose moments, same z tree
+    "q_cochran_armitage" ->
+      s"""WITH g AS (
+         | SELECT CAST((CAST(l_quantity AS BIGINT) - 1) // 10 AS BIGINT)
+         |   + 1 AS t,
+         |  count(*) AS n,
+         |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS rr
+         | FROM lineitem GROUP BY 1),
+         |a AS (
+         | SELECT CAST(sum(n) AS BIGINT) AS nn,
+         |  CAST(sum(rr) AS BIGINT) AS rt,
+         |  CAST(sum(t * rr) AS BIGINT) AS str,
+         |  CAST(sum(t * n) AS BIGINT) AS stn,
+         |  CAST(sum(t * t * n) AS BIGINT) AS st2n,
+         |  CAST(count(*) AS BIGINT) AS k_doses FROM g),
+         |f AS (
+         | SELECT k_doses, nn,
+         |  CAST(rt AS DOUBLE) / CAST(nn AS DOUBLE) AS pbar,
+         |  CAST(str AS DOUBLE) - (CAST(rt AS DOUBLE) / CAST(nn AS DOUBLE))
+         |   * CAST(stn AS DOUBLE) AS num,
+         |  (CAST(rt AS DOUBLE) / CAST(nn AS DOUBLE))
+         |   * (1.0 - CAST(rt AS DOUBLE) / CAST(nn AS DOUBLE))
+         |   * (CAST(st2n AS DOUBLE)
+         |      - CAST(stn AS DOUBLE) * CAST(stn AS DOUBLE)
+         |        / CAST(nn AS DOUBLE)) AS den
+         | FROM a)
+         |SELECT k_doses, nn AS n_rows, round(pbar, 6) AS overall_rate,
+         | CASE WHEN den > 0 THEN round(num / sqrt(den), 6) END AS z,
+         | CASE WHEN den > 0 THEN round(${pTwoSidedSql(
+        "abs(num / sqrt(den))")}, 6) END AS p_value
+         |FROM f""".stripMargin,
+    // same type-1 p95 threshold, same HUGEINT excess moments, same
+    // exp(−ξ·ln x) pow tree
+    "q_tail_gpd" ->
+      """WITH v AS (
+        | SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |   AS v
+        | FROM orders),
+        |cum AS (
+        | SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |   AS cum
+        | FROM (SELECT v, count(*) AS c FROM v GROUP BY 1)),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+        |u AS (SELECT CAST(min(v) AS BIGINT) AS u, max(n) AS n
+        |  FROM cum, nn WHERE cum * 20 >= n * 19),
+        |exc AS (
+        | SELECT max(u.u) AS u, max(u.n) AS n,
+        |  CAST(count(*) AS BIGINT) AS ne,
+        |  sum(CAST(v.v - u.u AS HUGEINT)) AS sy,
+        |  sum(CAST(v.v - u.u AS HUGEINT) * CAST(v.v - u.u AS HUGEINT))
+        |   AS syy
+        | FROM v, u WHERE v.v > u.u),
+        |f AS (
+        | SELECT n, u, ne,
+        |  CAST(sy AS DOUBLE) / CAST(ne AS DOUBLE) AS m,
+        |  (CAST(syy AS DOUBLE) - CAST(ne AS DOUBLE)
+        |    * (CAST(sy AS DOUBLE) / CAST(ne AS DOUBLE))
+        |    * (CAST(sy AS DOUBLE) / CAST(ne AS DOUBLE)))
+        |   / (CAST(ne AS DOUBLE) - 1) AS s2
+        | FROM exc),
+        |g AS (
+        | SELECT n, u, ne, m, s2,
+        |  0.5 * (1.0 - m * m / s2) AS xi,
+        |  0.5 * m * (1.0 + m * m / s2) AS beta,
+        |  0.01 * CAST(n AS DOUBLE) / CAST(ne AS DOUBLE) AS tailp
+        | FROM f)
+        |SELECT n AS n_total,
+        | round(CAST(u AS DOUBLE) / 100.0, 2) AS threshold_dollars,
+        | ne AS n_exceed, round(m / 100.0, 6) AS mean_excess_dollars,
+        | CASE WHEN ne > 1 AND s2 > 0 THEN round(xi, 6) END AS xi,
+        | CASE WHEN ne > 1 AND s2 > 0 THEN round(beta / 100.0, 6) END
+        |  AS beta_dollars,
+        | CASE WHEN ne > 1 AND s2 > 0 AND abs(xi) > 0.000000001
+        |       AND tailp > 0 THEN
+        |  round((CAST(u AS DOUBLE) + beta / xi
+        |    * (exp(-1.0 * xi * ln(tailp)) - 1.0)) / 100.0, 2) END
+        |  AS var99_dollars
+        |FROM g""".stripMargin,
+    // same integer half-unit recentring, same HUGEINT Gram differencing
+    "q_rdd" ->
+      """WITH base AS (
+        | SELECT CAST(l_quantity AS BIGINT) * 2 - 51 AS x,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |   AS y
+        | FROM lineitem
+        | WHERE abs(CAST(l_quantity AS BIGINT) * 2 - 51) <= 30),
+        |mo AS (
+        | SELECT CASE WHEN x > 0 THEN 'right' ELSE 'left' END AS side,
+        |  CAST(count(*) AS HUGEINT) AS n,
+        |  CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |  CAST(sum(x * y) AS HUGEINT) AS sxy,
+        |  CAST(sum(x * x) AS HUGEINT) AS sxx
+        | FROM base GROUP BY 1),
+        |fit AS (
+        | SELECT side, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0 THEN
+        |   CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope_x,
+        |  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0 THEN
+        |   CAST(sy * sxx - sx * sxy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) END AS icpt
+        | FROM mo),
+        |one AS (
+        | SELECT max(CASE WHEN side = 'left' THEN n END) AS n_left,
+        |  max(CASE WHEN side = 'right' THEN n END) AS n_right,
+        |  max(CASE WHEN side = 'left' THEN icpt END) AS yl,
+        |  max(CASE WHEN side = 'right' THEN icpt END) AS yr,
+        |  max(CASE WHEN side = 'left' THEN slope_x END) AS sl,
+        |  max(CASE WHEN side = 'right' THEN slope_x END) AS sr
+        | FROM fit)
+        |SELECT n_left, n_right,
+        | round(yl / 100.0, 4) AS y_left_dollars,
+        | round(yr / 100.0, 4) AS y_right_dollars,
+        | round((yr - yl) / 100.0, 4) AS jump_dollars,
+        | round(sl * 2 / 100.0, 4) AS slope_left_per_qty,
+        | round(sr * 2 / 100.0, 4) AS slope_right_per_qty
+        |FROM one""".stripMargin,
     // occupied-cell lattice + queen-adjacency join twin; HUGEINT cross
     // products mirror the Spark DECIMAL(38,0) folds
     "q_morans_i" ->
