@@ -4325,7 +4325,155 @@ object Analytics {
         .as("sigma_hi_dollars"))
   }
 
+  /** CROSS-CORRELATION FUNCTION (the lead/lag companion of q_acf_daily):
+    * ccf(k) = corr(purchase_{t+k}, click_t) for k ∈ −maxLag..maxLag —
+    * "do clicks LEAD purchases (positive-lag peak) or trail them?" — the
+    * standard pre-whitening-free first look before any transfer-function
+    * or attribution model.
+    *
+    * Exactness: per-lag Pearson from exact DECIMAL moment sums with the
+    * n·Σxy − ΣxΣy differencing done in decimal before the one double
+    * division (the exactCorr recipe). Scale posture: corpus → calendar
+    * day spine once; each row emits its 2·maxLag+1 (lag, t−k) keys
+    * map-side and equi-joins back to the spine — never a theta join;
+    * moments group to the lag frame (≤ 15 rows).
+    */
+  def ccfDaily(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+    val daily = events
+      .filter(col("value").isNotNull &&
+        col("event_type").isin("purchase", "click"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "purchase", cents).otherwise(0L))
+        .as("p"),
+        sum(when(col("event_type") === "click", cents).otherwise(0L))
+          .as("c"))
+    val mn = daily.agg(min(col("day")).as("d0"))
+    val spine = daily.crossJoin(broadcast(mn))
+      .select(datediff(col("day"), col("d0")).cast("long").as("t"),
+        col("p"), col("c"))
+      .persistTracked()
+    val la = spine.select(col("t"), col("p"),
+        explode(array((-maxLag to maxLag).map(k => lit(k.toLong)): _*))
+          .as("lag"))
+      .select(col("lag"), (col("t") - col("lag")).as("t2"), col("p"))
+    val mo = la.join(spine.select(col("t").as("t2"), col("c")), Seq("t2"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("p"))).as("sp"), sum(dec(col("c"))).as("sc"),
+        sum(dec(col("p")) * dec(col("c"))).as("spc"),
+        sum(dec(col("p")) * dec(col("p"))).as("spp"),
+        sum(dec(col("c")) * dec(col("c"))).as("scc"))
+    def d(c: Column) = c.cast("double")
+    val covN = d(dec(col("n")) * col("spc") - col("sp") * col("sc"))
+    val vpN = d(dec(col("n")) * col("spp") - col("sp") * col("sp"))
+    val vcN = d(dec(col("n")) * col("scc") - col("sc") * col("sc"))
+    mo.select(col("lag").cast("int").as("lag"), col("n").as("n_pairs"),
+        when(vpN > 0 && vcN > 0,
+          round(covN / sqrt(vpN * vcN), 6)).as("ccf"))
+      .orderBy("lag")
+  }
+
+  /** PRICE ELASTICITY OF DEMAND (log-log OLS): the slope of
+    * ln(quantity) on ln(unit price) across lineitem rows — the
+    * percent-quantity-per-percent-price number every pricing decision
+    * quotes. One exact-moment pass; elasticity < 0 means demand bends
+    * down with price.
+    *
+    * Exactness: each ln routes through the SAME double expression on
+    * both engines and is immediately frozen to the fixed-point integer
+    * ⌊ln(·)·2^20⌋ (power-of-two scaling — the q_kmeans Long-fold rule:
+    * floor is exact, no decimal round-trip); all Gram sums are
+    * DECIMAL(38,0); the shared 2^20 scale cancels in the slope. r² from
+    * the same moments.
+    *
+    * Scale posture: one map-side pass to six scalar sums; no spine, no
+    * join, no window.
+    */
+  def priceElasticity(li: DataFrame): DataFrame = {
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val up = col("l_extendedprice").cast("double") /
+      col("l_quantity").cast("double")
+    val xi = floor(log(up) * 1048576).cast("long")
+    val yi = floor(log(col("l_quantity").cast("double")) * 1048576)
+      .cast("long")
+    val mo = li
+      .filter(col("l_quantity") > 0 && col("l_extendedprice") > 0)
+      .select(xi.as("x"), yi.as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"))
+    def d(c: Column) = c.cast("double")
+    val covN = d(dec(col("n")) * col("sxy") - col("sx") * col("sy"))
+    val vxN = d(dec(col("n")) * col("sxx") - col("sx") * col("sx"))
+    val vyN = d(dec(col("n")) * col("syy") - col("sy") * col("sy"))
+    mo.select(col("n").as("n_rows"),
+      when(vxN > 0, round(covN / vxN, 6)).as("elasticity"),
+      when(vxN > 0 && vyN > 0,
+        round(covN * covN / (vxN * vyN), 6)).as("r2"))
+  }
+
+  /** SAX SYMBOLIZATION + MOTIF COUNTS (Lin, Keogh et al. 2003, on the
+    * weekly PAA): complete weeks of revenue collapse to their exact
+    * integer sums, terciles of the week-sum spine cut symbols a/b/c, and
+    * consecutive 3-week symbol trigrams are the MOTIFS — "which
+    * low/mid/high revenue shapes recur?", the discrete pattern-mining
+    * view that q_acf_daily's linear correlations can't see.
+    *
+    * Exactness: week sums are exact cents Longs (no mean — PAA over
+    * equal 7-day windows compares identically by sum); tercile cuts are
+    * type-1 order statistics (3·cum ≥ n, 3·cum ≥ 2n); motifs are string
+    * concatenation. Scale posture: corpus → day spine → week spine; the
+    * lead window runs on the WEEK spine (calendar-bounded).
+    */
+  def saxMotifs(orders: DataFrame): DataFrame = {
+    val daily = orders.groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("y"))
+    val mn = daily.agg(min(col("day")).as("d0"))
+    val weeks = daily.crossJoin(broadcast(mn))
+      .groupBy(expr("CAST(datediff(day, d0) div 7 AS BIGINT)").as("wk"))
+      .agg(sum(col("y")).as("ws"), count(lit(1)).as("nd"))
+      .filter(col("nd") === 7)
+      .persistTracked()
+    val wv = Window.orderBy("ws")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = weeks.groupBy("ws").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wv))
+    val nn = weeks.agg(count(lit(1)).as("n"))
+    val b1 = cum.crossJoin(broadcast(nn)).filter(col("cum") * 3 >= col("n"))
+      .agg(min(col("ws")).as("b1"))
+    val b2 = cum.crossJoin(broadcast(nn))
+      .filter(col("cum") * 3 >= col("n") * 2)
+      .agg(min(col("ws")).as("b2"))
+    val sym = weeks.crossJoin(broadcast(b1)).crossJoin(broadcast(b2))
+      .select(col("wk"),
+        when(col("ws") <= col("b1"), "a")
+          .when(col("ws") <= col("b2"), "b").otherwise("c").as("s"))
+    val wo = Window.orderBy("wk")
+    val motifs = sym
+      .select(col("wk"), concat(col("s"), lead(col("s"), 1).over(wo),
+        lead(col("s"), 2).over(wo)).as("motif"))
+      .filter(col("motif").isNotNull)
+    val tot = motifs.agg(count(lit(1)).as("tot"))
+    motifs.groupBy("motif").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .select(col("motif"), col("n"),
+        expr("n * 1000000 div tot").as("share_ppm"))
+      .orderBy(desc("n"), col("motif"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Purchase-vs-click lead/lag cross-correlation, k = -7..7.
+    "q_ccf_daily" -> { (s, d) => ccfDaily(Tables.events(s, d)) },
+    // Log-log demand elasticity of quantity on unit price.
+    "q_price_elasticity" -> { (s, d) =>
+      priceElasticity(Tables.lineitem(s, d)) },
+    // Weekly SAX symbols + recurring 3-week motif counts.
+    "q_sax_motifs" -> { (s, d) => saxMotifs(Tables.orders(s, d)) },
     // Weekly/monthly harmonic variance share of daily revenue.
     "q_harmonic_power" -> { (s, d) => harmonicPower(Tables.orders(s, d)) },
     // Two-regime GMM of daily revenue (3 unrolled EM iterations).
@@ -6106,6 +6254,101 @@ object Analytics {
       | FROM s)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // same day-spine lag keys, same HUGEINT moment differencing
+    "q_ccf_daily" ->
+      """WITH daily AS (
+        | SELECT CAST(ts AS DATE) AS day,
+        |  CAST(sum(CASE WHEN event_type = 'purchase'
+        |   THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |   ELSE 0 END) AS BIGINT) AS p,
+        |  CAST(sum(CASE WHEN event_type = 'click'
+        |   THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |   ELSE 0 END) AS BIGINT) AS c
+        | FROM events
+        | WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+        | GROUP BY 1),
+        |mn AS (SELECT min(day) AS d0 FROM daily),
+        |spine AS (SELECT CAST(datediff('day', d0, day) AS BIGINT) AS t,
+        |  p, c FROM daily, mn),
+        |lags AS (SELECT CAST(unnest(range(-7, 8)) AS BIGINT) AS lag),
+        |la AS (SELECT lag, t - lag AS t2, p FROM spine, lags),
+        |mo AS (
+        | SELECT lag, CAST(count(*) AS HUGEINT) AS n,
+        |  sum(CAST(a.p AS HUGEINT)) AS sp,
+        |  sum(CAST(b.c AS HUGEINT)) AS sc,
+        |  sum(CAST(a.p AS HUGEINT) * CAST(b.c AS HUGEINT)) AS spc,
+        |  sum(CAST(a.p AS HUGEINT) * CAST(a.p AS HUGEINT)) AS spp,
+        |  sum(CAST(b.c AS HUGEINT) * CAST(b.c AS HUGEINT)) AS scc
+        | FROM la a JOIN spine b ON a.t2 = b.t GROUP BY 1)
+        |SELECT CAST(lag AS INTEGER) AS lag, CAST(n AS BIGINT) AS n_pairs,
+        | CASE WHEN CAST(n * spp - sp * sp AS DOUBLE) > 0
+        |       AND CAST(n * scc - sc * sc AS DOUBLE) > 0 THEN
+        |  round(CAST(n * spc - sp * sc AS DOUBLE)
+        |   / sqrt(CAST(n * spp - sp * sp AS DOUBLE)
+        |      * CAST(n * scc - sc * sc AS DOUBLE)), 6) END AS ccf
+        |FROM mo ORDER BY lag""".stripMargin,
+    // same ⌊ln·2^20⌋ fixed-point freeze, same HUGEINT Gram differencing
+    "q_price_elasticity" ->
+      """WITH mo AS (
+        | SELECT CAST(count(*) AS HUGEINT) AS n,
+        |  sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |  sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+        |  sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+        |  sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+        | FROM (
+        |  SELECT CAST(floor(ln(CAST(l_extendedprice AS DOUBLE)
+        |    / CAST(l_quantity AS DOUBLE)) * 1048576) AS BIGINT) AS x,
+        |   CAST(floor(ln(CAST(l_quantity AS DOUBLE)) * 1048576)
+        |    AS BIGINT) AS y
+        |  FROM lineitem WHERE l_quantity > 0 AND l_extendedprice > 0))
+        |SELECT CAST(n AS BIGINT) AS n_rows,
+        | CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0 THEN
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |   / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS elasticity,
+        | CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+        |       AND CAST(n * syy - sy * sy AS DOUBLE) > 0 THEN
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    * CAST(n * sxy - sx * sy AS DOUBLE)
+        |   / (CAST(n * sxx - sx * sx AS DOUBLE)
+        |      * CAST(n * syy - sy * sy AS DOUBLE)), 6) END AS r2
+        |FROM mo""".stripMargin,
+    // same complete-week sums, same type-1 tercile cuts, same trigram
+    // windows on the week spine
+    "q_sax_motifs" ->
+      """WITH daily AS (
+        | SELECT CAST(o_orderdate AS DATE) AS day,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |   AS y
+        | FROM orders GROUP BY 1),
+        |mn AS (SELECT min(day) AS d0 FROM daily),
+        |weeks AS (
+        | SELECT CAST(datediff('day', d0, day) // 7 AS BIGINT) AS wk,
+        |  CAST(sum(y) AS BIGINT) AS ws, count(*) AS nd
+        | FROM daily, mn GROUP BY 1),
+        |w2 AS (SELECT wk, ws FROM weeks WHERE nd = 7),
+        |cum AS (
+        | SELECT ws, sum(c) OVER (ORDER BY ws ROWS UNBOUNDED PRECEDING)
+        |   AS cum
+        | FROM (SELECT ws, count(*) AS c FROM w2 GROUP BY 1)),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM w2),
+        |b1 AS (SELECT CAST(min(ws) AS BIGINT) AS b1 FROM cum, nn
+        |  WHERE cum * 3 >= n),
+        |b2 AS (SELECT CAST(min(ws) AS BIGINT) AS b2 FROM cum, nn
+        |  WHERE cum * 3 >= n * 2),
+        |sym AS (
+        | SELECT wk, CASE WHEN ws <= b1 THEN 'a'
+        |  WHEN ws <= b2 THEN 'b' ELSE 'c' END AS s
+        | FROM w2, b1, b2),
+        |mot AS (
+        | SELECT s || lead(s, 1) OVER (ORDER BY wk)
+        |   || lead(s, 2) OVER (ORDER BY wk) AS motif
+        | FROM sym),
+        |m2 AS (SELECT motif FROM mot WHERE motif IS NOT NULL),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM m2)
+        |SELECT motif, count(*) AS n,
+        | CAST(CAST(count(*) AS HUGEINT) * 1000000 // max(tot) AS BIGINT)
+        |  AS share_ppm
+        |FROM m2, tot GROUP BY motif ORDER BY n DESC, motif""".stripMargin,
     // same integer z = n·y − Σy centering, same literal cos/sin tables
     // (no in-engine trig), same 6dp DECIMAL projection folds
     "q_harmonic_power" -> {

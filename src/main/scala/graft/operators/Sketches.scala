@@ -96,23 +96,25 @@ object Sketches {
     * merging shards is cellwise addition — the mergeability CMS exists
     * for.
     */
-  def countMin(items: DataFrame, keyCol: String,
-               d: Int = 4, w: Int = 512, k: Int = 10): DataFrame = {
-    val exact = items.groupBy(col(keyCol).as("key"))
-      .agg(count(lit(1)).as("cnt")).persistTracked()
-    def bucket(r: Int) =
-      conv(substring(md5(concat_ws(":", lit(r.toString),
-        col("key").cast("string"))), 1, 8), 16, 10)
-        .cast("long") % w
-    val cells = exact.select(explode(array((0 until d).map(r =>
-        struct(lit(r).as("r"), bucket(r).as("bucket"), col("cnt"))): _*))
-        .as("e"))
-      .groupBy(col("e.r").as("r"), col("e.bucket").as("bucket"))
-      .agg(sum(col("e.cnt")).as("cell"))
+  /** CMS bucket for hash row r: first-8-hex-digits of md5("r:key")
+    * mod w — shared by the batch build, the streaming twin, and (as the
+    * same literal recipe) the DuckDB oracles.
+    */
+  def cmsBucket(r: Int, key: org.apache.spark.sql.Column,
+                w: Int = 512): org.apache.spark.sql.Column =
+    conv(substring(md5(concat_ws(":", lit(r.toString),
+      key.cast("string"))), 1, 8), 16, 10).cast("long") % w
+
+  /** Probe a (r, bucket, cell) sketch frame with the k heaviest keys of
+    * an exact (key, cnt) frame: est = min over the d rows' cells.
+    */
+  def cmsProbe(cells: DataFrame, exact: DataFrame,
+               d: Int, k: Int): DataFrame = {
     val top = exact.orderBy(desc("cnt"), col("key")).limit(k)
     val probes = top.select(col("key"), col("cnt"),
         explode(array((0 until d).map(r =>
-          struct(lit(r).as("r"), bucket(r).as("bucket"))): _*)).as("p"))
+          struct(lit(r).as("r"),
+            cmsBucket(r, col("key")).as("bucket"))): _*)).as("p"))
       .select(col("key"), col("cnt"),
         col("p.r").as("r"), col("p.bucket").as("bucket"))
     probes.join(cells, Seq("r", "bucket"))
@@ -121,6 +123,19 @@ object Sketches {
       .select(col("key"), col("cnt").as("exact_cnt"), col("cms_est"),
         (col("cms_est") - col("cnt")).as("overestimate"))
       .orderBy(desc("exact_cnt"), col("key"))
+  }
+
+  def countMin(items: DataFrame, keyCol: String,
+               d: Int = 4, w: Int = 512, k: Int = 10): DataFrame = {
+    val exact = items.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("cnt")).persistTracked()
+    val cells = exact.select(explode(array((0 until d).map(r =>
+        struct(lit(r).as("r"), cmsBucket(r, col("key"), w).as("bucket"),
+          col("cnt"))): _*))
+        .as("e"))
+      .groupBy(col("e.r").as("r"), col("e.bucket").as("bucket"))
+      .agg(sum(col("e.cnt")).as("cell"))
+    cmsProbe(cells, exact, d, k)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

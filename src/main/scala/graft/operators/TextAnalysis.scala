@@ -554,9 +554,31 @@ object TextAnalysis {
     (bi, cb, cu, bwd, gl)
   }
 
+  /** Ries discount D = n1/(n1+2n2) with the natural D = 0 limit when
+    * the corpus has NO singleton/doubleton bigrams (n1 = n2 = 0): at
+    * large scale every bigram repeats — found at sf0.1, where ANSI
+    * double division aborted the whole KN family on the 0/0 — and the
+    * no-rare-mass corpus genuinely has nothing to discount, so the
+    * model degenerates to the ML estimate exactly as KN prescribes.
+    */
+  private def knDisc: Column = {
+    def d(c: Column) = c.cast("double")
+    when(col("n1") + lit(2) * col("n2") > 0,
+      d(col("n1")) / (d(col("n1")) + lit(2.0) * d(col("n2"))))
+      .otherwise(lit(0.0))
+  }
+
+  /** The identical SQL tree for [[knDisc]] (both engines share the
+    * guard and the literal spelling).
+    */
+  def knDiscSql: String =
+    "(CASE WHEN n1 + 2 * n2 > 0 THEN CAST(n1 AS DOUBLE) " +
+      "/ (CAST(n1 AS DOUBLE) + 2.0 * CAST(n2 AS DOUBLE)) " +
+      "ELSE 0.0 END)"
+
   private def knProb: Column = {
     def d(c: Column) = c.cast("double")
-    val disc = d(col("n1")) / (d(col("n1")) + lit(2.0) * d(col("n2")))
+    val disc = knDisc
     (d(col("cb")) - disc) / d(col("cu")) +
       disc * d(col("fwd")) / d(col("cu")) * (d(col("bwd")) / d(col("b")))
   }
@@ -568,8 +590,7 @@ object TextAnalysis {
     */
   def knLmTopK(docs: DataFrame, k: Int = 15): DataFrame = {
     val (_, cb, cu, bwd, gl) = knFrames(docs)
-    def d(c: Column) = c.cast("double")
-    val disc = d(col("n1")) / (d(col("n1")) + lit(2.0) * d(col("n2")))
+    val disc = knDisc
     cb.join(cu, Seq("w1")).join(bwd, Seq("w2"))
       .crossJoin(broadcast(gl))
       .withColumn("p", knProb)
@@ -1217,7 +1238,39 @@ object TextAnalysis {
         round(col("rank").cast("double") / lit(1000000.0), 6).as("share"))
   }
 
+  /** YULE'S CHARACTERISTIC K + lexical-richness ratios (Yule 1944):
+    * K = 10⁴·(Σ m²V(m) − N)/N² over the token frequency spectrum — the
+    * repetitiveness constant that is (unlike raw TTR) insensitive to
+    * corpus length, the classic lexical-slop detector for generated or
+    * boilerplate-heavy text (pairs with q_rep_ngrams' cross-doc view and
+    * q_good_turing's same freq-of-freq spine). Also released: type-token
+    * ratio and the hapax share (V(1)/V — a healthy natural corpus keeps
+    * a fat hapax tail; template spam doesn't).
+    *
+    * Exactness: all sums (N, V, Σm², V(1)) are exact integers off the
+    * token frequency frame; K needs float only at the end. Scale
+    * posture: one tokenize pass (map-side) + one shuffle to token
+    * cardinality + scalar folds — the q_heavy_hitters shape.
+    */
+  def yuleK(docs: DataFrame): DataFrame = {
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val freq = docs
+      .select(explode(tokens(lower(col("text")))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("m"))
+    val a = freq.agg(count(lit(1)).as("v"), sum(col("m")).as("n"),
+      sum(dec(col("m")) * dec(col("m"))).as("sm2"),
+      sum(when(col("m") === 1, 1L).otherwise(0L)).as("v1"))
+    def d(c: Column) = c.cast("double")
+    a.select(col("n").as("n_tokens"), col("v").as("vocab"),
+      round(d(col("v")) / d(col("n")), 6).as("ttr"),
+      round(d(col("v1")) / d(col("v")), 6).as("hapax_share"),
+      round(lit(10000.0) * (d(col("sm2")) - d(col("n"))) /
+        (d(col("n")) * d(col("n"))), 6).as("yule_k"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Yule's K repetitiveness constant + TTR/hapax lexical richness.
+    "q_yule_k" -> { (s, d) => yuleK(Tables.documents(s, d)) },
     "q_textrank" -> { (s, d) => textRank(Tables.documents(s, d)) },
     "q_readability" -> { (s, d) => readability(Tables.documents(s, d)) },
     "q_mojibake_audit" -> { (s, d) => mojibakeAudit(Tables.documents(s, d)) },
@@ -2057,18 +2110,16 @@ object TextAnalysis {
       | FROM terms GROUP BY 1, 2)""".stripMargin
 
   def knTermsCteSql: String =
-    """terms AS (
-      | SELECT bb.id, bb.source,
-      |  CAST(round(-log2(
-      |   (CAST(cb AS DOUBLE) - CAST(n1 AS DOUBLE) / (CAST(n1 AS DOUBLE)
-      |      + 2.0 * CAST(n2 AS DOUBLE))) / CAST(cu AS DOUBLE)
-      |    + CAST(n1 AS DOUBLE) / (CAST(n1 AS DOUBLE)
-      |      + 2.0 * CAST(n2 AS DOUBLE))
-      |      * CAST(fwd AS DOUBLE) / CAST(cu AS DOUBLE)
-      |      * (CAST(bwd AS DOUBLE) / CAST(b AS DOUBLE))), 6)
-      |   AS DECIMAL(18,6)) AS t
-      | FROM bb JOIN cb USING (w1, w2) JOIN cu USING (w1)
-      |  JOIN bwd USING (w2) CROSS JOIN gl)""".stripMargin
+    s"""terms AS (
+       | SELECT bb.id, bb.source,
+       |  CAST(round(-log2(
+       |   (CAST(cb AS DOUBLE) - $knDiscSql) / CAST(cu AS DOUBLE)
+       |    + $knDiscSql
+       |      * CAST(fwd AS DOUBLE) / CAST(cu AS DOUBLE)
+       |      * (CAST(bwd AS DOUBLE) / CAST(b AS DOUBLE))), 6)
+       |   AS DECIMAL(18,6)) AS t
+       | FROM bb JOIN cb USING (w1, w2) JOIN cu USING (w1)
+       |  JOIN bwd USING (w2) CROSS JOIN gl)""".stripMargin
 
   def oracles: Map[String, String] = {
     val nTok = s"len(${tokensSql("text")})"
@@ -2085,6 +2136,25 @@ object TextAnalysis {
       .map { case (l, sc) => s"WHEN $sc = $maxScore THEN '$l'" }
       .mkString(" ")
     Map(
+      // same tokenize, same integer frequency-spectrum moments
+      "q_yule_k" ->
+        s"""WITH freq AS (
+           | SELECT token, count(*) AS m FROM (
+           |  SELECT unnest(${tokensSql("lower(text)")}) AS token
+           |  FROM documents) GROUP BY 1),
+           |a AS (
+           | SELECT CAST(count(*) AS BIGINT) AS v,
+           |  CAST(sum(m) AS BIGINT) AS n,
+           |  sum(CAST(m AS HUGEINT) * CAST(m AS HUGEINT)) AS sm2,
+           |  CAST(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT) AS v1
+           | FROM freq)
+           |SELECT n AS n_tokens, v AS vocab,
+           | round(CAST(v AS DOUBLE) / CAST(n AS DOUBLE), 6) AS ttr,
+           | round(CAST(v1 AS DOUBLE) / CAST(v AS DOUBLE), 6)
+           |  AS hapax_share,
+           | round(10000.0 * (CAST(sm2 AS DOUBLE) - CAST(n AS DOUBLE))
+           |  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS yule_k
+           |FROM a""".stripMargin,
       "q_readability" ->
         s"""WITH g AS (
            | SELECT source,
@@ -2199,20 +2269,17 @@ object TextAnalysis {
       // interpolated-probability expression tree, 6dp term fold
       "q_kn_lm" ->
         ("WITH " + knCountCtesSql + ",\n" +
-          """scored AS (
-            | SELECT w1, w2, cb, cu, fwd, bwd,
-            |  CAST(n1 AS DOUBLE) / (CAST(n1 AS DOUBLE)
-            |    + 2.0 * CAST(n2 AS DOUBLE)) AS d,
-            |  (CAST(cb AS DOUBLE) - CAST(n1 AS DOUBLE) / (CAST(n1 AS DOUBLE)
-            |     + 2.0 * CAST(n2 AS DOUBLE))) / CAST(cu AS DOUBLE)
-            |   + CAST(n1 AS DOUBLE) / (CAST(n1 AS DOUBLE)
-            |     + 2.0 * CAST(n2 AS DOUBLE))
-            |     * CAST(fwd AS DOUBLE) / CAST(cu AS DOUBLE)
-            |     * (CAST(bwd AS DOUBLE) / CAST(b AS DOUBLE)) AS p
-            | FROM cb JOIN cu USING (w1) JOIN bwd USING (w2) CROSS JOIN gl)
-            |SELECT w1, w2, cb, cu, fwd, bwd,
-            | round(d, 6) AS discount, round(p, 6) AS p_kn
-            |FROM scored ORDER BY p DESC, w1, w2 LIMIT 15""".stripMargin),
+          s"""scored AS (
+             | SELECT w1, w2, cb, cu, fwd, bwd,
+             |  $knDiscSql AS d,
+             |  (CAST(cb AS DOUBLE) - $knDiscSql) / CAST(cu AS DOUBLE)
+             |   + $knDiscSql
+             |     * CAST(fwd AS DOUBLE) / CAST(cu AS DOUBLE)
+             |     * (CAST(bwd AS DOUBLE) / CAST(b AS DOUBLE)) AS p
+             | FROM cb JOIN cu USING (w1) JOIN bwd USING (w2) CROSS JOIN gl)
+             |SELECT w1, w2, cb, cu, fwd, bwd,
+             | round(d, 6) AS discount, round(p, 6) AS p_kn
+             |FROM scored ORDER BY p DESC, w1, w2 LIMIT 15""".stripMargin),
       "q_kn_surprisal" ->
         ("WITH " + knCountCtesSql + ",\n" + knTermsCteSql + "\n" +
           """SELECT source, count(DISTINCT id) AS n_docs,

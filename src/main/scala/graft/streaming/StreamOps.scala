@@ -688,6 +688,37 @@ object StreamOps {
     // output). Update-mode re-emits a user's row each batch it changes;
     // the final emission per user (max struct — n_events is monotone) is
     // the end-of-stream state, which must equal the plain batch aggregate.
+    // STREAMING COUNT-MIN: the mergeability story made live — the
+    // 4×512-cell CMS grows under streaming aggregation (bounded state:
+    // d·w counters REGARDLESS of stream length or key cardinality, the
+    // sketch's whole point vs q_stream_top_users' exact per-key state),
+    // and the snapshot probes IDENTICALLY to the batch q_countmin:
+    // stream ≡ batch ≡ DuckDB three ways because the md5 bucket scheme
+    // is deterministic.
+    "q_stream_countmin" -> { (s, d) => withStatePartitions(s, 8) {
+      cleanCheckpoint("stream_countmin")
+      val cells = eventsStream(s, d)
+        .select(explode(array((0 until 4).map(r =>
+          struct(lit(r).as("r"),
+            graft.operators.Sketches.cmsBucket(r, col("user_id"))
+              .as("bucket"))): _*)).as("p"))
+        .groupBy(col("p.r").as("r"), col("p.bucket").as("bucket"))
+        .agg(count(lit(1)).as("cell"))
+      val q = cells.writeStream.format("memory")
+        .queryName("stream_countmin")
+        .outputMode("update")
+        .option("checkpointLocation",
+          "/root/repo/target/scratch/ckpt_stream_countmin")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val snap = s.table("stream_countmin")
+        .groupBy("r", "bucket").agg(max(col("cell")).as("cell"))
+      val exact = Tables.events(s, d)
+        .groupBy(col("user_id").as("key")).agg(count(lit(1)).as("cnt"))
+      graft.operators.Sketches.cmsProbe(snap, exact, 4, 10)
+    }},
+
     "q_stream_state_totals" -> { (s, d) => withStatePartitions(s, 8) {
       cleanCheckpoint("stream_state_totals")
       val q = runningUserTotals(eventsStream(s, d)).toDF()
@@ -1449,6 +1480,30 @@ object StreamOps {
   }
 
   def oracles: Map[String, String] = Map(
+    // stream ≡ batch ≡ DuckDB: the md5 CMS is deterministic, so the
+    // oracle replays the whole sketch over events/user_id exactly
+    "q_stream_countmin" ->
+      """WITH exact AS (
+        | SELECT user_id AS key, count(*) AS cnt FROM events GROUP BY 1),
+        |rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+        |cells AS (
+        | SELECT r,
+        |  CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
+        |    CAST(key AS VARCHAR)), 1, 8)) AS BIGINT) % 512 AS bucket,
+        |  CAST(sum(cnt) AS BIGINT) AS cell
+        | FROM exact, rs GROUP BY 1, 2),
+        |top AS (SELECT key, cnt FROM exact ORDER BY cnt DESC, key
+        |  LIMIT 10),
+        |probes AS (
+        | SELECT key, cnt, r,
+        |  CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
+        |    CAST(key AS VARCHAR)), 1, 8)) AS BIGINT) % 512 AS bucket
+        | FROM top, rs)
+        |SELECT p.key AS key, CAST(p.cnt AS BIGINT) AS exact_cnt,
+        | CAST(min(c.cell) AS BIGINT) AS cms_est,
+        | CAST(min(c.cell) - p.cnt AS BIGINT) AS overestimate
+        |FROM probes p JOIN cells c USING (r, bucket)
+        |GROUP BY p.key, p.cnt ORDER BY exact_cnt DESC, key""".stripMargin,
     // stream ≡ batch: the live posterior must equal the at-rest readout
     "q_stream_bayes_ab" -> graft.operators.Analytics.oracles("q_bayes_ab"),
     // stream ≡ batch: the identical CUSUM fold over events at rest
