@@ -4466,7 +4466,180 @@ object Analytics {
       .orderBy(desc("n"), col("motif"))
   }
 
+  /** JARQUE–BERA NORMALITY TEST (Jarque & Bera 1980) of daily revenue:
+    * JB = n/6·(S² + K²/4) from exact skewness and excess kurtosis — the
+    * "can I use z-intervals on this metric at all" gate in front of
+    * q_ab_test / q_bayes_ab's normal machinery. χ²(2) tail has the
+    * closed form exp(−JB/2), so no special function is needed.
+    *
+    * Exactness: values shift to integer dollars about the FLOOR-mean
+    * first (central moments are shift-invariant; the shift keeps the
+    * 4th-power sums inside DECIMAL(38) where raw cents⁴ would blow it),
+    * then all four moment sums are exact decimal folds and the moment
+    * identities are one shared double tree. Scale posture: corpus →
+    * day spine; two spine passes (shift, then moments).
+    */
+  def jarqueBera(orders: DataFrame): DataFrame = {
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val daily = orders.groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("yc"))
+      .select(expr("yc div 100").as("y"))
+      .persistTracked()
+    val g = daily.agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+    val sh = daily.crossJoin(broadcast(g))
+      .select((col("y") - expr("s div n")).as("dv"), col("n"))
+    val mo = sh.groupBy("n").agg(
+      sum(dec(col("dv"))).as("s1"),
+      sum(dec(col("dv")) * dec(col("dv"))).as("s2"),
+      sum(dec(col("dv")) * dec(col("dv")) * dec(col("dv"))).as("s3"),
+      sum(dec(col("dv")) * dec(col("dv")) * dec(col("dv")) *
+        dec(col("dv"))).as("s4"))
+    def d(c: Column) = c.cast("double")
+    val nd = d(col("n"))
+    val m1 = d(col("s1")) / nd
+    val m2 = d(col("s2")) / nd - m1 * m1
+    val m3 = d(col("s3")) / nd - lit(3.0) * m1 * (d(col("s2")) / nd) +
+      lit(2.0) * m1 * m1 * m1
+    val m4 = d(col("s4")) / nd - lit(4.0) * m1 * (d(col("s3")) / nd) +
+      lit(6.0) * m1 * m1 * (d(col("s2")) / nd) -
+      lit(3.0) * m1 * m1 * m1 * m1
+    val skew = m3 / (m2 * sqrt(m2))
+    val kx = m4 / (m2 * m2) - lit(3.0)
+    val jb = nd / 6.0 * (skew * skew + kx * kx / 4.0)
+    mo.select(col("n").as("n_days"),
+      when(m2 > 0, round(skew, 6)).as("skewness"),
+      when(m2 > 0, round(kx, 6)).as("kurtosis_excess"),
+      when(m2 > 0, round(jb, 6)).as("jb_stat"),
+      when(m2 > 0, round(exp(lit(-0.5) * jb), 6)).as("p_value"))
+  }
+
+  /** INSTRUMENTAL-VARIABLE / WALD ESTIMATOR (Wald 1940; the LATE of
+    * Imbens & Angrist 1994): the md5 user split is the ENCOURAGEMENT
+    * instrument Z, "heavy clicker" (≥ 10 clicks) is the endogenous
+    * exposure X, purchase spend is Y — β_IV = ITT_Y / ITT_X, the
+    * non-compliance-proof effect estimate the naive X→Y regression
+    * can't give (clickers self-select). Released with the first-stage
+    * strength and a weak-instrument flag (|ITT_X| ≤ 0.01 → the Wald
+    * ratio explodes and is withheld — the standard F≈10 caution in
+    * ratio form). On the hash A/A instrument the EXPECTED readout is
+    * weak_instrument = true — the op's job is to withhold the ratio in
+    * exactly that case; the planted spec drives the strong-instrument
+    * path.
+    *
+    * Exactness: per-arm counts/sums are exact integers/decimals; the
+    * two ITTs and their ratio are one shared double tree. Scale: one
+    * user-grain shuffle, then a 2-row frame.
+    */
+  def ivWald(events: DataFrame): DataFrame = {
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+    val per = events.groupBy("user_id").agg(
+      when(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+        >= 10, 1L).otherwise(0L).as("x"),
+      sum(when(col("event_type") === "purchase" && col("value").isNotNull,
+        cents).otherwise(0L)).as("yc"))
+    val z = when(
+      conv(substring(md5(col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 2 === 0, 0L).otherwise(1L)
+    val g = per.select(z.as("z"), col("x"), col("yc"))
+      .groupBy("z").agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(dec(col("yc"))).as("sy"))
+    val one = g.agg(
+      max(when(col("z") === 1, col("n"))).as("n1"),
+      max(when(col("z") === 0, col("n"))).as("n0"),
+      max(when(col("z") === 1, col("sx"))).as("sx1"),
+      max(when(col("z") === 0, col("sx"))).as("sx0"),
+      max(when(col("z") === 1, col("sy"))).as("sy1"),
+      max(when(col("z") === 0, col("sy"))).as("sy0"))
+    def d(c: Column) = c.cast("double")
+    val itx = d(col("sx1")) / d(col("n1")) - d(col("sx0")) / d(col("n0"))
+    val ity = (d(col("sy1")) / d(col("n1")) -
+      d(col("sy0")) / d(col("n0"))) / 100.0
+    val weak = abs(itx) <= 0.01
+    one.select(col("n1").as("n_encouraged"), col("n0").as("n_control"),
+      round(ity, 6).as("itt_y_dollars"),
+      round(itx, 6).as("first_stage"),
+      weak.as("weak_instrument"),
+      when(!weak, round(ity / itx, 6)).as("late_dollars"))
+  }
+
+  /** BASS DIFFUSION MODEL (Bass 1969), discrete OLS estimate: new
+    * adopters per day n_t = a + b·N_{t−1} + c·N²_{t−1} regressed over
+    * the adoption spine (first-ever event per user), then the structural
+    * parameters — innovation p, imitation q, market size m — recovered
+    * from the (a, b, c) roots. THE growth-curve model behind every
+    * "when does adoption saturate" forecast.
+    *
+    * Exactness: the adoption spine and cumulative counts are exact
+    * integers; the two-regressor fit reuses q_ols_multi's shared Cramer
+    * strings over exact DECIMAL(38,0) Gram sums (x = N, z = N²; at
+    * ≥1e9-user scale rescale N by 10³ before the fold — the z·z terms
+    * are the DECIMAL(38) ceiling). m is the negative root of
+    * c·m² + b·m + a = 0.
+    *
+    * Scale posture: one user-grain shuffle to first-seen days, one
+    * calendar-bounded spine pass, scalar Cramer algebra.
+    */
+  def bassDiffusion(orders: DataFrame): DataFrame = {
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val first = orders.groupBy("o_custkey")
+      .agg(min(to_date(col("o_orderdate"))).as("d0"))
+    val daily = first.groupBy("d0").agg(count(lit(1)).as("nt"))
+    val w = Window.orderBy("d0")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val spine = daily
+      .withColumn("np", coalesce(sum(col("nt")).over(w), lit(0L)))
+    val m = spine.select(col("nt").as("y"), col("np").as("x"),
+        (col("np") * col("np")).as("zz"))
+      .agg(count(lit(1)).as("cn"),
+        sum(dec(col("x"))).as("msx"), sum(dec(col("zz"))).as("msz"),
+        sum(dec(col("y"))).as("msy"),
+        sum(dec(col("x")) * dec(col("x"))).as("msxx"),
+        sum(dec(col("zz")) * dec(col("zz"))).as("mszz"),
+        sum(dec(col("x")) * dec(col("zz"))).as("msxz"),
+        sum(dec(col("x")) * dec(col("y"))).as("msxy"),
+        sum(dec(col("zz")) * dec(col("y"))).as("mszy"),
+        sum(dec(col("y")) * dec(col("y"))).as("msyy"))
+    def d(c: String) = col(c).cast("double")
+    val dd = m.select(d("cn").as("n"), d("msx").as("sx"),
+      d("msz").as("sz"), d("msy").as("sy"), d("msxx").as("sxx"),
+      d("mszz").as("szz"), d("msxz").as("sxz"), d("msxy").as("sxy"),
+      d("mszy").as("szy"), d("msyy").as("syy"), col("cn"))
+    val sol = dd.select(col("cn"),
+      expr(olsDet).as("det"), expr(olsD0).as("d0"),
+      expr(olsD1).as("d1"), expr(olsD2).as("d2"))
+    val ok = abs(col("det")) > 0
+    // det routes through a safe stand-in BEFORE any division: the okM
+    // condition below evaluates a/b/c EAGERLY (conditions aren't lazy),
+    // and ANSI double division aborts on /0 (the KN-discount lesson)
+    val detSafe = when(ok, col("det")).otherwise(lit(1.0))
+    val a = col("d0") / detSafe
+    val b = col("d1") / detSafe
+    val c = col("d2") / detSafe
+    // m = (-b - sqrt(b² - 4ac)) / (2c): the positive market-size root
+    // (c < 0 for a real diffusion, so the minus branch is the + root).
+    // c routes through the same safe-stand-in trick for the division.
+    val disc = b * b - lit(4.0) * a * c
+    val cSafe = when(c < 0, c).otherwise(lit(-1.0))
+    val mkt = (lit(-1.0) * b - sqrt(disc)) / (lit(2.0) * cSafe)
+    val okM = ok && disc > 0 && c < 0 && abs(mkt) > 0
+    sol.select(col("cn").as("n_days"),
+      when(ok, round(a, 6)).as("coef_a"),
+      when(ok, round(b, 6)).as("coef_b"),
+      when(ok, round(c, 9)).as("coef_c"),
+      when(okM, round(mkt, 2)).as("market_size"),
+      when(okM, round(a / mkt, 6)).as("innovation_p"),
+      when(okM, round(b + a / mkt, 6)).as("imitation_q"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Normality gate for daily revenue (skew/kurtosis, χ²(2) tail).
+    "q_jarque_bera" -> { (s, d) => jarqueBera(Tables.orders(s, d)) },
+    // Encouragement-design Wald/IV estimate of click -> spend.
+    "q_iv_wald" -> { (s, d) => ivWald(Tables.events(s, d)) },
+    // Bass diffusion p/q/m from the first-order customer-adoption spine.
+    "q_bass_diffusion" -> { (s, d) => bassDiffusion(Tables.orders(s, d)) },
     // Purchase-vs-click lead/lag cross-correlation, k = -7..7.
     "q_ccf_daily" -> { (s, d) => ccfDaily(Tables.events(s, d)) },
     // Log-log demand elasticity of quantity on unit price.
@@ -6254,6 +6427,144 @@ object Analytics {
       | FROM s)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // same floor-mean shift, same HUGEINT power sums, same moment tree
+    "q_jarque_bera" ->
+      """WITH daily AS (
+        | SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |   AS BIGINT) // 100 AS y
+        | FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(y) AS BIGINT) AS s FROM daily),
+        |sh AS (SELECT y - (s // n) AS dv, n FROM daily, g),
+        |mo AS (
+        | SELECT n, sum(CAST(dv AS HUGEINT)) AS s1,
+        |  sum(CAST(dv AS HUGEINT) * CAST(dv AS HUGEINT)) AS s2,
+        |  sum(CAST(dv AS HUGEINT) * CAST(dv AS HUGEINT)
+        |      * CAST(dv AS HUGEINT)) AS s3,
+        |  sum(CAST(dv AS HUGEINT) * CAST(dv AS HUGEINT)
+        |      * CAST(dv AS HUGEINT) * CAST(dv AS HUGEINT)) AS s4
+        | FROM sh GROUP BY 1),
+        |f AS (
+        | SELECT n, CAST(n AS DOUBLE) AS nd,
+        |  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+        |  CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+        |  CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+        |  CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+        | FROM mo),
+        |f2 AS (
+        | SELECT n, nd, m1, r2, r3, r4,
+        |  r2 - m1 * m1 AS m2,
+        |  r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1 AS m3,
+        |  r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2
+        |   - 3.0 * m1 * m1 * m1 * m1 AS m4
+        | FROM f),
+        |f3 AS (
+        | SELECT n, nd, m2,
+        |  m3 / (m2 * sqrt(m2)) AS skew,
+        |  m4 / (m2 * m2) - 3.0 AS kx
+        | FROM f2),
+        |f4 AS (
+        | SELECT n, m2, skew, kx,
+        |  nd / 6.0 * (skew * skew + kx * kx / 4.0) AS jb
+        | FROM f3)
+        |SELECT n AS n_days,
+        | CASE WHEN m2 > 0 THEN round(skew, 6) END AS skewness,
+        | CASE WHEN m2 > 0 THEN round(kx, 6) END AS kurtosis_excess,
+        | CASE WHEN m2 > 0 THEN round(jb, 6) END AS jb_stat,
+        | CASE WHEN m2 > 0 THEN round(exp(-0.5 * jb), 6) END AS p_value
+        |FROM f4""".stripMargin,
+    // same md5 encouragement arm, same exact per-arm moments, same
+    // ITT-ratio tree with the weak-instrument withhold
+    "q_iv_wald" ->
+      """WITH per AS (
+        | SELECT user_id,
+        |  CASE WHEN sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+        |    END) >= 10 THEN 1 ELSE 0 END AS x,
+        |  CAST(sum(CASE WHEN event_type = 'purchase'
+        |    AND value IS NOT NULL
+        |   THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |   ELSE 0 END) AS HUGEINT) AS yc
+        | FROM events GROUP BY 1),
+        |g AS (
+        | SELECT CASE WHEN CAST(('0x' ||
+        |    substr(md5(CAST(user_id AS VARCHAR)), 1, 4)) AS BIGINT)
+        |    % 2 = 0 THEN 0 ELSE 1 END AS z,
+        |  count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, sum(yc) AS sy
+        | FROM per GROUP BY 1),
+        |one AS (SELECT
+        |  max(CASE WHEN z = 1 THEN n END) AS n1,
+        |  max(CASE WHEN z = 0 THEN n END) AS n0,
+        |  max(CASE WHEN z = 1 THEN sx END) AS sx1,
+        |  max(CASE WHEN z = 0 THEN sx END) AS sx0,
+        |  max(CASE WHEN z = 1 THEN sy END) AS sy1,
+        |  max(CASE WHEN z = 0 THEN sy END) AS sy0
+        | FROM g),
+        |f AS (SELECT CAST(n1 AS BIGINT) AS n1, CAST(n0 AS BIGINT) AS n0,
+        |  CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |   - CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS itx,
+        |  (CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |   - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)) / 100.0 AS ity
+        | FROM one)
+        |SELECT n1 AS n_encouraged, n0 AS n_control,
+        | round(ity, 6) AS itt_y_dollars, round(itx, 6) AS first_stage,
+        | (abs(itx) <= 0.01) AS weak_instrument,
+        | CASE WHEN NOT abs(itx) <= 0.01 THEN round(ity / itx, 6) END
+        |  AS late_dollars
+        |FROM f""".stripMargin,
+    // same adoption spine, same shared Cramer strings over HUGEINT
+    // Gram sums, same guarded root extraction
+    "q_bass_diffusion" ->
+      s"""WITH fst AS (SELECT o_custkey, min(CAST(o_orderdate AS DATE))
+         |  AS d0
+         | FROM orders GROUP BY 1),
+         |daily AS (SELECT d0, count(*) AS nt FROM fst GROUP BY 1),
+         |spine AS (
+         | SELECT nt, COALESCE(sum(nt) OVER (ORDER BY d0
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS np
+         | FROM daily),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS cn,
+         |  sum(CAST(np AS HUGEINT)) AS msx,
+         |  sum(CAST(np * np AS HUGEINT)) AS msz,
+         |  sum(CAST(nt AS HUGEINT)) AS msy,
+         |  sum(CAST(np AS HUGEINT) * CAST(np AS HUGEINT)) AS msxx,
+         |  sum(CAST(np * np AS HUGEINT) * CAST(np * np AS HUGEINT))
+         |   AS mszz,
+         |  sum(CAST(np AS HUGEINT) * CAST(np * np AS HUGEINT)) AS msxz,
+         |  sum(CAST(np AS HUGEINT) * CAST(nt AS HUGEINT)) AS msxy,
+         |  sum(CAST(np * np AS HUGEINT) * CAST(nt AS HUGEINT)) AS mszy,
+         |  sum(CAST(nt AS HUGEINT) * CAST(nt AS HUGEINT)) AS msyy
+         | FROM spine),
+         |dd AS (SELECT cn, CAST(cn AS DOUBLE) AS n,
+         |  CAST(msx AS DOUBLE) AS sx, CAST(msz AS DOUBLE) AS sz,
+         |  CAST(msy AS DOUBLE) AS sy, CAST(msxx AS DOUBLE) AS sxx,
+         |  CAST(mszz AS DOUBLE) AS szz, CAST(msxz AS DOUBLE) AS sxz,
+         |  CAST(msxy AS DOUBLE) AS sxy, CAST(mszy AS DOUBLE) AS szy,
+         |  CAST(msyy AS DOUBLE) AS syy FROM m),
+         |sol AS (SELECT cn, $olsDet AS det, $olsD0 AS d0,
+         |  $olsD1 AS d1, $olsD2 AS d2 FROM dd),
+         |f AS (SELECT cn, det,
+         |  d0 / (CASE WHEN abs(det) > 0 THEN det ELSE 1.0 END) AS a,
+         |  d1 / (CASE WHEN abs(det) > 0 THEN det ELSE 1.0 END) AS b,
+         |  d2 / (CASE WHEN abs(det) > 0 THEN det ELSE 1.0 END) AS c
+         | FROM sol),
+         |g AS (SELECT cn, det, a, b, c,
+         |  b * b - 4.0 * a * c AS disc FROM f),
+         |h AS (SELECT cn, det, a, b, c, disc,
+         |  CASE WHEN disc > 0 THEN (-1.0 * b - sqrt(disc))
+         |   / (2.0 * (CASE WHEN c < 0 THEN c ELSE -1.0 END)) END AS mkt
+         | FROM g)
+         |SELECT cn AS n_days,
+         | CASE WHEN abs(det) > 0 THEN round(a, 6) END AS coef_a,
+         | CASE WHEN abs(det) > 0 THEN round(b, 6) END AS coef_b,
+         | CASE WHEN abs(det) > 0 THEN round(c, 9) END AS coef_c,
+         | CASE WHEN abs(det) > 0 AND disc > 0 AND c < 0
+         |   AND abs(mkt) > 0 THEN round(mkt, 2) END AS market_size,
+         | CASE WHEN abs(det) > 0 AND disc > 0 AND c < 0
+         |   AND abs(mkt) > 0 THEN round(a / mkt, 6) END AS innovation_p,
+         | CASE WHEN abs(det) > 0 AND disc > 0 AND c < 0
+         |   AND abs(mkt) > 0 THEN round(b + a / mkt, 6) END
+         |  AS imitation_q
+         |FROM h""".stripMargin,
     // same day-spine lag keys, same HUGEINT moment differencing
     "q_ccf_daily" ->
       """WITH daily AS (

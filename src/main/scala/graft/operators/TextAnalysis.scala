@@ -1268,7 +1268,64 @@ object TextAnalysis {
         (d(col("n")) * d(col("n"))), 6).as("yule_k"))
   }
 
+  /** BURROWS' DELTA (Burrows 2002): the classic stylometric distance —
+    * z-score each source's relative frequency of the top-`nWords`
+    * corpus words against the across-source distribution, then
+    * Δ(s1,s2) = mean |z₁ − z₂|. THE authorship/register-similarity
+    * measure; in a curation pipeline it surfaces source pairs that are
+    * stylistic near-clones (scraped mirrors, template farms) that
+    * content-hash dedup misses. Released: the k most similar pairs.
+    *
+    * Exactness: relative frequencies freeze to integer ppm
+    * (c·10⁶ div n_tokens); across-source moments are exact integer
+    * sums with a guarded sample-variance denominator; each |Δz| rounds
+    * 9dp before the DECIMAL fold. Scale posture: one tokenize pass →
+    * (source × top-word) grid (dimension-class — the top-word list is
+    * a 30-row broadcast); the pair join runs on the z-matrix
+    * (sources × 30), never the corpus.
+    */
+  def burrowsDelta(docs: DataFrame, nWords: Int = 30,
+                   k: Int = 15): DataFrame = {
+    val tok = docs.select(col("source"),
+        explode(tokens(lower(col("text")))).as("token"))
+      .persistTracked()
+    val topw = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("token")).limit(nWords)
+      .select(col("token"))
+    val stot = tok.groupBy("source").agg(count(lit(1)).as("nt"))
+    val cnts = tok.join(broadcast(topw), Seq("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+    val grid = stot.crossJoin(broadcast(topw))
+    val f = grid.join(cnts, Seq("source", "token"), "left")
+      .select(col("source"), col("token"),
+        expr("coalesce(c, 0) * 1000000 div nt").as("fppm"))
+    val ws = f.groupBy("token").agg(count(lit(1)).as("k"),
+      sum(col("fppm")).as("sf"),
+      sum(col("fppm") * col("fppm")).as("sff"))
+    def d(c: Column) = c.cast("double")
+    val mu = d(col("sf")) / d(col("k"))
+    val va = (d(col("sff")) - d(col("k")) * mu * mu) /
+      greatest(d(col("k")) - 1, lit(1.0))
+    val wz = f.join(ws, Seq("token"))
+      .filter(col("k") > 1 && va > 0)
+      .select(col("source"), col("token"),
+        ((d(col("fppm")) - mu) / sqrt(va)).as("z"))
+    val pairs = wz.as("a").join(wz.as("b"),
+        col("a.token") === col("b.token") &&
+          col("a.source") < col("b.source"))
+      .select(col("a.source").as("s1"), col("b.source").as("s2"),
+        round(abs(col("a.z") - col("b.z")), 9)
+          .cast(DecimalType(18, 9)).as("t"))
+    pairs.groupBy("s1", "s2")
+      .agg(count(lit(1)).as("n_words"),
+        round(sum(col("t")).cast("double") /
+          count(lit(1)).cast("double"), 4).as("delta"))
+      .orderBy(col("delta"), col("s1"), col("s2")).limit(k)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Stylometric near-clone source pairs (Burrows' Delta, top-30 words).
+    "q_burrows_delta" -> { (s, d) => burrowsDelta(Tables.documents(s, d)) },
     // Yule's K repetitiveness constant + TTR/hapax lexical richness.
     "q_yule_k" -> { (s, d) => yuleK(Tables.documents(s, d)) },
     "q_textrank" -> { (s, d) => textRank(Tables.documents(s, d)) },
@@ -2136,6 +2193,48 @@ object TextAnalysis {
       .map { case (l, sc) => s"WHEN $sc = $maxScore THEN '$l'" }
       .mkString(" ")
     Map(
+      // same top-word list, same ppm freeze, same guarded z-variance,
+      // same 9dp |Δz| fold
+      "q_burrows_delta" -> {
+        val mu = "(CAST(sf AS DOUBLE) / CAST(k AS DOUBLE))"
+        val va = s"((CAST(sff AS DOUBLE) - CAST(k AS DOUBLE) * $mu * $mu)" +
+          " / greatest(CAST(k AS DOUBLE) - 1, 1.0))"
+        s"""WITH tok AS (
+           | SELECT source, unnest(${tokensSql("lower(text)")}) AS token
+           | FROM documents),
+           |topw AS (SELECT token FROM (
+           | SELECT token, count(*) AS cnt FROM tok GROUP BY 1
+           | ORDER BY cnt DESC, token LIMIT 30)),
+           |stot AS (SELECT source, count(*) AS nt FROM tok GROUP BY 1),
+           |cnts AS (
+           | SELECT source, token, count(*) AS c
+           | FROM tok JOIN topw USING (token) GROUP BY 1, 2),
+           |grid AS (SELECT source, nt, token FROM stot CROSS JOIN topw),
+           |f AS (
+           | SELECT g.source, g.token,
+           |  CAST(coalesce(c.c, 0) * 1000000 // g.nt AS BIGINT) AS fppm
+           | FROM grid g LEFT JOIN cnts c
+           |  ON g.source = c.source AND g.token = c.token),
+           |ws AS (SELECT token, CAST(count(*) AS BIGINT) AS k,
+           |  CAST(sum(fppm) AS BIGINT) AS sf,
+           |  CAST(sum(fppm * fppm) AS BIGINT) AS sff
+           | FROM f GROUP BY 1),
+           |wz AS (
+           | SELECT source, f.token,
+           |  (CAST(fppm AS DOUBLE) - $mu) / sqrt($va) AS z
+           | FROM f JOIN ws ON f.token = ws.token
+           | WHERE k > 1 AND $va > 0),
+           |pairs AS (
+           | SELECT a.source AS s1, b.source AS s2,
+           |  CAST(round(abs(a.z - b.z), 9) AS DECIMAL(18,9)) AS t
+           | FROM wz a JOIN wz b
+           |  ON a.token = b.token AND a.source < b.source)
+           |SELECT s1, s2, count(*) AS n_words,
+           | round(CAST(sum(t) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+           |  AS delta
+           |FROM pairs GROUP BY 1, 2 ORDER BY delta, s1, s2
+           |LIMIT 15""".stripMargin
+      },
       // same tokenize, same integer frequency-spectrum moments
       "q_yule_k" ->
         s"""WITH freq AS (

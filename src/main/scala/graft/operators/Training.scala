@@ -543,7 +543,74 @@ object Training {
           .as("cka"))
   }
 
+  /** LOCAL OUTLIER FACTOR (Breunig et al. 2000) over the embedding
+    * corpus: kNN on exact int8 squared distances, reachability
+    * distances, local reachability density, and LOF = how much sparser
+    * a point's neighborhood is than its neighbors' — the DENSITY-aware
+    * outlier detector that catches points "far from their own cluster"
+    * that the global Tukey fence (q_embed_outliers) and centroid-z
+    * screens can't (a point equidistant from two clusters has healthy
+    * global stats and LOF ≫ 1). Released: the topN highest-LOF vectors
+    * with their k-distance.
+    *
+    * Exactness: distances stay in the exact integer d² domain end to
+    * end (LOF on a monotone transform of the metric is the documented
+    * variant; kNN sets and reach-dist maxima are IDENTICAL to the
+    * metric's); lrd is frozen to the integer k·10¹² div Σreach, so the
+    * only doubles are the final ratio.
+    *
+    * Scale posture: the corpus side broadcasts (codes are
+    * dimension-class); the kNN window partitions BY POINT. LOF is a
+    * local measure — at corpora past broadcast size, run it per IVF
+    * list (the q_sim_topk_ivf partitioner) exactly as FAISS-style
+    * pipelines shard their outlier sweeps.
+    */
+  def lofOutliers(emb: DataFrame, k: Int = 5, topN: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.CacheScope.TrackedDataset
+    val p = quantizeEmbeddings(emb)
+      .select(col("vec_id"), col("codes"),
+        coalesce(intDot(col("codes"), col("codes")), lit(0L)).as("n2"))
+      .persistTracked()
+    val b = p.select(col("vec_id").as("ib"), col("codes").as("cb"),
+      col("n2").as("n2b"))
+    val d2 = p.crossJoin(broadcast(b))
+      .filter(col("vec_id") =!= col("ib"))
+      .select(col("vec_id").as("ia"), col("ib"),
+        (col("n2") - lit(2L) * coalesce(intDot(col("codes"), col("cb")),
+          lit(0L)) + col("n2b")).as("dd"))
+    val w = Window.partitionBy("ia").orderBy(col("dd"), col("ib"))
+    val knn = d2.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .persistTracked()
+    val kdist = knn.groupBy(col("ia").as("i")).agg(max(col("dd")).as("kd"))
+    val reach = knn
+      .join(kdist.select(col("i").as("ib"), col("kd").as("kdb")),
+        Seq("ib"))
+      .select(col("ia"), greatest(col("kdb"), col("dd")).as("reach"))
+    val lrd = reach.groupBy("ia")
+      .agg(sum(col("reach")).as("sr"))
+      .select(col("ia"),
+        expr(s"CAST($k AS BIGINT) * 1000000000000 div greatest(sr, 1)")
+          .as("lrd12"))
+      .persistTracked()
+    val lof = knn.select(col("ia"), col("ib"))
+      .join(lrd.select(col("ia").as("ib"), col("lrd12").as("lrdb")),
+        Seq("ib"))
+      .groupBy("ia").agg(sum(col("lrdb")).as("slrdb"))
+      .join(lrd, Seq("ia"))
+      .join(kdist.select(col("i").as("ia"), col("kd")), Seq("ia"))
+      .select(col("ia").as("vec_id"), col("kd").as("k_dist2"),
+        when(col("lrd12") > 0,
+          round(col("slrdb").cast("double") /
+            (lit(k.toDouble) * col("lrd12").cast("double")), 4))
+          .as("lof"))
+    lof.orderBy(desc("lof"), col("vec_id")).limit(topN)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Density-aware embedding outliers: top-10 LOF on exact int8 d².
+    "q_lof_outliers" -> { (s, d) => lofOutliers(Tables.embeddings(s, d)) },
     // Geometry-preservation readout of the int8 quantization (linear CKA).
     "q_cka_quant" -> { (s, d) => ckaQuant(Tables.embeddings(s, d)) },
     // One ALS half-step: per-user ridge solve against seeded item factors.
@@ -724,6 +791,46 @@ object Training {
   }
 
   def oracles: Map[String, String] = Map(
+    // same int8 codes, same integer d² kNN (dd, ib tie-break), same
+    // integer k·10¹²-scaled lrd, same final ratio
+    "q_lof_outliers" ->
+      s"""WITH p AS (
+         | SELECT vec_id, codes,
+         |  CAST(coalesce(${intDotSql("codes", "codes")}, 0) AS BIGINT)
+         |   AS n2
+         | FROM (SELECT vec_id,
+         |   ${codesSql("embedding", scaleSql("embedding"))} AS codes
+         |  FROM embeddings)),
+         |d2 AS (
+         | SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |  a.n2 - 2 * CAST(coalesce(${intDotSql("a.codes", "b.codes")},
+         |    0) AS BIGINT) + b.n2 AS dd
+         | FROM p a JOIN p b ON a.vec_id <> b.vec_id),
+         |knn AS (
+         | SELECT ia, ib, dd FROM (
+         |  SELECT ia, ib, dd,
+         |   row_number() OVER (PARTITION BY ia ORDER BY dd, ib) AS rn
+         |  FROM d2) WHERE rn <= 5),
+         |kdist AS (SELECT ia AS i, CAST(max(dd) AS BIGINT) AS kd
+         |  FROM knn GROUP BY 1),
+         |reach AS (
+         | SELECT k.ia, greatest(kb.kd, k.dd) AS reach
+         | FROM knn k JOIN kdist kb ON k.ib = kb.i),
+         |lrd AS (
+         | SELECT ia, CAST(5 * 1000000000000
+         |   // greatest(CAST(sum(reach) AS BIGINT), 1) AS BIGINT)
+         |  AS lrd12
+         | FROM reach GROUP BY 1),
+         |lf AS (
+         | SELECT k.ia, CAST(sum(lb.lrd12) AS BIGINT) AS slrdb
+         | FROM knn k JOIN lrd lb ON k.ib = lb.ia GROUP BY 1)
+         |SELECT l.ia AS vec_id, kd.kd AS k_dist2,
+         | CASE WHEN ld.lrd12 > 0 THEN
+         |  round(CAST(l.slrdb AS DOUBLE)
+         |   / (5.0 * CAST(ld.lrd12 AS DOUBLE)), 4) END AS lof
+         |FROM lf l JOIN lrd ld ON l.ia = ld.ia
+         | JOIN kdist kd ON l.ia = kd.i
+         |ORDER BY lof DESC, vec_id LIMIT 10""".stripMargin,
     // same ⌊v·1024⌋ / int8 views, same n·Σxy − ΣxΣy centered moments in
     // HUGEINT, same final ratio-of-norms double
     "q_cka_quant" ->

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Hand-computed gates for the round-10 batch-D operators: Jarque–Bera,
+  * IV/Wald, Bass diffusion, LOF, and Burrows' Delta.
+  */
+class Round10eSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def day(i: Int) = {
+    val c = java.util.Calendar.getInstance()
+    c.set(2024, 0, 1, 0, 0, 0)
+    c.add(java.util.Calendar.DAY_OF_MONTH, i)
+    new java.sql.Timestamp(c.getTimeInMillis)
+  }
+
+  // ---- Jarque–Bera --------------------------------------------------------
+
+  test("jarqueBera: symmetric 4-day ladder computes the textbook JB") {
+    // daily dollars {10,20,20,30}: dv = {-10,0,0,10}, skew 0,
+    // kurt_excess = 5000/2500 - 3 = -1, JB = 4/6 * (0 + 1/4) = 1/6
+    val rows = Seq((day(0), 10.0), (day(1), 20.0), (day(2), 20.0),
+      (day(3), 30.0))
+    val r = operators.Analytics
+      .jarqueBera(rows.toDF("o_orderdate", "o_totalprice")).collect()(0)
+    assert(r.getAs[Long]("n_days") === 4L)
+    assert(math.abs(r.getAs[Double]("skewness")) < 1e-9)
+    assert(math.abs(r.getAs[Double]("kurtosis_excess") - -1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("jb_stat") - 1.0 / 6) < 1e-6)
+    assert(math.abs(r.getAs[Double]("p_value") -
+      math.exp(-1.0 / 12)) < 1e-5)
+  }
+
+  // ---- IV / Wald -----------------------------------------------------------
+
+  test("ivWald: perfect compliance recovers the planted $50 LATE") {
+    // discover each candidate user's md5 arm with the operator's own
+    // hash, then plant: encouraged users are heavy clickers who spend
+    // $100; control users click once and spend $50.
+    val ids = (1L to 60L).toDF("user_id")
+    val armCol = when(
+      conv(substring(md5(col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 2 === 0, 0L).otherwise(1L)
+    val arms = ids.select(col("user_id"), armCol.as("z")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = arms.toSeq.flatMap { case (u, z) =>
+      val clicks = if (z == 1) 12 else 1
+      val spend = if (z == 1) 100.0 else 50.0
+      (1 to clicks).map(i => (u, "click", 1.0, day(i % 20))) :+
+        ((u, "purchase", spend, day(25)))
+    }
+    val r = operators.Analytics
+      .ivWald(rows.toDF("user_id", "event_type", "value", "ts"))
+      .collect()(0)
+    assert(!r.getAs[Boolean]("weak_instrument"))
+    assert(math.abs(r.getAs[Double]("first_stage") - 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("late_dollars") - 50.0) < 1e-6)
+  }
+
+  // ---- Bass diffusion --------------------------------------------------------
+
+  test("bassDiffusion: a generated S-curve recovers p, q, m") {
+    // simulate n_t = p*m + (q-p)*N - (q/m)*N^2 with p=.03, q=.38, m=1000
+    val (p, q, m) = (0.03, 0.38, 1000.0)
+    var n = 0.0
+    var cust = 0L
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, java.sql.Timestamp)]()
+    var t = 0
+    while (n < 0.95 * m && t < 60) {
+      val nt = math.max(1, math.round(p * m + (q - p) * n - q / m * n * n))
+      (1L to nt).foreach { _ =>
+        cust += 1
+        rows += ((cust, day(t)))
+      }
+      n += nt
+      t += 1
+    }
+    val r = operators.Analytics
+      .bassDiffusion(rows.toSeq.toDF("o_custkey", "o_orderdate"))
+      .collect()(0)
+    val mkt = r.getAs[Double]("market_size")
+    assert(mkt > 800 && mkt < 1200)
+    assert(r.getAs[Double]("innovation_p") > 0.01 &&
+      r.getAs[Double]("innovation_p") < 0.06)
+    assert(r.getAs[Double]("imitation_q") > 0.2 &&
+      r.getAs[Double]("imitation_q") < 0.6)
+  }
+
+  // ---- LOF --------------------------------------------------------------------
+
+  test("lofOutliers: the lone point off a tight cluster tops the ranking") {
+    val cluster = (0 until 20).map { i =>
+      val v = Array.tabulate(64)(d => 0.3f + 0.001f * ((i + d) % 7))
+      (i.toLong, v.toSeq)
+    }
+    val outlier = {
+      val v = Array.fill(64)(0.3f); v(0) = -0.9f; v(1) = -0.9f
+      Seq((99L, v.toSeq))
+    }
+    val rows = operators.Training
+      .lofOutliers((cluster ++ outlier).toDF("vec_id", "embedding"))
+      .collect()
+    assert(rows.head.getAs[Long]("vec_id") === 99L)
+    assert(rows.head.getAs[Double]("lof") > 2.0)
+    // cluster members sit at LOF ~ 1
+    assert(rows.last.getAs[Double]("lof") < 1.5)
+  }
+
+  // ---- Burrows' Delta ------------------------------------------------------------
+
+  test("burrowsDelta: stylistic twins are the closest pair") {
+    def doc(id: Long, src: String, text: String) = (id, text, src)
+    // A and B share a function-word style; C inverts it
+    val styleAB = "the the the of of and to in a cat sat mat"
+    val styleC = "zz zz zz qq qq ww ee rr tt yy uu ii"
+    val docs = (
+      (1 to 5).map(i => doc(i, "srcA", styleAB + s" extra$i")) ++
+        (6 to 10).map(i => doc(i, "srcB", styleAB + s" other$i")) ++
+        (11 to 15).map(i => doc(i, "srcC", styleC + s" unique$i"))
+      ).toDF("doc_id", "text", "source")
+    val rows = operators.TextAnalysis.burrowsDelta(docs).collect()
+    val top = (rows.head.getAs[String]("s1"), rows.head.getAs[String]("s2"))
+    assert(top === ("srcA", "srcB"))
+    assert(rows.head.getAs[Double]("delta") <
+      rows.last.getAs[Double]("delta"))
+  }
+}
