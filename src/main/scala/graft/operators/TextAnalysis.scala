@@ -1323,7 +1323,48 @@ object TextAnalysis {
       .orderBy(col("delta"), col("s1"), col("s2")).limit(k)
   }
 
+  /** COLLOCATION EXTRACTION by Dunning's log-likelihood ratio (Dunning
+    * 1993): G² of each bigram's 2×2 contingency — the statistically
+    * honest collocation test that, unlike q_pmi_topk's raw PMI, does
+    * NOT explode on rare pairs (PMI's top list is one-count noise by
+    * construction; G² weights by evidence). Computed via the xlx
+    * identity G² = 2(Σ O·lnO − Σ R·lnR − Σ C·lnC + N·lnN) so zero
+    * cells cost nothing. Released: the top-k collocations.
+    *
+    * Exactness: all contingency cells are exact integers off the shared
+    * KN bigram count frames; each x·ln x is the same double tree; the
+    * ordering key is the 4dp-ROUNDED G² (ties then lexical) so both
+    * engines rank identically. Scale posture: one tokenize pass +
+    * vocab-bounded count frames; the 2×2 algebra is a map over the
+    * bigram-type frame.
+    */
+  def collocationsG2(docs: DataFrame, k: Int = 15): DataFrame = {
+    val (_, cb, cu, _, _) = knFrames(docs)
+    val c2 = cb.groupBy("w2").agg(sum(col("cb")).as("c2"))
+    val nn = cb.agg(sum(col("cb")).as("nb"))
+    val j = cb.join(cu.select(col("w1"), col("cu")), Seq("w1"))
+      .join(c2, Seq("w2")).crossJoin(broadcast(nn))
+    def xlx(c: Column) = {
+      val d = c.cast("double")
+      when(c > 0, d * log(d)).otherwise(lit(0.0))
+    }
+    val k11 = col("cb")
+    val k12 = col("cu") - col("cb")
+    val k21 = col("c2") - col("cb")
+    val k22 = col("nb") - col("cu") - col("c2") + col("cb")
+    val g2 = lit(2.0) * (xlx(k11) + xlx(k12) + xlx(k21) + xlx(k22) -
+      xlx(col("cu")) - xlx(col("nb") - col("cu")) -
+      xlx(col("c2")) - xlx(col("nb") - col("c2")) + xlx(col("nb")))
+    j.select(col("w1"), col("w2"), col("cb").as("n_pair"),
+        round(g2, 4).as("g2"))
+      .orderBy(desc("g2"), col("w1"), col("w2"))
+      .limit(k)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Evidence-weighted collocations (Dunning G², top-15).
+    "q_collocations_g2" -> { (s, d) =>
+      collocationsG2(Tables.documents(s, d)) },
     // Stylometric near-clone source pairs (Burrows' Delta, top-30 words).
     "q_burrows_delta" -> { (s, d) => burrowsDelta(Tables.documents(s, d)) },
     // Yule's K repetitiveness constant + TTR/hapax lexical richness.
@@ -2193,6 +2234,30 @@ object TextAnalysis {
       .map { case (l, sc) => s"WHEN $sc = $maxScore THEN '$l'" }
       .mkString(" ")
     Map(
+      // same KN count frames, same xlx identity, same rounded ordering
+      "q_collocations_g2" -> {
+        def xlx(c: String) =
+          s"(CASE WHEN $c > 0 THEN CAST($c AS DOUBLE) " +
+            s"* ln(CAST($c AS DOUBLE)) ELSE 0.0 END)"
+        ("WITH " + knCountCtesSql + ",\n" +
+          s"""c2 AS (SELECT w2, CAST(sum(cb) AS BIGINT) AS c2 FROM cb
+             |  GROUP BY 1),
+             |nn AS (SELECT CAST(sum(cb) AS BIGINT) AS nb FROM cb),
+             |j AS (
+             | SELECT w1, w2, cb, cu, c2, nb
+             | FROM cb JOIN cu USING (w1) JOIN c2 USING (w2)
+             |  CROSS JOIN nn),
+             |sc AS (
+             | SELECT w1, w2, cb AS n_pair,
+             |  round(2.0 * (${xlx("cb")} + ${xlx("cu - cb")}
+             |   + ${xlx("c2 - cb")} + ${xlx("nb - cu - c2 + cb")}
+             |   - ${xlx("cu")} - ${xlx("nb - cu")}
+             |   - ${xlx("c2")} - ${xlx("nb - c2")}
+             |   + ${xlx("nb")}), 4) AS g2
+             | FROM j)
+             |SELECT w1, w2, n_pair, g2 FROM sc
+             |ORDER BY g2 DESC, w1, w2 LIMIT 15""".stripMargin)
+      },
       // same top-word list, same ppm freeze, same guarded z-variance,
       // same 9dp |Δz| fold
       "q_burrows_delta" -> {

@@ -107,6 +107,23 @@ class Round10eSpec extends SparkSpec {
     assert(rows.last.getAs[Double]("lof") < 1.5)
   }
 
+  // ---- Dunning G² collocations -----------------------------------------
+
+  test("collocationsG2: a fixed phrase beats a one-count PMI dazzler") {
+    // "new york" co-occurs 8x amid varied text; "aa bb" occurs once with
+    // both words unique (PMI would rank it top; G² must not).
+    val filler = (1 to 8).map(i =>
+      (i.toLong, s"new york w$i x$i y$i z$i", "s"))
+    val rare = Seq((9L, "aa bb", "s"))
+    val docs = (filler ++ rare).toDF("doc_id", "text", "source")
+    val rows = operators.TextAnalysis.collocationsG2(docs).collect()
+    assert(rows.head.getString(0) === "new")
+    assert(rows.head.getString(1) === "york")
+    assert(rows.head.getAs[Long]("n_pair") === 8L)
+    val aabb = rows.find(r => r.getString(0) == "aa").get
+    assert(aabb.getAs[Double]("g2") < rows.head.getAs[Double]("g2"))
+  }
+
   // ---- Burrows' Delta ------------------------------------------------------------
 
   test("burrowsDelta: stylistic twins are the closest pair") {
