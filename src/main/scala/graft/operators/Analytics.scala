@@ -4633,7 +4633,125 @@ object Analytics {
       when(okM, round(b + a / mkt, 6)).as("imitation_q"))
   }
 
+  /** EMPIRICAL-BAYES SHRINKAGE of per-part return rates (the
+    * James–Stein / beta-binomial recipe, Efron & Morris 1975): fit a
+    * beta prior to the across-part rate distribution by method of
+    * moments, then shrink each part's raw x/n toward the prior mean
+    * with strength α+β — small-n parts move a lot, well-measured parts
+    * barely — the estimator every "rank groups by a noisy rate"
+    * dashboard should use instead of raw rates. Released: the 10 parts
+    * the prior corrects HARDEST (the exact rows a raw-rate ranking gets
+    * most wrong).
+    *
+    * Exactness: per-part counts are exact; rates freeze to 6dp before
+    * the across-part moment fold (12dp-exact squares); prior strength
+    * clamps at 0 (degenerate variance → no shrinkage, never a 0-divide,
+    * via the safe-variance stand-in). Scale posture: one shuffle to the
+    * part dimension, scalar prior, one broadcast map pass.
+    */
+  def jamesStein(li: DataFrame, topN: Int = 10): DataFrame = {
+    val per = li.groupBy(col("l_partkey").as("part"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("x"))
+    val rates = per.select(col("part"), col("n"), col("x"),
+        round(col("x").cast("double") / col("n").cast("double"), 6)
+          .as("r"))
+      .persistTracked()
+    val mo = rates.agg(count(lit(1)).as("k"),
+      sum(col("r").cast(DecimalType(18, 6))).as("sr"),
+      sum((col("r") * col("r")).cast(DecimalType(28, 12))).as("srr"))
+    def d(c: Column) = c.cast("double")
+    val mu = d(col("sr")) / d(col("k"))
+    val v = (d(col("srr")) - d(col("k")) * mu * mu) /
+      greatest(d(col("k")) - 1, lit(1.0))
+    val vSafe = when(v > 0, v).otherwise(lit(1.0))
+    val strength = greatest(mu * (lit(1.0) - mu) / vSafe - 1.0, lit(0.0))
+    val prior = mo.select(round(mu, 6).as("mu"),
+      round(strength, 4).as("st"))
+    val j = rates.crossJoin(broadcast(prior))
+    val shrunk = (d(col("x")) + col("mu") * col("st")) /
+      (d(col("n")) + col("st"))
+    j.select(col("part"), col("n"), col("x"), col("r").as("raw_rate"),
+        round(shrunk, 6).as("shrunk_rate"),
+        col("st").as("prior_strength"),
+        round(abs(shrunk - col("r")), 6).as("correction"))
+      .orderBy(desc("correction"), col("part"))
+      .limit(topN)
+  }
+
+  /** HURST EXPONENT by rescaled-range analysis (Hurst 1951; Mandelbrot
+    * & Wallis 1969): mean R/S over blocks of size k ∈ {8,16,32,64} days
+    * of revenue, then H = the log-log slope — H ≈ 0.5 is memoryless,
+    * H > 0.5 long-range persistent (trends feed themselves), H < 0.5
+    * mean-reverting. The long-memory diagnostic beside q_acf_daily's
+    * short-lag view; it decides whether naive CI widths (∝√n) are even
+    * valid for the metric.
+    *
+    * Exactness: block deviations scale to the exact integers
+    * dev' = k·y − Σ_block y (the q_morans_i trick), so the cumulative
+    * range and Σdev'² are exact; R/S = range'·sqrt(k/Σdev'²) is one
+    * shared double tree rounded 6dp before the per-k DECIMAL fold; the
+    * final 4-point log-log slope uses exact moment algebra. Scale
+    * posture: corpus → day spine; per k one partitioned
+    * (block-bounded) window pass.
+    */
+  def hurst(orders: DataFrame, ks: Seq[Int] = Seq(8, 16, 32, 64))
+      : DataFrame = {
+    val daily = orders.groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("y"))
+    val mn = daily.agg(min(col("day")).as("d0"))
+    val spine = daily.crossJoin(broadcast(mn))
+      .select(datediff(col("day"), col("d0")).cast("long").as("t"),
+        col("y"))
+      .persistTracked()
+    def d(c: Column) = c.cast("double")
+    val perK = ks.map { k =>
+      val blk = expr(s"t div $k")
+      val wb = Window.partitionBy("b")
+      val wc = Window.partitionBy("b").orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cells = spine.select(blk.as("b"), col("t"), col("y"))
+        .withColumn("nb", count(lit(1)).over(wb))
+        .filter(col("nb") === k)
+        .withColumn("sb", sum(col("y")).over(wb))
+        .withColumn("dv", lit(k.toLong) * col("y") - col("sb"))
+        .withColumn("cd", sum(col("dv")).over(wc))
+      val rs = cells.groupBy("b")
+        .agg((max(col("cd")) - min(col("cd"))).as("rng"),
+          sum(col("dv").cast(DecimalType(38, 0)) * col("dv")).as("sd2"))
+        .filter(col("sd2") > 0)
+        .select(round(d(col("rng")) *
+          sqrt(lit(k.toDouble) / d(col("sd2"))), 6)
+          .cast(DecimalType(18, 6)).as("rs"))
+      rs.agg(count(lit(1)).as("n_blocks"),
+          sum(col("rs")).as("srs"))
+        .select(lit(k).as("k"), col("n_blocks"),
+          when(col("n_blocks") > 0,
+            round(d(col("srs")) / d(col("n_blocks")), 6)).as("rs_mean"))
+    }
+    val pts = perK.reduce(_ unionByName _)
+      .filter(col("rs_mean") > 0)
+      .select(log(col("k").cast("double")).as("lx"),
+        log(col("rs_mean")).as("ly"))
+    val mo = pts.agg(count(lit(1)).as("n"),
+      sum(col("lx").cast(DecimalType(28, 12))).as("sx"),
+      sum(col("ly").cast(DecimalType(28, 12))).as("sy"),
+      sum((col("lx") * col("ly")).cast(DecimalType(28, 12))).as("sxy"),
+      sum((col("lx") * col("lx")).cast(DecimalType(28, 12))).as("sxx"))
+    val nd = d(col("n"))
+    val det = nd * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    val detSafe = when(abs(det) > 0, det).otherwise(lit(1.0))
+    val h = (nd * d(col("sxy")) - d(col("sx")) * d(col("sy"))) / detSafe
+    mo.select(col("n").as("n_scales"),
+      when(abs(det) > 0 && col("n") > 1, round(h, 4)).as("hurst"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Empirical-Bayes shrinkage of noisy per-part return rates.
+    "q_james_stein" -> { (s, d) => jamesStein(Tables.lineitem(s, d)) },
+    // Long-memory R/S Hurst exponent of daily revenue.
+    "q_hurst" -> { (s, d) => hurst(Tables.orders(s, d)) },
     // Normality gate for daily revenue (skew/kurtosis, χ²(2) tail).
     "q_jarque_bera" -> { (s, d) => jarqueBera(Tables.orders(s, d)) },
     // Encouragement-design Wald/IV estimate of click -> spend.
@@ -6427,6 +6545,90 @@ object Analytics {
       | FROM s)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // same 6dp rate freeze, same clamped MOM prior, same shrink tree
+    "q_james_stein" ->
+      """WITH per AS (
+        | SELECT l_partkey AS part, count(*) AS n,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS x
+        | FROM lineitem GROUP BY 1),
+        |rates AS (SELECT part, n, x,
+        |  round(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 6) AS r FROM per),
+        |mo AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |  sum(CAST(r AS DECIMAL(18,6))) AS sr,
+        |  sum(CAST(r * r AS DECIMAL(28,12))) AS srr FROM rates),
+        |pr0 AS (SELECT CAST(sr AS DOUBLE) / CAST(k AS DOUBLE) AS mu0,
+        |  (CAST(srr AS DOUBLE) - CAST(k AS DOUBLE)
+        |    * (CAST(sr AS DOUBLE) / CAST(k AS DOUBLE))
+        |    * (CAST(sr AS DOUBLE) / CAST(k AS DOUBLE)))
+        |   / greatest(CAST(k AS DOUBLE) - 1, 1.0) AS v FROM mo),
+        |pr AS (SELECT round(mu0, 6) AS mu,
+        |  round(greatest(mu0 * (1.0 - mu0)
+        |    / (CASE WHEN v > 0 THEN v ELSE 1.0 END) - 1.0, 0.0), 4)
+        |   AS st FROM pr0)
+        |SELECT part, n, x, r AS raw_rate,
+        | round((CAST(x AS DOUBLE) + mu * st)
+        |  / (CAST(n AS DOUBLE) + st), 6) AS shrunk_rate,
+        | st AS prior_strength,
+        | round(abs((CAST(x AS DOUBLE) + mu * st)
+        |  / (CAST(n AS DOUBLE) + st) - r), 6) AS correction
+        |FROM rates, pr
+        |ORDER BY correction DESC, part LIMIT 10""".stripMargin,
+    // same integer block deviations, same R/S tree, same 4-point
+    // log-log slope with the safe determinant
+    "q_hurst" -> {
+      def kSql(k: Int) =
+        s"""c$k AS (
+           | SELECT b, dv, sum(dv) OVER (PARTITION BY b ORDER BY t
+           |   ROWS UNBOUNDED PRECEDING) AS cd
+           | FROM (
+           |  SELECT t // $k AS b, t,
+           |   $k * y - sum(y) OVER (PARTITION BY t // $k) AS dv,
+           |   count(*) OVER (PARTITION BY t // $k) AS nb
+           |  FROM spine) WHERE nb = $k),
+           |r$k AS (
+           | SELECT CAST(round(CAST(rng AS DOUBLE)
+           |   * sqrt(${k.toDouble} / CAST(sd2 AS DOUBLE)), 6)
+           |  AS DECIMAL(18,6)) AS rs
+           | FROM (SELECT b, max(cd) - min(cd) AS rng,
+           |   sum(CAST(dv AS HUGEINT) * dv) AS sd2 FROM c$k GROUP BY 1)
+           | WHERE sd2 > 0),
+           |m$k AS (SELECT $k AS k, CAST(count(*) AS BIGINT) AS n_blocks,
+           | CASE WHEN count(*) > 0 THEN
+           |  round(CAST(sum(rs) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+           | END AS rs_mean FROM r$k)""".stripMargin
+      val det = "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) " +
+        "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+      s"""WITH daily AS (
+         | SELECT CAST(o_orderdate AS DATE) AS day,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+         |   AS y
+         | FROM orders GROUP BY 1),
+         |mn AS (SELECT min(day) AS d0 FROM daily),
+         |spine AS (SELECT CAST(datediff('day', d0, day) AS BIGINT) AS t,
+         |  y FROM daily, mn),
+         |${kSql(8)},
+         |${kSql(16)},
+         |${kSql(32)},
+         |${kSql(64)},
+         |pts AS (
+         | SELECT ln(CAST(k AS DOUBLE)) AS lx, ln(rs_mean) AS ly
+         | FROM (SELECT * FROM m8 UNION ALL SELECT * FROM m16
+         |  UNION ALL SELECT * FROM m32 UNION ALL SELECT * FROM m64)
+         | WHERE rs_mean > 0),
+         |mo AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         | sum(CAST(lx AS DECIMAL(28,12))) AS sx,
+         | sum(CAST(ly AS DECIMAL(28,12))) AS sy,
+         | sum(CAST(lx * ly AS DECIMAL(28,12))) AS sxy,
+         | sum(CAST(lx * lx AS DECIMAL(28,12))) AS sxx FROM pts)
+         |SELECT n AS n_scales,
+         | CASE WHEN abs($det) > 0 AND n > 1 THEN
+         |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |   / (CASE WHEN abs($det) > 0 THEN $det ELSE 1.0 END), 4) END
+         |  AS hurst
+         |FROM mo""".stripMargin
+    },
     // same floor-mean shift, same HUGEINT power sums, same moment tree
     "q_jarque_bera" ->
       """WITH daily AS (

@@ -107,6 +107,41 @@ class Round10eSpec extends SparkSpec {
     assert(rows.last.getAs[Double]("lof") < 1.5)
   }
 
+  // ---- James–Stein shrinkage -----------------------------------------
+
+  test("jamesStein: a 2-of-2 outlier shrinks hard toward the prior mean") {
+    // 50 well-measured parts at rate 1/3 (n=30) + one n=2, x=2 part
+    val stable = (1 to 50).flatMap { p =>
+      (1 to 30).map(i => (p.toLong, if (i <= 10) "R" else "N"))
+    }
+    val outlier = Seq((99L, "R"), (99L, "R"))
+    val rows = operators.Analytics
+      .jamesStein((stable ++ outlier).toDF("l_partkey", "l_returnflag"))
+      .collect()
+    val top = rows.head
+    assert(top.getAs[Long]("part") === 99L)
+    assert(top.getAs[Double]("raw_rate") === 1.0)
+    // shrunk far toward 1/3, never past it, and still above it
+    assert(top.getAs[Double]("shrunk_rate") < 0.6)
+    assert(top.getAs[Double]("shrunk_rate") > 1.0 / 3)
+  }
+
+  // ---- Hurst exponent ----------------------------------------------------
+
+  test("hurst: a trending series is persistent, an alternating one is not") {
+    val trend = (0 until 256).map(t => (day(t), 100.0 + 10.0 * t))
+    val hTrend = operators.Analytics
+      .hurst(trend.toDF("o_orderdate", "o_totalprice")).collect()(0)
+      .getAs[Double]("hurst")
+    assert(hTrend > 0.8)
+    val alt = (0 until 256).map(t =>
+      (day(t), if (t % 2 == 0) 100.0 else 200.0))
+    val hAlt = operators.Analytics
+      .hurst(alt.toDF("o_orderdate", "o_totalprice")).collect()(0)
+      .getAs[Double]("hurst")
+    assert(hAlt < 0.3)
+  }
+
   // ---- Dunning G² collocations -----------------------------------------
 
   test("collocationsG2: a fixed phrase beats a one-count PMI dazzler") {
