@@ -4747,7 +4747,103 @@ object Analytics {
       when(abs(det) > 0 && col("n") > 1, round(h, 4)).as("hurst"))
   }
 
+  /** MANN–KENDALL TREND TEST (Mann 1945; Kendall 1975): the
+    * significance HALF of the robust-trend duo — q_theil_sen gives the
+    * slope, this gives the tie-corrected S statistic, continuity-
+    * corrected z, and the monotone-trend verdict, with no distribution
+    * assumption (the hydrology/KPI standard).
+    *
+    * Exactness: S and the tie term are exact integers off the same
+    * trailing-window day spine as q_theil_sen (the pair frame is
+    * calendar-bounded, never corpus²); the variance routes through a
+    * safe stand-in so the eager trend-label condition can't divide by
+    * zero. Scale posture: corpus → day spine → windowDays² pairs.
+    */
+  def mannKendall(orders: DataFrame, windowDays: Int = 180): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("y"))
+      .select(datediff(col("day"), lit("1970-01-01")).as("t"), col("y"))
+    val mx = daily.agg(max(col("t")).as("mt"))
+    val dd = daily.crossJoin(broadcast(mx))
+      .filter(col("t") > col("mt") - windowDays)
+      .select("t", "y")
+      .persistTracked()
+    val sAgg = dd.as("a").join(dd.as("b"), col("b.t") > col("a.t"))
+      .select(when(col("b.y") > col("a.y"), 1L)
+        .when(col("b.y") < col("a.y"), -1L).otherwise(0L).as("sg"))
+      .agg(sum(col("sg")).as("s"))
+    val ties = dd.groupBy("y").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") * (col("c") - 1) *
+        (lit(2L) * col("c") + 5)), lit(0L)).as("tsum"))
+    val nn = dd.agg(count(lit(1)).as("n"))
+    def d(c: Column) = c.cast("double")
+    val j = sAgg.crossJoin(broadcast(ties)).crossJoin(broadcast(nn))
+    val nd = d(col("n"))
+    val v = (nd * (nd - 1) * (lit(2.0) * nd + 5) - d(col("tsum"))) / 18.0
+    val vSafe = when(v > 0, v).otherwise(lit(1.0))
+    val z = when(col("s") > 0, (d(col("s")) - 1) / sqrt(vSafe))
+      .when(col("s") < 0, (d(col("s")) + 1) / sqrt(vSafe))
+      .otherwise(lit(0.0))
+    val p = pTwoSided(abs(z))
+    j.select(col("n").as("n_days"), col("s").as("s_stat"),
+      when(v > 0, round(z, 6)).as("z"),
+      when(v > 0, round(p, 6)).as("p_value"),
+      when(v > 0 && p < 0.05 && col("s") > 0, "increasing")
+        .when(v > 0 && p < 0.05 && col("s") < 0, "decreasing")
+        .otherwise("none").as("trend"))
+  }
+
+  /** PETTITT CHANGEPOINT TEST (Pettitt 1979): the rank-based single
+    * changepoint detector — K = max_t |U_t| with
+    * U_t = Σ_{i≤t} 2R_i − t(n+1) over the daily-revenue spine — the
+    * nonparametric complement of q_changepoint/q_cusum (those react to
+    * mean shifts in value units; this one is outlier-proof and gives a
+    * p-value). Released: the most probable change date, K, and the
+    * Pettitt tail approximation 2·exp(−6K²/(n³+n²)) clamped at 1.
+    *
+    * Exactness: midranks enter as the exact DOUBLED integers
+    * (2·cum − c + 1, the aucRank identity), so every U_t is an exact
+    * integer; the argmax breaks ties by earliest day. Scale posture:
+    * corpus → day spine; one value-spine cumsum + one day-spine cumsum
+    * (both calendar-bounded windows), then a TakeOrdered(1).
+    */
+  def pettitt(orders: DataFrame): DataFrame = {
+    val daily = orders.groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("y"))
+      .persistTracked()
+    val wv = Window.orderBy("y")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dr = daily.groupBy("y").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wv))
+      .select(col("y"), (lit(2L) * col("cum") - col("c") + 1L).as("dd"))
+    val nn = daily.agg(count(lit(1)).as("n"))
+    val wt = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val u = daily.join(dr, Seq("y")).crossJoin(broadcast(nn))
+      .withColumn("rn", row_number().over(Window.orderBy("day")))
+      .withColumn("cumd", sum(col("dd")).over(wt))
+      .filter(col("rn") < col("n"))
+      .select(col("day"), col("n"),
+        (col("cumd") - col("rn") * (col("n") + 1)).as("u"))
+    def d(c: Column) = c.cast("double")
+    val kd = d(abs(col("u")))
+    val nd = d(col("n"))
+    val p = least(lit(2.0) *
+      exp(lit(-6.0) * kd * kd / (nd * nd * nd + nd * nd)), lit(1.0))
+    u.orderBy(abs(col("u")).desc, col("day")).limit(1)
+      .select(col("n").as("n_days"), col("day").as("change_date"),
+        abs(col("u")).as("k_stat"), col("u").as("u_at_k"),
+        round(p, 6).as("p_value"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tie-corrected Mann-Kendall monotone-trend verdict (theil_sen's twin).
+    "q_mann_kendall" -> { (s, d) => mannKendall(Tables.orders(s, d)) },
+    // Rank-based Pettitt single-changepoint test with change date.
+    "q_pettitt" -> { (s, d) => pettitt(Tables.orders(s, d)) },
     // Empirical-Bayes shrinkage of noisy per-part return rates.
     "q_james_stein" -> { (s, d) => jamesStein(Tables.lineitem(s, d)) },
     // Long-memory R/S Hurst exponent of daily revenue.
@@ -6545,6 +6641,71 @@ object Analytics {
       | FROM s)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // same trailing window, same exact S / tie integers, same guarded
+    // variance and Φ tail, same trend labels
+    "q_mann_kendall" ->
+      s"""WITH daily AS (
+         | SELECT datediff('day', DATE '1970-01-01',
+         |   CAST(o_orderdate AS DATE)) AS t,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+         |   AS y
+         | FROM orders GROUP BY 1),
+         |mx AS (SELECT max(t) AS mt FROM daily),
+         |d AS (SELECT t, y FROM daily, mx WHERE t > mt - 180),
+         |sa AS (SELECT CAST(sum(CASE WHEN b.y > a.y THEN 1
+         |  WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s
+         | FROM d a JOIN d b ON b.t > a.t),
+         |ties AS (SELECT CAST(coalesce(sum(c * (c - 1) * (2 * c + 5)), 0)
+         |   AS BIGINT) AS tsum
+         | FROM (SELECT count(*) AS c FROM d GROUP BY y)),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+         |f AS (SELECT s, tsum, n,
+         |  (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)
+         |    * (2.0 * CAST(n AS DOUBLE) + 5) - CAST(tsum AS DOUBLE))
+         |   / 18.0 AS v
+         | FROM sa, ties, nn),
+         |g AS (SELECT s, n, v,
+         |  CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1)
+         |    / sqrt(CASE WHEN v > 0 THEN v ELSE 1.0 END)
+         |   WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1)
+         |    / sqrt(CASE WHEN v > 0 THEN v ELSE 1.0 END)
+         |   ELSE 0.0 END AS z FROM f),
+         |h AS (SELECT s, n, v, z, ${pTwoSidedSql("abs(z)")} AS p FROM g)
+         |SELECT n AS n_days, s AS s_stat,
+         | CASE WHEN v > 0 THEN round(z, 6) END AS z,
+         | CASE WHEN v > 0 THEN round(p, 6) END AS p_value,
+         | CASE WHEN v > 0 AND p < 0.05 AND s > 0 THEN 'increasing'
+         |  WHEN v > 0 AND p < 0.05 AND s < 0 THEN 'decreasing'
+         |  ELSE 'none' END AS trend
+         |FROM h""".stripMargin,
+    // same doubled midranks, same integer U_t spine, same clamped tail
+    "q_pettitt" ->
+      """WITH daily AS (
+        | SELECT CAST(o_orderdate AS DATE) AS day,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |   AS y
+        | FROM orders GROUP BY 1),
+        |dr AS (SELECT y, 2 * cum - c + 1 AS dd FROM (
+        | SELECT y, count(*) AS c,
+        |  sum(count(*)) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING) AS cum
+        | FROM daily GROUP BY y)),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+        |u AS (
+        | SELECT day, n, cumd - rn * (n + 1) AS u FROM (
+        |  SELECT day, n,
+        |   row_number() OVER (ORDER BY day) AS rn,
+        |   sum(dd) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cumd
+        |  FROM daily JOIN dr USING (y) CROSS JOIN nn) WHERE rn < n),
+        |k AS (SELECT n, day, abs(u) AS k_stat, u FROM u
+        |  ORDER BY abs(u) DESC, day LIMIT 1)
+        |SELECT n AS n_days, day AS change_date,
+        | CAST(k_stat AS BIGINT) AS k_stat, CAST(u AS BIGINT) AS u_at_k,
+        | round(least(2.0 * exp(-6.0 * CAST(k_stat AS DOUBLE)
+        |   * CAST(k_stat AS DOUBLE)
+        |  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |     + CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 1.0), 6)
+        |  AS p_value
+        |FROM k""".stripMargin,
     // same 6dp rate freeze, same clamped MOM prior, same shrink tree
     "q_james_stein" ->
       """WITH per AS (

@@ -107,6 +107,37 @@ class Round10eSpec extends SparkSpec {
     assert(rows.last.getAs[Double]("lof") < 1.5)
   }
 
+  // ---- Mann–Kendall ----------------------------------------------------
+
+  test("mannKendall: a rising month is 'increasing', a flat one 'none'") {
+    val rising = (0 until 30).map(t => (day(t), 100.0 + t))
+    val r = operators.Analytics
+      .mannKendall(rising.toDF("o_orderdate", "o_totalprice")).collect()(0)
+    assert(r.getAs[Long]("s_stat") === 435L) // all 30*29/2 pairs concordant
+    assert(r.getAs[String]("trend") === "increasing")
+    assert(r.getAs[Double]("p_value") < 1e-6)
+    // constant series: every pair ties -> variance 0 -> no verdict
+    val flat = (0 until 30).map(t => (day(t), 100.0))
+    val f = operators.Analytics
+      .mannKendall(flat.toDF("o_orderdate", "o_totalprice")).collect()(0)
+    assert(f.getAs[Long]("s_stat") === 0L)
+    assert(f.getAs[String]("trend") === "none")
+    assert(f.isNullAt(f.fieldIndex("z")))
+  }
+
+  // ---- Pettitt ------------------------------------------------------------
+
+  test("pettitt: a planted level shift is dated at the regime boundary") {
+    val rows = (0 until 40).map(t => (day(t), 100.0 + 0.01 * t)) ++
+      (40 until 80).map(t => (day(t), 200.0 + 0.01 * t))
+    val r = operators.Analytics
+      .pettitt(rows.toDF("o_orderdate", "o_totalprice")).collect()(0)
+    assert(r.getAs[Long]("n_days") === 80L)
+    val expected = new java.sql.Date(day(39).getTime).toString
+    assert(r.getAs[java.sql.Date]("change_date").toString === expected)
+    assert(r.getAs[Double]("p_value") < 0.001)
+  }
+
   // ---- James–Stein shrinkage -----------------------------------------
 
   test("jamesStein: a 2-of-2 outlier shrinks hard toward the prior mean") {
