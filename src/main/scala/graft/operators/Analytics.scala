@@ -3920,7 +3920,10 @@ object Analytics {
   /** THEIL–SEN ROBUST TREND (Theil 1950; Sen 1968) of daily revenue over
     * the trailing `windowDays`: the median of all pairwise slopes —
     * immune to ~29% contamination where an OLS slope is dragged by one
-    * flash-sale day. The robust KPI trend arrow.
+    * flash-sale day. The robust KPI trend arrow. (q_trend_robust is the
+    * PER-SEGMENT monthly variant via the percentile engine; this is the
+    * corpus-level daily window with the exact type-1 fixed-point
+    * median — no interpolated float anywhere.)
     *
     * Exactness: each slope is the FIXED-POINT integer
     * ⌊Δcents·100/Δdays⌋, computed as a truncating integer division on a
@@ -3998,7 +4001,10 @@ object Analytics {
       .select(col("v").as("x"))
     val y = daily.filter(col("event_type") === "click")
       .select(col("v").as("y"))
-    val diffs = x.crossJoin(y).select((col("x") - col("y")).as("d"))
+    // both sides are calendar-bounded day frames; broadcasting the
+    // click side keeps the pair build shuffle-free at any corpus size
+    val diffs = x.crossJoin(broadcast(y))
+      .select((col("x") - col("y")).as("d"))
     val wd = Window.orderBy("d")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = diffs.groupBy("d").agg(count(lit(1)).as("c"))
@@ -4751,7 +4757,9 @@ object Analytics {
     * significance HALF of the robust-trend duo — q_theil_sen gives the
     * slope, this gives the tie-corrected S statistic, continuity-
     * corrected z, and the monotone-trend verdict, with no distribution
-    * assumption (the hydrology/KPI standard).
+    * assumption (the hydrology/KPI standard). (q_trend_robust carries a
+    * per-segment monthly mk_z; this is the corpus-level daily window
+    * with the Φ p-value and the labeled verdict.)
     *
     * Exactness: S and the tie term are exact integers off the same
     * trailing-window day spine as q_theil_sen (the pair frame is

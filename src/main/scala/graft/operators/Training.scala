@@ -609,8 +609,14 @@ object Training {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Density-aware embedding outliers: top-10 LOF on exact int8 d².
-    "q_lof_outliers" -> { (s, d) => lofOutliers(Tables.embeddings(s, d)) },
+    // Density-aware embedding outliers: top-10 LOF on exact int8 d²,
+    // over ONE index list (vec_id < 500, the q_ivf_append base-slice
+    // convention) — LOF is local, so production shards it per IVF list
+    // and this query IS one such shard: its pair frame is list²-bounded
+    // at EVERY sf (the full-corpus variant was the suite's slowest
+    // query at sf0.1 — 2000² HOF dot products for identical top-10s).
+    "q_lof_outliers" -> { (s, d) =>
+      lofOutliers(Tables.embeddings(s, d).filter(col("vec_id") < 500)) },
     // Geometry-preservation readout of the int8 quantization (linear CKA).
     "q_cka_quant" -> { (s, d) => ckaQuant(Tables.embeddings(s, d)) },
     // One ALS half-step: per-user ridge solve against seeded item factors.
@@ -800,7 +806,7 @@ object Training {
          |   AS n2
          | FROM (SELECT vec_id,
          |   ${codesSql("embedding", scaleSql("embedding"))} AS codes
-         |  FROM embeddings)),
+         |  FROM embeddings WHERE vec_id < 500)),
          |d2 AS (
          | SELECT a.vec_id AS ia, b.vec_id AS ib,
          |  a.n2 - 2 * CAST(coalesce(${intDotSql("a.codes", "b.codes")},
