@@ -4284,7 +4284,7 @@ object Analytics {
       .filter(col("cum") * 4 >= col("n") * 3)
       .agg(min(col("y")).as("m2"))
     val s0 = round((d(col("syy")) - d(col("sy")) * d(col("sy")) /
-      d(col("n"))) / (d(col("n")) - 1), 6)
+      d(col("n"))) / greatest(d(col("n")) - 1, lit(1.0)), 6)
     var params = nn.crossJoin(broadcast(q1)).crossJoin(broadcast(q3))
       .select(col("n"), d(col("m1")).as("mu1"), d(col("m2")).as("mu2"),
         s0.as("s1"), s0.as("s2"), lit(0.5).as("p1"))
@@ -4306,14 +4306,19 @@ object Analytics {
             .as("sryy"),
           sum(dec(col("y"))).as("sy"),
           sum(dec(col("y")) * dec(col("y"))).as("syy"))
-      val mu1n = d(col("sry")) / d(col("sr"))
-      val mu2n = (d(col("sy")) - d(col("sry"))) / (d(col("n")) - d(col("sr")))
+      // both component masses route through safe stand-ins: a corpus one
+      // regime fully absorbs (sr → n or → 0) would otherwise hit the
+      // eager ANSI double 0/0 (the KN-discount lesson)
+      val srSafe = greatest(d(col("sr")), lit(0.000001))
+      val s2Safe = greatest(d(col("n")) - d(col("sr")), lit(0.000001))
+      val mu1n = d(col("sry")) / srSafe
+      val mu2n = (d(col("sy")) - d(col("sry"))) / s2Safe
       params = m.select(col("n"),
         round(mu1n, 6).as("mu1"), round(mu2n, 6).as("mu2"),
-        round(greatest(d(col("sryy")) / d(col("sr")) - mu1n * mu1n,
+        round(greatest(d(col("sryy")) / srSafe - mu1n * mu1n,
           lit(1.0)), 6).as("s1"),
         round(greatest((d(col("syy")) - d(col("sryy"))) /
-          (d(col("n")) - d(col("sr"))) - mu2n * mu2n, lit(1.0)), 6)
+          s2Safe - mu2n * mu2n, lit(1.0)), 6)
           .as("s2"),
         round(d(col("sr")) / d(col("n")), 6).as("p1"))
     }
@@ -7100,19 +7105,27 @@ object Analytics {
            | FROM r$t),
            |p$t AS (
            | SELECT n,
-           |  round(CAST(sry AS DOUBLE) / CAST(sr AS DOUBLE), 6) AS mu1,
+           |  round(CAST(sry AS DOUBLE)
+           |   / greatest(CAST(sr AS DOUBLE), 0.000001), 6) AS mu1,
            |  round((CAST(sy AS DOUBLE) - CAST(sry AS DOUBLE))
-           |   / (CAST(n AS DOUBLE) - CAST(sr AS DOUBLE)), 6) AS mu2,
-           |  round(greatest(CAST(sryy AS DOUBLE) / CAST(sr AS DOUBLE)
-           |    - (CAST(sry AS DOUBLE) / CAST(sr AS DOUBLE))
-           |      * (CAST(sry AS DOUBLE) / CAST(sr AS DOUBLE)), 1.0), 6)
+           |   / greatest(CAST(n AS DOUBLE) - CAST(sr AS DOUBLE),
+           |      0.000001), 6) AS mu2,
+           |  round(greatest(CAST(sryy AS DOUBLE)
+           |     / greatest(CAST(sr AS DOUBLE), 0.000001)
+           |    - (CAST(sry AS DOUBLE)
+           |       / greatest(CAST(sr AS DOUBLE), 0.000001))
+           |      * (CAST(sry AS DOUBLE)
+           |       / greatest(CAST(sr AS DOUBLE), 0.000001)), 1.0), 6)
            |   AS s1,
            |  round(greatest((CAST(syy AS DOUBLE) - CAST(sryy AS DOUBLE))
-           |     / (CAST(n AS DOUBLE) - CAST(sr AS DOUBLE))
+           |     / greatest(CAST(n AS DOUBLE) - CAST(sr AS DOUBLE),
+           |        0.000001)
            |    - ((CAST(sy AS DOUBLE) - CAST(sry AS DOUBLE))
-           |       / (CAST(n AS DOUBLE) - CAST(sr AS DOUBLE)))
+           |       / greatest(CAST(n AS DOUBLE) - CAST(sr AS DOUBLE),
+           |          0.000001))
            |      * ((CAST(sy AS DOUBLE) - CAST(sry AS DOUBLE))
-           |       / (CAST(n AS DOUBLE) - CAST(sr AS DOUBLE))), 1.0), 6)
+           |       / greatest(CAST(n AS DOUBLE) - CAST(sr AS DOUBLE),
+           |          0.000001)), 1.0), 6)
            |   AS s2,
            |  round(CAST(sr AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p1
            | FROM m$t)""".stripMargin
@@ -7137,10 +7150,10 @@ object Analytics {
          | SELECT n, CAST(m1 AS DOUBLE) AS mu1, CAST(m2 AS DOUBLE) AS mu2,
          |  round((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
          |    * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
-         |   / (CAST(n AS DOUBLE) - 1), 6) AS s1,
+         |   / greatest(CAST(n AS DOUBLE) - 1, 1.0), 6) AS s1,
          |  round((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
          |    * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
-         |   / (CAST(n AS DOUBLE) - 1), 6) AS s2,
+         |   / greatest(CAST(n AS DOUBLE) - 1, 1.0), 6) AS s2,
          |  0.5 AS p1
          | FROM nn, q1, q3),
          |${iterSql(1)},

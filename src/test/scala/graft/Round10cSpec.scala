@@ -114,6 +114,22 @@ class Round10cSpec extends SparkSpec {
     assert(r.getAs[Double]("sigma_hi_dollars") < 50.0)
   }
 
+  test("gmmDaily: a one-regime corpus survives (no ANSI 0/0 in M-steps)") {
+    def day(i: Int) = {
+      val c = java.util.Calendar.getInstance()
+      c.set(2024, 0, 1, 0, 0, 0)
+      c.add(java.util.Calendar.DAY_OF_MONTH, i)
+      new java.sql.Timestamp(c.getTimeInMillis)
+    }
+    // near-constant revenue: one component absorbs everything and the
+    // other's mass -> 0; the safe denominators must keep EM finite
+    val rows = (0 until 10).map(i => (day(i), 500.0 + 0.01 * i))
+    val r = operators.Analytics
+      .gmmDaily(rows.toDF("o_orderdate", "o_totalprice")).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("n_days") === 10L)
+  }
+
   // ---- harmonic power ---------------------------------------------------------
 
   test("harmonicPower: a pure weekly sinusoid loads period 7, not 30") {
