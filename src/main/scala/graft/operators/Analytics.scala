@@ -4852,7 +4852,66 @@ object Analytics {
         round(p, 6).as("p_value"))
   }
 
+  /** CROSTON'S METHOD (Croston 1972; SBA correction per Syntetos &
+    * Boylan 2005) for INTERMITTENT demand: a slow-moving part sells on
+    * a few scattered days, so a plain per-day EWMA (q_ewma_daily)
+    * forecasts near-zero everywhere and then misses every spike.
+    * Croston splits the series into demand SIZES and demand INTERVALS,
+    * EWMA-smooths each, and forecasts size/interval demand per day —
+    * run here on the most-traded part's ship-day series (still only
+    * ~m ≪ days demand events: the intermittency is the point).
+    *
+    * Determinism: the recursive EWMAs unroll to their closed forms
+    * Σ w_j·y_j with w_j = α(1−α)^{m−j} spelled exp(ln(1−α)·(m−j)) —
+    * ln(1−α) is a Scala literal shared with the oracle, the exponent is
+    * an exact integer, and each term rounds 9dp before the DECIMAL
+    * fold. Scale posture: one part-dimension shuffle picks the target,
+    * one filtered pass builds the demand-event spine (m-bounded), and
+    * the two EWMA folds run on that spine.
+    */
+  def croston(li: DataFrame, alpha: Double = 0.1): DataFrame = {
+    val target = li.groupBy(col("l_partkey").as("part"))
+      .agg(count(lit(1)).as("nl"))
+      .orderBy(desc("nl"), col("part")).limit(1)
+    val dem = li.join(broadcast(target), col("l_partkey") === col("part"))
+      .groupBy(col("part"), to_date(col("l_shipdate")).as("day"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"))
+    val w = Window.orderBy("day") // demand-event spine, m-bounded
+    val seq0 = dem
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("gap",
+        datediff(col("day"), lag(col("day"), 1).over(w)).cast("long"))
+    val mm = seq0.agg(max(col("i")).as("m"))
+    val lnb = math.log(1 - alpha)
+    val j = seq0.crossJoin(broadcast(mm))
+    def d(c: Column) = c.cast("double")
+    val wsize = when(col("i") === 1,
+      exp(lit(lnb) * d(col("m") - 1)))
+      .otherwise(lit(alpha) * exp(lit(lnb) * d(col("m") - col("i"))))
+    val wint = when(col("i") === 2,
+      exp(lit(lnb) * d(col("m") - 2)))
+      .otherwise(lit(alpha) * exp(lit(lnb) * d(col("m") - col("i"))))
+    val a = j.agg(max(col("part")).as("part"),
+      max(col("m")).as("n_demands"),
+      sum(round(wsize * d(col("q")), 9).cast(DecimalType(28, 9))).as("z"),
+      sum(when(col("i") >= 2,
+        round(wint * d(col("gap")), 9).cast(DecimalType(28, 9)))).as("p"),
+      sum(col("gap")).as("sgap"), count(col("gap")).as("ngap"))
+    val zd = d(col("z"))
+    val pd = d(col("p"))
+    a.select(col("part"), col("n_demands"),
+      when(col("ngap") > 0, round(d(col("sgap")) / d(col("ngap")), 6))
+        .as("mean_interval_days"),
+      round(zd, 6).as("size_ewma"),
+      round(pd, 6).as("interval_ewma"),
+      when(pd > 0, round(zd / pd, 6)).as("croston_forecast"),
+      when(pd > 0, round(lit(1 - alpha / 2) * (zd / pd), 6))
+        .as("sba_forecast"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Croston/SBA intermittent-demand forecast for the most-traded part.
+    "q_croston" -> { (s, d) => croston(Tables.lineitem(s, d)) },
     // Tie-corrected Mann-Kendall monotone-trend verdict (theil_sen's twin).
     "q_mann_kendall" -> { (s, d) => mannKendall(Tables.orders(s, d)) },
     // Rank-based Pettitt single-changepoint test with change date.
@@ -6654,6 +6713,54 @@ object Analytics {
       | FROM s)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // same target pick, same closed-form EWMA weights with the shared
+    // ln(1-α) literal, same 9dp DECIMAL folds
+    "q_croston" -> {
+      val lnb = math.log(0.9)
+      s"""WITH target AS (
+         | SELECT l_partkey AS part, count(*) AS nl FROM lineitem
+         | GROUP BY 1 ORDER BY nl DESC, part LIMIT 1),
+         |dem AS (
+         | SELECT part, CAST(l_shipdate AS DATE) AS day,
+         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+         | FROM lineitem JOIN target ON l_partkey = part GROUP BY 1, 2),
+         |seq AS (
+         | SELECT part, day, q,
+         |  CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+         |  CAST(datediff('day', lag(day, 1) OVER (ORDER BY day), day)
+         |   AS BIGINT) AS gap
+         | FROM dem),
+         |mm AS (SELECT CAST(max(i) AS BIGINT) AS m FROM seq),
+         |terms AS (
+         | SELECT part, q, gap, i, m,
+         |  CASE WHEN i = 1 THEN exp($lnb * CAST(m - 1 AS DOUBLE))
+         |   ELSE 0.1 * exp($lnb * CAST(m - i AS DOUBLE)) END AS wsize,
+         |  CASE WHEN i = 2 THEN exp($lnb * CAST(m - 2 AS DOUBLE))
+         |   ELSE 0.1 * exp($lnb * CAST(m - i AS DOUBLE)) END AS wint
+         | FROM seq, mm),
+         |a AS (
+         | SELECT max(part) AS part, max(m) AS n_demands,
+         |  sum(CAST(round(wsize * CAST(q AS DOUBLE), 9)
+         |   AS DECIMAL(28,9))) AS z,
+         |  sum(CASE WHEN i >= 2 THEN CAST(round(wint
+         |    * CAST(gap AS DOUBLE), 9) AS DECIMAL(28,9)) END) AS p,
+         |  CAST(sum(gap) AS BIGINT) AS sgap,
+         |  CAST(count(gap) AS BIGINT) AS ngap
+         | FROM terms)
+         |SELECT part, n_demands,
+         | CASE WHEN ngap > 0 THEN
+         |  round(CAST(sgap AS DOUBLE) / CAST(ngap AS DOUBLE), 6) END
+         |  AS mean_interval_days,
+         | round(CAST(z AS DOUBLE), 6) AS size_ewma,
+         | round(CAST(p AS DOUBLE), 6) AS interval_ewma,
+         | CASE WHEN CAST(p AS DOUBLE) > 0 THEN
+         |  round(CAST(z AS DOUBLE) / CAST(p AS DOUBLE), 6) END
+         |  AS croston_forecast,
+         | CASE WHEN CAST(p AS DOUBLE) > 0 THEN
+         |  round(0.95 * (CAST(z AS DOUBLE) / CAST(p AS DOUBLE)), 6) END
+         |  AS sba_forecast
+         |FROM a""".stripMargin
+    },
     // same trailing window, same exact S / tie integers, same guarded
     // variance and Φ tail, same trend labels
     "q_mann_kendall" ->

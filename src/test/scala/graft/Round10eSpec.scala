@@ -107,6 +107,33 @@ class Round10eSpec extends SparkSpec {
     assert(rows.last.getAs[Double]("lof") < 1.5)
   }
 
+  // ---- Croston ------------------------------------------------------------
+
+  test("croston: hand-computed size/interval EWMAs on a 3-demand series") {
+    // demands 10, 20, 30 on days 0, 2, 6 (alpha = 0.1):
+    // Z = .81*10 + .09*20 + .1*30 = 12.9 ; P = .9*2 + .1*4 = 2.2
+    val rows = Seq((7L, 10.0, day(0)), (7L, 20.0, day(2)), (7L, 30.0, day(6)))
+      .toDF("l_partkey", "l_quantity", "l_shipdate")
+    val r = operators.Analytics.croston(rows).collect()(0)
+    assert(r.getAs[Long]("part") === 7L)
+    assert(r.getAs[Long]("n_demands") === 3L)
+    assert(math.abs(r.getAs[Double]("mean_interval_days") - 3.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("size_ewma") - 12.9) < 1e-6)
+    assert(math.abs(r.getAs[Double]("interval_ewma") - 2.2) < 1e-6)
+    assert(math.abs(r.getAs[Double]("croston_forecast") - 12.9 / 2.2) < 1e-6)
+    assert(math.abs(r.getAs[Double]("sba_forecast") -
+      0.95 * 12.9 / 2.2) < 1e-6)
+  }
+
+  test("croston: a single demand event yields null forecasts, no divide") {
+    val rows = Seq((7L, 10.0, day(0)))
+      .toDF("l_partkey", "l_quantity", "l_shipdate")
+    val r = operators.Analytics.croston(rows).collect()(0)
+    assert(r.getAs[Long]("n_demands") === 1L)
+    assert(r.isNullAt(r.fieldIndex("croston_forecast")))
+    assert(r.isNullAt(r.fieldIndex("mean_interval_days")))
+  }
+
   // ---- Mann–Kendall ----------------------------------------------------
 
   test("mannKendall: a rising month is 'increasing', a flat one 'none'") {
