@@ -57,6 +57,25 @@ object Bench {
     import scala.jdk.CollectionConverters._
     def gcMillis(): Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    // Self-adjudication fields (r10 verdict item 1): BENCH_r10 was ~1.9×
+    // contention-inflated and only a judge re-run could prove it. Per
+    // query we now record (a) the box 1-min loadavg and (b) this
+    // process's CPU-seconds / wall-seconds ratio — on an idle box
+    // cpu/wall tracks the plan's parallelism; under contention loadavg
+    // spikes while cpu/wall collapses, which separates noise from
+    // regression straight from bench.json.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def procCpuNanos(): Long = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _ => -1L
+    }
+    def load1(): Double = {
+      val l = osBean.getSystemLoadAverage
+      if (l < 0) 0.0 else l
+    }
+    def jsonEsc(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\u0000-\u001f]", " ")
     // SPARK_GRAFT_BENCH_PASSES runs each query a second time and records
     // the steady-state timing alongside — a 36 s first pass with a 7 s
     // second pass is box noise / cold caches, not a plan problem (the r07
@@ -64,37 +83,68 @@ object Bench {
     // since r9 so steady-state numbers ride every BENCH_rN without a
     // judge re-run; set to 1 for a fast single-pass iteration run.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    // Exceptions are COUNTED, never swallowed (r10 verdict item 1): a
+    // query that breaks only at the bench SF used to record a
+    // misleadingly fast time and no error anywhere. The failing query's
+    // time still rides the map (it is the time-to-failure) but its name
+    // and message land in "errors" and nerrors rides the stdout line.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
       val g0 = gcMillis()
+      val c0 = procCpuNanos()
       val t0 = System.nanoTime()
-      try run(fn(spark, sfDir)) catch { case _: Throwable => () }
+      var failed = false
+      try run(fn(spark, sfDir)) catch {
+        case e: Throwable =>
+          failed = true
+          errors(name) = jsonEsc(
+            (e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage))
+              .take(300))
+      }
       finally CacheScope.drain() // release operator-internal caches
       val t1 = (System.nanoTime() - t0) / 1e9
+      val c1 = procCpuNanos()
+      val cpuWall =
+        if (c1 < 0 || c0 < 0 || t1 <= 0) -1.0
+        else (c1 - c0) / 1e9 / t1
       // GC snapshot BETWEEN passes: gc_sec attributes pass-1 wall time
       // only (pass-2 GC folded in would skew the very attribution the
       // field exists for).
       val g1 = gcMillis()
-      val t2 = if (passes > 1) {
+      val t2 = if (passes > 1 && !failed) {
         val s0 = System.nanoTime()
-        try run(fn(spark, sfDir)) catch { case _: Throwable => () }
+        try run(fn(spark, sfDir)) catch {
+          case e: Throwable => errors.getOrElseUpdate(name, jsonEsc(
+            ("pass2 " + e.getClass.getSimpleName + ": " +
+              String.valueOf(e.getMessage)).take(300)))
+        }
         finally CacheScope.drain()
         (System.nanoTime() - s0) / 1e9
       } else -1.0
-      (name, t1, (g1 - g0) / 1e3, t2)
+      (name, t1, (g1 - g0) / 1e3, t2, load1(), cpuWall)
     }
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val gcs = results.map { case (k, _, g, _) => "\"" + k + "\":" + g }
+    val gcs = results.map { case (k, _, g, _, _, _) => "\"" + k + "\":" + g }
       .mkString("{", ",", "}")
     val q2 = if (passes > 1)
       ",\"queries_pass2\":" + results
-        .map { case (k, _, _, v) => "\"" + k + "\":" + v }
+        .map { case (k, _, _, v, _, _) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
     else ""
+    // locale-proof 2dp formatting (f"%.2f" honors the default locale and
+    // a comma decimal separator would corrupt the JSON)
+    def f2(x: Double): String = (math.rint(x * 100) / 100).toString
+    val loads = results.map { case (k, _, _, _, l, _) =>
+      "\"" + k + "\":" + f2(l) }.mkString("{", ",", "}")
+    val cws = results.map { case (k, _, _, _, _, c) =>
+      "\"" + k + "\":" + f2(c) }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, m) => "\"" + k + "\":\"" + m + "\"" }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_sec":$gcs$q2,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_sec":$gcs$q2,"loadavg1":$loads,"cpu_wall":$cws,"errors":$errJson,"nerrors":${errors.size},"sf":"$sfDir"}"""
     // Stdout carries ONLY this ~120-byte line. r05–r07 all recorded
     // "parsed: null" because the full ~7 KB per-query line, truncated
     // mid-object at the head of the driver's capture window, is what its
@@ -105,7 +155,7 @@ object Bench {
     // per-query pass-2 map rides target/bench.json as queries_pass2).
     val p2total = if (passes > 1)
       s""","value_pass2":${results.map(_._4).sum}""" else ""
-    val tinyJson = s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size}$p2total,"sf":"$sfDir"}"""
+    val tinyJson = s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"nerrors":${errors.size}$p2total,"sf":"$sfDir"}"""
 
     // The result JSON must be unlosable: r5's driver capture lost the stdout
     // line to a StateStore-maintenance stack trace emitted during streaming

@@ -3926,13 +3926,16 @@ object Analytics {
     * median — no interpolated float anywhere.)
     *
     * Exactness: each slope is the FIXED-POINT integer
-    * ⌊Δcents·100/Δdays⌋, computed as a truncating integer division on a
-    * non-negative shifted dividend ((Δy·100 + K·Δt) div Δt − K with
-    * K = 10^14) so truncation ≡ floor on BOTH engines (Spark `div`
-    * truncates toward zero, DuckDB `//` floors — they agree only on
-    * non-negative dividends); the median is the exact type-1 order
-    * statistic off the distinct-slope count spine (2·cum ≥ n), no float
-    * interpolation anywhere.
+    * ⌊Δcents·100/Δdays⌋. Spark `div` and DuckDB integer `//` BOTH
+    * truncate toward zero (verified: DuckDB -7//2 = -3), so each engine
+    * converts truncation to floor with the same exact remainder
+    * adjustment (q − 1 when the dividend is negative and the remainder
+    * nonzero) — valid for ANY Δy magnitude, unlike the earlier +K·Δt
+    * shift whose K = 10^14 only covered |Δy·100| < K and would overflow
+    * the floor identity beyond ~$10^10 daily deltas.
+    * The median is the exact type-1 order statistic off the
+    * distinct-slope count spine (2·cum ≥ n), no float interpolation
+    * anywhere.
     *
     * Scale posture: the corpus collapses to the calendar-bounded day
     * spine first (one shuffle); the pair frame is spine² capped by the
@@ -3954,9 +3957,13 @@ object Analytics {
     val pairs = d.as("a").join(d.as("b"),
         col("b.t") > col("a.t")) // bounded spine² — never corpus²
       .select(expr(
-        "CAST((CAST(b.y - a.y AS DECIMAL(38,0)) * 100 + " +
-          "CAST(100000000000000 AS DECIMAL(38,0)) * (b.t - a.t)) div " +
-          "(b.t - a.t) AS BIGINT) - 100000000000000").as("s_fp"))
+        // floor division for signed dividends: Spark div truncates, so
+        // subtract 1 when the (negative-slope) remainder is nonzero —
+        // matches DuckDB // (floor) bit-for-bit at any |Δy|
+        "CAST((CAST(b.y - a.y AS DECIMAL(38,0)) * 100) div (b.t - a.t) " +
+          "AS BIGINT) - (CASE WHEN b.y < a.y AND " +
+          "(CAST(b.y - a.y AS DECIMAL(38,0)) * 100) % (b.t - a.t) != 0 " +
+          "THEN 1 ELSE 0 END)").as("s_fp"))
     val gp = pairs.groupBy("s_fp").agg(count(lit(1)).as("c"))
     val w = Window.orderBy("s_fp")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -4030,8 +4037,11 @@ object Analytics {
     val ny = d(col("ny"))
     val n = nx + ny
     val u = d(col("r2x")) / 2.0 - nx * (nx + 1) / 2.0
+    // tie/(n(n−1)) is 0/0 at n ≤ 1 and v2 sits inside an eager `when`
+    // condition (ANSI double abort); the correction is moot there since
+    // v2 ≤ 0 withholds z/p anyway, so a safe stand-in denominator is exact
     val v2 = nx * ny / 12.0 *
-      ((n + 1) - d(col("tie")) / (n * (n - 1)))
+      ((n + 1) - d(col("tie")) / greatest(n * (n - 1), lit(1.0)))
     val z = (u - nx * ny / 2.0) / sqrt(v2)
     a.crossJoin(broadcast(hl)).select(
       col("nx").as("n_x"), col("ny").as("n_y"), col("n_pairs"),
@@ -4283,8 +4293,12 @@ object Analytics {
     val q3 = cum.crossJoin(broadcast(nn))
       .filter(col("cum") * 4 >= col("n") * 3)
       .agg(min(col("y")).as("m2"))
-    val s0 = round((d(col("syy")) - d(col("sy")) * d(col("sy")) /
-      d(col("n"))) / greatest(d(col("n")) - 1, lit(1.0)), 6)
+    // init variance clamps like the M-step: an all-identical (or single)
+    // day corpus gives s0 = 0 and the FIRST E-step would hit the eager
+    // ANSI double 0/0 inside f() — the same one-regime class the M-step
+    // greatest(...,1.0) guards
+    val s0 = round(greatest((d(col("syy")) - d(col("sy")) * d(col("sy")) /
+      d(col("n"))) / greatest(d(col("n")) - 1, lit(1.0)), lit(1.0)), 6)
     var params = nn.crossJoin(broadcast(q1)).crossJoin(broadcast(q3))
       .select(col("n"), d(col("m1")).as("mu1"), d(col("m2")).as("mu2"),
         s0.as("s1"), s0.as("s2"), lit(0.5).as("p1"))
@@ -4406,6 +4420,15 @@ object Analytics {
     def dec(c: Column) = c.cast(DecimalType(38, 0))
     val up = col("l_extendedprice").cast("double") /
       col("l_quantity").cast("double")
+    // PARITY ASSUMPTION (documented, accepted): the ⌊ln(·)·2^20⌋ freeze
+    // assumes JVM Math.log and DuckDB ln return the SAME double for every
+    // input (both are correctly-rounded libm-class implementations; held
+    // bit-for-bit at sf0.01 AND sf0.1). A 1-ulp divergence within 2^-20 of
+    // an integer boundary would flip one bucket — unlike cosLit/ndcgDisc
+    // there is no literal table to route through because the argument is
+    // data-dependent, and rounding ln first merely moves the cliff to the
+    // round boundary. hurst shares the exposure (softened by 4dp
+    // post-aggregation rounding).
     val xi = floor(log(up) * 1048576).cast("long")
     val yi = floor(log(col("l_quantity").cast("double")) * 1048576)
       .cast("long")
@@ -4465,9 +4488,16 @@ object Analytics {
         when(col("ws") <= col("b1"), "a")
           .when(col("ws") <= col("b2"), "b").otherwise("c").as("s"))
     val wo = Window.orderBy("wk")
+    // motifs must span CONSECUTIVE weeks: incomplete weeks were dropped
+    // above (nd = 7), so on gapped calendars lead() would otherwise stitch
+    // non-adjacent weeks into a phantom "3-week" motif — require
+    // wk+1/wk+2 adjacency in both engines
     val motifs = sym
-      .select(col("wk"), concat(col("s"), lead(col("s"), 1).over(wo),
-        lead(col("s"), 2).over(wo)).as("motif"))
+      .select(col("wk"),
+        when(lead(col("wk"), 1).over(wo) === col("wk") + 1 &&
+            lead(col("wk"), 2).over(wo) === col("wk") + 2,
+          concat(col("s"), lead(col("s"), 1).over(wo),
+            lead(col("s"), 2).over(wo))).as("motif"))
       .filter(col("motif").isNotNull)
     val tot = motifs.agg(count(lit(1)).as("tot"))
     motifs.groupBy("motif").agg(count(lit(1)).as("n"))
@@ -7134,8 +7164,10 @@ object Analytics {
         |  WHEN ws <= b2 THEN 'b' ELSE 'c' END AS s
         | FROM w2, b1, b2),
         |mot AS (
-        | SELECT s || lead(s, 1) OVER (ORDER BY wk)
-        |   || lead(s, 2) OVER (ORDER BY wk) AS motif
+        | SELECT CASE WHEN lead(wk, 1) OVER (ORDER BY wk) = wk + 1
+        |          AND lead(wk, 2) OVER (ORDER BY wk) = wk + 2
+        |  THEN s || lead(s, 1) OVER (ORDER BY wk)
+        |    || lead(s, 2) OVER (ORDER BY wk) END AS motif
         | FROM sym),
         |m2 AS (SELECT motif FROM mot WHERE motif IS NOT NULL),
         |tot AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM m2)
@@ -7255,12 +7287,12 @@ object Analytics {
          |  WHERE cum * 4 >= n * 3),
          |p0 AS (
          | SELECT n, CAST(m1 AS DOUBLE) AS mu1, CAST(m2 AS DOUBLE) AS mu2,
-         |  round((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+         |  round(greatest((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
          |    * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
-         |   / greatest(CAST(n AS DOUBLE) - 1, 1.0), 6) AS s1,
-         |  round((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+         |   / greatest(CAST(n AS DOUBLE) - 1, 1.0), 1.0), 6) AS s1,
+         |  round(greatest((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
          |    * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
-         |   / greatest(CAST(n AS DOUBLE) - 1, 1.0), 6) AS s2,
+         |   / greatest(CAST(n AS DOUBLE) - 1, 1.0), 1.0), 6) AS s2,
          |  0.5 AS p1
          | FROM nn, q1, q3),
          |${iterSql(1)},
@@ -7324,7 +7356,7 @@ object Analytics {
          | SELECT nx, ny, u,
          |  nxd * nyd / 12.0 * (((nxd + nyd) + 1)
          |   - CAST((SELECT tie FROM a) AS DOUBLE)
-         |     / ((nxd + nyd) * ((nxd + nyd) - 1))) AS v2,
+         |     / greatest((nxd + nyd) * ((nxd + nyd) - 1), 1.0)) AS v2,
          |  u - nxd * nyd / 2.0 AS num
          | FROM f)
          |SELECT nx AS n_x, ny AS n_y,
@@ -7494,9 +7526,11 @@ object Analytics {
         |mx AS (SELECT max(t) AS mt FROM daily),
         |d AS (SELECT t, y FROM daily, mx WHERE t > mt - 180),
         |pairs AS (
-        | SELECT CAST((CAST(b.y - a.y AS HUGEINT) * 100 +
-        |   CAST(100000000000000 AS HUGEINT) * (b.t - a.t)) //
-        |   (b.t - a.t) AS BIGINT) - 100000000000000 AS s_fp
+        | SELECT CAST((CAST(b.y - a.y AS HUGEINT) * 100) //
+        |   (b.t - a.t) AS BIGINT)
+        |  - (CASE WHEN b.y < a.y AND
+        |     (CAST(b.y - a.y AS HUGEINT) * 100) % (b.t - a.t) != 0
+        |     THEN 1 ELSE 0 END) AS s_fp
         | FROM d a JOIN d b ON b.t > a.t),
         |gp AS (SELECT s_fp, count(*) AS c FROM pairs GROUP BY 1),
         |cum AS (SELECT s_fp,

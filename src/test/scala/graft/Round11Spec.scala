@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-11 hardening gates (the ADVICE_r10 items): sign-safe theilSen
+  * floor division, gmmDaily zero-init-variance survival, hodgesLehmann
+  * one-sample tie-correction 0/0, and saxMotifs week-gap adjacency.
+  */
+class Round11Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def day(i: Int) = {
+    val c = java.util.Calendar.getInstance(
+      java.util.TimeZone.getTimeZone("UTC"))
+    c.set(2024, 0, 1, 0, 0, 0)
+    c.set(java.util.Calendar.MILLISECOND, 0)
+    c.add(java.util.Calendar.DAY_OF_MONTH, i)
+    new java.sql.Timestamp(c.getTimeInMillis)
+  }
+
+  // ---- Theil–Sen sign-safe floor -----------------------------------------
+
+  test("theilSen: negative non-divisible slope floors (not truncates)") {
+    // two days 3 apart, second 1 cent LOWER: the only pairwise slope is
+    // floor(-1 cent · 100 / 3 days) = floor(-33.33) = -34 fp units =
+    // -$0.0034/day. Truncation toward zero would give -33 -> -0.0033.
+    val rows = Seq((day(0), 10.00), (day(3), 9.99))
+    val r = operators.Analytics.theilSen(
+      rows.toDF("o_orderdate", "o_totalprice")).collect()(0)
+    assert(r.getAs[Long]("n_days") === 2L)
+    assert(r.getAs[Long]("n_pairs") === 1L)
+    assert(math.abs(r.getAs[Double]("slope_dollars_per_day") - -0.0034) < 1e-12)
+  }
+
+  test("theilSen: large daily deltas beyond the old 1e14 shift stay exact") {
+    // Δ = $2e10/day exceeds the old K=1e14 shift's coverage (Δcents·100 =
+    // 2e14 > K): the remainder-adjusted floor has no magnitude ceiling.
+    val rows = Seq((day(0), 1.0e10), (day(1), 3.0e10))
+    val r = operators.Analytics.theilSen(
+      rows.toDF("o_orderdate", "o_totalprice")).collect()(0)
+    assert(math.abs(r.getAs[Double]("slope_dollars_per_day") - 2.0e10) < 1.0)
+  }
+
+  // ---- GMM init-variance clamp -------------------------------------------
+
+  test("gmmDaily: EXACTLY identical daily totals survive (s0 clamp)") {
+    // all-identical corpus: init variance s0 = 0 -> before the clamp the
+    // FIRST E-step hit exp(.../0)/sqrt(0) inside the eager ANSI condition
+    val rows = (0 until 8).map(i => (day(i), 500.0))
+    val r = operators.Analytics
+      .gmmDaily(rows.toDF("o_orderdate", "o_totalprice")).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("n_days") === 8L)
+    assert(math.abs(r(0).getAs[Double]("mu_lo_dollars") - 500.0) < 1e-6)
+  }
+
+  test("gmmDaily: single-day corpus survives") {
+    val r = operators.Analytics
+      .gmmDaily(Seq((day(0), 42.0)).toDF("o_orderdate", "o_totalprice"))
+      .collect()
+    assert(r.length === 1 && r(0).getAs[Long]("n_days") === 1L)
+  }
+
+  // ---- Hodges–Lehmann n<=1 tie denominator --------------------------------
+
+  test("hodgesLehmann: one purchase day and zero click days do not abort") {
+    // n = nx + ny = 1: tie/(n(n-1)) was 0/0 inside the eager when(v2 > 0)
+    // condition; the guarded denominator keeps the plan alive (the empty
+    // click side then legitimately releases zero rows via the hl join)
+    val ev = Seq((day(0), "purchase", 25.0)).toDF("ts", "event_type", "value")
+    val r = operators.Analytics.hodgesLehmann(ev).collect()
+    assert(r.length <= 1) // no abort is the gate; rows are empty-side-defined
+  }
+
+  test("hodgesLehmann: one day each side still releases the exact shift") {
+    val ev = Seq((day(0), "purchase", 30.0), (day(0), "click", 10.0))
+      .toDF("ts", "event_type", "value")
+    val r = operators.Analytics.hodgesLehmann(ev).collect()(0)
+    assert(r.getAs[Long]("n_pairs") === 1L)
+    assert(math.abs(r.getAs[Double]("hl_shift_dollars") - 20.0) < 1e-9)
+    // n=2, no ties: v2 = 1/12·(3 − 0) = 0.25 -> z = (1 − 0.5)/0.5 = 1
+    assert(math.abs(r.getAs[Double]("z") - 1.0) < 1e-9)
+  }
+
+  // ---- SAX motif week adjacency -------------------------------------------
+
+  test("saxMotifs: an incomplete week breaks the motif chain") {
+    // weeks 0..5 complete EXCEPT week 2 (6 days): complete weeks are
+    // {0,1,3,4,5}, so the ONLY 3-consecutive run is (3,4,5) -> exactly one
+    // motif row with n = 1. The old lead() stitched (0,1,3) and (1,3,4)
+    // across the hole and released three.
+    val rows = (0 until 42).filter(_ != 15) // drop one day of week 2
+      .map(i => (day(i), 100.0 + i))
+    val out = operators.Analytics
+      .saxMotifs(rows.toDF("o_orderdate", "o_totalprice")).collect()
+    assert(out.map(_.getAs[Long]("n")).sum === 1L)
+  }
+
+  test("saxMotifs: a contiguous calendar still yields all n-2 trigrams") {
+    val rows = (0 until 42).map(i => (day(i), 100.0 + i)) // 6 full weeks
+    val out = operators.Analytics
+      .saxMotifs(rows.toDF("o_orderdate", "o_totalprice")).collect()
+    assert(out.map(_.getAs[Long]("n")).sum === 4L) // 6 weeks -> 4 trigrams
+  }
+}
