@@ -608,7 +608,127 @@ object Training {
     lof.orderBy(desc("lof"), col("vec_id")).limit(topN)
   }
 
+  // ===== fastText-style quality classifier ================================
+
+  // Shared Spark/DuckDB expression strings (the plattScaling idiom): every
+  // float step is ONE identically spelled tree, rounded before each exact
+  // DECIMAL fold, so both engines replay the fit bit-for-bit.
+  private[operators] val lrSig = "(1.0 / (1.0 + exp(-CAST(m AS DOUBLE))))"
+  private[operators] val lrTerm = "CAST(round(x * wgt, 9) AS DECIMAL(28,9))"
+  private[operators] val lrResid = s"round(CAST(y AS DOUBLE) - $lrSig, 9)"
+  private[operators] val lrGrad = "CAST(round(r * x, 9) AS DECIMAL(28,9))"
+  private[operators] def lrUpdate(eta: Double): String =
+    s"round(wgt + $eta * CAST(g AS DOUBLE) / CAST(n AS DOUBLE), 6)"
+  private[operators] val lrLoss =
+    s"CAST(round(CAST(y AS DOUBLE) * ln($lrSig) + " +
+      s"(1.0 - CAST(y AS DOUBLE)) * ln(1.0 - $lrSig), 6) AS DECIMAL(28,6))"
+
+  /** DISTRIBUTED LOGISTIC-REGRESSION QUALITY CLASSIFIER (the
+    * fastText-style companion of the KN perplexity filter — Joulin et al.
+    * 2017; CCNet pairs exactly this supervised classifier with the LM
+    * score, Wenzek et al. 2020): hashed signed word-unigram features
+    * (the q_feature_hash trick: md5 bucket + ±1 sign so collisions cancel
+    * in expectation), label = the curated-vs-crawl source split (even
+    * source index = "curated" pool), fit by `iters` unrolled FULL-BATCH
+    * gradient-descent rounds. Released: the per-bucket coefficients plus
+    * the train AUC and log-loss — the artifact + health row a curation
+    * run ships beside the filter.
+    *
+    * Determinism across engines (the q_gmm_daily/q_platt_scaling
+    * contract): feature values are ONE exact division (signed count /
+    * doc tokens); every margin/gradient term is rounded (9dp) before its
+    * DECIMAL fold so float accumulation order can't matter; weights
+    * round to 6dp per round. AUC uses the aucRank doubled-midrank
+    * identity on a QUANTIZED margin spine (⌊m·1000⌋ — decimal floor,
+    * exact): margins are near-unique per doc, so the raw spine would be
+    * corpus-cardinality under one unpartitioned window; milli-margin
+    * buckets keep the spine domain-bounded at any corpus size.
+    *
+    * Scale posture: one map-side-combined shuffle builds the (doc,
+    * bucket) feature frame (≤ B+1 rows per doc — the fastText shape);
+    * each GD round is a broadcast join with the B+1-row weight vector,
+    * one doc-grain aggregate, one doc-grain join, and a bucket-grain
+    * (B+1 rows) gradient aggregate. No all-pairs frame, no
+    * data-cardinality window anywhere.
+    */
+  def qualityLr(docs: DataFrame, buckets: Int = 16, iters: Int = 3,
+                eta: Double = 2.0): DataFrame = {
+    import graft.CacheScope.TrackedDataset
+    val base = docs
+      .filter(col("text").isNotNull && col("source").isNotNull)
+      .select(col("doc_id"),
+        when(substring(col("source"), 4, 10).cast("long") % 2 === 0, 1L)
+          .otherwise(0L).as("y"),
+        TextAnalysis.tokens(lower(col("text"))).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"), col("y"),
+        size(col("toks")).cast("long").as("nt"), col("toks"))
+      .persistTracked()
+    val hash = conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long")
+    val sgn = when(conv(substring(md5(col("tok")), 5, 1), 16, 10)
+      .cast("long") % 2 === 0, 1L).otherwise(-1L)
+    val fx = base
+      .select(col("doc_id"), col("y"), col("nt"),
+        explode(col("toks")).as("tok"))
+      .select(col("doc_id"), col("y"), col("nt"),
+        (hash % buckets).as("bucket"), sgn.as("sign"))
+      .groupBy("doc_id", "y", "nt", "bucket")
+      .agg(sum(col("sign")).as("net"))
+      .select(col("doc_id"), col("y"), col("bucket"),
+        (col("net").cast("double") / col("nt").cast("double")).as("x"))
+      .unionByName(base.select(col("doc_id"), col("y"),
+        lit(-1L).as("bucket"), lit(1.0).as("x")))
+      .persistTracked()
+    val nn = base.agg(count(lit(1)).as("n"))
+    var w = fx.select(col("bucket")).distinct()
+      .select(col("bucket"), lit(0.0).as("wgt"))
+    for (_ <- 1 to iters) {
+      val m = fx.join(broadcast(w), Seq("bucket"))
+        .groupBy("doc_id", "y").agg(sum(expr(lrTerm)).as("m"))
+      val r = m.select(col("doc_id"), expr(lrResid).as("r"))
+      val g = fx.join(r, Seq("doc_id"))
+        .groupBy("bucket").agg(sum(expr(lrGrad)).as("g"))
+      w = w.join(g, Seq("bucket")).crossJoin(broadcast(nn))
+        .select(col("bucket"), expr(lrUpdate(eta)).as("wgt"))
+    }
+    val mf = fx.join(broadcast(w), Seq("bucket"))
+      .groupBy("doc_id", "y").agg(sum(expr(lrTerm)).as("m"))
+      .persistTracked()
+    // margin quantization stays in DECIMAL (exact floor, no float
+    // boundary): narrow to (18,9) first — ×1000 on the full (38,9) sum
+    // type would exceed DuckDB's width-38 cap even though the VALUE is
+    // tiny (|m| ≤ Σ|x·w| ≈ 1e2)
+    val cg = mf.select(
+        expr("CAST(floor(CAST(m AS DECIMAL(18,9)) * 1000) AS BIGINT)")
+          .as("v"),
+        col("y"))
+      .groupBy("v").agg(count(lit(1)).as("c"), sum(col("y")).as("p"))
+    val wd = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dnp = col("np").cast("double")
+    val au = cg.withColumn("cum", sum(col("c")).over(wd))
+      .agg(sum(col("c")).as("n"), sum(col("p")).as("np"),
+        sum(col("p").cast(DecimalType(18, 0)) *
+          (lit(2L) * col("cum") - col("c") + lit(1L))
+            .cast(DecimalType(18, 0))).as("rp2"))
+      .select(col("n").as("n_docs"), col("np").as("n_pos"),
+        when(col("np") > 0 && col("n") > col("np"),
+          round((col("rp2").cast("double") - dnp * (dnp + 1)) /
+            (lit(2.0) * dnp * (col("n") - col("np")).cast("double")), 6))
+          .as("auc"))
+    val ll = mf.agg(sum(expr(lrLoss)).as("sll"), count(lit(1)).as("nd"))
+      .select(round(-col("sll").cast("double") /
+        col("nd").cast("double"), 6).as("log_loss"))
+    w.crossJoin(broadcast(au)).crossJoin(broadcast(ll))
+      .select(col("bucket"), round(col("wgt"), 6).as("weight"),
+        col("n_docs"), col("n_pos"), col("auc"), col("log_loss"))
+      .orderBy("bucket")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // fastText-style LR quality classifier: hashed signed unigram
+    // features, curated-vs-crawl label, 3 unrolled full-batch GD rounds.
+    "q_quality_lr" -> { (s, d) => qualityLr(Tables.documents(s, d)) },
     // Density-aware embedding outliers: top-10 LOF on exact int8 d²,
     // over ONE index list (vec_id < 500, the q_ivf_append base-slice
     // convention) — LOF is local, so production shards it per IVF list
@@ -796,7 +916,83 @@ object Training {
        |  GROUP BY 1) t ON w.i = t.i)""".stripMargin
   }
 
+  // Unrolled GD-round CTE for the q_quality_lr oracle: identical margin /
+  // residual / gradient / update trees (lrTerm/lrResid/lrGrad/lrUpdate).
+  private def lrIterSql(t: Int, eta: Double): String = {
+    val prev = s"w${t - 1}"
+    s"""m$t AS (
+       | SELECT doc_id, y, sum($lrTerm) AS m
+       | FROM fx JOIN $prev USING (bucket) GROUP BY 1, 2),
+       |r$t AS (SELECT doc_id, $lrResid AS r FROM m$t),
+       |g$t AS (
+       | SELECT bucket, sum($lrGrad) AS g
+       | FROM fx JOIN r$t USING (doc_id) GROUP BY 1),
+       |w$t AS (
+       | SELECT bucket, ${lrUpdate(eta)} AS wgt
+       | FROM $prev JOIN g$t USING (bucket) CROSS JOIN nn)""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    // same md5 bucket/sign hashing, same exact x = net/nt division, same
+    // unrolled GD rounds (9dp folds, 6dp weights), same quantized-margin
+    // aucRank identity and 6dp loss fold
+    "q_quality_lr" -> {
+      val iters = 3
+      s"""WITH base AS (
+         | SELECT doc_id,
+         |  CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0
+         |   THEN 1 ELSE 0 END AS y,
+         |  ${TextAnalysis.tokensSql("lower(text)")} AS toks
+         | FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+         |b2 AS (
+         | SELECT doc_id, y, CAST(len(toks) AS BIGINT) AS nt, toks
+         | FROM base WHERE len(toks) >= 1),
+         |tok AS (SELECT doc_id, y, nt, unnest(toks) AS tok FROM b2),
+         |fh AS (
+         | SELECT doc_id, y, nt,
+         |  CAST(('0x' || substr(md5(tok), 1, 4)) AS BIGINT) % 16 AS bucket,
+         |  CASE WHEN CAST(('0x' || substr(md5(tok), 5, 1)) AS BIGINT) % 2 = 0
+         |   THEN 1 ELSE -1 END AS sign
+         | FROM tok),
+         |fx AS (
+         | SELECT doc_id, y, bucket,
+         |  CAST(sum(sign) AS DOUBLE) / CAST(max(nt) AS DOUBLE) AS x
+         | FROM fh GROUP BY doc_id, y, bucket
+         | UNION ALL
+         | SELECT doc_id, y, CAST(-1 AS BIGINT) AS bucket, 1.0 AS x FROM b2),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b2),
+         |w0 AS (SELECT DISTINCT bucket, 0.0 AS wgt FROM fx),
+         |${(1 to iters).map(lrIterSql(_, 2.0)).mkString(",\n")},
+         |mf AS (
+         | SELECT doc_id, y, sum($lrTerm) AS m
+         | FROM fx JOIN w$iters USING (bucket) GROUP BY 1, 2),
+         |cg AS (
+         | SELECT CAST(floor(CAST(m AS DECIMAL(18,9)) * 1000) AS BIGINT)
+         |   AS v,
+         |  count(*) AS c, CAST(sum(y) AS BIGINT) AS p
+         | FROM mf GROUP BY 1),
+         |cc AS (SELECT v, c, p,
+         |  sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+         | FROM cg),
+         |au AS (
+         | SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+         |  CAST(sum(p) AS BIGINT) AS n_pos,
+         |  CASE WHEN CAST(sum(p) AS BIGINT) > 0
+         |    AND CAST(sum(c) AS BIGINT) > CAST(sum(p) AS BIGINT) THEN
+         |   round((CAST(sum(CAST(p AS DECIMAL(18,0))
+         |      * CAST(2 * cum - c + 1 AS DECIMAL(18,0))) AS DOUBLE)
+         |     - CAST(sum(p) AS DOUBLE) * (CAST(sum(p) AS DOUBLE) + 1))
+         |    / (2.0 * CAST(sum(p) AS DOUBLE)
+         |       * CAST(sum(c) - sum(p) AS DOUBLE)), 6) END AS auc
+         | FROM cc),
+         |ll AS (
+         | SELECT round(-CAST(sum($lrLoss) AS DOUBLE)
+         |   / CAST(count(*) AS DOUBLE), 6) AS log_loss
+         | FROM mf)
+         |SELECT bucket, round(wgt, 6) AS weight, n_docs, n_pos, auc,
+         | log_loss
+         |FROM w$iters, au, ll ORDER BY bucket""".stripMargin
+    },
     // same int8 codes, same integer d² kNN (dd, ib tie-break), same
     // integer k·10¹²-scaled lrd, same final ratio
     "q_lof_outliers" ->

@@ -102,4 +102,49 @@ class Round11Spec extends SparkSpec {
       .saxMotifs(rows.toDF("o_orderdate", "o_totalprice")).collect()
     assert(out.map(_.getAs[Long]("n")).sum === 4L) // 6 weeks -> 4 trigrams
   }
+
+  // ---- quality LR classifier ----------------------------------------------
+
+  test("qualityLr: hand-computed 2-feature GD trajectory and AUC") {
+    // 4 curated docs (src0, y=1) of "alpha alpha alpha" and 4 crawl docs
+    // (src1, y=0) of "beta beta beta": x_alpha = x_beta = 1.0 (signs are
+    // both +1 for these tokens), buckets 7 and 11 are distinct, bias
+    // gradient cancels. Hand-unrolled GD (eta=2, n=8):
+    //   iter1: p=0.5, r=+-0.5          -> w = +-0.5
+    //   iter2: r = round(1-sigma(0.5),9)        -> w = +-0.877541
+    //   iter3: r = round(1-sigma(0.877541),9)   -> w = +-1.171229
+    // Separable margins -> AUC = 1; loss = -ln(sigma(1.171229)) = 0.270016.
+    import spark.implicits._
+    val docs = ((0 until 4).map(i =>
+        (i.toLong, "alpha alpha alpha", "en", "src0", 17L)) ++
+      (4 until 8).map(i =>
+        (i.toLong, "beta beta beta", "en", "src1", 14L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = operators.Training.qualityLr(docs).collect()
+    val byB = out.map(r => r.getAs[Long]("bucket") ->
+      r.getAs[Double]("weight")).toMap
+    assert(byB.keySet === Set(-1L, 7L, 11L))
+    assert(math.abs(byB(7L) - 1.171229) < 1e-9)
+    assert(math.abs(byB(11L) - -1.171229) < 1e-9)
+    assert(math.abs(byB(-1L)) < 1e-9)
+    val r0 = out(0)
+    assert(r0.getAs[Long]("n_docs") === 8L)
+    assert(r0.getAs[Long]("n_pos") === 4L)
+    assert(math.abs(r0.getAs[Double]("auc") - 1.0) < 1e-9)
+    assert(math.abs(r0.getAs[Double]("log_loss") - 0.270016) < 1e-9)
+  }
+
+  test("qualityLr: unseparable labels stay near AUC 0.5 without aborting") {
+    import spark.implicits._
+    // identical text on both sides: margins collapse to one value
+    val docs = (0 until 6).map(i =>
+        (i.toLong, "same same", "en", s"src$i", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = operators.Training.qualityLr(docs).collect()
+    assert(out.nonEmpty)
+    val r0 = out(0)
+    assert(r0.getAs[Long]("n_docs") === 6L)
+    // all margins equal -> midrank AUC is exactly 0.5
+    assert(math.abs(r0.getAs[Double]("auc") - 0.5) < 1e-9)
+  }
 }
