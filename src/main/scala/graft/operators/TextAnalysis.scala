@@ -636,6 +636,52 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** PPMI WORD ASSOCIATIONS (Church & Hanks 1990 PMI, positive-clipped
+    * per Levy & Goldberg 2014): top-k collocates per head word by
+    * PPMI = max(0, log2(c(w1,w2)·N / (c(w1·)·c(·w2)))) over the SAME
+    * bigram count frames the KN LM trains on (knFrames cb/cu) — the
+    * count-based word-association table that count-embedding stacks
+    * (SVD-of-PPMI ≈ word2vec, Levy & Goldberg) factorize, and the
+    * normalized companion of q_collocations_g2's significance view (G²
+    * weighs EVIDENCE, PMI weighs association strength; rare-but-exclusive
+    * pairs top PMI and bottom G²).
+    *
+    * Determinism: ranking is on the RAW ratio r = cb·N/(cu·c2) — one
+    * division of exact integer products, monotone with PPMI, so the
+    * order never depends on the log; ties break on w2; log2 appears only
+    * in the released 6dp value (the knTermsCteSql log2-parity precedent).
+    * min-count cb ≥ 2 drops the degenerate singleton-PMI tail.
+    *
+    * Scale posture: bigram counts are the shared map-side-combined
+    * frames; c2 is one more vocab-keyed aggregate; N broadcasts; head
+    * selection is a vocab-bounded top-20 (cu desc); per-head top-k runs
+    * through the TopKPerKey physical operator — no vocab-sized sort, no
+    * unpartitioned window.
+    */
+  def ppmiTopK(docs: DataFrame, heads: Int = 20, k: Int = 5): DataFrame = {
+    val (_, cb, cu, _, _) = knFrames(docs)
+    val c2 = cb.groupBy("w2").agg(sum(col("cb")).as("c2"))
+    val nb = cb.agg(sum(col("cb")).as("nb"))
+    val scored = cb.filter(col("cb") >= 2)
+      .join(cu.select("w1", "cu"), Seq("w1"))
+      .join(c2, Seq("w2"))
+      .crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("cb"),
+        (col("cb").cast("double") * col("nb").cast("double") /
+          (col("cu").cast("double") * col("c2").cast("double"))).as("r"))
+      .filter(col("r") > 1.0) // positive PMI only
+    val hd = cu.orderBy(desc("cu"), col("w1")).limit(heads)
+      .select(col("w1"))
+    val top = graft.plans.TopKPerKey.topKPerKey(
+      scored.join(broadcast(hd), Seq("w1")), Seq("w1"),
+      Seq(("r", false), ("w2", true)), k)
+    val wr = Window.partitionBy("w1").orderBy(desc("r"), col("w2"))
+    top.withColumn("rank", row_number().over(wr))
+      .select(col("w1"), col("rank"), col("w2"), col("cb"),
+        expr("round(log2(r), 6)").as("ppmi"))
+      .orderBy("w1", "rank")
+  }
+
   /** FIGHTIN' WORDS distinctive vocabulary (Monroe, Colaresi & Quinn
     * 2008): for each source, the words most over-represented vs the
     * REST of the corpus, scored by the z-statistic of the log-odds
@@ -1381,6 +1427,9 @@ object TextAnalysis {
     // table (top continuations + discount) and the per-source surprisal
     // readout — the production smoothing beside q_lm_score's add-one.
     "q_kn_lm" -> { (s, d) => knLmTopK(Tables.documents(s, d)) },
+    // PPMI top-k collocates per frequent head word (shared KN bigram
+    // frames; G²'s association-strength companion).
+    "q_ppmi_topk" -> { (s, d) => ppmiTopK(Tables.documents(s, d)) },
     "q_kn_surprisal" -> { (s, d) => knSurprisal(Tables.documents(s, d)) },
     // Tokenizer deploy path: train 6 merges, then encode the corpus with
     // them in one pass; per-doc compression (n_raw vs n_bpe) is the
@@ -2429,6 +2478,28 @@ object TextAnalysis {
            | round(CAST(rank AS DOUBLE) / 1000000.0, 6) AS share
            |FROM r6 ORDER BY rank DESC, node LIMIT 15""".stripMargin
       },
+      // PPMI twin: same shared bigram count CTEs, same raw-ratio ranking
+      // (log2 only in the released 6dp value), same head/tie-break order
+      "q_ppmi_topk" ->
+        ("WITH " + knCountCtesSql + ",\n" +
+          """c2 AS (SELECT w2, CAST(sum(cb) AS BIGINT) AS c2
+            |       FROM cb GROUP BY 1),
+            |nb AS (SELECT CAST(sum(cb) AS BIGINT) AS nb FROM cb),
+            |scored AS (
+            | SELECT w1, w2, cb,
+            |  CAST(cb AS DOUBLE) * CAST(nb AS DOUBLE)
+            |   / (CAST(cu AS DOUBLE) * CAST(c2 AS DOUBLE)) AS r
+            | FROM cb JOIN cu USING (w1) JOIN c2 USING (w2) CROSS JOIN nb
+            | WHERE cb >= 2),
+            |hd AS (SELECT w1 FROM cu ORDER BY cu DESC, w1 LIMIT 20),
+            |rk AS (
+            | SELECT w1, w2, cb, r,
+            |  row_number() OVER (PARTITION BY w1 ORDER BY r DESC, w2)
+            |   AS rank
+            | FROM scored JOIN hd USING (w1) WHERE r > 1.0)
+            |SELECT w1, CAST(rank AS INTEGER) AS rank, w2, cb,
+            | round(log2(r), 6) AS ppmi
+            |FROM rk WHERE rank <= 5 ORDER BY w1, rank""".stripMargin),
       // Kneser-Ney twins: same count frames, same D = n1/(n1+2n2), same
       // interpolated-probability expression tree, 6dp term fold
       "q_kn_lm" ->

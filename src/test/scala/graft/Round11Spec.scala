@@ -147,4 +147,38 @@ class Round11Spec extends SparkSpec {
     // all margins equal -> midrank AUC is exactly 0.5
     assert(math.abs(r0.getAs[Double]("auc") - 0.5) < 1e-9)
   }
+
+  // ---- PPMI collocates -----------------------------------------------------
+
+  test("ppmiTopK: hand-computed PPMI values, min-count, and ranking") {
+    // corpus bigrams: (x,y) cb=3, (x,z) cb=1 (dropped: min-count 2),
+    // (w,z) cb=2; N=6, cu: x=4 w=2, c2: y=3 z=3.
+    // PPMI(w,z) = log2(2*6/(2*3)) = 1.0; PPMI(x,y) = log2(3*6/(4*3)) =
+    // log2(1.5) = 0.584963.
+    import spark.implicits._
+    val docs = (
+      (0 until 3).map(i => (i.toLong, "x y", "en", "src0", 3L)) ++
+      Seq((3L, "x z", "en", "src0", 3L)) ++
+      (4 until 6).map(i => (i.toLong, "w z", "en", "src1", 3L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = operators.TextAnalysis.ppmiTopK(docs).collect()
+    assert(out.length === 2)
+    val byHead = out.map(r => r.getAs[String]("w1") -> r).toMap
+    assert(byHead("w").getAs[String]("w2") === "z")
+    assert(byHead("w").getAs[Long]("cb") === 2L)
+    assert(math.abs(byHead("w").getAs[Double]("ppmi") - 1.0) < 1e-9)
+    assert(byHead("x").getAs[String]("w2") === "y")
+    assert(math.abs(byHead("x").getAs[Double]("ppmi") - 0.584963) < 1e-9)
+    assert(out.forall(_.getAs[Int]("rank") === 1))
+  }
+
+  test("ppmiTopK: negative-PMI pairs are clipped out") {
+    // every head pairs with everything equally -> all ratios r = 1 ->
+    // no positive association survives the r > 1 clip
+    import spark.implicits._
+    val docs = Seq((0L, "p q", "en", "src0", 3L), (1L, "p q", "en", "src0", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // single bigram (p,q) cb=2: r = 2*2/(2*2) = 1 -> clipped
+    assert(operators.TextAnalysis.ppmiTopK(docs).collect().isEmpty)
+  }
 }
