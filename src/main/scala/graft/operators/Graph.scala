@@ -328,8 +328,14 @@ object Graph {
     // the prefix per consumer (the kcore 3^rounds lesson)
     for (_ <- 1 to rounds) {
       prev = lab
+      // label frame is node-cardinality (broadcast-class beside edges, per
+      // the scale posture above) — the explicit hint keeps every round a
+      // map-side join instead of re-shuffling the edge frame per round; at
+      // node counts beyond broadcast, drop the hint and pre-partition
+      // edges by src so rounds reuse one exchange
       val cnt = edges
-        .join(lab.select(col("node").as("src"), col("label")), Seq("src"))
+        .join(broadcast(lab.select(col("node").as("src"), col("label"))),
+          Seq("src"))
         .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("cnt"))
       lab = cnt.groupBy("node")
@@ -514,11 +520,13 @@ object Graph {
     // ONCE and persist it: byC feeds both the m2 scalar (Σ deg_sum) and
     // the terms, so nothing edge-sized is ever recomputed (first bench
     // cut: the unpersisted el ran the 3-round LPA chain per action)
+    // both label attaches broadcast the node-cardinality frame: one
+    // edge-frame pass, zero edge shuffles before the community groupBy
     val byC = edges
-      .join(lab.select(col("node").as("src"), col("label").as("ls")),
-        Seq("src"))
-      .join(lab.select(col("node").as("dst"), col("label").as("ld")),
-        Seq("dst"))
+      .join(broadcast(lab.select(col("node").as("src"),
+        col("label").as("ls"))), Seq("src"))
+      .join(broadcast(lab.select(col("node").as("dst"),
+        col("label").as("ld"))), Seq("dst"))
       .groupBy(col("ls").as("community"))
       .agg(count(lit(1)).as("deg_sum"),
         sum(when(col("ls") === col("ld"), 1L).otherwise(0L)).as("in2"))
