@@ -328,6 +328,93 @@ object Similarity {
       .orderBy("dim")
   }
 
+  /** r = 2 PCA SUBSPACE by ORTHOGONAL ITERATION (block power method with
+    * per-step Gram–Schmidt QR; Golub & Van Loan §8.2) on the SAME
+    * fixed-point Gram matrix as [[pcaTopComponent]] — the low-rank
+    * projection/whitening step the embedding ops lacked (q_pca_top stops
+    * at one component). Released: unit-L2 loadings of the top-2
+    * components plus each component's UNCENTERED variance share
+    * (Rayleigh quotient / trace — the q_pca_top second-moment
+    * convention).
+    *
+    * Determinism: the Gram matrix is exact integer (⌊x·2^20⌋ products,
+    * one corpus pass); the iteration runs on the DRIVER over the d×d
+    * frame (dimension-class state, same as q_pca_top) with every float
+    * op a fixed-order fold — ascending-index dot products, one sqrt, one
+    * divide per element, Gram–Schmidt in a fixed q1→q2 order — which the
+    * DuckDB oracle replays bit-for-bit with left-to-right list_sum folds
+    * (the proven q_pca_top replay idiom). Start block: v1 = 1…1,
+    * v2 = +1/−1 alternating (fixed, never data-dependent).
+    *
+    * Scale posture: identical to q_pca_top — the only corpus pass is the
+    * map-side Gram explode (d(d+1)/2 partial sums shuffled at dimension
+    * cardinality); everything after is d×r driver state. r and d are
+    * model constants, never data-scaled.
+    */
+  def pcaSubspace(emb: DataFrame, iters: Int = 10): DataFrame = {
+    val s = emb.sparkSession
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val quant = emb.select(transform(col("embedding"),
+      x => floor(x.cast("double") * 1048576).cast("long")).as("q"))
+    val pairsArr = flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
+      transform(sequence(i, lit(dim - 1)), j =>
+        struct(i.cast("int").as("i"), j.cast("int").as("j"),
+          (element_at(col("q"), i + 1) * element_at(col("q"), j + 1)).as("p")))))
+    val gl = quant.select(explode(pairsArr).as("e"))
+      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
+      .agg(sum(col("e.p")).as("g"))
+      .collect()
+    val G = Array.ofDim[Double](dim, dim)
+    gl.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1); val g = r.getLong(2).toDouble
+      G(i)(j) = g; G(j)(i) = g
+    }
+    def mul(v: Array[Double]): Array[Double] = {
+      val w = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        var acc = 0.0; var j = 0
+        while (j < dim) { acc += G(i)(j) * v(j); j += 1 }
+        w(i) = acc; i += 1
+      }
+      w
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var j = 0
+      while (j < dim) { acc += a(j) * b(j); j += 1 }
+      acc
+    }
+    var v1 = Array.fill(dim)(1.0)
+    var v2 = Array.tabulate(dim)(j => if (j % 2 == 0) 1.0 else -1.0)
+    var k = 0
+    while (k < iters) {
+      val w1 = mul(v1); val w2 = mul(v2)
+      // Gram–Schmidt in fixed q1 -> q2 order (the oracle replays this
+      // exact op sequence)
+      val n1 = math.sqrt(dot(w1, w1))
+      val q1 = w1.map(_ / n1)
+      val c = dot(q1, w2)
+      val w2p = new Array[Double](dim)
+      var j = 0
+      while (j < dim) { w2p(j) = w2(j) - c * q1(j); j += 1 }
+      val n2 = math.sqrt(dot(w2p, w2p))
+      v1 = q1; v2 = w2p.map(_ / n2)
+      k += 1
+    }
+    var tr = 0.0
+    var ti = 0
+    while (ti < dim) { tr += G(ti)(ti); ti += 1 }
+    val share1 = dot(v1, mul(v1)) / tr
+    val share2 = dot(v2, mul(v2)) / tr
+    import s.implicits._
+    (v1.toSeq.zipWithIndex.map { case (x, i) => (1, i, x, share1) } ++
+      v2.toSeq.zipWithIndex.map { case (x, i) => (2, i, x, share2) })
+      .toDF("pc", "dim", "raw", "rawshare")
+      .select(col("pc"), col("dim"), round(col("raw"), 6).as("loading"),
+        round(col("rawshare"), 6).as("var_share"))
+      .orderBy("pc", "dim")
+  }
+
   /** Simplified (centroid-based) silhouette of the `label` clustering:
     * per vector, margin = cos(v, own centroid) − max over other
     * centroids of cos(v, centroid); per label, the count and average
@@ -1166,6 +1253,12 @@ object Similarity {
     "q_pca_top" -> { (s, d) =>
       pcaTopComponent(Tables.embeddings(s, d))
     },
+    // Top-2 PCA subspace by orthogonal iteration (Gram–Schmidt QR per
+    // step) on the q_pca_top fixed-point Gram; unit-L2 loadings +
+    // uncentered variance shares.
+    "q_pca_subspace" -> { (s, d) =>
+      pcaSubspace(Tables.embeddings(s, d))
+    },
     // Full Lloyd k-means (3 rounds, k=4) in exact integer state — the
     // multi-iteration extension of the single Lloyd step q_semantic_dedup
     // runs; oracle replays every round.
@@ -1858,6 +1951,75 @@ object Similarity {
          |SELECT CAST(t.i AS INTEGER) AS dim, round(v[t.i + 1], 6) AS loading
          |FROM v$iters CROSS JOIN unnest(range(0, 64)) AS t(i)
          |ORDER BY dim""".stripMargin
+    },
+    // same fixed-point Gram, same left-to-right list_sum folds replaying
+    // the driver's ascending-index loops, same q1->q2 Gram-Schmidt order
+    "q_pca_subspace" -> {
+      val iters = 10
+      val itCtes = (1 to iters).map { k =>
+        val prev = s"v${k - 1}"
+        s"""w$k AS (
+           | SELECT i,
+           |  list_sum(list_transform(list_zip(row, v1), p -> p[1] * p[2])) AS w1,
+           |  list_sum(list_transform(list_zip(row, v2), p -> p[1] * p[2])) AS w2
+           | FROM grows CROSS JOIN $prev),
+           |wl$k AS (SELECT list(w1 ORDER BY i) AS w1,
+           |  list(w2 ORDER BY i) AS w2 FROM w$k),
+           |a$k AS (SELECT list_transform(w1,
+           |   x -> x / sqrt(list_sum(list_transform(w1, y -> y * y)))) AS v1,
+           |  w2 FROM wl$k),
+           |b$k AS (SELECT v1, w2,
+           |  list_sum(list_transform(list_zip(v1, w2), p -> p[1] * p[2])) AS c
+           | FROM a$k),
+           |c$k AS (SELECT v1,
+           |  list_transform(list_zip(w2, v1), p -> p[1] - c * p[2]) AS w2p
+           | FROM b$k),
+           |v$k AS (SELECT v1, list_transform(w2p,
+           |   x -> x / sqrt(list_sum(list_transform(w2p, y -> y * y)))) AS v2
+           | FROM c$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (
+         | SELECT list_transform(embedding,
+         |  x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS q
+         | FROM embeddings),
+         |gl AS (
+         | SELECT t.i AS i, t2.j AS j, sum(q[t.i + 1] * q[t2.j + 1]) AS g
+         | FROM q CROSS JOIN unnest(range(0, 64)) AS t(i)
+         |        CROSS JOIN unnest(range(t.i, 64)) AS t2(j)
+         | GROUP BY 1, 2),
+         |gfull AS (
+         | SELECT i, j, g FROM gl
+         | UNION ALL
+         | SELECT j, i, g FROM gl WHERE i < j),
+         |grows AS (SELECT i, list(CAST(g AS DOUBLE) ORDER BY j) AS row
+         |          FROM gfull GROUP BY i),
+         |trc AS (SELECT list_sum(list(CAST(g AS DOUBLE) ORDER BY i)) AS tr
+         |        FROM gl WHERE i = j),
+         |v0 AS (SELECT list_transform(range(0, 64), x -> 1.0) AS v1,
+         |  list_transform(range(0, 64),
+         |   x -> CASE WHEN x % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v2),
+         |$itCtes,
+         |fw AS (
+         | SELECT i,
+         |  list_sum(list_transform(list_zip(row, v1), p -> p[1] * p[2])) AS f1,
+         |  list_sum(list_transform(list_zip(row, v2), p -> p[1] * p[2])) AS f2
+         | FROM grows CROSS JOIN v$iters),
+         |fl AS (SELECT list(f1 ORDER BY i) AS f1,
+         |  list(f2 ORDER BY i) AS f2 FROM fw),
+         |sh AS (
+         | SELECT
+         |  list_sum(list_transform(list_zip(v1, f1), p -> p[1] * p[2])) / tr AS s1,
+         |  list_sum(list_transform(list_zip(v2, f2), p -> p[1] * p[2])) / tr AS s2
+         | FROM v$iters, fl, trc)
+         |SELECT pc, dim, loading, var_share FROM (
+         | SELECT CAST(1 AS INTEGER) AS pc, CAST(t.i AS INTEGER) AS dim,
+         |  round(v1[t.i + 1], 6) AS loading, round(s1, 6) AS var_share
+         | FROM v$iters CROSS JOIN sh CROSS JOIN unnest(range(0, 64)) AS t(i)
+         | UNION ALL
+         | SELECT CAST(2 AS INTEGER) AS pc, CAST(t.i AS INTEGER) AS dim,
+         |  round(v2[t.i + 1], 6) AS loading, round(s2, 6) AS var_share
+         | FROM v$iters CROSS JOIN sh CROSS JOIN unnest(range(0, 64)) AS t(i))
+         |ORDER BY pc, dim""".stripMargin
     },
     "q_semantic_dedup" ->
       s"""WITH cents AS (

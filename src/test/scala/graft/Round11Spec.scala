@@ -181,4 +181,40 @@ class Round11Spec extends SparkSpec {
     // single bigram (p,q) cb=2: r = 2*2/(2*2) = 1 -> clipped
     assert(operators.TextAnalysis.ppmiTopK(docs).collect().isEmpty)
   }
+
+  // ---- PCA subspace --------------------------------------------------------
+
+  test("pcaSubspace: planted 2D structure recovered, orthonormal, shares") {
+    import spark.implicits._
+    // 40 vectors in 64-dim: dim0 = +-3 (variance 9), dim1 = +-1
+    // (variance 1), patterns balanced so dims are uncorrelated. Expected:
+    // pc1 = e0 (share 0.9), pc2 = e1 (share 0.1).
+    val emb = (0 until 40).map { i =>
+      val v = Array.fill(64)(0.0f)
+      v(0) = if (i < 20) 3.0f else -3.0f
+      v(1) = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val rows = operators.Similarity.pcaSubspace(emb).collect()
+    assert(rows.length === 128)
+    val pc1 = rows.filter(_.getAs[Int]("pc") == 1)
+      .sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("loading"))
+    val pc2 = rows.filter(_.getAs[Int]("pc") == 2)
+      .sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("loading"))
+    assert(math.abs(math.abs(pc1(0)) - 1.0) < 1e-6)
+    assert(pc1.drop(1).forall(x => math.abs(x) < 1e-6))
+    assert(math.abs(math.abs(pc2(1)) - 1.0) < 1e-6)
+    assert((pc2.take(1) ++ pc2.drop(2)).forall(x => math.abs(x) < 1e-6))
+    // orthonormal: unit norms, zero dot
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    assert(math.abs(dot(pc1, pc1) - 1.0) < 1e-6)
+    assert(math.abs(dot(pc2, pc2) - 1.0) < 1e-6)
+    assert(math.abs(dot(pc1, pc2)) < 1e-6)
+    val s1 = rows.find(_.getAs[Int]("pc") == 1).get.getAs[Double]("var_share")
+    val s2 = rows.find(_.getAs[Int]("pc") == 2).get.getAs[Double]("var_share")
+    assert(math.abs(s1 - 0.9) < 1e-6)
+    assert(math.abs(s2 - 0.1) < 1e-6)
+    assert(s1 + s2 <= 1.0 + 1e-9)
+  }
 }
