@@ -368,6 +368,98 @@ object TextAnalysis {
     (mergeTable, cur)
   }
 
+  /** UNIGRAM-LM TOKENIZER SCORING, one EM round (SentencePiece's unigram
+    * model, Kudo 2018), Viterbi-free over the BPE candidate vocabulary:
+    * candidates are the corpus's top adjacent token pairs (the same
+    * frame q_bpe_train argmaxes over) plus all unigrams; each candidate
+    * pair occurrence has exactly two local segmentations — [a][b] vs the
+    * merged piece — so the E-step posterior is the closed form
+    * P(ab)/(P(ab) + P(a)·P(b)) with count-seeded probabilities, and the
+    * M-step renormalizes the expected counts. Released: the top pieces
+    * by re-estimated probability with their expected counts — the
+    * piece-score table a unigram tokenizer ships after each EM round.
+    *
+    * Exactness: probabilities and posteriors are FIXED-POINT ppb
+    * integers (⌊·10⁹⌋ integral divisions on non-negative operands, where
+    * Spark `div` ≡ DuckDB `//` ≡ floor); expected counts are exact
+    * integer products; the only doubles are the released 6dp counts.
+    * Overlapping pair occurrences ("a a a") are resolved by expectation
+    * linearity, so unigram expected counts clamp at 0 (documented
+    * one-round approximation; exact EM would lattice-decode).
+    *
+    * Scale posture: unigram and pair counts are the two map-side-combined
+    * tokenize shuffles the BPE/KN family already does; the candidate
+    * frame is top-M (vocab-bounded TakeOrdered), every EM quantity lives
+    * on candidate/vocab-cardinality frames, and the final top-k is a
+    * TakeOrdered — no corpus-cardinality state after the counts.
+    */
+  def unigramLm(docs: DataFrame, candidates: Int = 10,
+                topK: Int = 15): DataFrame = {
+    val toksF = docs.select(
+        filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "").as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .persistTracked()
+    val uni = toksF.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+      .persistTracked()
+    val nn = uni.agg(sum(col("cu")).as("n"))
+    val tail = slice(col("toks"), lit(2),
+      greatest(size(col("toks")) - 1, lit(0)))
+    val pairs = toksF
+      .select(explode(zip_with(col("toks"), tail,
+        (a, b) => struct(a.as("a"), b.as("b")))).as("pr"))
+      .filter(col("pr.b").isNotNull)
+      .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+      .agg(count(lit(1)).as("cp"))
+    val post = pairs.orderBy(desc("cp"), col("a"), col("b")).limit(candidates)
+      .join(uni.select(col("w").as("a"), col("cu").as("ca")), Seq("a"))
+      .join(uni.select(col("w").as("b"), col("cu").as("cb")), Seq("b"))
+      .crossJoin(broadcast(nn))
+      .select(col("a"), col("b"), col("cp"),
+        expr("CAST(CAST(cp AS DECIMAL(38,0)) * 1000000000 div n AS BIGINT)")
+          .as("pab"),
+        expr("CAST(CAST(ca AS DECIMAL(38,0)) * 1000000000 div n AS BIGINT)")
+          .as("pa"),
+        expr("CAST(CAST(cb AS DECIMAL(38,0)) * 1000000000 div n AS BIGINT)")
+          .as("pb"))
+      .select(col("a"), col("b"), col("cp"),
+        expr("CAST(CAST(pab AS DECIMAL(38,0)) * 1000000000 * 1000000000 " +
+          "div greatest(CAST(pab AS DECIMAL(38,0)) * 1000000000 + " +
+          "CAST(pa AS DECIMAL(38,0)) * CAST(pb AS DECIMAL(38,0)), " +
+          "CAST(1 AS DECIMAL(38,0))) AS BIGINT)").as("post"))
+      .persistTracked() // candidate-cardinality (<= M rows)
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val red = post.agg(
+      coalesce(sum(dec(col("cp")) * dec(col("post"))), dec(lit(0)))
+        .as("red"))
+    val rem = post.select(col("a").as("w"),
+        (dec(col("cp")) * dec(col("post"))).as("r"))
+      .unionByName(post.select(col("b").as("w"),
+        (dec(col("cp")) * dec(col("post"))).as("r")))
+      .groupBy("w").agg(sum(col("r")).as("rem"))
+    val uniEc = uni.join(rem, Seq("w"), "left")
+      .select(col("w").as("piece"), lit("unigram").as("kind"),
+        col("cu").as("raw_count"),
+        greatest(dec(col("cu")) * 1000000000 -
+          coalesce(col("rem"), dec(lit(0))), dec(lit(0))).as("ec_fp"))
+    val mergedEc = post.select(
+      concat(col("a"), lit("_"), col("b")).as("piece"),
+      lit("merge").as("kind"), col("cp").as("raw_count"),
+      (dec(col("cp")) * dec(col("post"))).as("ec_fp"))
+    val np = nn.crossJoin(red)
+      .select((dec(col("n")) * 1000000000 - col("red")).as("npfp"))
+    uniEc.unionByName(mergedEc)
+      .crossJoin(broadcast(np))
+      .select(col("piece"), col("kind"), col("raw_count"),
+        expr("round(CAST(ec_fp AS DOUBLE) / 1000000000.0, 6)")
+          .as("expected_count"),
+        expr("CAST(CAST(ec_fp AS DECIMAL(38,0)) * 1000000000 " +
+          "div greatest(npfp, CAST(1 AS DECIMAL(38,0))) AS BIGINT)")
+          .as("p_ppb"))
+      .orderBy(desc("p_ppb"), col("piece"))
+      .limit(topK)
+  }
+
   /** BPE ENCODE — the deploy half of the tokenizer: apply an already-
     * trained merge table to a corpus and report per-doc raw vs encoded
     * token counts. Unlike training ([[bpeTrain]]), encoding has NO
@@ -1445,6 +1537,9 @@ object TextAnalysis {
     // the DuckDB oracle (same argmax order, same greedy fold). k=10 (up
     // from r5's 3) exercises the per-iteration localCheckpoint: plan
     // depth and per-pass cost stay constant across iterations.
+    // One EM round of SentencePiece-style unigram-LM piece scoring over
+    // the BPE candidate vocab (fixed-point ppb posteriors).
+    "q_unigram_lm" -> { (s, d) => unigramLm(Tables.documents(s, d)) },
     "q_bpe_train" -> { (s, d) =>
       bpeTrain(s, Tables.documents(s, d), 10).orderBy("step")
     },
@@ -2626,6 +2721,70 @@ object TextAnalysis {
           |   - round(ln(CAST((SELECT xk FROM xk) AS DOUBLE)), 6)), 6)
           | END AS alpha
           |FROM t""".stripMargin,
+      // unigram-LM twin: same top-M candidate pairs, same ppb integral
+      // divisions (// ≡ div ≡ floor on non-negative operands), same
+      // clamped expected counts and renormalization
+      "q_unigram_lm" ->
+        """WITH tk AS (
+          | SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+          |   t -> t <> '') AS toks
+          | FROM documents),
+          |tf AS (SELECT toks FROM tk WHERE len(toks) >= 1),
+          |uni AS (
+          | SELECT w, CAST(count(*) AS BIGINT) AS cu FROM (
+          |  SELECT unnest(toks) AS w FROM tf) GROUP BY 1),
+          |nn AS (SELECT CAST(sum(cu) AS BIGINT) AS n FROM uni),
+          |bb AS (
+          | SELECT toks[i] AS a, toks[i + 1] AS b
+          | FROM tf, unnest(range(1, len(toks))) AS r(i)),
+          |pairs AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cp
+          |          FROM bb GROUP BY 1, 2),
+          |cand AS (SELECT a, b, cp FROM pairs
+          |         ORDER BY cp DESC, a, b LIMIT 10),
+          |pp AS (
+          | SELECT a, b, cp,
+          |  CAST(CAST(cp AS HUGEINT) * 1000000000 // n AS BIGINT) AS pab,
+          |  CAST(CAST(ca.cu AS HUGEINT) * 1000000000 // n AS BIGINT) AS pa,
+          |  CAST(CAST(cb.cu AS HUGEINT) * 1000000000 // n AS BIGINT) AS pb
+          | FROM cand JOIN uni ca ON ca.w = cand.a
+          |  JOIN uni cb ON cb.w = cand.b CROSS JOIN nn),
+          |post AS (
+          | SELECT a, b, cp,
+          |  CAST(CAST(pab AS HUGEINT) * 1000000000 * 1000000000
+          |   // greatest(CAST(pab AS HUGEINT) * 1000000000
+          |      + CAST(pa AS HUGEINT) * CAST(pb AS HUGEINT), 1) AS BIGINT)
+          |   AS post
+          | FROM pp),
+          |red AS (
+          | SELECT coalesce(sum(CAST(cp AS HUGEINT) * post),
+          |   CAST(0 AS HUGEINT)) AS red FROM post),
+          |rem AS (
+          | SELECT w, sum(r) AS rem FROM (
+          |  SELECT a AS w, CAST(cp AS HUGEINT) * post AS r FROM post
+          |  UNION ALL
+          |  SELECT b AS w, CAST(cp AS HUGEINT) * post AS r FROM post)
+          | GROUP BY 1),
+          |uniec AS (
+          | SELECT w AS piece, 'unigram' AS kind, cu AS raw_count,
+          |  greatest(CAST(cu AS HUGEINT) * 1000000000
+          |   - coalesce(rem, CAST(0 AS HUGEINT)), CAST(0 AS HUGEINT))
+          |   AS ec_fp
+          | FROM uni LEFT JOIN rem USING (w)),
+          |mec AS (
+          | SELECT a || '_' || b AS piece, 'merge' AS kind,
+          |  cp AS raw_count, CAST(cp AS HUGEINT) * post AS ec_fp
+          | FROM post),
+          |np AS (
+          | SELECT CAST(n AS HUGEINT) * 1000000000 - red AS npfp
+          | FROM nn CROSS JOIN red)
+          |SELECT piece, kind, raw_count,
+          | round(CAST(ec_fp AS DOUBLE) / 1000000000.0, 6)
+          |  AS expected_count,
+          | CAST(ec_fp * 1000000000
+          |  // greatest(npfp, CAST(1 AS HUGEINT)) AS BIGINT) AS p_ppb
+          |FROM (SELECT * FROM uniec UNION ALL SELECT * FROM mec)
+          | CROSS JOIN np
+          |ORDER BY p_ppb DESC, piece LIMIT 15""".stripMargin,
       "q_bpe_train" -> bpeTrainSql(10),
       "q_bpe_encode" -> bpeEncodeSql(6),
       "q_tokenizer_fertility" -> fertilitySql(6),

@@ -217,4 +217,47 @@ class Round11Spec extends SparkSpec {
     assert(math.abs(s2 - 0.1) < 1e-6)
     assert(s1 + s2 <= 1.0 + 1e-9)
   }
+
+  // ---- unigram-LM EM round -------------------------------------------------
+
+  test("unigramLm: hand-computed one-round EM posteriors and renorm") {
+    // corpus: 3x "the cat", 1x "the dog". N=8; candidates (the,cat) cp=3,
+    // (the,dog) cp=1. ppb probs: p(the)=5e8, p(cat)=3.75e8, p(dog)=1.25e8,
+    // p(the cat)=3.75e8, p(the dog)=1.25e8. Both posteriors = 2/3
+    // (666666666 ppb floored). Expected counts: the_cat 2.0 (3*2/3),
+    // the 4-8/3=1.333333, cat 1.0, the_dog 0.666667, dog 0.333333;
+    // N' = 8 - 8/3 = 5.333333; renormed p_ppb: the_cat 374999999,
+    // the 250000000, cat 187500000, the_dog 124999999, dog 62500000.
+    import spark.implicits._
+    val docs = ((0 until 3).map(i => (i.toLong, "the cat", "en", "src0", 7L))
+      :+ (3L, "the dog", "en", "src1", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = operators.TextAnalysis.unigramLm(docs).collect()
+    val got = rows.map(r => r.getAs[String]("piece") ->
+      (r.getAs[Double]("expected_count"), r.getAs[Long]("p_ppb"))).toMap
+    assert(rows.map(_.getAs[String]("piece")).toSeq ===
+      Seq("the_cat", "the", "cat", "the_dog", "dog")) // p_ppb desc order
+    assert(got("the_cat") === ((2.0, 374999999L)))
+    assert(got("the") === ((1.333333, 250000000L)))
+    assert(got("cat") === ((1.0, 187500000L)))
+    assert(got("the_dog") === ((0.666667, 124999999L)))
+    assert(got("dog") === ((0.333333, 62500000L)))
+    // fertility cross-check (q_tokenizer_fertility's direction): one EM
+    // round re-segments 8 raw tokens into an expected 5.333333 pieces --
+    // merging strictly compresses, never inflates
+    val totalPieces = rows.map(_.getAs[Double]("expected_count")).sum
+    assert(math.abs(totalPieces - 5.333333) < 1e-3)
+    assert(totalPieces < 8.0)
+  }
+
+  test("unigramLm: a pair-free corpus degenerates to the ML unigram model") {
+    import spark.implicits._
+    val docs = Seq((0L, "solo", "en", "src0", 4L), (1L, "solo", "en", "src0", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = operators.TextAnalysis.unigramLm(docs).collect()
+    assert(rows.length === 1)
+    assert(rows(0).getAs[String]("piece") === "solo")
+    assert(rows(0).getAs[Long]("p_ppb") === 1000000000L)
+    assert(rows(0).getAs[Double]("expected_count") === 2.0)
+  }
 }
