@@ -1441,7 +1441,87 @@ object Dedup {
         when(est > 0, round(d(col("n_det2")) / est, 6)).as("coverage_det2"))
   }
 
+  /** CROSS-SOURCE SHINGLE CONTAINMENT MATRIX (the corpus-diversity /
+    * inter-source contamination readout — the set-containment view of
+    * Self-BLEU/overlap audits, Broder 1997 containment over 3-token
+    * shingles): for every ordered source pair, what share of source A's
+    * distinct shingles also appear in source B? High containment_ppm
+    * means A is largely re-statements of B (mirror sites, syndicated
+    * feeds, cross-posted boilerplate) — the source-grain signal that
+    * decides whether per-source dedup suffices or the cross-source tier
+    * (q_dedup_minhash) must run. Pairs with zero shared shingles are
+    * omitted (their absence IS the healthy reading; a spine would add
+    * sources² rows of zeros).
+    *
+    * Exactness: shingle sets are md5-60 hashes (the dedup family's
+    * cross-engine hash), counts exact integers, containment an integral
+    * ppm division. Scale posture: one tokenize pass to the DISTINCT
+    * (source, shingle) frame (map-side combinable); the pair build is a
+    * shingle-keyed equi-join whose per-key fan-out is bounded by
+    * sources² — never corpus²; totals join at source cardinality.
+    */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val sh = docs.filter(col("text").isNotNull && col("source").isNotNull)
+      .select(col("source"),
+        explode(shingles(TextAnalysis.tokens(col("text")))).as("sh"))
+      .select(col("source"),
+        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+      .persistTracked()
+    val tot = sh.groupBy("source").agg(count(lit(1)).as("nsh"))
+    val a = sh.select(col("source").as("src_a"), col("h"))
+    val b = sh.select(col("source").as("src_b"), col("h"))
+    a.join(b, Seq("h")).filter(col("src_a") =!= col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+      .join(tot.select(col("source").as("src_a"), col("nsh").as("nsh_a")),
+        Seq("src_a"))
+      .select(col("src_a"), col("src_b"), col("nsh_a"), col("n_shared"),
+        expr("CAST(n_shared * 1000000 div nsh_a AS BIGINT)")
+          .as("containment_ppm"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** TRAIN/HELD-OUT SPLIT LEAKAGE AUDIT (the eval-contamination check of
+    * Lee et al. 2022 §5 / GPT-3 appendix C: near-duplicate pairs that
+    * STRADDLE the split leak training text into evaluation): runs the
+    * verified MinHash near-dup pair frame and counts pairs whose
+    * endpoints fall on opposite sides of the md5 held-out split (the
+    * q_adversarial_valid split definition — 1-in-5 docs held out).
+    * Released: one summary row — pair counts, cross-split count, leakage
+    * ppm, and the worst cross-split Jaccard (the most contaminated eval
+    * doc's similarity). A healthy dedup-BEFORE-split pipeline reads
+    * leak_ppm = 0; splitting before dedup reads ~2·h·(1−h)·10⁶.
+    *
+    * Scale posture: everything rides the minhashNearDups pipeline
+    * (banded candidates, id-only shuffles); the audit itself is a
+    * map-side flag + one scalar aggregate over the PAIR frame (already
+    * threshold-filtered, ≪ corpus).
+    */
+  def splitLeakage(docs: DataFrame): DataFrame = {
+    def held(c: Column) =
+      conv(substring(md5(c.cast("string")), 1, 4), 16, 10)
+        .cast("long") % 5 === 0
+    val f = minhashNearDups(plantedCorpus(docs), "doc_id", "text",
+        hasher = Md5Hash)
+      .select(col("jaccard"),
+        (held(col("id_a")) =!= held(col("id_b"))).as("xs"))
+    f.agg(count(lit(1)).as("n_neardup_pairs"),
+        coalesce(sum(when(col("xs"), 1L).otherwise(0L)), lit(0L))
+          .as("n_cross_pairs"),
+        max(when(col("xs"), col("jaccard"))).as("max_cross_jaccard"))
+      .select(col("n_neardup_pairs"), col("n_cross_pairs"),
+        expr("CAST(CASE WHEN n_neardup_pairs > 0 THEN " +
+          "n_cross_pairs * 1000000 div n_neardup_pairs " +
+          "ELSE 0 END AS BIGINT)").as("leak_ppm"),
+        col("max_cross_jaccard"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Eval-contamination audit: near-dup pairs straddling the 1-in-5
+    // md5 held-out split, over the planted corpus.
+    "q_split_leakage" -> { (s, d) => splitLeakage(Tables.documents(s, d)) },
+    // Cross-source shingle containment matrix (ordered source pairs).
+    "q_source_overlap" -> { (s, d) => sourceOverlap(Tables.documents(s, d)) },
     // Chapman capture-recapture: what share of the TRUE near-dup pair
     // population does each detector catch?
     "q_capture_recapture" -> { (s, d) =>
@@ -1879,6 +1959,73 @@ object Dedup {
        | SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // same 3-token shingles, same md5-60 hashes, same distinct
+    // (source, shingle) frame and integral ppm containment
+    "q_source_overlap" -> {
+      s"""WITH t AS (
+         | SELECT source,
+         |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+         |   AS toks
+         | FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+         |shsets AS (
+         | SELECT source, list_distinct(
+         |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |       ELSE list_transform(range(1, len(toks) - 1),
+         |              i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END) AS sarr
+         | FROM t),
+         |sh AS (
+         | SELECT DISTINCT source, ${h64("u.sh")} AS h
+         | FROM shsets, unnest(sarr) AS u(sh)),
+         |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS nsh
+         |        FROM sh GROUP BY 1),
+         |pr AS (
+         | SELECT a.source AS src_a, b.source AS src_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         | FROM sh a JOIN sh b ON a.h = b.h AND a.source <> b.source
+         | GROUP BY 1, 2)
+         |SELECT src_a, src_b, nsh AS nsh_a, n_shared,
+         | CAST(CAST(n_shared AS HUGEINT) * 1000000 // nsh AS BIGINT)
+         |  AS containment_ppm
+         |FROM pr JOIN tot ON tot.source = pr.src_a
+         |ORDER BY src_a, src_b""".stripMargin
+    },
+    // the q_dedup_minhash chain verbatim, then the md5 split flags and
+    // one scalar summary (leak ppm via guarded integral division)
+    "q_split_leakage" -> {
+      s"""WITH $corpusToksSql,
+         |shs AS (
+         | SELECT id, list_distinct(
+         |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |       ELSE list_transform(range(1, len(toks) - 1),
+         |              i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END) AS shs
+         | FROM toks),
+         |hs AS (SELECT id, list_transform(shs, sh -> ${h64("sh")}) AS hs
+         |       FROM shs),
+         |${minhashSigSql(16)},
+         |${candidatesSql(16, 2)},
+         |p AS (
+         | SELECT c.id_a, c.id_b, $jaccardSql AS jaccard
+         | FROM candidates c
+         | JOIN hs a ON c.id_a = a.id
+         | JOIN hs b ON c.id_b = b.id
+         | WHERE $jaccardSql >= 0.5),
+         |f AS (
+         | SELECT jaccard,
+         |  (CAST(('0x' || substr(md5(CAST(id_a AS VARCHAR)), 1, 4))
+         |    AS BIGINT) % 5 = 0)
+         |  <> (CAST(('0x' || substr(md5(CAST(id_b AS VARCHAR)), 1, 4))
+         |    AS BIGINT) % 5 = 0) AS xs
+         | FROM p)
+         |SELECT CAST(count(*) AS BIGINT) AS n_neardup_pairs,
+         | CAST(coalesce(sum(CASE WHEN xs THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |  AS n_cross_pairs,
+         | CAST(CASE WHEN count(*) > 0 THEN
+         |   coalesce(sum(CASE WHEN xs THEN 1 ELSE 0 END), 0) * 1000000
+         |    // count(*)
+         |  ELSE 0 END AS BIGINT) AS leak_ppm,
+         | max(CASE WHEN xs THEN jaccard END) AS max_cross_jaccard
+         |FROM f""".stripMargin
+    },
     // both detector chains verbatim (minhash pred + simhash bands) on
     // the shared planted-corpus toks, then the Chapman estimator
     "q_capture_recapture" -> {

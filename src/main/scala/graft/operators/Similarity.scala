@@ -353,6 +353,22 @@ object Similarity {
     */
   def pcaSubspace(emb: DataFrame, iters: Int = 10): DataFrame = {
     val s = emb.sparkSession
+    val (v1, v2, share1, share2) = pcaSubspaceVecs(emb, iters)
+    import s.implicits._
+    (v1.toSeq.zipWithIndex.map { case (x, i) => (1, i, x, share1) } ++
+      v2.toSeq.zipWithIndex.map { case (x, i) => (2, i, x, share2) })
+      .toDF("pc", "dim", "raw", "rawshare")
+      .select(col("pc"), col("dim"), round(col("raw"), 6).as("loading"),
+        round(col("rawshare"), 6).as("var_share"))
+      .orderBy("pc", "dim")
+  }
+
+  /** The driver-side orthogonal iteration behind [[pcaSubspace]] and
+    * [[pcaProject]]: (v1, v2, share1, share2). Every float op is a
+    * fixed-order fold (see pcaSubspace doc).
+    */
+  private def pcaSubspaceVecs(emb: DataFrame, iters: Int)
+      : (Array[Double], Array[Double], Double, Double) = {
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val quant = emb.select(transform(col("embedding"),
       x => floor(x.cast("double") * 1048576).cast("long")).as("q"))
@@ -406,13 +422,91 @@ object Similarity {
     while (ti < dim) { tr += G(ti)(ti); ti += 1 }
     val share1 = dot(v1, mul(v1)) / tr
     val share2 = dot(v2, mul(v2)) / tr
-    import s.implicits._
-    (v1.toSeq.zipWithIndex.map { case (x, i) => (1, i, x, share1) } ++
-      v2.toSeq.zipWithIndex.map { case (x, i) => (2, i, x, share2) })
-      .toDF("pc", "dim", "raw", "rawshare")
-      .select(col("pc"), col("dim"), round(col("raw"), 6).as("loading"),
-        round(col("rawshare"), 6).as("var_share"))
-      .orderBy("pc", "dim")
+    (v1, v2, share1, share2)
+  }
+
+  /** LOW-RANK PROJECTION onto the [[pcaSubspace]] components — the
+    * whitening/compression step itself: each embedding's (pc1, pc2)
+    * coordinates, for the audit slice vec_id < `topN` (the q_sim_topk
+    * bounded-release convention; production writes the full projected
+    * column). The 2-D view a curation dashboard scatters to eyeball
+    * cluster structure before committing to the subspace.
+    *
+    * Exactness: the loadings freeze to ⌊v·10⁶ + 0.5⌋ integers via an
+    * IDENTICALLY SPELLED floor expression on identical doubles (so the
+    * convention cannot diverge cross-engine even at .5 boundaries);
+    * coordinates are the usual ⌊x·2^20⌋ Longs; each projection is an
+    * exact integer dot product (≤ 3·2^26·d per term — Long-safe), and
+    * the only double is the final 6dp descale.
+    *
+    * Scale posture: one corpus pass for the Gram (shared with
+    * pcaSubspace), then projection is a pure map over the released
+    * slice (production: over the corpus) with the 2×d loading matrix as
+    * plan literals — no join, no shuffle.
+    */
+  def pcaProject(emb: DataFrame, iters: Int = 10, topN: Int = 20): DataFrame = {
+    val (v1, v2, _, _) = pcaSubspaceVecs(emb, iters)
+    def fp(v: Array[Double]): Array[Long] =
+      v.map(x => math.floor(x * 1000000 + 0.5).toLong)
+    val l1 = array(fp(v1).map(lit(_)): _*)
+    val l2 = array(fp(v2).map(lit(_)): _*)
+    val q = transform(col("embedding"),
+      x => floor(x.cast("double") * 1048576).cast("long"))
+    def proj(l: Column) =
+      aggregate(zip_with(q, l, (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+    emb.filter(col("vec_id") < topN)
+      .select(col("vec_id"),
+        round(proj(l1).cast("double") / 1048576.0 / 1000000.0, 6).as("proj1"),
+        round(proj(l2).cast("double") / 1048576.0 / 1000000.0, 6).as("proj2"))
+      .orderBy("vec_id")
+  }
+
+  /** LINEAR-KERNEL MMD² between embedding label groups (Gretton et al.
+    * 2012 §2.2 with k(x,y) = ⟨x,y⟩, where MMD² reduces to the squared
+    * distance of the group means): the embedding-distribution drift
+    * detector — "did source/shard A's embedding distribution move away
+    * from B's?" — complementing the scalar-feature drift ops (q_psi_drift,
+    * q_wasserstein_drift) with a multivariate one-number readout per
+    * group pair.
+    *
+    * Exactness: ||μa − μb||² = Σ_d (sa_d·nb − sb_d·na)² / (na·nb)² over
+    * fixed-point coordinate sums (⌊x·2^20⌋ Longs) — the numerator is an
+    * EXACT integer (no per-dim mean division, no float fold), and the
+    * only double work is one shared division tree rounded 6dp.
+    *
+    * Scale posture: one map-side posexplode pass to the (label, dim) sum
+    * frame (label·dim rows — dimension-class); the pair build is a
+    * self-join of that bounded frame. Nothing pairwise ever touches
+    * corpus rows (the quadratic-kernel variant would; linear MMD is the
+    * 100 TB-honest member of the family).
+    */
+  def embedMmd(emb: DataFrame): DataFrame = {
+    import graft.CacheScope.TrackedDataset
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val q = emb.select(col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"),
+        floor(col("x").cast("double") * 1048576).cast("long").as("qv"))
+      .groupBy("label", "dim").agg(sum(col("qv")).as("s"))
+    val n = emb.groupBy("label").agg(count(lit(1)).as("n"))
+    val m = q.join(n, Seq("label")).persistTracked()
+    val a = m.select(col("label").as("label_a"), col("dim"),
+      col("s").as("sa"), col("n").as("na"))
+    val b = m.select(col("label").as("label_b"), col("dim"),
+      col("s").as("sb"), col("n").as("nb"))
+    a.join(b, Seq("dim")).filter(col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"), col("na"), col("nb"),
+        ((dec(col("sa")) * dec(col("nb")) - dec(col("sb")) * dec(col("na"))) *
+          (dec(col("sa")) * dec(col("nb")) - dec(col("sb")) * dec(col("na"))))
+          .as("d2"))
+      .groupBy("label_a", "label_b", "na", "nb")
+      .agg(sum(col("d2")).as("num"))
+      .select(col("label_a"), col("label_b"),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        expr("round(CAST(num AS DOUBLE) / (CAST(na AS DOUBLE) * " +
+          "CAST(nb AS DOUBLE) * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) " +
+          "/ 1099511627776.0, 6)").as("mmd2"))
+      .orderBy("label_a", "label_b")
   }
 
   /** Simplified (centroid-based) silhouette of the `label` clustering:
@@ -1259,6 +1353,12 @@ object Similarity {
     "q_pca_subspace" -> { (s, d) =>
       pcaSubspace(Tables.embeddings(s, d))
     },
+    // Linear-kernel MMD² drift between every embedding label-group pair
+    // (exact integer numerator, one shared division tree).
+    "q_embed_mmd" -> { (s, d) => embedMmd(Tables.embeddings(s, d)) },
+    // 2-D projection onto the pcaSubspace components (audit slice;
+    // exact integer dot products against frozen loadings).
+    "q_pca_project" -> { (s, d) => pcaProject(Tables.embeddings(s, d)) },
     // Full Lloyd k-means (3 rounds, k=4) in exact integer state — the
     // multi-iteration extension of the single Lloyd step q_semantic_dedup
     // runs; oracle replays every round.
@@ -1589,7 +1689,79 @@ object Similarity {
        | FROM resc) WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
 
+  /** Shared DuckDB CTE prefix replaying [[pcaSubspaceVecs]]: fixed-point
+    * Gram (q/gl/gfull/grows/trc), fixed start block v0, and `iters`
+    * orthogonal-iteration rounds ending at v`iters` (columns v1, v2).
+    */
+  private def pcaSubspaceCtesSql(iters: Int): String = {
+    val itCtes = (1 to iters).map { k =>
+      val prev = s"v${k - 1}"
+      s"""w$k AS (
+         | SELECT i,
+         |  list_sum(list_transform(list_zip(row, v1), p -> p[1] * p[2])) AS w1,
+         |  list_sum(list_transform(list_zip(row, v2), p -> p[1] * p[2])) AS w2
+         | FROM grows CROSS JOIN $prev),
+         |wl$k AS (SELECT list(w1 ORDER BY i) AS w1,
+         |  list(w2 ORDER BY i) AS w2 FROM w$k),
+         |a$k AS (SELECT list_transform(w1,
+         |   x -> x / sqrt(list_sum(list_transform(w1, y -> y * y)))) AS v1,
+         |  w2 FROM wl$k),
+         |b$k AS (SELECT v1, w2,
+         |  list_sum(list_transform(list_zip(v1, w2), p -> p[1] * p[2])) AS c
+         | FROM a$k),
+         |c$k AS (SELECT v1,
+         |  list_transform(list_zip(w2, v1), p -> p[1] - c * p[2]) AS w2p
+         | FROM b$k),
+         |v$k AS (SELECT v1, list_transform(w2p,
+         |   x -> x / sqrt(list_sum(list_transform(w2p, y -> y * y)))) AS v2
+         | FROM c$k)""".stripMargin
+    }.mkString(",\n")
+    s"""q AS (
+       | SELECT list_transform(embedding,
+       |  x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS q
+       | FROM embeddings),
+       |gl AS (
+       | SELECT t.i AS i, t2.j AS j, sum(q[t.i + 1] * q[t2.j + 1]) AS g
+       | FROM q CROSS JOIN unnest(range(0, 64)) AS t(i)
+       |        CROSS JOIN unnest(range(t.i, 64)) AS t2(j)
+       | GROUP BY 1, 2),
+       |gfull AS (
+       | SELECT i, j, g FROM gl
+       | UNION ALL
+       | SELECT j, i, g FROM gl WHERE i < j),
+       |grows AS (SELECT i, list(CAST(g AS DOUBLE) ORDER BY j) AS row
+       |          FROM gfull GROUP BY i),
+       |trc AS (SELECT list_sum(list(CAST(g AS DOUBLE) ORDER BY i)) AS tr
+       |        FROM gl WHERE i = j),
+       |v0 AS (SELECT list_transform(range(0, 64), x -> 1.0) AS v1,
+       |  list_transform(range(0, 64),
+       |   x -> CASE WHEN x % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v2),
+       |$itCtes""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    // same subspace replay, same ⌊v·10⁶ + 0.5⌋ loading freeze (identical
+    // floor spelling), same exact integer projection dot products
+    "q_pca_project" -> {
+      val iters = 10
+      s"""WITH ${pcaSubspaceCtesSql(iters)},
+         |lq AS (SELECT
+         |  list_transform(v1, x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS l1,
+         |  list_transform(v2, x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS l2
+         | FROM v$iters),
+         |pv AS (
+         | SELECT vec_id, list_transform(embedding,
+         |  x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qv
+         | FROM embeddings WHERE vec_id < 20)
+         |SELECT vec_id,
+         | round(CAST(list_sum(list_transform(list_zip(qv, l1),
+         |   p -> p[1] * p[2])) AS DOUBLE) / 1048576.0 / 1000000.0, 6)
+         |  AS proj1,
+         | round(CAST(list_sum(list_transform(list_zip(qv, l2),
+         |   p -> p[1] * p[2])) AS DOUBLE) / 1048576.0 / 1000000.0, 6)
+         |  AS proj2
+         |FROM pv CROSS JOIN lq ORDER BY vec_id""".stripMargin
+    },
     "q_embed_median" ->
       """WITH qv AS (
         | SELECT i - 1 AS dim,
@@ -1952,53 +2124,38 @@ object Similarity {
          |FROM v$iters CROSS JOIN unnest(range(0, 64)) AS t(i)
          |ORDER BY dim""".stripMargin
     },
+    // same fixed-point coordinate sums, same exact integer numerator
+    // (HUGEINT stands in for Spark's DECIMAL(38,0) — identical values),
+    // same shared division tree rounded 6dp
+    "q_embed_mmd" ->
+      """WITH q AS (
+        | SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+        |  CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576)
+        |   AS BIGINT)) AS BIGINT) AS s
+        | FROM embeddings
+        |  CROSS JOIN unnest(range(1, len(embedding) + 1)) AS t(i)
+        | GROUP BY 1, 2),
+        |n AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+        |      FROM embeddings GROUP BY 1),
+        |m AS (SELECT q.label, dim, s, n FROM q JOIN n USING (label)),
+        |pr AS (
+        | SELECT a.label AS label_a, b.label AS label_b,
+        |  a.n AS na, b.n AS nb,
+        |  sum((CAST(a.s AS HUGEINT) * b.n - CAST(b.s AS HUGEINT) * a.n)
+        |    * (CAST(a.s AS HUGEINT) * b.n - CAST(b.s AS HUGEINT) * a.n))
+        |   AS num
+        | FROM m a JOIN m b ON a.dim = b.dim AND a.label < b.label
+        | GROUP BY 1, 2, 3, 4)
+        |SELECT label_a, label_b, na AS n_a, nb AS n_b,
+        | round(CAST(num AS DOUBLE) / (CAST(na AS DOUBLE) *
+        |  CAST(nb AS DOUBLE) * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+        |  / 1099511627776.0, 6) AS mmd2
+        |FROM pr ORDER BY label_a, label_b""".stripMargin,
     // same fixed-point Gram, same left-to-right list_sum folds replaying
     // the driver's ascending-index loops, same q1->q2 Gram-Schmidt order
     "q_pca_subspace" -> {
       val iters = 10
-      val itCtes = (1 to iters).map { k =>
-        val prev = s"v${k - 1}"
-        s"""w$k AS (
-           | SELECT i,
-           |  list_sum(list_transform(list_zip(row, v1), p -> p[1] * p[2])) AS w1,
-           |  list_sum(list_transform(list_zip(row, v2), p -> p[1] * p[2])) AS w2
-           | FROM grows CROSS JOIN $prev),
-           |wl$k AS (SELECT list(w1 ORDER BY i) AS w1,
-           |  list(w2 ORDER BY i) AS w2 FROM w$k),
-           |a$k AS (SELECT list_transform(w1,
-           |   x -> x / sqrt(list_sum(list_transform(w1, y -> y * y)))) AS v1,
-           |  w2 FROM wl$k),
-           |b$k AS (SELECT v1, w2,
-           |  list_sum(list_transform(list_zip(v1, w2), p -> p[1] * p[2])) AS c
-           | FROM a$k),
-           |c$k AS (SELECT v1,
-           |  list_transform(list_zip(w2, v1), p -> p[1] - c * p[2]) AS w2p
-           | FROM b$k),
-           |v$k AS (SELECT v1, list_transform(w2p,
-           |   x -> x / sqrt(list_sum(list_transform(w2p, y -> y * y)))) AS v2
-           | FROM c$k)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH q AS (
-         | SELECT list_transform(embedding,
-         |  x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS q
-         | FROM embeddings),
-         |gl AS (
-         | SELECT t.i AS i, t2.j AS j, sum(q[t.i + 1] * q[t2.j + 1]) AS g
-         | FROM q CROSS JOIN unnest(range(0, 64)) AS t(i)
-         |        CROSS JOIN unnest(range(t.i, 64)) AS t2(j)
-         | GROUP BY 1, 2),
-         |gfull AS (
-         | SELECT i, j, g FROM gl
-         | UNION ALL
-         | SELECT j, i, g FROM gl WHERE i < j),
-         |grows AS (SELECT i, list(CAST(g AS DOUBLE) ORDER BY j) AS row
-         |          FROM gfull GROUP BY i),
-         |trc AS (SELECT list_sum(list(CAST(g AS DOUBLE) ORDER BY i)) AS tr
-         |        FROM gl WHERE i = j),
-         |v0 AS (SELECT list_transform(range(0, 64), x -> 1.0) AS v1,
-         |  list_transform(range(0, 64),
-         |   x -> CASE WHEN x % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v2),
-         |$itCtes,
+      s"""WITH ${pcaSubspaceCtesSql(iters)},
          |fw AS (
          | SELECT i,
          |  list_sum(list_transform(list_zip(row, v1), p -> p[1] * p[2])) AS f1,

@@ -774,6 +774,128 @@ object TextAnalysis {
       .orderBy("w1", "rank")
   }
 
+  /** PLSA TOPIC MODEL (Hofmann 1999), K = 3 topics, TWO unrolled EM
+    * rounds over the (source × word) count matrix — the missing classic
+    * of the text-analytics surface: which latent themes does the corpus
+    * mix, and in what proportions per source? Round 1 runs with the
+    * uniform p(z|s) init (posteriors depend on the word only); round 2
+    * is the full per-cell E-step p(z|s,w) ∝ p(w|z)·p(z|s) — a genuine
+    * coupled fixed-point step, not a relabeled word clustering.
+    *
+    * Determinism: EVERYTHING is fixed-point ppb integers — the seed
+    * p₀(w|z) weights its md5-hashed topic 10:1 (exact integer counts),
+    * every normalization is an integral ⌊·10⁹/norm⌋ division on
+    * non-negative operands (Spark div ≡ DuckDB // ≡ floor), every
+    * product of two ppb values folds in DECIMAL(38,0). No doubles
+    * anywhere until the released round(·,6) shares.
+    *
+    * Scale posture: one tokenize pass to the (source, word) cell frame
+    * (map-side combined); word params live on vocab×K frames (vocab-
+    * keyed joins), source params on sources×K (broadcast); the E-step
+    * is cells×K rows — never corpus tokens after the first count.
+    * [[plsaTopics]] and [[plsaMix]] release the two artifact views off
+    * this shared fit.
+    */
+  private def plsaFit(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val S = 1000000000L
+    val sw = docs.filter(col("text").isNotNull && col("source").isNotNull)
+      .select(col("source"), explode(tokens(lower(col("text")))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("nsw"))
+      .persistTracked()
+    val ns = sw.groupBy("source").agg(sum(col("nsw")).as("ns"))
+      .persistTracked()
+    val wc = sw.groupBy("w").agg(sum(col("nsw")).as("nw"))
+    // seed: word w leans 10:1 toward topic md5(w)%3
+    val wz = wc.select(col("w"), col("nw"),
+        explode(array(lit(0L), lit(1L), lit(2L))).as("z"))
+      .select(col("w"), col("nw"), col("z"),
+        (col("nw") * when(conv(substring(md5(col("w")), 1, 4), 16, 10)
+          .cast("long") % 3 === col("z"), 10L).otherwise(1L)).as("a0"))
+    val nz0 = wz.groupBy("z").agg(sum(dec(col("a0"))).as("norm"))
+    val p0wz = wz.join(nz0, Seq("z"))
+      .select(col("w"), col("nw"), col("z"),
+        expr(s"CAST(CAST(a0 AS DECIMAL(38,0)) * $S div " +
+          "greatest(norm, CAST(1 AS DECIMAL(38,0))) AS BIGINT)").as("p"))
+      .persistTracked()
+    // ROUND 1 (uniform p(z|s): posterior depends on w alone)
+    val pd1 = p0wz.groupBy("w").agg(sum(col("p")).as("pd"))
+    val post1 = p0wz.join(pd1, Seq("w"))
+      .select(col("w"), col("nw"), col("z"),
+        expr(s"CAST(CAST(p AS DECIMAL(38,0)) * $S div " +
+          "greatest(pd, 1) AS BIGINT)").as("r"))
+    val m1 = post1.select(col("w"), col("z"),
+        (dec(col("nw")) * dec(col("r"))).as("num"))
+      .persistTracked()
+    val nz1 = m1.groupBy("z").agg(sum(col("num")).as("norm"))
+    val p1wz = m1.join(nz1, Seq("z"))
+      .select(col("w"), col("z"),
+        expr(s"CAST(CAST(num AS DECIMAL(38,0)) * $S div " +
+          "greatest(norm, CAST(1 AS DECIMAL(38,0))) AS BIGINT)").as("pwz"))
+      .persistTracked()
+    val p1zs = sw.join(post1.select(col("w"), col("z"), col("r")), Seq("w"))
+      .groupBy("source", "z")
+      .agg(sum(dec(col("nsw")) * dec(col("r"))).as("num"))
+      .join(ns, Seq("source"))
+      .select(col("source"), col("z"),
+        expr("CAST(CAST(num AS DECIMAL(38,0)) div " +
+          "greatest(ns, 1) AS BIGINT)").as("pzs"))
+      .persistTracked()
+    // ROUND 2 (full per-cell E-step)
+    val cell = sw.join(p1wz, Seq("w"))
+      .join(broadcast(p1zs), Seq("source", "z"))
+      .select(col("source"), col("w"), col("nsw"), col("z"),
+        (dec(col("pwz")) * dec(col("pzs"))).as("num"))
+    val cd = cell.groupBy("source", "w").agg(sum(col("num")).as("den"))
+    val post2 = cell.join(cd, Seq("source", "w"))
+      .select(col("source"), col("w"), col("nsw"), col("z"),
+        expr(s"CAST(CAST(num AS DECIMAL(38,0)) * $S div " +
+          "greatest(den, CAST(1 AS DECIMAL(38,0))) AS BIGINT)").as("r"))
+      .persistTracked()
+    val m2 = post2.groupBy("w", "z")
+      .agg(sum(dec(col("nsw")) * dec(col("r"))).as("num"))
+      .persistTracked()
+    val nz2 = m2.groupBy("z").agg(sum(col("num")).as("norm"))
+    val p2wz = m2.join(nz2, Seq("z"))
+      .select(col("w"), col("z"),
+        expr(s"CAST(CAST(num AS DECIMAL(38,0)) * $S div " +
+          "greatest(norm, CAST(1 AS DECIMAL(38,0))) AS BIGINT)").as("pwz"))
+    val p2zs = post2.groupBy("source", "z")
+      .agg(sum(dec(col("nsw")) * dec(col("r"))).as("num"))
+      .join(ns, Seq("source"))
+      .select(col("source"), col("z"),
+        expr("CAST(CAST(num AS DECIMAL(38,0)) div " +
+          "greatest(ns, 1) AS BIGINT)").as("pzs"))
+    (p2wz, p2zs, ns)
+  }
+
+  /** Released artifact 1 of [[plsaFit]]: top-5 words per topic by the
+    * round-2 p(w|z), via the TopKPerKey physical operator.
+    */
+  def plsaTopics(docs: DataFrame, k: Int = 5): DataFrame = {
+    val (p2wz, _, _) = plsaFit(docs)
+    val top = graft.plans.TopKPerKey.topKPerKey(
+      p2wz.select(col("z").as("topic"), col("w").as("word"),
+        col("pwz").as("p_ppb")),
+      Seq("topic"), Seq(("p_ppb", false), ("word", true)), k)
+    val wr = Window.partitionBy("topic")
+      .orderBy(desc("p_ppb"), col("word"))
+    top.withColumn("rank", row_number().over(wr))
+      .select(col("topic"), col("rank"), col("word"), col("p_ppb"))
+      .orderBy("topic", "rank")
+  }
+
+  /** Released artifact 2 of [[plsaFit]]: per-source topic mixture
+    * p(z|s) after round 2 (ppb + 6dp share).
+    */
+  def plsaMix(docs: DataFrame): DataFrame = {
+    val (_, p2zs, _) = plsaFit(docs)
+    p2zs.select(col("source"), col("z").as("topic"),
+        col("pzs").as("mix_ppb"),
+        expr("round(CAST(pzs AS DOUBLE) / 1000000000.0, 6)").as("share"))
+      .orderBy("source", "topic")
+  }
+
   /** FIGHTIN' WORDS distinctive vocabulary (Monroe, Colaresi & Quinn
     * 2008): for each source, the words most over-represented vs the
     * REST of the corpus, scored by the z-statistic of the log-odds
@@ -1522,6 +1644,10 @@ object TextAnalysis {
     // PPMI top-k collocates per frequent head word (shared KN bigram
     // frames; G²'s association-strength companion).
     "q_ppmi_topk" -> { (s, d) => ppmiTopK(Tables.documents(s, d)) },
+    // PLSA K=3, two unrolled EM rounds: top words per topic.
+    "q_plsa_topics" -> { (s, d) => plsaTopics(Tables.documents(s, d)) },
+    // PLSA K=3, two unrolled EM rounds: per-source topic mixtures.
+    "q_plsa_mix" -> { (s, d) => plsaMix(Tables.documents(s, d)) },
     "q_kn_surprisal" -> { (s, d) => knSurprisal(Tables.documents(s, d)) },
     // Tokenizer deploy path: train 6 merges, then encode the corpus with
     // them in one pass; per-doc compression (n_raw vs n_bpe) is the
@@ -2326,6 +2452,72 @@ object TextAnalysis {
     * Pre-stripped: embed with plain concatenation, never inside another
     * stripMargin template.
     */
+  /** DuckDB twin of [[plsaFit]]: seeded ppb init + two unrolled EM rounds
+    * ending at p2wz (w, z, pwz) and p2zs (source, z, pzs). HUGEINT stands
+    * in for Spark's DECIMAL(38,0) folds — identical integer values.
+    */
+  def plsaCtesSql: String =
+    s"""sw AS (
+       | SELECT source, w, CAST(count(*) AS BIGINT) AS nsw FROM (
+       |  SELECT source, unnest(${tokensSql("lower(text)")}) AS w
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND source IS NOT NULL)
+       | GROUP BY 1, 2),
+       |nsrc AS (SELECT source, CAST(sum(nsw) AS BIGINT) AS ns
+       |         FROM sw GROUP BY 1),
+       |wc AS (SELECT w, CAST(sum(nsw) AS BIGINT) AS nw FROM sw GROUP BY 1),
+       |wz AS (
+       | SELECT w, nw, zz.z AS z,
+       |  nw * (CASE WHEN CAST(('0x' || substr(md5(w), 1, 4)) AS BIGINT)
+       |    % 3 = zz.z THEN 10 ELSE 1 END) AS a0
+       | FROM wc CROSS JOIN (VALUES (0), (1), (2)) AS zz(z)),
+       |nz0 AS (SELECT z, sum(CAST(a0 AS HUGEINT)) AS norm
+       |        FROM wz GROUP BY 1),
+       |p0 AS (
+       | SELECT w, nw, z,
+       |  CAST(CAST(a0 AS HUGEINT) * 1000000000 // greatest(norm, 1)
+       |   AS BIGINT) AS p
+       | FROM wz JOIN nz0 USING (z)),
+       |pd1 AS (SELECT w, CAST(sum(p) AS BIGINT) AS pd FROM p0 GROUP BY 1),
+       |post1 AS (
+       | SELECT w, nw, z,
+       |  CAST(CAST(p AS HUGEINT) * 1000000000 // greatest(pd, 1)
+       |   AS BIGINT) AS r
+       | FROM p0 JOIN pd1 USING (w)),
+       |m1 AS (SELECT w, z, CAST(nw AS HUGEINT) * r AS num FROM post1),
+       |nz1 AS (SELECT z, sum(num) AS norm FROM m1 GROUP BY 1),
+       |p1wz AS (
+       | SELECT w, z,
+       |  CAST(num * 1000000000 // greatest(norm, 1) AS BIGINT) AS pwz
+       | FROM m1 JOIN nz1 USING (z)),
+       |p1zsn AS (
+       | SELECT source, z, sum(CAST(nsw AS HUGEINT) * r) AS num
+       | FROM sw JOIN post1 USING (w) GROUP BY 1, 2),
+       |p1zs AS (
+       | SELECT source, z, CAST(num // greatest(ns, 1) AS BIGINT) AS pzs
+       | FROM p1zsn JOIN nsrc USING (source)),
+       |cell AS (
+       | SELECT source, w, nsw, z, CAST(pwz AS HUGEINT) * pzs AS num
+       | FROM sw JOIN p1wz USING (w) JOIN p1zs USING (source, z)),
+       |cd AS (SELECT source, w, sum(num) AS den FROM cell GROUP BY 1, 2),
+       |post2 AS (
+       | SELECT source, w, nsw, z,
+       |  CAST(num * 1000000000 // greatest(den, 1) AS BIGINT) AS r
+       | FROM cell JOIN cd USING (source, w)),
+       |m2 AS (SELECT w, z, sum(CAST(nsw AS HUGEINT) * r) AS num
+       |       FROM post2 GROUP BY 1, 2),
+       |nz2 AS (SELECT z, sum(num) AS norm FROM m2 GROUP BY 1),
+       |p2wz AS (
+       | SELECT w, z,
+       |  CAST(num * 1000000000 // greatest(norm, 1) AS BIGINT) AS pwz
+       | FROM m2 JOIN nz2 USING (z)),
+       |p2zsn AS (
+       | SELECT source, z, sum(CAST(nsw AS HUGEINT) * r) AS num
+       | FROM post2 GROUP BY 1, 2),
+       |p2zs AS (
+       | SELECT source, z, CAST(num // greatest(ns, 1) AS BIGINT) AS pzs
+       | FROM p2zsn JOIN nsrc USING (source))""".stripMargin
+
   def knCountCtesSql: String =
     s"""toks AS (
        | SELECT doc_id AS id, source, ${tokensSql("text")} AS toks
@@ -2573,6 +2765,21 @@ object TextAnalysis {
            | round(CAST(rank AS DOUBLE) / 1000000.0, 6) AS share
            |FROM r6 ORDER BY rank DESC, node LIMIT 15""".stripMargin
       },
+      // PLSA twins: same seeded ppb init, same two unrolled EM rounds,
+      // every normalization an integral // on non-negative operands
+      "q_plsa_topics" ->
+        ("WITH " + plsaCtesSql + "\n" +
+          """SELECT topic, rank, word, p_ppb FROM (
+            | SELECT CAST(z AS BIGINT) AS topic, w AS word, pwz AS p_ppb,
+            |  CAST(row_number() OVER (PARTITION BY z
+            |    ORDER BY pwz DESC, w) AS INTEGER) AS rank
+            | FROM p2wz)
+            |WHERE rank <= 5 ORDER BY topic, rank""".stripMargin),
+      "q_plsa_mix" ->
+        ("WITH " + plsaCtesSql + "\n" +
+          """SELECT source, CAST(z AS BIGINT) AS topic, pzs AS mix_ppb,
+            | round(CAST(pzs AS DOUBLE) / 1000000000.0, 6) AS share
+            |FROM p2zs ORDER BY source, topic""".stripMargin),
       // PPMI twin: same shared bigram count CTEs, same raw-ratio ranking
       // (log2 only in the released 6dp value), same head/tie-break order
       "q_ppmi_topk" ->

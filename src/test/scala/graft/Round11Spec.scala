@@ -260,4 +260,128 @@ class Round11Spec extends SparkSpec {
     assert(rows(0).getAs[Long]("p_ppb") === 1000000000L)
     assert(rows(0).getAs[Double]("expected_count") === 2.0)
   }
+
+  // ---- split leakage audit -------------------------------------------------
+
+  test("splitLeakage: planted cross-split near-dups are counted exactly") {
+    import spark.implicits._
+    // 10 disjoint-vocabulary docs: the ONLY near-dup pairs are the 10
+    // planted (i, i+1e7) copies. md5 split: ids 2,4,9 are held out while
+    // their copies are not -> 3 cross pairs, leak_ppm = 300000.
+    val docs = (0 until 10).map { i =>
+      val words = (0 until 20).map(j => s"w${i}x$j").mkString(" ")
+      (i.toLong, words, "en", "src0", 100L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = operators.Dedup.splitLeakage(docs).collect()(0)
+    assert(r.getAs[Long]("n_neardup_pairs") === 10L)
+    assert(r.getAs[Long]("n_cross_pairs") === 3L)
+    assert(r.getAs[Long]("leak_ppm") === 300000L)
+    assert(r.getAs[Double]("max_cross_jaccard") >= 0.5)
+  }
+
+  // ---- embedding MMD drift ---------------------------------------------------
+
+  test("embedMmd: hand-computed mean-shift and zero for identical groups") {
+    import spark.implicits._
+    def vec(hot: Int) = {
+      val v = Array.fill(16)(0.0f); v(hot) = 1.0f; v.toSeq
+    }
+    // label 0: 4 copies of e0; label 1: 2 copies of e1; label 2: 3 copies
+    // of e0 (identical mean to label 0)
+    val emb = ((0 until 4).map(i => (i.toLong, vec(0), 0)) ++
+      (4 until 6).map(i => (i.toLong, vec(1), 1)) ++
+      (6 until 9).map(i => (i.toLong, vec(0), 2)))
+      .toDF("vec_id", "embedding", "label")
+    val rows = operators.Similarity.embedMmd(emb).collect()
+    assert(rows.length === 3) // (0,1), (0,2), (1,2)
+    val byPair = rows.map(r => (r.getAs[Int]("label_a"),
+      r.getAs[Int]("label_b")) -> r.getAs[Double]("mmd2")).toMap
+    // ||e0 - e1||^2 = 2.0
+    assert(math.abs(byPair((0, 1)) - 2.0) < 1e-9)
+    assert(math.abs(byPair((1, 2)) - 2.0) < 1e-9)
+    assert(byPair((0, 2)) === 0.0)
+    val r01 = rows.find(r => r.getAs[Int]("label_a") == 0 &&
+      r.getAs[Int]("label_b") == 1).get
+    assert(r01.getAs[Long]("n_a") === 4L && r01.getAs[Long]("n_b") === 2L)
+  }
+
+  // ---- cross-source containment ---------------------------------------------
+
+  test("sourceOverlap: hand-computed containment matrix") {
+    import spark.implicits._
+    // s0: shingles {"a b c","b c d"}; s1: {"b c d","c d e"}; s2: {"x y z"}
+    // -> s0<->s1 share exactly one shingle: containment 1/2 both ways;
+    //    s2 shares nothing and is omitted.
+    val docs = Seq(
+      (0L, "a b c d", "en", "s0", 7L),
+      (1L, "b c d e", "en", "s1", 7L),
+      (2L, "x y z", "en", "s2", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = operators.Dedup.sourceOverlap(docs).collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("nsh_a") === 2L)
+      assert(r.getAs[Long]("n_shared") === 1L)
+      assert(r.getAs[Long]("containment_ppm") === 500000L)
+    }
+    assert(rows.map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")))
+      .toSet === Set(("s0", "s1"), ("s1", "s0")))
+  }
+
+  // ---- PCA projection --------------------------------------------------------
+
+  test("pcaProject: planted structure projects onto the two components") {
+    import spark.implicits._
+    val emb = (0 until 40).map { i =>
+      val v = Array.fill(64)(0.0f)
+      v(0) = if (i < 20) 3.0f else -3.0f
+      v(1) = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val rows = operators.Similarity.pcaProject(emb).collect()
+    assert(rows.length === 20) // audit slice vec_id < 20
+    rows.foreach { r =>
+      // pc1 = e0: slice vectors all have x0 = +3
+      assert(math.abs(math.abs(r.getAs[Double]("proj1")) - 3.0) < 1e-4)
+      assert(math.abs(math.abs(r.getAs[Double]("proj2")) - 1.0) < 1e-4)
+    }
+    // proj2 alternates sign with the x1 pattern
+    val p2 = rows.sortBy(_.getAs[Long]("vec_id")).map(_.getAs[Double]("proj2"))
+    assert(p2.sliding(2).forall(w => w(0) * w(1) < 0))
+  }
+
+  // ---- PLSA topics -----------------------------------------------------------
+
+  test("plsa: themed sources concentrate on their seeded topics") {
+    import spark.implicits._
+    // md5 seeds: dog/cat -> topic 0, red/blue -> topic 1, banana/star ->
+    // topic 2. Each source speaks one theme; after two EM rounds each
+    // source's mixture must argmax on its theme and each topic's top
+    // word must come from its theme.
+    val docs = Seq(
+      (0L, "dog cat dog cat dog", "en", "s0", 20L),
+      (1L, "cat dog cat dog", "en", "s0", 16L),
+      (2L, "red blue red blue red", "en", "s1", 20L),
+      (3L, "blue red blue", "en", "s1", 12L),
+      (4L, "banana star banana star", "en", "s2", 22L),
+      (5L, "star banana star", "en", "s2", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val mix = operators.TextAnalysis.plsaMix(docs).collect()
+    assert(mix.length === 9) // 3 sources x 3 topics
+    val best = mix.groupBy(_.getAs[String]("source")).map { case (src, rows) =>
+      src -> rows.maxBy(_.getAs[Long]("mix_ppb")).getAs[Long]("topic")
+    }
+    assert(best === Map("s0" -> 0L, "s1" -> 1L, "s2" -> 2L))
+    // mixtures normalize (ppb, floor loss < 10)
+    mix.groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
+      val tot = rows.map(_.getAs[Long]("mix_ppb")).sum
+      assert(tot > 999999990L && tot <= 1000000000L)
+    }
+    val topics = operators.TextAnalysis.plsaTopics(docs).collect()
+    val topWord = topics.filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getAs[Long]("topic") -> r.getAs[String]("word")).toMap
+    assert(Set("dog", "cat").contains(topWord(0L)))
+    assert(Set("red", "blue").contains(topWord(1L)))
+    assert(Set("banana", "star").contains(topWord(2L)))
+  }
 }
