@@ -680,6 +680,14 @@ object Training {
         lit(-1L).as("bucket"), lit(1.0).as("x")))
       .persistTracked()
     val nn = base.agg(count(lit(1)).as("n"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // the weight vector is B+1-row DRIVER state (the kmeans-centroid /
+    // BPE-merge-table precedent): collecting it each round truncates the
+    // GD lineage — left lazy, round k's plan re-executes rounds 1..k-1
+    // for every consumer (O(k²) jobs; measured 14.6 s -> the collect
+    // keeps each round ONE job over the persisted feature frame). The
+    // collected doubles re-embed as plan literals bit-identically.
     var w = fx.select(col("bucket")).distinct()
       .select(col("bucket"), lit(0.0).as("wgt"))
     for (_ <- 1 to iters) {
@@ -688,8 +696,11 @@ object Training {
       val r = m.select(col("doc_id"), expr(lrResid).as("r"))
       val g = fx.join(r, Seq("doc_id"))
         .groupBy("bucket").agg(sum(expr(lrGrad)).as("g"))
-      w = w.join(g, Seq("bucket")).crossJoin(broadcast(nn))
+      val rows = w.join(g, Seq("bucket")).crossJoin(broadcast(nn))
         .select(col("bucket"), expr(lrUpdate(eta)).as("wgt"))
+        .collect().map(x => (x.getLong(0), x.getDouble(1)))
+        .sortBy(_._1).toSeq
+      w = rows.toDF("bucket", "wgt")
     }
     val mf = fx.join(broadcast(w), Seq("bucket"))
       .groupBy("doc_id", "y").agg(sum(expr(lrTerm)).as("m"))
