@@ -774,6 +774,88 @@ object TextAnalysis {
       .orderBy("w1", "rank")
   }
 
+  /** CROSS-SOURCE LM TRANSFER MATRIX (the CCNet/DSIR domain-similarity
+    * table: Wenzek 2020 scores crawl text under a wiki-trained LM; Xie
+    * 2023's importance weights are target-vs-raw LM ratios): train an
+    * interpolated Kneser–Ney bigram LM on EACH of the top-`nTrain`
+    * sources, score EVERY source's bigrams under each model, release the
+    * (train × eval) mean-surprisal matrix with coverage. Low kn_bits off
+    * the diagonal = the eval source speaks the train source's language
+    * (safe to upsample); low coverage = the models don't even share a
+    * vocabulary (surprisal means nothing — which is why coverage ships
+    * beside it).
+    *
+    * Semantics: observed bigrams score the full interpolated KN form;
+    * head-seen/bigram-unseen backs off to the continuation term alone
+    * (greatest(cb−D, 0) folds both cases into one shared tree); bigrams
+    * whose head is unseen in the train model — or whose backoff mass is
+    * zero — are UNCOVERED and excluded from the mean rather than given
+    * an arbitrary floor (released covered_ppm makes the exclusion
+    * honest). 6dp term folds, the knTermsCteSql log2 precedent.
+    *
+    * Scale posture: per-train count frames are the same
+    * map-side-combined shuffles as the corpus KN, keyed (train, gram);
+    * the eval pass is instances × nTrain rows (a CONSTANT fan-out, not a
+    * pairwise blowup) joined on vocab-keyed grams; the matrix is
+    * nTrain × sources.
+    */
+  def domainPpl(docs: DataFrame, nTrain: Int = 3): DataFrame = {
+    val bi = docs
+      .select(col("source"), tokens(col("text")).as("toks"))
+      .filter(col("source").isNotNull && size(col("toks")) >= 2)
+      .select(col("source"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 1), i =>
+          struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2")))).as("b"))
+      .select(col("source"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .persistTracked()
+    val tsrc = bi.groupBy("source").agg(count(lit(1)).as("nb"))
+      .orderBy(desc("nb"), col("source")).limit(nTrain)
+      .select(col("source").as("train_src"))
+    val tcb = bi.join(broadcast(tsrc), col("source") === col("train_src"))
+      .groupBy("train_src", "w1", "w2").agg(count(lit(1)).as("cb"))
+      .persistTracked()
+    val tcu = tcb.groupBy("train_src", "w1")
+      .agg(sum(col("cb")).as("cu"), count(lit(1)).as("fwd"))
+    val tbwd = tcb.groupBy("train_src", "w2").agg(count(lit(1)).as("bwd"))
+    val tgl = tcb.groupBy("train_src").agg(count(lit(1)).as("b"),
+      sum(when(col("cb") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("cb") === 2, 1L).otherwise(0L)).as("n2"))
+    val inst = bi.select(col("source").as("eval_src"), col("w1"), col("w2"))
+      .crossJoin(broadcast(tsrc))
+    val j = inst
+      .join(tcu, Seq("train_src", "w1"), "left")
+      .join(tcb, Seq("train_src", "w1", "w2"), "left")
+      .join(tbwd, Seq("train_src", "w2"), "left")
+      .join(broadcast(tgl), Seq("train_src"), "left")
+    val p = expr(domainPplPSql)
+    val covered = col("cu").isNotNull && p > 0
+    j.select(col("train_src"), col("eval_src"),
+        when(covered, lit(1L)).otherwise(lit(0L)).as("cov"),
+        when(covered, round(-log2(p), 6).cast(DecimalType(18, 6)))
+          .as("t"))
+      .groupBy("train_src", "eval_src")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("cov")).as("n_covered"),
+        sum(col("t")).as("st"))
+      .select(col("train_src"), col("eval_src"), col("n_bigrams"),
+        expr("CAST(n_covered * 1000000 div n_bigrams AS BIGINT)")
+          .as("covered_ppm"),
+        when(col("n_covered") > 0,
+          round(col("st").cast("double") /
+            col("n_covered").cast("double"), 6)).as("kn_bits"))
+      .orderBy("train_src", "eval_src")
+  }
+
+  /** Shared Spark/DuckDB KN probability tree for [[domainPpl]]: the
+    * greatest(cb−D, 0) form folds observed and head-seen-backoff bigrams
+    * into one expression; null frames (unseen head) propagate null.
+    */
+  private[operators] def domainPplPSql: String =
+    s"(greatest(CAST(coalesce(cb, 0) AS DOUBLE) - $knDiscSql, 0.0) " +
+      s"/ CAST(cu AS DOUBLE) + $knDiscSql * CAST(fwd AS DOUBLE) " +
+      s"/ CAST(cu AS DOUBLE) " +
+      s"* (CAST(coalesce(bwd, 0) AS DOUBLE) / CAST(b AS DOUBLE)))"
+
   /** PLSA TOPIC MODEL (Hofmann 1999), K = 3 topics, TWO unrolled EM
     * rounds over the (source × word) count matrix — the missing classic
     * of the text-analytics surface: which latent themes does the corpus
@@ -1644,6 +1726,9 @@ object TextAnalysis {
     // PPMI top-k collocates per frequent head word (shared KN bigram
     // frames; G²'s association-strength companion).
     "q_ppmi_topk" -> { (s, d) => ppmiTopK(Tables.documents(s, d)) },
+    // Cross-source KN transfer matrix: mean surprisal of every source
+    // under each top-3-source-trained bigram LM, with coverage.
+    "q_domain_ppl" -> { (s, d) => domainPpl(Tables.documents(s, d)) },
     // PLSA K=3, two unrolled EM rounds: top words per topic.
     "q_plsa_topics" -> { (s, d) => plsaTopics(Tables.documents(s, d)) },
     // PLSA K=3, two unrolled EM rounds: per-source topic mixtures.
@@ -2765,6 +2850,59 @@ object TextAnalysis {
            | round(CAST(rank AS DOUBLE) / 1000000.0, 6) AS share
            |FROM r6 ORDER BY rank DESC, node LIMIT 15""".stripMargin
       },
+      // domain-transfer twin: same per-train count frames off the shared
+      // bb instances, same greatest(cb−D,0) probability tree, same
+      // coverage exclusion and 6dp term fold
+      "q_domain_ppl" ->
+        ("WITH " + knCountCtesSql + ",\n" +
+          s"""tsrc AS (
+             | SELECT source AS train_src FROM bb
+             | GROUP BY 1 ORDER BY count(*) DESC, train_src LIMIT 3),
+             |tcb AS (
+             | SELECT b.source AS train_src, w1, w2,
+             |  CAST(count(*) AS BIGINT) AS cb
+             | FROM bb b JOIN tsrc ON b.source = tsrc.train_src
+             | GROUP BY 1, 2, 3),
+             |tcu AS (SELECT train_src, w1, CAST(sum(cb) AS BIGINT) AS cu,
+             |  CAST(count(*) AS BIGINT) AS fwd FROM tcb GROUP BY 1, 2),
+             |tbwd AS (SELECT train_src, w2, CAST(count(*) AS BIGINT) AS bwd
+             |         FROM tcb GROUP BY 1, 2),
+             |tgl AS (SELECT train_src, CAST(count(*) AS BIGINT) AS b,
+             |  CAST(sum(CASE WHEN cb = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |   AS n1,
+             |  CAST(sum(CASE WHEN cb = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             |   AS n2
+             | FROM tcb GROUP BY 1),
+             |inst AS (
+             | SELECT bb.source AS eval_src, w1, w2, train_src
+             | FROM bb CROSS JOIN tsrc),
+             |j AS (
+             | SELECT i.train_src, i.eval_src,
+             |  cu.cu, cu.fwd, cbt.cb, bw.bwd, gl.b, gl.n1, gl.n2
+             | FROM inst i
+             | LEFT JOIN tcu cu
+             |  ON cu.train_src = i.train_src AND cu.w1 = i.w1
+             | LEFT JOIN tcb cbt ON cbt.train_src = i.train_src
+             |  AND cbt.w1 = i.w1 AND cbt.w2 = i.w2
+             | LEFT JOIN tbwd bw
+             |  ON bw.train_src = i.train_src AND bw.w2 = i.w2
+             | LEFT JOIN tgl gl ON gl.train_src = i.train_src),
+             |sc AS (
+             | SELECT train_src, eval_src,
+             |  CASE WHEN cu IS NOT NULL AND $domainPplPSql > 0
+             |   THEN 1 ELSE 0 END AS cov,
+             |  CASE WHEN cu IS NOT NULL AND $domainPplPSql > 0
+             |   THEN CAST(round(-log2($domainPplPSql), 6) AS DECIMAL(18,6))
+             |  END AS t
+             | FROM j)
+             |SELECT train_src, eval_src,
+             | CAST(count(*) AS BIGINT) AS n_bigrams,
+             | CAST(CAST(sum(cov) AS HUGEINT) * 1000000 // count(*)
+             |  AS BIGINT) AS covered_ppm,
+             | CASE WHEN sum(cov) > 0 THEN
+             |  round(CAST(sum(t) AS DOUBLE) / CAST(sum(cov) AS DOUBLE), 6)
+             | END AS kn_bits
+             |FROM sc GROUP BY 1, 2 ORDER BY train_src, eval_src""".stripMargin),
       // PLSA twins: same seeded ppb init, same two unrolled EM rounds,
       // every normalization an integral // on non-negative operands
       "q_plsa_topics" ->

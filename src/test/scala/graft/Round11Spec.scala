@@ -384,4 +384,36 @@ class Round11Spec extends SparkSpec {
     assert(Set("red", "blue").contains(topWord(1L)))
     assert(Set("banana", "star").contains(topWord(2L)))
   }
+
+  // ---- domain transfer matrix -------------------------------------------------
+
+  test("domainPpl: same-language sources transfer, disjoint ones don't") {
+    import spark.implicits._
+    // s0 and s1 share a bigram language; s2 is vocabulary-disjoint.
+    val docs = Seq(
+      (0L, "a b a b a b a b", "en", "s0", 15L),
+      (1L, "a b a b a b", "en", "s0", 11L),
+      (2L, "a b a b", "en", "s1", 7L),
+      (3L, "x y x y x y", "en", "s2", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = operators.TextAnalysis.domainPpl(docs).collect()
+    assert(rows.length === 9) // 3 train x 3 eval
+    def cell(t: String, e: String) =
+      rows.find(r => r.getAs[String]("train_src") == t &&
+        r.getAs[String]("eval_src") == e).get
+    // disjoint vocab: zero coverage, no surprisal released
+    assert(cell("s0", "s2").getAs[Long]("covered_ppm") === 0L)
+    assert(cell("s0", "s2").isNullAt(
+      cell("s0", "s2").fieldIndex("kn_bits")))
+    assert(cell("s2", "s0").getAs[Long]("covered_ppm") === 0L)
+    // shared language: full coverage both directions, finite bits
+    assert(cell("s0", "s1").getAs[Long]("covered_ppm") === 1000000L)
+    assert(cell("s1", "s0").getAs[Long]("covered_ppm") === 1000000L)
+    assert(cell("s0", "s1").getAs[Double]("kn_bits") < 2.0)
+    // diagonal scores exist and are finite
+    Seq("s0", "s1", "s2").foreach { t =>
+      assert(cell(t, t).getAs[Long]("covered_ppm") === 1000000L)
+      assert(cell(t, t).getAs[Double]("kn_bits") >= 0.0)
+    }
+  }
 }
