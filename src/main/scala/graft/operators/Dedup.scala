@@ -552,7 +552,44 @@ object Dedup {
     * Near-dup graphs (tiny stars) don't need this; grid/graph operators
     * with long paths do.
     */
-  def componentLabelsJump(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def componentLabelsJump(pairs: DataFrame, maxIter: Int = 25,
+                          driverEdgeLimit: Long = 200000L): DataFrame = {
+    // Small-graph fast path: the only caller (gridClusters) runs CC on
+    // the DENSE-CELL graph, which is grid-bounded (cells of a fixed
+    // pitch, never corpus rows) — at sf0.1 it is 77 nodes, yet the
+    // distributed jump paid ~25 s of pure job-scheduling overhead
+    // (log-diameter rounds x 3 actions x 32-partition shuffles). Below
+    // `driverEdgeLimit` edges the components solve as bounded DRIVER
+    // state (the BPE-argmax / kmeans-centroid precedent): one collect,
+    // min-root union-find, identical labels (component min id) to the
+    // converged propagation. Past the limit, distributed pointer
+    // jumping as before.
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    if (pairs.count() <= driverEdgeLimit) {
+      val es = pairs.select(col("id_a").cast("long").as("a"),
+        col("id_b").cast("long").as("b")).collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) {
+          val n = parent(c); parent(c) = r; c = n
+        }
+        r
+      }
+      es.foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      return parent.keys.toSeq.sorted.map(id => (id, find(id)))
+        .toDF("id", "label")
+    }
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -563,12 +600,17 @@ object Dedup {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
+      // prop feeds BOTH sides of the jump self-join: left lazy it
+      // executes twice per round (the whole edge join + aggregate),
+      // which made q_grid_clusters ~2x slower than the work requires —
+      // the eager checkpoint materializes it once and truncates lineage
       val prop = edges
         .join(labels.select(col("id").as("dst"), col("label").as("cand")),
           Seq("dst"))
         .select(col("src").as("id"), col("cand"))
         .union(labels.select(col("id"), col("label").as("cand")))
         .groupBy("id").agg(min(col("cand")).as("label"))
+        .localCheckpoint()
       // the jump: follow each node's label to THAT node's label — path
       // lengths halve every round (labels are node ids, so the self-join
       // always resolves; coalesce guards the root, whose label is itself)
