@@ -652,34 +652,45 @@ object Training {
     * data-cardinality window anywhere.
     */
   def qualityLr(docs: DataFrame, buckets: Int = 16, iters: Int = 3,
-                eta: Double = 2.0): DataFrame = {
+                eta: Double = 2.0, holdout: Boolean = false): DataFrame = {
     import graft.CacheScope.TrackedDataset
+    // holdout = true fits on the ~4/5 NOT held out by the md5 split (the
+    // q_adversarial_valid definition) and scores AUC/log-loss on the 1/5
+    // held-out docs only — the GENERALIZATION readout beside the train
+    // fit. Eval docs always keep their bias row, so a held-out doc with
+    // no train-vocabulary overlap still scores (at the bias margin)
+    // rather than silently dropping from the AUC.
+    val held = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+      16, 10).cast("long") % 5 === 0
     val base = docs
       .filter(col("text").isNotNull && col("source").isNotNull)
-      .select(col("doc_id"),
+      .select(col("doc_id"), held.as("held"),
         when(substring(col("source"), 4, 10).cast("long") % 2 === 0, 1L)
           .otherwise(0L).as("y"),
         TextAnalysis.tokens(lower(col("text"))).as("toks"))
       .filter(size(col("toks")) >= 1)
-      .select(col("doc_id"), col("y"),
+      .select(col("doc_id"), col("held"), col("y"),
         size(col("toks")).cast("long").as("nt"), col("toks"))
       .persistTracked()
     val hash = conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long")
     val sgn = when(conv(substring(md5(col("tok")), 5, 1), 16, 10)
       .cast("long") % 2 === 0, 1L).otherwise(-1L)
     val fx = base
-      .select(col("doc_id"), col("y"), col("nt"),
+      .select(col("doc_id"), col("held"), col("y"), col("nt"),
         explode(col("toks")).as("tok"))
-      .select(col("doc_id"), col("y"), col("nt"),
+      .select(col("doc_id"), col("held"), col("y"), col("nt"),
         (hash % buckets).as("bucket"), sgn.as("sign"))
-      .groupBy("doc_id", "y", "nt", "bucket")
+      .groupBy("doc_id", "held", "y", "nt", "bucket")
       .agg(sum(col("sign")).as("net"))
-      .select(col("doc_id"), col("y"), col("bucket"),
+      .select(col("doc_id"), col("held"), col("y"), col("bucket"),
         (col("net").cast("double") / col("nt").cast("double")).as("x"))
-      .unionByName(base.select(col("doc_id"), col("y"),
+      .unionByName(base.select(col("doc_id"), col("held"), col("y"),
         lit(-1L).as("bucket"), lit(1.0).as("x")))
       .persistTracked()
-    val nn = base.agg(count(lit(1)).as("n"))
+    val trainFx = if (holdout) fx.filter(!col("held")) else fx
+    val evalFx = if (holdout) fx.filter(col("held")) else fx
+    val nn = (if (holdout) base.filter(!col("held")) else base)
+      .agg(count(lit(1)).as("n"))
     val spark = docs.sparkSession
     import spark.implicits._
     // the weight vector is B+1-row DRIVER state (the kmeans-centroid /
@@ -688,13 +699,13 @@ object Training {
     // for every consumer (O(k²) jobs; measured 14.6 s -> the collect
     // keeps each round ONE job over the persisted feature frame). The
     // collected doubles re-embed as plan literals bit-identically.
-    var w = fx.select(col("bucket")).distinct()
+    var w = trainFx.select(col("bucket")).distinct()
       .select(col("bucket"), lit(0.0).as("wgt"))
     for (_ <- 1 to iters) {
-      val m = fx.join(broadcast(w), Seq("bucket"))
+      val m = trainFx.join(broadcast(w), Seq("bucket"))
         .groupBy("doc_id", "y").agg(sum(expr(lrTerm)).as("m"))
       val r = m.select(col("doc_id"), expr(lrResid).as("r"))
-      val g = fx.join(r, Seq("doc_id"))
+      val g = trainFx.join(r, Seq("doc_id"))
         .groupBy("bucket").agg(sum(expr(lrGrad)).as("g"))
       val rows = w.join(g, Seq("bucket")).crossJoin(broadcast(nn))
         .select(col("bucket"), expr(lrUpdate(eta)).as("wgt"))
@@ -702,7 +713,7 @@ object Training {
         .sortBy(_._1).toSeq
       w = rows.toDF("bucket", "wgt")
     }
-    val mf = fx.join(broadcast(w), Seq("bucket"))
+    val mf = evalFx.join(broadcast(w), Seq("bucket"))
       .groupBy("doc_id", "y").agg(sum(expr(lrTerm)).as("m"))
       .persistTracked()
     // margin quantization stays in DECIMAL (exact floor, no float
@@ -740,6 +751,10 @@ object Training {
     // fastText-style LR quality classifier: hashed signed unigram
     // features, curated-vs-crawl label, 3 unrolled full-batch GD rounds.
     "q_quality_lr" -> { (s, d) => qualityLr(Tables.documents(s, d)) },
+    // Generalization readout: same fit on the NOT-held 4/5, AUC/log-loss
+    // scored on the md5 held-out 1/5 only.
+    "q_quality_lr_holdout" -> { (s, d) =>
+      qualityLr(Tables.documents(s, d), holdout = true) },
     // Density-aware embedding outliers: top-10 LOF on exact int8 d²,
     // over ONE index list (vec_id < 500, the q_ivf_append base-slice
     // convention) — LOF is local, so production shards it per IVF list
@@ -933,77 +948,92 @@ object Training {
     val prev = s"w${t - 1}"
     s"""m$t AS (
        | SELECT doc_id, y, sum($lrTerm) AS m
-       | FROM fx JOIN $prev USING (bucket) GROUP BY 1, 2),
+       | FROM fxt JOIN $prev USING (bucket) GROUP BY 1, 2),
        |r$t AS (SELECT doc_id, $lrResid AS r FROM m$t),
        |g$t AS (
        | SELECT bucket, sum($lrGrad) AS g
-       | FROM fx JOIN r$t USING (doc_id) GROUP BY 1),
+       | FROM fxt JOIN r$t USING (doc_id) GROUP BY 1),
        |w$t AS (
        | SELECT bucket, ${lrUpdate(eta)} AS wgt
        | FROM $prev JOIN g$t USING (bucket) CROSS JOIN nn)""".stripMargin
+  }
+
+  /** Shared q_quality_lr / q_quality_lr_holdout oracle builder: the fit
+    * CTEs run over fxt (train filter), the released AUC/loss over fxe
+    * (eval filter); the base variant passes TRUE for both.
+    */
+  private def qualityLrSql(trainWhere: String, evalWhere: String): String = {
+    val iters = 3
+    s"""WITH base AS (
+       | SELECT doc_id,
+       |  (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+       |    AS BIGINT) % 5 = 0) AS held,
+       |  CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0
+       |   THEN 1 ELSE 0 END AS y,
+       |  ${TextAnalysis.tokensSql("lower(text)")} AS toks
+       | FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+       |b2 AS (
+       | SELECT doc_id, held, y, CAST(len(toks) AS BIGINT) AS nt, toks
+       | FROM base WHERE len(toks) >= 1),
+       |tok AS (SELECT doc_id, held, y, nt, unnest(toks) AS tok FROM b2),
+       |fh AS (
+       | SELECT doc_id, held, y, nt,
+       |  CAST(('0x' || substr(md5(tok), 1, 4)) AS BIGINT) % 16 AS bucket,
+       |  CASE WHEN CAST(('0x' || substr(md5(tok), 5, 1)) AS BIGINT) % 2 = 0
+       |   THEN 1 ELSE -1 END AS sign
+       | FROM tok),
+       |fx AS (
+       | SELECT doc_id, held, y, bucket,
+       |  CAST(sum(sign) AS DOUBLE) / CAST(max(nt) AS DOUBLE) AS x
+       | FROM fh GROUP BY doc_id, held, y, bucket
+       | UNION ALL
+       | SELECT doc_id, held, y, CAST(-1 AS BIGINT) AS bucket, 1.0 AS x
+       | FROM b2),
+       |fxt AS (SELECT * FROM fx WHERE $trainWhere),
+       |fxe AS (SELECT * FROM fx WHERE $evalWhere),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b2
+       |       WHERE $trainWhere),
+       |w0 AS (SELECT DISTINCT bucket, 0.0 AS wgt FROM fxt),
+       |${(1 to iters).map(lrIterSql(_, 2.0)).mkString(",\n")},
+       |mf AS (
+       | SELECT doc_id, y, sum($lrTerm) AS m
+       | FROM fxe JOIN w$iters USING (bucket) GROUP BY 1, 2),
+       |cg AS (
+       | SELECT CAST(floor(CAST(m AS DECIMAL(18,9)) * 1000) AS BIGINT)
+       |   AS v,
+       |  count(*) AS c, CAST(sum(y) AS BIGINT) AS p
+       | FROM mf GROUP BY 1),
+       |cc AS (SELECT v, c, p,
+       |  sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+       | FROM cg),
+       |au AS (
+       | SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+       |  CAST(sum(p) AS BIGINT) AS n_pos,
+       |  CASE WHEN CAST(sum(p) AS BIGINT) > 0
+       |    AND CAST(sum(c) AS BIGINT) > CAST(sum(p) AS BIGINT) THEN
+       |   round((CAST(sum(CAST(p AS DECIMAL(18,0))
+       |      * CAST(2 * cum - c + 1 AS DECIMAL(18,0))) AS DOUBLE)
+       |     - CAST(sum(p) AS DOUBLE) * (CAST(sum(p) AS DOUBLE) + 1))
+       |    / (2.0 * CAST(sum(p) AS DOUBLE)
+       |       * CAST(sum(c) - sum(p) AS DOUBLE)), 6) END AS auc
+       | FROM cc),
+       |ll AS (
+       | SELECT round(-CAST(sum($lrLoss) AS DOUBLE)
+       |   / CAST(count(*) AS DOUBLE), 6) AS log_loss
+       | FROM mf)
+       |SELECT bucket, round(wgt, 6) AS weight, n_docs, n_pos, auc,
+       | log_loss
+       |FROM w$iters, au, ll ORDER BY bucket""".stripMargin
   }
 
   def oracles: Map[String, String] = Map(
     // same md5 bucket/sign hashing, same exact x = net/nt division, same
     // unrolled GD rounds (9dp folds, 6dp weights), same quantized-margin
     // aucRank identity and 6dp loss fold
-    "q_quality_lr" -> {
-      val iters = 3
-      s"""WITH base AS (
-         | SELECT doc_id,
-         |  CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0
-         |   THEN 1 ELSE 0 END AS y,
-         |  ${TextAnalysis.tokensSql("lower(text)")} AS toks
-         | FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
-         |b2 AS (
-         | SELECT doc_id, y, CAST(len(toks) AS BIGINT) AS nt, toks
-         | FROM base WHERE len(toks) >= 1),
-         |tok AS (SELECT doc_id, y, nt, unnest(toks) AS tok FROM b2),
-         |fh AS (
-         | SELECT doc_id, y, nt,
-         |  CAST(('0x' || substr(md5(tok), 1, 4)) AS BIGINT) % 16 AS bucket,
-         |  CASE WHEN CAST(('0x' || substr(md5(tok), 5, 1)) AS BIGINT) % 2 = 0
-         |   THEN 1 ELSE -1 END AS sign
-         | FROM tok),
-         |fx AS (
-         | SELECT doc_id, y, bucket,
-         |  CAST(sum(sign) AS DOUBLE) / CAST(max(nt) AS DOUBLE) AS x
-         | FROM fh GROUP BY doc_id, y, bucket
-         | UNION ALL
-         | SELECT doc_id, y, CAST(-1 AS BIGINT) AS bucket, 1.0 AS x FROM b2),
-         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b2),
-         |w0 AS (SELECT DISTINCT bucket, 0.0 AS wgt FROM fx),
-         |${(1 to iters).map(lrIterSql(_, 2.0)).mkString(",\n")},
-         |mf AS (
-         | SELECT doc_id, y, sum($lrTerm) AS m
-         | FROM fx JOIN w$iters USING (bucket) GROUP BY 1, 2),
-         |cg AS (
-         | SELECT CAST(floor(CAST(m AS DECIMAL(18,9)) * 1000) AS BIGINT)
-         |   AS v,
-         |  count(*) AS c, CAST(sum(y) AS BIGINT) AS p
-         | FROM mf GROUP BY 1),
-         |cc AS (SELECT v, c, p,
-         |  sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
-         | FROM cg),
-         |au AS (
-         | SELECT CAST(sum(c) AS BIGINT) AS n_docs,
-         |  CAST(sum(p) AS BIGINT) AS n_pos,
-         |  CASE WHEN CAST(sum(p) AS BIGINT) > 0
-         |    AND CAST(sum(c) AS BIGINT) > CAST(sum(p) AS BIGINT) THEN
-         |   round((CAST(sum(CAST(p AS DECIMAL(18,0))
-         |      * CAST(2 * cum - c + 1 AS DECIMAL(18,0))) AS DOUBLE)
-         |     - CAST(sum(p) AS DOUBLE) * (CAST(sum(p) AS DOUBLE) + 1))
-         |    / (2.0 * CAST(sum(p) AS DOUBLE)
-         |       * CAST(sum(c) - sum(p) AS DOUBLE)), 6) END AS auc
-         | FROM cc),
-         |ll AS (
-         | SELECT round(-CAST(sum($lrLoss) AS DOUBLE)
-         |   / CAST(count(*) AS DOUBLE), 6) AS log_loss
-         | FROM mf)
-         |SELECT bucket, round(wgt, 6) AS weight, n_docs, n_pos, auc,
-         | log_loss
-         |FROM w$iters, au, ll ORDER BY bucket""".stripMargin
-    },
+    "q_quality_lr" -> qualityLrSql("TRUE", "TRUE"),
+    // same fit restricted to the NOT-held 4/5, AUC/log-loss over the
+    // held 1/5 only (the generalization readout)
+    "q_quality_lr_holdout" -> qualityLrSql("NOT held", "held"),
     // same int8 codes, same integer d² kNN (dd, ib tie-break), same
     // integer k·10¹²-scaled lrd, same final ratio
     "q_lof_outliers" ->

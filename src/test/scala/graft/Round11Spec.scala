@@ -416,4 +416,30 @@ class Round11Spec extends SparkSpec {
       assert(cell(t, t).getAs[Double]("kn_bits") >= 0.0)
     }
   }
+
+  // ---- quality LR holdout ----------------------------------------------------
+
+  test("qualityLr holdout: fit on train split, exact held-out AUC") {
+    // same 8-doc corpus as the base spec; md5 holds out ids {2, 4} (one
+    // alpha/y=1 doc, one beta/y=0 doc), leaving 3v3 training docs -> by
+    // symmetry the SAME GD trajectory (+-0.5 -> +-0.877541 -> +-1.171229),
+    // then AUC/log-loss score the two held docs only: separable margins
+    // give AUC 1 and the same per-doc loss 0.270016.
+    import spark.implicits._
+    val docs = ((0 until 4).map(i =>
+        (i.toLong, "alpha alpha alpha", "en", "src0", 17L)) ++
+      (4 until 8).map(i =>
+        (i.toLong, "beta beta beta", "en", "src1", 14L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = operators.Training.qualityLr(docs, holdout = true).collect()
+    val byB = out.map(r => r.getAs[Long]("bucket") ->
+      r.getAs[Double]("weight")).toMap
+    assert(math.abs(byB(7L) - 1.171229) < 1e-9)
+    assert(math.abs(byB(11L) - -1.171229) < 1e-9)
+    val r0 = out(0)
+    assert(r0.getAs[Long]("n_docs") === 2L)  // held-out docs only
+    assert(r0.getAs[Long]("n_pos") === 1L)
+    assert(math.abs(r0.getAs[Double]("auc") - 1.0) < 1e-9)
+    assert(math.abs(r0.getAs[Double]("log_loss") - 0.270016) < 1e-9)
+  }
 }
