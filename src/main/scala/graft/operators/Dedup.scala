@@ -566,29 +566,41 @@ object Dedup {
     // jumping as before.
     val spark = pairs.sparkSession
     import spark.implicits._
-    if (pairs.count() <= driverEdgeLimit) {
-      val es = pairs.select(col("id_a").cast("long").as("a"),
-        col("id_b").cast("long").as("b")).collect()
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent(r)
-        var c = x
-        while (parent.getOrElse(c, c) != r) {
-          val n = parent(c); parent(c) = r; c = n
+    // Id-type contract (r11 ADVICE): the fast path requires LongType ids
+    // so both paths release the SAME (id, label) column types — a cast
+    // here would silently flip types across the edge-count threshold.
+    // Non-long callers take the distributed branch, which preserves the
+    // input type. The probe collects ONCE (limit+1) and reuses the rows
+    // for the union-find — no separate count() materialization.
+    val longIds =
+      pairs.schema("id_a").dataType ==
+        org.apache.spark.sql.types.LongType &&
+      pairs.schema("id_b").dataType == org.apache.spark.sql.types.LongType
+    if (longIds) {
+      val es = graft.operators.Graph.probeCollect(
+        pairs.select("id_a", "id_b"), driverEdgeLimit.toInt)
+      if (es.length <= driverEdgeLimit) {
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != r) {
+            val n = parent(c); parent(c) = r; c = n
+          }
+          r
         }
-        r
-      }
-      es.foreach { row =>
-        val a = row.getLong(0); val b = row.getLong(1)
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-        val ra = find(a); val rb = find(b)
-        if (ra != rb) {
-          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        es.foreach { row =>
+          val a = row.getLong(0); val b = row.getLong(1)
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
         }
+        return parent.keys.toSeq.sorted.map(id => (id, find(id)))
+          .toDF("id", "label")
       }
-      return parent.keys.toSeq.sorted.map(id => (id, find(id)))
-        .toDF("id", "label")
     }
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -1518,7 +1530,62 @@ object Dedup {
       .join(tot.select(col("source").as("src_a"), col("nsh").as("nsh_a")),
         Seq("src_a"))
       .select(col("src_a"), col("src_b"), col("nsh_a"), col("n_shared"),
-        expr("CAST(n_shared * 1000000 div nsh_a AS BIGINT)")
+        // DECIMAL(38,0) before the ×10⁶ (embedMmd dec() idiom, r11
+        // ADVICE): matches the oracle's HUGEINT promotion at 100 TB
+        // shingle counts
+        expr("CAST(CAST(n_shared AS DECIMAL(38,0)) * 1000000" +
+          " div nsh_a AS BIGINT)")
+          .as("containment_ppm"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** [[sourceOverlap]] with the L32 DOC-FREQUENCY STOP-SHINGLE GUARD
+    * (r11 verdict item 4): shingles present in more than `maxDfFrac` of
+    * documents are corpus-universal boilerplate (shared footers,
+    * templates, navigation chrome) and are dropped from BOTH the
+    * numerator and the denominator of the containment ratio — at scale
+    * those hot keys dominate the cross-source shingle join while saying
+    * nothing about real content overlap. Released beside the unpruned
+    * matrix (the L32-vs-q_dedup_minhash precedent): the ppm values
+    * differ by construction, so this ships as its own query rather than
+    * silently changing q_source_overlap's contract.
+    *
+    * Scale posture: the doc-frequency pass is one map-side-combined
+    * count over the per-doc DISTINCT (doc, shingle) frame; the stop SET
+    * is broadcast and bounded by avg-shingles-per-doc / maxDfFrac
+    * regardless of corpus size (the minhashNearDupsPruned argument);
+    * everything downstream is the sourceOverlap shape minus the hot
+    * keys.
+    */
+  def sourceOverlapPruned(docs: DataFrame,
+                          maxDfFrac: Double = 0.2): DataFrame = {
+    val ds = docs.filter(col("text").isNotNull && col("source").isNotNull)
+      .select(col("doc_id"), col("source"),
+        explode(shingles(TextAnalysis.tokens(col("text")))).as("sh"))
+      .select(col("doc_id"), col("source"),
+        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+      .persistTracked()
+    // shingles() arrays are per-doc distinct, so the exploded count IS
+    // the doc frequency
+    val nDocs = ds.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("n"))
+    val stop = ds.groupBy("h").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") > col("n") * maxDfFrac)
+      .select("h")
+    val sh = ds.select(col("source"), col("h")).distinct()
+      .join(broadcast(stop), Seq("h"), "left_anti")
+      .persistTracked()
+    val tot = sh.groupBy("source").agg(count(lit(1)).as("nsh"))
+    val a = sh.select(col("source").as("src_a"), col("h"))
+    val b = sh.select(col("source").as("src_b"), col("h"))
+    a.join(b, Seq("h")).filter(col("src_a") =!= col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+      .join(tot.select(col("source").as("src_a"), col("nsh").as("nsh_a")),
+        Seq("src_a"))
+      .select(col("src_a"), col("src_b"), col("nsh_a"), col("n_shared"),
+        expr("CAST(CAST(n_shared AS DECIMAL(38,0)) * 1000000" +
+          " div nsh_a AS BIGINT)")
           .as("containment_ppm"))
       .orderBy("src_a", "src_b")
   }
@@ -1552,8 +1619,11 @@ object Dedup {
           .as("n_cross_pairs"),
         max(when(col("xs"), col("jaccard"))).as("max_cross_jaccard"))
       .select(col("n_neardup_pairs"), col("n_cross_pairs"),
+        // DECIMAL(38,0) before the ×10⁶ (embedMmd dec() idiom, r11
+        // ADVICE): matches the oracle's HUGEINT promotion
         expr("CAST(CASE WHEN n_neardup_pairs > 0 THEN " +
-          "n_cross_pairs * 1000000 div n_neardup_pairs " +
+          "CAST(n_cross_pairs AS DECIMAL(38,0)) * 1000000" +
+          " div n_neardup_pairs " +
           "ELSE 0 END AS BIGINT)").as("leak_ppm"),
         col("max_cross_jaccard"))
   }
@@ -1564,6 +1634,10 @@ object Dedup {
     "q_split_leakage" -> { (s, d) => splitLeakage(Tables.documents(s, d)) },
     // Cross-source shingle containment matrix (ordered source pairs).
     "q_source_overlap" -> { (s, d) => sourceOverlap(Tables.documents(s, d)) },
+    // Same matrix with corpus-universal boilerplate shingles pruned
+    // (doc-frequency stop set, excluded from numerator AND denominator).
+    "q_source_overlap_pruned" -> { (s, d) =>
+      sourceOverlapPruned(Tables.documents(s, d)) },
     // Chapman capture-recapture: what share of the TRUE near-dup pair
     // population does each detector catch?
     "q_capture_recapture" -> { (s, d) =>
@@ -2018,6 +2092,43 @@ object Dedup {
          |sh AS (
          | SELECT DISTINCT source, ${h64("u.sh")} AS h
          | FROM shsets, unnest(sarr) AS u(sh)),
+         |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS nsh
+         |        FROM sh GROUP BY 1),
+         |pr AS (
+         | SELECT a.source AS src_a, b.source AS src_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         | FROM sh a JOIN sh b ON a.h = b.h AND a.source <> b.source
+         | GROUP BY 1, 2)
+         |SELECT src_a, src_b, nsh AS nsh_a, n_shared,
+         | CAST(CAST(n_shared AS HUGEINT) * 1000000 // nsh AS BIGINT)
+         |  AS containment_ppm
+         |FROM pr JOIN tot ON tot.source = pr.src_a
+         |ORDER BY src_a, src_b""".stripMargin
+    },
+    // the q_source_overlap chain with the doc-frequency stop-shingle
+    // prune applied before the distinct (source, h) frame — pruned
+    // shingles leave BOTH the numerator and the denominator
+    "q_source_overlap_pruned" -> {
+      s"""WITH t AS (
+         | SELECT doc_id, source,
+         |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+         |   AS toks
+         | FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+         |shsets AS (
+         | SELECT doc_id, source, list_distinct(
+         |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |       ELSE list_transform(range(1, len(toks) - 1),
+         |              i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END) AS sarr
+         | FROM t),
+         |dsh AS (
+         | SELECT doc_id, source, ${h64("u.sh")} AS h
+         | FROM shsets, unnest(sarr) AS u(sh)),
+         |nd AS (SELECT count(DISTINCT doc_id) AS n FROM dsh),
+         |df AS (SELECT h, count(*) AS df FROM dsh GROUP BY 1),
+         |stop AS (SELECT h FROM df, nd WHERE df > n * 0.2),
+         |sh AS (
+         | SELECT DISTINCT source, h FROM dsh
+         | WHERE h NOT IN (SELECT h FROM stop)),
          |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS nsh
          |        FROM sh GROUP BY 1),
          |pr AS (

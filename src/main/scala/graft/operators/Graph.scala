@@ -36,6 +36,124 @@ object Graph {
 
   private val SCALE = 1000000000000L // 10^12 fixed-point mass units
 
+  /** Bounded-driver-state threshold for the fixed-round integer loops
+    * (PageRank/PPR/HITS/k-core/LPA): below this many edges the per-round
+    * joins+aggregates pay ~1 s/job of pure local scheduling overhead
+    * while the arithmetic itself is microseconds (cpu_wall ≈ 2-9 in the
+    * r11 bench — the q_grid_clusters disease), so the rounds run as
+    * DRIVER state with the IDENTICAL fixed-point Long scheme and the
+    * distributed loop stays as the at-scale fallback. 4M string-pair
+    * edges ≈ tens of MB of driver heap — the componentLabelsJump
+    * precedent (Dedup.scala componentLabelsJump), one size up because
+    * these edge frames are corpus-derived (sf0.1 interaction graph =
+    * 1.17M edges), not grid-bounded. A 100 TB graph (billions of edges)
+    * takes the distributed branch.
+    */
+  private[operators] val DriverEdgeLimit = 4000000
+
+  /** Probe-collect: all (src, dst) edges if the frame holds ≤ `limit`
+    * rows AND both columns are strings (non-string node types take the
+    * distributed branch so both paths release identical schemas — the
+    * componentLabelsJump id-type lesson). ONE collect serves both the
+    * size check and the rounds (no separate count job — the limit-probe
+    * idiom). The caller must pass the UNPERSISTED frame: probing through
+    * a fresh cache costs ~3× the plain scan (measured 6.3 s vs 2.3 s on
+    * the sf0.1 interaction graph), and the fast path never reads the
+    * frame again — only the distributed fallback persists.
+    */
+  private def probeEdges(edges: DataFrame, limit: Int = DriverEdgeLimit)
+      : Option[IndexedEdges] = {
+    val f = edges.schema.fields
+    if (f.length != 2 ||
+        f.exists(_.dataType != org.apache.spark.sql.types.StringType))
+      None
+    else {
+      val rows = probeCollect(edges, limit)
+      if (rows.length > limit) None
+      else Some(new IndexedEdges(
+        rows.map(r => (r.getString(0), r.getString(1)))))
+    }
+  }
+
+  /** limit(n+1).collect() with the incremental executeTake ramp turned
+    * off for the probe: the default (1-partition first job, ×4 scale-up)
+    * turns one full scan into ~4 SEQUENTIAL jobs — measured 2× the probe
+    * wall on 32-partition frames that the probe expects to read fully
+    * anyway. Restores the session conf after.
+    */
+  private[operators] def probeCollect(df: DataFrame, limit: Int)
+      : Array[org.apache.spark.sql.Row] = {
+    val sess = df.sparkSession
+    val key = "spark.sql.limit.initialNumPartitions"
+    val old = sess.conf.getOption(key)
+    sess.conf.set(key, "1000000")
+    try df.limit(limit + 1).collect()
+    finally old match {
+      case Some(v) => sess.conf.set(key, v)
+      case None => sess.conf.unset(key)
+    }
+  }
+
+  /** String-interned edge list for the driver fast paths: node names →
+    * dense ints, edges as parallel int arrays. The rounds then run on
+    * primitive arrays — a (String,String)-keyed HashMap LPA round over
+    * the 1.17M-edge sf0.1 graph measured 4.5 s; the array form is
+    * milliseconds. Node ids are first-occurrence order (arithmetic is
+    * order-independent; ORDER-sensitive tie-breaks go through
+    * [[IndexedEdges.utf8Rank]], Spark's binary string order).
+    */
+  private[operators] final class IndexedEdges(
+      es: Array[(String, String)]) {
+    private val idOf = new java.util.HashMap[String, Integer](
+      math.max(16, es.length))
+    private val nameBuf = new scala.collection.mutable.ArrayBuffer[String]
+    val src = new Array[Int](es.length)
+    val dst = new Array[Int](es.length)
+    private def id(s: String): Int = {
+      val v = idOf.get(s)
+      if (v ne null) v.intValue
+      else {
+        val i = nameBuf.length; idOf.put(s, i); nameBuf += s; i
+      }
+    }
+    locally {
+      var i = 0
+      while (i < es.length) {
+        src(i) = id(es(i)._1); dst(i) = id(es(i)._2); i += 1
+      }
+    }
+    /** edge count */
+    val m: Int = es.length
+    /** node count (distinct src ∪ dst) */
+    def n: Int = nameBuf.length
+    def name(i: Int): String = nameBuf(i)
+    /** node id by name, −1 if absent */
+    def idOrNeg(s: String): Int = {
+      val v = idOf.get(s); if (v eq null) -1 else v.intValue
+    }
+    /** rank of each node's name in UTF-8 byte order (Spark's binary
+      * string comparison — JVM compareTo is UTF-16 code-unit order,
+      * which diverges on supplementary characters). */
+    lazy val utf8Rank: Array[Int] = {
+      val bytes = Array.tabulate(n)(i => nameBuf(i).getBytes("UTF-8"))
+      val order = Array.tabulate(n)(identity)
+      val sorted = order.sortWith { (a, b) =>
+        val x = bytes(a); val y = bytes(b)
+        val lim = math.min(x.length, y.length)
+        var i = 0
+        var r = 0
+        while (r == 0 && i < lim) {
+          r = (x(i) & 0xff) - (y(i) & 0xff); i += 1
+        }
+        if (r != 0) r < 0 else x.length < y.length
+      }
+      val rank = new Array[Int](n)
+      var i = 0
+      while (i < sorted.length) { rank(sorted(i)) = i; i += 1 }
+      rank
+    }
+  }
+
   /** Distinct DIRECTED customer→supplier edges ("c:<id>" → "s:<id>")
     * from who-bought-from-whom (orders ⋈ lineitem) — the bipartite half
     * that [[interactionEdges]] symmetrizes and [[hits]] consumes as-is.
@@ -91,28 +209,75 @@ object Graph {
   def hitsOnEdges(edgeFrame: DataFrame, rounds: Int, k: Int): DataFrame = {
     import graft.CacheScope.TrackedDataset
     val S = 1000000L
-    val e = edgeFrame.persistTracked()
-    var h = e.select(col("src")).distinct().withColumn("h", lit(S))
-    var a: DataFrame = null
-    // each half-step's raw-score frame is persisted: it feeds BOTH the
-    // scalar normalizer and the normalized frame, and the normalized
-    // frame fans into the next half-step — unpersisted, the plan
-    // re-executes the prefix ~2× per half-step (the kcore 3^rounds
-    // lesson, same fix)
-    for (_ <- 1 to rounds) {
-      import graft.CacheScope.TrackedDataset
-      val araw = e.join(h, Seq("src")).groupBy("dst")
-        .agg(sum(col("h")).as("ar")).persistTracked()
-      val asum = araw.agg(sum(col("ar")).as("sa"))
-      a = araw.crossJoin(broadcast(asum))
-        .select(col("dst"), expr(s"ar * $S div sa").as("a"))
-      val hraw = e.join(a, Seq("dst")).groupBy("src")
-        .agg(sum(col("a")).as("hr")).persistTracked()
-      val hsum = hraw.agg(sum(col("hr")).as("sh"))
-      h = hraw.crossJoin(broadcast(hsum))
-        .select(col("src"), expr(s"hr * $S div sh").as("h"))
+    val spark = edgeFrame.sparkSession
+    import spark.implicits._
+    val aFinal = probeEdges(edgeFrame.select("src", "dst")) match {
+      case Some(ie) =>
+        // bounded driver state: identical half-step scheme on Longs; the
+        // inner-join semantics of each half-step map to a −1 "absent"
+        // sentinel (masses are ≥ 0) — a src absent from the score frame
+        // contributes nothing
+        var h = Array.fill(ie.n)(-1L)
+        var a = Array.fill(ie.n)(-1L)
+        var i = 0
+        while (i < ie.m) { h(ie.src(i)) = S; i += 1 }
+        for (_ <- 1 to rounds) {
+          val ar = Array.fill(ie.n)(-1L)
+          i = 0
+          while (i < ie.m) {
+            val hv = h(ie.src(i))
+            if (hv >= 0) {
+              val d0 = ie.dst(i)
+              ar(d0) = (if (ar(d0) < 0) 0L else ar(d0)) + hv
+            }
+            i += 1
+          }
+          var sa = 0L
+          var j = 0
+          while (j < ie.n) { if (ar(j) >= 0) sa += ar(j); j += 1 }
+          a = ar.map(v => if (v >= 0) (v * S) / sa else -1L)
+          val hr = Array.fill(ie.n)(-1L)
+          i = 0
+          while (i < ie.m) {
+            val av = a(ie.dst(i))
+            if (av >= 0) {
+              val s0 = ie.src(i)
+              hr(s0) = (if (hr(s0) < 0) 0L else hr(s0)) + av
+            }
+            i += 1
+          }
+          var sh = 0L
+          j = 0
+          while (j < ie.n) { if (hr(j) >= 0) sh += hr(j); j += 1 }
+          h = hr.map(v => if (v >= 0) (v * S) / sh else -1L)
+        }
+        (0 until ie.n).collect {
+          case nd if a(nd) >= 0 => (ie.name(nd), a(nd))
+        }.toDF("dst", "a")
+      case None =>
+        val e = edgeFrame.persistTracked()
+        var h = e.select(col("src")).distinct().withColumn("h", lit(S))
+        var a: DataFrame = null
+        // each half-step's raw-score frame is persisted: it feeds BOTH
+        // the scalar normalizer and the normalized frame, and the
+        // normalized frame fans into the next half-step — unpersisted,
+        // the plan re-executes the prefix ~2× per half-step (the kcore
+        // 3^rounds lesson, same fix)
+        for (_ <- 1 to rounds) {
+          val araw = e.join(h, Seq("src")).groupBy("dst")
+            .agg(sum(col("h")).as("ar")).persistTracked()
+          val asum = araw.agg(sum(col("ar")).as("sa"))
+          a = araw.crossJoin(broadcast(asum))
+            .select(col("dst"), expr(s"ar * $S div sa").as("a"))
+          val hraw = e.join(a, Seq("dst")).groupBy("src")
+            .agg(sum(col("a")).as("hr")).persistTracked()
+          val hsum = hraw.agg(sum(col("hr")).as("sh"))
+          h = hraw.crossJoin(broadcast(hsum))
+            .select(col("src"), expr(s"hr * $S div sh").as("h"))
+        }
+        a
     }
-    a.select(col("dst").as("node"), col("a").as("auth_mass"))
+    aFinal.select(col("dst").as("node"), col("a").as("auth_mass"))
       .orderBy(desc("auth_mass"), asc("node")).limit(k)
   }
 
@@ -129,23 +294,65 @@ object Graph {
   def pagerankOnEdges(edgeFrame: DataFrame, iters: Int,
                       k: Int): DataFrame = {
     import graft.CacheScope.TrackedDataset
-    val edges = edgeFrame.persistTracked()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      .select(col("src").as("node"), col("deg")).persistTracked()
-    val n = deg.count() // node count — the one driver-side scalar
-    val base = SCALE / n
-    val teleport = (15L * base) / 100L
-    var p = deg.select(col("node"), col("deg"), lit(base).as("p"))
-    for (_ <- 1 to iters) {
-      val sums = edges
-        .join(p.select(col("node").as("src"), expr("p div deg").as("c")), Seq("src"))
-        .groupBy(col("dst").as("node"))
-        .agg(sum(col("c")).as("s"))
-      p = deg.join(sums, Seq("node"), "left")
-        .select(col("node"), col("deg"),
-          (lit(teleport) + expr("(85 * coalesce(s, 0)) div 100")).as("p"))
+    val spark = edgeFrame.sparkSession
+    import spark.implicits._
+    val ranked = probeEdges(edgeFrame.select("src", "dst")) match {
+      case Some(ie) =>
+        // bounded driver state: the same SCALE/teleport scheme on Longs
+        // (Scala / on non-negative Longs ≡ Spark div ≡ DuckDB //); sums
+        // are exact integer adds, so accumulation order cannot matter.
+        // Rank state lives only on src nodes (the distributed deg frame)
+        val deg = new Array[Long](ie.n)
+        var i = 0
+        while (i < ie.m) { deg(ie.src(i)) += 1L; i += 1 }
+        var nSrc = 0L
+        var j = 0
+        while (j < ie.n) { if (deg(j) > 0) nSrc += 1L; j += 1 }
+        val base = SCALE / nSrc
+        val teleport = (15L * base) / 100L
+        var p = new Array[Long](ie.n)
+        j = 0
+        while (j < ie.n) { if (deg(j) > 0) p(j) = base; j += 1 }
+        for (_ <- 1 to iters) {
+          val sums = new Array[Long](ie.n)
+          i = 0
+          while (i < ie.m) {
+            val s0 = ie.src(i)
+            sums(ie.dst(i)) += p(s0) / deg(s0)
+            i += 1
+          }
+          val np = new Array[Long](ie.n)
+          j = 0
+          while (j < ie.n) {
+            if (deg(j) > 0) np(j) = teleport + (85L * sums(j)) / 100L
+            j += 1
+          }
+          p = np
+        }
+        (0 until ie.n).collect {
+          case nd if deg(nd) > 0 => (ie.name(nd), p(nd))
+        }.toDF("node", "p")
+      case None =>
+        val edges = edgeFrame.persistTracked()
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+          .select(col("src").as("node"), col("deg")).persistTracked()
+        val n = deg.count() // node count — the one driver-side scalar
+        val base = SCALE / n
+        val teleport = (15L * base) / 100L
+        var p = deg.select(col("node"), col("deg"), lit(base).as("p"))
+        for (_ <- 1 to iters) {
+          val sums = edges
+            .join(p.select(col("node").as("src"), expr("p div deg").as("c")),
+              Seq("src"))
+            .groupBy(col("dst").as("node"))
+            .agg(sum(col("c")).as("s"))
+          p = deg.join(sums, Seq("node"), "left")
+            .select(col("node"), col("deg"),
+              (lit(teleport) + expr("(85 * coalesce(s, 0)) div 100")).as("p"))
+        }
+        p.select(col("node"), col("p"))
     }
-    p.select(col("node"), col("p").as("rank_mass"))
+    ranked.select(col("node"), col("p").as("rank_mass"))
       .orderBy(desc("rank_mass"), asc("node")).limit(k)
   }
 
@@ -185,10 +392,10 @@ object Graph {
     * rule); at 4 rounds lineage stays shallow.
     */
   def kcore(s: SparkSession, d: String, k: Int = 20,
-            rounds: Int = 4): DataFrame = {
-    import graft.CacheScope.TrackedDataset
-    kcoreOnEdges(interactionEdges(s, d).persistTracked(), k, rounds)
-  }
+            rounds: Int = 4): DataFrame =
+    // no persist here: the probe reads the frame once (fast path never
+    // reads it again); the distributed fallback persists internally
+    kcoreOnEdges(interactionEdges(s, d), k, rounds)
 
   /** The peel itself, over any symmetrized (src, dst) edge frame.
     *
@@ -202,20 +409,47 @@ object Graph {
     */
   def kcoreOnEdges(edgeFrame: DataFrame, k: Int, rounds: Int): DataFrame = {
     import graft.CacheScope.TrackedDataset
-    var edges = edgeFrame
-    for (_ <- 1 to rounds) {
-      val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select("src")
-      edges = edges
-        .join(keep, Seq("src"))
-        .join(keep.select(col("src").as("dst")), Seq("dst"))
-        .select("src", "dst")
-        .persistTracked()
+    val spark = edgeFrame.sparkSession
+    import spark.implicits._
+    val peeled = probeEdges(edgeFrame.select("src", "dst")) match {
+      case Some(ie) =>
+        // bounded driver state: identical peel — degree count per src
+        // over the surviving multiset, keep both-endpoint survivors
+        val alive = Array.fill(ie.m)(true)
+        for (_ <- 1 to rounds) {
+          val deg = new Array[Long](ie.n)
+          var i = 0
+          while (i < ie.m) { if (alive(i)) deg(ie.src(i)) += 1L; i += 1 }
+          i = 0
+          while (i < ie.m) {
+            if (alive(i) &&
+                (deg(ie.src(i)) < k || deg(ie.dst(i)) < k))
+              alive(i) = false
+            i += 1
+          }
+        }
+        val deg = new Array[Long](ie.n)
+        var i = 0
+        while (i < ie.m) { if (alive(i)) deg(ie.src(i)) += 1L; i += 1 }
+        (0 until ie.n).collect {
+          case nd if deg(nd) > 0 => (ie.name(nd), deg(nd), deg(nd) >= k)
+        }.toDF("node", "deg", "stable")
+      case None =>
+        var edges = edgeFrame.persistTracked()
+        for (_ <- 1 to rounds) {
+          val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+            .filter(col("deg") >= k).select("src")
+          edges = edges
+            .join(keep, Seq("src"))
+            .join(keep.select(col("src").as("dst")), Seq("dst"))
+            .select("src", "dst")
+            .persistTracked()
+        }
+        edges.groupBy("src").agg(count(lit(1)).as("deg"))
+          .select(col("src").as("node"), col("deg"),
+            (col("deg") >= k).as("stable"))
     }
-    edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      .select(col("src").as("node"), col("deg"),
-        (col("deg") >= k).as("stable"))
-      .orderBy("node")
+    peeled.orderBy("node")
   }
 
   /** One DuckDB peel round (replays the Spark round exactly). */
@@ -301,50 +535,145 @@ object Graph {
 
   /** The propagation itself, over any symmetrized (src, dst) frame. */
   def labelPropOnEdges(base: DataFrame, rounds: Int): DataFrame = {
-    val (lab, prev) = labelPropRounds(base, rounds)
-    lab.join(prev.select(col("node"), col("label").as("pl")), Seq("node"))
-      .select(col("node"), col("label"),
-        (col("label") === col("pl")).as("stable"))
-      .orderBy("node")
+    val spark = base.sparkSession
+    import spark.implicits._
+    lpaRounds(base, rounds) match {
+      case LpaDriver(ie, lab, prev) =>
+        // the lab ⋈ prev stable join at node grain, on driver arrays
+        (0 until ie.n).collect {
+          case nd if lab(nd) >= 0 && prev(nd) >= 0 =>
+            (ie.name(nd), ie.name(lab(nd)), lab(nd) == prev(nd))
+        }.toDF("node", "label", "stable")
+          .orderBy("node")
+      case LpaFrames(lab, prev, _) =>
+        lab.join(prev.select(col("node"), col("label").as("pl")),
+            Seq("node"))
+          .select(col("node"), col("label"),
+            (col("label") === col("pl")).as("stable"))
+          .orderBy("node")
+    }
   }
 
-  /** The bare rounds: (final, previous) label frames, both persisted —
-    * [[labelPropOnEdges]] derives the stable flag from the pair;
-    * [[modularity]] consumes the final frame alone (no stable join, no
-    * node sort).
+  /** Past this many nodes a node-cardinality label/score frame stops
+    * being broadcast-class (~10M strings ≈ 200 MB serialized) and the
+    * per-round join hint must drop to a shuffle — the r11 ADVICE gate:
+    * an unconditional broadcast OOMs at scale instead of degrading.
     */
-  private def labelPropRounds(base: DataFrame,
-                              rounds: Int): (DataFrame, DataFrame) = {
+  private[operators] val BroadcastNodeLimit = 10000000L
+
+  /** LPA rounds result: either bounded driver state (edge index + label
+    * arrays, −1 = unlabeled) or the distributed frames + node count.
+    */
+  private sealed trait LpaResult
+  private final case class LpaDriver(ie: IndexedEdges, lab: Array[Int],
+                                     prev: Array[Int]) extends LpaResult
+  private final case class LpaFrames(lab: DataFrame, prev: DataFrame,
+                                     nNodes: Long) extends LpaResult
+
+  /** The bare rounds — [[labelPropOnEdges]] derives the stable flag
+    * from the (final, previous) pair; [[modularity]] consumes the final
+    * labels (and, distributed, gates its broadcast attaches on the node
+    * count).
+    */
+  private def lpaRounds(base: DataFrame, rounds: Int): LpaResult = {
     import graft.CacheScope.TrackedDataset
-    val nodes = base.select(col("src").as("node")).distinct()
-    // self-loop per node = the node's own vote for its current label
-    val edges = base.union(
-      nodes.select(col("node").as("src"), col("node").as("dst")))
-      .persistTracked()
-    var lab = nodes.select(col("node"), col("node").as("label"))
-    var prev = lab
-    // persist each round's label frame: it feeds the next round AND the
-    // final stable-flag join (prev), so unpersisted lineage re-executes
-    // the prefix per consumer (the kcore 3^rounds lesson)
-    for (_ <- 1 to rounds) {
-      prev = lab
-      // label frame is node-cardinality (broadcast-class beside edges, per
-      // the scale posture above) — the explicit hint keeps every round a
-      // map-side join instead of re-shuffling the edge frame per round; at
-      // node counts beyond broadcast, drop the hint and pre-partition
-      // edges by src so rounds reuse one exchange
-      val cnt = edges
-        .join(broadcast(lab.select(col("node").as("src"), col("label"))),
-          Seq("src"))
-        .groupBy(col("dst").as("node"), col("label"))
-        .agg(count(lit(1)).as("cnt"))
-      lab = cnt.groupBy("node")
-        .agg(min(struct(negate(col("cnt")).as("nc"),
-          col("label").as("label"))).as("b"))
-        .select(col("node"), col("b.label").as("label"))
-        .persistTracked()
+    val spark = base.sparkSession
+    import spark.implicits._
+    probeEdges(base.select("src", "dst")) match {
+      case Some(ie) =>
+        // bounded driver state: identical synchronous vote — each edge
+        // (plus one self-loop per initial node) contributes src's
+        // current label to dst; argmax = max count, ties to the
+        // UTF-8-smallest label (utf8Rank = Spark's binary string order)
+        val isSrc = new Array[Boolean](ie.n)
+        var i = 0
+        while (i < ie.m) { isSrc(ie.src(i)) = true; i += 1 }
+        val rank = ie.utf8Rank
+        var lab = Array.fill(ie.n)(-1)
+        var j = 0
+        while (j < ie.n) { if (isSrc(j)) lab(j) = j; j += 1 }
+        var prev = lab
+        val keys = new Array[Long](ie.m + ie.n)
+        for (_ <- 1 to rounds) {
+          prev = lab
+          // votes as packed (dst << 32 | label) longs, sorted then
+          // run-scanned — a hash map here measured 5 s/3 rounds on the
+          // 1.17M-edge graph; sort+scan is ~10×
+          var pos = 0
+          i = 0
+          while (i < ie.m) {
+            val lb = lab(ie.src(i))
+            if (lb >= 0) {
+              keys(pos) = (ie.dst(i).toLong << 32) | lb.toLong
+              pos += 1
+            }
+            i += 1
+          }
+          j = 0
+          while (j < ie.n) {
+            if (isSrc(j)) {
+              val lb = lab(j)
+              if (lb >= 0) {
+                keys(pos) = (j.toLong << 32) | lb.toLong
+                pos += 1
+              }
+            }
+            j += 1
+          }
+          java.util.Arrays.sort(keys, 0, pos)
+          val bestCnt = new Array[Long](ie.n)
+          val bestLab = Array.fill(ie.n)(-1)
+          var a = 0
+          while (a < pos) {
+            val key = keys(a)
+            var b = a + 1
+            while (b < pos && keys(b) == key) b += 1
+            val c = (b - a).toLong
+            val nd = (key >>> 32).toInt
+            val lb = (key & 0xffffffffL).toInt
+            if (bestLab(nd) < 0 || c > bestCnt(nd) ||
+                (c == bestCnt(nd) && rank(lb) < rank(bestLab(nd)))) {
+              bestCnt(nd) = c; bestLab(nd) = lb
+            }
+            a = b
+          }
+          lab = bestLab
+        }
+        LpaDriver(ie, lab, prev)
+      case None =>
+        val nodes = base.select(col("src").as("node")).distinct()
+          .persistTracked()
+        val nNodes = nodes.count()
+        // label frame is node-cardinality — broadcast keeps every round a
+        // map-side join instead of re-shuffling the edge frame per round;
+        // past BroadcastNodeLimit the hint drops (shuffle join) instead
+        // of OOMing the driver (r11 ADVICE gate)
+        def hint(df: DataFrame): DataFrame =
+          if (nNodes <= BroadcastNodeLimit) broadcast(df) else df
+        // self-loop per node = the node's own vote for its current label
+        val edges = base.union(
+          nodes.select(col("node").as("src"), col("node").as("dst")))
+          .persistTracked()
+        var lab = nodes.select(col("node"), col("node").as("label"))
+        var prev = lab
+        // persist each round's label frame: it feeds the next round AND
+        // the final stable-flag join (prev), so unpersisted lineage
+        // re-executes the prefix per consumer (the kcore 3^rounds lesson)
+        for (_ <- 1 to rounds) {
+          prev = lab
+          val cnt = edges
+            .join(hint(lab.select(col("node").as("src"), col("label"))),
+              Seq("src"))
+            .groupBy(col("dst").as("node"), col("label"))
+            .agg(count(lit(1)).as("cnt"))
+          lab = cnt.groupBy("node")
+            .agg(min(struct(negate(col("cnt")).as("nc"),
+              col("label").as("label"))).as("b"))
+            .select(col("node"), col("b.label").as("label"))
+            .persistTracked()
+        }
+        LpaFrames(lab, prev, nNodes)
     }
-    (lab, prev)
   }
 
   /** One DuckDB LPA round (replays the Spark round exactly; the
@@ -460,30 +789,78 @@ object Graph {
   def pprOnEdges(edgeFrame: DataFrame, seeds: DataFrame, iters: Int,
                  k: Int): DataFrame = {
     import graft.CacheScope.TrackedDataset
-    val edges = edgeFrame.persistTracked()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      .select(col("src").as("node"), col("deg"))
-      .join(seeds.select(col("node"), lit(true).as("is_seed")),
-        Seq("node"), "left")
-      .na.fill(false, Seq("is_seed"))
-      .persistTracked()
-    val nSeeds = seeds.count() // one driver scalar (q_pagerank posture)
-    val seedMass = SCALE / nSeeds
-    val teleport = (15L * seedMass) / 100L
-    var p = deg.select(col("node"), col("deg"), col("is_seed"),
-      when(col("is_seed"), seedMass).otherwise(0L).as("p"))
-    for (_ <- 1 to iters) {
-      val sums = edges
-        .join(p.select(col("node").as("src"), expr("p div deg").as("c")),
-          Seq("src"))
-        .groupBy(col("dst").as("node"))
-        .agg(sum(col("c")).as("s"))
-      p = deg.join(sums, Seq("node"), "left")
-        .select(col("node"), col("deg"), col("is_seed"),
-          (when(col("is_seed"), teleport).otherwise(0L) +
-            expr("(85 * coalesce(s, 0)) div 100")).as("p"))
+    val spark = edgeFrame.sparkSession
+    import spark.implicits._
+    val ranked = probeEdges(edgeFrame.select("src", "dst")) match {
+      case Some(ie) =>
+        // bounded driver state: the q_pagerank fast path with the seed
+        // teleport vector; the seed frame is nSeeds-bounded by contract
+        val seedRows = seeds.select(col("node")).collect()
+        val nSeeds = seedRows.length.toLong
+        val seedMass = SCALE / nSeeds
+        val teleport = (15L * seedMass) / 100L
+        val isSeed = new Array[Boolean](ie.n)
+        seedRows.foreach { r =>
+          val id = ie.idOrNeg(r.getString(0))
+          if (id >= 0) isSeed(id) = true
+        }
+        val deg = new Array[Long](ie.n)
+        var i = 0
+        while (i < ie.m) { deg(ie.src(i)) += 1L; i += 1 }
+        var p = new Array[Long](ie.n)
+        var j = 0
+        while (j < ie.n) {
+          if (deg(j) > 0 && isSeed(j)) p(j) = seedMass
+          j += 1
+        }
+        for (_ <- 1 to iters) {
+          val sums = new Array[Long](ie.n)
+          i = 0
+          while (i < ie.m) {
+            val s0 = ie.src(i)
+            sums(ie.dst(i)) += p(s0) / deg(s0)
+            i += 1
+          }
+          val np = new Array[Long](ie.n)
+          j = 0
+          while (j < ie.n) {
+            if (deg(j) > 0)
+              np(j) = (if (isSeed(j)) teleport else 0L) +
+                (85L * sums(j)) / 100L
+            j += 1
+          }
+          p = np
+        }
+        (0 until ie.n).collect {
+          case nd if deg(nd) > 0 => (ie.name(nd), p(nd))
+        }.toDF("node", "p")
+      case None =>
+        val edges = edgeFrame.persistTracked()
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+          .select(col("src").as("node"), col("deg"))
+          .join(seeds.select(col("node"), lit(true).as("is_seed")),
+            Seq("node"), "left")
+          .na.fill(false, Seq("is_seed"))
+          .persistTracked()
+        val nSeeds = seeds.count() // one driver scalar (q_pagerank posture)
+        val seedMass = SCALE / nSeeds
+        val teleport = (15L * seedMass) / 100L
+        var p = deg.select(col("node"), col("deg"), col("is_seed"),
+          when(col("is_seed"), seedMass).otherwise(0L).as("p"))
+        for (_ <- 1 to iters) {
+          val sums = edges
+            .join(p.select(col("node").as("src"), expr("p div deg").as("c")),
+              Seq("src"))
+            .groupBy(col("dst").as("node"))
+            .agg(sum(col("c")).as("s"))
+          p = deg.join(sums, Seq("node"), "left")
+            .select(col("node"), col("deg"), col("is_seed"),
+              (when(col("is_seed"), teleport).otherwise(0L) +
+                expr("(85 * coalesce(s, 0)) div 100")).as("p"))
+        }
+        p.select(col("node"), col("p"))
     }
-    p.select(col("node"), col("p").as("ppr_mass"))
+    ranked.select(col("node"), col("p").as("ppr_mass"))
       .orderBy(desc("ppr_mass"), asc("node")).limit(k)
   }
 
@@ -514,29 +891,72 @@ object Graph {
     */
   def modularity(s: SparkSession, d: String, rounds: Int = 3): DataFrame = {
     import graft.CacheScope.TrackedDataset
-    val edges = interactionEdges(s, d).persistTracked()
-    val lab = labelPropRounds(edges, rounds)._1 // already persisted
-    // collapse the edge-cardinality label-attach to the community frame
-    // ONCE and persist it: byC feeds both the m2 scalar (Σ deg_sum) and
-    // the terms, so nothing edge-sized is ever recomputed (first bench
-    // cut: the unpersisted el ran the 3-round LPA chain per action)
-    // both label attaches broadcast the node-cardinality frame: one
-    // edge-frame pass, zero edge shuffles before the community groupBy
-    val byC = edges
-      .join(broadcast(lab.select(col("node").as("src"),
-        col("label").as("ls"))), Seq("src"))
-      .join(broadcast(lab.select(col("node").as("dst"),
-        col("label").as("ld"))), Seq("dst"))
-      .groupBy(col("ls").as("community"))
-      .agg(count(lit(1)).as("deg_sum"),
-        sum(when(col("ls") === col("ld"), 1L).otherwise(0L)).as("in2"))
-      .persistTracked()
-    val nNodes = lab.groupBy(col("label").as("community"))
-      .agg(count(lit(1)).as("n_nodes"))
-    // 2m = Σ_c deg_sum — from the community frame, no second edge pass
-    val m2 = byC.agg(sum(col("deg_sum")).as("m2"))
-    val withTerm = byC.join(nNodes, Seq("community"))
-      .crossJoin(broadcast(m2))
+    import s.implicits._
+    val edges = interactionEdges(s, d)
+    // Both paths produce the same (community, n_nodes, deg_sum, in2, m2)
+    // frame; the q_term/q_total expressions below are SHARED so the
+    // released doubles cannot diverge across the threshold.
+    val byC = lpaRounds(edges, rounds) match {
+      case LpaDriver(ie, lab, _) =>
+        // driver aggregation: deg_sum/in2/n_nodes/m2 are exact integer
+        // folds over the already-collected edge arrays — the whole
+        // community frame is label-cardinality driver state (the probe
+        // already bounded the graph)
+        val degSum = new Array[Long](ie.n)
+        val in2 = new Array[Long](ie.n)
+        var i = 0
+        while (i < ie.m) {
+          val ls = lab(ie.src(i)); val ld = lab(ie.dst(i))
+          if (ls >= 0 && ld >= 0) {
+            degSum(ls) += 1L
+            if (ls == ld) in2(ls) += 1L
+          }
+          i += 1
+        }
+        val nN = new Array[Long](ie.n)
+        var j = 0
+        while (j < ie.n) { if (lab(j) >= 0) nN(lab(j)) += 1L; j += 1 }
+        var m2v = 0L
+        j = 0
+        while (j < ie.n) { m2v += degSum(j); j += 1 }
+        // communities surface iff they own ≥1 src-labeled edge — the
+        // distributed byC ⋈ nNodes inner join's row set (a src with
+        // label c is itself a labeled node, so deg_sum>0 ⟹ n_nodes>0)
+        (0 until ie.n).collect {
+          case c if degSum(c) > 0 =>
+            (ie.name(c), nN(c), degSum(c), in2(c), m2v)
+        }.toDF("community", "n_nodes", "deg_sum", "in2", "m2")
+      case LpaFrames(lab, _, nGraphNodes) =>
+        // collapse the edge-cardinality label-attach to the community
+        // frame ONCE and persist it: byC feeds both the m2 scalar
+        // (Σ deg_sum) and the terms, so nothing edge-sized is ever
+        // recomputed (first bench cut: the unpersisted el ran the
+        // 3-round LPA chain per action). Both label attaches broadcast
+        // the node-cardinality frame — gated on BroadcastNodeLimit (r11
+        // ADVICE: past broadcast class, degrade to a shuffle join
+        // instead of OOMing). The fallback re-derives the edge frame
+        // (one extra scan — the probe consumed the first): persisted
+        // here for its single two-join pass.
+        def hint(df: DataFrame): DataFrame =
+          if (nGraphNodes <= BroadcastNodeLimit) broadcast(df) else df
+        val agg = edges
+          .join(hint(lab.select(col("node").as("src"),
+            col("label").as("ls"))), Seq("src"))
+          .join(hint(lab.select(col("node").as("dst"),
+            col("label").as("ld"))), Seq("dst"))
+          .groupBy(col("ls").as("community"))
+          .agg(count(lit(1)).as("deg_sum"),
+            sum(when(col("ls") === col("ld"), 1L).otherwise(0L)).as("in2"))
+          .persistTracked()
+        val nNodes = lab.groupBy(col("label").as("community"))
+          .agg(count(lit(1)).as("n_nodes"))
+        // 2m = Σ_c deg_sum — from the community frame, no 2nd edge pass
+        val m2 = agg.agg(sum(col("deg_sum")).as("m2"))
+        agg.join(nNodes, Seq("community")).crossJoin(broadcast(m2))
+          .select(col("community"), col("n_nodes"), col("deg_sum"),
+            col("in2"), col("m2"))
+    }
+    val withTerm = byC
       .select(col("community"), col("n_nodes"), col("deg_sum"),
         (col("in2") / 2).cast("long").as("internal_edges"),
         round(col("in2").cast("double") / col("m2") -

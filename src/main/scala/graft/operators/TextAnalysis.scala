@@ -774,6 +774,114 @@ object TextAnalysis {
       .orderBy("w1", "rank")
   }
 
+  /** SPECTRAL WORD EMBEDDINGS by truncated SVD of the PPMI matrix (Levy
+    * & Goldberg 2014: SGNS implicitly factorizes shifted PMI; the
+    * explicit-PPMI + SVD factorization is the classic count-based
+    * embedding). Rows/columns are the top-`v` corpus heads (the
+    * q_ppmi_topk vocabulary convention); cells are positive-PMI
+    * MILLI-BITS frozen to integers via the shared
+    * ⌊log2(r)·1000 + 0.5⌋ floor spell (cb ≥ 2 evidence gate, r > 1
+    * positive gate — the q_ppmi_topk posture). The top-2 left singular
+    * subspace comes from orthogonal iteration on G = M·Mᵀ (the
+    * q_pca_subspace machinery verbatim: fixed v₀, Gram–Schmidt in fixed
+    * q1→q2 order, every float op a fixed-order fold), and the released
+    * embedding is the Levy–Goldberg W = U·Σ^½ — e_k(i) = u_k(i)·λ_k^¼,
+    * via sqrt(sqrt(λ)) (sqrt is IEEE-exact; pow(·,0.25) is not).
+    *
+    * Exactness: count frames are exact integers; cells freeze to
+    * integer milli-bits before ANY float composition, so M — and G,
+    * whose entries are Σ mb·mb ≤ 32·(2·10⁴)² ≪ 2⁵³ — are EXACT in both
+    * engines; the iteration is the replayed double-op sequence of the
+    * q_pca_subspace precedent. Scale posture: one tokenize pass to the
+    * vocab-bounded count frames; the matrix is v²-bounded (v=32) —
+    * dimension-class driver state, never corpus-sized; the iteration is
+    * O(iters·v²) driver flops.
+    */
+  def ppmiSvd(docs: DataFrame, v: Int = 32, iters: Int = 10): DataFrame = {
+    val (_, cb, cu, _, _) = knFrames(docs)
+    val c2 = cb.groupBy("w2").agg(sum(col("cb")).as("c2"))
+    val nb = cb.agg(sum(col("cb")).as("nb"))
+    val hd = cu.orderBy(desc("cu"), col("w1")).limit(v)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(desc("cu"), col("w1"))))
+      .select(col("w1"), col("rk"))
+    val r = col("cb").cast("double") * col("nb").cast("double") /
+      (col("cu").cast("double") * col("c2").cast("double"))
+    val cells = cb.filter(col("cb") >= 2)
+      .join(cu.select("w1", "cu"), Seq("w1"))
+      .join(c2, Seq("w2"))
+      .crossJoin(broadcast(nb))
+      .filter(r > 1.0)
+      .join(broadcast(hd.select(col("w1"), col("rk").as("i"))), Seq("w1"))
+      .join(broadcast(hd.select(col("w1").as("w2"), col("rk").as("j"))),
+        Seq("w2"))
+      .select(col("i"), col("j"),
+        floor(log2(r) * 1000 + lit(0.5)).cast("long").as("mb"))
+    val hdRows = hd.collect() // v-bounded by construction
+    val dim = hdRows.length
+    val words = new Array[String](dim)
+    hdRows.foreach(row => words(row.getInt(1) - 1) = row.getString(0))
+    val m = Array.ofDim[Double](dim, dim)
+    cells.collect().foreach { row => // ≤ v² rows
+      m(row.getInt(0) - 1)(row.getInt(1) - 1) = row.getLong(2).toDouble
+    }
+    val g = Array.ofDim[Double](dim, dim)
+    var gi = 0
+    while (gi < dim) {
+      var gk = 0
+      while (gk < dim) {
+        var acc = 0.0
+        var gj = 0
+        while (gj < dim) { acc += m(gi)(gj) * m(gk)(gj); gj += 1 }
+        g(gi)(gk) = acc
+        gk += 1
+      }
+      gi += 1
+    }
+    def mul(x: Array[Double]): Array[Double] = {
+      val w = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { acc += g(i)(j) * x(j); j += 1 }
+        w(i) = acc; i += 1
+      }
+      w
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0
+      var j = 0
+      while (j < dim) { acc += a(j) * b(j); j += 1 }
+      acc
+    }
+    var v1 = Array.fill(dim)(1.0)
+    var v2 = Array.tabulate(dim)(j => if (j % 2 == 0) 1.0 else -1.0)
+    var it = 0
+    while (it < iters) {
+      val w1 = mul(v1); val w2 = mul(v2)
+      val n1 = math.sqrt(dot(w1, w1))
+      val q1 = w1.map(_ / n1)
+      val c = dot(q1, w2)
+      val w2p = new Array[Double](dim)
+      var j = 0
+      while (j < dim) { w2p(j) = w2(j) - c * q1(j); j += 1 }
+      val n2 = math.sqrt(dot(w2p, w2p))
+      v1 = q1; v2 = w2p.map(_ / n2)
+      it += 1
+    }
+    val l1 = dot(v1, mul(v1))
+    val l2 = dot(v2, mul(v2))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    (0 until dim).map(i => (i + 1, words(i), v1(i), v2(i), l1, l2))
+      .toDF("rk", "word", "u1", "u2", "l1", "l2")
+      .select(col("rk"), col("word"),
+        round(col("u1") * sqrt(sqrt(col("l1"))), 6).as("e1"),
+        round(col("u2") * sqrt(sqrt(col("l2"))), 6).as("e2"))
+      .orderBy("rk")
+  }
+
   /** CROSS-SOURCE LM TRANSFER MATRIX (the CCNet/DSIR domain-similarity
     * table: Wenzek 2020 scores crawl text under a wiki-trained LM; Xie
     * 2023's importance weights are target-vs-raw LM ratios): train an
@@ -821,7 +929,14 @@ object TextAnalysis {
     val tgl = tcb.groupBy("train_src").agg(count(lit(1)).as("b"),
       sum(when(col("cb") === 1, 1L).otherwise(0L)).as("n1"),
       sum(when(col("cb") === 2, 1L).otherwise(0L)).as("n2"))
+    // TYPE-grain scoring (r11 verdict item 3): eval bigrams pre-aggregate
+    // to (eval_src, w1, w2, cnt) BEFORE the ×nTrain scoring joins — the
+    // Zipf type/instance ratio (~5-20×) comes straight off the join
+    // shuffle. The surprisal/coverage folds weight by cnt, which is
+    // hash-identical: cov and t are per-TYPE values, and t·cnt is an
+    // exact DECIMAL product, so Σ_instances t ≡ Σ_types t·cnt.
     val inst = bi.select(col("source").as("eval_src"), col("w1"), col("w2"))
+      .groupBy("eval_src", "w1", "w2").agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(tsrc))
     val j = inst
       .join(tcu, Seq("train_src", "w1"), "left")
@@ -830,15 +945,20 @@ object TextAnalysis {
       .join(broadcast(tgl), Seq("train_src"), "left")
     val p = expr(domainPplPSql)
     val covered = col("cu").isNotNull && p > 0
-    j.select(col("train_src"), col("eval_src"),
-        when(covered, lit(1L)).otherwise(lit(0L)).as("cov"),
+    j.select(col("train_src"), col("eval_src"), col("cnt"),
+        when(covered, col("cnt")).otherwise(lit(0L)).as("cov"),
         when(covered, round(-log2(p), 6).cast(DecimalType(18, 6)))
           .as("t"))
       .groupBy("train_src", "eval_src")
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("cov")).as("n_covered"),
-        sum(col("t")).as("st"))
+      .agg(sum(col("cnt")).as("n_bigrams"), sum(col("cov")).as("n_covered"),
+        sum(col("t") * col("cnt").cast(DecimalType(18, 0))).as("st"))
       .select(col("train_src"), col("eval_src"), col("n_bigrams"),
-        expr("CAST(n_covered * 1000000 div n_bigrams AS BIGINT)")
+        // DECIMAL(38,0) before the ×10⁶ (the embedMmd dec() idiom,
+        // r11 ADVICE): matches the oracle's HUGEINT promotion — a
+        // per-pair bigram count beyond ~9.2e12 would overflow the Long
+        // multiply on Spark only
+        expr("CAST(CAST(n_covered AS DECIMAL(38,0)) * 1000000" +
+          " div n_bigrams AS BIGINT)")
           .as("covered_ppm"),
         when(col("n_covered") > 0,
           round(col("st").cast("double") /
@@ -1557,24 +1677,67 @@ object TextAnalysis {
         struct(col("b").as("src"), col("a").as("dst")))).as("e"))
       .select(col("e.src"), col("e.dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("n"))
-      .persistTracked()
-    val wout = edges.groupBy("src").agg(sum(col("n")).as("wout"))
-    val e = edges.join(wout, "src")
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
-    val base = nodes.crossJoin(broadcast(nodes.agg(count(lit(1)).as("nn"))))
-    var ranks = base.select(col("node"), expr("1000000 div nn").as("rank"))
-    for (_ <- 1 to iters) {
-      val contrib = e.join(broadcast(ranks), col("src") === col("node"))
-        .select(col("dst"),
-          expr("(850 * rank * n) div (1000 * wout)").as("c"))
-        .groupBy("dst").agg(sum(col("c")).as("c"))
-      ranks = base.join(broadcast(contrib), col("node") === col("dst"),
-          "left")
-        .select(col("node"),
-          (expr("150000 div nn") + coalesce(col("c"), lit(0L))).as("rank"))
-        .localCheckpoint()
-    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // bounded-driver-state fast path (r11 verdict item 1, the Graph
+    // probeEdges pattern): the weighted word graph is vocab²-bounded but
+    // the 6 distributed rounds pay ~1 s/job of scheduling overhead
+    // (cpu_wall 2.8 at sf0.1 — the q_grid_clusters disease). One
+    // limit-probe collect on the UNPERSISTED frame (the fast path never
+    // reads it again); below the cap the rounds run on driver Long
+    // arrays with the IDENTICAL fixed-point scheme; past it, the
+    // distributed loop (which persists) as before.
+    val limit = 4000000
+    val probed = graft.operators.Graph.probeCollect(edges, limit)
+    val ranks =
+      if (probed.length <= limit) {
+        val ie = new graft.operators.Graph.IndexedEdges(
+          probed.map(r => (r.getString(0), r.getString(1))))
+        val w = probed.map(_.getLong(2))
+        val wout = new Array[Long](ie.n)
+        var i = 0
+        while (i < ie.m) { wout(ie.src(i)) += w(i); i += 1 }
+        val nn = ie.n.toLong
+        var rank = Array.fill(ie.n)(1000000L / nn)
+        for (_ <- 1 to iters) {
+          val contrib = new Array[Long](ie.n)
+          i = 0
+          while (i < ie.m) {
+            val s0 = ie.src(i)
+            contrib(ie.dst(i)) +=
+              (850L * rank(s0) * w(i)) / (1000L * wout(s0))
+            i += 1
+          }
+          val nr = new Array[Long](ie.n)
+          var j = 0
+          while (j < ie.n) { nr(j) = 150000L / nn + contrib(j); j += 1 }
+          rank = nr
+        }
+        (0 until ie.n).map(nd => (ie.name(nd), rank(nd)))
+          .toDF("node", "rank")
+      } else {
+        val edgesP = edges.persistTracked()
+        val wout = edgesP.groupBy("src").agg(sum(col("n")).as("wout"))
+        val e = edgesP.join(wout, "src")
+        val nodes = edgesP.select(col("src").as("node"))
+          .union(edgesP.select(col("dst").as("node"))).distinct()
+        val base = nodes.crossJoin(
+          broadcast(nodes.agg(count(lit(1)).as("nn"))))
+        var rk = base.select(col("node"), expr("1000000 div nn").as("rank"))
+        for (_ <- 1 to iters) {
+          val contrib = e.join(broadcast(rk), col("src") === col("node"))
+            .select(col("dst"),
+              expr("(850 * rank * n) div (1000 * wout)").as("c"))
+            .groupBy("dst").agg(sum(col("c")).as("c"))
+          rk = base.join(broadcast(contrib), col("node") === col("dst"),
+              "left")
+            .select(col("node"),
+              (expr("150000 div nn") + coalesce(col("c"), lit(0L)))
+                .as("rank"))
+            .localCheckpoint()
+        }
+        rk
+      }
     ranks.orderBy(desc("rank"), col("node")).limit(k)
       .select(col("node").as("word"), col("rank").cast("long").as("rank_ppm"),
         round(col("rank").cast("double") / lit(1000000.0), 6).as("share"))
@@ -1712,6 +1875,9 @@ object TextAnalysis {
     // Yule's K repetitiveness constant + TTR/hapax lexical richness.
     "q_yule_k" -> { (s, d) => yuleK(Tables.documents(s, d)) },
     "q_textrank" -> { (s, d) => textRank(Tables.documents(s, d)) },
+    // Spectral word embeddings: top-2 SVD subspace of the milli-bit
+    // PPMI matrix over the top-32 heads (Levy & Goldberg 2014).
+    "q_ppmi_svd" -> { (s, d) => ppmiSvd(Tables.documents(s, d)) },
     "q_readability" -> { (s, d) => readability(Tables.documents(s, d)) },
     "q_mojibake_audit" -> { (s, d) => mojibakeAudit(Tables.documents(s, d)) },
     // Corpus-trained bigram-LM quality scoring (the CCNet perplexity
@@ -2855,13 +3021,14 @@ object TextAnalysis {
       // coverage exclusion and 6dp term fold
       "q_domain_ppl" ->
         ("WITH " + knCountCtesSql + ",\n" +
-          s"""tsrc AS (
-             | SELECT source AS train_src FROM bb
+          s"""bbn AS (SELECT * FROM bb WHERE source IS NOT NULL),
+             |tsrc AS (
+             | SELECT source AS train_src FROM bbn
              | GROUP BY 1 ORDER BY count(*) DESC, train_src LIMIT 3),
              |tcb AS (
              | SELECT b.source AS train_src, w1, w2,
              |  CAST(count(*) AS BIGINT) AS cb
-             | FROM bb b JOIN tsrc ON b.source = tsrc.train_src
+             | FROM bbn b JOIN tsrc ON b.source = tsrc.train_src
              | GROUP BY 1, 2, 3),
              |tcu AS (SELECT train_src, w1, CAST(sum(cb) AS BIGINT) AS cu,
              |  CAST(count(*) AS BIGINT) AS fwd FROM tcb GROUP BY 1, 2),
@@ -2873,11 +3040,15 @@ object TextAnalysis {
              |  CAST(sum(CASE WHEN cb = 2 THEN 1 ELSE 0 END) AS BIGINT)
              |   AS n2
              | FROM tcb GROUP BY 1),
+             |ev AS (
+             | SELECT source AS eval_src, w1, w2,
+             |  CAST(count(*) AS BIGINT) AS cnt
+             | FROM bbn GROUP BY 1, 2, 3),
              |inst AS (
-             | SELECT bb.source AS eval_src, w1, w2, train_src
-             | FROM bb CROSS JOIN tsrc),
+             | SELECT eval_src, w1, w2, cnt, train_src
+             | FROM ev CROSS JOIN tsrc),
              |j AS (
-             | SELECT i.train_src, i.eval_src,
+             | SELECT i.train_src, i.eval_src, i.cnt,
              |  cu.cu, cu.fwd, cbt.cb, bw.bwd, gl.b, gl.n1, gl.n2
              | FROM inst i
              | LEFT JOIN tcu cu
@@ -2888,19 +3059,20 @@ object TextAnalysis {
              |  ON bw.train_src = i.train_src AND bw.w2 = i.w2
              | LEFT JOIN tgl gl ON gl.train_src = i.train_src),
              |sc AS (
-             | SELECT train_src, eval_src,
+             | SELECT train_src, eval_src, cnt,
              |  CASE WHEN cu IS NOT NULL AND $domainPplPSql > 0
-             |   THEN 1 ELSE 0 END AS cov,
+             |   THEN cnt ELSE 0 END AS cov,
              |  CASE WHEN cu IS NOT NULL AND $domainPplPSql > 0
              |   THEN CAST(round(-log2($domainPplPSql), 6) AS DECIMAL(18,6))
              |  END AS t
              | FROM j)
              |SELECT train_src, eval_src,
-             | CAST(count(*) AS BIGINT) AS n_bigrams,
-             | CAST(CAST(sum(cov) AS HUGEINT) * 1000000 // count(*)
+             | CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+             | CAST(CAST(sum(cov) AS HUGEINT) * 1000000 // sum(cnt)
              |  AS BIGINT) AS covered_ppm,
              | CASE WHEN sum(cov) > 0 THEN
-             |  round(CAST(sum(t) AS DOUBLE) / CAST(sum(cov) AS DOUBLE), 6)
+             |  round(CAST(sum(t * CAST(cnt AS DECIMAL(18,0))) AS DOUBLE)
+             |   / CAST(sum(cov) AS DOUBLE), 6)
              | END AS kn_bits
              |FROM sc GROUP BY 1, 2 ORDER BY train_src, eval_src""".stripMargin),
       // PLSA twins: same seeded ppb init, same two unrolled EM rounds,
@@ -2918,6 +3090,88 @@ object TextAnalysis {
           """SELECT source, CAST(z AS BIGINT) AS topic, pzs AS mix_ppb,
             | round(CAST(pzs AS DOUBLE) / 1000000000.0, 6) AS share
             |FROM p2zs ORDER BY source, topic""".stripMargin),
+      // PPMI-SVD twin: same count CTEs and milli-bit cell freeze, then
+      // the q_pca_subspace iteration replay over G = M·Mᵀ (list folds in
+      // j order = the driver's ascending-index loops; G entries are
+      // exact integers, so the iteration starts from identical doubles)
+      "q_ppmi_svd" -> {
+        val iters = 10
+        val itCtes = (1 to iters).map { k =>
+          val prev = s"v${k - 1}"
+          s"""w$k AS (
+             | SELECT i,
+             |  list_sum(list_transform(list_zip(row, v1), p -> p[1] * p[2])) AS w1,
+             |  list_sum(list_transform(list_zip(row, v2), p -> p[1] * p[2])) AS w2
+             | FROM g2rows CROSS JOIN $prev),
+             |wl$k AS (SELECT list(w1 ORDER BY i) AS w1,
+             |  list(w2 ORDER BY i) AS w2 FROM w$k),
+             |a$k AS (SELECT list_transform(w1,
+             |   x -> x / sqrt(list_sum(list_transform(w1, y -> y * y)))) AS v1,
+             |  w2 FROM wl$k),
+             |b$k AS (SELECT v1, w2,
+             |  list_sum(list_transform(list_zip(v1, w2), p -> p[1] * p[2])) AS c
+             | FROM a$k),
+             |c$k AS (SELECT v1,
+             |  list_transform(list_zip(w2, v1), p -> p[1] - c * p[2]) AS w2p
+             | FROM b$k),
+             |v$k AS (SELECT v1, list_transform(w2p,
+             |   x -> x / sqrt(list_sum(list_transform(w2p, y -> y * y)))) AS v2
+             | FROM c$k)""".stripMargin
+        }.mkString(",\n")
+        ("WITH " + knCountCtesSql + ",\n" +
+          s"""t2c AS (SELECT w2, CAST(sum(cb) AS BIGINT) AS c2
+             |       FROM cb GROUP BY 1),
+             |nb AS (SELECT CAST(sum(cb) AS BIGINT) AS nb FROM cb),
+             |hd AS (SELECT w1,
+             |  CAST(row_number() OVER (ORDER BY cu DESC, w1) AS INTEGER)
+             |   AS rk
+             | FROM cu ORDER BY cu DESC, w1 LIMIT 32),
+             |cells AS (
+             | SELECT a.rk AS i, b.rk AS j,
+             |  CAST(floor(log2(CAST(cb AS DOUBLE) * CAST(nb AS DOUBLE)
+             |    / (CAST(cu AS DOUBLE) * CAST(c2 AS DOUBLE))) * 1000
+             |    + 0.5) AS BIGINT) AS mb
+             | FROM cb JOIN cu USING (w1) JOIN t2c USING (w2) CROSS JOIN nb
+             | JOIN hd a ON cb.w1 = a.w1 JOIN hd b ON cb.w2 = b.w1
+             | WHERE cb >= 2 AND CAST(cb AS DOUBLE) * CAST(nb AS DOUBLE)
+             |    / (CAST(cu AS DOUBLE) * CAST(c2 AS DOUBLE)) > 1.0),
+             |mrows AS (
+             | SELECT a.rk AS i,
+             |  list(CAST(coalesce(c.mb, 0) AS DOUBLE) ORDER BY b.rk) AS row
+             | FROM hd a CROSS JOIN hd b
+             | LEFT JOIN cells c ON c.i = a.rk AND c.j = b.rk
+             | GROUP BY 1),
+             |gpair AS (
+             | SELECT x.i AS i, y.i AS j,
+             |  list_sum(list_transform(list_zip(x.row, y.row),
+             |    p -> p[1] * p[2])) AS g
+             | FROM mrows x CROSS JOIN mrows y),
+             |g2rows AS (SELECT i, list(CAST(g AS DOUBLE) ORDER BY j) AS row
+             |           FROM gpair GROUP BY 1),
+             |v0 AS (SELECT
+             |  list_transform(range(0, (SELECT count(*) FROM hd)),
+             |    x -> 1.0) AS v1,
+             |  list_transform(range(0, (SELECT count(*) FROM hd)),
+             |    x -> CASE WHEN x % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v2),
+             |$itCtes,
+             |fw AS (
+             | SELECT i,
+             |  list_sum(list_transform(list_zip(row, v1), p -> p[1] * p[2])) AS f1,
+             |  list_sum(list_transform(list_zip(row, v2), p -> p[1] * p[2])) AS f2
+             | FROM g2rows CROSS JOIN v$iters),
+             |fl AS (SELECT list(f1 ORDER BY i) AS f1,
+             |  list(f2 ORDER BY i) AS f2 FROM fw),
+             |lam AS (
+             | SELECT
+             |  list_sum(list_transform(list_zip(v1, f1), p -> p[1] * p[2])) AS l1,
+             |  list_sum(list_transform(list_zip(v2, f2), p -> p[1] * p[2])) AS l2
+             | FROM v$iters, fl)
+             |SELECT rk, w1 AS word,
+             | round(v1[rk] * sqrt(sqrt(l1)), 6) AS e1,
+             | round(v2[rk] * sqrt(sqrt(l2)), 6) AS e2
+             |FROM hd CROSS JOIN v$iters CROSS JOIN lam
+             |ORDER BY rk""".stripMargin)
+      },
       // PPMI twin: same shared bigram count CTEs, same raw-ratio ranking
       // (log2 only in the released 6dp value), same head/tie-break order
       "q_ppmi_topk" ->

@@ -665,7 +665,12 @@ object Training {
     val base = docs
       .filter(col("text").isNotNull && col("source").isNotNull)
       .select(col("doc_id"), held.as("held"),
-        when(substring(col("source"), 4, 10).cast("long") % 2 === 0, 1L)
+        // try_cast (r11 ADVICE): a non-numeric source suffix degrades to
+        // null → y=0 identically in BOTH engines (the oracle's bare CAST
+        // would abort where Spark's null-guarded when() falls through),
+        // and the bounded substring keeps >10-digit suffixes in parity
+        when(expr("try_cast(substring(source, 4, 10) AS bigint)") % 2 === 0,
+          1L)
           .otherwise(0L).as("y"),
         TextAnalysis.tokens(lower(col("text"))).as("toks"))
       .filter(size(col("toks")) >= 1)
@@ -968,7 +973,7 @@ object Training {
        | SELECT doc_id,
        |  (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
        |    AS BIGINT) % 5 = 0) AS held,
-       |  CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0
+       |  CASE WHEN TRY_CAST(substr(source, 4, 10) AS BIGINT) % 2 = 0
        |   THEN 1 ELSE 0 END AS y,
        |  ${TextAnalysis.tokensSql("lower(text)")} AS toks
        | FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
