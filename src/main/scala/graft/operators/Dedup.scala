@@ -488,7 +488,55 @@ object Dedup {
   /** (id, label) component assignment — label = smallest id reachable.
     * The iterative core behind [[dedupClusters]] and [[dedupSurvivors]].
     */
+  /** Count-guarded driver union-find shared by [[componentLabels]] and
+    * [[componentLabelsJump]] (the r11 q_grid_clusters precedent, r12
+    * rollout to the min-label family): requires LongType ids (so both
+    * paths release identical column types across the threshold), probes
+    * ONCE via the single-job limit-collect, and returns None past the
+    * edge limit or for non-long ids — the caller then runs its
+    * distributed propagation. Labels are the component min id, exactly
+    * the converged propagation's contract.
+    */
+  private def driverComponents(pairs: DataFrame,
+                               driverEdgeLimit: Long): Option[DataFrame] = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val longIds =
+      pairs.schema("id_a").dataType ==
+        org.apache.spark.sql.types.LongType &&
+      pairs.schema("id_b").dataType == org.apache.spark.sql.types.LongType
+    if (!longIds) return None
+    val es = graft.operators.Graph.probeCollect(
+      pairs.select("id_a", "id_b"), driverEdgeLimit.toInt)
+    if (es.length > driverEdgeLimit) return None
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) {
+        val n = parent(c); parent(c) = r; c = n
+      }
+      r
+    }
+    es.foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    Some(parent.keys.toSeq.sorted.map(id => (id, find(id)))
+      .toDF("id", "label"))
+  }
+
   def componentLabels(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    // near-dup / ER pair frames are candidate-bounded (banding caps,
+    // blocking caps) — far below the corpus — so the min-label rounds
+    // run as driver state below the componentLabelsJump threshold; the
+    // distributed propagation stays as the at-scale fallback
+    driverComponents(pairs, 200000L).foreach(labels => return labels)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -564,44 +612,12 @@ object Dedup {
     // min-root union-find, identical labels (component min id) to the
     // converged propagation. Past the limit, distributed pointer
     // jumping as before.
-    val spark = pairs.sparkSession
-    import spark.implicits._
     // Id-type contract (r11 ADVICE): the fast path requires LongType ids
     // so both paths release the SAME (id, label) column types — a cast
-    // here would silently flip types across the edge-count threshold.
-    // Non-long callers take the distributed branch, which preserves the
-    // input type. The probe collects ONCE (limit+1) and reuses the rows
-    // for the union-find — no separate count() materialization.
-    val longIds =
-      pairs.schema("id_a").dataType ==
-        org.apache.spark.sql.types.LongType &&
-      pairs.schema("id_b").dataType == org.apache.spark.sql.types.LongType
-    if (longIds) {
-      val es = graft.operators.Graph.probeCollect(
-        pairs.select("id_a", "id_b"), driverEdgeLimit.toInt)
-      if (es.length <= driverEdgeLimit) {
-        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrElse(r, r) != r) r = parent(r)
-          var c = x
-          while (parent.getOrElse(c, c) != r) {
-            val n = parent(c); parent(c) = r; c = n
-          }
-          r
-        }
-        es.foreach { row =>
-          val a = row.getLong(0); val b = row.getLong(1)
-          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-          val ra = find(a); val rb = find(b)
-          if (ra != rb) {
-            if (ra < rb) parent(rb) = ra else parent(ra) = rb
-          }
-        }
-        return parent.keys.toSeq.sorted.map(id => (id, find(id)))
-          .toDF("id", "label")
-      }
-    }
+    // here would silently flip types across the edge-count threshold;
+    // the probe collects ONCE (single-job limit-collect) and reuses the
+    // rows for the union-find (shared driverComponents helper).
+    driverComponents(pairs, driverEdgeLimit).foreach(labels => return labels)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))

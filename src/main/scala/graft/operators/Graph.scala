@@ -94,6 +94,43 @@ object Graph {
     }
   }
 
+  /** Driver rounds of the WEIGHTED fixed-point PageRank scheme shared by
+    * TextAnalysis.textRank and Analytics.pagerankTransitions: `rows` are
+    * collected (src: String, dst: String, n: Long) weighted edges; the
+    * scheme is S = 10⁶ ppm, damping 850/1000, per-edge contribution
+    * (850·rank·n) div (1000·wout) — all Long-exact, so the result is
+    * bit-identical to the distributed loop and the DuckDB replay.
+    * Returns the (node, rank) frame for the caller's shared readout.
+    */
+  private[operators] def weightedRankRounds(
+      rows: Array[org.apache.spark.sql.Row], iters: Int,
+      spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val ie = new IndexedEdges(rows.map(r => (r.getString(0), r.getString(1))))
+    val w = rows.map(_.getLong(2))
+    val wout = new Array[Long](ie.n)
+    var i = 0
+    while (i < ie.m) { wout(ie.src(i)) += w(i); i += 1 }
+    val nn = ie.n.toLong
+    var rank = Array.fill(ie.n)(1000000L / nn)
+    for (_ <- 1 to iters) {
+      val contrib = new Array[Long](ie.n)
+      i = 0
+      while (i < ie.m) {
+        val s0 = ie.src(i)
+        contrib(ie.dst(i)) +=
+          (850L * rank(s0) * w(i)) / (1000L * wout(s0))
+        i += 1
+      }
+      val nr = new Array[Long](ie.n)
+      var j = 0
+      while (j < ie.n) { nr(j) = 150000L / nn + contrib(j); j += 1 }
+      rank = nr
+    }
+    (0 until ie.n).map(nd => (ie.name(nd), rank(nd)))
+      .toDF("node", "rank")
+  }
+
   /** String-interned edge list for the driver fast paths: node names →
     * dense ints, edges as parallel int arrays. The rounds then run on
     * primitive arrays — a (String,String)-keyed HashMap LPA round over
@@ -744,32 +781,92 @@ object Graph {
     * count multiplies state linearly — the k knob.
     */
   def bfsLandmarks(s: SparkSession, d: String, hops: Int = 3,
-                   nLm: Int = 3): DataFrame = {
-    import graft.CacheScope.TrackedDataset
-    bfsOnEdges(interactionEdges(s, d).persistTracked(),
+                   nLm: Int = 3): DataFrame =
+    // no persist here: the probe reads the frame once (fast path never
+    // reads it again); the distributed fallback persists internally
+    bfsOnEdges(interactionEdges(s, d),
       Tables.supplier(s, d).orderBy("s_suppkey").limit(nLm)
         .select(concat(lit("s:"), col("s_suppkey")).as("node")), hops)
-  }
 
   /** The expansion itself, over any symmetrized (src, dst) frame. */
   def bfsOnEdges(edges: DataFrame, seeds: DataFrame, hops: Int): DataFrame = {
     import graft.CacheScope.TrackedDataset
-    var dist = seeds
-      .select(col("node"), col("node").as("lm"), lit(0).as("dist"))
-      .persistTracked()
-    var frontier = dist
-    for (t <- 1 to hops) {
-      val next = edges
-        .join(frontier.select(col("node").as("src"), col("lm")), Seq("src"))
-        .select(col("dst").as("node"), col("lm")).distinct()
-        .join(dist.select("node", "lm"), Seq("node", "lm"), "left_anti")
-        .select(col("node"), col("lm"), lit(t).as("dist"))
-        .persistTracked()
-      dist = dist.union(next).persistTracked()
-      frontier = next
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val hist = probeEdges(edges.select("src", "dst")) match {
+      case Some(ie) =>
+        // bounded driver state: per landmark, classic frontier BFS over
+        // a CSR adjacency — dist-marking makes each hop's frontier
+        // distinct and already-settled nodes skipped, exactly the
+        // distinct + left-anti of the distributed round. A seed absent
+        // from the graph still contributes its own dist-0 row (the
+        // seeds frame seeds `dist` unconditionally).
+        val starts = new Array[Int](ie.n + 1)
+        var i = 0
+        while (i < ie.m) { starts(ie.src(i) + 1) += 1; i += 1 }
+        var j = 1
+        while (j <= ie.n) { starts(j) += starts(j - 1); j += 1 }
+        val adj = new Array[Int](ie.m)
+        val fill = starts.clone()
+        i = 0
+        while (i < ie.m) {
+          val s0 = ie.src(i); adj(fill(s0)) = ie.dst(i); fill(s0) += 1
+          i += 1
+        }
+        val rows = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Int, Long)]
+        seeds.select(col("node")).collect().map(_.getString(0))
+          .foreach { lmName =>
+            val counts = new Array[Long](hops + 1)
+            counts(0) = 1L // the seed's own dist-0 row
+            val sid = ie.idOrNeg(lmName)
+            if (sid >= 0) {
+              val dist = Array.fill(ie.n)(-1)
+              dist(sid) = 0
+              var frontier = Array(sid)
+              var t = 1
+              while (t <= hops && frontier.nonEmpty) {
+                val next = scala.collection.mutable.ArrayBuffer.empty[Int]
+                frontier.foreach { u =>
+                  var k = starts(u)
+                  while (k < starts(u + 1)) {
+                    val vtx = adj(k)
+                    if (dist(vtx) < 0) { dist(vtx) = t; next += vtx }
+                    k += 1
+                  }
+                }
+                counts(t) = next.length.toLong
+                frontier = next.toArray
+                t += 1
+              }
+            }
+            var t = 0
+            while (t <= hops) {
+              if (counts(t) > 0) rows += ((lmName, t, counts(t)))
+              t += 1
+            }
+          }
+        rows.toSeq.toDF("lm", "dist", "nodes")
+      case None =>
+        val edgesP = edges.persistTracked()
+        var dist = seeds
+          .select(col("node"), col("node").as("lm"), lit(0).as("dist"))
+          .persistTracked()
+        var frontier = dist
+        for (t <- 1 to hops) {
+          val next = edgesP
+            .join(frontier.select(col("node").as("src"), col("lm")),
+              Seq("src"))
+            .select(col("dst").as("node"), col("lm")).distinct()
+            .join(dist.select("node", "lm"), Seq("node", "lm"), "left_anti")
+            .select(col("node"), col("lm"), lit(t).as("dist"))
+            .persistTracked()
+          dist = dist.union(next).persistTracked()
+          frontier = next
+        }
+        dist.groupBy("lm", "dist").agg(count(lit(1)).as("nodes"))
     }
-    dist.groupBy("lm", "dist").agg(count(lit(1)).as("nodes"))
-      .orderBy("lm", "dist")
+    hist.orderBy("lm", "dist")
   }
 
   /** PERSONALIZED PAGERANK (Page et al. 1999 §6; the PPR of Jeh &

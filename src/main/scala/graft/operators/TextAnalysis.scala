@@ -1691,30 +1691,7 @@ object TextAnalysis {
     val probed = graft.operators.Graph.probeCollect(edges, limit)
     val ranks =
       if (probed.length <= limit) {
-        val ie = new graft.operators.Graph.IndexedEdges(
-          probed.map(r => (r.getString(0), r.getString(1))))
-        val w = probed.map(_.getLong(2))
-        val wout = new Array[Long](ie.n)
-        var i = 0
-        while (i < ie.m) { wout(ie.src(i)) += w(i); i += 1 }
-        val nn = ie.n.toLong
-        var rank = Array.fill(ie.n)(1000000L / nn)
-        for (_ <- 1 to iters) {
-          val contrib = new Array[Long](ie.n)
-          i = 0
-          while (i < ie.m) {
-            val s0 = ie.src(i)
-            contrib(ie.dst(i)) +=
-              (850L * rank(s0) * w(i)) / (1000L * wout(s0))
-            i += 1
-          }
-          val nr = new Array[Long](ie.n)
-          var j = 0
-          while (j < ie.n) { nr(j) = 150000L / nn + contrib(j); j += 1 }
-          rank = nr
-        }
-        (0 until ie.n).map(nd => (ie.name(nd), rank(nd)))
-          .toDF("node", "rank")
+        graft.operators.Graph.weightedRankRounds(probed, iters, spark)
       } else {
         val edgesP = edges.persistTracked()
         val wout = edgesP.groupBy("src").agg(sum(col("n")).as("wout"))
