@@ -124,6 +124,39 @@ class Round12Spec extends SparkSpec {
     assert(lab("5") !== lab("1"))
   }
 
+  test("pprOnEdges: driver (string) and distributed (int) paths agree") {
+    val seedsS = Seq("1").toDF("node")
+    val seedsI = Seq(1).toDF("node")
+    val d = operators.Graph.pprOnEdges(strs(cliquePlus), seedsS,
+        iters = 3, k = 6)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val f = operators.Graph.pprOnEdges(ints(cliquePlus), seedsI,
+        iters = 3, k = 6)
+      .collect().map(r => (r.getInt(0).toString, r.getLong(1)))
+    assert(d.toSet === f.toSet)
+    // mass concentrates at the seed, and the off-component pendant pair
+    // holds zero mass (no teleport, no path from the seed)
+    assert(d.head._1 === "1")
+    val m = d.toMap
+    assert(m("5") === 0L && m("6") === 0L)
+  }
+
+  test("bfsOnEdges: driver (string) and distributed (int) paths agree") {
+    // chain 1-2-3-4 symmetrized: dists 0,1,2,3 from seed 1; plus a seed
+    // absent from the graph, which still releases its dist-0 row
+    val chain = Seq((1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3))
+    val seedsS = Seq("1", "99").toDF("node")
+    val seedsI = Seq(1, 99).toDF("node")
+    val d = operators.Graph.bfsOnEdges(strs(chain), seedsS, hops = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val f = operators.Graph.bfsOnEdges(ints(chain), seedsI, hops = 3)
+      .collect().map(r => (r.getInt(0).toString, r.getInt(1), r.getLong(2)))
+    assert(d.toSet === f.toSet)
+    assert(d.filter(_._1 == "1").sortBy(_._2).map(x => (x._2, x._3)).toSeq
+      === Seq((0, 1L), (1, 1L), (2, 1L), (3, 1L)))
+    assert(d.filter(_._1 == "99").toSeq === Seq(("99", 0, 1L)))
+  }
+
   test("hitsOnEdges: driver (string) and distributed (int) paths agree") {
     // directed bipartite: hubs 1,2 both point at authority 10; hub 1
     // also points at 11
