@@ -1539,49 +1539,15 @@ object Analytics {
     */
   def pagerankTransitions(events: DataFrame, iters: Int = 10): DataFrame = {
     // Edges are event-type²-sized — dimension-class, so the rounds take
-    // the bounded-driver branch (Graph.weightedRankRounds: identical
-    // fixed-point scheme, one probe pass over the sessionize chain, no
-    // per-round jobs — the r12 scheduling-overhead fix). The probe reads
-    // the UNPERSISTED frame; only the distributed fallback (a transition
-    // graph past 4M edge types) persists and iterates in-plan.
+    // the bounded-driver branch (Graph.weightedRank: identical
+    // fixed-point scheme, one DriverEdgeLimit probe pass over the
+    // UNPERSISTED sessionize chain, no per-round jobs — the r12
+    // scheduling-overhead fix). A transition graph past the limit (or a
+    // non-string node type) degrades to Graph's shared gated-broadcast
+    // distributed loop, which persists the graph so the 10 iterations
+    // never re-run the corpus-sized sessionize+lag pass.
     val edges = sessionTransitions(events).select("src", "dst", "n")
-    val spark = events.sparkSession
-    val limit = 4000000
-    val probed = Graph.probeCollect(edges, limit)
-    val ranks =
-      if (probed.length <= limit) {
-        Graph.weightedRankRounds(probed, iters, spark)
-      } else {
-        // Persist the graph: every iteration's lineage references the
-        // edge frame, and without the cache each of the 10 plans would
-        // re-run the corpus-sized sessionize+lag pass.
-        val edgesP = edges.persistTracked()
-        val wout = edgesP.groupBy("src").agg(sum(col("n")).as("wout"))
-        val e = edgesP.join(wout, "src")
-        val nodes = edgesP.select(col("src").as("node"))
-          .union(edgesP.select(col("dst").as("node"))).distinct()
-        val base = nodes.crossJoin(
-          broadcast(nodes.agg(count(lit(1)).as("nn"))))
-        var rk = base.select(col("node"), expr("1000000 div nn").as("rank"))
-        // ranks/contrib frames are node-sized — broadcast them so an
-        // iteration is a map over the cached edges plus one tiny
-        // aggregate (no shuffle join), and localCheckpoint each new
-        // ranks frame so iteration k's broadcast materializes ONE step,
-        // not the whole lineage again.
-        for (_ <- 1 to iters) {
-          val contrib = e.join(broadcast(rk), col("src") === col("node"))
-            .select(col("dst"),
-              expr("(850 * rank * n) div (1000 * wout)").as("c"))
-            .groupBy("dst").agg(sum(col("c")).as("c"))
-          rk = base.join(broadcast(contrib), col("node") === col("dst"),
-              "left")
-            .select(col("node"),
-              (expr("150000 div nn") + coalesce(col("c"), lit(0L)))
-                .as("rank"))
-            .localCheckpoint()
-        }
-        rk
-      }
+    val ranks = Graph.weightedRank(edges, iters)
     ranks
       .select(col("node"), col("rank").cast("long").as("rank_ppm"),
         round(col("rank").cast("double") / lit(1000000.0), 6).as("share"))

@@ -51,42 +51,67 @@ object Graph {
     */
   private[operators] val DriverEdgeLimit = 4000000
 
-  /** Probe-collect: all (src, dst) edges if the frame holds ≤ `limit`
-    * rows AND both columns are strings (non-string node types take the
-    * distributed branch so both paths release identical schemas — the
-    * componentLabelsJump id-type lesson). ONE collect serves both the
-    * size check and the rounds (no separate count job — the limit-probe
-    * idiom). The caller must pass the UNPERSISTED frame: probing through
-    * a fresh cache costs ~3× the plain scan (measured 6.3 s vs 2.3 s on
-    * the sf0.1 interaction graph), and the fast path never reads the
-    * frame again — only the distributed fallback persists.
+  /** Probe-or-persist: the single entry point of every bounded-driver
+    * fast path. Collects all (src, dst) edges — `Right(IndexedEdges)` —
+    * if the frame holds ≤ `limit` rows AND both columns are strings
+    * (non-string node types take the distributed branch so both paths
+    * release identical schemas — the componentLabelsJump id-type
+    * lesson). ONE collect serves both the size check and the rounds (no
+    * separate count job — the limit-probe idiom). The caller must pass
+    * the UNPERSISTED frame: probing through a fresh cache costs ~3× the
+    * plain scan (measured 6.3 s vs 2.3 s on the sf0.1 interaction
+    * graph), and the fast path never reads the frame again.
+    *
+    * On the at-scale / non-string path the SAME frame comes back
+    * `Left`, already persisted (tracked): every distributed fallback
+    * iterates over it several times, and persisting HERE — not at each
+    * call site — means the probe's one burned scan is the only
+    * recompute anywhere (the r12 ADVICE recompute finding; modularity's
+    * byC joins now read the identical cache lpaRounds iterated on).
     */
-  private def probeEdges(edges: DataFrame, limit: Int = DriverEdgeLimit)
-      : Option[IndexedEdges] = {
+  private def probeOrPersist(edges: DataFrame, limit: Int = DriverEdgeLimit)
+      : Either[DataFrame, IndexedEdges] = {
+    import graft.CacheScope.TrackedDataset
     val f = edges.schema.fields
-    if (f.length != 2 ||
-        f.exists(_.dataType != org.apache.spark.sql.types.StringType))
-      None
-    else {
+    val stringPair = f.length == 2 &&
+      f.forall(_.dataType == org.apache.spark.sql.types.StringType)
+    if (stringPair) {
       val rows = probeCollect(edges, limit)
-      if (rows.length > limit) None
-      else Some(new IndexedEdges(
-        rows.map(r => (r.getString(0), r.getString(1)))))
+      if (rows.length <= limit)
+        return Right(new IndexedEdges(
+          rows.map(r => (r.getString(0), r.getString(1)))))
     }
+    Left(edges.persistTracked())
   }
 
-  /** limit(n+1).collect() with the incremental executeTake ramp turned
-    * off for the probe: the default (1-partition first job, ×4 scale-up)
+  /** limit(n+1).collect() with the incremental executeTake ramp bounded
+    * for the probe: the default (1-partition first job, ×4 scale-up)
     * turns one full scan into ~4 SEQUENTIAL jobs — measured 2× the probe
     * wall on 32-partition frames that the probe expects to read fully
-    * anyway. Restores the session conf after.
+    * anyway. The first take job is widened to `defaultParallelism`
+    * partitions, NOT all of them: on an over-limit at-scale frame (the
+    * exact case meant to degrade to the distributed fallback) an
+    * all-partitions first job would ship up to numPartitions×(limit+1)
+    * rows to the driver — OOM instead of degrade, the class the
+    * BroadcastNodeLimit gate exists to prevent. Cores-bounded, the probe
+    * transfers at most ~cores×(limit+1) rows before the ramp sees it
+    * already holds > limit and stops; locally (32 shuffle partitions =
+    * defaultParallelism) every partition still lands in ONE job, so the
+    * measured ramp win is unchanged. The conf set/restore is serialized
+    * on [[probeLock]] so interleaved probes can't observe each other's
+    * temporary value or mis-restore it; a concurrent NON-probe query in
+    * the same session could still see the probe's setting for its own
+    * limits (benign here — Verify/Bench run queries sequentially, and
+    * the value only shapes take-job batching, never results).
     */
+  private val probeLock = new Object
   private[operators] def probeCollect(df: DataFrame, limit: Int)
-      : Array[org.apache.spark.sql.Row] = {
+      : Array[org.apache.spark.sql.Row] = probeLock.synchronized {
     val sess = df.sparkSession
     val key = "spark.sql.limit.initialNumPartitions"
     val old = sess.conf.getOption(key)
-    sess.conf.set(key, "1000000")
+    sess.conf.set(key,
+      math.max(1, sess.sparkContext.defaultParallelism).toString)
     try df.limit(limit + 1).collect()
     finally old match {
       case Some(v) => sess.conf.set(key, v)
@@ -106,6 +131,10 @@ object Graph {
       rows: Array[org.apache.spark.sql.Row], iters: Int,
       spark: SparkSession): DataFrame = {
     import spark.implicits._
+    // empty/degenerate corpus: the distributed loop releases an empty
+    // frame (no nodes to rank); match it instead of dividing 10⁶ by 0
+    if (rows.isEmpty)
+      return Seq.empty[(String, Long)].toDF("node", "rank")
     val ie = new IndexedEdges(rows.map(r => (r.getString(0), r.getString(1))))
     val w = rows.map(_.getLong(2))
     val wout = new Array[Long](ie.n)
@@ -129,6 +158,75 @@ object Graph {
     }
     (0 until ie.n).map(nd => (ie.name(nd), rank(nd)))
       .toDF("node", "rank")
+  }
+
+  /** The shared probe + dispatch for the weighted scheme — THE entry
+    * point for TextAnalysis.textRank and Analytics.pagerankTransitions
+    * (both previously inlined a hardcoded limit and a private copy of
+    * the distributed loop — the r12 verdict's one real finding).
+    * Contract mirrors [[probeOrPersist]]: string (src, dst) + Long n →
+    * one limit-probe on the UNPERSISTED frame, driver rounds below
+    * [[DriverEdgeLimit]]; non-string node types or an over-limit frame
+    * take [[weightedRankRoundsDistributed]] (without the type gate a
+    * non-string caller would ClassCastException inside
+    * weightedRankRounds' getString instead of degrading).
+    */
+  private[operators] def weightedRank(edges: DataFrame,
+                                      iters: Int): DataFrame = {
+    val f = edges.schema.fields
+    val stringKeyed = f.length == 3 &&
+      f(0).dataType == org.apache.spark.sql.types.StringType &&
+      f(1).dataType == org.apache.spark.sql.types.StringType
+    if (stringKeyed) {
+      val rows = probeCollect(edges, DriverEdgeLimit)
+      if (rows.length <= DriverEdgeLimit)
+        return weightedRankRounds(rows, iters, edges.sparkSession)
+    }
+    weightedRankRoundsDistributed(edges, iters)
+  }
+
+  /** The at-scale weighted loop (one hoisted copy of what textRank and
+    * pagerankTransitions each inlined): per round ONE shuffle — cached
+    * edges ⋈ the node-cardinality rank frame, map-side-combined sum by
+    * dst — with the rank/contrib broadcasts gated on
+    * [[BroadcastNodeLimit]] (past broadcast class the hint drops to a
+    * shuffle join instead of OOMing — the LPA/modularity r11 ADVICE
+    * gate, now applied here too). localCheckpoint keeps round k's
+    * lineage one step deep. The node count is the one driver scalar; it
+    * feeds the 10⁶ div n seeds AND the broadcast gate, and persisting
+    * `nodes` makes each round's left join read a cache instead of
+    * re-running the distinct (the old inline loops re-derived it every
+    * round).
+    */
+  private def weightedRankRoundsDistributed(edgeFrame: DataFrame,
+                                            iters: Int): DataFrame = {
+    import graft.CacheScope.TrackedDataset
+    val edgesP = edgeFrame.persistTracked()
+    val wout = edgesP.groupBy("src").agg(sum(col("n")).as("wout"))
+    val e = edgesP.join(wout, "src")
+    val nodes = edgesP.select(col("src").as("node"))
+      .union(edgesP.select(col("dst").as("node"))).distinct()
+      .persistTracked()
+    val nn = nodes.count()
+    def hint(df: DataFrame): DataFrame =
+      if (nn <= BroadcastNodeLimit) broadcast(df) else df
+    // nn = 0 ⇒ nodes is empty and every frame below is empty; guard the
+    // two driver-side divisions so the degenerate corpus releases the
+    // empty frame instead of throwing
+    val seed = if (nn == 0) 0L else 1000000L / nn
+    val tele = if (nn == 0) 0L else 150000L / nn
+    var rk = nodes.select(col("node"), lit(seed).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(hint(rk), col("src") === col("node"))
+        .select(col("dst"),
+          expr("(850 * rank * n) div (1000 * wout)").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("c"))
+      rk = nodes.join(hint(contrib), col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(tele) + coalesce(col("c"), lit(0L))).as("rank"))
+        .localCheckpoint()
+    }
+    rk
   }
 
   /** String-interned edge list for the driver fast paths: node names →
@@ -248,8 +346,8 @@ object Graph {
     val S = 1000000L
     val spark = edgeFrame.sparkSession
     import spark.implicits._
-    val aFinal = probeEdges(edgeFrame.select("src", "dst")) match {
-      case Some(ie) =>
+    val aFinal = probeOrPersist(edgeFrame.select("src", "dst")) match {
+      case Right(ie) =>
         // bounded driver state: identical half-step scheme on Longs; the
         // inner-join semantics of each half-step map to a −1 "absent"
         // sentinel (masses are ≥ 0) — a src absent from the score frame
@@ -291,8 +389,7 @@ object Graph {
         (0 until ie.n).collect {
           case nd if a(nd) >= 0 => (ie.name(nd), a(nd))
         }.toDF("dst", "a")
-      case None =>
-        val e = edgeFrame.persistTracked()
+      case Left(e) => // persisted by the probe — every half-step reads it
         var h = e.select(col("src")).distinct().withColumn("h", lit(S))
         var a: DataFrame = null
         // each half-step's raw-score frame is persisted: it feeds BOTH
@@ -333,8 +430,12 @@ object Graph {
     import graft.CacheScope.TrackedDataset
     val spark = edgeFrame.sparkSession
     import spark.implicits._
-    val ranked = probeEdges(edgeFrame.select("src", "dst")) match {
-      case Some(ie) =>
+    val ranked = probeOrPersist(edgeFrame.select("src", "dst")) match {
+      case Right(ie) if ie.m == 0 =>
+        // empty graph: no src nodes, so SCALE div nSrc would divide by
+        // zero — release the empty frame the distributed branch would
+        Seq.empty[(String, Long)].toDF("node", "p")
+      case Right(ie) =>
         // bounded driver state: the same SCALE/teleport scheme on Longs
         // (Scala / on non-negative Longs ≡ Spark div ≡ DuckDB //); sums
         // are exact integer adds, so accumulation order cannot matter.
@@ -369,12 +470,11 @@ object Graph {
         (0 until ie.n).collect {
           case nd if deg(nd) > 0 => (ie.name(nd), p(nd))
         }.toDF("node", "p")
-      case None =>
-        val edges = edgeFrame.persistTracked()
+      case Left(edges) => // persisted by the probe
         val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
           .select(col("src").as("node"), col("deg")).persistTracked()
         val n = deg.count() // node count — the one driver-side scalar
-        val base = SCALE / n
+        val base = if (n == 0) 0L else SCALE / n
         val teleport = (15L * base) / 100L
         var p = deg.select(col("node"), col("deg"), lit(base).as("p"))
         for (_ <- 1 to iters) {
@@ -448,8 +548,8 @@ object Graph {
     import graft.CacheScope.TrackedDataset
     val spark = edgeFrame.sparkSession
     import spark.implicits._
-    val peeled = probeEdges(edgeFrame.select("src", "dst")) match {
-      case Some(ie) =>
+    val peeled = probeOrPersist(edgeFrame.select("src", "dst")) match {
+      case Right(ie) =>
         // bounded driver state: identical peel — degree count per src
         // over the surviving multiset, keep both-endpoint survivors
         val alive = Array.fill(ie.m)(true)
@@ -471,8 +571,8 @@ object Graph {
         (0 until ie.n).collect {
           case nd if deg(nd) > 0 => (ie.name(nd), deg(nd), deg(nd) >= k)
         }.toDF("node", "deg", "stable")
-      case None =>
-        var edges = edgeFrame.persistTracked()
+      case Left(edges0) => // persisted by the probe — round 1 peels it
+        var edges = edges0
         for (_ <- 1 to rounds) {
           val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
             .filter(col("deg") >= k).select("src")
@@ -582,7 +682,7 @@ object Graph {
             (ie.name(nd), ie.name(lab(nd)), lab(nd) == prev(nd))
         }.toDF("node", "label", "stable")
           .orderBy("node")
-      case LpaFrames(lab, prev, _) =>
+      case LpaFrames(lab, prev, _, _) =>
         lab.join(prev.select(col("node"), col("label").as("pl")),
             Seq("node"))
           .select(col("node"), col("label"),
@@ -604,8 +704,13 @@ object Graph {
   private sealed trait LpaResult
   private final case class LpaDriver(ie: IndexedEdges, lab: Array[Int],
                                      prev: Array[Int]) extends LpaResult
+  /** `edgesP` is the probe-persisted symmetrized edge frame — carried
+    * so modularity's byC label attaches read the SAME cache the rounds
+    * iterated on instead of re-deriving the corpus-sized edge build.
+    */
   private final case class LpaFrames(lab: DataFrame, prev: DataFrame,
-                                     nNodes: Long) extends LpaResult
+                                     nNodes: Long,
+                                     edgesP: DataFrame) extends LpaResult
 
   /** The bare rounds — [[labelPropOnEdges]] derives the stable flag
     * from the (final, previous) pair; [[modularity]] consumes the final
@@ -616,8 +721,8 @@ object Graph {
     import graft.CacheScope.TrackedDataset
     val spark = base.sparkSession
     import spark.implicits._
-    probeEdges(base.select("src", "dst")) match {
-      case Some(ie) =>
+    probeOrPersist(base.select("src", "dst")) match {
+      case Right(ie) =>
         // bounded driver state: identical synchronous vote — each edge
         // (plus one self-loop per initial node) contributes src's
         // current label to dst; argmax = max count, ties to the
@@ -677,8 +782,8 @@ object Graph {
           lab = bestLab
         }
         LpaDriver(ie, lab, prev)
-      case None =>
-        val nodes = base.select(col("src").as("node")).distinct()
+      case Left(baseP) => // persisted by the probe
+        val nodes = baseP.select(col("src").as("node")).distinct()
           .persistTracked()
         val nNodes = nodes.count()
         // label frame is node-cardinality — broadcast keeps every round a
@@ -688,7 +793,7 @@ object Graph {
         def hint(df: DataFrame): DataFrame =
           if (nNodes <= BroadcastNodeLimit) broadcast(df) else df
         // self-loop per node = the node's own vote for its current label
-        val edges = base.union(
+        val edges = baseP.union(
           nodes.select(col("node").as("src"), col("node").as("dst")))
           .persistTracked()
         var lab = nodes.select(col("node"), col("node").as("label"))
@@ -709,7 +814,7 @@ object Graph {
             .select(col("node"), col("b.label").as("label"))
             .persistTracked()
         }
-        LpaFrames(lab, prev, nNodes)
+        LpaFrames(lab, prev, nNodes, baseP)
     }
   }
 
@@ -793,8 +898,8 @@ object Graph {
     import graft.CacheScope.TrackedDataset
     val spark = edges.sparkSession
     import spark.implicits._
-    val hist = probeEdges(edges.select("src", "dst")) match {
-      case Some(ie) =>
+    val hist = probeOrPersist(edges.select("src", "dst")) match {
+      case Right(ie) =>
         // bounded driver state: per landmark, classic frontier BFS over
         // a CSR adjacency — dist-marking makes each hop's frontier
         // distinct and already-settled nodes skipped, exactly the
@@ -847,8 +952,7 @@ object Graph {
             }
           }
         rows.toSeq.toDF("lm", "dist", "nodes")
-      case None =>
-        val edgesP = edges.persistTracked()
+      case Left(edgesP) => // persisted by the probe — each hop reads it
         var dist = seeds
           .select(col("node"), col("node").as("lm"), lit(0).as("dist"))
           .persistTracked()
@@ -888,13 +992,13 @@ object Graph {
     import graft.CacheScope.TrackedDataset
     val spark = edgeFrame.sparkSession
     import spark.implicits._
-    val ranked = probeEdges(edgeFrame.select("src", "dst")) match {
-      case Some(ie) =>
+    val ranked = probeOrPersist(edgeFrame.select("src", "dst")) match {
+      case Right(ie) =>
         // bounded driver state: the q_pagerank fast path with the seed
         // teleport vector; the seed frame is nSeeds-bounded by contract
         val seedRows = seeds.select(col("node")).collect()
         val nSeeds = seedRows.length.toLong
-        val seedMass = SCALE / nSeeds
+        val seedMass = if (nSeeds == 0) 0L else SCALE / nSeeds
         val teleport = (15L * seedMass) / 100L
         val isSeed = new Array[Boolean](ie.n)
         seedRows.foreach { r =>
@@ -931,8 +1035,7 @@ object Graph {
         (0 until ie.n).collect {
           case nd if deg(nd) > 0 => (ie.name(nd), p(nd))
         }.toDF("node", "p")
-      case None =>
-        val edges = edgeFrame.persistTracked()
+      case Left(edges) => // persisted by the probe
         val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
           .select(col("src").as("node"), col("deg"))
           .join(seeds.select(col("node"), lit(true).as("is_seed")),
@@ -940,7 +1043,7 @@ object Graph {
           .na.fill(false, Seq("is_seed"))
           .persistTracked()
         val nSeeds = seeds.count() // one driver scalar (q_pagerank posture)
-        val seedMass = SCALE / nSeeds
+        val seedMass = if (nSeeds == 0) 0L else SCALE / nSeeds
         val teleport = (15L * seedMass) / 100L
         var p = deg.select(col("node"), col("deg"), col("is_seed"),
           when(col("is_seed"), seedMass).otherwise(0L).as("p"))
@@ -1023,7 +1126,7 @@ object Graph {
           case c if degSum(c) > 0 =>
             (ie.name(c), nN(c), degSum(c), in2(c), m2v)
         }.toDF("community", "n_nodes", "deg_sum", "in2", "m2")
-      case LpaFrames(lab, _, nGraphNodes) =>
+      case LpaFrames(lab, _, nGraphNodes, edgesP) =>
         // collapse the edge-cardinality label-attach to the community
         // frame ONCE and persist it: byC feeds both the m2 scalar
         // (Σ deg_sum) and the terms, so nothing edge-sized is ever
@@ -1031,12 +1134,12 @@ object Graph {
         // 3-round LPA chain per action). Both label attaches broadcast
         // the node-cardinality frame — gated on BroadcastNodeLimit (r11
         // ADVICE: past broadcast class, degrade to a shuffle join
-        // instead of OOMing). The fallback re-derives the edge frame
-        // (one extra scan — the probe consumed the first): persisted
-        // here for its single two-join pass.
+        // instead of OOMing). edgesP is the cache the rounds iterated
+        // on (probe-persisted) — no re-derived edge build here (r12
+        // ADVICE recompute finding).
         def hint(df: DataFrame): DataFrame =
           if (nGraphNodes <= BroadcastNodeLimit) broadcast(df) else df
-        val agg = edges
+        val agg = edgesP
           .join(hint(lab.select(col("node").as("src"),
             col("label").as("ls"))), Seq("src"))
           .join(hint(lab.select(col("node").as("dst"),
@@ -1066,6 +1169,157 @@ object Graph {
         col("internal_edges"), col("q_term").cast("double").as("q_term"),
         col("q_total"))
       .orderBy("community")
+  }
+
+  /** ONE LOUVAIN MOVE PHASE (Blondel et al. 2008 §2, the local-move
+    * step) on the LPA partition: for every node i in community A, the
+    * best defection target is the neighbor community B maximizing the
+    * modularity gain of moving i from A to B,
+    *   ΔQ = [k_{i,B} − k_{i,A\i}]/m − k_i·[Σtot(B) − Σtot(A) + k_i]/(2m²),
+    * and i moves iff the best gain is positive. This is the modularity
+    * OPTIMIZATION step the suite's q_label_prop (partition) and
+    * q_modularity (measurement) pair lacked — the readout shows which
+    * nodes the LPA partition misplaces and by how much.
+    *
+    * Exactness: gains are released ×2m² — gain_num =
+    * 2m·(k_{i,B} − k_{i,A}) − k_i·(Σtot(B) − Σtot(A) + k_i) with
+    * 2m = |symmetrized edges| — so every comparison and the released
+    * number are exact integer arithmetic on degree/count Longs; DuckDB
+    * replays bit-for-bit. Long is exact to ~3·10⁹ symmetrized edges
+    * (2m·k < 2⁶³); past that the products move to DECIMAL(38,0) — the
+    * knob, not the shape (the q_hits S note). Ties break to the
+    * UTF-8-smallest target community; the SYNCHRONOUS variant (every
+    * node scored against the same pre-move partition) keeps the phase
+    * deterministic and engine-replayable where the sequential original
+    * is scan-order-dependent.
+    *
+    * Scale posture: rides lpaRounds' probe contract (bounded driver
+    * arrays below DriverEdgeLimit via the packed sort+scan, distributed
+    * past it). Distributed, everything is the modularity shape — two
+    * gated-broadcast label attaches on the probe-persisted edges, then
+    * (node × neighbor-community)-bounded frames; nothing
+    * edge-cardinality persists beyond the probe cache.
+    */
+  def louvainMove(s: SparkSession, d: String, rounds: Int = 3): DataFrame =
+    louvainMoveOnEdges(interactionEdges(s, d), rounds)
+
+  /** The move phase over any symmetrized (src, dst) frame. */
+  def louvainMoveOnEdges(base: DataFrame, rounds: Int): DataFrame = {
+    import graft.CacheScope.TrackedDataset
+    val spark = base.sparkSession
+    import spark.implicits._
+    val moved = lpaRounds(base, rounds) match {
+      case LpaDriver(ie, lab, _) =>
+        val m2v = ie.m.toLong
+        val deg = new Array[Long](ie.n)
+        var i = 0
+        while (i < ie.m) { deg(ie.src(i)) += 1L; i += 1 }
+        val stot = new Array[Long](ie.n)
+        var j = 0
+        while (j < ie.n) { if (lab(j) >= 0) stot(lab(j)) += deg(j); j += 1 }
+        val rank = ie.utf8Rank
+        // (src, dst-label) counts via the packed sort+scan (the LPA
+        // vote idiom — a per-node HashMap here measured seconds on the
+        // sf0.1 graph, the array form is milliseconds)
+        val keys = new Array[Long](ie.m)
+        var pos = 0
+        i = 0
+        while (i < ie.m) {
+          val ld = lab(ie.dst(i))
+          if (lab(ie.src(i)) >= 0 && ld >= 0) {
+            keys(pos) = (ie.src(i).toLong << 32) | ld.toLong
+            pos += 1
+          }
+          i += 1
+        }
+        java.util.Arrays.sort(keys, 0, pos)
+        val gainArr = new Array[Long](ie.n)
+        val targetArr = Array.fill(ie.n)(-1)
+        var a = 0
+        while (a < pos) {
+          val srcId = (keys(a) >>> 32).toInt
+          var b = a
+          while (b < pos && (keys(b) >>> 32).toInt == srcId) b += 1
+          val labA = lab(srcId)
+          // pass 1 over the segment: k_{i,A} (edges into own community)
+          var kA = 0L
+          var x = a
+          while (x < b) {
+            if ((keys(x) & 0xffffffffL).toInt == labA) kA += 1L
+            x += 1
+          }
+          // pass 2: per candidate community run, the exact integer gain
+          var bg = Long.MinValue
+          var bl = -1
+          x = a
+          while (x < b) {
+            val lb = (keys(x) & 0xffffffffL).toInt
+            var y = x + 1
+            while (y < b && (keys(y) & 0xffffffffL).toInt == lb) y += 1
+            if (lb != labA) {
+              val kib = (y - x).toLong
+              val g = m2v * (kib - kA) -
+                deg(srcId) * (stot(lb) - stot(labA) + deg(srcId))
+              if (bl < 0 || g > bg || (g == bg && rank(lb) < rank(bl))) {
+                bg = g; bl = lb
+              }
+            }
+            x = y
+          }
+          if (bl >= 0) { gainArr(srcId) = bg; targetArr(srcId) = bl }
+          a = b
+        }
+        (0 until ie.n).collect {
+          case nd if lab(nd) >= 0 =>
+            val mv = targetArr(nd) >= 0 && gainArr(nd) > 0L
+            (ie.name(nd), ie.name(lab(nd)),
+              ie.name(if (mv) targetArr(nd) else lab(nd)), mv, gainArr(nd))
+        }.toDF("node", "old_label", "new_label", "moved", "gain_num")
+      case LpaFrames(lab0, _, nGraphNodes, edgesP) =>
+        def hint(df: DataFrame): DataFrame =
+          if (nGraphNodes <= BroadcastNodeLimit) broadcast(df) else df
+        val el = edgesP
+          .join(hint(lab0.select(col("node").as("src"),
+            col("label").as("ls"))), Seq("src"))
+          .join(hint(lab0.select(col("node").as("dst"),
+            col("label").as("ld"))), Seq("dst"))
+        // (node × neighbor-community)-bounded from here down
+        val kf = el.groupBy(col("src").as("node"), col("ls"), col("ld"))
+          .agg(count(lit(1)).as("kib"))
+          .persistTracked()
+        val deg = edgesP.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("deg"))
+          .persistTracked()
+        val stot = lab0.join(hint(deg), Seq("node"))
+          .groupBy("label").agg(sum(col("deg")).as("stot"))
+        val m2 = edgesP.agg(count(lit(1)).as("m2"))
+        val kia = kf.filter(col("ls") === col("ld"))
+          .select(col("node"), col("kib").as("kia"))
+        val cand = kf.filter(col("ls") =!= col("ld"))
+          .join(kia, Seq("node"), "left")
+          .join(deg, Seq("node"))
+          .join(hint(stot.select(col("label").as("ld"),
+            col("stot").as("stot_b"))), Seq("ld"))
+          .join(hint(stot.select(col("label").as("ls"),
+            col("stot").as("stot_a"))), Seq("ls"))
+          .crossJoin(broadcast(m2))
+          .select(col("node"), col("ld"),
+            (col("m2") * (col("kib") - coalesce(col("kia"), lit(0L))) -
+              col("deg") * (col("stot_b") - col("stot_a") + col("deg")))
+              .as("gain"))
+        val best = cand.groupBy("node")
+          .agg(min(struct(negate(col("gain")).as("ng"),
+            col("ld").as("ld"))).as("b"))
+          .select(col("node"), col("b.ld").as("cand_label"),
+            negate(col("b.ng")).as("gain"))
+        lab0.join(best, Seq("node"), "left")
+          .select(col("node"), col("label").as("old_label"),
+            when(coalesce(col("gain"), lit(0L)) > 0, col("cand_label"))
+              .otherwise(col("label")).as("new_label"),
+            (coalesce(col("gain"), lit(0L)) > 0).as("moved"),
+            coalesce(col("gain"), lit(0L)).as("gain_num"))
+    }
+    moved.orderBy("node")
   }
 
   /** EFFECTIVE-DIAMETER readout (the HyperANF/ANF summary of Palmer et
@@ -1098,6 +1352,8 @@ object Graph {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Modularity Q of the LPA communities (per-community terms + total).
     "q_modularity" -> { (s, d) => modularity(s, d) },
+    // One Louvain move phase on the LPA partition (exact ×2m² gains).
+    "q_louvain_move" -> { (s, d) => louvainMove(s, d) },
     // Effective diameter (90th-pct reach) per BFS landmark.
     "q_eff_diameter" -> { (s, d) => effDiameter(s, d) },
     "q_ppr_seed" -> { (s, d) => ppr(s, d) },
@@ -1318,6 +1574,61 @@ object Graph {
          |SELECT community, n_nodes, deg_sum, internal_edges,
          | CAST(q_term AS DOUBLE) AS q_term, q_total
          |FROM wt CROSS JOIN qt ORDER BY community""".stripMargin
+    },
+    // LPA replay (self-loop vote edges), then the move-phase gain CTEs
+    // over the PLAIN symmetrized edges: per-(node, neighbor-community)
+    // counts, own-community count, Σtot per community, and the exact
+    // integer gain 2m·(k_iB − k_iA) − k_i·(Σtot(B) − Σtot(A) + k_i);
+    // row_number(gain DESC, ld ASC) is order-equivalent to Spark's
+    // min((−gain, ld)) struct.
+    "q_louvain_move" -> {
+      val rounds = (1 to 3).map(lpaRoundSql).mkString(",\n")
+      s"""WITH h AS (
+         | SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
+         | FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |nodes AS (SELECT DISTINCT src AS node FROM
+         | (SELECT src FROM h UNION ALL SELECT dst FROM h) t(src)),
+         |edges AS (
+         | SELECT src, dst FROM h UNION ALL SELECT dst, src FROM h
+         | UNION ALL SELECT node, node FROM nodes),
+         |l0 AS (SELECT node, node AS label FROM nodes),
+         |$rounds,
+         |sym AS (SELECT src, dst FROM h UNION ALL SELECT dst, src FROM h),
+         |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+         |        FROM sym GROUP BY 1),
+         |m2 AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM sym),
+         |stot AS (
+         | SELECT l.label, CAST(sum(d.deg) AS BIGINT) AS stot
+         | FROM l3 l JOIN deg d ON l.node = d.node GROUP BY 1),
+         |kf AS (
+         | SELECT sym.src AS node, a.label AS ls, b.label AS ld,
+         |  CAST(count(*) AS BIGINT) AS kib
+         | FROM sym JOIN l3 a ON sym.src = a.node
+         |  JOIN l3 b ON sym.dst = b.node
+         | GROUP BY 1, 2, 3),
+         |kia AS (SELECT node, kib AS kia FROM kf WHERE ls = ld),
+         |cand AS (
+         | SELECT kf.node, kf.ld,
+         |  (SELECT m2 FROM m2) * (kf.kib - COALESCE(kia.kia, 0))
+         |   - d.deg * (sb.stot - sa.stot + d.deg) AS gain
+         | FROM kf
+         | LEFT JOIN kia ON kf.node = kia.node
+         | JOIN deg d ON kf.node = d.node
+         | JOIN stot sb ON kf.ld = sb.label
+         | JOIN stot sa ON kf.ls = sa.label
+         | WHERE kf.ld <> kf.ls),
+         |best AS (
+         | SELECT node, ld, gain FROM (
+         |  SELECT node, ld, gain, row_number() OVER (
+         |   PARTITION BY node ORDER BY gain DESC, ld ASC) AS rn
+         |  FROM cand) WHERE rn = 1)
+         |SELECT l.node, l.label AS old_label,
+         | CASE WHEN COALESCE(b.gain, 0) > 0 THEN b.ld ELSE l.label END
+         |  AS new_label,
+         | COALESCE(b.gain, 0) > 0 AS moved,
+         | CAST(COALESCE(b.gain, 0) AS BIGINT) AS gain_num
+         |FROM l3 l LEFT JOIN best b ON l.node = b.node
+         |ORDER BY l.node""".stripMargin
     },
     "q_label_prop" -> {
       val rounds = (1 to 3).map(lpaRoundSql).mkString(",\n")

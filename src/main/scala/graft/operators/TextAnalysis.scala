@@ -1677,44 +1677,14 @@ object TextAnalysis {
         struct(col("b").as("src"), col("a").as("dst")))).as("e"))
       .select(col("e.src"), col("e.dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("n"))
-    val spark = docs.sparkSession
-    import spark.implicits._
-    // bounded-driver-state fast path (r11 verdict item 1, the Graph
-    // probeEdges pattern): the weighted word graph is vocab²-bounded but
-    // the 6 distributed rounds pay ~1 s/job of scheduling overhead
-    // (cpu_wall 2.8 at sf0.1 — the q_grid_clusters disease). One
-    // limit-probe collect on the UNPERSISTED frame (the fast path never
-    // reads it again); below the cap the rounds run on driver Long
-    // arrays with the IDENTICAL fixed-point scheme; past it, the
-    // distributed loop (which persists) as before.
-    val limit = 4000000
-    val probed = graft.operators.Graph.probeCollect(edges, limit)
-    val ranks =
-      if (probed.length <= limit) {
-        graft.operators.Graph.weightedRankRounds(probed, iters, spark)
-      } else {
-        val edgesP = edges.persistTracked()
-        val wout = edgesP.groupBy("src").agg(sum(col("n")).as("wout"))
-        val e = edgesP.join(wout, "src")
-        val nodes = edgesP.select(col("src").as("node"))
-          .union(edgesP.select(col("dst").as("node"))).distinct()
-        val base = nodes.crossJoin(
-          broadcast(nodes.agg(count(lit(1)).as("nn"))))
-        var rk = base.select(col("node"), expr("1000000 div nn").as("rank"))
-        for (_ <- 1 to iters) {
-          val contrib = e.join(broadcast(rk), col("src") === col("node"))
-            .select(col("dst"),
-              expr("(850 * rank * n) div (1000 * wout)").as("c"))
-            .groupBy("dst").agg(sum(col("c")).as("c"))
-          rk = base.join(broadcast(contrib), col("node") === col("dst"),
-              "left")
-            .select(col("node"),
-              (expr("150000 div nn") + coalesce(col("c"), lit(0L)))
-                .as("rank"))
-            .localCheckpoint()
-        }
-        rk
-      }
+    // bounded-driver-state fast path (r11 verdict item 1): the weighted
+    // word graph is vocab²-bounded but the 6 distributed rounds pay
+    // ~1 s/job of scheduling overhead (cpu_wall 2.8 at sf0.1 — the
+    // q_grid_clusters disease). Graph.weightedRank owns the whole
+    // contract — the DriverEdgeLimit probe on the UNPERSISTED frame,
+    // the string-type gate, and the gated-broadcast distributed
+    // fallback (one shared copy; this site previously inlined both).
+    val ranks = graft.operators.Graph.weightedRank(edges, iters)
     ranks.orderBy(desc("rank"), col("node")).limit(k)
       .select(col("node").as("word"), col("rank").cast("long").as("rank_ppm"),
         round(col("rank").cast("double") / lit(1000000.0), 6).as("share"))

@@ -78,6 +78,34 @@ object Sources {
       .orderBy("doc_id")
   }
 
+  /** NON-DEFAULT CHARSET round-trip (the last untouched reference CSV
+    * option: `notebooks/prueva.ipynb` cell 1 reads latin1) — the corpus
+    * is ASCII so latin1 code points are PLANTED (é ñ Ç are single
+    * bytes 0xE9/0xF1/0xC7 in latin1, two bytes in UTF-8: a charset
+    * mix-up corrupts them loudly), written through the CSV sink with
+    * `encoding=latin1`, and read back declaring the same charset.
+    * Fidelity gates on per-doc char length + md5 (Spark md5 hashes the
+    * decoded string's UTF-8 bytes, so a mojibake'd é changes the
+    * digest). Schema declared, never inferred.
+    */
+  def csvLatin1Roundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmp = "/root/repo/target/scratch/csv_latin1"
+    val planted = Tables.documents(s, d)
+      .filter(col("doc_id") < 30)
+      .select(col("doc_id"),
+        concat(lit("café niño Çédille ü: "), col("text")).as("text"))
+    planted.write.mode("overwrite")
+      .option("header", true).option("encoding", "iso-8859-1").csv(tmp)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    s.read.schema(schema)
+      .option("header", true).option("encoding", "iso-8859-1")
+      .csv(tmp)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        md5(col("text")).as("digest"))
+      .orderBy("doc_id")
+  }
+
   /** S4 — the idempotent-append sink driven end-to-end: partial first
     * load, two idempotent loads of the full table (second is a no-op),
     * then read back — the table must hold each key exactly once (the
@@ -527,6 +555,7 @@ object Sources {
     "q_table_fingerprint" -> tableFingerprint _,
     "q_s1_csv_roundtrip" -> csvRoundtrip _,
     "q_csv_quoted" -> csvQuotedRoundtrip _,
+    "q_csv_latin1" -> csvLatin1Roundtrip _,
     "q_orc_roundtrip" -> orcRoundtrip _,
     "q_xml_roundtrip" -> xmlRoundtrip _,
     "q_s4_idempotent_write" -> idempotentWriteRoundtrip _,
@@ -580,6 +609,15 @@ object Sources {
     "q_jdbc_roundtrip" ->
       """SELECT n_regionkey, count(*) AS cnt, max(n_name) AS max_name
         |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same plant off the parquet source — the CSV trip must be
+    // value-invisible, latin1 code points included
+    "q_csv_latin1" ->
+      """WITH p AS (
+        | SELECT doc_id, 'café niño Çédille ü: ' || text AS text
+        | FROM documents WHERE doc_id < 30)
+        |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        | md5(text) AS digest
+        |FROM p ORDER BY doc_id""".stripMargin,
     "q_csv_quoted" ->
       """WITH p AS (
         | SELECT doc_id, CASE
