@@ -822,6 +822,54 @@ object Graph {
     * row_number tie-break (cnt DESC, label ASC) is order-equivalent to
     * Spark's min((−cnt, label)) struct).
     */
+  /** The LPA replay + move-phase CTE chain shared by the
+    * q_louvain_move and q_louvain_coarse oracles: everything through
+    * `best` (per node, the max-gain defection candidate), plus `sym`
+    * and `l3` for the readouts.
+    */
+  private lazy val louvainMoveCtesSql: String = {
+    val rounds = (1 to 3).map(lpaRoundSql).mkString(",\n")
+    s"""h AS (
+       | SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
+       | FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |nodes AS (SELECT DISTINCT src AS node FROM
+       | (SELECT src FROM h UNION ALL SELECT dst FROM h) t(src)),
+       |edges AS (
+       | SELECT src, dst FROM h UNION ALL SELECT dst, src FROM h
+       | UNION ALL SELECT node, node FROM nodes),
+       |l0 AS (SELECT node, node AS label FROM nodes),
+       |$rounds,
+       |sym AS (SELECT src, dst FROM h UNION ALL SELECT dst, src FROM h),
+       |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+       |        FROM sym GROUP BY 1),
+       |m2 AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM sym),
+       |stot AS (
+       | SELECT l.label, CAST(sum(d.deg) AS BIGINT) AS stot
+       | FROM l3 l JOIN deg d ON l.node = d.node GROUP BY 1),
+       |kf AS (
+       | SELECT sym.src AS node, a.label AS ls, b.label AS ld,
+       |  CAST(count(*) AS BIGINT) AS kib
+       | FROM sym JOIN l3 a ON sym.src = a.node
+       |  JOIN l3 b ON sym.dst = b.node
+       | GROUP BY 1, 2, 3),
+       |kia AS (SELECT node, kib AS kia FROM kf WHERE ls = ld),
+       |cand AS (
+       | SELECT kf.node, kf.ld,
+       |  (SELECT m2 FROM m2) * (kf.kib - COALESCE(kia.kia, 0))
+       |   - d.deg * (sb.stot - sa.stot + d.deg) AS gain
+       | FROM kf
+       | LEFT JOIN kia ON kf.node = kia.node
+       | JOIN deg d ON kf.node = d.node
+       | JOIN stot sb ON kf.ld = sb.label
+       | JOIN stot sa ON kf.ls = sa.label
+       | WHERE kf.ld <> kf.ls),
+       |best AS (
+       | SELECT node, ld, gain FROM (
+       |  SELECT node, ld, gain, row_number() OVER (
+       |   PARTITION BY node ORDER BY gain DESC, ld ASC) AS rn
+       |  FROM cand) WHERE rn = 1)""".stripMargin
+  }
+
   private def lpaRoundSql(t: Int): String = {
     val prev = s"l${t - 1}"
     s"""l$t AS (
@@ -1205,70 +1253,11 @@ object Graph {
 
   /** The move phase over any symmetrized (src, dst) frame. */
   def louvainMoveOnEdges(base: DataFrame, rounds: Int): DataFrame = {
-    import graft.CacheScope.TrackedDataset
     val spark = base.sparkSession
     import spark.implicits._
     val moved = lpaRounds(base, rounds) match {
       case LpaDriver(ie, lab, _) =>
-        val m2v = ie.m.toLong
-        val deg = new Array[Long](ie.n)
-        var i = 0
-        while (i < ie.m) { deg(ie.src(i)) += 1L; i += 1 }
-        val stot = new Array[Long](ie.n)
-        var j = 0
-        while (j < ie.n) { if (lab(j) >= 0) stot(lab(j)) += deg(j); j += 1 }
-        val rank = ie.utf8Rank
-        // (src, dst-label) counts via the packed sort+scan (the LPA
-        // vote idiom — a per-node HashMap here measured seconds on the
-        // sf0.1 graph, the array form is milliseconds)
-        val keys = new Array[Long](ie.m)
-        var pos = 0
-        i = 0
-        while (i < ie.m) {
-          val ld = lab(ie.dst(i))
-          if (lab(ie.src(i)) >= 0 && ld >= 0) {
-            keys(pos) = (ie.src(i).toLong << 32) | ld.toLong
-            pos += 1
-          }
-          i += 1
-        }
-        java.util.Arrays.sort(keys, 0, pos)
-        val gainArr = new Array[Long](ie.n)
-        val targetArr = Array.fill(ie.n)(-1)
-        var a = 0
-        while (a < pos) {
-          val srcId = (keys(a) >>> 32).toInt
-          var b = a
-          while (b < pos && (keys(b) >>> 32).toInt == srcId) b += 1
-          val labA = lab(srcId)
-          // pass 1 over the segment: k_{i,A} (edges into own community)
-          var kA = 0L
-          var x = a
-          while (x < b) {
-            if ((keys(x) & 0xffffffffL).toInt == labA) kA += 1L
-            x += 1
-          }
-          // pass 2: per candidate community run, the exact integer gain
-          var bg = Long.MinValue
-          var bl = -1
-          x = a
-          while (x < b) {
-            val lb = (keys(x) & 0xffffffffL).toInt
-            var y = x + 1
-            while (y < b && (keys(y) & 0xffffffffL).toInt == lb) y += 1
-            if (lb != labA) {
-              val kib = (y - x).toLong
-              val g = m2v * (kib - kA) -
-                deg(srcId) * (stot(lb) - stot(labA) + deg(srcId))
-              if (bl < 0 || g > bg || (g == bg && rank(lb) < rank(bl))) {
-                bg = g; bl = lb
-              }
-            }
-            x = y
-          }
-          if (bl >= 0) { gainArr(srcId) = bg; targetArr(srcId) = bl }
-          a = b
-        }
+        val (targetArr, gainArr) = moveDriver(ie, lab)
         (0 until ie.n).collect {
           case nd if lab(nd) >= 0 =>
             val mv = targetArr(nd) >= 0 && gainArr(nd) > 0L
@@ -1276,50 +1265,283 @@ object Graph {
               ie.name(if (mv) targetArr(nd) else lab(nd)), mv, gainArr(nd))
         }.toDF("node", "old_label", "new_label", "moved", "gain_num")
       case LpaFrames(lab0, _, nGraphNodes, edgesP) =>
+        moveFrames(lab0, edgesP, nGraphNodes)
+    }
+    moved.orderBy("node")
+  }
+
+  /** Driver-array move phase: per node the best defection target
+    * (−1 if the node has no out-of-community neighbor) and its exact
+    * ×2m² integer gain. Shared by [[louvainMoveOnEdges]] (per-node
+    * readout) and [[louvainCoarseOnEdges]] (phase-2 coarsening).
+    */
+  private def moveDriver(ie: IndexedEdges,
+                         lab: Array[Int]): (Array[Int], Array[Long]) = {
+    val m2v = ie.m.toLong
+    val deg = new Array[Long](ie.n)
+    var i = 0
+    while (i < ie.m) { deg(ie.src(i)) += 1L; i += 1 }
+    val stot = new Array[Long](ie.n)
+    var j = 0
+    while (j < ie.n) { if (lab(j) >= 0) stot(lab(j)) += deg(j); j += 1 }
+    val rank = ie.utf8Rank
+    // (src, dst-label) counts via the packed sort+scan (the LPA vote
+    // idiom — a per-node HashMap here measured seconds on the sf0.1
+    // graph, the array form is milliseconds)
+    val keys = new Array[Long](ie.m)
+    var pos = 0
+    i = 0
+    while (i < ie.m) {
+      val ld = lab(ie.dst(i))
+      if (lab(ie.src(i)) >= 0 && ld >= 0) {
+        keys(pos) = (ie.src(i).toLong << 32) | ld.toLong
+        pos += 1
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(keys, 0, pos)
+    val gainArr = new Array[Long](ie.n)
+    val targetArr = Array.fill(ie.n)(-1)
+    var a = 0
+    while (a < pos) {
+      val srcId = (keys(a) >>> 32).toInt
+      var b = a
+      while (b < pos && (keys(b) >>> 32).toInt == srcId) b += 1
+      val labA = lab(srcId)
+      // pass 1 over the segment: k_{i,A} (edges into own community)
+      var kA = 0L
+      var x = a
+      while (x < b) {
+        if ((keys(x) & 0xffffffffL).toInt == labA) kA += 1L
+        x += 1
+      }
+      // pass 2: per candidate community run, the exact integer gain
+      var bg = Long.MinValue
+      var bl = -1
+      x = a
+      while (x < b) {
+        val lb = (keys(x) & 0xffffffffL).toInt
+        var y = x + 1
+        while (y < b && (keys(y) & 0xffffffffL).toInt == lb) y += 1
+        if (lb != labA) {
+          val kib = (y - x).toLong
+          val g = m2v * (kib - kA) -
+            deg(srcId) * (stot(lb) - stot(labA) + deg(srcId))
+          if (bl < 0 || g > bg || (g == bg && rank(lb) < rank(bl))) {
+            bg = g; bl = lb
+          }
+        }
+        x = y
+      }
+      if (bl >= 0) { gainArr(srcId) = bg; targetArr(srcId) = bl }
+      a = b
+    }
+    (targetArr, gainArr)
+  }
+
+  /** Distributed move phase over the probe-persisted edges + LPA label
+    * frame: (node, old_label, new_label, moved, gain_num). The shared
+    * at-scale twin of [[moveDriver]].
+    */
+  private def moveFrames(lab0: DataFrame, edgesP: DataFrame,
+                         nGraphNodes: Long): DataFrame = {
+    import graft.CacheScope.TrackedDataset
+    def hint(df: DataFrame): DataFrame =
+      if (nGraphNodes <= BroadcastNodeLimit) broadcast(df) else df
+    val el = edgesP
+      .join(hint(lab0.select(col("node").as("src"),
+        col("label").as("ls"))), Seq("src"))
+      .join(hint(lab0.select(col("node").as("dst"),
+        col("label").as("ld"))), Seq("dst"))
+    // (node × neighbor-community)-bounded from here down
+    val kf = el.groupBy(col("src").as("node"), col("ls"), col("ld"))
+      .agg(count(lit(1)).as("kib"))
+      .persistTracked()
+    val deg = edgesP.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .persistTracked()
+    val stot = lab0.join(hint(deg), Seq("node"))
+      .groupBy("label").agg(sum(col("deg")).as("stot"))
+    val m2 = edgesP.agg(count(lit(1)).as("m2"))
+    val kia = kf.filter(col("ls") === col("ld"))
+      .select(col("node"), col("kib").as("kia"))
+    val cand = kf.filter(col("ls") =!= col("ld"))
+      .join(kia, Seq("node"), "left")
+      .join(deg, Seq("node"))
+      .join(hint(stot.select(col("label").as("ld"),
+        col("stot").as("stot_b"))), Seq("ld"))
+      .join(hint(stot.select(col("label").as("ls"),
+        col("stot").as("stot_a"))), Seq("ls"))
+      .crossJoin(broadcast(m2))
+      .select(col("node"), col("ld"),
+        (col("m2") * (col("kib") - coalesce(col("kia"), lit(0L))) -
+          col("deg") * (col("stot_b") - col("stot_a") + col("deg")))
+          .as("gain"))
+    val best = cand.groupBy("node")
+      .agg(min(struct(negate(col("gain")).as("ng"),
+        col("ld").as("ld"))).as("b"))
+      .select(col("node"), col("b.ld").as("cand_label"),
+        negate(col("b.ng")).as("gain"))
+    lab0.join(best, Seq("node"), "left")
+      .select(col("node"), col("label").as("old_label"),
+        when(coalesce(col("gain"), lit(0L)) > 0, col("cand_label"))
+          .otherwise(col("label")).as("new_label"),
+        (coalesce(col("gain"), lit(0L)) > 0).as("moved"),
+        coalesce(col("gain"), lit(0L)).as("gain_num"))
+  }
+
+  /** LOUVAIN PHASE 2 — COARSENING (Blondel et al. 2008 §2): collapse
+    * the post-move partition to the community-level weighted graph —
+    * node = community, edge weight = count of symmetrized node-edges
+    * between the two communities (self-edges = 2× the community's
+    * internal edge count, the convention that keeps degree sums exact
+    * under further passes). This is the graph the next Louvain pass
+    * would run on; released directly, it is the "how coupled are the
+    * communities" readout — heavy off-diagonal mass says the partition
+    * cuts real structure (and motivates community-partitioned layouts
+    * only for the well-separated blocks).
+    *
+    * Exactness: pure integer edge counts over the move-phase labels
+    * (themselves exact — [[louvainMoveOnEdges]]). Scale posture: one
+    * (gated-broadcast) two-join label attach on the probe-persisted
+    * edges, then a (community × community)-bounded aggregate; the move
+    * phase itself rides the lpaRounds probe contract.
+    */
+  def louvainCoarse(s: SparkSession, d: String, rounds: Int = 3): DataFrame =
+    louvainCoarseOnEdges(interactionEdges(s, d), rounds)
+
+  /** The coarsening over any symmetrized (src, dst) frame. */
+  def louvainCoarseOnEdges(base: DataFrame, rounds: Int): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val coarse = lpaRounds(base, rounds) match {
+      case LpaDriver(ie, lab, _) =>
+        val (targetArr, gainArr) = moveDriver(ie, lab)
+        val newLab = Array.tabulate(ie.n) { nd =>
+          if (targetArr(nd) >= 0 && gainArr(nd) > 0L) targetArr(nd)
+          else lab(nd)
+        }
+        // (src-community, dst-community) counts — the same packed
+        // sort+scan, now over community ids
+        val keys = new Array[Long](ie.m)
+        var pos = 0
+        var i = 0
+        while (i < ie.m) {
+          val ca = newLab(ie.src(i)); val cb = newLab(ie.dst(i))
+          if (ca >= 0 && cb >= 0) {
+            keys(pos) = (ca.toLong << 32) | cb.toLong
+            pos += 1
+          }
+          i += 1
+        }
+        java.util.Arrays.sort(keys, 0, pos)
+        val rows = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, Long)]
+        var a = 0
+        while (a < pos) {
+          val key = keys(a)
+          var b = a + 1
+          while (b < pos && keys(b) == key) b += 1
+          rows += ((ie.name((key >>> 32).toInt),
+            ie.name((key & 0xffffffffL).toInt), (b - a).toLong))
+          a = b
+        }
+        rows.toSeq.toDF("community_a", "community_b", "w")
+      case LpaFrames(lab0, _, nGraphNodes, edgesP) =>
         def hint(df: DataFrame): DataFrame =
           if (nGraphNodes <= BroadcastNodeLimit) broadcast(df) else df
-        val el = edgesP
+        val mv = moveFrames(lab0, edgesP, nGraphNodes)
+          .select(col("node"), col("new_label"))
+        edgesP
+          .join(hint(mv.select(col("node").as("src"),
+            col("new_label").as("community_a"))), Seq("src"))
+          .join(hint(mv.select(col("node").as("dst"),
+            col("new_label").as("community_b"))), Seq("dst"))
+          .groupBy("community_a", "community_b")
+          .agg(count(lit(1)).as("w"))
+    }
+    coarse.orderBy("community_a", "community_b")
+  }
+
+  /** COMMUNITY CONDUCTANCE (the cut-quality readout of Kannan, Vempala
+    * & Vetta 2004; Leskovec et al. 2009's NCP plots made it the
+    * standard): per LPA community C,
+    *   φ(C) = cut(C) / min(vol(C), 2m − vol(C)),
+    * with cut = boundary edge count and vol = Σ degree — how leaky the
+    * community is, the complement of q_modularity's density view (a
+    * community can score high Q yet leak badly when its degree mass
+    * hides boundary edges). Released in exact integer ppm:
+    * 10⁶·cut div min(vol, 2m−vol), every operand an exact Long off the
+    * symmetrized edge list (cut and vol are directed-edge counts at
+    * community grain). A community owning every edge has denominator 0
+    * and cut 0 — released as 0, both engines via the same guard.
+    *
+    * Scale posture: the q_modularity shape exactly — two
+    * gated-broadcast label attaches on the probe-persisted edges, one
+    * community-grain aggregate, one scalar 2m; bounded driver arrays
+    * below the probe limit.
+    */
+  def conductance(s: SparkSession, d: String, rounds: Int = 3): DataFrame =
+    conductanceOnEdges(interactionEdges(s, d), rounds)
+
+  /** The per-community conductance over any symmetrized (src, dst)
+    * frame.
+    */
+  def conductanceOnEdges(base: DataFrame, rounds: Int): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val byC = lpaRounds(base, rounds) match {
+      case LpaDriver(ie, lab, _) =>
+        val vol = new Array[Long](ie.n)
+        val cut = new Array[Long](ie.n)
+        var i = 0
+        while (i < ie.m) {
+          val ls = lab(ie.src(i)); val ld = lab(ie.dst(i))
+          if (ls >= 0 && ld >= 0) {
+            vol(ls) += 1L
+            if (ls != ld) cut(ls) += 1L
+          }
+          i += 1
+        }
+        val nN = new Array[Long](ie.n)
+        var j = 0
+        while (j < ie.n) { if (lab(j) >= 0) nN(lab(j)) += 1L; j += 1 }
+        var m2v = 0L
+        j = 0
+        while (j < ie.n) { m2v += vol(j); j += 1 }
+        (0 until ie.n).collect {
+          case c if vol(c) > 0 =>
+            val denom = math.min(vol(c), m2v - vol(c))
+            val ppm = if (denom == 0) 0L else (1000000L * cut(c)) / denom
+            (ie.name(c), nN(c), vol(c), cut(c), ppm)
+        }.toDF("community", "n_nodes", "vol", "cut", "conductance_ppm")
+      case LpaFrames(lab0, _, nGraphNodes, edgesP) =>
+        import graft.CacheScope.TrackedDataset
+        def hint(df: DataFrame): DataFrame =
+          if (nGraphNodes <= BroadcastNodeLimit) broadcast(df) else df
+        val agg = edgesP
           .join(hint(lab0.select(col("node").as("src"),
             col("label").as("ls"))), Seq("src"))
           .join(hint(lab0.select(col("node").as("dst"),
             col("label").as("ld"))), Seq("dst"))
-        // (node × neighbor-community)-bounded from here down
-        val kf = el.groupBy(col("src").as("node"), col("ls"), col("ld"))
-          .agg(count(lit(1)).as("kib"))
+          .groupBy(col("ls").as("community"))
+          .agg(count(lit(1)).as("vol"),
+            sum(when(col("ls") =!= col("ld"), 1L).otherwise(0L)).as("cut"))
           .persistTracked()
-        val deg = edgesP.groupBy(col("src").as("node"))
-          .agg(count(lit(1)).as("deg"))
-          .persistTracked()
-        val stot = lab0.join(hint(deg), Seq("node"))
-          .groupBy("label").agg(sum(col("deg")).as("stot"))
-        val m2 = edgesP.agg(count(lit(1)).as("m2"))
-        val kia = kf.filter(col("ls") === col("ld"))
-          .select(col("node"), col("kib").as("kia"))
-        val cand = kf.filter(col("ls") =!= col("ld"))
-          .join(kia, Seq("node"), "left")
-          .join(deg, Seq("node"))
-          .join(hint(stot.select(col("label").as("ld"),
-            col("stot").as("stot_b"))), Seq("ld"))
-          .join(hint(stot.select(col("label").as("ls"),
-            col("stot").as("stot_a"))), Seq("ls"))
-          .crossJoin(broadcast(m2))
-          .select(col("node"), col("ld"),
-            (col("m2") * (col("kib") - coalesce(col("kia"), lit(0L))) -
-              col("deg") * (col("stot_b") - col("stot_a") + col("deg")))
-              .as("gain"))
-        val best = cand.groupBy("node")
-          .agg(min(struct(negate(col("gain")).as("ng"),
-            col("ld").as("ld"))).as("b"))
-          .select(col("node"), col("b.ld").as("cand_label"),
-            negate(col("b.ng")).as("gain"))
-        lab0.join(best, Seq("node"), "left")
-          .select(col("node"), col("label").as("old_label"),
-            when(coalesce(col("gain"), lit(0L)) > 0, col("cand_label"))
-              .otherwise(col("label")).as("new_label"),
-            (coalesce(col("gain"), lit(0L)) > 0).as("moved"),
-            coalesce(col("gain"), lit(0L)).as("gain_num"))
+        val nNodes = lab0.groupBy(col("label").as("community"))
+          .agg(count(lit(1)).as("n_nodes"))
+        val m2 = agg.agg(sum(col("vol")).as("m2"))
+        agg.join(nNodes, Seq("community")).crossJoin(broadcast(m2))
+          .select(col("community"), col("n_nodes"), col("vol"), col("cut"),
+            // DECIMAL(38,0) before the ×10⁶ (the containment_ppm
+            // idiom): a 100 TB graph's cut counts overflow Long×10⁶
+            when(least(col("vol"), col("m2") - col("vol")) === 0, 0L)
+              .otherwise(expr(
+                "CAST(CAST(cut AS DECIMAL(38,0)) * 1000000" +
+                  " div least(vol, m2 - vol) AS BIGINT)"))
+              .as("conductance_ppm"))
     }
-    moved.orderBy("node")
+    byC.orderBy("community")
   }
 
   /** EFFECTIVE-DIAMETER readout (the HyperANF/ANF summary of Palmer et
@@ -1354,6 +1576,10 @@ object Graph {
     "q_modularity" -> { (s, d) => modularity(s, d) },
     // One Louvain move phase on the LPA partition (exact ×2m² gains).
     "q_louvain_move" -> { (s, d) => louvainMove(s, d) },
+    // Louvain phase 2: the community-level weighted graph post-move.
+    "q_louvain_coarse" -> { (s, d) => louvainCoarse(s, d) },
+    // Per-community conductance (cut / min-side volume, integer ppm).
+    "q_conductance" -> { (s, d) => conductance(s, d) },
     // Effective diameter (90th-pct reach) per BFS landmark.
     "q_eff_diameter" -> { (s, d) => effDiameter(s, d) },
     "q_ppr_seed" -> { (s, d) => ppr(s, d) },
@@ -1582,6 +1808,35 @@ object Graph {
     // row_number(gain DESC, ld ASC) is order-equivalent to Spark's
     // min((−gain, ld)) struct.
     "q_louvain_move" -> {
+      s"""WITH $louvainMoveCtesSql
+         |SELECT l.node, l.label AS old_label,
+         | CASE WHEN COALESCE(b.gain, 0) > 0 THEN b.ld ELSE l.label END
+         |  AS new_label,
+         | COALESCE(b.gain, 0) > 0 AS moved,
+         | CAST(COALESCE(b.gain, 0) AS BIGINT) AS gain_num
+         |FROM l3 l LEFT JOIN best b ON l.node = b.node
+         |ORDER BY l.node""".stripMargin
+    },
+    // the move chain, then the phase-2 collapse: symmetrized edges with
+    // both endpoints' POST-MOVE communities attached, counted per pair
+    "q_louvain_coarse" -> {
+      s"""WITH $louvainMoveCtesSql,
+         |newlab AS (
+         | SELECT l.node,
+         |  CASE WHEN COALESCE(b.gain, 0) > 0 THEN b.ld ELSE l.label END
+         |   AS nl
+         | FROM l3 l LEFT JOIN best b ON l.node = b.node)
+         |SELECT a.nl AS community_a, b.nl AS community_b,
+         | CAST(count(*) AS BIGINT) AS w
+         |FROM sym JOIN newlab a ON sym.src = a.node
+         | JOIN newlab b ON sym.dst = b.node
+         |GROUP BY 1, 2
+         |ORDER BY community_a, community_b""".stripMargin
+    },
+    // LPA replay, then per-community vol (directed edges out of the
+    // community's nodes), cut (those landing outside), and the exact
+    // ppm conductance with the all-edges-internal guard
+    "q_conductance" -> {
       val rounds = (1 to 3).map(lpaRoundSql).mkString(",\n")
       s"""WITH h AS (
          | SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
@@ -1594,41 +1849,25 @@ object Graph {
          |l0 AS (SELECT node, node AS label FROM nodes),
          |$rounds,
          |sym AS (SELECT src, dst FROM h UNION ALL SELECT dst, src FROM h),
-         |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
-         |        FROM sym GROUP BY 1),
-         |m2 AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM sym),
-         |stot AS (
-         | SELECT l.label, CAST(sum(d.deg) AS BIGINT) AS stot
-         | FROM l3 l JOIN deg d ON l.node = d.node GROUP BY 1),
-         |kf AS (
-         | SELECT sym.src AS node, a.label AS ls, b.label AS ld,
-         |  CAST(count(*) AS BIGINT) AS kib
+         |el AS (
+         | SELECT a.label AS ls, b.label AS ld
          | FROM sym JOIN l3 a ON sym.src = a.node
-         |  JOIN l3 b ON sym.dst = b.node
-         | GROUP BY 1, 2, 3),
-         |kia AS (SELECT node, kib AS kia FROM kf WHERE ls = ld),
-         |cand AS (
-         | SELECT kf.node, kf.ld,
-         |  (SELECT m2 FROM m2) * (kf.kib - COALESCE(kia.kia, 0))
-         |   - d.deg * (sb.stot - sa.stot + d.deg) AS gain
-         | FROM kf
-         | LEFT JOIN kia ON kf.node = kia.node
-         | JOIN deg d ON kf.node = d.node
-         | JOIN stot sb ON kf.ld = sb.label
-         | JOIN stot sa ON kf.ls = sa.label
-         | WHERE kf.ld <> kf.ls),
-         |best AS (
-         | SELECT node, ld, gain FROM (
-         |  SELECT node, ld, gain, row_number() OVER (
-         |   PARTITION BY node ORDER BY gain DESC, ld ASC) AS rn
-         |  FROM cand) WHERE rn = 1)
-         |SELECT l.node, l.label AS old_label,
-         | CASE WHEN COALESCE(b.gain, 0) > 0 THEN b.ld ELSE l.label END
-         |  AS new_label,
-         | COALESCE(b.gain, 0) > 0 AS moved,
-         | CAST(COALESCE(b.gain, 0) AS BIGINT) AS gain_num
-         |FROM l3 l LEFT JOIN best b ON l.node = b.node
-         |ORDER BY l.node""".stripMargin
+         |  JOIN l3 b ON sym.dst = b.node),
+         |m2 AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM el),
+         |byc AS (
+         | SELECT ls AS community, CAST(count(*) AS BIGINT) AS vol,
+         |  CAST(sum(CASE WHEN ls <> ld THEN 1 ELSE 0 END) AS BIGINT) AS cut
+         | FROM el GROUP BY 1),
+         |nn AS (SELECT label AS community, CAST(count(*) AS BIGINT) AS n_nodes
+         |       FROM l3 GROUP BY 1)
+         |SELECT community, n_nodes, vol, cut,
+         | CASE WHEN least(vol, (SELECT m2 FROM m2) - vol) = 0
+         |  THEN CAST(0 AS BIGINT)
+         |  ELSE CAST(CAST(cut AS HUGEINT) * 1000000
+         |   // least(vol, (SELECT m2 FROM m2) - vol) AS BIGINT) END
+         |  AS conductance_ppm
+         |FROM byc JOIN nn USING (community)
+         |ORDER BY community""".stripMargin
     },
     "q_label_prop" -> {
       val rounds = (1 to 3).map(lpaRoundSql).mkString(",\n")

@@ -101,6 +101,62 @@ class Round13Spec extends SparkSpec {
     assert(d.toSet === f.toSet)
   }
 
+  // Post-move partition on the bridge graph: node 7 defects, so
+  // {1,2,3} → "1" and {4,5,6,7} → "4". Coarse graph (directed
+  // symmetrized counts): 6 inside "1" (triangle), 10 inside "4"
+  // (triangle 6 + the four 7↔4/7↔5 edges), and the surviving 1↔7
+  // bridge gives 1 each way. Σ = 18 = M2.
+  test("louvainCoarse: hand-computed community graph, both paths agree") {
+    val d = Graph.louvainCoarseOnEdges(
+        bridge.map { case (a, b) => (a.toString, b.toString) }
+          .toDF("src", "dst"), rounds = 3)
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+    assert(d.toSeq === Seq(
+      ("1", "1", 6L), ("1", "4", 1L), ("4", "1", 1L), ("4", "4", 10L)))
+    val f = Graph.louvainCoarseOnEdges(bridge.toDF("src", "dst"), rounds = 3)
+      .collect()
+      .map(x => (x.getInt(0).toString, x.getInt(1).toString, x.getLong(2)))
+    assert(d.toSet === f.toSet)
+  }
+
+  // Conductance of the PRE-move LPA partition {1,2,3,7}/"1", {4,5,6}/"4":
+  // vol("1") = 3+2+2+3 = 10, cut("1") = |7→4, 7→5| = 2,
+  // vol("4") = 8, cut("4") = |4→7, 5→7| = 2, M2 = 18.
+  //   φ("1") = 10⁶·2 div min(10, 18−10) = 250000
+  //   φ("4") = 10⁶·2 div min(8, 10)     = 250000
+  test("conductance: hand-computed cut quality, both paths agree") {
+    val d = Graph.conductanceOnEdges(
+        bridge.map { case (a, b) => (a.toString, b.toString) }
+          .toDF("src", "dst"), rounds = 3)
+      .collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4)))
+    assert(d.toSeq === Seq(
+      ("1", 4L, 10L, 2L, 250000L), ("4", 3L, 8L, 2L, 250000L)))
+    val f = Graph.conductanceOnEdges(bridge.toDF("src", "dst"), rounds = 3)
+      .collect()
+      .map(x => (x.getInt(0).toString, x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4)))
+    assert(d.toSet === f.toSet)
+  }
+
+  // a single community owns every edge: denominator min(vol, m2−vol) is
+  // 0 and so is the cut — released as conductance 0, not a /0 throw
+  test("conductance: all-edges-internal community releases 0") {
+    val tri = Seq((1, 2), (2, 1), (1, 3), (3, 1), (2, 3), (3, 2))
+    val d = Graph.conductanceOnEdges(
+        tri.map { case (a, b) => (a.toString, b.toString) }
+          .toDF("src", "dst"), rounds = 3)
+      .collect()
+    assert(d.length === 1)
+    assert(d(0).getLong(2) === 6L) // vol = every directed edge
+    assert(d(0).getLong(3) === 0L)
+    assert(d(0).getLong(4) === 0L)
+    val f = Graph.conductanceOnEdges(tri.toDF("src", "dst"), rounds = 3)
+      .collect()
+    assert(f.length === 1 && f(0).getLong(4) === 0L)
+  }
+
   // ---- q_dedup_wjaccard worked example ------------------------------------
   //
   // base = "w01 … w20" → 18 tri-shingles, each tf 1, tot 18.
