@@ -28,6 +28,20 @@ object CacheScope {
   implicit class TrackedDataset[T](private val ds: Dataset[T]) {
     def persistTracked(): Dataset[T] =
       track(ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+    /** persistTracked + immediate materialization. A persist dedups
+      * STORAGE, not WORK: when the consuming plan references the cache
+      * from several concurrent subplans (broadcast-build futures), every
+      * future that arrives before the cache is built computes the full
+      * child plan itself (measured 2-3× the corpus hash cost on the ngram
+      * dedup pipeline). One count() builds the cache once, serially; all
+      * consumers then read blocks.
+      */
+    def eagerTracked(): Dataset[T] = {
+      val d = persistTracked()
+      d.count(): Unit
+      d
+    }
   }
 
   /** Unpersist every tracked frame (non-blocking) and empty the registry. */

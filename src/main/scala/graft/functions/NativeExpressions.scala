@@ -148,8 +148,16 @@ object NativeExpressions {
       * digest bytes.
       */
     def md5_60(s: UTF8String): Long = {
-      val md = tlMd5.get(); md.reset()
-      val d = md.digest(s.getBytes)
+      val b = s.getBytes
+      md5_60(tlMd5Digest(), b, 0, b.length)
+    }
+    /** Reset-digest variant over a byte slice (no per-call copy). */
+    def tlMd5Digest(): java.security.MessageDigest = tlMd5.get()
+    def md5_60(md: java.security.MessageDigest, b: Array[Byte],
+               off: Int, len: Int): Long = {
+      md.reset()
+      md.update(b, off, len)
+      val d = md.digest()
       val be =
         ((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) |
         ((d(2) & 0xFFL) << 40) | ((d(3) & 0xFFL) << 32) |
@@ -234,19 +242,47 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** Primitive insertion-ordered long set (open addressing): the boxed
+    * LinkedHashSet<Long> the hashing utils used was GC-bound at corpus
+    * scale (every add boxes). add() returns true on first insertion.
+    */
+  final class LongOrderSet(expected: Int) {
+    private var cap = 16
+    while (cap < expected * 2) cap <<= 1
+    private val table = new Array[Long](cap)
+    private val usedF = new Array[Boolean](cap)
+    private val order = new Array[Long](math.max(expected, 1))
+    private var m = 0
+    def add(h: Long): Boolean = {
+      var idx = java.lang.Long.hashCode(h * -7046029254386353131L) & (cap - 1)
+      while (usedF(idx)) {
+        if (table(idx) == h) return false
+        idx = (idx + 1) & (cap - 1)
+      }
+      usedF(idx) = true; table(idx) = h
+      order(m) = h; m += 1
+      true
+    }
+    def toArrayData: ArrayData =
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        java.util.Arrays.copyOf(order, m))
+  }
+
   object ShingleUtil {
     private val sep = UTF8String.fromString(" ")
     def shingleHashes(toks: ArrayData, n: Int, md5: Boolean): ArrayData = {
       val num = toks.numElements()
-      val seen = new java.util.LinkedHashSet[java.lang.Long]()
       if (num < n) {
         // short doc: one shingle of all tokens (matches the HOF guard)
+        val seen = new LongOrderSet(1)
         val parts = new Array[UTF8String](num)
         var i = 0
         while (i < num) { parts(i) = toks.getUTF8String(i); i += 1 }
         val sh = UTF8String.concatWs(sep, parts: _*)
         seen.add(Hash64Util.hash(sh, md5))
+        seen.toArrayData
       } else {
+        val seen = new LongOrderSet(num - n + 1)
         var i = 0
         val parts = new Array[UTF8String](n)
         while (i <= num - n) {
@@ -256,11 +292,8 @@ object NativeExpressions {
           seen.add(Hash64Util.hash(sh, md5))
           i += 1
         }
+        seen.toArrayData
       }
-      val out = new Array[Long](seen.size)
-      val it = seen.iterator(); var k = 0
-      while (it.hasNext) { out(k) = it.next(); k += 1 }
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
     }
   }
 
@@ -295,20 +328,42 @@ object NativeExpressions {
   }
 
   object CharGramUtil {
+    /** One pass over the byte array: `substringSQL(i, n)` re-walks the
+      * string from byte 0 to find char i's offset, so the per-gram loop
+      * was O(len²) per document (measured ~140 CPU-s on the sf0.1 ngram
+      * pipeline). A char-start offset table makes each gram a byte slice;
+      * values are identical — a gram IS substringSQL's result, hashed
+      * over the same bytes (md5 digests the slice in place; xx hashes the
+      * copied slice exactly as XxHash64Function does a UTF8String's bytes).
+      */
     def gramHashes(s: UTF8String, n: Int, md5: Boolean): ArrayData = {
+      val bytes = s.getBytes
       val total = s.numChars()
       val count = math.max(total - n + 1, 1)
-      val seen = new java.util.LinkedHashSet[java.lang.Long]()
-      var i = 1
-      while (i <= count) {
-        val gram = s.substringSQL(i, n)
-        seen.add(Hash64Util.hash(gram, md5))
+      val offs = new Array[Int](total + 1)
+      var ci = 0; var p = 0
+      while (ci < total) {
+        offs(ci) = p
+        p += UTF8String.numBytesForFirstByte(bytes(p))
+        ci += 1
+      }
+      offs(total) = bytes.length
+      // primitive insertion-ordered dedup (a LinkedHashSet<Long> boxes
+      // every gram hash — measured GC-bound run≫cpu on the ngram pipeline)
+      val seen = new LongOrderSet(count)
+      val md = if (md5) Hash64Util.tlMd5Digest() else null
+      var i = 0
+      while (i < count) {
+        val lo = offs(i)
+        val hi = offs(math.min(i + n, total))
+        val h =
+          if (md5) Hash64Util.md5_60(md, bytes, lo, hi - lo)
+          else XxHash64Function.hash(
+            UTF8String.fromBytes(bytes, lo, hi - lo), StringType, 42L)
+        seen.add(h)
         i += 1
       }
-      val out = new Array[Long](seen.size)
-      val it = seen.iterator(); var k = 0
-      while (it.hasNext) { out(k) = it.next(); k += 1 }
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+      seen.toArrayData
     }
   }
 

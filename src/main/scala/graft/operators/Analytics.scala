@@ -3489,7 +3489,10 @@ object Analytics {
   def markovStationary(events: DataFrame, iters: Int = 4): DataFrame = {
     import graft.CacheScope.TrackedDataset
     val S = 1000000000000L
-    val tr = sessionTransitions(events).persistTracked()
+    // k/k²-cardinality frames cache SINGLE-partition: a 32-partition cached
+    // layout makes every downstream stage spawn one near-empty task per
+    // partition (measured 47 jobs / 1233 tasks on q_markov_attribution)
+    val tr = sessionTransitions(events).coalesce(1).persistTracked()
     val ni = tr.groupBy("src").agg(sum(col("n")).as("ni"))
     val pEdges = tr.join(ni, Seq("src"))
       .select(col("src"), col("dst"),
@@ -3497,13 +3500,13 @@ object Analytics {
           .as("p"))
     val states = tr.select(col("src").as("state"))
       .union(tr.select(col("dst").as("state"))).distinct()
-      .persistTracked()
+      .coalesce(1).persistTracked()
     val selfRows = states
       .join(tr.select(col("src").as("state")).distinct(), Seq("state"),
         "left_anti")
       .select(col("state").as("src"), col("state").as("dst"),
         lit(S).as("p"))
-    val pm = pEdges.union(selfRows).persistTracked()
+    val pm = pEdges.union(selfRows).coalesce(1).persistTracked()
     val kf = states.agg(count(lit(1)).as("k"))
     var pi = states.crossJoin(broadcast(kf))
       .select(col("state"), expr(s"$S div k").as("pi"))
@@ -3512,7 +3515,7 @@ object Analytics {
         .groupBy(col("dst").as("state"))
         .agg(sum(expr(s"CAST(pi AS DECIMAL(38,0)) * p div $S")).as("pd"))
         .select(col("state"), col("pd").cast("long").as("pi"))
-        .persistTracked()
+        .coalesce(1).persistTracked()
     }
     states.join(pi, Seq("state"), "left")
       .na.fill(0L, Seq("pi"))
@@ -3549,15 +3552,16 @@ object Analytics {
     import graft.CacheScope.TrackedDataset
     val S = 1000000000000L
     val spark = events.sparkSession
+    // same single-partition cache discipline as markovStationary (above)
     val tr = sessionTransitions(events)
-      .filter(col("src") =!= "purchase").persistTracked()
+      .filter(col("src") =!= "purchase").coalesce(1).persistTracked()
     val occ = events.groupBy(col("event_type").as("state"))
-      .agg(count(lit(1)).as("occ")).persistTracked()
+      .agg(count(lit(1)).as("occ")).coalesce(1).persistTracked()
     val removals = occ.select(col("state").as("rm"))
       .filter(col("rm") =!= "purchase")
       .union(spark.range(1).select(lit("(none)").as("rm")))
-      .persistTracked()
-    val skeleton = removals.crossJoin(broadcast(occ)).persistTracked()
+      .coalesce(1).persistTracked()
+    val skeleton = removals.crossJoin(broadcast(occ)).coalesce(1).persistTracked()
     var grid = skeleton.select(col("rm"), col("state"), col("occ"),
       when(col("state") === "purchase", S).otherwise(0L).as("x"))
     for (_ <- 1 to iters) {
@@ -3575,14 +3579,14 @@ object Analytics {
     }
     val st = withSessionNo(events).filter(col("new_sess") === 1)
       .groupBy(col("event_type").as("state"))
-      .agg(count(lit(1)).as("st")).persistTracked()
+      .agg(count(lit(1)).as("st")).coalesce(1).persistTracked()
     val stTot = st.agg(sum(col("st")).as("tot"))
     val pv = grid.join(st, Seq("state"))
       .groupBy("rm")
       .agg(sum(expr("CAST(st AS DECIMAL(38,0)) * x")).as("sp"))
       .crossJoin(broadcast(stTot))
       .select(col("rm"), expr("CAST(sp div tot AS BIGINT)").as("p"))
-      .persistTracked()
+      .coalesce(1).persistTracked()
     val full = pv.filter(col("rm") === "(none)")
       .select(col("p").as("pf"))
     pv.filter(col("rm") =!= "(none)")

@@ -906,7 +906,12 @@ object Curation {
       import org.apache.spark.sql.expressions.Window
       import graft.CacheScope.TrackedDataset
       val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+      // single-row-group local table: spread BEFORE the tokenize+shingle
+      // explode so the cache build (the query's whole CPU cost, measured
+      // 6.2 s single-task) uses every core; groupBy results are
+      // partitioning-independent
       val tok = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(expr("doc_id div 100").as("batch"),
           explode(Dedup.shingles(
             TextAnalysis.tokens(col("text")), 5)).as("g"))

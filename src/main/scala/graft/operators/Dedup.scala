@@ -1305,9 +1305,15 @@ object Dedup {
     * on those small pair frames (nfp differs ⇒ not caught earlier) and
     * one anti-join between the two near tiers.
     */
-  def dedupTierReport(docs: DataFrame, idCol: String = "doc_id",
+  def dedupTierReport(docsRaw: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
     import graft.CacheScope.TrackedDataset
+    // single-row-group local table: spread ONCE so all five tiers'
+    // tokenize/hash map stages use every core (the plantedCorpus rationale;
+    // measured: the fps cache built in one 1.7 s task while two consumers
+    // sat blocked on it)
+    val docs = docsRaw.repartition(
+      docsRaw.sparkSession.sparkContext.defaultParallelism, col(idCol))
     val fps = docs.select(col(idCol).as("id"),
         TextAnalysis.fingerprint(col(textCol)).as("efp"),
         md5(normalizeText(col(textCol))).as("nfp"))
@@ -1616,12 +1622,20 @@ object Dedup {
     * shingle-keyed equi-join whose per-key fan-out is bounded by
     * sources² — never corpus²; totals join at source cardinality.
     */
-  def sourceOverlap(docs: DataFrame): DataFrame = {
+  def sourceOverlap(docsRaw: DataFrame): DataFrame = {
+    // spread the single-row-group scan, and hash shingles with the native
+    // one-pass md5-60 (bit-equal to conv(substring(md5(sh),1,15),16,10) —
+    // asserted in tests; the interpreted conv/substr/md5 tree costs ~10 µs
+    // per shingle). tokenHashesMd5 preserves order/multiplicity, so over
+    // shingles()'s per-doc-distinct arrays the exploded multiset is
+    // identical to the old per-shingle expression.
+    val spark = docsRaw.sparkSession
+    val docs = docsRaw.repartition(spark.sparkContext.defaultParallelism,
+      col("doc_id"))
     val sh = docs.filter(col("text").isNotNull && col("source").isNotNull)
       .select(col("source"),
-        explode(shingles(TextAnalysis.tokens(col("text")))).as("sh"))
-      .select(col("source"),
-        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+        explode(graft.functions.NativeExpressions.tokenHashesMd5(spark,
+          shingles(TextAnalysis.tokens(col("text"))))).as("h"))
       .distinct()
       .persistTracked()
     val tot = sh.groupBy("source").agg(count(lit(1)).as("nsh"))
@@ -1659,13 +1673,16 @@ object Dedup {
     * everything downstream is the sourceOverlap shape minus the hot
     * keys.
     */
-  def sourceOverlapPruned(docs: DataFrame,
+  def sourceOverlapPruned(docsRaw: DataFrame,
                           maxDfFrac: Double = 0.2): DataFrame = {
+    // same spread + native md5-60 as sourceOverlap (values identical)
+    val spark = docsRaw.sparkSession
+    val docs = docsRaw.repartition(spark.sparkContext.defaultParallelism,
+      col("doc_id"))
     val ds = docs.filter(col("text").isNotNull && col("source").isNotNull)
       .select(col("doc_id"), col("source"),
-        explode(shingles(TextAnalysis.tokens(col("text")))).as("sh"))
-      .select(col("doc_id"), col("source"),
-        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+        explode(graft.functions.NativeExpressions.tokenHashesMd5(spark,
+          shingles(TextAnalysis.tokens(col("text"))))).as("h"))
       .persistTracked()
     // shingles() arrays are per-doc distinct, so the exploded count IS
     // the doc frequency

@@ -324,8 +324,16 @@ object TextAnalysis {
   def bpeTrainWithCorpus(s: SparkSession, docs: DataFrame, k: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    // The local documents table is ONE parquet row group, so without a
+    // spread every per-iteration fold + pair-count pass runs in a single
+    // task (measured: ~0.3 s × 2 passes × k rounds single-threaded). Spread
+    // once BEFORE the loop; every localCheckpoint inherits the layout. At
+    // cluster scale the scan is already many-partition and this one
+    // round-robin shuffle of raw text is noise next to k corpus passes.
+    val spread = s.sparkContext.defaultParallelism
     var cur = docs.select(
-      filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "").as("toks"))
+        filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "").as("toks"))
+      .repartition(spread)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
     var step = 1
     var exhausted = false
@@ -355,9 +363,13 @@ object TextAnalysis {
           // Truncate lineage every iteration: without this, iteration i's
           // plan replays all i-1 prior folds over the whole corpus (O(k²)
           // corpus passes, ever-deeper plans — unusable at tokenizer-real
-          // merge counts). Eager localCheckpoint materializes this round's
-          // re-tokenization once, so every pass is exactly one fold deep.
-          .localCheckpoint(eager = true)
+          // merge counts). LAZY localCheckpoint: the next round's pair-count
+          // job materializes the fold and stores the blocks in the same
+          // pass, so each round costs ONE job instead of two (an eager
+          // checkpoint here ran a separate materialization job per round —
+          // measured half this query's job count); every pass is still
+          // exactly one fold deep.
+          .localCheckpoint(eager = false)
         prev.unpersist(blocking = false)
         step += 1
       }
@@ -478,8 +490,11 @@ object TextAnalysis {
     */
   def bpeEncode(s: SparkSession, docs: DataFrame,
                 merges: Seq[(String, String)]): DataFrame = {
+    // single-row-group local table: spread before the k chained folds so
+    // the encode pass uses every core (same rationale as bpeTrain's spread)
     var cur = docs.select(col("doc_id"),
         filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "").as("toks"))
+      .repartition(s.sparkContext.defaultParallelism)
       .withColumn("n_raw", size(col("toks")).cast("long"))
     for ((a, b) <- merges) {
       val tail = slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0)))
@@ -624,7 +639,12 @@ object TextAnalysis {
     */
   private def knFrames(docs: DataFrame)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    // single-row-group local table: spread so the tokenize+bigram-explode
+    // cache build (the KN family's heaviest map stage, shared by 7 queries)
+    // uses every core instead of one task
     val bi = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
       .select(col("doc_id").as("id"), col("source"),
         tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)

@@ -228,13 +228,21 @@ object Training {
         when(col("a.n_chars") >= col("b.n_chars"), 1L).otherwise(0L)
           .as("wa"))
       .groupBy("si", "sj").agg(count(lit(1)).as("n"), sum("wa").as("w"))
+    // k²-row (dir) / k-row (wins, p) frames: cache them SINGLE-partition —
+    // a 32-partition cached layout makes every downstream stage spawn 32
+    // near-empty tasks (measured: 53 jobs / 1612 tasks for this query
+    // before the coalesce), and p must be persisted PER ROUND — each round
+    // references p twice (pi and pj joins), so an unpersisted p re-evaluates
+    // the whole prior-round plan 2^iters times (guide §3.3 lineage
+    // truncation; measured 8.5 s steady → the exponential broadcast-build
+    // fan-out was the entire cost).
     val dir = duelAgg
       .select(col("si").as("i"), col("sj").as("j"), col("n"), col("w"))
       .unionAll(duelAgg.select(col("sj").as("i"), col("si").as("j"),
         col("n"), (col("n") - col("w")).as("w")))
-      .persistTracked()
+      .coalesce(1).persistTracked()
     val wins = dir.groupBy("i")
-      .agg(sum("w").as("tw"), sum("n").as("tn")).persistTracked()
+      .agg(sum("w").as("tw"), sum("n").as("tn")).coalesce(1).persistTracked()
     var p = wins.select(col("i").as("s"), lit(1000000L).as("p"))
     for (_ <- 1 to iters) {
       val denom = dir
@@ -245,6 +253,7 @@ object Training {
       p = wins.join(denom, Seq("i"))
         .select(col("i").as("s"),
           greatest(expr(s"(tw * $S2) div dd"), lit(1L)).as("p"))
+        .coalesce(1).persistTracked()
     }
     wins.join(p, wins("i") === p("s"))
       .select(col("i").as("source"), col("tn").as("duels"),
@@ -663,6 +672,10 @@ object Training {
     val held = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
       16, 10).cast("long") % 5 === 0
     val base = docs
+      // single-row-group local table: spread so the tokenize cache build
+      // and the token-hash explode run on every core
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
       .filter(col("text").isNotNull && col("source").isNotNull)
       .select(col("doc_id"), held.as("held"),
         // try_cast (r11 ADVICE): a non-numeric source suffix degrades to
