@@ -213,6 +213,9 @@ object Analytics {
     */
   def describeAll(df: DataFrame, numeric: Seq[String],
                   categorical: Seq[String]): DataFrame = {
+    // (r13: measured a defaultParallelism spread of the input — 3.2 → 3.8 s
+    // steady; the wide-row shuffle costs more than the 3-task scan limits.
+    // Left on the scan partitioning.)
     // ALL numeric columns in ONE aggregation pass — a scan per column
     // would read the table N times at 100 TB. The single wide scalar row
     // (5 aggregates × N columns) is then exploded to one row per column.
@@ -5481,9 +5484,12 @@ object Analytics {
         val pmf = (0 to 5).scanLeft(math.exp(-1.0))((p, k) => p / (k + 1)).tail
         pmf.scanLeft(0.0)(_ + _).tail
       }
+      // single-row-group local table: spread before the ×12 md5 explode
+      // (the query's whole CPU cost — measured 6 s in one task)
       val rows = Tables.orders(s, d).select(col("o_orderkey"),
         (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
           .cast("long").as("cents"))
+        .repartition(s.sparkContext.defaultParallelism)
       val w = cdf.zipWithIndex
         .foldRight(lit(6): Column) { case ((c, k), e) =>
           when(col("u") < c, k).otherwise(e)

@@ -481,9 +481,12 @@ object Curation {
     // every source the same doc count (a uniform doc marginal would make
     // raking a no-op); char budgets differ per source, so "uniform
     // source char budget × observed lang mix" is a real two-sided solve
+    // source×lang-cardinality frames cache SINGLE-partition (the
+    // markovStationary rationale: a 32-partition cached layout spawns 32
+    // near-empty tasks in every one of the ~44 raking-round stages)
     val cells = docs.filter(col("source").isNotNull && col("lang").isNotNull)
       .groupBy("source", "lang").agg(sum(col("n_chars")).as("n"))
-      .persistTracked()
+      .coalesce(1).persistTracked()
     val tot = cells.agg(sum(col("n")).as("nn"))
     val nSrc = cells.select("source").distinct().count()
     val tRow = SCALE / nSrc
@@ -491,8 +494,9 @@ object Curation {
       .select(col("source"), col("lang"), col("n"),
         expr(s"n * $SCALE div nn").as("w0"))
       .withColumn("w", col("w0"))
-      .persistTracked()
-    val tCol = w.groupBy("lang").agg(sum(col("w")).as("tl")).persistTracked()
+      .coalesce(1).persistTracked()
+    val tCol = w.groupBy("lang").agg(sum(col("w")).as("tl"))
+      .coalesce(1).persistTracked()
     for (_ <- 1 to rounds) {
       val rs = w.groupBy("source").agg(sum(col("w")).as("rs"))
       val rowScaled = w.join(rs, Seq("source"))
@@ -502,7 +506,7 @@ object Curation {
       w = rowScaled.join(cs, Seq("lang")).join(broadcast(tCol), Seq("lang"))
         .select(col("source"), col("lang"), col("n"), col("w0"),
           expr("CAST(w AS DECIMAL(38,0)) * tl div cs").as("w"))
-        .persistTracked()
+        .coalesce(1).persistTracked()
     }
     w.select(col("source"), col("lang"), col("n").as("n_chars_total"),
         col("w").as("weight_mass"),
@@ -566,20 +570,31 @@ object Curation {
     import org.apache.spark.sql.types.DecimalType
     import graft.CacheScope.TrackedDataset
     val buckets = 256
-    val toks = Tables.documents(s, d).select(col("doc_id"),
-      (col("lang") === "en").as("is_target"),
-      TextAnalysis.tokens(lower(col("text"))).as("toks"))
-    val uni = toks.select(col("doc_id"), col("is_target"),
-      explode(col("toks")).as("f"))
-    val bi = toks.filter(size(col("toks")) >= 2)
+    // spread the single-row-group scan; hash token+bigram features with
+    // the native one-pass md5 (order/multiplicity-preserving). The old
+    // per-feature conv(substring(md5(f),1,8),16,10) tree takes the TOP 32
+    // BITS of the digest; md5_60 is the top 60, so h_old ≡ md5_60 >> 28 —
+    // exact, and ~10 µs/feature of interpreted expression goes away. One
+    // explode over toks++bigrams replaces the two-branch union (same
+    // multiset; union order never mattered to the aggregates).
+    val toks = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        (col("lang") === "en").as("is_target"),
+        TextAnalysis.tokens(lower(col("text"))).as("toks"))
+    val bigrams = when(size(col("toks")) >= 2,
+      transform(sequence(lit(1), size(col("toks")) - 1), i =>
+        concat_ws(" ", element_at(col("toks"), i),
+          element_at(col("toks"), i + 1))))
+      .otherwise(array().cast(
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)))
+    val feats = toks
       .select(col("doc_id"), col("is_target"),
-        explode(transform(sequence(lit(1), size(col("toks")) - 1), i =>
-          concat_ws(" ", element_at(col("toks"), i),
-            element_at(col("toks"), i + 1)))).as("f"))
-    val feats = uni.unionByName(bi)
+        explode(graft.functions.NativeExpressions.tokenHashesMd5(s,
+          concat(col("toks"), bigrams))).as("h60"))
       .select(col("doc_id"), col("is_target"),
-        (conv(substring(md5(col("f")), 1, 8), 16, 10).cast("long")
-          % buckets).as("h"))
+        (shiftright(col("h60"), 28) % buckets).as("h"))
       .persistTracked()
     val stats = feats.groupBy("h").agg(
       count(lit(1)).as("cr"),

@@ -66,25 +66,28 @@ object Similarity {
       .select(col("vec_id"),
         transform(col("embedding"),
           x => floor(x.cast("double") * 1048576).cast("long")).as("e"))
+    // HOF folds instead of unrolled 512-term (proj) / 64-term (dOrig)
+    // expression trees: the unrolled form blew the generated
+    // doAggregateWithoutKey method past janino's 64 KB limit and the whole
+    // fused stage fell back to INTERPRETED execution (the one codegen
+    // failure in the r13 baseline bench log). Same Long arithmetic, same
+    // left-to-right fold order (Long + is associative anyway) — values
+    // identical; x·s with s ∈ {+1,−1} ≡ the old sign-conditional negate.
     val proj = e.select(col("vec_id"), col("e"),
       array((0 until kOut).map { i =>
-        (0 until d).map { j =>
-          val t = element_at(col("e"), j + 1)
-          if (signs(i)(j) > 0) t else -t
-        }.reduce(_ + _)
+        val sArr = typedLit(signs(i).map(_.toLong))
+        aggregate(zip_with(col("e"), sArr, (x, sgn) => x * sgn),
+          lit(0L), (acc, v) => acc + v)
       }: _*).as("p"))
     val a = proj.select(col("vec_id").as("ida"), col("e").as("ea"),
       col("p").as("pa"))
     val b = proj.select(col("vec_id").as("idb"), col("e").as("eb"),
       col("p").as("pb"))
-    val dOrig = (0 until d).map { j =>
-      val dj = element_at(col("ea"), j + 1) - element_at(col("eb"), j + 1)
-      dj * dj
-    }.reduce(_ + _)
-    val dProj = (0 until kOut).map { i =>
-      val di = element_at(col("pa"), i + 1) - element_at(col("pb"), i + 1)
-      di * di
-    }.reduce(_ + _)
+    def sqDist(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => (p - q) * (p - q)),
+        lit(0L), (acc, v) => acc + v)
+    val dOrig = sqDist(col("ea"), col("eb"))
+    val dProj = sqDist(col("pa"), col("pb"))
     a.join(b, col("ida") < col("idb")) // nProbe²/2 rows — audit-bounded
       .select(dOrig.as("d_orig"), dProj.as("d_proj"))
       .filter(col("d_orig") > 0) // identical probes: ratio undefined
@@ -291,8 +294,12 @@ object Similarity {
   def pcaTopComponent(emb: DataFrame, iters: Int = 10): DataFrame = {
     val s = emb.sparkSession
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    val quant = emb.select(transform(col("embedding"),
-      x => floor(x.cast("double") * 1048576).cast("long")).as("q"))
+    // single-row-group spread before the dim²/2 pair explode (see
+    // pcaSubspaceVecs)
+    val quant = emb
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(transform(col("embedding"),
+        x => floor(x.cast("double") * 1048576).cast("long")).as("q"))
     val pairsArr = flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
       transform(sequence(i, lit(dim - 1)), j =>
         struct(i.cast("int").as("i"), j.cast("int").as("j"),
@@ -370,7 +377,11 @@ object Similarity {
   private def pcaSubspaceVecs(emb: DataFrame, iters: Int)
       : (Array[Double], Array[Double], Double, Double) = {
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    val quant = emb.select(transform(col("embedding"),
+    // single-row-group local table: spread before the dim²/2 pair
+    // explode (the Gram build's whole cost — measured 3.3 s in one task)
+    val quant = emb
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
+      .select(transform(col("embedding"),
       x => floor(x.cast("double") * 1048576).cast("long")).as("q"))
     val pairsArr = flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
       transform(sequence(i, lit(dim - 1)), j =>

@@ -133,15 +133,25 @@ object SqlSurface {
           Window.orderBy("quarter_key")).cast("long")) // quarter-cardinality
         .persistTracked()
       quarterly.createOrReplaceTempView("v_quarterly")
+      // pre-join consecutive quarters OUTSIDE the loop: the recursive step
+      // referenced v_quarterly twice, so UnionLoop built TWO broadcasts per
+      // iteration (~7 jobs/step, 197 jobs total measured); one cached pair
+      // frame halves the per-step work. (rev2, rev1) come off the same
+      // pre-joined row the two joins produced — arithmetic identical.
+      val qPairs = quarterly.as("a")
+        .join(quarterly.as("b"), col("b.m") === col("a.m") + 1)
+        .select(col("a.m").as("m"), col("a.rev").as("rev1"),
+          col("b.rev").as("rev2"))
+        .coalesce(1).persistTracked()
+      qPairs.createOrReplaceTempView("v_qpairs")
       s.sql(
         """WITH RECURSIVE idx AS (
           | SELECT CAST(1 AS BIGINT) AS m, CAST(1000000 AS BIGINT) AS index_ppm
           | UNION ALL
           | SELECT i.m + CAST(1 AS BIGINT) AS m,
-          |  (i.index_ppm * m2.rev) div m1.rev AS index_ppm
+          |  (i.index_ppm * p.rev2) div p.rev1 AS index_ppm
           | FROM idx i
-          | JOIN v_quarterly m1 ON m1.m = i.m
-          | JOIN v_quarterly m2 ON m2.m = i.m + 1)
+          | JOIN v_qpairs p ON p.m = i.m)
           |SELECT mo.quarter_key, mo.rev AS rev_dollars, i.index_ppm
           |FROM idx i JOIN v_quarterly mo ON mo.m = i.m
           |ORDER BY mo.quarter_key""".stripMargin)

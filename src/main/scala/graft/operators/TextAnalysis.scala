@@ -1021,6 +1021,10 @@ object TextAnalysis {
   private def plsaFit(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     def dec(c: Column) = c.cast(DecimalType(38, 0))
     val S = 1000000000L
+    // (r13: measured a defaultParallelism spread before the tokenize —
+    // 3.5 → 5.5 s steady: the fit is stage-count-bound, not map-bound, and
+    // the 32-partition cached sw frame fans every downstream stage out to
+    // 32 near-empty tasks. Left on the scan partitioning.)
     val sw = docs.filter(col("text").isNotNull && col("source").isNotNull)
       .select(col("source"), explode(tokens(lower(col("text")))).as("w"))
       .groupBy("source", "w").agg(count(lit(1)).as("nsw"))
