@@ -5149,7 +5149,7 @@ object Analytics {
         .agg(datediff(max(col("mx")), max(col("dt"))).cast("double").as("r"),
           count(lit(1)).cast("double").as("f"),
           sum(col("cents")).cast("double").as("m"))
-        .persistTracked()
+        .coalesce(1).persistTracked() // user-cardinality; see markov note
       val qs = Seq(0.25, 0.5, 0.75)
       def thr(c: String) = exactPercentiles(per, c,
         qs.zipWithIndex.map { case (q, i) => s"$c${i + 1}" -> q })

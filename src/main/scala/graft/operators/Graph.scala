@@ -297,9 +297,15 @@ object Graph {
     Tables.orders(s, d).select("o_orderkey", "o_custkey")
       .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
         col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c:"), col("o_custkey")).as("src"),
-        concat(lit("s:"), col("l_suppkey")).as("dst"))
+      // distinct on the INT key pair, then render the node strings: the
+      // id→string map is bijective, so the distinct set is identical, but
+      // the exchange carries 16 B/row of longs instead of ~24 B of strings
+      // and the hash/compare work in the map-side partial distinct runs on
+      // longs (shared cost of every graph query's edge build)
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
       .distinct()
+      .select(concat(lit("c:"), col("ck")).as("src"),
+        concat(lit("s:"), col("sk")).as("dst"))
 
   /** Symmetrized distinct customer↔supplier edges ("c:<id>" / "s:<id>"
     * nodes) from who-bought-from-whom (orders ⋈ lineitem).

@@ -1585,7 +1585,11 @@ object TextAnalysis {
         when(i + nn - 1 <= n, struct(nn.as("ord"),
           array_join(slice(col("toks"), i, nn), " ").as("g")))),
         x => x.isNotNull)))
-    docs.select(tokens(lower(col("text"))).as("toks"))
+    docs
+      // single-row-group spread: the 4-order gram explode is the query's
+      // whole cost and ran in one task
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(tokens(lower(col("text"))).as("toks"))
       .filter(n >= 1)
       .select(explode(gen).as("e"))
       .groupBy(col("e.ord").cast("long").as("n_order"), col("e.g").as("g"))
@@ -2522,7 +2526,11 @@ object TextAnalysis {
       langIdNaiveBayes(Tables.documents(s, d))
     },
     "q_rare_bigrams" -> { (s, d) =>
+      // single-row-group spread: substring(text,i,2) re-walks the string
+      // from byte 0 per position (O(len²)/doc), and BOTH passes pay it —
+      // measured 2×2.9 s single-task before the spread
       val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       // Two passes over the exploded bigrams ON PURPOSE: each pass's
       // shuffle is collapsed map-side (pass 1 to the alphabet²-bounded
       // bigram vocabulary, pass 2 to one row per doc), so both exchanges
