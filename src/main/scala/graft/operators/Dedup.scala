@@ -1345,6 +1345,20 @@ object Dedup {
     // with different normalized fingerprints not already surfaced by the
     // minhash OR containment pair frames (both anti-joined on (lo, hi))
     val ss = exactSubstrPairs(docs, idCol, textCol).persistTracked()
+    // materialize the three persisted tier frames CONCURRENTLY before the
+    // readout composition references them (fps 3×, mh 3×, ss 2×): a lazy
+    // persist lets the racing readout subplans each rebuild the cache
+    // (storage dedups, work doesn't — measured three full shingle-hash
+    // builds inside the minhash tier alone), while a SEQUENTIAL eager
+    // count would idle the box between tiers. Three overlapped counts
+    // build each cache once at full parallelism.
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      Seq(fps, mh, ss).map(f => Future(f.count(): Unit))
+        .foreach(Await.result(_, Duration.Inf))
+    }
     val contPairs = cont.select(col("lo").as("id_a"), col("hi").as("id_b"))
       .distinct()
     val ssNew = ss
